@@ -1,0 +1,31 @@
+"""lucene_solr_spark — a PySpark-native inverted-index + BM25 analytics engine.
+
+A brand-new engine (NOT a port) with the query and data-processing
+capabilities of the reference ``lucidworks/lucene-solr`` (Lucene/Solr 8.x
+semantics; see SURVEY.md). Everything is expressed Spark-first:
+
+* corpus → tokens → postings is a chain of DataFrame transforms;
+* the hot numeric kernels (VByte codec, SmallFloat norms, BM25 float32
+  scoring) are Arrow-vectorized numpy inside pandas UDFs — zero per-row
+  Python;
+* segments are parquet + a JSON manifest (Lucene's ``segments_N``),
+  resumable from checkpoint;
+* queries compile to Catalyst plans (broadcast joins, hash aggregation,
+  TakeOrderedAndProject top-k) with block-level skip pruning on top.
+
+Layout:
+  smallfloat  — exact port of Lucene 8 SmallFloat int4/byte4 quantization
+  codec       — delta + variable-byte posting compression (numpy)
+  analysis    — StandardTokenizer-style analysis chain (pandas UDFs)
+  bm25        — Lucene-8 BM25Similarity (float32 parity kernel)
+  oracle      — pure-Python mini-Lucene reference (rank-identity oracle)
+  corpus      — deterministic source-code corpus generator (FIXTURES.md)
+  index       — IndexWriter/SegmentMerger analog: build, merge, manifest
+  search      — Query AST + DataFrame plan construction (Term/AND/OR, top-k)
+  relational  — Solr facets / streaming-expression analogs
+  pipeline    — training-data ops: dedup, similarity search, text quality
+  functions   — scalar function-query equivalents
+  streaming   — incremental (foreachBatch) indexing analog of NRT
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,69 @@
+"""StandardTokenizer-style analysis chain as Arrow-vectorized pandas UDFs.
+
+Reference semantics: Lucene 8 ``StandardTokenizer`` (UAX#29 word breaks),
+``LowerCaseFilter``, ``StopFilter`` (``[8x] lucene/core/src/java/org/apache/
+lucene/analysis/...``; see SURVEY.md §2.2).  For the source-code corpus we
+use the code-aware simplification sanctioned by SURVEY.md §2.2: maximal runs
+of ``[a-z0-9_]`` after lowercasing (identifiers survive intact, punctuation
+splits).  The SAME chain is used by the engine, the pure-Python oracle, and
+the DuckDB oracle SQL (``regexp_extract_all(lower(text), '[a-z0-9_]+')``) so
+all three tokenize identically.
+
+StopFilter mirrors Lucene's position-increment behavior: dropped tokens
+leave position gaps (positions are indices in the pre-stop token stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["TOKEN_PATTERN", "tokenize_series", "tokens_col", "with_tokens", "analyze"]
+
+#: shared with oracle_sql(); keep in sync with __spark_entry__.py
+TOKEN_PATTERN = "[a-z0-9_]+"
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """text → list[str] tokens (lowercase, code-aware word runs)."""
+    return texts.fillna("").str.lower().str.findall(TOKEN_PATTERN)
+
+
+def analyze(texts: pd.Series, stopwords: frozenset[str] | None = None) -> pd.Series:
+    """Full chain: tokenize → lowercase (fused) → optional stop filter.
+
+    Returns a Series of (terms, positions) pairs when stopwords are given,
+    else a Series of token lists (positions implicit = index).
+    """
+    toks = tokenize_series(texts)
+    if not stopwords:
+        return toks
+
+    def drop_stops(lst: list[str]) -> list[list]:
+        return [[t, i] for i, t in enumerate(lst) if t not in stopwords]
+
+    return toks.map(drop_stops)
+
+
+def tokens_col(text_col: str | Column) -> Column:
+    """Column expression: tokens via a pandas UDF (ArrayType(StringType))."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tokenize(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts)
+
+    return _tokenize(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def with_tokens(df: DataFrame, text_col: str = "content", out_col: str = "tokens") -> DataFrame:
+    return df.withColumn(out_col, tokens_col(text_col))
+
+
+def stop_set(words: Iterable[str]) -> frozenset[str]:
+    return frozenset(w.lower() for w in words)

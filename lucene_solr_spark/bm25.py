@@ -1,0 +1,89 @@
+"""Lucene-8 BM25Similarity as a float32 numpy kernel.
+
+Reference semantics: ``[8x] lucene/core/src/java/org/apache/lucene/search/
+similarities/BM25Similarity.java`` (Lucene 8.x — SURVEY.md §2.5):
+
+  idf     = (float) ln(1 + (N − df + 0.5) / (df + 0.5))          (per term)
+  avgdl   = (float) (sumTotalTermFreq / (double) docCount)        (per field)
+  cache_j = 1f / (k1 · ((1 − b) + b · LENGTH_TABLE[j] / avgdl))   (256 entries)
+  weight  = boost · idf
+  score   = weight − weight / (1 + tf · cache[norm_byte])
+
+Notes pinned by ported TestBM25Similarity cases (tests/test_bm25.py):
+  * Lucene 8 dropped the classic (k1+1) numerator (LUCENE-8563): rank-
+    neutral, score-visible — we match the 8.x form.
+  * dl is the SmallFloat-quantized length (LENGTH_TABLE), not true length.
+  * all arithmetic float32; disjunction/conjunction score sums accumulate
+    in float64 (Java: DisjunctionSumScorer's double acc) then cast float32.
+  * parameter validation mirrors BM25Similarity's ctor: k1 must be finite
+    and >= 0; b in [0, 1]; NaN rejected.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+__all__ = ["BM25", "DEFAULT_K1", "DEFAULT_B"]
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+@dataclass(frozen=True)
+class BM25:
+    k1: float = DEFAULT_K1
+    b: float = DEFAULT_B
+
+    def __post_init__(self) -> None:
+        if not (math.isfinite(self.k1) and self.k1 >= 0):
+            raise ValueError(f"illegal k1 value: {self.k1}, must be a non-negative finite value")
+        if math.isnan(self.b) or self.b < 0 or self.b > 1:
+            raise ValueError(f"illegal b value: {self.b}, must be between 0 and 1")
+
+    # --- statistics -> weights (all float32, mirroring Java float) -------
+
+    @staticmethod
+    def idf(df: int | np.ndarray, doc_count: int) -> np.float32 | np.ndarray:
+        """(float) Math.log(1 + (docCount - docFreq + 0.5) / (docFreq + 0.5))"""
+        dfa = np.asarray(df, dtype=np.float64)
+        out = np.log1p((doc_count - dfa + 0.5) / (dfa + 0.5)).astype(np.float32)
+        return out if out.ndim else np.float32(out)
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        """256-entry float32 cache: 1 / (k1*((1-b) + b*LENGTH_TABLE[j]/avgdl))."""
+        k1 = np.float32(self.k1)
+        b = np.float32(self.b)
+        one = np.float32(1)
+        denom = k1 * ((one - b) + (b * LENGTH_TABLE) / np.float32(avgdl))
+        return (one / denom).astype(np.float32)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        return np.float32(np.float32(boost) * self.idf(df, doc_count))
+
+    # --- scoring ----------------------------------------------------------
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.float32, cache: np.ndarray
+    ) -> np.ndarray:
+        """score = weight - weight / (1 + tf * cache[norm_byte]); float32."""
+        tf = np.asarray(tfs, dtype=np.float32)
+        inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        one = np.float32(1)
+        return (weight - weight / (one + tf * inv)).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        """Clause-sum (float64 accumulator) → float32 final, per Lucene."""
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)

@@ -1,0 +1,195 @@
+"""Delta + variable-byte posting-list compression (numpy-vectorized).
+
+Reference semantics: Lucene's vInt wire format — 7 data bits per byte,
+high bit = continuation (``[8x] lucene/core/src/java/org/apache/lucene/
+store/DataOutput.java#writeVInt``).  Lucene 8 proper packs docID gaps in
+FOR blocks of 128 (``[8x] .../codecs/lucene84/ForUtil.java``) with a vInt
+tail; per BASELINE.json:6 the sanctioned scheme here is "delta +
+variable-byte style", so we VByte-encode *all* blocks but keep Lucene's
+block size of 128 docs and per-block skip metadata (first/last doc,
+max_tf, min quantized length) — the analog of Lucene's skip lists +
+impacts (``Lucene84SkipWriter``).
+
+Everything below is pure numpy over contiguous arrays; these functions run
+inside Arrow-batched pandas UDFs on executors. No per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .smallfloat import int_to_byte4, byte4_to_int
+
+__all__ = [
+    "BLOCK_SIZE",
+    "vbyte_encode",
+    "vbyte_decode",
+    "delta_encode",
+    "delta_decode",
+    "grouped_cumsum",
+    "encode_posting_blocks",
+    "decode_doc_ids",
+    "decode_tfs",
+    "decode_norm_bytes",
+    "decode_positions",
+]
+
+#: Lucene's postings block size (ForUtil.BLOCK_SIZE == 128).
+BLOCK_SIZE = 128
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """VByte-encode an array of non-negative int64 into Lucene vInt bytes
+    (little-endian 7-bit groups, continuation bit set on all but the last)."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    if np.any(v < 0):
+        raise ValueError("vbyte_encode: negative value")
+    u = v.astype(np.uint64)
+    nbytes = np.ones(u.size, dtype=np.int64)
+    for k in range(1, 9):  # values < 2**56 need at most 8 groups
+        nbytes += (u >= np.uint64(1 << (7 * k))).astype(np.int64)
+    total = int(nbytes.sum())
+    starts = np.zeros(u.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
+    vals = np.repeat(u, nbytes)
+    groups = ((vals >> (np.uint64(7) * idx.astype(np.uint64))) & np.uint64(0x7F)).astype(np.uint8)
+    last = idx == np.repeat(nbytes - 1, nbytes)
+    out = np.where(last, groups, groups | np.uint8(0x80))
+    return out.astype(np.uint8).tobytes()
+
+
+def vbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
+    """Inverse of :func:`vbyte_encode`; returns int64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    n = int(is_last.sum())
+    vid = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=vid[1:])
+    starts_idx = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts_idx[vid]
+    vals = np.zeros(n, dtype=np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    np.bitwise_or.at(vals, vid, contrib)
+    return vals.astype(np.int64)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """First value absolute, rest gaps — self-contained (skippable) runs."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
+
+
+def grouped_cumsum(values: np.ndarray, group_sizes: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each group boundary (vectorized)."""
+    v = np.asarray(values, dtype=np.int64)
+    sizes = np.asarray(group_sizes, dtype=np.int64)
+    if v.size == 0:
+        return v
+    gc = np.cumsum(v)
+    starts = np.zeros(sizes.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    base = np.where(starts > 0, gc[starts - 1], 0)
+    return gc - np.repeat(base, sizes)
+
+
+def _grouped_delta(values: np.ndarray, group_sizes: np.ndarray) -> np.ndarray:
+    """Delta-encode within each group (first element of group absolute)."""
+    v = np.asarray(values, dtype=np.int64)
+    sizes = np.asarray(group_sizes, dtype=np.int64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    starts = np.zeros(sizes.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    out[starts] = v[starts]
+    return out
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    positions: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Encode ONE term's posting list into 128-doc blocks.
+
+    Inputs are aligned arrays sorted by doc_id (``positions`` is the flat
+    concatenation of per-doc ascending token positions; per-doc counts are
+    ``tfs``; ``norm_bytes`` is the SmallFloat byte4 norm per doc).  Returns
+    one dict per block with the codec columns + skip/impact metadata
+    (Lucene Lucene84SkipWriter + impacts analog):
+
+      block_id, doc_count, first_doc, last_doc, max_tf, min_norm_byte,
+      sum_tf, doc_ids_vb, tfs_vb, norms_b, positions_vb
+
+    ``norms_b`` denormalizes the norm byte into the posting block (1 byte
+    per posting) so BM25 scoring is join-free at query time — a deliberate
+    divergence from Lucene's separate norms file that avoids a doc_id-keyed
+    shuffle join per query at cluster scale.  ``min_norm_byte`` is the
+    block's impact metadata: byte4 is monotone in length, so
+    cache[min_norm_byte] upper-bounds every doc's norm-inverse in the block.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    n = doc_ids.size
+    pos_ends = np.cumsum(tfs)
+    rows = []
+    for b, lo in enumerate(range(0, n, block_size)):
+        hi = min(lo + block_size, n)
+        d = doc_ids[lo:hi]
+        t = tfs[lo:hi]
+        plo = int(pos_ends[lo - 1]) if lo > 0 else 0
+        phi = int(pos_ends[hi - 1])
+        p = positions[plo:phi]
+        rows.append(
+            {
+                "block_id": b,
+                "doc_count": int(hi - lo),
+                "first_doc": int(d[0]),
+                "last_doc": int(d[-1]),
+                "max_tf": int(t.max()),
+                "min_norm_byte": int(norm_bytes[lo:hi].min()),
+                "sum_tf": int(t.sum()),
+                "doc_ids_vb": vbyte_encode(delta_encode(d)),
+                "tfs_vb": vbyte_encode(t),
+                "norms_b": norm_bytes[lo:hi].astype(np.uint8).tobytes(),
+                "positions_vb": vbyte_encode(_grouped_delta(p, t)),
+            }
+        )
+    return rows
+
+
+def decode_norm_bytes(norms_b: bytes) -> np.ndarray:
+    return np.frombuffer(norms_b, dtype=np.uint8).astype(np.int64)
+
+
+def decode_doc_ids(doc_ids_vb: bytes) -> np.ndarray:
+    return delta_decode(vbyte_decode(doc_ids_vb))
+
+
+def decode_tfs(tfs_vb: bytes) -> np.ndarray:
+    return vbyte_decode(tfs_vb)
+
+
+def decode_positions(positions_vb: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Flat per-doc ascending positions (inverse of the grouped delta)."""
+    return grouped_cumsum(vbyte_decode(positions_vb), tfs)

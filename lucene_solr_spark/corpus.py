@@ -1,0 +1,131 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the contract table (repo, path, commit, lang, content) with
+Zipf(s~1.1) keyword skew + a ~50k long-tail identifier vocab, doc length
+lognormal 5..2000 tokens.  Generation is row-deterministic: row i's content
+depends only on (seed, i), never on partitioning or batch size — so the
+distributed (mapInPandas over spark.range) and local (pandas) paths produce
+byte-identical corpora, and the sha256 per-row invariant is checkable
+end-to-end (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+__all__ = ["KEYWORDS", "gen_corpus_pdf", "gen_corpus_df", "CORPUS_SCHEMA"]
+
+KEYWORDS = (
+    "def class import return if else for while try except lambda yield "
+    "public static void int new null true false final private protected "
+    "package interface extends implements throws this super break continue "
+    "switch case default do goto sizeof struct union typedef enum const "
+    "volatile extern unsigned char short long float double "
+    "var let function async await match with as pass"
+).split()
+assert len(KEYWORDS) == 60, len(KEYWORDS)
+
+LANGS = ["python", "java", "scala", "c", "markdown"]
+LANG_W = np.array([0.4, 0.25, 0.15, 0.1, 0.1])
+LANG_EXT = {"python": "py", "java": "java", "scala": "scala", "c": "c", "markdown": "md"}
+
+_ZIPF_S = 1.1
+_N_IDENTS = 50_000
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def _zipf_probs(n: int, s: float = _ZIPF_S) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return p / p.sum()
+
+
+_KW_PROBS = _zipf_probs(len(KEYWORDS))
+# identifiers: mildly skewed long tail so df spans 4 orders of magnitude
+_ID_PROBS = _zipf_probs(_N_IDENTS, s=0.7)
+
+
+def _row_content(i: int, seed: int) -> str:
+    rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+    n_tokens = int(np.clip(rng.lognormal(mean=4.6, sigma=1.0), 5, 2000))
+    n_kw = int(round(n_tokens * 0.6))
+    kw = rng.choice(len(KEYWORDS), size=n_kw, p=_KW_PROBS)
+    ids = rng.choice(_N_IDENTS, size=n_tokens - n_kw, p=_ID_PROBS)
+    toks = np.empty(n_tokens, dtype=object)
+    kw_pos = rng.permutation(n_tokens)[:n_kw]
+    mask = np.zeros(n_tokens, dtype=bool)
+    mask[kw_pos] = True
+    toks[mask] = [KEYWORDS[j] for j in kw]
+    toks[~mask] = [f"id{j}" for j in ids]
+    # shape lines like "kw ident(ident, lit);" — punctuation splits on tokenize
+    parts = []
+    for off in range(0, n_tokens, 4):
+        chunk = toks[off : off + 4]
+        parts.append(" ".join(chunk[:2]) + "(" + ", ".join(chunk[2:]) + ");")
+    return "\n".join(parts)
+
+
+def gen_corpus_pdf(n_docs: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    """Rows [start, start+n_docs) of the deterministic corpus, as pandas."""
+    idx = np.arange(start, start + n_docs, dtype=np.int64)
+    repo = [f"org{i % 7}/repo{i % 101}" for i in idx]
+    lang_rng = np.random.default_rng(np.random.SeedSequence([seed, 10**9]))
+    # lang must be row-deterministic too: derive from a per-row generator draw
+    langs = []
+    paths = []
+    commits = []
+    contents = []
+    for i in idx:
+        r = np.random.default_rng(np.random.SeedSequence([seed, int(i), 7]))
+        lang = LANGS[int(r.choice(len(LANGS), p=LANG_W))]
+        langs.append(lang)
+        name = f"file{int(i) % 997}"
+        d = f"pkg{int(i) % 31}"
+        paths.append(f"src/{d}/{name}.{LANG_EXT[lang]}")
+        rev = int(i) % 13
+        commits.append(
+            hashlib.sha256(f"{repo[len(commits)]}:{paths[-1]}:{rev}".encode()).hexdigest()[:40]
+        )
+        contents.append(_row_content(int(i), seed))
+    del lang_rng
+    return pd.DataFrame(
+        {"repo": repo, "path": paths, "commit": commits, "lang": langs, "content": contents}
+    )
+
+
+def gen_corpus_df(spark: SparkSession, n_docs: int, seed: int = 42,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spark.range → mapInPandas, row-deterministic."""
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if ids.size == 0:
+                continue
+            # rows are contiguous within a range partition batch
+            out = gen_corpus_pdf(ids.size, seed=seed, start=int(ids[0]))
+            if not np.array_equal(
+                np.arange(int(ids[0]), int(ids[0]) + ids.size), ids
+            ):  # non-contiguous batch: generate row-by-row ranges
+                out = pd.concat(
+                    [gen_corpus_pdf(1, seed=seed, start=int(i)) for i in ids],
+                    ignore_index=True,
+                )
+            yield out
+
+    return spark.range(0, n_docs, 1, num_partitions).mapInPandas(_gen, CORPUS_SCHEMA)

@@ -1,0 +1,15 @@
+from .core import (
+    IndexView,
+    build_index_view,
+    compute_norms,
+    encode_postings,
+    invert_tokens,
+)
+
+__all__ = [
+    "IndexView",
+    "build_index_view",
+    "compute_norms",
+    "encode_postings",
+    "invert_tokens",
+]

@@ -1,0 +1,220 @@
+"""Persistent segmented index: the IndexWriter / commit-point analog.
+
+Reference semantics (SURVEY.md §2.3, §3.4): Lucene's IndexWriter routes
+docs to DWPTs, flushes immutable segments, and commits by atomically
+writing a ``segments_N`` manifest (``[8x] lucene/core/src/java/org/apache/
+lucene/index/IndexWriter.java``, ``SegmentInfos.java``).
+
+Our layout under ``index_path/``::
+
+    manifest.json                    # segments_N: lineage + metrics + commit flag
+    docs.parquet/                    # stored fields (repo,path,commit,lang,sha256,doc_id,...)
+    norms.parquet/                   # doc_id, length, norm_byte
+    segments/seg=<id>/               # per-segment posting blocks (partitioned write)
+    term_dict.parquet/               # global term -> df, cf (after all segments land)
+
+Resumability (north rule): each flush batch appends its segment entries to
+the manifest via write-temp + atomic rename; a re-run skips batches whose
+segments are already committed, and the final commit records corpus stats.
+Doc ids are contiguous per segment (segment = doc_id range), mirroring
+Lucene's per-segment docBase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..bm25 import BM25
+from .core import IndexView, compute_norms, encode_postings, invert_tokens
+
+__all__ = ["assign_doc_ids", "build_index", "open_index", "read_manifest", "write_manifest"]
+
+MANIFEST = "manifest.json"
+
+
+def assign_doc_ids(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Deterministic dense doc_id over (repo, path, commit) (SURVEY §7.4.3).
+
+    v0 uses a global row_number window — deterministic and correct; the
+    documented scale path is zipWithIndex-per-partition + manifest offsets
+    (avoids the single global sort at 10^12 rows).
+    """
+    key_cols = key_cols or ["repo", "path", "commit"]
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    return df.withColumn("doc_id", (F.row_number().over(w) - 1).cast("long"))
+
+
+def read_manifest(index_path: str | Path) -> dict | None:
+    p = Path(index_path) / MANIFEST
+    if not p.exists():
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_manifest(index_path: str | Path, manifest: dict) -> None:
+    """Two-phase commit: write temp, fsync, atomic rename (Lucene's
+    prepareCommit/commit pair)."""
+    p = Path(index_path) / MANIFEST
+    tmp = p.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str | Path,
+    *,
+    text_col: str = "content",
+    id_col: str | None = None,
+    key_cols: list[str] | None = None,
+    segment_docs: int = 25_000,
+    bm25: BM25 | None = None,
+    stopwords: frozenset[str] | None = None,
+    num_partitions: int | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Build (or resume) a persistent index; returns the committed manifest.
+
+    Each segment covers a contiguous doc_id range of ``segment_docs`` docs
+    (one flush batch = one Spark job writing its postings parquet +
+    manifest entry).  A killed build resumes by skipping segments whose
+    manifest entry has status=done and whose parquet exists.
+    """
+    index_path = Path(index_path)
+    bm25 = bm25 or BM25()
+    manifest = None if overwrite else read_manifest(index_path)
+    if manifest and manifest.get("committed"):
+        return manifest
+
+    index_path.mkdir(parents=True, exist_ok=True)
+    (index_path / "segments").mkdir(exist_ok=True)
+
+    if manifest is None:
+        manifest = {
+            "version": 1,
+            "committed": False,
+            "bm25": {"k1": bm25.k1, "b": bm25.b},
+            "segment_docs": segment_docs,
+            "segments": [],
+            "stats": {},
+        }
+
+    # ---- stored fields + doc ids (idempotent: skip if already written) ---
+    docs_path = index_path / "docs.parquet"
+    if id_col is None:
+        if not docs_path.exists():
+            docs = assign_doc_ids(corpus, key_cols)
+            docs = docs.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+            docs.write.mode("overwrite").parquet(str(docs_path))
+        docs = spark.read.parquet(str(docs_path))
+        id_col = "doc_id"
+    else:
+        docs = corpus.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+        if not docs_path.exists():
+            docs.write.mode("overwrite").parquet(str(docs_path))
+        docs = spark.read.parquet(str(docs_path))
+
+    n_docs = docs.count()
+    n_segments = max(1, (n_docs + segment_docs - 1) // segment_docs)
+
+    # ---- norms (map-only; one shot) --------------------------------------
+    norms_path = index_path / "norms.parquet"
+    if not norms_path.exists():
+        compute_norms(docs, id_col, text_col, stopwords).write.mode("overwrite").parquet(
+            str(norms_path)
+        )
+
+    done = {s["segment_id"] for s in manifest["segments"] if s.get("status") == "done"}
+
+    for seg in range(n_segments):
+        if seg in done:
+            continue
+        lo, hi = seg * segment_docs, min((seg + 1) * segment_docs, n_docs)
+        t0 = time.time()
+        part = docs.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
+        stream = invert_tokens(part, id_col, text_col, stopwords)
+        blocks = encode_postings(stream, num_partitions)
+        seg_path = index_path / "segments" / f"seg={seg}"
+        blocks.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
+            "overwrite"
+        ).parquet(str(seg_path))
+        written = spark.read.parquet(str(seg_path))
+        agg = written.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("doc_count").alias("postings"),
+            F.sum("sum_tf").alias("tokens"),
+        ).collect()[0]
+        manifest["segments"] = [s for s in manifest["segments"] if s["segment_id"] != seg]
+        manifest["segments"].append(
+            {
+                "segment_id": seg,
+                "status": "done",
+                "doc_base": lo,
+                "max_doc": hi,
+                "num_docs": hi - lo,
+                "lineage": {"doc_id_range": [lo, hi], "source": "docs.parquet"},
+                "metrics": {
+                    "blocks": int(agg["blocks"]),
+                    "postings": int(agg["postings"] or 0),
+                    "tokens": int(agg["tokens"] or 0),
+                    "build_sec": round(time.time() - t0, 3),
+                },
+                "path": f"segments/seg={seg}",
+            }
+        )
+        manifest["segments"].sort(key=lambda s: s["segment_id"])
+        write_manifest(index_path, manifest)
+
+    # ---- global term dict + corpus stats + commit ------------------------
+    all_segs = spark.read.parquet(str(index_path / "segments"))
+    term_dict = all_segs.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    td_path = index_path / "term_dict.parquet"
+    term_dict.repartitionByRange(
+        max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(str(td_path))
+
+    stats = (
+        spark.read.parquet(str(norms_path))
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+        .collect()[0]
+    )
+    manifest["stats"] = {"doc_count": int(stats["n"]), "sum_ttf": int(stats["ttf"])}
+    manifest["committed"] = True
+    write_manifest(index_path, manifest)
+    return manifest
+
+
+def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None = None) -> IndexView:
+    """Open a committed index as an IndexView (merged postings preferred)."""
+    index_path = Path(index_path)
+    manifest = read_manifest(index_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    merged_path = index_path / "merged.parquet"
+    if merged is None:
+        merged = merged_path.exists()
+    postings = spark.read.parquet(str(merged_path if merged else index_path / "segments"))
+    return IndexView(
+        spark=spark,
+        postings=postings,
+        term_dict=spark.read.parquet(str(index_path / "term_dict.parquet")),
+        norms=spark.read.parquet(str(index_path / "norms.parquet")),
+        doc_count=manifest["stats"]["doc_count"],
+        sum_ttf=manifest["stats"]["sum_ttf"],
+        bm25=BM25(**manifest["bm25"]),
+    )

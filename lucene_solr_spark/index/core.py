@@ -1,0 +1,333 @@
+"""Row→columnar inversion + posting-block encoding as DataFrame stages.
+
+This is the analog of Lucene's DocumentsWriterPerThread/FreqProxTermsWriter
+flush (``[8x] lucene/core/src/java/org/apache/lucene/index/
+DefaultIndexingChain.java``, SURVEY.md §2.3): one Spark partition plays the
+role of one DWPT; the hash-repartition on (term [, salt]) +
+sortWithinPartitions is the inversion; the Arrow-batched encode UDF is the
+flush that writes 128-doc VByte blocks.
+
+Dataflow:
+  corpus(id, text)
+    → invert_tokens:  mapInPandas → token stream (term, doc_id, pos, dl)
+    → encode_postings: repartition(term[,salt]) → sortWithinPartitions
+                       → mapInPandas carry-over group encoder → block rows
+
+All kernels are numpy over Arrow batches; the only per-group Python loop is
+over distinct terms within an executor batch, each iteration vectorized
+over that term's postings.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..analysis import tokenize_series
+from ..bm25 import BM25
+from ..codec import encode_posting_blocks
+from ..smallfloat import int_to_byte4
+
+__all__ = ["IndexView", "build_index_view", "invert_tokens", "encode_postings",
+           "TOKEN_STREAM_SCHEMA", "POSTINGS_SCHEMA"]
+
+
+TOKEN_STREAM_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+        StructField("dl", LongType()),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("block_id", IntegerType()),
+        StructField("doc_count", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_tf", IntegerType()),
+        StructField("min_norm_byte", IntegerType()),
+        StructField("sum_tf", LongType()),
+        StructField("doc_ids_vb", BinaryType()),
+        StructField("tfs_vb", BinaryType()),
+        StructField("norms_b", BinaryType()),
+        StructField("positions_vb", BinaryType()),
+    ]
+)
+
+
+def invert_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    stopwords: frozenset[str] | None = None,
+) -> DataFrame:
+    """corpus → token stream (term, doc_id, pos, dl).
+
+    dl is the post-stop-filter token count (what Lucene writes to norms);
+    pos is the pre-filter index (Lucene's position-increment gaps).
+    """
+
+    def _invert(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            toks = tokenize_series(pdf[text_col])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {"term": pd.Series([], dtype=object),
+                     "doc_id": pd.Series([], dtype=np.int64),
+                     "pos": pd.Series([], dtype=np.int64),
+                     "dl": pd.Series([], dtype=np.int64)}
+                )
+                continue
+            row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            starts = np.cumsum(lens) - lens
+            pos = np.arange(total, dtype=np.int64) - starts[row_idx]
+            terms = pd.Series(
+                list(itertools.chain.from_iterable(toks)), dtype=object
+            )
+            if stopwords:
+                keep = ~terms.isin(stopwords).to_numpy()
+                row_idx, pos, terms = row_idx[keep], pos[keep], terms[keep]
+                dl_per_row = np.bincount(row_idx, minlength=lens.size).astype(np.int64)
+            else:
+                dl_per_row = lens
+            yield pd.DataFrame(
+                {
+                    "term": terms.reset_index(drop=True),
+                    "doc_id": ids[row_idx],
+                    "pos": pos,
+                    "dl": dl_per_row[row_idx],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_invert, TOKEN_STREAM_SCHEMA)
+
+
+def _encode_term_run(term: str, sub: pd.DataFrame) -> list[dict]:
+    """Encode one term's (doc_id, pos, dl) rows (sorted by doc_id, pos)."""
+    doc = sub["doc_id"].to_numpy(dtype=np.int64)
+    pos = sub["pos"].to_numpy(dtype=np.int64)
+    dl = sub["dl"].to_numpy(dtype=np.int64)
+    boundary = np.empty(doc.size, dtype=bool)
+    boundary[0] = True
+    np.not_equal(doc[1:], doc[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    doc_ids = doc[starts]
+    tfs = np.diff(np.append(starts, doc.size)).astype(np.int64)
+    norm_bytes = int_to_byte4(dl[starts])
+    rows = encode_posting_blocks(doc_ids, tfs, norm_bytes, pos)
+    for r in rows:
+        r["term"] = term
+    return rows
+
+
+_POSTING_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+
+
+def _rows_to_pdf(rows: list[dict]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=_POSTING_COLS)
+    for c, dt in (("block_id", np.int32), ("doc_count", np.int32),
+                  ("first_doc", np.int64), ("last_doc", np.int64),
+                  ("max_tf", np.int32), ("min_norm_byte", np.int32),
+                  ("sum_tf", np.int64)):
+        pdf[c] = pdf[c].astype(dt)
+    return pdf
+
+
+def encode_postings(
+    token_stream: DataFrame,
+    num_partitions: int | None = None,
+    salt_terms: frozenset[str] | None = None,
+    salt_shift: int = 16,
+) -> DataFrame:
+    """token stream → posting-block rows (POSTINGS_SCHEMA).
+
+    Hash-repartition on (term, salt) co-locates each posting list; hot
+    terms (``salt_terms``) are split into disjoint doc_id ranges
+    (salt = doc_id >> salt_shift) so one Zipf-head term cannot pin a
+    single task (SURVEY.md §7.4 item 4).  Because the ranges are disjoint
+    and blocks are self-contained (absolute first doc), salted sub-lists
+    concatenate into a valid posting list with no re-encode.
+    """
+    spark = token_stream.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if salt_terms:
+        salt = F.when(
+            F.col("term").isin(list(salt_terms)),
+            F.shiftright(F.col("doc_id"), salt_shift),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    stream = (
+        token_stream.withColumn("_salt", salt.cast("long"))
+        .repartition(num_partitions, "term", "_salt")
+        .sortWithinPartitions("term", "_salt", "doc_id", "pos")
+    )
+
+    def _encode(batches):
+        carry: pd.DataFrame | None = None
+
+        def flush_complete(pdf: pd.DataFrame, final: bool):
+            if pdf.empty:
+                return None, None
+            keys = pdf["term"].to_numpy(dtype=object)
+            salts = pdf["_salt"].to_numpy(dtype=np.int64)
+            if not final:
+                # hold back the trailing (term, salt) run — may continue next batch
+                last_t, last_s = keys[-1], salts[-1]
+                tail_mask = (keys == last_t) & (salts == last_s)
+                # runs are contiguous: find first index of trailing run
+                cut = pdf.shape[0] - int(tail_mask[::-1].argmin() if not tail_mask.all() else pdf.shape[0])
+                if tail_mask.all():
+                    return None, pdf
+                head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+            else:
+                head, tail = pdf, None
+            if head.empty:
+                return None, tail
+            rows: list[dict] = []
+            hk = head["term"].to_numpy(dtype=object)
+            hs = head["_salt"].to_numpy(dtype=np.int64)
+            change = np.empty(hk.size, dtype=bool)
+            change[0] = True
+            change[1:] = (hk[1:] != hk[:-1]) | (hs[1:] != hs[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], hk.size)
+            for s, e in zip(starts, ends):
+                rows.extend(_encode_term_run(hk[s], head.iloc[s:e]))
+            return (_rows_to_pdf(rows) if rows else None), tail
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            out, carry = flush_complete(pdf, final=False)
+            if out is not None:
+                yield out
+        if carry is not None:
+            out, _ = flush_complete(carry, final=True)
+            if out is not None:
+                yield out
+
+    return stream.mapInPandas(_encode, POSTINGS_SCHEMA)
+
+
+NORMS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("length", LongType()),
+        StructField("norm_byte", LongType()),
+    ]
+)
+
+
+def compute_norms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    stopwords: frozenset[str] | None = None,
+) -> DataFrame:
+    """Per-doc field length + SmallFloat norm byte (Lucene's norms file).
+
+    A map-only pass over the corpus — one output row per doc, no shuffle
+    (cheaper at scale than re-aggregating the exploded token stream).
+    """
+
+    def _norms(batches):
+        for pdf in batches:
+            toks = tokenize_series(pdf[text_col])
+            if stopwords:
+                lens = toks.map(
+                    lambda lst: sum(1 for t in lst if t not in stopwords)
+                ).to_numpy(dtype=np.int64)
+            else:
+                lens = toks.map(len).to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "length": lens,
+                    "norm_byte": int_to_byte4(lens),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_norms, NORMS_SCHEMA)
+
+
+@dataclass
+class IndexView:
+    """A queryable index: postings blocks + term dictionary + norms + stats.
+
+    The common interface over transient (in-memory) and persistent
+    (parquet segments) indexes; search/executor plans against this.
+    """
+
+    spark: SparkSession
+    postings: DataFrame
+    term_dict: DataFrame          # term, df, cf
+    norms: DataFrame              # doc_id, length, norm_byte
+    doc_count: int
+    sum_ttf: int
+    bm25: BM25 = field(default_factory=BM25)
+
+    @property
+    def avgdl(self) -> np.float32:
+        return self.bm25.avgdl(self.sum_ttf, self.doc_count)
+
+    def norm_inverse_cache(self) -> np.ndarray:
+        return self.bm25.norm_inverse_cache(self.avgdl)
+
+
+def build_index_view(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    bm25: BM25 | None = None,
+    stopwords: frozenset[str] | None = None,
+    num_partitions: int | None = None,
+    cache: bool = True,
+) -> IndexView:
+    """One-shot transient index over any (id, text) DataFrame."""
+    spark = df.sparkSession
+    stream = invert_tokens(df, id_col, text_col, stopwords)
+    postings = encode_postings(stream, num_partitions)
+    if cache:
+        postings = postings.persist()
+    term_dict = postings.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    norms = compute_norms(df, id_col, text_col, stopwords)
+    if cache:
+        norms = norms.persist()
+    stats = norms.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf")
+    ).collect()[0]
+    return IndexView(
+        spark=spark,
+        postings=postings,
+        term_dict=term_dict,
+        norms=norms,
+        doc_count=int(stats["n"]),
+        sum_ttf=int(stats["ttf"]),
+        bm25=bm25 or BM25(),
+    )

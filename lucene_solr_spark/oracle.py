@@ -1,0 +1,103 @@
+"""Pure-Python/numpy mini-Lucene — the rank-identity oracle (no Spark).
+
+The executable reference for Lucene-8 semantics (SURVEY.md §5.2): dict
+postings, identical tokenizer (analysis.tokenize_series semantics), BM25
+with SmallFloat-quantized norms, float32 arithmetic, doc_id-ascending
+tie-break.  Pinned by the ported TestBM25Similarity / TestTermQuery /
+TestBooleanQuery golden cases in tests/; the Spark engine must match this
+oracle exactly (float32 equality).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .analysis import TOKEN_PATTERN
+from .bm25 import BM25
+from .smallfloat import int_to_byte4
+from .search.query import And, Or, Term
+
+__all__ = ["MiniLucene"]
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+class MiniLucene:
+    """In-memory inverted index + BM25 searcher over (doc_id, text) pairs."""
+
+    def __init__(self, docs, bm25: BM25 | None = None, stopwords: frozenset | None = None):
+        self.bm25 = bm25 or BM25()
+        self.postings: dict[str, dict[int, int]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
+        self.dl: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = _TOKEN_RE.findall((text or "").lower())
+            if stopwords:
+                kept = [(t, i) for i, t in enumerate(toks) if t not in stopwords]
+            else:
+                kept = list(zip(toks, range(len(toks))))
+            self.dl[int(doc_id)] = len(toks)
+            for t, i in kept:
+                self.postings.setdefault(t, {}).setdefault(int(doc_id), 0)
+                self.postings[t][int(doc_id)] += 1
+                self.positions.setdefault(t, {}).setdefault(int(doc_id), []).append(i)
+        self.doc_count = len(self.dl)
+        self.sum_ttf = sum(self.dl.values())
+        self.norm_byte = {d: int(int_to_byte4(np.int64(l))) for d, l in self.dl.items()}
+        self._avgdl = self.bm25.avgdl(self.sum_ttf, self.doc_count)
+        self._cache = self.bm25.norm_inverse_cache(self._avgdl)
+
+    # --- stats -------------------------------------------------------------
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def cf(self, term: str) -> int:
+        return sum(self.postings.get(term, {}).values())
+
+    def term_dict(self) -> dict[str, tuple[int, int]]:
+        return {t: (self.df(t), self.cf(t)) for t in self.postings}
+
+    # --- scoring -----------------------------------------------------------
+
+    def _term_scores(self, t: Term) -> dict[int, float]:
+        plist = self.postings.get(t.term, {})
+        if not plist:
+            return {}
+        w = self.bm25.weight(len(plist), self.doc_count, t.boost)
+        docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
+        tfs = np.fromiter(plist.values(), dtype=np.int64, count=len(plist))
+        nbs = np.array([self.norm_byte[int(d)] for d in docs], dtype=np.int64)
+        scores = self.bm25.score(tfs, nbs, w, self._cache)
+        return {int(d): float(s) for d, s in zip(docs, scores)}
+
+    def _score_map(self, q) -> dict[int, float]:
+        """doc -> float64 accumulated score (sums of float32 leaf scores)."""
+        if isinstance(q, Term):
+            return self._term_scores(q)
+        child = [self._score_map(c) for c in q.clauses]
+        if isinstance(q, And):
+            docs = set(child[0])
+            for m in child[1:]:
+                docs &= set(m)
+            return {d: sum(m[d] for m in child) for d in docs}
+        if isinstance(q, Or):
+            out: dict[int, float] = {}
+            for m in child:
+                for d, s in m.items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        raise TypeError(f"unknown query node {type(q)}")
+
+    def search(self, q, k: int = 10) -> list[tuple[int, np.float32]]:
+        """Top-k (doc_id, score_f32), score desc then doc_id asc — Lucene
+        TopScoreDocCollector tie-break."""
+        m = self._score_map(q)
+        scored = [(d, np.float32(s)) for d, s in m.items()]
+        scored.sort(key=lambda x: (-float(x[1]), x[0]))
+        return scored[:k]
+
+    def count(self, q) -> int:
+        return len(self._score_map(q))

@@ -1,0 +1,4 @@
+from .query import And, Or, Term, parse_query, rewrite
+from .executor import search, count_hits
+
+__all__ = ["Term", "And", "Or", "parse_query", "rewrite", "search", "count_hits"]

@@ -1,0 +1,291 @@
+"""Query execution: Query AST → DataFrame plan over an IndexView.
+
+The analog of Lucene's IndexSearcher.search(Query, k) (SURVEY.md §3.1):
+
+  1. rewrite the query (query.py);
+  2. pull global stats for the query terms (tiny collect of term-dict rows
+     — Lucene's Weight/TermStatistics step) and compute float32 BM25
+     weights + the 256-entry norm-inverse cache on the driver;
+  3. build the DataFrame plan: filter posting blocks by term (parquet
+     row-group pruning — the term-dictionary seek), optionally skip
+     non-competitive blocks (block-max WAND analog / skip-list leapfrog
+     analog), decode+score in an Arrow-batched numpy UDF, compose boolean
+     clauses with joins/unions, TakeOrderedAndProject top-k.
+
+Scoring composition matches Lucene: leaf scores are float32; clause sums
+accumulate in float64 (exact for <=2**29 such addends) and the final score
+is cast back to float32 — so join/aggregation order cannot change results.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..bm25 import BM25
+from ..codec import decode_doc_ids, decode_norm_bytes, decode_tfs
+from ..index.core import IndexView
+from .query import And, Or, Term, query_terms, rewrite
+
+__all__ = ["search", "count_hits", "scored_leaves"]
+
+_SCORED_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+#: above this many blocks for the lead term, skip driver-side pruning
+#: (collecting block metadata would not be driver-safe); Catalyst handles it
+_PRUNE_MAX_BLOCKS = 65536
+
+
+def _decode_score_udf(weights: dict[str, float], cache: np.ndarray):
+    """mapInPandas kernel: posting blocks → (term, doc_id, score_f32-as-double)."""
+    cache = np.asarray(cache, dtype=np.float32)
+
+    def _fn(batches):
+        for pdf in batches:
+            terms_out, docs_out, scores_out = [], [], []
+            t_arr = pdf["term"].to_numpy(dtype=object)
+            for i in range(pdf.shape[0]):
+                t = t_arr[i]
+                w = np.float32(weights[t])
+                doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+                tfs = decode_tfs(pdf["tfs_vb"].iat[i])
+                nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
+                s = BM25.score(tfs, nbs, w, cache)
+                terms_out.append(np.full(doc_ids.size, t, dtype=object))
+                docs_out.append(doc_ids)
+                scores_out.append(s.astype(np.float64))
+            if not docs_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_out),
+                    "doc_id": np.concatenate(docs_out),
+                    "score": np.concatenate(scores_out),
+                }
+            )
+
+    return _fn
+
+
+def _leaf_stats(index: IndexView, terms: list[str]) -> dict[str, int]:
+    rows = index.term_dict.filter(F.col("term").isin(terms)).collect()
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+_BLOCK_COLS = ["term", "first_doc", "last_doc", "max_tf", "min_norm_byte",
+               "doc_ids_vb", "tfs_vb", "norms_b"]
+
+
+def scored_leaves(
+    index: IndexView,
+    terms: list[str],
+    boosts: dict[str, float] | None = None,
+    blocks: DataFrame | None = None,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Decode + BM25-score all posting blocks of the given terms.
+
+    Returns (DataFrame[term, doc_id, score:double], weights) where score is
+    the float32 leaf score widened to double for exact clause summation.
+    """
+    dfs = _leaf_stats(index, terms)
+    present = [t for t in terms if t in dfs]
+    bm = index.bm25
+    boosts = boosts or {}
+    weights = {
+        t: float(bm.weight(dfs[t], index.doc_count, boosts.get(t, 1.0))) for t in present
+    }
+    cache = index.norm_inverse_cache()
+    if blocks is None:
+        blocks = index.postings.filter(F.col("term").isin(present or ["\x00none"]))
+    scored = blocks.select(*_BLOCK_COLS).mapInPandas(
+        _decode_score_udf(weights, cache), _SCORED_SCHEMA
+    )
+    return scored, weights
+
+
+def _range_filter_blocks(blocks: DataFrame, ranges: np.ndarray) -> DataFrame:
+    """Skip-list leapfrog analog: keep only blocks overlapping the lead
+    (rarest) term's block [first_doc, last_doc] ranges.  ``ranges`` is a
+    small (n,2) sorted array broadcast in the UDF closure."""
+    starts = np.ascontiguousarray(ranges[:, 0])
+    ends = np.ascontiguousarray(ranges[:, 1])
+
+    def _overlaps(first: pd.Series, last: pd.Series) -> pd.Series:
+        f = first.to_numpy(dtype=np.int64)
+        l = last.to_numpy(dtype=np.int64)
+        # block [f, l] overlaps some range [s_i, e_i] iff the first range
+        # with e_i >= f has s_i <= l
+        idx = np.searchsorted(ends, f, side="left")
+        ok = idx < starts.size
+        sel = np.where(ok, np.minimum(idx, starts.size - 1), 0)
+        return pd.Series(ok & (starts[sel] <= l))
+
+    udf = F.pandas_udf(_overlaps, "boolean")
+    return blocks.filter(udf(F.col("first_doc"), F.col("last_doc")))
+
+
+def _plan_bool(node, leaf: dict[str, DataFrame]) -> DataFrame:
+    """Recursive boolean composition → DataFrame[doc_id, score:double]."""
+    if isinstance(node, Term):
+        df = leaf[node.term]
+        return df.select("doc_id", "score")
+    children = [_plan_bool(c, leaf) for c in node.clauses]
+    if isinstance(node, And):
+        def join2(a: DataFrame, b: DataFrame) -> DataFrame:
+            return (
+                a.withColumnRenamed("score", "_sa")
+                .join(b.withColumnRenamed("score", "_sb"), "doc_id")
+                .select("doc_id", (F.col("_sa") + F.col("_sb")).alias("score"))
+            )
+        return reduce(join2, children)
+    if isinstance(node, Or):
+        u = reduce(lambda a, b: a.unionByName(b), children)
+        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    raise TypeError(f"unknown query node {type(node)}")
+
+
+def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None:
+    """Block-max WAND-style two-pass pruning for a single TermQuery
+    (SURVEY.md §4): pass 1 exact-scores the blocks with the highest upper
+    bounds until >= k docs are covered, giving a true achievable theta;
+    pass 2 rescans only blocks whose upper bound >= theta.  Sound because
+    ub >= any score in the block and theta is a realized k-th score."""
+    meta = (
+        index.postings.filter(F.col("term") == term)
+        .select("block_id", "doc_count", "max_tf", "min_norm_byte")
+        .collect()
+    )
+    if not meta or len(meta) > _PRUNE_MAX_BLOCKS:
+        return None
+    dfs = _leaf_stats(index, [term])
+    if term not in dfs:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    w = index.bm25.weight(dfs[term], index.doc_count)
+    cache = index.norm_inverse_cache()
+    max_tf = np.array([r["max_tf"] for r in meta], dtype=np.int64)
+    mnb = np.array([r["min_norm_byte"] for r in meta], dtype=np.int64)
+    bids = np.array([r["block_id"] for r in meta], dtype=np.int64)
+    counts = np.array([r["doc_count"] for r in meta], dtype=np.int64)
+    ub = BM25.score(max_tf, mnb, w, cache)
+    order = np.argsort(-ub, kind="stable")
+    cum = np.cumsum(counts[order])
+    n_pass1 = int(np.searchsorted(cum, k) + 1) if cum[-1] >= k else order.size
+    pass1_ids = set(bids[order[:n_pass1]].tolist())
+
+    blocks1 = index.postings.filter(
+        (F.col("term") == term) & F.col("block_id").isin(list(pass1_ids))
+    )
+    scored1, _ = scored_leaves(index, [term], blocks=blocks1)
+    top1 = (
+        scored1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    )
+    if len(top1) < k:
+        return None  # few hits; just scan everything
+    theta = float(np.float32(top1[-1]["score"]))
+    keep2 = bids[(ub >= np.float32(theta))]
+    keep2_ids = [int(x) for x in keep2 if int(x) not in pass1_ids]
+    out1 = index.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in top1], "doc_id long, score double"
+    )
+    if not keep2_ids:
+        return out1
+    blocks2 = index.postings.filter(
+        (F.col("term") == term) & F.col("block_id").isin(keep2_ids)
+    )
+    scored2, _ = scored_leaves(index, [term], blocks=blocks2)
+    return out1.unionByName(scored2.select("doc_id", "score"))
+
+
+def search(
+    index: IndexView,
+    query,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    prune: bool = True,
+    lead_term_max_blocks: int = 4096,
+) -> DataFrame:
+    """Top-k BM25 search → DataFrame[doc_id:long, score:float] ordered by
+    (score desc, doc_id asc) — Lucene TopScoreDocCollector semantics."""
+    q = rewrite(query)
+    terms = query_terms(q)
+
+    def finish(plan: DataFrame) -> DataFrame:
+        return (
+            plan.withColumn("score", F.col("score").cast("float"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    if prune and isinstance(q, Term):
+        pruned = _single_term_pruned(index, q.term, k)
+        if pruned is not None:
+            return finish(pruned)
+
+    blocks = None
+    if (
+        prune
+        and isinstance(q, And)
+        and all(isinstance(c, Term) for c in q.clauses)
+        and len(terms) > 1
+    ):
+        # cost-ordered conjunction: lead with the rarest term's block ranges
+        stats = _leaf_stats(index, terms)
+        if len(stats) < len(terms):
+            return finish(index.spark.createDataFrame([], "doc_id long, score double"))
+        lead = min(terms, key=lambda t: stats[t])
+        n_blocks = (stats[lead] + 127) // 128
+        if n_blocks <= lead_term_max_blocks:
+            ranges = np.array(
+                sorted(
+                    (int(r["first_doc"]), int(r["last_doc"]))
+                    for r in index.postings.filter(F.col("term") == lead)
+                    .select("first_doc", "last_doc")
+                    .collect()
+                ),
+                dtype=np.int64,
+            ).reshape(-1, 2)
+            others = index.postings.filter(
+                F.col("term").isin([t for t in terms if t != lead])
+            )
+            lead_blocks = index.postings.filter(F.col("term") == lead)
+            blocks = lead_blocks.unionByName(_range_filter_blocks(others, ranges))
+
+    scored, _ = scored_leaves(index, terms, boosts, blocks=blocks)
+    scored = scored.persist()
+    leaf = {t: scored.filter(F.col("term") == t) for t in terms}
+    plan = _plan_bool(q, leaf)
+    return finish(plan)
+
+
+def count_hits(index: IndexView, query) -> int:
+    """TotalHitCountCollector analog.  Single terms count block metadata
+    only (no decode); boolean queries count the composed plan."""
+    q = rewrite(query)
+    if isinstance(q, Term):
+        row = (
+            index.postings.filter(F.col("term") == q.term)
+            .agg(F.coalesce(F.sum("doc_count"), F.lit(0)).alias("n"))
+            .collect()[0]
+        )
+        return int(row["n"])
+    scored, _ = scored_leaves(index, query_terms(q))
+    leaf = {t: scored.filter(F.col("term") == t) for t in query_terms(q)}
+    return _plan_bool(q, leaf).count()

@@ -1,0 +1,125 @@
+"""Query AST + rewrite — the analog of Lucene's Query tree.
+
+Reference semantics: ``[8x] lucene/core/src/java/org/apache/lucene/search/
+TermQuery.java`` / ``BooleanQuery.java`` (SURVEY.md §2.4, §3.1).  v0 scope
+per the north rule: Term, Boolean AND (MUST), Boolean OR (SHOULD); nesting
+allowed ( ``(a AND b) OR c`` ).  Scoring composition matches Lucene:
+a clause's score is the float64 sum of its matching children's float32
+scores, cast to float32 at the top (DisjunctionSumScorer semantics).
+
+``rewrite`` mirrors BooleanQuery#rewrite's cheap simplifications:
+single-clause unwrap, duplicate-clause dedup, nested same-type flatten.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+__all__ = ["Term", "And", "Or", "rewrite", "parse_query", "query_terms"]
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class And:
+    clauses: tuple
+    def __init__(self, *clauses):
+        if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
+            clauses = tuple(clauses[0])
+        object.__setattr__(self, "clauses", tuple(clauses))
+
+
+@dataclass(frozen=True)
+class Or:
+    clauses: tuple
+    def __init__(self, *clauses):
+        if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
+            clauses = tuple(clauses[0])
+        object.__setattr__(self, "clauses", tuple(clauses))
+
+
+def rewrite(q):
+    """Fixpoint simplification: flatten same-type nesting, dedup, unwrap."""
+    if isinstance(q, Term):
+        return q
+    kind = type(q)
+    flat: list = []
+    seen = set()
+    for c in q.clauses:
+        c = rewrite(c)
+        children = c.clauses if isinstance(c, kind) else (c,)
+        for ch in children:
+            if ch not in seen:
+                seen.add(ch)
+                flat.append(ch)
+    if len(flat) == 1:
+        return flat[0]
+    return kind(*flat)
+
+
+def query_terms(q) -> list[str]:
+    """Distinct terms referenced by the query, in first-seen order."""
+    out: list[str] = []
+    def walk(n):
+        if isinstance(n, Term):
+            if n.term not in out:
+                out.append(n.term)
+        else:
+            for c in n.clauses:
+                walk(c)
+    walk(q)
+    return out
+
+
+def parse_query(s: str):
+    """Tiny query parser: terms, AND, OR, parentheses.  Bare whitespace
+    between terms means OR (Lucene default SHOULD semantics).
+    Grammar: or_expr := and_expr (('OR'|ε) and_expr)* ; and_expr := atom ('AND' atom)*.
+    """
+    toks = s.replace("(", " ( ").replace(")", " ) ").split()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of query: {s!r}")
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def atom():
+        t = take()
+        if t == "(":
+            e = or_expr()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parenthesis in query: {s!r}")
+            take()
+            return e
+        if t == ")" or t in ("AND", "OR"):
+            raise ValueError(f"unexpected {t!r} in query: {s!r}")
+        return Term(t.lower())
+
+    def and_expr():
+        left = [atom()]
+        while peek() == "AND":
+            take()
+            left.append(atom())
+        return left[0] if len(left) == 1 else And(*left)
+
+    def or_expr():
+        left = [and_expr()]
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                take()
+            left.append(and_expr())
+        return left[0] if len(left) == 1 else Or(*left)
+
+    q = or_expr()
+    return rewrite(q)

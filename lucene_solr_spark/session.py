@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local sandbox runs on local[$SPARK_GRAFT_CPUS]; the same config block is
+what we'd pass to spark-submit on a real cluster (AQE incl. skew-join
+splitting, sensible shuffle parallelism, Arrow enabled for pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "default_parallelism"]
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "lucene_solr_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Make this package importable on executor python workers regardless of
+    # the caller's cwd.  local-mode workers inherit the driver env; on a real
+    # cluster ship the package with `spark-submit --py-files lucene_solr_spark.zip`.
+    pkg_root = str(Path(__file__).resolve().parents[1])
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{pkg_root}:{pp}" if pp else pkg_root
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,93 @@
+"""Exact port of Lucene 8's SmallFloat int4/byte4 norm quantization.
+
+Reference semantics: Lucene 8.x ``lucene/core/src/java/org/apache/lucene/
+util/SmallFloat.java`` (upstream branch_8x of lucidworks/lucene-solr; the
+local checkout at /root/reference is the post-split stub — see SURVEY.md §0).
+
+Lucene stores the per-document field length (number of tokens) as ONE byte
+per doc ("norm").  The encoding keeps values 0..15 exact and above that uses
+a 4-bit-mantissa floating representation.  BM25 decodes the byte back and
+scores against the *quantized* length — so an exact port is a hard
+correctness requirement for score-identity (SURVEY.md §7.4).
+
+All functions are numpy-vectorized; scalars go through 0-d arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "long_to_int4",
+    "int4_to_long",
+    "int_to_byte4",
+    "byte4_to_int",
+    "NUM_FREE_VALUES",
+    "LENGTH_TABLE",
+    "BYTE4_ENCODE_EXACT_MAX",
+]
+
+
+def long_to_int4(i):
+    """Java ``SmallFloat.longToInt4``: encode a non-negative long into 8 bits
+    with a 4-bit mantissa (monotone, exact for values < 8)."""
+    i = np.asarray(i, dtype=np.int64)
+    if np.any(i < 0):
+        raise ValueError("Only supports positive values")
+    # numBits = 64 - numberOfLeadingZeros(i); for i == 0 numBits == 0.
+    num_bits = np.zeros_like(i)
+    nz = i > 0
+    # int64 values here are < 2**62; use floor(log2) via bit_length-style trick.
+    num_bits[nz] = np.floor(np.log2(i[nz].astype(np.float64))).astype(np.int64) + 1
+    # guard against float log2 off-by-one at power boundaries
+    too_high = nz & (i < (np.int64(1) << np.maximum(num_bits - 1, 0)))
+    num_bits[too_high] -= 1
+    too_low = nz & (num_bits < 63) & (i >= (np.int64(1) << num_bits))
+    num_bits[too_low] += 1
+
+    small = num_bits < 4
+    shift = np.where(small, 0, num_bits - 4)
+    # normal values: keep 4-bit mantissa, clear the implicit top bit (&= 0x07),
+    # store shift+1 in the upper bits (0 reserved for subnormal)
+    encoded = np.where(
+        small, i, ((i >> shift) & 0x07) | ((shift + 1) << 3)
+    )
+    return encoded.astype(np.int64)
+
+
+def int4_to_long(i):
+    """Java ``SmallFloat.int4ToLong`` — inverse (lossy) of :func:`long_to_int4`."""
+    i = np.asarray(i, dtype=np.int64)
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    decoded = np.where(shift == -1, bits, (bits | 0x08) << np.maximum(shift, 0))
+    return decoded.astype(np.int64)
+
+
+# MAX_INT4 = longToInt4(Integer.MAX_VALUE) = 231; NUM_FREE_VALUES = 255 - 231 = 24
+_MAX_INT4 = int(long_to_int4(np.int64(2**31 - 1)))
+NUM_FREE_VALUES = 255 - _MAX_INT4
+assert NUM_FREE_VALUES == 24, NUM_FREE_VALUES
+
+#: largest length encoded exactly by int_to_byte4 (0..23 free, then 4-bit mantissa)
+BYTE4_ENCODE_EXACT_MAX = NUM_FREE_VALUES + 7
+
+
+def int_to_byte4(i):
+    """Java ``SmallFloat.intToByte4``: int field length → unsigned byte 0..255."""
+    i = np.asarray(i, dtype=np.int64)
+    if np.any(i < 0):
+        raise ValueError("Only supports positive values")
+    out = np.where(i < NUM_FREE_VALUES, i, NUM_FREE_VALUES + long_to_int4(np.maximum(i - NUM_FREE_VALUES, 0)))
+    return out.astype(np.int64)
+
+
+def byte4_to_int(b):
+    """Java ``SmallFloat.byte4ToInt``: unsigned byte 0..255 → quantized length."""
+    b = np.asarray(b, dtype=np.int64) & 0xFF
+    out = np.where(b < NUM_FREE_VALUES, b, NUM_FREE_VALUES + int4_to_long(b - NUM_FREE_VALUES))
+    return out.astype(np.int64)
+
+
+#: Lucene BM25Similarity's static LENGTH_TABLE: decoded quantized length per byte.
+LENGTH_TABLE = byte4_to_int(np.arange(256, dtype=np.int64)).astype(np.float32)

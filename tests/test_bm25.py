@@ -1,0 +1,115 @@
+"""Ported TestBM25Similarity cases (upstream [8x] lucene/core/src/test/org/
+apache/lucene/search/similarities/TestBM25Similarity.java + the
+BaseSimilarityTestCase monotonicity properties — SURVEY.md §5.1/§5.2)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.bm25 import BM25
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search.query import Term
+from lucene_solr_spark.smallfloat import int_to_byte4
+
+
+# --- parameter validation (TestBM25Similarity#testIllegalK1 / #testIllegalB)
+
+@pytest.mark.parametrize("k1", [float("inf"), -1.0, float("nan")])
+def test_illegal_k1(k1):
+    with pytest.raises(ValueError):
+        BM25(k1=k1)
+
+
+@pytest.mark.parametrize("b", [2.0, -0.5, float("nan")])
+def test_illegal_b(b):
+    with pytest.raises(ValueError):
+        BM25(b=b)
+
+
+def test_legal_edge_params():
+    BM25(k1=0.0, b=0.0)
+    BM25(k1=5.0, b=1.0)
+
+
+# --- closed-form score goldens on a hand-built micro-corpus ---------------
+
+def test_idf_formula():
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    assert BM25.idf(1, 1) == np.float32(math.log(1 + 0.5 / 1.5))
+    assert BM25.idf(5, 100) == np.float32(math.log(1 + 95.5 / 5.5))
+    # df == N gives small positive idf (never negative, unlike classic BM25)
+    assert 0 < BM25.idf(100, 100) < 0.01
+
+
+def test_score_closed_form_micro_corpus():
+    # 3 docs; corpus stats by hand. Tokenizer: [a-z0-9_]+ on lowercase.
+    docs = [(0, "cat dog cat"), (1, "dog mouse"), (2, "cat cat cat cat")]
+    idx = MiniLucene(docs)
+    N, sum_ttf = 3, 3 + 2 + 4
+    avgdl = np.float32(sum_ttf / N)
+    k1, b = np.float32(1.2), np.float32(0.75)
+
+    # term 'cat': df=2, doc0 tf=2 dl=3, doc2 tf=4 dl=4 (dl<16 -> quantization exact)
+    idf = np.float32(math.log(1 + (N - 2 + 0.5) / (2 + 0.5)))
+    def expected(tf, dl):
+        inv = np.float32(1) / (k1 * ((np.float32(1) - b) + (b * np.float32(dl)) / avgdl))
+        return np.float32(idf - idf / (np.float32(1) + np.float32(tf) * inv))
+
+    hits = idx.search(Term("cat"), k=10)
+    assert [d for d, _ in hits] == [2, 0]
+    assert hits[0][1] == expected(4, 4)
+    assert hits[1][1] == expected(2, 3)
+
+
+def test_norm_quantization_affects_scores():
+    # two docs, same tf, lengths 100 vs 101 — both quantize to byte4(100)==byte4(101)?
+    l100, l101 = int(int_to_byte4(np.int64(100))), int(int_to_byte4(np.int64(101)))
+    docs = [
+        (0, "needle " + " ".join(f"w{i}" for i in range(99))),
+        (1, "needle " + " ".join(f"w{i}" for i in range(100))),
+    ]
+    idx = MiniLucene(docs)
+    hits = dict(idx.search(Term("needle"), k=10))
+    if l100 == l101:
+        assert hits[0] == hits[1]  # quantized equal -> identical scores
+    else:
+        assert hits[0] != hits[1]
+
+
+# --- monotonicity properties (BaseSimilarityTestCase) ----------------------
+
+def test_monotonicity_tf_and_dl():
+    bm = BM25()
+    cache = bm.norm_inverse_cache(np.float32(50.0))
+    w = np.float32(2.0)
+    tfs = np.arange(1, 100, dtype=np.int64)
+    nb = np.full(tfs.size, int(int_to_byte4(np.int64(50))), dtype=np.int64)
+    s = BM25.score(tfs, nb, w, cache)
+    assert np.all(np.diff(s) >= 0)            # score non-decreasing in tf
+    assert np.all(s >= 0) and np.all(np.isfinite(s))
+    assert np.all(s <= w)                      # bounded by weight (saturation)
+
+    dls = np.arange(1, 5000, 7, dtype=np.int64)
+    nbs = int_to_byte4(dls)
+    s2 = BM25.score(np.full(dls.size, 3, dtype=np.int64), nbs, w, cache)
+    assert np.all(np.diff(s2) <= 0)            # score non-increasing in dl
+
+
+def test_float32_everywhere():
+    bm = BM25()
+    assert bm.idf(3, 10).dtype == np.float32
+    assert bm.avgdl(100, 7).dtype == np.float32
+    assert bm.norm_inverse_cache(np.float32(10)).dtype == np.float32
+    s = BM25.score(np.array([1]), np.array([10]), np.float32(1.5),
+                   bm.norm_inverse_cache(np.float32(10)))
+    assert s.dtype == np.float32
+
+
+def test_k1_zero_degenerates_to_idf():
+    # k1=0 -> score == weight regardless of tf/dl
+    bm = BM25(k1=0.0, b=0.5)
+    with np.errstate(divide="ignore"):
+        cache = bm.norm_inverse_cache(np.float32(10))
+    s = BM25.score(np.array([1, 5, 50]), np.array([5, 20, 100]), np.float32(2.0), cache)
+    assert np.allclose(s, 2.0)

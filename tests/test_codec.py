@@ -1,0 +1,84 @@
+"""VByte/delta codec round-trip + block metadata invariants (FIXTURES.md §4)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.codec import (
+    BLOCK_SIZE,
+    decode_doc_ids,
+    decode_norm_bytes,
+    decode_positions,
+    decode_tfs,
+    delta_decode,
+    delta_encode,
+    encode_posting_blocks,
+    grouped_cumsum,
+    vbyte_decode,
+    vbyte_encode,
+)
+from lucene_solr_spark.smallfloat import int_to_byte4
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 42, 1337])
+def test_vbyte_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 2**40, size=5000, dtype=np.int64)
+    v[rng.integers(0, 5000, 100)] = 0
+    v[rng.integers(0, 5000, 50)] = 2**28 + 7  # gaps >= 2**28 per FIXTURES.md
+    assert np.array_equal(vbyte_decode(vbyte_encode(v)), v)
+
+
+def test_vbyte_known_bytes():
+    # Lucene vInt examples: 127 -> 0x7F ; 128 -> 0x80 0x01 ; 16384 -> 0x80 0x80 0x01
+    assert vbyte_encode(np.array([127])) == b"\x7f"
+    assert vbyte_encode(np.array([128])) == b"\x80\x01"
+    assert vbyte_encode(np.array([16384])) == b"\x80\x80\x01"
+    assert vbyte_encode(np.array([0])) == b"\x00"
+
+
+def test_delta_roundtrip():
+    v = np.sort(np.random.default_rng(3).choice(10**9, 1000, replace=False))
+    assert np.array_equal(delta_decode(delta_encode(v)), v)
+
+
+def test_grouped_cumsum():
+    vals = np.array([5, 1, 2, 7, 3])
+    sizes = np.array([3, 2])
+    assert grouped_cumsum(vals, sizes).tolist() == [5, 6, 8, 7, 10]
+
+
+@pytest.mark.parametrize("n_docs", [1, 127, 128, 129, 1000])
+def test_posting_blocks_roundtrip(n_docs):
+    rng = np.random.default_rng(n_docs)
+    doc_ids = np.sort(rng.choice(10**7, n_docs, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 20, n_docs, dtype=np.int64)
+    dls = rng.integers(1, 3000, n_docs, dtype=np.int64)
+    nbs = int_to_byte4(dls)
+    # positions: ascending within each doc
+    positions = np.concatenate(
+        [np.sort(rng.choice(5000, int(t), replace=False)) for t in tfs]
+    ).astype(np.int64)
+    rows = encode_posting_blocks(doc_ids, tfs, nbs, positions)
+    assert len(rows) == (n_docs + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+    got_docs, got_tfs, got_nbs, got_pos = [], [], [], []
+    for r in rows:
+        d = decode_doc_ids(r["doc_ids_vb"])
+        t = decode_tfs(r["tfs_vb"])
+        nb = decode_norm_bytes(r["norms_b"])
+        p = decode_positions(r["positions_vb"], t)
+        assert r["doc_count"] == d.size
+        assert r["first_doc"] == d[0] and r["last_doc"] == d[-1]
+        assert r["max_tf"] == t.max()
+        assert r["min_norm_byte"] == nb.min()
+        assert r["sum_tf"] == t.sum()
+        got_docs.append(d); got_tfs.append(t); got_nbs.append(nb); got_pos.append(p)
+    assert np.array_equal(np.concatenate(got_docs), doc_ids)
+    assert np.array_equal(np.concatenate(got_tfs), tfs)
+    assert np.array_equal(np.concatenate(got_nbs), nbs)
+    assert np.array_equal(np.concatenate(got_pos), positions)
+
+
+def test_empty():
+    assert vbyte_encode(np.array([], dtype=np.int64)) == b""
+    assert vbyte_decode(b"").size == 0

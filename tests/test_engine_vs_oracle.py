@@ -1,0 +1,119 @@
+"""M1/M5: Spark engine == mini-Lucene oracle, exactly (float32, rank + score).
+
+The reference query set (FIXTURES.md §2): hot/rare terms, AND, OR, nested.
+Engine output must match the oracle's top-10 docIDs AND float32 scores.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import And, Or, Term, count_hits, search
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=42)
+    pdf = pdf.reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def _rare_terms(oracle, k=3):
+    td = sorted(oracle.term_dict().items(), key=lambda kv: (kv[1][0], kv[0]))
+    return [t for t, (df, _) in td if df >= 1][:k]
+
+
+QUERIES = []
+QUERIES += [Term(KEYWORDS[i]) for i in (0, 1, 2, 5, 10)]          # hot terms
+QUERIES += [
+    And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+    And(Term(KEYWORDS[1]), Term(KEYWORDS[7]), Term(KEYWORDS[2])),
+    And(Term(KEYWORDS[0]), Term("nonexistent_term_xyz")),          # empty result
+    Or(Term(KEYWORDS[4]), Term(KEYWORDS[9])),
+    Or(Term(KEYWORDS[2]), Term("nonexistent_term_xyz")),
+    Or(And(Term(KEYWORDS[0]), Term(KEYWORDS[1])), Term(KEYWORDS[20])),
+    And(Or(Term(KEYWORDS[5]), Term(KEYWORDS[6])), Term(KEYWORDS[0])),
+]
+
+
+def _run(engine, q, k=10):
+    rows = search(engine, q, k=k).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_rank_and_score_identity(engine, oracle, qi):
+    q = QUERIES[qi]
+    got = _run(engine, q)
+    want = oracle.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (q, got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == ws, (q, gd, gs, ws)
+
+
+def test_rare_term_identity(engine, oracle):
+    for t in _rare_terms(oracle):
+        got = _run(engine, Term(t))
+        want = oracle.search(Term(t), k=10)
+        assert got == want
+
+
+def test_term_stats_identity(engine, oracle):
+    rows = engine.term_dict.collect()
+    got = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+    assert got == oracle.term_dict()
+    assert engine.doc_count == oracle.doc_count
+    assert engine.sum_ttf == oracle.sum_ttf
+
+
+def test_norms_identity(engine, oracle):
+    rows = engine.norms.collect()
+    got = {int(r["doc_id"]): (int(r["length"]), int(r["norm_byte"])) for r in rows}
+    want = {d: (oracle.dl[d], oracle.norm_byte[d]) for d in oracle.dl}
+    assert got == want
+
+
+def test_count_hits(engine, oracle):
+    assert count_hits(engine, Term(KEYWORDS[0])) == oracle.count(Term(KEYWORDS[0]))
+    q = And(Term(KEYWORDS[0]), Term(KEYWORDS[1]))
+    assert count_hits(engine, q) == oracle.count(q)
+
+
+def test_postings_sorted_and_consistent(engine):
+    # CheckIndex-style structural invariants on the block table
+    pdf = engine.postings.select(
+        "term", "block_id", "first_doc", "last_doc", "doc_count"
+    ).toPandas()
+    for term, g in pdf.groupby("term"):
+        g = g.sort_values("first_doc")
+        assert (g["first_doc"] <= g["last_doc"]).all()
+        # blocks of a term are disjoint ascending ranges
+        assert (g["last_doc"].to_numpy()[:-1] < g["first_doc"].to_numpy()[1:]).all()
+
+
+def test_pruned_equals_unpruned(engine):
+    q = Term(KEYWORDS[0])
+    a = search(engine, q, k=10, prune=True).collect()
+    b = search(engine, q, k=10, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]

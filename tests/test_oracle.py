@@ -1,0 +1,109 @@
+"""Oracle invariants + ported TermQuery/BooleanQuery semantics
+(upstream [8x] TestTermQuery.java / TestBooleanQuery.java — SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search.query import And, Or, Term, parse_query, rewrite
+
+
+DOCS = [
+    (0, "the quick brown fox"),
+    (1, "the lazy dog"),
+    (2, "quick quick dog"),
+    (3, "brown dog and brown fox"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return MiniLucene(DOCS)
+
+
+def test_stats(idx):
+    assert idx.doc_count == 5
+    assert idx.df("quick") == 2 and idx.cf("quick") == 3
+    assert idx.df("dog") == 3 and idx.cf("dog") == 3
+    assert idx.df("missing") == 0
+    assert idx.sum_ttf == 4 + 3 + 3 + 5 + 0
+
+
+def test_term_query_membership(idx):
+    assert {d for d, _ in idx.search(Term("dog"), 10)} == {1, 2, 3}
+    assert idx.search(Term("missing"), 10) == []
+    assert idx.count(Term("brown")) == 2
+
+
+def test_and_semantics(idx):
+    assert {d for d, _ in idx.search(And(Term("quick"), Term("dog")), 10)} == {2}
+    assert idx.search(And(Term("quick"), Term("missing")), 10) == []
+    # AND score = sum of clause scores
+    hits = dict(idx.search(And(Term("brown"), Term("fox")), 10))
+    s_b = dict(idx.search(Term("brown"), 10))
+    s_f = dict(idx.search(Term("fox"), 10))
+    for d in hits:
+        assert hits[d] == np.float32(np.float64(s_b[d]) + np.float64(s_f[d]))
+
+
+def test_or_semantics(idx):
+    hits = dict(idx.search(Or(Term("quick"), Term("fox")), 10))
+    assert set(hits) == {0, 2, 3}
+    s_q = dict(idx.search(Term("quick"), 10))
+    s_f = dict(idx.search(Term("fox"), 10))
+    for d in hits:
+        expect = np.float32(np.float64(s_q.get(d, 0)) + np.float64(s_f.get(d, 0)))
+        assert hits[d] == expect
+
+
+def test_nested_and_or(idx):
+    q = Or(And(Term("quick"), Term("dog")), Term("lazy"))
+    hits = dict(idx.search(q, 10))
+    assert set(hits) == {1, 2}
+
+
+def test_tiebreak_docid_asc():
+    # identical docs -> identical scores -> doc_id ascending
+    idx2 = MiniLucene([(5, "same text"), (1, "same text"), (3, "same text")])
+    hits = idx2.search(Term("same"), 3)
+    assert [d for d, _ in hits] == [1, 3, 5]
+    assert len({s for _, s in hits}) == 1
+
+
+def test_rewrite_and_parse():
+    assert rewrite(Or(Or(Term("a"), Term("b")), Term("a"))) == Or(Term("a"), Term("b"))
+    assert rewrite(And(Term("a"))) == Term("a")
+    assert parse_query("a AND b") == And(Term("a"), Term("b"))
+    assert parse_query("a b") == Or(Term("a"), Term("b"))
+    assert parse_query("(a AND b) OR c") == Or(And(Term("a"), Term("b")), Term("c"))
+
+
+def test_corpus_generator_deterministic():
+    a = gen_corpus_pdf(20, seed=42)
+    b = gen_corpus_pdf(10, seed=42, start=10)
+    assert a.iloc[10:].reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert a["repo"].iloc[0] == "org0/repo0"
+    assert set(a["lang"]).issubset({"python", "java", "scala", "c", "markdown"})
+
+
+@pytest.mark.parametrize("seed,n", [(0, 50), (7, 50), (42, 120)])
+def test_oracle_invariants_random_corpus(seed, n):
+    pdf = gen_corpus_pdf(n, seed=seed)
+    docs = list(zip(range(n), pdf["content"]))
+    idx = MiniLucene(docs)
+    # df == |postings|; sum tf == cf; sum_t tf(t,d) == dl(d)
+    per_doc = {}
+    for t, pl in idx.postings.items():
+        assert len(pl) == idx.df(t)
+        assert sum(pl.values()) == idx.cf(t)
+        for d, tf in pl.items():
+            per_doc[d] = per_doc.get(d, 0) + tf
+    for d, dl in idx.dl.items():
+        assert per_doc.get(d, 0) == dl
+    # postings doc ids are unique by construction (dict); positions ascending
+    for t, pmap in idx.positions.items():
+        for d, pos in pmap.items():
+            assert pos == sorted(pos)
+            assert len(pos) == idx.postings[t][d]

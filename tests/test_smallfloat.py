@@ -1,0 +1,98 @@
+"""Ported SmallFloat semantics (Lucene 8 TestSmallFloat-style invariants).
+
+The bit-exact scalar reference below is transcribed from the published
+Java algorithm (``[8x] lucene/core/src/java/org/apache/lucene/util/
+SmallFloat.java`` — longToInt4/int4ToLong/intToByte4/byte4ToInt); the
+numpy port in lucene_solr_spark.smallfloat must match it on every value.
+"""
+
+import numpy as np
+
+from lucene_solr_spark.smallfloat import (
+    BYTE4_ENCODE_EXACT_MAX,
+    LENGTH_TABLE,
+    NUM_FREE_VALUES,
+    byte4_to_int,
+    int4_to_long,
+    int_to_byte4,
+    long_to_int4,
+)
+
+
+# --- independent scalar reference (straight from the Java source) ----------
+
+def long_to_int4_ref(i: int) -> int:
+    num_bits = i.bit_length()
+    if num_bits < 4:
+        return i
+    shift = num_bits - 4
+    encoded = (i >> shift) & 0x07          # clear implicit top bit
+    encoded |= (shift + 1) << 3
+    return encoded
+
+
+def int4_to_long_ref(i: int) -> int:
+    bits = i & 0x07
+    shift = (i >> 3) - 1
+    return bits if shift == -1 else (bits | 0x08) << shift
+
+
+_MAX_INT4_REF = long_to_int4_ref(2**31 - 1)            # == 231
+_NUM_FREE_REF = 255 - _MAX_INT4_REF                     # == 24
+
+
+def int_to_byte4_ref(i: int) -> int:
+    return i if i < _NUM_FREE_REF else _NUM_FREE_REF + long_to_int4_ref(i - _NUM_FREE_REF)
+
+
+def byte4_to_int_ref(b: int) -> int:
+    return b if b < _NUM_FREE_REF else _NUM_FREE_REF + int4_to_long_ref(b - _NUM_FREE_REF)
+
+
+# --- tests ------------------------------------------------------------------
+
+def test_constants():
+    assert _NUM_FREE_REF == 24
+    assert NUM_FREE_VALUES == 24
+    assert BYTE4_ENCODE_EXACT_MAX == 31
+
+
+def test_int4_exact_range():
+    v = np.arange(0, 8)
+    assert np.array_equal(int4_to_long(long_to_int4(v)), v)
+
+
+def test_byte4_exact_range():
+    v = np.arange(0, 32)  # 0..23 free + 24..31 subnormal-mantissa exact
+    assert np.array_equal(byte4_to_int(int_to_byte4(v)), v)
+
+
+def test_bit_exact_against_java_algorithm():
+    vals = list(range(0, 100000)) + [2**20, 2**27 + 12345, 2**30, 2**31 - 1]
+    arr = np.array(vals, dtype=np.int64)
+    got_enc = int_to_byte4(arr)
+    for v, g in zip(vals, got_enc):
+        assert int(g) == int_to_byte4_ref(v), v
+    got_dec = byte4_to_int(np.arange(256))
+    for b in range(256):
+        assert int(got_dec[b]) == byte4_to_int_ref(b), b
+    got_i4 = long_to_int4(arr)
+    for v, g in zip(vals, got_i4):
+        assert int(g) == long_to_int4_ref(v), v
+
+
+def test_monotone_and_roundtrip_bounds():
+    v = np.arange(0, 200000)
+    b = int_to_byte4(v)
+    assert np.all(np.diff(b) >= 0)          # encode monotone
+    assert b.max() <= 255 and b.min() == 0
+    rt = byte4_to_int(b)
+    assert np.all(rt <= v)                   # byte4 truncates mantissa (floor)
+    assert np.all(byte4_to_int(int_to_byte4(rt)) == rt)  # idempotent
+
+
+def test_length_table():
+    assert LENGTH_TABLE.dtype == np.float32
+    assert LENGTH_TABLE[0] == 0.0
+    assert LENGTH_TABLE[255] == np.float32(byte4_to_int(np.int64(255)))
+    assert np.all(np.diff(LENGTH_TABLE) >= 0)
