@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract): index build + query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Headline pipeline mirrors the north star (BASELINE.json): build the
+inverted index over the `documents` table AND over a deterministic
+synthetic source-code corpus (the contract (repo,path,commit,lang,content)
+shape), then answer BM25 term/AND/OR top-k queries plus the relational
+facet/rollup surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index.builder import assign_doc_ids
+from lucene_solr_spark.index.core import build_index_view
+from lucene_solr_spark.search.executor import search
+from lucene_solr_spark.search.query import parse_query
+from lucene_solr_spark.session import get_spark
+
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "20000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- index build over the driver `documents` table -------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    index = timed(
+        "build_documents_index",
+        lambda: build_index_view(docs, id_col="doc_id", text_col="text"),
+    )
+    timed("materialize_postings", lambda: index.postings.count())
+    extra["documents_docs_per_sec"] = round(
+        n_docs / (timings["build_documents_index"] + timings["materialize_postings"]), 1
+    )
+
+    # ---- BM25 queries (engine float32 path, pruning on) ------------------
+    for qname, qstr in [
+        ("q_term", "spark"),
+        ("q_and", "hash AND merge AND batch"),
+        ("q_or", "join OR window OR data"),
+        ("q_nested", "(spark AND join) OR (hash AND merge)"),
+    ]:
+        timed(qname, lambda s=qstr: search(index, parse_query(s), k=10).collect())
+
+    # ---- contract-shape synthetic source-code corpus build ---------------
+    corpus = gen_corpus_df(spark, CORPUS_DOCS).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    corpus = assign_doc_ids(corpus)
+    cindex = timed(
+        "build_code_index",
+        lambda: build_index_view(corpus, id_col="doc_id", text_col="content"),
+    )
+    timed("materialize_code_postings", lambda: cindex.postings.count())
+    build_sec = timings["build_code_index"] + timings["materialize_code_postings"]
+    extra["code_docs_per_sec"] = round(CORPUS_DOCS / build_sec, 1)
+    extra["code_corpus_docs"] = CORPUS_DOCS
+
+    timed("q_code_term", lambda: search(cindex, parse_query("def"), k=10).collect())
+    timed(
+        "q_code_bool",
+        lambda: search(cindex, parse_query("class AND import OR return"), k=10).collect(),
+    )
+
+    # ---- relational surface over TPC-H-ish tables ------------------------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    timed(
+        "q_rollup",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("s"))
+        .collect(),
+    )
+    timed(
+        "q_facet_join",
+        lambda: orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,52 @@ from ..codec import decode_doc_ids, decode_norm_bytes, decode_tfs
 from ..index.core import IndexView
 from .query import And, Or, Term, query_terms, rewrite
 
-__all__ = ["search", "count_hits", "scored_leaves"]
+__all__ = ["search", "count_hits", "scored_leaves", "postings_table"]
+
+_POSTINGS_TABLE_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", LongType()),
+        StructField("norm_byte", LongType()),
+    ]
+)
+
+
+def postings_table(index: IndexView, terms: list[str] | None = None) -> DataFrame:
+    """Decode posting blocks to a row-per-posting DataFrame
+    [term, doc_id, tf, norm_byte] — the relational view of the index that
+    Solr's termfreq()/docfreq() function queries expose (SURVEY.md §2.8).
+    """
+    blocks = index.postings
+    if terms is not None:
+        blocks = blocks.filter(F.col("term").isin(terms))
+
+    def _decode(batches):
+        for pdf in batches:
+            t_arr = pdf["term"].to_numpy(dtype=object)
+            terms_o, docs_o, tfs_o, nbs_o = [], [], [], []
+            for i in range(pdf.shape[0]):
+                doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+                tfs = decode_tfs(pdf["tfs_vb"].iat[i])
+                nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
+                terms_o.append(np.full(doc_ids.size, t_arr[i], dtype=object))
+                docs_o.append(doc_ids)
+                tfs_o.append(tfs.astype(np.int64))
+                nbs_o.append(nbs.astype(np.int64))
+            if not docs_o:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_o),
+                    "doc_id": np.concatenate(docs_o),
+                    "tf": np.concatenate(tfs_o),
+                    "norm_byte": np.concatenate(nbs_o),
+                }
+            )
+
+    cols = ["term", "doc_ids_vb", "tfs_vb", "norms_b"]
+    return blocks.select(*cols).mapInPandas(_decode, _POSTINGS_TABLE_SCHEMA)
 
 _SCORED_SCHEMA = StructType(
     [

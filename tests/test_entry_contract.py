@@ -1,0 +1,82 @@
+"""Driver-contract regression: queries() vs oracle_sql() via DuckDB.
+
+A fast subset of what tools/verify_entry.py checks at sf0.01 — run here at
+sf0.001 so the pytest suite stays quick.  Exact-match discipline mirrors
+the driver: sorted columns, order-insensitive rows, exact values.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import sys
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fast subset: engine-core entries + one of each relational family
+SUBSET = [
+    "fts_term_dict",
+    "fts_doc_norms",
+    "fts_termfreq",
+    "fts_bool_and",
+    "fts_bm25_topk",
+    "fts_bm25_or_topk",
+    "facet_terms",
+    "stats_numeric",
+    "group_topk",
+    "timeseries",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == np.float32:
+            pdf[c] = pdf[c].astype(np.float64)
+        if str(pdf[c].dtype).startswith("datetime") or str(pdf[c].dtype) == "object":
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_queries_have_oracles():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    missing = [k for k in osql if k not in qs]
+    assert not missing, f"oracle entries without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_entry_matches_oracle(spark, duck, name):
+    fn = entrymod.queries()[name]
+    got = canon(fn(spark, SF_DIR).toPandas())
+    want = canon(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert np.array_equal(a, b), f"{name}: column {c} differs"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "score"]

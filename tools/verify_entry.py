@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
+given sf dir, compare row count, column names, and (order-insensitive)
+values.  Usage: python tools/verify_entry.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+from lucene_solr_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == np.float32:
+            pdf[c] = pdf[c].astype(np.float64)  # compare f32 bit patterns via f64 widening
+        if str(pdf[c].dtype).startswith("datetime") or str(pdf[c].dtype) == "object":
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify_entry")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: no oracle (rows={len(got)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            failures.append(name)
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            failures.append(name)
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            failures.append(name)
+            continue
+        bad = None
+        for c in g.columns:
+            a, b = g[c].to_numpy(), w[c].to_numpy()
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = (a == b) | (pd.isna(a) & pd.isna(b))
+            else:
+                eq = a == b
+            if not np.all(eq):
+                i = int(np.flatnonzero(~eq)[0])
+                bad = (c, i, a[i], b[i])
+                break
+        if bad:
+            c, i, av, bv = bad
+            print(f"FAIL {name}: col {c} row {i}: spark={av!r} duckdb={bv!r}")
+            failures.append(name)
+        else:
+            print(f"PASS {name}: rows={len(g)} cols={len(g.columns)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
