@@ -1,3 +1,5 @@
+from .builder import assign_doc_ids, build_index, open_index, read_manifest, write_manifest
+from .check import check_index
 from .core import (
     IndexView,
     build_index_view,
@@ -5,11 +7,20 @@ from .core import (
     encode_postings,
     invert_tokens,
 )
+from .merge import merge_postings, merge_segments
 
 __all__ = [
     "IndexView",
+    "assign_doc_ids",
+    "build_index",
     "build_index_view",
+    "check_index",
     "compute_norms",
     "encode_postings",
     "invert_tokens",
+    "merge_postings",
+    "merge_segments",
+    "open_index",
+    "read_manifest",
+    "write_manifest",
 ]

@@ -1,0 +1,131 @@
+"""CheckIndex analog: full structural validation of an index.
+
+Reference semantics: ``[8x] lucene/core/src/java/org/apache/lucene/index/
+CheckIndex.java`` — verify postings are sorted/deduped, per-block metadata
+is consistent with decoded content, and dictionary statistics agree with
+the postings (SURVEY.md §5.2.4).
+
+All block-level checks run distributed (Arrow-batched decode on executors,
+tiny violation counts collected); dictionary cross-checks are DataFrame
+joins.  Returns a dict of violation counts — all zeros for a healthy index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..codec import decode_doc_ids, decode_norm_bytes, decode_positions, decode_tfs
+from .core import IndexView
+
+__all__ = ["check_index"]
+
+_VIOLATION_SCHEMA = "kind string, n long"
+
+
+def _block_violations(batches):
+    counters: dict[str, int] = {}
+
+    def bump(kind, n=1):
+        if n:
+            counters[kind] = counters.get(kind, 0) + int(n)
+
+    for pdf in batches:
+        for i in range(pdf.shape[0]):
+            docs = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+            tfs = decode_tfs(pdf["tfs_vb"].iat[i])
+            nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
+            pos = decode_positions(pdf["positions_vb"].iat[i], tfs)
+            bump("doc_count_mismatch", docs.size != pdf["doc_count"].iat[i])
+            bump("docs_not_strictly_increasing", int(np.sum(np.diff(docs) <= 0)))
+            bump("first_doc_mismatch", docs.size and docs[0] != pdf["first_doc"].iat[i])
+            bump("last_doc_mismatch", docs.size and docs[-1] != pdf["last_doc"].iat[i])
+            bump("tf_nonpositive", int(np.sum(tfs <= 0)))
+            bump("max_tf_mismatch", tfs.size and int(tfs.max()) != pdf["max_tf"].iat[i])
+            bump("sum_tf_mismatch", tfs.size and int(tfs.sum()) != pdf["sum_tf"].iat[i])
+            bump(
+                "min_norm_mismatch",
+                nbs.size and int(nbs.min()) != pdf["min_norm_byte"].iat[i],
+            )
+            bump("norms_len_mismatch", nbs.size != docs.size)
+            bump("positions_len_mismatch", pos.size != int(tfs.sum()))
+            if pos.size:
+                # per-doc positions strictly increasing (grouped check)
+                ends = np.cumsum(tfs)
+                starts = ends - tfs
+                d = np.diff(pos)
+                boundary = np.zeros(pos.size - 1, dtype=bool) if pos.size > 1 else np.empty(0, bool)
+                if boundary.size:
+                    boundary[starts[1:] - 1] = True
+                    bump("positions_not_increasing", int(np.sum((d <= 0) & ~boundary)))
+    yield pd.DataFrame(
+        {"kind": list(counters.keys()), "n": list(counters.values())}
+        if counters
+        else {"kind": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+    )
+
+
+def check_index(index: IndexView) -> dict[str, int]:
+    """Validate block structure, cross-block ordering, and term-dict stats.
+
+    Returns violation counts; an empty dict means the index is sound.
+    """
+    out: dict[str, int] = {}
+
+    cols = [
+        "term", "block_id", "doc_count", "first_doc", "last_doc", "max_tf",
+        "min_norm_byte", "sum_tf", "doc_ids_vb", "tfs_vb", "norms_b", "positions_vb",
+    ]
+    v = (
+        index.postings.select(*cols)
+        .mapInPandas(_block_violations, _VIOLATION_SCHEMA)
+        .groupBy("kind")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    for r in v:
+        out[r["kind"]] = int(r["n"])
+
+    # cross-block ordering per term: ranges must not overlap
+    w = Window.partitionBy("term").orderBy("first_doc")
+    overlaps = (
+        index.postings.select("term", "first_doc", "last_doc")
+        .withColumn("prev_last", F.lag("last_doc").over(w))
+        .filter(F.col("prev_last").isNotNull() & (F.col("first_doc") <= F.col("prev_last")))
+        .count()
+    )
+    if overlaps:
+        out["block_ranges_overlap"] = int(overlaps)
+
+    # dictionary stats agree with postings
+    recomputed = index.postings.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df2"),
+        F.sum("sum_tf").cast("long").alias("cf2"),
+    )
+    bad_stats = (
+        index.term_dict.join(recomputed, "term", "full")
+        .filter(
+            F.col("df").isNull()
+            | F.col("df2").isNull()
+            | (F.col("df") != F.col("df2"))
+            | (F.col("cf") != F.col("cf2"))
+        )
+        .count()
+    )
+    if bad_stats:
+        out["term_dict_mismatch"] = int(bad_stats)
+
+    # corpus stats agree with norms
+    stats = index.norms.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf")
+    ).collect()[0]
+    if int(stats["n"]) != index.doc_count:
+        out["doc_count_mismatch_norms"] = abs(int(stats["n"]) - index.doc_count)
+    if int(stats["ttf"]) != index.sum_ttf:
+        out["sum_ttf_mismatch"] = abs(int(stats["ttf"]) - index.sum_ttf)
+
+    return {k: n for k, n in out.items() if n}

@@ -1,0 +1,155 @@
+"""Segment merge — the SegmentMerger / TieredMergePolicy analog.
+
+Reference semantics (SURVEY.md §2.3): Lucene merges segments by k-way
+sort-merge of their term dictionaries, concatenating each term's postings
+with per-segment docBase offsets and re-encoding
+(``[8x] lucene/core/src/java/org/apache/lucene/index/SegmentMerger.java``,
+``.../codecs/FieldsConsumer#merge``).
+
+Spark-first mapping: our segments already carry *global* doc_ids (segment =
+contiguous doc_id range, builder.py), so docBase remap is the identity and
+the merge is exactly:
+
+    union(segment blocks) → repartitionByRange(term) →
+    sortWithinPartitions(term, first_doc) →
+    per-term decode + concat + re-encode (Arrow-batched numpy) →
+    parquet sorted by term
+
+The range partitioning is the merge shuffle (one term's list lands in one
+task); ``sortWithinPartitions`` gives the k-way merge order for free via
+Spark's external sorter (spill-safe).  Skew note (SURVEY.md §7.4.4): a
+Zipf-head term's whole list is re-encoded by one task; lists are processed
+as bounded 128-doc blocks so memory stays flat, and at true cluster scale
+the builder's salted sub-lists can be left unmerged per (term, doc-range) —
+blocks are self-contained, so queries are correct either way.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import (
+    decode_doc_ids,
+    decode_norm_bytes,
+    decode_positions,
+    decode_tfs,
+    encode_posting_blocks,
+)
+from .builder import read_manifest, write_manifest
+from .core import POSTINGS_SCHEMA, _rows_to_pdf
+
+__all__ = ["merge_postings", "merge_segments"]
+
+
+def _remerge_term(term: str, sub: pd.DataFrame) -> list[dict]:
+    """Concatenate one term's decoded blocks (sorted by first_doc) and
+    re-encode into fresh 128-doc blocks."""
+    docs, tfs, nbs, poss = [], [], [], []
+    for i in range(sub.shape[0]):
+        t = decode_tfs(sub["tfs_vb"].iat[i])
+        docs.append(decode_doc_ids(sub["doc_ids_vb"].iat[i]))
+        tfs.append(t)
+        nbs.append(decode_norm_bytes(sub["norms_b"].iat[i]))
+        poss.append(decode_positions(sub["positions_vb"].iat[i], t))
+    rows = encode_posting_blocks(
+        np.concatenate(docs), np.concatenate(tfs), np.concatenate(nbs), np.concatenate(poss)
+    )
+    for r in rows:
+        r["term"] = term
+    return rows
+
+
+def merge_postings(blocks: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """union of segment posting blocks → merged posting blocks (one list
+    per term, blocks renumbered 0..n)."""
+    spark = blocks.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    stream = (
+        blocks.select(*cols)
+        .repartitionByRange(num_partitions, "term")
+        .sortWithinPartitions("term", "first_doc")
+    )
+
+    def _merge(batches):
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame, final: bool):
+            if pdf.empty:
+                return None, None
+            keys = pdf["term"].to_numpy(dtype=object)
+            if not final:
+                tail_mask = keys == keys[-1]
+                if tail_mask.all():
+                    return None, pdf
+                # sorted input ⇒ the last term's rows form the trailing run
+                cut = pdf.shape[0] - int(np.sum(tail_mask))
+                head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+            else:
+                head, tail = pdf, None
+            hk = head["term"].to_numpy(dtype=object)
+            change = np.empty(hk.size, dtype=bool)
+            change[0] = True
+            change[1:] = hk[1:] != hk[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], hk.size)
+            rows: list[dict] = []
+            for s, e in zip(starts, ends):
+                rows.extend(_remerge_term(hk[s], head.iloc[s:e]))
+            return (_rows_to_pdf(rows) if rows else None), tail
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            out, carry = flush(pdf, final=False)
+            if out is not None:
+                yield out
+        if carry is not None:
+            out, _ = flush(carry, final=True)
+            if out is not None:
+                yield out
+
+    return stream.mapInPandas(_merge, POSTINGS_SCHEMA)
+
+
+def merge_segments(
+    spark: SparkSession, index_path: str | Path, num_partitions: int | None = None
+) -> dict:
+    """Full merge pass over a committed index: write ``merged.parquet``
+    (term-sorted, one posting list per term) and record it in the manifest.
+    Idempotent: a committed merge is skipped on re-run (resume semantics)."""
+    index_path = Path(index_path)
+    manifest = read_manifest(index_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    if manifest.get("merged"):
+        return manifest
+    t0 = time.time()
+    blocks = spark.read.parquet(str(index_path / "segments"))
+    merged = merge_postings(blocks, num_partitions)
+    out = index_path / "merged.parquet"
+    merged.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
+        "overwrite"
+    ).parquet(str(out))
+    written = spark.read.parquet(str(out))
+    agg = written.agg(
+        F.count(F.lit(1)).alias("blocks"),
+        F.sum("doc_count").alias("postings"),
+    ).collect()[0]
+    manifest["merged"] = True
+    manifest["merge_metrics"] = {
+        "blocks": int(agg["blocks"]),
+        "postings": int(agg["postings"] or 0),
+        "source_segments": len(manifest["segments"]),
+        "merge_sec": round(time.time() - t0, 3),
+    }
+    write_manifest(index_path, manifest)
+    return manifest

@@ -1,0 +1,136 @@
+"""Persistent index lifecycle: build → check → merge → resume.
+
+Covers SURVEY.md §5.2 items 4 (CheckIndex analog) and 5 (resume test):
+segmented build with manifest commit, structural validation, full merge
+with identical query results, and checkpoint-resume that does not
+recompute completed segments.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index import (
+    build_index,
+    check_index,
+    merge_segments,
+    open_index,
+    read_manifest,
+    write_manifest,
+)
+from lucene_solr_spark.search import parse_query, search
+
+N_DOCS = 300
+SEG_DOCS = 100  # → 3 segments
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("persist") / "idx"
+    corpus = gen_corpus_df(spark, N_DOCS, seed=7)
+    manifest = build_index(spark, corpus, path, segment_docs=SEG_DOCS)
+    assert manifest["committed"]
+    return path
+
+
+def topk(spark, path, qs, k=10):
+    idx = open_index(spark, path)
+    return [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in search(idx, parse_query(qs), k=k).collect()
+    ]
+
+
+def test_manifest_shape(spark, index_path):
+    m = read_manifest(index_path)
+    assert len(m["segments"]) == 3
+    for s in m["segments"]:
+        assert s["status"] == "done"
+        assert s["lineage"]["doc_id_range"] == [s["doc_base"], s["max_doc"]]
+        assert s["metrics"]["blocks"] > 0
+    assert m["stats"]["doc_count"] == N_DOCS
+
+
+def test_check_index_clean(spark, index_path):
+    idx = open_index(spark, index_path, merged=False)
+    assert check_index(idx) == {}
+
+
+def test_check_index_detects_corruption(spark, index_path):
+    idx = open_index(spark, index_path, merged=False)
+    # corrupt in-memory: overstate doc_count metadata
+    import pyspark.sql.functions as F
+
+    bad = idx.postings.withColumn("doc_count", F.col("doc_count") + 1)
+    from dataclasses import replace
+
+    violations = check_index(replace(idx, postings=bad))
+    assert violations.get("doc_count_mismatch", 0) > 0
+
+
+def test_merge_preserves_results(spark, index_path):
+    before = {q: topk(spark, index_path, q) for q in ["def", "class AND import", "def OR return"]}
+    manifest = merge_segments(spark, index_path)
+    assert manifest["merged"]
+    assert manifest["merge_metrics"]["source_segments"] == 3
+    idx = open_index(spark, index_path)  # prefers merged.parquet now
+    assert check_index(idx) == {}
+    # merged: every term has exactly one block_id == 0 starting its list
+    import pyspark.sql.functions as F
+
+    per_term = idx.postings.groupBy("term").agg(
+        F.min("block_id").alias("mn"), F.countDistinct("block_id").alias("nb"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    assert per_term.filter((F.col("mn") != 0) | (F.col("nb") != F.col("cnt"))).count() == 0
+    for q, want in before.items():
+        assert topk(spark, index_path, q) == want, q
+    # idempotent re-merge
+    again = merge_segments(spark, index_path)
+    assert again["merged"]
+
+
+def test_resume_skips_completed_segments(spark, tmp_path):
+    path = tmp_path / "idx_resume"
+    corpus = gen_corpus_df(spark, N_DOCS, seed=7)
+    build_index(spark, corpus, path, segment_docs=SEG_DOCS)
+    full = topk(spark, path, "def OR class")
+
+    # simulate a crash after segment 1: drop segment 2 + uncommit
+    m = read_manifest(path)
+    m["segments"] = [s for s in m["segments"] if s["segment_id"] != 2]
+    m["committed"] = False
+    write_manifest(path, m)
+    shutil.rmtree(path / "segments" / "seg=2")
+    kept = {
+        p: p.stat().st_mtime_ns
+        for p in (path / "segments").rglob("*.parquet")
+    }
+
+    m2 = build_index(spark, corpus, path, segment_docs=SEG_DOCS)
+    assert m2["committed"] and len(m2["segments"]) == 3
+    # completed segments were not rewritten
+    for p, ts in kept.items():
+        assert p.stat().st_mtime_ns == ts, f"recomputed {p}"
+    assert topk(spark, path, "def OR class") == full
+
+    # committed index: re-run is a no-op returning the manifest
+    m3 = build_index(spark, corpus, path, segment_docs=SEG_DOCS)
+    assert m3 == m2
+
+
+def test_sha256_invariant(spark, index_path):
+    """Per-row invariant (BASELINE.json): stored content_sha256 equals
+    sha256 of content for every surviving row."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(str(Path(index_path) / "docs.parquet"))
+    bad = docs.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()
+    assert bad == 0
+    assert docs.count() == N_DOCS
