@@ -316,6 +316,99 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (lucene_solr_spark.pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir)).filter(F.col("sig").isNotNull())
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("perm", "sig")
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "sig")
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import simhash
+
+    return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), top_n=100)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import cosine_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path (sign-LSH buckets + exact rerank) — no SQL oracle;
+    recall vs brute force is pytest-verified (rows-only driver check)."""
+    from lucene_solr_spark.pipeline import hyperplane_lsh_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import text_quality
+
+    return text_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_solr_spark.pipeline import media_features, with_media_binary
+
+    media = with_media_binary(_docs(spark, sf_dir), text_col="text")
+    return media_features(media, fake=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -345,6 +438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_top1": q_collapse_top1,
         "set_intersect": q_set_intersect,
         "timeseries": q_timeseries,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh": q_ann_lsh,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "media_features": q_media_features,
     }
 
 
@@ -385,10 +490,182 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
     )
 
 
+def _pipeline_oracles() -> dict[str, str]:
+    """DuckDB mirrors of the lucene_solr_spark.pipeline hash math
+    (1-based list indexing; md5-derived int64 hashes identical to Spark's
+    conv(substr(md5(...)))) — see pipeline/hashing.py."""
+    from lucene_solr_spark.pipeline.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        P31,
+        SHINGLE_BASE,
+    )
+
+    B, P = SHINGLE_BASE, P31
+    hterm = f"(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {P})"
+    tok_cte = (
+        "tokd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk"
+        " FROM documents)"
+    )
+    th_cte = f"thd AS (SELECT doc_id, list_transform(tk, t -> {hterm}) AS th FROM tokd)"
+    sh_cte = (
+        "shd AS (SELECT doc_id, CASE WHEN len(th) >= 3 THEN "
+        f"list_transform(generate_series(1, len(th) - 2), i -> "
+        f"(((th[i] * {B} + th[i+1]) % {P}) * {B} + th[i+2]) % {P}) "
+        "ELSE [] END AS sh FROM thd)"
+    )
+    perms = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+    sig_cte = (
+        f"perms(i, a, b) AS (VALUES {perms}), "
+        "sig AS (SELECT doc_id, i AS perm, "
+        f"list_min(list_transform(sh, s -> (s * a + b) % {P})) AS sig "
+        "FROM shd, perms WHERE len(sh) > 0)"
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v)"
+    )
+    cos = (
+        f"({dot.format(a='e.embedding', b='q.qe')}) / "
+        f"(sqrt({dot.format(a='e.embedding', b='e.embedding')}) * "
+        f"sqrt({dot.format(a='q.qe', b='q.qe')}))"
+    )
+    return {
+        "dedup_exact": """
+SELECT doc_id, sha256(text) AS digest,
+       CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS group_size,
+       row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS is_canonical
+FROM documents ORDER BY doc_id""",
+        "minhash_sig": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte}
+SELECT doc_id, CAST(perm AS INT) AS perm, sig FROM sig""",
+        "lsh_pairs": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
+siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
+bandk AS (
+  SELECT doc_id, b, sigl[b*4+1 : b*4+4] AS key, sigl
+  FROM siglist, (VALUES (0), (1), (2), (3)) AS bands(b)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sigl AS sa, y.sigl AS sb
+  FROM bandk x JOIN bandk y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+  CAST(CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 16 AS FLOAT)
+  AS est_jaccard
+FROM pairs ORDER BY id_a, id_b""",
+        "simhash": f"""
+WITH {tok_cte},
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(tk) AS t FROM tokd) GROUP BY doc_id, t),
+h AS (SELECT doc_id, tf, {hterm.replace('md5(t)', 'md5(term)')} AS hh FROM tf),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (hh >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS j) GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id""",
+        "ngram_jaccard": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte},
+e AS (SELECT DISTINCT s.doc_id, d.lang, x.s
+      FROM shd s JOIN documents d USING (doc_id), unnest(s.sh) AS x(s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+  CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS FLOAT) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 100""",
+        "knn_cosine": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e, q WHERE e.vec_id != 0
+ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "token_stats": r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS analyzer_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+    AS subword_tokens
+FROM documents ORDER BY doc_id""",
+        "text_quality": r"""
+WITH tokd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+              FROM documents),
+base AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(lower(d.text), '[a-z0-9_\s]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(t.tk, x -> list_contains(['the','a','of','and','to'], x)))
+      AS BIGINT) AS n_stop,
+    CAST(coalesce(list_sum(list_transform(t.tk, x -> length(x))), 0) AS BIGINT)
+      AS sum_tok_len
+  FROM documents d JOIN tokd t USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(CAST(n_punct AS DOUBLE) / n_chars AS FLOAT) AS punct_ratio,
+  CAST(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+            ELSE CAST(0 AS DOUBLE) END AS FLOAT) AS stop_ratio,
+  CAST(CASE WHEN n_tokens > 0 THEN CAST(sum_tok_len AS DOUBLE) / n_tokens
+            ELSE CAST(0 AS DOUBLE) END AS FLOAT) AS mean_tok_len
+FROM base ORDER BY doc_id""",
+        "lang_id": _LANG_ID_ORACLE,
+        "fingerprint": f"""
+WITH {tok_cte}, {th_cte}
+SELECT doc_id,
+  CAST(CASE WHEN len(th) = 0 THEN 0
+            ELSE list_reduce(th, (acc, h) -> (acc * {B} + h) % {P}) END AS BIGINT)
+  AS fingerprint
+FROM thd ORDER BY doc_id""",
+        "media_features": """
+WITH h AS (SELECT doc_id, text,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv FROM documents)
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  'image/png' AS media_type,
+  CAST(hv % 1920 AS BIGINT) AS fake_width,
+  CAST((hv // 1920) % 1080 AS BIGINT) AS fake_height,
+  CAST((hv // (1920 * 1080)) % 300 AS BIGINT) AS fake_frames
+FROM h ORDER BY doc_id""",
+    }
+
+
+def _lang_id_oracle() -> str:
+    from lucene_solr_spark.pipeline.text import LANG_MARKERS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    return f"""
+WITH markers(pred_lang, term) AS (VALUES {vals}),
+tokd AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+         FROM documents),
+counts AS (
+  SELECT t.doc_id, m.pred_lang, CAST(count(*) AS BIGINT) AS hits
+  FROM tokd t JOIN markers m USING (term) GROUP BY t.doc_id, m.pred_lang
+),
+best AS (
+  SELECT doc_id, pred_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, pred_lang ASC) AS rn
+  FROM counts
+)
+SELECT d.doc_id, coalesce(b.pred_lang, 'unknown') AS pred_lang,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+_LANG_ID_ORACLE = _lang_id_oracle()
+
+
 def oracle_sql() -> dict[str, str]:
     probe_list = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
-    return {
+    out = _pipeline_oracles()
+    out.update({
         "fts_term_dict": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
@@ -486,4 +763,5 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY day, event_type ORDER BY day, event_type""",
-    }
+    })
+    return out

@@ -1,0 +1,41 @@
+"""Training-data pipeline operators over document corpora.
+
+The operations a 100 TB training-data pipeline needs on top of the search
+engine core: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search over embeddings, text analysis (language ID, quality,
+token statistics, fingerprinting), and multimodal binary-column plumbing.
+
+Everything is expressed as JVM-side Spark SQL expressions (whole-stage
+codegen, no Python in the hot path) except the multimodal decode stubs,
+which model per-item C-library decoder calls behind mapInPandas.
+All hash arithmetic is integer-exact and mirrored 1:1 by DuckDB oracle SQL
+in __spark_entry__.py.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    with_shingle_hashes,
+)
+from .similarity import cosine_topk, hyperplane_lsh_topk
+from .text import doc_fingerprint, lang_id, text_quality, token_stats
+from .multimodal import media_features, with_media_binary
+
+__all__ = [
+    "cosine_topk",
+    "doc_fingerprint",
+    "exact_dedup",
+    "hyperplane_lsh_topk",
+    "lang_id",
+    "lsh_candidate_pairs",
+    "media_features",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "text_quality",
+    "token_stats",
+    "with_media_binary",
+]

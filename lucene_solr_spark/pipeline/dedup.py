@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Hash math is integer-exact (md5-derived term hashes mod P31) and mirrored
+1:1 by DuckDB oracle SQL in __spark_entry__.py.
+
+Scale notes (100 TB):
+* exact dedup is a hash-groupBy on sha256 — one shuffle keyed by digest,
+  perfectly balanced (digests are uniform);
+* MinHash signatures are map-only (no shuffle): term hashes are one
+  JVM-side md5 pass, then a single Arrow-batched numpy kernel rolls
+  shingle hashes and takes all 16 permutation minima with
+  ``np.minimum.reduceat``.  Only the tiny (doc_id, band_key) rows shuffle
+  for the LSH bucket join.  (The naive all-SQL phrasing is a trap:
+  Catalyst's CollapseProject inlines the md5 transform into every
+  permutation's ``array_min`` — a ~100x recompute — so the kernel UDF is
+  both the fast path and a deliberate projection barrier.)
+* SimHash explodes (doc, term, bit) relationally — exactly
+  oracle-checkable; at cluster scale the same math packs into the MinHash
+  kernel if the explode ever dominates;
+* n-gram Jaccard self-joins exploded shingles — quadratic in bucket size,
+  so it keys the join by (bucket, shingle_hash) and is meant to run AFTER
+  LSH candidate filtering in a real pipeline.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import MINHASH_A, MINHASH_B, P31, SHINGLE_BASE, TOKENS_SQL, hterm_sql
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "with_shingle_hashes",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: keep the lowest id per digest.
+
+    Returns [id, digest, group_size, is_canonical] — filter
+    ``is_canonical`` to materialize the deduped corpus.
+    """
+    d = df.select(id_col, F.sha2(F.col(text_col), 256).alias("digest"))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("digest")))
+        .select(
+            id_col,
+            "digest",
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
+#: term-hash array expression over a text column (single JVM md5 pass)
+_TERM_HASHES = "transform(" + TOKENS_SQL + ", t -> " + hterm_sql("t") + ")"
+
+
+def _flat_shingles(th_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Batch kernel: Series of term-hash lists → (flat shingle hashes,
+    shingle count per row).  Fully vectorized; shingle i of a doc is the
+    rolling hash of term hashes (i, i+1, i+2) mod P31."""
+    lens = th_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    flat = np.fromiter(itertools.chain.from_iterable(th_lists), dtype=np.int64, count=total)
+    n_sh = np.maximum(lens - 2, 0)
+    if n_sh.sum() == 0:
+        return np.empty(0, dtype=np.int64), n_sh
+    keep = np.ones(total, dtype=bool)
+    ends = np.cumsum(lens)
+    for off in (1, 2):  # the last `off` tokens of each doc start no shingle
+        idx = ends - off
+        keep[idx[lens >= off]] = False
+    start = np.flatnonzero(keep)
+    h1, h2, h3 = flat[start], flat[start + 1], flat[start + 2]
+    sh = (((h1 * SHINGLE_BASE + h2) % P31) * SHINGLE_BASE + h3) % P31
+    return sh, n_sh
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *extra: str
+) -> DataFrame:
+    """[id, *extra, sh:array<bigint>] — 3-token shingle hashes per doc
+    (empty array when the doc has fewer than 3 tokens)."""
+
+    def _kern(batches):
+        for pdf in batches:
+            sh, n_sh = _flat_shingles(pdf["th"])
+            bounds = np.cumsum(n_sh)
+            out = {c: pdf[c] for c in pdf.columns if c != "th"}
+            out["sh"] = [
+                sh[lo:hi].tolist() for lo, hi in zip(bounds - n_sh, bounds)
+            ]
+            yield pd.DataFrame(out)
+
+    src = df.select(id_col, *extra, F.expr(_TERM_HASHES.format(col=text_col)).alias("th"))
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields if f.name != "th"]
+        + ["sh array<bigint>"]
+    )
+    return src.mapInPandas(_kern, schema)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: [id, sig:array<bigint> (16 minima)].
+
+    One fused map-only kernel (see module docstring).  Documents with
+    fewer than 3 tokens (no shingles) get sig = NULL.
+    """
+    A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+    B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+
+    def _sig(batches):
+        for pdf in batches:
+            sh, n_sh = _flat_shingles(pdf["th"])
+            sigs: list = [None] * pdf.shape[0]
+            if sh.size:
+                perm = (sh[None, :] * A + B) % P31  # (16, n_shingles)
+                seg_starts = (np.cumsum(n_sh) - n_sh)[n_sh > 0]
+                mins = np.minimum.reduceat(perm, seg_starts, axis=1)
+                for k, d in enumerate(np.flatnonzero(n_sh > 0)):
+                    sigs[int(d)] = mins[:, k].tolist()
+            yield pd.DataFrame({"id_": pdf[id_col].to_numpy(), "sig": sigs})
+
+    th = df.select(id_col, F.expr(_TERM_HASHES.format(col=text_col)).alias("th"))
+    return th.mapInPandas(_sig, "id_ long, sig array<bigint>").withColumnRenamed("id_", id_col)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become a
+    candidate pair.  Returns [id_a, id_b, est_jaccard] (a < b), where
+    est_jaccard = fraction of matching signature components.
+    """
+    assert bands * rows == 16
+    band = F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"struct(b AS band_id, slice(sig, b * {rows} + 1, {rows}) AS key))"
+        )
+    ).alias("band")
+    e = sigs.filter(F.col("sig").isNotNull()).select(id_col, "sig", band).select(
+        F.col(id_col).alias("id"), "sig", F.col("band.band_id"), F.col("band.key")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    match = "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.expr(f"cast(cast({match} as double) / 16 as float)").alias("est_jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: tf-weighted majority vote per hash bit.
+
+    Returns [id, simhash:bigint].  bit_j(doc) = 1 iff
+    Σ_terms tf·(2·bit_j(h(term)) − 1) > 0.
+    """
+    toks = TOKENS_SQL.format(col=text_col)
+    tf = (
+        df.select(id_col, F.explode(F.expr(toks)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.expr(hterm_sql("term")))
+    )
+    contrib = tf.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), j -> "
+                f"struct(j, CASE WHEN shiftright(h, j) & 1 = 1 THEN tf ELSE -tf END AS c))"
+            )
+        ).alias("x"),
+    ).select(id_col, F.col("x.j").alias("j"), F.col("x.c").alias("c"))
+    bitsum = contrib.groupBy(id_col, "j").agg(F.sum("c").alias("s"))
+    return (
+        bitsum.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "lang",
+    top_n: int = 100,
+) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard for doc pairs within a bucket.
+
+    jaccard = |A ∩ B| / |A ∪ B| over distinct shingle-hash sets.  Returns
+    the ``top_n`` pairs by (jaccard desc, id_a, id_b).
+    """
+    e = (
+        with_shingle_hashes(
+            df.withColumn("bucket", F.col(bucket_col)), text_col, id_col, "bucket"
+        )
+        .select(id_col, "bucket", F.explode("sh").alias("s"))
+        .dropDuplicates([id_col, "s"])
+    )
+    sizes = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = e.select(F.col(id_col).alias("id_a"), "bucket", "s")
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("bucket").alias("bucket_b"), F.col("s").alias("s_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("s") == F.col("s_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr("cast(cast(inter as double) / (sz_a + sz_b - inter) as float)"),
+        )
+    )
+    return (
+        j.select("id_a", "id_b", "inter", "jaccard")
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_n)
+    )

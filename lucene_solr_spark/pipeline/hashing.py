@@ -1,0 +1,51 @@
+"""Shared integer hashing expressions (Spark SQL side).
+
+All hashes are built from md5 so the DuckDB oracle can reproduce them
+bit-for-bit: h64(s) = first 15 hex chars of md5(s) as int64 (60 bits),
+reduced mod P31 for modular arithmetic headroom.  Every formula keeps all
+intermediates < 2^63 so int64 arithmetic is exact on both engines.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "P31",
+    "SHINGLE_BASE",
+    "MINHASH_A",
+    "MINHASH_B",
+    "h64_sql",
+    "hterm_sql",
+    "TOKENS_SQL",
+]
+
+#: Mersenne prime modulus (fits minhash products in int64)
+P31 = (1 << 31) - 1
+#: polynomial base for shingle / fingerprint hashes
+SHINGLE_BASE = 1_000_003
+
+#: fixed MinHash permutations (seed 20260816); sig_i = min((A[i]*h + B[i]) % P31)
+MINHASH_A = [
+    123393401, 295485567, 325160078, 1719885688, 239607114, 1279549348,
+    1943031107, 1580201974, 1078156455, 1158667886, 1470120545, 1004126917,
+    1343008841, 848528041, 433882786, 920829464,
+]
+MINHASH_B = [
+    424836757, 1036482875, 674912462, 1761685205, 1170454108, 1922145947,
+    490919192, 113229832, 115210586, 1528591100, 2139245632, 1013733486,
+    1205066769, 961883866, 1209483261, 1409296085,
+]
+
+
+def h64_sql(expr: str) -> str:
+    """60-bit integer hash of a string expression (Spark SQL & DuckDB-portable
+    formula shape; DuckDB uses CAST('0x'||… AS BIGINT) instead of conv)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hterm_sql(expr: str) -> str:
+    """Term hash reduced mod P31 (headroom for modular products)."""
+    return f"({h64_sql(expr)} % {P31})"
+
+
+#: tokenizer as a pure SQL expression (same TOKEN_PATTERN as analysis.py)
+TOKENS_SQL = "regexp_extract_all(lower({col}), '[a-z0-9_]+', 0)"

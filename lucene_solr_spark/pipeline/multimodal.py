@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Models the image/audio/video path of a training-data pipeline: media lives
+in an opaque ``binary`` column with a typed metadata struct alongside; the
+decode / feature-extract step is a batch UDF over ``mapInPandas`` whose
+Spark-side contract (schema, batch shape, partitioning) is real and tested
+while the actual codec call is STUBBED — this container has no
+image/audio libraries, so ``decode_media`` raises ``NotImplementedError``
+unless ``fake=True``, which substitutes a deterministic md5-derived
+feature extractor standing in for the decoder.
+
+At 100 TB: binaries ride in parquet alongside metadata; feature extraction
+is map-only (no shuffle), Arrow-batched, and column-pruned — the scan
+reads only (id, media, media_meta).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_media_binary", "decode_media", "media_features"]
+
+_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, media_type string, fake_width long, "
+    "fake_height long, fake_frames long"
+)
+
+
+def with_media_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the media-bearing shape from a text corpus: payload =
+    UTF-8 bytes of the text (stand-in for image bytes), plus a typed
+    metadata struct — the schema a real ingest would carry."""
+    return df.select(
+        id_col,
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(payload: bytes, fake: bool = False) -> dict:
+    """Decode one media payload → features.  REAL decode is stubbed (no
+    codec libraries in this environment); ``fake=True`` derives
+    deterministic pseudo-features from the payload digest, preserving the
+    exact call shape a PIL/ffmpeg-backed implementation would have."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires an image/audio codec library; "
+            "re-run with fake=True for the deterministic stand-in"
+        )
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return {
+        "fake_width": h % 1920,
+        "fake_height": (h // 1920) % 1080,
+        "fake_frames": (h // (1920 * 1080)) % 300,
+    }
+
+
+def media_features(media_df: DataFrame, id_col: str = "doc_id", fake: bool = True) -> DataFrame:
+    """Batch feature extraction over the binary column (mapInPandas).
+
+    The per-item ``decode_media`` call models the C-library decoder
+    boundary; everything around it (batching, schema, metadata passthrough)
+    is the production plumbing.
+    """
+
+    def _extract(batches):
+        for pdf in batches:
+            feats = [decode_media(b, fake=fake) for b in pdf["media"]]
+            fp = pd.DataFrame(feats) if feats else pd.DataFrame(
+                columns=["fake_width", "fake_height", "fake_frames"]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
+                    "media_type": [m["mime"] for m in pdf["media_meta"]],
+                    "fake_width": fp["fake_width"].to_numpy(dtype=np.int64)
+                    if len(fp)
+                    else np.empty(0, np.int64),
+                    "fake_height": fp["fake_height"].to_numpy(dtype=np.int64)
+                    if len(fp)
+                    else np.empty(0, np.int64),
+                    "fake_frames": fp["fake_frames"].to_numpy(dtype=np.int64)
+                    if len(fp)
+                    else np.empty(0, np.int64),
+                }
+            )
+
+    return media_df.select(id_col, "media", "media_meta").mapInPandas(
+        _extract, _FEATURES_SCHEMA
+    )

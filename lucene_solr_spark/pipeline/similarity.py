@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY-mandated pattern for ANN at scale):
+
+* :func:`cosine_topk` — brute-force exact cosine top-k.  The dot product
+  is a sequential left-to-right float64 fold (``aggregate`` over
+  ``zip_with``) so the result is bit-deterministic and reproducible by the
+  DuckDB oracle's ``list_reduce`` — and sqrt is IEEE-exact, so the whole
+  cosine is cross-engine exact before the final float32 cast.
+* :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane (sign)
+  LSH buckets candidates, then exact rerank within the probed buckets.
+  At 100 TB the bucket join replaces the full cross product; recall is
+  tunable via n_planes / n_probes (multi-probe by Hamming distance).
+
+Hyperplane components are deterministic integers derived from md5 of
+(plane, dim) — no RNG state, so executors and the oracle agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "hyperplane_lsh_topk"]
+
+#: sequential f64 dot product of two array columns (bit-deterministic)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _norm(col: str) -> str:
+    return f"sqrt({_DOT.format(a=col, b=col)})"
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Returns [id, cosine:float] ordered by (cosine desc, id asc) — a
+    TakeOrderedAndProject plan: the scan is map-only, only k rows per
+    partition reach the driver-side merge.
+    """
+    q = "array(" + ", ".join(f"CAST({repr(float(v))} AS DOUBLE)" for v in query_vec) + ")"
+    d = df
+    if exclude_ids:
+        d = d.filter(~F.col(id_col).isin(exclude_ids))
+    cos = f"({_DOT.format(a=vec_col, b=q)}) / ({_norm(vec_col)} * {_norm(q)})"
+    return (
+        d.select(F.col(id_col).alias("id"), F.expr(f"CAST({cos} AS FLOAT)").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def _plane_component(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random component in [-8, 8): shared between
+    Spark-side literal generation and tests (md5-derived, no RNG)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 16) - 8
+
+
+def hyperplane_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_probes: int = 3,
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ANN top-k: sign-LSH bucket filter + exact cosine rerank.
+
+    Bucket = n_planes sign bits of integer hyperplane dot products.
+    Probes the query's bucket plus the ``n_probes-1`` single-bit-flip
+    neighbors with the lowest plane |margin| (classic multi-probe LSH).
+    """
+    dims = len(query_vec)
+    planes = [[_plane_component(p, d) for d in range(dims)] for p in range(n_planes)]
+
+    def bucket_expr(vc: str) -> str:
+        bits = []
+        for p, comps in enumerate(planes):
+            arr = "array(" + ", ".join(str(c) for c in comps) + ")"
+            dot = _DOT.format(a=vc, b=arr)
+            bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    # query bucket + multi-probe buckets (driver-side, tiny): enumerate
+    # flip-masks ordered by the total |margin| of the flipped planes —
+    # buckets whose differing planes the query barely cleared come first
+    qdots = [sum(c * float(v) for c, v in zip(comps, query_vec)) for comps in planes]
+    qbucket = sum((1 << p) for p, d in enumerate(qdots) if d > 0)
+    masks = sorted(
+        range(1 << n_planes),
+        key=lambda m: sum(abs(qdots[p]) for p in range(n_planes) if m & (1 << p)),
+    )
+    probes = [qbucket ^ m for m in masks[: max(1, n_probes)]]
+
+    d = df
+    if exclude_ids:
+        d = d.filter(~F.col(id_col).isin(exclude_ids))
+    d = d.withColumn("bucket", F.expr(bucket_expr(vec_col)))
+    cand = d.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

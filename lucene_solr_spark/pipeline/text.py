@@ -1,0 +1,142 @@
+"""Text analysis operators: token statistics, quality scoring, language ID,
+document fingerprinting.
+
+All pure Spark SQL expressions (JVM, codegen) with DuckDB-mirrorable
+semantics: counts and set memberships are integer-exact; every ratio is a
+single float64 division cast to float32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import P31, SHINGLE_BASE, TOKENS_SQL, hterm_sql
+
+__all__ = ["token_stats", "text_quality", "lang_id", "doc_fingerprint", "LANG_MARKERS"]
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting three ways: whitespace chunks, analyzer tokens, and a
+    BPE-ish subword segmentation (letter runs / digit runs / single
+    punctuation — the shape of a byte-level BPE pre-tokenizer).
+    """
+    toks = TOKENS_SQL.format(col=text_col)
+    return df.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.expr(f"CAST(size(regexp_extract_all({text_col}, '\\\\S+', 0)) AS BIGINT)").alias(
+            "ws_tokens"
+        ),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("analyzer_tokens"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower({text_col}),"
+            " '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)"
+        ).alias("subword_tokens"),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to")) -> DataFrame:
+    """Quality signals: length, punctuation ratio, stopword ratio, mean
+    token length — the standard pre-training corpus filters.
+    """
+    toks = TOKENS_SQL.format(col=text_col)
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in stopwords) + ")"
+    d = df.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.expr(f"{toks}").alias("tk"),
+        F.expr(
+            f"CAST(length(regexp_replace(lower({text_col}), '[a-z0-9_\\\\s]', '')) AS BIGINT)"
+        ).alias("n_punct"),
+    )
+    d = d.select(
+        id_col,
+        "n_chars",
+        "n_punct",
+        F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(filter(tk, t -> array_contains({stop_arr}, t))) AS BIGINT)").alias(
+            "n_stop"
+        ),
+        F.expr(
+            "aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"
+        ).alias("sum_tok_len"),
+    )
+    return d.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        F.expr("CAST(CAST(n_punct AS DOUBLE) / n_chars AS FLOAT)").alias("punct_ratio"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
+        ).alias("stop_ratio"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN CAST(sum_tok_len AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
+        ).alias("mean_tok_len"),
+    )
+
+
+#: n-gram-heuristic marker words per language.  Deliberately tiny — the
+#: operator contract is deterministic scoring + argmax, not linguistics.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data", "table", "query"),
+    "de": ("der", "die", "und", "batch", "window"),
+    "es": ("el", "la", "query", "stream", "sort"),
+    "fr": ("le", "la", "join", "merge", "filter"),
+    "zh": ("big", "small", "fast", "slow", "value"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Language ID heuristic: count marker-word hits per language (with
+    multiplicity), predict the argmax (ties → language name asc).
+
+    Relational shape: explode tokens → broadcast join the marker table →
+    per-(doc, lang) counts → window argmax.  Map-side at scale: the marker
+    table broadcasts and token explode never shuffles wider than
+    (doc, lang) partial counts.
+    """
+    markers = markers or LANG_MARKERS
+    rows = [(lang, w) for lang, ws in markers.items() for w in ws]
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(rows, "pred_lang string, term string")
+    toks = TOKENS_SQL.format(col=text_col)
+    e = df.select(id_col, F.explode(F.expr(toks)).alias("term"))
+    counts = (
+        e.join(F.broadcast(mdf), "term")
+        .groupBy(id_col, "pred_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("pred_lang"))
+    best = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        df.select(id_col)
+        .join(best.select(id_col, "pred_lang", F.col("hits").cast("long").alias("hits")),
+              id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("pred_lang"), F.lit("unknown")).alias("pred_lang"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling polynomial fingerprint of the token stream:
+    fp = fold(tokens, acc -> (acc * B + h(term)) % P31) — order-sensitive
+    (unlike SimHash), so near-identical docs with reordered sections get
+    different fingerprints but identical prefixes hash identically.
+    """
+    toks = TOKENS_SQL.format(col=text_col)
+    th = hterm_sql("t")
+    return df.select(
+        id_col,
+        F.expr(
+            f"aggregate(transform({toks}, t -> {th}), CAST(0 AS BIGINT), "
+            f"(acc, h) -> (acc * {SHINGLE_BASE} + h) % {P31})"
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,137 @@
+"""Semantic tests for the training-data pipeline operators: do the dedup
+ops actually find near-duplicates, does ANN recall the brute-force top-k,
+do the stubs behave as documented."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.pipeline import (
+    cosine_topk,
+    exact_dedup,
+    hyperplane_lsh_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from lucene_solr_spark.pipeline.multimodal import decode_media, media_features, with_media_binary
+
+
+def _near_dup_corpus(spark):
+    """10 base docs; docs 100+i are near-dups of doc i (one token changed),
+    docs 200+ are unrelated."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{j}" for j in range(300)]
+    rows = []
+    for i in range(10):
+        toks = [vocab[j] for j in rng.integers(0, 300, 60)]
+        rows.append((i, " ".join(toks), "en"))
+        near = list(toks)
+        near[30] = "changed"
+        rows.append((100 + i, " ".join(near), "en"))
+    for i in range(10):
+        toks = [vocab[j] for j in rng.integers(0, 300, 60)]
+        rows.append((200 + i, " ".join(toks), "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def neardup(spark):
+    return _near_dup_corpus(spark).cache()
+
+
+def test_exact_dedup_finds_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[1]["group_size"] == 2 and out[3]["group_size"] == 1
+    assert out[1]["digest"] == out[2]["digest"] != out[3]["digest"]
+
+
+def test_minhash_lsh_finds_near_dups(spark, neardup):
+    sigs = minhash_signatures(neardup)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(sigs).collect()
+    }
+    found = sum((i, 100 + i) in pairs for i in range(10))
+    assert found >= 8, f"LSH found only {found}/10 planted near-dup pairs"
+    for (a, b), est in pairs.items():
+        if b == a + 100:
+            assert est >= 0.5, (a, b, est)
+
+
+def test_ngram_jaccard_ranks_near_dups_first(spark, neardup):
+    top = ngram_jaccard_pairs(neardup, top_n=10).collect()
+    assert len(top) == 10
+    planted = sum(1 for r in top if r["id_b"] == r["id_a"] + 100)
+    assert planted >= 8
+    assert all(r["jaccard"] > 0.8 for r in top[:8])
+
+
+def test_simhash_near_dups_close(spark, neardup):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(neardup).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    near = [hamming(sh[i], sh[100 + i]) for i in range(10)]
+    far = [hamming(sh[i], sh[200 + j]) for i in range(10) for j in range(10)]
+    assert np.mean(near) < np.mean(far) - 2
+    assert max(near) <= 8
+
+
+def _rand_embeddings(spark, n=200, d=32, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [(i, m[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), m
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, m = _rand_embeddings(spark)
+    q = m[0]
+    got = cosine_topk(df, [float(x) for x in q], k=5, exclude_ids=[0]).collect()
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    sims[0] = -np.inf
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert [r["id"] for r in got] == [int(i) for i in want]
+    for r in got:
+        assert abs(r["cosine"] - sims[r["id"]]) < 1e-5
+
+
+def test_hyperplane_lsh_recall(spark):
+    df, m = _rand_embeddings(spark)
+    hits = 0
+    for qid in range(5):
+        q = [float(x) for x in m[qid]]
+        exact = {r["id"] for r in cosine_topk(df, q, k=5, exclude_ids=[qid]).collect()}
+        approx = {
+            r["id"]
+            for r in hyperplane_lsh_topk(
+                df, q, k=5, n_planes=4, n_probes=6, exclude_ids=[qid]
+            ).collect()
+        }
+        hits += len(exact & approx)
+    assert hits >= 17, f"ANN recall too low: {hits}/25"
+
+
+def test_media_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", fake=False)
+
+
+def test_media_features_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "")], "doc_id long, text string")
+    media = with_media_binary(docs)
+    out = {r["doc_id"]: r for r in media_features(media, fake=True).collect()}
+    assert out[1]["n_bytes"] == 11 and out[2]["n_bytes"] == 0
+    assert out[1]["media_type"] == "image/png"
+    assert 0 <= out[1]["fake_width"] < 1920
+    # deterministic: same payload -> same features
+    again = {r["doc_id"]: r for r in media_features(media, fake=True).collect()}
+    assert out[1]["fake_width"] == again[1]["fake_width"]
