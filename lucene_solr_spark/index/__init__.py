@@ -4,6 +4,7 @@ from .core import (
     IndexView,
     build_index_view,
     compute_norms,
+    detect_hot_terms,
     encode_postings,
     invert_tokens,
 )

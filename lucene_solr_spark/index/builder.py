@@ -32,23 +32,48 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..bm25 import BM25
-from .core import IndexView, compute_norms, encode_postings, invert_tokens
+from .core import IndexView, compute_norms, detect_hot_terms, encode_postings, invert_tokens
 
 __all__ = ["assign_doc_ids", "build_index", "open_index", "read_manifest", "write_manifest"]
 
 MANIFEST = "manifest.json"
 
 
-def assign_doc_ids(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
-    """Deterministic dense doc_id over (repo, path, commit) (SURVEY §7.4.3).
+def assign_doc_ids(
+    df: DataFrame, key_cols: list[str] | None = None, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic dense doc_id over (repo, path, commit) (SURVEY §7.4.3)
+    WITHOUT a global single-partition window.
 
-    v0 uses a global row_number window — deterministic and correct; the
-    documented scale path is zipWithIndex-per-partition + manifest offsets
-    (avoids the single global sort at 10^12 rows).
+    Scale path: range-repartition by key (sorted partition ranges), count
+    rows per partition (tiny collect), then doc_id = partition offset +
+    within-partition rank.  Every stage is parallel; the only driver data
+    is one count per partition.  (The naive ``row_number().over(orderBy)``
+    exchanges the whole corpus into ONE task — measured as the build's
+    serial bottleneck, so it is deliberately avoided.)
     """
     key_cols = key_cols or ["repo", "path", "commit"]
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
-    return df.withColumn("doc_id", (F.row_number().over(w) - 1).cast("long"))
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
+    keyed = keyed.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
+    return (
+        keyed.withColumn("doc_id", (off_col + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid")
+    )
 
 
 def read_manifest(index_path: str | Path) -> dict | None:
@@ -138,6 +163,13 @@ def build_index(
 
     done = {s["segment_id"] for s in manifest["segments"] if s.get("status") == "done"}
 
+    # Zipf-head salting (SURVEY.md §7.4.4): detect once, apply per segment
+    salt_terms, salt_shift = (frozenset(), 16)
+    if len(done) < n_segments:
+        salt_terms, salt_shift = detect_hot_terms(
+            docs, id_col, text_col, stopwords, num_partitions
+        )
+
     for seg in range(n_segments):
         if seg in done:
             continue
@@ -145,7 +177,9 @@ def build_index(
         t0 = time.time()
         part = docs.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
         stream = invert_tokens(part, id_col, text_col, stopwords)
-        blocks = encode_postings(stream, num_partitions)
+        blocks = encode_postings(
+            stream, num_partitions, salt_terms=salt_terms or None, salt_shift=salt_shift
+        )
         seg_path = index_path / "segments" / f"seg={seg}"
         blocks.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
             "overwrite"

@@ -297,6 +297,50 @@ class IndexView:
         return self.bm25.norm_inverse_cache(self.avgdl)
 
 
+def detect_hot_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    stopwords: frozenset[str] | None = None,
+    num_partitions: int | None = None,
+    sample_docs: int = 8_000,
+    share_threshold: float = 0.25,
+) -> tuple[frozenset[str], int]:
+    """Estimate Zipf-head terms that would straggle a single encode task,
+    plus the doc_id salt shift that splits them ~num_partitions ways.
+
+    Samples up to ``sample_docs`` documents, counts tokens per term
+    (map-side combined), and flags terms whose estimated token share
+    exceeds ``share_threshold`` of one shuffle partition's fair share —
+    the skew criterion from SURVEY.md §7.4.4.  Returns (hot_terms, shift).
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = df.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
+    ).collect()[0]
+    n_docs, max_id = int(bounds["n"]), int(bounds["mx"] or 0)
+    if n_docs == 0:
+        return frozenset(), 16
+    frac = min(1.0, sample_docs / n_docs)
+    sample = df if frac >= 1.0 else df.sample(fraction=frac, seed=13)
+    counts = (
+        invert_tokens(sample, id_col, text_col, stopwords)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    if not total:
+        return frozenset(), 16
+    cutoff = max(1.0, share_threshold * total / num_partitions)
+    hot = frozenset(
+        r["term"] for r in counts.filter(F.col("c") > cutoff).collect()
+    )
+    # salt buckets ≈ num_partitions over the doc_id range, min 256 docs/bucket
+    shift = max(8, int(np.ceil(np.log2(max(1.0, (max_id + 1) / num_partitions)))))
+    return hot, shift
+
+
 def build_index_view(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -305,11 +349,33 @@ def build_index_view(
     stopwords: frozenset[str] | None = None,
     num_partitions: int | None = None,
     cache: bool = True,
+    salt: bool | frozenset[str] = True,
 ) -> IndexView:
-    """One-shot transient index over any (id, text) DataFrame."""
+    """One-shot transient index over any (id, text) DataFrame.
+
+    ``salt=True`` auto-detects Zipf-head terms (detect_hot_terms) and
+    splits their posting runs across doc_id ranges so no single encode
+    task straggles; pass a frozenset to pin the hot terms, False to
+    disable."""
     spark = df.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tokenize cost >> a raw-corpus shuffle: if the scan yields fewer
+    # splits than cores (small/compressed files), fan out first.  On a
+    # real cluster the scan has plenty of splits and this is a no-op.
+    if df.rdd.getNumPartitions() < num_partitions:
+        df = df.repartition(num_partitions)
+    salt_terms: frozenset[str] | None = None
+    salt_shift = 16
+    if salt is True:
+        salt_terms, salt_shift = detect_hot_terms(
+            df, id_col, text_col, stopwords, num_partitions
+        )
+    elif salt:
+        salt_terms = salt
     stream = invert_tokens(df, id_col, text_col, stopwords)
-    postings = encode_postings(stream, num_partitions)
+    postings = encode_postings(
+        stream, num_partitions, salt_terms=salt_terms or None, salt_shift=salt_shift
+    )
     if cache:
         postings = postings.persist()
     term_dict = postings.groupBy("term").agg(

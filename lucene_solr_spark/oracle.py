@@ -17,11 +17,41 @@ import numpy as np
 from .analysis import TOKEN_PATTERN
 from .bm25 import BM25
 from .smallfloat import int_to_byte4
-from .search.query import And, Or, Term
+from .search.query import (
+    And,
+    Bool,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    MatchAll,
+    Or,
+    Phrase,
+    Prefix,
+    Regexp,
+    Term,
+    TermRange,
+    Wildcard,
+    is_multiterm,
+)
 
-__all__ = ["MiniLucene"]
+__all__ = ["MiniLucene", "levenshtein"]
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic edit distance (no transpositions — matches Spark's
+    ``levenshtein``; documented deviation from FuzzyQuery's default
+    transpositions=true)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 class MiniLucene:
@@ -73,31 +103,209 @@ class MiniLucene:
         scores = self.bm25.score(tfs, nbs, w, self._cache)
         return {int(d): float(s) for d, s in zip(docs, scores)}
 
+    # --- multi-term expansion (same semantics as executor.expand_multiterm)
+
+    def expand(self, q):
+        if is_multiterm(q):
+            vocab = sorted(self.postings)
+            if isinstance(q, Prefix):
+                terms = [t for t in vocab if t.startswith(q.prefix)]
+            elif isinstance(q, Wildcard):
+                rx = "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+                    for ch in q.pattern
+                )
+                terms = [t for t in vocab if re.fullmatch(rx, t)]
+            elif isinstance(q, Regexp):
+                terms = [t for t in vocab if re.fullmatch(f"(?:{q.pattern})", t)]
+            elif isinstance(q, TermRange):
+                terms = [
+                    t for t in vocab
+                    if (q.lower is None or (t >= q.lower if q.include_lower else t > q.lower))
+                    and (q.upper is None or (t <= q.upper if q.include_upper else t < q.upper))
+                ]
+            elif isinstance(q, Fuzzy):
+                terms = [
+                    t for t in vocab
+                    if levenshtein(t, q.term) <= q.max_edits
+                    and (not q.prefix_length or t.startswith(q.term[: q.prefix_length]))
+                ]
+            if not terms:
+                return Term("\x00no_match", q.boost)
+            if q.constant_score:
+                return ConstantScore(Or(*[Term(t) for t in terms]), q.boost)
+            return Or(*[Term(t, q.boost) for t in terms])
+        if isinstance(q, (And, Or)):
+            return type(q)(*[self.expand(c) for c in q.clauses])
+        if isinstance(q, DisMax):
+            return DisMax(*[self.expand(c) for c in q.clauses], tie_breaker=q.tie_breaker)
+        if isinstance(q, ConstantScore):
+            return ConstantScore(self.expand(q.query), q.boost)
+        if isinstance(q, Bool):
+            e = lambda cs: tuple(self.expand(c) for c in cs)
+            return Bool(e(q.must), e(q.should), e(q.must_not), e(q.filter),
+                        q.min_should_match)
+        return q
+
+    # --- phrase ------------------------------------------------------------
+
+    def _phrase_tf(self, q: Phrase) -> dict[int, int]:
+        """doc -> exact-phrase frequency (consecutive positions)."""
+        sets = []
+        for off, t in enumerate(q.terms):
+            plist = self.positions.get(t)
+            if not plist:
+                return {}
+            sets.append({d: {p - off for p in ps} for d, ps in plist.items()})
+        docs = set(sets[0])
+        for s in sets[1:]:
+            docs &= set(s)
+        out = {}
+        for d in docs:
+            base = sets[0][d]
+            for s in sets[1:]:
+                base = base & s[d]
+            if base:
+                out[d] = len(base)
+        return out
+
+    def _phrase_scores(self, q: Phrase) -> dict[int, float]:
+        uniq = list(dict.fromkeys(q.terms))
+        if any(t not in self.postings for t in uniq):
+            return {}
+        idfs = [self.bm25.idf(self.df(t), self.doc_count) for t in uniq]
+        total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = np.float32(total * np.float32(q.boost))
+        out = {}
+        for d, tf in self._phrase_tf(q).items():
+            s = self.bm25.score(
+                np.array([tf]), np.array([self.norm_byte[d]]), w, self._cache
+            )
+            out[d] = float(s[0])
+        return out
+
+    # --- match sets ---------------------------------------------------------
+
+    def _match_set(self, q) -> set[int]:
+        if isinstance(q, Term):
+            return set(self.postings.get(q.term, {}))
+        if isinstance(q, Phrase):
+            return set(self._phrase_tf(q))
+        if isinstance(q, MatchAll):
+            return set(self.dl)
+        if isinstance(q, ConstantScore):
+            return self._match_set(q.query)
+        if isinstance(q, And):
+            docs = self._match_set(q.clauses[0])
+            for c in q.clauses[1:]:
+                docs &= self._match_set(c)
+            return docs
+        if isinstance(q, Or):
+            docs: set[int] = set()
+            for c in q.clauses:
+                docs |= self._match_set(c)
+            return docs
+        return set(self._score_map(q))
+
     def _score_map(self, q) -> dict[int, float]:
-        """doc -> float64 accumulated score (sums of float32 leaf scores)."""
+        """doc -> score; float32-valued at every scorer node boundary
+        (accumulated in float64, cast at the node — Lucene's
+        ConjunctionScorer/DisjunctionSumScorer `return (float) sum`)."""
+        f32 = lambda x: float(np.float32(x))
         if isinstance(q, Term):
             return self._term_scores(q)
-        child = [self._score_map(c) for c in q.clauses]
-        if isinstance(q, And):
-            docs = set(child[0])
-            for m in child[1:]:
-                docs &= set(m)
-            return {d: sum(m[d] for m in child) for d in docs}
-        if isinstance(q, Or):
+        if isinstance(q, Phrase):
+            return self._phrase_scores(q)
+        if isinstance(q, MatchAll):
+            return {d: f32(q.boost) for d in self.dl}
+        if isinstance(q, ConstantScore):
+            return {d: f32(q.boost) for d in self._match_set(q.query)}
+        if isinstance(q, (And, Or)):
+            child = [self._score_map(c) for c in q.clauses]
+            if isinstance(q, And):
+                docs = set(child[0])
+                for m in child[1:]:
+                    docs &= set(m)
+                if len(child) == 1:
+                    return {d: child[0][d] for d in docs}
+                return {d: f32(sum(m[d] for m in child)) for d in docs}
             out: dict[int, float] = {}
             for m in child:
                 for d, s in m.items():
                     out[d] = out.get(d, 0.0) + s
+            if len(child) == 1:
+                return child[0]
+            return {d: f32(s) for d, s in out.items()}
+        if isinstance(q, DisMax):
+            child = [self._score_map(c) for c in q.clauses]
+            docs = set().union(*[set(m) for m in child])
+            out = {}
+            for d in docs:
+                vals = [m[d] for m in child if d in m]
+                mx, sm = max(vals), sum(vals)
+                out[d] = f32(mx + (sm - mx) * q.tie_breaker)
             return out
+        if isinstance(q, Bool):
+            plan: dict[int, float] | None = None
+            if q.must:
+                child = [self._score_map(c) for c in q.must]
+                docs = set(child[0])
+                for m in child[1:]:
+                    docs &= set(m)
+                plan = {
+                    d: (child[0][d] if len(child) == 1 else f32(sum(m[d] for m in child)))
+                    for d in docs
+                }
+            if q.should:
+                child = [self._score_map(c) for c in q.should]
+                cnt: dict[int, int] = {}
+                ssum: dict[int, float] = {}
+                for m in child:
+                    for d, s in m.items():
+                        cnt[d] = cnt.get(d, 0) + 1
+                        ssum[d] = ssum.get(d, 0.0) + s
+                msm = q.min_should_match
+                if plan is None:
+                    plan = {
+                        d: f32(ssum[d]) for d in ssum if cnt[d] >= max(1, msm)
+                    }
+                else:
+                    if msm > 0:
+                        plan = {d: s for d, s in plan.items() if cnt.get(d, 0) >= msm}
+                    plan = {
+                        d: f32(s + (f32(ssum[d]) if d in ssum else 0.0))
+                        for d, s in plan.items()
+                    }
+            if plan is None:
+                if q.filter:
+                    filt = self._match_set(q.filter[0])
+                    for c in q.filter[1:]:
+                        filt &= self._match_set(c)
+                    plan = {d: 0.0 for d in filt}
+                else:
+                    raise ValueError("Bool query with no positive clauses")
+            for c in q.filter:
+                fs = self._match_set(c)
+                plan = {d: s for d, s in plan.items() if d in fs}
+            if q.must_not:
+                neg: set[int] = set()
+                for c in q.must_not:
+                    neg |= self._match_set(c)
+                plan = {d: s for d, s in plan.items() if d not in neg}
+            return plan
         raise TypeError(f"unknown query node {type(q)}")
 
     def search(self, q, k: int = 10) -> list[tuple[int, np.float32]]:
         """Top-k (doc_id, score_f32), score desc then doc_id asc — Lucene
         TopScoreDocCollector tie-break."""
-        m = self._score_map(q)
+        from .search.query import rewrite
+
+        m = self._score_map(rewrite(self.expand(rewrite(q))))
         scored = [(d, np.float32(s)) for d, s in m.items()]
         scored.sort(key=lambda x: (-float(x[1]), x[0]))
         return scored[:k]
 
     def count(self, q) -> int:
-        return len(self._score_map(q))
+        from .search.query import rewrite
+
+        return len(self._match_set(rewrite(self.expand(rewrite(q)))))

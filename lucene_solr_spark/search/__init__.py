@@ -1,4 +1,32 @@
-from .query import And, Or, Term, parse_query, rewrite
-from .executor import search, count_hits
+from .query import (
+    And,
+    Bool,
+    Boost,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    MatchAll,
+    Or,
+    Phrase,
+    Prefix,
+    Regexp,
+    Term,
+    TermRange,
+    Wildcard,
+    parse_query,
+    rewrite,
+)
+from .executor import (
+    count_hits,
+    expand_multiterm,
+    positions_table,
+    postings_table,
+    search,
+)
 
-__all__ = ["Term", "And", "Or", "parse_query", "rewrite", "search", "count_hits"]
+__all__ = [
+    "And", "Bool", "Boost", "ConstantScore", "DisMax", "Fuzzy", "MatchAll",
+    "Or", "Phrase", "Prefix", "Regexp", "Term", "TermRange", "Wildcard",
+    "parse_query", "rewrite", "search", "count_hits", "expand_multiterm",
+    "positions_table", "postings_table",
+]

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -35,9 +36,26 @@ from pyspark.sql.types import (
 )
 
 from ..bm25 import BM25
-from ..codec import decode_doc_ids, decode_norm_bytes, decode_tfs
+from ..codec import decode_doc_ids, decode_norm_bytes, decode_positions, decode_tfs
 from ..index.core import IndexView
-from .query import And, Or, Term, query_terms, rewrite
+from .query import (
+    And,
+    Bool,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    MatchAll,
+    Or,
+    Phrase,
+    Prefix,
+    Regexp,
+    Term,
+    TermRange,
+    Wildcard,
+    is_multiterm,
+    query_terms,
+    rewrite,
+)
 
 __all__ = ["search", "count_hits", "scored_leaves", "postings_table"]
 
@@ -85,6 +103,56 @@ def postings_table(index: IndexView, terms: list[str] | None = None) -> DataFram
 
     cols = ["term", "doc_ids_vb", "tfs_vb", "norms_b"]
     return blocks.select(*cols).mapInPandas(_decode, _POSTINGS_TABLE_SCHEMA)
+
+
+_POSITIONS_TABLE_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", LongType()),
+        StructField("norm_byte", LongType()),
+        StructField("positions", ArrayType(LongType())),
+    ]
+)
+
+
+def positions_table(index: IndexView, terms: list[str]) -> DataFrame:
+    """Decoded postings WITH positions: [term, doc_id, tf, norm_byte,
+    positions] — the input to phrase matching (SURVEY.md §2.4)."""
+    blocks = index.postings.filter(F.col("term").isin(terms))
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = {"term": [], "doc_id": [], "tf": [], "norm_byte": [], "positions": []}
+            for i in range(pdf.shape[0]):
+                doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+                tfs = decode_tfs(pdf["tfs_vb"].iat[i])
+                nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
+                pos = decode_positions(pdf["positions_vb"].iat[i], tfs)
+                ends = np.cumsum(tfs)
+                starts = ends - tfs
+                t = pdf["term"].iat[i]
+                rows["term"].append(np.full(doc_ids.size, t, dtype=object))
+                rows["doc_id"].append(doc_ids)
+                rows["tf"].append(tfs.astype(np.int64))
+                rows["norm_byte"].append(nbs.astype(np.int64))
+                rows["positions"].extend(
+                    pos[s:e].tolist() for s, e in zip(starts, ends)
+                )
+            if not rows["doc_id"]:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(rows["term"]),
+                    "doc_id": np.concatenate(rows["doc_id"]),
+                    "tf": np.concatenate(rows["tf"]),
+                    "norm_byte": np.concatenate(rows["norm_byte"]),
+                    "positions": rows["positions"],
+                }
+            )
+
+    cols = ["term", "doc_ids_vb", "tfs_vb", "norms_b", "positions_vb"]
+    return blocks.select(*cols).mapInPandas(_decode, _POSITIONS_TABLE_SCHEMA)
 
 _SCORED_SCHEMA = StructType(
     [
@@ -144,13 +212,16 @@ def scored_leaves(
     terms: list[str],
     boosts: dict[str, float] | None = None,
     blocks: DataFrame | None = None,
+    stats: dict[str, int] | None = None,
 ) -> tuple[DataFrame, dict[str, float]]:
     """Decode + BM25-score all posting blocks of the given terms.
 
     Returns (DataFrame[term, doc_id, score:double], weights) where score is
     the float32 leaf score widened to double for exact clause summation.
+    ``stats`` (term → df) skips the term-dictionary lookup job when the
+    caller already collected it.
     """
-    dfs = _leaf_stats(index, terms)
+    dfs = stats if stats is not None else _leaf_stats(index, terms)
     present = [t for t in terms if t in dfs]
     bm = index.bm25
     boosts = boosts or {}
@@ -187,24 +258,252 @@ def _range_filter_blocks(blocks: DataFrame, ranges: np.ndarray) -> DataFrame:
     return blocks.filter(udf(F.col("first_doc"), F.col("last_doc")))
 
 
-def _plan_bool(node, leaf: dict[str, DataFrame]) -> DataFrame:
-    """Recursive boolean composition → DataFrame[doc_id, score:double]."""
-    if isinstance(node, Term):
-        df = leaf[node.term]
-        return df.select("doc_id", "score")
-    children = [_plan_bool(c, leaf) for c in node.clauses]
-    if isinstance(node, And):
+def _f32(col):
+    """Quantize a score column at a scorer-node boundary (Lucene's
+    ``return (float) sum``), keeping double as the carrier type."""
+    return col.cast("float").cast("double")
+
+
+def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
+    """Rewrite Prefix/Wildcard/Regexp/Fuzzy/TermRange nodes against the
+    term dictionary (Lucene's MultiTermQuery rewrite, §2.4).  Constant-score
+    nodes become ConstantScore(Or(terms)); scoring nodes become boolean
+    SHOULD expansions (SCORING_BOOLEAN_REWRITE) capped at ``max_expansions``
+    (BooleanQuery.maxClauseCount — TooManyClauses beyond)."""
+    import re as _re
+
+    if isinstance(q, (Term, Phrase, MatchAll)):
+        return q
+    if is_multiterm(q):
+        td = index.term_dict
+        if isinstance(q, Prefix):
+            cond = F.col("term").startswith(q.prefix)
+        elif isinstance(q, Wildcard):
+            rx = "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in q.pattern
+            )
+            cond = F.col("term").rlike(f"^(?:{rx})$")
+        elif isinstance(q, Regexp):
+            cond = F.col("term").rlike(f"^(?:{q.pattern})$")
+        elif isinstance(q, TermRange):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+        elif isinstance(q, Fuzzy):
+            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            if q.prefix_length:
+                cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+        terms = sorted(r["term"] for r in td.filter(cond).select("term").collect())
+        if not terms:
+            return Term("\x00no_match", q.boost)
+        if not q.constant_score and len(terms) > max_expansions:
+            raise ValueError(f"TooManyClauses: {len(terms)} > {max_expansions}")
+        if q.constant_score:
+            return ConstantScore(Or(*[Term(t) for t in terms]), q.boost)
+        return Or(*[Term(t, q.boost) for t in terms])
+    if isinstance(q, (And, Or)):
+        return type(q)(*[expand_multiterm(index, c, max_expansions) for c in q.clauses])
+    if isinstance(q, DisMax):
+        return DisMax(
+            *[expand_multiterm(index, c, max_expansions) for c in q.clauses],
+            tie_breaker=q.tie_breaker,
+        )
+    if isinstance(q, ConstantScore):
+        return ConstantScore(expand_multiterm(index, q.query, max_expansions), q.boost)
+    if isinstance(q, Bool):
+        ex = lambda cs: tuple(expand_multiterm(index, c, max_expansions) for c in cs)
+        return Bool(ex(q.must), ex(q.should), ex(q.must_not), ex(q.filter),
+                    q.min_should_match)
+    raise TypeError(f"unknown query node {type(q)}")
+
+
+def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
+    """[doc_id, tf, norm_byte] — exact-phrase frequency per doc via the
+    position-adjust trick: token at position p matches clause (term, off)
+    iff p - off is the same base position for every clause."""
+    uniq = list(dict.fromkeys(phrase.terms))
+    pt = positions_table(index, uniq)
+    offs = [(t, i, i) for i, t in enumerate(phrase.terms)]  # (term, off, clause)
+    cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
+    base = (
+        pt.join(F.broadcast(cdf), "term")
+        .select("doc_id", "norm_byte", "clause", "off", F.explode("positions").alias("pos"))
+        .select(
+            "doc_id", "norm_byte", "clause", (F.col("pos") - F.col("off")).alias("p")
+        )
+    )
+    occ = (
+        base.groupBy("doc_id", "p")
+        .agg(
+            F.countDistinct("clause").alias("nc"),
+            F.first("norm_byte").alias("norm_byte"),
+        )
+        .filter(F.col("nc") == len(phrase.terms))
+    )
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("norm_byte").alias("norm_byte")
+    )
+
+
+def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
+    """Phrase scoring: tf = phrase freq; idf = Σ constituent idfs (Lucene
+    BM25Similarity.idfExplain over the term array, summed in double and
+    cast float); returns [doc_id, score:double(f32-valued)]."""
+    uniq = list(dict.fromkeys(phrase.terms))
+    dfs = _leaf_stats(index, uniq)
+    if len(dfs) < len(uniq):
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    idfs = [index.bm25.idf(dfs[t], index.doc_count) for t in uniq]
+    total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+    w = np.float32(total_idf * np.float32(phrase.boost))
+    cache = index.norm_inverse_cache()
+
+    @F.pandas_udf("double")
+    def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+        s = BM25.score(
+            tf.to_numpy(dtype=np.int64), nb.to_numpy(dtype=np.int64), w, cache
+        )
+        return pd.Series(s.astype(np.float64))
+
+    tfdf = _phrase_tf(index, phrase)
+    return tfdf.select("doc_id", _score(F.col("tf"), F.col("norm_byte")).alias("score"))
+
+
+def _matches(index: IndexView, q) -> DataFrame:
+    """Unscored doc-id set of a query node (FILTER / MUST_NOT /
+    ConstantScore side — BooleanWeight's scoreless scorers)."""
+    if isinstance(q, Term):
+        return postings_table(index, [q.term]).select("doc_id")
+    if isinstance(q, Phrase):
+        return _phrase_tf(index, q).select("doc_id")
+    if isinstance(q, MatchAll):
+        return index.norms.select("doc_id")
+    if isinstance(q, ConstantScore):
+        return _matches(index, q.query)
+    if isinstance(q, And):
+        return reduce(lambda a, b: a.join(b, "doc_id", "left_semi"),
+                      [_matches(index, c) for c in q.clauses])
+    if isinstance(q, Or):
+        return reduce(DataFrame.unionByName,
+                      [_matches(index, c) for c in q.clauses]).distinct()
+    # general: matching docs of the scored plan
+    return _scores(index, q).select("doc_id")
+
+
+def _sum_f32(children: list[DataFrame], conj: bool) -> DataFrame:
+    """Conjunction/disjunction sum: accumulate child scores in float64,
+    cast float32 at the node boundary (ConjunctionScorer /
+    DisjunctionSumScorer semantics)."""
+    if len(children) == 1:
+        return children[0]
+    if conj:
         def join2(a: DataFrame, b: DataFrame) -> DataFrame:
             return (
                 a.withColumnRenamed("score", "_sa")
                 .join(b.withColumnRenamed("score", "_sb"), "doc_id")
                 .select("doc_id", (F.col("_sa") + F.col("_sb")).alias("score"))
             )
-        return reduce(join2, children)
-    if isinstance(node, Or):
-        u = reduce(lambda a, b: a.unionByName(b), children)
-        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
-    raise TypeError(f"unknown query node {type(node)}")
+        raw = reduce(join2, children)
+    else:
+        u = reduce(DataFrame.unionByName, children)
+        raw = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return raw.select("doc_id", _f32(F.col("score")).alias("score"))
+
+
+def _scores(index: IndexView, q) -> DataFrame:
+    """Recursive scorer tree → [doc_id, score:double] with float32-valued
+    scores at every node boundary (SURVEY.md §2.4/§2.5 composition)."""
+    spark = index.spark
+    if isinstance(q, Term):
+        sc, _ = scored_leaves(index, [q.term], boosts={q.term: q.boost})
+        return sc.select("doc_id", "score")
+    if isinstance(q, Phrase):
+        return _phrase_scores(index, q)
+    if isinstance(q, MatchAll):
+        b = float(np.float32(q.boost))
+        return index.norms.select("doc_id", F.lit(b).alias("score"))
+    if isinstance(q, ConstantScore):
+        b = float(np.float32(q.boost))
+        return _matches(index, q.query).select("doc_id", F.lit(b).alias("score"))
+    if isinstance(q, (And, Or)):
+        children = [_scores(index, c) for c in q.clauses]
+        return _sum_f32(children, conj=isinstance(q, And))
+    if isinstance(q, DisMax):
+        children = [_scores(index, c) for c in q.clauses]
+        u = reduce(DataFrame.unionByName, children)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+        )
+        tie = float(q.tie_breaker)
+        # (float)(max + (sum - max) * tie) — DisjunctionMaxScorer
+        return agg.select(
+            "doc_id",
+            _f32(F.col("_mx") + (F.col("_sm") - F.col("_mx")) * F.lit(tie)).alias("score"),
+        )
+    if isinstance(q, Bool):
+        plan = None
+        if q.must:
+            plan = _sum_f32([_scores(index, c) for c in q.must], conj=True)
+        if q.should:
+            sh = [_scores(index, c).withColumn("_c", F.lit(i))
+                  for i, c in enumerate(q.should)]
+            u = reduce(DataFrame.unionByName, sh)
+            agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("_ssum"), F.countDistinct("_c").alias("_scnt")
+            )
+            msm = q.min_should_match
+            if plan is None:
+                agg = agg.filter(F.col("_scnt") >= max(1, msm))
+                plan = agg.select("doc_id", _f32(F.col("_ssum")).alias("score"))
+            else:
+                # ReqOptSumScorer: required + optional, float-cast at node
+                opt = agg if msm == 0 else agg.filter(F.col("_scnt") >= msm)
+                if msm > 0:
+                    plan = plan.join(opt.select("doc_id"), "doc_id", "left_semi")
+                j = plan.join(
+                    agg.select("doc_id", _f32(F.col("_ssum")).alias("_opt")),
+                    "doc_id",
+                    "left",
+                )
+                plan = j.select(
+                    "doc_id",
+                    _f32(F.col("score") + F.coalesce(F.col("_opt"), F.lit(0.0))).alias(
+                        "score"
+                    ),
+                )
+        if plan is None:
+            if q.filter:
+                plan = _matches(index, And(*q.filter) if len(q.filter) > 1 else q.filter[0])
+                plan = plan.select("doc_id", F.lit(0.0).alias("score"))
+            else:
+                raise ValueError("Bool query with no positive clauses")
+        for f in q.filter:
+            plan = plan.join(_matches(index, f), "doc_id", "left_semi")
+        if q.must_not:
+            neg = reduce(
+                DataFrame.unionByName, [_matches(index, c) for c in q.must_not]
+            ).distinct()
+            plan = plan.join(neg, "doc_id", "left_anti")
+        return plan
+    raise TypeError(f"unknown query node {type(q)}")
+
+
+#: below this many blocks for the query terms, skip prune entirely: the
+#: decode-everything plan is one job, and per-job overhead dominates (at
+#: cluster scale a low-df term never pays for a θ pass either — Lucene's
+#: cost-based "WAND only when it can skip" decision, §4).  Vectorized
+#: decode is ~10M postings/sec/core, so pruning starts paying around a few
+#: hundred blocks (term path) / a few thousand (conjunction leapfrog,
+#: which adds a ranges collect + a secondary filter scan).
+_PRUNE_MIN_BLOCKS = 64
+_PRUNE_MIN_BLOCKS_AND = 4096
 
 
 def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None:
@@ -212,18 +511,19 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
     (SURVEY.md §4): pass 1 exact-scores the blocks with the highest upper
     bounds until >= k docs are covered, giving a true achievable theta;
     pass 2 rescans only blocks whose upper bound >= theta.  Sound because
-    ub >= any score in the block and theta is a realized k-th score."""
+    ub >= any score in the block and theta is a realized k-th score.
+
+    One metadata collect feeds everything: df = Σ doc_count, so no extra
+    term-dictionary job."""
     meta = (
         index.postings.filter(F.col("term") == term)
         .select("block_id", "doc_count", "max_tf", "min_norm_byte")
         .collect()
     )
-    if not meta or len(meta) > _PRUNE_MAX_BLOCKS:
+    if not (_PRUNE_MIN_BLOCKS <= len(meta) <= _PRUNE_MAX_BLOCKS):
         return None
-    dfs = _leaf_stats(index, [term])
-    if term not in dfs:
-        return index.spark.createDataFrame([], "doc_id long, score double")
-    w = index.bm25.weight(dfs[term], index.doc_count)
+    df_term = int(sum(r["doc_count"] for r in meta))
+    w = index.bm25.weight(df_term, index.doc_count)
     cache = index.norm_inverse_cache()
     max_tf = np.array([r["max_tf"] for r in meta], dtype=np.int64)
     mnb = np.array([r["min_norm_byte"] for r in meta], dtype=np.int64)
@@ -238,7 +538,7 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
     blocks1 = index.postings.filter(
         (F.col("term") == term) & F.col("block_id").isin(list(pass1_ids))
     )
-    scored1, _ = scored_leaves(index, [term], blocks=blocks1)
+    scored1, _ = scored_leaves(index, [term], blocks=blocks1, stats={term: df_term})
     top1 = (
         scored1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     )
@@ -255,7 +555,7 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
     blocks2 = index.postings.filter(
         (F.col("term") == term) & F.col("block_id").isin(keep2_ids)
     )
-    scored2, _ = scored_leaves(index, [term], blocks=blocks2)
+    scored2, _ = scored_leaves(index, [term], blocks=blocks2, stats={term: df_term})
     return out1.unionByName(scored2.select("doc_id", "score"))
 
 
@@ -270,6 +570,8 @@ def search(
     """Top-k BM25 search → DataFrame[doc_id:long, score:float] ordered by
     (score desc, doc_id asc) — Lucene TopScoreDocCollector semantics."""
     q = rewrite(query)
+    q = expand_multiterm(index, q)
+    q = rewrite(q)
     terms = query_terms(q)
 
     def finish(plan: DataFrame) -> DataFrame:
@@ -279,12 +581,27 @@ def search(
             .limit(k)
         )
 
+    # fast paths: single term / flat And / flat Or with distinct terms
+    fast = isinstance(q, Term) or (
+        isinstance(q, (And, Or))
+        and all(isinstance(c, Term) for c in q.clauses)
+        and len({c.term for c in q.clauses}) == len(q.clauses)
+    )
+    if not fast:
+        # general scorer tree (phrase / bool / dismax / constant-score …)
+        return finish(_scores(index, q))
+    node_boosts = (
+        {q.term: q.boost} if isinstance(q, Term) else {c.term: c.boost for c in q.clauses}
+    )
+    boosts = {**node_boosts, **(boosts or {})}
+
     if prune and isinstance(q, Term):
         pruned = _single_term_pruned(index, q.term, k)
         if pruned is not None:
             return finish(pruned)
 
     blocks = None
+    stats: dict[str, int] | None = None
     if (
         prune
         and isinstance(q, And)
@@ -297,7 +614,10 @@ def search(
             return finish(index.spark.createDataFrame([], "doc_id long, score double"))
         lead = min(terms, key=lambda t: stats[t])
         n_blocks = (stats[lead] + 127) // 128
-        if n_blocks <= lead_term_max_blocks:
+        total_blocks = sum((d + 127) // 128 for d in stats.values())
+        if total_blocks < _PRUNE_MIN_BLOCKS_AND:
+            pass  # small lists: one decode-everything job beats leapfrog
+        elif n_blocks <= lead_term_max_blocks:
             ranges = np.array(
                 sorted(
                     (int(r["first_doc"]), int(r["last_doc"]))
@@ -313,17 +633,27 @@ def search(
             lead_blocks = index.postings.filter(F.col("term") == lead)
             blocks = lead_blocks.unionByName(_range_filter_blocks(others, ranges))
 
-    scored, _ = scored_leaves(index, terms, boosts, blocks=blocks)
-    scored = scored.persist()
-    leaf = {t: scored.filter(F.col("term") == t) for t in terms}
-    plan = _plan_bool(q, leaf)
-    return finish(plan)
+    scored, _ = scored_leaves(index, terms, boosts, blocks=blocks, stats=stats)
+
+    # flat boolean trees compose in ONE aggregation pass over the scored
+    # stream (no per-term re-filtering): OR = sum per doc; AND = sum per
+    # doc where the distinct-term match count equals the clause count.
+    # boosts: per-term leaf boosts from the Term nodes themselves.
+    if isinstance(q, Term):
+        return finish(scored.select("doc_id", "score"))
+    if isinstance(q, Or):
+        return finish(scored.groupBy("doc_id").agg(F.sum("score").alias("score")))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("score").alias("score")
+    )
+    return finish(agg.filter(F.col("_n") == len(terms)).select("doc_id", "score"))
 
 
 def count_hits(index: IndexView, query) -> int:
     """TotalHitCountCollector analog.  Single terms count block metadata
-    only (no decode); boolean queries count the composed plan."""
+    only (no decode); other queries count their unscored match set."""
     q = rewrite(query)
+    q = rewrite(expand_multiterm(index, q))
     if isinstance(q, Term):
         row = (
             index.postings.filter(F.col("term") == q.term)
@@ -331,6 +661,4 @@ def count_hits(index: IndexView, query) -> int:
             .collect()[0]
         )
         return int(row["n"])
-    scored, _ = scored_leaves(index, query_terms(q))
-    leaf = {t: scored.filter(F.col("term") == t) for t in query_terms(q)}
-    return _plan_bool(q, leaf).count()
+    return _matches(index, q).distinct().count()

@@ -1,21 +1,35 @@
 """Query AST + rewrite — the analog of Lucene's Query tree.
 
 Reference semantics: ``[8x] lucene/core/src/java/org/apache/lucene/search/
-TermQuery.java`` / ``BooleanQuery.java`` (SURVEY.md §2.4, §3.1).  v0 scope
-per the north rule: Term, Boolean AND (MUST), Boolean OR (SHOULD); nesting
-allowed ( ``(a AND b) OR c`` ).  Scoring composition matches Lucene:
-a clause's score is the float64 sum of its matching children's float32
-scores, cast to float32 at the top (DisjunctionSumScorer semantics).
+TermQuery.java`` / ``BooleanQuery.java`` / ``PhraseQuery.java`` /
+``DisjunctionMaxQuery.java`` / ``ConstantScoreQuery.java`` /
+``PrefixQuery.java`` / ``TermRangeQuery.java`` / ``FuzzyQuery.java``
+(SURVEY.md §2.4).
 
-``rewrite`` mirrors BooleanQuery#rewrite's cheap simplifications:
-single-clause unwrap, duplicate-clause dedup, nested same-type flatten.
+Score composition mirrors Lucene's scorer tree: every composite scorer
+accumulates its children in a float64 register and casts to float32 at its
+own boundary (DisjunctionSumScorer / ConjunctionScorer /
+DisjunctionMaxScorer all ``return (float) sum``), so nested queries
+quantize at every level — the engine and the oracle both reproduce this.
+
+``rewrite`` mirrors Query#rewrite's cheap simplifications: single-clause
+unwrap, duplicate-clause dedup, nested same-type flatten, and BoostQuery
+distribution (boost pushes multiplicatively into leaf weights, exactly how
+BoostQuery folds into Weight creation).  Multi-term queries (Prefix /
+Wildcard / Regexp / Fuzzy / TermRange) rewrite against the term dictionary
+at execution time (executor.expand_multiterm) since expansion needs the
+index, defaulting to Lucene 8's CONSTANT_SCORE_REWRITE.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-__all__ = ["Term", "And", "Or", "rewrite", "parse_query", "query_terms"]
+__all__ = [
+    "Term", "And", "Or", "Bool", "Phrase", "ConstantScore", "DisMax", "Boost",
+    "MatchAll", "Prefix", "Wildcard", "Regexp", "Fuzzy", "TermRange",
+    "rewrite", "parse_query", "query_terms", "is_multiterm",
+]
 
 
 @dataclass(frozen=True)
@@ -24,63 +38,243 @@ class Term:
     boost: float = 1.0
 
 
+def _tuplify(clauses):
+    if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
+        clauses = tuple(clauses[0])
+    return tuple(clauses)
+
+
 @dataclass(frozen=True)
 class And:
     clauses: tuple
     def __init__(self, *clauses):
-        if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
-            clauses = tuple(clauses[0])
-        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "clauses", _tuplify(clauses))
 
 
 @dataclass(frozen=True)
 class Or:
     clauses: tuple
     def __init__(self, *clauses):
-        if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
-            clauses = tuple(clauses[0])
-        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "clauses", _tuplify(clauses))
+
+
+@dataclass(frozen=True)
+class Bool:
+    """Full BooleanQuery: MUST scores+matches, SHOULD scores (optional when
+    MUST present unless min_should_match), FILTER matches-without-score,
+    MUST_NOT excludes.  ``[8x] .../search/BooleanQuery.java``."""
+
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter: tuple = ()
+    min_should_match: int = 0
+
+    def __init__(self, must=(), should=(), must_not=(), filter=(), min_should_match=0):
+        object.__setattr__(self, "must", tuple(must))
+        object.__setattr__(self, "should", tuple(should))
+        object.__setattr__(self, "must_not", tuple(must_not))
+        object.__setattr__(self, "filter", tuple(filter))
+        object.__setattr__(self, "min_should_match", int(min_should_match))
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """Exact phrase (slop=0): terms must appear at consecutive positions.
+    Scored like a pseudo-term: tf = phrase frequency, idf = Σ constituent
+    idfs (BM25Similarity.idfExplain over the term array)."""
+
+    terms: tuple
+    boost: float = 1.0
+
+    def __init__(self, *terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", _tuplify(terms))
+        object.__setattr__(self, "boost", float(boost))
+
+
+@dataclass(frozen=True)
+class ConstantScore:
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisMax:
+    clauses: tuple
+    tie_breaker: float = 0.0
+
+    def __init__(self, *clauses, tie_breaker: float = 0.0):
+        object.__setattr__(self, "clauses", _tuplify(clauses))
+        object.__setattr__(self, "tie_breaker", float(tie_breaker))
+
+
+@dataclass(frozen=True)
+class Boost:
+    query: object
+    boost: float
+
+
+@dataclass(frozen=True)
+class MatchAll:
+    boost: float = 1.0
+
+
+# --- multi-term queries (expand against the term dictionary) --------------
+
+
+@dataclass(frozen=True)
+class Prefix:
+    prefix: str
+    boost: float = 1.0
+    constant_score: bool = True  # Lucene 8 default rewrite
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    pattern: str  # Lucene syntax: * (any run) and ? (one char)
+    boost: float = 1.0
+    constant_score: bool = True
+
+
+@dataclass(frozen=True)
+class Regexp:
+    pattern: str
+    boost: float = 1.0
+    constant_score: bool = True
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+    constant_score: bool = False  # FuzzyQuery scores (TopTermsBlendedFreq in
+    # Lucene; we use scoring-boolean over expansions — documented deviation)
+
+
+@dataclass(frozen=True)
+class TermRange:
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+    constant_score: bool = True
+
+
+MULTITERM = (Prefix, Wildcard, Regexp, Fuzzy, TermRange)
+
+
+def is_multiterm(q) -> bool:
+    return isinstance(q, MULTITERM)
+
+
+def _boosted(q, b: float):
+    """Distribute a boost multiplicatively into a node (Lucene BoostQuery
+    folds boost into Weight creation — linear in every scorer)."""
+    if b == 1.0:
+        return q
+    if isinstance(q, Term):
+        return Term(q.term, q.boost * b)
+    if isinstance(q, Phrase):
+        return Phrase(*q.terms, boost=q.boost * b)
+    if isinstance(q, (ConstantScore, MatchAll)):
+        from dataclasses import replace
+        return replace(q, boost=q.boost * b)
+    if is_multiterm(q):
+        from dataclasses import replace
+        return replace(q, boost=q.boost * b)
+    if isinstance(q, Boost):
+        return _boosted(q.query, q.boost * b)
+    # composites: Lucene's createWeight passes boost down recursively
+    if isinstance(q, (And, Or)):
+        return type(q)(*[_boosted(c, b) for c in q.clauses])
+    if isinstance(q, DisMax):
+        return DisMax(*[_boosted(c, b) for c in q.clauses], tie_breaker=q.tie_breaker)
+    if isinstance(q, Bool):
+        return Bool(
+            must=tuple(_boosted(c, b) for c in q.must),
+            should=tuple(_boosted(c, b) for c in q.should),
+            must_not=q.must_not,
+            filter=q.filter,
+            min_should_match=q.min_should_match,
+        )
+    raise TypeError(f"cannot boost {type(q)}")
 
 
 def rewrite(q):
-    """Fixpoint simplification: flatten same-type nesting, dedup, unwrap."""
-    if isinstance(q, Term):
+    """Fixpoint simplification: flatten same-type nesting, dedup, unwrap,
+    push Boost into leaves."""
+    if isinstance(q, Boost):
+        return rewrite(_boosted(rewrite(q.query), q.boost))
+    if isinstance(q, (Term, Phrase, MatchAll, ConstantScore)) or is_multiterm(q):
+        if isinstance(q, ConstantScore):
+            return ConstantScore(rewrite(q.query), q.boost)
         return q
-    kind = type(q)
-    flat: list = []
-    seen = set()
-    for c in q.clauses:
-        c = rewrite(c)
-        children = c.clauses if isinstance(c, kind) else (c,)
-        for ch in children:
-            if ch not in seen:
-                seen.add(ch)
-                flat.append(ch)
-    if len(flat) == 1:
-        return flat[0]
-    return kind(*flat)
+    if isinstance(q, DisMax):
+        return DisMax(*[rewrite(c) for c in q.clauses], tie_breaker=q.tie_breaker)
+    if isinstance(q, Bool):
+        return Bool(
+            must=tuple(dict.fromkeys(rewrite(c) for c in q.must)),
+            should=tuple(dict.fromkeys(rewrite(c) for c in q.should)),
+            must_not=tuple(dict.fromkeys(rewrite(c) for c in q.must_not)),
+            filter=tuple(dict.fromkeys(rewrite(c) for c in q.filter)),
+            min_should_match=q.min_should_match,
+        )
+    if isinstance(q, (And, Or)):
+        kind = type(q)
+        flat: list = []
+        seen = set()
+        for c in q.clauses:
+            c = rewrite(c)
+            children = c.clauses if isinstance(c, kind) else (c,)
+            for ch in children:
+                if ch not in seen:
+                    seen.add(ch)
+                    flat.append(ch)
+        if len(flat) == 1:
+            return flat[0]
+        return kind(*flat)
+    raise TypeError(f"unknown query node {type(q)}")
 
 
 def query_terms(q) -> list[str]:
-    """Distinct terms referenced by the query, in first-seen order."""
+    """Distinct scoring terms referenced by the query, first-seen order
+    (multi-term nodes contribute nothing until expanded)."""
     out: list[str] = []
+
     def walk(n):
         if isinstance(n, Term):
             if n.term not in out:
                 out.append(n.term)
-        else:
+        elif isinstance(n, Phrase):
+            for t in n.terms:
+                if t not in out:
+                    out.append(t)
+        elif isinstance(n, (And, Or, DisMax)):
             for c in n.clauses:
                 walk(c)
+        elif isinstance(n, Bool):
+            for c in (*n.must, *n.should, *n.must_not, *n.filter):
+                walk(c)
+        elif isinstance(n, (ConstantScore, Boost)):
+            walk(n.query)
+
     walk(q)
     return out
 
 
 def parse_query(s: str):
-    """Tiny query parser: terms, AND, OR, parentheses.  Bare whitespace
-    between terms means OR (Lucene default SHOULD semantics).
-    Grammar: or_expr := and_expr (('OR'|ε) and_expr)* ; and_expr := atom ('AND' atom)*.
+    """Tiny query parser: terms, AND, OR, NOT, parentheses, "quoted phrases",
+    prefix* wildcards.  Bare whitespace between terms means OR (Lucene
+    default SHOULD semantics); ``a AND NOT b`` / ``NOT b`` use MUST_NOT.
+    Grammar: or := and (('OR'|ε) and)* ; and := unary ('AND' unary)* ;
+    unary := 'NOT' atom | atom.
     """
-    toks = s.replace("(", " ( ").replace(")", " ) ").split()
+    import re as _re
+
+    toks = _re.findall(r'"[^"]*"|\(|\)|[^\s()]+', s)
     pos = 0
 
     def peek():
@@ -102,16 +296,37 @@ def parse_query(s: str):
                 raise ValueError(f"unbalanced parenthesis in query: {s!r}")
             take()
             return e
-        if t == ")" or t in ("AND", "OR"):
+        if t == ")" or t in ("AND", "OR", "NOT"):
             raise ValueError(f"unexpected {t!r} in query: {s!r}")
+        if t.startswith('"') and t.endswith('"'):
+            words = t[1:-1].lower().split()
+            if not words:
+                raise ValueError(f"empty phrase in query: {s!r}")
+            return Phrase(*words) if len(words) > 1 else Term(words[0])
+        if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+            return Prefix(t[:-1].lower())
+        if "*" in t or "?" in t:
+            return Wildcard(t.lower())
         return Term(t.lower())
 
+    def unary():
+        if peek() == "NOT":
+            take()
+            return ("NOT", atom())
+        return atom()
+
     def and_expr():
-        left = [atom()]
+        parts = [unary()]
         while peek() == "AND":
             take()
-            left.append(atom())
-        return left[0] if len(left) == 1 else And(*left)
+            parts.append(unary())
+        pos_parts = [p for p in parts if not (isinstance(p, tuple) and p[0] == "NOT")]
+        neg_parts = [p[1] for p in parts if isinstance(p, tuple) and p[0] == "NOT"]
+        if neg_parts:
+            if not pos_parts:
+                pos_parts = [MatchAll()]
+            return Bool(must=pos_parts, must_not=neg_parts)
+        return pos_parts[0] if len(pos_parts) == 1 else And(*pos_parts)
 
     def or_expr():
         left = [and_expr()]
@@ -122,4 +337,6 @@ def parse_query(s: str):
         return left[0] if len(left) == 1 else Or(*left)
 
     q = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in query: {s!r}")
     return rewrite(q)

@@ -38,6 +38,11 @@ def get_spark(app_name: str = "lucene_solr_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local corpora compress well; default 128m collapses a whole
+        # bench corpus into 1-2 input splits and serializes the tokenize
+        # stage.  32m keeps scan parallelism ≥ cores at sandbox scale and
+        # is harmless on a real cluster (splits merge via AQE coalesce).
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

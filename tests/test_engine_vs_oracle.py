@@ -117,3 +117,20 @@ def test_pruned_equals_unpruned(engine):
     a = search(engine, q, k=10, prune=True).collect()
     b = search(engine, q, k=10, prune=False).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_forced_prune_paths_identical(engine, oracle, monkeypatch):
+    """Drive the block-max WAND term path and the AND leapfrog path even at
+    test scale (thresholds forced to 0) — results must stay rank+score
+    identical to the oracle."""
+    from lucene_solr_spark.search import executor
+
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS_AND", 0)
+    for q in [
+        Term(KEYWORDS[0]),
+        Term(KEYWORDS[25]),
+        And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+        And(Term(KEYWORDS[1]), Term(KEYWORDS[7]), Term(KEYWORDS[2])),
+    ]:
+        assert _run(engine, q) == oracle.search(q, k=10), q

@@ -1,0 +1,139 @@
+"""Extended query operators vs the oracle: phrase, Bool (MUST_NOT /
+FILTER / minShouldMatch), ConstantScore, DisMax, Boost, multi-term
+expansion (prefix / wildcard / regexp / fuzzy / range), parser.
+
+Every scored query must match the oracle rank+score exactly (float32);
+match-only semantics checked by doc-set equality.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene, levenshtein
+from lucene_solr_spark.search import (
+    And,
+    Bool,
+    Boost,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    MatchAll,
+    Or,
+    Phrase,
+    Prefix,
+    Regexp,
+    Term,
+    TermRange,
+    Wildcard,
+    count_hits,
+    parse_query,
+    search,
+)
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=99).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def _run(engine, q, k=10):
+    rows = search(engine, q, k=k).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+QUERIES = [
+    # phrase (generator emits "kw ident(ident, lit);" lines — adjacent pairs exist)
+    Phrase("def", "class"),
+    Phrase(KEYWORDS[0], KEYWORDS[0]),
+    Phrase("int", "new", boost=2.0),
+    # boolean variants
+    Bool(must=(Term("def"),), must_not=(Term("class"),)),
+    Bool(must=(Term("def"),), filter=(Term("return"),)),
+    Bool(should=(Term("def"), Term("class"), Term("import")), min_should_match=2),
+    Bool(must=(Term("def"),), should=(Term("class"), Term("return"))),
+    Bool(
+        must=(Term("def"),),
+        should=(Term("class"), Term("return")),
+        min_should_match=1,
+    ),
+    Bool(must=(MatchAll(),), must_not=(Term("def"),)),
+    # wrappers
+    ConstantScore(Term("def"), boost=3.5),
+    ConstantScore(And(Term("def"), Term("class")), boost=0.5),
+    DisMax(Term("def"), Term("class")),
+    DisMax(Term("def"), Term("class"), tie_breaker=0.3),
+    Boost(Or(Term("def"), Term("class")), 2.0),
+    MatchAll(),
+    # multi-term
+    Prefix("cla"),
+    Prefix("def", constant_score=False),
+    Wildcard("cl*s"),
+    Wildcard("i?t"),
+    Regexp("(def|class)"),
+    Fuzzy("clasz", max_edits=1),
+    Fuzzy("defX", max_edits=1, constant_score=True),
+    TermRange("class", "def"),
+    TermRange("class", "def", include_lower=False, include_upper=False),
+    # nested composition with f32 node casts
+    Or(And(Term("def"), Term("class")), Phrase("int", "new")),
+    And(Or(Term("def"), Term("class")), Bool(must=(Term("return"),))),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_operator_rank_score_identity(engine, oracle, qi):
+    q = QUERIES[qi]
+    got = _run(engine, q)
+    want = oracle.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (q, got[:3], want[:3])
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == ws, (q, gd, gs, ws)
+
+
+def test_phrase_tf_positive(engine, oracle):
+    # the corpus generator shapes "kw ident(...)" — adjacent keyword pairs occur
+    hits = oracle._phrase_tf(Phrase("def", "class"))
+    assert hits, "fixture assumption: phrase must occur"
+
+
+def test_count_hits_operators(engine, oracle):
+    for q in [Phrase("def", "class"), Prefix("cla"), Bool(must=(Term("def"),),
+              must_not=(Term("class"),))]:
+        assert count_hits(engine, q) == oracle.count(q), q
+
+
+def test_parser_extended():
+    q = parse_query('"def class" AND NOT import')
+    assert isinstance(q, Bool) and q.must_not
+    assert parse_query("cla*") == Prefix("cla")
+    assert parse_query("c?ass") == Wildcard("c?ass")
+    q = parse_query("NOT def")
+    assert isinstance(q, Bool) and q.must == (MatchAll(),)
+    with pytest.raises(ValueError):
+        parse_query('""')
+
+
+def test_levenshtein_reference():
+    assert levenshtein("class", "clasz") == 1
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
