@@ -1,0 +1,135 @@
+"""Solr function queries (value sources) as Column expressions.
+
+The analog of ``[8x] solr/core/src/java/org/apache/solr/search/
+ValueSourceParser.java`` + ``lucene/queries/.../function/valuesource/*``
+(SURVEY.md §2.8): every function query becomes a Catalyst Column — free
+codegen, pushdown, and use anywhere a DataFrame accepts an expression
+(select / filter / orderBy / boost factor).
+
+Relevance value sources (termfreq, docfreq, idf, tf, norm) read the
+engine's own tables — they are first-class DataFrame columns obtained by
+joining ``postings_table`` / ``term_dict`` / ``norms``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
+    "date_ms", "geodist", "termfreq", "docfreq", "idf_col", "norm_col",
+]
+
+
+# --- math (ValueSourceParser: recip, scale, map, linear) --------------------
+
+
+def recip(x: Column, m: float, a: float, b: float) -> Column:
+    """Solr ``recip(x,m,a,b)`` = a / (m*x + b) — the classic recency boost."""
+    return F.lit(float(a)) / (F.lit(float(m)) * x + F.lit(float(b)))
+
+
+def linear(x: Column, m: float, c: float) -> Column:
+    """Solr ``linear(x,m,c)`` = m*x + c."""
+    return F.lit(float(m)) * x + F.lit(float(c))
+
+
+def map_value(x: Column, lo: float, hi: float, target: float,
+              default: Column | None = None) -> Column:
+    """Solr ``map(x,min,max,target[,default])``: values in [min,max] →
+    target, else default (or x)."""
+    inside = (x >= lo) & (x <= hi)
+    return F.when(inside, F.lit(float(target))).otherwise(default if default is not None else x)
+
+
+def scale_between(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame:
+    """Solr ``scale(x,minTarget,maxTarget)``: min-max rescale of a column
+    over the result set (needs the global min/max — one tiny agg job)."""
+    mn, mx = df.agg(F.min(col), F.max(col)).collect()[0]
+    rng = (mx - mn) or 1.0
+    scaled = (F.col(col) - F.lit(mn)) / F.lit(rng) * F.lit(hi - lo) + F.lit(lo)
+    return df.withColumn(f"{col}_scaled", scaled)
+
+
+# --- string -----------------------------------------------------------------
+
+
+def strdist(a: Column, b: Column, method: str = "edit") -> Column:
+    """Solr ``strdist``: similarity in [0,1].  ``edit`` = 1 - lev/maxlen
+    (StringDistance#getDistance edit flavor)."""
+    if method != "edit":
+        raise ValueError(f"unsupported strdist method: {method}")
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b).cast("double") / mx
+    )
+
+
+def field_exists(c: Column) -> Column:
+    """Solr ``exists(field)``."""
+    return c.isNotNull()
+
+
+# --- date -------------------------------------------------------------------
+
+
+def date_ms(ts: Column) -> Column:
+    """Solr ``ms(date)`` — epoch milliseconds."""
+    return F.unix_millis(ts)
+
+
+# --- geo --------------------------------------------------------------------
+
+_EARTH_KM = 6371.0087714  # Solr GeoDistValueSourceParser mean radius
+
+
+def geodist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Solr ``geodist()`` — haversine great-circle distance in km."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2
+    return F.lit(2 * _EARTH_KM) * F.asin(F.sqrt(a))
+
+
+# --- relevance value sources (engine tables as columns) ---------------------
+
+
+def termfreq(index, term: str) -> DataFrame:
+    """Solr ``termfreq(field,term)`` — [doc_id, tf] for one term."""
+    from .search.executor import postings_table
+
+    return postings_table(index, [term]).select("doc_id", "tf")
+
+
+def docfreq(index, term: str) -> int:
+    """Solr ``docfreq(field,term)`` — scalar df from the dictionary."""
+    rows = index.term_dict.filter(F.col("term") == term).select("df").collect()
+    return int(rows[0]["df"]) if rows else 0
+
+
+def idf_col(index) -> DataFrame:
+    """Per-term Lucene-8 BM25 idf over the dictionary: [term, df, idf]."""
+    n = index.doc_count
+    return index.term_dict.select(
+        "term",
+        "df",
+        F.log1p(((F.lit(float(n)) - F.col("df")) + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+
+
+def norm_col(index) -> DataFrame:
+    """Solr ``norm(field)`` — [doc_id, norm_byte, quantized_length]."""
+    from .smallfloat import LENGTH_TABLE
+
+    lt = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE.tolist()])
+    return index.norms.select(
+        "doc_id",
+        "norm_byte",
+        F.element_at(lt, (F.col("norm_byte") + 1).cast("int")).cast("long").alias(
+            "quantized_length"
+        ),
+    )

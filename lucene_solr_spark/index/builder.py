@@ -243,10 +243,20 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
     if merged is None:
         merged = merged_path.exists()
     postings = spark.read.parquet(str(merged_path if merged else index_path / "segments"))
+    td_path = index_path / "term_dict.parquet"
+    if td_path.exists():
+        term_dict = spark.read.parquet(str(td_path))
+    else:
+        # streaming-built index: derive the dictionary from the live
+        # segments (openIfChanged semantics — always current)
+        term_dict = postings.groupBy("term").agg(
+            F.sum("doc_count").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+        )
     return IndexView(
         spark=spark,
         postings=postings,
-        term_dict=spark.read.parquet(str(index_path / "term_dict.parquet")),
+        term_dict=term_dict,
         norms=spark.read.parquet(str(index_path / "norms.parquet")),
         doc_count=manifest["stats"]["doc_count"],
         sum_ttf=manifest["stats"]["sum_ttf"],

@@ -1,0 +1,253 @@
+"""Solr relational surface: facets, stats, grouping, streaming expressions.
+
+The analogs of Solr's JSON Facet API (``[8x] solr/core/src/java/org/apache/
+solr/search/facet/``), result grouping / CollapsingQParser (``.../search/
+Grouping.java``, ``CollapsingQParserPlugin.java``), the StatsComponent,
+and the solrj streaming expressions (``solr/solrj/.../io/stream/*.java``)
+— each re-expressed as a Catalyst-native DataFrame transform (SURVEY.md
+§2.6–2.7).  Everything here is built-in Spark (hash aggregate, window,
+broadcast/sort-merge join, TakeOrderedAndProject); no UDFs.
+
+Scale notes: every facet is one partial-agg shuffle on its bucket key;
+grouping/collapse are window functions over a single hash partition per
+group key; ``parallel_by`` is the explicit repartition exchange that
+Solr's ``parallel()`` stream performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "facet_terms",
+    "facet_range",
+    "facet_pivot",
+    "facet_stats",
+    "stats_component",
+    "group_top_k",
+    "collapse",
+    "expand_collapsed",
+    "significant_terms",
+    "timeseries",
+    "unique_stream",
+    "merge_streams",
+    "rollup",
+    "hash_join",
+    "fetch",
+    "intersect_streams",
+    "complement_streams",
+    "cartesian_product",
+    "top_stream",
+    "parallel_by",
+    "export_sorted",
+]
+
+
+# --- facets (JSON Facet API) ------------------------------------------------
+
+
+def facet_terms(df: DataFrame, field: str, limit: int = 10,
+                min_count: int = 1, sort_by_count: bool = True) -> DataFrame:
+    """Terms facet: top buckets of ``field`` by count (FacetField)."""
+    g = df.groupBy(field).agg(F.count(F.lit(1)).alias("count"))
+    if min_count > 1:
+        g = g.filter(F.col("count") >= min_count)
+    order = [F.desc("count"), F.asc(field)] if sort_by_count else [F.asc(field)]
+    return g.orderBy(*order).limit(limit)
+
+
+def facet_range(df: DataFrame, field: str, start: float, end: float,
+                gap: float) -> DataFrame:
+    """Range facet: fixed-gap histogram (FacetRange).  Buckets are
+    [start + i*gap, start + (i+1)*gap); out-of-range rows are dropped
+    (Solr's default include semantics)."""
+    bucket = F.floor((F.col(field) - F.lit(start)) / F.lit(gap)).cast("long")
+    return (
+        df.filter((F.col(field) >= start) & (F.col(field) < end))
+        .withColumn("bucket", bucket)
+        .withColumn("bucket_start", (F.lit(start) + F.col("bucket") * F.lit(gap)))
+        .groupBy("bucket", "bucket_start")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bucket")
+    )
+
+
+def facet_pivot(df: DataFrame, *fields: str, limit_per_level: int | None = None) -> DataFrame:
+    """Pivot facet: hierarchical counts over field1 × field2 × … —
+    grouping-sets shape via groupBy on all levels."""
+    g = df.groupBy(*fields).agg(F.count(F.lit(1)).alias("count"))
+    return g.orderBy(*[F.asc(f) for f in fields])
+
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c),
+    "sumsq": lambda c: F.sum(c * c),
+    "variance": F.var_samp,
+    "stddev": F.stddev_samp,
+    "unique": F.countDistinct,
+    "hll": F.approx_count_distinct,
+    "missing": lambda c: F.count_if(c.isNull()),
+}
+
+
+def facet_stats(df: DataFrame, bucket: str, field: str,
+                stats: list[str] = ("sum", "avg", "min", "max")) -> DataFrame:
+    """Per-bucket numeric aggregates (SumAgg/AvgAgg/MinMaxAgg/VarianceAgg/
+    UniqueAgg/HLLAgg/missing — the JSON facet agg functions)."""
+    col = F.col(field)
+    aggs = [_AGG_FNS[s](col).alias(s) for s in stats]
+    return df.groupBy(bucket).agg(*aggs).orderBy(bucket)
+
+
+def stats_component(df: DataFrame, field: str) -> DataFrame:
+    """StatsComponent: min/max/sum/count/mean/stddev/sumOfSquares over the
+    whole result set."""
+    c = F.col(field)
+    return df.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.count(c).alias("count"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.sum(c * c).alias("sumOfSquares"),
+    )
+
+
+def percentiles(df: DataFrame, bucket: str, field: str,
+                pcts: list[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """PercentileAgg: approximate percentiles per bucket (t-digest analog
+    = Spark's percentile_approx)."""
+    return df.groupBy(bucket).agg(
+        F.percentile_approx(F.col(field), list(pcts)).alias("percentiles")
+    ).orderBy(bucket)
+
+
+# --- grouping / collapse ----------------------------------------------------
+
+
+def group_top_k(df: DataFrame, group: str, order_by: list[Column], k: int = 1) -> DataFrame:
+    """Result grouping: top-k rows per group value (lucene/grouping) —
+    window ranking, rows keep all columns plus ``group_rank``."""
+    w = Window.partitionBy(group).orderBy(*order_by)
+    return df.withColumn("group_rank", F.row_number().over(w)).filter(
+        F.col("group_rank") <= k
+    )
+
+
+def collapse(df: DataFrame, group: str, order_by: list[Column]) -> DataFrame:
+    """CollapsingQParser: keep the single best row per group."""
+    return group_top_k(df, group, order_by, k=1).drop("group_rank")
+
+
+def expand_collapsed(df: DataFrame, collapsed: DataFrame, group: str,
+                     k: int = 5, order_by: list[Column] | None = None) -> DataFrame:
+    """ExpandComponent: for each collapsed group head, the next-best k
+    group members (excluding the head)."""
+    heads = collapsed.select(F.col(group).alias("_g")).distinct()
+    members = df.join(F.broadcast(heads), df[group] == F.col("_g")).drop("_g")
+    ranked = group_top_k(members, group, order_by or [F.asc(group)], k=k + 1)
+    return ranked.filter(F.col("group_rank") > 1)
+
+
+def significant_terms(postings: DataFrame, fg_docs: DataFrame, doc_col: str = "doc_id",
+                      term_col: str = "term", min_fg: int = 1, limit: int = 20) -> DataFrame:
+    """significantTerms stream: terms over-represented in the foreground
+    doc set vs the whole corpus; score = fg_df / bg_df (ratio form)."""
+    tagged = postings.join(
+        F.broadcast(fg_docs.select(F.col(doc_col).alias("_fg"))),
+        postings[doc_col] == F.col("_fg"),
+        "left",
+    )
+    per = tagged.groupBy(term_col).agg(
+        F.count(F.lit(1)).alias("bg_df"),
+        F.count("_fg").alias("fg_df"),
+    )
+    return (
+        per.filter(F.col("fg_df") >= min_fg)
+        .withColumn("score", F.col("fg_df").cast("double") / F.col("bg_df"))
+        .orderBy(F.desc("score"), F.desc("fg_df"), F.asc(term_col))
+        .limit(limit)
+    )
+
+
+# --- streaming-expression analogs (§2.7) -----------------------------------
+
+
+def timeseries(df: DataFrame, ts_col: str, unit: str, aggs: list[Column]) -> DataFrame:
+    """timeseries stream: date-bucketed rollup (tumbling window)."""
+    return (
+        df.withColumn("window_start", F.date_trunc(unit, F.col(ts_col)))
+        .groupBy("window_start")
+        .agg(*aggs)
+        .orderBy("window_start")
+    )
+
+
+def unique_stream(df: DataFrame, keys: list[str]) -> DataFrame:
+    """unique: dedupe on key (UniqueStream)."""
+    return df.dropDuplicates(keys)
+
+
+def merge_streams(a: DataFrame, b: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """merge: k-way merge of sorted streams ≡ union + re-sort (the sort
+    is Spark's shuffle concern — SortExec handles the merge)."""
+    return a.unionByName(b).orderBy(*sort_cols)
+
+
+def rollup(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """rollup: sort-based aggregation over grouped keys (RollupStream) —
+    Spark picks hash aggregation; semantics identical."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def hash_join(left: DataFrame, right: DataFrame, on: list[str],
+              how: str = "inner") -> DataFrame:
+    """hashJoin / outerHashJoin: right side built into a hash table ≡
+    broadcast-hash join."""
+    return left.join(F.broadcast(right), on, how)
+
+
+def fetch(stream: DataFrame, store: DataFrame, on: str,
+          fields: list[str]) -> DataFrame:
+    """fetch: batch-enrich tuples by key lookup against a store."""
+    return stream.join(store.select(on, *fields), on, "left")
+
+
+def intersect_streams(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """intersect: rows of a whose key appears in b (IntersectStream)."""
+    return a.join(b.select(*on).distinct(), on, "left_semi")
+
+
+def complement_streams(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """complement: rows of a whose key does NOT appear in b."""
+    return a.join(b.select(*on).distinct(), on, "left_anti")
+
+
+def cartesian_product(df: DataFrame, array_col: str, out_col: str | None = None) -> DataFrame:
+    """cartesianProduct: unroll a multivalued field to one row per value."""
+    return df.withColumn(out_col or array_col, F.explode(F.col(array_col)))
+
+
+def top_stream(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """top: bounded-heap top-N by comparator ≡ TakeOrderedAndProject."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def parallel_by(df: DataFrame, key: str, n: int) -> DataFrame:
+    """parallel: hash-partition the stream across n workers — the
+    reference's explicit shuffle (ParallelStream + HashQParser)."""
+    return df.repartition(n, key)
+
+
+def export_sorted(df: DataFrame, path: str, sort_cols: list[str]) -> None:
+    """Export handler: full sorted result-set streaming to storage."""
+    df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -1,0 +1,136 @@
+"""Incremental (NRT) indexing via Structured Streaming.
+
+Reference semantics (SURVEY.md §2.9): Solr's autoCommit windows + Lucene's
+``DirectoryReader.openIfChanged`` make newly-flushed segments searchable;
+the transaction log (tlog) makes ingest resumable.  Spark-first mapping:
+
+* micro-batch ≡ commit window: each ``foreachBatch`` invocation writes ONE
+  new immutable segment (posting blocks + norms rows + docs rows) and
+  appends it to the manifest with an atomic rename — the `segments_N`
+  commit;
+* Structured Streaming's checkpoint ≡ the tlog: after a crash the source
+  replays from the last un-committed batch, and the manifest's
+  ``batch_id`` lineage makes the segment write idempotent (a replayed
+  batch overwrites its own segment directory, never a committed one);
+* readers ≡ ``open_index``: each query re-reads the manifest, so newly
+  committed segments are immediately searchable (openIfChanged).
+
+``daemon``/``topic`` (§2.7) map to ``trigger(processingTime=...)`` /
+``trigger(availableNow=True)`` over this same sink.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bm25 import BM25
+from ..index.builder import MANIFEST, read_manifest, write_manifest
+from ..index.core import compute_norms, encode_postings, invert_tokens
+
+__all__ = ["stream_build_index"]
+
+
+def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
+                    text_col: str, stopwords) -> None:
+    spark = pdf_batch.sparkSession
+    manifest = read_manifest(index_path) or {
+        "version": 1,
+        "committed": False,
+        "streaming": True,
+        "bm25": {"k1": BM25().k1, "b": BM25().b},
+        "segments": [],
+        "stats": {"doc_count": 0, "sum_ttf": 0},
+    }
+    if any(s.get("batch_id") == batch_id for s in manifest["segments"]):
+        return  # replayed batch, segment already committed (idempotent)
+
+    doc_base = max((s["max_doc"] for s in manifest["segments"]), default=0)
+    seg_id = len(manifest["segments"])
+    t0 = time.time()
+
+    batch = pdf_batch.persist()
+    n = batch.count()
+    if n == 0:
+        batch.unpersist()
+        return
+    # contiguous doc ids on top of the current maxDoc (per-batch dense rank)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    docs = batch.withColumn(
+        "doc_id", (F.row_number().over(w) - 1 + F.lit(doc_base)).cast("long")
+    ).withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    docs = docs.persist()
+
+    seg_path = index_path / "segments" / f"seg={seg_id}"
+    stream = invert_tokens(docs, "doc_id", text_col, stopwords)
+    encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
+        "term", "first_doc"
+    ).write.mode("overwrite").parquet(str(seg_path))
+
+    norms = compute_norms(docs, "doc_id", text_col, stopwords)
+    norms.write.mode("append").parquet(str(index_path / "norms.parquet"))
+    docs.write.mode("append").parquet(str(index_path / "docs.parquet"))
+
+    written = spark.read.parquet(str(seg_path))
+    agg = written.agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
+    ).collect()[0]
+    manifest["segments"].append(
+        {
+            "segment_id": seg_id,
+            "batch_id": int(batch_id),
+            "status": "done",
+            "doc_base": doc_base,
+            "max_doc": doc_base + n,
+            "num_docs": n,
+            "lineage": {"source": "stream", "batch_id": int(batch_id)},
+            "metrics": {
+                "blocks": int(agg["blocks"]),
+                "tokens": int(agg["tokens"] or 0),
+                "build_sec": round(time.time() - t0, 3),
+            },
+            "path": f"segments/seg={seg_id}",
+        }
+    )
+    manifest["stats"]["doc_count"] = doc_base + n
+    manifest["stats"]["sum_ttf"] += int(agg["tokens"] or 0)
+    manifest["committed"] = True  # searchable after every micro-batch commit
+    write_manifest(index_path, manifest)
+    docs.unpersist()
+    batch.unpersist()
+
+
+def stream_build_index(
+    stream_df: DataFrame,
+    index_path: str | Path,
+    *,
+    text_col: str = "content",
+    stopwords=None,
+    checkpoint: str | Path | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Attach the segment-appending sink to a streaming DataFrame.
+
+    Returns the started StreamingQuery.  With ``trigger_available_now``
+    the query drains the available input and stops (topic-stream
+    catch-up); with ``processing_time`` it runs as a daemon."""
+    index_path = Path(index_path)
+    index_path.mkdir(parents=True, exist_ok=True)
+    (index_path / "segments").mkdir(exist_ok=True)
+    checkpoint = str(checkpoint or index_path / "_checkpoint")
+
+    writer = stream_df.writeStream.foreachBatch(
+        lambda bdf, bid: _append_segment(bdf, bid, index_path, text_col, stopwords)
+    ).option("checkpointLocation", checkpoint)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

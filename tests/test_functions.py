@@ -1,0 +1,77 @@
+"""Function-query (value source) equivalents — §2.8."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark import functions as FQ
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0)], "id long, x double"
+    )
+
+
+def test_math_value_sources(nums):
+    out = nums.select(
+        "id",
+        FQ.recip(F.col("x"), 1.0, 10.0, 1.0).alias("r"),
+        FQ.linear(F.col("x"), 2.0, 1.0).alias("l"),
+        FQ.map_value(F.col("x"), 0.0, 5.0, -1.0).alias("m"),
+    ).collect()
+    by = {r["id"]: r for r in out}
+    assert by[1]["r"] == 10.0 and by[2]["r"] == pytest.approx(10 / 6)
+    assert by[3]["l"] == 21.0
+    assert by[1]["m"] == -1.0 and by[3]["m"] == 10.0
+
+
+def test_scale(nums):
+    got = {r["id"]: r["x_scaled"] for r in FQ.scale_between(nums, "x", 0.0, 1.0).collect()}
+    assert got == {1: 0.0, 2: 0.5, 3: 1.0}
+
+
+def test_strdist(spark):
+    df = spark.createDataFrame([("kitten", "sitting")], "a string, b string")
+    got = df.select(FQ.strdist(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    assert got == pytest.approx(1 - 3 / 7)
+
+
+def test_geodist(spark):
+    # Paris -> London ≈ 344 km
+    df = spark.createDataFrame([(48.8566, 2.3522, 51.5074, -0.1278)],
+                               "la1 double, lo1 double, la2 double, lo2 double")
+    km = df.select(
+        FQ.geodist(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")).alias("km")
+    ).collect()[0]["km"]
+    assert km == pytest.approx(343.5, abs=2.0)
+
+
+def test_relevance_sources(spark):
+    pdf = gen_corpus_pdf(100, seed=21).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(100, dtype=np.int64)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]), id_col="doc_id",
+        text_col="content",
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])))
+    tf = {r["doc_id"]: r["tf"] for r in FQ.termfreq(idx, "def").collect()}
+    assert tf == oracle.postings.get("def", {})
+    assert FQ.docfreq(idx, "def") == oracle.df("def")
+    assert FQ.docfreq(idx, "no_such_term_xyz") == 0
+    idf = {r["term"]: r["idf"] for r in FQ.idf_col(idx).collect()}
+    want = float(oracle.bm25.idf(oracle.df("def"), oracle.doc_count))
+    assert idf["def"] == pytest.approx(want, rel=1e-6)
+    nc = {r["doc_id"]: r["quantized_length"] for r in FQ.norm_col(idx).collect()}
+    from lucene_solr_spark.smallfloat import byte4_to_int
+    assert nc[0] == int(byte4_to_int(np.int64(oracle.norm_byte[0])))
+    idx.postings.unpersist(); idx.norms.unpersist()
