@@ -315,6 +315,64 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("data", "table")  # adjacent-word phrase probe over `documents`
+
+
+def q_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase match: doc_id + phrase frequency via position decode."""
+    from lucene_solr_spark.search.executor import _phrase_tf
+    from lucene_solr_spark.search.query import Phrase
+
+    index = _index_for(spark, sf_dir)
+    return _phrase_tf(index, Phrase(*PHRASE)).select("doc_id", "tf").orderBy("doc_id")
+
+
+def q_fts_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean MUST_NOT: docs with 'data' but not 'table' (doc set)."""
+    from lucene_solr_spark.search import Bool, Term, search
+
+    index = _index_for(spark, sf_dir)
+    hits = search(index, Bool(must=(Term("data"),), must_not=(Term("table"),)),
+                  k=1_000_000)
+    return hits.select("doc_id").orderBy("doc_id")
+
+
+def q_fts_prefix_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term expansion surface: dictionary terms matching prefix 's'
+    with their stats (what Prefix('s') expands to)."""
+    index = _index_for(spark, sf_dir)
+    return (
+        index.term_dict.filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_facet_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet unique() agg: exact distinct users per event_type."""
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("unique_users"))
+        .orderBy("event_type")
+    )
+
+
+def q_group_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse + expand: per lang, members ranked 2..3 after the head."""
+    from lucene_solr_spark.relational import collapse, expand_collapsed
+
+    d = _docs(spark, sf_dir)
+    heads = collapse(d, "lang", [F.desc("n_chars"), F.asc("doc_id")])
+    exp = expand_collapsed(d, heads, "lang", k=2,
+                           order_by=[F.desc("n_chars"), F.asc("doc_id")])
+    return exp.select("lang", "doc_id", "n_chars",
+                      F.col("group_rank").cast("int").alias("group_rank")).orderBy(
+        "lang", "group_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (lucene_solr_spark.pipeline)
 # ---------------------------------------------------------------------------
@@ -430,6 +488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_bm25_or_topk": q_fts_bm25_or_topk,
         "fts_significant_terms": q_fts_significant_terms,
+        "fts_phrase": q_fts_phrase,
+        "fts_must_not": q_fts_must_not,
+        "fts_prefix_terms": q_fts_prefix_terms,
+        "facet_unique": q_facet_unique,
+        "group_expand": q_group_expand,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -695,6 +758,39 @@ WITH {_TOK_CTE},
 sets AS (SELECT term, doc_id FROM tok WHERE term IN ({and_list}) GROUP BY term, doc_id)
 SELECT doc_id FROM sets GROUP BY doc_id
 HAVING count(*) = {len(AND_TERMS)} ORDER BY doc_id""",
+        "fts_phrase": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS ord
+  FROM documents
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "fts_must_not": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term = 'data'
+EXCEPT
+SELECT DISTINCT doc_id FROM tok WHERE term = 'table'
+ORDER BY doc_id""",
+        "fts_prefix_terms": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
+        "facet_unique": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "group_expand": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS group_rank
+FROM r WHERE rn BETWEEN 2 AND 3 ORDER BY lang, group_rank""",
         "fts_bm25_topk": _bm25_oracle(f"term = '{BM25_TERM}'", or_mode=False),
         "fts_bm25_or_topk": _bm25_oracle(
             "term IN (" + ", ".join(f"'{t}'" for t in BM25_OR_TERMS) + ")", or_mode=True

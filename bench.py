@@ -89,6 +89,26 @@ def main() -> None:
         lambda: search(cindex, parse_query("class AND import OR return"), k=10).collect(),
     )
 
+    # ---- phrase + training-data pipeline ops -----------------------------
+    from lucene_solr_spark.search.query import Phrase
+    timed("q_phrase", lambda: search(index, Phrase("data", "table"), k=10).collect())
+
+    from lucene_solr_spark.pipeline import (
+        cosine_topk,
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    timed("q_dedup_exact", lambda: exact_dedup(docs).count())
+    timed(
+        "q_minhash_lsh",
+        lambda: lsh_candidate_pairs(minhash_signatures(docs)).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    timed("q_knn_cosine", lambda: cosine_topk(emb, qv, k=10, exclude_ids=[0]).collect())
+
     # ---- relational surface over TPC-H-ish tables ------------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

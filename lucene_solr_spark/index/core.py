@@ -305,6 +305,7 @@ def detect_hot_terms(
     num_partitions: int | None = None,
     sample_docs: int = 8_000,
     share_threshold: float = 0.25,
+    min_docs: int = 50_000,
 ) -> tuple[frozenset[str], int]:
     """Estimate Zipf-head terms that would straggle a single encode task,
     plus the doc_id salt shift that splits them ~num_partitions ways.
@@ -313,6 +314,11 @@ def detect_hot_terms(
     (map-side combined), and flags terms whose estimated token share
     exceeds ``share_threshold`` of one shuffle partition's fair share —
     the skew criterion from SURVEY.md §7.4.4.  Returns (hot_terms, shift).
+
+    Below ``min_docs`` the sampled tokenize pass costs more than any
+    straggler it could prevent (a whole hot-term list is at most n_docs
+    postings — milliseconds of vectorized encode), so detection is
+    skipped — the same cost-based reasoning as the prune thresholds.
     """
     spark = df.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -320,7 +326,7 @@ def detect_hot_terms(
         F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
     ).collect()[0]
     n_docs, max_id = int(bounds["n"]), int(bounds["mx"] or 0)
-    if n_docs == 0:
+    if n_docs < min_docs:
         return frozenset(), 16
     frac = min(1.0, sample_docs / n_docs)
     sample = df if frac >= 1.0 else df.sample(fraction=frac, seed=13)

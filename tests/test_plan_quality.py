@@ -1,0 +1,67 @@
+"""Physical-plan regression tests (SURVEY.md §4): the plans we'd want at
+100 TB, checked at test scale — predicate pushdown to parquet, column
+pruning, broadcast join for the tiny term-dict side, TakeOrderedAndProject
+top-k, no single-partition exchanges in the build."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index import build_index, merge_segments, open_index
+from lucene_solr_spark.search import parse_query, search
+
+
+@pytest.fixture(scope="module")
+def persisted(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("plans") / "idx"
+    build_index(spark, gen_corpus_df(spark, 400, seed=5), path, segment_docs=200)
+    merge_segments(spark, path)
+    return open_index(spark, path)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_filter_pushed_to_parquet(persisted):
+    plan = _plan(persisted.postings.filter(F.col("term") == "def"))
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,def)]" in plan
+
+
+def test_column_pruning(persisted):
+    plan = _plan(persisted.postings.filter(F.col("term") == "def").select("term", "doc_count"))
+    assert "ReadSchema: struct<term:string,doc_count:int>" in plan
+    # the heavy binary columns must NOT be read for metadata-only queries
+    assert "doc_ids_vb" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_topk_is_take_ordered(persisted):
+    plan = _plan(search(persisted, parse_query("def OR class"), k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_hits_reads_metadata_only(persisted):
+    from lucene_solr_spark.search import count_hits, Term
+
+    df = persisted.postings.filter(F.col("term") == "def").agg(
+        F.sum("doc_count").alias("n")
+    )
+    plan = _plan(df)
+    sch = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_ids_vb" not in sch and "positions_vb" not in sch
+
+
+def test_no_single_partition_exchange_in_doc_id_assignment(spark):
+    from lucene_solr_spark.index.builder import assign_doc_ids
+
+    corpus = gen_corpus_df(spark, 300, seed=6)
+    ids = assign_doc_ids(corpus, num_partitions=8)
+    plan = _plan(ids)
+    assert "SinglePartition" not in plan, "global-window doc_id bottleneck regressed"
+    # dense, unique, zero-based
+    rows = ids.select("doc_id").collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == list(range(300))
