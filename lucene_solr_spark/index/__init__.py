@@ -1,5 +1,6 @@
 from .builder import assign_doc_ids, build_index, open_index, read_manifest, write_manifest
 from .check import check_index
+from .deletes import delete_docs, read_tombstones, update_documents
 from .core import (
     IndexView,
     build_index_view,
@@ -17,6 +18,9 @@ __all__ = [
     "build_index_view",
     "check_index",
     "compute_norms",
+    "delete_docs",
+    "read_tombstones",
+    "update_documents",
     "encode_postings",
     "invert_tokens",
     "merge_postings",

@@ -241,8 +241,12 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         raise FileNotFoundError(f"no committed index at {index_path}")
     merged_path = index_path / "merged.parquet"
     if merged is None:
-        merged = merged_path.exists()
+        # an appended segment invalidates the merged snapshot (manifest flag)
+        merged = bool(manifest.get("merged")) and merged_path.exists()
     postings = spark.read.parquet(str(merged_path if merged else index_path / "segments"))
+    from .deletes import read_tombstones
+
+    tombstones = read_tombstones(spark, index_path)
     td_path = index_path / "term_dict.parquet"
     if td_path.exists():
         term_dict = spark.read.parquet(str(td_path))
@@ -261,4 +265,5 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         doc_count=manifest["stats"]["doc_count"],
         sum_ttf=manifest["stats"]["sum_ttf"],
         bm25=BM25(**manifest["bm25"]),
+        tombstones=tombstones,
     )

@@ -288,6 +288,9 @@ class IndexView:
     doc_count: int
     sum_ttf: int
     bm25: BM25 = field(default_factory=BM25)
+    #: buffered deletes (liveDocs complement); docs here are invisible to
+    #: queries but still count toward stats until merge — Lucene semantics
+    tombstones: DataFrame | None = None
 
     @property
     def avgdl(self) -> np.float32:

@@ -1,0 +1,152 @@
+"""Deletes and updates: the liveDocs / tombstone path.
+
+Reference semantics (SURVEY.md §2.3): Lucene buffers deletes as a
+per-segment liveDocs bitset (``[8x] lucene/core/src/java/org/apache/lucene/
+index/ReadersAndUpdates.java``, ``BufferedUpdatesStream.java``); deleted
+docs are invisible to queries immediately but **still count toward
+docFreq/avgdl until a merge rewrites the segment** — we reproduce exactly
+that: query-time anti-join against the tombstone set, stats untouched,
+and ``merge_segments(apply_deletes=True)`` physically drops them and
+recomputes the dictionary/stats.
+
+``update_documents`` is IndexWriter#updateDocument: tombstone the old
+doc ids matching the unique key, then append a new segment with the new
+content.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import build_index, read_manifest, write_manifest
+
+__all__ = ["delete_docs", "update_documents", "read_tombstones"]
+
+TOMBSTONES = "tombstones.parquet"
+
+
+def read_tombstones(spark: SparkSession, index_path: str | Path) -> DataFrame | None:
+    p = Path(index_path) / TOMBSTONES
+    if not p.exists():
+        return None
+    t = spark.read.parquet(str(p))
+    return t if t.head(1) else None
+
+
+def delete_docs(spark: SparkSession, index_path: str | Path, doc_ids: DataFrame) -> int:
+    """Buffer deletes: append doc ids to the tombstone set (idempotent —
+    duplicates are harmless, the join is an anti-join).  Returns the number
+    of newly-buffered ids and records the delete generation in the
+    manifest (Lucene's delGen)."""
+    index_path = Path(index_path)
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id")).distinct()
+    n = ids.count()
+    ids.write.mode("append").parquet(str(index_path / TOMBSTONES))
+    manifest = read_manifest(index_path)
+    if manifest is not None:
+        manifest["del_gen"] = int(manifest.get("del_gen", 0)) + 1
+        manifest["pending_deletes"] = int(manifest.get("pending_deletes", 0)) + n
+        write_manifest(index_path, manifest)
+    return n
+
+
+def update_documents(
+    spark: SparkSession,
+    index_path: str | Path,
+    new_docs: DataFrame,
+    key_cols: list[str] | None = None,
+    *,
+    text_col: str = "content",
+    **build_kwargs,
+) -> dict:
+    """IndexWriter#updateDocument: tombstone existing docs whose unique key
+    matches a new doc, then append the new docs as fresh segments.
+
+    The new docs get doc_ids above the current maxDoc; the old versions
+    become invisible immediately and are purged at the next merge."""
+    index_path = Path(index_path)
+    key_cols = key_cols or ["repo", "path"]
+    manifest = read_manifest(index_path)
+    if manifest is None or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+
+    stored = spark.read.parquet(str(index_path / "docs.parquet"))
+    victims = stored.join(
+        F.broadcast(new_docs.select(*key_cols).distinct()), key_cols, "left_semi"
+    ).select("doc_id")
+    delete_docs(spark, index_path, victims)
+
+    # append the new docs as a follow-on build: contiguous ids after maxDoc
+    doc_base = max((s["max_doc"] for s in manifest["segments"]), default=0)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(*[F.col(c) for c in key_cols])
+    appended = new_docs.withColumn(
+        "doc_id", (F.row_number().over(w) - 1 + F.lit(doc_base)).cast("long")
+    )
+    # write appended segment via the builder's segment machinery
+    manifest = _append_docs_segment(spark, index_path, appended, text_col, **build_kwargs)
+    return manifest
+
+
+def _append_docs_segment(
+    spark: SparkSession, index_path: Path, docs: DataFrame, text_col: str, **kwargs
+) -> dict:
+    from ..index.core import compute_norms, encode_postings, invert_tokens
+
+    manifest = read_manifest(index_path)
+    seg_id = max(s["segment_id"] for s in manifest["segments"]) + 1
+    docs = docs.withColumn("content_sha256", F.sha2(F.col(text_col), 256)).persist()
+    n = docs.count()
+    lo = max(s["max_doc"] for s in manifest["segments"])
+    t0 = time.time()
+    seg_path = index_path / "segments" / f"seg={seg_id}"
+    stream = invert_tokens(docs, "doc_id", text_col)
+    encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
+        "term", "first_doc"
+    ).write.mode("overwrite").parquet(str(seg_path))
+    compute_norms(docs, "doc_id", text_col).write.mode("append").parquet(
+        str(index_path / "norms.parquet")
+    )
+    docs.write.mode("append").parquet(str(index_path / "docs.parquet"))
+    written = spark.read.parquet(str(seg_path))
+    agg = written.agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
+    ).collect()[0]
+    manifest["segments"].append(
+        {
+            "segment_id": seg_id,
+            "status": "done",
+            "doc_base": lo,
+            "max_doc": lo + n,
+            "num_docs": n,
+            "lineage": {"source": "update_documents"},
+            "metrics": {
+                "blocks": int(agg["blocks"]),
+                "tokens": int(agg["tokens"] or 0),
+                "build_sec": round(time.time() - t0, 3),
+            },
+            "path": f"segments/seg={seg_id}",
+        }
+    )
+    # stats grow with appended docs (deleted docs still counted — Lucene)
+    manifest["stats"]["doc_count"] += n
+    manifest["stats"]["sum_ttf"] += int(agg["tokens"] or 0)
+    # term dict is stale after append — recompute (cheap agg over segments)
+    all_segs = spark.read.parquet(str(index_path / "segments"))
+    td = all_segs.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    td.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(str(index_path / "term_dict.parquet"))
+    # a merged snapshot no longer reflects the appended segment
+    manifest["merged"] = False
+    write_manifest(index_path, manifest)
+    docs.unpersist()
+    return manifest

@@ -48,9 +48,9 @@ from .core import POSTINGS_SCHEMA, _rows_to_pdf
 __all__ = ["merge_postings", "merge_segments"]
 
 
-def _remerge_term(term: str, sub: pd.DataFrame) -> list[dict]:
-    """Concatenate one term's decoded blocks (sorted by first_doc) and
-    re-encode into fresh 128-doc blocks."""
+def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list[dict]:
+    """Concatenate one term's decoded blocks (sorted by first_doc), drop
+    tombstoned docs, and re-encode into fresh 128-doc blocks."""
     docs, tfs, nbs, poss = [], [], [], []
     for i in range(sub.shape[0]):
         t = decode_tfs(sub["tfs_vb"].iat[i])
@@ -58,17 +58,34 @@ def _remerge_term(term: str, sub: pd.DataFrame) -> list[dict]:
         tfs.append(t)
         nbs.append(decode_norm_bytes(sub["norms_b"].iat[i]))
         poss.append(decode_positions(sub["positions_vb"].iat[i], t))
-    rows = encode_posting_blocks(
-        np.concatenate(docs), np.concatenate(tfs), np.concatenate(nbs), np.concatenate(poss)
-    )
+    d = np.concatenate(docs)
+    tf = np.concatenate(tfs)
+    nb = np.concatenate(nbs)
+    pos = np.concatenate(poss)
+    if dead is not None and dead.size:
+        live = ~np.isin(d, dead)
+        if not live.all():
+            pos_keep = np.repeat(live, tf)
+            d, tf, nb, pos = d[live], tf[live], nb[live], pos[pos_keep]
+        if d.size == 0:
+            return []
+    rows = encode_posting_blocks(d, tf, nb, pos)
     for r in rows:
         r["term"] = term
     return rows
 
 
-def merge_postings(blocks: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def merge_postings(
+    blocks: DataFrame,
+    num_partitions: int | None = None,
+    tombstone_ids: np.ndarray | None = None,
+) -> DataFrame:
     """union of segment posting blocks → merged posting blocks (one list
-    per term, blocks renumbered 0..n)."""
+    per term, blocks renumbered 0..n, tombstoned docs dropped).
+
+    ``tombstone_ids`` is broadcast in the kernel closure (np.isin mask) —
+    fine up to millions of ids; the documented scale path for massive
+    delete sets is decode-to-rows → anti-join → re-encode."""
     spark = blocks.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
@@ -102,7 +119,7 @@ def merge_postings(blocks: DataFrame, num_partitions: int | None = None) -> Data
             ends = np.append(starts[1:], hk.size)
             rows: list[dict] = []
             for s, e in zip(starts, ends):
-                rows.extend(_remerge_term(hk[s], head.iloc[s:e]))
+                rows.extend(_remerge_term(hk[s], head.iloc[s:e], tombstone_ids))
             return (_rows_to_pdf(rows) if rows else None), tail
 
         for pdf in batches:
@@ -130,11 +147,22 @@ def merge_segments(
     manifest = read_manifest(index_path)
     if not manifest or not manifest.get("committed"):
         raise FileNotFoundError(f"no committed index at {index_path}")
-    if manifest.get("merged"):
+    if manifest.get("merged") and not manifest.get("pending_deletes"):
         return manifest
     t0 = time.time()
+
+    from .deletes import TOMBSTONES, read_tombstones
+
+    tomb = read_tombstones(spark, index_path)
+    tomb_ids: np.ndarray | None = None
+    if tomb is not None:
+        tomb_ids = np.array(
+            [r["doc_id"] for r in tomb.select("doc_id").distinct().collect()],
+            dtype=np.int64,
+        )
+
     blocks = spark.read.parquet(str(index_path / "segments"))
-    merged = merge_postings(blocks, num_partitions)
+    merged = merge_postings(blocks, num_partitions, tombstone_ids=tomb_ids)
     out = index_path / "merged.parquet"
     merged.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
         "overwrite"
@@ -144,11 +172,44 @@ def merge_segments(
         F.count(F.lit(1)).alias("blocks"),
         F.sum("doc_count").alias("postings"),
     ).collect()[0]
+
+    # the merge is the moment deletes become physical: rewrite norms and
+    # the dictionary, recompute corpus stats over live docs only
+    if tomb_ids is not None and tomb_ids.size:
+        norms_path = index_path / "norms.parquet"
+        live_norms = spark.read.parquet(str(norms_path)).join(
+            tomb.select("doc_id"), "doc_id", "left_anti"
+        )
+        tmp = index_path / "norms.parquet.tmp"
+        live_norms.write.mode("overwrite").parquet(str(tmp))
+        import shutil
+
+        shutil.rmtree(norms_path)
+        tmp.rename(norms_path)
+        stats = (
+            spark.read.parquet(str(norms_path))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+            .collect()[0]
+        )
+        manifest["stats"] = {"doc_count": int(stats["n"]), "sum_ttf": int(stats["ttf"])}
+        manifest["pending_deletes"] = 0
+        shutil.rmtree(index_path / TOMBSTONES)
+
+    td = written.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    td.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(str(index_path / "term_dict.parquet"))
+
     manifest["merged"] = True
     manifest["merge_metrics"] = {
         "blocks": int(agg["blocks"]),
         "postings": int(agg["postings"] or 0),
         "source_segments": len(manifest["segments"]),
+        "deletes_applied": int(tomb_ids.size) if tomb_ids is not None else 0,
         "merge_sec": round(time.time() - t0, 3),
     }
     write_manifest(index_path, manifest)

@@ -295,17 +295,24 @@ class MiniLucene:
             return plan
         raise TypeError(f"unknown query node {type(q)}")
 
+    def delete(self, doc_ids) -> None:
+        """Buffer deletes (liveDocs): hidden from results, stats untouched
+        until a hypothetical merge — mirror of index/deletes.py."""
+        self.deleted = getattr(self, "deleted", set()) | {int(d) for d in doc_ids}
+
     def search(self, q, k: int = 10) -> list[tuple[int, np.float32]]:
         """Top-k (doc_id, score_f32), score desc then doc_id asc — Lucene
         TopScoreDocCollector tie-break."""
         from .search.query import rewrite
 
         m = self._score_map(rewrite(self.expand(rewrite(q))))
-        scored = [(d, np.float32(s)) for d, s in m.items()]
+        dead = getattr(self, "deleted", set())
+        scored = [(d, np.float32(s)) for d, s in m.items() if d not in dead]
         scored.sort(key=lambda x: (-float(x[1]), x[0]))
         return scored[:k]
 
     def count(self, q) -> int:
         from .search.query import rewrite
 
-        return len(self._match_set(rewrite(self.expand(rewrite(q)))))
+        dead = getattr(self, "deleted", set())
+        return len(self._match_set(rewrite(self.expand(rewrite(q)))) - dead)

@@ -539,6 +539,9 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
         (F.col("term") == term) & F.col("block_id").isin(list(pass1_ids))
     )
     scored1, _ = scored_leaves(index, [term], blocks=blocks1, stats={term: df_term})
+    if index.tombstones is not None:
+        # θ must be achievable by LIVE docs, else pruning would be unsound
+        scored1 = scored1.join(index.tombstones, "doc_id", "left_anti")
     top1 = (
         scored1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     )
@@ -575,6 +578,9 @@ def search(
     terms = query_terms(q)
 
     def finish(plan: DataFrame) -> DataFrame:
+        if index.tombstones is not None:
+            # liveDocs check: deleted docs are invisible (stats untouched)
+            plan = plan.join(index.tombstones, "doc_id", "left_anti")
         return (
             plan.withColumn("score", F.col("score").cast("float"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -654,11 +660,14 @@ def count_hits(index: IndexView, query) -> int:
     only (no decode); other queries count their unscored match set."""
     q = rewrite(query)
     q = rewrite(expand_multiterm(index, q))
-    if isinstance(q, Term):
+    if isinstance(q, Term) and index.tombstones is None:
         row = (
             index.postings.filter(F.col("term") == q.term)
             .agg(F.coalesce(F.sum("doc_count"), F.lit(0)).alias("n"))
             .collect()[0]
         )
         return int(row["n"])
-    return _matches(index, q).distinct().count()
+    m = _matches(index, q).distinct()
+    if index.tombstones is not None:
+        m = m.join(index.tombstones, "doc_id", "left_anti")
+    return m.count()

@@ -1,0 +1,107 @@
+"""Deletes/updates lifecycle: tombstone → query-invisible (stats
+unchanged) → merge applies physically → update_documents replaces by key.
+Mirrors Lucene: deleted docs still count toward df/avgdl until merge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_df, gen_corpus_pdf
+from lucene_solr_spark.index import (
+    build_index,
+    check_index,
+    delete_docs,
+    merge_segments,
+    open_index,
+    update_documents,
+)
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import Term, count_hits, parse_query, search
+
+N_DOCS = 240
+
+
+def _topk(spark, path, qs, k=10):
+    idx = open_index(spark, path)
+    return [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in search(idx, parse_query(qs), k=k).collect()
+    ]
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    path = tmp_path / "idx"
+    corpus = gen_corpus_df(spark, N_DOCS, seed=17)
+    build_index(spark, corpus, path, segment_docs=120)
+    return path
+
+
+def test_delete_then_query_then_merge(spark, built):
+    idx = open_index(spark, built)
+    docs = spark.read.parquet(str(built / "docs.parquet")).select("doc_id", "content")
+    pdf = docs.toPandas().sort_values("doc_id")
+    oracle = MiniLucene(list(zip(pdf["doc_id"].astype(int), pdf["content"])))
+
+    # pick victims: half the current top-10 for 'def'
+    before = _topk(spark, built, "def")
+    victims = [d for d, _ in before[:5]]
+    n = delete_docs(spark, built, spark.createDataFrame([(v,) for v in victims], "doc_id long"))
+    assert n == 5
+    oracle.delete(victims)
+
+    # immediately invisible; scores still computed with FULL-corpus stats
+    after = _topk(spark, built, "def")
+    assert not (set(victims) & {d for d, _ in after})
+    assert after == oracle.search(parse_query("def"), k=10)
+    assert count_hits(open_index(spark, built), Term("def")) == oracle.count(Term("def"))
+
+    # boolean + phrase paths also respect liveDocs
+    for qs in ["def AND class", "def OR return", '"def class"']:
+        got = _topk(spark, built, qs)
+        assert got == oracle.search(parse_query(qs), k=10), qs
+
+    # merge: physical purge + stats recomputed over live docs only
+    m = merge_segments(spark, built)
+    assert m["merge_metrics"]["deletes_applied"] == 5
+    assert m["pending_deletes"] == 0
+    assert m["stats"]["doc_count"] == N_DOCS - 5
+    merged_idx = open_index(spark, built)
+    assert merged_idx.tombstones is None
+    assert check_index(merged_idx) == {}
+
+    live = pdf[~pdf["doc_id"].isin(victims)]
+    fresh_oracle = MiniLucene(list(zip(live["doc_id"].astype(int), live["content"])))
+    got = _topk(spark, built, "def")
+    assert got == fresh_oracle.search(parse_query("def"), k=10)
+
+
+def test_update_documents_replaces_by_key(spark, built):
+    stored = spark.read.parquet(str(built / "docs.parquet"))
+    target = stored.orderBy("doc_id").limit(1).collect()[0]
+    new_docs = spark.createDataFrame(
+        [(target["repo"], target["path"], "newcommit", target["lang"],
+          "zzzuniquetoken zzzuniquetoken replacement body")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    update_documents(spark, built, new_docs, key_cols=["repo", "path"])
+
+    idx = open_index(spark, built)
+    # the unique token of the replacement is findable
+    hits = search(idx, Term("zzzuniquetoken"), k=5).collect()
+    assert len(hits) == 1
+    # the old doc id is tombstoned
+    assert idx.tombstones is not None
+    dead = {r["doc_id"] for r in idx.tombstones.collect()}
+    assert target["doc_id"] in dead
+    # and invisible in queries that used to match it
+    all_ids = {r["doc_id"] for r in search(idx, parse_query("def OR class OR import OR return"),
+               k=10_000).collect()}
+    assert target["doc_id"] not in all_ids
+    # merge purges and stays structurally sound
+    merge_segments(spark, built)
+    assert check_index(open_index(spark, built)) == {}
+    assert len(search(open_index(spark, built), Term("zzzuniquetoken"), k=5).collect()) == 1
