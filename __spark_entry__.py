@@ -373,6 +373,22 @@ def q_group_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gatherNodes BFS over the part–supplier bipartite graph (lineitem
+    edges, both directions), seed part 1, 2 hops → [node, hop=min]."""
+    from lucene_solr_spark.graph import gather_nodes
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = p2s.unionByName(p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([("p:1",)], "node string")
+    out = gather_nodes(edges, seeds, hops=2)
+    return out.select("node", F.col("hop").cast("int").alias("hop")).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (lucene_solr_spark.pipeline)
 # ---------------------------------------------------------------------------
@@ -493,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_prefix_terms": q_fts_prefix_terms,
         "facet_unique": q_facet_unique,
         "group_expand": q_group_expand,
+        "graph_gather": q_graph_gather,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -783,6 +800,18 @@ FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
         "facet_unique": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY event_type ORDER BY event_type""",
+        "graph_gather": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem
+  UNION
+  SELECT DISTINCT 's:' || l_suppkey AS s, 'p:' || l_partkey AS d FROM lineitem
+),
+walk(node, hop) AS (
+  SELECT 'p:1', 0
+  UNION ALL
+  SELECT e.d, w.hop + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.hop < 2
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node ORDER BY node""",
         "group_expand": """
 WITH r AS (
   SELECT lang, doc_id, n_chars,

@@ -1,0 +1,109 @@
+"""Graph traversal streams: gatherNodes / shortestPath.
+
+Reference semantics: ``[8x] solr/solrj/src/java/org/apache/solr/client/
+solrj/io/graph/GatherNodesStream.java`` / ``ShortestPathStream.java``
+(SURVEY.md §2.7): breadth-first walks over node/edge relations stored as
+tuples.  Spark-first mapping: iterative frontier-join BFS — each hop is
+one broadcast/shuffle join of the frontier against the edge DataFrame,
+with visited-set de-duplication between hops (the driver loop only holds
+DataFrame handles, never data).
+
+Scale notes: the frontier join is a plain equi-join (AQE picks broadcast
+vs shuffle by frontier size); the visited set stays distributed
+(left_anti), so multi-billion-edge graphs work partition-parallel.  Hop
+count is bounded (Solr's maxDepth) — each hop adds one stage to the plan,
+so ``persist`` checkpoints the frontier between hops to keep lineage flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["gather_nodes", "shortest_path"]
+
+
+def gather_nodes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """BFS reachability with hop labels: [node, hop] where hop is the
+    FIRST (minimum) hop at which the node is reached; seeds are hop 0.
+
+    GatherNodesStream analog: each iteration expands the frontier through
+    the edge relation and drops already-visited nodes.
+    """
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = frontier.withColumn("hop", F.lit(0))
+    frontier = frontier.persist()
+    visited = visited.persist()
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._s)
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        ).persist()
+        if not nxt.head(1):
+            nxt.unpersist()
+            break
+        visited = visited.unionByName(nxt.withColumn("hop", F.lit(h))).persist()
+        frontier.unpersist()
+        frontier = nxt
+    return visited
+
+
+def shortest_path(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> list[str] | None:
+    """One shortest path src→dst (deterministic: each node records its
+    smallest predecessor), or None if unreachable within ``max_hops`` —
+    ShortestPathStream.
+
+    BFS with distributed parent pointers: per hop, each newly-reached node
+    records its smallest predecessor; the path is reconstructed by walking
+    parents backward (max_hops tiny collects).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    frontier = spark.createDataFrame([(src,)], "node string")
+    parents = frontier.withColumn("parent", F.lit(None).cast("string")).withColumn(
+        "hop", F.lit(0)
+    ).persist()
+    found = src == dst
+    for h in range(1, max_hops + 1):
+        if found:
+            break
+        step = (
+            frontier.join(e, frontier.node == e._s)
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min("_s").alias("parent"))
+            .join(parents.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        ).persist()
+        if not step.head(1):
+            step.unpersist()
+            return None
+        parents = parents.unionByName(step).persist()
+        frontier = step.select("node")
+        if step.filter(F.col("node") == dst).head(1):
+            found = True
+    if not found:
+        return None
+    # walk parent pointers back (≤ max_hops tiny lookups)
+    path = [dst]
+    cur = dst
+    while cur != src:
+        row = parents.filter(F.col("node") == cur).select("parent").head()
+        cur = row["parent"]
+        path.append(cur)
+    return list(reversed(path))

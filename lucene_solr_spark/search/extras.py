@@ -1,0 +1,97 @@
+"""Collector variants + derived query services.
+
+* ``search_after`` — deep-paging cursor (``[8x] lucene/core/.../search/
+  SearchAfterSortedDocQuery.java`` / IndexSearcher#searchAfter): strictly
+  after the (score, doc_id) cursor in (score desc, doc_id asc) order.
+* ``sort_by_field`` — TopFieldCollector: top-k by docvalues columns
+  instead of relevance (joins the match set to a docvalues DataFrame).
+* ``more_like_this`` — MoreLikeThis / Solr knnSearch stream: pick the
+  source doc's highest tf·idf terms, search them as a disjunction,
+  exclude the source doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..index.core import IndexView
+from .executor import _matches, postings_table, search
+from .query import Or, Term, rewrite
+
+__all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query"]
+
+
+def search_after(
+    index: IndexView, query, k: int = 10, after: tuple[float, int] | None = None
+) -> DataFrame:
+    """Page through results: rows strictly after the cursor in
+    (score desc, doc_id asc) order.  ``after`` is the last (score, doc_id)
+    of the previous page (float32 score, as returned by ``search``)."""
+    if after is None:
+        return search(index, query, k=k)
+    s, d = float(np.float32(after[0])), int(after[1])
+    # prune=False: the θ pass assumes the global top-k is wanted
+    full = search(index, query, k=2_000_000_000, prune=False)
+    cursor = (F.col("score") < s) | ((F.col("score") == s) & (F.col("doc_id") > d))
+    return full.filter(cursor).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def sort_by_field(
+    index: IndexView,
+    query,
+    doc_values: DataFrame,
+    order_by: list[Column],
+    k: int = 10,
+) -> DataFrame:
+    """TopFieldCollector: top-k matching docs ordered by docvalues columns
+    (no relevance score).  ``doc_values`` must carry ``doc_id``."""
+    q = rewrite(query)
+    m = _matches(index, q)
+    if index.tombstones is not None:
+        m = m.join(index.tombstones, "doc_id", "left_anti")
+    return m.join(doc_values, "doc_id").orderBy(*order_by).limit(k)
+
+
+def mlt_query(index: IndexView, doc_id: int, max_terms: int = 25,
+              min_tf: int = 1, min_df: int = 2) -> Or | None:
+    """Build the MoreLikeThis disjunction: the doc's top ``max_terms``
+    terms by tf·idf (Lucene MLT defaults: maxQueryTerms=25, minTermFreq,
+    minDocFreq)."""
+    doc_terms = (
+        postings_table(index)
+        .filter(F.col("doc_id") == doc_id)
+        .select("term", "tf")
+        .collect()
+    )
+    if not doc_terms:
+        return None
+    stats = {
+        r["term"]: int(r["df"])
+        for r in index.term_dict.filter(
+            F.col("term").isin([r["term"] for r in doc_terms])
+        ).collect()
+    }
+    scored = []
+    for r in doc_terms:
+        t, tf = r["term"], int(r["tf"])
+        df = stats.get(t, 0)
+        if tf < min_tf or df < min_df:
+            continue
+        idf = float(index.bm25.idf(df, index.doc_count))
+        scored.append((tf * idf, t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = [t for _, t in scored[:max_terms]]
+    return Or(*[Term(t) for t in top]) if top else None
+
+
+def more_like_this(index: IndexView, doc_id: int, k: int = 10,
+                   max_terms: int = 25) -> DataFrame:
+    """Docs most similar to ``doc_id`` (excluding itself)."""
+    q = mlt_query(index, doc_id, max_terms=max_terms)
+    if q is None:
+        return index.spark.createDataFrame([], "doc_id long, score float")
+    hits = search(index, q, k=k + 1)
+    return hits.filter(F.col("doc_id") != doc_id).limit(k)

@@ -1,0 +1,89 @@
+"""Snippet highlighting — Solr HighlightComponent analog.
+
+Reference: ``[8x] lucene/highlighter/.../uastar…`` family / ``solr/core/
+.../handler/component/HighlightComponent.java``: re-analyze the stored
+text, locate query-term spans, emit a window around the best span with
+the hits wrapped in markers.
+
+Arrow-batched: one pandas UDF re-tokenizes WITH character offsets
+(regex ``finditer`` — same TOKEN_PATTERN as the index) and builds the
+snippet per row; vectorization is per-batch, the per-row regex scan is
+bounded by snippet extraction being a display-time operation over the
+(small) hit page, never the corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import TOKEN_PATTERN
+from .query import query_terms, rewrite
+
+__all__ = ["highlight"]
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def _make_snippet(text: str, terms: set[str], window_tokens: int,
+                  pre: str, post: str) -> str | None:
+    spans = [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text or "")]
+    hit_idx = [i for i, (_, _, t) in enumerate(spans) if t in terms]
+    if not hit_idx:
+        return None
+    first = hit_idx[0]
+    lo = max(0, first - window_tokens)
+    hi = min(len(spans) - 1, first + window_tokens)
+    start, end = spans[lo][0], spans[hi][1]
+    out = []
+    cur = start
+    for s, e, t in spans[lo : hi + 1]:
+        out.append(text[cur:s])
+        if t in terms:
+            out.append(pre + text[s:e] + post)
+        else:
+            out.append(text[s:e])
+        cur = e
+    out.append(text[cur:end] if cur < end else "")
+    prefix = "…" if lo > 0 else ""
+    suffix = "…" if hi < len(spans) - 1 else ""
+    return prefix + "".join(out) + suffix
+
+
+def highlight(
+    hits: DataFrame,
+    docs: DataFrame,
+    query,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    window_tokens: int = 5,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Join the hit page back to stored fields and add a ``snippet``
+    column around the first query-term occurrence (None if the text no
+    longer matches — e.g. stale stored copy)."""
+    terms = set(query_terms(rewrite(query)))
+    stored = docs.select(F.col(id_col).alias("_hl_id"), F.col(text_col).alias("_hl_text"))
+    joined = hits.join(stored, hits["doc_id"] == stored["_hl_id"]).drop("_hl_id")
+    text_col = "_hl_text"
+
+    def _snip(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["snippet"] = [
+                _make_snippet(t, terms, window_tokens, pre, post)
+                for t in pdf[text_col]
+            ]
+            yield pdf.drop(columns=[text_col])
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name != text_col
+    ) + ", snippet string"
+    return joined.mapInPandas(_snip, out_schema)

@@ -1,0 +1,83 @@
+"""searchAfter paging, sort-by-field collector, MoreLikeThis, highlighting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import Or, Term, parse_query, search
+from lucene_solr_spark.search.extras import more_like_this, mlt_query, search_after, sort_by_field
+from lucene_solr_spark.search.highlight import highlight
+
+N = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N, seed=31).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    idx = build_index_view(
+        spark.createDataFrame(corpus[["doc_id", "content"]]), id_col="doc_id",
+        text_col="content",
+    )
+    yield idx
+    idx.postings.unpersist(); idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def test_search_after_pages_cover_full_ranking(engine, oracle):
+    q = parse_query("def OR class OR import")
+    want = oracle.search(q, k=30)
+    pages, cursor = [], None
+    for _ in range(3):
+        rows = search_after(engine, q, k=10, after=cursor).collect()
+        got = [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+        pages.extend(got)
+        cursor = (got[-1][1], got[-1][0])  # (score, doc_id)
+    assert pages == want
+
+
+def test_sort_by_field(spark, engine, corpus):
+    dv = spark.createDataFrame(corpus[["doc_id"]].assign(neg=-corpus["doc_id"]))
+    top = sort_by_field(engine, Term("def"), dv, [F.desc("neg")], k=5).collect()
+    # ordering by -doc_id desc == doc_id asc over matching docs
+    match_ids = sorted(r["doc_id"] for r in search(engine, Term("def"), k=10_000).collect())
+    assert [r["doc_id"] for r in top] == match_ids[:5]
+
+
+def test_more_like_this_finds_near_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(0, base), (1, base + " iota"), (2, "unrelated words entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    q = mlt_query(idx, 0, min_df=1)
+    assert isinstance(q, Or)
+    top = more_like_this(idx, 0, k=2).collect()
+    assert top and top[0]["doc_id"] == 1
+    assert all(r["doc_id"] != 0 for r in top)
+    idx.postings.unpersist(); idx.norms.unpersist()
+
+
+def test_highlight_snippets(spark, engine, corpus):
+    q = parse_query("def")
+    hits = search(engine, q, k=5)
+    docs = spark.createDataFrame(corpus[["doc_id", "content"]])
+    out = highlight(hits, docs, q, window_tokens=3).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["snippet"] is not None
+        assert "<em>def</em>" in r["snippet"]

@@ -1,0 +1,34 @@
+"""gatherNodes / shortestPath BFS streams (§2.7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.graph import gather_nodes, shortest_path
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    #  a -> b -> c -> d ;  a -> e -> d ;  f isolated-ish (f -> f2)
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"), ("f", "f2")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_gather_nodes_hops(spark, edges):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hop"] for r in gather_nodes(edges, seeds, hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "e": 1, "c": 2, "d": 2}
+
+
+def test_gather_nodes_bounded(spark, edges):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hop"] for r in gather_nodes(edges, seeds, hops=1).collect()}
+    assert got == {"a": 0, "b": 1, "e": 1}
+
+
+def test_shortest_path(spark, edges):
+    # d is reachable in 2 hops only via e (b->...->d needs 3)
+    assert shortest_path(edges, "a", "d") == ["a", "e", "d"]
+    assert shortest_path(edges, "a", "c") == ["a", "b", "c"]
+    assert shortest_path(edges, "a", "f2", max_hops=4) is None
+    assert shortest_path(edges, "a", "a") == ["a"]
