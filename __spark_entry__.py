@@ -443,12 +443,16 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path (sign-LSH buckets + exact rerank) — no SQL oracle;
-    recall vs brute force is pytest-verified (rows-only driver check)."""
+    """ANN scale path: sign-LSH buckets + margin-ordered multi-probe +
+    exact cosine rerank.  Fully oracle-checked: the hyperplanes are
+    md5-derived integers, so DuckDB reproduces buckets, probes, and the
+    rerank bit-for-bit."""
     from lucene_solr_spark.pipeline import hyperplane_lsh_topk
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
+    return hyperplane_lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=8, n_probes=3, exclude_ids=[0]
+    )
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,6 +669,46 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 100""",
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
 FROM embeddings e, q WHERE e.vec_id != 0
+ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "ann_lsh": f"""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+    CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 8)) AS BIGINT) % 16 - 8)
+    AS comps
+  FROM (SELECT unnest(generate_series(0, 7)) AS p)
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qdots AS (
+  SELECT pl.p, list_reduce(list_transform(list_zip(q.qe, pl.comps),
+    x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v) AS dot
+  FROM planes pl, q
+),
+qd AS (SELECT list(dot ORDER BY p) AS ds FROM qdots),
+qbucket AS (
+  SELECT CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS qb
+  FROM qdots
+),
+masks AS (
+  SELECT m, list_reduce(list_transform(generate_series(1, 8), i ->
+    CASE WHEN (m >> (i - 1)) & 1 = 1 THEN abs(qd.ds[i]) ELSE 0e0 END),
+    (a, b) -> a + b) AS cost
+  FROM (SELECT unnest(generate_series(0, 255)) AS m), qd
+),
+probes AS (
+  SELECT xor((SELECT qb FROM qbucket), m) AS probe
+  FROM masks ORDER BY cost ASC, m ASC LIMIT 3
+),
+buckets AS (
+  SELECT e.vec_id,
+    CAST(sum(CASE WHEN
+      list_reduce(list_transform(list_zip(e.embedding, pl.comps),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v) > 0
+      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes pl WHERE e.vec_id != 0 GROUP BY e.vec_id
+),
+cand AS (SELECT vec_id FROM buckets WHERE bucket IN (SELECT probe FROM probes))
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
 ORDER BY cosine DESC, id ASC LIMIT 10""",
         "token_stats": r"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,

@@ -1,0 +1,50 @@
+"""Corpus sources: the contract input is an Iceberg table of source-code
+repositories (repo, path, commit, lang, content) — BASELINE.json input
+hint.  This adapter reads it from an Iceberg catalog when one is
+configured, else from parquet (the sandbox path; parquet is also what
+Iceberg stores underneath, so pushdown/pruning behavior matches).
+
+Cluster setup (no jars in this sandbox — documented, not executed)::
+
+    spark-submit --py-files lucene_solr_spark.zip \\
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+      --conf spark.sql.catalog.lake.type=rest ... job.py
+
+then ``read_corpus(spark, "lake.db.repos")`` scans the Iceberg table with
+snapshot isolation, partition pruning, and column projection — all of
+which Catalyst already drives through the same DataFrame API used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_corpus", "CONTRACT_COLUMNS", "validate_corpus"]
+
+CONTRACT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_corpus(spark: SparkSession, source: str) -> DataFrame:
+    """Load the contract corpus from an Iceberg/catalog table name or a
+    parquet path (auto-detected: paths contain '/' or end in .parquet)."""
+    if "/" in source or source.endswith(".parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    return validate_corpus(df)
+
+
+def validate_corpus(df: DataFrame) -> DataFrame:
+    """Check the contract schema and project to it (extra columns pruned,
+    order normalized)."""
+    missing = [c for c in CONTRACT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"corpus is missing contract columns: {missing}")
+    return df.select(*CONTRACT_COLUMNS)
+
+
+def with_sha256(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Attach the per-row invariant column (sha256 of content)."""
+    return df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))

@@ -1,0 +1,62 @@
+"""North-rule invocation mode: spark-submit --py-files packaging, plus the
+contract-corpus source adapter."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+_JOB = """
+from pyspark.sql import SparkSession, functions as F
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import parse_query, search
+
+spark = (SparkSession.builder.appName("submit-smoke")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+corpus = gen_corpus_df(spark, 120).withColumn("doc_id", F.monotonically_increasing_id())
+idx = build_index_view(corpus, id_col="doc_id", text_col="content")
+rows = search(idx, parse_query("def OR class"), k=5).collect()
+assert len(rows) == 5 and rows[0]["score"] > 0
+print("SUBMIT_OK")
+"""
+
+
+def test_spark_submit_pyfiles(tmp_path):
+    zip_path = tmp_path / "lucene_solr_spark.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "make_pyfiles_zip.py"), str(zip_path)],
+        check=True,
+        capture_output=True,
+    )
+    job = tmp_path / "job.py"
+    job.write_text(_JOB)
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[4]", "--py-files", str(zip_path), str(job)],
+        capture_output=True,
+        text=True,
+        cwd=tmp_path,  # away from the repo: only the zip provides the package
+        timeout=600,
+    )
+    assert "SUBMIT_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_read_corpus_parquet_and_validation(spark, tmp_path):
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.sources import read_corpus, validate_corpus, with_sha256
+
+    p = str(tmp_path / "corpus.parquet")
+    gen_corpus_df(spark, 50).write.parquet(p)
+    df = read_corpus(spark, p)
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    assert df.count() == 50
+    sha = with_sha256(df)
+    assert sha.filter("length(content_sha256) = 64").count() == 50
+    with pytest.raises(ValueError, match="missing contract columns"):
+        validate_corpus(df.drop("commit"))

@@ -1,0 +1,26 @@
+"""Package the engine for `spark-submit --py-files` (north rule).
+
+Usage:  python tools/make_pyfiles_zip.py [out.zip]
+Then:   spark-submit --py-files lucene_solr_spark.zip your_job.py
+"""
+
+from __future__ import annotations
+
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def main() -> None:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "lucene_solr_spark.zip"
+    pkg = REPO / "lucene_solr_spark"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, p.relative_to(REPO))
+    print(f"wrote {out} ({out.stat().st_size} bytes)")
+
+
+if __name__ == "__main__":
+    main()
