@@ -4,6 +4,7 @@ from .deletes import delete_docs, read_tombstones, update_documents
 from .core import (
     IndexView,
     build_index_view,
+    build_multifield_index_view,
     compute_norms,
     detect_hot_terms,
     encode_postings,
@@ -16,6 +17,7 @@ __all__ = [
     "assign_doc_ids",
     "build_index",
     "build_index_view",
+    "build_multifield_index_view",
     "check_index",
     "compute_norms",
     "delete_docs",

@@ -42,7 +42,8 @@ from ..bm25 import BM25
 from ..codec import encode_posting_blocks
 from ..smallfloat import int_to_byte4
 
-__all__ = ["IndexView", "build_index_view", "invert_tokens", "encode_postings",
+__all__ = ["IndexView", "build_index_view", "build_multifield_index_view",
+           "invert_tokens", "encode_postings",
            "TOKEN_STREAM_SCHEMA", "POSTINGS_SCHEMA"]
 
 
@@ -291,12 +292,35 @@ class IndexView:
     #: buffered deletes (liveDocs complement); docs here are invisible to
     #: queries but still count toward stats until merge — Lucene semantics
     tombstones: DataFrame | None = None
+    #: multi-field mode: field name -> (doc_count, sum_ttf) — Lucene's
+    #: per-field CollectionStatistics; terms are stored "field:token" and
+    #: bare query terms resolve against ``default_field``
+    field_stats: dict | None = None
+    default_field: str = "content"
+
+    def field_of(self, term: str) -> str | None:
+        if self.field_stats is None:
+            return None
+        return term.split(":", 1)[0] if ":" in term else self.default_field
+
+    def stats_for(self, term: str) -> tuple[int, int]:
+        """(doc_count, sum_ttf) governing this term's idf/avgdl — the
+        whole corpus in single-field mode, the term's field otherwise."""
+        f = self.field_of(term)
+        if f is None or f not in (self.field_stats or {}):
+            return self.doc_count, self.sum_ttf
+        return self.field_stats[f]
 
     @property
     def avgdl(self) -> np.float32:
         return self.bm25.avgdl(self.sum_ttf, self.doc_count)
 
-    def norm_inverse_cache(self) -> np.ndarray:
+    def norm_inverse_cache(self, term: str | None = None) -> np.ndarray:
+        """256-entry denominator cache for the field governing ``term``
+        (corpus-wide in single-field mode)."""
+        if term is not None and self.field_stats is not None:
+            n, ttf = self.stats_for(term)
+            return self.bm25.norm_inverse_cache(self.bm25.avgdl(ttf, n))
         return self.bm25.norm_inverse_cache(self.avgdl)
 
 
@@ -348,6 +372,73 @@ def detect_hot_terms(
     # salt buckets ≈ num_partitions over the doc_id range, min 256 docs/bucket
     shift = max(8, int(np.ceil(np.log2(max(1.0, (max_id + 1) / num_partitions)))))
     return hot, shift
+
+
+def build_multifield_index_view(
+    df: DataFrame,
+    fields: dict[str, str],
+    id_col: str = "doc_id",
+    default_field: str | None = None,
+    bm25: BM25 | None = None,
+    stopwords: frozenset[str] | None = None,
+    num_partitions: int | None = None,
+    cache: bool = True,
+) -> IndexView:
+    """Multi-field index: one inverted index per field fused into one
+    posting store (Lucene's per-field FieldsProducer / Solr schema).
+
+    ``fields`` maps field name → source column.  Terms are stored as
+    ``"field:token"`` so the ENTIRE single-field machinery (sorting,
+    pushdown, codec, merge, prefixes) applies unchanged; norms carry a
+    field column and BM25 uses the field's own avgdl/docCount — exactly
+    Lucene's per-field CollectionStatistics.  Bare query terms resolve
+    against ``default_field`` at search time.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < num_partitions:
+        df = df.repartition(num_partitions)
+    streams = []
+    norm_parts = []
+    for fname, col in fields.items():
+        s = invert_tokens(df, id_col, col, stopwords).withColumn(
+            "term", F.concat(F.lit(fname + ":"), F.col("term"))
+        )
+        streams.append(s)
+        norm_parts.append(
+            compute_norms(df, id_col, col, stopwords).withColumn("field", F.lit(fname))
+        )
+    from functools import reduce
+
+    stream = reduce(DataFrame.unionByName, streams)
+    postings = encode_postings(stream, num_partitions)
+    if cache:
+        postings = postings.persist()
+    term_dict = postings.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    norms = reduce(DataFrame.unionByName, norm_parts)
+    if cache:
+        norms = norms.persist()
+    per_field = {
+        r["field"]: (int(r["n"]), int(r["ttf"]))
+        for r in norms.groupBy("field")
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+        .collect()
+    }
+    total_docs = df.count()
+    return IndexView(
+        spark=spark,
+        postings=postings,
+        term_dict=term_dict,
+        norms=norms,
+        doc_count=total_docs,
+        sum_ttf=sum(t for _, t in per_field.values()),
+        bm25=bm25 or BM25(),
+        field_stats=per_field,
+        default_field=default_field or next(iter(fields)),
+    )
 
 
 def build_index_view(

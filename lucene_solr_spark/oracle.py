@@ -57,27 +57,77 @@ def levenshtein(a: str, b: str) -> int:
 class MiniLucene:
     """In-memory inverted index + BM25 searcher over (doc_id, text) pairs."""
 
-    def __init__(self, docs, bm25: BM25 | None = None, stopwords: frozenset | None = None):
+    def __init__(self, docs, bm25: BM25 | None = None, stopwords: frozenset | None = None,
+                 default_field: str = "content"):
+        """``docs``: (doc_id, text) pairs — or (doc_id, {field: text}) for
+        multi-field mode (terms stored "field:token", per-field norms and
+        stats, bare query terms resolved to ``default_field``), mirroring
+        index/core.build_multifield_index_view."""
         self.bm25 = bm25 or BM25()
         self.postings: dict[str, dict[int, int]] = {}
         self.positions: dict[str, dict[int, list[int]]] = {}
         self.dl: dict[int, int] = {}
-        for doc_id, text in docs:
+        self.default_field = default_field
+        self.multifield = bool(docs) and isinstance(docs[0][1], dict)
+        #: per-field {doc: length} (multi-field) — field None = single
+        self._fdl: dict[str | None, dict[int, int]] = {}
+        all_ids: set[int] = set()
+
+        def _add(doc_id: int, text: str, field: str | None):
             toks = _TOKEN_RE.findall((text or "").lower())
             if stopwords:
                 kept = [(t, i) for i, t in enumerate(toks) if t not in stopwords]
             else:
                 kept = list(zip(toks, range(len(toks))))
-            self.dl[int(doc_id)] = len(toks)
+            self._fdl.setdefault(field, {})[doc_id] = len(toks)
+            pre = "" if field is None else field + ":"
             for t, i in kept:
-                self.postings.setdefault(t, {}).setdefault(int(doc_id), 0)
-                self.postings[t][int(doc_id)] += 1
-                self.positions.setdefault(t, {}).setdefault(int(doc_id), []).append(i)
-        self.doc_count = len(self.dl)
-        self.sum_ttf = sum(self.dl.values())
-        self.norm_byte = {d: int(int_to_byte4(np.int64(l))) for d, l in self.dl.items()}
+                key = pre + t
+                self.postings.setdefault(key, {}).setdefault(doc_id, 0)
+                self.postings[key][doc_id] += 1
+                self.positions.setdefault(key, {}).setdefault(doc_id, []).append(i)
+
+        for doc_id, text in docs:
+            all_ids.add(int(doc_id))
+            if self.multifield:
+                for fname, ftext in text.items():
+                    _add(int(doc_id), ftext, fname)
+            else:
+                _add(int(doc_id), text, None)
+
+        if self.multifield:
+            self.doc_count = len(all_ids)
+            self.dl = {d: sum(m.get(d, 0) for m in self._fdl.values()) for d in all_ids}
+            self.sum_ttf = sum(self.dl.values())
+            self._fstats = {
+                f: (len(m), sum(m.values())) for f, m in self._fdl.items()
+            }
+            self._fnorm = {
+                f: {d: int(int_to_byte4(np.int64(l))) for d, l in m.items()}
+                for f, m in self._fdl.items()
+            }
+            self._fcache = {
+                f: self.bm25.norm_inverse_cache(self.bm25.avgdl(t, n))
+                for f, (n, t) in self._fstats.items()
+            }
+            # single-field views kept for shared code paths
+            self.norm_byte = {d: int(int_to_byte4(np.int64(l))) for d, l in self.dl.items()}
+        else:
+            self.dl = self._fdl[None]
+            self.doc_count = len(self.dl)
+            self.sum_ttf = sum(self.dl.values())
+            self.norm_byte = {d: int(int_to_byte4(np.int64(l))) for d, l in self.dl.items()}
         self._avgdl = self.bm25.avgdl(self.sum_ttf, self.doc_count)
         self._cache = self.bm25.norm_inverse_cache(self._avgdl)
+
+    def _term_ctx(self, term: str):
+        """(doc_count, norm_byte_map, cache) governing a term — per-field
+        in multi-field mode."""
+        if self.multifield and ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self._fstats:
+                return self._fstats[f][0], self._fnorm[f], self._fcache[f]
+        return self.doc_count, self.norm_byte, self._cache
 
     # --- stats -------------------------------------------------------------
 
@@ -96,11 +146,12 @@ class MiniLucene:
         plist = self.postings.get(t.term, {})
         if not plist:
             return {}
-        w = self.bm25.weight(len(plist), self.doc_count, t.boost)
+        n, nb_map, cache = self._term_ctx(t.term)
+        w = self.bm25.weight(len(plist), n, t.boost)
         docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
         tfs = np.fromiter(plist.values(), dtype=np.int64, count=len(plist))
-        nbs = np.array([self.norm_byte[int(d)] for d in docs], dtype=np.int64)
-        scores = self.bm25.score(tfs, nbs, w, self._cache)
+        nbs = np.array([nb_map[int(d)] for d in docs], dtype=np.int64)
+        scores = self.bm25.score(tfs, nbs, w, cache)
         return {int(d): float(s) for d, s in zip(docs, scores)}
 
     # --- multi-term expansion (same semantics as executor.expand_multiterm)
@@ -173,14 +224,13 @@ class MiniLucene:
         uniq = list(dict.fromkeys(q.terms))
         if any(t not in self.postings for t in uniq):
             return {}
-        idfs = [self.bm25.idf(self.df(t), self.doc_count) for t in uniq]
+        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in uniq]
         total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
         w = np.float32(total * np.float32(q.boost))
+        _, nb_map, cache = self._term_ctx(uniq[0])
         out = {}
         for d, tf in self._phrase_tf(q).items():
-            s = self.bm25.score(
-                np.array([tf]), np.array([self.norm_byte[d]]), w, self._cache
-            )
+            s = self.bm25.score(np.array([tf]), np.array([nb_map[d]]), w, cache)
             out[d] = float(s[0])
         return out
 
@@ -303,16 +353,22 @@ class MiniLucene:
     def search(self, q, k: int = 10) -> list[tuple[int, np.float32]]:
         """Top-k (doc_id, score_f32), score desc then doc_id asc — Lucene
         TopScoreDocCollector tie-break."""
-        from .search.query import rewrite
+        from .search.query import qualify_query, rewrite
 
-        m = self._score_map(rewrite(self.expand(rewrite(q))))
+        q = rewrite(q)
+        if self.multifield:
+            q = qualify_query(q, self.default_field)
+        m = self._score_map(rewrite(self.expand(q)))
         dead = getattr(self, "deleted", set())
         scored = [(d, np.float32(s)) for d, s in m.items() if d not in dead]
         scored.sort(key=lambda x: (-float(x[1]), x[0]))
         return scored[:k]
 
     def count(self, q) -> int:
-        from .search.query import rewrite
+        from .search.query import qualify_query, rewrite
 
+        q = rewrite(q)
+        if self.multifield:
+            q = qualify_query(q, self.default_field)
         dead = getattr(self, "deleted", set())
-        return len(self._match_set(rewrite(self.expand(rewrite(q)))) - dead)
+        return len(self._match_set(rewrite(self.expand(q))) - dead)

@@ -167,9 +167,17 @@ _SCORED_SCHEMA = StructType(
 _PRUNE_MAX_BLOCKS = 65536
 
 
-def _decode_score_udf(weights: dict[str, float], cache: np.ndarray):
-    """mapInPandas kernel: posting blocks → (term, doc_id, score_f32-as-double)."""
-    cache = np.asarray(cache, dtype=np.float32)
+def _decode_score_udf(weights: dict[str, float], caches):
+    """mapInPandas kernel: posting blocks → (term, doc_id, score_f32-as-double).
+
+    ``caches`` is either one 256-entry array (single field) or a dict
+    term → array (per-field avgdl in multi-field mode)."""
+    if isinstance(caches, dict):
+        caches = {t: np.asarray(c, dtype=np.float32) for t, c in caches.items()}
+        get_cache = caches.__getitem__
+    else:
+        arr = np.asarray(caches, dtype=np.float32)
+        get_cache = lambda _t: arr
 
     def _fn(batches):
         for pdf in batches:
@@ -181,7 +189,7 @@ def _decode_score_udf(weights: dict[str, float], cache: np.ndarray):
                 doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
                 tfs = decode_tfs(pdf["tfs_vb"].iat[i])
                 nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
-                s = BM25.score(tfs, nbs, w, cache)
+                s = BM25.score(tfs, nbs, w, get_cache(t))
                 terms_out.append(np.full(doc_ids.size, t, dtype=object))
                 docs_out.append(doc_ids)
                 scores_out.append(s.astype(np.float64))
@@ -226,13 +234,17 @@ def scored_leaves(
     bm = index.bm25
     boosts = boosts or {}
     weights = {
-        t: float(bm.weight(dfs[t], index.doc_count, boosts.get(t, 1.0))) for t in present
+        t: float(bm.weight(dfs[t], index.stats_for(t)[0], boosts.get(t, 1.0)))
+        for t in present
     }
-    cache = index.norm_inverse_cache()
+    if index.field_stats is not None:
+        caches = {t: index.norm_inverse_cache(t) for t in present}
+    else:
+        caches = index.norm_inverse_cache()
     if blocks is None:
         blocks = index.postings.filter(F.col("term").isin(present or ["\x00none"]))
     scored = blocks.select(*_BLOCK_COLS).mapInPandas(
-        _decode_score_udf(weights, cache), _SCORED_SCHEMA
+        _decode_score_udf(weights, caches), _SCORED_SCHEMA
     )
     return scored, weights
 
@@ -360,10 +372,10 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
     dfs = _leaf_stats(index, uniq)
     if len(dfs) < len(uniq):
         return index.spark.createDataFrame([], "doc_id long, score double")
-    idfs = [index.bm25.idf(dfs[t], index.doc_count) for t in uniq]
+    idfs = [index.bm25.idf(dfs[t], index.stats_for(t)[0]) for t in uniq]
     total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
     w = np.float32(total_idf * np.float32(phrase.boost))
-    cache = index.norm_inverse_cache()
+    cache = index.norm_inverse_cache(uniq[0])
 
     @F.pandas_udf("double")
     def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
@@ -523,8 +535,8 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
     if not (_PRUNE_MIN_BLOCKS <= len(meta) <= _PRUNE_MAX_BLOCKS):
         return None
     df_term = int(sum(r["doc_count"] for r in meta))
-    w = index.bm25.weight(df_term, index.doc_count)
-    cache = index.norm_inverse_cache()
+    w = index.bm25.weight(df_term, index.stats_for(term)[0])
+    cache = index.norm_inverse_cache(term)
     max_tf = np.array([r["max_tf"] for r in meta], dtype=np.int64)
     mnb = np.array([r["min_norm_byte"] for r in meta], dtype=np.int64)
     bids = np.array([r["block_id"] for r in meta], dtype=np.int64)
@@ -573,6 +585,10 @@ def search(
     """Top-k BM25 search → DataFrame[doc_id:long, score:float] ordered by
     (score desc, doc_id asc) — Lucene TopScoreDocCollector semantics."""
     q = rewrite(query)
+    if index.field_stats is not None:
+        from .query import qualify_query
+
+        q = qualify_query(q, index.default_field)
     q = expand_multiterm(index, q)
     q = rewrite(q)
     terms = query_terms(q)
@@ -659,6 +675,10 @@ def count_hits(index: IndexView, query) -> int:
     """TotalHitCountCollector analog.  Single terms count block metadata
     only (no decode); other queries count their unscored match set."""
     q = rewrite(query)
+    if index.field_stats is not None:
+        from .query import qualify_query
+
+        q = qualify_query(q, index.default_field)
     q = rewrite(expand_multiterm(index, q))
     if isinstance(q, Term) and index.tombstones is None:
         row = (

@@ -80,7 +80,7 @@ def mlt_query(index: IndexView, doc_id: int, max_terms: int = 25,
         df = stats.get(t, 0)
         if tf < min_tf or df < min_df:
             continue
-        idf = float(index.bm25.idf(df, index.doc_count))
+        idf = float(index.bm25.idf(df, index.stats_for(t)[0]))
         scored.append((tf * idf, t))
     scored.sort(key=lambda x: (-x[0], x[1]))
     top = [t for _, t in scored[:max_terms]]

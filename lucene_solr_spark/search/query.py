@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 __all__ = [
     "Term", "And", "Or", "Bool", "Phrase", "ConstantScore", "DisMax", "Boost",
     "MatchAll", "Prefix", "Wildcard", "Regexp", "Fuzzy", "TermRange",
-    "rewrite", "parse_query", "query_terms", "is_multiterm",
+    "rewrite", "parse_query", "query_terms", "is_multiterm", "qualify_query",
 ]
 
 
@@ -236,6 +236,57 @@ def rewrite(q):
         if len(flat) == 1:
             return flat[0]
         return kind(*flat)
+    raise TypeError(f"unknown query node {type(q)}")
+
+
+def qualify_query(q, default_field: str):
+    """Multi-field resolution: prefix bare terms / phrases / multi-term
+    patterns with ``default_field:`` (Solr's df parameter; terms already
+    carrying a ``field:`` prefix are left alone).  Field-qualifying a
+    Fuzzy also pins its prefix so edit distance never crosses the field
+    boundary."""
+    pre = default_field + ":"
+
+    def fix(s: str) -> str:
+        return s if ":" in s else pre + s
+
+    if isinstance(q, Term):
+        return Term(fix(q.term), q.boost)
+    if isinstance(q, Phrase):
+        return Phrase(*[fix(t) for t in q.terms], boost=q.boost)
+    if isinstance(q, MatchAll):
+        return q
+    if isinstance(q, Prefix):
+        return Prefix(fix(q.prefix), q.boost, q.constant_score)
+    if isinstance(q, Wildcard):
+        return Wildcard(fix(q.pattern), q.boost, q.constant_score)
+    if isinstance(q, Regexp):
+        if ":" in q.pattern.split("(")[0]:
+            return q
+        return Regexp(pre + "(?:" + q.pattern + ")", q.boost, q.constant_score)
+    if isinstance(q, Fuzzy):
+        if ":" in q.term:
+            return q
+        return Fuzzy(pre + q.term, q.max_edits, len(pre) + q.prefix_length,
+                     q.boost, q.constant_score)
+    if isinstance(q, TermRange):
+        lo = None if q.lower is None else fix(q.lower)
+        hi = None if q.upper is None else fix(q.upper)
+        return TermRange(lo, hi, q.include_lower, q.include_upper, q.boost,
+                         q.constant_score)
+    if isinstance(q, (And, Or)):
+        return type(q)(*[qualify_query(c, default_field) for c in q.clauses])
+    if isinstance(q, DisMax):
+        return DisMax(*[qualify_query(c, default_field) for c in q.clauses],
+                      tie_breaker=q.tie_breaker)
+    if isinstance(q, ConstantScore):
+        return ConstantScore(qualify_query(q.query, default_field), q.boost)
+    if isinstance(q, Boost):
+        return Boost(qualify_query(q.query, default_field), q.boost)
+    if isinstance(q, Bool):
+        qq = lambda cs: tuple(qualify_query(c, default_field) for c in cs)
+        return Bool(qq(q.must), qq(q.should), qq(q.must_not), qq(q.filter),
+                    q.min_should_match)
     raise TypeError(f"unknown query node {type(q)}")
 
 

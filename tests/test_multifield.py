@@ -1,0 +1,99 @@
+"""Multi-field index: per-field norms/stats (Lucene field model), field-
+qualified queries, default-field resolution — engine == oracle exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_multifield_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import (
+    And,
+    Bool,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+    count_hits,
+    parse_query,
+    search,
+)
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N, seed=55).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N, dtype=np.int64)
+    # second text field with different length distribution: the path
+    pdf["pathtext"] = pdf["path"].str.replace("/", " ").str.replace(".", " ")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content", "pathtext"]])
+    idx = build_multifield_index_view(
+        df, fields={"content": "content", "path": "pathtext"}, default_field="content"
+    )
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    docs = [
+        (int(r.doc_id), {"content": r.content, "path": r.pathtext})
+        for r in corpus.itertuples()
+    ]
+    return MiniLucene(docs, default_field="content")
+
+
+def _run(engine, q, k=10):
+    rows = search(engine, q, k=k).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+QUERIES = [
+    Term("def"),                         # bare -> content:def
+    Term("content:def"),                 # explicit, same docs as above
+    Term("path:src"),                    # other field, its own avgdl/idf
+    Or(Term("content:def"), Term("path:py")),
+    And(Term("def"), Term("path:pkg0")),
+    Phrase("path:src", "path:pkg1"),     # phrase within a field
+    Prefix("path:file", constant_score=False),
+    Bool(must=(Term("def"),), must_not=(Term("path:md"),)),
+    parse_query("lang:nonexistent OR def"),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_multifield_identity(engine, oracle, qi):
+    q = QUERIES[qi]
+    got = _run(engine, q)
+    want = oracle.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (q, got[:3], want[:3])
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == ws, (q, gd, gs, ws)
+
+
+def test_field_stats_differ(engine, oracle):
+    # the two fields must have genuinely different avgdl for the test to
+    # prove per-field stats are used
+    (nc, tc) = engine.field_stats["content"]
+    (np_, tp) = engine.field_stats["path"]
+    assert nc == np_ == N
+    assert abs(tc / nc - tp / np_) > 1.0
+    assert engine.field_stats["content"] == oracle._fstats["content"]
+    assert engine.field_stats["path"] == oracle._fstats["path"]
+
+
+def test_same_token_scores_differently_per_field(engine, oracle):
+    # 'src' appears in every path; a content term with the same df would
+    # score differently because path avgdl differs — sanity: the path
+    # field query returns finite scores and matches oracle df
+    assert count_hits(engine, Term("path:src")) == oracle.df("path:src") == N
