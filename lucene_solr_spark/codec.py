@@ -23,11 +23,13 @@ from .smallfloat import int_to_byte4, byte4_to_int
 __all__ = [
     "BLOCK_SIZE",
     "vbyte_encode",
+    "vbyte_encode_with_sizes",
     "vbyte_decode",
     "delta_encode",
     "delta_decode",
     "grouped_cumsum",
     "encode_posting_blocks",
+    "encode_token_batch",
     "decode_doc_ids",
     "decode_tfs",
     "decode_norm_bytes",
@@ -38,12 +40,12 @@ __all__ = [
 BLOCK_SIZE = 128
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """VByte-encode an array of non-negative int64 into Lucene vInt bytes
-    (little-endian 7-bit groups, continuation bit set on all but the last)."""
+def vbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """VByte-encode an int64 array; returns (uint8 buffer, bytes-per-value)
+    so callers can slice per-group spans out of one vectorized pass."""
     v = np.asarray(values, dtype=np.int64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     if np.any(v < 0):
         raise ValueError("vbyte_encode: negative value")
     u = v.astype(np.uint64)
@@ -57,8 +59,15 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     vals = np.repeat(u, nbytes)
     groups = ((vals >> (np.uint64(7) * idx.astype(np.uint64))) & np.uint64(0x7F)).astype(np.uint8)
     last = idx == np.repeat(nbytes - 1, nbytes)
-    out = np.where(last, groups, groups | np.uint8(0x80))
-    return out.astype(np.uint8).tobytes()
+    out = np.where(last, groups, groups | np.uint8(0x80)).astype(np.uint8)
+    return out, nbytes
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """VByte-encode an array of non-negative int64 into Lucene vInt bytes
+    (little-endian 7-bit groups, continuation bit set on all but the last)."""
+    buf, _ = vbyte_encode_with_sizes(values)
+    return buf.tobytes()
 
 
 def vbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
@@ -176,6 +185,113 @@ def encode_posting_blocks(
             }
         )
     return rows
+
+
+def encode_token_batch(
+    terms: np.ndarray,
+    salts: np.ndarray,
+    doc_ids: np.ndarray,
+    positions: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Fully-vectorized flush of a sorted token-stream batch: aggregate
+    (term, salt, doc) postings and cut 128-doc VByte blocks in ONE pass
+    over the whole batch — no per-term Python loop (the per-term variant
+    spends its time in tens of thousands of tiny numpy calls; this one
+    does ~20 array ops total via reduceat/bincount regardless of vocab).
+
+    Inputs are the token rows sorted by (term, salt, doc_id, pos); ``dls``
+    is the per-row field length.  Returns column arrays/lists keyed by the
+    POSTINGS_SCHEMA names.
+    """
+    from .smallfloat import int_to_byte4
+
+    n = terms.size
+    empty = {
+        "term": np.empty(0, dtype=object), "block_id": np.empty(0, np.int32),
+        "doc_count": np.empty(0, np.int32), "first_doc": np.empty(0, np.int64),
+        "last_doc": np.empty(0, np.int64), "max_tf": np.empty(0, np.int32),
+        "min_norm_byte": np.empty(0, np.int32), "sum_tf": np.empty(0, np.int64),
+        "doc_ids_vb": [], "tfs_vb": [], "norms_b": [], "positions_vb": [],
+    }
+    if n == 0:
+        return empty
+
+    # ---- posting boundaries: change in (term, salt, doc) -----------------
+    post_change = np.empty(n, dtype=bool)
+    post_change[0] = True
+    post_change[1:] = (
+        (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]) | (doc_ids[1:] != doc_ids[:-1])
+    )
+    p_starts = np.flatnonzero(post_change)
+    np_post = p_starts.size
+    tfs = np.diff(np.append(p_starts, n)).astype(np.int64)
+    p_docs = doc_ids[p_starts]
+    p_nb = int_to_byte4(dls[p_starts])
+
+    # ---- run boundaries at posting level: change in (term, salt) ---------
+    run_change = np.empty(np_post, dtype=bool)
+    run_change[0] = True
+    run_change[1:] = (
+        (terms[p_starts][1:] != terms[p_starts][:-1])
+        | (salts[p_starts][1:] != salts[p_starts][:-1])
+    )
+    run_id = np.cumsum(run_change) - 1
+    run_start_post = np.flatnonzero(run_change)
+    off_in_run = np.arange(np_post, dtype=np.int64) - run_start_post[run_id]
+
+    # ---- block boundaries: run change OR 128-posting cut -----------------
+    b_start_mask = run_change | (off_in_run % block_size == 0)
+    b_starts = np.flatnonzero(b_start_mask)
+    b_ends = np.append(b_starts[1:], np_post)
+    block_id = (off_in_run[b_starts] // block_size).astype(np.int32)
+    doc_count = (b_ends - b_starts).astype(np.int32)
+    first_doc = p_docs[b_starts]
+    last_doc = p_docs[b_ends - 1]
+    max_tf = np.maximum.reduceat(tfs, b_starts).astype(np.int32)
+    min_nb = np.minimum.reduceat(p_nb, b_starts).astype(np.int32)
+    sum_tf = np.add.reduceat(tfs, b_starts).astype(np.int64)
+
+    # ---- docID gaps (absolute at each block start) + VByte ---------------
+    gaps = p_docs.copy()
+    gaps[1:] -= p_docs[:-1]
+    gaps[b_starts] = p_docs[b_starts]
+    buf_d, sz_d = vbyte_encode_with_sizes(gaps)
+    cnt_d = np.add.reduceat(sz_d, b_starts)
+    off_d = np.cumsum(cnt_d) - cnt_d
+
+    buf_t, sz_t = vbyte_encode_with_sizes(tfs)
+    cnt_t = np.add.reduceat(sz_t, b_starts)
+    off_t = np.cumsum(cnt_t) - cnt_t
+
+    norm_u8 = p_nb.astype(np.uint8)
+    off_n = np.cumsum(doc_count.astype(np.int64)) - doc_count
+
+    # ---- positions: per-posting grouped delta, sliced per block ----------
+    p_deltas = _grouped_delta(positions, tfs)
+    buf_p, sz_p = vbyte_encode_with_sizes(p_deltas)
+    # block of each posting -> bytes per block via bincount
+    post_block = np.cumsum(b_start_mask) - 1
+    pos_block = np.repeat(post_block, tfs)
+    cnt_p = np.bincount(pos_block, weights=sz_p, minlength=b_starts.size).astype(np.int64)
+    off_p = np.cumsum(cnt_p) - cnt_p
+
+    db = buf_d.tobytes(); tb = buf_t.tobytes(); nb_all = norm_u8.tobytes(); pb = buf_p.tobytes()
+    return {
+        "term": terms[p_starts][b_starts],
+        "block_id": block_id,
+        "doc_count": doc_count,
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "max_tf": max_tf,
+        "min_norm_byte": min_nb,
+        "sum_tf": sum_tf,
+        "doc_ids_vb": [db[o : o + c] for o, c in zip(off_d, cnt_d)],
+        "tfs_vb": [tb[o : o + c] for o, c in zip(off_t, cnt_t)],
+        "norms_b": [nb_all[o : o + c] for o, c in zip(off_n, doc_count)],
+        "positions_vb": [pb[o : o + c] for o, c in zip(off_p, cnt_p)],
+    }
 
 
 def decode_norm_bytes(norms_b: bytes) -> np.ndarray:

@@ -39,13 +39,22 @@ from pyspark.sql.types import (
 
 from ..analysis import tokenize_series
 from ..bm25 import BM25
-from ..codec import encode_posting_blocks
+from ..codec import encode_posting_blocks, encode_token_batch
 from ..smallfloat import int_to_byte4
 
 __all__ = ["IndexView", "build_index_view", "build_multifield_index_view",
-           "invert_tokens", "encode_postings",
+           "invert_tokens", "encode_postings", "fused_encode",
            "TOKEN_STREAM_SCHEMA", "POSTINGS_SCHEMA"]
 
+
+#: token rows buffered per vectorized encode flush (~30 MB of int rows);
+#: bounded so executor memory stays flat regardless of partition size
+_FLUSH_ROWS = 400_000
+
+#: reserved pseudo-term carrying per-doc norms inside fused flush output
+#: (cannot collide with real tokens: the analyzer emits [a-z0-9_]+ only).
+#: Lucene likewise writes the norms file during the same DWPT flush.
+NORMS_TERM = "\x00norms"
 
 TOKEN_STREAM_SCHEMA = StructType(
     [
@@ -186,7 +195,12 @@ def encode_postings(
     )
 
     def _encode(batches):
+        """Arrow batches arrive small (sized for the text-bearing stages);
+        buffer ~``_FLUSH_ROWS`` token rows before each vectorized flush so
+        the batch kernel's fixed cost amortizes."""
         carry: pd.DataFrame | None = None
+        buf: list[pd.DataFrame] = []
+        buffered = 0
 
         def flush_complete(pdf: pd.DataFrame, final: bool):
             if pdf.empty:
@@ -206,31 +220,210 @@ def encode_postings(
                 head, tail = pdf, None
             if head.empty:
                 return None, tail
-            rows: list[dict] = []
-            hk = head["term"].to_numpy(dtype=object)
-            hs = head["_salt"].to_numpy(dtype=np.int64)
-            change = np.empty(hk.size, dtype=bool)
-            change[0] = True
-            change[1:] = (hk[1:] != hk[:-1]) | (hs[1:] != hs[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], hk.size)
-            for s, e in zip(starts, ends):
-                rows.extend(_encode_term_run(hk[s], head.iloc[s:e]))
-            return (_rows_to_pdf(rows) if rows else None), tail
+            cols = encode_token_batch(
+                head["term"].to_numpy(dtype=object),
+                head["_salt"].to_numpy(dtype=np.int64),
+                head["doc_id"].to_numpy(dtype=np.int64),
+                head["pos"].to_numpy(dtype=np.int64),
+                head["dl"].to_numpy(dtype=np.int64),
+            )
+            if len(cols["term"]) == 0:
+                return None, tail
+            return pd.DataFrame(cols, columns=_POSTING_COLS), tail
 
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            out, carry = flush_complete(pdf, final=False)
+            buf.append(pdf)
+            buffered += pdf.shape[0]
+            if buffered < _FLUSH_ROWS:
+                continue
+            merged = pd.concat(([carry] if carry is not None else []) + buf,
+                               ignore_index=True)
+            carry, buf, buffered = None, [], 0
+            out, carry = flush_complete(merged, final=False)
             if out is not None:
                 yield out
-        if carry is not None:
-            out, _ = flush_complete(carry, final=True)
+        if buf or carry is not None:
+            merged = pd.concat(([carry] if carry is not None else []) + buf,
+                               ignore_index=True)
+            out, _ = flush_complete(merged, final=True)
             if out is not None:
                 yield out
 
     return stream.mapInPandas(_encode, POSTINGS_SCHEMA)
+
+
+def fused_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    stopwords: frozenset[str] | None = None,
+) -> DataFrame:
+    """Map-side DWPT flush: tokenize + invert + block-encode in ONE pass
+    per input partition — the raw token stream never crosses the wire.
+
+    This is Lucene's actual write path (SURVEY.md §3.4): each partition
+    plays DocumentsWriterPerThread, buffering documents until the RAM
+    budget (~_FLUSH_ROWS tokens) and flushing an in-partition mini-segment
+    of sorted 128-doc VByte blocks.  Compared with shuffling 26M raw token
+    rows to term-partitioned encoders, only the ~30x smaller encoded
+    blocks ever move (at merge time) — the Arrow transfer and exchange
+    both drop out of the build entirely.
+
+    Resulting layout: a term's list is split across partitions/flushes
+    into self-contained runs whose doc ranges may interleave; queries are
+    unaffected (each (term, doc) posting exists exactly once) and
+    ``merge_postings`` re-sorts runs into the canonical term-partitioned
+    layout."""
+
+    def _fused(batches):
+        buf: list[pd.DataFrame] = []
+        zero_ids: list[np.ndarray] = []  # docs with no (kept) tokens: dl = 0
+        buffered = 0
+
+        def flush():
+            nonlocal buf, buffered
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, buffered = [], 0
+            terms = pdf["term"].to_numpy(dtype=object)
+            docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+            pos = pdf["pos"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            codes, _ = pd.factorize(pdf["term"], sort=True)
+            order = np.lexsort((pos, docs, codes))
+            cols = encode_token_batch(
+                terms[order], np.zeros(order.size, dtype=np.int64),
+                docs[order], pos[order], dls[order],
+            )
+            if len(cols["term"]) == 0:
+                return None
+            out = pd.DataFrame(cols, columns=_POSTING_COLS)
+            # norms ride along in the same flush (Lucene writes the norms
+            # file during the DWPT flush): one pseudo-term row per flush
+            # with per-doc (id, length, norm byte); another full tokenize
+            # pass for norms thus drops out of the build entirely.
+            dorder = np.argsort(docs, kind="stable")
+            dsel = np.empty(docs.size, dtype=bool)
+            dsorted = docs[dorder]
+            dsel[0] = True
+            np.not_equal(dsorted[1:], dsorted[:-1], out=dsel[1:])
+            docs_u = dsorted[dsel]
+            dls_u = dls[dorder][dsel]
+            if zero_ids:
+                z = np.concatenate(zero_ids)
+                zero_ids.clear()
+                if z.size:
+                    docs_u = np.concatenate([docs_u, z])
+                    dls_u = np.concatenate([dls_u, np.zeros(z.size, dtype=np.int64)])
+                    zo = np.argsort(docs_u, kind="stable")
+                    docs_u, dls_u = docs_u[zo], dls_u[zo]
+            nb_u = int_to_byte4(dls_u)
+            from ..codec import vbyte_encode, delta_encode
+
+            norm_row = pd.DataFrame(
+                {
+                    "term": [NORMS_TERM],
+                    "block_id": np.array([0], dtype=np.int32),
+                    "doc_count": np.array([docs_u.size], dtype=np.int32),
+                    "first_doc": np.array([docs_u[0]], dtype=np.int64),
+                    "last_doc": np.array([docs_u[-1]], dtype=np.int64),
+                    "max_tf": np.array([int(dls_u.max())], dtype=np.int32),
+                    "min_norm_byte": np.array([int(nb_u.min())], dtype=np.int32),
+                    "sum_tf": np.array([int(dls_u.sum())], dtype=np.int64),
+                    "doc_ids_vb": [vbyte_encode(delta_encode(docs_u))],
+                    "tfs_vb": [vbyte_encode(dls_u)],  # true lengths
+                    "norms_b": [nb_u.astype(np.uint8).tobytes()],
+                    "positions_vb": [b""],
+                }
+            )
+            return pd.concat([out, norm_row], ignore_index=True)
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            toks = tokenize_series(pdf[text_col])
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                zero_ids.append(ids)
+                continue
+            row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            starts = np.cumsum(lens) - lens
+            pos = np.arange(total, dtype=np.int64) - starts[row_idx]
+            terms = pd.Series(
+                list(itertools.chain.from_iterable(toks)), dtype=object
+            )
+            if stopwords:
+                keep = ~terms.isin(stopwords).to_numpy()
+                row_idx, pos, terms = row_idx[keep], pos[keep], terms[keep]
+                dl_per_row = np.bincount(row_idx, minlength=lens.size).astype(np.int64)
+            else:
+                dl_per_row = lens
+            if np.any(dl_per_row == 0):
+                zero_ids.append(ids[dl_per_row == 0])
+            buf.append(
+                pd.DataFrame(
+                    {
+                        "term": terms.reset_index(drop=True),
+                        "doc_id": ids[row_idx],
+                        "pos": pos,
+                        "dl": dl_per_row[row_idx],
+                    }
+                )
+            )
+            buffered += int(pos.size)
+            if buffered >= _FLUSH_ROWS:
+                out = flush()
+                if out is not None:
+                    yield out
+        if buf:
+            out = flush()
+            if out is not None:
+                yield out
+        elif zero_ids:
+            z = np.concatenate(zero_ids)
+            if z.size:
+                z = np.sort(z)
+                from ..codec import delta_encode, vbyte_encode
+
+                yield pd.DataFrame(
+                    {
+                        "term": [NORMS_TERM],
+                        "block_id": np.array([0], dtype=np.int32),
+                        "doc_count": np.array([z.size], dtype=np.int32),
+                        "first_doc": np.array([z[0]], dtype=np.int64),
+                        "last_doc": np.array([z[-1]], dtype=np.int64),
+                        "max_tf": np.array([0], dtype=np.int32),
+                        "min_norm_byte": np.array([0], dtype=np.int32),
+                        "sum_tf": np.array([0], dtype=np.int64),
+                        "doc_ids_vb": [vbyte_encode(delta_encode(z))],
+                        "tfs_vb": [vbyte_encode(np.zeros(z.size, dtype=np.int64))],
+                        "norms_b": [bytes(z.size)],
+                        "positions_vb": [b""],
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(_fused, POSTINGS_SCHEMA)
+
+
+def norms_from_fused(blocks: DataFrame) -> DataFrame:
+    """Decode the fused flushes' norms pseudo-rows → NORMS_SCHEMA."""
+    from ..codec import decode_doc_ids, decode_norm_bytes, decode_tfs
+
+    def _dec(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(pdf.shape[0]):
+                d = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+                l = decode_tfs(pdf["tfs_vb"].iat[i])
+                nb = decode_norm_bytes(pdf["norms_b"].iat[i])
+                outs.append(pd.DataFrame({"doc_id": d, "length": l, "norm_byte": nb}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return (
+        blocks.filter(F.col("term") == NORMS_TERM)
+        .select("doc_ids_vb", "tfs_vb", "norms_b")
+        .mapInPandas(_dec, NORMS_SCHEMA)
+    )
 
 
 NORMS_SCHEMA = StructType(
@@ -450,13 +643,16 @@ def build_index_view(
     num_partitions: int | None = None,
     cache: bool = True,
     salt: bool | frozenset[str] = True,
+    fused: bool = True,
 ) -> IndexView:
     """One-shot transient index over any (id, text) DataFrame.
 
-    ``salt=True`` auto-detects Zipf-head terms (detect_hot_terms) and
-    splits their posting runs across doc_id ranges so no single encode
-    task straggles; pass a frozenset to pin the hot terms, False to
-    disable."""
+    ``fused=True`` (default) uses the map-side DWPT path (fused_encode):
+    no token shuffle, no skew — the fastest build and the one whose cost
+    model survives cluster scale.  ``fused=False`` keeps the
+    shuffle-to-term-partitions path (canonical term-sorted layout without
+    a merge); there ``salt=True`` auto-detects Zipf-head terms
+    (detect_hot_terms) so no single encode task straggles."""
     spark = df.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # tokenize cost >> a raw-corpus shuffle: if the scan yields fewer
@@ -464,18 +660,47 @@ def build_index_view(
     # real cluster the scan has plenty of splits and this is a no-op.
     if df.rdd.getNumPartitions() < num_partitions:
         df = df.repartition(num_partitions)
-    salt_terms: frozenset[str] | None = None
-    salt_shift = 16
-    if salt is True:
-        salt_terms, salt_shift = detect_hot_terms(
-            df, id_col, text_col, stopwords, num_partitions
+    if fused:
+        blocks_all = fused_encode(df, id_col, text_col, stopwords)
+        if cache:
+            blocks_all = blocks_all.persist()
+        postings = blocks_all.filter(F.col("term") != NORMS_TERM)
+        term_dict = postings.groupBy("term").agg(
+            F.sum("doc_count").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
         )
-    elif salt:
-        salt_terms = salt
-    stream = invert_tokens(df, id_col, text_col, stopwords)
-    postings = encode_postings(
-        stream, num_partitions, salt_terms=salt_terms or None, salt_shift=salt_shift
-    )
+        norms = norms_from_fused(blocks_all)
+        # corpus stats from flush metadata — no extra tokenize pass
+        stats = (
+            blocks_all.filter(F.col("term") == NORMS_TERM)
+            .agg(
+                F.coalesce(F.sum("doc_count"), F.lit(0)).alias("n"),
+                F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("ttf"),
+            )
+            .collect()[0]
+        )
+        return IndexView(
+            spark=spark,
+            postings=postings,
+            term_dict=term_dict,
+            norms=norms,
+            doc_count=int(stats["n"]),
+            sum_ttf=int(stats["ttf"]),
+            bm25=bm25 or BM25(),
+        )
+    else:
+        salt_terms: frozenset[str] | None = None
+        salt_shift = 16
+        if salt is True:
+            salt_terms, salt_shift = detect_hot_terms(
+                df, id_col, text_col, stopwords, num_partitions
+            )
+        elif salt:
+            salt_terms = salt
+        stream = invert_tokens(df, id_col, text_col, stopwords)
+        postings = encode_postings(
+            stream, num_partitions, salt_terms=salt_terms or None, salt_shift=salt_shift
+        )
     if cache:
         postings = postings.persist()
     term_dict = postings.groupBy("term").agg(

@@ -112,6 +112,30 @@ def test_postings_sorted_and_consistent(engine):
         assert (g["last_doc"].to_numpy()[:-1] < g["first_doc"].to_numpy()[1:]).all()
 
 
+def test_fused_interleaved_partitions_identical(spark, corpus, oracle):
+    """Fused (DWPT) build with doc ids deliberately scattered across
+    partitions: per-term block doc-ranges interleave, and results must
+    still be rank+score identical — plus no (term, doc) posting may exist
+    twice across blocks."""
+    import pandas as pd
+
+    shuffled = corpus.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    df = spark.createDataFrame(shuffled[["doc_id", "content"]]).repartition(7)
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    try:
+        for q in [Term(KEYWORDS[0]), And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9]))]:
+            got = _run(idx, q)
+            assert got == oracle.search(q, k=10), q
+        from lucene_solr_spark.search.executor import postings_table
+
+        pt = postings_table(idx).groupBy("term", "doc_id").count()
+        assert pt.filter(F.col("count") > 1).count() == 0
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
 def test_pruned_equals_unpruned(engine):
     q = Term(KEYWORDS[0])
     a = search(engine, q, k=10, prune=True).collect()

@@ -39,7 +39,7 @@ print("staged", spark.read.parquet({path!r}).count())
 """
 
 _CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from lucene_solr_spark.session import get_spark
 from lucene_solr_spark.index.core import build_index_view, invert_tokens
@@ -57,19 +57,20 @@ invert_tokens(docs.limit(500), "doc_id", "content").count()
 # one-time codegen/worker costs that a long-running ingest amortizes)
 build_sec = float("inf")
 for _ in range(2):
+    spark.catalog.clearCache()
     t0 = time.time()
     idx = build_index_view(docs, cache=True)
     idx.postings.count()
     build_sec = min(build_sec, time.time() - t0)
-    idx.postings.unpersist()
-    idx.norms.unpersist()
 t0 = time.time()
 for qs in ["def", "class AND import", "def OR return OR class"]:
     search(idx, parse_query(qs), k=10).collect()
 query_sec = time.time() - t0
+load1 = os.getloadavg()[0]
 print(json.dumps({{"cores": cores, "build_sec": round(build_sec, 2),
                    "docs_per_sec": round(n_docs / build_sec, 1),
-                   "query_suite_sec": round(query_sec, 2)}}))
+                   "query_suite_sec": round(query_sec, 2),
+                   "loadavg1": round(load1, 1)}}))
 """
 
 
@@ -88,22 +89,37 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     n_docs = 160_000
     pair = (2, 8)
+    rounds = 3
     if args and args[0].isdigit():
         n_docs = int(args.pop(0))
-    if args[:1] == ["--cores"]:
-        pair = (int(args[1]), int(args[2]))
+    while args:
+        if args[0] == "--cores":
+            pair = (int(args[1]), int(args[2]))
+            args = args[3:]
+        elif args[0] == "--rounds":
+            rounds = int(args[1])
+            args = args[2:]
+        else:
+            raise SystemExit(f"unknown arg {args[0]}")
     path = f"/tmp/scaling_corpus_{n_docs}.parquet"
     if not Path(path).exists():
         _sub(_STAGE.format(repo=str(REPO), n_docs=n_docs, path=path))
-    rs = [
-        json.loads(_sub(_CHILD.format(repo=str(REPO), cores=c, path=path)))
-        for c in pair
-    ]
+    # this host carries bursty co-tenant load: interleave the two levels
+    # across rounds and keep the best round per level, so a load burst
+    # can't penalize one side only
+    best: dict[int, dict] = {}
+    for _ in range(rounds):
+        for c in pair:
+            r = json.loads(_sub(_CHILD.format(repo=str(REPO), cores=c, path=path)))
+            if c not in best or r["docs_per_sec"] > best[c]["docs_per_sec"]:
+                best[c] = r
+    rs = [best[pair[0]], best[pair[1]]]
     eff = rs[1]["docs_per_sec"] / ((pair[1] // pair[0]) * rs[0]["docs_per_sec"])
     print(
         json.dumps(
             {
                 "n_docs": n_docs,
+                "rounds": rounds,
                 f"local{pair[0]}": rs[0],
                 f"local{pair[1]}": rs[1],
                 "scaling_efficiency": round(eff, 3),
