@@ -10,7 +10,7 @@ from .core import (
     encode_postings,
     invert_tokens,
 )
-from .merge import merge_postings, merge_segments
+from .merge import merge_postings, merge_segments, tiered_merge
 
 __all__ = [
     "IndexView",
@@ -29,5 +29,6 @@ __all__ = [
     "merge_segments",
     "open_index",
     "read_manifest",
+    "tiered_merge",
     "write_manifest",
 ]

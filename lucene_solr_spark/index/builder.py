@@ -32,7 +32,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..bm25 import BM25
-from .core import IndexView, compute_norms, detect_hot_terms, encode_postings, invert_tokens
+from .core import (
+    NORMS_TERM,
+    IndexView,
+    compute_norms,
+    detect_hot_terms,
+    encode_postings,
+    fused_encode,
+    invert_tokens,
+    norms_from_fused,
+)
 
 __all__ = ["assign_doc_ids", "build_index", "open_index", "read_manifest", "write_manifest"]
 
@@ -154,21 +163,7 @@ def build_index(
     n_docs = docs.count()
     n_segments = max(1, (n_docs + segment_docs - 1) // segment_docs)
 
-    # ---- norms (map-only; one shot) --------------------------------------
-    norms_path = index_path / "norms.parquet"
-    if not norms_path.exists():
-        compute_norms(docs, id_col, text_col, stopwords).write.mode("overwrite").parquet(
-            str(norms_path)
-        )
-
     done = {s["segment_id"] for s in manifest["segments"] if s.get("status") == "done"}
-
-    # Zipf-head salting (SURVEY.md §7.4.4): detect once, apply per segment
-    salt_terms, salt_shift = (frozenset(), 16)
-    if len(done) < n_segments:
-        salt_terms, salt_shift = detect_hot_terms(
-            docs, id_col, text_col, stopwords, num_partitions
-        )
 
     for seg in range(n_segments):
         if seg in done:
@@ -176,15 +171,21 @@ def build_index(
         lo, hi = seg * segment_docs, min((seg + 1) * segment_docs, n_docs)
         t0 = time.time()
         part = docs.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi))
-        stream = invert_tokens(part, id_col, text_col, stopwords)
-        blocks = encode_postings(
-            stream, num_partitions, salt_terms=salt_terms or None, salt_shift=salt_shift
-        )
+        # fused DWPT flush: postings + norms in one tokenize pass; the
+        # segment parquet is written term-sorted (row-group pruning) with
+        # the norms pseudo-rows first (NORMS_TERM = "\\x00…" sorts lowest)
+        blocks = fused_encode(part, id_col, text_col, stopwords)
         seg_path = index_path / "segments" / f"seg={seg}"
         blocks.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
             "overwrite"
         ).parquet(str(seg_path))
-        written = spark.read.parquet(str(seg_path))
+        seg_blocks = spark.read.parquet(str(seg_path))
+        # per-segment norms directory: overwrite semantics make a crashed
+        # segment's retry idempotent (no duplicate norm rows on resume)
+        norms_from_fused(seg_blocks).write.mode("overwrite").parquet(
+            str(index_path / "norms.parquet" / f"seg={seg}")
+        )
+        written = seg_blocks.filter(F.col("term") != NORMS_TERM)
         agg = written.agg(
             F.count(F.lit(1)).alias("blocks"),
             F.sum("doc_count").alias("postings"),
@@ -212,7 +213,9 @@ def build_index(
         write_manifest(index_path, manifest)
 
     # ---- global term dict + corpus stats + commit ------------------------
-    all_segs = spark.read.parquet(str(index_path / "segments"))
+    all_segs = spark.read.parquet(str(index_path / "segments")).filter(
+        F.col("term") != NORMS_TERM
+    )
     term_dict = all_segs.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
@@ -223,7 +226,7 @@ def build_index(
     ).sortWithinPartitions("term").write.mode("overwrite").parquet(str(td_path))
 
     stats = (
-        spark.read.parquet(str(norms_path))
+        spark.read.parquet(str(index_path / "norms.parquet"))
         .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
         .collect()[0]
     )
@@ -243,7 +246,17 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
     if merged is None:
         # an appended segment invalidates the merged snapshot (manifest flag)
         merged = bool(manifest.get("merged")) and merged_path.exists()
-    postings = spark.read.parquet(str(merged_path if merged else index_path / "segments"))
+    if merged:
+        postings = spark.read.parquet(str(merged_path))
+    else:
+        # read ONLY manifest-listed segments: a crash between a tiered
+        # merge's commit and its source cleanup leaves orphan dirs that
+        # must not be double-read
+        seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
+        postings = spark.read.parquet(*seg_paths)
+    from .core import NORMS_TERM as _NT
+
+    postings = postings.filter(F.col("term") != _NT)
     from .deletes import read_tombstones
 
     tombstones = read_tombstones(spark, index_path)

@@ -69,10 +69,14 @@ def _block_violations(batches):
     )
 
 
-def check_index(index: IndexView) -> dict[str, int]:
+def check_index(index: IndexView, expect_disjoint_ranges: bool = True) -> dict[str, int]:
     """Validate block structure, cross-block ordering, and term-dict stats.
 
     Returns violation counts; an empty dict means the index is sound.
+    ``expect_disjoint_ranges=False`` skips the cross-block overlap check —
+    fused (DWPT) layouts and partially tiered-merged indexes legitimately
+    interleave per-term doc ranges across runs (each posting still exists
+    exactly once, which the dictionary cross-check covers).
     """
     out: dict[str, int] = {}
 
@@ -90,16 +94,19 @@ def check_index(index: IndexView) -> dict[str, int]:
     for r in v:
         out[r["kind"]] = int(r["n"])
 
-    # cross-block ordering per term: ranges must not overlap
-    w = Window.partitionBy("term").orderBy("first_doc")
-    overlaps = (
-        index.postings.select("term", "first_doc", "last_doc")
-        .withColumn("prev_last", F.lag("last_doc").over(w))
-        .filter(F.col("prev_last").isNotNull() & (F.col("first_doc") <= F.col("prev_last")))
-        .count()
-    )
-    if overlaps:
-        out["block_ranges_overlap"] = int(overlaps)
+    if expect_disjoint_ranges:
+        # cross-block ordering per term: ranges must not overlap
+        w = Window.partitionBy("term").orderBy("first_doc")
+        overlaps = (
+            index.postings.select("term", "first_doc", "last_doc")
+            .withColumn("prev_last", F.lag("last_doc").over(w))
+            .filter(
+                F.col("prev_last").isNotNull() & (F.col("first_doc") <= F.col("prev_last"))
+            )
+            .count()
+        )
+        if overlaps:
+            out["block_ranges_overlap"] = int(overlaps)
 
     # dictionary stats agree with postings
     recomputed = index.postings.groupBy("term").agg(

@@ -137,7 +137,11 @@ def _append_docs_segment(
     manifest["stats"]["doc_count"] += n
     manifest["stats"]["sum_ttf"] += int(agg["tokens"] or 0)
     # term dict is stale after append — recompute (cheap agg over segments)
-    all_segs = spark.read.parquet(str(index_path / "segments"))
+    from .core import NORMS_TERM
+
+    all_segs = spark.read.parquet(str(index_path / "segments")).filter(
+        F.col("term") != NORMS_TERM
+    )
     td = all_segs.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),

@@ -45,7 +45,7 @@ from ..codec import (
 from .builder import read_manifest, write_manifest
 from .core import POSTINGS_SCHEMA, _rows_to_pdf
 
-__all__ = ["merge_postings", "merge_segments"]
+__all__ = ["merge_postings", "merge_segments", "tiered_merge"]
 
 
 def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list[dict]:
@@ -137,6 +137,95 @@ def merge_postings(
     return stream.mapInPandas(_merge, POSTINGS_SCHEMA)
 
 
+def _select_tier(segments: list[dict], merge_factor: int) -> list[dict] | None:
+    """TieredMergePolicy's core decision (``[8x] lucene/core/.../index/
+    TieredMergePolicy.java``): bucket segments by size tier (log-scale on
+    doc count) and pick the first tier holding >= merge_factor segments —
+    merging peers of similar size keeps write amplification logarithmic."""
+    import math
+
+    tiers: dict[int, list[dict]] = {}
+    for s in segments:
+        tier = int(math.log10(max(s["num_docs"], 1)))
+        tiers.setdefault(tier, []).append(s)
+    for tier in sorted(tiers):
+        if len(tiers[tier]) >= merge_factor:
+            return sorted(tiers[tier], key=lambda s: s["num_docs"])[:merge_factor]
+    return None
+
+
+def tiered_merge(
+    spark: SparkSession,
+    index_path: str | Path,
+    merge_factor: int = 4,
+    max_passes: int = 10,
+) -> dict:
+    """Background-merge analog: repeatedly merge ``merge_factor``
+    similar-sized segments into one new segment until no tier qualifies.
+
+    Each pass reads the chosen segment dirs, runs the same
+    ``merge_postings`` sort-merge, writes a NEW segment dir, and commits a
+    manifest where the sources are replaced by the merged segment —
+    queries before/after see identical postings.  Unlike
+    ``merge_segments`` (the full optimize/forceMerge(1)), this bounds
+    per-pass work and is what a continuously-ingesting index runs.
+    """
+    from .core import NORMS_TERM
+
+    index_path = Path(index_path)
+    manifest = read_manifest(index_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    for _ in range(max_passes):
+        chosen = _select_tier(manifest["segments"], merge_factor)
+        if not chosen:
+            break
+        t0 = time.time()
+        new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
+        paths = [str(index_path / s["path"]) for s in chosen]
+        blocks = spark.read.parquet(*paths).filter(F.col("term") != NORMS_TERM)
+        merged = merge_postings(blocks)
+        out = index_path / "segments" / f"seg={new_id}"
+        merged.repartitionByRange("term").sortWithinPartitions(
+            "term", "first_doc"
+        ).write.mode("overwrite").parquet(str(out))
+        agg = spark.read.parquet(str(out)).agg(
+            F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
+        ).collect()[0]
+        merged_ids = {s["segment_id"] for s in chosen}
+        entry = {
+            "segment_id": new_id,
+            "status": "done",
+            "doc_base": min(s["doc_base"] for s in chosen),
+            "max_doc": max(s["max_doc"] for s in chosen),
+            "num_docs": sum(s["num_docs"] for s in chosen),
+            "lineage": {"merged_from": sorted(merged_ids)},
+            "metrics": {
+                "blocks": int(agg["blocks"]),
+                "tokens": int(agg["tokens"] or 0),
+                "build_sec": round(time.time() - t0, 3),
+            },
+            "path": f"segments/seg={new_id}",
+        }
+        manifest["segments"] = [
+            s for s in manifest["segments"] if s["segment_id"] not in merged_ids
+        ] + [entry]
+        manifest["segments"].sort(key=lambda s: s["segment_id"])
+        manifest["merged"] = False
+        write_manifest(index_path, manifest)
+        # drop source dirs only AFTER the manifest no longer references
+        # them (a crash between leaves harmless orphan dirs, not data loss)
+        import shutil
+
+        for s in chosen:
+            p = index_path / s["path"]
+            if p.exists() and s["segment_id"] not in {
+                x["segment_id"] for x in manifest["segments"]
+            }:
+                shutil.rmtree(p)
+    return manifest
+
+
 def merge_segments(
     spark: SparkSession, index_path: str | Path, num_partitions: int | None = None
 ) -> dict:
@@ -161,7 +250,11 @@ def merge_segments(
             dtype=np.int64,
         )
 
-    blocks = spark.read.parquet(str(index_path / "segments"))
+    from .core import NORMS_TERM
+
+    blocks = spark.read.parquet(str(index_path / "segments")).filter(
+        F.col("term") != NORMS_TERM
+    )
     merged = merge_postings(blocks, num_partitions, tombstone_ids=tomb_ids)
     out = index_path / "merged.parquet"
     merged.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(

@@ -220,6 +220,26 @@ class MiniLucene:
                 out[d] = len(base)
         return out
 
+    def _sloppy_tf(self, q: Phrase) -> dict[int, float]:
+        """doc -> sloppy frequency (shared minimal-window kernel)."""
+        from .search.sloppy import sloppy_freq
+
+        if any(t not in self.positions for t in q.terms):
+            return {}
+        docs = set(self.positions[q.terms[0]])
+        for t in q.terms[1:]:
+            docs &= set(self.positions[t])
+        out = {}
+        for d in docs:
+            lists = [
+                np.sort(np.asarray(self.positions[t][d], dtype=np.int64) - off)
+                for off, t in enumerate(q.terms)
+            ]
+            sf = sloppy_freq(lists, q.slop)
+            if sf > 0:
+                out[d] = sf
+        return out
+
     def _phrase_scores(self, q: Phrase) -> dict[int, float]:
         uniq = list(dict.fromkeys(q.terms))
         if any(t not in self.postings for t in uniq):
@@ -228,9 +248,12 @@ class MiniLucene:
         total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
         w = np.float32(total * np.float32(q.boost))
         _, nb_map, cache = self._term_ctx(uniq[0])
+        freqs = self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q)
         out = {}
-        for d, tf in self._phrase_tf(q).items():
-            s = self.bm25.score(np.array([tf]), np.array([nb_map[d]]), w, cache)
+        for d, tf in freqs.items():
+            s = self.bm25.score(
+                np.array([tf], dtype=np.float64), np.array([nb_map[d]]), w, cache
+            )
             out[d] = float(s[0])
         return out
 
@@ -240,7 +263,7 @@ class MiniLucene:
         if isinstance(q, Term):
             return set(self.postings.get(q.term, {}))
         if isinstance(q, Phrase):
-            return set(self._phrase_tf(q))
+            return set(self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q))
         if isinstance(q, MatchAll):
             return set(self.dl)
         if isinstance(q, ConstantScore):

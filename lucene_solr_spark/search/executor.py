@@ -364,10 +364,44 @@ def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     )
 
 
+def _sloppy_tf(index: IndexView, phrase: Phrase) -> DataFrame:
+    """[doc_id, sf:double, norm_byte] — sloppy frequency per doc via the
+    shared minimal-window kernel (search/sloppy.py), computed per doc
+    group (applyInPandas)."""
+    from .sloppy import sloppy_freq
+
+    uniq = list(dict.fromkeys(phrase.terms))
+    pt = positions_table(index, uniq)
+    offs = [(t, i, i) for i, t in enumerate(phrase.terms)]
+    cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
+    j = pt.join(F.broadcast(cdf), "term").select(
+        "doc_id", "norm_byte", "clause", "off", "positions"
+    )
+    n_clauses = len(phrase.terms)
+    slop = phrase.slop
+
+    def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["clause"].nunique() < n_clauses:
+            return pd.DataFrame({"doc_id": [], "sf": [], "norm_byte": []})
+        lists = []
+        for _, row in pdf.sort_values("clause").iterrows():
+            lists.append(np.sort(np.asarray(row["positions"], dtype=np.int64) - row["off"]))
+        sf = sloppy_freq(lists, slop)
+        if sf <= 0:
+            return pd.DataFrame({"doc_id": [], "sf": [], "norm_byte": []})
+        return pd.DataFrame(
+            {"doc_id": [pdf["doc_id"].iat[0]], "sf": [sf],
+             "norm_byte": [pdf["norm_byte"].iat[0]]}
+        )
+
+    return j.groupBy("doc_id").applyInPandas(_kern, "doc_id long, sf double, norm_byte long")
+
+
 def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
-    """Phrase scoring: tf = phrase freq; idf = Σ constituent idfs (Lucene
-    BM25Similarity.idfExplain over the term array, summed in double and
-    cast float); returns [doc_id, score:double(f32-valued)]."""
+    """Phrase scoring: tf = phrase freq (slop=0) or sloppy freq (slop>0);
+    idf = Σ constituent idfs (Lucene BM25Similarity.idfExplain over the
+    term array, summed in double and cast float); returns
+    [doc_id, score:double(f32-valued)]."""
     uniq = list(dict.fromkeys(phrase.terms))
     dfs = _leaf_stats(index, uniq)
     if len(dfs) < len(uniq):
@@ -380,11 +414,14 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
     @F.pandas_udf("double")
     def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
         s = BM25.score(
-            tf.to_numpy(dtype=np.int64), nb.to_numpy(dtype=np.int64), w, cache
+            tf.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.int64), w, cache
         )
         return pd.Series(s.astype(np.float64))
 
-    tfdf = _phrase_tf(index, phrase)
+    if phrase.slop > 0:
+        tfdf = _sloppy_tf(index, phrase).withColumnRenamed("sf", "tf")
+    else:
+        tfdf = _phrase_tf(index, phrase)
     return tfdf.select("doc_id", _score(F.col("tf"), F.col("norm_byte")).alias("score"))
 
 
@@ -394,6 +431,8 @@ def _matches(index: IndexView, q) -> DataFrame:
     if isinstance(q, Term):
         return postings_table(index, [q.term]).select("doc_id")
     if isinstance(q, Phrase):
+        if q.slop > 0:
+            return _sloppy_tf(index, q).select("doc_id")
         return _phrase_tf(index, q).select("doc_id")
     if isinstance(q, MatchAll):
         return index.norms.select("doc_id")

@@ -80,16 +80,20 @@ class Bool:
 
 @dataclass(frozen=True)
 class Phrase:
-    """Exact phrase (slop=0): terms must appear at consecutive positions.
-    Scored like a pseudo-term: tf = phrase frequency, idf = Σ constituent
-    idfs (BM25Similarity.idfExplain over the term array)."""
+    """Phrase query.  slop=0 (default): exact — terms at consecutive
+    positions, tf = phrase frequency.  slop>0: sloppy — minimal covering
+    windows of offset-adjusted positions with width <= slop, sloppyFreq =
+    Σ 1/(1+width) (see search/sloppy.py).  Scored like a pseudo-term with
+    idf = Σ constituent idfs (BM25Similarity.idfExplain)."""
 
     terms: tuple
     boost: float = 1.0
+    slop: int = 0
 
-    def __init__(self, *terms, boost: float = 1.0):
+    def __init__(self, *terms, boost: float = 1.0, slop: int = 0):
         object.__setattr__(self, "terms", _tuplify(terms))
         object.__setattr__(self, "boost", float(boost))
+        object.__setattr__(self, "slop", int(slop))
 
 
 @dataclass(frozen=True)
@@ -178,7 +182,7 @@ def _boosted(q, b: float):
     if isinstance(q, Term):
         return Term(q.term, q.boost * b)
     if isinstance(q, Phrase):
-        return Phrase(*q.terms, boost=q.boost * b)
+        return Phrase(*q.terms, boost=q.boost * b, slop=q.slop)
     if isinstance(q, (ConstantScore, MatchAll)):
         from dataclasses import replace
         return replace(q, boost=q.boost * b)
@@ -253,7 +257,7 @@ def qualify_query(q, default_field: str):
     if isinstance(q, Term):
         return Term(fix(q.term), q.boost)
     if isinstance(q, Phrase):
-        return Phrase(*[fix(t) for t in q.terms], boost=q.boost)
+        return Phrase(*[fix(t) for t in q.terms], boost=q.boost, slop=q.slop)
     if isinstance(q, MatchAll):
         return q
     if isinstance(q, Prefix):

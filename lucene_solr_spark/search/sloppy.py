@@ -1,0 +1,51 @@
+"""Sloppy phrase matching kernel — shared by the Spark executor and the
+oracle so both compute identical sloppy frequencies.
+
+Semantics (documented simplification of Lucene's SloppyPhraseScorer,
+``[8x] lucene/core/.../search/SloppyPhraseMatcher.java``): for clause
+terms t_0..t_{n-1}, offset-adjust each occurrence position (a = p - i).
+A match is a minimal window over the adjusted position lists containing
+one occurrence of every clause with width = max(a) - min(a) <= slop;
+matches are enumerated left-to-right non-retreating (each minimal window
+counted once), and sloppyFreq = Σ 1 / (1 + width) — Lucene's weighting,
+so slop=0 degenerates to exact-phrase tf with weight 1 per occurrence.
+Deviation from Lucene: we count minimal windows per left anchor rather
+than replaying its repeat-group machinery; both agree on phrases without
+repeated terms in typical text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["sloppy_freq"]
+
+
+def sloppy_freq(adjusted_lists: list[np.ndarray], slop: int) -> float:
+    """Σ 1/(1+width) over minimal covering windows with width <= slop.
+
+    ``adjusted_lists[i]`` must be the SORTED offset-adjusted positions of
+    clause i in one document."""
+    n = len(adjusted_lists)
+    if n == 0 or any(len(a) == 0 for a in adjusted_lists):
+        return 0.0
+    if n == 1:
+        return float(len(adjusted_lists[0]))  # degenerate single-term
+    idx = [0] * n
+    total = 0.0
+    while True:
+        vals = [adjusted_lists[i][idx[i]] for i in range(n)]
+        lo_i = int(np.argmin(vals))
+        width = int(max(vals) - vals[lo_i])
+        if width <= slop:
+            total += 1.0 / (1.0 + width)
+            # non-retreating: advance the left edge past this match
+            idx[lo_i] += 1
+            if idx[lo_i] >= len(adjusted_lists[lo_i]):
+                break
+        else:
+            # window too wide: advance the minimum to shrink it
+            idx[lo_i] += 1
+            if idx[lo_i] >= len(adjusted_lists[lo_i]):
+                break
+    return total

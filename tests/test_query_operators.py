@@ -137,3 +137,24 @@ def test_levenshtein_reference():
     assert levenshtein("class", "clasz") == 1
     assert levenshtein("kitten", "sitting") == 3
     assert levenshtein("", "abc") == 3
+
+
+def test_sloppy_phrase_identity(engine, oracle):
+    """slop>0: minimal-window sloppy matching, engine == oracle exactly;
+    slop=0 path unchanged; sloppy matches are a superset of exact."""
+    from lucene_solr_spark.search import Phrase, count_hits
+
+    exact = oracle.search(Phrase("def", "class"), k=100)
+    for slop in (1, 3):
+        q = Phrase("def", "class", slop=slop)
+        got = _run(engine, q, k=20)
+        want = oracle.search(q, k=20)
+        assert [d for d, _ in got] == [d for d, _ in want], (slop, got[:3], want[:3])
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == ws, (slop, gd, gs, ws)
+        assert count_hits(engine, q) == oracle.count(q)
+        assert oracle.count(q) >= len(exact)
+    # wider slop never matches fewer docs
+    assert oracle.count(Phrase("def", "class", slop=3)) >= oracle.count(
+        Phrase("def", "class", slop=1)
+    )

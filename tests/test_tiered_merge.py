@@ -1,0 +1,54 @@
+"""TieredMergePolicy analog: size-tiered background merges preserve
+results exactly and shrink the segment count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index import (
+    build_index,
+    check_index,
+    open_index,
+    read_manifest,
+    tiered_merge,
+)
+from lucene_solr_spark.search import parse_query, search
+
+
+def _topk(spark, path, qs, k=10):
+    idx = open_index(spark, path)
+    return [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in search(idx, parse_query(qs), k=k).collect()
+    ]
+
+
+def test_tiered_merge_preserves_results(spark, tmp_path):
+    path = tmp_path / "idx"
+    # 6 segments of 50 docs: same tier, merge_factor=4 -> one pass merges 4
+    build_index(spark, gen_corpus_df(spark, 300, seed=23), path, segment_docs=50)
+    before = {q: _topk(spark, path, q) for q in ["def", "class AND import", "def OR return"]}
+    m0 = read_manifest(path)
+    assert len(m0["segments"]) == 6
+
+    m1 = tiered_merge(spark, path, merge_factor=4, max_passes=1)
+    assert len(m1["segments"]) == 3  # 6 - 4 + 1
+    merged_entry = [s for s in m1["segments"] if "merged_from" in s["lineage"]][0]
+    assert len(merged_entry["lineage"]["merged_from"]) == 4
+    assert merged_entry["num_docs"] == 200
+
+    idx = open_index(spark, path)
+    assert check_index(idx, expect_disjoint_ranges=False) == {}
+    for q, want in before.items():
+        assert _topk(spark, path, q) == want, q
+
+    # source dirs are gone; only manifest-listed dirs remain
+    import os
+    on_disk = {d for d in os.listdir(path / "segments") if d.startswith("seg=")}
+    assert on_disk == {s["path"].split("/")[-1] for s in m1["segments"]}
+
+    # run to fixpoint: remaining 2 small + 1 big -> no tier with >= 4 peers
+    m2 = tiered_merge(spark, path, merge_factor=4)
+    assert len(m2["segments"]) == 3
