@@ -20,12 +20,17 @@ from .dedup import (
     simhash,
     with_shingle_hashes,
 )
-from .similarity import cosine_topk, hyperplane_lsh_topk
+from .classify import TextLogit, train_text_logit
+from .similarity import cosine_topk, hyperplane_lsh_topk, ivf_fit_centroids, ivf_topk
 from .text import doc_fingerprint, lang_id, text_quality, token_stats
 from .multimodal import media_features, with_media_binary
 
 __all__ = [
+    "TextLogit",
     "cosine_topk",
+    "ivf_fit_centroids",
+    "ivf_topk",
+    "train_text_logit",
     "doc_fingerprint",
     "exact_dedup",
     "hyperplane_lsh_topk",

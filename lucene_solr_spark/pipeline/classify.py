@@ -1,0 +1,130 @@
+"""Text classification streams: train / classify (logistic regression).
+
+Reference semantics: Solr's ``train`` / ``classify`` streaming expressions
+(``[8x] solr/solrj/.../io/stream/TextLogitStream.java``, ``solr/core/.../
+handler/ClassifyStream.java``, SURVEY.md §2.7): batch-gradient logistic
+regression over tf-idf text features, trained by iterating over the
+collection, then applied as a scoring stream.
+
+Spark-first shape: features live in a (doc, feature_idx, value) long
+table; each training iteration is ONE aggregation job computing the full
+gradient (sum over docs of (sigmoid(x·w) − y)·x — embarrassingly
+parallel); the weight vector stays on the driver (d = vocabulary slice,
+small) and ships back via broadcast closure.  Deterministic: fixed zero
+init, fixed feature ordering, float64 everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import TOKENS_SQL
+
+__all__ = ["TextLogit", "train_text_logit"]
+
+
+def _feature_table(df: DataFrame, vocab: list[str], text_col: str,
+                   id_col: str) -> DataFrame:
+    """Sparse tf-idf-lite features: [id, fidx, value] with value =
+    1 + ln(tf) (Solr TextLogitStream uses raw tf scaled; we use log-tf,
+    documented).  Feature 0 is the bias (value 1)."""
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab)], "term string, fidx int"
+    )
+    toks = df.select(id_col, F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    feats = tf.join(F.broadcast(vdf), "term").select(
+        id_col,
+        "fidx",
+        (F.lit(1.0) + F.log(F.col("tf").cast("double"))).alias("value"),
+    )
+    bias = df.select(id_col).withColumn("fidx", F.lit(0)).withColumn("value", F.lit(1.0))
+    return feats.unionByName(bias)
+
+
+class TextLogit:
+    """Trained model: predict_df adds probability + predicted label."""
+
+    def __init__(self, vocab: list[str], weights: np.ndarray, text_col: str, id_col: str):
+        self.vocab = vocab
+        self.weights = weights  # (len(vocab) + 1,) — [bias, vocab...]
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def predict_df(self, df: DataFrame, threshold: float = 0.5) -> DataFrame:
+        feats = _feature_table(df, self.vocab, self.text_col, self.id_col)
+        w = self.weights
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(w)], "fidx int, w double"
+        )
+        margin = (
+            feats.join(F.broadcast(wdf), "fidx")
+            .groupBy(self.id_col)
+            .agg(F.sum(F.col("value") * F.col("w")).alias("margin"))
+        )
+        return margin.select(
+            self.id_col,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("probability"),
+        ).withColumn("prediction", (F.col("probability") >= threshold).cast("int"))
+
+
+def train_text_logit(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    iterations: int = 30,
+    learning_rate: float = 0.5,
+    l2: float = 1e-4,
+) -> TextLogit:
+    """Batch-gradient logistic regression (the `train` stream).
+
+    Vocabulary = top-``vocab_size`` terms by document frequency (Solr's
+    termsStream feature selection simplified).  Each iteration runs one
+    Spark aggregation for the exact gradient; weights update on the
+    driver.
+    """
+    toks = df.select(id_col, F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"))
+    vocab = [
+        r["term"]
+        for r in toks.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(vocab_size)
+        .collect()
+    ]
+    feats = _feature_table(df, vocab, text_col, id_col).persist()
+    labels = df.select(id_col, F.col(label_col).cast("double").alias("y"))
+    n = labels.count()
+    d = len(vocab) + 1
+    w = np.zeros(d, dtype=np.float64)
+    spark = df.sparkSession
+    for _ in range(iterations):
+        wdf = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(w)], "fidx int, w double"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "fidx")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("value") * F.col("w")).alias("m"))
+            .join(labels, id_col)
+            .withColumn("err", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y"))
+        )
+        grad_rows = (
+            feats.join(margins.select(id_col, "err"), id_col)
+            .groupBy("fidx")
+            .agg(F.sum(F.col("value") * F.col("err")).alias("g"))
+            .collect()
+        )
+        g = np.zeros(d, dtype=np.float64)
+        for r in grad_rows:
+            g[r["fidx"]] = r["g"]
+        w -= learning_rate * (g / n + l2 * w)
+    feats.unpersist()
+    return TextLogit(vocab, w, text_col, id_col)

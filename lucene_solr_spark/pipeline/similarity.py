@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "hyperplane_lsh_topk"]
+__all__ = ["cosine_topk", "hyperplane_lsh_topk", "ivf_fit_centroids", "ivf_topk"]
 
 #: sequential f64 dot product of two array columns (bit-deterministic)
 _DOT = (
@@ -58,6 +58,79 @@ def cosine_topk(
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+):
+    """IVF coarse quantizer: k-means (Lloyd) on a driver-side sample.
+
+    Deterministic (seeded sample + seeded init).  At 100 TB the sample
+    collect stays bounded (``sample`` rows) and assignment is the
+    distributed part — the classic IVF split."""
+    import numpy as np
+
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(x.shape[0], size=min(n_clusters, x.shape[0]), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids,
+    k: int = 10,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF search: assign vectors to their nearest centroid (distributed),
+    scan only the ``n_probes`` lists nearest to the query, exact cosine
+    rerank inside them."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))[:n_probes].tolist()
+
+    # nearest-centroid assignment as a pure SQL expression: argmin over
+    # per-centroid squared distance (expanded: |x|² − 2x·c + |c|²; |x|²
+    # is constant per row so argmin needs only −2x·c + |c|²)
+    terms = []
+    for ci, c in enumerate(cent):
+        arr = "array(" + ", ".join(repr(float(v)) + "D" for v in c) + ")"
+        dot = _DOT.format(a=vec_col, b=arr)
+        c2 = float((c * c).sum())
+        terms.append(f"struct(CAST({c2!r} AS DOUBLE) - 2D * ({dot}) AS d, {ci} AS c)")
+    assign = f"array_min(array({', '.join(terms)})).c"
+
+    d = df
+    if exclude_ids:
+        d = d.filter(~F.col(id_col).isin(exclude_ids))
+    cand = d.withColumn("_cluster", F.expr(assign)).filter(
+        F.col("_cluster").isin(probe)
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def _plane_component(plane: int, dim: int) -> int:

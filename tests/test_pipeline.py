@@ -135,3 +135,49 @@ def test_media_features_plumbing(spark):
     # deterministic: same payload -> same features
     again = {r["doc_id"]: r for r in media_features(media, fake=True).collect()}
     assert out[1]["fake_width"] == again[1]["fake_width"]
+
+
+def test_train_classify_stream(spark):
+    """train/classify streaming-expression analog: logistic regression on
+    tf features separates a planted vocabulary signal."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline.classify import train_text_logit
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(120):
+        y = i % 2
+        base = ["common", "words", "everywhere"] * 3
+        signal = ["spammy", "offer", "click"] if y else ["normal", "report", "data"]
+        toks = base + signal * 2 + [f"noise{rng.integers(0, 50)}"]
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks), y))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_text_logit(df, "label", iterations=25, vocab_size=60)
+    pred = {r["doc_id"]: r["prediction"] for r in model.predict_df(df).collect()}
+    acc = sum(pred[i] == i % 2 for i in range(120)) / 120
+    assert acc >= 0.95, acc
+    # deterministic: retrain gives identical weights
+    model2 = train_text_logit(df, "label", iterations=25, vocab_size=60)
+    assert np.array_equal(model.weights, model2.weights)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF coarse-quantized ANN: nearest-centroid probing recalls most of
+    the exact top-k while scanning a fraction of the lists."""
+    from lucene_solr_spark.pipeline.similarity import ivf_fit_centroids, ivf_topk
+
+    df, m = _rand_embeddings(spark, n=300, d=16, seed=9)
+    cent = ivf_fit_centroids(df, n_clusters=8, sample=300, iters=8)
+    assert cent.shape == (8, 16)
+    hits = 0
+    for qid in range(5):
+        q = [float(x) for x in m[qid]]
+        exact = {r["id"] for r in cosine_topk(df, q, k=5, exclude_ids=[qid]).collect()}
+        approx = {
+            r["id"]
+            for r in ivf_topk(df, q, cent, k=5, n_probes=3, exclude_ids=[qid]).collect()
+        }
+        hits += len(exact & approx)
+    assert hits >= 15, f"IVF recall too low: {hits}/25"
