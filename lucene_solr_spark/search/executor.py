@@ -553,7 +553,7 @@ def _scores(index: IndexView, q) -> DataFrame:
 #: decode is ~10M postings/sec/core, so pruning starts paying around a few
 #: hundred blocks (term path) / a few thousand (conjunction leapfrog,
 #: which adds a ranges collect + a secondary filter scan).
-_PRUNE_MIN_BLOCKS = 64
+_PRUNE_MIN_BLOCKS = 256
 _PRUNE_MIN_BLOCKS_AND = 4096
 
 
