@@ -82,3 +82,59 @@ def test_posting_blocks_roundtrip(n_docs):
 def test_empty():
     assert vbyte_encode(np.array([], dtype=np.int64)) == b""
     assert vbyte_decode(b"").size == 0
+
+
+def test_batch_encoder_equals_per_term_encoder():
+    """Differential: encode_token_batch must produce byte-identical blocks
+    to the reference per-term encoder for random sorted token streams."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.codec import encode_posting_blocks, encode_token_batch
+    from lucene_solr_spark.smallfloat import int_to_byte4
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n_docs = int(rng.integers(1, 40))
+        vocab = [f"t{j}" for j in range(int(rng.integers(1, 15)))]
+        rows = []
+        for d in range(n_docs):
+            n_tok = int(rng.integers(1, 300))
+            toks = rng.choice(vocab, size=n_tok)
+            for p, t in enumerate(toks):
+                rows.append((t, d, p, n_tok))
+        df = pd.DataFrame(rows, columns=["term", "doc_id", "pos", "dl"])
+        df = df.sort_values(["term", "doc_id", "pos"], kind="mergesort").reset_index(drop=True)
+
+        cols = encode_token_batch(
+            df["term"].to_numpy(object),
+            np.zeros(len(df), dtype=np.int64),
+            df["doc_id"].to_numpy(np.int64),
+            df["pos"].to_numpy(np.int64),
+            df["dl"].to_numpy(np.int64),
+        )
+        got = pd.DataFrame(cols)
+
+        # reference: per-term aggregation + encode_posting_blocks
+        want_rows = []
+        for term, sub in df.groupby("term", sort=True):
+            doc = sub["doc_id"].to_numpy(np.int64)
+            pos = sub["pos"].to_numpy(np.int64)
+            dl = sub["dl"].to_numpy(np.int64)
+            boundary = np.empty(doc.size, dtype=bool)
+            boundary[0] = True
+            np.not_equal(doc[1:], doc[:-1], out=boundary[1:])
+            starts = np.flatnonzero(boundary)
+            tfs = np.diff(np.append(starts, doc.size)).astype(np.int64)
+            for r in encode_posting_blocks(doc[starts], tfs, int_to_byte4(dl[starts]), pos):
+                r["term"] = term
+                want_rows.append(r)
+        want = pd.DataFrame(want_rows)
+
+        assert len(got) == len(want), trial
+        for c in ["term", "block_id", "doc_count", "first_doc", "last_doc",
+                  "max_tf", "min_norm_byte", "sum_tf",
+                  "doc_ids_vb", "tfs_vb", "norms_b", "positions_vb"]:
+            a = got[c].tolist()
+            b = want[c].tolist()
+            assert a == b, (trial, c)
