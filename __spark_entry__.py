@@ -373,6 +373,31 @@ def q_group_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multifield_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field index dictionary: terms are stored 'field:token' with
+    per-field stats — checked via the 'src' field (source column as a
+    second text field) plus the default field's probe terms."""
+    from lucene_solr_spark.index import build_multifield_index_view
+
+    d = _docs(spark, sf_dir)
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "src": "source"}, default_field="text"
+    )
+    probe = [f"text:{t}" for t in PROBE_TERMS]
+    out = (
+        idx.term_dict.filter(
+            F.col("term").startswith("src:") | F.col("term").isin(probe)
+        )
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_graph_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gatherNodes BFS over the part–supplier bipartite graph (lineitem
     edges, both directions), seed part 1, 2 hops → [node, hop=min]."""
@@ -514,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_unique": q_facet_unique,
         "group_expand": q_group_expand,
         "graph_gather": q_graph_gather,
+        "multifield_dict": q_multifield_dict,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -844,6 +870,20 @@ FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
         "facet_unique": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY event_type ORDER BY event_type""",
+        "multifield_dict": f"""
+WITH {_TOK_CTE},
+textd AS (
+  SELECT 'text:' || term AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)}) GROUP BY term
+),
+srcd AS (
+  SELECT 'src:' || lower(source) AS term, CAST(count(*) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM documents GROUP BY lower(source)
+)
+SELECT term, df, cf FROM textd UNION ALL SELECT term, df, cf FROM srcd
+ORDER BY term""",
         "graph_gather": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem
