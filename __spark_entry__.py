@@ -23,7 +23,14 @@ DuckDB re-derivations from the raw text.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust against being loaded by file path from a foreign cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
