@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 
 from ..analysis import tokenize_series
 from ..bm25 import BM25
-from ..codec import encode_posting_blocks, encode_token_batch
+from ..codec import encode_token_batch
 from ..smallfloat import int_to_byte4
 
 __all__ = ["IndexView", "build_index_view", "build_multifield_index_view",
@@ -131,24 +131,6 @@ def invert_tokens(
             )
 
     return df.select(id_col, text_col).mapInPandas(_invert, TOKEN_STREAM_SCHEMA)
-
-
-def _encode_term_run(term: str, sub: pd.DataFrame) -> list[dict]:
-    """Encode one term's (doc_id, pos, dl) rows (sorted by doc_id, pos)."""
-    doc = sub["doc_id"].to_numpy(dtype=np.int64)
-    pos = sub["pos"].to_numpy(dtype=np.int64)
-    dl = sub["dl"].to_numpy(dtype=np.int64)
-    boundary = np.empty(doc.size, dtype=bool)
-    boundary[0] = True
-    np.not_equal(doc[1:], doc[:-1], out=boundary[1:])
-    starts = np.flatnonzero(boundary)
-    doc_ids = doc[starts]
-    tfs = np.diff(np.append(starts, doc.size)).astype(np.int64)
-    norm_bytes = int_to_byte4(dl[starts])
-    rows = encode_posting_blocks(doc_ids, tfs, norm_bytes, pos)
-    for r in rows:
-        r["term"] = term
-    return rows
 
 
 _POSTING_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
