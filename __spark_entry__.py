@@ -249,6 +249,17 @@ def q_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets pivot: counts at every (returnflag × linestatus)
+    aggregation level — CUBE (Catalyst-native grouping sets)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats component: count/sum/avg/min/max/stddev per bucket, with
     decimal-exact sums so the result is partial-agg-order independent."""
@@ -550,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
+        "facet_cube": q_facet_cube,
         "stats_numeric": q_stats_numeric,
         "group_topk": q_group_topk,
         "collapse_top1": q_collapse_top1,
@@ -939,6 +951,10 @@ FROM orders GROUP BY bucket ORDER BY bucket""",
 SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment""",
+        "facet_cube": """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus""",
         "stats_numeric": """
 WITH g AS (
   SELECT l_returnflag,
