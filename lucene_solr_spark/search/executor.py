@@ -162,11 +162,6 @@ _SCORED_SCHEMA = StructType(
     ]
 )
 
-#: above this many blocks for the lead term, skip driver-side pruning
-#: (collecting block metadata would not be driver-safe); Catalyst handles it
-_PRUNE_MAX_BLOCKS = 65536
-
-
 def _decode_score_udf(weights: dict[str, float], caches):
     """mapInPandas kernel: posting blocks → (term, doc_id, score_f32-as-double).
 
@@ -559,58 +554,49 @@ _PRUNE_MIN_BLOCKS_AND = 4096
 
 def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None:
     """Block-max WAND-style two-pass pruning for a single TermQuery
-    (SURVEY.md §4): pass 1 exact-scores the blocks with the highest upper
-    bounds until >= k docs are covered, giving a true achievable theta;
-    pass 2 rescans only blocks whose upper bound >= theta.  Sound because
-    ub >= any score in the block and theta is a realized k-th score.
+    (SURVEY.md §4), fully distributed — NO driver-side block-metadata
+    collect, so it scales to stopword-class terms with 10^8 blocks:
 
-    One metadata collect feeds everything: df = Σ doc_count, so no extra
-    term-dictionary job."""
-    meta = (
-        index.postings.filter(F.col("term") == term)
-        .select("block_id", "doc_count", "max_tf", "min_norm_byte")
-        .collect()
-    )
-    if not (_PRUNE_MIN_BLOCKS <= len(meta) <= _PRUNE_MAX_BLOCKS):
+      pass 1: per-block upper bounds (f32 BM25 on max_tf / min norm) →
+              TakeOrdered top-k blocks by ub (every block holds ≥1 doc, so
+              k blocks cover ≥ k docs) → exact-score just those → the
+              realized k-th score is θ;
+      pass 2: decode only blocks with ub ≥ θ (superset of pass 1 — the
+              recompute keeps the plan stateless and idempotent).
+
+    Sound because ub ≥ every true score in its block and θ is achievable.
+    """
+    dfs = _leaf_stats(index, [term])
+    if term not in dfs:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    df_term = dfs[term]
+    if (df_term + 127) // 128 < _PRUNE_MIN_BLOCKS:
         return None
-    df_term = int(sum(r["doc_count"] for r in meta))
     w = index.bm25.weight(df_term, index.stats_for(term)[0])
     cache = index.norm_inverse_cache(term)
-    max_tf = np.array([r["max_tf"] for r in meta], dtype=np.int64)
-    mnb = np.array([r["min_norm_byte"] for r in meta], dtype=np.int64)
-    bids = np.array([r["block_id"] for r in meta], dtype=np.int64)
-    counts = np.array([r["doc_count"] for r in meta], dtype=np.int64)
-    ub = BM25.score(max_tf, mnb, w, cache)
-    order = np.argsort(-ub, kind="stable")
-    cum = np.cumsum(counts[order])
-    n_pass1 = int(np.searchsorted(cum, k) + 1) if cum[-1] >= k else order.size
-    pass1_ids = set(bids[order[:n_pass1]].tolist())
 
-    blocks1 = index.postings.filter(
-        (F.col("term") == term) & F.col("block_id").isin(list(pass1_ids))
+    @F.pandas_udf("float")
+    def _ub(max_tf: pd.Series, min_nb: pd.Series) -> pd.Series:
+        s = BM25.score(
+            max_tf.to_numpy(dtype=np.int64), min_nb.to_numpy(dtype=np.int64), w, cache
+        )
+        return pd.Series(s.astype(np.float32))
+
+    blocks = index.postings.filter(F.col("term") == term).withColumn(
+        "_ub", _ub(F.col("max_tf"), F.col("min_norm_byte"))
     )
-    scored1, _ = scored_leaves(index, [term], blocks=blocks1, stats={term: df_term})
+    top_blocks = blocks.orderBy(F.desc("_ub")).limit(max(k, 8))
+    scored1, _ = scored_leaves(index, [term], blocks=top_blocks, stats={term: df_term})
     if index.tombstones is not None:
         # θ must be achievable by LIVE docs, else pruning would be unsound
         scored1 = scored1.join(index.tombstones, "doc_id", "left_anti")
-    top1 = (
-        scored1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    )
+    top1 = scored1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     if len(top1) < k:
         return None  # few hits; just scan everything
     theta = float(np.float32(top1[-1]["score"]))
-    keep2 = bids[(ub >= np.float32(theta))]
-    keep2_ids = [int(x) for x in keep2 if int(x) not in pass1_ids]
-    out1 = index.spark.createDataFrame(
-        [(int(r["doc_id"]), float(r["score"])) for r in top1], "doc_id long, score double"
-    )
-    if not keep2_ids:
-        return out1
-    blocks2 = index.postings.filter(
-        (F.col("term") == term) & F.col("block_id").isin(keep2_ids)
-    )
+    blocks2 = blocks.filter(F.col("_ub") >= theta).drop("_ub")
     scored2, _ = scored_leaves(index, [term], blocks=blocks2, stats={term: df_term})
-    return out1.unionByName(scored2.select("doc_id", "score"))
+    return scored2.select("doc_id", "score")
 
 
 def search(
