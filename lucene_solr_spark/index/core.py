@@ -568,38 +568,56 @@ def build_multifield_index_view(
     field column and BM25 uses the field's own avgdl/docCount — exactly
     Lucene's per-field CollectionStatistics.  Bare query terms resolve
     against ``default_field`` at search time.
+
+    Build path: one fused DWPT flush per field (map-side, no token
+    shuffle), with each field's norms pseudo-rows tagged
+    ``"\\x00norms:<field>"`` so per-field stats come from flush metadata.
     """
     spark = df.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < num_partitions:
         df = df.repartition(num_partitions)
-    streams = []
-    norm_parts = []
-    for fname, col in fields.items():
-        s = invert_tokens(df, id_col, col, stopwords).withColumn(
-            "term", F.concat(F.lit(fname + ":"), F.col("term"))
-        )
-        streams.append(s)
-        norm_parts.append(
-            compute_norms(df, id_col, col, stopwords).withColumn("field", F.lit(fname))
-        )
     from functools import reduce
 
-    stream = reduce(DataFrame.unionByName, streams)
-    postings = encode_postings(stream, num_partitions)
+    parts = []
+    for fname, col in fields.items():
+        b = fused_encode(df, id_col, col, stopwords)
+        b = b.withColumn(
+            "term",
+            F.when(F.col("term") == NORMS_TERM, F.lit(NORMS_TERM + ":" + fname)).otherwise(
+                F.concat(F.lit(fname + ":"), F.col("term"))
+            ),
+        )
+        parts.append(b)
+    blocks_all = reduce(DataFrame.unionByName, parts)
     if cache:
-        postings = postings.persist()
+        blocks_all = blocks_all.persist()
+    is_norms = F.col("term").startswith(NORMS_TERM)
+    postings = blocks_all.filter(~is_norms)
     term_dict = postings.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
     )
-    norms = reduce(DataFrame.unionByName, norm_parts)
+    norm_blocks = blocks_all.filter(is_norms).withColumn(
+        "field", F.expr(f"substring(term, {len(NORMS_TERM) + 2})")
+    )
+    norms = None
+    for fname in fields:
+        nf = norms_from_fused(
+            norm_blocks.filter(F.col("field") == fname).withColumn(
+                "term", F.lit(NORMS_TERM)
+            )
+        ).withColumn("field", F.lit(fname))
+        norms = nf if norms is None else norms.unionByName(nf)
     if cache:
         norms = norms.persist()
     per_field = {
         r["field"]: (int(r["n"]), int(r["ttf"]))
-        for r in norms.groupBy("field")
-        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+        for r in norm_blocks.groupBy("field")
+        .agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("ttf"),
+        )
         .collect()
     }
     total_docs = df.count()

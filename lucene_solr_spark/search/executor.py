@@ -430,7 +430,8 @@ def _matches(index: IndexView, q) -> DataFrame:
             return _sloppy_tf(index, q).select("doc_id")
         return _phrase_tf(index, q).select("doc_id")
     if isinstance(q, MatchAll):
-        return index.norms.select("doc_id")
+        # norms hold one row per (doc, field) in multi-field mode
+        return index.norms.select("doc_id").distinct()
     if isinstance(q, ConstantScore):
         return _matches(index, q.query)
     if isinstance(q, And):
@@ -474,7 +475,7 @@ def _scores(index: IndexView, q) -> DataFrame:
         return _phrase_scores(index, q)
     if isinstance(q, MatchAll):
         b = float(np.float32(q.boost))
-        return index.norms.select("doc_id", F.lit(b).alias("score"))
+        return index.norms.select("doc_id").distinct().withColumn("score", F.lit(b))
     if isinstance(q, ConstantScore):
         b = float(np.float32(q.boost))
         return _matches(index, q.query).select("doc_id", F.lit(b).alias("score"))

@@ -97,3 +97,16 @@ def test_same_token_scores_differently_per_field(engine, oracle):
     # score differently because path avgdl differs — sanity: the path
     # field query returns finite scores and matches oracle df
     assert count_hits(engine, Term("path:src")) == oracle.df("path:src") == N
+
+
+def test_multifield_matchall_and_not(engine, oracle):
+    """MatchAll / NOT over per-field norms must not duplicate docs."""
+    from lucene_solr_spark.search import MatchAll
+
+    got = _run(engine, MatchAll(), k=200)
+    want = oracle.search(MatchAll(), k=200)
+    assert len(got) == N and got == want
+    q = parse_query("NOT def")
+    got = _run(engine, q, k=200)
+    assert got == oracle.search(q, k=200)
+    assert len({d for d, _ in got}) == len(got)
