@@ -20,11 +20,17 @@ Layout:
   bm25        — Lucene-8 BM25Similarity (float32 parity kernel)
   oracle      — pure-Python mini-Lucene reference (rank-identity oracle)
   corpus      — deterministic source-code corpus generator (FIXTURES.md)
-  index       — IndexWriter/SegmentMerger analog: build, merge, manifest
-  search      — Query AST + DataFrame plan construction (Term/AND/OR, top-k)
-  relational  — Solr facets / streaming-expression analogs
-  pipeline    — training-data ops: dedup, similarity search, text quality
+  index       — IndexWriter/SegmentMerger analog: fused DWPT build,
+                segments+manifest, tiered merge, deletes/updates, CheckIndex
+  search      — Query AST (Term/Bool/Phrase±slop/DisMax/multi-term),
+                scorer-tree executor, WAND pruning, searchAfter, MLT,
+                highlighting
+  relational  — Solr facets / grouping / streaming-expression algebra
+  graph       — gatherNodes / shortestPath BFS streams
+  pipeline    — training-data ops: dedup (MinHash/SimHash/Jaccard), ANN
+                (LSH/IVF), text quality, classification, multimodal stubs
   functions   — scalar function-query equivalents
+  sources     — contract corpus reader (Iceberg table / parquet)
   streaming   — incremental (foreachBatch) indexing analog of NRT
 """
 
