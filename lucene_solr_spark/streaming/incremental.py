@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..bm25 import BM25
 from ..index.builder import MANIFEST, read_manifest, write_manifest
-from ..index.core import compute_norms, encode_postings, invert_tokens
+from ..index.core import NORMS_TERM, fused_encode, norms_from_fused
 
 __all__ = ["stream_build_index"]
 
@@ -68,16 +68,24 @@ def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
     docs = docs.persist()
 
     seg_path = index_path / "segments" / f"seg={seg_id}"
-    stream = invert_tokens(docs, "doc_id", text_col, stopwords)
-    encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
-        "term", "first_doc"
-    ).write.mode("overwrite").parquet(str(seg_path))
+    # fused DWPT flush: postings + norms pseudo-rows in one tokenize pass
+    fused_encode(docs, "doc_id", text_col, stopwords).repartitionByRange(
+        "term"
+    ).sortWithinPartitions("term", "first_doc").write.mode("overwrite").parquet(
+        str(seg_path)
+    )
+    seg_blocks = spark.read.parquet(str(seg_path))
+    # per-batch subdirs + overwrite: a replayed batch (crash between these
+    # writes and the manifest commit) rewrites its own data, never appends
+    # duplicates — the tlog replay stays exactly-once end to end
+    norms_from_fused(seg_blocks).write.mode("overwrite").parquet(
+        str(index_path / "norms.parquet" / f"batch={batch_id}")
+    )
+    docs.write.mode("overwrite").parquet(
+        str(index_path / "docs.parquet" / f"batch={batch_id}")
+    )
 
-    norms = compute_norms(docs, "doc_id", text_col, stopwords)
-    norms.write.mode("append").parquet(str(index_path / "norms.parquet"))
-    docs.write.mode("append").parquet(str(index_path / "docs.parquet"))
-
-    written = spark.read.parquet(str(seg_path))
+    written = seg_blocks.filter(F.col("term") != NORMS_TERM)
     agg = written.agg(
         F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
     ).collect()[0]
