@@ -43,9 +43,45 @@ from .core import (
     norms_from_fused,
 )
 
-__all__ = ["assign_doc_ids", "build_index", "open_index", "read_manifest", "write_manifest"]
+__all__ = [
+    "assign_doc_ids",
+    "assign_doc_ids_arrival",
+    "build_index",
+    "open_index",
+    "read_manifest",
+    "write_manifest",
+]
 
 MANIFEST = "manifest.json"
+
+
+def assign_doc_ids_arrival(df: DataFrame, doc_base: int = 0) -> DataFrame:
+    """Dense arrival-order doc_id starting at ``doc_base`` WITHOUT a
+    single-partition window (the append/streaming analog of
+    ``assign_doc_ids``; Lucene assigns docIDs in arrival order per DWPT).
+
+    Per-partition counts (tiny collect) give each partition a docID
+    offset; within a partition, ``monotonically_increasing_id`` captured
+    *before* the window exchange gives a stable arrival order.  Every
+    window is partitioned by ``_pid`` — no SinglePartition exchange, so
+    the path scales with partitions like the builder's own scheme."""
+    keyed = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, int(doc_base)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        keyed.withColumn("doc_id", (off_col + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_mid")
+    )
 
 
 def assign_doc_ids(
@@ -213,9 +249,10 @@ def build_index(
         write_manifest(index_path, manifest)
 
     # ---- global term dict + corpus stats + commit ------------------------
-    all_segs = spark.read.parquet(str(index_path / "segments")).filter(
-        F.col("term") != NORMS_TERM
-    )
+    # read ONLY manifest-listed segment dirs (orphans from a crashed
+    # tiered-merge cleanup must not be double-counted)
+    seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
+    all_segs = spark.read.parquet(*seg_paths).filter(F.col("term") != NORMS_TERM)
     term_dict = all_segs.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),

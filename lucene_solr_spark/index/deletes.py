@@ -80,13 +80,14 @@ def update_documents(
     ).select("doc_id")
     delete_docs(spark, index_path, victims)
 
-    # append the new docs as a follow-on build: contiguous ids after maxDoc
+    # append the new docs as a follow-on build: contiguous ids after maxDoc,
+    # assigned by the builder's range-partition + per-partition-offset
+    # scheme (assign_doc_ids) — NO single-partition window on this path.
     doc_base = max((s["max_doc"] for s in manifest["segments"]), default=0)
-    from pyspark.sql.window import Window
+    from .builder import assign_doc_ids
 
-    w = Window.partitionBy(F.lit(1)).orderBy(*[F.col(c) for c in key_cols])
-    appended = new_docs.withColumn(
-        "doc_id", (F.row_number().over(w) - 1 + F.lit(doc_base)).cast("long")
+    appended = assign_doc_ids(new_docs, key_cols).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(doc_base)).cast("long")
     )
     # write appended segment via the builder's segment machinery
     manifest = _append_docs_segment(spark, index_path, appended, text_col, **build_kwargs)
@@ -109,10 +110,20 @@ def _append_docs_segment(
     encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
         "term", "first_doc"
     ).write.mode("overwrite").parquet(str(seg_path))
-    compute_norms(docs, "doc_id", text_col).write.mode("append").parquet(
-        str(index_path / "norms.parquet")
+    # norms.parquet is ALWAYS seg=<id>-partitioned (builder + streaming
+    # layout): a root-level append would be silently ignored by Spark's
+    # partition discovery, dropping the appended docs from MatchAll and
+    # corrupting avgdl.  Write our own seg dir (overwrite = idempotent).
+    compute_norms(docs, "doc_id", text_col).write.mode("overwrite").parquet(
+        str(index_path / "norms.parquet" / f"seg={seg_id}")
     )
-    docs.write.mode("append").parquet(str(index_path / "docs.parquet"))
+    docs_root = index_path / "docs.parquet"
+    if any(p.is_dir() and "=" in p.name for p in docs_root.iterdir()):
+        # stream-built store (seg=<id> dirs): root-level files would be
+        # invisible to partition discovery — match the layout
+        docs.write.mode("overwrite").parquet(str(docs_root / f"seg={seg_id}"))
+    else:
+        docs.write.mode("append").parquet(str(docs_root))
     written = spark.read.parquet(str(seg_path))
     agg = written.agg(
         F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
@@ -136,12 +147,13 @@ def _append_docs_segment(
     # stats grow with appended docs (deleted docs still counted — Lucene)
     manifest["stats"]["doc_count"] += n
     manifest["stats"]["sum_ttf"] += int(agg["tokens"] or 0)
-    # term dict is stale after append — recompute (cheap agg over segments)
+    # term dict is stale after append — recompute over MANIFEST-LISTED
+    # segments only (orphan dirs from a crashed merge cleanup must not be
+    # double-counted; mirrors open_index)
     from .core import NORMS_TERM
 
-    all_segs = spark.read.parquet(str(index_path / "segments")).filter(
-        F.col("term") != NORMS_TERM
-    )
+    seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
+    all_segs = spark.read.parquet(*seg_paths).filter(F.col("term") != NORMS_TERM)
     td = all_segs.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),

@@ -252,9 +252,11 @@ def merge_segments(
 
     from .core import NORMS_TERM
 
-    blocks = spark.read.parquet(str(index_path / "segments")).filter(
-        F.col("term") != NORMS_TERM
-    )
+    # manifest-listed segment dirs ONLY: a crash between tiered_merge's
+    # manifest commit and its source-dir cleanup leaves orphan dirs that a
+    # whole-directory read would double-count (mirrors open_index)
+    seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
+    blocks = spark.read.parquet(*seg_paths).filter(F.col("term") != NORMS_TERM)
     merged = merge_postings(blocks, num_partitions, tombstone_ids=tomb_ids)
     out = index_path / "merged.parquet"
     merged.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
@@ -274,7 +276,10 @@ def merge_segments(
             tomb.select("doc_id"), "doc_id", "left_anti"
         )
         tmp = index_path / "norms.parquet.tmp"
-        live_norms.write.mode("overwrite").parquet(str(tmp))
+        # preserve the seg=<id> partition layout: a later root-level mix of
+        # flat files and seg dirs would make partition discovery silently
+        # drop the flat files (append-path norms loss)
+        live_norms.write.mode("overwrite").partitionBy("seg").parquet(str(tmp))
         import shutil
 
         shutil.rmtree(norms_path)

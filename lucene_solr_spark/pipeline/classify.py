@@ -11,7 +11,9 @@ table; each training iteration is ONE aggregation job computing the full
 gradient (sum over docs of (sigmoid(x·w) − y)·x — embarrassingly
 parallel); the weight vector stays on the driver (d = vocabulary slice,
 small) and ships back via broadcast closure.  Deterministic: fixed zero
-init, fixed feature ordering, float64 everywhere.
+init, fixed feature ordering, float64 per-row products routed through
+DECIMAL(38,18) sums so every aggregation is exact and independent of
+Spark's partial-agg combine order (bit-identical retrains).
 """
 
 from __future__ import annotations
@@ -24,6 +26,14 @@ from pyspark.sql import functions as F
 from .hashing import TOKENS_SQL
 
 __all__ = ["TextLogit", "train_text_logit"]
+
+
+def _exact_sum(prod):
+    """Order-independent float64 sum: the per-row float64 product is cast
+    to DECIMAL(38,18) (exact, associative, commutative), summed, and cast
+    back.  Each row's truncation is deterministic, so the aggregate no
+    longer depends on Spark's partial-agg combine order."""
+    return F.sum(prod.cast("decimal(38,18)")).cast("double")
 
 
 def _feature_table(df: DataFrame, vocab: list[str], text_col: str,
@@ -65,7 +75,7 @@ class TextLogit:
         margin = (
             feats.join(F.broadcast(wdf), "fidx")
             .groupBy(self.id_col)
-            .agg(F.sum(F.col("value") * F.col("w")).alias("margin"))
+            .agg(_exact_sum(F.col("value") * F.col("w")).alias("margin"))
         )
         return margin.select(
             self.id_col,
@@ -112,14 +122,14 @@ def train_text_logit(
         margins = (
             feats.join(F.broadcast(wdf), "fidx")
             .groupBy(id_col)
-            .agg(F.sum(F.col("value") * F.col("w")).alias("m"))
+            .agg(_exact_sum(F.col("value") * F.col("w")).alias("m"))
             .join(labels, id_col)
             .withColumn("err", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y"))
         )
         grad_rows = (
             feats.join(margins.select(id_col, "err"), id_col)
             .groupBy("fidx")
-            .agg(F.sum(F.col("value") * F.col("err")).alias("g"))
+            .agg(_exact_sum(F.col("value") * F.col("err")).alias("g"))
             .collect()
         )
         g = np.zeros(d, dtype=np.float64)

@@ -58,13 +58,14 @@ def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
     if n == 0:
         batch.unpersist()
         return
-    # contiguous doc ids on top of the current maxDoc (per-batch dense rank)
-    from pyspark.sql.window import Window
+    # contiguous doc ids on top of the current maxDoc, assigned by the
+    # per-partition-offset scheme (NO single-partition window — mirrors
+    # the builder's assign_doc_ids rule; Lucene docIDs are arrival order)
+    from ..index.builder import assign_doc_ids_arrival
 
-    w = Window.orderBy(F.monotonically_increasing_id())
-    docs = batch.withColumn(
-        "doc_id", (F.row_number().over(w) - 1 + F.lit(doc_base)).cast("long")
-    ).withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    docs = assign_doc_ids_arrival(batch, doc_base).withColumn(
+        "content_sha256", F.sha2(F.col(text_col), 256)
+    )
     docs = docs.persist()
 
     seg_path = index_path / "segments" / f"seg={seg_id}"
@@ -75,14 +76,17 @@ def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
         str(seg_path)
     )
     seg_blocks = spark.read.parquet(str(seg_path))
-    # per-batch subdirs + overwrite: a replayed batch (crash between these
-    # writes and the manifest commit) rewrites its own data, never appends
-    # duplicates — the tlog replay stays exactly-once end to end
+    # per-segment subdirs + overwrite: a replayed batch (crash between
+    # these writes and the manifest commit) recomputes the SAME seg_id
+    # (manifest unchanged) and rewrites its own data, never appends
+    # duplicates — the tlog replay stays exactly-once end to end.  The
+    # seg= key matches the batch builder's norms layout so update/merge
+    # paths see one uniform partition scheme.
     norms_from_fused(seg_blocks).write.mode("overwrite").parquet(
-        str(index_path / "norms.parquet" / f"batch={batch_id}")
+        str(index_path / "norms.parquet" / f"seg={seg_id}")
     )
     docs.write.mode("overwrite").parquet(
-        str(index_path / "docs.parquet" / f"batch={batch_id}")
+        str(index_path / "docs.parquet" / f"seg={seg_id}")
     )
 
     written = seg_blocks.filter(F.col("term") != NORMS_TERM)

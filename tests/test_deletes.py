@@ -105,3 +105,39 @@ def test_update_documents_replaces_by_key(spark, built):
     merge_segments(spark, built)
     assert check_index(open_index(spark, built)) == {}
     assert len(search(open_index(spark, built), Term("zzzuniquetoken"), k=5).collect()) == 1
+
+
+def test_update_appends_norms_into_partitioned_layout(spark, built):
+    """Regression: appended norms must land in the seg=<id> partition dirs
+    — root-level files are silently ignored by Spark partition discovery,
+    which silently dropped appended docs from MatchAll/avgdl."""
+    n_new = 7
+    new_docs = spark.createDataFrame(
+        [(f"newrepo{i}", f"new/path{i}.py", "c0", "python",
+          f"freshbody{i} freshbody{i} def appended content")
+         for i in range(n_new)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    update_documents(spark, built, new_docs, key_cols=["repo", "path"])
+
+    idx = open_index(spark, built)
+    # norms rows == manifest doc count (deleted docs still counted pre-merge)
+    assert idx.norms.count() == idx.doc_count == N_DOCS + n_new
+    # every appended doc is visible to term queries (its norms row exists)
+    hits = search(idx, Term("appended"), k=50).collect()
+    assert len(hits) == n_new
+    # stats drift check survives a merge (norms rewrite keeps the layout)
+    merge_segments(spark, built)
+    idx2 = open_index(spark, built)
+    assert idx2.norms.count() == idx2.doc_count
+    assert len(search(idx2, Term("appended"), k=50).collect()) == n_new
+    # a SECOND append after the merge-time norms rewrite still lands in
+    # partition dirs (the rewrite must preserve seg= layout)
+    more = spark.createDataFrame(
+        [("r2", "p2.py", "c1", "python", "secondwave secondwave body")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    update_documents(spark, built, more, key_cols=["repo", "path"])
+    idx3 = open_index(spark, built)
+    assert idx3.norms.count() == idx3.doc_count
+    assert len(search(idx3, Term("secondwave"), k=5).collect()) == 1

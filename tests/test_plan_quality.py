@@ -65,3 +65,16 @@ def test_no_single_partition_exchange_in_doc_id_assignment(spark):
     rows = ids.select("doc_id").collect()
     got = sorted(r["doc_id"] for r in rows)
     assert got == list(range(300))
+
+
+def test_no_single_partition_exchange_in_arrival_doc_ids(spark):
+    """The append/streaming doc-id path must scale like the builder's:
+    per-partition offsets, never a global one-task window."""
+    from lucene_solr_spark.index.builder import assign_doc_ids_arrival
+
+    corpus = gen_corpus_df(spark, 300, seed=7).repartition(8)
+    ids = assign_doc_ids_arrival(corpus, doc_base=1000)
+    plan = _plan(ids)
+    assert "SinglePartition" not in plan, "append-path doc_id bottleneck regressed"
+    got = sorted(r["doc_id"] for r in ids.select("doc_id").collect())
+    assert got == list(range(1000, 1300))
