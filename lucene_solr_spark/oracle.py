@@ -79,7 +79,10 @@ class MiniLucene:
                 kept = [(t, i) for i, t in enumerate(toks) if t not in stopwords]
             else:
                 kept = list(zip(toks, range(len(toks))))
-            self._fdl.setdefault(field, {})[doc_id] = len(toks)
+            # field length = POST-stop-filter term count (Lucene's norms
+            # count indexed terms, not removed ones — matches the engine's
+            # fused_encode/invert_tokens/compute_norms)
+            self._fdl.setdefault(field, {})[doc_id] = len(kept)
             pre = "" if field is None else field + ":"
             for t, i in kept:
                 key = pre + t
@@ -241,13 +244,15 @@ class MiniLucene:
         return out
 
     def _phrase_scores(self, q: Phrase) -> dict[int, float]:
-        uniq = list(dict.fromkeys(q.terms))
-        if any(t not in self.postings for t in uniq):
+        if any(t not in self.postings for t in q.terms):
             return {}
-        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in uniq]
+        # Lucene PhraseWeight collects one TermStatistics PER POSITION,
+        # so a repeated term contributes its idf once per occurrence
+        # (PhraseQuery#createWeight iterates terms[], duplicates included)
+        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in q.terms]
         total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
         w = np.float32(total * np.float32(q.boost))
-        _, nb_map, cache = self._term_ctx(uniq[0])
+        _, nb_map, cache = self._term_ctx(q.terms[0])
         freqs = self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q)
         out = {}
         for d, tf in freqs.items():

@@ -394,14 +394,15 @@ def _sloppy_tf(index: IndexView, phrase: Phrase) -> DataFrame:
 
 def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
     """Phrase scoring: tf = phrase freq (slop=0) or sloppy freq (slop>0);
-    idf = Σ constituent idfs (Lucene BM25Similarity.idfExplain over the
-    term array, summed in double and cast float); returns
+    idf = Σ constituent idfs over the term ARRAY — repeats included, one
+    TermStatistics per position (Lucene PhraseQuery#createWeight /
+    BM25Similarity.idfExplain), summed in double and cast float; returns
     [doc_id, score:double(f32-valued)]."""
     uniq = list(dict.fromkeys(phrase.terms))
     dfs = _leaf_stats(index, uniq)
     if len(dfs) < len(uniq):
         return index.spark.createDataFrame([], "doc_id long, score double")
-    idfs = [index.bm25.idf(dfs[t], index.stats_for(t)[0]) for t in uniq]
+    idfs = [index.bm25.idf(dfs[t], index.stats_for(t)[0]) for t in phrase.terms]
     total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
     w = np.float32(total_idf * np.float32(phrase.boost))
     cache = index.norm_inverse_cache(uniq[0])

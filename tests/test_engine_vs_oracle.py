@@ -158,3 +158,31 @@ def test_forced_prune_paths_identical(engine, oracle, monkeypatch):
         And(Term(KEYWORDS[1]), Term(KEYWORDS[7]), Term(KEYWORDS[2])),
     ]:
         assert _run(engine, q) == oracle.search(q, k=10), q
+
+
+def test_stopworded_rank_identity(spark, corpus):
+    """With a stop filter, BOTH sides must use the post-filter term count
+    as the field length (Lucene norms count indexed terms only) — a
+    pre-filter length in either breaks rank/score identity."""
+    stops = frozenset({KEYWORDS[0], KEYWORDS[1], "the", "a"})
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content", stopwords=stops)
+    oracle = MiniLucene(
+        list(zip(corpus["doc_id"], corpus["content"])), stopwords=stops
+    )
+    try:
+        # a stopword yields nothing on either side
+        assert _run(idx, Term(KEYWORDS[0])) == []
+        assert oracle.search(Term(KEYWORDS[0]), k=10) == []
+        for q in [
+            Term(KEYWORDS[2]),
+            Term(KEYWORDS[5]),
+            And(Term(KEYWORDS[2]), Term(KEYWORDS[7])),
+            Or(Term(KEYWORDS[4]), Term(KEYWORDS[9])),
+        ]:
+            got = _run(idx, q)
+            want = oracle.search(q, k=10)
+            assert got == want, (q, got, want)
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
