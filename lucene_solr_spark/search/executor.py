@@ -271,49 +271,69 @@ def _f32(col):
     return col.cast("float").cast("double")
 
 
-def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
-    """Rewrite Prefix/Wildcard/Regexp/Fuzzy/TermRange nodes against the
-    term dictionary (Lucene's MultiTermQuery rewrite, §2.4).  Constant-score
-    nodes become ConstantScore(Or(terms)); scoring nodes become boolean
-    SHOULD expansions (SCORING_BOOLEAN_REWRITE) capped at ``max_expansions``
-    (BooleanQuery.maxClauseCount — TooManyClauses beyond)."""
+def _multiterm_cond(q):
+    """Column predicate over ``term`` selecting a multi-term node's
+    expansion set — shared by the driver-side scoring rewrite and the
+    fully-distributed constant-score path."""
     import re as _re
 
+    if isinstance(q, Prefix):
+        return F.col("term").startswith(q.prefix)
+    if isinstance(q, Wildcard):
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in q.pattern
+        )
+        return F.col("term").rlike(f"^(?:{rx})$")
+    if isinstance(q, Regexp):
+        return F.col("term").rlike(f"^(?:{q.pattern})$")
+    if isinstance(q, TermRange):
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (
+                F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+            )
+        if q.upper is not None:
+            cond = cond & (
+                F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+            )
+        return cond
+    if isinstance(q, Fuzzy):
+        cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+        if q.prefix_length:
+            cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+        return cond
+    raise TypeError(f"not a multi-term node: {type(q)}")
+
+
+def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
+    """Rewrite Prefix/Wildcard/Regexp/Fuzzy/TermRange nodes (Lucene's
+    MultiTermQuery rewrite, §2.4).  Scoring nodes become boolean SHOULD
+    expansions (SCORING_BOOLEAN_REWRITE) capped at ``max_expansions``
+    (BooleanQuery.maxClauseCount — TooManyClauses beyond; the dictionary
+    collect is limit()-bounded so an over-cap expansion never ships a
+    giant term list to the driver).  Constant-score nodes are NOT
+    expanded here: they stay in the tree and ``_matches``/``_scores``
+    evaluate them distributed (postings filtered by the term predicate —
+    no driver-side term list at all), so a broad prefix over a 10^8-term
+    dictionary is just a parquet scan with a pushed StartsWith filter."""
     if isinstance(q, (Term, Phrase, MatchAll)):
         return q
     if is_multiterm(q):
-        td = index.term_dict
-        if isinstance(q, Prefix):
-            cond = F.col("term").startswith(q.prefix)
-        elif isinstance(q, Wildcard):
-            rx = "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in q.pattern
-            )
-            cond = F.col("term").rlike(f"^(?:{rx})$")
-        elif isinstance(q, Regexp):
-            cond = F.col("term").rlike(f"^(?:{q.pattern})$")
-        elif isinstance(q, TermRange):
-            cond = F.lit(True)
-            if q.lower is not None:
-                cond = cond & (
-                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
-                )
-            if q.upper is not None:
-                cond = cond & (
-                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
-                )
-        elif isinstance(q, Fuzzy):
-            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
-            if q.prefix_length:
-                cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
-        terms = sorted(r["term"] for r in td.filter(cond).select("term").collect())
+        if q.constant_score:
+            return q  # evaluated distributed in _matches/_scores
+        cond = _multiterm_cond(q)
+        rows = (
+            index.term_dict.filter(cond)
+            .select("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise ValueError(f"TooManyClauses: > {max_expansions}")
+        terms = sorted(r["term"] for r in rows)
         if not terms:
             return Term("\x00no_match", q.boost)
-        if not q.constant_score and len(terms) > max_expansions:
-            raise ValueError(f"TooManyClauses: {len(terms)} > {max_expansions}")
-        if q.constant_score:
-            return ConstantScore(Or(*[Term(t) for t in terms]), q.boost)
         return Or(*[Term(t, q.boost) for t in terms])
     if isinstance(q, (And, Or)):
         return type(q)(*[expand_multiterm(index, c, max_expansions) for c in q.clauses])
@@ -331,12 +351,29 @@ def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
     raise TypeError(f"unknown query node {type(q)}")
 
 
+def _phrase_candidates(index: IndexView, uniq: list[str]) -> DataFrame:
+    """Docs containing ALL phrase terms — the AND pre-intersection,
+    computed from the cheap doc-id decode (doc_ids_vb/tfs_vb only, no
+    positions).  Position rows are exploded/shuffled ONLY for these
+    candidate docs; with a common clause term this drops the dominant
+    cost of the phrase plan at scale."""
+    pt = postings_table(index, uniq)
+    return (
+        pt.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select("doc_id")
+    )
+
+
 def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     """[doc_id, tf, norm_byte] — exact-phrase frequency per doc via the
     position-adjust trick: token at position p matches clause (term, off)
     iff p - off is the same base position for every clause."""
     uniq = list(dict.fromkeys(phrase.terms))
     pt = positions_table(index, uniq)
+    if len(uniq) > 1:
+        pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]  # (term, off, clause)
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
     base = (
@@ -361,35 +398,54 @@ def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
 
 def _sloppy_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     """[doc_id, sf:double, norm_byte] — sloppy frequency per doc via the
-    shared minimal-window kernel (search/sloppy.py), computed per doc
-    group (applyInPandas)."""
+    shared minimal-window kernel (search/sloppy.py).
+
+    Batch shape: candidate docs are pre-intersected (AND semi-join on the
+    positions-free decode), per-doc clause position arrays are packed with
+    ``collect_list`` into ONE row per doc, and a single ``mapInPandas``
+    kernel processes whole Arrow batches of docs — no per-doc Python/Arrow
+    round trip (the groupBy+applyInPandas per-candidate-doc shape paid
+    one kernel invocation per doc)."""
     from .sloppy import sloppy_freq
 
     uniq = list(dict.fromkeys(phrase.terms))
     pt = positions_table(index, uniq)
+    if len(uniq) > 1:
+        pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
     j = pt.join(F.broadcast(cdf), "term").select(
         "doc_id", "norm_byte", "clause", "off", "positions"
     )
+    packed = j.groupBy("doc_id").agg(
+        F.first("norm_byte").alias("norm_byte"),
+        F.collect_list(F.struct("clause", "off", "positions")).alias("_cl"),
+    )
     n_clauses = len(phrase.terms)
     slop = phrase.slop
 
-    def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf["clause"].nunique() < n_clauses:
-            return pd.DataFrame({"doc_id": [], "sf": [], "norm_byte": []})
-        lists = []
-        for _, row in pdf.sort_values("clause").iterrows():
-            lists.append(np.sort(np.asarray(row["positions"], dtype=np.int64) - row["off"]))
-        sf = sloppy_freq(lists, slop)
-        if sf <= 0:
-            return pd.DataFrame({"doc_id": [], "sf": [], "norm_byte": []})
-        return pd.DataFrame(
-            {"doc_id": [pdf["doc_id"].iat[0]], "sf": [sf],
-             "norm_byte": [pdf["norm_byte"].iat[0]]}
-        )
+    def _kern(batches):
+        for pdf in batches:
+            ids, sfs, nbs = [], [], []
+            cl_col = pdf["_cl"]
+            for i in range(pdf.shape[0]):
+                cl = cl_col.iat[i]
+                if len(cl) < n_clauses:
+                    continue  # some clause term absent in this doc
+                lists: list = [None] * n_clauses
+                for item in cl:
+                    lists[int(item["clause"])] = np.sort(
+                        np.asarray(item["positions"], dtype=np.int64) - int(item["off"])
+                    )
+                sf = sloppy_freq(lists, slop)
+                if sf > 0:
+                    ids.append(int(pdf["doc_id"].iat[i]))
+                    sfs.append(float(sf))
+                    nbs.append(int(pdf["norm_byte"].iat[i]))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "sf": sfs, "norm_byte": nbs})
 
-    return j.groupBy("doc_id").applyInPandas(_kern, "doc_id long, sf double, norm_byte long")
+    return packed.mapInPandas(_kern, "doc_id long, sf double, norm_byte long")
 
 
 def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
@@ -421,11 +477,31 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
     return tfdf.select("doc_id", _score(F.col("tf"), F.col("norm_byte")).alias("score"))
 
 
+def _multiterm_doc_ids(index: IndexView, q) -> DataFrame:
+    """Distinct doc ids matching a multi-term node, fully distributed:
+    filter posting blocks by the term predicate (StartsWith/range push
+    down to parquet row groups), decode ONLY doc_ids_vb, distinct.  No
+    term list ever reaches the driver — the constant-score rewrite of a
+    broad prefix stays one scan + one shuffle regardless of how many
+    dictionary terms match."""
+    blocks = index.postings.filter(_multiterm_cond(q))
+
+    def _decode(batches):
+        for pdf in batches:
+            out = [decode_doc_ids(pdf["doc_ids_vb"].iat[i]) for i in range(pdf.shape[0])]
+            if out:
+                yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+    return blocks.select("doc_ids_vb").mapInPandas(_decode, "doc_id long").distinct()
+
+
 def _matches(index: IndexView, q) -> DataFrame:
     """Unscored doc-id set of a query node (FILTER / MUST_NOT /
     ConstantScore side — BooleanWeight's scoreless scorers)."""
     if isinstance(q, Term):
         return postings_table(index, [q.term]).select("doc_id")
+    if is_multiterm(q):
+        return _multiterm_doc_ids(index, q)
     if isinstance(q, Phrase):
         if q.slop > 0:
             return _sloppy_tf(index, q).select("doc_id")
@@ -477,6 +553,11 @@ def _scores(index: IndexView, q) -> DataFrame:
     if isinstance(q, MatchAll):
         b = float(np.float32(q.boost))
         return index.norms.select("doc_id").distinct().withColumn("score", F.lit(b))
+    if is_multiterm(q):
+        # unexpanded constant-score multi-term node: distributed match set
+        # scored as a constant (Lucene CONSTANT_SCORE_REWRITE)
+        b = float(np.float32(q.boost))
+        return _multiterm_doc_ids(index, q).withColumn("score", F.lit(b))
     if isinstance(q, ConstantScore):
         b = float(np.float32(q.boost))
         return _matches(index, q.query).select("doc_id", F.lit(b).alias("score"))
@@ -608,9 +689,19 @@ def search(
     boosts: dict[str, float] | None = None,
     prune: bool = True,
     lead_term_max_blocks: int = 4096,
+    cursor: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search → DataFrame[doc_id:long, score:float] ordered by
-    (score desc, doc_id asc) — Lucene TopScoreDocCollector semantics."""
+    (score desc, doc_id asc) — Lucene TopScoreDocCollector semantics.
+
+    ``cursor``: searchAfter paging — keep only rows strictly after the
+    (float32 score, doc_id) cursor; the predicate is applied on the
+    scored stream BEFORE the top-k, so deep pages stay a small-k
+    TakeOrderedAndProject (never a full-result materialization).  Score
+    pruning is disabled under a cursor: the θ pass bounds the GLOBAL
+    top-k, which would wrongly drop later pages' lower-scoring docs."""
+    if cursor is not None:
+        prune = False
     q = rewrite(query)
     if index.field_stats is not None:
         from .query import qualify_query
@@ -624,11 +715,13 @@ def search(
         if index.tombstones is not None:
             # liveDocs check: deleted docs are invisible (stats untouched)
             plan = plan.join(index.tombstones, "doc_id", "left_anti")
-        return (
-            plan.withColumn("score", F.col("score").cast("float"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        plan = plan.withColumn("score", F.col("score").cast("float"))
+        if cursor is not None:
+            s, d = float(np.float32(cursor[0])), int(cursor[1])
+            plan = plan.filter(
+                (F.col("score") < s) | ((F.col("score") == s) & (F.col("doc_id") > d))
+            )
+        return plan.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # fast paths: single term / flat And / flat Or with distinct terms
     fast = isinstance(q, Term) or (

@@ -32,11 +32,10 @@ def search_after(
     of the previous page (float32 score, as returned by ``search``)."""
     if after is None:
         return search(index, query, k=k)
-    s, d = float(np.float32(after[0])), int(after[1])
-    # prune=False: the θ pass assumes the global top-k is wanted
-    full = search(index, query, k=2_000_000_000, prune=False)
-    cursor = (F.col("score") < s) | ((F.col("score") == s) & (F.col("doc_id") > d))
-    return full.filter(cursor).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # cursor pushed into the scored stream inside search(): the plan stays
+    # a small-k TakeOrderedAndProject — no full-result materialization,
+    # no funnel of every hit through the driver on deep pages
+    return search(index, query, k=k, cursor=(float(after[0]), int(after[1])))
 
 
 def sort_by_field(

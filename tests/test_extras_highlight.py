@@ -81,3 +81,17 @@ def test_highlight_snippets(spark, engine, corpus):
     for r in out:
         assert r["snippet"] is not None
         assert "<em>def</em>" in r["snippet"]
+
+
+def test_search_after_plan_is_small_k_take_ordered(engine):
+    """Deep-paging regression: a cursor page must compile to a small-k
+    TakeOrderedAndProject with the cursor filter pushed into the scored
+    stream — not a 2e9-limit global sort of every hit."""
+    from lucene_solr_spark.search import Term
+
+    first = search_after(engine, Term("def"), k=10).collect()
+    cursor = (float(first[-1]["score"]), int(first[-1]["doc_id"]))
+    page2 = search_after(engine, Term("def"), k=10, after=cursor)
+    plan = page2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=10" in plan, plan.splitlines()[0]
+    assert "2000000000" not in plan

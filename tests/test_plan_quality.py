@@ -78,3 +78,23 @@ def test_no_single_partition_exchange_in_arrival_doc_ids(spark):
     assert "SinglePartition" not in plan, "append-path doc_id bottleneck regressed"
     got = sorted(r["doc_id"] for r in ids.select("doc_id").collect())
     assert got == list(range(1000, 1300))
+
+
+def test_phrase_explodes_positions_only_for_candidates(persisted):
+    """The phrase plan must semi-join the clause terms' doc sets (AND
+    pre-intersection) BEFORE exploding positions, so position rows are
+    shuffled only for docs containing every clause term."""
+    from lucene_solr_spark.search import Phrase
+    from lucene_solr_spark.search.executor import _phrase_tf, _sloppy_tf
+
+    plan = _plan(_phrase_tf(persisted, Phrase("def", "class")))
+    assert "LeftSemi" in plan, "candidate pre-intersection missing"
+    # plans print root-first: the explode (Generate) must sit ABOVE the
+    # semi-join, i.e. consume its output
+    assert "Generate" in plan
+    assert plan.index("Generate") < plan.index("LeftSemi")
+    # sloppy path: same pre-intersection, batched mapInPandas kernel (no
+    # per-doc FlatMapGroups)
+    splan = _plan(_sloppy_tf(persisted, Phrase("def", "class", slop=2)))
+    assert "LeftSemi" in splan
+    assert "FlatMapGroupsInPandas" not in splan

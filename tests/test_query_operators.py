@@ -158,3 +158,36 @@ def test_sloppy_phrase_identity(engine, oracle):
     assert oracle.count(Phrase("def", "class", slop=3)) >= oracle.count(
         Phrase("def", "class", slop=1)
     )
+
+
+def test_constant_score_expansion_stays_distributed(spark):
+    """A constant-score prefix matching FAR more than max_expansions terms
+    must neither raise TooManyClauses nor collect the term list — the
+    match set is computed distributed from the postings scan."""
+    n_terms = 1500  # > the 1024 BooleanQuery.maxClauseCount cap
+    rows = [
+        (i, f"xq{i:05d} filler body {'alpha' if i % 2 else 'beta'}")
+        for i in range(n_terms)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    try:
+        # constant-score (default): distributed, no cap, all docs match
+        got = search(idx, Prefix("xq", boost=2.0), k=n_terms).collect()
+        assert len(got) == n_terms
+        assert all(np.float32(r["score"]) == np.float32(2.0) for r in got)
+        # constant-score ties break by doc_id ascending
+        top = search(idx, Prefix("xq"), k=5).collect()
+        assert [r["doc_id"] for r in top] == [0, 1, 2, 3, 4]
+        assert count_hits(idx, Prefix("xq")) == n_terms
+        # under FILTER / MUST_NOT the same distributed path applies
+        b = Bool(must=(Term("alpha"),), filter=(Prefix("xq"),))
+        assert len(search(idx, b, k=n_terms).collect()) == len(
+            [i for i in range(n_terms) if i % 2]
+        )
+        # the SCORING rewrite keeps Lucene's TooManyClauses contract
+        with pytest.raises(ValueError, match="TooManyClauses"):
+            search(idx, Prefix("xq", constant_score=False), k=5).collect()
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
