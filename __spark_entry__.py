@@ -529,6 +529,109 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media, fake=True).orderBy("doc_id")
 
 
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentile per bucket (PercentileAgg contract,
+    computed exactly): pure integer rank arithmetic, hashable."""
+    from lucene_solr_spark.relational import percentile_exact
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return percentile_exact(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 0.95])
+
+
+#: fixed classify vocabulary + hyperparams shared with the SQL oracle
+CLASSIFY_VOCAB = ["join", "window", "hash", "merge", "batch", "filter"]
+CLASSIFY_ITERS = 3
+CLASSIFY_LABEL_TERM = "spark"
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train stream (logistic regression) in cross-engine-reproducible
+    mode: fixed vocab, label = doc contains the token 'spark', 3 exact
+    batch-gradient iterations with quantized intermediates.  Output =
+    the trained weight vector."""
+    from lucene_solr_spark.pipeline.classify import train_text_logit
+
+    docs = _docs(spark, sf_dir)
+    toks_expr = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(F.expr(toks_expr), CLASSIFY_LABEL_TERM).cast("int").alias("label"),
+    )
+    model = train_text_logit(
+        labeled,
+        "label",
+        text_col="text",
+        id_col="doc_id",
+        vocab=CLASSIFY_VOCAB,
+        iterations=CLASSIFY_ITERS,
+        learning_rate=0.5,
+        l2=0.0,
+        quantize=True,
+    )
+    terms = ["_bias"] + CLASSIFY_VOCAB
+    rows = [(i, terms[i], float(w)) for i, w in enumerate(model.weights)]
+    return spark.createDataFrame(rows, "fidx int, term string, weight double").orderBy(
+        "fidx"
+    )
+
+
+def _classify_oracle() -> str:
+    """Unrolled-iteration SQL replication of q_classify: identical
+    expression trees (IEEE f64 ops + exact DECIMAL sums + the same
+    round() quantization), so the trained weights hash-match."""
+    vocab_rows = ", ".join(
+        f"('{t}', {i + 1})" for i, t in enumerate(CLASSIFY_VOCAB)
+    )
+    it = [f"""
+m{0} AS (SELECT f.doc_id,
+        CAST(SUM(CAST(f.value * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+        FROM feats f JOIN w0 w USING (fidx) GROUP BY f.doc_id)"""]
+    for k in range(CLASSIFY_ITERS):
+        it.append(f"""
+e{k} AS (SELECT m.doc_id,
+        floor((1e0 / (1e0 + exp(-m.m)) - l.y) * 1e6 + 5e-1) / 1e6 AS err
+        FROM m{k} m JOIN labels l USING (doc_id)),
+g{k} AS (SELECT f.fidx,
+        CAST(SUM(CAST(f.value * e.err AS DECIMAL(38,18))) AS DOUBLE) AS g
+        FROM feats f JOIN e{k} e USING (doc_id) GROUP BY f.fidx),
+w{k + 1} AS (SELECT w.fidx,
+        floor((w.w - 5e-1 * (coalesce(g.g, 0e0) / (SELECT n FROM nn) + 0e0 * w.w))
+              * 1e12 + 5e-1) / 1e12 AS w
+        FROM w{k} w LEFT JOIN g{k} g USING (fidx))""")
+        if k + 1 < CLASSIFY_ITERS:
+            it.append(f"""
+m{k + 1} AS (SELECT f.doc_id,
+        CAST(SUM(CAST(f.value * w.w AS DECIMAL(38,18))) AS DOUBLE) AS m
+        FROM feats f JOIN w{k + 1} w USING (fidx) GROUP BY f.doc_id)""")
+    iters = ",".join(it)
+    return f"""
+WITH {_TOK_CTE},
+vocab(term, fidx) AS (VALUES {vocab_rows}),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+feats AS (
+  SELECT t.doc_id, v.fidx,
+         floor((1e0 + ln(CAST(t.tf AS DOUBLE))) * 1e6 + 5e-1) / 1e6 AS value
+  FROM tfs t JOIN vocab v USING (term)
+  UNION ALL
+  SELECT doc_id, 0 AS fidx, 1e0 AS value FROM documents
+),
+labels AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id
+                                AND t.term = '{CLASSIFY_LABEL_TERM}')
+              THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM documents d
+),
+nn AS (SELECT count(*) AS n FROM documents),
+fidxs(fidx, term) AS (VALUES (0, '_bias'), {", ".join(f"({i + 1}, '{t}')" for i, t in enumerate(CLASSIFY_VOCAB))}),
+w0 AS (SELECT fidx, CAST(0 AS DOUBLE) AS w FROM fidxs),
+{iters}
+SELECT x.fidx, x.term, CAST(w.w AS DOUBLE) AS weight
+FROM fidxs x JOIN w{CLASSIFY_ITERS} w USING (fidx)
+ORDER BY x.fidx"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -579,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "media_features": q_media_features,
+        "percentile": q_percentile,
+        "classify": q_classify,
     }
 
 
@@ -834,7 +939,20 @@ def oracle_sql() -> dict[str, str]:
     probe_list = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
     out = _pipeline_oracles()
+    out["classify"] = _classify_oracle()
     out.update({
+        "percentile": """
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+pcts AS (SELECT unnest([25e-2, 5e-1, 75e-2, 95e-2]) AS pct)
+SELECT l_returnflag, pct, CAST(l_quantity AS DOUBLE) AS value
+FROM ranked CROSS JOIN pcts
+WHERE rn = greatest(1, CAST(ceil(pct * n) AS BIGINT))
+ORDER BY l_returnflag, pct""",
         "fts_term_dict": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -28,6 +28,18 @@ from .hashing import TOKENS_SQL
 __all__ = ["TextLogit", "train_text_logit"]
 
 
+def _quant(col, scale: float):
+    """Engine-portable quantizer: floor(x*scale + 0.5)/scale using only
+    IEEE f64 ops (mul/add/floor/div), so numpy, Spark SQL, and DuckDB all
+    produce the SAME bits — unlike round(x, n), whose tie/scaling
+    behavior differs per engine."""
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)
+
+
+def _quant_np(x: np.ndarray, scale: float) -> np.ndarray:
+    return np.floor(x * scale + 0.5) / scale
+
+
 def _exact_sum(prod):
     """Order-independent float64 sum: the per-row float64 product is cast
     to DECIMAL(38,18) (exact, associative, commutative), summed, and cast
@@ -37,20 +49,23 @@ def _exact_sum(prod):
 
 
 def _feature_table(df: DataFrame, vocab: list[str], text_col: str,
-                   id_col: str) -> DataFrame:
+                   id_col: str, quantize: int | None = None) -> DataFrame:
     """Sparse tf-idf-lite features: [id, fidx, value] with value =
     1 + ln(tf) (Solr TextLogitStream uses raw tf scaled; we use log-tf,
-    documented).  Feature 0 is the bias (value 1)."""
+    documented).  Feature 0 is the bias (value 1).  ``quantize`` rounds
+    the value to that many decimals so a cross-engine oracle can absorb
+    last-ULP libm (ln) differences."""
     spark = df.sparkSession
     vdf = spark.createDataFrame(
         [(t, i + 1) for i, t in enumerate(vocab)], "term string, fidx int"
     )
     toks = df.select(id_col, F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    value = F.lit(1.0) + F.log(F.col("tf").cast("double"))
+    if quantize is not None:
+        value = _quant(value, float(10 ** quantize))
     feats = tf.join(F.broadcast(vdf), "term").select(
-        id_col,
-        "fidx",
-        (F.lit(1.0) + F.log(F.col("tf").cast("double"))).alias("value"),
+        id_col, "fidx", value.alias("value")
     )
     bias = df.select(id_col).withColumn("fidx", F.lit(0)).withColumn("value", F.lit(1.0))
     return feats.unionByName(bias)
@@ -92,24 +107,37 @@ def train_text_logit(
     iterations: int = 30,
     learning_rate: float = 0.5,
     l2: float = 1e-4,
+    vocab: list[str] | None = None,
+    quantize: bool = False,
 ) -> TextLogit:
     """Batch-gradient logistic regression (the `train` stream).
 
     Vocabulary = top-``vocab_size`` terms by document frequency (Solr's
-    termsStream feature selection simplified).  Each iteration runs one
-    Spark aggregation for the exact gradient; weights update on the
-    driver.
+    termsStream feature selection simplified), or a caller-fixed
+    ``vocab``.  Each iteration runs one Spark aggregation for the exact
+    gradient; weights update on the driver.
+
+    ``quantize=True`` enables the cross-engine-reproducible mode used by
+    the DuckDB oracle entry: feature values and per-doc errors round to
+    6 decimals, weights to 12 — every remaining operation is either IEEE
+    f64 (bit-identical across engines) or an exact DECIMAL sum, so the
+    trained weights hash-match an independent SQL re-derivation.
     """
-    toks = df.select(id_col, F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"))
-    vocab = [
-        r["term"]
-        for r in toks.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(vocab_size)
-        .collect()
-    ]
-    feats = _feature_table(df, vocab, text_col, id_col).persist()
+    if vocab is None:
+        toks = df.select(
+            id_col, F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term")
+        )
+        vocab = [
+            r["term"]
+            for r in toks.groupBy("term")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(vocab_size)
+            .collect()
+        ]
+    feats = _feature_table(
+        df, vocab, text_col, id_col, quantize=6 if quantize else None
+    ).persist()
     labels = df.select(id_col, F.col(label_col).cast("double").alias("y"))
     n = labels.count()
     d = len(vocab) + 1
@@ -119,12 +147,15 @@ def train_text_logit(
         wdf = spark.createDataFrame(
             [(i, float(v)) for i, v in enumerate(w)], "fidx int, w double"
         )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")
+        if quantize:
+            err = _quant(err, 1e6)
         margins = (
             feats.join(F.broadcast(wdf), "fidx")
             .groupBy(id_col)
             .agg(_exact_sum(F.col("value") * F.col("w")).alias("m"))
             .join(labels, id_col)
-            .withColumn("err", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y"))
+            .withColumn("err", err)
         )
         grad_rows = (
             feats.join(margins.select(id_col, "err"), id_col)
@@ -135,6 +166,8 @@ def train_text_logit(
         g = np.zeros(d, dtype=np.float64)
         for r in grad_rows:
             g[r["fidx"]] = r["g"]
-        w -= learning_rate * (g / n + l2 * w)
+        w = w - learning_rate * (g / n + l2 * w)
+        if quantize:
+            w = _quant_np(w, 1e12)
     feats.unpersist()
     return TextLogit(vocab, w, text_col, id_col)

@@ -25,6 +25,7 @@ __all__ = [
     "facet_range",
     "facet_pivot",
     "facet_stats",
+    "percentile_exact",
     "stats_component",
     "group_top_k",
     "collapse",
@@ -127,6 +128,33 @@ def percentiles(df: DataFrame, bucket: str, field: str,
     return df.groupBy(bucket).agg(
         F.percentile_approx(F.col(field), list(pcts)).alias("percentiles")
     ).orderBy(bucket)
+
+
+def percentile_exact(df: DataFrame, bucket: str, field: str,
+                     pcts: list[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Exact nearest-rank percentile per bucket (``[8x] solr/core/.../
+    search/facet/PercentileAgg.java`` contract, computed exactly rather
+    than by t-digest): value at 1-based rank ``ceil(p*n)`` of the
+    bucket's ascending sort.  Pure integer rank arithmetic — no floating
+    interpolation — so the result is cross-engine hashable.
+
+    Scale: one shuffle on the bucket key; each bucket sorts via the
+    window's external sorter (spill-safe).  For sketch-sized memory at
+    extreme bucket cardinality use ``percentiles`` (approx) instead."""
+    spark = df.sparkSession
+    pct_df = spark.createDataFrame([(float(p),) for p in pcts], "pct double")
+    w = Window.partitionBy(bucket).orderBy(F.col(field).asc())
+    ranked = (
+        df.select(bucket, field)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(bucket)))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pct_df))
+        .filter(F.col("rn") == F.greatest(F.lit(1), F.ceil(F.col("pct") * F.col("n"))))
+        .select(bucket, "pct", F.col(field).cast("double").alias("value"))
+        .orderBy(bucket, "pct")
+    )
 
 
 # --- grouping / collapse ----------------------------------------------------
