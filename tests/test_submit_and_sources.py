@@ -60,3 +60,53 @@ def test_read_corpus_parquet_and_validation(spark, tmp_path):
     assert sha.filter("length(content_sha256) = 64").count() == 50
     with pytest.raises(ValueError, match="missing contract columns"):
         validate_corpus(df.drop("commit"))
+
+
+def test_read_jdbc_corpus_option_plumbing(spark, monkeypatch):
+    """No JDBC driver jar in the sandbox: record the reader options and
+    serve a contract-shaped DataFrame, asserting the adapter wires the
+    partitioned-read contract (partitionColumn/bounds/numPartitions/
+    fetchsize) correctly."""
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.sources import read_jdbc_corpus
+
+    recorded = {}
+    from pyspark.sql import functions as F
+
+    fake_result = gen_corpus_df(spark, 20).withColumn("extra", F.lit(1))
+
+    class FakeReader:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            recorded[k] = v
+            return self
+
+        def load(self):
+            return fake_result
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: FakeReader())
+    )
+    df = read_jdbc_corpus(
+        spark,
+        "jdbc:postgresql://db:5432/corpus",
+        "public.repos",
+        partition_column="id",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=1_000_000,
+    )
+    assert recorded["format"] == "jdbc"
+    assert recorded["dbtable"] == "public.repos"
+    assert recorded["partitionColumn"] == "id"
+    assert recorded["numPartitions"] == "16"
+    assert recorded["lowerBound"] == "0" and recorded["upperBound"] == "1000000"
+    assert recorded["fetchsize"] == "10000"
+    # schema projected to the contract (extra column pruned)
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    # a partitioned read is mandatory for scale: bounds must be enforced
+    with pytest.raises(ValueError, match="requires lower_bound"):
+        read_jdbc_corpus(spark, "jdbc:x", "t", partition_column="id")
