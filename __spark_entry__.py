@@ -529,6 +529,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media, fake=True).orderBy("doc_id")
 
 
+def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis-chain entry: ShingleFilter (2-grams, no unigrams) term
+    dictionary — the full tokenize→filter→invert→encode→decode pipeline
+    under a non-trivial chain, checked against a DuckDB adjacent-token
+    self-join re-derivation."""
+    from lucene_solr_spark.analysis import Chain, shingle_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(shingle_filter(2, "_", keep_unigrams=False),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank percentile per bucket (PercentileAgg contract,
     computed exactly): pure integer rank arithmetic, hashable."""
@@ -684,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "percentile": q_percentile,
         "classify": q_classify,
+        "fts_shingle_dict": q_shingle_dict,
     }
 
 
@@ -941,6 +962,21 @@ def oracle_sql() -> dict[str, str]:
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
     out.update({
+        "fts_shingle_dict": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+sh AS (
+  SELECT a.doc_id, a.term || '_' || b.term AS term
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM sh GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
         "percentile": """
 WITH ranked AS (
   SELECT l_returnflag, l_quantity,

@@ -11,21 +11,58 @@ all three tokenize identically.
 
 StopFilter mirrors Lucene's position-increment behavior: dropped tokens
 leave position gaps (positions are indices in the pre-stop token stream).
+
+Filter family (``[8x] lucene/analysis/common/src/java/org/apache/lucene/
+analysis/``): PorterStemFilter, ASCIIFoldingFilter, SynonymFilter,
+ShingleFilter, EdgeNGramTokenFilter — each a step in a ``Chain``.  A
+chain has TWO implementations kept provably identical by a property
+test: ``Chain.tokens`` (pure per-document reference, used by the
+MiniLucene oracle) and ``Chain.flat`` (vectorized over the whole Arrow
+batch's flat token arrays, used by the engine's invert/fused kernels).
+Positions are indices into the ORIGINAL token stream: map filters keep
+them, stops leave gaps, expanders (synonym/edge-ngram) stack tokens at
+the source position, shingles take the first constituent's position.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+import unicodedata
+from dataclasses import dataclass, field as dc_field
+from collections.abc import Callable, Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TOKEN_PATTERN", "tokenize_series", "tokens_col", "with_tokens", "analyze"]
+__all__ = [
+    "TOKEN_PATTERN",
+    "tokenize_series",
+    "tokens_col",
+    "with_tokens",
+    "analyze",
+    "Chain",
+    "Stop",
+    "Map",
+    "Expand",
+    "Shingle",
+    "porter_stem",
+    "ascii_fold",
+    "stem_filter",
+    "ascii_fold_filter",
+    "synonym_filter",
+    "edge_ngram_filter",
+    "shingle_filter",
+    "stop_filter",
+]
 
 #: shared with oracle_sql(); keep in sync with __spark_entry__.py
 TOKEN_PATTERN = "[a-z0-9_]+"
+
+#: tokenizer pattern for accent-bearing text (ASCIIFolding chains): keeps
+#: Latin-1 Supplement / Latin Extended letters so the fold filter sees them
+LATIN_TOKEN_PATTERN = "[a-z0-9_À-ɏ]+"
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:
@@ -67,3 +104,348 @@ def with_tokens(df: DataFrame, text_col: str = "content", out_col: str = "tokens
 
 def stop_set(words: Iterable[str]) -> frozenset[str]:
     return frozenset(w.lower() for w in words)
+
+
+# ---------------------------------------------------------------------------
+# token-level filters (PorterStemFilter / ASCIIFoldingFilter analogs)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """Porter's m: number of VC sequences in the [C](VC)^m[V] form."""
+    form = []
+    for i in range(len(w)):
+        c = "c" if _is_cons(w, i) else "v"
+        if not form or form[-1] != c:
+            form.append(c)
+    s = "".join(form)
+    if s.startswith("c"):
+        s = s[1:]
+    if s.endswith("v"):
+        s = s[:-1]
+    return len(s) // 2
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(w: str) -> str:
+    """Classic Porter stemmer (Porter 1980; the PorterStemFilter
+    algorithm, ``[8x] lucene/analysis/common/.../en/PorterStemFilter.java``)
+    implemented from the published algorithm description."""
+    if len(w) <= 2 or not w.isascii() or not w.isalpha():
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag_1b = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4 (longest match first)
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    pass
+                else:
+                    w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if w.endswith("ll") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def ascii_fold(t: str) -> str:
+    """ASCIIFoldingFilter analog: NFKD-decompose and drop combining marks
+    (café → cafe, ångström → angstrom).  Same semantics as DuckDB's
+    ``strip_accents`` for Latin text, so a folded field stays
+    cross-engine oracle-checkable."""
+    if t.isascii():
+        return t
+    return "".join(c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c))
+
+
+# ---------------------------------------------------------------------------
+# chain steps
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Stop:
+    """StopFilter: drop tokens, leave position gaps."""
+
+    words: frozenset
+
+
+@dataclass(frozen=True)
+class Map:
+    """Token → token filter (stem, fold); vectorized per unique token."""
+
+    fn: Callable[[str], str]
+    name: str = "map"
+
+
+@dataclass(frozen=True)
+class Expand:
+    """Token → tokens at the SAME position (SynonymFilter /
+    EdgeNGramTokenFilter shape); vectorized per unique token."""
+
+    fn: Callable[[str], tuple]
+    name: str = "expand"
+
+
+@dataclass(frozen=True)
+class Shingle:
+    """ShingleFilter: combine ``size`` consecutive stream tokens with
+    ``sep``; position = first constituent's.  ``keep_unigrams`` mirrors
+    outputUnigrams."""
+
+    size: int = 2
+    sep: str = "_"
+    keep_unigrams: bool = True
+
+
+def stop_filter(words: Iterable[str]) -> Stop:
+    return Stop(frozenset(w.lower() for w in words))
+
+
+def stem_filter() -> Map:
+    return Map(porter_stem, "porter")
+
+
+def ascii_fold_filter() -> Map:
+    return Map(ascii_fold, "ascii_fold")
+
+
+def synonym_filter(mapping: dict[str, Iterable[str]], keep_original: bool = True) -> Expand:
+    """SynonymFilter (single-token → single-token graph, stacked at the
+    source position — Lucene's SynonymGraphFilter with identical
+    positions for the expansions)."""
+    table = {k: tuple(v) for k, v in mapping.items()}
+
+    def fn(t: str) -> tuple:
+        syns = table.get(t)
+        if syns is None:
+            return (t,)
+        return ((t,) + syns) if keep_original else syns
+
+    return Expand(fn, "synonym")
+
+
+def edge_ngram_filter(min_gram: int = 2, max_gram: int = 5, keep_original: bool = False) -> Expand:
+    """EdgeNGramTokenFilter: leading prefixes of each token (search-as-
+    you-type indexing)."""
+
+    def fn(t: str) -> tuple:
+        grams = tuple(t[:n] for n in range(min_gram, min(max_gram, len(t)) + 1))
+        if keep_original and (not grams or grams[-1] != t):
+            grams += (t,)
+        return grams or ((t,) if keep_original else ())
+
+    return Expand(fn, "edge_ngram")
+
+
+def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) -> Shingle:
+    return Shingle(size, sep, keep_unigrams)
+
+
+# ---------------------------------------------------------------------------
+# the chain
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Chain:
+    """An analyzer: tokenizer pattern + ordered filter steps.
+
+    ``tokens`` is the per-document reference implementation (oracle side);
+    ``flat`` is the batch-vectorized implementation (engine side); a
+    property test pins them identical on arbitrary input.
+    """
+
+    steps: tuple = ()
+    pattern: str = TOKEN_PATTERN
+
+    # --- tokenizer ---------------------------------------------------------
+
+    def tokenize(self, texts: pd.Series) -> pd.Series:
+        return texts.fillna("").str.lower().str.findall(self.pattern)
+
+    # --- reference implementation (per doc) --------------------------------
+
+    def tokens(self, text: str) -> list[tuple[str, int]]:
+        """text → [(term, position)] after the full chain."""
+        import re
+
+        stream = [(t, i) for i, t in enumerate(re.findall(self.pattern, (text or "").lower()))]
+        for step in self.steps:
+            if isinstance(step, Stop):
+                stream = [(t, p) for t, p in stream if t not in step.words]
+            elif isinstance(step, Map):
+                stream = [(step.fn(t), p) for t, p in stream]
+            elif isinstance(step, Expand):
+                stream = [(u, p) for t, p in stream for u in step.fn(t)]
+            elif isinstance(step, Shingle):
+                sh = [
+                    (step.sep.join(t for t, _ in stream[i : i + step.size]), stream[i][1])
+                    for i in range(len(stream) - step.size + 1)
+                ]
+                stream = (stream + sh) if step.keep_unigrams else sh
+            else:
+                raise TypeError(f"unknown chain step {step}")
+        return stream
+
+    # --- vectorized implementation (flat batch arrays) ----------------------
+
+    def flat(
+        self,
+        terms: np.ndarray,
+        row_idx: np.ndarray,
+        pos: np.ndarray,
+        n_rows: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Apply the steps to the batch's flat (term, row, pos) arrays;
+        returns (terms, row_idx, pos, dl_per_row) with dl = kept tokens
+        per row (what Lucene writes to norms)."""
+        for step in self.steps:
+            if terms.size == 0:
+                break
+            if isinstance(step, Stop):
+                keep = ~pd.Series(terms).isin(step.words).to_numpy()
+                terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+            elif isinstance(step, Map):
+                uniq, inv = np.unique(terms.astype(object), return_inverse=True)
+                mapped = np.array([step.fn(u) for u in uniq], dtype=object)
+                terms = mapped[inv]
+            elif isinstance(step, Expand):
+                uniq, inv = np.unique(terms.astype(object), return_inverse=True)
+                exp = [step.fn(u) for u in uniq]
+                counts = np.array([len(e) for e in exp], dtype=np.int64)
+                reps = counts[inv]
+                src = np.repeat(np.arange(terms.size, dtype=np.int64), reps)
+                # per-token expansion arrays concatenated in stream order
+                terms = np.array(
+                    [u for i in inv for u in exp[i]], dtype=object
+                )
+                row_idx, pos = row_idx[src], pos[src]
+            elif isinstance(step, Shingle):
+                k = step.size
+                if terms.size < k:
+                    sh_terms = np.array([], dtype=object)
+                    sh_rows = np.array([], dtype=np.int64)
+                    sh_pos = np.array([], dtype=np.int64)
+                else:
+                    same = np.ones(terms.size - k + 1, dtype=bool)
+                    for off in range(1, k):
+                        same &= row_idx[off : terms.size - k + 1 + off] == row_idx[: terms.size - k + 1]
+                    parts = terms[: terms.size - k + 1].copy()
+                    for off in range(1, k):
+                        parts = parts + step.sep
+                        parts = parts + terms[off : terms.size - k + 1 + off]
+                    sh_terms = parts[same]
+                    sh_rows = row_idx[: terms.size - k + 1][same]
+                    sh_pos = pos[: terms.size - k + 1][same]
+                if step.keep_unigrams:
+                    terms = np.concatenate([terms, sh_terms])
+                    row_idx = np.concatenate([row_idx, sh_rows])
+                    pos = np.concatenate([pos, sh_pos])
+                else:
+                    terms, row_idx, pos = sh_terms, sh_rows, sh_pos
+            else:
+                raise TypeError(f"unknown chain step {step}")
+        dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        return terms, row_idx, pos, dl
+
+
+def chain_for(stopwords: frozenset[str] | None = None,
+              analyzer: "Chain | None" = None) -> Chain:
+    """Back-compat shim: an explicit analyzer wins; bare ``stopwords``
+    become a single-StopFilter chain."""
+    if analyzer is not None:
+        return analyzer
+    if stopwords:
+        return Chain(steps=(Stop(frozenset(stopwords)),))
+    return Chain()

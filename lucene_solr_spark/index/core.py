@@ -37,10 +37,29 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..analysis import tokenize_series
+from ..analysis import Chain, chain_for, tokenize_series
 from ..bm25 import BM25
 from ..codec import encode_token_batch
 from ..smallfloat import int_to_byte4
+
+
+def _flat_token_arrays(pdf: pd.DataFrame, id_col: str, text_col: str, chain: Chain):
+    """Batch → (ids, terms, row_idx, pos, dl_per_row) through the full
+    analysis chain (shared by invert/fused/norms kernels)."""
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    toks = chain.tokenize(pdf[text_col])
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        empty_o = np.array([], dtype=object)
+        empty_i = np.array([], dtype=np.int64)
+        return ids, empty_o, empty_i, empty_i, np.zeros(lens.size, dtype=np.int64)
+    row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - starts[row_idx]
+    terms = np.array(list(itertools.chain.from_iterable(toks)), dtype=object)
+    terms, row_idx, pos, dl_per_row = chain.flat(terms, row_idx, pos, lens.size)
+    return ids, terms, row_idx, pos, dl_per_row
 
 __all__ = ["IndexView", "build_index_view", "build_multifield_index_view",
            "invert_tokens", "encode_postings", "fused_encode",
@@ -88,20 +107,23 @@ def invert_tokens(
     id_col: str = "doc_id",
     text_col: str = "content",
     stopwords: frozenset[str] | None = None,
+    analyzer: Chain | None = None,
 ) -> DataFrame:
     """corpus → token stream (term, doc_id, pos, dl).
 
-    dl is the post-stop-filter token count (what Lucene writes to norms);
+    dl is the post-filter token count (what Lucene writes to norms);
     pos is the pre-filter index (Lucene's position-increment gaps).
+    ``analyzer`` runs the full filter chain (stem/fold/synonym/shingle/
+    edge-ngram); bare ``stopwords`` remain the single-StopFilter default.
     """
+    chain = chain_for(stopwords, analyzer)
 
     def _invert(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            toks = tokenize_series(pdf[text_col])
-            lens = toks.map(len).to_numpy(dtype=np.int64)
-            total = int(lens.sum())
-            if total == 0:
+            ids, terms, row_idx, pos, dl_per_row = _flat_token_arrays(
+                pdf, id_col, text_col, chain
+            )
+            if terms.size == 0:
                 yield pd.DataFrame(
                     {"term": pd.Series([], dtype=object),
                      "doc_id": pd.Series([], dtype=np.int64),
@@ -109,21 +131,9 @@ def invert_tokens(
                      "dl": pd.Series([], dtype=np.int64)}
                 )
                 continue
-            row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
-            starts = np.cumsum(lens) - lens
-            pos = np.arange(total, dtype=np.int64) - starts[row_idx]
-            terms = pd.Series(
-                list(itertools.chain.from_iterable(toks)), dtype=object
-            )
-            if stopwords:
-                keep = ~terms.isin(stopwords).to_numpy()
-                row_idx, pos, terms = row_idx[keep], pos[keep], terms[keep]
-                dl_per_row = np.bincount(row_idx, minlength=lens.size).astype(np.int64)
-            else:
-                dl_per_row = lens
             yield pd.DataFrame(
                 {
-                    "term": terms.reset_index(drop=True),
+                    "term": pd.Series(terms),
                     "doc_id": ids[row_idx],
                     "pos": pos,
                     "dl": dl_per_row[row_idx],
@@ -239,6 +249,7 @@ def fused_encode(
     id_col: str = "doc_id",
     text_col: str = "content",
     stopwords: frozenset[str] | None = None,
+    analyzer: Chain | None = None,
 ) -> DataFrame:
     """Map-side DWPT flush: tokenize + invert + block-encode in ONE pass
     per input partition — the raw token stream never crosses the wire.
@@ -256,6 +267,7 @@ def fused_encode(
     unaffected (each (term, doc) posting exists exactly once) and
     ``merge_postings`` re-sorts runs into the canonical term-partitioned
     layout."""
+    chain = chain_for(stopwords, analyzer)
 
     def _fused(batches):
         buf: list[pd.DataFrame] = []
@@ -320,31 +332,18 @@ def fused_encode(
             return pd.concat([out, norm_row], ignore_index=True)
 
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            toks = tokenize_series(pdf[text_col])
-            lens = toks.map(len).to_numpy(dtype=np.int64)
-            total = int(lens.sum())
-            if total == 0:
+            ids, terms, row_idx, pos, dl_per_row = _flat_token_arrays(
+                pdf, id_col, text_col, chain
+            )
+            if terms.size == 0:
                 zero_ids.append(ids)
                 continue
-            row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
-            starts = np.cumsum(lens) - lens
-            pos = np.arange(total, dtype=np.int64) - starts[row_idx]
-            terms = pd.Series(
-                list(itertools.chain.from_iterable(toks)), dtype=object
-            )
-            if stopwords:
-                keep = ~terms.isin(stopwords).to_numpy()
-                row_idx, pos, terms = row_idx[keep], pos[keep], terms[keep]
-                dl_per_row = np.bincount(row_idx, minlength=lens.size).astype(np.int64)
-            else:
-                dl_per_row = lens
             if np.any(dl_per_row == 0):
                 zero_ids.append(ids[dl_per_row == 0])
             buf.append(
                 pd.DataFrame(
                     {
-                        "term": terms.reset_index(drop=True),
+                        "term": pd.Series(terms),
                         "doc_id": ids[row_idx],
                         "pos": pos,
                         "dl": dl_per_row[row_idx],
@@ -422,27 +421,26 @@ def compute_norms(
     id_col: str = "doc_id",
     text_col: str = "content",
     stopwords: frozenset[str] | None = None,
+    analyzer: Chain | None = None,
 ) -> DataFrame:
     """Per-doc field length + SmallFloat norm byte (Lucene's norms file).
 
     A map-only pass over the corpus — one output row per doc, no shuffle
     (cheaper at scale than re-aggregating the exploded token stream).
+    Lengths count POST-chain terms — identical to what invert/fused index.
     """
+    chain = chain_for(stopwords, analyzer)
 
     def _norms(batches):
         for pdf in batches:
-            toks = tokenize_series(pdf[text_col])
-            if stopwords:
-                lens = toks.map(
-                    lambda lst: sum(1 for t in lst if t not in stopwords)
-                ).to_numpy(dtype=np.int64)
-            else:
-                lens = toks.map(len).to_numpy(dtype=np.int64)
+            ids, _terms, _ri, _pos, dl_per_row = _flat_token_arrays(
+                pdf, id_col, text_col, chain
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "length": lens,
-                    "norm_byte": int_to_byte4(lens),
+                    "doc_id": ids,
+                    "length": dl_per_row,
+                    "norm_byte": int_to_byte4(dl_per_row),
                 }
             )
 
@@ -558,6 +556,7 @@ def build_multifield_index_view(
     stopwords: frozenset[str] | None = None,
     num_partitions: int | None = None,
     cache: bool = True,
+    analyzers: dict[str, Chain] | None = None,
 ) -> IndexView:
     """Multi-field index: one inverted index per field fused into one
     posting store (Lucene's per-field FieldsProducer / Solr schema).
@@ -581,7 +580,12 @@ def build_multifield_index_view(
 
     parts = []
     for fname, col in fields.items():
-        b = fused_encode(df, id_col, col, stopwords)
+        # per-field analyzer dispatch (Solr schema TextField analyzer
+        # binding, [8x] solr/core/.../schema/TextField.java): each field
+        # runs its own chain; unlisted fields use the shared default
+        b = fused_encode(
+            df, id_col, col, stopwords, analyzer=(analyzers or {}).get(fname)
+        )
         b = b.withColumn(
             "term",
             F.when(F.col("term") == NORMS_TERM, F.lit(NORMS_TERM + ":" + fname)).otherwise(
@@ -644,6 +648,7 @@ def build_index_view(
     cache: bool = True,
     salt: bool | frozenset[str] = True,
     fused: bool = True,
+    analyzer: Chain | None = None,
 ) -> IndexView:
     """One-shot transient index over any (id, text) DataFrame.
 
@@ -661,7 +666,7 @@ def build_index_view(
     if df.rdd.getNumPartitions() < num_partitions:
         df = df.repartition(num_partitions)
     if fused:
-        blocks_all = fused_encode(df, id_col, text_col, stopwords)
+        blocks_all = fused_encode(df, id_col, text_col, stopwords, analyzer=analyzer)
         if cache:
             blocks_all = blocks_all.persist()
         postings = blocks_all.filter(F.col("term") != NORMS_TERM)
@@ -697,7 +702,7 @@ def build_index_view(
             )
         elif salt:
             salt_terms = salt
-        stream = invert_tokens(df, id_col, text_col, stopwords)
+        stream = invert_tokens(df, id_col, text_col, stopwords, analyzer=analyzer)
         postings = encode_postings(
             stream, num_partitions, salt_terms=salt_terms or None, salt_shift=salt_shift
         )
@@ -707,7 +712,7 @@ def build_index_view(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
     )
-    norms = compute_norms(df, id_col, text_col, stopwords)
+    norms = compute_norms(df, id_col, text_col, stopwords, analyzer=analyzer)
     if cache:
         norms = norms.persist()
     stats = norms.agg(

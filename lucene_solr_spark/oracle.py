@@ -58,12 +58,21 @@ class MiniLucene:
     """In-memory inverted index + BM25 searcher over (doc_id, text) pairs."""
 
     def __init__(self, docs, bm25: BM25 | None = None, stopwords: frozenset | None = None,
-                 default_field: str = "content"):
+                 default_field: str = "content",
+                 analyzer=None, analyzers: dict | None = None):
         """``docs``: (doc_id, text) pairs — or (doc_id, {field: text}) for
         multi-field mode (terms stored "field:token", per-field norms and
         stats, bare query terms resolved to ``default_field``), mirroring
-        index/core.build_multifield_index_view."""
+        index/core.build_multifield_index_view.
+
+        ``analyzer`` (a ``analysis.Chain``) runs the full filter chain via
+        its per-document reference implementation; ``analyzers`` maps
+        field → Chain for per-field dispatch (Solr TextField binding)."""
+        from .analysis import chain_for
+
         self.bm25 = bm25 or BM25()
+        default_chain = chain_for(stopwords, analyzer)
+        field_chains = analyzers or {}
         self.postings: dict[str, dict[int, int]] = {}
         self.positions: dict[str, dict[int, list[int]]] = {}
         self.dl: dict[int, int] = {}
@@ -74,14 +83,11 @@ class MiniLucene:
         all_ids: set[int] = set()
 
         def _add(doc_id: int, text: str, field: str | None):
-            toks = _TOKEN_RE.findall((text or "").lower())
-            if stopwords:
-                kept = [(t, i) for i, t in enumerate(toks) if t not in stopwords]
-            else:
-                kept = list(zip(toks, range(len(toks))))
-            # field length = POST-stop-filter term count (Lucene's norms
-            # count indexed terms, not removed ones — matches the engine's
+            chain = field_chains.get(field, default_chain) if field else default_chain
+            # field length = POST-chain term count (Lucene's norms count
+            # indexed terms, not removed ones — matches the engine's
             # fused_encode/invert_tokens/compute_norms)
+            kept = chain.tokens(text)
             self._fdl.setdefault(field, {})[doc_id] = len(kept)
             pre = "" if field is None else field + ":"
             for t, i in kept:

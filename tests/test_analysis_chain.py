@@ -1,0 +1,202 @@
+"""Analysis filter family: Porter stemmer, ASCII folding, synonyms,
+shingles, edge-ngrams; chain reference-vs-vectorized identity; per-field
+analyzer dispatch with engine == oracle rank/score identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis import (
+    Chain,
+    LATIN_TOKEN_PATTERN,
+    ascii_fold,
+    ascii_fold_filter,
+    edge_ngram_filter,
+    porter_stem,
+    shingle_filter,
+    stem_filter,
+    stop_filter,
+    synonym_filter,
+)
+from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.index.core import build_multifield_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import And, Or, Prefix, Term, parse_query, search
+
+
+# --- kernels ----------------------------------------------------------------
+
+
+def test_porter_published_examples():
+    # examples from Porter (1980), "An algorithm for suffix stripping"
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope", "formaliti": "formal",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "adjustable": "adjust", "defensible": "defens",
+        "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun", "activate": "activ",
+        "effective": "effect", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_ascii_fold_examples():
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("ångström") == "angstrom"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("plain") == "plain"
+
+
+def _flat_from_tokens(chain: Chain, texts: list[str]):
+    """Mirror the engine kernel's flat-array construction."""
+    import itertools
+
+    toks = [__import__("re").findall(chain.pattern, t.lower()) for t in texts]
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - starts[row_idx]
+    terms = np.array(list(itertools.chain.from_iterable(toks)), dtype=object)
+    return chain.flat(terms, row_idx, pos, lens.size)
+
+
+@pytest.mark.parametrize(
+    "steps",
+    [
+        (stop_filter(["the", "a", "of"]),),
+        (stem_filter(),),
+        (ascii_fold_filter(), stem_filter()),
+        (stop_filter(["the"]), stem_filter()),
+        (synonym_filter({"fast": ["quick", "rapid"]}),),
+        (edge_ngram_filter(2, 4, keep_original=True),),
+        (shingle_filter(2, "_", keep_unigrams=True),),
+        (shingle_filter(3, "_", keep_unigrams=False),),
+        (stop_filter(["of"]), stem_filter(), shingle_filter(2)),
+    ],
+)
+def test_chain_flat_matches_reference(steps):
+    """The vectorized flat implementation must produce EXACTLY the same
+    (term, doc, pos) multiset and dl as the per-doc reference."""
+    chain = Chain(steps=steps)
+    rng = np.random.default_rng(41)
+    vocab = ["the", "running", "flies", "of", "a", "fast", "relational",
+             "data", "merge", "joins", "xy", "connection", "classes"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(60)
+    ]
+    terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
+    got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+    want = sorted(
+        (t, r, p) for r, text in enumerate(texts) for t, p in chain.tokens(text)
+    )
+    assert got == want
+    for r, text in enumerate(texts):
+        assert dl[r] == len(chain.tokens(text)), (r, text)
+
+
+def test_chain_flat_latin_fold_pattern():
+    chain = Chain(steps=(ascii_fold_filter(),), pattern=LATIN_TOKEN_PATTERN)
+    terms, _, _, dl = _flat_from_tokens(chain, ["Café au naïve Ångström"])
+    assert terms.tolist() == ["cafe", "au", "naive", "angstrom"]
+    assert dl.tolist() == [4]
+
+
+# --- engine vs oracle with chains ------------------------------------------
+
+N = 160
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = gen_corpus_pdf(N, seed=77).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N, dtype=np.int64)
+    return pdf
+
+
+def _identity(spark, corpus, chain, queries):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content", analyzer=chain)
+    oracle = MiniLucene(list(zip(corpus["doc_id"], corpus["content"])), analyzer=chain)
+    try:
+        for q in queries:
+            got = [
+                (int(r["doc_id"]), np.float32(r["score"]))
+                for r in search(idx, q, k=10).collect()
+            ]
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+    return oracle
+
+
+def test_stemmed_rank_identity(spark, corpus):
+    chain = Chain(steps=(stem_filter(),))
+    # query terms must be analyzed too: search the stemmed forms
+    qs = [Term(porter_stem(KEYWORDS[0])), Term(porter_stem("classes")),
+          And(Term(porter_stem(KEYWORDS[0])), Term(porter_stem(KEYWORDS[3])))]
+    oracle = _identity(spark, corpus, chain, qs)
+    # stemming conflates: 'class'/'classes' share one posting list
+    assert "classes" not in oracle.postings
+
+
+def test_shingle_and_synonym_identity(spark, corpus):
+    syn = synonym_filter({KEYWORDS[0]: ["synkw"]})
+    chain = Chain(steps=(syn, shingle_filter(2, "_", keep_unigrams=True)))
+    qs = [Term("synkw"), Term(KEYWORDS[0]), Or(Term("synkw"), Term(KEYWORDS[2]))]
+    oracle = _identity(spark, corpus, chain, qs)
+    assert any("_" in t for t in oracle.postings), "no shingles indexed"
+
+
+def test_edge_ngram_prefix_search(spark, corpus):
+    chain = Chain(steps=(edge_ngram_filter(3, 6, keep_original=True),))
+    kw = KEYWORDS[0]
+    _identity(spark, corpus, chain, [Term(kw[:3]), Term(kw[:4])])
+
+
+def test_multifield_per_field_dispatch(spark, corpus):
+    """One stemmed field + one raw field over the same text: the stemmed
+    field matches conflated forms, the raw field does not; rank/score
+    identity holds against the oracle with the same per-field chains."""
+    pdf = corpus.copy()
+    stem_chain = Chain(steps=(stem_filter(),))
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    idx = build_multifield_index_view(
+        df,
+        fields={"raw": "content", "stemmed": "content"},
+        default_field="raw",
+        analyzers={"stemmed": stem_chain},
+    )
+    oracle = MiniLucene(
+        [(r["doc_id"], {"raw": r["content"], "stemmed": r["content"]})
+         for _, r in pdf.iterrows()],
+        default_field="raw",
+        analyzers={"stemmed": stem_chain},
+    )
+    stem_kw = porter_stem("classes")
+    for qs in [f"stemmed:{stem_kw}", f"raw:{KEYWORDS[0]}",
+               f"stemmed:{porter_stem(KEYWORDS[0])} OR raw:{KEYWORDS[2]}"]:
+        q = parse_query(qs)
+        got = [
+            (int(r["doc_id"]), np.float32(r["score"]))
+            for r in search(idx, q, k=10).collect()
+        ]
+        assert got == oracle.search(q, k=10), qs
+    # the raw field must NOT conflate: stemmed term absent unless literal
+    if stem_kw not in {t.split(":", 1)[1] for t in oracle.postings if t.startswith("raw:")}:
+        assert search(idx, parse_query(f"raw:{stem_kw}"), k=5).count() == 0
