@@ -28,7 +28,7 @@ import numpy as np
 
 from .smallfloat import LENGTH_TABLE
 
-__all__ = ["BM25", "DEFAULT_K1", "DEFAULT_B"]
+__all__ = ["BM25", "ClassicSimilarity", "DEFAULT_K1", "DEFAULT_B"]
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -86,4 +86,64 @@ class BM25:
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
         """Clause-sum (float64 accumulator) → float32 final, per Lucene."""
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class ClassicSimilarity:
+    """Lucene-8 ClassicSimilarity (TF-IDF) as the second similarity in
+    the kernel slot (``[8x] lucene/core/src/java/org/apache/lucene/search/
+    similarities/ClassicSimilarity.java`` / ``TFIDFSimilarity.java``):
+
+      idf     = (float) (ln((docCount + 1) / (docFreq + 1)) + 1)
+      tf      = (float) sqrt(freq)
+      norm    = 1 / sqrt(quantized_dl)      (8.x norms store the
+                SmallFloat-quantized length; the scorer's 256-entry
+                normTable applies lengthNorm at query time)
+      weight  = boost · idf
+      score   = weight · tf · normTable[norm_byte]
+
+    Duck-typed to BM25's interface (idf/avgdl/weight/norm_inverse_cache/
+    score/combine) so every executor kernel — including block-max pruning,
+    whose upper bound stays valid because the score is monotone increasing
+    in tf and decreasing in norm byte — works unchanged."""
+
+    def __post_init__(self) -> None:  # parity with BM25's validating ctor
+        pass
+
+    @staticmethod
+    def idf(df: int | np.ndarray, doc_count: int) -> np.float32 | np.ndarray:
+        dfa = np.asarray(df, dtype=np.float64)
+        out = (np.log((doc_count + 1.0) / (dfa + 1.0)) + 1.0).astype(np.float32)
+        return out if out.ndim else np.float32(out)
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        # kept for the shared slot API; Classic's norm table ignores avgdl
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        """256-entry normTable: lengthNorm(byte4ToInt(b)) = 1/sqrt(dl_q);
+        entry 0 (dl=0 — no doc with a posting has it) pinned to 0."""
+        with np.errstate(divide="ignore"):
+            table = np.where(
+                LENGTH_TABLE > 0, 1.0 / np.sqrt(LENGTH_TABLE.astype(np.float64)), 0.0
+            )
+        return table.astype(np.float32)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        return np.float32(np.float32(boost) * self.idf(df, doc_count))
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.float32, cache: np.ndarray
+    ) -> np.ndarray:
+        tf = np.sqrt(np.asarray(tfs, dtype=np.float32)).astype(np.float32)
+        inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return (weight * tf * inv).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
         return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..bm25 import BM25
+from ..bm25 import BM25, ClassicSimilarity
 from .core import (
     NORMS_TERM,
     IndexView,
@@ -53,6 +53,15 @@ __all__ = [
 ]
 
 MANIFEST = "manifest.json"
+
+
+def _similarity_from_manifest(manifest: dict):
+    """Similarity slot from a manifest: BM25 (with its params) unless the
+    manifest names another similarity (ClassicSimilarity, §2.5)."""
+    sim = manifest.get("similarity") or {"name": "bm25"}
+    if sim.get("name") == "classic":
+        return ClassicSimilarity()
+    return BM25(**manifest["bm25"])
 
 
 def assign_doc_ids_arrival(df: DataFrame, doc_base: int = 0) -> DataFrame:
@@ -172,10 +181,17 @@ def build_index(
     (index_path / "segments").mkdir(exist_ok=True)
 
     if manifest is None:
+        if isinstance(bm25, BM25):
+            sim_entry = {"name": "bm25", "k1": bm25.k1, "b": bm25.b}
+            bm25_entry = {"k1": bm25.k1, "b": bm25.b}
+        else:  # ClassicSimilarity (or any parameterless duck-typed sim)
+            sim_entry = {"name": "classic"}
+            bm25_entry = {}
         manifest = {
             "version": 1,
             "committed": False,
-            "bm25": {"k1": bm25.k1, "b": bm25.b},
+            "bm25": bm25_entry,
+            "similarity": sim_entry,
             "segment_docs": segment_docs,
             "segments": [],
             "stats": {},
@@ -314,6 +330,6 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         norms=spark.read.parquet(str(index_path / "norms.parquet")),
         doc_count=manifest["stats"]["doc_count"],
         sum_ttf=manifest["stats"]["sum_ttf"],
-        bm25=BM25(**manifest["bm25"]),
+        bm25=_similarity_from_manifest(manifest),
         tombstones=tombstones,
     )

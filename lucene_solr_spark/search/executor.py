@@ -162,11 +162,13 @@ _SCORED_SCHEMA = StructType(
     ]
 )
 
-def _decode_score_udf(weights: dict[str, float], caches):
+def _decode_score_udf(weights: dict[str, float], caches, score_fn=BM25.score):
     """mapInPandas kernel: posting blocks → (term, doc_id, score_f32-as-double).
 
     ``caches`` is either one 256-entry array (single field) or a dict
-    term → array (per-field avgdl in multi-field mode)."""
+    term → array (per-field avgdl in multi-field mode).  ``score_fn`` is
+    the similarity kernel (BM25.score / ClassicSimilarity.score — any
+    (tfs, norm_bytes, weight, cache) → f32 scores)."""
     if isinstance(caches, dict):
         caches = {t: np.asarray(c, dtype=np.float32) for t, c in caches.items()}
         get_cache = caches.__getitem__
@@ -184,7 +186,7 @@ def _decode_score_udf(weights: dict[str, float], caches):
                 doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
                 tfs = decode_tfs(pdf["tfs_vb"].iat[i])
                 nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
-                s = BM25.score(tfs, nbs, w, get_cache(t))
+                s = score_fn(tfs, nbs, w, get_cache(t))
                 terms_out.append(np.full(doc_ids.size, t, dtype=object))
                 docs_out.append(doc_ids)
                 scores_out.append(s.astype(np.float64))
@@ -239,7 +241,7 @@ def scored_leaves(
     if blocks is None:
         blocks = index.postings.filter(F.col("term").isin(present or ["\x00none"]))
     scored = blocks.select(*_BLOCK_COLS).mapInPandas(
-        _decode_score_udf(weights, caches), _SCORED_SCHEMA
+        _decode_score_udf(weights, caches, score_fn=index.bm25.score), _SCORED_SCHEMA
     )
     return scored, weights
 
@@ -463,9 +465,11 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
     w = np.float32(total_idf * np.float32(phrase.boost))
     cache = index.norm_inverse_cache(uniq[0])
 
+    score_fn = index.bm25.score
+
     @F.pandas_udf("double")
     def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
-        s = BM25.score(
+        s = score_fn(
             tf.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.int64), w, cache
         )
         return pd.Series(s.astype(np.float64))
@@ -658,9 +662,11 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
     w = index.bm25.weight(df_term, index.stats_for(term)[0])
     cache = index.norm_inverse_cache(term)
 
+    score_fn = index.bm25.score
+
     @F.pandas_udf("float")
     def _ub(max_tf: pd.Series, min_nb: pd.Series) -> pd.Series:
-        s = BM25.score(
+        s = score_fn(
             max_tf.to_numpy(dtype=np.int64), min_nb.to_numpy(dtype=np.int64), w, cache
         )
         return pd.Series(s.astype(np.float32))

@@ -113,3 +113,101 @@ def test_k1_zero_degenerates_to_idf():
         cache = bm.norm_inverse_cache(np.float32(10))
     s = BM25.score(np.array([1, 5, 50]), np.array([5, 20, 100]), np.float32(2.0), cache)
     assert np.allclose(s, 2.0)
+
+
+# --- ClassicSimilarity (TF-IDF) ---------------------------------------------
+
+
+def test_classic_formula_hand_computed():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import ClassicSimilarity
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    sim = ClassicSimilarity()
+    # idf = ln((N+1)/(df+1)) + 1
+    assert np.float32(sim.idf(9, 99)) == np.float32(np.log(100.0 / 10.0) + 1.0)
+    nb = int(int_to_byte4(np.int64(16)))
+    dl_q = float(LENGTH_TABLE[nb])
+    w = sim.weight(9, 99, boost=2.0)
+    got = sim.score(np.array([4]), np.array([nb]), w, sim.norm_inverse_cache(None))
+    want = np.float32(w * np.float32(2.0) * np.float32(1.0 / np.sqrt(dl_q)))
+    assert np.float32(got[0]) == want
+
+
+def test_classic_engine_vs_oracle_identity(spark):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import ClassicSimilarity
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Phrase, Term, search
+
+    pdf = gen_corpus_pdf(150, seed=55).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = ClassicSimilarity()
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), Term(KEYWORDS[5], boost=1.5),
+                  And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9])),
+                  Phrase("def", "class")]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_classic_forced_prune_identity(spark, monkeypatch):
+    """Block-max pruning stays sound under Classic: the ub from
+    (max_tf, min_norm_byte) dominates every true score (score is monotone
+    increasing in tf, decreasing in norm byte)."""
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import ClassicSimilarity
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import Term, executor, search
+
+    pdf = gen_corpus_pdf(150, seed=56).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = ClassicSimilarity()
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    try:
+        for kw in (KEYWORDS[0], KEYWORDS[2]):
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, Term(kw), k=10, prune=True).collect()]
+            assert got == oracle.search(Term(kw), k=10), kw
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_classic_persistent_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import ClassicSimilarity
+    from lucene_solr_spark.corpus import gen_corpus_df, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.search import Term, search
+
+    path = tmp_path / "cidx"
+    build_index(spark, gen_corpus_df(spark, 120, seed=3), path,
+                segment_docs=60, bm25=ClassicSimilarity())
+    idx = open_index(spark, path)
+    assert isinstance(idx.bm25, ClassicSimilarity)
+    hits = search(idx, Term("def"), k=5).collect()
+    assert hits and all(np.isfinite(r["score"]) for r in hits)
