@@ -39,10 +39,34 @@ __all__ = ["MiniLucene", "levenshtein"]
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
+def osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment (Damerau) distance: adjacent
+    transpositions count as ONE edit — Lucene FuzzyQuery's default
+    (``[8x] lucene/core/.../search/FuzzyQuery.java`` transpositions=true,
+    LevenshteinAutomata with transpositions).  Shared by the engine's
+    fuzzy expansion UDF and this oracle."""
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 def levenshtein(a: str, b: str) -> int:
-    """Classic edit distance (no transpositions — matches Spark's
-    ``levenshtein``; documented deviation from FuzzyQuery's default
-    transpositions=true)."""
+    """Classic edit distance (no transpositions) — used when a Fuzzy node
+    sets transpositions=False; matches Spark's ``levenshtein``."""
     if len(a) < len(b):
         a, b = b, a
     prev = list(range(len(b) + 1))
@@ -185,9 +209,10 @@ class MiniLucene:
                     and (q.upper is None or (t <= q.upper if q.include_upper else t < q.upper))
                 ]
             elif isinstance(q, Fuzzy):
+                dist = osa_distance if q.transpositions else levenshtein
                 terms = [
                     t for t in vocab
-                    if levenshtein(t, q.term) <= q.max_edits
+                    if dist(t, q.term) <= q.max_edits
                     and (not q.prefix_length or t.startswith(q.term[: q.prefix_length]))
                 ]
             if not terms:

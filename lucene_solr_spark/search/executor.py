@@ -301,7 +301,21 @@ def _multiterm_cond(q):
             )
         return cond
     if isinstance(q, Fuzzy):
-        cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+        if q.transpositions:
+            # Damerau/OSA — FuzzyQuery's default; no JVM builtin, so the
+            # distance runs as an Arrow-batched UDF over the dictionary
+            # scan (shared osa_distance with the oracle)
+            from ..oracle import osa_distance
+
+            target, cap = q.term, q.max_edits
+
+            @F.pandas_udf("boolean")
+            def _within(terms: pd.Series) -> pd.Series:
+                return terms.map(lambda t: osa_distance(t, target) <= cap)
+
+            cond = _within(F.col("term"))
+        else:
+            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
         if q.prefix_length:
             cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
         return cond

@@ -155,6 +155,9 @@ class Fuzzy:
     boost: float = 1.0
     constant_score: bool = False  # FuzzyQuery scores (TopTermsBlendedFreq in
     # Lucene; we use scoring-boolean over expansions — documented deviation)
+    #: Lucene FuzzyQuery default: Damerau (OSA) distance counting adjacent
+    #: transpositions as one edit
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)
@@ -272,7 +275,7 @@ def qualify_query(q, default_field: str):
         if ":" in q.term:
             return q
         return Fuzzy(pre + q.term, q.max_edits, len(pre) + q.prefix_length,
-                     q.boost, q.constant_score)
+                     q.boost, q.constant_score, q.transpositions)
     if isinstance(q, TermRange):
         lo = None if q.lower is None else fix(q.lower)
         hi = None if q.upper is None else fix(q.upper)

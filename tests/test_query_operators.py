@@ -191,3 +191,41 @@ def test_constant_score_expansion_stays_distributed(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_fuzzy_transpositions_osa(spark):
+    """FuzzyQuery defaults to Damerau (OSA): a single adjacent
+    transposition is ONE edit.  'form'→'from' matches at max_edits=1 with
+    transpositions (Lucene default) but needs 2 classic edits."""
+    from lucene_solr_spark.oracle import osa_distance
+
+    assert osa_distance("form", "from") == 1
+    assert levenshtein("form", "from") == 2
+    assert osa_distance("abc", "acb") == 1
+    assert osa_distance("abc", "abc") == 0
+    assert osa_distance("ca", "abc") == 3  # OSA (not full Damerau, = Lucene)
+
+    rows = [(0, "from the data"), (1, "form of data"), (2, "other words")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    oracle = MiniLucene([(i, t) for i, t in rows])
+    try:
+        for q in [
+            Fuzzy("form", max_edits=1),                         # OSA default
+            Fuzzy("form", max_edits=1, transpositions=False),   # classic
+            Fuzzy("form", max_edits=1, constant_score=True),
+        ]:
+            got = _run(idx, q)
+            want = oracle.search(q, k=10)
+            assert got == want, (q, got, want)
+        # OSA finds both 'form' and 'from'; classic only 'form'
+        osa_hits = {d for d, _ in oracle.search(Fuzzy("form", max_edits=1), k=10)}
+        lev_hits = {
+            d for d, _ in oracle.search(
+                Fuzzy("form", max_edits=1, transpositions=False), k=10
+            )
+        }
+        assert osa_hits == {0, 1} and lev_hits == {1}
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
