@@ -1,0 +1,146 @@
+"""Event-time windowing + custom stateful operators over streams.
+
+Reference semantics (SURVEY.md §2.9): Solr's ``timeseries()`` stream and
+daemon-window rollups (``[8x] solr/solrj/src/java/org/apache/solr/client/
+solrj/io/stream/TimeSeriesStream.java``, ``DaemonStream.java``) bucket
+documents by a time gap expression; Solr has no first-class late-data
+contract (updates re-run the facet), so the Spark-first re-expression
+uses Structured Streaming's native event-time machinery:
+
+* tumbling / sliding windows  → ``F.window`` groupBy
+* session windows             → ``F.session_window``
+* late data                   → ``withWatermark`` (append mode finalizes
+  a window once the watermark passes it; later-arriving rows are dropped
+  — the explicit contract Solr leaves implicit)
+* custom stateful operators   → ``applyInPandasWithState`` (the analog
+  of a stateful streaming-expression plugin: per-key state survives
+  across micro-batches and restarts via the checkpoint)
+
+Every transform works on BOTH batch and streaming DataFrames (the same
+declarative plan — Catalyst picks the incremental execution when the
+source is a stream), mirroring how a Solr streaming expression runs
+identically under ``search`` and ``daemon``.
+
+Scale: windowed aggregation is one shuffle on (key, window); state in
+``applyInPandasWithState`` is partitioned by the grouping key across
+executors and checkpointed incrementally — no single-task state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "first_seen_dedup_stream",
+]
+
+
+def _maybe_watermark(df: DataFrame, time_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(time_col, watermark)
+    return df
+
+
+def _flatten_window(g: DataFrame, keys: list[str], prefix: str) -> DataFrame:
+    rest = [c for c in g.columns if c != "win" and c not in keys]
+    return g.select(
+        F.col("win.start").alias(f"{prefix}_start"),
+        F.col("win.end").alias(f"{prefix}_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in rest],
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    time_col: str,
+    window: str = "1 hour",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window rollup (timeseries stream analog).
+
+    On a stream, ``watermark`` bounds state and defines the late-data
+    cutoff: in append output mode a window is emitted exactly once, when
+    the watermark passes its end; rows older than the watermark are
+    dropped (Lucene/Solr's daemon re-run semantics made explicit)."""
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    w = _maybe_watermark(df, time_col, watermark)
+    g = w.groupBy(F.window(F.col(time_col), window).alias("win"), *keys).agg(*aggs)
+    return _flatten_window(g, keys, "window")
+
+
+def sliding_agg(
+    df: DataFrame,
+    time_col: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows."""
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    w = _maybe_watermark(df, time_col, watermark)
+    g = w.groupBy(F.window(F.col(time_col), window, slide).alias("win"), *keys).agg(*aggs)
+    return _flatten_window(g, keys, "window")
+
+
+def session_agg(
+    df: DataFrame,
+    time_col: str,
+    gap: str = "30 minutes",
+    keys: list[str] | None = None,
+    aggs: list | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per key (Spark ``session_window`` — dynamic-length windows)."""
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("cnt")]
+    w = _maybe_watermark(df, time_col, watermark)
+    g = w.groupBy(F.session_window(F.col(time_col), gap).alias("win"), *keys).agg(*aggs)
+    return _flatten_window(g, keys, "session")
+
+
+def first_seen_dedup_stream(
+    stream: DataFrame,
+    key_col: str = "key",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator: emit each key's row only the FIRST time
+    it is ever seen across the whole stream (the ``topic`` stream's
+    exactly-once-per-document contract, re-expressed with per-key state).
+
+    State = one boolean per key, partitioned by key across executors and
+    persisted in the checkpoint — a restart resumes with every
+    previously-seen key still marked.  Output: [key, first_batch_count]
+    rows only for newly-seen keys."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n long"
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            return iter(())  # already emitted once
+        state.update((True,))
+        return iter([pd.DataFrame({key_col: [key[0]], "n": [n]})])
+
+    timeout_conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    return (
+        stream.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout_conf)
+    )

@@ -1,0 +1,137 @@
+"""Event-time windows + watermark late-data + custom stateful operator
+(SURVEY.md §2.9 rows: watermark/late data, tumbling/session windows,
+stateful ops)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.streaming.windows import (
+    first_seen_dedup_stream,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _events(spark, rows):
+    """rows: (epoch_seconds, key)"""
+    df = spark.createDataFrame(rows, "sec long, key string")
+    return df.select(F.to_timestamp(F.col("sec").cast("double")).alias("ts"), "key")
+
+
+# --- batch semantics --------------------------------------------------------
+
+
+def test_tumbling_batch(spark):
+    df = _events(spark, [(1, "a"), (5, "a"), (12, "b"), (25, "a")])
+    out = tumbling_agg(df, "ts", window="10 seconds").orderBy("window_start").collect()
+    assert [r["cnt"] for r in out] == [2, 1, 1]
+
+
+def test_sliding_batch(spark):
+    df = _events(spark, [(1, "a"), (5, "a"), (12, "b")])
+    out = sliding_agg(df, "ts", window="10 seconds", slide="5 seconds").collect()
+    # event at t=1 belongs to windows [-5,5) and [0,10); t=5 to [0,10),[5,15)...
+    counts = {(r["window_start"].second, r["cnt"]) for r in out}
+    assert len(out) >= 4 and all(r["cnt"] >= 1 for r in out)
+
+
+def test_session_batch(spark):
+    df = _events(spark, [(1, "a"), (4, "a"), (30, "a"), (32, "a"), (100, "b")])
+    out = session_agg(df, "ts", gap="10 seconds", keys=["key"]).orderBy(
+        "session_start"
+    ).collect()
+    # a: [1,4] merge (gap<10), [30,32] merge; b: [100]
+    got = [(r["key"], r["cnt"]) for r in out]
+    assert got == [("a", 2), ("a", 2), ("b", 1)]
+
+
+# --- streaming: watermark finalization + late-data drop ---------------------
+
+
+def _run_stream(spark, src_dir, ckpt, qname, transform):
+    stream = (
+        spark.readStream.schema("sec long, key string").parquet(str(src_dir))
+        .select(F.to_timestamp(F.col("sec").cast("double")).alias("ts"), "key")
+    )
+    rows: list = []
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
+    """Append mode emits a window exactly once when the watermark passes
+    it; a row arriving after that is DROPPED (the late-data contract)."""
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    tf = lambda s: tumbling_agg(s, "ts", window="10 seconds", watermark="10 seconds")
+
+    # wave 1: window [0,10) gets 2 rows; watermark advances to 100-10=90
+    spark.createDataFrame([(1, "a"), (5, "a"), (15, "b"), (100, "c")],
+                          "sec long, key string").write.mode("append").parquet(str(src))
+    out1 = _run_stream(spark, src, ckpt, "wm_run1", tf)
+    finalized1 = {(r["window_start"].minute * 60 + r["window_start"].second, r["cnt"])
+                  for r in out1}
+    assert (0, 2) in finalized1 and (10, 1) in finalized1
+    assert all(ws < 90 for ws, _ in finalized1), finalized1  # [100,110) not final yet
+
+    # wave 2: t=3 is LATE (watermark 90) -> dropped; t=200 pushes the
+    # watermark so [100,110) finalizes with exactly its one on-time row
+    spark.createDataFrame([(3, "late"), (200, "d")], "sec long, key string") \
+        .write.mode("append").parquet(str(src))
+    out2 = _run_stream(spark, src, ckpt, "wm_run2", tf)
+    finalized2 = {(r["window_start"].minute * 60 + r["window_start"].second, r["cnt"])
+                  for r in out2}
+    assert (100, 1) in finalized2, finalized2
+    # the late row neither re-opens [0,10) nor appears anywhere
+    assert all(ws != 0 for ws, _ in finalized2), finalized2
+
+
+# --- streaming: custom stateful operator ------------------------------------
+
+
+def test_first_seen_dedup_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-key state persists across micro-batches
+    AND query restarts (checkpoint) — a key re-sent in a later run is not
+    re-emitted (topic-stream exactly-once-per-document)."""
+    src, ckpt = tmp_path / "src2", tmp_path / "ckpt2"
+    src.mkdir()
+    tf = lambda s: first_seen_dedup_stream(s.select("key"), key_col="key")
+
+    def run(qname):
+        stream = spark.readStream.schema("sec long, key string").parquet(str(src))
+        rows: list = []
+        q = (
+            tf(stream)
+            .writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["key"], r["n"]) for r in rows}
+
+    spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "sec long, key string") \
+        .write.mode("append").parquet(str(src))
+    out1 = run("dedup_run1")
+    assert out1 == {("a", 2), ("b", 1)}
+
+    # restart with a replayed key + a new key: only the new key emits
+    spark.createDataFrame([(4, "a"), (5, "c")], "sec long, key string") \
+        .write.mode("append").parquet(str(src))
+    out2 = run("dedup_run2")
+    assert out2 == {("c", 1)}, out2
