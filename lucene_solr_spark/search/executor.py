@@ -642,6 +642,114 @@ def _scores(index: IndexView, q) -> DataFrame:
     raise TypeError(f"unknown query node {type(q)}")
 
 
+def _tree_terms_boosts(q) -> dict[str, float] | None:
+    """Term → boost for a tree whose leaves are ALL plain Terms (under
+    And/Or/DisMax/ConstantScore/Bool composition).  None if the tree has
+    other leaf types (phrase/multiterm/matchall) or a term appears with
+    conflicting boosts — those fall back to the recursive scorer."""
+    out: dict[str, float] = {}
+
+    def walk(n) -> bool:
+        if isinstance(n, Term):
+            if n.term in out and out[n.term] != n.boost:
+                return False
+            out[n.term] = n.boost
+            return True
+        if isinstance(n, (And, Or, DisMax)):
+            return all(walk(c) for c in n.clauses)
+        if isinstance(n, ConstantScore):
+            return walk(n.query)
+        if isinstance(n, Bool):
+            if not (n.must or n.should or n.filter):
+                return False
+            return all(walk(c) for c in (*n.must, *n.should, *n.must_not, *n.filter))
+        return False
+
+    return out if walk(q) else None
+
+
+def _column_tree_scores(index: IndexView, q) -> DataFrame | None:
+    """Shared-scan scorer tree: decode + score every query term ONCE
+    (one scored_leaves pass), pivot to one row per doc with a column per
+    term, and evaluate the whole boolean tree as pure Catalyst column
+    expressions (null = no match, f32 cast at every node boundary).
+
+    This removes the per-clause re-decode of the recursive `_scores`
+    path — a term appearing in two clauses of a nested Bool used to
+    decode its blocks twice; here every term's blocks are read exactly
+    once and the tree evaluation is whole-stage-codegen arithmetic."""
+    tb = _tree_terms_boosts(q)
+    if tb is None or not tb:
+        return None
+    terms = sorted(tb)
+    scored, _ = scored_leaves(index, terms, boosts=tb)
+    wide = scored.groupBy("doc_id").pivot("term", terms).agg(F.first("score"))
+    tcol = lambda t: F.col("`" + t + "`")
+    f32c = _f32
+
+    def build(n):
+        if isinstance(n, Term):
+            return tcol(n.term)
+        if isinstance(n, (And, Or)):
+            cs = [build(c) for c in n.clauses]
+            if isinstance(n, And):
+                cond = reduce(lambda a, b: a & b, [c.isNotNull() for c in cs])
+                s = cs[0] if len(cs) == 1 else f32c(reduce(lambda a, b: a + b, cs))
+            else:
+                cond = reduce(lambda a, b: a | b, [c.isNotNull() for c in cs])
+                s = cs[0] if len(cs) == 1 else f32c(
+                    reduce(lambda a, b: a + b, [F.coalesce(c, F.lit(0.0)) for c in cs])
+                )
+            return F.when(cond, s)
+        if isinstance(n, ConstantScore):
+            inner = build(n.query)
+            return F.when(inner.isNotNull(), F.lit(float(np.float32(n.boost))))
+        if isinstance(n, DisMax):
+            cs = [build(c) for c in n.clauses]
+            cond = reduce(lambda a, b: a | b, [c.isNotNull() for c in cs])
+            mx = F.greatest(*cs) if len(cs) > 1 else cs[0]
+            sm = reduce(lambda a, b: a + b, [F.coalesce(c, F.lit(0.0)) for c in cs])
+            return F.when(cond, f32c(mx + (sm - mx) * F.lit(float(n.tie_breaker))))
+        if isinstance(n, Bool):
+            cond = F.lit(True)
+            score = None
+            if n.must:
+                ms = [build(c) for c in n.must]
+                cond = reduce(lambda a, b: a & b, [c.isNotNull() for c in ms])
+                score = ms[0] if len(ms) == 1 else f32c(reduce(lambda a, b: a + b, ms))
+            if n.should:
+                ss = [build(c) for c in n.should]
+                scnt = reduce(
+                    lambda a, b: a + b,
+                    [F.when(c.isNotNull(), 1).otherwise(0) for c in ss],
+                )
+                ssum = f32c(
+                    reduce(lambda a, b: a + b, [F.coalesce(c, F.lit(0.0)) for c in ss])
+                )
+                msm = n.min_should_match
+                if score is None:
+                    cond = cond & (scnt >= max(1, msm))
+                    score = ssum
+                else:
+                    if msm > 0:
+                        cond = cond & (scnt >= msm)
+                    score = f32c(
+                        score + F.when(scnt > 0, ssum).otherwise(F.lit(0.0))
+                    )
+            if score is None:
+                # filter-only Bool: constant 0 score over the filter set
+                score = F.lit(0.0)
+            for c in n.filter:
+                cond = cond & build(c).isNotNull()
+            for c in n.must_not:
+                cond = cond & build(c).isNull()
+            return F.when(cond, score)
+        raise TypeError(f"unsupported node {type(n)}")  # guarded by _tree_terms_boosts
+
+    expr = build(q)
+    return wide.select("doc_id", expr.alias("score")).filter(F.col("score").isNotNull())
+
+
 #: below this many blocks for the query terms, skip prune entirely: the
 #: decode-everything plan is one job, and per-job overhead dominates (at
 #: cluster scale a low-df term never pays for a θ pass either — Lucene's
@@ -750,7 +858,11 @@ def search(
         and len({c.term for c in q.clauses}) == len(q.clauses)
     )
     if not fast:
-        # general scorer tree (phrase / bool / dismax / constant-score …)
+        # all-Term trees share ONE decode pass (column-tree evaluation);
+        # phrase/multiterm/matchall trees use the recursive scorer
+        shared = _column_tree_scores(index, q)
+        if shared is not None:
+            return finish(shared)
         return finish(_scores(index, q))
     node_boosts = (
         {q.term: q.boost} if isinstance(q, Term) else {c.term: c.boost for c in q.clauses}

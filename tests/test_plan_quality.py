@@ -98,3 +98,12 @@ def test_phrase_explodes_positions_only_for_candidates(persisted):
     splan = _plan(_sloppy_tf(persisted, Phrase("def", "class", slop=2)))
     assert "LeftSemi" in splan
     assert "FlatMapGroupsInPandas" not in splan
+
+
+def test_nested_bool_shares_one_decode_pass(persisted):
+    """A term appearing in two clauses of a nested tree must decode its
+    posting blocks ONCE: the all-Term tree compiles to a single
+    scored-leaves MapInPandas + a pivot + column expressions."""
+    q = parse_query("(def AND class) OR (def AND return)")
+    plan = _plan(search(persisted, q, k=10))
+    assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
