@@ -28,7 +28,7 @@ import numpy as np
 
 from .smallfloat import LENGTH_TABLE
 
-__all__ = ["BM25", "ClassicSimilarity", "DEFAULT_K1", "DEFAULT_B"]
+__all__ = ["BM25", "ClassicSimilarity", "LMDirichlet", "DEFAULT_K1", "DEFAULT_B"]
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -143,6 +143,61 @@ class ClassicSimilarity:
         tf = np.sqrt(np.asarray(tfs, dtype=np.float32)).astype(np.float32)
         inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
         return (weight * tf * inv).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class LMDirichlet:
+    """Lucene-8 LMDirichletSimilarity (``[8x] lucene/core/src/java/org/
+    apache/lucene/search/similarities/LMDirichletSimilarity.java``):
+
+      p(t|C)  = (totalTermFreq + 1) / (sumTotalTermFreq + 1)
+      score   = boost · (ln(1 + tf/(µ·p)) + ln(µ/(dl_q + µ))), clipped ≥ 0
+
+    Needs the term's COLLECTION frequency, so it implements the richer
+    ``weight_full(df, cf, docCount, sumTtf, boost)`` hook; the executor
+    detects it and plumbs (df, cf) from the term dictionary.  The
+    per-term "weight" is the pair (boost, 1/(µ·p)); the 256-entry cache
+    holds the doc-length part ln(µ/(dl_q + µ)).  Block-max pruning stays
+    sound: the score is monotone increasing in tf, decreasing in norm
+    byte, and clipping preserves the ordering."""
+
+    mu: float = 2000.0
+
+    def __post_init__(self) -> None:
+        if not (math.isfinite(self.mu) and self.mu > 0):
+            raise ValueError(f"illegal mu value: {self.mu}, must be a positive finite value")
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        mu = np.float64(self.mu)
+        return np.log(mu / (LENGTH_TABLE.astype(np.float64) + mu)).astype(np.float32)
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        # Lucene LMStats.collectionProbability: float division
+        p = np.float32(np.float32(cf + 1.0) / np.float32(sum_ttf + 1.0))
+        return np.array([np.float32(boost), 1.0 / (self.mu * np.float64(p))],
+                        dtype=np.float64)
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        boost, wp = np.float64(weight[0]), np.float64(weight[1])
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl_part = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        s = boost * (np.log1p(tf * wp) + dl_part)
+        return np.maximum(s, 0.0).astype(np.float32)
 
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:

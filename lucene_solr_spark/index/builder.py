@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..bm25 import BM25, ClassicSimilarity
+from ..bm25 import BM25, ClassicSimilarity, LMDirichlet
 from .core import (
     NORMS_TERM,
     IndexView,
@@ -61,6 +61,8 @@ def _similarity_from_manifest(manifest: dict):
     sim = manifest.get("similarity") or {"name": "bm25"}
     if sim.get("name") == "classic":
         return ClassicSimilarity()
+    if sim.get("name") == "lm_dirichlet":
+        return LMDirichlet(mu=float(sim.get("mu", 2000.0)))
     return BM25(**manifest["bm25"])
 
 
@@ -184,6 +186,9 @@ def build_index(
         if isinstance(bm25, BM25):
             sim_entry = {"name": "bm25", "k1": bm25.k1, "b": bm25.b}
             bm25_entry = {"k1": bm25.k1, "b": bm25.b}
+        elif isinstance(bm25, LMDirichlet):
+            sim_entry = {"name": "lm_dirichlet", "mu": bm25.mu}
+            bm25_entry = {}
         else:  # ClassicSimilarity (or any parameterless duck-typed sim)
             sim_entry = {"name": "classic"}
             bm25_entry = {}

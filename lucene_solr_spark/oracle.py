@@ -162,6 +162,14 @@ class MiniLucene:
                 return self._fstats[f][0], self._fnorm[f], self._fcache[f]
         return self.doc_count, self.norm_byte, self._cache
 
+    def _ctx_stats(self, term: str) -> tuple[int, int]:
+        """(doc_count, sum_ttf) for the field governing ``term``."""
+        if self.multifield and ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self._fstats:
+                return self._fstats[f]
+        return self.doc_count, self.sum_ttf
+
     # --- stats -------------------------------------------------------------
 
     def df(self, term: str) -> int:
@@ -180,7 +188,11 @@ class MiniLucene:
         if not plist:
             return {}
         n, nb_map, cache = self._term_ctx(t.term)
-        w = self.bm25.weight(len(plist), n, t.boost)
+        if hasattr(self.bm25, "weight_full"):
+            _, ttf = self._ctx_stats(t.term)
+            w = self.bm25.weight_full(len(plist), sum(plist.values()), n, ttf, t.boost)
+        else:
+            w = self.bm25.weight(len(plist), n, t.boost)
         docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
         tfs = np.fromiter(plist.values(), dtype=np.int64, count=len(plist))
         nbs = np.array([nb_map[int(d)] for d in docs], dtype=np.int64)
@@ -277,14 +289,35 @@ class MiniLucene:
     def _phrase_scores(self, q: Phrase) -> dict[int, float]:
         if any(t not in self.postings for t in q.terms):
             return {}
+        _, nb_map, cache = self._term_ctx(q.terms[0])
+        freqs = self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q)
+        if hasattr(self.bm25, "weight_full"):
+            # SimilarityBase MultiSimScorer: one sub-scorer per phrase
+            # position at the phrase freq, scores summed, cast float
+            ws = [
+                self.bm25.weight_full(
+                    self.df(t), self.cf(t), *self._ctx_stats(t), q.boost
+                )
+                for t in q.terms
+            ]
+            out = {}
+            for d, tf in freqs.items():
+                acc = 0.0
+                for w in ws:
+                    acc += float(
+                        self.bm25.score(
+                            np.array([tf], dtype=np.float64),
+                            np.array([nb_map[d]]), w, cache,
+                        )[0]
+                    )
+                out[d] = float(np.float32(acc))
+            return out
         # Lucene PhraseWeight collects one TermStatistics PER POSITION,
         # so a repeated term contributes its idf once per occurrence
         # (PhraseQuery#createWeight iterates terms[], duplicates included)
         idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in q.terms]
         total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
         w = np.float32(total * np.float32(q.boost))
-        _, nb_map, cache = self._term_ctx(q.terms[0])
-        freqs = self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q)
         out = {}
         for d, tf in freqs.items():
             s = self.bm25.score(

@@ -182,7 +182,7 @@ def _decode_score_udf(weights: dict[str, float], caches, score_fn=BM25.score):
             t_arr = pdf["term"].to_numpy(dtype=object)
             for i in range(pdf.shape[0]):
                 t = t_arr[i]
-                w = np.float32(weights[t])
+                w = weights[t]  # f32 scalar (BM25/Classic) or array (LM)
                 doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
                 tfs = decode_tfs(pdf["tfs_vb"].iat[i])
                 nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
@@ -203,9 +203,26 @@ def _decode_score_udf(weights: dict[str, float], caches, score_fn=BM25.score):
     return _fn
 
 
-def _leaf_stats(index: IndexView, terms: list[str]) -> dict[str, int]:
+def _leaf_stats_full(index: IndexView, terms: list[str]) -> dict[str, tuple[int, int]]:
+    """term → (docFreq, collectionFreq) from the dictionary — the
+    TermStatistics pair (LMDirichlet needs cf; BM25/Classic use df)."""
     rows = index.term_dict.filter(F.col("term").isin(terms)).collect()
-    return {r["term"]: int(r["df"]) for r in rows}
+    return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+
+def _leaf_stats(index: IndexView, terms: list[str]) -> dict[str, int]:
+    return {t: df for t, (df, _) in _leaf_stats_full(index, terms).items()}
+
+
+def _term_weight(index: IndexView, term: str, df: int, cf: int, boost: float = 1.0):
+    """Similarity weight for one term: the richer ``weight_full`` hook
+    (df, cf, docCount, sumTtf) when the similarity defines it, else the
+    classic (df, docCount) path."""
+    sim = index.bm25
+    n, ttf = index.stats_for(term)
+    if hasattr(sim, "weight_full"):
+        return sim.weight_full(df, cf, n, ttf, boost)
+    return np.float32(sim.weight(df, n, boost))
 
 
 _BLOCK_COLS = ["term", "first_doc", "last_doc", "max_tf", "min_norm_byte",
@@ -224,16 +241,25 @@ def scored_leaves(
     Returns (DataFrame[term, doc_id, score:double], weights) where score is
     the float32 leaf score widened to double for exact clause summation.
     ``stats`` (term → df) skips the term-dictionary lookup job when the
-    caller already collected it.
+    caller already collected it (ignored for cf-needing similarities,
+    which refetch the full TermStatistics pair).
     """
-    dfs = stats if stats is not None else _leaf_stats(index, terms)
-    present = [t for t in terms if t in dfs]
     bm = index.bm25
     boosts = boosts or {}
-    weights = {
-        t: float(bm.weight(dfs[t], index.stats_for(t)[0], boosts.get(t, 1.0)))
-        for t in present
-    }
+    if hasattr(bm, "weight_full"):
+        full = _leaf_stats_full(index, terms)
+        present = [t for t in terms if t in full]
+        weights = {
+            t: _term_weight(index, t, full[t][0], full[t][1], boosts.get(t, 1.0))
+            for t in present
+        }
+    else:
+        dfs = stats if stats is not None else _leaf_stats(index, terms)
+        present = [t for t in terms if t in dfs]
+        weights = {
+            t: np.float32(bm.weight(dfs[t], index.stats_for(t)[0], boosts.get(t, 1.0)))
+            for t in present
+        }
     if index.field_stats is not None:
         caches = {t: index.norm_inverse_cache(t) for t in present}
     else:
@@ -471,22 +497,40 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
     BM25Similarity.idfExplain), summed in double and cast float; returns
     [doc_id, score:double(f32-valued)]."""
     uniq = list(dict.fromkeys(phrase.terms))
-    dfs = _leaf_stats(index, uniq)
-    if len(dfs) < len(uniq):
+    full = _leaf_stats_full(index, uniq)
+    if len(full) < len(uniq):
         return index.spark.createDataFrame([], "doc_id long, score double")
-    idfs = [index.bm25.idf(dfs[t], index.stats_for(t)[0]) for t in phrase.terms]
-    total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-    w = np.float32(total_idf * np.float32(phrase.boost))
+    sim = index.bm25
     cache = index.norm_inverse_cache(uniq[0])
+    score_fn = sim.score
+    if hasattr(sim, "weight_full"):
+        # SimilarityBase sims (LMDirichlet): MultiSimScorer — one
+        # sub-scorer per phrase position evaluated at the phrase freq,
+        # scores summed in double, cast float
+        ws = [
+            sim.weight_full(*full[t], *index.stats_for(t), phrase.boost)
+            for t in phrase.terms
+        ]
 
-    score_fn = index.bm25.score
+        @F.pandas_udf("double")
+        def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+            tfa = tf.to_numpy(dtype=np.float64)
+            nba = nb.to_numpy(dtype=np.int64)
+            acc = np.zeros(tfa.size, dtype=np.float64)
+            for w in ws:
+                acc += score_fn(tfa, nba, w, cache).astype(np.float64)
+            return pd.Series(acc.astype(np.float32).astype(np.float64))
+    else:
+        idfs = [sim.idf(full[t][0], index.stats_for(t)[0]) for t in phrase.terms]
+        total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+        w = np.float32(total_idf * np.float32(phrase.boost))
 
-    @F.pandas_udf("double")
-    def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
-        s = score_fn(
-            tf.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.int64), w, cache
-        )
-        return pd.Series(s.astype(np.float64))
+        @F.pandas_udf("double")
+        def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+            s = score_fn(
+                tf.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.int64), w, cache
+            )
+            return pd.Series(s.astype(np.float64))
 
     if phrase.slop > 0:
         tfdf = _sloppy_tf(index, phrase).withColumnRenamed("sf", "tf")
@@ -775,13 +819,13 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
 
     Sound because ub ≥ every true score in its block and θ is achievable.
     """
-    dfs = _leaf_stats(index, [term])
-    if term not in dfs:
+    full = _leaf_stats_full(index, [term])
+    if term not in full:
         return index.spark.createDataFrame([], "doc_id long, score double")
-    df_term = dfs[term]
+    df_term, cf_term = full[term]
     if (df_term + 127) // 128 < _PRUNE_MIN_BLOCKS:
         return None
-    w = index.bm25.weight(df_term, index.stats_for(term)[0])
+    w = _term_weight(index, term, df_term, cf_term)
     cache = index.norm_inverse_cache(term)
 
     score_fn = index.bm25.score

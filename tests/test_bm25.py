@@ -211,3 +211,81 @@ def test_classic_persistent_roundtrip(spark, tmp_path):
     assert isinstance(idx.bm25, ClassicSimilarity)
     hits = search(idx, Term("def"), k=5).collect()
     assert hits and all(np.isfinite(r["score"]) for r in hits)
+
+
+# --- LMDirichlet ------------------------------------------------------------
+
+
+def test_lm_dirichlet_formula_hand_computed():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import LMDirichlet
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    sim = LMDirichlet(mu=2000.0)
+    nb = int(int_to_byte4(np.int64(20)))
+    dl_q = float(LENGTH_TABLE[nb])
+    w = sim.weight_full(df=5, cf=12, doc_count=100, sum_ttf=5000, boost=1.0)
+    got = float(sim.score(np.array([3]), np.array([nb]), w, sim.norm_inverse_cache(None))[0])
+    p = np.float32(np.float32(13.0) / np.float32(5001.0))
+    want = np.float32(np.log1p(3.0 / (2000.0 * float(p))) + np.log(2000.0 / (dl_q + 2000.0)))
+    assert np.float32(got) == max(np.float32(0), want)
+    # clip: a hugely common term in a long doc can go negative -> 0
+    w2 = sim.weight_full(df=90, cf=4900, doc_count=100, sum_ttf=5000)
+    nb_long = int(int_to_byte4(np.int64(100000)))
+    s2 = float(sim.score(np.array([1]), np.array([nb_long]), w2,
+                         sim.norm_inverse_cache(None))[0])
+    assert s2 == 0.0
+    with pytest.raises(ValueError):
+        LMDirichlet(mu=0.0)
+
+
+def test_lm_dirichlet_engine_vs_oracle_identity(spark):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import LMDirichlet
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Phrase, Term, search
+
+    pdf = gen_corpus_pdf(150, seed=57).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = LMDirichlet(mu=500.0)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), Term(KEYWORDS[5], boost=2.0),
+                  And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9])),
+                  Phrase("def", "class")]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_lm_dirichlet_persistent_and_pruned(spark, tmp_path, monkeypatch):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import LMDirichlet
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_df, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import Term, executor, search
+
+    path = tmp_path / "lmidx"
+    build_index(spark, gen_corpus_df(spark, 120, seed=4), path,
+                segment_docs=60, bm25=LMDirichlet(mu=800.0))
+    idx = open_index(spark, path)
+    assert isinstance(idx.bm25, LMDirichlet) and idx.bm25.mu == 800.0
+    # pruned == unpruned under LM (clip preserves the ub ordering)
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    a = [(r["doc_id"], r["score"]) for r in search(idx, Term("def"), k=10, prune=True).collect()]
+    b = [(r["doc_id"], r["score"]) for r in search(idx, Term("def"), k=10, prune=False).collect()]
+    assert a == b and a
