@@ -116,10 +116,14 @@ _POSITIONS_TABLE_SCHEMA = StructType(
 )
 
 
-def positions_table(index: IndexView, terms: list[str]) -> DataFrame:
+def positions_table(
+    index: IndexView, terms: list[str], blocks: DataFrame | None = None
+) -> DataFrame:
     """Decoded postings WITH positions: [term, doc_id, tf, norm_byte,
-    positions] — the input to phrase matching (SURVEY.md §2.4)."""
-    blocks = index.postings.filter(F.col("term").isin(terms))
+    positions] — the input to phrase matching (SURVEY.md §2.4).
+    ``blocks`` overrides the block set (phrase leapfrog pre-filter)."""
+    if blocks is None:
+        blocks = index.postings.filter(F.col("term").isin(terms))
 
     def _decode(batches):
         for pdf in batches:
@@ -393,6 +397,46 @@ def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
     raise TypeError(f"unknown query node {type(q)}")
 
 
+#: total clause-term blocks below which the phrase leapfrog pre-filter is
+#: skipped (one decode-everything pass beats the extra ranges collect —
+#: the same cost-based rule as _PRUNE_MIN_BLOCKS_AND)
+_PHRASE_LEAPFROG_MIN_BLOCKS = 4096
+
+
+def _phrase_blocks(index: IndexView, uniq: list[str]) -> DataFrame:
+    """Clause-term posting blocks, leapfrog-filtered when the lists are
+    large: collect the RAREST term's (first_doc, last_doc) block ranges
+    (small by construction) and keep only other-term blocks overlapping
+    them — positions are then decoded only for block ranges that can
+    contain a phrase match, exactly the AND fast path's skip-list analog.
+    """
+    blocks = index.postings.filter(F.col("term").isin(uniq))
+    if len(uniq) < 2:
+        return blocks
+    stats = _leaf_stats(index, uniq)
+    if len(stats) < len(uniq):
+        return blocks  # missing term: caller returns empty anyway
+    total_blocks = sum((d + 127) // 128 for d in stats.values())
+    lead = min(uniq, key=lambda t: stats[t])
+    n_lead = (stats[lead] + 127) // 128
+    if total_blocks < _PHRASE_LEAPFROG_MIN_BLOCKS or n_lead > 4096:
+        return blocks
+    ranges = np.array(
+        sorted(
+            (int(r["first_doc"]), int(r["last_doc"]))
+            for r in index.postings.filter(F.col("term") == lead)
+            .select("first_doc", "last_doc")
+            .collect()
+        ),
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    lead_blocks = index.postings.filter(F.col("term") == lead)
+    others = index.postings.filter(
+        F.col("term").isin([t for t in uniq if t != lead])
+    )
+    return lead_blocks.unionByName(_range_filter_blocks(others, ranges))
+
+
 def _phrase_candidates(index: IndexView, uniq: list[str]) -> DataFrame:
     """Docs containing ALL phrase terms — the AND pre-intersection,
     computed from the cheap doc-id decode (doc_ids_vb/tfs_vb only, no
@@ -413,7 +457,7 @@ def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     position-adjust trick: token at position p matches clause (term, off)
     iff p - off is the same base position for every clause."""
     uniq = list(dict.fromkeys(phrase.terms))
-    pt = positions_table(index, uniq)
+    pt = positions_table(index, uniq, blocks=_phrase_blocks(index, uniq))
     if len(uniq) > 1:
         pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]  # (term, off, clause)
@@ -451,7 +495,7 @@ def _sloppy_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     from .sloppy import sloppy_freq
 
     uniq = list(dict.fromkeys(phrase.terms))
-    pt = positions_table(index, uniq)
+    pt = positions_table(index, uniq, blocks=_phrase_blocks(index, uniq))
     if len(uniq) > 1:
         pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]

@@ -229,3 +229,23 @@ def test_fuzzy_transpositions_osa(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_phrase_leapfrog_forced_identity(spark, corpus, oracle, monkeypatch):
+    """Force the phrase block-range leapfrog at test scale: results stay
+    rank/score identical to the oracle."""
+    from lucene_solr_spark.search import executor
+
+    monkeypatch.setattr(executor, "_PHRASE_LEAPFROG_MIN_BLOCKS", 0)
+    idx = build_index_view(
+        spark.createDataFrame(corpus[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content",
+    )
+    try:
+        for q in [Phrase("def", "class"), Phrase("def", "class", slop=2),
+                  Phrase("int", "new", boost=2.0)]:
+            got = _run(idx, q)
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
