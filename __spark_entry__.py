@@ -498,6 +498,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic codebook (embeddings 1..8 as the
+    coarse quantizer): nearest-centroid assignment, 2-probe list scan,
+    exact cosine rerank — every fold left-to-right IEEE so DuckDB
+    reproduces assignment, probes, and rerank bit-for-bit."""
+    from lucene_solr_spark.pipeline import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), centroids, k=10, n_probes=2, exclude_ids=[0]
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.pipeline import token_stats
 
@@ -697,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -840,6 +858,33 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 100""",
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
 FROM embeddings e, q WHERE e.vec_id != 0
+ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "ann_ivf": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id - 1 AS ci, embedding AS ce FROM embeddings
+         WHERE vec_id BETWEEN 1 AND 8),
+probes AS (
+  SELECT ci FROM (
+    SELECT c.ci,
+      list_reduce(list_transform(list_zip(c.ce, q.qe),
+        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+        (acc, v) -> acc + v) AS d
+    FROM cent c, q)
+  ORDER BY d ASC, ci ASC LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, ci FROM (
+    SELECT e.vec_id, c.ci,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (list_reduce(list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE),
+           (acc, v) -> acc + v)
+         - 2 * ({dot.format(a="e.embedding", b="c.ce")})) ASC, c.ci ASC) AS rn
+    FROM embeddings e, cent c WHERE e.vec_id != 0)
+  WHERE rn = 1
+)
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e
+JOIN assigned a ON a.vec_id = e.vec_id AND a.ci IN (SELECT ci FROM probes), q
 ORDER BY cosine DESC, id ASC LIMIT 10""",
         "ann_lsh": f"""
 WITH planes AS (

@@ -109,9 +109,18 @@ def ivf_topk(
     rerank inside them."""
     import numpy as np
 
-    cent = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    probe = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))[:n_probes].tolist()
+    cent = [[float(v) for v in c] for c in np.asarray(centroids, dtype=np.float64)]
+    q = [float(v) for v in query_vec]
+
+    def _seq_l2(c: list[float]) -> float:
+        # left-to-right IEEE fold — matches the SQL list_reduce order, so
+        # a cross-engine oracle reproduces probe choice bit-for-bit
+        acc = 0.0
+        for cv, qv in zip(c, q):
+            acc += (cv - qv) * (cv - qv)
+        return acc
+
+    probe = sorted(range(len(cent)), key=lambda i: (_seq_l2(cent[i]), i))[:n_probes]
 
     # nearest-centroid assignment as a pure SQL expression: argmin over
     # per-centroid squared distance (expanded: |x|² − 2x·c + |c|²; |x|²
@@ -120,7 +129,9 @@ def ivf_topk(
     for ci, c in enumerate(cent):
         arr = "array(" + ", ".join(repr(float(v)) + "D" for v in c) + ")"
         dot = _DOT.format(a=vec_col, b=arr)
-        c2 = float((c * c).sum())
+        c2 = 0.0
+        for v in c:  # sequential fold (see _seq_l2 note)
+            c2 += v * v
         terms.append(f"struct(CAST({c2!r} AS DOUBLE) - 2D * ({dot}) AS d, {ci} AS c)")
     assign = f"array_min(array({', '.join(terms)})).c"
 
