@@ -165,6 +165,10 @@ def build_index(
     stopwords: frozenset[str] | None = None,
     num_partitions: int | None = None,
     overwrite: bool = False,
+    analyzer=None,
+    fields: dict[str, str] | None = None,
+    analyzers: dict | None = None,
+    default_field: str | None = None,
 ) -> dict:
     """Build (or resume) a persistent index; returns the committed manifest.
 
@@ -172,6 +176,14 @@ def build_index(
     (one flush batch = one Spark job writing its postings parquet +
     manifest entry).  A killed build resumes by skipping segments whose
     manifest entry has status=done and whose parquet exists.
+
+    ``fields`` (name → source column) builds a PERSISTENT multi-field
+    index: each field runs its own fused flush (optionally with its own
+    ``analyzers[name]`` chain — Solr TextField binding) into the same
+    segment with ``"field:token"`` terms and per-field norms/stats; the
+    manifest records ``field_stats`` + ``default_field`` so open_index
+    restores per-field BM25 statistics.  ``analyzer`` sets the
+    single-field chain when ``fields`` is None.
     """
     index_path = Path(index_path)
     bm25 = bm25 or BM25()
@@ -231,7 +243,27 @@ def build_index(
         # fused DWPT flush: postings + norms in one tokenize pass; the
         # segment parquet is written term-sorted (row-group pruning) with
         # the norms pseudo-rows first (NORMS_TERM = "\\x00…" sorts lowest)
-        blocks = fused_encode(part, id_col, text_col, stopwords)
+        if fields:
+            from functools import reduce
+
+            fparts = []
+            for fname, col in fields.items():
+                b = fused_encode(
+                    part, id_col, col, stopwords,
+                    analyzer=(analyzers or {}).get(fname),
+                )
+                fparts.append(
+                    b.withColumn(
+                        "term",
+                        F.when(
+                            F.col("term") == NORMS_TERM,
+                            F.lit(NORMS_TERM + ":" + fname),
+                        ).otherwise(F.concat(F.lit(fname + ":"), F.col("term"))),
+                    )
+                )
+            blocks = reduce(DataFrame.unionByName, fparts)
+        else:
+            blocks = fused_encode(part, id_col, text_col, stopwords, analyzer=analyzer)
         seg_path = index_path / "segments" / f"seg={seg}"
         blocks.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
             "overwrite"
@@ -239,10 +271,26 @@ def build_index(
         seg_blocks = spark.read.parquet(str(seg_path))
         # per-segment norms directory: overwrite semantics make a crashed
         # segment's retry idempotent (no duplicate norm rows on resume)
-        norms_from_fused(seg_blocks).write.mode("overwrite").parquet(
-            str(index_path / "norms.parquet" / f"seg={seg}")
-        )
-        written = seg_blocks.filter(F.col("term") != NORMS_TERM)
+        if fields:
+            norm_blocks = seg_blocks.filter(
+                F.col("term").startswith(NORMS_TERM)
+            ).withColumn("field", F.expr(f"substring(term, {len(NORMS_TERM) + 2})"))
+            fnorms = None
+            for fname in fields:
+                nf = norms_from_fused(
+                    norm_blocks.filter(F.col("field") == fname).withColumn(
+                        "term", F.lit(NORMS_TERM)
+                    )
+                ).withColumn("field", F.lit(fname))
+                fnorms = nf if fnorms is None else fnorms.unionByName(nf)
+            fnorms.write.mode("overwrite").parquet(
+                str(index_path / "norms.parquet" / f"seg={seg}")
+            )
+        else:
+            norms_from_fused(seg_blocks).write.mode("overwrite").parquet(
+                str(index_path / "norms.parquet" / f"seg={seg}")
+            )
+        written = seg_blocks.filter(~F.col("term").startswith(NORMS_TERM))
         agg = written.agg(
             F.count(F.lit(1)).alias("blocks"),
             F.sum("doc_count").alias("postings"),
@@ -273,7 +321,7 @@ def build_index(
     # read ONLY manifest-listed segment dirs (orphans from a crashed
     # tiered-merge cleanup must not be double-counted)
     seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
-    all_segs = spark.read.parquet(*seg_paths).filter(F.col("term") != NORMS_TERM)
+    all_segs = spark.read.parquet(*seg_paths).filter(~F.col("term").startswith(NORMS_TERM))
     term_dict = all_segs.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
@@ -283,12 +331,27 @@ def build_index(
         max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4), "term"
     ).sortWithinPartitions("term").write.mode("overwrite").parquet(str(td_path))
 
-    stats = (
-        spark.read.parquet(str(index_path / "norms.parquet"))
-        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
-        .collect()[0]
-    )
-    manifest["stats"] = {"doc_count": int(stats["n"]), "sum_ttf": int(stats["ttf"])}
+    norms_df = spark.read.parquet(str(index_path / "norms.parquet"))
+    if fields:
+        per_field = {
+            r["field"]: (int(r["n"]), int(r["ttf"]))
+            for r in norms_df.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+            .collect()
+        }
+        manifest["field_stats"] = {f: list(v) for f, v in per_field.items()}
+        manifest["default_field"] = default_field or next(iter(fields))
+        manifest["stats"] = {
+            "doc_count": int(norms_df.select("doc_id").distinct().count()),
+            "sum_ttf": sum(t for _, t in per_field.values()),
+        }
+    else:
+        stats = norms_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"),
+        ).collect()[0]
+        manifest["stats"] = {"doc_count": int(stats["n"]), "sum_ttf": int(stats["ttf"])}
     manifest["committed"] = True
     write_manifest(index_path, manifest)
     return manifest
@@ -314,7 +377,7 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         postings = spark.read.parquet(*seg_paths)
     from .core import NORMS_TERM as _NT
 
-    postings = postings.filter(F.col("term") != _NT)
+    postings = postings.filter(~F.col("term").startswith(_NT))
     from .deletes import read_tombstones
 
     tombstones = read_tombstones(spark, index_path)
@@ -328,6 +391,7 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
             F.sum("doc_count").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
         )
+    field_stats = manifest.get("field_stats")
     return IndexView(
         spark=spark,
         postings=postings,
@@ -337,4 +401,6 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         sum_ttf=manifest["stats"]["sum_ttf"],
         bm25=_similarity_from_manifest(manifest),
         tombstones=tombstones,
+        field_stats={f: tuple(v) for f, v in field_stats.items()} if field_stats else None,
+        default_field=manifest.get("default_field", "content"),
     )

@@ -153,7 +153,7 @@ def _append_docs_segment(
     from .core import NORMS_TERM
 
     seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
-    all_segs = spark.read.parquet(*seg_paths).filter(F.col("term") != NORMS_TERM)
+    all_segs = spark.read.parquet(*seg_paths).filter(~F.col("term").startswith(NORMS_TERM))
     td = all_segs.groupBy("term").agg(
         F.sum("doc_count").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),

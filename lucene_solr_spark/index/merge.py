@@ -183,7 +183,7 @@ def tiered_merge(
         t0 = time.time()
         new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
         paths = [str(index_path / s["path"]) for s in chosen]
-        blocks = spark.read.parquet(*paths).filter(F.col("term") != NORMS_TERM)
+        blocks = spark.read.parquet(*paths).filter(~F.col("term").startswith(NORMS_TERM))
         merged = merge_postings(blocks)
         out = index_path / "segments" / f"seg={new_id}"
         merged.repartitionByRange("term").sortWithinPartitions(
@@ -256,7 +256,7 @@ def merge_segments(
     # manifest commit and its source-dir cleanup leaves orphan dirs that a
     # whole-directory read would double-count (mirrors open_index)
     seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
-    blocks = spark.read.parquet(*seg_paths).filter(F.col("term") != NORMS_TERM)
+    blocks = spark.read.parquet(*seg_paths).filter(~F.col("term").startswith(NORMS_TERM))
     merged = merge_postings(blocks, num_partitions, tombstone_ids=tomb_ids)
     out = index_path / "merged.parquet"
     merged.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(

@@ -89,7 +89,7 @@ def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
         str(index_path / "docs.parquet" / f"seg={seg_id}")
     )
 
-    written = seg_blocks.filter(F.col("term") != NORMS_TERM)
+    written = seg_blocks.filter(~F.col("term").startswith(NORMS_TERM))
     agg = written.agg(
         F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
     ).collect()[0]

@@ -110,3 +110,74 @@ def test_multifield_matchall_and_not(engine, oracle):
     got = _run(engine, q, k=200)
     assert got == oracle.search(q, k=200)
     assert len({d for d, _ in got}) == len(got)
+
+
+def test_persistent_multifield_roundtrip(spark, corpus, oracle, tmp_path):
+    """build_index(fields=...) persists a multi-field index whose
+    open_index view matches the oracle rank/score-exactly, survives a
+    forceMerge, and keeps per-field stats in the manifest."""
+    from lucene_solr_spark.index import build_index, merge_segments, open_index
+
+    path = tmp_path / "mfidx"
+    df = spark.createDataFrame(corpus[["doc_id", "content", "pathtext"]])
+    m = build_index(
+        spark, df, path,
+        id_col="doc_id",
+        segment_docs=60,
+        fields={"content": "content", "path": "pathtext"},
+        default_field="content",
+        text_col="content",
+    )
+    assert set(m["field_stats"]) == {"content", "path"}
+    assert m["stats"]["doc_count"] == N
+
+    def check(idx):
+        for qs in ["def", "content:def AND content:class", "path:py",
+                   "content:def OR path:src"]:
+            q = parse_query(qs)
+            got = [
+                (int(r["doc_id"]), np.float32(r["score"]))
+                for r in search(idx, q, k=10).collect()
+            ]
+            assert got == oracle.search(q, k=10), qs
+
+    idx = open_index(spark, path)
+    assert idx.field_stats is not None and idx.default_field == "content"
+    check(idx)
+    # forceMerge preserves results and field stats
+    merge_segments(spark, path)
+    idx2 = open_index(spark, path)
+    assert idx2.field_stats == idx.field_stats
+    check(idx2)
+
+
+def test_persistent_multifield_per_field_chain(spark, corpus, tmp_path):
+    """Per-field analyzer dispatch persists: a stemmed field conflates
+    while the raw field does not, after an open_index round-trip."""
+    from lucene_solr_spark.analysis import Chain, porter_stem, stem_filter
+    from lucene_solr_spark.index import build_index, open_index
+
+    path = tmp_path / "mfstem"
+    extra = spark.createDataFrame(
+        [(N, "running runs runner"), (N + 1, "run fast"), (N + 2, "unrelated words")],
+        "doc_id long, content string",
+    )
+    df = spark.createDataFrame(corpus[["doc_id", "content"]]).unionByName(extra)
+    build_index(
+        spark, df, path,
+        id_col="doc_id",
+        segment_docs=60,
+        fields={"raw": "content", "stemmed": "content"},
+        analyzers={"stemmed": Chain(steps=(stem_filter(),))},
+        default_field="raw",
+        text_col="content",
+    )
+    idx = open_index(spark, path)
+    assert porter_stem("running") == "run"
+    stem_hits = {r["doc_id"] for r in
+                 search(idx, parse_query("stemmed:run"), k=1000).collect()}
+    raw_hits = {r["doc_id"] for r in
+                search(idx, parse_query("raw:run"), k=1000).collect()}
+    # stemmed field conflates running/runs/run into one list; raw does not
+    assert {N, N + 1} <= stem_hits
+    assert raw_hits == {N + 1}
