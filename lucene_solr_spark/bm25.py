@@ -28,7 +28,14 @@ import numpy as np
 
 from .smallfloat import LENGTH_TABLE
 
-__all__ = ["BM25", "ClassicSimilarity", "LMDirichlet", "DEFAULT_K1", "DEFAULT_B"]
+__all__ = [
+    "BM25",
+    "ClassicSimilarity",
+    "LMDirichlet",
+    "DFRInL2",
+    "DEFAULT_K1",
+    "DEFAULT_B",
+]
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -198,6 +205,64 @@ class LMDirichlet:
         dl_part = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
         s = boost * (np.log1p(tf * wp) + dl_part)
         return np.maximum(s, 0.0).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DFRInL2:
+    """Divergence-from-randomness I(n)L2 (``[8x] lucene/core/src/java/org/
+    apache/lucene/search/similarities/DFRSimilarity.java`` with
+    BasicModelIn + AfterEffectL + NormalizationH2):
+
+      tfn    = tf · log2(1 + c·avgdl / dl_q)         (H2, c = 1)
+      I(n)   = tfn · log2((N + 1) / (df + 0.5))      (basic model)
+      L      = 1 / (tfn + 1)                         (after effect)
+      score  = boost · L · I(n), clipped ≥ 0
+
+    Per-term weight = (boost, df, avgdl) via the ``weight_full`` hook;
+    the 256-entry cache holds the quantized doc lengths.  Monotone
+    increasing in tf and decreasing in dl (larger dl → smaller tfn →
+    smaller L·I(n) for tf ≥ 1), so block-max pruning stays sound."""
+
+    c: float = 1.0
+
+    def __post_init__(self) -> None:
+        if not (math.isfinite(self.c) and self.c > 0):
+            raise ValueError(f"illegal c value: {self.c}, must be a positive finite value")
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        # quantized lengths themselves; dl enters the score via tfn
+        return LENGTH_TABLE.astype(np.float32)
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        return np.array(
+            [float(boost), float(df), float(self.avgdl(sum_ttf, doc_count)),
+             self.c, float(doc_count)],
+            dtype=np.float64,
+        )
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        boost, df, avgdl, c, n_docs = (float(weight[i]) for i in range(5))
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        tfn = tf * np.log2(1.0 + (c * avgdl) / np.maximum(dl, 1.0))
+        inf = tfn * np.log2((n_docs + 1.0) / (df + 0.5))
+        after_effect = 1.0 / (tfn + 1.0)
+        return np.maximum(boost * after_effect * inf, 0.0).astype(np.float32)
 
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:

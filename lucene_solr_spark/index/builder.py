@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..bm25 import BM25, ClassicSimilarity, LMDirichlet
+from ..bm25 import BM25, ClassicSimilarity, DFRInL2, LMDirichlet
 from .core import (
     NORMS_TERM,
     IndexView,
@@ -63,6 +63,8 @@ def _similarity_from_manifest(manifest: dict):
         return ClassicSimilarity()
     if sim.get("name") == "lm_dirichlet":
         return LMDirichlet(mu=float(sim.get("mu", 2000.0)))
+    if sim.get("name") == "dfr_inl2":
+        return DFRInL2(c=float(sim.get("c", 1.0)))
     return BM25(**manifest["bm25"])
 
 
@@ -200,6 +202,9 @@ def build_index(
             bm25_entry = {"k1": bm25.k1, "b": bm25.b}
         elif isinstance(bm25, LMDirichlet):
             sim_entry = {"name": "lm_dirichlet", "mu": bm25.mu}
+            bm25_entry = {}
+        elif isinstance(bm25, DFRInL2):
+            sim_entry = {"name": "dfr_inl2", "c": bm25.c}
             bm25_entry = {}
         else:  # ClassicSimilarity (or any parameterless duck-typed sim)
             sim_entry = {"name": "classic"}

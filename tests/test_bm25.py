@@ -289,3 +289,61 @@ def test_lm_dirichlet_persistent_and_pruned(spark, tmp_path, monkeypatch):
     a = [(r["doc_id"], r["score"]) for r in search(idx, Term("def"), k=10, prune=True).collect()]
     b = [(r["doc_id"], r["score"]) for r in search(idx, Term("def"), k=10, prune=False).collect()]
     assert a == b and a
+
+
+# --- DFR I(n)L2 -------------------------------------------------------------
+
+
+def test_dfr_inl2_formula_and_identity(spark):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import DFRInL2
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Term, search
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    sim = DFRInL2()
+    # hand-computed: tfn = tf*log2(1 + avgdl/dl_q); inf = tfn*log2((N+1)/(df+.5))
+    nb = int(int_to_byte4(np.int64(25)))
+    dl_q = float(LENGTH_TABLE[nb])
+    w = sim.weight_full(df=4, cf=9, doc_count=200, sum_ttf=8000, boost=1.0)
+    avgdl = 8000 / 200.0
+    tfn = 2.0 * np.log2(1.0 + avgdl / dl_q)
+    want = np.float32((1.0 / (tfn + 1.0)) * (tfn * np.log2(201.0 / 4.5)))
+    got = sim.score(np.array([2]), np.array([nb]), w, sim.norm_inverse_cache(None))
+    assert np.float32(got[0]) == want
+    with pytest.raises(ValueError):
+        DFRInL2(c=-1.0)
+
+    pdf = gen_corpus_pdf(150, seed=58).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9]))]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_dfr_persistent_roundtrip(spark, tmp_path):
+    from lucene_solr_spark.bm25 import DFRInL2
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.search import Term, search
+
+    path = tmp_path / "dfridx"
+    build_index(spark, gen_corpus_df(spark, 100, seed=5), path,
+                segment_docs=50, bm25=DFRInL2(c=1.0))
+    idx = open_index(spark, path)
+    assert isinstance(idx.bm25, DFRInL2)
+    assert search(idx, Term("def"), k=5).count() == 5
