@@ -183,12 +183,19 @@ def lsh_candidate_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, packed: bool = True) -> DataFrame:
     """SimHash fingerprint: tf-weighted majority vote per hash bit.
 
     Returns [id, simhash:bigint].  bit_j(doc) = 1 iff
     Σ_terms tf·(2·bit_j(h(term)) − 1) > 0.
-    """
+
+    ``packed=True`` (default, the scale path): term hashes stay JVM-side
+    (one md5 pass), per-(doc,term) rows feed an Arrow-batched numpy vote
+    kernel that emits ONE 32-int partial-vote array per doc per batch —
+    no doc×term×bits explode, one fewer shuffle, 32× fewer shuffled
+    rows.  ``packed=False`` keeps the fully-relational formulation; the
+    two are integer-exact identical (pinned by test + the shared DuckDB
+    oracle entry)."""
     toks = TOKENS_SQL.format(col=text_col)
     tf = (
         df.select(id_col, F.explode(F.expr(toks)).alias("term"))
@@ -196,28 +203,73 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.expr(hterm_sql("term")))
     )
-    contrib = tf.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), j -> "
-                f"struct(j, CASE WHEN shiftright(h, j) & 1 = 1 THEN tf ELSE -tf END AS c))"
-            )
-        ).alias("x"),
-    ).select(id_col, F.col("x.j").alias("j"), F.col("x.c").alias("c"))
-    bitsum = contrib.groupBy(id_col, "j").agg(F.sum("c").alias("s"))
-    return (
-        bitsum.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                    F.lit(0).cast("long")
+    if not packed:
+        contrib = tf.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bits - 1}), j -> "
+                    f"struct(j, CASE WHEN shiftright(h, j) & 1 = 1 THEN tf ELSE -tf END AS c))"
                 )
+            ).alias("x"),
+        ).select(id_col, F.col("x.j").alias("j"), F.col("x.c").alias("c"))
+        bitsum = contrib.groupBy(id_col, "j").agg(F.sum("c").alias("s"))
+        return (
+            bitsum.groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias("simhash")
             )
-            .cast("long")
-            .alias("simhash")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    n_bits = bits
+
+    def _votes(batches):
+        shifts = np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            t = pdf["tf"].to_numpy(dtype=np.int64)
+            bitm = (h[:, None] >> shifts[None, :]) & 1        # (n, bits)
+            contrib = np.where(bitm == 1, t[:, None], -t[:, None])
+            order = np.argsort(ids, kind="stable")
+            sids = ids[order]
+            sel = np.empty(sids.size, dtype=bool)
+            sel[0] = True
+            np.not_equal(sids[1:], sids[:-1], out=sel[1:])
+            starts = np.flatnonzero(sel)
+            sums = np.add.reduceat(contrib[order], starts, axis=0)
+            yield pd.DataFrame(
+                {id_col: sids[starts], "votes": [r.tolist() for r in sums]}
+            )
+
+    votes = tf.mapInPandas(_votes, f"{id_col} long, votes array<bigint>")
+    zero = f"array_repeat(CAST(0 AS BIGINT), {n_bits})"
+    total = (
+        votes.groupBy(id_col)
+        .agg(
+            F.expr(
+                f"aggregate(collect_list(votes), {zero},"
+                " (acc, v) -> zip_with(acc, v, (a, b) -> a + b))"
+            ).alias("vs")
         )
     )
+    pack = (
+        f"aggregate(transform(sequence(0, {n_bits - 1}), j -> "
+        "CASE WHEN vs[j] > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    return total.select(id_col, F.expr(pack).alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -184,3 +184,18 @@ def test_ivf_topk_recall(spark):
         }
         hits += len(exact & approx)
     assert hits >= 15, f"IVF recall too low: {hits}/25"
+
+
+def test_simhash_packed_equals_relational(spark):
+    """The packed numpy vote kernel and the fully-relational explode
+    formulation are integer-exact identical."""
+    from lucene_solr_spark.pipeline.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 7} " * (1 + i % 3)) for i in range(40)]
+        + [(40, ""), (41, "solo")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs, packed=True).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs, packed=False).collect()}
+    assert a == b and len(a) >= 41
