@@ -30,8 +30,11 @@ _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 
 def _make_snippet(text: str, terms: set[str], window_tokens: int,
-                  pre: str, post: str) -> str | None:
-    spans = [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text or "")]
+                  pre: str, post: str, token_re=_TOKEN_RE, norm=None) -> str | None:
+    spans = [
+        (m.start(), m.end(), norm(m.group(0).lower()) if norm else m.group(0).lower())
+        for m in token_re.finditer(text or "")
+    ]
     hit_idx = [i for i, (_, _, t) in enumerate(spans) if t in terms]
     if not hit_idx:
         return None
@@ -63,11 +66,36 @@ def highlight(
     window_tokens: int = 5,
     pre: str = "<em>",
     post: str = "</em>",
+    analyzer=None,
 ) -> DataFrame:
     """Join the hit page back to stored fields and add a ``snippet``
     column around the first query-term occurrence (None if the text no
-    longer matches — e.g. stale stored copy)."""
+    longer matches — e.g. stale stored copy).
+
+    ``analyzer`` (the index's ``analysis.Chain``) keeps highlighting in
+    sync with a filtered index: re-analysis applies the chain's Map steps
+    (stem/fold) per surface token so a query for the stemmed form still
+    marks the original text (Lucene's highlighter re-analyzes with the
+    SAME analyzer for exactly this reason)."""
     terms = set(query_terms(rewrite(query)))
+    token_re, norm = _TOKEN_RE, None
+    if analyzer is not None:
+        from ..analysis import Map, Stop
+
+        token_re = re.compile(analyzer.pattern)
+        steps = analyzer.steps
+
+        def norm(tok: str) -> str:
+            # Map/Stop steps applied in chain order; Expand/Shingle emit
+            # extra terms that never change the surface token, so they
+            # are identity here
+            for step in steps:
+                if isinstance(step, Stop):
+                    if tok in step.words:
+                        return "\x00stopped"
+                elif isinstance(step, Map):
+                    tok = step.fn(tok)
+            return tok
     stored = docs.select(F.col(id_col).alias("_hl_id"), F.col(text_col).alias("_hl_text"))
     joined = hits.join(stored, hits["doc_id"] == stored["_hl_id"]).drop("_hl_id")
     text_col = "_hl_text"
@@ -76,7 +104,7 @@ def highlight(
         for pdf in batches:
             pdf = pdf.copy()
             pdf["snippet"] = [
-                _make_snippet(t, terms, window_tokens, pre, post)
+                _make_snippet(t, terms, window_tokens, pre, post, token_re, norm)
                 for t in pdf[text_col]
             ]
             yield pdf.drop(columns=[text_col])

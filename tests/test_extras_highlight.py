@@ -95,3 +95,28 @@ def test_search_after_plan_is_small_k_take_ordered(engine):
     plan = page2._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=10" in plan, plan.splitlines()[0]
     assert "2000000000" not in plan
+
+
+def test_highlight_with_stemmed_chain(spark):
+    """Highlighting re-analyzes with the INDEX's chain: a query for the
+    stemmed form marks the original inflected surface text."""
+    from lucene_solr_spark.analysis import Chain, stem_filter
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Term
+    from lucene_solr_spark.search.highlight import highlight
+
+    chain = Chain(steps=(stem_filter(),))
+    docs = spark.createDataFrame(
+        [(0, "the runner was running fast"), (1, "nothing relevant here")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content", analyzer=chain)
+    try:
+        hits = search(idx, Term("run"), k=5)
+        out = highlight(hits, docs, Term("run"), analyzer=chain).collect()
+        assert len(out) == 1
+        snip = out[0]["snippet"]
+        assert "<em>running</em>" in snip, snip
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
