@@ -13,6 +13,7 @@ from .query import (
     Term,
     TermRange,
     Wildcard,
+    analyze_query,
     parse_query,
     rewrite,
 )
@@ -27,6 +28,6 @@ from .executor import (
 __all__ = [
     "And", "Bool", "Boost", "ConstantScore", "DisMax", "Fuzzy", "MatchAll",
     "Or", "Phrase", "Prefix", "Regexp", "Term", "TermRange", "Wildcard",
-    "parse_query", "rewrite", "search", "count_hits", "expand_multiterm",
+    "analyze_query", "parse_query", "rewrite", "search", "count_hits", "expand_multiterm",
     "positions_table", "postings_table",
 ]

@@ -29,6 +29,7 @@ __all__ = [
     "Term", "And", "Or", "Bool", "Phrase", "ConstantScore", "DisMax", "Boost",
     "MatchAll", "Prefix", "Wildcard", "Regexp", "Fuzzy", "TermRange",
     "rewrite", "parse_query", "query_terms", "is_multiterm", "qualify_query",
+    "analyze_query",
 ]
 
 
@@ -398,3 +399,71 @@ def parse_query(s: str):
     if pos != len(toks):
         raise ValueError(f"trailing tokens in query: {s!r}")
     return rewrite(q)
+
+
+def analyze_query(q, analyzer):
+    """Query-side analysis (Lucene's QueryParser runs the field analyzer
+    over query text): apply the chain's Map steps (stem/fold) to every
+    Term/Phrase/Prefix term and drop stop-worded Terms.
+
+    * a stopped MUST/SHOULD Term inside And/Or/Bool is removed (Lucene's
+      StopFilter behavior in parsed queries); a query that becomes empty
+      returns MatchAll-of-nothing via a never-matching Term;
+    * Expand/Shingle steps are index-side only (they add index terms;
+      the surface query term still matches), so they are identity here.
+    """
+    from ..analysis import Map, Stop
+
+    def one(term: str) -> str | None:
+        for step in analyzer.steps:
+            if isinstance(step, Stop):
+                if term in step.words:
+                    return None
+            elif isinstance(step, Map):
+                term = step.fn(term)
+        return term
+
+    NO_MATCH = Term("\x00no_match")
+
+    def walk(n):
+        if isinstance(n, Term):
+            t = one(n.term)
+            return None if t is None else Term(t, n.boost)
+        if isinstance(n, Phrase):
+            terms = [one(t) for t in n.terms]
+            if any(t is None for t in terms):
+                return None  # stopword inside a phrase: no exact match
+            return Phrase(*terms, boost=n.boost, slop=n.slop)
+        if isinstance(n, Prefix):
+            # prefixes fold but never stem (the stem of a prefix is not a
+            # prefix of the stems); apply Map steps that are folds only
+            return n
+        if isinstance(n, (And, Or)):
+            kids = [walk(c) for c in n.clauses]
+            kids = [k for k in kids if k is not None]
+            if not kids:
+                return None
+            return kids[0] if len(kids) == 1 else type(n)(*kids)
+        if isinstance(n, DisMax):
+            kids = [walk(c) for c in n.clauses]
+            kids = [k for k in kids if k is not None]
+            if not kids:
+                return None
+            return DisMax(*kids, tie_breaker=n.tie_breaker)
+        if isinstance(n, ConstantScore):
+            inner = walk(n.query)
+            return None if inner is None else ConstantScore(inner, n.boost)
+        if isinstance(n, Boost):
+            inner = walk(n.query)
+            return None if inner is None else Boost(inner, n.boost)
+        if isinstance(n, Bool):
+            f = lambda cs: tuple(k for k in (walk(c) for c in cs) if k is not None)
+            must, should = f(n.must), f(n.should)
+            must_not, filt = f(n.must_not), f(n.filter)
+            if not (must or should or filt):
+                return None
+            return Bool(must, should, must_not, filt, n.min_should_match)
+        return n  # MatchAll / multiterm nodes pass through
+
+    out = walk(q)
+    return NO_MATCH if out is None else out

@@ -23,7 +23,7 @@ from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
 from lucene_solr_spark.index import build_index_view
 from lucene_solr_spark.index.core import build_multifield_index_view
 from lucene_solr_spark.oracle import MiniLucene
-from lucene_solr_spark.search import And, Or, Prefix, Term, parse_query, search
+from lucene_solr_spark.search import And, Or, Phrase, Prefix, Term, parse_query, search
 
 
 # --- kernels ----------------------------------------------------------------
@@ -200,3 +200,41 @@ def test_multifield_per_field_dispatch(spark, corpus):
     # the raw field must NOT conflate: stemmed term absent unless literal
     if stem_kw not in {t.split(":", 1)[1] for t in oracle.postings if t.startswith("raw:")}:
         assert search(idx, parse_query(f"raw:{stem_kw}"), k=5).count() == 0
+
+
+def test_analyze_query_matches_index_chain(spark, corpus):
+    """Query-side analysis: analyze_query maps raw user terms through the
+    index's chain, so 'running'-style queries hit a stemmed index without
+    the caller pre-stemming."""
+    from lucene_solr_spark.search import analyze_query
+
+    chain = Chain(steps=(stop_filter(["the"]), stem_filter()))
+    extra = [(500, "the runner keeps running daily"), (501, "nothing here")]
+    pdf = corpus[["doc_id", "content"]].copy()
+    df = spark.createDataFrame(pdf).unionByName(
+        spark.createDataFrame(extra, "doc_id long, content string")
+    )
+    idx = build_index_view(df, id_col="doc_id", text_col="content", analyzer=chain)
+    oracle = MiniLucene(
+        list(zip(pdf["doc_id"], pdf["content"])) + extra, analyzer=chain
+    )
+    try:
+        raw = parse_query("running")
+        q = analyze_query(raw, chain)
+        assert q == Term("run")
+        got = [(int(r["doc_id"]), np.float32(r["score"]))
+               for r in search(idx, q, k=10).collect()]
+        assert got == oracle.search(q, k=10)
+        assert 500 in {d for d, _ in got}
+        # stopworded term drops out of a disjunction; all-stop query
+        # becomes a never-matching term
+        q2 = analyze_query(parse_query("the OR runs"), chain)
+        assert q2 == Term("run")
+        q3 = analyze_query(parse_query("the"), chain)
+        assert search(idx, q3, k=5).count() == 0
+        # stopword inside a phrase: no exact match (position gap)
+        q4 = analyze_query(Phrase("the", "runner"), chain)
+        assert search(idx, q4, k=5).count() == 0
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
