@@ -566,6 +566,80 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: f64-parity similarity formulas over REAL decoded postings (same
+#: discipline as _BM25_EXPR: identical text both engines, cast float)
+_CLASSIC_EXPR = (
+    "(ln((CAST({N} AS DOUBLE) + 1e0) / (df + 1e0)) + 1e0)"
+    " * sqrt(CAST(tf AS DOUBLE)) / sqrt(CAST(qdl AS DOUBLE))"
+)
+_LM_EXPR = (
+    "greatest(0e0, ln(1e0 + tf / (2000e0 * ((cf + 1e0) / ({TTF} + 1e0))))"
+    " + ln(2000e0 / (qdl + 2000e0)))"
+)
+
+
+def _sim_parity_scores(spark: SparkSession, sf_dir: str, term: str, expr: str) -> DataFrame:
+    """postings_table + qdl + (df, cf) joined, scored by a similarity
+    formula evaluated as one f64 SQL expression (mirrors _bm25_scores)."""
+    index = _index_for(spark, sf_dir)
+    pt = postings_table(index, [term])
+    lt = F.array(*[F.lit(v) for v in _LT])
+    pt = pt.withColumn("qdl", F.element_at(lt, (F.col("norm_byte") + 1).cast("int")).cast("long"))
+    td = index.term_dict.filter(F.col("term") == term).select("term", "df", "cf")
+    joined = pt.join(F.broadcast(td), "term")
+    formula = expr.format(N=index.doc_count, TTF=index.sum_ttf)
+    return (
+        joined.withColumn("score64", F.expr(formula))
+        .select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_fts_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicSimilarity (TF-IDF) top-10 in the f64-parity formulation:
+    idf = ln((N+1)/(df+1))+1, tf = sqrt(freq), lengthNorm = 1/sqrt(qdl)."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _CLASSIC_EXPR)
+
+
+def q_fts_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LMDirichlet top-10 (mu=2000) in the f64-parity formulation:
+    ln(1 + tf/(mu*p)) + ln(mu/(qdl+mu)) with p=(cf+1)/(sumTtf+1), clip 0."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _LM_EXPR)
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user over the events table (30-min gap):
+    Spark's session_window vs a DuckDB gaps-and-islands re-derivation."""
+    from lucene_solr_spark.streaming.windows import session_agg
+
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        session_agg(ev, "ts", gap="30 minutes", keys=["user_id"])
+        .select("session_start", "session_end", "user_id",
+                F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q_edge_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EdgeNGram chain (2..4 prefixes, no originals) term dictionary —
+    the search-as-you-type indexing path, cross-checked in SQL."""
+    from lucene_solr_spark.analysis import Chain, edge_ngram_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(edge_ngram_filter(2, 4, keep_original=False),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank percentile per bucket (PercentileAgg contract,
     computed exactly): pure integer rank arithmetic, hashable."""
@@ -723,6 +797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile": q_percentile,
         "classify": q_classify,
         "fts_shingle_dict": q_shingle_dict,
+        "fts_classic_topk": q_fts_classic_topk,
+        "fts_lm_topk": q_fts_lm_topk,
+        "session_windows": q_session_windows,
+        "edge_ngram_dict": q_edge_ngram_dict,
     }
 
 
@@ -1007,6 +1085,69 @@ def oracle_sql() -> dict[str, str]:
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
     out.update({
+        "fts_classic_topk": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df, sum(tf) AS cf FROM tfs),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, f.cf, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+)
+SELECT doc_id,
+  CAST({_CLASSIC_EXPR.format(N="n_docs")} AS FLOAT) AS score
+FROM inputs
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "fts_lm_topk": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df, sum(tf) AS cf FROM tfs),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, f.cf, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+)
+SELECT doc_id,
+  CAST({_LM_EXPR.format(TTF="sum_ttf")} AS FLOAT) AS score
+FROM inputs
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "session_windows": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start""",
+        "edge_ngram_dict": f"""
+WITH {_TOK_CTE},
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, least(4, len(term))),
+                               n -> substr(term, 1, n))) AS term
+  FROM tok WHERE len(term) >= 2
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM grams GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
         "fts_shingle_dict": f"""
 WITH tokp AS (
   SELECT doc_id,
