@@ -95,8 +95,18 @@ def update_documents(
 
 
 def _append_docs_segment(
-    spark: SparkSession, index_path: Path, docs: DataFrame, text_col: str, **kwargs
+    spark: SparkSession,
+    index_path: Path,
+    docs: DataFrame,
+    text_col: str,
+    stopwords: frozenset[str] | None = None,
+    analyzer=None,
+    **kwargs,
 ) -> dict:
+    """Append one segment.  ``stopwords``/``analyzer`` MUST match the
+    chain the index was built with (the manifest cannot persist a chain —
+    it holds Python callables), else the appended postings/norms diverge
+    from the existing segments' analysis."""
     from ..index.core import compute_norms, encode_postings, invert_tokens
 
     manifest = read_manifest(index_path)
@@ -106,7 +116,7 @@ def _append_docs_segment(
     lo = max(s["max_doc"] for s in manifest["segments"])
     t0 = time.time()
     seg_path = index_path / "segments" / f"seg={seg_id}"
-    stream = invert_tokens(docs, "doc_id", text_col)
+    stream = invert_tokens(docs, "doc_id", text_col, stopwords, analyzer=analyzer)
     encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
         "term", "first_doc"
     ).write.mode("overwrite").parquet(str(seg_path))
@@ -114,9 +124,9 @@ def _append_docs_segment(
     # layout): a root-level append would be silently ignored by Spark's
     # partition discovery, dropping the appended docs from MatchAll and
     # corrupting avgdl.  Write our own seg dir (overwrite = idempotent).
-    compute_norms(docs, "doc_id", text_col).write.mode("overwrite").parquet(
-        str(index_path / "norms.parquet" / f"seg={seg_id}")
-    )
+    compute_norms(docs, "doc_id", text_col, stopwords, analyzer=analyzer).write.mode(
+        "overwrite"
+    ).parquet(str(index_path / "norms.parquet" / f"seg={seg_id}"))
     docs_root = index_path / "docs.parquet"
     if any(p.is_dir() and "=" in p.name for p in docs_root.iterdir()):
         # stream-built store (seg=<id> dirs): root-level files would be

@@ -36,7 +36,7 @@ __all__ = ["stream_build_index"]
 
 
 def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
-                    text_col: str, stopwords) -> None:
+                    text_col: str, stopwords, analyzer=None) -> None:
     spark = pdf_batch.sparkSession
     manifest = read_manifest(index_path) or {
         "version": 1,
@@ -70,7 +70,7 @@ def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
 
     seg_path = index_path / "segments" / f"seg={seg_id}"
     # fused DWPT flush: postings + norms pseudo-rows in one tokenize pass
-    fused_encode(docs, "doc_id", text_col, stopwords).repartitionByRange(
+    fused_encode(docs, "doc_id", text_col, stopwords, analyzer=analyzer).repartitionByRange(
         "term"
     ).sortWithinPartitions("term", "first_doc").write.mode("overwrite").parquet(
         str(seg_path)
@@ -124,6 +124,7 @@ def stream_build_index(
     *,
     text_col: str = "content",
     stopwords=None,
+    analyzer=None,
     checkpoint: str | Path | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
@@ -139,7 +140,8 @@ def stream_build_index(
     checkpoint = str(checkpoint or index_path / "_checkpoint")
 
     writer = stream_df.writeStream.foreachBatch(
-        lambda bdf, bid: _append_segment(bdf, bid, index_path, text_col, stopwords)
+        lambda bdf, bid: _append_segment(bdf, bid, index_path, text_col, stopwords,
+                                         analyzer)
     ).option("checkpointLocation", checkpoint)
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)

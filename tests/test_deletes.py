@@ -141,3 +141,28 @@ def test_update_appends_norms_into_partitioned_layout(spark, built):
     idx3 = open_index(spark, built)
     assert idx3.norms.count() == idx3.doc_count
     assert len(search(idx3, Term("secondwave"), k=5).collect()) == 1
+
+
+def test_update_documents_respects_index_chain(spark, tmp_path):
+    """Appending to a stopworded index must analyze with the SAME chain:
+    the appended doc's stopwords stay unindexed and its norms count
+    post-filter terms, so rank/score identity holds across the append."""
+    stops = frozenset({"the", "of"})
+    path = tmp_path / "stopidx"
+    corpus = gen_corpus_df(spark, 120, seed=21)
+    build_index(spark, corpus, path, segment_docs=60, stopwords=stops)
+    new_docs = spark.createDataFrame(
+        [("r9", "p9.py", "c9", "python", "the freshword of the appended body")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    update_documents(spark, path, new_docs, key_cols=["repo", "path"],
+                     stopwords=stops)
+    idx = open_index(spark, path)
+    # stopword absent from the appended postings
+    assert search(idx, Term("the"), k=5).count() == 0
+    hit = search(idx, Term("freshword"), k=5).collect()
+    assert len(hit) == 1
+    # appended norms counted post-filter: 3 kept of 6 tokens
+    doc_id = hit[0]["doc_id"]
+    row = idx.norms.filter(F.col("doc_id") == doc_id).collect()[0]
+    assert row["length"] == 3
