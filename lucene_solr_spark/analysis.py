@@ -406,10 +406,16 @@ class Chain:
                 counts = np.array([len(e) for e in exp], dtype=np.int64)
                 reps = counts[inv]
                 src = np.repeat(np.arange(terms.size, dtype=np.int64), reps)
-                # per-token expansion arrays concatenated in stream order
-                terms = np.array(
-                    [u for i in inv for u in exp[i]], dtype=object
+                # vectorized gather: concat each unique's expansion once,
+                # then index by (unique start + within-token offset)
+                flat_exp = np.array(
+                    [u for e in exp for u in e], dtype=object
                 )
+                u_starts = np.cumsum(counts) - counts
+                tok_ends = np.cumsum(reps)
+                within = np.arange(int(tok_ends[-1]) if reps.size else 0,
+                                   dtype=np.int64) - np.repeat(tok_ends - reps, reps)
+                terms = flat_exp[np.repeat(u_starts[inv], reps) + within]
                 row_idx, pos = row_idx[src], pos[src]
             elif isinstance(step, Shingle):
                 k = step.size
