@@ -566,6 +566,28 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath stream: BFS distance from part 1 to supplier 5 over
+    the bipartite part↔supplier graph.  The path's hop count is the
+    deterministic, SQL-checkable core (the tie-broken node sequence is
+    engine-specific); the full parent-pointer walk is pytest-covered."""
+    from lucene_solr_spark.graph import shortest_path
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    path = shortest_path(edges, "p:1", "s:5", max_hops=4)
+    hops = -1 if path is None else len(path) - 1
+    return spark.createDataFrame(
+        [("p:1", "s:5", int(hops))], "src string, dst string, hops int"
+    )
+
+
 #: f64-parity similarity formulas over REAL decoded postings (same
 #: discipline as _BM25_EXPR: identical text both engines, cast float)
 _CLASSIC_EXPR = (
@@ -801,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_lm_topk": q_fts_lm_topk,
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
+        "graph_shortest": q_graph_shortest,
     }
 
 
@@ -1117,6 +1140,19 @@ SELECT doc_id,
   CAST({_LM_EXPR.format(TTF="sum_ttf")} AS FLOAT) AS score
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "graph_shortest": """
+WITH RECURSIVE e AS (
+  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM lineitem
+  UNION
+  SELECT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst FROM lineitem
+),
+bfs(node, hop) AS (
+  SELECT 'p:1', 0
+  UNION
+  SELECT e.dst, b.hop + 1 FROM bfs b JOIN e ON e.src = b.node WHERE b.hop < 4
+)
+SELECT 'p:1' AS src, 's:5' AS dst,
+       CAST(coalesce((SELECT min(hop) FROM bfs WHERE node = 's:5'), -1) AS INTEGER) AS hops""",
         "session_windows": """
 WITH o AS (
   SELECT user_id, ts,
