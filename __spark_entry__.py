@@ -566,6 +566,32 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis / knnSearch stream: doc 7's top-10 terms by tf·idf
+    (min_df=2) searched as a BM25 disjunction, source doc excluded.  The
+    term selection runs through the ENGINE's mlt_query (decoded postings
+    + dictionary stats); scoring uses the f64-parity formula with a
+    DECIMAL-exact disjunction sum so DuckDB re-derives both stages."""
+    from lucene_solr_spark.search.extras import mlt_query
+
+    index = _index_for(spark, sf_dir)
+    q = mlt_query(index, doc_id=7, max_terms=10, min_tf=1, min_df=2)
+    terms = [c.term for c in q.clauses]
+    sc = _bm25_scores(spark, sf_dir, terms)
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("score64").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s64")
+        )
+        .filter(F.col("doc_id") != 7)
+        .select("doc_id", F.col("s64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shortestPath stream: BFS distance from part 1 to supplier 5 over
     the bipartite part↔supplier graph.  The path's hop count is the
@@ -824,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
         "graph_shortest": q_graph_shortest,
+        "mlt": q_mlt,
     }
 
 
@@ -1140,6 +1167,36 @@ SELECT doc_id,
   CAST({_LM_EXPR.format(TTF="sum_ttf")} AS FLOAT) AS score
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+
+        "mlt": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+doc_tf AS (SELECT term, count(*) AS dtf FROM tok WHERE doc_id = 7 GROUP BY term),
+dfs_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+mlt AS (
+  SELECT t.term FROM doc_tf t JOIN dfs_all f USING (term), stats s
+  WHERE f.df >= 2
+  ORDER BY CAST(t.dtf AS DOUBLE)
+           * CAST(ln(1e0 + ((s.n_docs - f.df) + 5e-1) / (f.df + 5e-1)) AS FLOAT)
+           DESC, t.term ASC
+  LIMIT 10
+),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM mlt) GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl, s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT doc_id, {_BM25_EXPR.format(N='n_docs', avgdl='(CAST(sum_ttf AS DOUBLE) / n_docs)')} AS score64 FROM inputs)
+SELECT doc_id,
+  CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
+FROM scored WHERE doc_id != 7
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "graph_shortest": """
 WITH RECURSIVE e AS (
   SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM lineitem
