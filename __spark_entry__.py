@@ -566,6 +566,26 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_merge_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-expression composition merge(unique(...)): two sorted
+    substreams with overlapping rows merged and deduped on the unique
+    line key (UniqueStream over MergeStream)."""
+    from lucene_solr_spark.relational import merge_streams, unique_stream
+
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    a = li.filter(F.col("l_returnflag").isin("A", "N"))
+    b = li.filter(F.col("l_returnflag").isin("N", "R"))
+    merged = merge_streams(a, b, ["l_orderkey", "l_linenumber"])
+    u = unique_stream(
+        merged, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+    )
+    return u.orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).limit(2000)
+
+
 def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis / knnSearch stream: doc 7's top-10 terms by tf·idf
     (min_df=2) searched as a BM25 disjunction, source doc excluded.  The
@@ -851,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_dict": q_edge_ngram_dict,
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
+        "stream_merge_unique": q_stream_merge_unique,
     }
 
 
@@ -1197,6 +1218,10 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored WHERE doc_id != 7
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "stream_merge_unique": """
+SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag LIMIT 2000""",
         "graph_shortest": """
 WITH RECURSIVE e AS (
   SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM lineitem
