@@ -403,7 +403,21 @@ def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
 _PHRASE_LEAPFROG_MIN_BLOCKS = 4096
 
 
-def _phrase_blocks(index: IndexView, uniq: list[str]) -> DataFrame:
+#: total clause-term blocks below which the candidate pre-intersection is
+#: skipped too: its extra decode job costs more than the explode it
+#: saves when lists are small (cost-based, like the prune thresholds)
+_PHRASE_PREINTERSECT_MIN_BLOCKS = 2048
+
+
+def _phrase_stats(index: IndexView, uniq: list[str],
+                  stats: dict[str, int] | None) -> tuple[dict[str, int], int]:
+    stats = stats if stats is not None else _leaf_stats(index, uniq)
+    total_blocks = sum((d + 127) // 128 for d in stats.values())
+    return stats, total_blocks
+
+
+def _phrase_blocks(index: IndexView, uniq: list[str],
+                   stats: dict[str, int], total_blocks: int) -> DataFrame:
     """Clause-term posting blocks, leapfrog-filtered when the lists are
     large: collect the RAREST term's (first_doc, last_doc) block ranges
     (small by construction) and keep only other-term blocks overlapping
@@ -413,10 +427,8 @@ def _phrase_blocks(index: IndexView, uniq: list[str]) -> DataFrame:
     blocks = index.postings.filter(F.col("term").isin(uniq))
     if len(uniq) < 2:
         return blocks
-    stats = _leaf_stats(index, uniq)
     if len(stats) < len(uniq):
         return blocks  # missing term: caller returns empty anyway
-    total_blocks = sum((d + 127) // 128 for d in stats.values())
     lead = min(uniq, key=lambda t: stats[t])
     n_lead = (stats[lead] + 127) // 128
     if total_blocks < _PHRASE_LEAPFROG_MIN_BLOCKS or n_lead > 4096:
@@ -452,13 +464,17 @@ def _phrase_candidates(index: IndexView, uniq: list[str]) -> DataFrame:
     )
 
 
-def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
+def _phrase_tf(index: IndexView, phrase: Phrase,
+               stats: dict[str, int] | None = None) -> DataFrame:
     """[doc_id, tf, norm_byte] — exact-phrase frequency per doc via the
     position-adjust trick: token at position p matches clause (term, off)
     iff p - off is the same base position for every clause."""
     uniq = list(dict.fromkeys(phrase.terms))
-    pt = positions_table(index, uniq, blocks=_phrase_blocks(index, uniq))
-    if len(uniq) > 1:
+    stats, total_blocks = _phrase_stats(index, uniq, stats)
+    pt = positions_table(
+        index, uniq, blocks=_phrase_blocks(index, uniq, stats, total_blocks)
+    )
+    if len(uniq) > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
         pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]  # (term, off, clause)
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
@@ -482,7 +498,8 @@ def _phrase_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     )
 
 
-def _sloppy_tf(index: IndexView, phrase: Phrase) -> DataFrame:
+def _sloppy_tf(index: IndexView, phrase: Phrase,
+               stats: dict[str, int] | None = None) -> DataFrame:
     """[doc_id, sf:double, norm_byte] — sloppy frequency per doc via the
     shared minimal-window kernel (search/sloppy.py).
 
@@ -495,8 +512,11 @@ def _sloppy_tf(index: IndexView, phrase: Phrase) -> DataFrame:
     from .sloppy import sloppy_freq
 
     uniq = list(dict.fromkeys(phrase.terms))
-    pt = positions_table(index, uniq, blocks=_phrase_blocks(index, uniq))
-    if len(uniq) > 1:
+    stats, total_blocks = _phrase_stats(index, uniq, stats)
+    pt = positions_table(
+        index, uniq, blocks=_phrase_blocks(index, uniq, stats, total_blocks)
+    )
+    if len(uniq) > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
         pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
@@ -576,10 +596,11 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
             )
             return pd.Series(s.astype(np.float64))
 
+    dstats = {t: full[t][0] for t in full}
     if phrase.slop > 0:
-        tfdf = _sloppy_tf(index, phrase).withColumnRenamed("sf", "tf")
+        tfdf = _sloppy_tf(index, phrase, stats=dstats).withColumnRenamed("sf", "tf")
     else:
-        tfdf = _phrase_tf(index, phrase)
+        tfdf = _phrase_tf(index, phrase, stats=dstats)
     return tfdf.select("doc_id", _score(F.col("tf"), F.col("norm_byte")).alias("score"))
 
 

@@ -83,13 +83,15 @@ def test_no_single_partition_exchange_in_arrival_doc_ids(spark):
     assert got == list(range(1000, 1300))
 
 
-def test_phrase_explodes_positions_only_for_candidates(persisted):
+def test_phrase_explodes_positions_only_for_candidates(persisted, monkeypatch):
     """The phrase plan must semi-join the clause terms' doc sets (AND
     pre-intersection) BEFORE exploding positions, so position rows are
-    shuffled only for docs containing every clause term."""
-    from lucene_solr_spark.search import Phrase
+    shuffled only for docs containing every clause term.  (Cost-gated:
+    forced on here; at tiny list sizes the extra job is skipped.)"""
+    from lucene_solr_spark.search import Phrase, executor
     from lucene_solr_spark.search.executor import _phrase_tf, _sloppy_tf
 
+    monkeypatch.setattr(executor, "_PHRASE_PREINTERSECT_MIN_BLOCKS", 0)
     plan = _plan(_phrase_tf(persisted, Phrase("def", "class")))
     assert "LeftSemi" in plan, "candidate pre-intersection missing"
     # plans print root-first: the explode (Generate) must sit ABOVE the
