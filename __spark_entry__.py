@@ -566,6 +566,23 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester: top-10 dictionary completions of 'wi' by collection
+    frequency (AnalyzingSuggester weight contract)."""
+    from lucene_solr_spark.search.extras import suggest
+
+    return suggest(_index_for(spark, sf_dir), "s", k=10)
+
+
+def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker: corrections for the misspelling 'windwo'
+    within ONE Damerau edit (OSA == full Damerau at distance <= 1, so
+    DuckDB's damerau_levenshtein re-derives it exactly)."""
+    from lucene_solr_spark.search.extras import spell_suggest
+
+    return spell_suggest(_index_for(spark, sf_dir), "sacn", max_edits=1, k=5)
+
+
 def q_stream_merge_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-expression composition merge(unique(...)): two sorted
     substreams with overlapping rows merged and deduped on the unique
@@ -872,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
         "stream_merge_unique": q_stream_merge_unique,
+        "suggest": q_suggest,
+        "spellcheck": q_spellcheck,
     }
 
 
@@ -1218,6 +1237,19 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored WHERE doc_id != 7
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "suggest": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 10""",
+        "spellcheck": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(damerau_levenshtein(term, 'sacn') AS INTEGER) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM td
+WHERE damerau_levenshtein(term, 'sacn') = 1
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
         "stream_merge_unique": """
 SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -21,7 +22,8 @@ from ..index.core import IndexView
 from .executor import _matches, postings_table, search
 from .query import Or, Term, rewrite
 
-__all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query"]
+__all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
+           "suggest", "spell_suggest"]
 
 
 def search_after(
@@ -94,3 +96,47 @@ def more_like_this(index: IndexView, doc_id: int, k: int = 10,
         return index.spark.createDataFrame([], "doc_id long, score float")
     hits = search(index, q, k=k + 1)
     return hits.filter(F.col("doc_id") != doc_id).limit(k)
+
+
+def suggest(index: IndexView, prefix: str, k: int = 10) -> DataFrame:
+    """Suggester (``[8x] lucene/suggest/.../analyzing/AnalyzingSuggester
+    .java`` simplified / Solr SuggestComponent): top-k dictionary terms
+    with the prefix, weight = collection frequency (cf desc, term asc).
+
+    One dictionary scan with a pushed StartsWith filter — on the
+    term-sorted layout this is a row-group range seek, the FST-prefix
+    analog."""
+    return (
+        index.term_dict.filter(F.col("term").startswith(prefix))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+        .select("term", F.col("cf").cast("long").alias("weight"))
+    )
+
+
+def spell_suggest(index: IndexView, term: str, max_edits: int = 2,
+                  k: int = 5, min_df: int = 1) -> DataFrame:
+    """DirectSpellChecker analog (``[8x] lucene/suggest/.../spell/
+    DirectSpellChecker.java``): dictionary terms within OSA (Damerau)
+    distance of the input, ranked by (distance asc, docFreq desc, term
+    asc).  The distance runs as an Arrow-batched UDF over the dictionary
+    scan — fully distributed, no driver term list."""
+    from ..oracle import osa_distance
+
+    target, cap = term, max_edits
+
+    @F.pandas_udf("int")
+    def _dist(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: osa_distance(t, target))
+
+    cand = (
+        index.term_dict.withColumn("_dist", _dist(F.col("term")))
+        .filter((F.col("_dist") <= cap) & (F.col("_dist") > 0)
+                & (F.col("df") >= min_df))
+    )
+    return (
+        cand.orderBy(F.asc("_dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", F.col("_dist").alias("distance"),
+                F.col("df").cast("long").alias("df"))
+    )

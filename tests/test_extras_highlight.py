@@ -120,3 +120,29 @@ def test_highlight_with_stemmed_chain(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_suggest_and_spell(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import spell_suggest, suggest
+
+    docs = spark.createDataFrame(
+        [(0, "class classes classic clash define define define"),
+         (1, "class claim definitely defile"), (2, "unrelated words")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        got = suggest(idx, "cla", k=3).collect()
+        # weight = cf desc, term asc: 'class' cf=2 first
+        assert got[0]["term"] == "class" and got[0]["weight"] == 2
+        assert all(r["term"].startswith("cla") for r in got)
+        # spell: 'clas' -> closest dictionary terms by (dist, df desc, term)
+        sp = spell_suggest(idx, "clas", max_edits=1, k=3).collect()
+        assert sp[0]["term"] == "class" and sp[0]["distance"] == 1
+        # transposition counts as ONE edit (OSA — FuzzyQuery/DirectSpellChecker)
+        sp2 = spell_suggest(idx, "calss", max_edits=1, k=3).collect()
+        assert [r["term"] for r in sp2] == ["class"]
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
