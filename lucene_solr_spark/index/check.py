@@ -126,13 +126,31 @@ def check_index(index: IndexView, expect_disjoint_ranges: bool = True) -> dict[s
     if bad_stats:
         out["term_dict_mismatch"] = int(bad_stats)
 
-    # corpus stats agree with norms
+    # corpus stats agree with norms (multi-field: one norms row per
+    # (doc, field), so doc_count counts DISTINCT docs and each field's
+    # (n, ttf) must match the recorded per-field CollectionStatistics)
     stats = index.norms.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("length"), F.lit(0)).alias("ttf")
+        F.countDistinct("doc_id").alias("n"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"),
     ).collect()[0]
     if int(stats["n"]) != index.doc_count:
         out["doc_count_mismatch_norms"] = abs(int(stats["n"]) - index.doc_count)
     if int(stats["ttf"]) != index.sum_ttf:
         out["sum_ttf_mismatch"] = abs(int(stats["ttf"]) - index.sum_ttf)
+    if index.field_stats is not None and "field" in index.norms.columns:
+        per_field = {
+            r["field"]: (int(r["n"]), int(r["ttf"]))
+            for r in index.norms.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+            .collect()
+        }
+        bad = sum(
+            1
+            for f, v in index.field_stats.items()
+            if tuple(v) != per_field.get(f, (-1, -1))
+        )
+        if bad:
+            out["field_stats_mismatch"] = bad
 
     return {k: n for k, n in out.items() if n}

@@ -144,11 +144,15 @@ def test_persistent_multifield_roundtrip(spark, corpus, oracle, tmp_path):
     idx = open_index(spark, path)
     assert idx.field_stats is not None and idx.default_field == "content"
     check(idx)
+    from lucene_solr_spark.index import check_index
+
+    assert check_index(idx, expect_disjoint_ranges=False) == {}
     # forceMerge preserves results and field stats
     merge_segments(spark, path)
     idx2 = open_index(spark, path)
     assert idx2.field_stats == idx.field_stats
     check(idx2)
+    assert check_index(idx2) == {}
 
 
 def test_persistent_multifield_per_field_chain(spark, corpus, tmp_path):
