@@ -566,6 +566,21 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReduceStream: per-order fold of sorted line numbers into an
+    ordered-concat string (GroupOperation analog), deterministic under
+    any partitioning."""
+    from lucene_solr_spark.relational import reduce_stream
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        reduce_stream(li, ["l_orderkey"], "l_linenumber")
+        .orderBy("l_orderkey")
+        .limit(1000)
+        .select("l_orderkey", "reduced", F.col("n").cast("long").alias("n"))
+    )
+
+
 def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggester: top-10 dictionary completions of 'wi' by collection
     frequency (AnalyzingSuggester weight contract)."""
@@ -889,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
         "stream_merge_unique": q_stream_merge_unique,
+        "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
         "spellcheck": q_spellcheck,
     }
@@ -1237,6 +1253,12 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored WHERE doc_id != 7
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "stream_reduce": """
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS reduced,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_orderkey
+ORDER BY l_orderkey LIMIT 1000""",
         "suggest": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS weight

@@ -35,6 +35,7 @@ __all__ = [
     "unique_stream",
     "merge_streams",
     "rollup",
+    "reduce_stream",
     "hash_join",
     "fetch",
     "intersect_streams",
@@ -233,6 +234,27 @@ def rollup(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     """rollup: sort-based aggregation over grouped keys (RollupStream) —
     Spark picks hash aggregation; semantics identical."""
     return df.groupBy(*keys).agg(*aggs)
+
+
+def reduce_stream(df: DataFrame, keys: list[str], value_col: str,
+                  sep: str = ",") -> DataFrame:
+    """reduce: group sorted tuples per key and fold them with an
+    operation (ReduceStream + GroupOperation).  The shipped operation is
+    the ordered-concat fold (Solr's GroupOperation collects the group's
+    tuples in stream order); values sort ascending inside each group so
+    the result is deterministic under any partitioning.
+
+    Scale: one shuffle on the keys; per-group state is the collected
+    value list (bounded by group size, like Solr's in-memory group)."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col(value_col).cast("string"))), sep
+            ).alias("reduced"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
 
 
 def hash_join(left: DataFrame, right: DataFrame, on: list[str],

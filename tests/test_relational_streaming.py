@@ -119,3 +119,18 @@ def test_streaming_incremental_index(spark, tmp_path):
         F.sha2(F.col("content"), 256) != F.col("content_sha256")
     ).count()
     assert bad == 0
+
+
+def test_reduce_stream_deterministic(spark):
+    from lucene_solr_spark.relational import reduce_stream
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "c"), (2, "z")], "k long, v string"
+    )
+    out = {r["k"]: (r["reduced"], r["n"])
+           for r in reduce_stream(df, ["k"], "v").collect()}
+    assert out == {1: ("a,b,c", 3), 2: ("z", 1)}
+    # partitioning-independent (sorted fold)
+    out2 = {r["k"]: (r["reduced"], r["n"])
+            for r in reduce_stream(df.repartition(5), ["k"], "v").collect()}
+    assert out == out2
