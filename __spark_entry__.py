@@ -566,6 +566,41 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_function_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueSource / function queries (§2.8): recip, linear, map,
+    strdist, ms, geodist evaluated per row over lineitem; float32-cast
+    outputs absorb last-ULP libm differences in the trig path."""
+    from lucene_solr_spark.functions import (
+        date_ms,
+        geodist,
+        linear,
+        map_value,
+        recip,
+        strdist,
+    )
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    lat1 = (F.col("l_orderkey") % 90).cast("double")
+    lon1 = (F.col("l_partkey") % 180).cast("double")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            recip(q, 1.0, 1000.0, 1000.0).cast("float").alias("recip"),
+            linear(q, 2.0, 5.0).cast("float").alias("lin"),
+            map_value(q, 10.0, 20.0, 1.0).cast("float").alias("mapped"),
+            strdist(F.col("l_returnflag"), F.lit("A")).cast("float").alias("sd"),
+            date_ms(F.col("l_shipdate").cast("timestamp")).alias("msec"),
+            geodist(lat1, lon1, F.lit(48.8566), F.lit(2.3522))
+            .cast("float")
+            .alias("dist_km"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "msec")
+        .limit(1000)
+    )
+
+
 def q_stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReduceStream: per-order fold of sorted line numbers into an
     ordered-concat string (GroupOperation analog), deterministic under
@@ -904,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
         "stream_merge_unique": q_stream_merge_unique,
+        "function_queries": q_function_queries,
         "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
         "spellcheck": q_spellcheck,
@@ -1253,6 +1289,24 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored WHERE doc_id != 7
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "function_queries": """
+SELECT l_orderkey, l_linenumber,
+  CAST(1000e0 / (1e0 * l_quantity + 1000e0) AS FLOAT) AS recip,
+  CAST(2e0 * l_quantity + 5e0 AS FLOAT) AS lin,
+  CAST(CASE WHEN l_quantity >= 10e0 AND l_quantity <= 20e0 THEN 1e0
+            ELSE l_quantity END AS FLOAT) AS mapped,
+  CAST(CASE WHEN greatest(length(l_returnflag), 1) = 0 THEN 1e0
+            ELSE 1e0 - CAST(levenshtein(l_returnflag, 'A') AS DOUBLE)
+                 / greatest(length(l_returnflag), length('A')) END AS FLOAT) AS sd,
+  CAST(epoch_ms(l_shipdate) AS BIGINT) AS msec,
+  CAST(2e0 * 6371.0087714e0 * asin(sqrt(
+       power(sin(radians(48.8566e0 - (l_orderkey % 90)) / 2e0), 2)
+       + cos(radians(CAST(l_orderkey % 90 AS DOUBLE)))
+         * cos(radians(48.8566e0))
+         * power(sin(radians(2.3522e0 - (l_partkey % 180)) / 2e0), 2)
+  )) AS FLOAT) AS dist_km
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, msec LIMIT 1000""",
         "stream_reduce": """
 SELECT l_orderkey,
        string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS reduced,
