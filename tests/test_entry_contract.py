@@ -22,7 +22,9 @@ import __spark_entry__ as entrymod
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-# fast subset: engine-core entries + one of each relational family
+# fast subset: engine-core entries + one of each relational family +
+# one of each round-2 family (chains, similarities, windows, streams,
+# functions, suggesters, ANN)
 SUBSET = [
     "fts_term_dict",
     "fts_doc_norms",
@@ -34,6 +36,18 @@ SUBSET = [
     "stats_numeric",
     "group_topk",
     "timeseries",
+    "percentile",
+    "fts_shingle_dict",
+    "fts_classic_topk",
+    "fts_lm_topk",
+    "session_windows",
+    "stream_reduce",
+    "stream_merge_unique",
+    "function_queries",
+    "suggest",
+    "spellcheck",
+    "ann_ivf",
+    "graph_shortest",
 ]
 
 
