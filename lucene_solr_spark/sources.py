@@ -28,9 +28,20 @@ CONTRACT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 def read_corpus(spark: SparkSession, source: str) -> DataFrame:
     """Load the contract corpus from an Iceberg/catalog table name or a
-    parquet path (auto-detected: paths contain '/' or end in .parquet)."""
-    if "/" in source or source.endswith(".parquet"):
-        df = spark.read.parquet(source)
+    file path.  Paths dispatch on extension — parquet (default), JSON
+    lines, or CSV-with-header — mirroring Solr's update-handler input
+    formats (``[8x] solr/core/.../handler/loader/{JsonLoader,
+    CSVLoader}.java``); every format lands in the same validated
+    contract schema."""
+    if "/" in source or source.endswith((".parquet", ".json", ".jsonl", ".csv")):
+        if source.endswith((".json", ".jsonl")):
+            df = spark.read.json(source)
+        elif source.endswith(".csv"):
+            df = spark.read.option("header", "true").option("multiLine", "true").option(
+                "escape", '"'
+            ).csv(source)
+        else:
+            df = spark.read.parquet(source)
     else:
         df = spark.read.table(source)
     return validate_corpus(df)

@@ -110,3 +110,34 @@ def test_read_jdbc_corpus_option_plumbing(spark, monkeypatch):
     # a partitioned read is mandatory for scale: bounds must be enforced
     with pytest.raises(ValueError, match="requires lower_bound"):
         read_jdbc_corpus(spark, "jdbc:x", "t", partition_column="id")
+
+
+def test_read_corpus_json_and_csv(spark, tmp_path):
+    """Update-handler input formats: JSON lines and CSV land in the same
+    validated contract schema, content (incl. commas/newlines) intact."""
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.sources import read_corpus
+
+    base = gen_corpus_df(spark, 30)
+    tricky = spark.createDataFrame(
+        [("r", "p.py", "c", "python", 'line one, with "quotes"\nline two')],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    df = base.unionByName(tricky)
+
+    jp = str(tmp_path / "corpus.jsonl")
+    df.write.json(jp)
+    got_j = read_corpus(spark, jp)
+    assert got_j.columns == ["repo", "path", "commit", "lang", "content"]
+    assert got_j.count() == 31
+
+    cp = str(tmp_path / "corpus.csv")
+    df.write.option("header", "true").option("escape", '"').csv(cp)
+    got_c = read_corpus(spark, cp)
+    assert got_c.count() == 31
+    row = got_c.filter("path = 'p.py'").collect()[0]
+    assert row["content"] == 'line one, with "quotes"\nline two'
+    # all three formats agree row-for-row
+    assert (
+        got_j.exceptAll(got_c).count() == 0 and got_c.exceptAll(got_j).count() == 0
+    )
