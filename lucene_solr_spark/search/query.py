@@ -325,15 +325,24 @@ def query_terms(q) -> list[str]:
 
 
 def parse_query(s: str):
-    """Tiny query parser: terms, AND, OR, NOT, parentheses, "quoted phrases",
-    prefix* wildcards.  Bare whitespace between terms means OR (Lucene
-    default SHOULD semantics); ``a AND NOT b`` / ``NOT b`` use MUST_NOT.
-    Grammar: or := and (('OR'|ε) and)* ; and := unary ('AND' unary)* ;
-    unary := 'NOT' atom | atom.
+    """Lucene-QueryParser-style syntax: terms, AND, OR, NOT, parentheses,
+    "quoted phrases" (with ``"..."~slop``), prefix* / wild?card patterns,
+    ``term~`` / ``term~1`` fuzzy (OSA, default 2 edits), ``atom^2.5``
+    boosts, and ``[a TO b]`` / ``{a TO b}`` term ranges (square =
+    inclusive, curly = exclusive).  Bare whitespace between terms means
+    OR (Lucene default SHOULD semantics); ``a AND NOT b`` / ``NOT b``
+    use MUST_NOT.  Grammar: or := and (('OR'|ε) and)* ;
+    and := unary ('AND' unary)* ; unary := 'NOT' atom | atom.
     """
     import re as _re
 
-    toks = _re.findall(r'"[^"]*"|\(|\)|[^\s()]+', s)
+    toks = _re.findall(
+        r'"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'     # phrase [~slop][^boost]
+        r"|[\[{][^\]}]*[\]}](?:\^[\d.]+)?"  # range [a TO b] / {a TO b}
+        r"|\(|\)"
+        r"|[^\s()]+",
+        s,
+    )
     pos = 0
 
     def peek():
@@ -354,14 +363,47 @@ def parse_query(s: str):
             if peek() != ")":
                 raise ValueError(f"unbalanced parenthesis in query: {s!r}")
             take()
-            return e
+            boost = 1.0
+            if peek() and _re.fullmatch(r"\^[\d.]+", peek() or ""):
+                boost = float(take()[1:])
+            return Boost(e, boost) if boost != 1.0 else e
         if t == ")" or t in ("AND", "OR", "NOT"):
             raise ValueError(f"unexpected {t!r} in query: {s!r}")
-        if t.startswith('"') and t.endswith('"'):
-            words = t[1:-1].lower().split()
+        # trailing ^boost on any single-token atom
+        boost = 1.0
+        m = _re.fullmatch(r"(.+)\^([\d.]+)", t)
+        if m:
+            t, boost = m.group(1), float(m.group(2))
+        node = _atom_token(t, s)
+        return Boost(node, boost) if boost != 1.0 else node
+
+    def _atom_token(t: str, src: str):
+        if t.startswith('"'):
+            m = _re.fullmatch(r'"([^"]*)"(?:~(\d+))?', t)
+            if not m:
+                raise ValueError(f"malformed phrase in query: {src!r}")
+            words = m.group(1).lower().split()
             if not words:
-                raise ValueError(f"empty phrase in query: {s!r}")
-            return Phrase(*words) if len(words) > 1 else Term(words[0])
+                raise ValueError(f"empty phrase in query: {src!r}")
+            slop = int(m.group(2)) if m.group(2) else 0
+            if len(words) == 1:
+                return Term(words[0])
+            return Phrase(*words, slop=slop)
+        if (t.startswith("[") and t.endswith("]")) or (
+            t.startswith("{") and t.endswith("}")
+        ):
+            inner = t[1:-1].strip()
+            m = _re.fullmatch(r"(\S+)\s+TO\s+(\S+)", inner, _re.IGNORECASE)
+            if not m:
+                raise ValueError(f"malformed range in query: {src!r}")
+            lo = None if m.group(1) == "*" else m.group(1).lower()
+            hi = None if m.group(2) == "*" else m.group(2).lower()
+            inc = t.startswith("[")
+            return TermRange(lo, hi, include_lower=inc, include_upper=t.endswith("]"))
+        fm = _re.fullmatch(r"(.+?)~(\d?)", t)
+        if fm and "*" not in t and "?" not in t:
+            edits = int(fm.group(2)) if fm.group(2) else 2
+            return Fuzzy(fm.group(1).lower(), max_edits=edits)
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
             return Prefix(t[:-1].lower())
         if "*" in t or "?" in t:

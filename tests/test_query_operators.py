@@ -249,3 +249,24 @@ def test_phrase_leapfrog_forced_identity(spark, corpus, oracle, monkeypatch):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_parser_lucene_syntax(spark, engine, oracle):
+    """QueryParser syntax extensions: fuzzy ~, boost ^, ranges, phrase
+    slop — parsed forms match hand-built nodes and stay rank/score
+    identical to the oracle end to end."""
+    from lucene_solr_spark.search.query import Boost
+
+    assert parse_query("roam~1") == Fuzzy("roam", max_edits=1)
+    assert parse_query("roam~") == Fuzzy("roam", max_edits=2)
+    assert parse_query('"a b"~3') == Phrase("a", "b", slop=3)
+    assert parse_query("[a TO c]") == TermRange("a", "c")
+    assert parse_query("{a TO c}") == TermRange("a", "c", include_lower=False,
+                                                include_upper=False)
+    assert parse_query("[a TO *]") == TermRange("a", None)
+    assert parse_query("x^2.5") == Term("x", boost=2.5)
+    for qs in ["clasz~1", "def^3 OR class", '"def class"~2',
+               "[def TO dog]", "(def AND class)^2 OR return"]:
+        got = _run(engine, parse_query(qs))
+        want = oracle.search(parse_query(qs), k=10)
+        assert got == want, qs
