@@ -337,8 +337,8 @@ def parse_query(s: str):
     import re as _re
 
     toks = _re.findall(
-        r'"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'     # phrase [~slop][^boost]
-        r"|[\[{][^\]}]*[\]}](?:\^[\d.]+)?"  # range [a TO b] / {a TO b}
+        r'[\w.]*:?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'  # [field:]"phrase" [~slop][^boost]
+        r"|[\[{][^\]}]*[\]}](?:\^[\d.]+)?"       # range [a TO b] / {a TO b}
         r"|\(|\)"
         r"|[^\s()]+",
         s,
@@ -378,14 +378,16 @@ def parse_query(s: str):
         return Boost(node, boost) if boost != 1.0 else node
 
     def _atom_token(t: str, src: str):
-        if t.startswith('"'):
-            m = _re.fullmatch(r'"([^"]*)"(?:~(\d+))?', t)
+        if '"' in t:
+            m = _re.fullmatch(r'(?:([\w.]+):)?"([^"]*)"(?:~(\d+))?', t)
             if not m:
                 raise ValueError(f"malformed phrase in query: {src!r}")
-            words = m.group(1).lower().split()
+            field = m.group(1)
+            pre = (field.lower() + ":") if field else ""
+            words = [pre + w for w in m.group(2).lower().split()]
             if not words:
                 raise ValueError(f"empty phrase in query: {src!r}")
-            slop = int(m.group(2)) if m.group(2) else 0
+            slop = int(m.group(3)) if m.group(3) else 0
             if len(words) == 1:
                 return Term(words[0])
             return Phrase(*words, slop=slop)

@@ -185,3 +185,12 @@ def test_persistent_multifield_per_field_chain(spark, corpus, tmp_path):
     # stemmed field conflates running/runs/run into one list; raw does not
     assert {N, N + 1} <= stem_hits
     assert raw_hits == {N + 1}
+
+
+def test_field_qualified_phrase_syntax(engine, oracle):
+    """parse_query('field:"a b"') qualifies every phrase term with the
+    field — identical to the hand-built Phrase."""
+    q = parse_query('path:"src pkg1"')
+    assert q == Phrase("path:src", "path:pkg1")
+    got = _run(engine, q)
+    assert got == oracle.search(q, k=10)
