@@ -617,8 +617,9 @@ def q_stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suggester: top-10 dictionary completions of 'wi' by collection
-    frequency (AnalyzingSuggester weight contract)."""
+    """Suggester: top-10 dictionary completions of 's' by collection
+    frequency (AnalyzingSuggester weight contract; probe matches the
+    oracle's LIKE 's%')."""
     from lucene_solr_spark.search.extras import suggest
 
     return suggest(_index_for(spark, sf_dir), "s", k=10)

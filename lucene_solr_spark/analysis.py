@@ -262,10 +262,16 @@ class Stop:
 
 @dataclass(frozen=True)
 class Map:
-    """Token → token filter (stem, fold); vectorized per unique token."""
+    """Token → token filter (stem, fold); vectorized per unique token.
+
+    ``prefix_safe``: the map commutes with prefixing (character-local,
+    like ASCII folding) so query-side analysis may apply it to Prefix
+    patterns; stemming is NOT (the stem of a prefix is not a prefix of
+    the stems)."""
 
     fn: Callable[[str], str]
     name: str = "map"
+    prefix_safe: bool = False
 
 
 @dataclass(frozen=True)
@@ -297,7 +303,7 @@ def stem_filter() -> Map:
 
 
 def ascii_fold_filter() -> Map:
-    return Map(ascii_fold, "ascii_fold")
+    return Map(ascii_fold, "ascii_fold", prefix_safe=True)
 
 
 def synonym_filter(mapping: dict[str, Iterable[str]], keep_original: bool = True) -> Expand:

@@ -77,10 +77,19 @@ def assign_doc_ids_arrival(df: DataFrame, doc_base: int = 0) -> DataFrame:
     offset; within a partition, ``monotonically_increasing_id`` captured
     *before* the window exchange gives a stable arrival order.  Every
     window is partitioned by ``_pid`` — no SinglePartition exchange, so
-    the path scales with partitions like the builder's own scheme."""
+    the path scales with partitions like the builder's own scheme.
+
+    The tagged input is persisted (unless the caller already cached it)
+    before the counts job, so the counts and the id-assignment job see
+    the SAME partition contents even for nondeterministic lineages
+    (round-robin repartition, task retries) — without this, a recompute
+    between the two jobs could assign duplicate ids.  The cache is
+    evictable (MEMORY_AND_DISK) and bounded by the input batch."""
     keyed = df.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
+    if not df.is_cached:
+        keyed = keyed.persist()
     counts = {
         int(r["_pid"]): int(r["n"])
         for r in keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

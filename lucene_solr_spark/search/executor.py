@@ -409,6 +409,27 @@ _PHRASE_LEAPFROG_MIN_BLOCKS = 4096
 _PHRASE_PREINTERSECT_MIN_BLOCKS = 2048
 
 
+def _leapfrog_union(index: IndexView, terms: list[str], lead: str) -> DataFrame:
+    """Lead term's blocks + other terms' blocks overlapping the lead's
+    (first_doc, last_doc) ranges — the skip-list leapfrog used by both
+    the AND fast path and the phrase planner.  The ranges collect is
+    bounded by the lead's block count; callers gate on that."""
+    ranges = np.array(
+        sorted(
+            (int(r["first_doc"]), int(r["last_doc"]))
+            for r in index.postings.filter(F.col("term") == lead)
+            .select("first_doc", "last_doc")
+            .collect()
+        ),
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    lead_blocks = index.postings.filter(F.col("term") == lead)
+    others = index.postings.filter(
+        F.col("term").isin([t for t in terms if t != lead])
+    )
+    return lead_blocks.unionByName(_range_filter_blocks(others, ranges))
+
+
 def _phrase_stats(index: IndexView, uniq: list[str],
                   stats: dict[str, int] | None) -> tuple[dict[str, int], int]:
     stats = stats if stats is not None else _leaf_stats(index, uniq)
@@ -433,20 +454,7 @@ def _phrase_blocks(index: IndexView, uniq: list[str],
     n_lead = (stats[lead] + 127) // 128
     if total_blocks < _PHRASE_LEAPFROG_MIN_BLOCKS or n_lead > 4096:
         return blocks
-    ranges = np.array(
-        sorted(
-            (int(r["first_doc"]), int(r["last_doc"]))
-            for r in index.postings.filter(F.col("term") == lead)
-            .select("first_doc", "last_doc")
-            .collect()
-        ),
-        dtype=np.int64,
-    ).reshape(-1, 2)
-    lead_blocks = index.postings.filter(F.col("term") == lead)
-    others = index.postings.filter(
-        F.col("term").isin([t for t in uniq if t != lead])
-    )
-    return lead_blocks.unionByName(_range_filter_blocks(others, ranges))
+    return _leapfrog_union(index, uniq, lead)
 
 
 def _phrase_candidates(index: IndexView, uniq: list[str]) -> DataFrame:
@@ -870,7 +878,8 @@ _PRUNE_MIN_BLOCKS = 256
 _PRUNE_MIN_BLOCKS_AND = 4096
 
 
-def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None:
+def _single_term_pruned(index: IndexView, term: str, k: int,
+                        boost: float = 1.0) -> DataFrame | None:
     """Block-max WAND-style two-pass pruning for a single TermQuery
     (SURVEY.md §4), fully distributed — NO driver-side block-metadata
     collect, so it scales to stopword-class terms with 10^8 blocks:
@@ -890,7 +899,7 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
     df_term, cf_term = full[term]
     if (df_term + 127) // 128 < _PRUNE_MIN_BLOCKS:
         return None
-    w = _term_weight(index, term, df_term, cf_term)
+    w = _term_weight(index, term, df_term, cf_term, boost)
     cache = index.norm_inverse_cache(term)
 
     score_fn = index.bm25.score
@@ -906,7 +915,8 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
         "_ub", _ub(F.col("max_tf"), F.col("min_norm_byte"))
     )
     top_blocks = blocks.orderBy(F.desc("_ub")).limit(max(k, 8))
-    scored1, _ = scored_leaves(index, [term], blocks=top_blocks, stats={term: df_term})
+    scored1, _ = scored_leaves(index, [term], boosts={term: boost},
+                               blocks=top_blocks, stats={term: df_term})
     if index.tombstones is not None:
         # θ must be achievable by LIVE docs, else pruning would be unsound
         scored1 = scored1.join(index.tombstones, "doc_id", "left_anti")
@@ -915,7 +925,8 @@ def _single_term_pruned(index: IndexView, term: str, k: int) -> DataFrame | None
         return None  # few hits; just scan everything
     theta = float(np.float32(top1[-1]["score"]))
     blocks2 = blocks.filter(F.col("_ub") >= theta).drop("_ub")
-    scored2, _ = scored_leaves(index, [term], blocks=blocks2, stats={term: df_term})
+    scored2, _ = scored_leaves(index, [term], boosts={term: boost},
+                               blocks=blocks2, stats={term: df_term})
     return scored2.select("doc_id", "score")
 
 
@@ -979,7 +990,7 @@ def search(
     boosts = {**node_boosts, **(boosts or {})}
 
     if prune and isinstance(q, Term):
-        pruned = _single_term_pruned(index, q.term, k)
+        pruned = _single_term_pruned(index, q.term, k, boosts.get(q.term, 1.0))
         if pruned is not None:
             return finish(pruned)
 
@@ -1001,20 +1012,7 @@ def search(
         if total_blocks < _PRUNE_MIN_BLOCKS_AND:
             pass  # small lists: one decode-everything job beats leapfrog
         elif n_blocks <= lead_term_max_blocks:
-            ranges = np.array(
-                sorted(
-                    (int(r["first_doc"]), int(r["last_doc"]))
-                    for r in index.postings.filter(F.col("term") == lead)
-                    .select("first_doc", "last_doc")
-                    .collect()
-                ),
-                dtype=np.int64,
-            ).reshape(-1, 2)
-            others = index.postings.filter(
-                F.col("term").isin([t for t in terms if t != lead])
-            )
-            lead_blocks = index.postings.filter(F.col("term") == lead)
-            blocks = lead_blocks.unionByName(_range_filter_blocks(others, ranges))
+            blocks = _leapfrog_union(index, terms, lead)
 
     scored, _ = scored_leaves(index, terms, boosts, blocks=blocks, stats=stats)
 

@@ -338,7 +338,7 @@ def parse_query(s: str):
 
     toks = _re.findall(
         r'[\w.]*:?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'  # [field:]"phrase" [~slop][^boost]
-        r"|[\[{][^\]}]*[\]}](?:\^[\d.]+)?"       # range [a TO b] / {a TO b}
+        r"|[\w.]*:?[\[{][^\]}]*[\]}](?:\^[\d.]+)?"  # [field:][a TO b] / {a TO b}
         r"|\(|\)"
         r"|[^\s()]+",
         s,
@@ -391,20 +391,26 @@ def parse_query(s: str):
             if len(words) == 1:
                 return Term(words[0])
             return Phrase(*words, slop=slop)
-        if (t.startswith("[") and t.endswith("]")) or (
-            t.startswith("{") and t.endswith("}")
-        ):
-            inner = t[1:-1].strip()
-            m = _re.fullmatch(r"(\S+)\s+TO\s+(\S+)", inner, _re.IGNORECASE)
+        rm = _re.fullmatch(r"(?:([\w.]+):)?([\[{])([^\]}]*)([\]}])", t)
+        if rm:
+            field, obr, inner, cbr = rm.groups()
+            m = _re.fullmatch(r"(\S+)\s+TO\s+(\S+)", inner.strip(), _re.IGNORECASE)
             if not m:
                 raise ValueError(f"malformed range in query: {src!r}")
-            lo = None if m.group(1) == "*" else m.group(1).lower()
-            hi = None if m.group(2) == "*" else m.group(2).lower()
-            inc = t.startswith("[")
-            return TermRange(lo, hi, include_lower=inc, include_upper=t.endswith("]"))
-        fm = _re.fullmatch(r"(.+?)~(\d?)", t)
+            pre = (field.lower() + ":") if field else ""
+            lo = None if m.group(1) == "*" else pre + m.group(1).lower()
+            hi = None if m.group(2) == "*" else pre + m.group(2).lower()
+            return TermRange(lo, hi, include_lower=obr == "[",
+                             include_upper=cbr == "]")
+        fm = _re.fullmatch(r"(.+?)~(\d*)", t)
         if fm and "*" not in t and "?" not in t:
             edits = int(fm.group(2)) if fm.group(2) else 2
+            if edits > 2:
+                # FuzzyQuery: maxEdits must be 0..LevenshteinAutomata
+                # .MAXIMUM_SUPPORTED_DISTANCE (2)
+                raise ValueError(
+                    f"fuzzy maxEdits must be between 0 and 2: {t!r} in {src!r}"
+                )
             return Fuzzy(fm.group(1).lower(), max_edits=edits)
         if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
             return Prefix(t[:-1].lower())
@@ -480,8 +486,12 @@ def analyze_query(q, analyzer):
             return Phrase(*terms, boost=n.boost, slop=n.slop)
         if isinstance(n, Prefix):
             # prefixes fold but never stem (the stem of a prefix is not a
-            # prefix of the stems); apply Map steps that are folds only
-            return n
+            # prefix of the stems): apply only prefix-safe Map steps
+            p = n.prefix
+            for step in analyzer.steps:
+                if isinstance(step, Map) and getattr(step, "prefix_safe", False):
+                    p = step.fn(p)
+            return n if p == n.prefix else Prefix(p, n.boost, n.constant_score)
         if isinstance(n, (And, Or)):
             kids = [walk(c) for c in n.clauses]
             kids = [k for k in kids if k is not None]

@@ -186,3 +186,20 @@ def test_stopworded_rank_identity(spark, corpus):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_boosted_term_pruned_identity(engine, oracle, monkeypatch):
+    """Regression: the block-max pruned single-term path must carry the
+    term's boost (it used to score unboosted above the prune threshold,
+    diverging from the unpruned path and breaking cursor pages)."""
+    from lucene_solr_spark.search import executor
+
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    q = Term(KEYWORDS[0], boost=2.5)
+    pruned = _run(engine, q)
+    assert pruned == oracle.search(q, k=10)
+    unpruned = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in search(engine, q, k=10, prune=False).collect()
+    ]
+    assert pruned == unpruned

@@ -194,3 +194,15 @@ def test_field_qualified_phrase_syntax(engine, oracle):
     assert q == Phrase("path:src", "path:pkg1")
     got = _run(engine, q)
     assert got == oracle.search(q, k=10)
+
+
+def test_field_qualified_range_syntax(engine, oracle):
+    """parse_query('field:[a TO b]') builds a TermRange over the field's
+    prefixed encoding — previously it silently parsed into junk terms."""
+    from lucene_solr_spark.search import TermRange
+
+    q = parse_query("path:[pkg0 TO pkg2]")
+    assert q == TermRange("path:pkg0", "path:pkg2")
+    got = _run(engine, q, k=50)
+    assert got == oracle.search(q, k=50)
+    assert got, "range matched nothing — probe terms missing"

@@ -270,3 +270,16 @@ def test_parser_lucene_syntax(spark, engine, oracle):
         got = _run(engine, parse_query(qs))
         want = oracle.search(parse_query(qs), k=10)
         assert got == want, qs
+
+
+def test_parser_rejects_bad_fuzzy_and_parses_field_ranges():
+    from lucene_solr_spark.search import TermRange
+
+    with pytest.raises(ValueError, match="maxEdits"):
+        parse_query("roam~5")
+    with pytest.raises(ValueError, match="maxEdits"):
+        parse_query("roam~12")
+    assert parse_query("title:[a TO b]") == TermRange("title:a", "title:b")
+    assert parse_query("title:{a TO b}") == TermRange(
+        "title:a", "title:b", include_lower=False, include_upper=False
+    )
