@@ -191,7 +191,11 @@ class LMDirichlet:
     def weight_full(
         self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
     ) -> np.ndarray:
-        # Lucene LMStats.collectionProbability: float division
+        # Lucene LMSimilarity.computeProbability:
+        #   (getTotalTermFreq()+1F) / (getSumTotalTermFreq()+1F)
+        # — Java promotes long+1F to FLOAT, so both operands round to f32
+        # before the f32 division; we reproduce exactly that (corpora
+        # with sumTtf > 2^24 quantize here in Lucene too)
         p = np.float32(np.float32(cf + 1.0) / np.float32(sum_ttf + 1.0))
         return np.array([np.float32(boost), 1.0 / (self.mu * np.float64(p))],
                         dtype=np.float64)

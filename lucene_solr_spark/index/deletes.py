@@ -67,12 +67,26 @@ def update_documents(
     matches a new doc, then append the new docs as fresh segments.
 
     The new docs get doc_ids above the current maxDoc; the old versions
-    become invisible immediately and are purged at the next merge."""
+    become invisible immediately and are purged at the next merge.
+
+    Appending must use the SAME analysis configuration the index was
+    built with: pass ``stopwords``/``analyzer`` for a single-field index
+    and ``fields`` (+ ``analyzers``) for a multi-field one — the
+    manifest records which fields exist but cannot persist analyzer
+    chains (Python callables), so a multi-field index REQUIRES the
+    ``fields`` mapping here and raises otherwise."""
     index_path = Path(index_path)
     key_cols = key_cols or ["repo", "path"]
     manifest = read_manifest(index_path)
     if manifest is None or not manifest.get("committed"):
         raise FileNotFoundError(f"no committed index at {index_path}")
+    if manifest.get("field_stats") and set(
+        (build_kwargs.get("fields") or {})
+    ) != set(manifest["field_stats"]):
+        raise ValueError(
+            "multi-field index: update_documents requires fields={name: column} "
+            f"matching the manifest's fields {sorted(manifest['field_stats'])}"
+        )
 
     stored = spark.read.parquet(str(index_path / "docs.parquet"))
     victims = stored.join(
@@ -107,26 +121,89 @@ def _append_docs_segment(
     chain the index was built with (the manifest cannot persist a chain —
     it holds Python callables), else the appended postings/norms diverge
     from the existing segments' analysis."""
-    from ..index.core import compute_norms, encode_postings, invert_tokens
+    from ..index.core import (
+        NORMS_TERM,
+        compute_norms,
+        encode_postings,
+        fused_encode,
+        invert_tokens,
+        norms_from_fused,
+    )
 
     manifest = read_manifest(index_path)
+    fields: dict[str, str] | None = kwargs.pop("fields", None)
+    analyzers: dict | None = kwargs.pop("analyzers", None)
     seg_id = max(s["segment_id"] for s in manifest["segments"]) + 1
     docs = docs.withColumn("content_sha256", F.sha2(F.col(text_col), 256)).persist()
     n = docs.count()
     lo = max(s["max_doc"] for s in manifest["segments"])
     t0 = time.time()
     seg_path = index_path / "segments" / f"seg={seg_id}"
-    stream = invert_tokens(docs, "doc_id", text_col, stopwords, analyzer=analyzer)
-    encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
-        "term", "first_doc"
-    ).write.mode("overwrite").parquet(str(seg_path))
-    # norms.parquet is ALWAYS seg=<id>-partitioned (builder + streaming
-    # layout): a root-level append would be silently ignored by Spark's
-    # partition discovery, dropping the appended docs from MatchAll and
-    # corrupting avgdl.  Write our own seg dir (overwrite = idempotent).
-    compute_norms(docs, "doc_id", text_col, stopwords, analyzer=analyzer).write.mode(
-        "overwrite"
-    ).parquet(str(index_path / "norms.parquet" / f"seg={seg_id}"))
+    if fields:
+        # multi-field append: one fused flush per field with the SAME
+        # "field:token" / per-field-norms layout as the builder
+        from functools import reduce
+
+        fparts = []
+        for fname, col in fields.items():
+            b = fused_encode(
+                docs, "doc_id", col, stopwords,
+                analyzer=(analyzers or {}).get(fname),
+            )
+            fparts.append(
+                b.withColumn(
+                    "term",
+                    F.when(
+                        F.col("term") == NORMS_TERM,
+                        F.lit(NORMS_TERM + ":" + fname),
+                    ).otherwise(F.concat(F.lit(fname + ":"), F.col("term"))),
+                )
+            )
+        reduce(DataFrame.unionByName, fparts).repartitionByRange(
+            "term"
+        ).sortWithinPartitions("term", "first_doc").write.mode("overwrite").parquet(
+            str(seg_path)
+        )
+        seg_blocks = spark.read.parquet(str(seg_path))
+        norm_blocks = seg_blocks.filter(
+            F.col("term").startswith(NORMS_TERM)
+        ).withColumn("field", F.expr(f"substring(term, {len(NORMS_TERM) + 2})"))
+        fnorms = None
+        for fname in fields:
+            nf = norms_from_fused(
+                norm_blocks.filter(F.col("field") == fname).withColumn(
+                    "term", F.lit(NORMS_TERM)
+                )
+            ).withColumn("field", F.lit(fname))
+            fnorms = nf if fnorms is None else fnorms.unionByName(nf)
+        fnorms.write.mode("overwrite").parquet(
+            str(index_path / "norms.parquet" / f"seg={seg_id}")
+        )
+        # per-field CollectionStatistics grow with the appended docs
+        per_field = {
+            r["field"]: (int(r["n"]), int(r["ttf"]))
+            for r in norm_blocks.groupBy("field")
+            .agg(
+                F.coalesce(F.sum("doc_count"), F.lit(0)).alias("n"),
+                F.coalesce(F.sum("sum_tf"), F.lit(0)).alias("ttf"),
+            )
+            .collect()
+        }
+        for fname, (fn_, ft_) in per_field.items():
+            old = manifest["field_stats"].get(fname, [0, 0])
+            manifest["field_stats"][fname] = [old[0] + fn_, old[1] + ft_]
+    else:
+        stream = invert_tokens(docs, "doc_id", text_col, stopwords, analyzer=analyzer)
+        encode_postings(stream).repartitionByRange("term").sortWithinPartitions(
+            "term", "first_doc"
+        ).write.mode("overwrite").parquet(str(seg_path))
+        # norms.parquet is ALWAYS seg=<id>-partitioned (builder + streaming
+        # layout): a root-level append would be silently ignored by Spark's
+        # partition discovery, dropping the appended docs from MatchAll and
+        # corrupting avgdl.  Write our own seg dir (overwrite = idempotent).
+        compute_norms(docs, "doc_id", text_col, stopwords, analyzer=analyzer).write.mode(
+            "overwrite"
+        ).parquet(str(index_path / "norms.parquet" / f"seg={seg_id}"))
     docs_root = index_path / "docs.parquet"
     if any(p.is_dir() and "=" in p.name for p in docs_root.iterdir()):
         # stream-built store (seg=<id> dirs): root-level files would be
@@ -134,7 +211,11 @@ def _append_docs_segment(
         docs.write.mode("overwrite").parquet(str(docs_root / f"seg={seg_id}"))
     else:
         docs.write.mode("append").parquet(str(docs_root))
-    written = spark.read.parquet(str(seg_path))
+    # exclude norms pseudo-rows (present in the fused multi-field layout)
+    # so segment token metrics never double-count
+    written = spark.read.parquet(str(seg_path)).filter(
+        ~F.col("term").startswith("\x00norms")
+    )
     agg = written.agg(
         F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
     ).collect()[0]

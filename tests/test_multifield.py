@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from lucene_solr_spark.corpus import gen_corpus_pdf
 from lucene_solr_spark.index import build_multifield_index_view
 from lucene_solr_spark.oracle import MiniLucene
@@ -206,3 +208,42 @@ def test_field_qualified_range_syntax(engine, oracle):
     got = _run(engine, q, k=50)
     assert got == oracle.search(q, k=50)
     assert got, "range matched nothing — probe terms missing"
+
+
+def test_update_documents_multifield(spark, corpus, tmp_path):
+    """update_documents on a persistent multi-field index appends with
+    the same field:token layout, per-field norms, and grown field_stats
+    (it used to silently append unqualified single-field postings)."""
+    from lucene_solr_spark.index import build_index, check_index, open_index, update_documents
+
+    path = tmp_path / "mfupd"
+    df = spark.createDataFrame(corpus[["doc_id", "content", "pathtext"]])
+    df = df.withColumn("repo", F.concat(F.lit("r"), F.col("doc_id"))).withColumn(
+        "path", F.concat(F.lit("p"), F.col("doc_id"))
+    )
+    build_index(
+        spark, df, path,
+        id_col="doc_id", segment_docs=60,
+        fields={"content": "content", "path": "pathtext"},
+        default_field="content", text_col="content",
+    )
+    fields = {"content": "content", "path": "pathtext"}
+    new_docs = spark.createDataFrame(
+        [("rX", "pX", "freshbody freshbody content here", "newdir newfile")],
+        "repo string, path string, content string, pathtext string",
+    )
+    # guard: multi-field index without fields mapping must raise
+    with pytest.raises(ValueError, match="requires fields"):
+        update_documents(spark, path, new_docs, key_cols=["repo", "path"])
+    before = open_index(spark, path).field_stats
+    update_documents(spark, path, new_docs, key_cols=["repo", "path"],
+                     fields=fields)
+    idx = open_index(spark, path)
+    # appended terms are field-qualified and findable per field
+    assert search(idx, parse_query("content:freshbody"), k=5).count() == 1
+    assert search(idx, parse_query("path:newdir"), k=5).count() == 1
+    assert search(idx, parse_query("path:freshbody"), k=5).count() == 0
+    # per-field stats grew, norms keep the field column, CheckIndex clean
+    assert idx.field_stats["content"][0] == before["content"][0] + 1
+    assert idx.field_stats["path"][0] == before["path"][0] + 1
+    assert check_index(idx, expect_disjoint_ranges=False) == {}
