@@ -80,12 +80,14 @@ def update_documents(
     manifest = read_manifest(index_path)
     if manifest is None or not manifest.get("committed"):
         raise FileNotFoundError(f"no committed index at {index_path}")
-    if manifest.get("field_stats") and set(
-        (build_kwargs.get("fields") or {})
-    ) != set(manifest["field_stats"]):
+    want_fields = set(build_kwargs.get("fields") or {})
+    have_fields = set(manifest.get("field_stats") or {})
+    if want_fields != have_fields:
         raise ValueError(
-            "multi-field index: update_documents requires fields={name: column} "
-            f"matching the manifest's fields {sorted(manifest['field_stats'])}"
+            "update_documents fields mismatch: the index was built with "
+            f"fields {sorted(have_fields) or '(single-field)'} but the call "
+            f"passed {sorted(want_fields) or '(none)'} — appends must use the "
+            "index's own field layout"
         )
 
     stored = spark.read.parquet(str(index_path / "docs.parquet"))

@@ -233,7 +233,7 @@ def test_update_documents_multifield(spark, corpus, tmp_path):
         "repo string, path string, content string, pathtext string",
     )
     # guard: multi-field index without fields mapping must raise
-    with pytest.raises(ValueError, match="requires fields"):
+    with pytest.raises(ValueError, match="fields mismatch"):
         update_documents(spark, path, new_docs, key_cols=["repo", "path"])
     before = open_index(spark, path).field_stats
     update_documents(spark, path, new_docs, key_cols=["repo", "path"],
@@ -247,3 +247,18 @@ def test_update_documents_multifield(spark, corpus, tmp_path):
     assert idx.field_stats["content"][0] == before["content"][0] + 1
     assert idx.field_stats["path"][0] == before["path"][0] + 1
     assert check_index(idx, expect_disjoint_ranges=False) == {}
+
+
+def test_update_documents_rejects_fields_on_single_field_index(spark, tmp_path):
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, update_documents
+
+    path = tmp_path / "sfidx"
+    build_index(spark, gen_corpus_df(spark, 60, seed=2), path, segment_docs=60)
+    nd = spark.createDataFrame(
+        [("r", "p", "c", "python", "body")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(ValueError, match="fields mismatch"):
+        update_documents(spark, path, nd, key_cols=["repo", "path"],
+                         fields={"content": "content"})
