@@ -798,6 +798,11 @@ def _column_tree_scores(index: IndexView, q) -> DataFrame | None:
     tb = _tree_terms_boosts(q)
     if tb is None or not tb:
         return None
+    if len(tb) > 256:
+        # pivot width safety valve: a tree with hundreds of distinct
+        # terms would compile a very wide plan; the recursive scorer's
+        # per-clause unions handle that shape better
+        return None
     terms = sorted(tb)
     scored, _ = scored_leaves(index, terms, boosts=tb)
     wide = scored.groupBy("doc_id").pivot("term", terms).agg(F.first("score"))
