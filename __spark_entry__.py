@@ -626,9 +626,12 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DirectSpellChecker: corrections for the misspelling 'windwo'
+    """DirectSpellChecker: corrections for the misspelling 'sacn'
     within ONE Damerau edit (OSA == full Damerau at distance <= 1, so
-    DuckDB's damerau_levenshtein re-derives it exactly)."""
+    DuckDB's damerau_levenshtein re-derives it exactly).  minPrefix=1
+    (the DirectSpellChecker default): candidates share the first
+    character, and the StartsWith predicate is pushed into the
+    dictionary scan — the oracle models it as ``term LIKE 's%'``."""
     from lucene_solr_spark.search.extras import spell_suggest
 
     return spell_suggest(_index_for(spark, sf_dir), "sacn", max_edits=1, k=5)
@@ -1325,7 +1328,7 @@ td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
 SELECT term, CAST(damerau_levenshtein(term, 'sacn') AS INTEGER) AS distance,
        CAST(df AS BIGINT) AS df
 FROM td
-WHERE damerau_levenshtein(term, 'sacn') = 1
+WHERE damerau_levenshtein(term, 'sacn') = 1 AND term LIKE 's%'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
         "stream_merge_unique": """
 SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -55,6 +55,8 @@ __all__ = [
     "edge_ngram_filter",
     "shingle_filter",
     "stop_filter",
+    "chain_spec",
+    "chain_from_spec",
 ]
 
 #: shared with oracle_sql(); keep in sync with __spark_entry__.py
@@ -267,20 +269,44 @@ class Map:
     ``prefix_safe``: the map commutes with prefixing (character-local,
     like ASCII folding) so query-side analysis may apply it to Prefix
     patterns; stemming is NOT (the stem of a prefix is not a prefix of
-    the stems)."""
+    the stems).  ``params`` carries the declarative constructor args so
+    the step serializes into a manifest chain spec (``chain_spec``)."""
 
     fn: Callable[[str], str]
     name: str = "map"
     prefix_safe: bool = False
+    params: tuple = ()
+
+    def __eq__(self, other):  # spec-level equality (callables never compare equal)
+        return (
+            isinstance(other, Map)
+            and self.name == other.name
+            and self.params == other.params
+        )
+
+    def __hash__(self):
+        return hash((self.name, self.params))
 
 
 @dataclass(frozen=True)
 class Expand:
     """Token → tokens at the SAME position (SynonymFilter /
-    EdgeNGramTokenFilter shape); vectorized per unique token."""
+    EdgeNGramTokenFilter shape); vectorized per unique token.
+    ``params`` as in ``Map``."""
 
     fn: Callable[[str], tuple]
     name: str = "expand"
+    params: tuple = ()
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Expand)
+            and self.name == other.name
+            and self.params == other.params
+        )
+
+    def __hash__(self):
+        return hash((self.name, self.params))
 
 
 @dataclass(frozen=True)
@@ -318,7 +344,10 @@ def synonym_filter(mapping: dict[str, Iterable[str]], keep_original: bool = True
             return (t,)
         return ((t,) + syns) if keep_original else syns
 
-    return Expand(fn, "synonym")
+    return Expand(
+        fn, "synonym",
+        params=(tuple(sorted(table.items())), bool(keep_original)),
+    )
 
 
 def edge_ngram_filter(min_gram: int = 2, max_gram: int = 5, keep_original: bool = False) -> Expand:
@@ -331,7 +360,10 @@ def edge_ngram_filter(min_gram: int = 2, max_gram: int = 5, keep_original: bool 
             grams += (t,)
         return grams or ((t,) if keep_original else ())
 
-    return Expand(fn, "edge_ngram")
+    return Expand(
+        fn, "edge_ngram",
+        params=(int(min_gram), int(max_gram), bool(keep_original)),
+    )
 
 
 def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) -> Shingle:
@@ -461,3 +493,77 @@ def chain_for(stopwords: frozenset[str] | None = None,
     if stopwords:
         return Chain(steps=(Stop(frozenset(stopwords)),))
     return Chain()
+
+
+# ---------------------------------------------------------------------------
+# declarative chain spec — the Solr managed-schema analog
+# ---------------------------------------------------------------------------
+
+
+def chain_spec(chain: Chain) -> dict | None:
+    """Serialize a Chain to a JSON-able spec, or None when a step holds a
+    custom callable the spec cannot reconstruct.
+
+    Mirrors Solr's managed schema (``[8x] solr/core/src/java/org/apache/
+    solr/schema/IndexSchema.java``): the analyzer CONFIG is persisted with
+    the index, so append/update never has to re-supply (or risk
+    mismatching) the chain.  Step callables are rebuilt by
+    ``chain_from_spec`` from the recorded names + params."""
+    steps: list = []
+    for step in chain.steps:
+        if isinstance(step, Stop):
+            steps.append({"kind": "stop", "words": sorted(step.words)})
+        elif isinstance(step, Map) and step.name in ("porter", "ascii_fold"):
+            steps.append({"kind": step.name})
+        elif isinstance(step, Expand) and step.name == "synonym" and step.params:
+            table, keep = step.params
+            steps.append(
+                {
+                    "kind": "synonym",
+                    "mapping": {k: list(v) for k, v in table},
+                    "keep_original": keep,
+                }
+            )
+        elif isinstance(step, Expand) and step.name == "edge_ngram" and step.params:
+            mn, mx, keep = step.params
+            steps.append(
+                {"kind": "edge_ngram", "min_gram": mn, "max_gram": mx,
+                 "keep_original": keep}
+            )
+        elif isinstance(step, Shingle):
+            steps.append(
+                {"kind": "shingle", "size": step.size, "sep": step.sep,
+                 "keep_unigrams": step.keep_unigrams}
+            )
+        else:
+            return None  # custom callable — not declaratively serializable
+    return {"pattern": chain.pattern, "steps": steps}
+
+
+def chain_from_spec(spec: dict) -> Chain:
+    """Reconstruct a Chain from ``chain_spec`` output (inverse bijection
+    on the built-in filter family; validated by a round-trip test)."""
+    steps: list = []
+    for s in spec.get("steps", []):
+        kind = s["kind"]
+        if kind == "stop":
+            steps.append(stop_filter(s["words"]))
+        elif kind == "porter":
+            steps.append(stem_filter())
+        elif kind == "ascii_fold":
+            steps.append(ascii_fold_filter())
+        elif kind == "synonym":
+            steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
+        elif kind == "edge_ngram":
+            steps.append(
+                edge_ngram_filter(s.get("min_gram", 2), s.get("max_gram", 5),
+                                  s.get("keep_original", False))
+            )
+        elif kind == "shingle":
+            steps.append(
+                shingle_filter(s.get("size", 2), s.get("sep", "_"),
+                               s.get("keep_unigrams", True))
+            )
+        else:
+            raise ValueError(f"unknown chain step kind: {kind!r}")
+    return Chain(steps=tuple(steps), pattern=spec.get("pattern", TOKEN_PATTERN))

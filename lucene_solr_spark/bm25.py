@@ -33,6 +33,7 @@ __all__ = [
     "ClassicSimilarity",
     "LMDirichlet",
     "DFRInL2",
+    "BooleanSimilarity",
     "DEFAULT_K1",
     "DEFAULT_B",
 ]
@@ -150,6 +151,55 @@ class ClassicSimilarity:
         tf = np.sqrt(np.asarray(tfs, dtype=np.float32)).astype(np.float32)
         inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
         return (weight * tf * inv).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class BooleanSimilarity:
+    """Lucene-8 BooleanSimilarity (``[8x] lucene/core/src/java/org/apache/
+    lucene/search/similarities/BooleanSimilarity.java``): every matching
+    doc scores exactly the query boost — tf, norms and statistics are all
+    ignored ("simple similarity that gives terms a score equal to their
+    query boost").
+
+    Duck-typed to the shared similarity slot: ``idf`` ≡ 1 so a Term's
+    weight is its boost; ``score`` returns the weight for every posting;
+    ``phrase_weight`` pins a phrase's single scorer to the phrase boost
+    (Lucene builds ONE SimScorer per PhraseWeight, so the constituent
+    idfs are never summed).  Block-max pruning stays trivially sound:
+    the per-block upper bound equals every true score."""
+
+    @staticmethod
+    def idf(df: int | np.ndarray, doc_count: int) -> np.float32 | np.ndarray:
+        dfa = np.asarray(df, dtype=np.float64)
+        out = np.ones_like(dfa, dtype=np.float32)
+        return out if out.ndim else np.float32(1.0)
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return np.zeros(256, dtype=np.float32)  # norms are ignored
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        return np.float32(boost)
+
+    @staticmethod
+    def phrase_weight(idfs: list, boost: float) -> np.float32:
+        """One scorer per phrase: the weight IS the boost."""
+        return np.float32(boost)
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.float32, cache: np.ndarray
+    ) -> np.ndarray:
+        return np.full(np.asarray(tfs).shape, np.float32(weight), dtype=np.float32)
 
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:

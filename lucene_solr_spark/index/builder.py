@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..bm25 import BM25, ClassicSimilarity, DFRInL2, LMDirichlet
+from ..bm25 import BM25, BooleanSimilarity, ClassicSimilarity, DFRInL2, LMDirichlet
 from .core import (
     NORMS_TERM,
     IndexView,
@@ -61,6 +61,8 @@ def _similarity_from_manifest(manifest: dict):
     sim = manifest.get("similarity") or {"name": "bm25"}
     if sim.get("name") == "classic":
         return ClassicSimilarity()
+    if sim.get("name") == "boolean":
+        return BooleanSimilarity()
     if sim.get("name") == "lm_dirichlet":
         return LMDirichlet(mu=float(sim.get("mu", 2000.0)))
     if sim.get("name") == "dfr_inl2":
@@ -180,6 +182,7 @@ def build_index(
     fields: dict[str, str] | None = None,
     analyzers: dict | None = None,
     default_field: str | None = None,
+    store_term_vectors: bool = False,
 ) -> dict:
     """Build (or resume) a persistent index; returns the committed manifest.
 
@@ -215,6 +218,9 @@ def build_index(
         elif isinstance(bm25, DFRInL2):
             sim_entry = {"name": "dfr_inl2", "c": bm25.c}
             bm25_entry = {}
+        elif isinstance(bm25, BooleanSimilarity):
+            sim_entry = {"name": "boolean"}
+            bm25_entry = {}
         else:  # ClassicSimilarity (or any parameterless duck-typed sim)
             sim_entry = {"name": "classic"}
             bm25_entry = {}
@@ -227,6 +233,19 @@ def build_index(
             "segments": [],
             "stats": {},
         }
+        # persist the analyzer CONFIG with the index (Solr managed-schema
+        # analog): appends reconstruct the exact chain from the spec — a
+        # null spec means a custom callable chain the caller must re-supply
+        from ..analysis import chain_for, chain_spec
+
+        if fields:
+            manifest["fields"] = dict(fields)
+            manifest["analyzers"] = {
+                fname: chain_spec(chain_for(stopwords, (analyzers or {}).get(fname)))
+                for fname in fields
+            }
+        else:
+            manifest["analyzer"] = chain_spec(chain_for(stopwords, analyzer))
 
     # ---- stored fields + doc ids (idempotent: skip if already written) ---
     docs_path = index_path / "docs.parquet"
@@ -304,6 +323,19 @@ def build_index(
             norms_from_fused(seg_blocks).write.mode("overwrite").parquet(
                 str(index_path / "norms.parquet" / f"seg={seg}")
             )
+        if store_term_vectors:
+            # forward index (Lucene term vectors, .tvd — opt-in per field
+            # there via FieldType#setStoreTermVectors, opt-in here too):
+            # one extra map-only tokenize pass per segment, no shuffle;
+            # written doc_id-sorted so a one-doc lookup is a row-group seek
+            from .core import term_vectors
+
+            term_vectors(
+                part, id_col, text_col, stopwords, analyzer=analyzer,
+                fields=fields, analyzers=analyzers,
+            ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+                str(index_path / "term_vectors.parquet" / f"seg={seg}")
+            )
         written = seg_blocks.filter(~F.col("term").startswith(NORMS_TERM))
         agg = written.agg(
             F.count(F.lit(1)).alias("blocks"),
@@ -366,6 +398,7 @@ def build_index(
             F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"),
         ).collect()[0]
         manifest["stats"] = {"doc_count": int(stats["n"]), "sum_ttf": int(stats["ttf"])}
+    manifest["term_vectors"] = bool(store_term_vectors)
     manifest["committed"] = True
     write_manifest(index_path, manifest)
     return manifest
@@ -406,6 +439,12 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
             F.sum("sum_tf").cast("long").alias("cf"),
         )
     field_stats = manifest.get("field_stats")
+    tv_path = index_path / "term_vectors.parquet"
+    tv = (
+        spark.read.parquet(str(tv_path))
+        if manifest.get("term_vectors") and tv_path.exists()
+        else None
+    )
     return IndexView(
         spark=spark,
         postings=postings,
@@ -417,4 +456,5 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         tombstones=tombstones,
         field_stats={f: tuple(v) for f, v in field_stats.items()} if field_stats else None,
         default_field=manifest.get("default_field", "content"),
+        term_vectors=tv,
     )

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -62,8 +63,8 @@ def _flat_token_arrays(pdf: pd.DataFrame, id_col: str, text_col: str, chain: Cha
     return ids, terms, row_idx, pos, dl_per_row
 
 __all__ = ["IndexView", "build_index_view", "build_multifield_index_view",
-           "invert_tokens", "encode_postings", "fused_encode",
-           "TOKEN_STREAM_SCHEMA", "POSTINGS_SCHEMA"]
+           "invert_tokens", "encode_postings", "fused_encode", "term_vectors",
+           "TOKEN_STREAM_SCHEMA", "POSTINGS_SCHEMA", "TERM_VECTORS_SCHEMA"]
 
 
 #: token rows buffered per vectorized encode flush (~30 MB of int rows);
@@ -416,6 +417,93 @@ NORMS_SCHEMA = StructType(
 )
 
 
+TERM_VECTORS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("terms", ArrayType(StringType())),
+        StructField("tfs", ArrayType(LongType())),
+    ]
+)
+
+
+def term_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    stopwords: frozenset[str] | None = None,
+    analyzer: Chain | None = None,
+    fields: dict[str, str] | None = None,
+    analyzers: dict[str, Chain] | None = None,
+) -> DataFrame:
+    """Doc → (terms, tfs) forward index — Lucene's term vectors
+    (``[8x] lucene/core/.../codecs/compressing/CompressingTermVectors
+    Writer.java``; per-field opt-in via FieldType#setStoreTermVectors,
+    which is why this is a separate opt-in pass here too).
+
+    One map-only tokenize pass over the corpus, no shuffle: per Arrow
+    batch the flat token arrays are grouped to per-doc (term, tf) pairs
+    with one factorize + one np.unique — exactly one output row per
+    input doc (empty arrays for token-less docs), terms sorted.  This is
+    what makes MoreLikeThis read ONE doc's terms instead of decoding the
+    posting store.  In multi-field mode (``fields`` name → column, with
+    optional per-field ``analyzers``) terms are stored qualified
+    ("field:token"), matching the posting store's layout."""
+    if fields:
+        specs = [
+            (fname, col, chain_for(stopwords, (analyzers or {}).get(fname)))
+            for fname, col in fields.items()
+        ]
+    else:
+        specs = [(None, text_col, chain_for(stopwords, analyzer))]
+    src_cols = [id_col] + sorted({c for _, c, _ in specs})
+
+    def _tv(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n_rows = ids.size
+            all_terms, all_rows = [], []
+            for fname, col, chain in specs:
+                _ids, terms, row_idx, _pos, _dl = _flat_token_arrays(
+                    pdf, id_col, col, chain
+                )
+                if terms.size == 0:
+                    continue
+                if fname is not None:
+                    terms = (
+                        pd.Series(terms, dtype=object).radd(fname + ":")
+                        .to_numpy(dtype=object)
+                    )
+                all_terms.append(terms)
+                all_rows.append(row_idx)
+            if not all_terms:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "terms": [[]] * n_rows, "tfs": [[]] * n_rows}
+                )
+                continue
+            terms_cat = np.concatenate(all_terms)
+            rows_cat = np.concatenate(all_rows)
+            codes, uniq = pd.factorize(pd.Series(terms_cat), sort=True)
+            nt = len(uniq)
+            key = rows_cat * nt + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            urow = ukey // nt
+            ucode = ukey % nt
+            uarr = np.asarray(uniq, dtype=object)
+            starts = np.searchsorted(urow, np.arange(n_rows, dtype=np.int64))
+            ends = np.searchsorted(
+                urow, np.arange(n_rows, dtype=np.int64), side="right"
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "terms": [uarr[ucode[s:e]].tolist() for s, e in zip(starts, ends)],
+                    "tfs": [counts[s:e].tolist() for s, e in zip(starts, ends)],
+                }
+            )
+
+    return df.select(*src_cols).mapInPandas(_tv, TERM_VECTORS_SCHEMA)
+
+
 def compute_norms(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -470,6 +558,10 @@ class IndexView:
     #: bare query terms resolve against ``default_field``
     field_stats: dict | None = None
     default_field: str = "content"
+    #: optional doc→(terms, tfs) forward index (Lucene term vectors —
+    #: per-field opt-in there too); MoreLikeThis reads ONE row from it
+    #: instead of decoding the posting store
+    term_vectors: DataFrame | None = None
 
     def field_of(self, term: str) -> str | None:
         if self.field_stats is None:
@@ -557,6 +649,7 @@ def build_multifield_index_view(
     num_partitions: int | None = None,
     cache: bool = True,
     analyzers: dict[str, Chain] | None = None,
+    store_term_vectors: bool = False,
 ) -> IndexView:
     """Multi-field index: one inverted index per field fused into one
     posting store (Lucene's per-field FieldsProducer / Solr schema).
@@ -625,6 +718,12 @@ def build_multifield_index_view(
         .collect()
     }
     total_docs = df.count()
+    tv = None
+    if store_term_vectors:
+        tv = term_vectors(df, id_col, fields=fields, stopwords=stopwords,
+                          analyzers=analyzers)
+        if cache:
+            tv = tv.persist()
     return IndexView(
         spark=spark,
         postings=postings,
@@ -635,6 +734,7 @@ def build_multifield_index_view(
         bm25=bm25 or BM25(),
         field_stats=per_field,
         default_field=default_field or next(iter(fields)),
+        term_vectors=tv,
     )
 
 
@@ -649,6 +749,7 @@ def build_index_view(
     salt: bool | frozenset[str] = True,
     fused: bool = True,
     analyzer: Chain | None = None,
+    store_term_vectors: bool = False,
 ) -> IndexView:
     """One-shot transient index over any (id, text) DataFrame.
 
@@ -665,6 +766,11 @@ def build_index_view(
     # real cluster the scan has plenty of splits and this is a no-op.
     if df.rdd.getNumPartitions() < num_partitions:
         df = df.repartition(num_partitions)
+    tv = None
+    if store_term_vectors:
+        tv = term_vectors(df, id_col, text_col, stopwords, analyzer=analyzer)
+        if cache:
+            tv = tv.persist()
     if fused:
         blocks_all = fused_encode(df, id_col, text_col, stopwords, analyzer=analyzer)
         if cache:
@@ -692,6 +798,7 @@ def build_index_view(
             doc_count=int(stats["n"]),
             sum_ttf=int(stats["ttf"]),
             bm25=bm25 or BM25(),
+            term_vectors=tv,
         )
     else:
         salt_terms: frozenset[str] | None = None
@@ -726,4 +833,5 @@ def build_index_view(
         doc_count=int(stats["n"]),
         sum_ttf=int(stats["ttf"]),
         bm25=bm25 or BM25(),
+        term_vectors=tv,
     )

@@ -69,19 +69,25 @@ def update_documents(
     The new docs get doc_ids above the current maxDoc; the old versions
     become invisible immediately and are purged at the next merge.
 
-    Appending must use the SAME analysis configuration the index was
-    built with: pass ``stopwords``/``analyzer`` for a single-field index
-    and ``fields`` (+ ``analyzers``) for a multi-field one — the
-    manifest records which fields exist but cannot persist analyzer
-    chains (Python callables), so a multi-field index REQUIRES the
-    ``fields`` mapping here and raises otherwise."""
+    Appending uses the SAME analysis configuration the index was built
+    with.  The manifest persists a declarative chain spec (Solr managed-
+    schema analog, ``analysis.chain_spec``), so callers normally pass
+    NOTHING here — fields and per-field chains are reconstructed from
+    the manifest.  A caller-supplied chain is VALIDATED against the
+    recorded spec and a mismatch raises (a silently-divergent chain
+    would corrupt postings).  Only an index built with a custom
+    non-serializable chain (spec = null in the manifest) still requires
+    the caller to re-supply it."""
     index_path = Path(index_path)
     key_cols = key_cols or ["repo", "path"]
     manifest = read_manifest(index_path)
     if manifest is None or not manifest.get("committed"):
         raise FileNotFoundError(f"no committed index at {index_path}")
-    want_fields = set(build_kwargs.get("fields") or {})
     have_fields = set(manifest.get("field_stats") or {})
+    if "fields" not in build_kwargs and have_fields and manifest.get("fields"):
+        # auto-load the persisted field layout
+        build_kwargs["fields"] = dict(manifest["fields"])
+    want_fields = set(build_kwargs.get("fields") or {})
     if want_fields != have_fields:
         raise ValueError(
             "update_documents fields mismatch: the index was built with "
@@ -89,6 +95,7 @@ def update_documents(
             f"passed {sorted(want_fields) or '(none)'} — appends must use the "
             "index's own field layout"
         )
+    _resolve_append_chains(manifest, build_kwargs)
 
     stored = spark.read.parquet(str(index_path / "docs.parquet"))
     victims = stored.join(
@@ -108,6 +115,53 @@ def update_documents(
     # write appended segment via the builder's segment machinery
     manifest = _append_docs_segment(spark, index_path, appended, text_col, **build_kwargs)
     return manifest
+
+
+def _resolve_append_chains(manifest: dict, build_kwargs: dict) -> None:
+    """Reconstruct (or validate) the analyzer chains for an append from
+    the manifest's persisted chain specs (Solr managed-schema semantics:
+    the index's analysis config travels WITH the index).
+
+    Mutates ``build_kwargs`` in place: absent chains are loaded from the
+    spec; present chains are spec-compared and a mismatch raises."""
+    from ..analysis import chain_for, chain_from_spec, chain_spec
+
+    def check(recorded: dict | None, supplied_spec: dict | None, label: str):
+        if recorded is None or supplied_spec is None:
+            return  # custom chain on either side: caller's responsibility
+        if recorded != supplied_spec:
+            raise ValueError(
+                f"update_documents analyzer mismatch for {label}: the index "
+                f"was built with {recorded} but the call supplies "
+                f"{supplied_spec} — a divergent chain would corrupt postings"
+            )
+
+    if manifest.get("field_stats"):
+        specs = manifest.get("analyzers")
+        if specs is None:
+            return  # pre-spec manifest: legacy behavior (caller supplies)
+        supplied = build_kwargs.get("analyzers")
+        stop = build_kwargs.get("stopwords")
+        if supplied is None and stop is None:
+            if all(s is not None for s in specs.values()):
+                build_kwargs["analyzers"] = {
+                    f: chain_from_spec(s) for f, s in specs.items()
+                }
+        else:
+            for fname, rec in specs.items():
+                eff = chain_spec(chain_for(stop, (supplied or {}).get(fname)))
+                check(rec, eff, f"field {fname!r}")
+    else:
+        spec = manifest.get("analyzer")
+        if spec is None:
+            return
+        if build_kwargs.get("analyzer") is None and build_kwargs.get("stopwords") is None:
+            build_kwargs["analyzer"] = chain_from_spec(spec)
+        else:
+            eff = chain_spec(
+                chain_for(build_kwargs.get("stopwords"), build_kwargs.get("analyzer"))
+            )
+            check(spec, eff, "the index")
 
 
 def _append_docs_segment(
@@ -206,6 +260,16 @@ def _append_docs_segment(
         compute_norms(docs, "doc_id", text_col, stopwords, analyzer=analyzer).write.mode(
             "overwrite"
         ).parquet(str(index_path / "norms.parquet" / f"seg={seg_id}"))
+    if manifest.get("term_vectors"):
+        # the forward index grows with the append (same seg=<id> layout)
+        from .core import term_vectors
+
+        term_vectors(
+            docs, "doc_id", text_col, stopwords, analyzer=analyzer,
+            fields=fields, analyzers=analyzers,
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+            str(index_path / "term_vectors.parquet" / f"seg={seg_id}")
+        )
     docs_root = index_path / "docs.parquet"
     if any(p.is_dir() and "=" in p.name for p in docs_root.iterdir()):
         # stream-built store (seg=<id> dirs): root-level files would be

@@ -316,8 +316,12 @@ class MiniLucene:
         # so a repeated term contributes its idf once per occurrence
         # (PhraseQuery#createWeight iterates terms[], duplicates included)
         idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in q.terms]
-        total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-        w = np.float32(total * np.float32(q.boost))
+        if hasattr(self.bm25, "phrase_weight"):
+            # one SimScorer per PhraseWeight (BooleanSimilarity: = boost)
+            w = self.bm25.phrase_weight(idfs, q.boost)
+        else:
+            total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = np.float32(total * np.float32(q.boost))
         out = {}
         for d, tf in freqs.items():
             s = self.bm25.score(

@@ -69,14 +69,21 @@ _POSTINGS_TABLE_SCHEMA = StructType(
 )
 
 
-def postings_table(index: IndexView, terms: list[str] | None = None) -> DataFrame:
+def postings_table(
+    index: IndexView,
+    terms: list[str] | None = None,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
     """Decode posting blocks to a row-per-posting DataFrame
     [term, doc_id, tf, norm_byte] — the relational view of the index that
     Solr's termfreq()/docfreq() function queries expose (SURVEY.md §2.8).
+    ``blocks`` overrides the block set (e.g. a first_doc/last_doc range
+    pre-filter) so callers never decode blocks they can prove irrelevant.
     """
-    blocks = index.postings
-    if terms is not None:
-        blocks = blocks.filter(F.col("term").isin(terms))
+    if blocks is None:
+        blocks = index.postings
+        if terms is not None:
+            blocks = blocks.filter(F.col("term").isin(terms))
 
     def _decode(batches):
         for pdf in batches:
@@ -333,15 +340,16 @@ def _multiterm_cond(q):
     if isinstance(q, Fuzzy):
         if q.transpositions:
             # Damerau/OSA — FuzzyQuery's default; no JVM builtin, so the
-            # distance runs as an Arrow-batched UDF over the dictionary
-            # scan (shared osa_distance with the oracle)
-            from ..oracle import osa_distance
+            # distance runs as an Arrow-batched vectorized kernel over the
+            # dictionary scan (search/fuzzy.py: ONE numpy DP per batch,
+            # pinned identical to the oracle's osa_distance)
+            from .fuzzy import osa_distances
 
             target, cap = q.term, q.max_edits
 
             @F.pandas_udf("boolean")
             def _within(terms: pd.Series) -> pd.Series:
-                return terms.map(lambda t: osa_distance(t, target) <= cap)
+                return pd.Series(osa_distances(terms, target, cap=cap) <= cap)
 
             cond = _within(F.col("term"))
         else:
@@ -594,8 +602,12 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
             return pd.Series(acc.astype(np.float32).astype(np.float64))
     else:
         idfs = [sim.idf(full[t][0], index.stats_for(t)[0]) for t in phrase.terms]
-        total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
-        w = np.float32(total_idf * np.float32(phrase.boost))
+        if hasattr(sim, "phrase_weight"):
+            # one SimScorer per PhraseWeight (BooleanSimilarity: = boost)
+            w = sim.phrase_weight(idfs, phrase.boost)
+        else:
+            total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = np.float32(total_idf * np.float32(phrase.boost))
 
         @F.pandas_udf("double")
         def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:

@@ -23,7 +23,7 @@ from .executor import _matches, postings_table, search
 from .query import Or, Term, rewrite
 
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
-           "suggest", "spell_suggest"]
+           "doc_term_vector", "suggest", "spell_suggest"]
 
 
 def search_after(
@@ -56,28 +56,62 @@ def sort_by_field(
     return m.join(doc_values, "doc_id").orderBy(*order_by).limit(k)
 
 
+def doc_term_vector_frame(index: IndexView, doc_id: int) -> DataFrame:
+    """ONE document's (term, tf) pairs as a DataFrame[term, tf].
+
+    Preferred path: the stored forward index (Lucene term vectors,
+    ``[8x] lucene/core/.../codecs/compressing/CompressingTermVectors
+    Writer.java``) — a single-row lookup on the doc_id-sorted parquet,
+    i.e. a row-group seek; the posting store is untouched.  Fallback (no
+    term vectors stored): decode ONLY posting blocks whose [first_doc,
+    last_doc] range can contain the doc — the pushed block-metadata
+    predicate prunes the scan the way Lucene's skip data would; the
+    whole posting store is never decoded."""
+    if index.term_vectors is not None:
+        return (
+            index.term_vectors.filter(F.col("doc_id") == doc_id)
+            .select(F.explode(F.arrays_zip("terms", "tfs")).alias("_z"))
+            .select(
+                F.col("_z.terms").alias("term"),
+                F.col("_z.tfs").cast("long").alias("tf"),
+            )
+        )
+    blocks = index.postings.filter(
+        (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+    )
+    return (
+        postings_table(index, blocks=blocks)
+        .filter(F.col("doc_id") == doc_id)
+        .select("term", "tf")
+    )
+
+
+def doc_term_vector(index: IndexView, doc_id: int) -> list[tuple[str, int]]:
+    """ONE document's (term, tf) pairs, term-sorted (see
+    ``doc_term_vector_frame`` for the scan strategy)."""
+    rows = doc_term_vector_frame(index, doc_id).collect()
+    return sorted((r["term"], int(r["tf"])) for r in rows)
+
+
 def mlt_query(index: IndexView, doc_id: int, max_terms: int = 25,
               min_tf: int = 1, min_df: int = 2) -> Or | None:
     """Build the MoreLikeThis disjunction: the doc's top ``max_terms``
     terms by tf·idf (Lucene MLT defaults: maxQueryTerms=25, minTermFreq,
-    minDocFreq)."""
-    doc_terms = (
-        postings_table(index)
-        .filter(F.col("doc_id") == doc_id)
-        .select("term", "tf")
-        .collect()
-    )
+    minDocFreq).  Term selection reads the doc's term vector (forward
+    index) when stored, else a block-range-pruned posting decode — never
+    the full posting store (MoreLikeThis#retrieveTerms reads term
+    vectors for exactly this reason)."""
+    doc_terms = doc_term_vector(index, doc_id)
     if not doc_terms:
         return None
     stats = {
         r["term"]: int(r["df"])
         for r in index.term_dict.filter(
-            F.col("term").isin([r["term"] for r in doc_terms])
+            F.col("term").isin([t for t, _ in doc_terms])
         ).collect()
     }
     scored = []
-    for r in doc_terms:
-        t, tf = r["term"], int(r["tf"])
+    for t, tf in doc_terms:
         df = stats.get(t, 0)
         if tf < min_tf or df < min_df:
             continue
@@ -115,22 +149,36 @@ def suggest(index: IndexView, prefix: str, k: int = 10) -> DataFrame:
 
 
 def spell_suggest(index: IndexView, term: str, max_edits: int = 2,
-                  k: int = 5, min_df: int = 1) -> DataFrame:
+                  k: int = 5, min_df: int = 1,
+                  prefix_length: int = 1) -> DataFrame:
     """DirectSpellChecker analog (``[8x] lucene/suggest/.../spell/
     DirectSpellChecker.java``): dictionary terms within OSA (Damerau)
     distance of the input, ranked by (distance asc, docFreq desc, term
-    asc).  The distance runs as an Arrow-batched UDF over the dictionary
-    scan — fully distributed, no driver term list."""
-    from ..oracle import osa_distance
+    asc).  The distance runs as a batch-vectorized Arrow kernel
+    (search/fuzzy.py) over the dictionary scan — fully distributed, no
+    driver term list, no per-row Python.
+
+    ``prefix_length`` mirrors DirectSpellChecker's minPrefix default (1):
+    candidates must share the input's first character(s), and the
+    StartsWith predicate is pushed into the term-sorted parquet scan —
+    on a 10^8-term dictionary the kernel then touches one row-group
+    range, the FST-prefix-seek analog.  Pass 0 to scan the whole
+    dictionary."""
+    from .fuzzy import osa_distances
 
     target, cap = term, max_edits
 
     @F.pandas_udf("int")
     def _dist(terms: pd.Series) -> pd.Series:
-        return terms.map(lambda t: osa_distance(t, target))
+        return pd.Series(osa_distances(terms, target, cap=cap).astype(np.int32))
 
+    dictionary = index.term_dict
+    if prefix_length > 0:
+        dictionary = dictionary.filter(
+            F.col("term").startswith(term[:prefix_length])
+        )
     cand = (
-        index.term_dict.withColumn("_dist", _dist(F.col("term")))
+        dictionary.withColumn("_dist", _dist(F.col("term")))
         .filter((F.col("_dist") <= cap) & (F.col("_dist") > 0)
                 & (F.col("df") >= min_df))
     )

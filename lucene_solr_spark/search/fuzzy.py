@@ -1,0 +1,86 @@
+"""Batch-vectorized OSA (optimal string alignment) edit distance.
+
+Lucene's FuzzyQuery intersects a Levenshtein automaton with the term
+dictionary FST (``[8x] lucene/core/src/java/org/apache/lucene/search/
+FuzzyQuery.java``, ``LevenshteinAutomata.java``) — per-term work is a
+DFA walk, never a per-character Python loop.  Our Spark analog scans the
+dictionary with an Arrow-batched kernel; this module supplies that
+kernel: ONE numpy DP over the whole batch's padded codepoint matrix
+(target-length iterations of vectorized row updates), replacing the
+banned per-row ``Series.map(lambda ...)`` shape.
+
+Vectorization scheme (classic matrix edit distance, plus OSA's
+transposition row and a prefix-min closure for the insertion chain):
+
+* the batch's terms become an (n_terms × max_len) uint32 codepoint
+  matrix via pandas ``str.ljust`` + one utf-32 encode — no Python loop;
+* the DP iterates over the TARGET's characters only (a dozen or two),
+  each iteration updating all terms' DP rows with numpy;
+* the insertion dependency ``cur[j] <= cur[j-1] + 1`` is closed exactly
+  by ``cur = min(cur, j + cummin(cur - j))`` (prefix-min trick);
+* a length band (|len(term) - len(target)| > cap) skips hopeless terms
+  before the matrix is even built — their reported value is that length
+  difference, a LOWER BOUND, which is all a ``<= cap`` caller needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["osa_distances"]
+
+
+def osa_distances(
+    terms: pd.Series, target: str, cap: int | None = None
+) -> np.ndarray:
+    """OSA distance from every term in the batch to ``target``.
+
+    Returns int64 distances.  When ``cap`` is given, terms whose length
+    differs from the target's by more than ``cap`` are skipped and
+    reported as that length difference (a valid lower bound > cap) —
+    callers filtering ``dist <= cap`` see exact values for every
+    surviving term.
+    """
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    t = terms.fillna("").astype(str)
+    lens = t.str.len().to_numpy(dtype=np.int64)
+    la = len(target)
+    out = np.abs(lens - la)  # lower bound; exact iff one string is empty
+    if la == 0:
+        return out
+    if cap is not None:
+        act = np.flatnonzero(out <= cap)
+    else:
+        act = np.arange(n, dtype=np.int64)
+    if act.size == 0:
+        return out
+    sub = t.iloc[act]
+    sub_lens = lens[act]
+    lmax = max(int(sub_lens.max()), 1)
+    # (m × lmax) codepoint matrix: one vectorized pad + one utf-32 encode
+    packed = sub.str.ljust(lmax, "\0").str.cat()
+    B = np.frombuffer(packed.encode("utf-32-le"), dtype="<u4").reshape(act.size, lmax)
+    a = np.frombuffer(target.encode("utf-32-le"), dtype="<u4")
+
+    m = act.size
+    jr = np.arange(lmax + 1, dtype=np.int64)
+    prev = np.broadcast_to(jr, (m, lmax + 1)).copy()
+    prev2: np.ndarray | None = None
+    for i in range(1, la + 1):
+        cur = np.empty((m, lmax + 1), dtype=np.int64)
+        cur[:, 0] = i
+        cost = (B != a[i - 1]).astype(np.int64)
+        np.minimum(prev[:, :-1] + cost, prev[:, 1:] + 1, out=cur[:, 1:])
+        if i > 1 and lmax >= 2:
+            # OSA transposition: target[i-1]==term[j-2], target[i-2]==term[j-1]
+            tr = (B[:, :-1] == a[i - 1]) & (B[:, 1:] == a[i - 2])
+            cand = prev2[:, :-2] + 1
+            cur[:, 2:] = np.where(tr[:, : lmax - 1], np.minimum(cur[:, 2:], cand), cur[:, 2:])
+        # exact closure of the insertion chain cur[j] <= cur[j-1] + 1
+        cur = np.minimum(cur, np.minimum.accumulate(cur - jr, axis=1) + jr)
+        prev2, prev = prev, cur
+    out[act] = prev[np.arange(m), sub_lens]
+    return out

@@ -347,3 +347,100 @@ def test_dfr_persistent_roundtrip(spark, tmp_path):
     idx = open_index(spark, path)
     assert isinstance(idx.bm25, DFRInL2)
     assert search(idx, Term("def"), k=5).count() == 5
+
+
+# --- BooleanSimilarity ------------------------------------------------------
+
+
+def test_boolean_similarity_formula():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import BooleanSimilarity
+
+    sim = BooleanSimilarity()
+    # score = boost, regardless of tf / dl / statistics
+    w = sim.weight(df=9, doc_count=99, boost=2.5)
+    got = sim.score(np.array([1, 7, 400]), np.array([0, 100, 255]), w,
+                    sim.norm_inverse_cache(np.float32(0)))
+    assert got.dtype == np.float32
+    assert (got == np.float32(2.5)).all()
+    # a phrase's single scorer is the phrase boost (NOT a sum of idfs)
+    assert sim.phrase_weight([np.float32(1.0)] * 3, 2.0) == np.float32(2.0)
+
+
+def test_boolean_engine_vs_oracle_identity(spark):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import BooleanSimilarity
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Phrase, Term, search
+
+    pdf = gen_corpus_pdf(150, seed=57).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = BooleanSimilarity()
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), Term(KEYWORDS[5], boost=1.5),
+                  And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9])),
+                  Phrase("def", "class", boost=2.0)]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), q
+        # every matching doc scores exactly the boost
+        one = search(idx, Term(KEYWORDS[5], boost=1.5), k=10).collect()
+        assert all(np.float32(r["score"]) == np.float32(1.5) for r in one)
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_boolean_forced_prune_identity(spark, monkeypatch):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import BooleanSimilarity
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import Term, executor, search
+
+    pdf = gen_corpus_pdf(150, seed=58).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = BooleanSimilarity()
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    try:
+        for kw in (KEYWORDS[0], KEYWORDS[2]):
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, Term(kw), k=10, prune=True).collect()]
+            assert got == oracle.search(Term(kw), k=10), kw
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_boolean_persistent_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import BooleanSimilarity
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.search import Term, search
+
+    path = tmp_path / "boolidx"
+    build_index(spark, gen_corpus_df(spark, 100, seed=6), path,
+                segment_docs=50, bm25=BooleanSimilarity())
+    idx = open_index(spark, path)
+    assert isinstance(idx.bm25, BooleanSimilarity)
+    hits = search(idx, Term("def", boost=3.0), k=5).collect()
+    assert hits and all(np.float32(r["score"]) == np.float32(3.0) for r in hits)

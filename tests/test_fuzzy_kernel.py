@@ -1,0 +1,42 @@
+"""Property tests: the batch-vectorized OSA kernel (search/fuzzy.py) is
+identical to the per-pair reference implementation (oracle.osa_distance)
+— the engine's fuzzy expansion and spellcheck both ride on it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_spark.oracle import osa_distance
+from lucene_solr_spark.search.fuzzy import osa_distances
+
+WORD = st.text(alphabet="abcdef_01", max_size=10)
+
+
+@given(st.lists(WORD, max_size=50), WORD)
+@settings(max_examples=200, deadline=None)
+def test_osa_distances_matches_reference(words, target):
+    got = osa_distances(pd.Series(words, dtype=object), target)
+    exp = np.array([osa_distance(w, target) for w in words], dtype=np.int64)
+    assert got.shape == exp.shape
+    assert (got == exp).all()
+
+
+@given(st.lists(WORD, max_size=50), WORD, st.integers(min_value=0, max_value=3))
+@settings(max_examples=200, deadline=None)
+def test_osa_distances_cap_is_exact_below_and_bounded_above(words, target, cap):
+    got = osa_distances(pd.Series(words, dtype=object), target, cap=cap)
+    exp = np.array([osa_distance(w, target) for w in words], dtype=np.int64)
+    within = exp <= cap
+    # exact for every term within the cap; a valid lower bound (> cap or
+    # >= the true value never overstated below cap) elsewhere
+    assert (got[within] == exp[within]).all()
+    assert (got[~within] > cap).all()
+
+
+def test_osa_transposition_and_classics():
+    s = pd.Series(["class", "calss", "clas", "classs", "klass", "", "x"])
+    d = osa_distances(s, "class")
+    assert d.tolist() == [0, 1, 1, 1, 1, 5, 5]

@@ -232,12 +232,13 @@ def test_update_documents_multifield(spark, corpus, tmp_path):
         [("rX", "pX", "freshbody freshbody content here", "newdir newfile")],
         "repo string, path string, content string, pathtext string",
     )
-    # guard: multi-field index without fields mapping must raise
+    # guard: a WRONG fields mapping must raise; no mapping at all now
+    # auto-loads the manifest's persisted layout (managed-schema append)
     with pytest.raises(ValueError, match="fields mismatch"):
-        update_documents(spark, path, new_docs, key_cols=["repo", "path"])
+        update_documents(spark, path, new_docs, key_cols=["repo", "path"],
+                         fields={"content": "content"})
     before = open_index(spark, path).field_stats
-    update_documents(spark, path, new_docs, key_cols=["repo", "path"],
-                     fields=fields)
+    update_documents(spark, path, new_docs, key_cols=["repo", "path"])
     idx = open_index(spark, path)
     # appended terms are field-qualified and findable per field
     assert search(idx, parse_query("content:freshbody"), k=5).count() == 1

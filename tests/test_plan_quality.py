@@ -83,6 +83,44 @@ def test_no_single_partition_exchange_in_arrival_doc_ids(spark):
     assert got == list(range(1000, 1300))
 
 
+def test_mlt_term_selection_prunes_posting_scan(persisted):
+    """MoreLikeThis term selection must never decode the whole posting
+    store: without stored term vectors, the doc's [first_doc, last_doc]
+    range predicate reaches the parquet scan, so only blocks that can
+    contain the doc are read."""
+    from lucene_solr_spark.search.extras import doc_term_vector_frame
+
+    spark = persisted.spark
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")  # untruncate
+    try:
+        plan = _plan(doc_term_vector_frame(persisted, 42))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "LessThanOrEqual(first_doc,42)" in pushed, pushed
+    assert "GreaterThanOrEqual(last_doc,42)" in pushed, pushed
+
+
+def test_mlt_reads_forward_index_only(spark, tmp_path_factory):
+    """With stored term vectors, MLT term selection reads ONLY the
+    forward index — the posting store's binary columns never appear in
+    the plan."""
+    from lucene_solr_spark.search.extras import doc_term_vector_frame
+
+    path = tmp_path_factory.mktemp("plans_tv") / "idx"
+    build_index(spark, gen_corpus_df(spark, 120, seed=9), path,
+                segment_docs=60, store_term_vectors=True)
+    idx = open_index(spark, path)
+    assert idx.term_vectors is not None
+    plan = _plan(doc_term_vector_frame(idx, 3))
+    assert "term_vectors.parquet" in plan
+    assert "doc_ids_vb" not in plan and "segments" not in plan
+    # and the one-doc lookup predicate is pushed to the tv scan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(doc_id,3)" in pushed, pushed
+
+
 def test_phrase_explodes_positions_only_for_candidates(persisted, monkeypatch):
     """The phrase plan must semi-join the clause terms' doc sets (AND
     pre-intersection) BEFORE exploding positions, so position rows are
