@@ -75,19 +75,150 @@ def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list
     return rows
 
 
+#: delete-set size above which the purge switches from a broadcast id
+#: mask in the kernel closure to the distributed decode→anti-join→
+#: re-encode path (a broadcast int64 set costs ~8 bytes/id per task —
+#: fine to millions, unacceptable at billions)
+_TOMBSTONE_BROADCAST_MAX = 2_000_000
+
+_DECODED_SCHEMA = (
+    "term string, doc_id long, tf long, norm_byte long, positions array<long>"
+)
+
+
+def _decode_posting_rows(blocks: DataFrame) -> DataFrame:
+    """Posting blocks → one row per (term, doc) with its positions —
+    the fully-relational form the distributed purge anti-joins on."""
+
+    def _dec(batches):
+        for pdf in batches:
+            rows = {"term": [], "doc_id": [], "tf": [], "norm_byte": [],
+                    "positions": []}
+            for i in range(pdf.shape[0]):
+                d = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+                t = decode_tfs(pdf["tfs_vb"].iat[i])
+                nb = decode_norm_bytes(pdf["norms_b"].iat[i])
+                pos = decode_positions(pdf["positions_vb"].iat[i], t)
+                ends = np.cumsum(t)
+                starts = ends - t
+                rows["term"].append(np.full(d.size, pdf["term"].iat[i], dtype=object))
+                rows["doc_id"].append(d)
+                rows["tf"].append(t.astype(np.int64))
+                rows["norm_byte"].append(nb.astype(np.int64))
+                rows["positions"].extend(pos[s:e].tolist() for s, e in zip(starts, ends))
+            if not rows["doc_id"]:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(rows["term"]),
+                    "doc_id": np.concatenate(rows["doc_id"]),
+                    "tf": np.concatenate(rows["tf"]),
+                    "norm_byte": np.concatenate(rows["norm_byte"]),
+                    "positions": rows["positions"],
+                }
+            )
+
+    cols = ["term", "doc_ids_vb", "tfs_vb", "norms_b", "positions_vb"]
+    return blocks.select(*cols).mapInPandas(_dec, _DECODED_SCHEMA)
+
+
+def _merge_postings_distributed(
+    blocks: DataFrame, tombstones: DataFrame, num_partitions: int
+) -> DataFrame:
+    """Purge path for delete sets too large to broadcast: decode blocks
+    to posting rows, ANTI-JOIN the tombstone set (a shuffle join — both
+    sides arbitrarily large), then re-encode per term.  Identical output
+    layout to the broadcast path (128-doc blocks, term-sorted); a test
+    pins the two paths block-for-block equal."""
+    live = _decode_posting_rows(blocks).join(
+        tombstones.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    stream = (
+        live.repartitionByRange(num_partitions, "term")
+        .sortWithinPartitions("term", "doc_id")
+    )
+
+    def _encode(batches):
+        carry: pd.DataFrame | None = None
+
+        def flush(pdf: pd.DataFrame, final: bool):
+            if pdf.empty:
+                return None, None
+            keys = pdf["term"].to_numpy(dtype=object)
+            if not final:
+                tail_mask = keys == keys[-1]
+                if tail_mask.all():
+                    return None, pdf
+                cut = pdf.shape[0] - int(np.sum(tail_mask))
+                head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+            else:
+                head, tail = pdf, None
+            hk = head["term"].to_numpy(dtype=object)
+            change = np.empty(hk.size, dtype=bool)
+            change[0] = True
+            change[1:] = hk[1:] != hk[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], hk.size)
+            rows: list[dict] = []
+            pos_col = head["positions"]
+            for s, e in zip(starts, ends):
+                d = head["doc_id"].to_numpy(dtype=np.int64)[s:e]
+                tf = head["tf"].to_numpy(dtype=np.int64)[s:e]
+                nb = head["norm_byte"].to_numpy(dtype=np.int64)[s:e]
+                pos = np.concatenate([np.asarray(pos_col.iat[j], dtype=np.int64)
+                                      for j in range(s, e)])
+                out = encode_posting_blocks(d, tf, nb, pos)
+                for r in out:
+                    r["term"] = hk[s]
+                rows.extend(out)
+            return (_rows_to_pdf(rows) if rows else None), tail
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            out, carry = flush(pdf, final=False)
+            if out is not None:
+                yield out
+        if carry is not None:
+            out, _ = flush(carry, final=True)
+            if out is not None:
+                yield out
+
+    return stream.mapInPandas(_encode, POSTINGS_SCHEMA)
+
+
 def merge_postings(
     blocks: DataFrame,
     num_partitions: int | None = None,
     tombstone_ids: np.ndarray | None = None,
+    tombstones: DataFrame | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """union of segment posting blocks → merged posting blocks (one list
     per term, blocks renumbered 0..n, tombstoned docs dropped).
 
-    ``tombstone_ids`` is broadcast in the kernel closure (np.isin mask) —
-    fine up to millions of ids; the documented scale path for massive
-    delete sets is decode-to-rows → anti-join → re-encode."""
+    Small delete sets (``tombstone_ids`` or a ``tombstones`` DataFrame
+    up to ``broadcast_threshold`` ids) are broadcast into the kernel
+    closure (np.isin mask).  Larger sets take the distributed
+    decode→anti-join→re-encode path — no delete set ever has to fit on
+    the driver or in a task closure."""
     spark = blocks.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if broadcast_threshold is None:
+        broadcast_threshold = _TOMBSTONE_BROADCAST_MAX
+    if tombstones is not None and tombstone_ids is None:
+        n_dead = tombstones.select("doc_id").distinct().count()
+        if n_dead == 0:
+            tombstones = None
+        elif n_dead <= broadcast_threshold:
+            tombstone_ids = np.array(
+                [r["doc_id"] for r in tombstones.select("doc_id").distinct().collect()],
+                dtype=np.int64,
+            )
+            tombstones = None
+    if tombstones is not None:
+        return _merge_postings_distributed(blocks, tombstones, num_partitions)
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
     stream = (
         blocks.select(*cols)
@@ -243,12 +374,7 @@ def merge_segments(
     from .deletes import TOMBSTONES, read_tombstones
 
     tomb = read_tombstones(spark, index_path)
-    tomb_ids: np.ndarray | None = None
-    if tomb is not None:
-        tomb_ids = np.array(
-            [r["doc_id"] for r in tomb.select("doc_id").distinct().collect()],
-            dtype=np.int64,
-        )
+    n_dead = int(tomb.select("doc_id").distinct().count()) if tomb is not None else 0
 
     from .core import NORMS_TERM
 
@@ -257,7 +383,9 @@ def merge_segments(
     # whole-directory read would double-count (mirrors open_index)
     seg_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
     blocks = spark.read.parquet(*seg_paths).filter(~F.col("term").startswith(NORMS_TERM))
-    merged = merge_postings(blocks, num_partitions, tombstone_ids=tomb_ids)
+    merged = merge_postings(
+        blocks, num_partitions, tombstones=tomb if n_dead else None
+    )
     out = index_path / "merged.parquet"
     merged.repartitionByRange("term").sortWithinPartitions("term", "first_doc").write.mode(
         "overwrite"
@@ -270,7 +398,7 @@ def merge_segments(
 
     # the merge is the moment deletes become physical: rewrite norms and
     # the dictionary, recompute corpus stats over live docs only
-    if tomb_ids is not None and tomb_ids.size:
+    if n_dead:
         norms_path = index_path / "norms.parquet"
         live_norms = spark.read.parquet(str(norms_path)).join(
             tomb.select("doc_id"), "doc_id", "left_anti"
@@ -307,7 +435,7 @@ def merge_segments(
         "blocks": int(agg["blocks"]),
         "postings": int(agg["postings"] or 0),
         "source_segments": len(manifest["segments"]),
-        "deletes_applied": int(tomb_ids.size) if tomb_ids is not None else 0,
+        "deletes_applied": n_dead,
         "merge_sec": round(time.time() - t0, 3),
     }
     write_manifest(index_path, manifest)

@@ -20,7 +20,12 @@ def default_parallelism() -> int:
 
 
 def get_spark(app_name: str = "lucene_solr_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              jars: list[str] | None = None) -> SparkSession:
+    """``jars``: extra driver/executor classpath jars (e.g. a JDBC
+    driver), the local-mode equivalent of ``spark-submit --jars``.  Must
+    be passed on the FIRST session construction in the process — a
+    running JVM cannot add classpath entries."""
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     # Make this package importable on executor python workers regardless of
@@ -51,4 +56,6 @@ def get_spark(app_name: str = "lucene_solr_spark", cores: int | None = None,
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    if jars:
+        builder = builder.config("spark.jars", ",".join(str(j) for j in jars))
     return builder.getOrCreate()

@@ -4,7 +4,8 @@ hint.  This adapter reads it from an Iceberg catalog when one is
 configured, else from parquet (the sandbox path; parquet is also what
 Iceberg stores underneath, so pushdown/pruning behavior matches).
 
-Cluster setup (no jars in this sandbox — documented, not executed)::
+Cluster setup (documented; the JDBC leg runs for real in the tests via a
+locally-cached driver jar — see ``find_jdbc_driver_jar``)::
 
     spark-submit --py-files lucene_solr_spark.zip \\
       --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
@@ -21,7 +22,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_corpus", "read_jdbc_corpus", "CONTRACT_COLUMNS", "validate_corpus"]
+__all__ = ["read_corpus", "read_jdbc_corpus", "find_jdbc_driver_jar",
+           "CONTRACT_COLUMNS", "validate_corpus"]
+
+
+def find_jdbc_driver_jar(name_glob: str = "duckdb_jdbc-*.jar") -> str | None:
+    """Locate a JDBC driver jar in the machine's local Maven/Coursier
+    artifact caches (no network access; these caches mirror public Maven
+    Central artifacts).  Returns the newest match or None — callers
+    (tests, session setup) skip JDBC integration when no driver exists,
+    mirroring the ``--jars`` requirement on a real cluster."""
+    from pathlib import Path
+
+    roots = [Path.home() / ".m2" / "repository", Path.home() / ".cache" / "coursier"]
+    hits = [
+        p
+        for root in roots
+        if root.exists()
+        for p in root.rglob(name_glob)
+        if not p.name.startswith(".")
+    ]
+    return str(max(hits, key=lambda p: p.stat().st_mtime)) if hits else None
 
 CONTRACT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
@@ -71,8 +92,11 @@ def read_jdbc_corpus(
     keeps driver/executor memory flat per cursor.
 
     Requires the vendor's JDBC driver jar on the Spark classpath
-    (``--jars``/``--packages``); the sandbox has none, so tests exercise
-    the option-plumbing via a recorded reader."""
+    (``--jars``/``--packages`` on a cluster; ``get_spark(jars=[...])``
+    locally — ``find_jdbc_driver_jar`` locates one in the machine's
+    Maven/Coursier caches).  The integration test round-trips a corpus
+    through a real DuckDB database via this reader when a driver jar is
+    present, and skips otherwise."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

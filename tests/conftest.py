@@ -11,8 +11,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 @pytest.fixture(scope="session")
 def spark():
     from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.sources import find_jdbc_driver_jar
 
-    s = get_spark("lss-tests", cores=8, shuffle_partitions=8)
+    # attach a JDBC driver jar when the machine's artifact cache has one
+    # (classpath is fixed at JVM start) so the JDBC integration test can
+    # run end-to-end; harmless for every other test
+    jar = find_jdbc_driver_jar()
+    s = get_spark("lss-tests", cores=8, shuffle_partitions=8,
+                  jars=[jar] if jar else None)
     yield s
     s.stop()
 

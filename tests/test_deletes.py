@@ -166,3 +166,62 @@ def test_update_documents_respects_index_chain(spark, tmp_path):
     doc_id = hit[0]["doc_id"]
     row = idx.norms.filter(F.col("doc_id") == doc_id).collect()[0]
     assert row["length"] == 3
+
+
+def test_distributed_tombstone_purge_matches_broadcast(spark, tmp_path):
+    """The decode→anti-join→re-encode purge (delete sets too big to
+    broadcast) must produce BLOCK-IDENTICAL output to the broadcast-mask
+    path — same 128-doc block boundaries, same bytes."""
+    import numpy as np
+
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.index.merge import merge_postings
+
+    path = tmp_path / "purge"
+    build_index(spark, gen_corpus_df(spark, 200, seed=11), path, segment_docs=100)
+    idx = open_index(spark, path)
+    dead_ids = np.arange(0, 200, 7, dtype=np.int64)
+    dead = spark.createDataFrame([(int(i),) for i in dead_ids], "doc_id long")
+
+    bcast = merge_postings(idx.postings, 8, tombstone_ids=dead_ids)
+    dist = merge_postings(idx.postings, 8, tombstones=dead, broadcast_threshold=0)
+
+    def canon(df):
+        return sorted(
+            (r["term"], r["block_id"], r["first_doc"], r["last_doc"],
+             r["doc_count"], r["max_tf"], r["min_norm_byte"], r["sum_tf"],
+             bytes(r["doc_ids_vb"]), bytes(r["tfs_vb"]), bytes(r["norms_b"]),
+             bytes(r["positions_vb"]))
+            for r in df.collect()
+        )
+
+    a, b = canon(bcast), canon(dist)
+    assert a and a == b
+
+
+def test_merge_segments_forced_distributed_purge(spark, tmp_path, monkeypatch):
+    """End-to-end: merge_segments with the broadcast path disabled (every
+    delete set routed down the distributed purge) leaves a queryable,
+    CheckIndex-clean index with the deletes physically gone."""
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import (
+        build_index, check_index, delete_docs, merge_segments, open_index,
+    )
+    from lucene_solr_spark.index import merge as merge_mod
+    from lucene_solr_spark.search import MatchAll, Term, count_hits, search
+
+    monkeypatch.setattr(merge_mod, "_TOMBSTONE_BROADCAST_MAX", 0)
+    path = tmp_path / "purge_e2e"
+    build_index(spark, gen_corpus_df(spark, 150, seed=12), path, segment_docs=75)
+    idx = open_index(spark, path)
+    n_before = count_hits(idx, MatchAll())
+    victims = spark.createDataFrame([(i,) for i in range(0, 150, 5)], "doc_id long")
+    delete_docs(spark, path, victims)
+    merge_segments(spark, path)
+    idx2 = open_index(spark, path)
+    assert idx2.tombstones is None  # physically purged
+    assert count_hits(idx2, MatchAll()) == n_before - 30
+    hits = search(idx2, Term("def"), k=10).collect()
+    assert hits and all(r["doc_id"] % 5 != 0 for r in hits)
+    assert check_index(idx2, expect_disjoint_ranges=False) == {}

@@ -141,3 +141,66 @@ def test_read_corpus_json_and_csv(spark, tmp_path):
     assert (
         got_j.exceptAll(got_c).count() == 0 and got_c.exceptAll(got_j).count() == 0
     )
+
+
+def test_read_jdbc_corpus_end_to_end_duckdb(spark, tmp_path):
+    """REAL JDBC round-trip (no recording): write the contract corpus
+    into a DuckDB database through Spark's JDBC sink, read it back with
+    ``read_jdbc_corpus`` using partitioned range reads, verify row-level
+    sha256 identity, and build + query an index from the result.  Skips
+    when no driver jar exists in the local artifact caches (the --jars
+    requirement of a real cluster)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Term, search
+    from lucene_solr_spark.sources import find_jdbc_driver_jar, read_jdbc_corpus
+
+    if find_jdbc_driver_jar() is None:
+        pytest.skip("no JDBC driver jar in local artifact caches")
+    if "spark.jars" not in str(spark.sparkContext.getConf().getAll()):
+        pytest.skip("session started without the driver jar on the classpath")
+
+    import duckdb
+
+    dbfile = str(tmp_path / "corpus.db")
+    url = f"jdbc:duckdb:{dbfile}"
+    # read-only lets every partition's executor-side JDBC connection open
+    # the same database file concurrently
+    props = {"driver": "org.duckdb.DuckDBDriver", "duckdb.read_only": "true"}
+    src = gen_corpus_df(spark, 80, seed=21).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    pdf = src.toPandas()
+    con = duckdb.connect(dbfile)
+    con.execute("CREATE TABLE corpus AS SELECT * FROM pdf")
+    con.close()
+
+    df = read_jdbc_corpus(
+        spark, url, "corpus",
+        partition_column="doc_id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=int(src.agg(F.max("doc_id")).collect()[0][0]) + 1,
+        properties=props,
+    )
+    # the reader issued partitioned range queries, not one cursor
+    assert df.rdd.getNumPartitions() == 4
+    got = df.withColumn("sha", F.sha2(F.col("content"), 256))
+    want = src.withColumn("sha", F.sha2(F.col("content"), 256))
+    assert got.count() == 80
+    assert (
+        got.select("repo", "path", "sha").exceptAll(
+            want.select("repo", "path", "sha")
+        ).count() == 0
+    )
+    # and the JDBC-sourced corpus indexes + searches like any other
+    docs = df.join(src.select("repo", "path", "commit", "doc_id"),
+                   ["repo", "path", "commit"]).select("doc_id", "content")
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        assert search(idx, Term("def"), k=5).count() > 0
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
