@@ -416,6 +416,95 @@ def q_multifield_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eDisMax multi-field query (ExtendedDismaxQParser core): the user
+    string 'spark src3' fans each term out as a DisMax over qf fields
+    {text, src} with per-field BM25 statistics; 'spark' lives in the
+    text field, 'src3' in the source field — the cross-field max and the
+    outer disjunction sum are both exercised.  tie=0 → pure max."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search import edismax_query
+
+    d = _docs(spark, sf_dir)
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "src": "source"}, default_field="text"
+    )
+    q = edismax_query("spark src3", {"text": 1.0, "src": 1.0})
+    out = search(idx, q, k=20).select(
+        "doc_id", F.col("score").cast("float").alias("score")
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _bm25_f32_sql(n: str, avgdl64: str) -> str:
+    """BM25 in DuckDB FLOAT arithmetic, STEP-FOR-STEP the engine kernel's
+    float32 order (DuckDB REAL ops are true f32, verified): idf = (float)
+    ln(f64 ...); avg32 = (float)(ttf/n); inv = 1f/(k1*((1f-b) +
+    (b*qdl32)/avg32)); score = idf - idf/(1f + tf32*inv).  The f64-then-
+    one-cast form (_BM25_EXPR) can land one ulp away from the engine's
+    stepwise f32 on unlucky (tf, dl) pairs; composing clause sums (eDisMax)
+    makes those ulps observable, so this oracle mirrors the rounding
+    exactly instead of hoping."""
+    f = lambda x: f"CAST({x} AS FLOAT)"
+    idf = f(f"ln(1e0 + (({n} - df) + 5e-1) / (df + 5e-1))")
+    avg32 = f(avgdl64)
+    inv = (
+        f"({f(1)} / ({f('12e-1')} * (({f(1)} - {f('75e-2')})"
+        f" + ({f('75e-2')} * {f('qdl')}) / {avg32})))"
+    )
+    return f(f"{idf} - {idf} / ({f(1)} + {f('tf')} * {inv})")
+
+
+def _edismax_oracle() -> str:
+    """DisMax-over-fields BM25 in DuckDB: one leaf CTE per (field, term),
+    per-clause max, outer sum — f32 at each scorer boundary exactly like
+    the engine (stepwise-f32 leaves; tie=0 max of f32s; f64 clause sum →
+    f32)."""
+
+    def text_leaf(term: str, alias: str) -> str:
+        return f"""
+{alias}_tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id),
+{alias}_df AS (SELECT count(*) AS df FROM {alias}_tf),
+{alias}_in AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM {alias}_tf t JOIN dl d USING (doc_id), {alias}_df f, stats s
+  WHERE f.df > 0
+),
+{alias} AS (SELECT doc_id,
+  {_bm25_f32_sql("n_docs", "(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS s
+  FROM {alias}_in)"""
+
+    def src_leaf(term: str, alias: str) -> str:
+        # the src field holds ONE token per doc: tf=1, quantized dl=1,
+        # avgdl = sum_ttf_src/docCount_src = 1 exactly
+        return f"""
+{alias}_tf AS (SELECT doc_id, 1 AS tf FROM documents WHERE lower(source) = '{term}'),
+{alias}_df AS (SELECT count(*) AS df FROM {alias}_tf),
+{alias}_in AS (SELECT t.doc_id, t.tf, f.df, 1 AS qdl, s.n_docs
+               FROM {alias}_tf t, {alias}_df f, stats s WHERE f.df > 0),
+{alias} AS (SELECT doc_id,
+  {_bm25_f32_sql("n_docs", "1e0")} AS s
+  FROM {alias}_in)"""
+
+    return f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),{text_leaf("spark", "t1")},{src_leaf("spark", "r1")},{text_leaf("src3", "t2")},{src_leaf("src3", "r2")},
+c1 AS (SELECT doc_id, max(s) AS s
+       FROM (SELECT * FROM t1 UNION ALL SELECT * FROM r1) GROUP BY doc_id),
+c2 AS (SELECT doc_id, max(s) AS s
+       FROM (SELECT * FROM t2 UNION ALL SELECT * FROM r2) GROUP BY doc_id),
+clauses AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+FROM clauses GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+
 def q_graph_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gatherNodes BFS over the part–supplier bipartite graph (lineitem
     edges, both directions), seed part 1, 2 hops → [node, hop=min]."""
@@ -911,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_expand": q_group_expand,
         "graph_gather": q_graph_gather,
         "multifield_dict": q_multifield_dict,
+        "edismax": q_edismax,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -1459,6 +1549,7 @@ FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
         "facet_unique": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY event_type ORDER BY event_type""",
+        "edismax": _edismax_oracle(),
         "multifield_dict": f"""
 WITH {_TOK_CTE},
 textd AS (

@@ -14,6 +14,7 @@ from .query import (
     TermRange,
     Wildcard,
     analyze_query,
+    edismax_query,
     parse_query,
     rewrite,
 )
@@ -28,6 +29,6 @@ from .executor import (
 __all__ = [
     "And", "Bool", "Boost", "ConstantScore", "DisMax", "Fuzzy", "MatchAll",
     "Or", "Phrase", "Prefix", "Regexp", "Term", "TermRange", "Wildcard",
-    "analyze_query", "parse_query", "rewrite", "search", "count_hits", "expand_multiterm",
+    "analyze_query", "edismax_query", "parse_query", "rewrite", "search", "count_hits", "expand_multiterm",
     "positions_table", "postings_table",
 ]

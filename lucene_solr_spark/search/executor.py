@@ -522,10 +522,10 @@ def _sloppy_tf(index: IndexView, phrase: Phrase,
     Batch shape: candidate docs are pre-intersected (AND semi-join on the
     positions-free decode), per-doc clause position arrays are packed with
     ``collect_list`` into ONE row per doc, and a single ``mapInPandas``
-    kernel processes whole Arrow batches of docs — no per-doc Python/Arrow
-    round trip (the groupBy+applyInPandas per-candidate-doc shape paid
-    one kernel invocation per doc)."""
-    from .sloppy import sloppy_freq
+    kernel runs the vectorized event-sweep (``sloppy_freq_batch``) over
+    the WHOLE batch's flat occurrence arrays at once — no per-doc Python
+    window loop, no per-doc Arrow round trip."""
+    from .sloppy import sloppy_freq_batch
 
     uniq = list(dict.fromkeys(phrase.terms))
     stats, total_blocks = _phrase_stats(index, uniq, stats)
@@ -548,24 +548,36 @@ def _sloppy_tf(index: IndexView, phrase: Phrase,
 
     def _kern(batches):
         for pdf in batches:
-            ids, sfs, nbs = [], [], []
             cl_col = pdf["_cl"]
-            for i in range(pdf.shape[0]):
+            n_batch = pdf.shape[0]
+            vals, cls, dgs = [], [], []
+            keep = np.zeros(n_batch, dtype=bool)
+            for i in range(n_batch):  # list ASSEMBLY only — the sweep is batched
                 cl = cl_col.iat[i]
                 if len(cl) < n_clauses:
                     continue  # some clause term absent in this doc
-                lists: list = [None] * n_clauses
+                keep[i] = True
                 for item in cl:
-                    lists[int(item["clause"])] = np.sort(
-                        np.asarray(item["positions"], dtype=np.int64) - int(item["off"])
-                    )
-                sf = sloppy_freq(lists, slop)
-                if sf > 0:
-                    ids.append(int(pdf["doc_id"].iat[i]))
-                    sfs.append(float(sf))
-                    nbs.append(int(pdf["norm_byte"].iat[i]))
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "sf": sfs, "norm_byte": nbs})
+                    a = np.asarray(item["positions"], dtype=np.int64) - int(item["off"])
+                    vals.append(a)
+                    cls.append(np.full(a.size, int(item["clause"]), dtype=np.int64))
+                    dgs.append(np.full(a.size, i, dtype=np.int64))
+            if not vals:
+                continue
+            sf = sloppy_freq_batch(
+                np.concatenate(vals), np.concatenate(cls), np.concatenate(dgs),
+                n_clauses, slop, n_batch,
+            )
+            sel = keep & (sf > 0)
+            if not sel.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[sel],
+                    "sf": sf[sel],
+                    "norm_byte": pdf["norm_byte"].to_numpy(dtype=np.int64)[sel],
+                }
+            )
 
     return packed.mapInPandas(_kern, "doc_id long, sf double, norm_byte long")
 

@@ -29,7 +29,7 @@ __all__ = [
     "Term", "And", "Or", "Bool", "Phrase", "ConstantScore", "DisMax", "Boost",
     "MatchAll", "Prefix", "Wildcard", "Regexp", "Fuzzy", "TermRange",
     "rewrite", "parse_query", "query_terms", "is_multiterm", "qualify_query",
-    "analyze_query",
+    "analyze_query", "edismax_query",
 ]
 
 
@@ -448,6 +448,60 @@ def parse_query(s: str):
     q = or_expr()
     if pos != len(toks):
         raise ValueError(f"trailing tokens in query: {s!r}")
+    return rewrite(q)
+
+
+def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
+                  mm: int = 0):
+    """eDisMax field-boosted multi-field query (``[8x] solr/core/src/java/
+    org/apache/solr/search/ExtendedDismaxQParser.java`` core behavior):
+    parse ``s`` with the standard grammar, then rewrite every UNQUALIFIED
+    leaf into a DisMax over the ``qf`` fields (``{"title": 2.0, "body":
+    1.0}`` ≡ Solr's ``qf=title^2 body``) with per-field boosts and the
+    given ``tie_breaker``; explicitly qualified leaves (``title:foo``)
+    are left alone.  ``mm`` applies minimumNumberShouldMatch to a
+    top-level disjunction (Solr's ``mm`` param).
+
+    The result runs on a multi-field index (``build_multifield_index_
+    view`` / ``build_index(fields=...)``) where terms live as
+    ``field:token`` with per-field BM25 statistics."""
+    if not qf:
+        raise ValueError("edismax requires at least one qf field")
+
+    def leafy(n) -> bool:
+        return isinstance(n, (Term, Phrase)) or is_multiterm(n)
+
+    def fieldize(n):
+        if leafy(n):
+            # a leaf that qualification would not change is already
+            # field-qualified — keep the author's explicit field
+            if qualify_query(n, "\x00probe") == n:
+                return n
+            clauses = [
+                _boosted(qualify_query(n, f), b) for f, b in qf.items()
+            ]
+            return DisMax(*clauses, tie_breaker=tie_breaker)
+        if isinstance(n, (And, Or)):
+            return type(n)(*[fieldize(c) for c in n.clauses])
+        if isinstance(n, DisMax):
+            return DisMax(*[fieldize(c) for c in n.clauses],
+                          tie_breaker=n.tie_breaker)
+        if isinstance(n, ConstantScore):
+            return ConstantScore(fieldize(n.query), n.boost)
+        if isinstance(n, Boost):
+            return Boost(fieldize(n.query), n.boost)
+        if isinstance(n, Bool):
+            fz = lambda cs: tuple(fieldize(c) for c in cs)
+            return Bool(fz(n.must), fz(n.should), fz(n.must_not), fz(n.filter),
+                        n.min_should_match)
+        return n  # MatchAll
+
+    q = fieldize(parse_query(s))
+    if mm:
+        if isinstance(q, Or):
+            q = Bool(should=q.clauses, min_should_match=mm)
+        elif isinstance(q, Bool):
+            q = Bool(q.must, q.should, q.must_not, q.filter, mm)
     return rewrite(q)
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["sloppy_freq"]
+__all__ = ["sloppy_freq", "sloppy_freq_batch"]
 
 
 def sloppy_freq(adjusted_lists: list[np.ndarray], slop: int) -> float:
@@ -49,3 +49,53 @@ def sloppy_freq(adjusted_lists: list[np.ndarray], slop: int) -> float:
             if idx[lo_i] >= len(adjusted_lists[lo_i]):
                 break
     return total
+
+
+def sloppy_freq_batch(
+    values: np.ndarray,
+    clauses: np.ndarray,
+    docs: np.ndarray,
+    n_clauses: int,
+    slop: int,
+    n_rows: int,
+) -> np.ndarray:
+    """Vectorized ``sloppy_freq`` over MANY documents at once.
+
+    Inputs are flat parallel arrays over every (doc, clause, occurrence):
+    offset-adjusted position, clause index, and doc row index; every doc
+    present must contain all ``n_clauses`` clauses (callers filter).
+    Returns a float64 array of length ``n_rows`` with each row's sloppy
+    frequency.
+
+    Equivalence to the pointer loop (property-tested exact): the
+    reference always advances the MINIMUM head, so iteration k consumes
+    exactly the k-th event in ((value, clause), doc-grouped) sorted
+    order; after k consumptions each clause's head is its first event at
+    sorted position >= k, so the window width at step k is
+    ``max_c head_c(k) - v_k``, and the loop stops right after consuming
+    the FIRST event that is the last of its clause.  All of those are
+    suffix/searchsorted computations — no per-doc Python.
+    """
+    order = np.lexsort((clauses, values, docs))
+    v = values[order]
+    c = clauses[order]
+    g = docs[order]
+    total = v.size
+    if total == 0:
+        return np.zeros(n_rows, dtype=np.float64)
+    idx = np.arange(total, dtype=np.int64)
+    heads_max = np.full(total, np.iinfo(np.int64).min, dtype=np.int64)
+    last = np.full((n_rows, n_clauses), -1, dtype=np.int64)
+    for k in range(n_clauses):
+        pc = np.flatnonzero(c == k)
+        if pc.size == 0:
+            return np.zeros(n_rows, dtype=np.float64)
+        j = np.minimum(np.searchsorted(pc, idx), pc.size - 1)
+        np.maximum(heads_max, v[pc[j]], out=heads_max)
+        last[g[pc], k] = pc  # ascending writes: final value = max position
+    stop_at = last.min(axis=1)
+    width = heads_max - v
+    hit = (idx <= stop_at[g]) & (width <= slop)
+    contrib = np.zeros(total, dtype=np.float64)
+    contrib[hit] = 1.0 / (1.0 + width[hit])
+    return np.bincount(g, weights=contrib, minlength=n_rows)

@@ -40,3 +40,70 @@ def test_osa_transposition_and_classics():
     s = pd.Series(["class", "calss", "clas", "classs", "klass", "", "x"])
     d = osa_distances(s, "class")
     assert d.tolist() == [0, 1, 1, 1, 1, 5, 5]
+
+
+# --- sloppy event-sweep kernel ----------------------------------------------
+
+
+def _batch_from_lists(docs_lists):
+    """[[clause0_arr, clause1_arr, ...], ...] → flat (v, c, g) arrays."""
+    vals, cls, dgs = [], [], []
+    for g, lists in enumerate(docs_lists):
+        for k, a in enumerate(lists):
+            a = np.asarray(a, dtype=np.int64)
+            vals.append(a)
+            cls.append(np.full(a.size, k, dtype=np.int64))
+            dgs.append(np.full(a.size, g, dtype=np.int64))
+    return (np.concatenate(vals), np.concatenate(cls), np.concatenate(dgs))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                     max_size=6, unique=True),
+            min_size=2, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_sloppy_batch_matches_reference(docs, slop):
+    from lucene_solr_spark.search.sloppy import sloppy_freq, sloppy_freq_batch
+
+    n_clauses = min(len(d) for d in docs)
+    docs = [d[:n_clauses] for d in docs]
+    v, c, g = _batch_from_lists(docs)
+    got = sloppy_freq_batch(v, c, g, n_clauses, slop, len(docs))
+    for i, lists in enumerate(docs):
+        want = sloppy_freq([np.sort(np.asarray(a, dtype=np.int64)) for a in lists], slop)
+        assert abs(got[i] - want) < 1e-12, (i, lists, slop, got[i], want)
+
+
+def test_sloppy_batch_microbench_5x():
+    """VERDICT r2 #8 'done' criterion: the batched sweep is >= 5x the
+    per-doc pointer loop on 10k candidate docs."""
+    import time
+
+    from lucene_solr_spark.search.sloppy import sloppy_freq, sloppy_freq_batch
+
+    rng = np.random.default_rng(7)
+    docs = [
+        [np.sort(rng.choice(200, size=8, replace=False)).astype(np.int64)
+         for _ in range(3)]
+        for _ in range(10_000)
+    ]
+    v, c, g = _batch_from_lists(docs)
+
+    t0 = time.perf_counter()
+    ref = [sloppy_freq(lists, 4) for lists in docs]
+    t_loop = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    got = sloppy_freq_batch(v, c, g, 3, 4, len(docs))
+    t_batch = time.perf_counter() - t0
+
+    assert np.allclose(got, ref)
+    speedup = t_loop / max(t_batch, 1e-9)
+    assert speedup >= 5.0, f"batched sweep only {speedup:.1f}x"

@@ -263,3 +263,45 @@ def test_update_documents_rejects_fields_on_single_field_index(spark, tmp_path):
     with pytest.raises(ValueError, match="fields mismatch"):
         update_documents(spark, path, nd, key_cols=["repo", "path"],
                          fields={"content": "content"})
+
+
+def test_edismax_query_structure():
+    from lucene_solr_spark.search import edismax_query
+    from lucene_solr_spark.search.query import DisMax
+
+    q = edismax_query("spark web", {"text": 2.0, "src": 1.0}, tie_breaker=0.1)
+    assert isinstance(q, Or) and len(q.clauses) == 2
+    d = q.clauses[0]
+    assert isinstance(d, DisMax) and d.tie_breaker == 0.1
+    assert {(c.term, c.boost) for c in d.clauses} == {
+        ("text:spark", 2.0), ("src:spark", 1.0)
+    }
+    # an explicitly qualified leaf keeps its field (no DisMax wrap)
+    q2 = edismax_query("src:web", {"text": 1.0, "src": 1.0})
+    assert q2 == Term("src:web")
+    # phrases fieldize too
+    q3 = edismax_query('"hash join"', {"text": 1.0, "src": 3.0})
+    assert isinstance(q3, DisMax)
+    assert {tuple(c.terms) for c in q3.clauses} == {
+        ("text:hash", "text:join"), ("src:hash", "src:join")
+    }
+    # mm turns the top-level disjunction into minimumNumberShouldMatch
+    q4 = edismax_query("a b c", {"text": 1.0}, mm=2)
+    assert isinstance(q4, Bool) and q4.min_should_match == 2
+    with pytest.raises(ValueError):
+        edismax_query("x", {})
+
+
+def test_edismax_engine_vs_oracle(engine, oracle):
+    from lucene_solr_spark.search import edismax_query
+
+    for s, qf, tie in [
+        ("def dir1", {"content": 1.0, "path": 1.0}, 0.0),
+        ("def class", {"content": 2.0, "path": 1.0}, 0.3),
+        ("py return", {"content": 1.0, "path": 4.0}, 0.0),
+        ('"def main" dir2', {"content": 1.0, "path": 2.0}, 0.5),
+    ]:
+        q = edismax_query(s, qf, tie_breaker=tie)
+        got = _run(engine, q)
+        want = oracle.search(q, k=10)
+        assert got == want, (s, qf, tie)
