@@ -416,6 +416,87 @@ def q_multifield_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward index (Lucene term vectors): doc 7's (term, tf) pairs
+    from the map-only term_vectors kernel — the store MoreLikeThis reads
+    one row of instead of decoding the posting store."""
+    from lucene_solr_spark.index.core import term_vectors
+
+    tv = term_vectors(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    return (
+        tv.filter(F.col("doc_id") == 7)
+        .select(F.explode(F.arrays_zip("terms", "tfs")).alias("_z"))
+        .select(F.col("_z.terms").alias("term"),
+                F.col("_z.tfs").cast("long").alias("tf"))
+        .orderBy("term")
+    )
+
+
+def q_fts_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery (OSA, transpositions=true — the Lucene default) for
+    'window' at maxEdits=1: the expansion set comes from the ENGINE's
+    dictionary-scan predicate (the batch-vectorized OSA kernel — the
+    feature under test); the expansions score on the f64 parity path
+    over real decoded postings (fts_bm25_topk discipline) and sum per
+    doc, SCORING_BOOLEAN_REWRITE semantics.  DuckDB re-derives the
+    expansion with damerau_levenshtein (== OSA at distance <= 1)."""
+    from lucene_solr_spark.search.executor import _multiterm_cond
+    from lucene_solr_spark.search.query import Fuzzy
+
+    idx = _index_for(spark, sf_dir)
+    cond = _multiterm_cond(Fuzzy("window", max_edits=1))
+    terms = sorted(
+        r["term"] for r in idx.term_dict.filter(cond).select("term").collect()
+    )
+    sc = _bm25_scores(spark, sf_dir, terms)
+    agg = sc.groupBy("doc_id").agg(F.sum("score64").alias("score64"))
+    return (
+        agg.select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchAfter deep paging: page 2 (rows 11-20) of the BM25 ranking
+    for the probe term via the (float32 score, doc_id) cursor of page
+    1's last row — the strictly-after predicate applied to the scored
+    stream BEFORE the top-k, exactly the engine's cursor pushdown, on
+    the f64 parity path.  Oracle = the same ranking OFFSET 10."""
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select(
+        "doc_id", F.col("score64").cast("float").alias("score")
+    )
+    page1 = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    s, d = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
+    return (
+        sc.filter((F.col("score") < s)
+                  | ((F.col("score") == s) & (F.col("doc_id") > d)))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanSimilarity in the similarity slot: every match scores the
+    query boost, so an OR's score is the number of matching clauses —
+    statistics, tf and norms all ignored."""
+    from lucene_solr_spark.bm25 import BooleanSimilarity
+    from lucene_solr_spark.search.query import Or, Term
+
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        bm25=BooleanSimilarity(),
+    )
+    q = Or(Term(AND_TERMS[0]), Term(AND_TERMS[1]))
+    out = search(idx, q, k=20).select(
+        "doc_id", F.col("score").cast("float").alias("score")
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eDisMax multi-field query (ExtendedDismaxQParser core): the user
     string 'spark src3' fans each term out as a DisMax over qf fields
@@ -1001,6 +1082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gather": q_graph_gather,
         "multifield_dict": q_multifield_dict,
         "edismax": q_edismax,
+        "term_vector": q_term_vector,
+        "fts_fuzzy": q_fts_fuzzy,
+        "search_after": q_search_after,
+        "boolean_topk": q_boolean_topk,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -1550,6 +1635,21 @@ FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY event_type ORDER BY event_type""",
         "edismax": _edismax_oracle(),
+        "term_vector": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS tf
+FROM tok WHERE doc_id = 7 GROUP BY term ORDER BY term""",
+        "fts_fuzzy": _bm25_oracle(
+            "damerau_levenshtein(term, 'window') <= 1", or_mode=True
+        ),
+        "search_after": _bm25_oracle(f"term = '{BM25_TERM}'", or_mode=False)
+        .replace("LIMIT 10", "LIMIT 10 OFFSET 10"),
+        "boolean_topk": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id, count(DISTINCT term) AS n FROM tok
+      WHERE term IN ('{AND_TERMS[0]}', '{AND_TERMS[1]}') GROUP BY doc_id)
+SELECT doc_id, CAST(n AS FLOAT) AS score FROM m
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
         "multifield_dict": f"""
 WITH {_TOK_CTE},
 textd AS (

@@ -48,6 +48,13 @@ SUBSET = [
     "spellcheck",
     "ann_ivf",
     "graph_shortest",
+    # round-3 families: forward index, fuzzy expansion kernel, paging,
+    # BooleanSimilarity slot, eDisMax multi-field
+    "term_vector",
+    "fts_fuzzy",
+    "search_after",
+    "boolean_topk",
+    "edismax",
 ]
 
 
