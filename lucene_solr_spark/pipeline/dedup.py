@@ -45,6 +45,19 @@ __all__ = [
 ]
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Kernel cost >> a raw-corpus shuffle: when the scan yields fewer
+    splits than cores (small/compressed files — the sf0.1 documents
+    table is ONE split), fan out first so the hash/tokenize kernels
+    parallelize.  No-op on a real cluster where the scan has plenty of
+    splits (same rationale as build_index_view)."""
+    spark = df.sparkSession
+    want = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content digest: keep the lowest id per digest.
 
@@ -106,7 +119,9 @@ def with_shingle_hashes(
             ]
             yield pd.DataFrame(out)
 
-    src = df.select(id_col, *extra, F.expr(_TERM_HASHES.format(col=text_col)).alias("th"))
+    src = _fan_out(df).select(
+        id_col, *extra, F.expr(_TERM_HASHES.format(col=text_col)).alias("th")
+    )
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields if f.name != "th"]
         + ["sh array<bigint>"]
@@ -137,17 +152,26 @@ def minhash_signatures(
                     sigs[int(d)] = mins[:, k].tolist()
             yield pd.DataFrame({"id_": pdf[id_col].to_numpy(), "sig": sigs})
 
-    th = df.select(id_col, F.expr(_TERM_HASHES.format(col=text_col)).alias("th"))
+    th = _fan_out(df).select(
+        id_col, F.expr(_TERM_HASHES.format(col=text_col)).alias("th")
+    )
     return th.mapInPandas(_sig, "id_ long, sig array<bigint>").withColumnRenamed("id_", id_col)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become a
     candidate pair.  Returns [id_a, id_b, est_jaccard] (a < b), where
     est_jaccard = fraction of matching signature components.
-    """
+
+    ``cache`` persists the banded frame (tiny: bands rows of 16 ints per
+    doc) before the self-join — Catalyst does NOT reuse exchanges across
+    the two sides of a mapInPandas lineage (python functions never
+    canonicalize equal), so without it the signature kernel re-tokenizes
+    and re-hashes the WHOLE corpus twice.  Evictable MEMORY_AND_DISK;
+    at 100 TB this is the standard materialize-before-self-join."""
     assert bands * rows == 16
     band = F.explode(
         F.expr(
@@ -158,6 +182,8 @@ def lsh_candidate_pairs(
     e = sigs.filter(F.col("sig").isNotNull()).select(id_col, "sig", band).select(
         F.col(id_col).alias("id"), "sig", F.col("band.band_id"), F.col("band.key")
     )
+    if cache:
+        e = e.persist()
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(
@@ -198,7 +224,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     oracle entry)."""
     toks = TOKENS_SQL.format(col=text_col)
     tf = (
-        df.select(id_col, F.explode(F.expr(toks)).alias("term"))
+        _fan_out(df).select(id_col, F.explode(F.expr(toks)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.expr(hterm_sql("term")))

@@ -165,6 +165,43 @@ def positions_table(
     cols = ["term", "doc_ids_vb", "tfs_vb", "norms_b", "positions_vb"]
     return blocks.select(*cols).mapInPandas(_decode, _POSITIONS_TABLE_SCHEMA)
 
+def occurrences_table(blocks: DataFrame) -> DataFrame:
+    """Decoded postings ONE ROW PER OCCURRENCE: [term, doc_id, norm_byte,
+    pos] — the exact-phrase planner's input.  Compared with
+    ``positions_table`` + explode, the kernel emits flat numpy arrays
+    directly (np.repeat for the per-doc columns): no per-posting Python
+    list is ever built and no JVM Generate runs — the rows leave the
+    kernel already exploded."""
+
+    def _dec(batches):
+        for pdf in batches:
+            terms_o, docs_o, nbs_o, pos_o = [], [], [], []
+            for i in range(pdf.shape[0]):
+                d = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
+                t = decode_tfs(pdf["tfs_vb"].iat[i])
+                nb = decode_norm_bytes(pdf["norms_b"].iat[i])
+                pos = decode_positions(pdf["positions_vb"].iat[i], t)
+                docs_o.append(np.repeat(d, t))
+                nbs_o.append(np.repeat(nb.astype(np.int64), t))
+                terms_o.append(np.full(pos.size, pdf["term"].iat[i], dtype=object))
+                pos_o.append(pos.astype(np.int64))
+            if not docs_o:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_o),
+                    "doc_id": np.concatenate(docs_o),
+                    "norm_byte": np.concatenate(nbs_o),
+                    "pos": np.concatenate(pos_o),
+                }
+            )
+
+    cols = ["term", "doc_ids_vb", "tfs_vb", "norms_b", "positions_vb"]
+    return blocks.select(*cols).mapInPandas(
+        _dec, "term string, doc_id long, norm_byte long, pos long"
+    )
+
+
 _SCORED_SCHEMA = StructType(
     [
         StructField("term", StringType()),
@@ -487,19 +524,13 @@ def _phrase_tf(index: IndexView, phrase: Phrase,
     iff p - off is the same base position for every clause."""
     uniq = list(dict.fromkeys(phrase.terms))
     stats, total_blocks = _phrase_stats(index, uniq, stats)
-    pt = positions_table(
-        index, uniq, blocks=_phrase_blocks(index, uniq, stats, total_blocks)
-    )
+    pt = occurrences_table(_phrase_blocks(index, uniq, stats, total_blocks))
     if len(uniq) > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
         pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
     offs = [(t, i, i) for i, t in enumerate(phrase.terms)]  # (term, off, clause)
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
-    base = (
-        pt.join(F.broadcast(cdf), "term")
-        .select("doc_id", "norm_byte", "clause", "off", F.explode("positions").alias("pos"))
-        .select(
-            "doc_id", "norm_byte", "clause", (F.col("pos") - F.col("off")).alias("p")
-        )
+    base = pt.join(F.broadcast(cdf), "term").select(
+        "doc_id", "norm_byte", "clause", (F.col("pos") - F.col("off")).alias("p")
     )
     occ = (
         base.groupBy("doc_id", "p")

@@ -121,21 +121,23 @@ def test_mlt_reads_forward_index_only(spark, tmp_path_factory):
     assert "EqualTo(doc_id,3)" in pushed, pushed
 
 
-def test_phrase_explodes_positions_only_for_candidates(persisted, monkeypatch):
+def test_phrase_shuffles_occurrences_only_for_candidates(persisted, monkeypatch):
     """The phrase plan must semi-join the clause terms' doc sets (AND
-    pre-intersection) BEFORE exploding positions, so position rows are
-    shuffled only for docs containing every clause term.  (Cost-gated:
-    forced on here; at tiny list sizes the extra job is skipped.)"""
+    pre-intersection) BEFORE the (doc, p) aggregation, so occurrence
+    rows are shuffled only for docs containing every clause term.
+    Occurrence rows leave the decode kernel already exploded (flat numpy
+    arrays) — no JVM Generate and no per-posting Python lists.
+    (Cost-gated: forced on here; at tiny list sizes the extra job is
+    skipped.)"""
     from lucene_solr_spark.search import Phrase, executor
     from lucene_solr_spark.search.executor import _phrase_tf, _sloppy_tf
 
     monkeypatch.setattr(executor, "_PHRASE_PREINTERSECT_MIN_BLOCKS", 0)
     plan = _plan(_phrase_tf(persisted, Phrase("def", "class")))
     assert "LeftSemi" in plan, "candidate pre-intersection missing"
-    # plans print root-first: the explode (Generate) must sit ABOVE the
-    # semi-join, i.e. consume its output
-    assert "Generate" in plan
-    assert plan.index("Generate") < plan.index("LeftSemi")
+    assert "Generate" not in plan, "positions should leave the kernel pre-exploded"
+    # root-first printing: the (doc,p) aggregate consumes the semi-join
+    assert plan.index("HashAggregate") < plan.index("LeftSemi")
     # sloppy path: same pre-intersection, batched mapInPandas kernel (no
     # per-doc FlatMapGroups)
     splan = _plan(_sloppy_tf(persisted, Phrase("def", "class", slop=2)))
