@@ -685,6 +685,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket equi-join (the
+    candidate generator — never all-pairs) + exact cosine >= 0.40,
+    top-50 by (cosine desc, id_a, id_b).  Buckets, folds, and the
+    threshold are all bit-reproducible in DuckDB."""
+    from lucene_solr_spark.pipeline import cosine_neardup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (
+        cosine_neardup_pairs(emb, threshold=0.35, n_planes=4)
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.pipeline import token_stats
 
@@ -1103,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "cos_neardup": q_cos_neardup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1211,6 +1227,35 @@ FROM documents ORDER BY doc_id""",
         "minhash_sig": f"""
 WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte}
 SELECT doc_id, CAST(perm AS INT) AS perm, sig FROM sig""",
+        "cos_neardup": f"""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+    CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 8)) AS BIGINT) % 16 - 8)
+    AS comps
+  FROM (SELECT unnest(generate_series(0, 3)) AS p)
+),
+buckets AS (
+  SELECT e.vec_id,
+    CAST(sum(CASE WHEN
+      {dot.format(a='e.embedding', b='pl.comps')} > 0
+      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes pl GROUP BY e.vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    CAST(({dot.format(a='va', b='vb')}) /
+         (sqrt({dot.format(a='va', b='va')}) *
+          sqrt({dot.format(a='vb', b='vb')})) AS FLOAT) AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 35e-2
+ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""",
         "lsh_pairs": f"""
 WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
 siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),

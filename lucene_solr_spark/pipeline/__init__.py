@@ -21,12 +21,19 @@ from .dedup import (
     with_shingle_hashes,
 )
 from .classify import TextLogit, train_text_logit
-from .similarity import cosine_topk, hyperplane_lsh_topk, ivf_fit_centroids, ivf_topk
+from .similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    hyperplane_lsh_topk,
+    ivf_fit_centroids,
+    ivf_topk,
+)
 from .text import doc_fingerprint, lang_id, text_quality, token_stats
 from .multimodal import media_features, with_media_binary
 
 __all__ = [
     "TextLogit",
+    "cosine_neardup_pairs",
     "cosine_topk",
     "ivf_fit_centroids",
     "ivf_topk",

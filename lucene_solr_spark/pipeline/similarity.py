@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "hyperplane_lsh_topk", "ivf_fit_centroids", "ivf_topk"]
+__all__ = ["cosine_topk", "hyperplane_lsh_topk", "ivf_fit_centroids", "ivf_topk",
+           "cosine_neardup_pairs"]
 
 #: sequential f64 dot product of two array columns (bit-deterministic)
 _DOT = (
@@ -151,6 +152,47 @@ def _plane_component(plane: int, dim: int) -> int:
 
     h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16)
     return (h % 16) - 8
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUPLICATE pairs — the dedup-family member
+    over vectors: sign-LSH bucket every vector (the same md5-derived
+    integer hyperplanes as :func:`hyperplane_lsh_topk`), equi-join within
+    buckets (id_a < id_b), exact-cosine verify ``>= threshold``.
+
+    The bucket join is the candidate generator — NEVER all-pairs: two
+    vectors collide iff every hyperplane gives them the same sign, which
+    for near-duplicates (angle θ → 0) happens with probability
+    (1 − θ/π)^n_planes → 1.  Returns [id_a, id_b, cosine:float].  All
+    arithmetic (integer planes, sequential f64 folds) is bit-reproducible
+    by the DuckDB oracle."""
+    dims = len(df.select(vec_col).head()[0])
+    planes = [[_plane_component(p, d) for d in range(dims)] for p in range(n_planes)]
+    bits = []
+    for p, comps in enumerate(planes):
+        arr = "array(" + ", ".join(str(c) for c in comps) + ")"
+        dot = _DOT.format(a=vec_col, b=arr)
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucketed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.expr("(" + " + ".join(bits) + ")").alias("bucket"),
+    )
+    left = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    right = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = f"({_DOT.format(a='va', b='vb')}) / ({_norm('va')} * {_norm('vb')})"
+    return (
+        pairs.select(
+            "id_a", "id_b", F.expr(f"CAST({cos} AS FLOAT)").alias("cosine")
+        )
+        .filter(F.col("cosine") >= float(threshold))
+    )
 
 
 def hyperplane_lsh_topk(

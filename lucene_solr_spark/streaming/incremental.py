@@ -36,16 +36,25 @@ __all__ = ["stream_build_index"]
 
 
 def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
-                    text_col: str, stopwords, analyzer=None) -> None:
+                    text_col: str, stopwords, analyzer=None,
+                    store_term_vectors: bool = False) -> None:
     spark = pdf_batch.sparkSession
-    manifest = read_manifest(index_path) or {
-        "version": 1,
-        "committed": False,
-        "streaming": True,
-        "bm25": {"k1": BM25().k1, "b": BM25().b},
-        "segments": [],
-        "stats": {"doc_count": 0, "sum_ttf": 0},
-    }
+    manifest = read_manifest(index_path)
+    if manifest is None:
+        from ..analysis import chain_for, chain_spec
+
+        manifest = {
+            "version": 1,
+            "committed": False,
+            "streaming": True,
+            "bm25": {"k1": BM25().k1, "b": BM25().b},
+            "segments": [],
+            "stats": {"doc_count": 0, "sum_ttf": 0},
+            # managed-schema parity with the batch builder: the chain
+            # spec + term-vector flag persist from the FIRST micro-batch
+            "analyzer": chain_spec(chain_for(stopwords, analyzer)),
+            "term_vectors": bool(store_term_vectors),
+        }
     if any(s.get("batch_id") == batch_id for s in manifest["segments"]):
         return  # replayed batch, segment already committed (idempotent)
 
@@ -88,6 +97,15 @@ def _append_segment(pdf_batch: DataFrame, batch_id: int, index_path: Path,
     docs.write.mode("overwrite").parquet(
         str(index_path / "docs.parquet" / f"seg={seg_id}")
     )
+    if manifest.get("term_vectors"):
+        # the forward index grows with every micro-batch (same seg=<id>
+        # layout + overwrite idempotence as postings/norms/docs)
+        from ..index.core import term_vectors
+
+        term_vectors(docs, "doc_id", text_col, stopwords, analyzer=analyzer)\
+            .sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+                str(index_path / "term_vectors.parquet" / f"seg={seg_id}")
+            )
 
     written = seg_blocks.filter(~F.col("term").startswith(NORMS_TERM))
     agg = written.agg(
@@ -128,6 +146,7 @@ def stream_build_index(
     checkpoint: str | Path | None = None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
+    store_term_vectors: bool = False,
 ):
     """Attach the segment-appending sink to a streaming DataFrame.
 
@@ -141,7 +160,7 @@ def stream_build_index(
 
     writer = stream_df.writeStream.foreachBatch(
         lambda bdf, bid: _append_segment(bdf, bid, index_path, text_col, stopwords,
-                                         analyzer)
+                                         analyzer, store_term_vectors)
     ).option("checkpointLocation", checkpoint)
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)

@@ -199,3 +199,27 @@ def test_simhash_packed_equals_relational(spark):
     a = {r["doc_id"]: r["simhash"] for r in simhash(docs, packed=True).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash(docs, packed=False).collect()}
     assert a == b and len(a) >= 41
+
+
+def test_cosine_neardup_pairs(spark):
+    """Embedding near-dup: planted near-duplicate vectors surface as
+    pairs; the bucket join is the candidate generator (no all-pairs)."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import cosine_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant near-dups of vectors 0 and 7
+    for nid, src in [(100, 0), (101, 7)]:
+        rows.append(
+            (nid, [float(x) for x in base[src] + rng.normal(scale=0.01, size=16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_neardup_pairs(df, threshold=0.98, n_planes=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    assert {(0, 100), (7, 101)} <= found
+    assert all(r["cosine"] >= 0.98 for r in got)
+    # random (non-planted) vectors do not pair at this threshold
+    assert all({a, b} & {100, 101} for a, b in found)

@@ -89,7 +89,7 @@ def test_streaming_incremental_index(spark, tmp_path):
     def drain():
         q = stream_build_index(
             spark.readStream.schema(schema).parquet(str(src)), idx_path,
-            text_col="content",
+            text_col="content", store_term_vectors=True,
         )
         q.awaitTermination(120)
 
@@ -119,6 +119,18 @@ def test_streaming_incremental_index(spark, tmp_path):
         F.sha2(F.col("content"), 256) != F.col("content_sha256")
     ).count()
     assert bad == 0
+
+    # the forward index grew with every micro-batch and matches the
+    # posting store's own decode for a doc from EACH wave
+    from lucene_solr_spark.search.extras import doc_term_vector
+
+    assert idx.term_vectors is not None
+    assert idx.term_vectors.count() == 120
+    no_tv = open_index(spark, idx_path)
+    object.__setattr__(no_tv, "term_vectors", None)
+    for probe in (5, 100):
+        tv = doc_term_vector(idx, probe)
+        assert tv and tv == doc_term_vector(no_tv, probe)
 
 
 def test_reduce_stream_deterministic(spark):
