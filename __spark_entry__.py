@@ -629,6 +629,21 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs: every doc in a
+    near-dup component labeled with the component's minimum doc id (the
+    canonical copy).  Distributed min-label propagation; the oracle
+    re-derives components with a recursive CTE."""
+    from lucene_solr_spark.pipeline import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = lsh_candidate_pairs(minhash_signatures(_docs(spark, sf_dir)))
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.pipeline import simhash
 
@@ -1113,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,
@@ -1272,6 +1288,27 @@ SELECT id_a, id_b,
   CAST(CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 16 AS FLOAT)
   AS est_jaccard
 FROM pairs ORDER BY id_a, id_b""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
+siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
+bandk AS (
+  SELECT doc_id, b, sigl[b*4+1 : b*4+4] AS key
+  FROM siglist, (VALUES (0), (1), (2), (3)) AS bands(b)
+),
+cpairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandk x JOIN bandk y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM cpairs
+          UNION SELECT id_b, id_a FROM cpairs),
+reach(v, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.v
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v ORDER BY doc_id""",
         "simhash": f"""
 WITH {tok_cte},
 tf AS (SELECT doc_id, t AS term, count(*) AS tf

@@ -13,6 +13,7 @@ in __spark_entry__.py.
 """
 
 from .dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "ivf_topk",
     "train_text_logit",
     "doc_fingerprint",
+    "dedup_clusters",
     "exact_dedup",
     "hyperplane_lsh_topk",
     "lang_id",

@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "with_shingle_hashes",
+    "dedup_clusters",
 ]
 
 
@@ -347,3 +348,65 @@ def ngram_jaccard_pairs(
         .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_n)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate edges — the
+    final dedup step: every doc in a component gets ``cluster_id`` = the
+    MINIMUM doc id reachable from it (that doc is the canonical copy;
+    drop the rest to materialize the deduped corpus).
+
+    Distributed min-label propagation: labels start as each node's own
+    id; every round each node takes the min of its own label and its
+    neighbors' labels (one join + one groupBy-min per round), stopping
+    when a round changes nothing.  Rounds needed = graph diameter —
+    near-dup components are tiny dense clusters (diameter 1-3), so this
+    terminates in a few shuffles regardless of corpus size; ``max_iters``
+    bounds adversarial chains.  Labels persist per round (evictable) and
+    the previous round unpersists — memory stays one label-set wide.
+
+    Returns [doc_id, cluster_id] for every doc appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("l", F.col("v"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(labels, edges["s"] == labels["v"]).select(
+                F.col("d").alias("v"), F.col("l")
+            )
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("v")
+                .agg(F.min("l").alias("l"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("l", "_old"), "v")
+                .filter(F.col("l") != F.col("_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("v").cast("long").alias("doc_id"),
+            F.col("l").cast("long").alias("cluster_id"),
+        )
+    finally:
+        edges.unpersist()

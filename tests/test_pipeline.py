@@ -223,3 +223,16 @@ def test_cosine_neardup_pairs(spark):
     assert all(r["cosine"] >= 0.98 for r in got)
     # random (non-planted) vectors do not pair at this threshold
     assert all({a, b} & {100, 101} for a, b in found)
+
+
+def test_dedup_clusters_connected_components(spark):
+    from lucene_solr_spark.pipeline import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 1)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    # chain 20-21-22-1-2-3 is ONE component (diameter 5 — exercises
+    # multi-round propagation); 10-11 a second
+    assert got == {1: 1, 2: 1, 3: 1, 20: 1, 21: 1, 22: 1, 10: 10, 11: 10}
