@@ -629,6 +629,23 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
 
 
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-aware highlighting over the BM25 top-10 hit page: snippet
+    windows with <em> markers around query-term occurrences.  Span
+    output is not ANSI-SQL-expressible, so this entry takes the driver's
+    rows-only check (the snippet KERNEL is oracle-free but its inputs —
+    the hit page — are the oracle-checked fts_bm25_topk ranking)."""
+    from lucene_solr_spark.search.highlight import highlight
+
+    idx = _index_for(spark, sf_dir)
+    q = parse_query(BM25_TERM)
+    hits = search(idx, q, k=10)
+    out = highlight(hits, _docs(spark, sf_dir), q, text_col="text")
+    return out.select(
+        "doc_id", F.col("score").cast("float").alias("score"), "snippet"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate pairs: every doc in a
     near-dup component labeled with the component's minimum doc id (the
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "highlight": q_highlight,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_cosine": q_knn_cosine,

@@ -33,6 +33,7 @@ __all__ = [
     "ClassicSimilarity",
     "LMDirichlet",
     "DFRInL2",
+    "DFR",
     "BooleanSimilarity",
     "DEFAULT_K1",
     "DEFAULT_B",
@@ -317,6 +318,97 @@ class DFRInL2:
         inf = tfn * np.log2((n_docs + 1.0) / (df + 0.5))
         after_effect = 1.0 / (tfn + 1.0)
         return np.maximum(boost * after_effect * inf, 0.0).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DFR:
+    """Parameterized divergence-from-randomness similarity — the
+    BasicModel × AfterEffect × Normalization combination slots of
+    ``[8x] lucene/core/src/java/org/apache/lucene/search/similarities/
+    DFRSimilarity.java``, built from the PUBLISHED DFR components
+    (Amati & van Rijsbergen, "Probabilistic models of information
+    retrieval based on measuring the divergence from randomness",
+    TOIS 2002):
+
+      normalization H1: tfn = tf · c · avgdl / dl_q
+      normalization H2: tfn = tf · log2(1 + c · avgdl / dl_q)
+      basic model I(n):  inf = tfn · log2((N + 1) / (df + 0.5))
+      basic model I(ne): ne  = N · (1 − ((N − 1)/N)^F),
+                         inf = tfn · log2((N + 1) / (ne + 0.5))
+      after effect L:    gain = 1 / (tfn + 1)
+      after effect B:    gain = (F + 1) / (df · (tfn + 1))
+      score = boost · gain · inf, clipped ≥ 0       (F = collection freq)
+
+    ``DFRInL2`` remains the dedicated I(n)·L·H2 fast path; this class
+    generalizes the slot.  Monotonicity (block-max soundness): tfn is
+    increasing in tf and decreasing in dl; gain·inf is increasing in tfn
+    for both after-effects, so per-block (max_tf, min_norm_byte) upper
+    bounds stay valid."""
+
+    basic_model: str = "in"      # "in" | "ine"
+    after_effect: str = "l"      # "l" | "b"
+    normalization: str = "h2"    # "h1" | "h2"
+    c: float = 1.0
+
+    def __post_init__(self) -> None:
+        if self.basic_model not in ("in", "ine"):
+            raise ValueError(f"unknown DFR basic model: {self.basic_model!r}")
+        if self.after_effect not in ("l", "b"):
+            raise ValueError(f"unknown DFR after effect: {self.after_effect!r}")
+        if self.normalization not in ("h1", "h2"):
+            raise ValueError(f"unknown DFR normalization: {self.normalization!r}")
+        if not (math.isfinite(self.c) and self.c > 0):
+            raise ValueError(f"illegal c value: {self.c}, must be a positive finite value")
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)  # quantized lengths
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        flags = {"in": 0.0, "ine": 1.0}[self.basic_model]
+        aflag = {"l": 0.0, "b": 1.0}[self.after_effect]
+        nflag = {"h1": 0.0, "h2": 1.0}[self.normalization]
+        return np.array(
+            [float(boost), float(df), float(cf),
+             float(self.avgdl(sum_ttf, doc_count)), self.c, float(doc_count),
+             flags, aflag, nflag],
+            dtype=np.float64,
+        )
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        (boost, df, cf, avgdl, c, n_docs,
+         basic_ine, after_b, norm_h2) = (float(weight[i]) for i in range(9))
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        dl = np.maximum(dl, 1.0)
+        if norm_h2:
+            tfn = tf * np.log2(1.0 + (c * avgdl) / dl)
+        else:
+            tfn = tf * c * avgdl / dl
+        if basic_ine:
+            ne = n_docs * (1.0 - ((n_docs - 1.0) / n_docs) ** cf)
+            inf = tfn * np.log2((n_docs + 1.0) / (ne + 0.5))
+        else:
+            inf = tfn * np.log2((n_docs + 1.0) / (df + 0.5))
+        if after_b:
+            gain = (cf + 1.0) / (df * (tfn + 1.0))
+        else:
+            gain = 1.0 / (tfn + 1.0)
+        return np.maximum(boost * gain * inf, 0.0).astype(np.float32)
 
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:

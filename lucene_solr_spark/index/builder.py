@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..bm25 import BM25, BooleanSimilarity, ClassicSimilarity, DFRInL2, LMDirichlet
+from ..bm25 import DFR, BM25, BooleanSimilarity, ClassicSimilarity, DFRInL2, LMDirichlet
 from .core import (
     NORMS_TERM,
     IndexView,
@@ -67,6 +67,13 @@ def _similarity_from_manifest(manifest: dict):
         return LMDirichlet(mu=float(sim.get("mu", 2000.0)))
     if sim.get("name") == "dfr_inl2":
         return DFRInL2(c=float(sim.get("c", 1.0)))
+    if sim.get("name") == "dfr":
+        return DFR(
+            basic_model=sim.get("basic", "in"),
+            after_effect=sim.get("after", "l"),
+            normalization=sim.get("norm", "h2"),
+            c=float(sim.get("c", 1.0)),
+        )
     return BM25(**manifest["bm25"])
 
 
@@ -217,6 +224,11 @@ def build_index(
             bm25_entry = {}
         elif isinstance(bm25, DFRInL2):
             sim_entry = {"name": "dfr_inl2", "c": bm25.c}
+            bm25_entry = {}
+        elif isinstance(bm25, DFR):
+            sim_entry = {"name": "dfr", "basic": bm25.basic_model,
+                         "after": bm25.after_effect, "norm": bm25.normalization,
+                         "c": bm25.c}
             bm25_entry = {}
         elif isinstance(bm25, BooleanSimilarity):
             sim_entry = {"name": "boolean"}

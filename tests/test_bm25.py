@@ -444,3 +444,97 @@ def test_boolean_persistent_roundtrip(spark, tmp_path):
     assert isinstance(idx.bm25, BooleanSimilarity)
     hits = search(idx, Term("def", boost=3.0), k=5).collect()
     assert hits and all(np.float32(r["score"]) == np.float32(3.0) for r in hits)
+
+
+# --- parameterized DFR (BasicModel x AfterEffect x Normalization) -----------
+
+
+def test_dfr_generic_matches_dedicated_inl2():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import DFR, DFRInL2
+
+    a, b = DFR("in", "l", "h2", 1.0), DFRInL2(1.0)
+    wa = a.weight_full(10, 50, 1000, 90000, 1.5)
+    wb = b.weight_full(10, 50, 1000, 90000, 1.5)
+    tfs = np.array([1, 3, 9, 40])
+    nbs = np.array([5, 60, 130, 250])
+    ca, cb = a.norm_inverse_cache(np.float32(90)), b.norm_inverse_cache(np.float32(90))
+    assert (a.score(tfs, nbs, wa, ca) == b.score(tfs, nbs, wb, cb)).all()
+
+
+def test_dfr_variants_formulas_and_validation():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import DFR
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE
+
+    N, df, cf, ttf = 1000, 10, 50, 90000
+    tf, nb = 4, 60
+    dl = float(LENGTH_TABLE[nb])
+    avgdl = np.float32(ttf / N)
+    for basic, after, norm in [("ine", "l", "h2"), ("in", "b", "h1"),
+                               ("ine", "b", "h1")]:
+        sim = DFR(basic, after, norm, c=1.0)
+        w = sim.weight_full(df, cf, N, ttf, 1.0)
+        got = float(sim.score(np.array([tf]), np.array([nb]), w,
+                              sim.norm_inverse_cache(avgdl))[0])
+        # hand-compute from the published component formulas
+        tfn = tf * (np.log2(1.0 + float(avgdl) / dl) if norm == "h2"
+                    else float(avgdl) / dl)
+        if basic == "ine":
+            ne = N * (1.0 - ((N - 1.0) / N) ** cf)
+            inf = tfn * np.log2((N + 1.0) / (ne + 0.5))
+        else:
+            inf = tfn * np.log2((N + 1.0) / (df + 0.5))
+        gain = (cf + 1.0) / (df * (tfn + 1.0)) if after == "b" else 1.0 / (tfn + 1.0)
+        assert got == np.float32(max(gain * inf, 0.0)), (basic, after, norm)
+    import pytest
+
+    with pytest.raises(ValueError):
+        DFR("nope")
+    with pytest.raises(ValueError):
+        DFR(c=-1.0)
+
+
+def test_dfr_generic_engine_vs_oracle_identity(spark):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import DFR
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Term, search
+
+    pdf = gen_corpus_pdf(150, seed=59).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = DFR("ine", "b", "h1", c=1.0)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9]))]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_dfr_generic_persistent_roundtrip(spark, tmp_path):
+    from lucene_solr_spark.bm25 import DFR
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.search import Term, search
+
+    path = tmp_path / "dfrg"
+    sim = DFR("ine", "b", "h1", c=2.0)
+    build_index(spark, gen_corpus_df(spark, 100, seed=7), path,
+                segment_docs=50, bm25=sim)
+    idx = open_index(spark, path)
+    assert idx.bm25 == sim
+    assert search(idx, Term("def"), k=5).count() == 5
