@@ -55,6 +55,8 @@ SUBSET = [
     "search_after",
     "boolean_topk",
     "edismax",
+    "cos_neardup",
+    "dedup_clusters",
 ]
 
 
