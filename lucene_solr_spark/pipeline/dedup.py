@@ -378,11 +378,16 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not just persist) each round: iterative plans
+    # otherwise COMPOUND — round k's logical plan nests rounds 1..k-1
+    # and Catalyst re-optimization grows superlinearly; truncating the
+    # lineage keeps every round O(1) planning work.  (Materialized
+    # partitions are evictable executor-side blocks, one label-set wide.)
     labels = (
         edges.select(F.col("s").alias("v"))
         .distinct()
         .withColumn("l", F.col("v"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         for _ in range(max_iters):
@@ -393,14 +398,13 @@ def dedup_clusters(
                 labels.unionByName(prop)
                 .groupBy("v")
                 .agg(F.min("l").alias("l"))
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(labels.withColumnRenamed("l", "_old"), "v")
                 .filter(F.col("l") != F.col("_old"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
