@@ -520,6 +520,83 @@ def q_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+RERANK_WINDOW = 40
+RERANK_WEIGHT = "2e0"
+#: shared combine expression — identical text in Spark SQL and DuckDB:
+#: f32(f64(base) + weight * f64(rerank-score or 0))
+_RERANK_COMBINE = (
+    "CAST(CAST(base AS DOUBLE) + {w} * coalesce(CAST(rr AS DOUBLE), 0e0)"
+    " AS FLOAT)"
+)
+#: shared multiplicative boost — recip(n_chars, 1e-3, 1, 1) per Solr
+#: {{!boost b=recip(...)}}: f32(f64(query score) * a/(m*x+b))
+_BOOST_COMBINE = (
+    "CAST(CAST(CAST(score64 AS FLOAT) AS DOUBLE)"
+    " * (1e0 / (1e-3 * CAST(n_chars AS DOUBLE) + 1e0)) AS FLOAT)"
+)
+
+
+def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReRank (Solr ReRankQParserPlugin): top-RERANK_WINDOW window by the
+    base term query, combined = f32(base + 2.0 * rerank-term score) for
+    window docs also matching the rerank query, window re-sorted, top-10.
+    Window + combine logic is textually the engine's ``rerank()``
+    algorithm (search/extras.py) on the f64-parity score path; the real
+    f32 scorer path is identity-tested in tests/test_rerank_blockjoin.py."""
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM, BM25_OR_TERMS[0]])
+    base = sc.filter(F.col("term") == BM25_TERM).select(
+        "doc_id", F.col("score64").cast("float").alias("base")
+    )
+    window = base.orderBy(F.desc("base"), F.asc("doc_id")).limit(RERANK_WINDOW)
+    rr = sc.filter(F.col("term") == BM25_OR_TERMS[0]).select(
+        "doc_id", F.col("score64").cast("float").alias("rr")
+    )
+    comb = (
+        window.join(rr, "doc_id", "left")
+        .withColumn("score", F.expr(_RERANK_COMBINE.format(w=RERANK_WEIGHT)))
+    )
+    return (
+        comb.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_boost_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-score boost (FunctionScoreQuery#boostByValue / Solr
+    {!boost}): BM25 term score multiplied by recip(n_chars, 1e-3, 1, 1)
+    — the classic doc-value boost — on the f64-parity path; the engine's
+    ``boost_by_value`` operator is identity-tested in
+    tests/test_rerank_blockjoin.py."""
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    nch = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = sc.join(nch, "doc_id").withColumn("score", F.expr(_BOOST_COMBINE))
+    return (
+        out.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child→parent block join (ToParentBlockJoinQuery, ScoreMode.Max):
+    parents = document sources, children = docs; parent score = max child
+    BM25 score for the probe term.  Max is order-insensitive, so the f32
+    child scores aggregate exactly on both engines; the engine operator
+    (``block_join_parents``, all four score modes) is identity-tested in
+    tests/test_rerank_blockjoin.py."""
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select(
+        "doc_id", F.col("score64").cast("float").alias("cscore")
+    )
+    par = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("parent_id"))
+    out = (
+        sc.join(par, "doc_id")
+        .groupBy("parent_id")
+        .agg(F.max("cscore").alias("score"))
+    )
+    return out.orderBy(F.desc("score"), F.asc("parent_id")).limit(10)
+
+
 def _bm25_f32_sql(n: str, avgdl64: str) -> str:
     """BM25 in DuckDB FLOAT arithmetic, STEP-FOR-STEP the engine kernel's
     float32 order (DuckDB REAL ops are true f32, verified): idf = (float)
@@ -1133,6 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_fuzzy": q_fts_fuzzy,
         "search_after": q_search_after,
         "boolean_topk": q_boolean_topk,
+        "rerank": q_rerank,
+        "boost_function": q_boost_function,
+        "block_join": q_block_join,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
         "facet_pivot": q_facet_pivot,
@@ -1209,6 +1289,68 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
 SELECT doc_id, CAST(score64 AS FLOAT) AS score
 FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+
+
+def _scored_terms_cte(terms: list[str]) -> str:
+    """WITH-chain ending in scored(term, doc_id, score64) — the per-term
+    f64-parity BM25 stream, term column retained (rerank / block join
+    oracles compose on it)."""
+    formula = _BM25_EXPR.format(
+        N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
+    )
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term IN ({tlist}) GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.term, t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT term, doc_id, {formula} AS score64 FROM inputs)"""
+
+
+def _rerank_oracle() -> str:
+    return (
+        _scored_terms_cte([BM25_TERM, BM25_OR_TERMS[0]])
+        + f""",
+base AS (SELECT doc_id, CAST(score64 AS FLOAT) AS base FROM scored
+         WHERE term = '{BM25_TERM}'),
+win AS (SELECT * FROM base ORDER BY base DESC, doc_id ASC LIMIT {RERANK_WINDOW}),
+rr AS (SELECT doc_id, CAST(score64 AS FLOAT) AS rr FROM scored
+       WHERE term = '{BM25_OR_TERMS[0]}')
+SELECT doc_id, {_RERANK_COMBINE.format(w=RERANK_WEIGHT)} AS score
+FROM win LEFT JOIN rr USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+
+
+def _boost_function_oracle() -> str:
+    return (
+        _scored_terms_cte([BM25_TERM])
+        + f"""
+SELECT doc_id, {_BOOST_COMBINE} AS score
+FROM scored JOIN documents USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    )
+
+
+def _block_join_oracle() -> str:
+    return (
+        _scored_terms_cte([BM25_TERM])
+        + """
+SELECT d.source AS parent_id, MAX(CAST(s.score64 AS FLOAT)) AS score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY score DESC, parent_id ASC LIMIT 10"""
     )
 
 
@@ -1735,6 +1877,9 @@ FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY event_type ORDER BY event_type""",
         "edismax": _edismax_oracle(),
+        "rerank": _rerank_oracle(),
+        "boost_function": _boost_function_oracle(),
+        "block_join": _block_join_oracle(),
         "term_vector": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS tf

@@ -19,11 +19,156 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..index.core import IndexView
-from .executor import _matches, postings_table, search
+from .executor import _matches, _scores, expand_multiterm, postings_table, search
 from .query import Or, Term, rewrite
 
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
-           "doc_term_vector", "suggest", "spell_suggest"]
+           "doc_term_vector", "suggest", "spell_suggest", "rerank",
+           "boost_by_value", "block_join_parents", "block_join_children"]
+
+
+def _scored_stream(index: IndexView, query) -> DataFrame:
+    """Live scored stream [doc_id, score:double(f32-valued)] of a query —
+    search()'s preamble (rewrite → field-qualify → multi-term expand →
+    scorer tree → liveDocs anti-join) without the top-k collector, for
+    operators that post-process scores (rerank / function boost /
+    block join)."""
+    q = rewrite(query)
+    if index.field_stats is not None:
+        from .query import qualify_query
+
+        q = qualify_query(q, index.default_field)
+    q = rewrite(expand_multiterm(index, q))
+    sc = _scores(index, q)
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return sc
+
+
+def rerank(
+    index: IndexView,
+    query,
+    rerank_query,
+    k: int = 10,
+    rerank_docs: int = 200,
+    rerank_weight: float = 2.0,
+) -> DataFrame:
+    """Two-pass reranking (Solr ReRankQParserPlugin, ``[8x] solr/core/src/
+    java/org/apache/solr/search/ReRankQParserPlugin.java`` /
+    ``ReRankCollector``): the main query's top ``rerank_docs`` window is
+    rescored as ``f32(base + rerank_weight * rerank_score)`` for docs that
+    also match ``rerank_query`` (others keep their base score), then the
+    window is re-sorted (score desc, doc_id asc) and the top ``k``
+    returned.  Docs outside the window are never promoted — identical to
+    ReRankCollector, which only reheaps the first-pass queue.
+
+    Scale shape: the first pass is the normal pruned top-k collector
+    (small-k TakeOrderedAndProject); the window (≤ rerank_docs rows) is
+    BROADCAST into a semi-join against the rerank scorer's stream, so the
+    second scorer never shuffles on doc_id and the final sort is over
+    ``rerank_docs`` rows."""
+    base = search(index, query, k=rerank_docs)  # [doc_id, score:float]
+    rr = _scored_stream(index, rerank_query).withColumnRenamed("score", "_rr")
+    rr_win = rr.join(F.broadcast(base.select("doc_id")), "doc_id", "left_semi")
+    combined = base.join(F.broadcast(rr_win), "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("score").cast("double")
+            + F.lit(float(rerank_weight)) * F.coalesce(F.col("_rr"), F.lit(0.0))
+        )
+        .cast("float")
+        .alias("score"),
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boost_by_value(
+    index: IndexView,
+    query,
+    doc_values: DataFrame,
+    factor: Column,
+    k: int = 10,
+) -> DataFrame:
+    """Multiplicative function boost (``[8x] lucene/queries/.../function/
+    FunctionScoreQuery.java#boostByValue`` / Solr ``{!boost b=...}``):
+    final score = f32(query_score × factor(doc)); docs whose factor row is
+    missing are dropped (the docvalues iterator has no value → no match,
+    FunctionScoreQuery's missing-value semantics for filters over
+    DoubleValuesSource).
+
+    ``doc_values`` carries ``doc_id`` plus the columns ``factor`` reads
+    (e.g. ``functions.recip(F.col("n_chars"), ...)``); the multiply is a
+    doc_id equi-join of two doc-partitioned streams — at scale both sides
+    shuffle once on the same key, and the collector stays a small-k
+    TakeOrderedAndProject."""
+    sc = _scored_stream(index, query)
+    fac = doc_values.select("doc_id", factor.cast("double").alias("_fac"))
+    out = sc.join(fac, "doc_id").select(
+        "doc_id",
+        (F.col("score") * F.col("_fac")).cast("float").alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_BJ_MODES = ("max", "total", "avg", "none")
+
+
+def block_join_parents(
+    index: IndexView,
+    child_query,
+    parent_of: DataFrame,
+    score_mode: str = "max",
+    k: int = 10,
+) -> DataFrame:
+    """Child→parent block join (``[8x] lucene/join/src/java/org/apache/
+    lucene/search/join/ToParentBlockJoinQuery.java`` / Solr ``{!parent
+    which=...}``): parents whose children match ``child_query``, scored by
+    ScoreMode — ``max`` | ``total`` | ``avg`` of the matching children's
+    scores (accumulated in double, cast f32 at the parent boundary, as
+    BlockJoinScorer's ``score()`` does) or ``none`` (constant 0, parents
+    ordered by id).
+
+    Lucene encodes the parent/child relation as index-contiguous doc
+    blocks + a parents BitSet; the Spark-native encoding is an explicit
+    child→parent relation ``parent_of [doc_id, parent_id]`` (doc-count
+    sized, co-shuffled with the scored stream on doc_id).  The aggregation
+    is one map-side-combinable groupBy on parent_id."""
+    if score_mode not in _BJ_MODES:
+        raise ValueError(f"score_mode must be one of {_BJ_MODES}")
+    cs = _scored_stream(index, child_query)
+    j = cs.join(parent_of, "doc_id")
+    if score_mode == "none":
+        return (
+            j.select("parent_id").distinct()
+            .withColumn("score", F.lit(0.0).cast("float"))
+            .orderBy(F.asc("parent_id")).limit(k)
+        )
+    agg = {
+        "max": F.max("score"),
+        "total": F.sum("score"),
+        "avg": F.avg("score"),
+    }[score_mode]
+    out = j.groupBy("parent_id").agg(agg.cast("float").alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("parent_id")).limit(k)
+
+
+def block_join_children(
+    index: IndexView,
+    parent_query,
+    parent_of: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Parent→child block join (``[8x] .../join/ToChildBlockJoinQuery
+    .java``): children of parents matching ``parent_query``; every child
+    inherits its parent's score (ToChildBlockJoinScorer propagates the
+    parent score unchanged).  ``parent_of`` maps child doc_id →
+    parent_id; parents are index docs too, so their scores come off the
+    same scored stream keyed by parent_id."""
+    ps = _scored_stream(index, parent_query).withColumnRenamed("doc_id", "parent_id")
+    out = parent_of.join(ps, "parent_id").select(
+        "doc_id", "parent_id", F.col("score").cast("float").alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def search_after(

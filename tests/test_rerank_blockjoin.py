@@ -1,0 +1,154 @@
+"""ReRank, function-score boost, and block-join operators vs the MiniLucene
+oracle (rescoring/aggregation re-derived in numpy with the same f32
+boundaries)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.functions import recip
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import Phrase, Term, parse_query
+from lucene_solr_spark.search.extras import (
+    block_join_children,
+    block_join_parents,
+    boost_by_value,
+    rerank,
+)
+
+N = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N, seed=47).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    idx = build_index_view(
+        spark.createDataFrame(corpus[["doc_id", "content"]]), id_col="doc_id",
+        text_col="content",
+    )
+    yield idx
+    idx.postings.unpersist(); idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+@pytest.fixture(scope="module")
+def parent_of(spark):
+    # blocks of 5: doc 0 parents 1-4, doc 5 parents 6-9, ...
+    rows = [(int(d), int(d - d % 5)) for d in range(N) if d % 5 != 0]
+    return spark.createDataFrame(rows, "doc_id long, parent_id long")
+
+
+def _collect(df):
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in df.collect()]
+
+
+def test_rerank_matches_oracle_recombine(engine, oracle):
+    base_q = parse_query("def OR class OR import")
+    rr_q = Phrase("def", "main")
+    w = 3.0
+    window = oracle.search(base_q, k=40)
+    rr_scores = oracle._score_map(rr_q)
+    want = [
+        (
+            d,
+            np.float32(np.float64(s) + w * np.float64(rr_scores.get(d, 0.0))),
+        )
+        for d, s in window
+    ]
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = _collect(rerank(engine, base_q, rr_q, k=10, rerank_docs=40, rerank_weight=w))
+    assert got == want[:10]
+
+
+def test_rerank_never_promotes_outside_window(engine, oracle):
+    # a doc outside the top-rerank_docs window must not enter the result,
+    # even if it matches the rerank query strongly (ReRankCollector only
+    # reheaps the first-pass queue)
+    base_q = parse_query("def OR class")
+    rr_q = Term("import")
+    window_ids = {d for d, _ in oracle.search(base_q, k=15)}
+    got = rerank(engine, base_q, rr_q, k=15, rerank_docs=15, rerank_weight=100.0)
+    assert {int(r["doc_id"]) for r in got.collect()} <= window_ids
+
+
+def test_boost_by_value_matches_oracle(spark, engine, oracle, corpus):
+    q = parse_query("def OR return")
+    dl = corpus["content"].str.len().to_numpy(dtype=np.float64)
+    dv = spark.createDataFrame(
+        corpus[["doc_id"]].assign(n_chars=corpus["content"].str.len())
+    )
+    sm = oracle._score_map(q)
+    fac = 1.0 / (0.001 * dl + 1.0)
+    want = [
+        (d, np.float32(np.float64(s) * fac[d]))
+        for d, s in sm.items()
+    ]
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = _collect(
+        boost_by_value(engine, q, dv, recip(F.col("n_chars"), 0.001, 1.0, 1.0), k=10)
+    )
+    assert got == want[:10]
+
+
+@pytest.mark.parametrize("mode", ["max", "total", "avg"])
+def test_block_join_parents_modes(engine, oracle, parent_of, mode):
+    q = parse_query("def OR class")
+    sm = oracle._score_map(q)
+    groups: dict[int, list[float]] = {}
+    for d, s in sm.items():
+        if d % 5 == 0:
+            continue  # parents are not children
+        groups.setdefault(d - d % 5, []).append(float(s))
+    agg = {
+        "max": lambda v: max(v),
+        "total": lambda v: float(np.float64(0.0) + np.sum(np.float64(v))),
+        "avg": lambda v: float(np.mean(np.float64(v))),
+    }[mode]
+    want = sorted(
+        ((p, np.float32(agg(v))) for p, v in groups.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    rows = block_join_parents(engine, q, parent_of, score_mode=mode, k=10).collect()
+    got = [(int(r["parent_id"]), np.float32(r["score"])) for r in rows]
+    assert got == want
+
+
+def test_block_join_parents_none_mode(engine, oracle, parent_of):
+    q = Term("def")
+    matched_children = {d for d in oracle._score_map(q) if d % 5 != 0}
+    want = sorted({d - d % 5 for d in matched_children})[:10]
+    rows = block_join_parents(engine, q, parent_of, score_mode="none", k=10).collect()
+    assert [int(r["parent_id"]) for r in rows] == want
+    assert all(r["score"] == 0.0 for r in rows)
+
+
+def test_block_join_children_inherit_parent_score(engine, oracle, parent_of):
+    q = Term("def")
+    sm = oracle._score_map(q)
+    want = []
+    for d in range(N):
+        if d % 5 == 0:
+            continue
+        p = d - d % 5
+        if p in sm:
+            want.append((d, p, np.float32(sm[p])))
+    want.sort(key=lambda x: (-x[2], x[0]))
+    rows = block_join_children(engine, q, parent_of, k=12).collect()
+    got = [(int(r["doc_id"]), int(r["parent_id"]), np.float32(r["score"]))
+           for r in rows]
+    assert got == want[:12]
