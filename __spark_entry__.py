@@ -345,6 +345,64 @@ def q_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phrase_tf(index, Phrase(*PHRASE)).select("doc_id", "tf").orderBy("doc_id")
 
 
+SPAN_SLOP = 2  # ordered SpanNear gap budget for the span_near entry
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered SpanNear (SpanNearQuery, in_order=true): greedy-chained
+    spans of 'data'..'table' within SPAN_SLOP inter-span gaps.  Per doc:
+    span count + the slop-factor sum scaled by 6 = lcm(1..3) so
+    Σ 6/(1+width) is an exact int64 (order-free, hash-stable)."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanTerm, spans_frame
+
+    index = _index_for(spark, sf_dir)
+    frame = spans_frame(
+        index, SpanNear(SpanTerm(PHRASE[0]), SpanTerm(PHRASE[1]), slop=SPAN_SLOP)
+    )
+    return (
+        frame.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(
+                F.floor(F.lit(6.0) / (F.lit(1) + F.col("width"))).cast("long")
+            ).alias("score6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MP_ALTS = ("table", "row", "column")  # alternatives for slot 2 of the probe
+
+
+def q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPhraseQuery: exact phrase 'data' followed by ANY of
+    MP_ALTS (per-position alternative sets, UnionPostingsEnum) — per-doc
+    multi-phrase frequency via the shared position-adjust plan."""
+    from lucene_solr_spark.search.executor import _phrase_tf
+    from lucene_solr_spark.search.query import MultiPhrase
+
+    index = _index_for(spark, sf_dir)
+    q = MultiPhrase((PHRASE[0],), MP_ALTS)
+    return _phrase_tf(index, q).select("doc_id", "tf").orderBy("doc_id")
+
+
+TIS_TERMS = ("hash", "stream", "batch")  # TermInSetQuery probe
+
+
+def q_term_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermInSetQuery (constant-score set filter): docs containing ANY of
+    TIS_TERMS — posting blocks filtered by term IN (...), doc ids decoded
+    distributed, no per-term driver expansion."""
+    from lucene_solr_spark.search.executor import _matches
+    from lucene_solr_spark.search.query import TermInSet
+
+    index = _index_for(spark, sf_dir)
+    return (
+        _matches(index, TermInSet(*TIS_TERMS))
+        .select("doc_id").distinct().orderBy("doc_id")
+    )
+
+
 def q_fts_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean MUST_NOT: docs with 'data' but not 'table' (doc set)."""
     from lucene_solr_spark.search import Bool, Term, search
@@ -1199,6 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_or_topk": q_fts_bm25_or_topk,
         "fts_significant_terms": q_fts_significant_terms,
         "fts_phrase": q_fts_phrase,
+        "span_near": q_span_near,
+        "multi_phrase": q_multi_phrase,
+        "term_in_set": q_term_in_set,
         "fts_must_not": q_fts_must_not,
         "fts_prefix_terms": q_fts_prefix_terms,
         "facet_unique": q_facet_unique,
@@ -1862,6 +1923,40 @@ SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
 WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
 GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "span_near": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}'),
+chain AS (
+  SELECT a.doc_id, a.ord AS a_ord, min(b.ord) AS b_ord
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord >= a.ord + 1
+  GROUP BY a.doc_id, a.ord
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CAST(floor(6.0 / (b_ord - a_ord)) AS BIGINT)) AS BIGINT) AS score6
+FROM chain WHERE b_ord - a_ord - 1 <= {SPAN_SLOP}
+GROUP BY doc_id ORDER BY doc_id""",
+        "multi_phrase": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term IN {MP_ALTS!r})
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "term_in_set": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term IN {TIS_TERMS!r}
+ORDER BY doc_id""",
         "fts_must_not": f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id FROM tok WHERE term = 'data'

@@ -24,11 +24,13 @@ from .search.query import (
     DisMax,
     Fuzzy,
     MatchAll,
+    MultiPhrase,
     Or,
     Phrase,
     Prefix,
     Regexp,
     Term,
+    TermInSet,
     TermRange,
     Wildcard,
     is_multiterm,
@@ -76,6 +78,59 @@ def levenshtein(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def _ordered_chain(per_clause: list[list[tuple[int, int, int]]],
+                   slop: int) -> list[tuple[int, int, int]]:
+    """Greedy ordered SpanNear over one doc's per-clause span lists: for
+    each clause-0 span (in (start, end) order) each later clause takes its
+    FIRST span starting at-or-after the previous clause's end; width = Σ
+    inter-span gaps; hit iff width <= slop.  Child widths are discarded —
+    only start/end chain (matches spans.ordered_near_batch)."""
+    import bisect
+
+    first = sorted(per_clause[0], key=lambda w: (w[0], w[1]))
+    rest = []
+    for spans in per_clause[1:]:
+        ss = sorted(spans, key=lambda w: (w[0], w[1]))
+        rest.append(([w[0] for w in ss], ss))
+    out = []
+    for s0, e0, _ in first:
+        cur, width, ok = e0, 0, True
+        for starts, ss in rest:
+            i = bisect.bisect_left(starts, cur)
+            if i >= len(starts):
+                ok = False
+                break
+            width += starts[i] - cur
+            cur = ss[i][1]
+        if ok and width <= slop:
+            out.append((s0, cur, width))
+    return out
+
+
+def _unordered_windows(lists: list[np.ndarray], slop: int,
+                       width_offset: int) -> list[tuple[int, int, int]]:
+    """Minimal covering windows of the non-retreating sweep (the pointer
+    formulation of sloppy.sloppy_freq, recording windows): at each step the
+    window spans the current clause heads; width = spread − offset clamped
+    at 0; the minimum head advances; stop when any clause exhausts."""
+    n = len(lists)
+    if n == 0 or any(len(a) == 0 for a in lists):
+        return []
+    idx = [0] * n
+    out = []
+    while True:
+        vals = [int(lists[i][idx[i]]) for i in range(n)]
+        lo_i = int(np.argmin(vals))
+        hi = max(vals)
+        width = max(hi - vals[lo_i] - width_offset, 0)
+        if width <= slop:
+            out.append((vals[lo_i], hi + 1, width))
+        idx[lo_i] += 1
+        if idx[lo_i] >= len(lists[lo_i]):
+            break
+    return out
 
 
 class MiniLucene:
@@ -204,7 +259,9 @@ class MiniLucene:
     def expand(self, q):
         if is_multiterm(q):
             vocab = sorted(self.postings)
-            if isinstance(q, Prefix):
+            if isinstance(q, TermInSet):
+                terms = [t for t in sorted(set(q.terms)) if t in self.postings]
+            elif isinstance(q, Prefix):
                 terms = [t for t in vocab if t.startswith(q.prefix)]
             elif isinstance(q, Wildcard):
                 rx = "".join(
@@ -246,14 +303,32 @@ class MiniLucene:
 
     # --- phrase ------------------------------------------------------------
 
-    def _phrase_tf(self, q: Phrase) -> dict[int, int]:
+    def _clause_position_sets(self, q) -> list[dict[int, set[int]]] | None:
+        """Per clause: doc -> offset-adjusted position set, alternatives
+        UNIONED (MultiPhraseQuery's UnionPostingsEnum; a plain Phrase is
+        the one-alternative case).  None when some clause matches nothing
+        anywhere — the phrase can't occur."""
+        clauses = (
+            [tuple(a) for a in q.positions]
+            if isinstance(q, MultiPhrase)
+            else [(t,) for t in q.terms]
+        )
+        sets: list[dict[int, set[int]]] = []
+        for off, alts in enumerate(clauses):
+            merged: dict[int, set[int]] = {}
+            for t in alts:
+                for d, ps in self.positions.get(t, {}).items():
+                    merged.setdefault(d, set()).update(p - off for p in ps)
+            if not merged:
+                return None
+            sets.append(merged)
+        return sets
+
+    def _phrase_tf(self, q) -> dict[int, int]:
         """doc -> exact-phrase frequency (consecutive positions)."""
-        sets = []
-        for off, t in enumerate(q.terms):
-            plist = self.positions.get(t)
-            if not plist:
-                return {}
-            sets.append({d: {p - off for p in ps} for d, ps in plist.items()})
+        sets = self._clause_position_sets(q)
+        if sets is None:
+            return {}
         docs = set(sets[0])
         for s in sets[1:]:
             docs &= set(s)
@@ -266,30 +341,47 @@ class MiniLucene:
                 out[d] = len(base)
         return out
 
-    def _sloppy_tf(self, q: Phrase) -> dict[int, float]:
+    def _sloppy_tf(self, q) -> dict[int, float]:
         """doc -> sloppy frequency (shared minimal-window kernel)."""
         from .search.sloppy import sloppy_freq
 
-        if any(t not in self.positions for t in q.terms):
+        sets = self._clause_position_sets(q)
+        if sets is None:
             return {}
-        docs = set(self.positions[q.terms[0]])
-        for t in q.terms[1:]:
-            docs &= set(self.positions[t])
+        docs = set(sets[0])
+        for s in sets[1:]:
+            docs &= set(s)
         out = {}
         for d in docs:
             lists = [
-                np.sort(np.asarray(self.positions[t][d], dtype=np.int64) - off)
-                for off, t in enumerate(q.terms)
+                np.sort(np.fromiter(s[d], dtype=np.int64, count=len(s[d])))
+                for s in sets
             ]
             sf = sloppy_freq(lists, q.slop)
             if sf > 0:
                 out[d] = sf
         return out
 
-    def _phrase_scores(self, q: Phrase) -> dict[int, float]:
+    def _phrase_weight_terms(self, q) -> list[str] | None:
+        """TermStatistics list for the phrase weight: the flattened term
+        array, duplicates kept, df=0 terms dropped (idfExplain skips null
+        stats); None when a MultiPhrase clause has NO indexed
+        alternative or a Phrase position is absent."""
+        if isinstance(q, MultiPhrase):
+            if any(
+                all(t not in self.postings for t in alts) for alts in q.positions
+            ):
+                return None
+            return [t for t in q.flat_terms if t in self.postings]
         if any(t not in self.postings for t in q.terms):
+            return None
+        return list(q.terms)
+
+    def _phrase_scores(self, q) -> dict[int, float]:
+        wterms = self._phrase_weight_terms(q)
+        if wterms is None:
             return {}
-        _, nb_map, cache = self._term_ctx(q.terms[0])
+        _, nb_map, cache = self._term_ctx(wterms[0])
         freqs = self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q)
         if hasattr(self.bm25, "weight_full"):
             # SimilarityBase MultiSimScorer: one sub-scorer per phrase
@@ -298,7 +390,7 @@ class MiniLucene:
                 self.bm25.weight_full(
                     self.df(t), self.cf(t), *self._ctx_stats(t), q.boost
                 )
-                for t in q.terms
+                for t in wterms
             ]
             out = {}
             for d, tf in freqs.items():
@@ -315,7 +407,7 @@ class MiniLucene:
         # Lucene PhraseWeight collects one TermStatistics PER POSITION,
         # so a repeated term contributes its idf once per occurrence
         # (PhraseQuery#createWeight iterates terms[], duplicates included)
-        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in q.terms]
+        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in wterms]
         if hasattr(self.bm25, "phrase_weight"):
             # one SimScorer per PhraseWeight (BooleanSimilarity: = boost)
             w = self.bm25.phrase_weight(idfs, q.boost)
@@ -330,12 +422,166 @@ class MiniLucene:
             out[d] = float(s[0])
         return out
 
+    # --- spans ---------------------------------------------------------------
+
+    def _span_windows(self, q) -> dict[int, list[tuple[int, int, int]]]:
+        """doc -> [(start, end, width)] — per-doc reference evaluation of a
+        span tree with plain loops, mirroring search/spans.py semantics:
+        greedy left-to-right chaining for ordered SpanNear, the
+        non-retreating minimal-window sweep (gap width) for unordered,
+        union / end-filter / overlap-exclusion for Or / First / Not."""
+        from .search.spans import (SpanContaining, SpanFirst, SpanNear,
+                                   SpanNot, SpanOr, SpanTerm, SpanWithin)
+
+        if isinstance(q, SpanTerm):
+            return {
+                int(d): [(int(p), int(p) + 1, 0) for p in sorted(ps)]
+                for d, ps in self.positions.get(q.term, {}).items()
+            }
+        if isinstance(q, SpanNear):
+            if not q.in_order and not all(
+                isinstance(c, SpanTerm) for c in q.clauses
+            ):
+                raise TypeError("unordered SpanNear supports SpanTerm clauses only")
+            kids = [self._span_windows(c) for c in q.clauses]
+            if len(kids) == 1:
+                return kids[0]
+            docs = set(kids[0])
+            for k in kids[1:]:
+                docs &= set(k)
+            out: dict[int, list] = {}
+            for d in sorted(docs):
+                if q.in_order:
+                    wins = _ordered_chain([k[d] for k in kids], q.slop)
+                else:
+                    lists = [
+                        np.sort(np.asarray([w[0] for w in k[d]], dtype=np.int64))
+                        for k in kids
+                    ]
+                    wins = _unordered_windows(lists, q.slop, len(kids) - 1)
+                if wins:
+                    out[d] = wins
+            return out
+        if isinstance(q, SpanOr):
+            out = {}
+            for c in q.clauses:
+                for d, ws in self._span_windows(c).items():
+                    out.setdefault(d, []).extend(ws)
+            return out
+        if isinstance(q, SpanFirst):
+            out = {}
+            for d, ws in self._span_windows(q.match).items():
+                kept = [w for w in ws if w[1] <= q.end]
+                if kept:
+                    out[d] = kept
+            return out
+        if isinstance(q, SpanNot):
+            inc = self._span_windows(q.include)
+            exc = self._span_windows(q.exclude)
+            out = {}
+            for d, ws in inc.items():
+                xs = exc.get(d, [])
+                kept = [
+                    w for w in ws
+                    if not any(x[0] < w[1] and x[1] > w[0] for x in xs)
+                ]
+                if kept:
+                    out[d] = kept
+            return out
+        if isinstance(q, SpanContaining):
+            big = self._span_windows(q.big)
+            little = self._span_windows(q.little)
+            out = {}
+            for d, ws in big.items():
+                ls = little.get(d, [])
+                kept = [
+                    w for w in ws
+                    if any(w[0] <= l[0] and w[1] >= l[1] for l in ls)
+                ]
+                if kept:
+                    out[d] = kept
+            return out
+        if isinstance(q, SpanWithin):
+            little = self._span_windows(q.little)
+            big = self._span_windows(q.big)
+            out = {}
+            for d, ws in little.items():
+                bs = big.get(d, [])
+                kept = [
+                    w for w in ws
+                    if any(b[0] <= w[0] and b[1] >= w[1] for b in bs)
+                ]
+                if kept:
+                    out[d] = kept
+            return out
+        raise TypeError(f"not a span node: {type(q)}")
+
+    def _span_freqs(self, q) -> dict[int, float]:
+        """doc -> sloppyFreq = Σ 1/(1+width), summed left-to-right in
+        (start, end, width) order — the engine's span_freqs fold."""
+        out = {}
+        for d, ws in self._span_windows(q).items():
+            tot = 0.0
+            for _, _, w in sorted(ws):
+                tot += 1.0 / (1.0 + w)
+            if tot > 0:
+                out[d] = tot
+        return out
+
+    def _span_score_map(self, q) -> dict[int, float]:
+        """Span tree scored as a pseudo-term over its DISTINCT term set
+        (SpanWeight#buildSimWeight) — mirror of spans.span_scores."""
+        from .search.spans import span_terms
+
+        terms = span_terms(q)
+        if any(t not in self.postings for t in terms):
+            return {}
+        _, nb_map, cache = self._term_ctx(terms[0])
+        boost = float(getattr(q, "boost", 1.0))
+        freqs = self._span_freqs(q)
+        if hasattr(self.bm25, "weight_full"):
+            ws = [
+                self.bm25.weight_full(
+                    self.df(t), self.cf(t), *self._ctx_stats(t), boost
+                )
+                for t in terms
+            ]
+            out = {}
+            for d, tf in freqs.items():
+                acc = 0.0
+                for w in ws:
+                    acc += float(
+                        self.bm25.score(
+                            np.array([tf], dtype=np.float64),
+                            np.array([nb_map[d]]), w, cache,
+                        )[0]
+                    )
+                out[d] = float(np.float32(acc))
+            return out
+        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in terms]
+        if hasattr(self.bm25, "phrase_weight"):
+            w = self.bm25.phrase_weight(idfs, boost)
+        else:
+            total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = np.float32(total * np.float32(boost))
+        out = {}
+        for d, tf in freqs.items():
+            s = self.bm25.score(
+                np.array([tf], dtype=np.float64), np.array([nb_map[d]]), w, cache
+            )
+            out[d] = float(s[0])
+        return out
+
     # --- match sets ---------------------------------------------------------
 
     def _match_set(self, q) -> set[int]:
+        from .search.spans import Span
+
+        if isinstance(q, Span):
+            return set(self._span_windows(q))
         if isinstance(q, Term):
             return set(self.postings.get(q.term, {}))
-        if isinstance(q, Phrase):
+        if isinstance(q, (Phrase, MultiPhrase)):
             return set(self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q))
         if isinstance(q, MatchAll):
             return set(self.dl)
@@ -358,9 +604,13 @@ class MiniLucene:
         (accumulated in float64, cast at the node — Lucene's
         ConjunctionScorer/DisjunctionSumScorer `return (float) sum`)."""
         f32 = lambda x: float(np.float32(x))
+        from .search.spans import Span
+
+        if isinstance(q, Span):
+            return self._span_score_map(q)
         if isinstance(q, Term):
             return self._term_scores(q)
-        if isinstance(q, Phrase):
+        if isinstance(q, (Phrase, MultiPhrase)):
             return self._phrase_scores(q)
         if isinstance(q, MatchAll):
             return {d: f32(q.boost) for d in self.dl}

@@ -45,11 +45,13 @@ from .query import (
     DisMax,
     Fuzzy,
     MatchAll,
+    MultiPhrase,
     Or,
     Phrase,
     Prefix,
     Regexp,
     Term,
+    TermInSet,
     TermRange,
     Wildcard,
     is_multiterm,
@@ -355,6 +357,10 @@ def _multiterm_cond(q):
 
     if isinstance(q, Prefix):
         return F.col("term").startswith(q.prefix)
+    if isinstance(q, TermInSet):
+        # SetQuery membership — pushes to parquet as an In filter over the
+        # term column (row-group dictionary/stats pruning)
+        return F.col("term").isin(list(q.terms))
     if isinstance(q, Wildcard):
         rx = "".join(
             ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
@@ -408,8 +414,13 @@ def expand_multiterm(index: IndexView, q, max_expansions: int = 1024):
     evaluate them distributed (postings filtered by the term predicate —
     no driver-side term list at all), so a broad prefix over a 10^8-term
     dictionary is just a parquet scan with a pushed StartsWith filter."""
-    if isinstance(q, (Term, Phrase, MatchAll)):
+    if isinstance(q, (Term, Phrase, MultiPhrase, MatchAll)):
         return q
+    if isinstance(q, TermInSet) and not q.constant_score:
+        # scoring rewrite: the set IS the expansion (no dictionary scan)
+        if not q.terms:
+            return Term("\x00no_match", q.boost)
+        return Or(*[Term(t, q.boost) for t in sorted(set(q.terms))])
     if is_multiterm(q):
         if q.constant_score:
             return q  # evaluated distributed in _matches/_scores
@@ -502,32 +513,53 @@ def _phrase_blocks(index: IndexView, uniq: list[str],
     return _leapfrog_union(index, uniq, lead)
 
 
-def _phrase_candidates(index: IndexView, uniq: list[str]) -> DataFrame:
-    """Docs containing ALL phrase terms — the AND pre-intersection,
+def _phrase_spec(phrase) -> tuple[list[tuple[str, int, int]], int, list[str]]:
+    """``(offs, n_clauses, uniq)`` for Phrase / MultiPhrase: ``offs`` is
+    the (term, off, clause) clause-mapping broadcast — one row per
+    position for Phrase, one per ALTERNATIVE per position for MultiPhrase
+    (UnionPostingsEnum: any alternative satisfies its slot)."""
+    if isinstance(phrase, MultiPhrase):
+        offs = [(t, i, i) for i, alts in enumerate(phrase.positions) for t in alts]
+        uniq = list(dict.fromkeys(t for t, _, _ in offs))
+        return offs, len(phrase.positions), uniq
+    offs = [(t, i, i) for i, t in enumerate(phrase.terms)]
+    return offs, len(phrase.terms), list(dict.fromkeys(phrase.terms))
+
+
+def _phrase_candidates(index: IndexView, uniq: list[str],
+                       offs: list[tuple[str, int, int]],
+                       n_clauses: int) -> DataFrame:
+    """Docs containing ≥1 term of EVERY clause — the AND pre-intersection,
     computed from the cheap doc-id decode (doc_ids_vb/tfs_vb only, no
     positions).  Position rows are exploded/shuffled ONLY for these
     candidate docs; with a common clause term this drops the dominant
     cost of the phrase plan at scale."""
     pt = postings_table(index, uniq)
+    cmap = index.spark.createDataFrame(
+        sorted({(t, c) for t, _, c in offs}), "term string, clause int"
+    )
     return (
-        pt.groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("_nt"))
-        .filter(F.col("_nt") == len(uniq))
+        pt.join(F.broadcast(cmap), "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("clause").alias("_nc"))
+        .filter(F.col("_nc") == n_clauses)
         .select("doc_id")
     )
 
 
-def _phrase_tf(index: IndexView, phrase: Phrase,
+def _phrase_tf(index: IndexView, phrase,
                stats: dict[str, int] | None = None) -> DataFrame:
     """[doc_id, tf, norm_byte] — exact-phrase frequency per doc via the
     position-adjust trick: token at position p matches clause (term, off)
-    iff p - off is the same base position for every clause."""
-    uniq = list(dict.fromkeys(phrase.terms))
+    iff p - off is the same base position for every clause.  Accepts
+    MultiPhrase too: each clause maps several (term, off) rows and the
+    countDistinct(clause) gate fires when ANY alternative matched."""
+    offs, n_clauses, uniq = _phrase_spec(phrase)
     stats, total_blocks = _phrase_stats(index, uniq, stats)
     pt = occurrences_table(_phrase_blocks(index, uniq, stats, total_blocks))
-    if len(uniq) > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
-        pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
-    offs = [(t, i, i) for i, t in enumerate(phrase.terms)]  # (term, off, clause)
+    if n_clauses > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
+        pt = pt.join(_phrase_candidates(index, uniq, offs, n_clauses),
+                     "doc_id", "left_semi")
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
     base = pt.join(F.broadcast(cdf), "term").select(
         "doc_id", "norm_byte", "clause", (F.col("pos") - F.col("off")).alias("p")
@@ -538,14 +570,14 @@ def _phrase_tf(index: IndexView, phrase: Phrase,
             F.countDistinct("clause").alias("nc"),
             F.first("norm_byte").alias("norm_byte"),
         )
-        .filter(F.col("nc") == len(phrase.terms))
+        .filter(F.col("nc") == n_clauses)
     )
     return occ.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("tf"), F.first("norm_byte").alias("norm_byte")
     )
 
 
-def _sloppy_tf(index: IndexView, phrase: Phrase,
+def _sloppy_tf(index: IndexView, phrase,
                stats: dict[str, int] | None = None) -> DataFrame:
     """[doc_id, sf:double, norm_byte] — sloppy frequency per doc via the
     shared minimal-window kernel (search/sloppy.py).
@@ -558,14 +590,14 @@ def _sloppy_tf(index: IndexView, phrase: Phrase,
     window loop, no per-doc Arrow round trip."""
     from .sloppy import sloppy_freq_batch
 
-    uniq = list(dict.fromkeys(phrase.terms))
+    offs, n_clauses, uniq = _phrase_spec(phrase)
     stats, total_blocks = _phrase_stats(index, uniq, stats)
     pt = positions_table(
         index, uniq, blocks=_phrase_blocks(index, uniq, stats, total_blocks)
     )
-    if len(uniq) > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
-        pt = pt.join(_phrase_candidates(index, uniq), "doc_id", "left_semi")
-    offs = [(t, i, i) for i, t in enumerate(phrase.terms)]
+    if n_clauses > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
+        pt = pt.join(_phrase_candidates(index, uniq, offs, n_clauses),
+                     "doc_id", "left_semi")
     cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
     j = pt.join(F.broadcast(cdf), "term").select(
         "doc_id", "norm_byte", "clause", "off", "positions"
@@ -574,7 +606,6 @@ def _sloppy_tf(index: IndexView, phrase: Phrase,
         F.first("norm_byte").alias("norm_byte"),
         F.collect_list(F.struct("clause", "off", "positions")).alias("_cl"),
     )
-    n_clauses = len(phrase.terms)
     slop = phrase.slop
 
     def _kern(batches):
@@ -613,18 +644,31 @@ def _sloppy_tf(index: IndexView, phrase: Phrase,
     return packed.mapInPandas(_kern, "doc_id long, sf double, norm_byte long")
 
 
-def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
+def _phrase_scores(index: IndexView, phrase) -> DataFrame:
     """Phrase scoring: tf = phrase freq (slop=0) or sloppy freq (slop>0);
     idf = Σ constituent idfs over the term ARRAY — repeats included, one
     TermStatistics per position (Lucene PhraseQuery#createWeight /
     BM25Similarity.idfExplain), summed in double and cast float; returns
-    [doc_id, score:double(f32-valued)]."""
-    uniq = list(dict.fromkeys(phrase.terms))
+    [doc_id, score:double(f32-valued)].  MultiPhrase weights flatten
+    every position's alternatives (MultiPhraseQuery#createWeight gathers
+    all term arrays), skipping absent terms — searcher.termStatistics
+    returns null for df=0 and idfExplain drops them; the result is empty
+    only when some clause has NO indexed alternative."""
+    offs, _, uniq = _phrase_spec(phrase)
     full = _leaf_stats_full(index, uniq)
-    if len(full) < len(uniq):
-        return index.spark.createDataFrame([], "doc_id long, score double")
+    if isinstance(phrase, MultiPhrase):
+        by_clause: dict[int, list[str]] = {}
+        for t, _, c in offs:
+            by_clause.setdefault(c, []).append(t)
+        if any(all(t not in full for t in alts) for alts in by_clause.values()):
+            return index.spark.createDataFrame([], "doc_id long, score double")
+        wterms = [t for t in phrase.flat_terms if t in full]
+    else:
+        if len(full) < len(uniq):
+            return index.spark.createDataFrame([], "doc_id long, score double")
+        wterms = list(phrase.terms)
     sim = index.bm25
-    cache = index.norm_inverse_cache(uniq[0])
+    cache = index.norm_inverse_cache(wterms[0])
     score_fn = sim.score
     if hasattr(sim, "weight_full"):
         # SimilarityBase sims (LMDirichlet): MultiSimScorer — one
@@ -632,7 +676,7 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
         # scores summed in double, cast float
         ws = [
             sim.weight_full(*full[t], *index.stats_for(t), phrase.boost)
-            for t in phrase.terms
+            for t in wterms
         ]
 
         @F.pandas_udf("double")
@@ -644,7 +688,7 @@ def _phrase_scores(index: IndexView, phrase: Phrase) -> DataFrame:
                 acc += score_fn(tfa, nba, w, cache).astype(np.float64)
             return pd.Series(acc.astype(np.float32).astype(np.float64))
     else:
-        idfs = [sim.idf(full[t][0], index.stats_for(t)[0]) for t in phrase.terms]
+        idfs = [sim.idf(full[t][0], index.stats_for(t)[0]) for t in wterms]
         if hasattr(sim, "phrase_weight"):
             # one SimScorer per PhraseWeight (BooleanSimilarity: = boost)
             w = sim.phrase_weight(idfs, phrase.boost)
@@ -692,7 +736,7 @@ def _matches(index: IndexView, q) -> DataFrame:
         return postings_table(index, [q.term]).select("doc_id")
     if is_multiterm(q):
         return _multiterm_doc_ids(index, q)
-    if isinstance(q, Phrase):
+    if isinstance(q, (Phrase, MultiPhrase)):
         if q.slop > 0:
             return _sloppy_tf(index, q).select("doc_id")
         return _phrase_tf(index, q).select("doc_id")
@@ -738,7 +782,7 @@ def _scores(index: IndexView, q) -> DataFrame:
     if isinstance(q, Term):
         sc, _ = scored_leaves(index, [q.term], boosts={q.term: q.boost})
         return sc.select("doc_id", "score")
-    if isinstance(q, Phrase):
+    if isinstance(q, (Phrase, MultiPhrase)):
         return _phrase_scores(index, q)
     if isinstance(q, MatchAll):
         b = float(np.float32(q.boost))

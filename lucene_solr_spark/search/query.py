@@ -98,6 +98,41 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class MultiPhrase:
+    """MultiPhraseQuery (``[8x] lucene/core/src/java/org/apache/lucene/
+    search/MultiPhraseQuery.java``): a phrase whose every position holds a
+    SET of alternative terms — the match at a base position takes ANY
+    alternative per slot (UnionPostingsEnum).  slop semantics follow
+    Phrase (exact when 0, minimal-window sloppy otherwise); the weight
+    collects one TermStatistics per term ACROSS ALL positions, duplicates
+    included (MultiPhraseQuery#createWeight gathers every term array), so
+    idf = Σ idf(t) over the flattened alternative list."""
+
+    positions: tuple  # tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+    slop: int = 0
+
+    def __init__(self, *positions, boost: float = 1.0, slop: int = 0):
+        if len(positions) == 1 and isinstance(positions[0], (list, tuple)) \
+                and positions[0] and isinstance(positions[0][0], (list, tuple)):
+            positions = tuple(positions[0])
+        norm = tuple(
+            (p,) if isinstance(p, str) else tuple(p) for p in positions
+        )
+        if any(len(p) == 0 for p in norm):
+            raise ValueError("MultiPhrase position with no alternatives")
+        object.__setattr__(self, "positions", norm)
+        object.__setattr__(self, "boost", float(boost))
+        object.__setattr__(self, "slop", int(slop))
+
+    @property
+    def flat_terms(self) -> tuple:
+        """Every alternative of every position, position order (the
+        createWeight TermStatistics list — duplicates preserved)."""
+        return tuple(t for alts in self.positions for t in alts)
+
+
+@dataclass(frozen=True)
 class ConstantScore:
     query: object
     boost: float = 1.0
@@ -171,7 +206,27 @@ class TermRange:
     constant_score: bool = True
 
 
-MULTITERM = (Prefix, Wildcard, Regexp, Fuzzy, TermRange)
+@dataclass(frozen=True)
+class TermInSet:
+    """TermInSetQuery (``[8x] lucene/core/src/java/org/apache/lucene/
+    search/TermInSetQuery.java``): docs containing ANY of an explicit term
+    set, constant-score by default (Lucene's rewrite never scores per
+    term).  Treated as a multi-term node whose dictionary predicate is a
+    plain IN list — the constant-score path filters posting blocks by
+    ``term IN (...)`` fully distributed, and a scoring rewrite expands to
+    boolean SHOULD like the other multi-term queries."""
+
+    terms: tuple
+    boost: float = 1.0
+    constant_score: bool = True
+
+    def __init__(self, *terms, boost: float = 1.0, constant_score: bool = True):
+        object.__setattr__(self, "terms", _tuplify(terms))
+        object.__setattr__(self, "boost", float(boost))
+        object.__setattr__(self, "constant_score", bool(constant_score))
+
+
+MULTITERM = (Prefix, Wildcard, Regexp, Fuzzy, TermRange, TermInSet)
 
 
 def is_multiterm(q) -> bool:
@@ -187,6 +242,11 @@ def _boosted(q, b: float):
         return Term(q.term, q.boost * b)
     if isinstance(q, Phrase):
         return Phrase(*q.terms, boost=q.boost * b, slop=q.slop)
+    if isinstance(q, MultiPhrase):
+        return MultiPhrase(*q.positions, boost=q.boost * b, slop=q.slop)
+    if isinstance(q, TermInSet):
+        return TermInSet(*q.terms, boost=q.boost * b,
+                         constant_score=q.constant_score)
     if isinstance(q, (ConstantScore, MatchAll)):
         from dataclasses import replace
         return replace(q, boost=q.boost * b)
@@ -195,6 +255,8 @@ def _boosted(q, b: float):
         return replace(q, boost=q.boost * b)
     if isinstance(q, Boost):
         return _boosted(q.query, q.boost * b)
+    if isinstance(q, _span_base()):
+        return q.with_boost(q.boost * b)
     # composites: Lucene's createWeight passes boost down recursively
     if isinstance(q, (And, Or)):
         return type(q)(*[_boosted(c, b) for c in q.clauses])
@@ -211,12 +273,23 @@ def _boosted(q, b: float):
     raise TypeError(f"cannot boost {type(q)}")
 
 
+def _span_base():
+    """Lazy Span marker import (spans.py imports the executor, which
+    imports this module — resolve the cycle at call time)."""
+    from .spans import Span
+
+    return Span
+
+
 def rewrite(q):
     """Fixpoint simplification: flatten same-type nesting, dedup, unwrap,
     push Boost into leaves."""
+    if isinstance(q, _span_base()):
+        return q  # span trees rewrite at execution (spans.spans_frame)
     if isinstance(q, Boost):
         return rewrite(_boosted(rewrite(q.query), q.boost))
-    if isinstance(q, (Term, Phrase, MatchAll, ConstantScore)) or is_multiterm(q):
+    if isinstance(q, (Term, Phrase, MultiPhrase, MatchAll, ConstantScore)) \
+            or is_multiterm(q):
         if isinstance(q, ConstantScore):
             return ConstantScore(rewrite(q.query), q.boost)
         return q
@@ -258,10 +331,21 @@ def qualify_query(q, default_field: str):
     def fix(s: str) -> str:
         return s if ":" in s else pre + s
 
+    if isinstance(q, _span_base()):
+        from .spans import qualify_span
+        return qualify_span(q, fix)
     if isinstance(q, Term):
         return Term(fix(q.term), q.boost)
     if isinstance(q, Phrase):
         return Phrase(*[fix(t) for t in q.terms], boost=q.boost, slop=q.slop)
+    if isinstance(q, MultiPhrase):
+        return MultiPhrase(
+            *[tuple(fix(t) for t in alts) for alts in q.positions],
+            boost=q.boost, slop=q.slop,
+        )
+    if isinstance(q, TermInSet):
+        return TermInSet(*[fix(t) for t in q.terms], boost=q.boost,
+                         constant_score=q.constant_score)
     if isinstance(q, MatchAll):
         return q
     if isinstance(q, Prefix):
@@ -309,6 +393,10 @@ def query_terms(q) -> list[str]:
                 out.append(n.term)
         elif isinstance(n, Phrase):
             for t in n.terms:
+                if t not in out:
+                    out.append(t)
+        elif isinstance(n, MultiPhrase):
+            for t in n.flat_terms:
                 if t not in out:
                     out.append(t)
         elif isinstance(n, (And, Or, DisMax)):

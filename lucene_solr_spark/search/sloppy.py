@@ -21,11 +21,16 @@ import numpy as np
 __all__ = ["sloppy_freq", "sloppy_freq_batch"]
 
 
-def sloppy_freq(adjusted_lists: list[np.ndarray], slop: int) -> float:
+def sloppy_freq(adjusted_lists: list[np.ndarray], slop: int,
+                width_offset: int = 0) -> float:
     """Σ 1/(1+width) over minimal covering windows with width <= slop.
 
     ``adjusted_lists[i]`` must be the SORTED offset-adjusted positions of
-    clause i in one document."""
+    clause i in one document.  ``width_offset`` is subtracted from the
+    raw window width (clamped at 0) before the slop test and the slop
+    factor — unordered SpanNear passes ``n_clauses - 1`` so width counts
+    inter-span GAPS (NearSpansUnordered: maxEnd - minStart - Σ lengths)
+    rather than the position spread sloppy phrases use."""
     n = len(adjusted_lists)
     if n == 0 or any(len(a) == 0 for a in adjusted_lists):
         return 0.0
@@ -36,7 +41,7 @@ def sloppy_freq(adjusted_lists: list[np.ndarray], slop: int) -> float:
     while True:
         vals = [adjusted_lists[i][idx[i]] for i in range(n)]
         lo_i = int(np.argmin(vals))
-        width = int(max(vals) - vals[lo_i])
+        width = max(int(max(vals) - vals[lo_i]) - width_offset, 0)
         if width <= slop:
             total += 1.0 / (1.0 + width)
             # non-retreating: advance the left edge past this match
@@ -58,7 +63,9 @@ def sloppy_freq_batch(
     n_clauses: int,
     slop: int,
     n_rows: int,
-) -> np.ndarray:
+    width_offset: int = 0,
+    return_windows: bool = False,
+):
     """Vectorized ``sloppy_freq`` over MANY documents at once.
 
     Inputs are flat parallel arrays over every (doc, clause, occurrence):
@@ -82,20 +89,32 @@ def sloppy_freq_batch(
     g = docs[order]
     total = v.size
     if total == 0:
-        return np.zeros(n_rows, dtype=np.float64)
+        freq0 = np.zeros(n_rows, dtype=np.float64)
+        if return_windows:
+            z = np.zeros(0, dtype=np.int64)
+            return freq0, (z, z, z, z)
+        return freq0
     idx = np.arange(total, dtype=np.int64)
     heads_max = np.full(total, np.iinfo(np.int64).min, dtype=np.int64)
     last = np.full((n_rows, n_clauses), -1, dtype=np.int64)
     for k in range(n_clauses):
         pc = np.flatnonzero(c == k)
         if pc.size == 0:
-            return np.zeros(n_rows, dtype=np.float64)
+            freq0 = np.zeros(n_rows, dtype=np.float64)
+            if return_windows:
+                z = np.zeros(0, dtype=np.int64)
+                return freq0, (z, z, z, z)
+            return freq0
         j = np.minimum(np.searchsorted(pc, idx), pc.size - 1)
         np.maximum(heads_max, v[pc[j]], out=heads_max)
         last[g[pc], k] = pc  # ascending writes: final value = max position
     stop_at = last.min(axis=1)
-    width = heads_max - v
+    width = np.maximum(heads_max - v - width_offset, 0)
     hit = (idx <= stop_at[g]) & (width <= slop)
     contrib = np.zeros(total, dtype=np.float64)
     contrib[hit] = 1.0 / (1.0 + width[hit])
-    return np.bincount(g, weights=contrib, minlength=n_rows)
+    freq = np.bincount(g, weights=contrib, minlength=n_rows)
+    if return_windows:
+        # minimal windows in raw coordinates: [v_k, heads_max_k + 1)
+        return freq, (g[hit], v[hit], heads_max[hit] + 1, width[hit])
+    return freq

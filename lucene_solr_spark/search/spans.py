@@ -1,0 +1,549 @@
+"""Span queries — position-interval query algebra over the positional
+posting lists (``[8x] lucene/core/src/java/org/apache/lucene/search/spans/
+SpanTermQuery.java`` / ``SpanNearQuery.java`` / ``SpanOrQuery.java`` /
+``SpanFirstQuery.java`` / ``SpanNotQuery.java``, SURVEY.md §2.4).
+
+Every span node evaluates to a distributed SPAN FRAME — a DataFrame
+``[doc_id, norm_byte, start, end, width]`` with one row per matching
+interval (``[start, end)`` in token positions; ``width`` = the gap total
+that feeds the slop factor, 0 for leaf terms).  Composition is
+relational: SpanOr = union, SpanFirst = an end-bound filter, SpanNot = an
+overlap anti-join, SpanNear = a vectorized greedy-chaining kernel over
+the children's frames.  Scoring follows SpanWeight: sloppyFreq =
+Σ 1/(1+width) over a doc's spans, scored like a pseudo-term whose idf is
+the sum over the tree's DISTINCT terms (SpanWeight#buildSimWeight
+collects extracted terms as a set — unlike PhraseWeight, repeats count
+once).
+
+Documented simplifications vs Lucene (mirrored exactly by the
+MiniLucene oracle, so engine == oracle is testable):
+
+* Ordered SpanNear enumerates one candidate match per first-clause span
+  by GREEDY chaining — for each clause-0 span, each later clause takes
+  its first span starting at-or-after the previous clause's end (spans
+  never overlap, Lucene's ordered contract), accumulating
+  ``width = Σ inter-span gaps``; the match hits iff ``width <= slop``.
+  Lucene's NearSpansOrdered additionally shrinks non-minimal interior
+  choices; both agree whenever clause occurrences don't interleave
+  repeatedly inside one window.
+* Unordered SpanNear (leaf terms only) reuses the sloppy-phrase sweep
+  with ``width_offset = n_clauses - 1``: a minimal covering window's
+  width is ``maxEnd - minStart - Σ span lengths`` (NearSpansUnordered's
+  definition restricted to unit-length sub-spans).
+* Nested node boosts are ignored; only the TOP node's boost scales the
+  weight (SpanWeight is built once at the tree root).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.core import IndexView
+from .executor import _leaf_stats_full, occurrences_table
+from .sloppy import sloppy_freq_batch
+
+__all__ = [
+    "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanNot",
+    "SpanContaining", "SpanWithin",
+    "span_terms", "spans_frame", "span_freqs", "span_scores", "span_search",
+    "ordered_near_batch",
+]
+
+
+class Span:
+    """Marker base for span query nodes (query.rewrite passes them
+    through untouched; execution-time rewriting happens here)."""
+
+    def with_boost(self, b: float):
+        """Copy with boost = ``b`` (Boost(q, x) folds into the top node —
+        dataclasses.replace can't drive the ``*clauses`` ctors)."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class SpanTerm(Span):
+    term: str
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanTerm(self.term, float(b))
+
+
+@dataclass(frozen=True)
+class SpanNear(Span):
+    """Spans of all clauses within ``slop`` total gap; ``in_order`` chains
+    clauses left-to-right, unordered takes any arrangement (leaf terms
+    only — see module docstring)."""
+
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+    def __init__(self, *clauses, slop: int = 0, in_order: bool = True,
+                 boost: float = 1.0):
+        if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
+            clauses = tuple(clauses[0])
+        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "slop", int(slop))
+        object.__setattr__(self, "in_order", bool(in_order))
+        object.__setattr__(self, "boost", float(boost))
+
+    def with_boost(self, b: float):
+        return SpanNear(*self.clauses, slop=self.slop, in_order=self.in_order,
+                        boost=float(b))
+
+
+@dataclass(frozen=True)
+class SpanOr(Span):
+    clauses: tuple
+    boost: float = 1.0
+
+    def __init__(self, *clauses, boost: float = 1.0):
+        if len(clauses) == 1 and isinstance(clauses[0], (list, tuple)):
+            clauses = tuple(clauses[0])
+        object.__setattr__(self, "clauses", tuple(clauses))
+        object.__setattr__(self, "boost", float(boost))
+
+    def with_boost(self, b: float):
+        return SpanOr(*self.clauses, boost=float(b))
+
+
+@dataclass(frozen=True)
+class SpanFirst(Span):
+    """Spans of ``match`` ending at or before token position ``end``
+    (SpanFirstQuery: spans fully inside the first ``end`` positions)."""
+
+    match: object
+    end: int
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanFirst(self.match, self.end, float(b))
+
+
+@dataclass(frozen=True)
+class SpanNot(Span):
+    """Spans of ``include`` that overlap no span of ``exclude``."""
+
+    include: object
+    exclude: object
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanNot(self.include, self.exclude, float(b))
+
+
+@dataclass(frozen=True)
+class SpanContaining(Span):
+    """Spans of ``big`` that fully enclose at least one span of ``little``
+    (SpanContainingQuery: result spans come from big)."""
+
+    big: object
+    little: object
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanContaining(self.big, self.little, float(b))
+
+
+@dataclass(frozen=True)
+class SpanWithin(Span):
+    """Spans of ``little`` that lie fully inside at least one span of
+    ``big`` (SpanWithinQuery: result spans come from little)."""
+
+    little: object
+    big: object
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanWithin(self.little, self.big, float(b))
+
+
+def span_terms(q) -> list[str]:
+    """DISTINCT terms of a span tree, first-seen order (SpanWeight's
+    extractTerms set)."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, SpanTerm):
+            if n.term not in out:
+                out.append(n.term)
+        elif isinstance(n, (SpanNear, SpanOr)):
+            for c in n.clauses:
+                walk(c)
+        elif isinstance(n, SpanFirst):
+            walk(n.match)
+        elif isinstance(n, SpanNot):
+            walk(n.include)
+            walk(n.exclude)
+        elif isinstance(n, SpanContaining):
+            walk(n.big)
+            walk(n.little)
+        elif isinstance(n, SpanWithin):
+            walk(n.little)
+            walk(n.big)
+        else:
+            raise TypeError(f"not a span node: {type(n)}")
+
+    walk(q)
+    return out
+
+
+def qualify_span(q, fix):
+    """Field-qualify every term in a span tree (multi-field dispatch)."""
+    if isinstance(q, SpanTerm):
+        return SpanTerm(fix(q.term), q.boost)
+    if isinstance(q, SpanNear):
+        return SpanNear(*[qualify_span(c, fix) for c in q.clauses],
+                        slop=q.slop, in_order=q.in_order, boost=q.boost)
+    if isinstance(q, SpanOr):
+        return SpanOr(*[qualify_span(c, fix) for c in q.clauses], boost=q.boost)
+    if isinstance(q, SpanFirst):
+        return SpanFirst(qualify_span(q.match, fix), q.end, q.boost)
+    if isinstance(q, SpanNot):
+        return SpanNot(qualify_span(q.include, fix),
+                       qualify_span(q.exclude, fix), q.boost)
+    if isinstance(q, SpanContaining):
+        return SpanContaining(qualify_span(q.big, fix),
+                              qualify_span(q.little, fix), q.boost)
+    if isinstance(q, SpanWithin):
+        return SpanWithin(qualify_span(q.little, fix),
+                          qualify_span(q.big, fix), q.boost)
+    raise TypeError(f"not a span node: {type(q)}")
+
+
+def _check_same_field(q) -> None:
+    """SpanNearQuery/SpanNotQuery reject clauses from different fields
+    (positions only align within one field) — mirror the
+    IllegalArgumentException of SpanNearQuery#addClause."""
+    fields = {t.split(":", 1)[0] for t in span_terms(q) if ":" in t}
+    if len(fields) > 1:
+        raise ValueError(
+            f"span clauses must be in the same field, got {sorted(fields)}"
+        )
+
+
+_FRAME_SCHEMA = "doc_id long, norm_byte long, start long, end long, width long"
+
+
+def ordered_near_batch(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    clauses: np.ndarray,
+    docs: np.ndarray,
+    n_clauses: int,
+    slop: int,
+):
+    """Greedy ordered-near over flat per-(doc, clause) span arrays.
+
+    For each clause-0 span (in (start, end) order) chain each later
+    clause to its first span with ``start >= previous end`` in the same
+    doc; ``width`` accumulates the inter-span gaps.  Returns the hit
+    arrays ``(doc, start, end, width)`` — one row per match with
+    ``width <= slop``, emitted in clause-0 span order (left-to-right).
+    All steps are lexsort/searchsorted/gather — no per-doc Python."""
+    if starts.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    big = int(ends.max()) + 2
+    code_s = docs * big + starts
+    code_e = docs * big + ends
+    per_clause = []
+    for c in range(n_clauses):
+        m = clauses == c
+        if not m.any():
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z, z
+        cs, ce, cd = code_s[m], code_e[m], docs[m]
+        o = np.lexsort((ce, cs))
+        per_clause.append((cs[o], ce[o], cd[o]))
+    cs0, ce0, cd0 = per_clause[0]
+    cur = ce0.copy()
+    width = np.zeros(cur.size, dtype=np.int64)
+    valid = np.ones(cur.size, dtype=bool)
+    for c in range(1, n_clauses):
+        cs_c, ce_c, cd_c = per_clause[c]
+        i = np.searchsorted(cs_c, cur, side="left")
+        ok = i < cs_c.size
+        i = np.minimum(i, cs_c.size - 1)
+        ok &= cd_c[i] == cd0
+        gap = cs_c[i] - cur
+        width += np.where(ok, gap, 0)
+        cur = np.where(ok, ce_c[i], cur)
+        valid &= ok
+    hit = valid & (width <= slop)
+    d = cd0[hit]
+    return d, cs0[hit] - d * big, cur[hit] - d * big, width[hit]
+
+
+def _pack_children(index: IndexView, children: list[DataFrame]) -> DataFrame:
+    """Union child span frames tagged with a clause index, keep only docs
+    containing EVERY clause (the AND pre-intersection), pack one row per
+    doc with collect_list — the kernel input shape (same discipline as
+    the sloppy-phrase packing in executor._sloppy_tf)."""
+    n = len(children)
+    tagged = [
+        c.select(
+            "doc_id", "norm_byte",
+            F.lit(i).cast("int").alias("clause"), "start", "end",
+        )
+        for i, c in enumerate(children)
+    ]
+    u = reduce(DataFrame.unionByName, tagged)
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.first("norm_byte").alias("norm_byte"),
+            F.countDistinct("clause").alias("_nc"),
+            F.collect_list(F.struct("clause", "start", "end")).alias("_sp"),
+        )
+        .filter(F.col("_nc") == n)
+        .drop("_nc")
+    )
+
+
+def _ordered_near_frame(index: IndexView, q: SpanNear,
+                        children: list[DataFrame]) -> DataFrame:
+    n_clauses, slop = len(q.clauses), q.slop
+    packed = _pack_children(index, children)
+
+    def _kern(batches):
+        for pdf in batches:
+            sp_col = pdf["_sp"]
+            n_batch = pdf.shape[0]
+            st, en, cl, dg = [], [], [], []
+            for i in range(n_batch):  # list ASSEMBLY only — chaining is batched
+                for item in sp_col.iat[i]:
+                    st.append(item["start"]); en.append(item["end"])
+                    cl.append(item["clause"]); dg.append(i)
+            if not st:
+                continue
+            d, s, e, w = ordered_near_batch(
+                np.asarray(st, dtype=np.int64), np.asarray(en, dtype=np.int64),
+                np.asarray(cl, dtype=np.int64), np.asarray(dg, dtype=np.int64),
+                n_clauses, slop,
+            )
+            if d.size == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            nbs = pdf["norm_byte"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {"doc_id": ids[d], "norm_byte": nbs[d], "start": s, "end": e,
+                 "width": w}
+            )
+
+    return packed.mapInPandas(_kern, _FRAME_SCHEMA)
+
+
+def _unordered_near_frame(index: IndexView, q: SpanNear,
+                          children: list[DataFrame]) -> DataFrame:
+    if not all(isinstance(c, SpanTerm) for c in q.clauses):
+        raise TypeError("unordered SpanNear supports SpanTerm clauses only")
+    n_clauses, slop = len(q.clauses), q.slop
+    packed = _pack_children(index, children)
+
+    def _kern(batches):
+        for pdf in batches:
+            sp_col = pdf["_sp"]
+            n_batch = pdf.shape[0]
+            vals, cls, dgs = [], [], []
+            for i in range(n_batch):
+                for item in sp_col.iat[i]:
+                    vals.append(item["start"]); cls.append(item["clause"])
+                    dgs.append(i)
+            if not vals:
+                continue
+            _, (d, s, e, w) = sloppy_freq_batch(
+                np.asarray(vals, dtype=np.int64), np.asarray(cls, dtype=np.int64),
+                np.asarray(dgs, dtype=np.int64), n_clauses, slop, n_batch,
+                width_offset=n_clauses - 1, return_windows=True,
+            )
+            if d.size == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            nbs = pdf["norm_byte"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {"doc_id": ids[d], "norm_byte": nbs[d], "start": s, "end": e,
+                 "width": w}
+            )
+
+    return packed.mapInPandas(_kern, _FRAME_SCHEMA)
+
+
+def spans_frame(index: IndexView, q) -> DataFrame:
+    """Evaluate a span tree to its span frame
+    ``[doc_id, norm_byte, start, end, width]``."""
+    if isinstance(q, SpanTerm):
+        blocks = index.postings.filter(F.col("term") == q.term)
+        occ = occurrences_table(blocks)
+        return occ.select(
+            "doc_id", "norm_byte", F.col("pos").alias("start"),
+            (F.col("pos") + 1).alias("end"), F.lit(0).cast("long").alias("width"),
+        )
+    if isinstance(q, SpanNear):
+        _check_same_field(q)
+        children = [spans_frame(index, c) for c in q.clauses]
+        if len(children) == 1:
+            return children[0]
+        if q.in_order:
+            return _ordered_near_frame(index, q, children)
+        return _unordered_near_frame(index, q, children)
+    if isinstance(q, SpanOr):
+        return reduce(DataFrame.unionByName,
+                      [spans_frame(index, c) for c in q.clauses])
+    if isinstance(q, SpanFirst):
+        return spans_frame(index, q.match).filter(F.col("end") <= q.end)
+    if isinstance(q, SpanNot):
+        _check_same_field(q)
+        inc = spans_frame(index, q.include)
+        exc = spans_frame(index, q.exclude).select(
+            F.col("doc_id").alias("_xd"), F.col("start").alias("_xs"),
+            F.col("end").alias("_xe"),
+        )
+        cond = (
+            (inc["doc_id"] == exc["_xd"])
+            & (exc["_xs"] < inc["end"])
+            & (exc["_xe"] > inc["start"])
+        )
+        return inc.join(exc, cond, "left_anti")
+    if isinstance(q, SpanContaining):
+        _check_same_field(q)
+        big = spans_frame(index, q.big)
+        little = spans_frame(index, q.little).select(
+            F.col("doc_id").alias("_ld"), F.col("start").alias("_ls"),
+            F.col("end").alias("_le"),
+        )
+        cond = (
+            (big["doc_id"] == little["_ld"])
+            & (big["start"] <= little["_ls"])
+            & (big["end"] >= little["_le"])
+        )
+        return big.join(little, cond, "left_semi")
+    if isinstance(q, SpanWithin):
+        _check_same_field(q)
+        little = spans_frame(index, q.little)
+        big = spans_frame(index, q.big).select(
+            F.col("doc_id").alias("_bd"), F.col("start").alias("_bs"),
+            F.col("end").alias("_be"),
+        )
+        cond = (
+            (little["doc_id"] == big["_bd"])
+            & (big["_bs"] <= little["start"])
+            & (big["_be"] >= little["end"])
+        )
+        return little.join(big, cond, "left_semi")
+    raise TypeError(f"not a span node: {type(q)}")
+
+
+def span_freqs(index: IndexView, q) -> DataFrame:
+    """[doc_id, freq:double, norm_byte] — sloppyFreq = Σ 1/(1+width) over
+    the doc's spans, summed LEFT-TO-RIGHT in (start, end, width) order
+    (SpanScorer accumulates while iterating spans in position order; the
+    deterministic order keeps engine == oracle bit-identical)."""
+    frame = spans_frame(index, q)
+    packed = frame.groupBy("doc_id").agg(
+        F.first("norm_byte").alias("norm_byte"),
+        F.collect_list(F.struct("start", "end", "width")).alias("_w"),
+    )
+
+    def _sum(batches):
+        for pdf in batches:
+            col = pdf["_w"]
+            n_batch = pdf.shape[0]
+            st, en, wd, dg = [], [], [], []
+            for i in range(n_batch):  # list ASSEMBLY only — the fold is batched
+                for s in col.iat[i]:
+                    st.append(s["start"]); en.append(s["end"])
+                    wd.append(s["width"]); dg.append(i)
+            if not st:
+                continue
+            w = np.asarray(wd, dtype=np.float64)
+            g = np.asarray(dg, dtype=np.int64)
+            order = np.lexsort(
+                (w, np.asarray(en, dtype=np.int64),
+                 np.asarray(st, dtype=np.int64), g)
+            )
+            # bincount accumulates sequentially in flat order, so sorting
+            # by (doc, start, end, width) first makes the f64 fold the
+            # left-to-right span order — deterministic, oracle-matched
+            freqs = np.bincount(
+                g[order], weights=1.0 / (1.0 + w[order]), minlength=n_batch
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "freq": freqs,
+                    "norm_byte": pdf["norm_byte"].to_numpy(dtype=np.int64),
+                }
+            )[freqs > 0]
+
+    return packed.mapInPandas(_sum, "doc_id long, freq double, norm_byte long")
+
+
+def span_scores(index: IndexView, q) -> DataFrame:
+    """[doc_id, score:double(f32-valued)] — the span tree scored as a
+    pseudo-term: tf = sloppyFreq, weight built from the DISTINCT term
+    set's summed idf (SpanWeight#buildSimWeight), same similarity
+    branching as phrase scoring."""
+    terms = span_terms(q)
+    full = _leaf_stats_full(index, terms)
+    if len(full) < len(terms):
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    sim = index.bm25
+    boost = float(getattr(q, "boost", 1.0))
+    cache = index.norm_inverse_cache(terms[0])
+    score_fn = sim.score
+    if hasattr(sim, "weight_full"):
+        ws = [
+            sim.weight_full(*full[t], *index.stats_for(t), boost) for t in terms
+        ]
+
+        @F.pandas_udf("double")
+        def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+            tfa = tf.to_numpy(dtype=np.float64)
+            nba = nb.to_numpy(dtype=np.int64)
+            acc = np.zeros(tfa.size, dtype=np.float64)
+            for w in ws:
+                acc += score_fn(tfa, nba, w, cache).astype(np.float64)
+            return pd.Series(acc.astype(np.float32).astype(np.float64))
+    else:
+        idfs = [sim.idf(full[t][0], index.stats_for(t)[0]) for t in terms]
+        if hasattr(sim, "phrase_weight"):
+            w = sim.phrase_weight(idfs, boost)
+        else:
+            total_idf = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
+            w = np.float32(total_idf * np.float32(boost))
+
+        @F.pandas_udf("double")
+        def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+            s = score_fn(
+                tf.to_numpy(dtype=np.float64), nb.to_numpy(dtype=np.int64), w,
+                cache,
+            )
+            return pd.Series(s.astype(np.float64))
+
+    fq = span_freqs(index, q)
+    return fq.select(
+        "doc_id", _score(F.col("freq"), F.col("norm_byte")).alias("score")
+    )
+
+
+def span_search(index: IndexView, q, k: int = 10) -> DataFrame:
+    """Top-k span query → [doc_id, score:float] in (score desc, doc asc)
+    order — the TopScoreDocCollector contract, spans as the scorer."""
+    sc = span_scores(index, q)
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return (
+        sc.withColumn("score", F.col("score").cast("float"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,166 @@
+"""MultiPhraseQuery + TermInSetQuery vs the oracle.
+
+MultiPhrase: per-position alternative sets, exact (slop=0) and sloppy
+(slop>0), scored like a phrase whose weight sums idf over EVERY flattened
+alternative (MultiPhraseQuery#createWeight gathers all term arrays).
+TermInSet: constant-score doc-set membership over an explicit term list,
+scoring rewrite = boolean SHOULD over the set.
+
+Every scored query must match the oracle rank+score exactly (float32);
+match-only semantics checked by doc-set equality.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import (
+    Bool,
+    Boost,
+    ConstantScore,
+    MultiPhrase,
+    Or,
+    Phrase,
+    Term,
+    TermInSet,
+    count_hits,
+    rewrite,
+    search,
+)
+from lucene_solr_spark.search.executor import _matches
+from lucene_solr_spark.search.query import qualify_query, query_terms
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=4242).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def _run(engine, q, k=10):
+    rows = search(engine, q, k=k).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+MP_QUERIES = [
+    MultiPhrase(("def",), ("class", "return")),
+    MultiPhrase(("def", "class"), ("id0", "id1", "return")),
+    MultiPhrase(("def",), ("class",)),  # degenerate = plain Phrase
+    MultiPhrase(("def", "import"), ("class", "return"), slop=3),
+    MultiPhrase(("def",), ("class", "return"), slop=6, boost=1.7),
+    MultiPhrase((KEYWORDS[0], KEYWORDS[1]), (KEYWORDS[2], KEYWORDS[3])),
+    # an absent alternative must not kill the clause
+    MultiPhrase(("def", "zzznotaterm"), ("class", "return")),
+    # three slots
+    MultiPhrase(("def", "class"), ("id0", "id2"), ("id1", "if"),
+                slop=4),
+]
+
+
+@pytest.mark.parametrize("q", MP_QUERIES, ids=lambda q: repr(q)[:60])
+def test_multiphrase_rank_score_identity(engine, oracle, q):
+    got = _run(engine, q, k=15)
+    want = oracle.search(q, k=15)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == np.float32(s2), (d1, s1, d2, s2)
+
+
+def test_multiphrase_degenerate_equals_phrase(engine, oracle):
+    mp = MultiPhrase(("def",), ("class",))
+    ph = Phrase("def", "class")
+    assert _run(engine, mp, k=20) == _run(engine, ph, k=20)
+
+
+def test_multiphrase_matches_superset_of_each_expansion(engine, oracle):
+    """The multi-phrase doc set equals the UNION of the per-combination
+    plain phrases (2×1 alternatives -> 2 combinations)."""
+    mp = MultiPhrase(("def",), ("class", "return"))
+    got = {int(r["doc_id"]) for r in _matches(engine, mp).collect()}
+    union = set()
+    for alt in ("class", "return"):
+        union |= {
+            int(r["doc_id"])
+            for r in _matches(engine, Phrase("def", alt)).collect()
+        }
+    assert got == union
+    assert got == set(oracle._phrase_tf(mp))
+
+
+def test_multiphrase_missing_clause_empty(engine, oracle):
+    q = MultiPhrase(("def",), ("zzznotaterm", "qqqalsonot"))
+    assert _run(engine, q) == []
+    assert oracle.search(q) == []
+
+
+def test_multiphrase_boost_and_qualify(engine):
+    q = Boost(MultiPhrase(("def",), ("class", "return"), slop=2), 3.0)
+    r = rewrite(q)
+    assert isinstance(r, MultiPhrase) and r.boost == pytest.approx(3.0)
+    qq = qualify_query(r, "content")
+    assert qq.positions[0] == ("content:def",)
+    assert set(qq.positions[1]) == {"content:class", "content:return"}
+    assert "def" in query_terms(MultiPhrase(("def",), ("class",)))
+
+
+TIS_QUERIES = [
+    TermInSet("def", "class", "return"),
+    TermInSet("def", "zzznotaterm"),
+    TermInSet(*KEYWORDS[:5]),
+]
+
+
+@pytest.mark.parametrize("q", TIS_QUERIES, ids=lambda q: repr(q)[:60])
+def test_term_in_set_constant_score_identity(engine, oracle, q):
+    got = _run(engine, q, k=30)
+    want = oracle.search(oracle.expand(q), k=30)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == np.float32(s2)
+
+
+def test_term_in_set_matches_or_union(engine):
+    q = TermInSet("def", "class", "return")
+    got = {int(r["doc_id"]) for r in _matches(engine, q).collect()}
+    want = {
+        int(r["doc_id"])
+        for r in _matches(engine, Or(Term("def"), Term("class"), Term("return"))).collect()
+    }
+    assert got == want
+    assert count_hits(engine, q) == len(want)
+
+
+def test_term_in_set_scoring_rewrite(engine, oracle):
+    """constant_score=False expands to boolean SHOULD over the set —
+    identical to the explicit Or of Terms."""
+    q = TermInSet("def", "class", boost=1.5, constant_score=False)
+    want = _run(engine, Or(Term("def", 1.5), Term("class", 1.5)), k=20)
+    assert _run(engine, q, k=20) == want
+
+
+def test_term_in_set_in_bool_filter(engine, oracle):
+    q = Bool(must=(Term("def"),), filter=(TermInSet("class", "return"),))
+    got = _run(engine, q, k=20)
+    want = oracle.search(oracle.expand(q), k=20)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == np.float32(s2)

@@ -1,0 +1,210 @@
+"""Span queries vs the oracle: SpanTerm / SpanNear (ordered + unordered,
+slop) / SpanOr / SpanFirst / SpanNot, nested compositions, boost folding,
+same-field guard, plus kernel property tests (vectorized ordered-near and
+window-emitting sloppy sweep vs the per-doc reference loops).
+
+Every scored span query must match the oracle rank+score exactly
+(float32); match sets checked by doc-set equality.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene, _ordered_chain, _unordered_windows
+from lucene_solr_spark.search import (
+    Boost,
+    SpanFirst,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    rewrite,
+    span_search,
+    spans_frame,
+)
+from lucene_solr_spark.search.sloppy import sloppy_freq_batch
+from lucene_solr_spark.search.spans import ordered_near_batch, span_terms
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=1234).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def _run(engine, q, k=10):
+    rows = span_search(engine, q, k=k).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+SPAN_QUERIES = [
+    SpanTerm("def"),
+    SpanNear(SpanTerm("def"), SpanTerm("class"), slop=0),
+    SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3),
+    SpanNear(SpanTerm("def"), SpanTerm("class"), SpanTerm("return"), slop=8),
+    SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3, in_order=False),
+    SpanNear(SpanTerm("import"), SpanTerm("return"), SpanTerm("if"),
+             slop=12, in_order=False),
+    SpanOr(SpanTerm("def"), SpanTerm("class")),
+    SpanOr(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=2),
+           SpanNear(SpanTerm("import"), SpanTerm("return"), slop=4)),
+    SpanFirst(SpanTerm("def"), 5),
+    SpanFirst(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=4), 30),
+    SpanNot(SpanTerm("def"), SpanTerm("class")),
+    SpanNot(SpanNear(SpanTerm("def"), SpanTerm("return"), slop=6),
+            SpanTerm("class")),
+    # nested: ordered near over Or / nested near sub-spans
+    SpanNear(SpanOr(SpanTerm("def"), SpanTerm("class")), SpanTerm("return"),
+             slop=5),
+    SpanNear(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=1),
+             SpanTerm("return"), slop=6),
+    # boosted top node
+    SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3, boost=2.5),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(SPAN_QUERIES)))
+def test_span_rank_score_identity(engine, oracle, qi):
+    q = SPAN_QUERIES[qi]
+    got = _run(engine, q)
+    want = oracle.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (q, got[:3], want[:3])
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == ws, (q, gd, gs, ws)
+
+
+def test_span_match_sets(engine, oracle):
+    """spans_frame doc set == oracle window keys for every probe query."""
+    for q in SPAN_QUERIES:
+        got = {
+            int(r["doc_id"])
+            for r in spans_frame(engine, q).select("doc_id").distinct().collect()
+        }
+        assert got == set(oracle._span_windows(q)), q
+
+
+def test_boost_rewrite_folds_into_span(oracle):
+    q = rewrite(Boost(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3), 2.0))
+    assert isinstance(q, SpanNear) and q.boost == 2.0
+    base = dict(oracle.search(
+        SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3), k=200))
+    boosted = dict(oracle.search(q, k=200))
+    assert set(base) == set(boosted)
+    assert any(boosted[d] != base[d] for d in base)  # boost changed scores
+
+
+def test_span_terms_distinct_first_seen():
+    q = SpanOr(SpanNear(SpanTerm("a"), SpanTerm("b"), slop=1),
+               SpanNot(SpanTerm("b"), SpanTerm("c")))
+    assert span_terms(q) == ["a", "b", "c"]
+
+
+def test_same_field_guard(spark):
+    pdf = gen_corpus_pdf(20, seed=7).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(20, dtype=np.int64)
+    q = SpanNear(SpanTerm("text:def"), SpanTerm("src:x"), slop=1)
+    from lucene_solr_spark.search.spans import _check_same_field
+
+    with pytest.raises(ValueError, match="same field"):
+        _check_same_field(q)
+    # single-field (unqualified) trees pass
+    _check_same_field(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=1))
+
+
+def test_unordered_requires_leaf_terms(engine, oracle):
+    q = SpanNear(SpanOr(SpanTerm("def"), SpanTerm("class")), SpanTerm("return"),
+                 slop=3, in_order=False)
+    with pytest.raises(TypeError):
+        spans_frame(engine, q)
+    with pytest.raises(TypeError):
+        oracle._span_windows(q)
+
+
+def _random_spans(rng, n_docs, n_clauses, max_occ=6, max_pos=60):
+    """Flat (starts, ends, clauses, docs) arrays; every doc has every
+    clause (the kernels' precondition — callers pre-intersect)."""
+    st, en, cl, dc = [], [], [], []
+    for d in range(n_docs):
+        for c in range(n_clauses):
+            k = rng.integers(1, max_occ + 1)
+            starts = np.sort(rng.choice(max_pos, size=k, replace=False))
+            lens = rng.integers(1, 4, size=k)
+            for s, L in zip(starts, lens):
+                st.append(int(s)); en.append(int(s + L))
+                cl.append(c); dc.append(d)
+    return (np.asarray(st, dtype=np.int64), np.asarray(en, dtype=np.int64),
+            np.asarray(cl, dtype=np.int64), np.asarray(dc, dtype=np.int64))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("n_clauses", [2, 3, 4])
+def test_ordered_near_batch_matches_reference(seed, n_clauses):
+    rng = np.random.default_rng(seed)
+    st, en, cl, dc = _random_spans(rng, n_docs=25, n_clauses=n_clauses)
+    slop = int(rng.integers(0, 12))
+    d, s, e, w = ordered_near_batch(st, en, cl, dc, n_clauses, slop)
+    got = sorted(zip(d.tolist(), s.tolist(), e.tolist(), w.tolist()))
+    want = []
+    for doc in range(25):
+        m = dc == doc
+        per_clause = [
+            [(int(a), int(b), 0)
+             for a, b in zip(st[m & (cl == c)], en[m & (cl == c)])]
+            for c in range(n_clauses)
+        ]
+        for (ws, we, ww) in _ordered_chain(per_clause, slop):
+            want.append((doc, ws, we, ww))
+    assert got == sorted(want), (seed, n_clauses, slop)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("n_clauses", [2, 3])
+def test_sloppy_windows_match_reference(seed, n_clauses):
+    """sloppy_freq_batch(return_windows=True) ≡ the per-doc pointer sweep
+    (windows AND freqs), including the unordered-near gap offset."""
+    rng = np.random.default_rng(100 + seed)
+    n_docs = 20
+    vals, cls, dcs = [], [], []
+    lists_per_doc = []
+    for d in range(n_docs):
+        doc_lists = []
+        for c in range(n_clauses):
+            k = int(rng.integers(1, 7))
+            v = np.sort(rng.choice(50, size=k, replace=False)).astype(np.int64)
+            doc_lists.append(v)
+            vals.extend(v.tolist()); cls.extend([c] * k); dcs.extend([d] * k)
+        lists_per_doc.append(doc_lists)
+    slop = int(rng.integers(0, 10))
+    off = n_clauses - 1
+    freq, (gd, gs, ge, gw) = sloppy_freq_batch(
+        np.asarray(vals, dtype=np.int64), np.asarray(cls, dtype=np.int64),
+        np.asarray(dcs, dtype=np.int64), n_clauses, slop, n_docs,
+        width_offset=off, return_windows=True,
+    )
+    got = sorted(zip(gd.tolist(), gs.tolist(), ge.tolist(), gw.tolist()))
+    want, want_freq = [], np.zeros(n_docs)
+    for d in range(n_docs):
+        for (ws, we, ww) in _unordered_windows(lists_per_doc[d], slop, off):
+            want.append((d, ws, we, ww))
+            want_freq[d] += 1.0 / (1.0 + ww)
+    assert got == sorted(want), (seed, n_clauses, slop)
+    np.testing.assert_allclose(freq, want_freq, rtol=0, atol=0)
