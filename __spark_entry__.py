@@ -403,6 +403,58 @@ def q_term_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IV_SPECS = ("[*,500)", "[0,1000]", "[2000,*]", "[500,2000)")  # overlap on purpose
+
+
+def q_facet_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval facet (IntervalFacets): overlapping user-defined numeric
+    intervals over documents.n_chars — one conditional-sum pass, no join."""
+    from lucene_solr_spark.relational import facet_interval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return facet_interval(docs, "n_chars", list(IV_SPECS)).orderBy("interval")
+
+
+GEO_PT = (10.0, 20.0)  # geofilt center (lat, lon)
+GEO_D = 3000.0  # km
+
+
+def q_geo_filt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr geofilt: customers (with row-deterministic derived lat/lon)
+    within GEO_D km of GEO_PT, via the box-then-haversine two-phase
+    (bbox range predicates prune, geofilt verifies — LatLonPoint's
+    distance-query shape)."""
+    from lucene_solr_spark.functions import bbox, geofilt
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    boxed = pts.filter(bbox(F.col("lat"), F.col("lon"), *GEO_PT, GEO_D))
+    return (
+        boxed.filter(geofilt(F.col("lat"), F.col("lon"), *GEO_PT, GEO_D))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+CT_TERMS = ("dup", "data", "table")  # 'dup' df≈5%, others ≈78% -> split at 0.5
+
+
+def q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery doc set: terms split at df/docCount = 0.5 into the
+    required low-freq disjunction + optional high-freq boost; the match
+    set is exactly the low-freq disjunction's docs."""
+    from lucene_solr_spark.search.executor import _matches
+    from lucene_solr_spark.search.extras import common_terms_query
+
+    index = _index_for(spark, sf_dir)
+    q = common_terms_query(index, list(CT_TERMS), max_term_frequency=0.5)
+    return _matches(index, q).select("doc_id").distinct().orderBy("doc_id")
+
+
 def q_fts_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean MUST_NOT: docs with 'data' but not 'table' (doc set)."""
     from lucene_solr_spark.search import Bool, Term, search
@@ -1260,6 +1312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": q_span_near,
         "multi_phrase": q_multi_phrase,
         "term_in_set": q_term_in_set,
+        "facet_interval": q_facet_interval,
+        "geo_filt": q_geo_filt,
+        "common_terms": q_common_terms,
         "fts_must_not": q_fts_must_not,
         "fts_prefix_terms": q_fts_prefix_terms,
         "facet_unique": q_facet_unique,
@@ -1956,6 +2011,44 @@ GROUP BY a.doc_id ORDER BY a.doc_id""",
         "term_in_set": f"""
 WITH {_TOK_CTE}
 SELECT DISTINCT doc_id FROM tok WHERE term IN {TIS_TERMS!r}
+ORDER BY doc_id""",
+        "facet_interval": """
+SELECT * FROM (
+  SELECT '[*,500)' AS "interval",
+         CAST(count(*) FILTER (n_chars < 500) AS BIGINT) AS count FROM documents
+  UNION ALL
+  SELECT '[0,1000]',
+         CAST(count(*) FILTER (n_chars >= 0 AND n_chars <= 1000) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT '[2000,*]',
+         CAST(count(*) FILTER (n_chars >= 2000) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT '[500,2000)',
+         CAST(count(*) FILTER (n_chars >= 500 AND n_chars < 2000) AS BIGINT) FROM documents
+) ORDER BY "interval" """,
+        "geo_filt": f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 9973 % 17000) / 100.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT c_custkey FROM pts
+WHERE 2 * 6371.0087714 * asin(sqrt(
+        sin(radians(lat - {GEO_PT[0]}) / 2) * sin(radians(lat - {GEO_PT[0]}) / 2)
+      + cos(radians({GEO_PT[0]})) * cos(radians(lat))
+        * sin(radians(lon - {GEO_PT[1]}) / 2) * sin(radians(lon - {GEO_PT[1]}) / 2)
+      )) <= {GEO_D}
+ORDER BY c_custkey""",
+        "common_terms": f"""
+WITH {_TOK_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN {CT_TERMS!r} GROUP BY term
+),
+lows AS (SELECT term FROM dfs, n WHERE df <= 5e-1 * n_docs)
+SELECT DISTINCT doc_id FROM tok WHERE term IN (SELECT term FROM lows)
 ORDER BY doc_id""",
         "fts_must_not": f"""
 WITH {_TOK_CTE}

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
-    "date_ms", "geodist", "termfreq", "docfreq", "idf_col", "norm_col",
+    "date_ms", "geodist", "geofilt", "bbox", "termfreq", "docfreq",
+    "idf_col", "norm_col",
 ]
 
 
@@ -93,6 +94,42 @@ def geodist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     dlon = F.radians(lon2 - lon1) / 2
     a = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2
     return F.lit(2 * _EARTH_KM) * F.asin(F.sqrt(a))
+
+
+def geofilt(lat: Column, lon: Column, pt_lat: float, pt_lon: float,
+            d_km: float) -> Column:
+    """Solr ``{!geofilt pt=.. d=..}`` — boolean great-circle filter
+    (``[8x] solr/core/src/java/org/apache/solr/search/SpatialFilterQParser
+    .java`` circle mode): true iff haversine distance to the point is
+    <= d km.  Pure column expression — pushes through whole-stage codegen
+    and combines with parquet min/max pruning on lat/lon when the filter
+    is wrapped in :func:`bbox` (Lucene's LatLonPoint distance query does
+    the same box-then-haversine two-phase)."""
+    return geodist(lat, lon, F.lit(float(pt_lat)), F.lit(float(pt_lon))) \
+        <= F.lit(float(d_km))
+
+
+def bbox(lat: Column, lon: Column, pt_lat: float, pt_lon: float,
+         d_km: float) -> Column:
+    """Solr ``{!bbox}`` — rectangle enclosing the d-km circle around the
+    point.  The latitude delta is exact; the longitude delta divides by
+    cos(lat) and widens to the full circle at the poles (Solr
+    SpatialUtils.calcBoxByDistFromPt).  Cheap pre-filter: plain range
+    predicates on lat/lon that reach parquet row-group stats, the
+    standard box-then-distance two-phase at scale."""
+    dlat = math.degrees(d_km / _EARTH_KM)
+    coslat = math.cos(math.radians(pt_lat))
+    cond = (lat >= pt_lat - dlat) & (lat <= pt_lat + dlat)
+    if coslat > 1e-9 and (dlon := math.degrees(d_km / (_EARTH_KM * coslat))) < 180.0:
+        lo, hi = pt_lon - dlon, pt_lon + dlon
+        if lo < -180.0 or hi > 180.0:
+            # dateline wrap: two disjoint lon ranges
+            lo_w = lo + 360.0 if lo < -180.0 else lo
+            hi_w = hi - 360.0 if hi > 180.0 else hi
+            cond = cond & ((lon >= lo_w) | (lon <= hi_w))
+        else:
+            cond = cond & (lon >= lo) & (lon <= hi)
+    return cond
 
 
 # --- relevance value sources (engine tables as columns) ---------------------

@@ -23,6 +23,8 @@ from pyspark.sql.window import Window
 __all__ = [
     "facet_terms",
     "facet_range",
+    "facet_interval",
+    "parse_interval",
     "facet_pivot",
     "facet_stats",
     "percentile_exact",
@@ -73,6 +75,53 @@ def facet_range(df: DataFrame, field: str, start: float, end: float,
         .groupBy("bucket", "bucket_start")
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("bucket")
+    )
+
+
+def parse_interval(s: str) -> tuple[str, float | None, float | None, bool, bool]:
+    """Solr interval syntax ``[0,10)`` / ``(10,100]`` / ``[100,*]`` →
+    (label, lower, upper, incl_lower, incl_upper); ``*`` = unbounded
+    (``[8x] solr/core/src/java/org/apache/solr/request/IntervalFacets.java``
+    FacetInterval's getRange parsing, numeric fields)."""
+    s = s.strip()
+    if s[0] not in "[(" or s[-1] not in "])":
+        raise ValueError(f"bad interval: {s!r}")
+    lo_s, hi_s = s[1:-1].split(",", 1)
+    lo = None if lo_s.strip() == "*" else float(lo_s)
+    hi = None if hi_s.strip() == "*" else float(hi_s)
+    return s, lo, hi, s[0] == "[", s[-1] == "]"
+
+
+def facet_interval(df: DataFrame, field: str, intervals: list[str]) -> DataFrame:
+    """Interval facet (IntervalFacets): arbitrary user-defined intervals
+    with open/closed bounds; intervals MAY overlap — a row counts in
+    every interval containing it (unlike facet_range's partition).
+
+    One map-side pass: each interval is a conditional-sum aggregate
+    (``SUM(CASE WHEN ...)``) — no join, no explode; the shuffle is the
+    final single-row combine, then the row unpivots to (interval, count)
+    on the driver side of the plan.  Scale-safe at any row count."""
+    col = F.col(field)
+    aggs = []
+    labels = []
+    for spec in intervals:
+        label, lo, hi, il, ih = parse_interval(spec)
+        cond = F.lit(True) & col.isNotNull()
+        if lo is not None:
+            cond = cond & (col >= lo if il else col > lo)
+        if hi is not None:
+            cond = cond & (col <= hi if ih else col < hi)
+        labels.append(label)
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+            .alias(f"_iv{len(aggs)}")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{lbl}'" + f", _iv{i}" for i, lbl in enumerate(labels)
+    )
+    return one.selectExpr(
+        f"stack({len(labels)}, {stack}) AS (`interval`, count)"
     )
 
 

@@ -24,7 +24,8 @@ from .query import Or, Term, rewrite
 
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
-           "boost_by_value", "block_join_parents", "block_join_children"]
+           "boost_by_value", "block_join_parents", "block_join_children",
+           "common_terms_query"]
 
 
 def _scored_stream(index: IndexView, query) -> DataFrame:
@@ -332,4 +333,55 @@ def spell_suggest(index: IndexView, term: str, max_edits: int = 2,
         .limit(k)
         .select("term", F.col("_dist").alias("distance"),
                 F.col("df").cast("long").alias("df"))
+    )
+
+
+def common_terms_query(
+    index: IndexView,
+    terms: list[str],
+    max_term_frequency: float = 0.01,
+    low_freq_min_should_match: int = 1,
+    boost: float = 1.0,
+):
+    """CommonTermsQuery (``[8x] lucene/queries/src/java/org/apache/lucene/
+    queries/CommonTermsQuery.java``): split the term list at a docFreq /
+    docCount cutoff.  Low-frequency (selective) terms form the REQUIRED
+    disjunction (SHOULD + minShouldMatch); high-frequency (stopword-class)
+    terms become a purely optional disjunction that only boosts docs the
+    low-freq part already matched — Lucene's buildQuery composes
+    ``Bool(must=[lowFreq], should=[highFreq])``, degrading to whichever
+    side is non-empty.  Returns the composed query tree for ``search()``.
+
+    The per-term df lookup filters the dictionary by the QUERY's own term
+    list — bounded by len(terms), the same driver-side TermStates step
+    Lucene performs in createWeight; never a dictionary scan."""
+    from .query import Bool
+
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        raise ValueError("common_terms_query needs at least one term")
+    rows = (
+        index.term_dict.filter(F.col("term").isin(uniq))
+        .select("term", "df")
+        .collect()
+    )
+    dfs = {r["term"]: int(r["df"]) for r in rows}
+    doc_count = index.doc_count
+    cutoff = (
+        max_term_frequency
+        if max_term_frequency >= 1.0
+        else max_term_frequency * doc_count
+    )
+    low = [t for t in uniq if dfs.get(t, 0) <= cutoff]
+    high = [t for t in uniq if dfs.get(t, 0) > cutoff]
+    mk = lambda ts: Or(*[Term(t, boost) for t in ts])
+    if not high:
+        return Bool(should=tuple(Term(t, boost) for t in low),
+                    min_should_match=low_freq_min_should_match)
+    if not low:
+        return mk(high)
+    return Bool(
+        must=(Bool(should=tuple(Term(t, boost) for t in low),
+                   min_should_match=low_freq_min_should_match),),
+        should=(mk(high),),
     )

@@ -1,0 +1,200 @@
+"""Interval facets, spatial filters (geofilt/bbox), CommonTermsQuery.
+
+facet_interval vs a pandas reference (overlapping + unbounded intervals);
+geofilt vs a pure-python haversine (and bbox ⊇ geofilt two-phase
+containment, incl. a dateline-wrapping box); common_terms_query's
+df-cutoff split pinned structurally and rank/score-identical to the
+oracle executing the same composed tree.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.functions import _EARTH_KM, bbox, geodist, geofilt
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.relational import facet_interval, parse_interval
+from lucene_solr_spark.search import Bool, Or, Term, search
+from lucene_solr_spark.search.extras import common_terms_query
+
+from pyspark.sql import functions as F
+
+N_DOCS = 150
+
+
+# --- interval facets -------------------------------------------------------
+
+
+def test_parse_interval_forms():
+    assert parse_interval("[0,10)") == ("[0,10)", 0.0, 10.0, True, False)
+    assert parse_interval("(10,100]") == ("(10,100]", 10.0, 100.0, False, True)
+    assert parse_interval("[*,5]") == ("[*,5]", None, 5.0, True, True)
+    with pytest.raises(ValueError):
+        parse_interval("0,10")
+
+
+def test_facet_interval_counts(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-20, 120, size=500).astype(float)
+    vals[::50] = np.nan  # nulls never count
+    pdf = pd.DataFrame({"x": vals})
+    df = spark.createDataFrame(pdf)
+    specs = ["[0,10)", "(10,100]", "[100,*]", "[*,0)", "[0,100]"]  # overlap OK
+    got = {
+        r["interval"]: int(r["count"])
+        for r in facet_interval(df, "x", specs).collect()
+    }
+    v = pdf["x"].dropna()
+    want = {
+        "[0,10)": int(((v >= 0) & (v < 10)).sum()),
+        "(10,100]": int(((v > 10) & (v <= 100)).sum()),
+        "[100,*]": int((v >= 100).sum()),
+        "[*,0)": int((v < 0).sum()),
+        "[0,100]": int(((v >= 0) & (v <= 100)).sum()),
+    }
+    assert got == want
+    # output preserves the given interval order (Solr returns request order)
+    order = [r["interval"] for r in facet_interval(df, "x", specs).collect()]
+    assert order == specs
+
+
+# --- spatial ---------------------------------------------------------------
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    return 2 * _EARTH_KM * math.asin(math.sqrt(a))
+
+
+def test_geofilt_matches_reference_haversine(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "id": np.arange(400),
+        "lat": rng.uniform(-85, 85, 400),
+        "lon": rng.uniform(-180, 180, 400),
+    })
+    df = spark.createDataFrame(pdf)
+    pt, d = (48.8566, 2.3522), 2500.0  # Paris, 2500 km
+    got = {
+        int(r["id"])
+        for r in df.filter(geofilt(F.col("lat"), F.col("lon"), *pt, d)).collect()
+    }
+    want = {
+        int(i)
+        for i, la, lo in zip(pdf["id"], pdf["lat"], pdf["lon"])
+        if _haversine(la, lo, *pt) <= d
+    }
+    assert got == want
+    # two-phase containment: the bbox is a superset of the circle
+    boxed = {
+        int(r["id"])
+        for r in df.filter(bbox(F.col("lat"), F.col("lon"), *pt, d)).collect()
+    }
+    assert got <= boxed
+
+
+def test_bbox_dateline_wrap(spark):
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "lat": [0.0, 0.0, 0.0, 0.0],
+        "lon": [179.5, -179.5, 170.0, 0.0],
+    })
+    df = spark.createDataFrame(pdf)
+    # 200 km box around (0, 179.9): wraps the dateline, catches both sides
+    got = {
+        int(r["id"])
+        for r in df.filter(bbox(F.col("lat"), F.col("lon"), 0.0, 179.9, 200.0)).collect()
+    }
+    assert got == {0, 1}
+
+
+def test_geodist_zero_and_symmetry(spark):
+    df = spark.range(1)
+    r = df.select(
+        geodist(F.lit(10.0), F.lit(20.0), F.lit(10.0), F.lit(20.0)).alias("z"),
+        geodist(F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)).alias("a"),
+        geodist(F.lit(3.0), F.lit(4.0), F.lit(1.0), F.lit(2.0)).alias("b"),
+    ).collect()[0]
+    assert r["z"] == pytest.approx(0.0, abs=1e-9)
+    assert r["a"] == pytest.approx(r["b"], rel=1e-12)
+
+
+# --- CommonTermsQuery ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=2026).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def _rare_term(oracle, lo=1, hi=3):
+    for t, plist in sorted(oracle.postings.items()):
+        if lo <= len(plist) <= hi:
+            return t
+    raise RuntimeError("no rare term in corpus")
+
+
+def test_common_terms_split_structure(engine, oracle):
+    rare = _rare_term(oracle)
+    q = common_terms_query(engine, ["def", rare], max_term_frequency=0.5)
+    # 'def' is stopword-class (df > 50% of docs), rare is selective
+    assert isinstance(q, Bool) and len(q.must) == 1 and len(q.should) == 1
+    low = q.must[0]
+    assert isinstance(low, Bool) and {t.term for t in low.should} == {rare}
+    assert {t.term for t in q.should[0].clauses} == {"def"}
+
+
+def test_common_terms_all_low_and_all_high(engine, oracle):
+    rare = _rare_term(oracle)
+    q_low = common_terms_query(engine, [rare], max_term_frequency=0.5)
+    assert isinstance(q_low, Bool) and not q_low.must
+    q_high = common_terms_query(engine, ["def", "class"],
+                                max_term_frequency=1e-6)
+    assert isinstance(q_high, Or)
+
+
+def test_common_terms_rank_score_identity(engine, oracle):
+    rare = _rare_term(oracle)
+    q = common_terms_query(engine, ["def", "class", rare],
+                           max_term_frequency=0.5)
+    got = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in search(engine, q, k=15).collect()
+    ]
+    want = oracle.search(q, k=15)
+    assert got == want
+
+
+def test_common_terms_high_only_boosts_low_matches(engine, oracle):
+    """Docs matching ONLY high-freq terms are excluded (the required
+    low-freq disjunction gates the result set)."""
+    rare = _rare_term(oracle)
+    q = common_terms_query(engine, ["def", rare], max_term_frequency=0.5)
+    hits = {
+        int(r["doc_id"]) for r in search(engine, q, k=N_DOCS).collect()
+    }
+    low_docs = set(oracle.postings[rare])
+    assert hits == low_docs
