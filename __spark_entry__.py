@@ -455,6 +455,59 @@ def q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _matches(index, q).select("doc_id").distinct().orderBy("doc_id")
 
 
+HEAT_GRID = (8, 12)  # heatmap rows x cols over the full lat/lon box
+
+
+def q_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial heatmap facet: fixed-grid cell counts of the derived
+    customer coordinates — one partial-agg shuffle on (cell_y, cell_x)."""
+    from lucene_solr_spark.relational import facet_heatmap
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return facet_heatmap(pts, "lat", "lon", -85.0, 85.0, -180.0, 180.0,
+                         *HEAT_GRID)
+
+
+ELEV_IDS = (7, 3)  # QueryElevationComponent pins, elevation-file order
+
+
+def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent: ELEV_IDS pinned to the head (elevation
+    order, organic score or 0 when not matching), organic BM25 ranking
+    fills the tail.  Same distributed shape as extras.elevate (left join
+    to the broadcast elevation map + union of non-matching pins + ONE
+    TakeOrdered), but the organic scores ride the f64-parity BM25 stream
+    so the float compare is exact cross-engine (fts_bm25_topk
+    discipline; extras.elevate itself is pinned against search() in
+    tests/test_heatmap_elevation.py)."""
+    elev = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(ELEV_IDS)], "doc_id long, _elev int"
+    )
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select("doc_id", "score64")
+    org = sc.join(F.broadcast(elev), "doc_id", "left")
+    missing = elev.join(sc, "doc_id", "left_anti").select(
+        "doc_id", F.lit(0.0).alias("score64"), "_elev"
+    )
+    allrows = org.select("doc_id", "score64", "_elev").unionByName(missing)
+    return (
+        allrows.select(
+            "doc_id", F.col("score64").cast("float").alias("score"), "_elev"
+        )
+        .orderBy(
+            F.when(F.col("_elev").isNotNull(), F.lit(0)).otherwise(F.lit(1)),
+            F.asc_nulls_last("_elev"),
+            F.desc("score"),
+            F.asc("doc_id"),
+        )
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def q_fts_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean MUST_NOT: docs with 'data' but not 'table' (doc set)."""
     from lucene_solr_spark.search import Bool, Term, search
@@ -1314,7 +1367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_in_set": q_term_in_set,
         "facet_interval": q_facet_interval,
         "geo_filt": q_geo_filt,
+        "geo_heatmap": q_geo_heatmap,
         "common_terms": q_common_terms,
+        "elevation": q_elevation,
         "fts_must_not": q_fts_must_not,
         "fts_prefix_terms": q_fts_prefix_terms,
         "facet_unique": q_facet_unique,
@@ -2040,6 +2095,49 @@ WHERE 2 * 6371.0087714 * asin(sqrt(
         * sin(radians(lon - {GEO_PT[1]}) / 2) * sin(radians(lon - {GEO_PT[1]}) / 2)
       )) <= {GEO_D}
 ORDER BY c_custkey""",
+        "geo_heatmap": """
+WITH pts AS (
+  SELECT (c_custkey * 9973 % 17000) / 100.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT CAST(least(floor((lat - -85.0) / 21.25), 7) AS BIGINT) AS cell_y,
+       CAST(least(floor((lon - -180.0) / 30.0), 11) AS BIGINT) AS cell_x,
+       CAST(count(*) AS BIGINT) AS count
+FROM pts
+WHERE lat >= -85.0 AND lat <= 85.0 AND lon >= -180.0 AND lon <= 180.0
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "elevation": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term = '{BM25_TERM}' GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT doc_id,
+           {_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS score64
+           FROM inputs),
+elev(doc_id, e) AS (VALUES {", ".join(f"({d}, {i})" for i, d in enumerate(ELEV_IDS))}),
+org AS (
+  SELECT s.doc_id, CAST(s.score64 AS FLOAT) AS score, e.e
+  FROM scored s LEFT JOIN elev e USING (doc_id)
+),
+miss AS (
+  SELECT e.doc_id, CAST(0.0 AS FLOAT) AS score, e.e FROM elev e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM scored)
+)
+SELECT doc_id, score
+FROM (SELECT * FROM org UNION ALL SELECT * FROM miss)
+ORDER BY (e IS NULL), e ASC NULLS LAST, score DESC, doc_id ASC
+LIMIT 10""",
         "common_terms": f"""
 WITH {_TOK_CTE},
 n AS (SELECT count(*) AS n_docs FROM documents),

@@ -24,6 +24,7 @@ __all__ = [
     "facet_terms",
     "facet_range",
     "facet_interval",
+    "facet_heatmap",
     "parse_interval",
     "facet_pivot",
     "facet_stats",
@@ -122,6 +123,42 @@ def facet_interval(df: DataFrame, field: str, intervals: list[str]) -> DataFrame
     )
     return one.selectExpr(
         f"stack({len(labels)}, {stack}) AS (`interval`, count)"
+    )
+
+
+def facet_heatmap(df: DataFrame, lat_col: str, lon_col: str,
+                  lat_min: float, lat_max: float,
+                  lon_min: float, lon_max: float,
+                  grid_rows: int, grid_cols: int) -> DataFrame:
+    """Spatial heatmap facet (``[8x] solr/core/src/java/org/apache/solr/
+    handler/component/SpatialHeatmapFacets.java`` / Lucene
+    HeatmapFacetCounter): fixed-grid cell counts over a bounding box.
+    Returns sparse rows [cell_y, cell_x, count] — cell (0,0) is the
+    box's south-west corner; points on the max edge clamp into the last
+    cell (the closed upper bound of the final grid row/column).
+
+    One partial-agg shuffle on (cell_y, cell_x); the box filter is plain
+    range predicates that reach parquet row-group stats."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    dy = (lat_max - lat_min) / grid_rows
+    dx = (lon_max - lon_min) / grid_cols
+    cy = F.least(
+        F.floor((lat - F.lit(lat_min)) / F.lit(dy)).cast("long"),
+        F.lit(grid_rows - 1),
+    )
+    cx = F.least(
+        F.floor((lon - F.lit(lon_min)) / F.lit(dx)).cast("long"),
+        F.lit(grid_cols - 1),
+    )
+    return (
+        df.filter(
+            (lat >= lat_min) & (lat <= lat_max)
+            & (lon >= lon_min) & (lon <= lon_max)
+        )
+        .select(cy.alias("cell_y"), cx.alias("cell_x"))
+        .groupBy("cell_y", "cell_x")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("cell_y", "cell_x")
     )
 
 

@@ -25,7 +25,7 @@ from .query import Or, Term, rewrite
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
-           "common_terms_query"]
+           "common_terms_query", "elevate"]
 
 
 def _scored_stream(index: IndexView, query) -> DataFrame:
@@ -384,4 +384,51 @@ def common_terms_query(
         must=(Bool(should=tuple(Term(t, boost) for t in low),
                    min_should_match=low_freq_min_should_match),),
         should=(mk(high),),
+    )
+
+
+def elevate(
+    index: IndexView,
+    query,
+    elevated_ids: list[int],
+    k: int = 10,
+    excluded_ids: list[int] = (),
+) -> DataFrame:
+    """QueryElevationComponent (``[8x] solr/core/src/java/org/apache/solr/
+    handler/component/QueryElevationComponent.java``): pin the configured
+    docs to the head of the result in elevation-file order — included
+    even when they don't match the query (score 0, Solr's include-query
+    union) — drop excluded docs, and fill the remainder with the organic
+    (score desc, doc_id asc) ranking.
+
+    Distributed shape: scored stream LEFT-joined to the broadcast
+    elevation map, non-matching elevated docs unioned in at score 0,
+    then ONE TakeOrdered on (elevated-first, elevation order, score
+    desc, doc asc) — no driver-side reordering."""
+    spark = index.spark
+    elev = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(elevated_ids)],
+        "doc_id long, _elev int",
+    )
+    sc = _scored_stream(index, query)
+    org = sc.join(F.broadcast(elev), "doc_id", "left")
+    missing = (
+        elev.join(sc, "doc_id", "left_anti")
+        .select("doc_id", F.lit(0.0).alias("score"), "_elev")
+    )
+    allrows = org.select("doc_id", "score", "_elev").unionByName(missing)
+    if excluded_ids:
+        allrows = allrows.filter(
+            ~F.col("doc_id").isin([int(d) for d in excluded_ids])
+        )
+    return (
+        allrows.withColumn("score", F.col("score").cast("float"))
+        .orderBy(
+            F.when(F.col("_elev").isNotNull(), F.lit(0)).otherwise(F.lit(1)),
+            F.asc_nulls_last("_elev"),
+            F.desc("score"),
+            F.asc("doc_id"),
+        )
+        .limit(k)
+        .select("doc_id", "score")
     )

@@ -1,0 +1,112 @@
+"""Heatmap facet grid counts vs a pandas reference; QueryElevationComponent
+ordering semantics (pinned head, include-non-matching, excludes, organic
+tail identity vs plain search)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.relational import facet_heatmap
+from lucene_solr_spark.search import Term, search
+from lucene_solr_spark.search.extras import elevate
+
+from pyspark.sql import functions as F
+
+N_DOCS = 120
+
+
+def test_facet_heatmap_counts(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "lat": rng.uniform(-90, 90, 600),
+        "lon": rng.uniform(-180, 180, 600),
+    })
+    df = spark.createDataFrame(pdf)
+    rows, cols = 4, 8
+    got = {
+        (int(r["cell_y"]), int(r["cell_x"])): int(r["count"])
+        for r in facet_heatmap(df, "lat", "lon", -60, 60, -120, 120,
+                               rows, cols).collect()
+    }
+    dy, dx = 120 / rows, 240 / cols
+    want: dict = {}
+    for la, lo in zip(pdf["lat"], pdf["lon"]):
+        if not (-60 <= la <= 60 and -120 <= lo <= 120):
+            continue
+        cy = min(int((la + 60) // dy), rows - 1)
+        cx = min(int((lo + 120) // dx), cols - 1)
+        want[(cy, cx)] = want.get((cy, cx), 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(
+        [1 for la, lo in zip(pdf["lat"], pdf["lon"])
+         if -60 <= la <= 60 and -120 <= lo <= 120]
+    )
+
+
+def test_facet_heatmap_max_edge_clamps(spark):
+    df = spark.createDataFrame(pd.DataFrame({"lat": [60.0], "lon": [120.0]}))
+    rows = facet_heatmap(df, "lat", "lon", -60, 60, -120, 120, 4, 8).collect()
+    assert [(int(r["cell_y"]), int(r["cell_x"]), int(r["count"])) for r in rows] \
+        == [(3, 7, 1)]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=77).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in df.collect()]
+
+
+def test_elevate_pins_head_in_elevation_order(engine):
+    organic = _rows(search(engine, Term("def"), k=10))
+    o_ids = [d for d, _ in organic]
+    pick = [o_ids[5], o_ids[2]]  # elevate two mid-pack docs, reversed order
+    got = _rows(elevate(engine, Term("def"), pick, k=10))
+    assert [d for d, _ in got[:2]] == pick
+    # tail = organic order with the elevated docs removed
+    assert [d for d, _ in got[2:]] == [d for d in o_ids if d not in pick][:8]
+    # elevated docs keep their organic scores
+    org_map = dict(organic)
+    assert got[0][1] == org_map[pick[0]] and got[1][1] == org_map[pick[1]]
+
+
+def test_elevate_includes_non_matching_doc(engine):
+    # a doc that does not contain the query term still appears, score 0
+    for term in ("lambda", "goto", "sizeof", "typedef"):
+        match_ids = {
+            int(r["doc_id"])
+            for r in search(engine, Term(term), k=N_DOCS).collect()
+        }
+        if len(match_ids) < N_DOCS:
+            break
+    else:
+        pytest.skip("every doc matches every probe term")
+    outsider = next(d for d in range(N_DOCS) if d not in match_ids)
+    got = _rows(elevate(engine, Term(term), [outsider], k=5))
+    assert got[0] == (outsider, np.float32(0.0))
+
+
+def test_elevate_excludes(engine):
+    organic = _rows(search(engine, Term("def"), k=10))
+    o_ids = [d for d, _ in organic]
+    got = _rows(
+        elevate(engine, Term("def"), [o_ids[1]], k=5, excluded_ids=[o_ids[0]])
+    )
+    ids = [d for d, _ in got]
+    assert ids[0] == o_ids[1] and o_ids[0] not in ids
+
+
+def test_elevate_empty_elevation_is_plain_search(engine):
+    got = _rows(elevate(engine, Term("class"), [], k=10))
+    want = _rows(search(engine, Term("class"), k=10))
+    assert got == want
