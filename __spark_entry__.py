@@ -1082,6 +1082,18 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest(_index_for(spark, sf_dir), "s", k=10)
 
 
+INFIX_FRAG = "a"  # AnalyzingInfixSuggester probe (mid-word fragment)
+
+
+def q_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infix suggester: dictionary terms CONTAINING the fragment, prefix
+    hits first, then cf desc / term asc (AnalyzingInfixSuggester's
+    prefix-token precedence)."""
+    from lucene_solr_spark.search.extras import suggest_infix
+
+    return suggest_infix(_index_for(spark, sf_dir), INFIX_FRAG, k=10)
+
+
 def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DirectSpellChecker: corrections for the misspelling 'sacn'
     within ONE Damerau edit (OSA == full Damerau at distance <= 1, so
@@ -1370,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_heatmap": q_geo_heatmap,
         "common_terms": q_common_terms,
         "elevation": q_elevation,
+        "suggest_infix": q_suggest_infix,
         "fts_must_not": q_fts_must_not,
         "fts_prefix_terms": q_fts_prefix_terms,
         "facet_unique": q_facet_unique,
@@ -1910,6 +1923,14 @@ WITH {_TOK_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS weight
 FROM tok WHERE term LIKE 's%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 10""",
+        "suggest_infix": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)
+SELECT term, CAST(cf AS BIGINT) AS weight
+FROM td WHERE term LIKE '%{INFIX_FRAG}%'
+ORDER BY (CASE WHEN term LIKE '{INFIX_FRAG}%' THEN 0 ELSE 1 END),
+         cf DESC, term ASC
+LIMIT 10""",
         "spellcheck": f"""
 WITH {_TOK_CTE},
 td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)

@@ -25,7 +25,7 @@ from .query import Or, Term, rewrite
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
-           "common_terms_query", "elevate"]
+           "common_terms_query", "elevate", "suggest_infix"]
 
 
 def _scored_stream(index: IndexView, query) -> DataFrame:
@@ -431,4 +431,28 @@ def elevate(
         )
         .limit(k)
         .select("doc_id", "score")
+    )
+
+
+def suggest_infix(index: IndexView, fragment: str, k: int = 10) -> DataFrame:
+    """AnalyzingInfixSuggester analog (``[8x] lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java``
+    / Solr's infix suggester): dictionary terms CONTAINING the fragment
+    anywhere — prefix hits rank ahead of mid-word hits (the suggester's
+    prefix-token boost), then weight = collection frequency desc, term
+    asc.
+
+    One dictionary scan with a pushed Contains filter (parquet row-group
+    dictionary pages prune); the infix suggester's dedicated side index
+    is unnecessary here because the term dictionary IS already a columnar
+    table — filter + TakeOrdered, no driver-side term list."""
+    frag = fragment.lower()
+    cand = index.term_dict.filter(F.col("term").contains(frag))
+    return (
+        cand.withColumn(
+            "_pfx", F.when(F.col("term").startswith(frag), 0).otherwise(1)
+        )
+        .orderBy(F.asc("_pfx"), F.desc("cf"), F.asc("term"))
+        .limit(k)
+        .select("term", F.col("cf").cast("long").alias("weight"))
     )

@@ -146,3 +146,29 @@ def test_suggest_and_spell(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_suggest_infix(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import suggest_infix
+
+    docs = spark.createDataFrame(
+        [(0, "lookup booking hook hook hook"),
+         (1, "oklahoma looking book"), (2, "none here")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        got = suggest_infix(idx, "ook", k=10).collect()
+        terms = [r["term"] for r in got]
+        # every hit contains the fragment; none missing
+        assert set(terms) == {"lookup", "booking", "hook", "looking", "book"}
+        # no prefix hits for 'ook' -> pure (cf desc, term asc): hook cf=3 first
+        assert terms[0] == "hook" and got[0]["weight"] == 3
+        # prefix precedence: 'ok' prefix hit (oklahoma) ranks before higher-cf
+        # infix hits (hook cf=3, book*...)
+        got2 = suggest_infix(idx, "ok", k=10).collect()
+        assert got2[0]["term"] == "oklahoma"
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
