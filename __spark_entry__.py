@@ -508,6 +508,27 @@ def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_interval_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntervalQuery (intervals.before): occurrences of PHRASE[0] lying
+    entirely before at least one PHRASE[1] occurrence in the same doc —
+    per doc the interval count + the first interval's start position."""
+    from lucene_solr_spark.search import intervals as iv
+
+    index = _index_for(spark, sf_dir)
+    frame = iv.intervals_frame(
+        index, iv.before(iv.term(PHRASE[0]), iv.term(PHRASE[1]))
+    )
+    return (
+        frame.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.min("start").cast("long").alias("first_start"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_fts_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean MUST_NOT: docs with 'data' but not 'table' (doc set)."""
     from lucene_solr_spark.search import Bool, Term, search
@@ -1383,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms": q_common_terms,
         "elevation": q_elevation,
         "suggest_infix": q_suggest_infix,
+        "interval_before": q_interval_before,
         "fts_must_not": q_fts_must_not,
         "fts_prefix_terms": q_fts_prefix_terms,
         "facet_unique": q_facet_unique,
@@ -2083,6 +2105,20 @@ a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
 b AS (SELECT doc_id, ord FROM tokp WHERE term IN {MP_ALTS!r})
 SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "interval_before": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(min(a.ord) - 1 AS BIGINT) AS first_start
+FROM a
+WHERE EXISTS (SELECT 1 FROM b WHERE b.doc_id = a.doc_id AND a.ord + 1 <= b.ord)
 GROUP BY a.doc_id ORDER BY a.doc_id""",
         "term_in_set": f"""
 WITH {_TOK_CTE}

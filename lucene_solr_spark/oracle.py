@@ -533,12 +533,20 @@ class MiniLucene:
         (SpanWeight#buildSimWeight) — mirror of spans.span_scores."""
         from .search.spans import span_terms
 
-        terms = span_terms(q)
+        return self._pseudo_term_scores(
+            span_terms(q), self._span_freqs(q),
+            float(getattr(q, "boost", 1.0)),
+        )
+
+    def _pseudo_term_scores(self, terms: list[str],
+                            freqs: dict[int, float],
+                            boost: float) -> dict[int, float]:
+        """Score a freq map like a pseudo-term over ``terms`` (summed
+        distinct-term idf / per-term sub-scorers) — shared by the span
+        and interval oracles, mirror of spans.frame_scores."""
         if any(t not in self.postings for t in terms):
             return {}
         _, nb_map, cache = self._term_ctx(terms[0])
-        boost = float(getattr(q, "boost", 1.0))
-        freqs = self._span_freqs(q)
         if hasattr(self.bm25, "weight_full"):
             ws = [
                 self.bm25.weight_full(
@@ -571,6 +579,71 @@ class MiniLucene:
             )
             out[d] = float(s[0])
         return out
+
+    # --- intervals ----------------------------------------------------------
+
+    def _interval_windows(self, src) -> dict[int, list[tuple[int, int, int]]]:
+        """doc -> [(start, end, width)] for an interval source — span
+        windows for the combinator core, plain-loop filters/joins for the
+        interval-specific operators (mirror of intervals.intervals_frame)."""
+        from .search.intervals import _to_span
+
+        sp = _to_span(src)
+        if sp is not None:
+            return self._span_windows(sp)
+        if src.kind in ("maxgaps", "maxwidth"):
+            base = self._interval_windows(src.a)
+            if src.kind == "maxgaps":
+                keep = lambda w: w[2] <= src.n
+            else:
+                keep = lambda w: w[1] - w[0] <= src.n
+            out = {}
+            for d, ws in base.items():
+                kept = [w for w in ws if keep(w)]
+                if kept:
+                    out[d] = kept
+            return out
+        a = self._interval_windows(src.a)
+        b = self._interval_windows(src.b)
+        if src.kind in ("containing", "not_containing"):
+            pred = lambda w, r: w[0] <= r[0] and w[1] >= r[1]
+        elif src.kind in ("contained_by", "not_contained_by"):
+            pred = lambda w, r: r[0] <= w[0] and r[1] >= w[1]
+        elif src.kind == "before":
+            pred = lambda w, r: w[1] <= r[0]
+        elif src.kind == "after":
+            pred = lambda w, r: w[0] >= r[1]
+        else:
+            raise TypeError(f"unknown interval source {src.kind}")
+        anti = src.kind.startswith("not_")
+        out = {}
+        for d, ws in a.items():
+            refs = b.get(d, [])
+            kept = [
+                w for w in ws
+                if any(pred(w, r) for r in refs) != anti
+            ]
+            if kept:
+                out[d] = kept
+        return out
+
+    def interval_search(self, src, k: int = 10,
+                        boost: float = 1.0) -> list[tuple[int, np.float32]]:
+        """Top-k IntervalQuery (mirror of intervals.interval_search)."""
+        from .search.intervals import interval_terms
+
+        freqs = {}
+        for d, ws in self._interval_windows(src).items():
+            tot = 0.0
+            for _, _, w in sorted(ws):
+                tot += 1.0 / (1.0 + w)
+            if tot > 0:
+                freqs[d] = tot
+        m = self._pseudo_term_scores(interval_terms(src), freqs, boost)
+        dead = getattr(self, "deleted", set())
+        scored = [(d, np.float32(sc)) for d, sc in m.items() if d not in dead]
+        scored.sort(key=lambda x: (-float(x[1]), x[0]))
+        return scored[:k]
 
     # --- match sets ---------------------------------------------------------
 

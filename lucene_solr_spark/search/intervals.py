@@ -1,0 +1,236 @@
+"""Interval queries — Lucene 8's intervals module (``[8x] lucene/
+sandbox→queries/src/java/org/apache/lucene/search/intervals/Intervals
+.java`` / ``IntervalQuery.java``), the position-interval successor to
+span queries.
+
+An interval source evaluates to the same distributed SPAN FRAME the
+spans module uses (``[doc_id, norm_byte, start, end, width]``); the core
+combinators delegate to ``spans_frame`` and the interval-specific
+operators are relational transforms over frames:
+
+* ``term`` / ``phrase`` / ``ordered`` / ``unordered`` / ``or_`` — the
+  span algebra (ordered/unordered run with an unbounded gap budget;
+  restrict with ``maxgaps``/``maxwidth``).
+* ``maxgaps(n, src)`` — keep intervals whose total gap count <= n
+  (Intervals.maxgaps); ``maxwidth(n, src)`` — keep intervals with
+  ``end - start <= n`` (Intervals.maxwidth).
+* ``containing`` / ``contained_by`` / ``not_containing`` /
+  ``not_contained_by`` — containment semi-/anti-joins between two
+  frames (result intervals always come from the FIRST source, matching
+  Intervals' contract).
+* ``before`` / ``after`` — source intervals that lie entirely before
+  (after) at least one reference interval.
+
+Scoring (``IntervalQuery`` → ``IntervalScorer``): freq = Σ 1/(1+width)
+per doc over the final frame, scored as a pseudo-term over the tree's
+distinct terms — the same SpanWeight discipline ``span_scores`` uses,
+shared via ``frame_scores``.  Documented deviation: Lucene's
+IntervalScorer uses 1/(1 + slopFactor) with its own minimal-interval
+algorithm; this engine reuses the span kernels' greedy/minimal-window
+enumeration (see spans.py's documented simplifications), and the
+MiniLucene oracle mirrors it exactly, so engine == oracle is testable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.core import IndexView
+from .spans import (
+    SpanNear,
+    SpanOr,
+    SpanTerm,
+    frame_scores,
+    spans_frame,
+)
+
+__all__ = [
+    "term", "phrase", "ordered", "unordered", "or_",
+    "maxgaps", "maxwidth",
+    "containing", "contained_by", "not_containing", "not_contained_by",
+    "before", "after",
+    "intervals_frame", "interval_terms", "interval_search",
+]
+
+#: unbounded gap budget for ordered/unordered combiners (restrict with
+#: maxgaps/maxwidth, exactly how Intervals.ordered composes)
+_UNBOUNDED = 1 << 30
+
+
+# --- source tree -----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _Src:
+    """Interval source node: ``kind`` + operands.  ``a``/``b`` are child
+    sources for the join-like operators; ``sources`` for combiners."""
+
+    kind: str
+    sources: tuple = ()
+    a: object = None
+    b: object = None
+    n: int = 0
+    text: str = ""
+
+
+def term(t: str) -> _Src:
+    return _Src("term", text=t)
+
+
+def phrase(*terms_: str) -> _Src:
+    return _Src("phrase", sources=tuple(terms_))
+
+
+def ordered(*sources: _Src) -> _Src:
+    return _Src("ordered", sources=tuple(sources))
+
+
+def unordered(*sources: _Src) -> _Src:
+    return _Src("unordered", sources=tuple(sources))
+
+
+def or_(*sources: _Src) -> _Src:
+    return _Src("or", sources=tuple(sources))
+
+
+def maxgaps(n: int, src: _Src) -> _Src:
+    return _Src("maxgaps", a=src, n=int(n))
+
+
+def maxwidth(n: int, src: _Src) -> _Src:
+    return _Src("maxwidth", a=src, n=int(n))
+
+
+def containing(big: _Src, little: _Src) -> _Src:
+    return _Src("containing", a=big, b=little)
+
+
+def contained_by(little: _Src, big: _Src) -> _Src:
+    return _Src("contained_by", a=little, b=big)
+
+
+def not_containing(minuend: _Src, subtrahend: _Src) -> _Src:
+    return _Src("not_containing", a=minuend, b=subtrahend)
+
+
+def not_contained_by(minuend: _Src, subtrahend: _Src) -> _Src:
+    return _Src("not_contained_by", a=minuend, b=subtrahend)
+
+
+def before(src: _Src, reference: _Src) -> _Src:
+    return _Src("before", a=src, b=reference)
+
+
+def after(src: _Src, reference: _Src) -> _Src:
+    return _Src("after", a=src, b=reference)
+
+
+# --- evaluation ------------------------------------------------------------
+
+
+def _to_span(src: _Src):
+    """Span-tree equivalent for the combinator core (None when the node
+    needs frame-level evaluation)."""
+    if src.kind == "term":
+        return SpanTerm(src.text)
+    if src.kind == "phrase":
+        return SpanNear(*[SpanTerm(t) for t in src.sources], slop=0,
+                        in_order=True)
+    if src.kind == "ordered":
+        kids = [_to_span(s) for s in src.sources]
+        if any(k is None for k in kids):
+            return None
+        return SpanNear(*kids, slop=_UNBOUNDED, in_order=True)
+    if src.kind == "unordered":
+        kids = [_to_span(s) for s in src.sources]
+        if any(k is None for k in kids):
+            return None
+        return SpanNear(*kids, slop=_UNBOUNDED, in_order=False)
+    if src.kind == "or":
+        kids = [_to_span(s) for s in src.sources]
+        if any(k is None for k in kids):
+            return None
+        return SpanOr(*kids)
+    return None
+
+
+def interval_terms(src: _Src) -> list[str]:
+    """Distinct terms of an interval tree, first-seen order (the
+    IntervalQuery weight's extracted term set)."""
+    out: list[str] = []
+
+    def walk(s: _Src):
+        if s.kind == "term":
+            if s.text not in out:
+                out.append(s.text)
+        elif s.kind == "phrase":
+            for t in s.sources:
+                if t not in out:
+                    out.append(t)
+        elif s.kind in ("ordered", "unordered", "or"):
+            for c in s.sources:
+                walk(c)
+        else:
+            walk(s.a)
+            if s.b is not None:
+                walk(s.b)
+
+    walk(src)
+    return out
+
+
+def _join_frames(a: DataFrame, b: DataFrame, cond_builder, anti: bool) -> DataFrame:
+    bb = b.select(
+        F.col("doc_id").alias("_rd"), F.col("start").alias("_rs"),
+        F.col("end").alias("_re"),
+    )
+    cond = (a["doc_id"] == bb["_rd"]) & cond_builder(a, bb)
+    return a.join(bb, cond, "left_anti" if anti else "left_semi")
+
+
+def intervals_frame(index: IndexView, src: _Src) -> DataFrame:
+    """Evaluate an interval source to its span frame."""
+    sp = _to_span(src)
+    if sp is not None:
+        return spans_frame(index, sp)
+    if src.kind == "maxgaps":
+        return intervals_frame(index, src.a).filter(F.col("width") <= src.n)
+    if src.kind == "maxwidth":
+        return intervals_frame(index, src.a).filter(
+            F.col("end") - F.col("start") <= src.n
+        )
+    if src.kind not in ("containing", "not_containing", "contained_by",
+                        "not_contained_by", "before", "after"):
+        raise TypeError(f"unknown interval source {src.kind}")
+    a = intervals_frame(index, src.a)
+    b = intervals_frame(index, src.b)
+    if src.kind in ("containing", "not_containing"):
+        cb = lambda x, r: (x["start"] <= r["_rs"]) & (x["end"] >= r["_re"])
+        return _join_frames(a, b, cb, anti=src.kind == "not_containing")
+    if src.kind in ("contained_by", "not_contained_by"):
+        cb = lambda x, r: (r["_rs"] <= x["start"]) & (r["_re"] >= x["end"])
+        return _join_frames(a, b, cb, anti=src.kind == "not_contained_by")
+    if src.kind == "before":
+        return _join_frames(a, b, lambda x, r: x["end"] <= r["_rs"], anti=False)
+    if src.kind == "after":
+        return _join_frames(a, b, lambda x, r: x["start"] >= r["_re"], anti=False)
+    raise TypeError(f"unknown interval source {src.kind}")
+
+
+def interval_search(index: IndexView, src: _Src, k: int = 10,
+                    boost: float = 1.0) -> DataFrame:
+    """Top-k IntervalQuery → [doc_id, score:float], (score desc, doc asc):
+    freq = Σ 1/(1+width) over the doc's final intervals, pseudo-term
+    weight over the tree's distinct terms."""
+    sc = frame_scores(index, intervals_frame(index, src),
+                      interval_terms(src), boost)
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return (
+        sc.withColumn("score", F.col("score").cast("float"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

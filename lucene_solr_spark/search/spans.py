@@ -53,6 +53,7 @@ __all__ = [
     "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanNot",
     "SpanContaining", "SpanWithin",
     "span_terms", "spans_frame", "span_freqs", "span_scores", "span_search",
+    "frame_freqs", "frame_scores",
     "ordered_near_batch",
 ]
 
@@ -448,7 +449,12 @@ def span_freqs(index: IndexView, q) -> DataFrame:
     the doc's spans, summed LEFT-TO-RIGHT in (start, end, width) order
     (SpanScorer accumulates while iterating spans in position order; the
     deterministic order keeps engine == oracle bit-identical)."""
-    frame = spans_frame(index, q)
+    return frame_freqs(index, spans_frame(index, q))
+
+
+def frame_freqs(index: IndexView, frame: DataFrame) -> DataFrame:
+    """span_freqs on an ALREADY-BUILT span frame (shared with the
+    intervals layer, which filters/joins frames before scoring)."""
     packed = frame.groupBy("doc_id").agg(
         F.first("norm_byte").alias("norm_byte"),
         F.collect_list(F.struct("start", "end", "width")).alias("_w"),
@@ -493,12 +499,20 @@ def span_scores(index: IndexView, q) -> DataFrame:
     pseudo-term: tf = sloppyFreq, weight built from the DISTINCT term
     set's summed idf (SpanWeight#buildSimWeight), same similarity
     branching as phrase scoring."""
-    terms = span_terms(q)
+    return frame_scores(
+        index, spans_frame(index, q), span_terms(q),
+        float(getattr(q, "boost", 1.0)),
+    )
+
+
+def frame_scores(index: IndexView, frame: DataFrame, terms: list[str],
+                 boost: float = 1.0) -> DataFrame:
+    """span_scores on an already-built frame with an explicit pseudo-term
+    weight term set (shared with the intervals layer)."""
     full = _leaf_stats_full(index, terms)
     if len(full) < len(terms):
         return index.spark.createDataFrame([], "doc_id long, score double")
     sim = index.bm25
-    boost = float(getattr(q, "boost", 1.0))
     cache = index.norm_inverse_cache(terms[0])
     score_fn = sim.score
     if hasattr(sim, "weight_full"):
@@ -530,7 +544,7 @@ def span_scores(index: IndexView, q) -> DataFrame:
             )
             return pd.Series(s.astype(np.float64))
 
-    fq = span_freqs(index, q)
+    fq = frame_freqs(index, frame)
     return fq.select(
         "doc_id", _score(F.col("freq"), F.col("norm_byte")).alias("score")
     )

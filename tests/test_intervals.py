@@ -1,0 +1,114 @@
+"""Interval queries vs the oracle: term/phrase/ordered/unordered/or
+combinators, maxgaps/maxwidth filters, containment joins
+(containing/contained_by and their negations), before/after — every
+scored query rank+score f32-identical; frames checked window-by-window.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import intervals as iv
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=31337).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+SOURCES = [
+    iv.term("def"),
+    iv.phrase("def", "class"),
+    iv.maxgaps(2, iv.ordered(iv.term("def"), iv.term("class"))),
+    iv.maxgaps(4, iv.ordered(iv.term("def"), iv.term("class"),
+                             iv.term("return"))),
+    iv.maxwidth(6, iv.ordered(iv.term("def"), iv.term("return"))),
+    iv.maxgaps(3, iv.unordered(iv.term("def"), iv.term("class"))),
+    iv.or_(iv.phrase("def", "class"), iv.phrase("import", "return")),
+    # nested: ordered over an or
+    iv.maxgaps(5, iv.ordered(iv.or_(iv.term("def"), iv.term("class")),
+                             iv.term("return"))),
+    iv.containing(
+        iv.maxwidth(8, iv.ordered(iv.term("def"), iv.term("return"))),
+        iv.term("class"),
+    ),
+    iv.contained_by(
+        iv.term("class"),
+        iv.maxwidth(8, iv.ordered(iv.term("def"), iv.term("return"))),
+    ),
+    iv.not_containing(
+        iv.maxwidth(8, iv.ordered(iv.term("def"), iv.term("return"))),
+        iv.term("class"),
+    ),
+    iv.not_contained_by(
+        iv.term("class"),
+        iv.maxwidth(8, iv.ordered(iv.term("def"), iv.term("return"))),
+    ),
+    iv.before(iv.term("def"), iv.term("return")),
+    iv.after(iv.term("return"), iv.term("def")),
+]
+
+
+def _src_id(s):
+    return repr(s)[:70]
+
+
+@pytest.mark.parametrize("src", SOURCES, ids=_src_id)
+def test_interval_frames_match_oracle(engine, oracle, src):
+    rows = iv.intervals_frame(engine, src).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(int(r["doc_id"]), []).append(
+            (int(r["start"]), int(r["end"]), int(r["width"]))
+        )
+    want = oracle._interval_windows(src)
+    assert {d: sorted(ws) for d, ws in got.items()} \
+        == {d: sorted(ws) for d, ws in want.items()}
+
+
+@pytest.mark.parametrize("src", SOURCES[:8], ids=_src_id)
+def test_interval_rank_score_identity(engine, oracle, src):
+    rows = iv.interval_search(engine, src, k=12).collect()
+    got = [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+    want = oracle.interval_search(src, k=12)
+    assert got == want
+
+
+def test_interval_boost(engine, oracle):
+    src = iv.phrase("def", "class")
+    got = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in iv.interval_search(engine, src, k=8, boost=2.5).collect()
+    ]
+    assert got == oracle.interval_search(src, k=8, boost=2.5)
+
+
+def test_interval_terms_extraction():
+    src = iv.maxgaps(2, iv.ordered(iv.or_(iv.term("a"), iv.term("b")),
+                                   iv.phrase("b", "c")))
+    assert iv.interval_terms(src) == ["a", "b", "c"]
+
+
+def test_unknown_kind_raises(engine):
+    with pytest.raises(TypeError):
+        iv.intervals_frame(engine, iv._Src("bogus", a=iv.term("a")))
