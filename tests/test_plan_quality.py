@@ -152,3 +152,67 @@ def test_nested_bool_shares_one_decode_pass(persisted):
     q = parse_query("(def AND class) OR (def AND return)")
     plan = _plan(search(persisted, q, k=10))
     assert plan.count("MapInPandas") == 1, plan.count("MapInPandas")
+
+
+def test_term_in_set_pushes_in_filter(persisted):
+    """TermInSetQuery's block filter must reach the parquet scan as an In
+    predicate (row-group dictionary/stats pruning) and decode doc ids
+    only — never a driver-side term list."""
+    from lucene_solr_spark.search.executor import _multiterm_doc_ids
+    from lucene_solr_spark.search.query import TermInSet
+
+    df = _multiterm_doc_ids(persisted, TermInSet("def", "class", "return"))
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "In(term, [class,def,return])" in pushed or "In(term" in pushed, pushed
+    sch = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "positions_vb" not in sch, "doc-id set must not read positions"
+
+
+def test_multiphrase_preintersects_candidates(persisted, monkeypatch):
+    """MultiPhrase rides the phrase plan: clause-mapping broadcast + the
+    AND pre-intersection semi-join below the (doc, p) aggregate."""
+    from lucene_solr_spark.search import executor
+    from lucene_solr_spark.search.executor import _phrase_tf
+    from lucene_solr_spark.search.query import MultiPhrase
+
+    monkeypatch.setattr(executor, "_PHRASE_PREINTERSECT_MIN_BLOCKS", 0)
+    plan = _plan(_phrase_tf(persisted, MultiPhrase(("def",), ("class", "return"))))
+    assert "LeftSemi" in plan, "candidate pre-intersection missing"
+    assert plan.index("HashAggregate") < plan.index("LeftSemi")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
+        "clause mapping must broadcast"
+
+
+def test_span_near_packs_candidates_before_kernel(persisted):
+    """SpanNear unions the clause frames, keeps only docs holding EVERY
+    clause (countDistinct gate), and runs ONE batched kernel — no
+    per-doc grouping operator in the plan."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanTerm, spans_frame
+
+    plan = _plan(spans_frame(persisted, SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3)))
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Union" in plan  # tagged clause frames union before the pack
+
+
+def test_bbox_predicates_reach_scan(spark, tmp_path_factory):
+    """bbox() compiles to plain range predicates that push to the parquet
+    scan (the box phase of box-then-haversine)."""
+    import pandas as pd
+
+    from lucene_solr_spark.functions import bbox
+
+    path = str(tmp_path_factory.mktemp("geo") / "pts")
+    pdf = pd.DataFrame({"lat": [0.0, 10.0, 50.0], "lon": [0.0, 20.0, 60.0]})
+    spark.createDataFrame(pdf).write.parquet(path)
+    df = spark.read.parquet(path)
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(df.filter(bbox(F.col("lat"), F.col("lon"), 10.0, 20.0, 500.0)))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(lat" in pushed and "LessThanOrEqual(lat" in pushed, pushed
+    assert "GreaterThanOrEqual(lon" in pushed and "LessThanOrEqual(lon" in pushed, pushed
