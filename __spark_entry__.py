@@ -349,8 +349,9 @@ SPAN_SLOP = 2  # ordered SpanNear gap budget for the span_near entry
 
 
 def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered SpanNear (SpanNearQuery, in_order=true): greedy-chained
-    spans of 'data'..'table' within SPAN_SLOP inter-span gaps.  Per doc:
+    """Ordered SpanNear (SpanNearQuery, in_order=true): minimal-interval
+    spans of 'data'..'table' within SPAN_SLOP inter-span gaps (one match
+    per distinct minimal end, shrunk to the latest start).  Per doc:
     span count + the slop-factor sum scaled by 6 = lcm(1..3) so
     Σ 6/(1+width) is an exact int64 (order-free, hash-stable)."""
     from lucene_solr_spark.search.spans import SpanNear, SpanTerm, spans_frame
@@ -2085,14 +2086,19 @@ WITH tokp AS (
 ),
 a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
 b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}'),
-chain AS (
+greedy AS (
   SELECT a.doc_id, a.ord AS a_ord, min(b.ord) AS b_ord
   FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord >= a.ord + 1
   GROUP BY a.doc_id, a.ord
+),
+minimal AS (  -- minimal intervals: one match per distinct final end,
+              -- shrunk to the latest feasible first-clause span
+  SELECT doc_id, max(a_ord) AS a_ord, b_ord
+  FROM greedy GROUP BY doc_id, b_ord
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(CAST(floor(6.0 / (b_ord - a_ord)) AS BIGINT)) AS BIGINT) AS score6
-FROM chain WHERE b_ord - a_ord - 1 <= {SPAN_SLOP}
+FROM minimal WHERE b_ord - a_ord - 1 <= {SPAN_SLOP}
 GROUP BY doc_id ORDER BY doc_id""",
         "multi_phrase": f"""
 WITH tokp AS (

@@ -82,30 +82,66 @@ def levenshtein(a: str, b: str) -> int:
 
 def _ordered_chain(per_clause: list[list[tuple[int, int, int]]],
                    slop: int) -> list[tuple[int, int, int]]:
-    """Greedy ordered SpanNear over one doc's per-clause span lists: for
-    each clause-0 span (in (start, end) order) each later clause takes its
-    FIRST span starting at-or-after the previous clause's end; width = Σ
-    inter-span gaps; hit iff width <= slop.  Child widths are discarded —
-    only start/end chain (matches spans.ordered_near_batch)."""
+    """Minimal-interval ordered near over one doc's per-clause span lists
+    (Lucene's OrderedIntervalsSource; == NearSpansOrdered whenever each
+    clause's (start, end)-sorted ends are nondecreasing — term/phrase/
+    nested-near clauses).  Mirror of spans.ordered_near_batch:
+
+    1. forward, per clause-0 anchor: chain left-to-right taking the
+       minimal achievable end among spans with start >= cur;
+    2. dedup to the distinct final ends;
+    3. backward from each final end: take the latest (max start, then
+       max end) span with end <= the next clause's start; width = Σ
+       inter-span gaps of that shrunk chain;
+    4. antichain: drop a final end whose shrunk start does not strictly
+       increase (its interval contains the previous one).
+
+    Hit iff width <= slop.  Child widths are discarded — only start/end
+    chain."""
     import bisect
 
-    first = sorted(per_clause[0], key=lambda w: (w[0], w[1]))
-    rest = []
-    for spans in per_clause[1:]:
-        ss = sorted(spans, key=lambda w: (w[0], w[1]))
-        rest.append(([w[0] for w in ss], ss))
-    out = []
-    for s0, e0, _ in first:
-        cur, width, ok = e0, 0, True
-        for starts, ss in rest:
+    lists = []
+    for spans in per_clause:
+        ss = sorted({(w[0], w[1]) for w in spans})
+        starts = [w[0] for w in ss]
+        ends = [w[1] for w in ss]
+        suffmin = ends[:]
+        for i in range(len(suffmin) - 2, -1, -1):
+            suffmin[i] = min(suffmin[i], suffmin[i + 1])
+        lists.append((starts, ends, suffmin, ss))
+    finals: list[int] = []
+    for s0, e0 in lists[0][3]:
+        cur, ok = e0, True
+        for starts, ends, suffmin, ss in lists[1:]:
             i = bisect.bisect_left(starts, cur)
             if i >= len(starts):
                 ok = False
                 break
-            width += starts[i] - cur
-            cur = ss[i][1]
-        if ok and width <= slop:
-            out.append((s0, cur, width))
+            cur = suffmin[i]
+        if ok:
+            finals.append(cur)
+    out = []
+    prev_emitted_start = None
+    for fin in sorted(set(finals)):
+        thr, width, prev_start, ok = fin, 0, None, True
+        for starts, ends, suffmin, ss in reversed(lists):
+            best = None
+            for s, e in ss:
+                if e <= thr and (best is None or (s, e) > best):
+                    best = (s, e)
+            if best is None:
+                ok = False
+                break
+            if prev_start is not None:
+                width += prev_start - best[1]
+            prev_start, thr = best[0], best[0]
+        if not ok:
+            continue
+        if prev_emitted_start is not None and prev_start <= prev_emitted_start:
+            continue  # contained in the previous minimal interval
+        prev_emitted_start = prev_start
+        if width <= slop:
+            out.append((prev_start, fin, width))
     return out
 
 

@@ -24,11 +24,11 @@ operators are relational transforms over frames:
 Scoring (``IntervalQuery`` → ``IntervalScorer``): freq = Σ 1/(1+width)
 per doc over the final frame, scored as a pseudo-term over the tree's
 distinct terms — the same SpanWeight discipline ``span_scores`` uses,
-shared via ``frame_scores``.  Documented deviation: Lucene's
-IntervalScorer uses 1/(1 + slopFactor) with its own minimal-interval
-algorithm; this engine reuses the span kernels' greedy/minimal-window
-enumeration (see spans.py's documented simplifications), and the
-MiniLucene oracle mirrors it exactly, so engine == oracle is testable.
+shared via ``frame_scores``.  ``ordered`` runs the true minimal-interval
+algorithm (OrderedIntervalsSource — see spans.ordered_near_batch);
+``unordered`` emits NearSpansUnordered's per-advance windows, a superset
+of the minimal antichain (documented deviation).  The MiniLucene oracle
+mirrors both exactly, so engine == oracle is testable.
 """
 
 from __future__ import annotations

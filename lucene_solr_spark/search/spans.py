@@ -15,17 +15,22 @@ the sum over the tree's DISTINCT terms (SpanWeight#buildSimWeight
 collects extracted terms as a set — unlike PhraseWeight, repeats count
 once).
 
-Documented simplifications vs Lucene (mirrored exactly by the
-MiniLucene oracle, so engine == oracle is testable):
+Documented semantics vs Lucene (mirrored exactly by the MiniLucene
+oracle, so engine == oracle is testable):
 
-* Ordered SpanNear enumerates one candidate match per first-clause span
-  by GREEDY chaining — for each clause-0 span, each later clause takes
-  its first span starting at-or-after the previous clause's end (spans
-  never overlap, Lucene's ordered contract), accumulating
-  ``width = Σ inter-span gaps``; the match hits iff ``width <= slop``.
-  Lucene's NearSpansOrdered additionally shrinks non-minimal interior
-  choices; both agree whenever clause occurrences don't interleave
-  repeatedly inside one window.
+* Ordered SpanNear enumerates MINIMAL intervals (the intervals module's
+  OrderedIntervalsSource semantics): a forward minimal-end chain per
+  clause-0 anchor, dedup to distinct final ends, then a backward
+  latest-start shrink — the vectorized equivalent of NearSpansOrdered's
+  stretchToOrder / shrinkToAfterShortestMatch loop, with which it is
+  IDENTICAL whenever each clause's (start, end)-sorted spans have
+  nondecreasing ends (term/phrase/nested-near clauses — property-pinned
+  in tests against a sequential NearSpansOrdered reference).  For
+  interleaved variable-length clauses (SpanOr of phrases) the minimal
+  antichain is emitted, matching the intervals module rather than the
+  legacy spans quirk of advancing past the first longer span.
+  ``width = Σ inter-span gaps`` of the shrunk chain; hit iff
+  ``width <= slop``.
 * Unordered SpanNear (leaf terms only) reuses the sloppy-phrase sweep
   with ``width_offset = n_clauses - 1``: a minimal covering window's
   width is ``maxEnd - minStart - Σ span lengths`` (NearSpansUnordered's
@@ -243,46 +248,110 @@ def ordered_near_batch(
     n_clauses: int,
     slop: int,
 ):
-    """Greedy ordered-near over flat per-(doc, clause) span arrays.
+    """Lucene-exact ordered near over flat per-(doc, clause) span arrays
+    — MINIMAL-INTERVAL semantics (``[8x] lucene/sandbox→queries/.../
+    intervals/OrderedIntervalsSource.java``; identical to spans'
+    NearSpansOrdered stretch/shrink enumeration whenever each clause's
+    (start, end)-sorted spans have nondecreasing ends — always true for
+    term/phrase/nested-near clauses; property-pinned in tests).
 
-    For each clause-0 span (in (start, end) order) chain each later
-    clause to its first span with ``start >= previous end`` in the same
-    doc; ``width`` accumulates the inter-span gaps.  Returns the hit
-    arrays ``(doc, start, end, width)`` — one row per match with
-    ``width <= slop``, emitted in clause-0 span order (left-to-right).
-    All steps are lexsort/searchsorted/gather — no per-doc Python."""
+    Three fully-vectorized passes (lexsort / searchsorted / prefix-suffix
+    scans — no per-doc Python):
+
+    1. FORWARD: for each clause-0 span (anchor) chain left-to-right,
+       each step taking the minimal achievable end among spans with
+       ``start >= cur`` (suffix-min of encoded ends over the
+       (start, end)-sorted clause) — the minimal final end e(anchor).
+    2. DEDUP: e(anchor) is nondecreasing, so the distinct final ends are
+       exactly the minimal-interval right edges (one emitted match per
+       distinct end — the NearSpansOrdered advance-past-shrunk-anchor
+       behavior).
+    3. BACKWARD (shrinkToAfterShortestMatch): from each final end walk
+       clauses right-to-left taking the latest (max start, then max end)
+       span with ``end <= next clause's start`` (prefix-max over the
+       end-sorted clause); ``width`` = Σ inter-span gaps of that shrunk
+       chain.  Matches hit iff ``width <= slop``.
+    """
+    z = np.zeros(0, dtype=np.int64)
     if starts.size == 0:
-        z = np.zeros(0, dtype=np.int64)
         return z, z, z, z
     big = int(ends.max()) + 2
+    n_grp = int(docs.max()) + 1
+    # key = code_s * big + span_length must fit int64
+    if n_grp * big * big >= (1 << 62):
+        raise ValueError("ordered_near_batch: position/doc range overflow")
     code_s = docs * big + starts
     code_e = docs * big + ends
-    per_clause = []
+    fwd = []  # per clause: (cs sorted by (s,e), suffix-min of ce)
+    bwd = []  # per clause: (ce sorted by (e,key), prefix-max of key)
     for c in range(n_clauses):
         m = clauses == c
         if not m.any():
-            z = np.zeros(0, dtype=np.int64)
             return z, z, z, z
-        cs, ce, cd = code_s[m], code_e[m], docs[m]
+        cs, ce = code_s[m], code_e[m]
         o = np.lexsort((ce, cs))
-        per_clause.append((cs[o], ce[o], cd[o]))
-    cs0, ce0, cd0 = per_clause[0]
-    cur = ce0.copy()
-    width = np.zeros(cur.size, dtype=np.int64)
+        s_f, e_f = cs[o], ce[o]
+        suffmin = np.minimum.accumulate(e_f[::-1])[::-1]
+        fwd.append((s_f, e_f, suffmin))
+        key = cs * big + (ce - cs)  # (start, end) lex order as one int
+        o2 = np.lexsort((key, ce))
+        e_b, k_b = ce[o2], key[o2]
+        prefmax = np.maximum.accumulate(k_b)
+        bwd.append((e_b, prefmax))
+    # ---- forward: minimal final end per anchor ---------------------------
+    cs0, ce0, _ = fwd[0]
+    anchor_doc = cs0 // big
+    cur = ce0.copy()  # anchor's own end starts the chain
     valid = np.ones(cur.size, dtype=bool)
     for c in range(1, n_clauses):
-        cs_c, ce_c, cd_c = per_clause[c]
-        i = np.searchsorted(cs_c, cur, side="left")
-        ok = i < cs_c.size
-        i = np.minimum(i, cs_c.size - 1)
-        ok &= cd_c[i] == cd0
-        gap = cs_c[i] - cur
-        width += np.where(ok, gap, 0)
-        cur = np.where(ok, ce_c[i], cur)
+        s_f, _, suffmin = fwd[c]
+        i = np.searchsorted(s_f, cur, side="left")
+        ok = i < s_f.size
+        i = np.minimum(i, s_f.size - 1)
+        nxt = suffmin[i]
+        ok &= (nxt // big) == anchor_doc
+        cur = np.where(ok, nxt, cur)
         valid &= ok
-    hit = valid & (width <= slop)
-    d = cd0[hit]
-    return d, cs0[hit] - d * big, cur[hit] - d * big, width[hit]
+    finals = np.unique(cur[valid])  # encoded ends; doc in high bits
+    if finals.size == 0:
+        return z, z, z, z
+    # ---- backward: latest-start shrunk chain per distinct final end ------
+    fin_doc = finals // big
+    thr = finals.copy()  # condition: span end <= thr (same doc)
+    width = np.zeros(finals.size, dtype=np.int64)
+    prev_start = np.zeros(finals.size, dtype=np.int64)  # pos-space
+    ok = np.ones(finals.size, dtype=bool)
+    for c in range(n_clauses - 1, -1, -1):
+        e_b, prefmax = bwd[c]
+        j = np.searchsorted(e_b, thr, side="right") - 1
+        good = j >= 0
+        j = np.maximum(j, 0)
+        bk = prefmax[j]
+        b_code_s = bk // big
+        b_len = bk % big
+        good &= (b_code_s // big) == fin_doc
+        b_start = b_code_s % big
+        b_end = b_start + b_len
+        if c < n_clauses - 1:
+            width += np.where(good, prev_start - b_end, 0)
+        prev_start = np.where(good, b_start, prev_start)
+        thr = np.where(good, fin_doc * big + b_start, thr)
+        ok &= good
+    # ---- antichain: two final ends shrinking to the SAME start mean the
+    # larger interval contains the smaller — drop it (minimal contract).
+    # finals are sorted (doc in high bits), prev_start nondecreasing per
+    # doc, so keep only strict start increases within a doc.
+    minimal = np.ones(finals.size, dtype=bool)
+    if finals.size > 1:
+        same_doc = fin_doc[1:] == fin_doc[:-1]
+        minimal[1:] = ~(same_doc & (prev_start[1:] <= prev_start[:-1]) & ok[:-1])
+    hit = ok & minimal & (width <= slop)
+    return (
+        fin_doc[hit],
+        prev_start[hit],
+        finals[hit] - fin_doc[hit] * big,
+        width[hit],
+    )
 
 
 def _pack_children(index: IndexView, children: list[DataFrame]) -> DataFrame:

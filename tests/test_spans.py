@@ -176,6 +176,81 @@ def test_ordered_near_batch_matches_reference(seed, n_clauses):
     assert got == sorted(want), (seed, n_clauses, slop)
 
 
+def _near_spans_ordered_ref(per_clause, slop):
+    """Faithful sequential NearSpansOrdered enumeration (Lucene 8's
+    stretchToOrder + shrinkToAfterShortestMatch loop over persistent
+    per-clause iterators): the ground truth the vectorized
+    minimal-interval kernel must equal whenever each clause's
+    (start, end)-sorted ends are nondecreasing (always for unit spans)."""
+    lists = [sorted(sp) for sp in per_clause]
+    n = len(lists)
+    if any(not l for l in lists):
+        return []
+    idx = [0] * n
+    out = []
+    while idx[0] < len(lists[0]):
+        ok = True
+        for i in range(1, n):  # stretchToOrder
+            prev_end = lists[i - 1][idx[i - 1]][1]
+            while idx[i] < len(lists[i]) and lists[i][idx[i]][0] < prev_end:
+                idx[i] += 1
+            if idx[i] >= len(lists[i]):
+                ok = False
+                break
+        if not ok:
+            break
+        # shrinkToAfterShortestMatch
+        match_end = lists[n - 1][idx[n - 1]][1]
+        last_start = lists[n - 1][idx[n - 1]][0]
+        match_slop = 0
+        for i in range(n - 2, -1, -1):
+            j = idx[i]
+            while j + 1 < len(lists[i]) and lists[i][j + 1][1] <= last_start:
+                j += 1
+            idx[i] = j
+            s_i, e_i = lists[i][j]
+            if last_start > e_i:
+                match_slop += last_start - e_i
+            last_start = s_i
+        if match_slop <= slop:
+            out.append((last_start, match_end, match_slop))
+        idx[0] += 1
+    return out
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+@pytest.mark.parametrize("n_clauses", [2, 3, 4])
+def test_ordered_near_matches_lucene_loop_on_unit_spans(seed, n_clauses):
+    """Kernel == the sequential NearSpansOrdered loop on unit-length
+    spans (term leaves) — the Lucene-parity pin for SpanNearQuery."""
+    rng = np.random.default_rng(1000 + seed)
+    st, en, cl, dc = [], [], [], []
+    n_docs = 30
+    for d in range(n_docs):
+        for c in range(n_clauses):
+            k = int(rng.integers(1, 8))
+            pos = np.sort(rng.choice(70, size=k, replace=False))
+            st.extend(int(p) for p in pos)
+            en.extend(int(p) + 1 for p in pos)
+            cl.extend([c] * k)
+            dc.extend([d] * k)
+    st, en = np.asarray(st, dtype=np.int64), np.asarray(en, dtype=np.int64)
+    cl, dc = np.asarray(cl, dtype=np.int64), np.asarray(dc, dtype=np.int64)
+    slop = int(rng.integers(0, 15))
+    d, s, e, w = ordered_near_batch(st, en, cl, dc, n_clauses, slop)
+    got = sorted(zip(d.tolist(), s.tolist(), e.tolist(), w.tolist()))
+    want = []
+    for doc in range(n_docs):
+        m = dc == doc
+        per_clause = [
+            list(zip(st[m & (cl == c)].tolist(), en[m & (cl == c)].tolist()))
+            for c in range(n_clauses)
+        ]
+        for (ws, we, ww) in _near_spans_ordered_ref(per_clause, slop):
+            want.append((doc, ws, we, ww))
+    assert got == sorted(want), (seed, n_clauses, slop)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 @pytest.mark.parametrize("n_clauses", [2, 3])
 def test_sloppy_windows_match_reference(seed, n_clauses):
