@@ -169,6 +169,33 @@ def _unordered_windows(lists: list[np.ndarray], slop: int,
     return out
 
 
+def _unordered_windows_spans(per_clause: list[list[tuple[int, int]]],
+                             slop: int) -> list[tuple[int, int, int]]:
+    """NearSpansUnordered reference over one doc's per-clause (start, end)
+    span lists: at each step the window spans the current heads,
+    ``width = maxEnd - minStart - Σ head lengths`` (clamped at 0); the
+    minimum (start, end, clause) head advances; stop when any clause
+    exhausts.  Mirror of spans.unordered_near_spans_batch."""
+    n = len(per_clause)
+    lists = [sorted(sp) for sp in per_clause]
+    if n == 0 or any(not l for l in lists):
+        return []
+    idx = [0] * n
+    out = []
+    while True:
+        heads = [lists[i][idx[i]] for i in range(n)]
+        lo_i = min(range(n), key=lambda i: (heads[i][0], heads[i][1], i))
+        max_end = max(e for _, e in heads)
+        total_len = sum(e - s for s, e in heads)
+        width = max(max_end - heads[lo_i][0] - total_len, 0)
+        if width <= slop:
+            out.append((heads[lo_i][0], max_end, width))
+        idx[lo_i] += 1
+        if idx[lo_i] >= len(lists[lo_i]):
+            break
+    return out
+
+
 class MiniLucene:
     """In-memory inverted index + BM25 searcher over (doc_id, text) pairs."""
 
@@ -463,9 +490,10 @@ class MiniLucene:
     def _span_windows(self, q) -> dict[int, list[tuple[int, int, int]]]:
         """doc -> [(start, end, width)] — per-doc reference evaluation of a
         span tree with plain loops, mirroring search/spans.py semantics:
-        greedy left-to-right chaining for ordered SpanNear, the
-        non-retreating minimal-window sweep (gap width) for unordered,
-        union / end-filter / overlap-exclusion for Or / First / Not."""
+        minimal-interval chaining (forward minimal-end / backward
+        latest-start) for ordered SpanNear, the span-queue sweep over
+        arbitrary-width sub-spans for unordered, union / end-filter /
+        overlap-exclusion for Or / First / Not."""
         from .search.spans import (SpanContaining, SpanFirst, SpanNear,
                                    SpanNot, SpanOr, SpanTerm, SpanWithin)
 
@@ -475,10 +503,6 @@ class MiniLucene:
                 for d, ps in self.positions.get(q.term, {}).items()
             }
         if isinstance(q, SpanNear):
-            if not q.in_order and not all(
-                isinstance(c, SpanTerm) for c in q.clauses
-            ):
-                raise TypeError("unordered SpanNear supports SpanTerm clauses only")
             kids = [self._span_windows(c) for c in q.clauses]
             if len(kids) == 1:
                 return kids[0]
@@ -490,11 +514,9 @@ class MiniLucene:
                 if q.in_order:
                     wins = _ordered_chain([k[d] for k in kids], q.slop)
                 else:
-                    lists = [
-                        np.sort(np.asarray([w[0] for w in k[d]], dtype=np.int64))
-                        for k in kids
-                    ]
-                    wins = _unordered_windows(lists, q.slop, len(kids) - 1)
+                    wins = _unordered_windows_spans(
+                        [[(w[0], w[1]) for w in k[d]] for k in kids], q.slop
+                    )
                 if wins:
                     out[d] = wins
             return out

@@ -31,10 +31,14 @@ oracle, so engine == oracle is testable):
   legacy spans quirk of advancing past the first longer span.
   ``width = Σ inter-span gaps`` of the shrunk chain; hit iff
   ``width <= slop``.
-* Unordered SpanNear (leaf terms only) reuses the sloppy-phrase sweep
-  with ``width_offset = n_clauses - 1``: a minimal covering window's
-  width is ``maxEnd - minStart - Σ span lengths`` (NearSpansUnordered's
-  definition restricted to unit-length sub-spans).
+* Unordered SpanNear accepts ARBITRARY sub-spans (terms, nested nears,
+  SpanOr of phrases): the vectorized sweep advances the minimum
+  (start, end) head exactly like NearSpansUnordered's span-position
+  queue, emitting a window per advance with
+  ``width = maxEnd - minStart - Σ current span lengths`` (clamped at 0)
+  — Lucene's matchWidth, used here both for the slop test and the
+  slop-factor (documented deviation: Lucene scores unordered spans by
+  the start spread instead of the gap count).
 * Nested node boosts are ignored; only the TOP node's boost scales the
   weight (SpanWeight is built once at the tree root).
 """
@@ -52,14 +56,13 @@ from pyspark.sql import functions as F
 
 from ..index.core import IndexView
 from .executor import _leaf_stats_full, occurrences_table
-from .sloppy import sloppy_freq_batch
 
 __all__ = [
     "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanNot",
     "SpanContaining", "SpanWithin",
     "span_terms", "spans_frame", "span_freqs", "span_scores", "span_search",
     "frame_freqs", "frame_scores",
-    "ordered_near_batch",
+    "ordered_near_batch", "unordered_near_spans_batch",
 ]
 
 
@@ -354,6 +357,62 @@ def ordered_near_batch(
     )
 
 
+def unordered_near_spans_batch(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    clauses: np.ndarray,
+    docs: np.ndarray,
+    n_clauses: int,
+    slop: int,
+    n_rows: int,
+):
+    """NearSpansUnordered over flat per-(doc, clause) span arrays with
+    arbitrary span widths.
+
+    Mirrors the span-position-queue loop: repeatedly emit the window
+    over the current per-clause heads ``[minStart, maxEnd)`` with
+    ``width = maxEnd - minStart - Σ head lengths`` (clamped at 0, hit
+    iff ``width <= slop``), then advance the minimum (start, end, clause)
+    head; stop when any clause exhausts in the doc.  Vectorized with the
+    same consumed-count identity the sloppy sweep uses: after k
+    consumptions (global (doc, start, end, clause) sort order) each
+    clause's head is its first event at sorted position >= k.
+
+    Returns ``(freq, (doc_row, win_start, win_end, width))`` — freq is a
+    float64 array of length ``n_rows`` (Σ 1/(1+width) per doc row).
+    """
+    z = np.zeros(0, dtype=np.int64)
+    freq0 = np.zeros(n_rows, dtype=np.float64)
+    if starts.size == 0:
+        return freq0, (z, z, z, z)
+    order = np.lexsort((clauses, ends, starts, docs))
+    s = starts[order]
+    e = ends[order]
+    c = clauses[order]
+    g = docs[order]
+    total = s.size
+    idx = np.arange(total, dtype=np.int64)
+    heads_max_end = np.full(total, np.iinfo(np.int64).min, dtype=np.int64)
+    heads_len_sum = np.zeros(total, dtype=np.int64)
+    last = np.full((n_rows, n_clauses), -1, dtype=np.int64)
+    for k in range(n_clauses):
+        pc = np.flatnonzero(c == k)
+        if pc.size == 0:
+            return freq0, (z, z, z, z)
+        j = np.minimum(np.searchsorted(pc, idx), pc.size - 1)
+        h = pc[j]
+        np.maximum(heads_max_end, e[h], out=heads_max_end)
+        heads_len_sum += e[h] - s[h]
+        last[g[pc], k] = pc  # ascending writes: final value = max position
+    stop_at = last.min(axis=1)
+    width = np.maximum(heads_max_end - s - heads_len_sum, 0)
+    hit = (idx <= stop_at[g]) & (width <= slop)
+    contrib = np.zeros(total, dtype=np.float64)
+    contrib[hit] = 1.0 / (1.0 + width[hit])
+    freq = np.bincount(g, weights=contrib, minlength=n_rows)
+    return freq, (g[hit], s[hit], heads_max_end[hit], width[hit])
+
+
 def _pack_children(index: IndexView, children: list[DataFrame]) -> DataFrame:
     """Union child span frames tagged with a clause index, keep only docs
     containing EVERY clause (the AND pre-intersection), pack one row per
@@ -415,8 +474,6 @@ def _ordered_near_frame(index: IndexView, q: SpanNear,
 
 def _unordered_near_frame(index: IndexView, q: SpanNear,
                           children: list[DataFrame]) -> DataFrame:
-    if not all(isinstance(c, SpanTerm) for c in q.clauses):
-        raise TypeError("unordered SpanNear supports SpanTerm clauses only")
     n_clauses, slop = len(q.clauses), q.slop
     packed = _pack_children(index, children)
 
@@ -424,17 +481,17 @@ def _unordered_near_frame(index: IndexView, q: SpanNear,
         for pdf in batches:
             sp_col = pdf["_sp"]
             n_batch = pdf.shape[0]
-            vals, cls, dgs = [], [], []
-            for i in range(n_batch):
+            st, en, cls, dgs = [], [], [], []
+            for i in range(n_batch):  # list ASSEMBLY only — sweep is batched
                 for item in sp_col.iat[i]:
-                    vals.append(item["start"]); cls.append(item["clause"])
-                    dgs.append(i)
-            if not vals:
+                    st.append(item["start"]); en.append(item["end"])
+                    cls.append(item["clause"]); dgs.append(i)
+            if not st:
                 continue
-            _, (d, s, e, w) = sloppy_freq_batch(
-                np.asarray(vals, dtype=np.int64), np.asarray(cls, dtype=np.int64),
-                np.asarray(dgs, dtype=np.int64), n_clauses, slop, n_batch,
-                width_offset=n_clauses - 1, return_windows=True,
+            _, (d, s, e, w) = unordered_near_spans_batch(
+                np.asarray(st, dtype=np.int64), np.asarray(en, dtype=np.int64),
+                np.asarray(cls, dtype=np.int64), np.asarray(dgs, dtype=np.int64),
+                n_clauses, slop, n_batch,
             )
             if d.size == 0:
                 continue

@@ -44,6 +44,11 @@ SOURCES = [
                              iv.term("return"))),
     iv.maxwidth(6, iv.ordered(iv.term("def"), iv.term("return"))),
     iv.maxgaps(3, iv.unordered(iv.term("def"), iv.term("class"))),
+    # unordered over non-term sub-sources (arbitrary-width sub-spans)
+    iv.maxgaps(6, iv.unordered(iv.phrase("def", "class"),
+                               iv.term("return"))),
+    iv.maxgaps(9, iv.unordered(iv.or_(iv.term("import"), iv.term("return")),
+                               iv.ordered(iv.term("def"), iv.term("class")))),
     iv.or_(iv.phrase("def", "class"), iv.phrase("import", "return")),
     # nested: ordered over an or
     iv.maxgaps(5, iv.ordered(iv.or_(iv.term("def"), iv.term("class")),

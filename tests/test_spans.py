@@ -130,13 +130,31 @@ def test_same_field_guard(spark):
     _check_same_field(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=1))
 
 
-def test_unordered_requires_leaf_terms(engine, oracle):
-    q = SpanNear(SpanOr(SpanTerm("def"), SpanTerm("class")), SpanTerm("return"),
-                 slop=3, in_order=False)
-    with pytest.raises(TypeError):
-        spans_frame(engine, q)
-    with pytest.raises(TypeError):
-        oracle._span_windows(q)
+def test_unordered_non_term_subspans(engine, oracle):
+    """Unordered SpanNear over arbitrary sub-spans (SpanOr / nested near
+    clauses) — frame AND rank/score identity vs the oracle."""
+    queries = [
+        SpanNear(SpanOr(SpanTerm("def"), SpanTerm("class")), SpanTerm("return"),
+                 slop=3, in_order=False),
+        SpanNear(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=2),
+                 SpanTerm("return"), slop=8, in_order=False),
+        SpanNear(SpanOr(SpanTerm("import"), SpanTerm("return")),
+                 SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3),
+                 slop=10, in_order=False),
+    ]
+    for q in queries:
+        got_frame = sorted(
+            (int(r["doc_id"]), int(r["start"]), int(r["end"]), int(r["width"]))
+            for r in spans_frame(engine, q).collect()
+        )
+        want_frame = sorted(
+            (d, s, e, w)
+            for d, ws in oracle._span_windows(q).items()
+            for (s, e, w) in ws
+        )
+        assert got_frame == want_frame, q
+        got = _run(engine, q)
+        assert got == oracle.search(q, k=10), q
 
 
 def _random_spans(rng, n_docs, n_clauses, max_occ=6, max_pos=60):
@@ -249,6 +267,36 @@ def test_ordered_near_matches_lucene_loop_on_unit_spans(seed, n_clauses):
         for (ws, we, ww) in _near_spans_ordered_ref(per_clause, slop):
             want.append((doc, ws, we, ww))
     assert got == sorted(want), (seed, n_clauses, slop)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("n_clauses", [2, 3, 4])
+def test_unordered_spans_batch_matches_reference(seed, n_clauses):
+    """unordered_near_spans_batch ≡ the per-doc span-queue loop
+    (windows AND freqs) over variable-width spans."""
+    from lucene_solr_spark.oracle import _unordered_windows_spans
+    from lucene_solr_spark.search.spans import unordered_near_spans_batch
+
+    rng = np.random.default_rng(500 + seed)
+    n_docs = 20
+    st, en, cl, dc = _random_spans(rng, n_docs=n_docs, n_clauses=n_clauses)
+    slop = int(rng.integers(0, 14))
+    freq, (gd, gs, ge, gw) = unordered_near_spans_batch(
+        st, en, cl, dc, n_clauses, slop, n_docs
+    )
+    got = sorted(zip(gd.tolist(), gs.tolist(), ge.tolist(), gw.tolist()))
+    want, want_freq = [], np.zeros(n_docs)
+    for d in range(n_docs):
+        m = dc == d
+        per_clause = [
+            list(zip(st[m & (cl == c)].tolist(), en[m & (cl == c)].tolist()))
+            for c in range(n_clauses)
+        ]
+        for (ws, we, ww) in _unordered_windows_spans(per_clause, slop):
+            want.append((d, ws, we, ww))
+            want_freq[d] += 1.0 / (1.0 + ww)
+    assert got == sorted(want), (seed, n_clauses, slop)
+    np.testing.assert_allclose(freq, want_freq, rtol=0, atol=0)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
