@@ -935,6 +935,53 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), top_n=100)
 
 
+GOPHER_MIN_TOKENS = 20  # sf docs run ~8-100 tokens; keep the flag informative
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality rules (Rae et al. 2021 table A1,
+    token-level family): word count + mean length bounds, top-2/3-gram
+    char fraction, duplicate-5-gram char fraction, and the combined
+    keep flag."""
+    from lucene_solr_spark.pipeline import gopher_quality
+
+    return gopher_quality(
+        _docs(spark, sf_dir), min_tokens=GOPHER_MIN_TOKENS
+    ).orderBy("doc_id")
+
+
+CONTAM_MOD = 97  # benchmark stratum: doc_id % CONTAM_MOD == 0
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each doc's distinct
+    3-token shingles present in the benchmark subset (doc_id % 97 == 0
+    — a stand-in eval set drawn from the same corpus, so benchmark
+    members score 1.0 against themselves)."""
+    from lucene_solr_spark.pipeline import contamination_ngrams
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_MOD == 0)
+    return contamination_ngrams(docs, bench, threshold=0.5).orderBy("doc_id")
+
+
+SAMPLE_FRACS = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: md5-hash threshold
+    per stratum — the kept set is a pure function of (lang, doc_id), so
+    DuckDB reproduces it row-for-row."""
+    from lucene_solr_spark.pipeline import stratified_sample
+
+    return (
+        stratified_sample(_docs(spark, sf_dir), "lang", SAMPLE_FRACS, SAMPLE_DEFAULT)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1436,6 +1483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "quality_gopher": q_quality_gopher,
+        "contamination": q_contamination,
+        "sample_stratified": q_sample_stratified,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1688,6 +1738,108 @@ bits AS (
 SELECT doc_id,
   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id""",
+        "quality_gopher": f"""
+WITH {tok_cte},
+base AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(tk) > 0 THEN
+           list_reduce(list_transform(tk, t -> length(t)), (a, b) -> a + b)
+         ELSE 0 END AS BIGINT) AS tok_chars
+  FROM tokd
+),
+g2 AS (
+  SELECT doc_id, x.gram, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(length(x.gram) - 1 AS BIGINT) AS gram_chars
+  FROM base, unnest(CASE WHEN len(tk) >= 2 THEN
+    list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])
+  ELSE [] END) AS x(gram) GROUP BY doc_id, x.gram
+),
+g3 AS (
+  SELECT doc_id, x.gram, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(length(x.gram) - 2 AS BIGINT) AS gram_chars
+  FROM base, unnest(CASE WHEN len(tk) >= 3 THEN
+    list_transform(generate_series(1, len(tk) - 2),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+  ELSE [] END) AS x(gram) GROUP BY doc_id, x.gram
+),
+g5 AS (
+  SELECT doc_id, x.gram, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(length(x.gram) - 4 AS BIGINT) AS gram_chars
+  FROM base, unnest(CASE WHEN len(tk) >= 5 THEN
+    list_transform(generate_series(1, len(tk) - 4),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+  ELSE [] END) AS x(gram) GROUP BY doc_id, x.gram
+),
+top2 AS (
+  SELECT doc_id, cnt * gram_chars AS top_chars FROM (
+    SELECT doc_id, cnt, gram_chars,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM g2) WHERE rn = 1
+),
+top3 AS (
+  SELECT doc_id, cnt * gram_chars AS top_chars FROM (
+    SELECT doc_id, cnt, gram_chars,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM g3) WHERE rn = 1
+),
+dup5 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN cnt >= 2 THEN cnt * gram_chars ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST(sum(cnt * gram_chars) AS BIGINT) AS all_chars
+  FROM g5 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+  CAST(CASE WHEN b.n_tokens > 0 THEN CAST(b.tok_chars AS DOUBLE) / b.n_tokens
+       ELSE CAST(0 AS DOUBLE) END AS FLOAT) AS mean_tok_len,
+  CAST(COALESCE(CASE WHEN b.tok_chars > 0 THEN
+       CAST(t2.top_chars AS DOUBLE) / b.tok_chars END, 0) AS FLOAT) AS top2gram_frac,
+  CAST(COALESCE(CASE WHEN b.tok_chars > 0 THEN
+       CAST(t3.top_chars AS DOUBLE) / b.tok_chars END, 0) AS FLOAT) AS top3gram_frac,
+  CAST(COALESCE(CASE WHEN d5.all_chars > 0 THEN
+       CAST(d5.dup_chars AS DOUBLE) / d5.all_chars END, 0) AS FLOAT) AS dup5gram_frac,
+  (b.n_tokens >= {GOPHER_MIN_TOKENS} AND b.n_tokens <= 100000
+   AND CAST(CASE WHEN b.n_tokens > 0 THEN CAST(b.tok_chars AS DOUBLE) / b.n_tokens
+            ELSE CAST(0 AS DOUBLE) END AS FLOAT) >= CAST(3e0 AS FLOAT)
+   AND CAST(CASE WHEN b.n_tokens > 0 THEN CAST(b.tok_chars AS DOUBLE) / b.n_tokens
+            ELSE CAST(0 AS DOUBLE) END AS FLOAT) <= CAST(1e1 AS FLOAT)
+   AND CAST(COALESCE(CASE WHEN b.tok_chars > 0 THEN
+        CAST(t2.top_chars AS DOUBLE) / b.tok_chars END, 0) AS FLOAT) <= CAST(2e-1 AS FLOAT)
+   AND CAST(COALESCE(CASE WHEN b.tok_chars > 0 THEN
+        CAST(t3.top_chars AS DOUBLE) / b.tok_chars END, 0) AS FLOAT) <= CAST(1.8e-1 AS FLOAT)
+   AND CAST(COALESCE(CASE WHEN d5.all_chars > 0 THEN
+        CAST(d5.dup_chars AS DOUBLE) / d5.all_chars END, 0) AS FLOAT) <= CAST(3e-1 AS FLOAT)
+  ) AS keep
+FROM base b
+LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+LEFT JOIN top3 t3 ON t3.doc_id = b.doc_id
+LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+ORDER BY b.doc_id""",
+        "contamination": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte},
+e AS (SELECT DISTINCT doc_id, x.s FROM shd, unnest(sh) AS x(s)),
+bench AS (SELECT DISTINCT s FROM e WHERE doc_id % {CONTAM_MOD} = 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM e GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM e WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(sz.n_shingles, 0) AS n_shingles,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  CAST(CASE WHEN COALESCE(sz.n_shingles, 0) > 0 THEN
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / sz.n_shingles
+  ELSE CAST(0 AS DOUBLE) END AS FLOAT) AS overlap_frac,
+  (CAST(CASE WHEN COALESCE(sz.n_shingles, 0) > 0 THEN
+    CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / sz.n_shingles
+  ELSE CAST(0 AS DOUBLE) END AS FLOAT) >= CAST(5e-1 AS FLOAT)) AS contaminated
+FROM documents d
+LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id""",
+        "sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE (CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
+       AS BIGINT) % 1000000)
+  < (CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000 ELSE 100000 END)
+ORDER BY doc_id""",
         "ngram_jaccard": f"""
 WITH {tok_cte}, {th_cte}, {sh_cte},
 e AS (SELECT DISTINCT s.doc_id, d.lang, x.s

@@ -30,11 +30,15 @@ from .similarity import (
     ivf_topk,
 )
 from .text import doc_fingerprint, lang_id, text_quality, token_stats
+from .filters import contamination_ngrams, gopher_quality, stratified_sample
 from .multimodal import media_features, with_media_binary
 
 __all__ = [
     "TextLogit",
+    "contamination_ngrams",
     "cosine_neardup_pairs",
+    "gopher_quality",
+    "stratified_sample",
     "cosine_topk",
     "ivf_fit_centroids",
     "ivf_topk",

@@ -1,0 +1,243 @@
+"""Corpus-filtering operators for training-data pipelines: Gopher-style
+repetition/quality rules, benchmark contamination checks, and
+deterministic stratified sampling.
+
+All three are pure Spark SQL (JVM, codegen) with DuckDB-mirrorable
+semantics — counts are integer-exact, every ratio is one float64
+division cast to float32, and sampling decisions hash with the shared
+md5-based ``h64`` so any engine reproduces the exact kept set.
+
+Scale notes (100 TB lens):
+
+* ``gopher_quality`` shuffles only (doc, gram) partial counts — the
+  combiner collapses each doc's grams map-side, and every later join is
+  doc-keyed.  No window wider than one document.
+* ``contamination_ngrams`` joins doc shingles against the benchmark
+  shingle set on the shingle hash — the benchmark side is tiny in
+  practice (broadcast), and the doc side never materializes more than
+  its distinct shingles.
+* ``stratified_sample`` is a pure map-side filter: no shuffle, no
+  sampling state, reproducible across engines/runs/partitionings.
+
+The repetition thresholds follow the published Gopher rules (Rae et
+al. 2021, "Scaling Language Models", table A1) restricted to the
+token-level family (this corpus has no line structure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import with_shingle_hashes
+from .hashing import TOKENS_SQL, h64_sql
+
+__all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample"]
+
+#: ppm denominator for sampling thresholds (integer compare, no float drift)
+SAMPLE_DENOM = 1_000_000
+
+
+def _grams(base: DataFrame, id_col: str, n: int) -> DataFrame:
+    """[id, gram, cnt, gram_chars] — per-doc n-gram (space-joined token
+    window) counts; gram_chars = Σ token lengths inside the gram."""
+    gexpr = (
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(1, size(tk) - {n - 1}), i -> "
+        f"concat_ws(' ', slice(tk, i, {n}))) "
+        "ELSE array() END"
+    )
+    return (
+        base.select(id_col, F.explode(F.expr(gexpr)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "gram_chars",
+            (F.length("gram") - F.lit(n - 1)).cast("long"),
+        )
+    )
+
+
+def _top_gram_frac(base: DataFrame, id_col: str, n: int,
+                   out_col: str) -> DataFrame:
+    """[id, out_col] — fraction of token characters covered by the most
+    common n-gram (ties → gram asc), the Gopher top-n-gram rule.
+    Occurrences are counted with multiplicity (the standard published
+    implementation), so heavily overlapping repetition can push the
+    ratio above 1 — the threshold test only needs monotonicity."""
+    g = _grams(base, id_col, n)
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    top = g.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.join(
+        base.select(id_col, "tok_chars"), id_col
+    ).select(
+        id_col,
+        F.expr(
+            "CAST(CASE WHEN tok_chars > 0 THEN "
+            "CAST(cnt * gram_chars AS DOUBLE) / tok_chars "
+            "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
+        ).alias(out_col),
+    )
+
+
+def _dup_gram_frac(base: DataFrame, id_col: str, n: int,
+                   out_col: str) -> DataFrame:
+    """[id, out_col] — char-weighted fraction of n-gram occurrences whose
+    gram appears more than once in the doc (the duplicate-n-gram rule):
+    Σ_{cnt≥2} cnt·chars / Σ_all cnt·chars."""
+    g = _grams(base, id_col, n)
+    agg = g.groupBy(id_col).agg(
+        F.sum(F.expr("CASE WHEN cnt >= 2 THEN cnt * gram_chars ELSE 0 END"))
+        .cast("long").alias("dup_chars"),
+        F.sum(F.expr("cnt * gram_chars")).cast("long").alias("all_chars"),
+    )
+    return agg.select(
+        id_col,
+        F.expr(
+            "CAST(CASE WHEN all_chars > 0 THEN "
+            "CAST(dup_chars AS DOUBLE) / all_chars "
+            "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
+        ).alias(out_col),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 3.0,
+    max_mean_tok_len: float = 10.0,
+    max_top2gram_frac: float = 0.20,
+    max_top3gram_frac: float = 0.18,
+    max_dup5gram_frac: float = 0.30,
+) -> DataFrame:
+    """Gopher repetition/quality rules over the analyzer token stream.
+
+    Returns ``[id, n_tokens, mean_tok_len, top2gram_frac, top3gram_frac,
+    dup5gram_frac, keep]`` — ``keep`` is the AND of the published
+    bounds.  Threshold compares quantize each float32 ratio through the
+    same ``CAST(x AS FLOAT) <= CAST(t AS FLOAT)`` on every engine.
+    """
+    toks = TOKENS_SQL.format(col=text_col)
+    base = df.select(
+        id_col,
+        F.expr(toks).alias("tk"),
+    ).select(
+        id_col,
+        "tk",
+        F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            "aggregate(tk, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"
+        ).alias("tok_chars"),
+    )
+    stats = base.select(
+        id_col,
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN "
+            "CAST(tok_chars AS DOUBLE) / n_tokens "
+            "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
+        ).alias("mean_tok_len"),
+    )
+    out = (
+        stats.join(_top_gram_frac(base, id_col, 2, "top2gram_frac"), id_col, "left")
+        .join(_top_gram_frac(base, id_col, 3, "top3gram_frac"), id_col, "left")
+        .join(_dup_gram_frac(base, id_col, 5, "dup5gram_frac"), id_col, "left")
+        .fillna(0.0, ["top2gram_frac", "top3gram_frac", "dup5gram_frac"])
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_tok_len") >= F.lit(float(min_mean_tok_len)).cast("float"))
+        & (F.col("mean_tok_len") <= F.lit(float(max_mean_tok_len)).cast("float"))
+        & (F.col("top2gram_frac") <= F.lit(float(max_top2gram_frac)).cast("float"))
+        & (F.col("top3gram_frac") <= F.lit(float(max_top3gram_frac)).cast("float"))
+        & (F.col("dup5gram_frac") <= F.lit(float(max_dup5gram_frac)).cast("float"))
+    )
+    return out.withColumn("keep", keep)
+
+
+def contamination_ngrams(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of a doc's distinct
+    3-token shingles that appear anywhere in the benchmark corpus
+    (the n-gram-overlap decontamination rule training pipelines run
+    against eval sets).
+
+    Returns ``[id, n_shingles, n_hits, overlap_frac, contaminated]``.
+    Docs with fewer than 3 tokens have no shingles → frac 0.
+    """
+    bench_text_col = bench_text_col or text_col
+    doc_sh = (
+        with_shingle_hashes(df, text_col, id_col)
+        .select(id_col, F.explode("sh").alias("s"))
+        .dropDuplicates([id_col, "s"])
+    )
+    bench_sh = (
+        with_shingle_hashes(benchmark, bench_text_col, id_col)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    sizes = doc_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    out = (
+        df.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .fillna(0, ["n_shingles", "n_hits"])
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.expr(
+            "CAST(CASE WHEN n_shingles > 0 THEN "
+            "CAST(n_hits AS DOUBLE) / n_shingles "
+            "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
+        ).alias("overlap_frac"),
+    ).withColumn(
+        "contaminated",
+        F.col("overlap_frac") >= F.lit(float(threshold)).cast("float"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling: keep a row iff
+    ``h64(strata || ':' || id) % 1e6 < round(frac * 1e6)``.
+
+    Map-side only, reproducible bit-for-bit on any engine that shares
+    the md5 hash — rerunning, repartitioning, or scaling the cluster
+    never changes the kept set (unlike ``df.sample``).
+    """
+    default_ppm = int(round(default_frac * SAMPLE_DENOM))
+    if fractions:
+        cases = " ".join(
+            f"WHEN '{k}' THEN {int(round(v * SAMPLE_DENOM))}"
+            for k, v in sorted(fractions.items())
+        )
+        thresh = f"CASE {strata_col} {cases} ELSE {default_ppm} END"
+    else:
+        thresh = str(default_ppm)
+    h = h64_sql(f"concat({strata_col}, ':', CAST({id_col} AS STRING))")
+    return df.filter(F.expr(f"({h} % {SAMPLE_DENOM}) < ({thresh})"))

@@ -236,3 +236,69 @@ def test_dedup_clusters_connected_components(spark):
     # chain 20-21-22-1-2-3 is ONE component (diameter 5 — exercises
     # multi-round propagation); 10-11 a second
     assert got == {1: 1, 2: 1, 3: 1, 20: 1, 21: 1, 22: 1, 10: 10, 11: 10}
+
+
+def test_gopher_quality_rules(spark):
+    from lucene_solr_spark.pipeline import gopher_quality
+
+    good = " ".join(f"token{i % 37} word{(i * 7) % 53}" for i in range(40))
+    short = "just a few words here"
+    repetitive = "spam ham " * 60                      # one bigram dominates
+    longwords = " ".join("supercalifragilistic" for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, repetitive), (4, longwords)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, min_tokens=50).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["n_tokens"] < 50
+    assert not out[3]["keep"] and out[3]["top2gram_frac"] > 0.2
+    assert not out[4]["keep"] and out[4]["mean_tok_len"] > 10
+    # ratios are monotone evidence, not just flags
+    assert out[3]["top2gram_frac"] > out[1]["top2gram_frac"]
+    assert out[3]["dup5gram_frac"] > 0.9 > out[1]["dup5gram_frac"]
+
+
+def test_contamination_ngrams(spark):
+    from lucene_solr_spark.pipeline import contamination_ngrams
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    clean_text = "completely unrelated sentence about distributed query engines"
+    half = "the quick brown fox sleeps under a warm distant gentle sun"
+    docs = spark.createDataFrame(
+        [(1, bench_text), (2, clean_text), (3, half), (4, "too short")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_ngrams(docs, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["overlap_frac"] == 1.0
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # doc 3 shares exactly the "the quick brown"/"quick brown fox" shingles
+    assert 0 < out[3]["overlap_frac"] < 0.5 and not out[3]["contaminated"]
+    # < 3 tokens -> no shingles -> frac 0, not NULL
+    assert out[4]["n_shingles"] == 0 and out[4]["overlap_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic(spark):
+    from lucene_solr_spark.pipeline import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 0.25}
+    kept1 = {r["doc_id"] for r in stratified_sample(df, "lang", fr, 0.1).collect()}
+    # identical across reruns AND partitionings (pure hash, no RNG state)
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), "lang", fr, 0.1).collect()
+    }
+    assert kept1 == kept2
+    by_lang = {"en": 0, "de": 0, "fr": 0}
+    for i in kept1:
+        by_lang[rows[i][1]] += 1
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.08
+    assert abs(by_lang["de"] / 1000 - 0.25) < 0.07
+    assert abs(by_lang["fr"] / 1000 - 0.1) < 0.05
+    # zero-fraction stratum drops everything
+    none = stratified_sample(df, "lang", {}, 0.0).count()
+    assert none == 0
