@@ -982,6 +982,45 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadScoreQuery over a delimited-payload corpus: annotate every
+    token with a deterministic numeric payload (``tok|(len+i+1)%10``),
+    parse it back through the DelimitedPayloadTokenFilter analog, and
+    fold min/max/avg/sum over the payloads at BM25_TERM's positions
+    per doc (Lucene PayloadFunction family)."""
+    from lucene_solr_spark.pipeline.hashing import TOKENS_SQL
+    from lucene_solr_spark.search import payload_token_stream
+
+    toks = TOKENS_SQL.format(col="text")
+    ann = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"concat_ws(' ', transform({toks}, (t, i) -> "
+            "concat(t, '|', CAST((length(t) + i + 1) % 10 AS STRING))))"
+        ).alias("content"),
+    )
+    pl = payload_token_stream(ann).filter(F.col("term") == BM25_TERM)
+    return (
+        pl.groupBy("doc_id")
+        .agg(
+            F.count("payload").cast("long").alias("n_payloads"),
+            F.min("payload").alias("_min"),
+            F.max("payload").alias("_max"),
+            F.avg("payload").alias("_avg"),
+            F.sum("payload").alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_payloads",
+            F.expr("CAST(_min AS FLOAT)").alias("min_payload"),
+            F.expr("CAST(_max AS FLOAT)").alias("max_payload"),
+            F.expr("CAST(_avg AS FLOAT)").alias("avg_payload"),
+            F.expr("CAST(_sum AS FLOAT)").alias("sum_payload"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1486,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
+        "payload_score": q_payload_score,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1834,6 +1874,22 @@ FROM documents d
 LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id""",
+        "payload_score": f"""
+WITH {tok_cte},
+ann AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN
+  list_transform(generate_series(1, len(tk)), i ->
+    tk[i] || '|' || CAST((length(tk[i]) + i) % 10 AS VARCHAR))
+  ELSE [] END AS toks FROM tokd),
+pl AS (SELECT doc_id, string_split(x.tok, '|')[1] AS term,
+              CAST(string_split(x.tok, '|')[2] AS DOUBLE) AS payload
+       FROM ann, unnest(toks) AS x(tok))
+SELECT doc_id, CAST(count(payload) AS BIGINT) AS n_payloads,
+  CAST(min(payload) AS FLOAT) AS min_payload,
+  CAST(max(payload) AS FLOAT) AS max_payload,
+  CAST(avg(payload) AS FLOAT) AS avg_payload,
+  CAST(sum(payload) AS FLOAT) AS sum_payload
+FROM pl WHERE term = '{BM25_TERM}'
+GROUP BY doc_id ORDER BY doc_id""",
         "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE (CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))

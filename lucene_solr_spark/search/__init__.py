@@ -27,6 +27,12 @@ from .executor import (
     postings_table,
     search,
 )
+from .payloads import (
+    payload_scores,
+    payload_span_scores,
+    payload_token_stream,
+    strip_payloads,
+)
 from .spans import (
     SpanContaining,
     SpanFirst,
@@ -47,4 +53,6 @@ __all__ = [
     "positions_table", "postings_table",
     "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanNot",
     "SpanContaining", "SpanWithin", "span_search", "spans_frame",
+    "payload_token_stream", "strip_payloads", "payload_scores",
+    "payload_span_scores",
 ]

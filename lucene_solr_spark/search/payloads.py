@@ -1,0 +1,193 @@
+"""Payload support: DelimitedPayloadTokenFilter analog + PayloadScoreQuery.
+
+Lucene parses ``token|payload`` annotations with
+DelimitedPayloadTokenFilter ([8x] lucene/analysis/common/src/java/org/
+apache/lucene/analysis/payloads/DelimitedPayloadTokenFilter.java —
+the delimiter is searched from the END of the token, so only the last
+``|`` splits), stores the payload bytes per position in the postings
+(.pay), and scores them with PayloadScoreQuery's
+min/max/average/sum PayloadFunctions ([8x] lucene/queries/src/java/org/
+apache/lucene/queries/payloads/PayloadScoreQuery.java,
+PayloadFunction.java).
+
+Spark-first design: instead of packing payload bytes into the VByte
+position stream, payloads live in a columnar SIDECAR frame
+``[term, doc_id, pos, payload]`` produced in one JVM-side pass over the
+corpus (whitespace tokenizer + delimiter split — the pairing Lucene
+payload pipelines use, since StandardTokenizer would split on the
+delimiter).  Parquet column pruning + a term predicate make a payload
+query read exactly one term's rows; span-directed collection joins the
+span frame on ``(doc_id, pos ∈ [start, end))``.  Every expression is
+Spark SQL (codegen) — no Python in the path.
+
+Positions contract: the sidecar's ``pos`` is the whitespace token
+index.  Span-directed scoring therefore requires the index built over
+``strip_payloads()`` of the same corpus, whose tokens are
+whitespace-plain — then analyzer positions and sidecar positions
+coincide (asserted in tests).
+
+Scoring conventions (Lucene's PayloadFunction.docScore): positions
+without a payload are skipped; a doc whose matched positions carry NO
+payloads scores 1.0 under min/max/avg and 0.0 under sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "payload_token_stream",
+    "strip_payloads",
+    "payload_scores",
+    "payload_span_scores",
+]
+
+#: payload aggregate → (Spark agg over non-null f64 payloads, empty-doc default)
+_PAYLOAD_FNS = {
+    "min": (F.min, 1.0),
+    "max": (F.max, 1.0),
+    "avg": (F.avg, 1.0),
+    "sum": (F.sum, 0.0),
+}
+
+
+def _head_expr(raw: str, delim: str) -> str:
+    """Token text before the LAST delimiter (whole token if absent)."""
+    d = delim.replace("\\", "\\\\")
+    return (
+        f"CASE WHEN {raw} LIKE '%{delim}%' THEN "
+        f"regexp_extract({raw}, '^(.*)\\\\{d}[^\\\\{d}]*$', 1) "
+        f"ELSE {raw} END"
+    )
+
+
+def _payload_expr(raw: str, delim: str) -> str:
+    """Float payload after the LAST delimiter, NULL if absent/unparsable."""
+    d = delim.replace("\\", "\\\\")
+    return (
+        f"CASE WHEN {raw} LIKE '%{delim}%' THEN "
+        f"CAST(regexp_extract({raw}, '\\\\{d}([^\\\\{d}]*)$', 1) AS DOUBLE) "
+        "ELSE CAST(NULL AS DOUBLE) END"
+    )
+
+
+def payload_token_stream(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    delimiter: str = "|",
+) -> DataFrame:
+    """Corpus → payload sidecar ``[term, doc_id, pos, payload]``.
+
+    Whitespace tokenization; each raw token splits at its LAST
+    ``delimiter`` into (term, payload); the term is lowercased and must
+    be a plain ``[a-z0-9_]+`` token (others are dropped, like the
+    analyzer drops punctuation); the payload parses as float64 or stays
+    NULL (token had no/invalid annotation).  ``pos`` is the 0-based
+    whitespace token index — position semantics match a
+    WhitespaceTokenizer chain.
+    """
+    raw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    return raw.select(
+        F.lower(F.expr(_head_expr("tok", delimiter))).alias("term"),
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(_payload_expr("tok", delimiter)).alias("payload"),
+    ).filter(F.col("term").rlike("^[a-z0-9_]+$"))
+
+
+def strip_payloads(
+    df: DataFrame, text_col: str = "content", delimiter: str = "|",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with every ``|payload`` suffix removed, so an
+    index built over the stripped text aligns position-for-position with
+    the payload sidecar (the .pay ↔ .pos pairing inside one Lucene
+    segment)."""
+    head = _head_expr("t", delimiter)
+    expr = (
+        f"concat_ws(' ', transform(split({text_col}, '\\\\s+'), t -> {head}))"
+    )
+    return df.withColumn(out_col or text_col, F.expr(expr))
+
+
+def _fold(scored: DataFrame, fn: str) -> DataFrame:
+    """[doc_id, n_payloads, payload_score] from [doc_id, payload] rows
+    (payload may be NULL — skipped, per PayloadScorer)."""
+    if fn not in _PAYLOAD_FNS:
+        raise ValueError(f"unknown payload fn {fn!r}; one of {sorted(_PAYLOAD_FNS)}")
+    agg, default = _PAYLOAD_FNS[fn]
+    out = scored.groupBy("doc_id").agg(
+        F.count("payload").cast("long").alias("n_payloads"),
+        agg("payload").alias("_raw"),
+    )
+    return out.select(
+        "doc_id",
+        "n_payloads",
+        F.expr(
+            f"CAST(CASE WHEN n_payloads > 0 THEN _raw ELSE CAST({default} AS DOUBLE) "
+            "END AS FLOAT)"
+        ).alias("payload_score"),
+    )
+
+
+def payload_scores(
+    payloads: DataFrame, term: str, fn: str = "avg"
+) -> DataFrame:
+    """PayloadScoreQuery over a single SpanTermQuery (the common case):
+    fold ``fn`` over the payloads at the term's positions, per doc.
+
+    Returns ``[doc_id, n_payloads, payload_score]`` for every doc
+    containing the term (0-payload docs score the fn's default).
+    """
+    return _fold(
+        payloads.filter(F.col("term") == term).select("doc_id", "payload"), fn
+    )
+
+
+def payload_span_scores(
+    index,
+    payloads: DataFrame,
+    span_q,
+    fn: str = "avg",
+    include_span_score: bool = False,
+) -> DataFrame:
+    """PayloadScoreQuery over an arbitrary span tree: every matching
+    span contributes the payloads of the query's terms at positions it
+    covers (with multiplicity across overlapping spans — PayloadScorer
+    walks spans in order and collects per span occurrence).
+
+    ``include_span_score=True`` multiplies by the span BM25 score
+    (PayloadScoreQuery's includeSpanScore flag).  Returns
+    ``[doc_id, n_payloads, payload_score]`` (f32).
+    """
+    from .spans import frame_scores, span_terms, spans_frame
+
+    frame = spans_frame(index, span_q)
+    terms = sorted(set(span_terms(span_q)))
+    pl = payloads.filter(F.col("term").isin(terms)).select(
+        F.col("doc_id").alias("_pd"), F.col("pos").alias("_pp"),
+        F.col("payload").alias("payload"),
+    )
+    cond = (
+        (frame["doc_id"] == pl["_pd"])
+        & (pl["_pp"] >= frame["start"])
+        & (pl["_pp"] < frame["end"])
+    )
+    hit = frame.join(pl, cond, "left").select("doc_id", "payload")
+    out = _fold(hit, fn)
+    if not include_span_score:
+        return out
+    sc = frame_scores(index, frame, terms).select(
+        "doc_id", F.col("score").alias("_span_score")
+    )
+    return out.join(sc, "doc_id").select(
+        "doc_id",
+        "n_payloads",
+        F.expr("CAST(CAST(payload_score AS DOUBLE) * CAST(_span_score AS DOUBLE) "
+               "AS FLOAT)").alias("payload_score"),
+    )

@@ -57,6 +57,10 @@ SUBSET = [
     "edismax",
     "cos_neardup",
     "dedup_clusters",
+    # corpus filters + payloads
+    "quality_gopher",
+    "sample_stratified",
+    "payload_score",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Payload sidecar + PayloadScoreQuery semantics: delimited parse
+(last-delimiter split, NULL on missing), min/max/avg/sum folds with
+Lucene's empty-doc defaults, and span-directed collection aligned with
+the stripped-text index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import (
+    SpanNear,
+    SpanTerm,
+    payload_scores,
+    payload_span_scores,
+    payload_token_stream,
+    strip_payloads,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "alpha|1.0 beta|2.0 alpha|3.0 gamma"),
+        (1, "alpha beta|0.5 delta|4.0"),
+        (2, "beta beta beta"),              # term present, zero payloads
+        (3, "weird|x|7.5 Alpha|2.5 #junk|9"),  # multi-delim + case + dropped token
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_delimited_parse(spark, corpus):
+    got = {
+        (r["doc_id"], r["pos"]): (r["term"], r["payload"])
+        for r in payload_token_stream(corpus).collect()
+    }
+    assert got[(0, 0)] == ("alpha", 1.0)
+    assert got[(0, 3)] == ("gamma", None)         # no delimiter -> NULL payload
+    # 'weird|x|7.5' splits at the LAST delimiter: head 'weird|x' is not
+    # [a-z0-9_]+ so the row is dropped (like punctuation)
+    assert (3, 0) not in got
+    assert got[(3, 1)] == ("alpha", 2.5)          # lowercased
+    assert (3, 2) not in got                      # '#junk' dropped like punctuation
+
+
+def test_payload_fns(spark, corpus):
+    pl = payload_token_stream(corpus)
+    by_fn = {
+        fn: {r["doc_id"]: (r["n_payloads"], r["payload_score"])
+             for r in payload_scores(pl, "alpha", fn).collect()}
+        for fn in ("min", "max", "avg", "sum")
+    }
+    assert by_fn["avg"][0] == (2, np.float32(2.0))
+    assert by_fn["min"][0] == (2, np.float32(1.0))
+    assert by_fn["max"][0] == (2, np.float32(3.0))
+    assert by_fn["sum"][0] == (2, np.float32(4.0))
+    # doc 1 has 'alpha' with no payload: default 1.0 (sum: 0.0)
+    assert by_fn["avg"][1] == (0, np.float32(1.0))
+    assert by_fn["sum"][1] == (0, np.float32(0.0))
+    assert by_fn["avg"][3] == (1, np.float32(2.5))
+    # doc 2 has no 'alpha' at all -> absent entirely
+    assert 2 not in by_fn["avg"]
+
+
+def test_strip_payloads_roundtrip(spark, corpus):
+    stripped = {r["doc_id"]: r["content"]
+                for r in strip_payloads(corpus).collect()}
+    assert stripped[0] == "alpha beta alpha gamma"
+    assert stripped[1] == "alpha beta delta"
+    assert stripped[3] == "weird|x Alpha #junk"   # only the LAST delim splits
+
+
+def test_payload_span_scores(spark, corpus):
+    pl = payload_token_stream(corpus).cache()
+    idx = build_index_view(strip_payloads(corpus), "doc_id", "content")
+    q = SpanNear((SpanTerm("alpha"), SpanTerm("beta")), slop=0, in_order=True)
+    got = {r["doc_id"]: (r["n_payloads"], r["payload_score"])
+           for r in payload_span_scores(idx, pl, q, fn="sum").collect()}
+    # doc 0: span [alpha beta] at pos 0-1 -> payloads 1.0 + 2.0
+    assert got[0] == (2, np.float32(3.0))
+    # doc 1: alpha(no payload) beta|0.5 -> only 0.5 counted
+    assert got[1] == (1, np.float32(0.5))
+    assert 2 not in got and 3 not in got
+    # include_span_score multiplies by the span BM25 score (positive)
+    comb = {r["doc_id"]: r["payload_score"]
+            for r in payload_span_scores(idx, pl, q, fn="sum",
+                                         include_span_score=True).collect()}
+    assert set(comb) == {0, 1}
+    assert comb[0] > 0 and comb[1] > 0 and comb[0] != got[0][1]
