@@ -1021,6 +1021,43 @@ def q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LTR_RERANK_DOCS = 200
+
+
+def q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rerank (Solr {!ltr} / LinearModel analog): first-pass BM25
+    top-200 window, model score = 0.25*minmax(n_chars, 0..4096) +
+    0.25*[lang='en'] + 0.5*orig, replaces the base score, re-sort,
+    top 10.  Rides the f64-parity BM25 stream; every model constant is
+    exactly representable (powers of two, /4096) so both engines round
+    identically at the single final f32 cast."""
+    from lucene_solr_spark.search import (
+        FieldValueFeature,
+        LinearModel,
+        MinMaxNormalizer,
+        OriginalScoreFeature,
+        ValueFeature,
+        ltr_score_window,
+    )
+
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select(
+        "doc_id", F.col("score64").alias("score")
+    )
+    window = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(LTR_RERANK_DOCS)
+    dv = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
+    feats = [
+        FieldValueFeature("doclen", "n_chars"),
+        ValueFeature("lang_en", "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"),
+        OriginalScoreFeature("orig"),
+    ]
+    model = LinearModel(
+        weights={"doclen": 0.25, "lang_en": 0.25, "orig": 0.5},
+        norms={"doclen": MinMaxNormalizer(0.0, 4096.0)},
+    )
+    scored = ltr_score_window(None, window, feats, model, dv)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1526,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
+        "ltr_rerank": q_ltr_rerank,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1874,6 +1912,34 @@ FROM documents d
 LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id""",
+        "ltr_rerank": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tfs),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+),
+scored AS (SELECT doc_id,
+  {_BM25_EXPR.format(N='n_docs', avgdl='(CAST(sum_ttf AS DOUBLE) / n_docs)')}
+  AS score64 FROM inputs),
+win AS (SELECT doc_id, score64 FROM scored
+        ORDER BY score64 DESC, doc_id ASC LIMIT {LTR_RERANK_DOCS}),
+feat AS (SELECT w.doc_id,
+  CAST(d.n_chars AS DOUBLE) AS f_doclen,
+  CAST(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f_lang_en,
+  CAST(w.score64 AS DOUBLE) AS f_orig
+  FROM win w JOIN documents d USING (doc_id))
+SELECT doc_id,
+  CAST(0.25 * (((CAST(f_doclen AS DOUBLE)) - 0.0) / (4096.0 - 0.0))
+     + 0.25 * (CAST(f_lang_en AS DOUBLE))
+     + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
+FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "payload_score": f"""
 WITH {tok_cte},
 ann AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN

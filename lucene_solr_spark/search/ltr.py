@@ -1,0 +1,196 @@
+"""Learning-to-rank reranking: feature extraction + linear model over a
+first-pass window (Solr's LTR contrib — [8x] solr/contrib/ltr/src/java/
+org/apache/solr/ltr/LTRScoringQuery.java, feature/{OriginalScoreFeature,
+FieldValueFeature,SolrFeature,ValueFeature}.java, model/LinearModel.java,
+norm/{MinMaxNormalizer,StandardNormalizer}.java).
+
+Solr semantics preserved: LTR is a RERANK — only the first pass's top
+``rerank_docs`` window is rescored, the model score REPLACES the base
+score inside the window, and docs outside the window keep their
+first-pass ordering below it (we return only the reranked head, like
+``{!ltr}`` with reRankDocs ≥ rows).
+
+Spark-first shape: the window is ≤ ``rerank_docs`` rows, so every
+feature join BROADCASTs the window against its source (field values,
+feature-query score streams) — no shuffle keyed on doc_id anywhere in
+the second pass, and the final sort is over the window only.  Feature
+math stays in f64 until one final cast to f32 (model score), matching
+the engine-wide float discipline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "OriginalScoreFeature", "FieldValueFeature", "QueryFeature",
+    "ValueFeature", "MinMaxNormalizer", "StandardNormalizer",
+    "LinearModel", "ltr_features", "ltr_score_window", "ltr_rerank",
+]
+
+
+@dataclass(frozen=True)
+class OriginalScoreFeature:
+    """The first-pass query score (OriginalScoreFeature.java)."""
+    name: str
+
+
+@dataclass(frozen=True)
+class FieldValueFeature:
+    """A numeric docvalues field; missing rows read ``default``
+    (FieldValueFeature.java's missing-value behavior)."""
+    name: str
+    col: str
+    default: float = 0.0
+
+
+@dataclass(frozen=True)
+class QueryFeature:
+    """Score of another engine query, 0.0 when the doc doesn't match
+    (SolrFeature.java with a ``q=`` local param)."""
+    name: str
+    query: object = None
+
+
+@dataclass(frozen=True)
+class ValueFeature:
+    """A constant (ValueFeature.java) or an arbitrary SQL expression over
+    the joined window row — ``expr`` may reference doc_values columns."""
+    name: str
+    expr: str = "0.0"
+
+
+@dataclass(frozen=True)
+class MinMaxNormalizer:
+    min: float
+    max: float
+
+    def sql(self, x: str) -> str:
+        lo, hi = float(self.min), float(self.max)
+        return f"(({x}) - {lo!r}) / ({hi!r} - {lo!r})"
+
+
+@dataclass(frozen=True)
+class StandardNormalizer:
+    avg: float
+    std: float
+
+    def sql(self, x: str) -> str:
+        return f"(({x}) - {float(self.avg)!r}) / {float(self.std)!r}"
+
+
+@dataclass(frozen=True)
+class LinearModel:
+    """score = Σ_f weight_f · norm_f(feature_f), f64 throughout, one
+    final f32 cast (LinearModel.score())."""
+    weights: dict = field(default_factory=dict)
+    norms: dict = field(default_factory=dict)
+
+    def score_sql(self) -> str:
+        parts = []
+        for name, w in sorted(self.weights.items()):
+            x = f"CAST(f_{name} AS DOUBLE)"
+            norm = self.norms.get(name)
+            if norm is not None:
+                x = norm.sql(x)
+            parts.append(f"{float(w)!r} * ({x})")
+        return "CAST(" + " + ".join(parts or ["0.0"]) + " AS FLOAT)"
+
+
+def ltr_features(
+    index,
+    window: DataFrame,
+    features: list,
+    doc_values: DataFrame | None = None,
+) -> DataFrame:
+    """Extract named features for the window docs.
+
+    ``window`` is ``[doc_id, score]`` (first-pass scores, ≤ rerank_docs
+    rows — broadcast into every join).  Returns the window widened with
+    one ``f_<name>`` double column per feature.
+    """
+    out = window
+    value_feats = []
+    need_dv = any(isinstance(f_, FieldValueFeature) for f_ in features)
+    if doc_values is not None and (need_dv or any(
+            isinstance(f_, ValueFeature) for f_ in features)):
+        dv_cols = [c for c in doc_values.columns if c != "doc_id"]
+        # semi-filter the (large) docvalues source by the broadcast window,
+        # then broadcast the ≤rerank_docs survivors back — no shuffle on
+        # either side, one scan of doc_values
+        dv_win = doc_values.join(
+            F.broadcast(window.select("doc_id")), "doc_id", "left_semi"
+        )
+        out = out.join(F.broadcast(dv_win), "doc_id", "left")
+    else:
+        dv_cols = []
+    for f_ in features:
+        if isinstance(f_, OriginalScoreFeature):
+            out = out.withColumn(f"f_{f_.name}", F.col("score").cast("double"))
+        elif isinstance(f_, FieldValueFeature):
+            if f_.col not in out.columns:
+                raise ValueError(f"FieldValueFeature {f_.name}: column "
+                                 f"{f_.col!r} not in doc_values")
+            out = out.withColumn(
+                f"f_{f_.name}",
+                F.coalesce(F.col(f_.col).cast("double"),
+                           F.lit(float(f_.default))),
+            )
+        elif isinstance(f_, QueryFeature):
+            from .extras import _scored_stream
+
+            qs = _scored_stream(index, f_.query).select(
+                "doc_id", F.col("score").cast("double").alias(f"f_{f_.name}")
+            )
+            out = out.join(
+                F.broadcast(
+                    qs.join(F.broadcast(window.select("doc_id")), "doc_id",
+                            "left_semi")
+                ),
+                "doc_id", "left",
+            ).fillna({f"f_{f_.name}": 0.0})
+        elif isinstance(f_, ValueFeature):
+            value_feats.append(f_)
+        else:
+            raise TypeError(f"unknown feature type: {type(f_)}")
+    for f_ in value_feats:
+        out = out.withColumn(f"f_{f_.name}", F.expr(f_.expr).cast("double"))
+    keep = ["doc_id", "score"] + [f"f_{f_.name}" for f_ in features]
+    drop = [c for c in dv_cols if c not in keep]
+    return out.drop(*drop) if drop else out
+
+
+def ltr_score_window(
+    index,
+    window: DataFrame,
+    features: list,
+    model: LinearModel,
+    doc_values: DataFrame | None = None,
+) -> DataFrame:
+    """[doc_id, score:f32] — model scores for the window docs (the
+    DataFrame-in/DataFrame-out core, reused by the f64-parity driver
+    entry)."""
+    wide = ltr_features(index, window, features, doc_values)
+    return wide.select("doc_id", F.expr(model.score_sql()).alias("score"))
+
+
+def ltr_rerank(
+    index,
+    query,
+    features: list,
+    model: LinearModel,
+    k: int = 10,
+    rerank_docs: int = 200,
+    doc_values: DataFrame | None = None,
+) -> DataFrame:
+    """Two-pass LTR: first-pass top ``rerank_docs`` by ``query``, model
+    score replaces the base score inside the window, re-sort, top ``k``
+    (LTRQParserPlugin's reRank flow)."""
+    from .executor import search
+
+    window = search(index, query, k=rerank_docs)
+    scored = ltr_score_window(index, window, features, model, doc_values)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

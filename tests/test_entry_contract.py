@@ -61,6 +61,7 @@ SUBSET = [
     "quality_gopher",
     "sample_stratified",
     "payload_score",
+    "ltr_rerank",
 ]
 
 

@@ -1,0 +1,127 @@
+"""LTR rerank semantics: feature extraction (all four feature types),
+normalizers, linear-model scoring, and the rerank-window contract
+(model score replaces base score INSIDE the window only)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import (
+    FieldValueFeature,
+    LinearModel,
+    MinMaxNormalizer,
+    OriginalScoreFeature,
+    QueryFeature,
+    StandardNormalizer,
+    Term,
+    ValueFeature,
+    ltr_features,
+    ltr_rerank,
+    search,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    rows = [
+        (0, "alpha beta beta", 10),
+        (1, "alpha alpha beta gamma", 20),
+        (2, "alpha gamma gamma delta", 30),
+        (3, "beta delta", 40),
+        (4, "alpha beta gamma delta epsilon", 50),
+        (5, "alpha", 60),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string, pop long")
+    idx = build_index_view(corpus, "doc_id", "content")
+    dv = corpus.select("doc_id", "pop")
+    return idx, dv
+
+
+def test_ltr_features_all_types(spark, setup):
+    idx, dv = setup
+    window = search(idx, Term("alpha"), k=10)
+    feats = [
+        OriginalScoreFeature("orig"),
+        FieldValueFeature("pop", "pop"),
+        QueryFeature("beta_score", Term("beta")),
+        ValueFeature("bias", "1.0"),
+    ]
+    wide = ltr_features(idx, window, feats, dv)
+    got = {r["doc_id"]: r for r in wide.collect()}
+    base = {r["doc_id"]: r["score"] for r in window.collect()}
+    beta = {r["doc_id"]: r["score"] for r in search(idx, Term("beta"), k=10).collect()}
+    assert set(got) == set(base)          # window docs only
+    for d, r in got.items():
+        assert r["f_orig"] == pytest.approx(base[d])
+        assert r["f_pop"] == float((d + 1) * 10)
+        assert r["f_beta_score"] == pytest.approx(beta.get(d, 0.0))
+        assert r["f_bias"] == 1.0
+    # doc 2 and 5 don't match beta -> feature 0, not NULL/dropped
+    assert got[2]["f_beta_score"] == 0.0 and got[5]["f_beta_score"] == 0.0
+
+
+def test_ltr_rerank_linear_model(spark, setup):
+    idx, dv = setup
+    feats = [
+        OriginalScoreFeature("orig"),
+        FieldValueFeature("pop", "pop"),
+    ]
+    model = LinearModel(
+        weights={"orig": 0.4, "pop": 0.6},
+        norms={"pop": MinMaxNormalizer(0.0, 100.0)},
+    )
+    got = [(r["doc_id"], r["score"])
+           for r in ltr_rerank(idx, Term("alpha"), feats, model, k=5,
+                               doc_values=dv).collect()]
+    base = {r["doc_id"]: r["score"]
+            for r in search(idx, Term("alpha"), k=10).collect()}
+    want = sorted(
+        ((d, np.float32(0.4 * float(s) + 0.6 * ((d + 1) * 10.0 / 100.0)))
+         for d, s in base.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [(d, np.float32(s)) for d, s in got] == want
+    # model score REPLACES base: pop dominates -> doc 5 (weakest pop
+    # ordering inverted) climbs above its BM25 rank
+    assert got[0][0] == 5
+
+
+def test_ltr_window_not_promoted(spark, setup):
+    idx, dv = setup
+    # rerank_docs=2: only the top-2 base docs are eligible, even though
+    # doc 5's pop would win the model -- outside the window stays out
+    model = LinearModel(weights={"pop": 1.0})
+    feats = [FieldValueFeature("pop", "pop")]
+    base_top2 = [r["doc_id"] for r in search(idx, Term("alpha"), k=2).collect()]
+    got = [r["doc_id"]
+           for r in ltr_rerank(idx, Term("alpha"), feats, model, k=2,
+                               rerank_docs=2, doc_values=dv).collect()]
+    assert set(got) == set(base_top2)
+
+
+def test_normalizer_sql(spark, setup):
+    idx, dv = setup
+    feats = [FieldValueFeature("pop", "pop")]
+    m_std = LinearModel(weights={"pop": 1.0},
+                        norms={"pop": StandardNormalizer(30.0, 10.0)})
+    got = {r["doc_id"]: r["score"]
+           for r in ltr_rerank(idx, Term("alpha"), feats, m_std, k=10,
+                               doc_values=dv).collect()}
+    for d, s in got.items():
+        assert s == pytest.approx(((d + 1) * 10.0 - 30.0) / 10.0)
+
+
+def test_missing_field_value_default(spark, setup):
+    idx, _ = setup
+    dv_partial = spark.createDataFrame([(0, 7.0)], "doc_id long, boostv double")
+    feats = [FieldValueFeature("bv", "boostv", default=-1.0)]
+    model = LinearModel(weights={"bv": 1.0})
+    got = {r["doc_id"]: r["score"]
+           for r in ltr_rerank(idx, Term("alpha"), feats, model, k=10,
+                               doc_values=dv_partial).collect()}
+    assert got[0] == 7.0
+    assert all(v == -1.0 for d, v in got.items() if d != 0)
