@@ -1058,6 +1058,20 @@ def q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+FREETEXT_CTX = "part filter"
+
+
+def q_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester: trigram stupid-backoff LM over the documents
+    token stream, next-token suggestions for FREETEXT_CTX (ALPHA=0.4,
+    highest-order dedup, score desc / token asc top-5)."""
+    from lucene_solr_spark.search import freetext_model, freetext_suggest
+
+    df = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    model = freetext_model(df, n=3)
+    return freetext_suggest(model, FREETEXT_CTX, k=5, n=3)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1564,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
         "ltr_rerank": q_ltr_rerank,
+        "freetext": q_freetext_suggest,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1940,6 +1955,41 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "freetext": f"""
+WITH {tok_cte},
+g1 AS (SELECT x.g AS gram, CAST(count(*) AS BIGINT) AS cnt
+       FROM tokd, unnest(tk) AS x(g) GROUP BY x.g),
+g2 AS (SELECT x.g AS gram, CAST(count(*) AS BIGINT) AS cnt FROM tokd,
+       unnest(CASE WHEN len(tk) >= 2 THEN
+         list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])
+       ELSE [] END) AS x(g) GROUP BY x.g),
+g3 AS (SELECT x.g AS gram, CAST(count(*) AS BIGINT) AS cnt FROM tokd,
+       unnest(CASE WHEN len(tk) >= 3 THEN
+         list_transform(generate_series(1, len(tk) - 2),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       ELSE [] END) AS x(g) GROUP BY x.g),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM g1),
+cand AS (
+  SELECT 3 AS ord, regexp_extract(gram, ' ([^ ]+)$', 1) AS token,
+         CAST(1.0 AS DOUBLE) * (CAST(cnt AS DOUBLE) /
+           (SELECT cnt FROM g2 WHERE gram = '{FREETEXT_CTX}')) AS score64
+  FROM g3 WHERE regexp_extract(gram, '^(.*) [^ ]+$', 1) = '{FREETEXT_CTX}'
+  UNION ALL
+  SELECT 2, regexp_extract(gram, ' ([^ ]+)$', 1),
+         CAST(0.4 AS DOUBLE) * (CAST(cnt AS DOUBLE) /
+           (SELECT cnt FROM g1 WHERE gram = '{FREETEXT_CTX.split()[-1]}'))
+  FROM g2 WHERE regexp_extract(gram, '^(.*) [^ ]+$', 1) = '{FREETEXT_CTX.split()[-1]}'
+  UNION ALL
+  SELECT 1, gram, CAST(0.16000000000000003 AS DOUBLE) *
+         (CAST(cnt AS DOUBLE) / (SELECT t FROM total))
+  FROM g1
+),
+best AS (SELECT ord, token, score64 FROM (
+  SELECT ord, token, score64,
+         row_number() OVER (PARTITION BY token ORDER BY ord DESC) AS rn
+  FROM cand) WHERE rn = 1)
+SELECT token, ord, CAST(score64 AS FLOAT) AS score FROM best
+ORDER BY score DESC, token ASC LIMIT 5""",
         "payload_score": f"""
 WITH {tok_cte},
 ann AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN

@@ -27,6 +27,11 @@ from .executor import (
     postings_table,
     search,
 )
+from .freetext import (
+    FREETEXT_ALPHA,
+    freetext_model,
+    freetext_suggest,
+)
 from .ltr import (
     FieldValueFeature,
     LinearModel,
@@ -70,4 +75,5 @@ __all__ = [
     "OriginalScoreFeature", "FieldValueFeature", "QueryFeature",
     "ValueFeature", "MinMaxNormalizer", "StandardNormalizer",
     "LinearModel", "ltr_features", "ltr_score_window", "ltr_rerank",
+    "FREETEXT_ALPHA", "freetext_model", "freetext_suggest",
 ]

@@ -1,0 +1,133 @@
+"""FreeTextSuggester analog: n-gram language model with stupid backoff.
+
+Lucene's FreeTextSuggester ([8x] lucene/suggest/src/java/org/apache/
+lucene/search/suggest/analyzing/FreeTextSuggester.java) builds an
+n-gram FST over the corpus token stream and suggests the next token for
+a context using "stupid backoff" (Brants et al. 2007, EMNLP —
+ALPHA = 0.4): score(w | ctx) = ALPHA^steps · count(ctx·w) / count(ctx),
+stepping down one order at a time, and a token already suggested at a
+higher order is never re-suggested by a lower one.
+
+Spark-first shape: the model is ONE DataFrame
+``[ord, context, token, cnt, ctx_cnt]`` (union of orders 1..n) built
+from three groupBy passes over the shared SQL tokenizer — persist it as
+parquet and a lookup is an equality filter on (ord, context), i.e. a
+pushed-down predicate over a term-sorted store; the surviving candidate
+set is tiny, so the rank/dedup window runs on a few rows.  No Python in
+either path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..pipeline.hashing import TOKENS_SQL
+
+__all__ = ["freetext_model", "freetext_suggest", "FREETEXT_ALPHA"]
+
+#: stupid-backoff discount (FreeTextSuggester.ALPHA)
+FREETEXT_ALPHA = 0.4
+
+
+def _gram_counts(tokd: DataFrame, o: int) -> DataFrame:
+    """[gram, cnt] — corpus-wide counts of space-joined o-grams."""
+    gexpr = (
+        f"CASE WHEN size(tk) >= {o} THEN "
+        f"transform(sequence(1, size(tk) - {o - 1}), i -> "
+        f"concat_ws(' ', slice(tk, i, {o}))) ELSE array() END"
+    )
+    return (
+        tokd.select(F.explode(F.expr(gexpr)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def freetext_model(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus → backoff LM ``[ord, context, token, cnt, ctx_cnt]``.
+
+    ``context`` is the space-joined (ord-1)-token prefix ('' at ord 1);
+    ``ctx_cnt`` is the corpus count of the context as an (ord-1)-gram
+    (total token count at ord 1) — the stupid-backoff denominator.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = TOKENS_SQL.format(col=text_col)
+    tokd = df.select(F.col(id_col).alias("doc_id"), F.expr(toks).alias("tk"))
+    grams = {o: _gram_counts(tokd, o) for o in range(1, n + 1)}
+    total = grams[1].agg(F.sum("cnt").cast("long").alias("_total"))
+    frames = []
+    uni = grams[1].select(
+        F.lit(1).alias("ord"),
+        F.lit("").alias("context"),
+        F.col("gram").alias("token"),
+        "cnt",
+    ).crossJoin(F.broadcast(total)).withColumnRenamed("_total", "ctx_cnt")
+    frames.append(uni)
+    for o in range(2, n + 1):
+        split = grams[o].select(
+            F.lit(o).alias("ord"),
+            F.expr(r"regexp_extract(gram, '^(.*) [^ ]+$', 1)").alias("context"),
+            F.expr(r"regexp_extract(gram, ' ([^ ]+)$', 1)").alias("token"),
+            "cnt",
+        )
+        ctx = grams[o - 1].select(
+            F.col("gram").alias("context"), F.col("cnt").alias("ctx_cnt")
+        )
+        frames.append(split.join(ctx, "context"))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select("ord", "context", "token", "cnt", "ctx_cnt")
+
+
+def freetext_suggest(
+    model: DataFrame,
+    context: str,
+    k: int = 5,
+    n: int = 3,
+    alpha: float = FREETEXT_ALPHA,
+) -> DataFrame:
+    """Next-token suggestions for ``context``:
+    ``[token, ord, score]`` (f32), score desc / token asc, top ``k``.
+
+    The highest order consulted is ``min(n, len(ctx)+1)``; each step
+    down multiplies by ``alpha``; a token keeps only its highest-order
+    candidacy (FreeTextSuggester's seen-set).
+    """
+    ctx_tokens = re.findall(r"[a-z0-9_]+", context.lower())
+    o_max = min(n, len(ctx_tokens) + 1)
+    parts = []
+    for o in range(o_max, 0, -1):
+        ctx_o = " ".join(ctx_tokens[len(ctx_tokens) - (o - 1):]) if o > 1 else ""
+        factor = float(alpha) ** (o_max - o)
+        parts.append(
+            model.filter((F.col("ord") == o) & (F.col("context") == ctx_o))
+            .select(
+                "token",
+                "ord",
+                F.expr(
+                    f"CAST({factor!r} AS DOUBLE) * "
+                    "(CAST(cnt AS DOUBLE) / ctx_cnt)"
+                ).alias("score64"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    w = Window.partitionBy("token").orderBy(F.desc("ord"))
+    best = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.select("token", "ord", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("token"))
+        .limit(k)
+    )

@@ -62,6 +62,7 @@ SUBSET = [
     "sample_stratified",
     "payload_score",
     "ltr_rerank",
+    "freetext",
 ]
 
 

@@ -1,0 +1,69 @@
+"""FreeTextSuggester semantics: stupid-backoff scores, highest-order
+dedup (seen-set), context-length clamping, full-backoff fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search import freetext_model, freetext_suggest
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    rows = [
+        (0, "a b c"),
+        (1, "a b d"),
+        (2, "b c"),
+        (3, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    return freetext_model(df, n=3).cache()
+
+
+def test_model_counts(model):
+    rows = {(r["ord"], r["context"], r["token"]): (r["cnt"], r["ctx_cnt"])
+            for r in model.collect()}
+    assert rows[(3, "a b", "c")] == (2, 3)    # 'a b' trigram ctx count 3
+    assert rows[(3, "a b", "d")] == (1, 3)
+    assert rows[(2, "b", "c")] == (3, 4)      # 'b' occurs 4x, b->c 3x
+    assert rows[(2, "b", "d")] == (1, 4)
+    assert rows[(1, "", "b")] == (4, 11)      # 11 tokens total
+
+
+def test_suggest_backoff_scores(model):
+    got = [(r["token"], r["ord"], r["score"])
+           for r in freetext_suggest(model, "a b", k=5).collect()]
+    # order-3 wins for c and d (no lower-order re-suggest); others unigram
+    want_c = np.float32(2.0 / 3.0)
+    want_d = np.float32(1.0 / 3.0)
+    assert got[0] == ("c", 3, want_c)
+    assert got[1] == ("d", 3, want_d)
+    # remaining tokens surface at order 1 with alpha^2
+    tail = {t: (o, s) for t, o, s in got[2:]}
+    assert tail["a"] == (1, np.float32(0.4 * 0.4 * 3.0 / 11.0))
+    assert tail["b"] == (1, np.float32(0.4 * 0.4 * 4.0 / 11.0))
+    # and b (4/11) ranks above a (3/11)
+    assert got[2][0] == "b" and got[3][0] == "a"
+
+
+def test_suggest_unseen_context_falls_back(model):
+    got = {r["token"]: (r["ord"], r["score"])
+           for r in freetext_suggest(model, "z q", k=10).collect()}
+    # no order-3 'z q' nor order-2 'q' rows: all suggestions are unigrams
+    assert all(o == 1 for o, _ in got.values())
+    assert got["b"][1] == np.float32(0.4 * 0.4 * 4.0 / 11.0)
+
+
+def test_suggest_short_context_clamps_order(model):
+    got = [(r["token"], r["ord"], r["score"])
+           for r in freetext_suggest(model, "b", k=3).collect()]
+    # o_max = 2: bigram context 'b'
+    assert got[0] == ("c", 2, np.float32(3.0 / 4.0))
+    assert got[1] == ("d", 2, np.float32(1.0 / 4.0))
+    assert got[2][1] == 1  # next is a unigram backoff
+
+
+def test_empty_context_is_unigram_model(model):
+    got = [(r["token"], r["ord"]) for r in freetext_suggest(model, "", k=2).collect()]
+    assert got == [("b", 1), ("a", 1)]  # 4/11 then 3/11
