@@ -1058,6 +1058,22 @@ def q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhoneticFilter/Soundex dictionary: the American Soundex code of
+    every alphabetic term in the real index term dictionary (pure Spark
+    SQL expression — JVM codegen; pinned == the chain step's Python
+    encoder in test_analysis_chain)."""
+    from lucene_solr_spark.analysis import soundex_sql
+
+    index = _index_for(spark, sf_dir)
+    return (
+        index.term_dict.select("term")
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .select("term", F.expr(soundex_sql("term")).alias("code"))
+        .orderBy("term")
+    )
+
+
 FREETEXT_CTX = "part filter"
 
 
@@ -1579,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score": q_payload_score,
         "ltr_rerank": q_ltr_rerank,
         "freetext": q_freetext_suggest,
+        "phonetic_dict": q_phonetic_dict,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1955,6 +1972,24 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "phonetic_dict": f"""
+WITH {tok_cte},
+terms AS (SELECT DISTINCT x.t AS term FROM tokd, unnest(tk) AS x(t)
+          WHERE regexp_matches(x.t, '^[a-z]+$')),
+s AS (SELECT term,
+        substr(term, 1, 1) || translate(substr(term, 2), 'hw', '') AS st
+      FROM terms),
+c AS (SELECT term, translate(st, 'abcdefghijklmnopqrstuvwxyz',
+        '01230120022455012623010202') AS codes FROM s),
+l AS (SELECT term, regexp_extract_all(codes, '.') AS cl FROM c),
+coll AS (SELECT term, array_to_string(
+        list_transform(generate_series(1, len(cl)), i ->
+          CASE WHEN i = 1 OR cl[i] <> cl[i-1] THEN cl[i] ELSE '' END), '')
+        AS co FROM l)
+SELECT term,
+  upper(substr(term, 1, 1)) ||
+  substr(replace(substr(co, 2), '0', '') || '000', 1, 3) AS code
+FROM coll ORDER BY term""",
         "freetext": f"""
 WITH {tok_cte},
 g1 AS (SELECT x.g AS gram, CAST(count(*) AS BIGINT) AS cnt

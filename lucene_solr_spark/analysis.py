@@ -49,8 +49,11 @@ __all__ = [
     "Shingle",
     "porter_stem",
     "ascii_fold",
+    "soundex",
+    "soundex_sql",
     "stem_filter",
     "ascii_fold_filter",
+    "phonetic_filter",
     "synonym_filter",
     "edge_ngram_filter",
     "shingle_filter",
@@ -250,6 +253,43 @@ def ascii_fold(t: str) -> str:
     return "".join(c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c))
 
 
+_SOUNDEX_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202")
+
+
+def soundex(w: str) -> str:
+    """American Soundex (the PhoneticFilterFactory/SoundexFilter code,
+    ``[8x] lucene/analysis/phonetic/.../PhoneticFilter.java`` with the
+    commons-codec Soundex encoder): R163 for robert, T522 for tymczak,
+    P236 for pfister, H555 for honeyman.
+
+    Algorithm (implemented from the published US-census description):
+    keep the first letter; delete h/w from the tail; map letters to
+    digit classes (vowels+y → 0); collapse adjacent equal codes; drop
+    the leading code and the zeros; pad/truncate to 3 digits.
+    Non-alphabetic tokens pass through unchanged (like the stemmer).
+    """
+    if not w or not (w.isascii() and w.isalpha()):
+        return w
+    lw = w.lower()
+    s = lw[0] + lw[1:].replace("h", "").replace("w", "")
+    codes = s.translate(_SOUNDEX_MAP)
+    coll = "".join(c for i, c in enumerate(codes) if i == 0 or c != codes[i - 1])
+    tail = coll[1:].replace("0", "")
+    return lw[0].upper() + (tail + "000")[:3]
+
+
+def soundex_sql(col: str) -> str:
+    """``soundex`` as a pure Spark SQL expression (JVM codegen — the
+    scale path for dictionary-wide encoding; pinned equal to the Python
+    implementation by test_analysis_chain).  Input must already match
+    ``^[a-z]+$`` (filter first, as the caller controls pass-through)."""
+    st = f"concat(substr({col}, 1, 1), translate(substr({col}, 2), 'hw', ''))"
+    codes = f"translate({st}, 'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202')"
+    coll = f"regexp_replace({codes}, '(.)\\\\1+', '$1')"
+    digits = f"replace(substr({coll}, 2), '0', '')"
+    return f"concat(upper(substr({col}, 1, 1)), substr(concat({digits}, '000'), 1, 3))"
+
+
 # ---------------------------------------------------------------------------
 # chain steps
 # ---------------------------------------------------------------------------
@@ -330,6 +370,13 @@ def stem_filter() -> Map:
 
 def ascii_fold_filter() -> Map:
     return Map(ascii_fold, "ascii_fold", prefix_safe=True)
+
+
+def phonetic_filter() -> Map:
+    """PhoneticFilterFactory with the Soundex encoder, inject=false
+    (tokens are REPLACED by their codes; query-side analysis maps query
+    terms through the same encoder, so 'robert' matches 'rupert')."""
+    return Map(soundex, "soundex")
 
 
 def synonym_filter(mapping: dict[str, Iterable[str]], keep_original: bool = True) -> Expand:
@@ -513,7 +560,7 @@ def chain_spec(chain: Chain) -> dict | None:
     for step in chain.steps:
         if isinstance(step, Stop):
             steps.append({"kind": "stop", "words": sorted(step.words)})
-        elif isinstance(step, Map) and step.name in ("porter", "ascii_fold"):
+        elif isinstance(step, Map) and step.name in ("porter", "ascii_fold", "soundex"):
             steps.append({"kind": step.name})
         elif isinstance(step, Expand) and step.name == "synonym" and step.params:
             table, keep = step.params
@@ -552,6 +599,8 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(stem_filter())
         elif kind == "ascii_fold":
             steps.append(ascii_fold_filter())
+        elif kind == "soundex":
+            steps.append(phonetic_filter())
         elif kind == "synonym":
             steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
         elif kind == "edge_ngram":

@@ -238,3 +238,58 @@ def test_analyze_query_matches_index_chain(spark, corpus):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_soundex_published_vectors():
+    from lucene_solr_spark.analysis import soundex
+
+    # US-census / commons-codec published examples
+    assert soundex("robert") == "R163"
+    assert soundex("rupert") == "R163"
+    assert soundex("tymczak") == "T522"
+    assert soundex("pfister") == "P236"
+    assert soundex("honeyman") == "H555"
+    assert soundex("ashcraft") == "A261"   # h does not break adjacency
+    assert soundex("jackson") == "J250"
+    # non-alpha tokens pass through unchanged (stemmer convention)
+    assert soundex("x86_64") == "x86_64"
+    assert soundex("") == ""
+
+
+def test_soundex_sql_matches_python(spark):
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis import soundex, soundex_sql
+
+    random.seed(17)
+    words = ["robert", "rupert", "pfister", "honeyman", "hw", "aaa", "bb"] + [
+        "".join(random.choices(string.ascii_lowercase, k=random.randint(1, 12)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    rows = df.select("term", F.expr(soundex_sql("term")).alias("code")).collect()
+    assert all(r["code"] == soundex(r["term"]) for r in rows)
+
+
+def test_phonetic_chain_matches_query_side(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis import Chain, phonetic_filter
+
+    chain = Chain(steps=(phonetic_filter(),))
+    rows = [(0, "robert called"), (1, "rupert phoned"), (2, "bertha wrote")]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index_view(corpus, "doc_id", "content", analyzer=chain)
+    from lucene_solr_spark.search import analyze_query
+
+    q = analyze_query(parse_query("robert"), chain)
+    hits = {r["doc_id"] for r in search(idx, q, k=10).collect()}
+    assert hits == {0, 1}          # rupert matches via shared code R163
+
+    # spec round-trip preserves the step
+    from lucene_solr_spark.analysis import chain_from_spec, chain_spec
+
+    assert chain_from_spec(chain_spec(chain)) == chain

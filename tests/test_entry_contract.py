@@ -63,6 +63,7 @@ SUBSET = [
     "payload_score",
     "ltr_rerank",
     "freetext",
+    "phonetic_dict",
 ]
 
 
