@@ -982,6 +982,23 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents corpus: append deterministic
+    synthetic PII (an email + an IPv4 derived from doc_id) to each doc,
+    then scrub emails/IPs/phone runs back out with typed tags and count
+    per-category redactions."""
+    from lucene_solr_spark.pipeline import pii_scrub
+
+    ann = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' user', CAST(doc_id % 50 AS STRING),"
+            " '@example.com at 10.0.', CAST(doc_id % 256 AS STRING), '.7')"
+        ).alias("text"),
+    )
+    return pii_scrub(ann).orderBy("doc_id")
+
+
 def q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PayloadScoreQuery over a delimited-payload corpus: annotate every
     token with a deterministic numeric payload (``tok|(len+i+1)%10``),
@@ -1593,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
+        "pii_scrub": q_pii_scrub,
         "ltr_rerank": q_ltr_rerank,
         "freetext": q_freetext_suggest,
         "phonetic_dict": q_phonetic_dict,
@@ -1761,7 +1779,31 @@ def _pipeline_oracles() -> dict[str, str]:
         f"(sqrt({dot.format(a='e.embedding', b='e.embedding')}) * "
         f"sqrt({dot.format(a='q.qe', b='q.qe')}))"
     )
+    from lucene_solr_spark.pipeline import PII_RULES
+
+    pii_ann = (
+        "ann AS (SELECT doc_id, text || ' user' || CAST(doc_id % 50 AS VARCHAR)"
+        " || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        " AS t2 FROM documents)"
+    )
+    pii_clean = "t2"
+    for _n, _pat, _tag in PII_RULES:
+        pii_clean = f"regexp_replace({pii_clean}, '{_pat}', '{_tag}', 'g')"
+    pii_counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t2, '{_pat}')) AS BIGINT) AS n_{_n}"
+        for _n, _pat, _tag in PII_RULES
+    )
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(t2, '{_pat}'))" for _n, _pat, _tag in PII_RULES
+    )
+    pii_sql = (
+        "WITH " + pii_ann + "\nSELECT doc_id,\n  "
+        + pii_clean + " AS text_clean,\n  " + pii_counts
+        + ",\n  CAST(" + pii_total + " AS BIGINT) AS n_redactions"
+        + "\nFROM ann ORDER BY doc_id"
+    )
     return {
+        "pii_scrub": pii_sql,
         "dedup_exact": """
 SELECT doc_id, sha256(text) AS digest,
        CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS group_size,

@@ -30,7 +30,13 @@ from .similarity import (
     ivf_topk,
 )
 from .text import doc_fingerprint, lang_id, text_quality, token_stats
-from .filters import contamination_ngrams, gopher_quality, stratified_sample
+from .filters import (
+    PII_RULES,
+    contamination_ngrams,
+    gopher_quality,
+    pii_scrub,
+    stratified_sample,
+)
 from .multimodal import media_features, with_media_binary
 
 __all__ = [
@@ -38,6 +44,7 @@ __all__ = [
     "contamination_ngrams",
     "cosine_neardup_pairs",
     "gopher_quality",
+    "pii_scrub",
     "stratified_sample",
     "cosine_topk",
     "ivf_fit_centroids",

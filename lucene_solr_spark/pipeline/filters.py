@@ -33,7 +33,8 @@ from pyspark.sql.window import Window
 from .dedup import with_shingle_hashes
 from .hashing import TOKENS_SQL, h64_sql
 
-__all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample"]
+__all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
+           "pii_scrub", "PII_RULES"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -214,6 +215,51 @@ def contamination_ngrams(
         "contaminated",
         F.col("overlap_frac") >= F.lit(float(threshold)).cast("float"),
     )
+
+
+#: (name, regex, replacement) — applied in order; counts are measured on
+#: the ORIGINAL text, replacements sequentially.  Patterns restricted to
+#: constructs with identical semantics in Java regex and RE2 (no
+#: backrefs, no lookaround), so any engine scrubs identically.
+PII_RULES = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[-\d ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4
+    addresses / phone-like digit runs with typed tags.
+
+    Returns ``[id, text_clean, n_email, n_ipv4, n_phone,
+    n_redactions]``.  Map-side only (regexp_replace chains inside one
+    projection — no shuffle, no UDF); counts come from
+    ``regexp_extract_all`` over the original text so they are
+    independent of replacement order.
+    """
+    def esc(p: str) -> str:
+        return p.replace("\\", "\\\\").replace("'", "\\'")
+
+    counts = [
+        F.expr(
+            f"CAST(size(regexp_extract_all({text_col}, '{esc(pat)}', 0)) "
+            "AS BIGINT)"
+        ).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    clean = text_col
+    for name, pat, tag in PII_RULES:
+        clean = f"regexp_replace({clean}, '{esc(pat)}', '{tag}')"
+    out = df.select(
+        id_col,
+        F.expr(clean).alias("text_clean"),
+        *counts,
+    )
+    total = sum((F.col(f"n_{name}") for name, _, _ in PII_RULES[1:]),
+                F.col(f"n_{PII_RULES[0][0]}"))
+    return out.withColumn("n_redactions", total.cast("long"))
 
 
 def stratified_sample(

@@ -64,6 +64,7 @@ SUBSET = [
     "ltr_rerank",
     "freetext",
     "phonetic_dict",
+    "pii_scrub",
 ]
 
 

@@ -302,3 +302,26 @@ def test_stratified_sample_deterministic(spark):
     # zero-fraction stratum drops everything
     none = stratified_sample(df, "lang", {}, 0.0).count()
     assert none == 0
+
+
+def test_pii_scrub(spark):
+    from lucene_solr_spark.pipeline import pii_scrub
+
+    rows = [
+        (1, "contact john.doe@example.com or jane@test.org today"),
+        (2, "server at 10.0.3.17 and 192.168.1.1 rebooted"),
+        (3, "call +1 555-123-4567 now"),
+        (4, "nothing sensitive here"),
+        (5, "mixed: a@b.co from 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_redactions"] == 2
+    assert got[1]["text_clean"] == "contact <EMAIL> or <EMAIL> today"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["text_clean"] == "server at <IP> and <IP> rebooted"
+    assert got[3]["n_phone"] == 1
+    assert got[3]["text_clean"] == "call <PHONE> now"
+    assert got[4]["n_redactions"] == 0 and got[4]["text_clean"] == rows[3][1]
+    assert got[5]["n_email"] == 1 and got[5]["n_ipv4"] == 1
+    assert got[5]["text_clean"] == "mixed: <EMAIL> from <IP>"
