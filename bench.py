@@ -45,10 +45,18 @@ def main() -> None:
     # bursts of 5-26 have produced ±15% suite noise across rounds
     extra["loadavg_start"] = round(os.getloadavg()[0], 1)
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, repeat=1):
+        # repeat>1 (queries): record the MIN of `repeat` runs — steady-state
+        # latency net of codegen warmup and co-tenant bursts (luceneutil's
+        # warmup+best-of-N protocol).  Builds stay single-shot.
+        best = None
+        out = None
+        for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # ---- index build over the driver `documents` table -------------------
@@ -70,7 +78,7 @@ def main() -> None:
         ("q_or", "join OR window OR data"),
         ("q_nested", "(spark AND join) OR (hash AND merge)"),
     ]:
-        timed(qname, lambda s=qstr: search(index, parse_query(s), k=10).collect())
+        timed(qname, lambda s=qstr: search(index, parse_query(s), k=10).collect(), repeat=2)
 
     # ---- contract-shape synthetic source-code corpus build ---------------
     corpus = gen_corpus_df(spark, CORPUS_DOCS).withColumn(
@@ -86,15 +94,17 @@ def main() -> None:
     extra["code_docs_per_sec"] = round(CORPUS_DOCS / build_sec, 1)
     extra["code_corpus_docs"] = CORPUS_DOCS
 
-    timed("q_code_term", lambda: search(cindex, parse_query("def"), k=10).collect())
+    timed("q_code_term", lambda: search(cindex, parse_query("def"), k=10).collect(), repeat=2)
     timed(
         "q_code_bool",
         lambda: search(cindex, parse_query("class AND import OR return"), k=10).collect(),
+        repeat=2,
     )
 
     # ---- phrase + training-data pipeline ops -----------------------------
     from lucene_solr_spark.search.query import Phrase
-    timed("q_phrase", lambda: search(index, Phrase("data", "table"), k=10).collect())
+    timed("q_phrase", lambda: search(index, Phrase("data", "table"), k=10).collect(),
+          repeat=2)
 
     from lucene_solr_spark.pipeline import (
         cosine_topk,
@@ -103,14 +113,17 @@ def main() -> None:
         minhash_signatures,
     )
 
-    timed("q_dedup_exact", lambda: exact_dedup(docs).count())
+    timed("q_dedup_exact", lambda: exact_dedup(docs).count(), repeat=2)
+    # single-shot: lsh_candidate_pairs persists its banded frame
+    # internally, so a repeat would measure the cache, not the op
     timed(
         "q_minhash_lsh",
         lambda: lsh_candidate_pairs(minhash_signatures(docs)).count(),
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    timed("q_knn_cosine", lambda: cosine_topk(emb, qv, k=10, exclude_ids=[0]).collect())
+    timed("q_knn_cosine", lambda: cosine_topk(emb, qv, k=10, exclude_ids=[0]).collect(),
+          repeat=2)
 
     # ---- relational surface over TPC-H-ish tables ------------------------
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -120,6 +133,7 @@ def main() -> None:
         lambda: li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("s"))
         .collect(),
+        repeat=2,
     )
     timed(
         "q_facet_join",
@@ -127,9 +141,11 @@ def main() -> None:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect(),
+        repeat=2,
     )
 
     extra["loadavg_end"] = round(os.getloadavg()[0], 1)
+    extra["query_protocol"] = "queries min_of_2; builds+minhash single-shot"
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
