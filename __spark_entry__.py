@@ -1091,6 +1091,45 @@ def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ltr_trees_model():
+    """Shared additive-trees model (entry + oracle build the SAME
+    generated CASE SQL).  Thresholds/leaves are powers of two so every
+    comparison and sum is exactly representable cross-engine."""
+    from lucene_solr_spark.search import TreeNode, TreesModel
+
+    def leaf(v):
+        return TreeNode(value=v)
+
+    t1 = TreeNode("doclen", 256.0, leaf(0.25),
+                  TreeNode("doclen", 384.0, leaf(0.5), leaf(1.0)))
+    t2 = TreeNode("orig", 1.0, leaf(0.0), leaf(0.25))
+    return TreesModel(trees=((1.0, t1), (0.5, t2)))
+
+
+def q_ltr_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR with a MultipleAdditiveTrees model: same first-pass window
+    and feature frame as ltr_rerank, score = Σ weight·leaf over two
+    boosted trees (n_chars splits at 256/384, orig-score split at
+    1.0)."""
+    from lucene_solr_spark.search import (
+        FieldValueFeature,
+        OriginalScoreFeature,
+        ltr_score_window,
+    )
+
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select(
+        "doc_id", F.col("score64").alias("score")
+    )
+    window = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(LTR_RERANK_DOCS)
+    dv = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    feats = [
+        FieldValueFeature("doclen", "n_chars"),
+        OriginalScoreFeature("orig"),
+    ]
+    scored = ltr_score_window(None, window, feats, _ltr_trees_model(), dv)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 FREETEXT_CTX = "part filter"
 
 
@@ -1612,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score": q_payload_score,
         "pii_scrub": q_pii_scrub,
         "ltr_rerank": q_ltr_rerank,
+        "ltr_trees": q_ltr_trees,
         "freetext": q_freetext_suggest,
         "phonetic_dict": q_phonetic_dict,
         "knn_cosine": q_knn_cosine,
@@ -2013,6 +2053,30 @@ SELECT doc_id,
   CAST(0.25 * (((CAST(f_doclen AS DOUBLE)) - 0.0) / (4096.0 - 0.0))
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
+FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "ltr_trees": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tfs),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+),
+scored AS (SELECT doc_id,
+  {_BM25_EXPR.format(N='n_docs', avgdl='(CAST(sum_ttf AS DOUBLE) / n_docs)')}
+  AS score64 FROM inputs),
+win AS (SELECT doc_id, score64 FROM scored
+        ORDER BY score64 DESC, doc_id ASC LIMIT {LTR_RERANK_DOCS}),
+feat AS (SELECT w.doc_id,
+  CAST(d.n_chars AS DOUBLE) AS f_doclen,
+  CAST(w.score64 AS DOUBLE) AS f_orig
+  FROM win w JOIN documents d USING (doc_id))
+SELECT doc_id, {_ltr_trees_model().score_sql()} AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "phonetic_dict": f"""
 WITH {tok_cte},

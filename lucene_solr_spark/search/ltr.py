@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "OriginalScoreFeature", "FieldValueFeature", "QueryFeature",
     "ValueFeature", "MinMaxNormalizer", "StandardNormalizer",
-    "LinearModel", "ltr_features", "ltr_score_window", "ltr_rerank",
+    "LinearModel", "TreeNode", "TreesModel",
+    "ltr_features", "ltr_score_window", "ltr_rerank",
 ]
 
 
@@ -97,6 +98,41 @@ class LinearModel:
             if norm is not None:
                 x = norm.sql(x)
             parts.append(f"{float(w)!r} * ({x})")
+        return "CAST(" + " + ".join(parts or ["0.0"]) + " AS FLOAT)"
+
+
+@dataclass(frozen=True)
+class TreeNode:
+    """One node of an additive-trees model.  Branch nodes carry
+    ``feature``/``threshold`` (go left when value <= threshold, the
+    MultipleAdditiveTreesModel convention); leaves carry ``value``."""
+    feature: str | None = None
+    threshold: float = 0.0
+    left: "TreeNode | None" = None
+    right: "TreeNode | None" = None
+    value: float = 0.0
+
+    def sql(self) -> str:
+        if self.feature is None:
+            return f"CAST({float(self.value)!r} AS DOUBLE)"
+        return (
+            f"(CASE WHEN CAST(f_{self.feature} AS DOUBLE) <= "
+            f"CAST({float(self.threshold)!r} AS DOUBLE) "
+            f"THEN {self.left.sql()} ELSE {self.right.sql()} END)"
+        )
+
+
+@dataclass(frozen=True)
+class TreesModel:
+    """Gradient-boosted trees over the feature frame (Solr's
+    MultipleAdditiveTreesModel, [8x] solr/contrib/ltr/.../model/
+    MultipleAdditiveTreesModel.java): score = Σ_t weight_t · leaf_t,
+    each tree compiled to a nested CASE expression — all-JVM scoring,
+    and the exact SQL text is reusable verbatim as the oracle."""
+    trees: tuple = ()  # of (weight, TreeNode)
+
+    def score_sql(self) -> str:
+        parts = [f"{float(w)!r} * {root.sql()}" for w, root in self.trees]
         return "CAST(" + " + ".join(parts or ["0.0"]) + " AS FLOAT)"
 
 

@@ -65,6 +65,7 @@ SUBSET = [
     "freetext",
     "phonetic_dict",
     "pii_scrub",
+    "ltr_trees",
 ]
 
 

@@ -125,3 +125,27 @@ def test_missing_field_value_default(spark, setup):
                                doc_values=dv_partial).collect()}
     assert got[0] == 7.0
     assert all(v == -1.0 for d, v in got.items() if d != 0)
+
+
+def test_trees_model(spark, setup):
+    from lucene_solr_spark.search import TreeNode, TreesModel
+
+    idx, dv = setup
+    leaf = lambda v: TreeNode(value=v)
+    t1 = TreeNode("pop", 25.0, leaf(0.25), TreeNode("pop", 45.0, leaf(0.5), leaf(1.0)))
+    t2 = TreeNode("orig", 0.5, leaf(0.0), leaf(0.125))
+    model = TreesModel(trees=((1.0, t1), (2.0, t2)))
+    feats = [FieldValueFeature("pop", "pop"), OriginalScoreFeature("orig")]
+    got = {r["doc_id"]: r["score"]
+           for r in ltr_rerank(idx, Term("alpha"), feats, model, k=10,
+                               doc_values=dv).collect()}
+    base = {r["doc_id"]: r["score"]
+            for r in search(idx, Term("alpha"), k=10).collect()}
+
+    def tree_score(pop, orig):
+        a = 0.25 if pop <= 25 else (0.5 if pop <= 45 else 1.0)
+        b = 0.0 if orig <= 0.5 else 0.125
+        return np.float32(1.0 * a + 2.0 * b)
+
+    for d, s in got.items():
+        assert s == tree_score((d + 1) * 10.0, base[d]), d

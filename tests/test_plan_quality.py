@@ -216,3 +216,66 @@ def test_bbox_predicates_reach_scan(spark, tmp_path_factory):
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "GreaterThanOrEqual(lat" in pushed and "LessThanOrEqual(lat" in pushed, pushed
     assert "GreaterThanOrEqual(lon" in pushed and "LessThanOrEqual(lon" in pushed, pushed
+
+
+def test_ltr_second_pass_all_broadcast(persisted, spark):
+    """LTR feature joins must broadcast the ≤rerank_docs window — a
+    SortMergeJoin in the second pass would shuffle the full docvalues
+    source at scale."""
+    from lucene_solr_spark.search import (
+        FieldValueFeature,
+        LinearModel,
+        OriginalScoreFeature,
+        ltr_score_window,
+    )
+
+    window = search(persisted, parse_query("def"), k=50)
+    dv = gen_corpus_df(spark, 400, seed=5).selectExpr(
+        "monotonically_increasing_id() AS doc_id", "length(content) AS clen"
+    )
+    model = LinearModel(weights={"orig": 0.5, "cl": 0.5})
+    out = ltr_score_window(
+        persisted, window,
+        [OriginalScoreFeature("orig"), FieldValueFeature("cl", "clen")],
+        model, dv,
+    )
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_payload_lookup_prunes_by_term(spark, tmp_path_factory):
+    """A persisted payload sidecar must serve payload_scores with the
+    term predicate pushed into the parquet scan."""
+    from lucene_solr_spark.search import payload_scores, payload_token_stream
+
+    path = str(tmp_path_factory.mktemp("pay") / "sidecar")
+    corpus = spark.createDataFrame(
+        [(0, "alpha|1.0 beta|2.0"), (1, "alpha|3.0 gamma")],
+        "doc_id long, content string",
+    )
+    payload_token_stream(corpus).write.parquet(path)
+    sidecar = spark.read.parquet(path)
+    plan = _plan(payload_scores(sidecar, "alpha"))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(term,alpha)" in pushed, pushed
+
+
+def test_freetext_lookup_prunes_by_order_and_context(spark, tmp_path_factory):
+    """A persisted FreeText LM must serve lookups with (ord, context)
+    equality pushed to the scan — the 100-TB model is consulted via
+    partition-prunable point reads, never a full scan."""
+    from lucene_solr_spark.search import freetext_model, freetext_suggest
+
+    path = str(tmp_path_factory.mktemp("ft") / "lm")
+    corpus = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, content string"
+    )
+    freetext_model(corpus, n=3).write.parquet(path)
+    model = spark.read.parquet(path)
+    plan = _plan(freetext_suggest(model, "a b", k=3))
+    pushed = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("EqualTo(ord,3)" in p and "EqualTo(context,a b)" in p
+               for p in pushed), pushed
