@@ -40,66 +40,28 @@ __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
 SAMPLE_DENOM = 1_000_000
 
 
-def _grams(base: DataFrame, id_col: str, n: int) -> DataFrame:
-    """[id, gram, cnt, gram_chars] — per-doc n-gram (space-joined token
-    window) counts; gram_chars = Σ token lengths inside the gram."""
-    gexpr = (
+def _all_gram_counts(base: DataFrame, id_col: str,
+                     orders: tuple[int, ...]) -> DataFrame:
+    """[id, n, gram, cnt, gram_chars] — per-doc n-gram counts for every
+    order in ONE corpus scan + ONE shuffle: a single explode emits
+    (n, gram) structs for all orders, then one groupBy counts them.
+    gram_chars = Σ token lengths inside the gram."""
+    arrays = ", ".join(
         f"CASE WHEN size(tk) >= {n} THEN "
         f"transform(sequence(1, size(tk) - {n - 1}), i -> "
-        f"concat_ws(' ', slice(tk, i, {n}))) "
+        f"named_struct('n', {n}, 'gram', concat_ws(' ', slice(tk, i, {n})))) "
         "ELSE array() END"
+        for n in orders
     )
     return (
-        base.select(id_col, F.explode(F.expr(gexpr)).alias("gram"))
-        .groupBy(id_col, "gram")
+        base.select(id_col, F.explode(F.expr(f"concat({arrays})")).alias("g"))
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy(id_col, "n", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "gram_chars",
-            (F.length("gram") - F.lit(n - 1)).cast("long"),
+            (F.length("gram") - (F.col("n") - 1)).cast("long"),
         )
-    )
-
-
-def _top_gram_frac(base: DataFrame, id_col: str, n: int,
-                   out_col: str) -> DataFrame:
-    """[id, out_col] — fraction of token characters covered by the most
-    common n-gram (ties → gram asc), the Gopher top-n-gram rule.
-    Occurrences are counted with multiplicity (the standard published
-    implementation), so heavily overlapping repetition can push the
-    ratio above 1 — the threshold test only needs monotonicity."""
-    g = _grams(base, id_col, n)
-    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
-    top = g.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return top.join(
-        base.select(id_col, "tok_chars"), id_col
-    ).select(
-        id_col,
-        F.expr(
-            "CAST(CASE WHEN tok_chars > 0 THEN "
-            "CAST(cnt * gram_chars AS DOUBLE) / tok_chars "
-            "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
-        ).alias(out_col),
-    )
-
-
-def _dup_gram_frac(base: DataFrame, id_col: str, n: int,
-                   out_col: str) -> DataFrame:
-    """[id, out_col] — char-weighted fraction of n-gram occurrences whose
-    gram appears more than once in the doc (the duplicate-n-gram rule):
-    Σ_{cnt≥2} cnt·chars / Σ_all cnt·chars."""
-    g = _grams(base, id_col, n)
-    agg = g.groupBy(id_col).agg(
-        F.sum(F.expr("CASE WHEN cnt >= 2 THEN cnt * gram_chars ELSE 0 END"))
-        .cast("long").alias("dup_chars"),
-        F.sum(F.expr("cnt * gram_chars")).cast("long").alias("all_chars"),
-    )
-    return agg.select(
-        id_col,
-        F.expr(
-            "CAST(CASE WHEN all_chars > 0 THEN "
-            "CAST(dup_chars AS DOUBLE) / all_chars "
-            "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
-        ).alias(out_col),
     )
 
 
@@ -137,17 +99,53 @@ def gopher_quality(
     stats = base.select(
         id_col,
         "n_tokens",
+        "tok_chars",
         F.expr(
             "CAST(CASE WHEN n_tokens > 0 THEN "
             "CAST(tok_chars AS DOUBLE) / n_tokens "
             "ELSE CAST(0 AS DOUBLE) END AS FLOAT)"
         ).alias("mean_tok_len"),
     )
+    # one corpus scan + one gram shuffle for ALL orders; the top-gram
+    # rank (ties → gram asc — the Gopher top-n-gram rule; occurrences
+    # counted with multiplicity, so pathological overlap can push the
+    # ratio above 1) and the duplicate-gram sums fold in one final
+    # doc-keyed aggregation
+    g = _all_gram_counts(base, id_col, (2, 3, 5))
+    w = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    ranked = g.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy(id_col).agg(
+        F.max(F.expr("CASE WHEN n = 2 AND rn = 1 THEN cnt * gram_chars END"))
+        .alias("top2_chars"),
+        F.max(F.expr("CASE WHEN n = 3 AND rn = 1 THEN cnt * gram_chars END"))
+        .alias("top3_chars"),
+        F.sum(F.expr("CASE WHEN n = 5 AND cnt >= 2 THEN cnt * gram_chars ELSE 0 END"))
+        .cast("long").alias("dup_chars"),
+        F.sum(F.expr("CASE WHEN n = 5 THEN cnt * gram_chars END"))
+        .cast("long").alias("all_chars"),
+    )
     out = (
-        stats.join(_top_gram_frac(base, id_col, 2, "top2gram_frac"), id_col, "left")
-        .join(_top_gram_frac(base, id_col, 3, "top3gram_frac"), id_col, "left")
-        .join(_dup_gram_frac(base, id_col, 5, "dup5gram_frac"), id_col, "left")
-        .fillna(0.0, ["top2gram_frac", "top3gram_frac", "dup5gram_frac"])
+        stats.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "mean_tok_len",
+            F.expr(
+                "CAST(COALESCE(CASE WHEN tok_chars > 0 THEN "
+                "CAST(top2_chars AS DOUBLE) / tok_chars END, "
+                "CAST(0 AS DOUBLE)) AS FLOAT)"
+            ).alias("top2gram_frac"),
+            F.expr(
+                "CAST(COALESCE(CASE WHEN tok_chars > 0 THEN "
+                "CAST(top3_chars AS DOUBLE) / tok_chars END, "
+                "CAST(0 AS DOUBLE)) AS FLOAT)"
+            ).alias("top3gram_frac"),
+            F.expr(
+                "CAST(COALESCE(CASE WHEN all_chars > 0 THEN "
+                "CAST(dup_chars AS DOUBLE) / all_chars END, "
+                "CAST(0 AS DOUBLE)) AS FLOAT)"
+            ).alias("dup5gram_frac"),
+        )
     )
     keep = (
         (F.col("n_tokens") >= min_tokens)
