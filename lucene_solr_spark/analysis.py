@@ -44,6 +44,7 @@ __all__ = [
     "analyze",
     "Chain",
     "Stop",
+    "Length",
     "Map",
     "Expand",
     "Shingle",
@@ -58,6 +59,7 @@ __all__ = [
     "edge_ngram_filter",
     "shingle_filter",
     "stop_filter",
+    "length_filter",
     "chain_spec",
     "chain_from_spec",
 ]
@@ -303,6 +305,16 @@ class Stop:
 
 
 @dataclass(frozen=True)
+class Length:
+    """LengthFilter: drop tokens with length outside [min_len, max_len],
+    leaving position gaps (like StopFilter) — ``[8x] lucene/analysis/
+    common/.../miscellaneous/LengthFilter.java``."""
+
+    min_len: int = 1
+    max_len: int = 255
+
+
+@dataclass(frozen=True)
 class Map:
     """Token → token filter (stem, fold); vectorized per unique token.
 
@@ -362,6 +374,10 @@ class Shingle:
 
 def stop_filter(words: Iterable[str]) -> Stop:
     return Stop(frozenset(w.lower() for w in words))
+
+
+def length_filter(min_len: int = 1, max_len: int = 255) -> Length:
+    return Length(int(min_len), int(max_len))
 
 
 def stem_filter() -> Map:
@@ -449,6 +465,9 @@ class Chain:
         for step in self.steps:
             if isinstance(step, Stop):
                 stream = [(t, p) for t, p in stream if t not in step.words]
+            elif isinstance(step, Length):
+                stream = [(t, p) for t, p in stream
+                          if step.min_len <= len(t) <= step.max_len]
             elif isinstance(step, Map):
                 stream = [(step.fn(t), p) for t, p in stream]
             elif isinstance(step, Expand):
@@ -480,6 +499,10 @@ class Chain:
                 break
             if isinstance(step, Stop):
                 keep = ~pd.Series(terms).isin(step.words).to_numpy()
+                terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+            elif isinstance(step, Length):
+                lens = pd.Series(terms).str.len().to_numpy()
+                keep = (lens >= step.min_len) & (lens <= step.max_len)
                 terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
             elif isinstance(step, Map):
                 uniq, inv = np.unique(terms.astype(object), return_inverse=True)
@@ -560,6 +583,9 @@ def chain_spec(chain: Chain) -> dict | None:
     for step in chain.steps:
         if isinstance(step, Stop):
             steps.append({"kind": "stop", "words": sorted(step.words)})
+        elif isinstance(step, Length):
+            steps.append({"kind": "length", "min_len": step.min_len,
+                          "max_len": step.max_len})
         elif isinstance(step, Map) and step.name in ("porter", "ascii_fold", "soundex"):
             steps.append({"kind": step.name})
         elif isinstance(step, Expand) and step.name == "synonym" and step.params:
@@ -595,6 +621,8 @@ def chain_from_spec(spec: dict) -> Chain:
         kind = s["kind"]
         if kind == "stop":
             steps.append(stop_filter(s["words"]))
+        elif kind == "length":
+            steps.append(length_filter(s.get("min_len", 1), s.get("max_len", 255)))
         elif kind == "porter":
             steps.append(stem_filter())
         elif kind == "ascii_fold":

@@ -80,7 +80,7 @@ def highlight(
     terms = set(query_terms(rewrite(query)))
     token_re, norm = _TOKEN_RE, None
     if analyzer is not None:
-        from ..analysis import Map, Stop
+        from ..analysis import Length, Map, Stop
 
         token_re = re.compile(analyzer.pattern)
         steps = analyzer.steps
@@ -92,6 +92,9 @@ def highlight(
             for step in steps:
                 if isinstance(step, Stop):
                     if tok in step.words:
+                        return "\x00stopped"
+                elif isinstance(step, Length):
+                    if not (step.min_len <= len(tok) <= step.max_len):
                         return "\x00stopped"
                 elif isinstance(step, Map):
                     tok = step.fn(tok)

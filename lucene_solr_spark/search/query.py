@@ -604,12 +604,15 @@ def analyze_query(q, analyzer):
     * Expand/Shingle steps are index-side only (they add index terms;
       the surface query term still matches), so they are identity here.
     """
-    from ..analysis import Map, Stop
+    from ..analysis import Length, Map, Stop
 
     def one(term: str) -> str | None:
         for step in analyzer.steps:
             if isinstance(step, Stop):
                 if term in step.words:
+                    return None
+            elif isinstance(step, Length):
+                if not (step.min_len <= len(term) <= step.max_len):
                     return None
             elif isinstance(step, Map):
                 term = step.fn(term)

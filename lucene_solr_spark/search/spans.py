@@ -58,8 +58,8 @@ from ..index.core import IndexView
 from .executor import _leaf_stats_full, occurrences_table
 
 __all__ = [
-    "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanNot",
-    "SpanContaining", "SpanWithin",
+    "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst",
+    "SpanPositionRange", "SpanNot", "SpanContaining", "SpanWithin",
     "span_terms", "spans_frame", "span_freqs", "span_scores", "span_search",
     "frame_freqs", "frame_scores",
     "ordered_near_batch", "unordered_near_spans_batch",
@@ -139,6 +139,21 @@ class SpanFirst(Span):
 
 
 @dataclass(frozen=True)
+class SpanPositionRange(Span):
+    """Spans of ``match`` lying fully inside token positions
+    [``start``, ``end``) (SpanPositionRangeQuery, ``[8x] lucene/core/
+    .../spans/SpanPositionRangeQuery.java``; SpanFirst == start=0)."""
+
+    match: object
+    start: int
+    end: int
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanPositionRange(self.match, self.start, self.end, float(b))
+
+
+@dataclass(frozen=True)
 class SpanNot(Span):
     """Spans of ``include`` that overlap no span of ``exclude``."""
 
@@ -190,6 +205,8 @@ def span_terms(q) -> list[str]:
                 walk(c)
         elif isinstance(n, SpanFirst):
             walk(n.match)
+        elif isinstance(n, SpanPositionRange):
+            walk(n.match)
         elif isinstance(n, SpanNot):
             walk(n.include)
             walk(n.exclude)
@@ -217,6 +234,9 @@ def qualify_span(q, fix):
         return SpanOr(*[qualify_span(c, fix) for c in q.clauses], boost=q.boost)
     if isinstance(q, SpanFirst):
         return SpanFirst(qualify_span(q.match, fix), q.end, q.boost)
+    if isinstance(q, SpanPositionRange):
+        return SpanPositionRange(qualify_span(q.match, fix), q.start, q.end,
+                                 q.boost)
     if isinstance(q, SpanNot):
         return SpanNot(qualify_span(q.include, fix),
                        qualify_span(q.exclude, fix), q.boost)
@@ -528,6 +548,10 @@ def spans_frame(index: IndexView, q) -> DataFrame:
                       [spans_frame(index, c) for c in q.clauses])
     if isinstance(q, SpanFirst):
         return spans_frame(index, q.match).filter(F.col("end") <= q.end)
+    if isinstance(q, SpanPositionRange):
+        return spans_frame(index, q.match).filter(
+            (F.col("start") >= q.start) & (F.col("end") <= q.end)
+        )
     if isinstance(q, SpanNot):
         _check_same_field(q)
         inc = spans_frame(index, q.include)

@@ -13,6 +13,7 @@ from lucene_solr_spark.analysis import (
     ascii_fold,
     ascii_fold_filter,
     edge_ngram_filter,
+    length_filter,
     porter_stem,
     shingle_filter,
     stem_filter,
@@ -86,6 +87,8 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (shingle_filter(2, "_", keep_unigrams=True),),
         (shingle_filter(3, "_", keep_unigrams=False),),
         (stop_filter(["of"]), stem_filter(), shingle_filter(2)),
+        (length_filter(3, 8),),
+        (length_filter(2, 6), stem_filter()),
     ],
 )
 def test_chain_flat_matches_reference(steps):
@@ -292,4 +295,31 @@ def test_phonetic_chain_matches_query_side(spark):
     # spec round-trip preserves the step
     from lucene_solr_spark.analysis import chain_from_spec, chain_spec
 
+    assert chain_from_spec(chain_spec(chain)) == chain
+
+
+def test_length_filter_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis import (
+        Chain,
+        chain_from_spec,
+        chain_spec,
+        length_filter,
+    )
+    from lucene_solr_spark.search import analyze_query
+
+    chain = Chain(steps=(length_filter(3, 6),))
+    # reference path: short/long tokens dropped, positions gapped
+    toks = chain.tokens("a big elephant ran far")
+    assert toks == [("big", 1), ("ran", 3), ("far", 4)]
+    # query side: out-of-range terms are dropped like stopwords
+    q = analyze_query(parse_query("a AND big"), chain)
+    corpus = spark.createDataFrame(
+        [(0, "a big elephant"), (1, "an ox")], "doc_id long, content string"
+    )
+    idx = build_index_view(corpus, "doc_id", "content", analyzer=chain)
+    hits = {r["doc_id"] for r in search(idx, q, k=10).collect()}
+    assert hits == {0}
+    # spec round-trip
     assert chain_from_spec(chain_spec(chain)) == chain

@@ -331,3 +331,29 @@ def test_sloppy_windows_match_reference(seed, n_clauses):
             want_freq[d] += 1.0 / (1.0 + ww)
     assert got == sorted(want), (seed, n_clauses, slop)
     np.testing.assert_allclose(freq, want_freq, rtol=0, atol=0)
+
+
+def test_span_position_range(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import SpanPositionRange, SpanTerm
+    from lucene_solr_spark.search.spans import spans_frame
+
+    corpus = spark.createDataFrame(
+        [(0, "x y z x"), (1, "a x b"), (2, "c d x")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(corpus, "doc_id", "content")
+    # x at positions: doc0 {0,3}, doc1 {1}, doc2 {2}
+    got = {(r["doc_id"], r["start"])
+           for r in spans_frame(
+               idx, SpanPositionRange(SpanTerm("x"), 1, 3)).collect()}
+    assert got == {(1, 1), (2, 2)}
+    # SpanFirst == SpanPositionRange(0, end)
+    from lucene_solr_spark.search import SpanFirst
+
+    f = {(r["doc_id"], r["start"])
+         for r in spans_frame(idx, SpanFirst(SpanTerm("x"), 2)).collect()}
+    p = {(r["doc_id"], r["start"])
+         for r in spans_frame(
+             idx, SpanPositionRange(SpanTerm("x"), 0, 2)).collect()}
+    assert f == p == {(0, 0), (1, 1)}
