@@ -1091,6 +1091,18 @@ def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON facet: top-5 lang buckets, top-3 source sub-buckets
+    within each, nested avg(n_chars) per sub-bucket (the JSON Facet
+    API's facet:{...} recursion).  One corpus scan, one (lang, source)
+    shuffle.  avg is exact cross-engine: integer sums as doubles."""
+    from lucene_solr_spark.relational import json_facet_nested
+
+    return json_facet_nested(
+        _docs(spark, sf_dir), "lang", "source", "n_chars", 5, 3
+    )
+
+
 def _ltr_trees_model():
     """Shared additive-trees model (entry + oracle build the SAME
     generated CASE SQL).  Thresholds/leaves are powers of two so every
@@ -1654,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_trees": q_ltr_trees,
         "freetext": q_freetext_suggest,
         "phonetic_dict": q_phonetic_dict,
+        "json_facet_nested": q_json_facet_nested,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2054,6 +2067,21 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "json_facet_nested": """
+WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS sub_count,
+                  CAST(sum(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS msum
+           FROM documents GROUP BY lang, source),
+tot AS (SELECT lang, CAST(sum(sub_count) AS BIGINT) AS count FROM g GROUP BY lang),
+topo AS (SELECT lang, count FROM (
+  SELECT lang, count, row_number() OVER (ORDER BY count DESC, lang ASC) AS r
+  FROM tot) WHERE r <= 5),
+topi AS (SELECT lang, source, sub_count, msum FROM (
+  SELECT g.*, row_number() OVER (PARTITION BY lang
+    ORDER BY sub_count DESC, source ASC) AS r FROM g) WHERE r <= 3)
+SELECT i.lang AS bucket, o.count, i.source AS sub_bucket, i.sub_count,
+       CAST(i.msum / i.sub_count AS FLOAT) AS avg_metric
+FROM topi i JOIN topo o USING (lang)
+ORDER BY count DESC, bucket ASC, sub_count DESC, sub_bucket ASC""",
         "ltr_trees": f"""
 WITH {_TOK_CTE},
 {_DL_CTE},

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "facet_terms",
     "facet_range",
+    "json_facet_nested",
     "facet_interval",
     "facet_heatmap",
     "parse_interval",
@@ -61,6 +62,45 @@ def facet_terms(df: DataFrame, field: str, limit: int = 10,
         g = g.filter(F.col("count") >= min_count)
     order = [F.desc("count"), F.asc(field)] if sort_by_count else [F.asc(field)]
     return g.orderBy(*order).limit(limit)
+
+
+def json_facet_nested(df: DataFrame, outer: str, inner: str,
+                      metric_col: str, limit_outer: int = 5,
+                      limit_inner: int = 3) -> DataFrame:
+    """Nested JSON facet: top-``limit_outer`` buckets of ``outer`` (count
+    desc, value asc — Solr's default bucket sort), and within each the
+    top-``limit_inner`` buckets of ``inner``, each carrying a nested
+    ``avg(metric_col)`` (the JSON Facet API's ``facet:{...}`` recursion,
+    ``[8x] solr/core/.../search/facet/FacetField.java``).
+
+    Returns ``[bucket, count, sub_bucket, sub_count, avg_metric]``.
+    ONE shuffle on (outer, inner) carries all partial aggregates; the
+    outer totals derive from it (re-aggregation of a tiny frame), so the
+    corpus is scanned once regardless of nesting depth.
+    """
+    g = df.groupBy(outer, inner).agg(
+        F.count(F.lit(1)).cast("long").alias("sub_count"),
+        F.sum(F.col(metric_col).cast("double")).alias("_msum"),
+    )
+    totals = g.groupBy(outer).agg(F.sum("sub_count").cast("long").alias("count"))
+    w_out = Window.orderBy(F.desc("count"), F.asc(outer))
+    top_out = totals.withColumn("_r", F.row_number().over(w_out)) \
+        .filter(F.col("_r") <= limit_outer).drop("_r")
+    w_in = Window.partitionBy(outer).orderBy(F.desc("sub_count"), F.asc(inner))
+    top_in = g.withColumn("_r", F.row_number().over(w_in)) \
+        .filter(F.col("_r") <= limit_inner).drop("_r")
+    return (
+        top_in.join(F.broadcast(top_out), outer)
+        .select(
+            F.col(outer).alias("bucket"),
+            "count",
+            F.col(inner).alias("sub_bucket"),
+            "sub_count",
+            F.expr("CAST(_msum / sub_count AS FLOAT)").alias("avg_metric"),
+        )
+        .orderBy(F.desc("count"), F.asc("bucket"),
+                 F.desc("sub_count"), F.asc("sub_bucket"))
+    )
 
 
 def facet_range(df: DataFrame, field: str, start: float, end: float,

@@ -66,6 +66,7 @@ SUBSET = [
     "phonetic_dict",
     "pii_scrub",
     "ltr_trees",
+    "json_facet_nested",
 ]
 
 
