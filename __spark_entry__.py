@@ -1091,6 +1091,27 @@ def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPANFIRST_END = 10
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirst/SpanPositionRange over the real index: occurrences of
+    BM25_TERM within the first SPANFIRST_END token positions, counted
+    per doc (span frames decoded from the position-indexed postings)."""
+    from lucene_solr_spark.search import SpanPositionRange, SpanTerm
+    from lucene_solr_spark.search.spans import spans_frame
+
+    idx = _index_for(spark, sf_dir)
+    frame = spans_frame(
+        idx, SpanPositionRange(SpanTerm(BM25_TERM), 0, SPANFIRST_END)
+    )
+    return (
+        frame.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+        .orderBy("doc_id")
+    )
+
+
 def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JSON facet: top-5 lang buckets, top-3 source sub-buckets
     within each, nested avg(n_chars) per sub-bucket (the JSON Facet
@@ -1667,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freetext": q_freetext_suggest,
         "phonetic_dict": q_phonetic_dict,
         "json_facet_nested": q_json_facet_nested,
+        "span_first": q_span_first,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2067,6 +2089,13 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "span_first": f"""
+WITH {tok_cte},
+posn AS (SELECT doc_id, x.i - 1 AS pos, tk[x.i] AS term
+         FROM tokd, unnest(generate_series(1, len(tk))) AS x(i))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM posn WHERE term = '{BM25_TERM}' AND pos + 1 <= {SPANFIRST_END}
+GROUP BY doc_id ORDER BY doc_id""",
         "json_facet_nested": """
 WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS sub_count,
                   CAST(sum(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS msum

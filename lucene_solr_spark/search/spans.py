@@ -60,7 +60,8 @@ from .executor import _leaf_stats_full, occurrences_table
 __all__ = [
     "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst",
     "SpanPositionRange", "SpanNot", "SpanContaining", "SpanWithin",
-    "span_terms", "spans_frame", "span_freqs", "span_scores", "span_search",
+    "span_terms", "span_wrap_multiterm",
+    "spans_frame", "span_freqs", "span_scores", "span_search",
     "frame_freqs", "frame_scores",
     "ordered_near_batch", "unordered_near_spans_batch",
 ]
@@ -189,6 +190,28 @@ class SpanWithin(Span):
 
     def with_boost(self, b: float):
         return SpanWithin(self.little, self.big, float(b))
+
+
+def span_wrap_multiterm(index: "IndexView", q, max_expansions: int = 1024):
+    """SpanMultiTermQueryWrapper analog (``[8x] lucene/core/.../spans/
+    SpanMultiTermQueryWrapper.java``, SCORING_SPAN_QUERY_REWRITE): expand
+    a Prefix/Wildcard/Regexp/Fuzzy/TermRange against the term dictionary
+    and return the SpanOr of its SpanTerm leaves — usable anywhere a
+    span clause is (e.g. SpanNear(span_wrap_multiterm(ix, Prefix("ind")),
+    SpanTerm("writer")))."""
+    import dataclasses
+
+    from .executor import expand_multiterm
+    from .query import Or, Term, is_multiterm
+
+    if is_multiterm(q) and getattr(q, "constant_score", False):
+        q = dataclasses.replace(q, constant_score=False)
+    ex = expand_multiterm(index, q, max_expansions)
+    if isinstance(ex, Term):
+        return SpanTerm(ex.term, ex.boost)
+    if isinstance(ex, Or) and all(isinstance(c, Term) for c in ex.clauses):
+        return SpanOr(*[SpanTerm(c.term, c.boost) for c in ex.clauses])
+    raise TypeError(f"not a span-wrappable multi-term query: {type(q)}")
 
 
 def span_terms(q) -> list[str]:

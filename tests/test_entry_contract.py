@@ -67,6 +67,7 @@ SUBSET = [
     "pii_scrub",
     "ltr_trees",
     "json_facet_nested",
+    "span_first",
 ]
 
 

@@ -357,3 +357,22 @@ def test_span_position_range(spark):
          for r in spans_frame(
              idx, SpanPositionRange(SpanTerm("x"), 0, 2)).collect()}
     assert f == p == {(0, 0), (1, 1)}
+
+
+def test_span_wrap_multiterm(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Prefix, SpanNear, SpanOr, SpanTerm
+    from lucene_solr_spark.search.spans import span_wrap_multiterm, spans_frame
+
+    corpus = spark.createDataFrame(
+        [(0, "index writer flushed"), (1, "indexing writer stalled"),
+         (2, "reader writer locked"), (3, "writer index swapped")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(corpus, "doc_id", "content")
+    wrapped = span_wrap_multiterm(idx, Prefix("index"))
+    assert isinstance(wrapped, (SpanOr, SpanTerm))
+    # ordered near: [index* writer] within slop 0 — doc 3 has reversed order
+    q = SpanNear((wrapped, SpanTerm("writer")), slop=0, in_order=True)
+    got = {r["doc_id"] for r in spans_frame(idx, q).collect()}
+    assert got == {0, 1}
