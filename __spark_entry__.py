@@ -1091,6 +1091,22 @@ def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLATE_TERMS = ["sacn", "merge"]
+
+
+def q_spell_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.collate: correct the misspelled 'sacn' (top-3
+    one-edit corrections, minPrefix=1), keep in-dictionary 'merge',
+    rank candidate collations (total distance asc, total df desc, text
+    asc), verify the top-5 with real AND hit counts, return survivors."""
+    from lucene_solr_spark.search.extras import spellcheck_collate
+
+    return spellcheck_collate(
+        _index_for(spark, sf_dir), COLLATE_TERMS,
+        max_edits=1, k_per_term=3, max_collations=5,
+    )
+
+
 SPANFIRST_END = 10
 
 
@@ -1689,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_dict": q_phonetic_dict,
         "json_facet_nested": q_json_facet_nested,
         "span_first": q_span_first,
+        "spell_collate": q_spell_collate,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2089,6 +2106,28 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "spell_collate": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY term),
+corr AS (SELECT term, CAST(damerau_levenshtein(term, 'sacn') AS INTEGER) AS dist, df
+         FROM td WHERE damerau_levenshtein(term, 'sacn') = 1 AND term LIKE 's%'
+         ORDER BY dist ASC, df DESC, term ASC LIMIT 3),
+base AS (SELECT 'merge' AS t2, (SELECT df FROM td WHERE term = 'merge') AS df2),
+cand AS (SELECT c.term AS t1, b.t2, c.dist AS total_dist,
+                c.df + b.df2 AS total_df,
+                c.term || ' ' || b.t2 AS "collation"
+         FROM corr c, base b),
+ranked AS (SELECT *, row_number() OVER (
+             ORDER BY total_dist ASC, total_df DESC, "collation" ASC) AS rn
+           FROM cand)
+SELECT "collation", total_dist, hits FROM (
+  SELECT r."collation", r.total_dist, r.rn,
+         (SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT) FROM tok t
+          WHERE t.term = r.t1
+            AND t.doc_id IN (SELECT doc_id FROM tok WHERE term = r.t2)) AS hits
+  FROM ranked r WHERE r.rn <= 5)
+WHERE hits > 0 ORDER BY "collation" ASC""",
         "span_first": f"""
 WITH {tok_cte},
 posn AS (SELECT doc_id, x.i - 1 AS pos, tk[x.i] AS term

@@ -25,7 +25,8 @@ from .query import Or, Term, rewrite
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
-           "common_terms_query", "elevate", "suggest_infix"]
+           "common_terms_query", "elevate", "suggest_infix",
+           "spellcheck_collate"]
 
 
 def _scored_stream(index: IndexView, query) -> DataFrame:
@@ -455,4 +456,68 @@ def suggest_infix(index: IndexView, fragment: str, k: int = 10) -> DataFrame:
         .orderBy(F.asc("_pfx"), F.desc("cf"), F.asc("term"))
         .limit(k)
         .select("term", F.col("cf").cast("long").alias("weight"))
+    )
+
+
+def spellcheck_collate(
+    index: IndexView,
+    terms: list[str],
+    max_edits: int = 1,
+    k_per_term: int = 3,
+    max_collations: int = 5,
+    prefix_length: int = 1,
+) -> "DataFrame":
+    """Solr ``spellcheck.collate`` (``[8x] solr/core/src/java/org/apache/
+    solr/spelling/SpellCheckCollator.java``): rewrite the query with
+    corrections for its out-of-dictionary terms and keep only rewrites
+    that actually produce hits.
+
+    Per term: in-dictionary terms stay (distance 0); others take their
+    top ``k_per_term`` DirectSpellChecker corrections.  Candidate
+    collations are the cartesian combinations ranked by
+    (total distance asc, total df desc, text asc); the top
+    ``max_collations`` are verified with a real AND hit count
+    (maxCollationTries) and survivors return as
+    ``[collation, total_dist, hits]`` in rank order.
+
+    Scale shape: the per-term correction lists are tiny (k rows each,
+    the same bounded driver step as Lucene's candidate collection); each
+    verification is one TotalHitCount job (term counts are
+    metadata-only, AND counts decode doc ids only).
+    """
+    import itertools
+
+    from ..functions import docfreq
+    from .executor import count_hits
+    from .query import And, Term
+
+    spark = index.postings.sparkSession
+    per_term: list[list[tuple[str, int, int]]] = []
+    for t in terms:
+        df = docfreq(index, t)
+        if df > 0:
+            per_term.append([(t, 0, df)])
+            continue
+        rows = spell_suggest(
+            index, t, max_edits=max_edits, k=k_per_term,
+            prefix_length=prefix_length,
+        ).collect()
+        per_term.append(
+            [(r["term"], int(r["distance"]), int(r["df"])) for r in rows]
+        )
+    cands = []
+    for combo in itertools.product(*per_term):
+        cands.append((
+            " ".join(c[0] for c in combo),
+            sum(c[1] for c in combo),
+            sum(c[2] for c in combo),
+        ))
+    cands.sort(key=lambda c: (c[1], -c[2], c[0]))
+    out = []
+    for text, dist, _df in cands[:max_collations]:
+        hits = count_hits(index, And(*[Term(w) for w in text.split(" ")]))
+        if hits > 0:
+            out.append((text, dist, int(hits)))
+    return spark.createDataFrame(
+        out, "collation string, total_dist int, hits long"
     )

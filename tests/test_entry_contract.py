@@ -68,6 +68,7 @@ SUBSET = [
     "ltr_trees",
     "json_facet_nested",
     "span_first",
+    "spell_collate",
 ]
 
 

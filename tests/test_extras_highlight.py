@@ -172,3 +172,27 @@ def test_suggest_infix(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_spellcheck_collate(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import spellcheck_collate
+
+    corpus = spark.createDataFrame(
+        [(0, "scan merge fast"), (1, "scan merge slow"), (2, "span other"),
+         (3, "scam alone"), (4, "merge only here")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(corpus, "doc_id", "content")
+    # 'sacn' is misspelled: corrections {scan(df2), scam(df1), span(df1)};
+    # 'merge' is in-dictionary and stays
+    got = [(r["collation"], r["total_dist"], r["hits"])
+           for r in spellcheck_collate(
+               idx, ["sacn", "merge"], max_edits=1, k_per_term=3,
+               max_collations=5).collect()]
+    # only 'scan merge' has AND hits (docs 0, 1); scam/span never co-occur
+    assert got == [("scan merge", 1, 2)]
+    # fully in-dictionary query collates to itself with its AND count
+    got2 = [(r["collation"], r["total_dist"], r["hits"])
+            for r in spellcheck_collate(idx, ["scan", "merge"]).collect()]
+    assert got2 == [("scan merge", 0, 2)]
