@@ -1091,6 +1091,29 @@ def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_explain_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher#explain analog: per-(doc, term) BM25 components
+    (tf, df, quantized dl, f32 partial, f32 combined) for the OR
+    query's top-10 docs, on the f64-parity stream (the library-kernel
+    explain() is pinned f32-exact against search() in pytest)."""
+    sc = _bm25_scores(spark, sf_dir, list(BM25_OR_TERMS))
+    tot = sc.groupBy("doc_id").agg(F.sum("score64").alias("t64"))
+    top = tot.orderBy(F.desc("t64"), F.asc("doc_id")).limit(10)
+    return (
+        sc.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("qdl").cast("long").alias("dl"),
+            F.col("score64").cast("float").alias("partial"),
+            F.col("t64").cast("float").alias("score"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
 COLLATE_TERMS = ["sacn", "merge"]
 
 
@@ -1706,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_facet_nested": q_json_facet_nested,
         "span_first": q_span_first,
         "spell_collate": q_spell_collate,
+        "explain_bm25": q_explain_bm25,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2106,6 +2130,31 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "explain_bm25": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term IN ('join', 'window') GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.term, t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT term, doc_id, tf, df, qdl,
+  {_BM25_EXPR.format(N='n_docs', avgdl='(CAST(sum_ttf AS DOUBLE) / n_docs)')}
+  AS score64 FROM inputs),
+tot AS (SELECT doc_id, sum(score64) AS t64 FROM scored GROUP BY doc_id),
+top AS (SELECT doc_id, t64 FROM tot ORDER BY t64 DESC, doc_id ASC LIMIT 10)
+SELECT s.doc_id, s.term, CAST(s.tf AS BIGINT) AS tf, CAST(s.df AS BIGINT) AS df,
+       CAST(s.qdl AS BIGINT) AS dl, CAST(s.score64 AS FLOAT) AS partial,
+       CAST(p.t64 AS FLOAT) AS score
+FROM scored s JOIN top p USING (doc_id)
+ORDER BY s.doc_id, s.term""",
         "spell_collate": f"""
 WITH {_TOK_CTE},
 td AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df

@@ -26,7 +26,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
            "common_terms_query", "elevate", "suggest_infix",
-           "spellcheck_collate"]
+           "spellcheck_collate", "explain"]
 
 
 def _scored_stream(index: IndexView, query) -> DataFrame:
@@ -521,3 +521,68 @@ def spellcheck_collate(
     return spark.createDataFrame(
         out, "collation string, total_dist int, hits long"
     )
+
+
+def explain(index: IndexView, terms: list[str], k: int = 10) -> DataFrame:
+    """Lucene ``Explanation`` analog (IndexSearcher#explain /
+    ``[8x] lucene/core/.../search/similarities/BM25Similarity.java``'s
+    explain tree) for a term disjunction: per-(doc, term) score
+    components for the query's top-``k`` docs.
+
+    Returns ``[doc_id, term, tf, df, dl, idf, partial, score]`` where
+    ``dl`` is the SmallFloat-dequantized length, ``idf`` the f32 term
+    weight, ``partial`` the f32 per-clause score from the SAME kernels
+    the scorer runs — so the f64 sum of partials cast f32 equals
+    ``search()``'s score bit-for-bit (pinned in tests) — and ``score``
+    the doc's combined score.
+
+    Scale shape: the explanation decodes only the query terms' blocks
+    (term-pruned scan), the df/weight map is a Weight-sized driver step,
+    and the top-k window broadcasts into the semi-join."""
+    from ..smallfloat import LENGTH_TABLE
+    from .query import Or, Term
+
+    sim = index.bm25
+    n_docs = index.doc_count
+    cache = sim.norm_inverse_cache(sim.avgdl(index.sum_ttf, n_docs))
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.term_dict.filter(F.col("term").isin(list(terms)))
+        .select("term", "df").collect()
+    }
+    weights = {t: sim.weight(dfs[t], n_docs) for t in dfs}
+
+    top = search(index, Or(*[Term(t) for t in terms]), k=k)
+    pt = postings_table(index, list(dfs)).join(
+        F.broadcast(top), "doc_id"
+    )
+
+    schema = ("doc_id long, term string, tf long, df long, dl long, "
+              "idf float, partial float, score float")
+
+    def _kern(batches):
+        for pdf in batches:
+            nb = pdf["norm_byte"].to_numpy().astype(np.int64) & 0xFF
+            tf = pdf["tf"].to_numpy()
+            part = np.empty(len(pdf), dtype=np.float32)
+            idf = np.empty(len(pdf), dtype=np.float32)
+            dfc = np.empty(len(pdf), dtype=np.int64)
+            for t, w in weights.items():
+                m = (pdf["term"] == t).to_numpy()
+                if not m.any():
+                    continue
+                part[m] = sim.score(tf[m], nb[m], w, cache)
+                idf[m] = w
+                dfc[m] = dfs[t]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "term": pdf["term"],
+                "tf": tf.astype(np.int64),
+                "df": dfc,
+                "dl": LENGTH_TABLE[nb].astype(np.int64),
+                "idf": idf,
+                "partial": part,
+                "score": pdf["score"].astype(np.float32),
+            })
+
+    return pt.mapInPandas(_kern, schema)

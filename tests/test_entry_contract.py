@@ -69,6 +69,7 @@ SUBSET = [
     "json_facet_nested",
     "span_first",
     "spell_collate",
+    "explain_bm25",
 ]
 
 

@@ -196,3 +196,33 @@ def test_spellcheck_collate(spark):
     got2 = [(r["collation"], r["total_dist"], r["hits"])
             for r in spellcheck_collate(idx, ["scan", "merge"]).collect()]
     assert got2 == [("scan merge", 0, 2)]
+
+
+def test_explain_components_sum_to_score(spark):
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import BM25
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Or, Term, search
+    from lucene_solr_spark.search.extras import explain
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(["alpha"] * (i % 3 + 1) + ["beta"] * (i % 2) + ["pad"] * i))
+         for i in range(12)],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(corpus, "doc_id", "content")
+    rows = explain(idx, ["alpha", "beta"], k=5).collect()
+    want = {r["doc_id"]: np.float32(r["score"])
+            for r in search(idx, Or(Term("alpha"), Term("beta")), k=5).collect()}
+    assert {r["doc_id"] for r in rows} == set(want)
+    # per-doc: f64 sum of f32 partials cast f32 == the scorer's score
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + float(np.float32(r["partial"]))
+        assert np.float32(r["idf"]) == BM25().weight(r["df"], idx.doc_count)
+        assert r["tf"] >= 1 and r["dl"] >= 1
+    for d, s in by_doc.items():
+        assert np.float32(s) == want[d], d
+        # the reported combined score matches too
+    assert all(np.float32(r["score"]) == want[r["doc_id"]] for r in rows)
