@@ -1091,6 +1091,35 @@ def q_phonetic_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REGEX_TERMS_PAT = "^[sm].*[aegn]$"
+
+
+def q_regexp_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent terms.regex browse: dictionary terms matching a
+    regex with their df, term-ordered (the RegexpQuery dictionary scan
+    without scoring)."""
+    index = _index_for(spark, sf_dir)
+    return (
+        index.term_dict.filter(F.col("term").rlike(REGEX_TERMS_PAT))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
+def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopFieldCollector: top-10 docs matching BM25_TERM ordered by
+    (n_chars desc, doc_id asc) — field sort instead of relevance."""
+    from lucene_solr_spark.search import Term
+    from lucene_solr_spark.search.extras import sort_by_field
+
+    index = _index_for(spark, sf_dir)
+    dv = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return sort_by_field(
+        index, Term(BM25_TERM), dv,
+        [F.desc("n_chars"), F.asc("doc_id")], k=10,
+    ).select("doc_id", "n_chars")
+
+
 def q_explain_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexSearcher#explain analog: per-(doc, term) BM25 components
     (tf, df, quantized dl, f32 partial, f32 combined) for the OR
@@ -1730,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": q_span_first,
         "spell_collate": q_spell_collate,
         "explain_bm25": q_explain_bm25,
+        "regexp_terms": q_regexp_terms,
+        "sort_by_field": q_sort_by_field,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2130,6 +2161,17 @@ SELECT doc_id,
      + 0.25 * (CAST(f_lang_en AS DOUBLE))
      + 0.5 * (CAST(f_orig AS DOUBLE)) AS FLOAT) AS score
 FROM feat ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "regexp_terms": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY term)
+SELECT term, df FROM td WHERE regexp_matches(term, '{REGEX_TERMS_PAT}')
+ORDER BY term""",
+        "sort_by_field": f"""
+WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
+SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
         "explain_bm25": f"""
 WITH {_TOK_CTE},
 {_DL_CTE},

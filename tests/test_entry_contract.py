@@ -70,6 +70,8 @@ SUBSET = [
     "span_first",
     "spell_collate",
     "explain_bm25",
+    "regexp_terms",
+    "sort_by_field",
 ]
 
 
