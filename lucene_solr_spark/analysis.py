@@ -55,6 +55,7 @@ __all__ = [
     "stem_filter",
     "ascii_fold_filter",
     "phonetic_filter",
+    "double_metaphone_filter",
     "synonym_filter",
     "edge_ngram_filter",
     "shingle_filter",
@@ -349,6 +350,11 @@ class Expand:
     fn: Callable[[str], tuple]
     name: str = "expand"
     params: tuple = ()
+    #: True for REPLACING encoders (the original token is not indexed),
+    #: so query-side analysis must expand query terms through ``fn`` too
+    #: (Lucene's QueryBuilder turns same-position multi-token analysis
+    #: into a SynonymQuery; the engine builds an Or over the codes).
+    query_expand: bool = False
 
     def __eq__(self, other):
         return (
@@ -393,6 +399,29 @@ def phonetic_filter() -> Map:
     (tokens are REPLACED by their codes; query-side analysis maps query
     terms through the same encoder, so 'robert' matches 'rupert')."""
     return Map(soundex, "soundex")
+
+
+def double_metaphone_filter(inject: bool = False, max_code_len: int = 4) -> Expand:
+    """PhoneticFilterFactory with the DoubleMetaphone encoder
+    (``[8x] lucene/analysis/phonetic/.../DoubleMetaphoneFilter.java``):
+    emits the primary code at the token's position plus the alternate
+    code when it differs; ``inject=True`` keeps the original token too
+    (DoubleMetaphoneFilter's inject flag).  Empty codes are skipped,
+    like the Java filter's ``encode().length == 0`` guard."""
+    from .phonetic import double_metaphone
+
+    def fn(t: str) -> tuple:
+        pri, alt = double_metaphone(t, max_code_len)
+        out = (t,) if inject else ()
+        if pri:
+            out += (pri,)
+        if alt and alt != pri:
+            out += (alt,)
+        return out
+
+    return Expand(fn, "double_metaphone",
+                  params=(bool(inject), int(max_code_len)),
+                  query_expand=not inject)
 
 
 def synonym_filter(mapping: dict[str, Iterable[str]], keep_original: bool = True) -> Expand:
@@ -603,6 +632,12 @@ def chain_spec(chain: Chain) -> dict | None:
                 {"kind": "edge_ngram", "min_gram": mn, "max_gram": mx,
                  "keep_original": keep}
             )
+        elif isinstance(step, Expand) and step.name == "double_metaphone" and step.params:
+            inject, mcl = step.params
+            steps.append(
+                {"kind": "double_metaphone", "inject": inject,
+                 "max_code_len": mcl}
+            )
         elif isinstance(step, Shingle):
             steps.append(
                 {"kind": "shingle", "size": step.size, "sep": step.sep,
@@ -635,6 +670,11 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(
                 edge_ngram_filter(s.get("min_gram", 2), s.get("max_gram", 5),
                                   s.get("keep_original", False))
+            )
+        elif kind == "double_metaphone":
+            steps.append(
+                double_metaphone_filter(s.get("inject", False),
+                                        s.get("max_code_len", 4))
             )
         elif kind == "shingle":
             steps.append(

@@ -1,0 +1,439 @@
+"""Double Metaphone phonetic encoder.
+
+Second phonetic encoder for the analysis chain (besides Soundex),
+matching Lucene's ``DoubleMetaphoneFilter`` ([8x] lucene/analysis/
+phonetic/src/java/org/apache/lucene/analysis/phonetic/
+DoubleMetaphoneFilter.java), which delegates to commons-codec's
+``DoubleMetaphone`` encoder.  Implemented from Lawrence Philips'
+published algorithm ("The Double Metaphone Search Algorithm", C/C++
+Users Journal, June 2000) — the same public source commons-codec
+implements — and pinned against the commons-codec test vectors in
+tests/test_analysis_chain.py.
+
+The encoder returns a (primary, alternate) pair of codes truncated to
+``max_code_len`` (commons-codec default 4).  ``DoubleMetaphoneFilter``
+emits the primary code in place of the token and, when the alternate
+differs, a second token at the same position; with ``inject=true`` the
+original token is kept too — the chain's ``Expand`` step models exactly
+that (same-position multi-token output).
+"""
+
+from __future__ import annotations
+
+__all__ = ["double_metaphone"]
+
+_VOWELS = frozenset("AEIOUY")
+
+
+def _is_slavo_germanic(w: str) -> bool:
+    return "W" in w or "K" in w or "CZ" in w or "WITZ" in w
+
+
+def _is_vowel(padded: str, i: int) -> bool:
+    return 0 <= i < len(padded) and padded[i] in _VOWELS
+
+
+def double_metaphone(value: str, max_code_len: int = 4) -> tuple[str, str]:
+    """Return (primary, alternate) Double Metaphone codes for ``value``.
+
+    Non-alphabetic input encodes to ("", "") like commons-codec's
+    ``cleanInput`` → null behavior on empty strings; mixed tokens are
+    encoded on their uppercased form with non-letters treated as
+    no-ops (they advance the cursor and emit nothing).
+    """
+    w = (value or "").strip().upper()
+    if not w:
+        return "", ""
+    length = len(w)
+    last = length - 1
+    # 5-space pad so all lookahead slices are safe (the C original's
+    # working-string pad).
+    p = w + "     "
+    sg = _is_slavo_germanic(w)
+
+    pri: list[str] = []
+    sec: list[str] = []
+
+    def add(a: str, b: str | None = None) -> None:
+        pri.append(a)
+        sec.append(a if b is None else b)
+
+    i = 0
+    # silent leading letters: GN, KN, PN, WR, PS
+    if w[:2] in ("GN", "KN", "PN", "WR", "PS"):
+        i = 1
+    # initial X is pronounced Z (e.g. Xavier) → S
+    elif w[0] == "X":
+        add("S")
+        i = 1
+
+    while i < length and (len("".join(pri)) < max_code_len
+                          or len("".join(sec)) < max_code_len):
+        c = p[i]
+        if c in _VOWELS:
+            if i == 0:
+                add("A")
+            i += 1
+        elif c == "B":
+            add("P")
+            i += 2 if p[i + 1] == "B" else 1
+        elif c == "Ç":  # Ç
+            add("S")
+            i += 1
+        elif c == "C":
+            i = _handle_c(p, i, last, add)
+        elif c == "D":
+            if p[i:i + 2] == "DG":
+                if p[i + 2] in "IEY":
+                    add("J")
+                    i += 3
+                else:
+                    add("TK")
+                    i += 2
+            elif p[i:i + 2] in ("DT", "DD"):
+                add("T")
+                i += 2
+            else:
+                add("T")
+                i += 1
+        elif c == "F":
+            add("F")
+            i += 2 if p[i + 1] == "F" else 1
+        elif c == "G":
+            i = _handle_g(p, i, sg, add)
+        elif c == "H":
+            # keep only when between vowels or leading + vowel
+            if (i == 0 or _is_vowel(p, i - 1)) and _is_vowel(p, i + 1):
+                add("H")
+                i += 2
+            else:
+                i += 1
+        elif c == "J":
+            i = _handle_j(p, i, last, length, sg, add)
+        elif c == "K":
+            add("K")
+            i += 2 if p[i + 1] == "K" else 1
+        elif c == "L":
+            if p[i + 1] == "L":
+                # spanish e.g. cabrillo, gallegos
+                if ((i == length - 3 and p[i - 1:i + 3] in ("ILLO", "ILLA", "ALLE"))
+                        or ((p[last - 1:last + 1] in ("AS", "OS")
+                             or p[last] in "AO")
+                            and p[i - 1:i + 3] == "ALLE")):
+                    add("L", "")
+                    i += 2
+                else:
+                    add("L")
+                    i += 2
+            else:
+                add("L")
+                i += 1
+        elif c == "M":
+            if ((p[i - 1:i + 2] == "UMB"
+                 and (i + 1 == last or p[i + 2:i + 4] == "ER"))
+                    or p[i + 1] == "M"):
+                i += 2
+            else:
+                i += 1
+            add("M")
+        elif c == "N":
+            add("N")
+            i += 2 if p[i + 1] == "N" else 1
+        elif c == "Ñ":  # Ñ
+            add("N")
+            i += 1
+        elif c == "P":
+            if p[i + 1] == "H":
+                add("F")
+                i += 2
+            else:
+                add("P")
+                i += 2 if p[i + 1] in "PB" else 1
+        elif c == "Q":
+            add("K")
+            i += 2 if p[i + 1] == "Q" else 1
+        elif c == "R":
+            # french e.g. rogier, exclude van den berger
+            if (i == last and not sg and p[i - 2:i] == "IE"
+                    and p[i - 4:i - 2] not in ("ME", "MA")):
+                add("", "R")
+            else:
+                add("R")
+            i += 2 if p[i + 1] == "R" else 1
+        elif c == "S":
+            i = _handle_s(p, i, last, sg, add)
+        elif c == "T":
+            i = _handle_t(p, i, add)
+        elif c == "V":
+            add("F")
+            i += 2 if p[i + 1] == "V" else 1
+        elif c == "W":
+            i = _handle_w(p, i, last, add)
+        elif c == "X":
+            # french e.g. breaux — silent final X
+            if not (i == last and (p[i - 3:i] in ("IAU", "EAU")
+                                   or p[i - 2:i] in ("AU", "OU"))):
+                add("KS")
+            i += 2 if p[i + 1] in "CX" else 1
+        elif c == "Z":
+            if p[i + 1] == "H":
+                # chinese pinyin e.g. zhao
+                add("J")
+                i += 2
+            else:
+                if (p[i + 1:i + 3] in ("ZO", "ZI", "ZA")
+                        or (sg and i > 0 and p[i - 1] != "T")):
+                    add("S", "TS")
+                else:
+                    add("S")
+                i += 2 if p[i + 1] == "Z" else 1
+        else:
+            i += 1
+
+    return "".join(pri)[:max_code_len], "".join(sec)[:max_code_len]
+
+
+def _handle_c(p: str, i: int, last: int, add) -> int:
+    # germanic -ACH- (e.g. michael, bacher) but not machine
+    if (i > 1 and not _is_vowel(p, i - 2) and p[i - 1:i + 2] == "ACH"
+            and p[i + 2] != "I"
+            and (p[i + 2] != "E" or p[i - 2:i + 4] in ("BACHER", "MACHER"))):
+        add("K")
+        return i + 2
+    if i == 0 and p[:6] == "CAESAR":
+        add("S")
+        return i + 2
+    if p[i:i + 4] == "CHIA":  # italian chianti
+        add("K")
+        return i + 2
+    if p[i:i + 2] == "CH":
+        if i > 0 and p[i:i + 4] == "CHAE":  # michael
+            add("K", "X")
+            return i + 2
+        # greek roots at start: chorus, chymera, character...
+        if (i == 0
+                and (p[i + 1:i + 6] in ("HARAC", "HARIS")
+                     or p[i + 1:i + 4] in ("HOR", "HYM", "HIA", "HEM"))
+                and p[:5] != "CHORE"):
+            add("K")
+            return i + 2
+        # germanic contexts → K
+        if (p[:4] in ("VAN ", "VON ") or p[:3] == "SCH"
+                or p[i - 2:i + 4] in ("ORCHES", "ARCHIT", "ORCHID")
+                or p[i + 2] in ("T", "S")
+                or ((p[i - 1] in "AOUE" or i == 0)
+                    and p[i + 2] in "LRNMBHFVW ")):
+            add("K")
+            return i + 2
+        if i > 0:
+            if p[:2] == "MC":  # mcHugh
+                add("K")
+            else:
+                add("X", "K")
+        else:
+            add("X")
+        return i + 2
+    if p[i:i + 2] == "CZ" and p[i - 2:i + 2] != "WICZ":  # czerny
+        add("S", "X")
+        return i + 2
+    if p[i + 1:i + 4] == "CIA":  # focaccia
+        add("X")
+        return i + 3
+    # double C, but not McClellan
+    if p[i:i + 2] == "CC" and not (i == 1 and p[0] == "M"):
+        if p[i + 2] in "IEH" and p[i + 2:i + 4] != "HU":
+            # accident, accede, succeed
+            if ((i == 1 and p[0] == "A")
+                    or p[i - 1:i + 4] in ("UCCEE", "UCCES")):
+                add("KS")
+            else:  # bacci, bertucci
+                add("X")
+            return i + 3
+        add("K")  # pierce's rule
+        return i + 2
+    if p[i:i + 2] in ("CK", "CG", "CQ"):
+        add("K")
+        return i + 2
+    if p[i:i + 2] in ("CI", "CE", "CY"):
+        if p[i:i + 3] in ("CIO", "CIE", "CIA"):  # italian vs english
+            add("S", "X")
+        else:
+            add("S")
+        return i + 2
+    add("K")
+    if p[i + 1:i + 3] in (" C", " Q", " G"):  # mac caffrey, mac gregor
+        return i + 3
+    if p[i + 1] in "CKQ" and p[i + 1:i + 3] not in ("CE", "CI"):
+        return i + 2
+    return i + 1
+
+
+def _handle_g(p: str, i: int, sg: bool, add) -> int:
+    if p[i + 1] == "H":
+        if i > 0 and not _is_vowel(p, i - 1):
+            add("K")
+            return i + 2
+        if i == 0:
+            if p[i + 2] == "I":  # ghislane, ghiradelli
+                add("J")
+            else:
+                add("K")
+            return i + 2
+        # parker's rule (with some further refinements) — e.g. hugh
+        if ((i > 1 and p[i - 2] in "BHD")
+                or (i > 2 and p[i - 3] in "BHD")  # e.g. bough
+                or (i > 3 and p[i - 4] in "BH")):  # e.g. broughton
+            return i + 2
+        # e.g. laugh, mcLaughlin, cough, gough, rough, tough
+        if i > 2 and p[i - 1] == "U" and p[i - 3] in "CGLRT":
+            add("F")
+        elif i > 0 and p[i - 1] != "I":
+            add("K")
+        return i + 2
+    if p[i + 1] == "N":
+        if i == 1 and _is_vowel(p, 0) and not sg:
+            add("KN", "N")
+        elif p[i + 2:i + 4] != "EY" and p[i + 1] != "Y" and not sg:
+            # not e.g. cagney
+            add("N", "KN")
+        else:
+            add("KN")
+        return i + 2
+    if p[i + 1:i + 3] == "LI" and not sg:  # tagliaro
+        add("KL", "L")
+        return i + 2
+    # -ges-, -gep-, -gel-, -gie- at beginning
+    if i == 0 and (p[i + 1] == "Y"
+                   or p[i + 1:i + 3] in ("ES", "EP", "EB", "EL", "EY", "IB",
+                                         "IL", "IN", "IE", "EI", "ER")):
+        add("K", "J")
+        return i + 2
+    # -ger-, -gy-
+    if ((p[i + 1:i + 3] == "ER" or p[i + 1] == "Y")
+            and p[:6] not in ("DANGER", "RANGER", "MANGER")
+            and p[i - 1] not in "EI"
+            and p[i - 1:i + 2] not in ("RGY", "OGY")):
+        add("K", "J")
+        return i + 2
+    # italian e.g. biaggi
+    if p[i + 1] in "EIY" or p[i - 1:i + 3] in ("AGGI", "OGGI"):
+        if (p[:4] in ("VAN ", "VON ") or p[:3] == "SCH"
+                or p[i + 1:i + 3] == "ET"):  # obvious germanic
+            add("K")
+        elif p[i + 1:i + 5] == "IER ":  # always soft if french ending
+            add("J")
+        else:
+            add("J", "K")
+        return i + 2
+    add("K")
+    return i + 2 if p[i + 1] == "G" else i + 1
+
+
+def _handle_j(p: str, i: int, last: int, length: int, sg: bool, add) -> int:
+    # obvious spanish: jose, san jacinto
+    if p[i:i + 4] == "JOSE" or p[:4] == "SAN ":
+        if (i == 0 and p[i + 4] == " ") or length == 4 or p[:4] == "SAN ":
+            add("H")
+        else:
+            add("J", "H")
+        return i + 1
+    if i == 0:
+        add("J", "A")  # e.g. yankelovich / jankelowicz
+    elif (_is_vowel(p, i - 1) and not sg and p[i + 1] in "AO"):
+        # spanish pronunciation of e.g. bajador
+        add("J", "H")
+    elif i == last:
+        add("J", "")
+    elif p[i + 1] not in "LTKSNMBZ" and p[i - 1] not in "SKL":
+        add("J")
+    return i + 2 if p[i + 1] == "J" else i + 1
+
+
+def _handle_s(p: str, i: int, last: int, sg: bool, add) -> int:
+    # special cases: island, isle, carlisle, carlysle
+    if p[i - 1:i + 2] in ("ISL", "YSL"):
+        return i + 1
+    if i == 0 and p[:5] == "SUGAR":
+        add("X", "S")
+        return i + 1
+    if p[i:i + 2] == "SH":
+        # germanic
+        if p[i + 1:i + 5] in ("HEIM", "HOEK", "HOLM", "HOLZ"):
+            add("S")
+        else:
+            add("X")
+        return i + 2
+    # italian & armenian
+    if p[i:i + 3] in ("SIO", "SIA") or p[i:i + 4] == "SIAN":
+        add("S", "S" if sg else "X")
+        return i + 3
+    # german & anglicisations e.g. smith ↔ schmidt, snider ↔ schneider
+    if (i == 0 and p[i + 1] in "MNLW") or p[i + 1] == "Z":
+        add("S", "X")
+        return i + 2 if p[i + 1] == "Z" else i + 1
+    if p[i:i + 2] == "SC":
+        if p[i + 2] == "H":  # schlesinger's rule
+            if p[i + 3:i + 5] in ("OO", "ER", "EN", "UY", "ED", "EM"):
+                # dutch origin e.g. school, schooner
+                if p[i + 3:i + 5] in ("ER", "EN"):  # schermerhorn, schenker
+                    add("X", "SK")
+                else:
+                    add("SK")
+                return i + 3
+            if i == 0 and not _is_vowel(p, 3) and p[3] != "W":
+                add("X", "S")
+            else:
+                add("X")
+            return i + 3
+        if p[i + 2] in "IEY":
+            add("S")
+            return i + 3
+        add("SK")
+        return i + 3
+    # french e.g. resnais, artois
+    if i == last and p[i - 2:i] in ("AI", "OI"):
+        add("", "S")
+    else:
+        add("S")
+    return i + 2 if p[i + 1] in "SZ" else i + 1
+
+
+def _handle_t(p: str, i: int, add) -> int:
+    if p[i:i + 4] == "TION":
+        add("X")
+        return i + 3
+    if p[i:i + 3] in ("TIA", "TCH"):
+        add("X")
+        return i + 3
+    if p[i:i + 2] == "TH" or p[i:i + 3] == "TTH":
+        # special case: thomas, thames, or germanic
+        if (p[i + 2:i + 4] in ("OM", "AM") or p[:4] in ("VAN ", "VON ")
+                or p[:3] == "SCH"):
+            add("T")
+        else:
+            add("0", "T")
+        return i + 2
+    add("T")
+    return i + 2 if p[i + 1] in "TD" else i + 1
+
+
+def _handle_w(p: str, i: int, last: int, add) -> int:
+    if p[i:i + 2] == "WR":  # can also be in the middle of a word
+        add("R")
+        return i + 2
+    if i == 0 and (_is_vowel(p, i + 1) or p[i:i + 2] == "WH"):
+        if _is_vowel(p, i + 1):  # wasserman should match vasserman
+            add("A", "F")
+        else:  # need uomo to match whomo
+            add("A")
+    # arnow should match arnoff
+    if ((i == last and _is_vowel(p, i - 1))
+            or p[i - 1:i + 4] in ("EWSKI", "EWSKY", "OWSKI", "OWSKY")
+            or p[:3] == "SCH"):
+        add("", "F")
+        return i + 1
+    # polish e.g. filipowicz
+    if p[i:i + 4] in ("WICZ", "WITZ"):
+        add("TS", "FX")
+        return i + 4
+    return i + 1

@@ -601,29 +601,49 @@ def analyze_query(q, analyzer):
     * a stopped MUST/SHOULD Term inside And/Or/Bool is removed (Lucene's
       StopFilter behavior in parsed queries); a query that becomes empty
       returns MatchAll-of-nothing via a never-matching Term;
-    * Expand/Shingle steps are index-side only (they add index terms;
-      the surface query term still matches), so they are identity here.
+    * Expand/Shingle steps that ADD index terms (synonym, edge-ngram,
+      shingle — the original token is still indexed) are identity here;
+    * Expand steps that REPLACE the token (``query_expand=True``, e.g.
+      the DoubleMetaphone encoder with inject=false) expand a query
+      Term into an Or over the produced codes — Lucene's QueryBuilder
+      emits a SynonymQuery for same-position multi-token analysis
+      ([8x] lucene/core/.../util/QueryBuilder.java#analyzeBoolean) —
+      and a Phrase position takes the primary (first) code.
     """
-    from ..analysis import Length, Map, Stop
+    from ..analysis import Expand, Length, Map, Stop
 
-    def one(term: str) -> str | None:
+    def many(term: str) -> list[str]:
+        variants = [term]
         for step in analyzer.steps:
             if isinstance(step, Stop):
-                if term in step.words:
-                    return None
+                variants = [t for t in variants if t not in step.words]
             elif isinstance(step, Length):
-                if not (step.min_len <= len(term) <= step.max_len):
-                    return None
+                variants = [t for t in variants
+                            if step.min_len <= len(t) <= step.max_len]
             elif isinstance(step, Map):
-                term = step.fn(term)
-        return term
+                variants = [step.fn(t) for t in variants]
+            elif isinstance(step, Expand) and step.query_expand:
+                variants = [u for t in variants for u in step.fn(t)]
+            if not variants:
+                return []
+        # dedupe, order-preserving (primary code first)
+        seen: set = set()
+        return [t for t in variants if not (t in seen or seen.add(t))]
+
+    def one(term: str) -> str | None:
+        v = many(term)
+        return v[0] if v else None
 
     NO_MATCH = Term("\x00no_match")
 
     def walk(n):
         if isinstance(n, Term):
-            t = one(n.term)
-            return None if t is None else Term(t, n.boost)
+            ts = many(n.term)
+            if not ts:
+                return None
+            if len(ts) == 1:
+                return Term(ts[0], n.boost)
+            return Or(*[Term(t, n.boost) for t in ts])
         if isinstance(n, Phrase):
             terms = [one(t) for t in n.terms]
             if any(t is None for t in terms):

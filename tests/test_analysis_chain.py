@@ -12,6 +12,7 @@ from lucene_solr_spark.analysis import (
     LATIN_TOKEN_PATTERN,
     ascii_fold,
     ascii_fold_filter,
+    double_metaphone_filter,
     edge_ngram_filter,
     length_filter,
     porter_stem,
@@ -89,6 +90,8 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (stop_filter(["of"]), stem_filter(), shingle_filter(2)),
         (length_filter(3, 8),),
         (length_filter(2, 6), stem_filter()),
+        (double_metaphone_filter(),),
+        (double_metaphone_filter(inject=True), shingle_filter(2)),
     ],
 )
 def test_chain_flat_matches_reference(steps):
@@ -322,4 +325,82 @@ def test_length_filter_semantics(spark):
     hits = {r["doc_id"] for r in search(idx, q, k=10).collect()}
     assert hits == {0}
     # spec round-trip
+    assert chain_from_spec(chain_spec(chain)) == chain
+
+
+def test_double_metaphone_published_vectors():
+    """Vectors from commons-codec's DoubleMetaphoneTest (the encoder
+    Lucene's DoubleMetaphoneFilter delegates to) plus the classic pairs
+    from Philips' published article."""
+    from lucene_solr_spark.phonetic import double_metaphone as dm
+
+    # primary codes
+    for w, code in {
+        "testing": "TSTN", "The": "0", "quick": "KK", "brown": "PRN",
+        "fox": "FKS", "jumped": "JMPT", "over": "AFR", "lazy": "LS",
+        "dogs": "TKS", "jose": "HS", "Xavier": "SF",
+        "smith": "SM0", "schmidt": "XMT", "snider": "SNTR",
+        "schneider": "XNTR", "ghost": "KST", "ghislane": "JLN",
+        "knight": "NT", "wright": "RT", "island": "ALNT",
+        "school": "SKL", "michael": "MKL", "filipowicz": "FLPT",
+        "rough": "RF", "cough": "KF", "dumb": "TM", "edge": "AJ",
+        "edgar": "ATKR", "zhao": "J", "breaux": "PR",
+        "focaccia": "FKX", "chianti": "KNT", "mcclellan": "MKLL",
+        "accident": "AKST", "succeed": "SKST",
+    }.items():
+        assert dm(w)[0] == code, w
+
+    # primary/alternate pairs (anglicisation matching is the point)
+    for w, (p, a) in {
+        "The": ("0", "T"),
+        "smith": ("SM0", "XMT"),
+        "schmidt": ("XMT", "SMT"),
+        "snider": ("SNTR", "XNTR"),
+        "schneider": ("XNTR", "SNTR"),
+        "michael": ("MKL", "MXL"),
+        "wasserman": ("ASRM", "FSRM"),
+        "arnow": ("ARN", "ARNF"),
+        "jankelowicz": ("JNKL", "ANKL"),
+        "cabrillo": ("KPRL", "KPR"),
+        "sugar": ("XKR", "SKR"),
+        "tagliaro": ("TKLR", "TLR"),
+        "danger": ("TNJR", "TNKR"),
+    }.items():
+        assert dm(w) == (p, a), w
+
+    # non-alpha / empty pass-through contract
+    assert dm("") == ("", "")
+    assert dm("   ") == ("", "")
+    # digits advance without emitting
+    assert dm("x86")[0] == "S"   # initial X is pronounced Z -> S
+
+
+def test_double_metaphone_filter_semantics():
+    """Filter emits primary (+ alternate when different); inject keeps
+    the original — DoubleMetaphoneFilter's contract."""
+    chain = Chain(steps=(double_metaphone_filter(),))
+    toks = [t for t, _ in chain.tokens("smith knight")]
+    assert toks == ["SM0", "XMT", "NT"]
+    # positions: both codes of a token stack at the SAME position
+    assert [p for _, p in chain.tokens("smith knight")] == [0, 0, 1]
+
+    inj = Chain(steps=(double_metaphone_filter(inject=True),))
+    assert [t for t, _ in inj.tokens("smith")] == ["smith", "SM0", "XMT"]
+
+
+def test_double_metaphone_chain_query_side(spark):
+    """smith query matches schmidt doc via the shared alternate code;
+    spec round-trips so appends never need the chain re-supplied."""
+    from lucene_solr_spark.analysis import chain_from_spec, chain_spec
+    from lucene_solr_spark.search import analyze_query
+
+    chain = Chain(steps=(double_metaphone_filter(),))
+    rows = [(0, "smith wrote code"), (1, "schmidt reviewed it"),
+            (2, "jones merged it")]
+    corpus = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index_view(corpus, "doc_id", "content", analyzer=chain)
+    q = analyze_query(parse_query("smith"), chain)
+    hits = {r["doc_id"] for r in search(idx, q, k=10).collect()}
+    assert hits == {0, 1}      # schmidt matches via XMT
+
     assert chain_from_spec(chain_spec(chain)) == chain
