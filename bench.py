@@ -59,14 +59,38 @@ def main() -> None:
         timings[name] = round(best, 3)
         return out
 
+    def timed_build(name_build, name_mat, fn_build, repeat=2):
+        # builds are lazy plans; the materialize count does the work, so
+        # the repeat unit is (plan + materialize).  idx.unpersist() drops
+        # the ACTUALLY-persisted frames between iterations (unpersisting
+        # idx.postings alone is a no-op in the fused path and the next
+        # canonically-equal build would read the stale cache — verified
+        # by plan inspection), so every repeat recomputes honestly.
+        # min-of-N for the same co-tenant-noise reason as the queries.
+        best = None
+        idx = None
+        for _ in range(repeat):
+            if idx is not None:
+                idx.unpersist()
+            t0 = time.time()
+            idx = fn_build()
+            t_build = time.time() - t0
+            t0 = time.time()
+            idx.postings.count()
+            t_mat = time.time() - t0
+            if best is None or t_build + t_mat < best[0] + best[1]:
+                best = (t_build, t_mat)
+        timings[name_build] = round(best[0], 3)
+        timings[name_mat] = round(best[1], 3)
+        return idx
+
     # ---- index build over the driver `documents` table -------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    index = timed(
-        "build_documents_index",
+    index = timed_build(
+        "build_documents_index", "materialize_postings",
         lambda: build_index_view(docs, id_col="doc_id", text_col="text"),
     )
-    timed("materialize_postings", lambda: index.postings.count())
     extra["documents_docs_per_sec"] = round(
         n_docs / (timings["build_documents_index"] + timings["materialize_postings"]), 1
     )
@@ -85,11 +109,10 @@ def main() -> None:
         "content_sha256", F.sha2(F.col("content"), 256)
     )
     corpus = assign_doc_ids(corpus)
-    cindex = timed(
-        "build_code_index",
+    cindex = timed_build(
+        "build_code_index", "materialize_code_postings",
         lambda: build_index_view(corpus, id_col="doc_id", text_col="content"),
     )
-    timed("materialize_code_postings", lambda: cindex.postings.count())
     build_sec = timings["build_code_index"] + timings["materialize_code_postings"]
     extra["code_docs_per_sec"] = round(CORPUS_DOCS / build_sec, 1)
     extra["code_corpus_docs"] = CORPUS_DOCS
@@ -114,12 +137,18 @@ def main() -> None:
     )
 
     timed("q_dedup_exact", lambda: exact_dedup(docs).count(), repeat=2)
-    # single-shot: lsh_candidate_pairs persists its banded frame
-    # internally, so a repeat would measure the cache, not the op
-    timed(
-        "q_minhash_lsh",
-        lambda: lsh_candidate_pairs(minhash_signatures(docs)).count(),
-    )
+
+    # min-of-2 with the internal banded-frame persist dropped between
+    # runs (CacheManager matches canonicalized plans, so run 2 would
+    # otherwise read run 1's cache instead of recomputing — verified)
+    def _minhash_once():
+        pairs = lsh_candidate_pairs(minhash_signatures(docs))
+        n = pairs.count()
+        for frame in pairs._lss_cached:
+            frame.unpersist()
+        return n
+
+    timed("q_minhash_lsh", _minhash_once, repeat=2)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     timed("q_knn_cosine", lambda: cosine_topk(emb, qv, k=10, exclude_ids=[0]).collect(),
@@ -145,7 +174,7 @@ def main() -> None:
     )
 
     extra["loadavg_end"] = round(os.getloadavg()[0], 1)
-    extra["query_protocol"] = "queries min_of_2; builds+minhash single-shot"
+    extra["query_protocol"] = "min_of_2 everywhere (fresh lineage per build/minhash repeat)"
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

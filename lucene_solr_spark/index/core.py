@@ -562,6 +562,20 @@ class IndexView:
     #: per-field opt-in there too); MoreLikeThis reads ONE row from it
     #: instead of decoding the posting store
     term_vectors: DataFrame | None = None
+    #: the frames that were actually ``.persist()``-ed at build time.
+    #: In the fused path that is the blocks frame UNDER postings/norms,
+    #: not postings itself — unpersisting ``idx.postings`` would be a
+    #: no-op and a later identically-built index would silently read
+    #: this cache (CacheManager matches canonicalized plans).
+    cached: tuple = ()
+
+    def unpersist(self) -> None:
+        """Drop every frame this index persisted (IndexReader#close).
+        Required between repeated benchmark builds: without it the next
+        build's canonically-equal plan reads this cache instead of
+        recomputing."""
+        for frame in self.cached:
+            frame.unpersist()
 
     def field_of(self, term: str) -> str | None:
         if self.field_stats is None:
@@ -735,6 +749,8 @@ def build_multifield_index_view(
         field_stats=per_field,
         default_field=default_field or next(iter(fields)),
         term_vectors=tv,
+        cached=((blocks_all, norms) if cache else ())
+               + ((tv,) if cache and tv is not None else ()),
     )
 
 
@@ -799,6 +815,8 @@ def build_index_view(
             sum_ttf=int(stats["ttf"]),
             bm25=bm25 or BM25(),
             term_vectors=tv,
+            cached=((blocks_all,) if cache else ())
+                   + ((tv,) if cache and tv is not None else ()),
         )
     else:
         salt_terms: frozenset[str] | None = None
@@ -834,4 +852,6 @@ def build_index_view(
         sum_ttf=int(stats["ttf"]),
         bm25=bm25 or BM25(),
         term_vectors=tv,
+        cached=((postings, norms) if cache else ())
+               + ((tv,) if cache and tv is not None else ()),
     )

@@ -202,11 +202,16 @@ def lsh_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     match = "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-    return pairs.select(
+    out = pairs.select(
         "id_a",
         "id_b",
         F.expr(f"cast(cast({match} as double) / 16 as float)").alias("est_jaccard"),
     )
+    # handle for callers that must drop the internal cache (repeated
+    # benchmark runs: a later canonically-equal lineage would otherwise
+    # silently read this persist instead of recomputing)
+    out._lss_cached = (e,) if cache else ()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
