@@ -562,6 +562,15 @@ class IndexView:
     #: per-field opt-in there too); MoreLikeThis reads ONE row from it
     #: instead of decoding the posting store
     term_vectors: DataFrame | None = None
+    #: driver-side memo of term → (df, cf) dictionary lookups.  Lucene's
+    #: term dictionary is a RAM-resident FST — TermStates lookup costs
+    #: microseconds there; ours lives in a DataFrame, so without the memo
+    #: every query pays a whole Spark job just to re-read two ints it
+    #: already read.  Sound because a view's stats are immutable: buffered
+    #: deletes leave df/cf untouched until merge (Lucene semantics), and
+    #: merges/appends produce a NEW view.  Bounded by distinct query
+    #: terms, so it stays O(workload), never O(vocabulary).
+    stats_memo: dict = field(default_factory=dict, repr=False)
     #: the frames that were actually ``.persist()``-ed at build time.
     #: In the fused path that is the blocks frame UNDER postings/norms,
     #: not postings itself — unpersisting ``idx.postings`` would be a

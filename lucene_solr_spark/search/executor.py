@@ -255,9 +255,20 @@ def _decode_score_udf(weights: dict[str, float], caches, score_fn=BM25.score):
 
 def _leaf_stats_full(index: IndexView, terms: list[str]) -> dict[str, tuple[int, int]]:
     """term → (docFreq, collectionFreq) from the dictionary — the
-    TermStatistics pair (LMDirichlet needs cf; BM25/Classic use df)."""
-    rows = index.term_dict.filter(F.col("term").isin(terms)).collect()
-    return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+    TermStatistics pair (LMDirichlet needs cf; BM25/Classic use df).
+
+    Memoized per view (``IndexView.stats_memo``): Lucene's dictionary is
+    a RAM FST, so the lookup there is free; re-running a Spark job per
+    query for two ints is not.  Missing terms memoize as None so absent
+    query terms don't re-scan the dictionary either."""
+    memo = index.stats_memo
+    missing = [t for t in terms if t not in memo]
+    if missing:
+        rows = index.term_dict.filter(F.col("term").isin(missing)).collect()
+        found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+        for t in missing:
+            memo[t] = found.get(t)
+    return {t: memo[t] for t in terms if memo[t] is not None}
 
 
 def _leaf_stats(index: IndexView, terms: list[str]) -> dict[str, int]:

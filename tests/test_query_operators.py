@@ -283,3 +283,23 @@ def test_parser_rejects_bad_fuzzy_and_parses_field_ranges():
     assert parse_query("title:{a TO b}") == TermRange(
         "title:a", "title:b", include_lower=False, include_upper=False
     )
+
+
+def test_term_stats_memo(engine):
+    """Dictionary stats memoize per view (Lucene's RAM FST analog): the
+    second lookup runs ZERO Spark jobs and returns identical pairs;
+    absent terms memoize as misses."""
+    from lucene_solr_spark.search.executor import _leaf_stats_full
+
+    engine.stats_memo.clear()
+    kw = KEYWORDS[0]
+    fresh = _leaf_stats_full(engine, [kw, "zzz_no_such_term"])
+    assert kw in fresh and "zzz_no_such_term" not in fresh
+    assert engine.stats_memo["zzz_no_such_term"] is None
+
+    sc = engine.spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    again = _leaf_stats_full(engine, [kw, "zzz_no_such_term"])
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert again == fresh
+    assert len(after) == len(before), "memoized lookup must not run a job"
