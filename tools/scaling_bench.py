@@ -85,11 +85,28 @@ def _sub(code: str, timeout: int = 1800) -> str:
     return lines[-1]
 
 
+def _wait_quiet(threshold: float, max_wait: int = 600) -> float:
+    """Block until the 1-min loadavg drops below ``threshold`` (or
+    ``max_wait`` elapses).  The co-tenant load on this host is bursty;
+    a leg launched into a burst measures the neighbors, not the engine,
+    so gating each leg on a quiet window is the honest way to find the
+    wall-clock that reflects the code.  Returns the loadavg seen."""
+    import time as _t
+
+    deadline = _t.time() + max_wait
+    load = os.getloadavg()[0]
+    while load >= threshold and _t.time() < deadline:
+        _t.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     n_docs = 160_000
     pair = (2, 8)
     rounds = 3
+    quiet = None
     if args and args[0].isdigit():
         n_docs = int(args.pop(0))
     while args:
@@ -98,6 +115,9 @@ def main() -> None:
             args = args[3:]
         elif args[0] == "--rounds":
             rounds = int(args[1])
+            args = args[2:]
+        elif args[0] == "--quiet":
+            quiet = float(args[1])
             args = args[2:]
         else:
             raise SystemExit(f"unknown arg {args[0]}")
@@ -110,6 +130,8 @@ def main() -> None:
     best: dict[int, dict] = {}
     for _ in range(rounds):
         for c in pair:
+            if quiet is not None:
+                _wait_quiet(quiet)
             r = json.loads(_sub(_CHILD.format(repo=str(REPO), cores=c, path=path)))
             if c not in best or r["docs_per_sec"] > best[c]["docs_per_sec"]:
                 best[c] = r
