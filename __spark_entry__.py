@@ -1683,6 +1683,89 @@ FROM fidxs x JOIN w{CLASSIFY_ITERS} w USING (fidx)
 ORDER BY x.fidx"""
 
 
+MSELECT_LANG = "en"       # multi-select facet: the user's own lang filter
+MSELECT_SOURCE = "src3"   # ...and a second (kept) tagged filter
+BLEND_FRAG = "wind"       # BlendedInfixSuggester probe (token prefix)
+DUPWIN_K = 8              # duplicate-window width (tokens)
+FRANGE_L, FRANGE_U = 0.45, 0.82  # frange bounds over recip(n_chars,1,1000,1000)
+MLT_ITERMS_DOC = 7        # interestingTerms source doc
+
+
+def q_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting (tagged filters + ``domain:{excludeTags}``):
+    the query filters lang=en AND source=src3, but the lang facet runs
+    on the domain with the lang filter EXCLUDED (source filter kept) —
+    counts for the other lang choices the user could still click."""
+    from lucene_solr_spark.relational import facet_excluding
+
+    d = _docs(spark, sf_dir)
+    return facet_excluding(
+        d,
+        {"lang": F.col("lang") == MSELECT_LANG,
+         "source": F.col("source") == MSELECT_SOURCE},
+        "lang", limit=10,
+    ).select("lang", F.col("count").cast("long").alias("cnt"))
+
+
+def q_group_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.facet=true (grouped faceting): facet on l_returnflag where
+    each bucket counts DISTINCT order groups, not line items."""
+    from lucene_solr_spark.relational import grouped_facet
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return grouped_facet(li, "l_orderkey", "l_returnflag", limit=10).select(
+        "l_returnflag", "group_count"
+    )
+
+
+def q_mlt_interesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis interestingTerms=details: doc 7's top-10 terms by
+    tf·idf with their boosts (f64 parity formula both sides)."""
+    from lucene_solr_spark.search.extras import interesting_terms
+
+    return interesting_terms(
+        _index_for(spark, sf_dir), MLT_ITERMS_DOC, max_terms=10
+    ).select("term", "tf", "df", F.col("boost").cast("float").alias("boost"))
+
+
+def q_frange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionRangeQuery ({!frange}): docs matching the term 'spark'
+    whose recip(n_chars,1,1000,1000) recency-style value lies in
+    [0.45, 0.82] — the function filter applied over the match set, fn
+    value returned (f64 both sides, cast f32 at the end)."""
+    from lucene_solr_spark.functions import frange, recip
+
+    index = _index_for(spark, sf_dir)
+    matches = (
+        postings_table(index, [BM25_TERM]).select("doc_id").distinct()
+    )
+    d = _docs(spark, sf_dir).join(matches, "doc_id")
+    fn = F.expr("1000e0 / (CAST(n_chars AS DOUBLE) + 1000e0)")
+    return (
+        d.filter(frange(fn, FRANGE_L, FRANGE_U))
+        .select("doc_id", fn.cast("float").alias("fn_val"))
+        .orderBy("doc_id")
+    )
+
+
+def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at k=8 token windows (Lee et al. suffix-array
+    dedup, distributed window-hash approximation): windows repeated
+    across >= 2 distinct docs with doc/occurrence counts."""
+    from lucene_solr_spark.pipeline.dedup import duplicate_windows
+
+    d = _docs(spark, sf_dir)
+    return duplicate_windows(d, k=DUPWIN_K).orderBy("window_hash")
+
+
+def q_suggest_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester (POSITION_RECIPROCAL): texts with a token
+    starting 'wind', weight n_chars discounted by first match position."""
+    from lucene_solr_spark.search.extras import suggest_infix_blended
+
+    return suggest_infix_blended(_docs(spark, sf_dir), BLEND_FRAG, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1784,6 +1867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
         "spellcheck": q_spellcheck,
+        "facet_multiselect": q_facet_multiselect,
+        "group_facet": q_group_facet,
+        "mlt_interesting": q_mlt_interesting,
+        "frange": q_frange,
+        "dup_windows": q_dup_windows,
+        "suggest_blended": q_suggest_blended,
     }
 
 
@@ -3002,5 +3091,66 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY day, event_type ORDER BY day, event_type""",
+    })
+    _dupwin_leads = ", ".join(
+        f"lead(term,{i}) OVER w" for i in range(1, DUPWIN_K)
+    )
+    out.update({
+        "facet_multiselect": f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+FROM documents WHERE source = '{MSELECT_SOURCE}'
+GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10""",
+        "group_facet": """
+SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS group_count
+FROM lineitem GROUP BY l_returnflag
+ORDER BY group_count DESC, l_returnflag ASC LIMIT 10""",
+        "mlt_interesting": f"""
+WITH {_TOK_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+tv AS (SELECT term, count(*) AS tf FROM tok
+       WHERE doc_id = {MLT_ITERMS_DOC} GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT v.term, CAST(v.tf AS BIGINT) AS tf, CAST(f.df AS BIGINT) AS df,
+       CAST(v.tf * ln(1e0 + ((n.n_docs - f.df) + 5e-1) / (f.df + 5e-1)) AS FLOAT) AS boost
+FROM tv v JOIN dfs f USING (term), n
+WHERE v.tf >= 1 AND f.df >= 2
+ORDER BY v.tf * ln(1e0 + ((n.n_docs - f.df) + 5e-1) / (f.df + 5e-1)) DESC, v.term ASC
+LIMIT 10""",
+        "frange": f"""
+WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
+SELECT d.doc_id,
+       CAST(1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) AS FLOAT) AS fn_val
+FROM documents d JOIN m USING (doc_id)
+WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
+  AND 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) <= {FRANGE_U}
+ORDER BY d.doc_id""",
+        "dup_windows": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents),
+g AS (SELECT doc_id, concat_ws(' ', term, {_dupwin_leads}) AS gram,
+             lead(term, {DUPWIN_K - 1}) OVER w AS last_t
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+SELECT md5(gram) AS window_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g WHERE last_t IS NOT NULL
+GROUP BY window_hash HAVING count(DISTINCT doc_id) >= 2
+ORDER BY window_hash""",
+        "suggest_blended": f"""
+WITH tok AS (
+  SELECT doc_id, n_chars,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents),
+m AS (SELECT doc_id, n_chars, min(ord) - 1 AS first_pos
+      FROM tok WHERE term LIKE '{BLEND_FRAG}%' GROUP BY doc_id, n_chars)
+SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+       CAST(CAST(n_chars AS DOUBLE) / (1e0 + first_pos) AS FLOAT) AS score
+FROM m
+ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
+LIMIT 10""",
     })
     return out

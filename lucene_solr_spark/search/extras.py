@@ -26,7 +26,12 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
            "common_terms_query", "elevate", "suggest_infix",
-           "spellcheck_collate", "explain"]
+           "spellcheck_collate", "explain", "interesting_terms",
+           "suggest_infix_blended"]
+
+#: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
+#: so the float arithmetic is bit-identical cross-engine.
+IDF_EXPR = "ln(1e0 + (({N} - df) + 5e-1) / (df + 5e-1))"
 
 
 def _scored_stream(index: IndexView, query) -> DataFrame:
@@ -269,6 +274,29 @@ def mlt_query(index: IndexView, doc_id: int, max_terms: int = 25,
     return Or(*[Term(t) for t in top]) if top else None
 
 
+def interesting_terms(index: IndexView, doc_id: int, max_terms: int = 25,
+                      min_tf: int = 1, min_df: int = 2) -> DataFrame:
+    """MoreLikeThis ``interestingTerms=details`` (``[8x] lucene/queries/
+    .../mlt/MoreLikeThis.java`` retrieveInterestingTerms / Solr MLT
+    handler): the source doc's top terms by tf·idf with their boosts —
+    DataFrame[term, tf, df, boost], boost = tf · ln(1 + (N − df + ½)/(df
+    + ½)) in f64, boost desc / term asc, limit ``max_terms``.
+
+    The doc's term vector is ONE forward-index row (broadcast into the
+    dictionary join); idf stats come from the term dictionary scan with
+    a pushed semi-join — no posting block is decoded."""
+    tv = doc_term_vector_frame(index, doc_id).filter(F.col("tf") >= min_tf)
+    td = index.term_dict.select("term", F.col("df").cast("long").alias("df"))
+    joined = td.join(F.broadcast(tv), "term").filter(F.col("df") >= min_df)
+    boost = F.expr(f"tf * {IDF_EXPR.format(N=index.doc_count)}")
+    return (
+        joined.withColumn("boost", boost)
+        .orderBy(F.desc("boost"), F.asc("term"))
+        .limit(max_terms)
+        .select("term", F.col("tf").cast("long").alias("tf"), "df", "boost")
+    )
+
+
 def more_like_this(index: IndexView, doc_id: int, k: int = 10,
                    max_terms: int = 25) -> DataFrame:
     """Docs most similar to ``doc_id`` (excluding itself)."""
@@ -456,6 +484,46 @@ def suggest_infix(index: IndexView, fragment: str, k: int = 10) -> DataFrame:
         .orderBy(F.asc("_pfx"), F.desc("cf"), F.asc("term"))
         .limit(k)
         .select("term", F.col("cf").cast("long").alias("weight"))
+    )
+
+
+def suggest_infix_blended(df: DataFrame, fragment: str, k: int = 10,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          weight_col: str = "n_chars") -> DataFrame:
+    """BlendedInfixSuggester (``[8x] lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java``, POSITION_RECIPROCAL blender):
+    suggestions are full stored texts; a suggestion matches when ANY of
+    its analyzed tokens starts with the fragment, and its static weight
+    is discounted by the first matching token's position — score =
+    weight / (1 + first_pos) — so matches near the head of the
+    suggestion outrank deep-infix matches at equal weight.
+
+    Shape: one tokenizing projection (posexplode ≡ the analyzed token
+    stream with positions), a pushed StartsWith filter, a (doc, weight)
+    min-position partial agg, TakeOrdered top-k.  Map-side until the
+    tiny matched set — no full-corpus shuffle."""
+    from ..analysis import TOKEN_PATTERN
+
+    frag = fragment.lower()
+    toks = df.select(
+        F.col(id_col), F.col(weight_col),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+        ).alias("first_pos", "term"),
+    )
+    m = (
+        toks.filter(F.col("term").startswith(frag))
+        .groupBy(id_col, weight_col)
+        .agg(F.min("first_pos").alias("first_pos"))
+    )
+    return (
+        m.withColumn(
+            "score", F.expr(f"CAST({weight_col} AS DOUBLE) / (1e0 + first_pos)")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.col("first_pos").cast("long").alias("first_pos"),
+                F.col("score").cast("float").alias("score"))
     )
 
 

@@ -1,0 +1,188 @@
+"""Round-3 continuation depth operators: multi-select faceting
+(excludeTags), grouped faceting, MLT interestingTerms, frange,
+duplicate k-token windows (exact-substring dedup), and the blended
+infix suggester."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions import frange, recip
+from lucene_solr_spark.index.core import build_index_view
+from lucene_solr_spark.pipeline.dedup import duplicate_windows
+from lucene_solr_spark.relational import facet_excluding, grouped_facet
+from lucene_solr_spark.search.extras import (
+    interesting_terms,
+    suggest_infix_blended,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s1", 22),
+        (2, "alpha beta", "en", "s2", 10),
+        (3, "gamma delta epsilon", "fr", "s1", 19),
+        (4, "alpha epsilon", "fr", "s2", 13),
+        (5, "beta beta beta", "de", "s1", 14),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# --- multi-select faceting ---------------------------------------------------
+
+
+def test_facet_excluding_drops_own_tag_keeps_others(docs):
+    filters = {
+        "lang": F.col("lang") == "en",
+        "source": F.col("source") == "s1",
+    }
+    # lang facet: source filter applies, lang filter does NOT
+    got = {
+        r["lang"]: r["count"]
+        for r in facet_excluding(docs, filters, "lang").collect()
+    }
+    assert got == {"en": 1, "fr": 1, "de": 1}  # docs 1, 3, 5 (source=s1)
+    # source facet: lang filter applies, source filter does NOT
+    got = {
+        r["source"]: r["count"]
+        for r in facet_excluding(docs, filters, "source").collect()
+    }
+    assert got == {"s1": 1, "s2": 1}  # docs 1, 2 (lang=en)
+
+
+def test_facet_excluding_all_other_filters_compose(docs):
+    # three tags: excluding one still applies the other two
+    filters = {
+        "lang": F.col("lang").isin("en", "fr"),
+        "source": F.col("source") == "s2",
+        "n_chars": F.col("n_chars") >= 13,
+    }
+    got = {
+        r["lang"]: r["count"]
+        for r in facet_excluding(docs, filters, "lang").collect()
+    }
+    assert got == {"fr": 1}  # doc 4: source=s2 AND n_chars>=13
+
+
+# --- grouped faceting --------------------------------------------------------
+
+
+def test_grouped_facet_counts_distinct_groups(spark):
+    rows = [(1, "a"), (1, "a"), (2, "a"), (1, "b"), (3, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "grp long, bucket string")
+    got = {
+        r["bucket"]: r["group_count"]
+        for r in grouped_facet(df, "grp", "bucket").collect()
+    }
+    assert got == {"a": 2, "b": 2}  # a: groups {1,2}; b: groups {1,3}
+
+
+# --- MLT interestingTerms ----------------------------------------------------
+
+
+def test_interesting_terms_tfidf_ranking(spark, docs):
+    index = build_index_view(docs, id_col="doc_id", text_col="text")
+    got = interesting_terms(index, 5, max_terms=5, min_df=1).collect()
+    # doc 5 = "beta beta beta": single term, tf=3, df(beta)=3, N=5
+    assert [(r["term"], r["tf"], r["df"]) for r in got] == [("beta", 3, 3)]
+    expected = 3 * math.log(1.0 + ((5 - 3) + 0.5) / (3 + 0.5))
+    assert got[0]["boost"] == pytest.approx(expected, rel=1e-12)
+
+
+def test_interesting_terms_min_df_prunes(spark, docs):
+    index = build_index_view(docs, id_col="doc_id", text_col="text")
+    # epsilon has df=2, delta df=2, gamma df=2; min_df=3 keeps only
+    # alpha (df=3) / beta (df=3) bearing docs
+    got = interesting_terms(index, 1, max_terms=10, min_df=3).collect()
+    assert {r["term"] for r in got} == {"alpha", "beta"}
+
+
+# --- frange ------------------------------------------------------------------
+
+
+def test_frange_bounds_and_inclusivity(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, x double")
+    fn = F.col("x")
+    assert {r["id"] for r in df.filter(frange(fn, 2.0, 4.0)).collect()} == {2, 3, 4}
+    assert {
+        r["id"]
+        for r in df.filter(frange(fn, 2.0, 4.0, incl_l=False, incl_u=False)).collect()
+    } == {3}
+    assert {r["id"] for r in df.filter(frange(fn, u=1.0)).collect()} == {0, 1}
+    assert {r["id"] for r in df.filter(frange(fn, l=5.0)).collect()} == {5}
+
+
+def test_frange_over_function_query(spark, docs):
+    # recip(n_chars, 1, 10, 10) = 10/(n_chars+10); doc2 (10) -> 0.5
+    hits = docs.filter(
+        frange(recip(F.col("n_chars"), 1, 10, 10), 0.45, 0.5)
+    ).select("doc_id").collect()
+    assert {r["doc_id"] for r in hits} == {2}
+
+
+# --- duplicate k-token windows -----------------------------------------------
+
+
+def test_duplicate_windows_finds_planted_dup(spark):
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"intro {shared} outro"),
+        (2, f"{shared} tail words here"),
+        (3, "totally different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_windows(df, k=8).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2 and got[0]["n_occurrences"] == 2
+    # repeated occurrences inside ONE doc do not alone qualify
+    df2 = spark.createDataFrame(
+        [(1, f"{shared} and then {shared}")], "doc_id long, text string"
+    )
+    assert duplicate_windows(df2, k=8).count() == 0
+
+
+def test_duplicate_windows_short_docs_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    assert duplicate_windows(df, k=8).count() == 0
+
+
+def test_duplicate_windows_window_math(spark):
+    # doc of n tokens yields n-k+1 windows; all-same-token docs collapse
+    # to ONE hash with the right occurrence count
+    df = spark.createDataFrame(
+        [(1, "x " * 12), (2, "x " * 12)], "doc_id long, text string"
+    )
+    got = duplicate_windows(df, k=8).collect()
+    assert len(got) == 1
+    assert got[0]["n_occurrences"] == 2 * (12 - 8 + 1)
+
+
+# --- blended infix suggester -------------------------------------------------
+
+
+def test_suggest_infix_blended_position_discount(spark):
+    rows = [
+        (1, "windmill power", 100),
+        (2, "the old windmill", 100),
+        (3, "no match here", 100),
+        (4, "deep deep deep deep window", 1000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = suggest_infix_blended(df, "wind", k=10, weight_col="n_chars").collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids
+    by_id = {r["doc_id"]: r for r in got}
+    # doc1: pos 0 -> 100/1; doc2: pos 2 -> 100/3; doc4: pos 4 -> 1000/5
+    assert by_id[1]["score"] == pytest.approx(100.0)
+    assert by_id[2]["score"] == pytest.approx(100.0 / 3.0, rel=1e-6)
+    assert by_id[4]["score"] == pytest.approx(200.0)
+    assert ids == [4, 1, 2]  # blended order, not raw weight order
+    assert by_id[4]["first_pos"] == 4
