@@ -1691,6 +1691,29 @@ FRANGE_L, FRANGE_U = 0.45, 0.82  # frange bounds over recip(n_chars,1,1000,1000)
 MLT_ITERMS_DOC = 7        # interestingTerms source doc
 
 
+#: the /sql probe statement (Solr Parallel SQL handler subset)
+SQL_HANDLER_STMT = (
+    "SELECT event_type, count(*) AS cnt, sum(value) AS sum_value, "
+    "avg(value) AS avg_value, count(distinct user_id) AS users "
+    "FROM events WHERE event_type <> 'purchase' AND value > 10 "
+    "GROUP BY event_type HAVING count(*) > 5 "
+    "ORDER BY cnt DESC, event_type ASC LIMIT 5"
+)
+
+
+def q_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel SQL handler (Solr /sql): the statement is parsed by the
+    engine's own recursive-descent compiler and lowered onto relational
+    streams (filter -> rollup-over-exchange -> having -> top) — NOT
+    spark.sql; Catalyst only sees the already-lowered DataFrame plan.
+    Sums ride the DECIMAL(18,2) exact-sum discipline."""
+    from lucene_solr_spark.sql_handler import execute_solr_sql
+
+    return execute_solr_sql(
+        {"events": _tbl(spark, sf_dir, "events")}, SQL_HANDLER_STMT
+    )
+
+
 def q_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (tagged filters + ``domain:{excludeTags}``):
     the query filters lang=en AND source=src3, but the lang facet runs
@@ -1867,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
         "spellcheck": q_spellcheck,
+        "sql_handler": q_sql_handler,
         "facet_multiselect": q_facet_multiselect,
         "group_facet": q_group_facet,
         "mlt_interesting": q_mlt_interesting,
@@ -3096,6 +3120,14 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
         f"lead(term,{i}) OVER w" for i in range(1, DUPWIN_K)
     )
     out.update({
+        "sql_handler": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events WHERE event_type <> 'purchase' AND value > 10
+GROUP BY event_type HAVING count(*) > 5
+ORDER BY cnt DESC, event_type ASC LIMIT 5""",
         "facet_multiselect": f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS cnt
 FROM documents WHERE source = '{MSELECT_SOURCE}'

@@ -1,0 +1,362 @@
+"""Parallel SQL handler: Solr's /sql surface lowered onto the engine.
+
+Solr 8.x ships a SQL interface (``[8x] solr/core/src/java/org/apache/
+solr/handler/SQLHandler.java`` + the Calcite adapter under ``[8x]
+solr/core/.../handler/sql/``) that compiles a SQL subset into streaming
+expressions: an unaggregated SELECT becomes a ``search()`` stream,
+GROUP BY becomes ``rollup()`` over a hash-partitioned stream
+(map_reduce mode) or a JSON facet (facet mode), HAVING becomes
+``having()``, ORDER BY / LIMIT become ``sort()`` / ``top()``.
+
+This module is the same compiler targeting the engine's relational ops
+(relational.py), i.e. ultimately Catalyst: the map_reduce mode's
+partial-rollup-then-merge IS Spark's partial aggregation, and the
+explicit worker exchange Solr performs (``parallel()``) is the shuffle
+Catalyst inserts on the GROUP BY keys.  A hand-rolled recursive-descent
+parser keeps the supported subset explicit — the same subset Solr
+documents: SELECT [DISTINCT] fields / aggregates [AS alias], WHERE with
+AND/OR/NOT over comparisons and IN lists, GROUP BY, HAVING over
+aggregates, ORDER BY, LIMIT.
+
+Determinism discipline: ``sum``/``avg`` over floating columns aggregate
+through DECIMAL(18,2) and cast back to double, so the result does not
+depend on Spark's partial-agg combine order — the repo-wide exact-sum
+rule (__spark_entry__ docstring).
+
+Scale notes: the lowering emits one filtered scan (predicates are plain
+Catalyst conjunctions — pushed to parquet), at most ONE shuffle on the
+GROUP BY keys (partial agg map-side), and a TakeOrderedAndProject for
+ORDER BY+LIMIT.  No driver-side evaluation of any row.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_solr_sql", "execute_solr_sql", "SqlStatement"]
+
+
+# --- lexer -------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<ident>[A-Za-z_][A-Za-z_0-9.]*|\*)"
+    r"|(?P<op><>|<=|>=|!=|=|<|>|\(|\)|,)"
+    r")"
+)
+
+_KEYWORDS = {
+    "select", "distinct", "from", "where", "group", "by", "having",
+    "order", "limit", "and", "or", "not", "in", "as", "asc", "desc",
+}
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max"}
+
+
+def _lex(sql: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"SQL lex error at: {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            toks.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            toks.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "ident":
+            word = m.group("ident")
+            kind = "kw" if word.lower() in _KEYWORDS else "ident"
+            toks.append((kind, word.lower() if kind == "kw" else word))
+        else:
+            toks.append(("op", m.group("op")))
+    toks.append(("end", ""))
+    return toks
+
+
+# --- AST ---------------------------------------------------------------------
+
+
+@dataclass
+class SelectItem:
+    """One projection: a field, ``*``, or ``agg(field)`` with an alias."""
+    agg: str | None        # None = plain field
+    arg: str               # field name, or "*" (count only)
+    alias: str
+    distinct: bool = False  # count(distinct f)
+
+
+@dataclass
+class SqlStatement:
+    items: list[SelectItem]
+    table: str
+    where: object | None          # predicate AST
+    group_by: list[str] = field(default_factory=list)
+    having: object | None = None
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (name, asc)
+    limit: int | None = None
+    distinct: bool = False
+
+
+# predicate AST nodes: ("and", l, r) ("or", l, r) ("not", x)
+# ("cmp", op, field, value) ("in", field, [values])
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            self.i += 1
+            return True
+        return False
+
+    # SELECT list ------------------------------------------------------------
+
+    def select_item(self) -> SelectItem:
+        k, v = self.next()
+        if k != "ident":
+            raise ValueError(f"expected select item, got {v!r}")
+        if v.lower() in _AGG_FNS and self.accept("op", "("):
+            fn = v.lower()
+            distinct = self.accept("kw", "distinct")
+            arg = self.expect("ident")
+            self.expect("op", ")")
+            alias = f"{fn}({arg})"
+            if self.accept("kw", "as"):
+                alias = self.expect("ident")
+            return SelectItem(fn, arg, alias, distinct)
+        alias = v
+        if self.accept("kw", "as"):
+            alias = self.expect("ident")
+        return SelectItem(None, v, alias)
+
+    # WHERE ------------------------------------------------------------------
+
+    def pred_or(self):
+        node = self.pred_and()
+        while self.accept("kw", "or"):
+            node = ("or", node, self.pred_and())
+        return node
+
+    def pred_and(self):
+        node = self.pred_not()
+        while self.accept("kw", "and"):
+            node = ("and", node, self.pred_not())
+        return node
+
+    def pred_not(self):
+        if self.accept("kw", "not"):
+            return ("not", self.pred_not())
+        if self.accept("op", "("):
+            node = self.pred_or()
+            self.expect("op", ")")
+            return node
+        return self.comparison()
+
+    def comparison(self):
+        fld = self.expect("ident")
+        if fld.lower() in _AGG_FNS and self.accept("op", "("):
+            # HAVING-side aggregate reference: count(*) / sum(f) / ...
+            arg = self.expect("ident")
+            self.expect("op", ")")
+            fld = f"{fld.lower()}({arg})"
+        if self.accept("kw", "not"):
+            self.expect("kw", "in")
+            return ("not", self.in_list(fld))
+        if self.accept("kw", "in"):
+            return self.in_list(fld)
+        k, op = self.next()
+        if k != "op" or op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            raise ValueError(f"expected comparison operator, got {op!r}")
+        val = self.value()
+        return ("cmp", "<>" if op == "!=" else op, fld, val)
+
+    def in_list(self, fld: str):
+        self.expect("op", "(")
+        vals = [self.value()]
+        while self.accept("op", ","):
+            vals.append(self.value())
+        self.expect("op", ")")
+        return ("in", fld, vals)
+
+    def value(self):
+        k, v = self.next()
+        if k == "num":
+            return float(v) if "." in v else int(v)
+        if k == "str":
+            return v
+        raise ValueError(f"expected literal, got {v!r}")
+
+    # statement ----------------------------------------------------------
+
+    def statement(self) -> SqlStatement:
+        self.expect("kw", "select")
+        distinct = self.accept("kw", "distinct")
+        items = [self.select_item()]
+        while self.accept("op", ","):
+            items.append(self.select_item())
+        self.expect("kw", "from")
+        table = self.expect("ident")
+        where = None
+        if self.accept("kw", "where"):
+            where = self.pred_or()
+        group_by: list[str] = []
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group_by.append(self.expect("ident"))
+            while self.accept("op", ","):
+                group_by.append(self.expect("ident"))
+        having = None
+        if self.accept("kw", "having"):
+            having = self.pred_or()
+        order_by: list[tuple[str, bool]] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                name = self.expect("ident")
+                asc = True
+                if self.accept("kw", "desc"):
+                    asc = False
+                else:
+                    self.accept("kw", "asc")
+                order_by.append((name, asc))
+                if not self.accept("op", ","):
+                    break
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("num"))
+        self.expect("end")
+        return SqlStatement(items, table, where, group_by, having,
+                            order_by, limit, distinct)
+
+
+def parse_solr_sql(sql: str) -> SqlStatement:
+    """Parse the supported Solr-SQL subset into a SqlStatement."""
+    return _Parser(_lex(sql)).statement()
+
+
+# --- lowering ----------------------------------------------------------------
+
+
+def _pred_col(node, resolve) -> Column:
+    kind = node[0]
+    if kind == "and":
+        return _pred_col(node[1], resolve) & _pred_col(node[2], resolve)
+    if kind == "or":
+        return _pred_col(node[1], resolve) | _pred_col(node[2], resolve)
+    if kind == "not":
+        return ~_pred_col(node[1], resolve)
+    if kind == "in":
+        return resolve(node[1]).isin(node[2])
+    _, op, fld, val = node
+    c = resolve(fld)
+    return {
+        "=": c == val, "<>": c != val, "<": c < val,
+        "<=": c <= val, ">": c > val, ">=": c >= val,
+    }[op]
+
+
+def _agg_col(item: SelectItem) -> Column:
+    """Aggregate lowering with the exact-sum discipline for floats."""
+    if item.agg == "count":
+        if item.distinct:
+            col = F.countDistinct(item.arg)
+        elif item.arg == "*":
+            col = F.count(F.lit(1))
+        else:
+            col = F.count(item.arg)
+        return col.cast("long").alias(item.alias)
+    if item.agg == "sum":
+        return (
+            F.sum(F.col(item.arg).cast("decimal(18,2)"))
+            .cast("double").alias(item.alias)
+        )
+    if item.agg == "avg":
+        return (
+            (F.sum(F.col(item.arg).cast("decimal(18,2)")).cast("double")
+             / F.count(item.arg))
+            .alias(item.alias)
+        )
+    if item.agg == "min":
+        return F.min(item.arg).alias(item.alias)
+    if item.agg == "max":
+        return F.max(item.arg).alias(item.alias)
+    raise ValueError(f"unsupported aggregate: {item.agg}")
+
+
+def execute_solr_sql(tables: dict[str, DataFrame], sql: str) -> DataFrame:
+    """Compile ``sql`` against the named DataFrames and return the
+    result DataFrame — the /sql handler's response stream.
+
+    Unaggregated SELECT lowers to search()/select() streams (filter +
+    project); GROUP BY lowers to rollup() over the hash exchange
+    (map_reduce mode); HAVING to having(); ORDER BY+LIMIT to top()."""
+    st = parse_solr_sql(sql)
+    if st.table not in tables:
+        raise ValueError(f"unknown table {st.table!r}")
+    df = tables[st.table]
+
+    if st.where is not None:
+        df = df.filter(_pred_col(st.where, lambda f: F.col(f)))
+
+    aggs = [it for it in st.items if it.agg is not None]
+    if st.group_by or aggs:
+        if not st.group_by and any(it.agg is None for it in st.items):
+            raise ValueError("non-aggregate select item without GROUP BY")
+        for it in st.items:
+            if it.agg is None and it.arg not in st.group_by:
+                raise ValueError(f"{it.arg} is not in GROUP BY")
+        alias_of = {f"{it.agg}({it.arg})": it.alias for it in aggs}
+        df = df.groupBy(*st.group_by).agg(*[_agg_col(it) for it in aggs])
+        if st.having is not None:
+            # HAVING references aggregates by call text or alias
+            df = df.filter(
+                _pred_col(st.having, lambda f: F.col(alias_of.get(f, f)))
+            )
+        out_cols = [
+            F.col(it.arg).alias(it.alias) if it.agg is None else F.col(it.alias)
+            for it in st.items
+        ]
+        df = df.select(*out_cols)
+    else:
+        if st.items[0].arg == "*" and len(st.items) == 1:
+            pass
+        else:
+            df = df.select(*[F.col(it.arg).alias(it.alias) for it in st.items])
+        if st.distinct:
+            df = df.distinct()
+
+    if st.order_by:
+        df = df.orderBy(
+            *[F.asc(n) if asc else F.desc(n) for n, asc in st.order_by]
+        )
+    if st.limit is not None:
+        df = df.limit(st.limit)
+    return df

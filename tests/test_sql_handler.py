@@ -1,0 +1,161 @@
+"""Parallel SQL handler (Solr /sql analog): parser + lowering tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.sql_handler import execute_solr_sql, parse_solr_sql
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    rows = [
+        (1, "click", 5.0, 10),
+        (2, "click", 7.5, 11),
+        (3, "view", 1.25, 10),
+        (4, "view", 2.0, 12),
+        (5, "view", 100.0, 10),
+        (6, "buy", 42.0, 13),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, user_id long"
+    )
+    return {"events": ev}
+
+
+# --- parser ------------------------------------------------------------------
+
+
+def test_parse_shapes():
+    st = parse_solr_sql(
+        "SELECT event_type, count(*) AS cnt, sum(value) AS sv FROM events "
+        "WHERE value > 1 AND event_type <> 'buy' GROUP BY event_type "
+        "HAVING count(*) > 1 ORDER BY cnt DESC, event_type ASC LIMIT 5"
+    )
+    assert st.table == "events"
+    assert [(i.agg, i.arg, i.alias) for i in st.items] == [
+        (None, "event_type", "event_type"),
+        ("count", "*", "cnt"),
+        ("sum", "value", "sv"),
+    ]
+    assert st.group_by == ["event_type"]
+    assert st.having == ("cmp", ">", "count(*)", 1)
+    assert st.order_by == [("cnt", False), ("event_type", True)]
+    assert st.limit == 5
+
+
+def test_parse_in_not_strings_escape():
+    st = parse_solr_sql(
+        "SELECT event_id FROM events WHERE event_type IN ('a', 'it''s') "
+        "AND NOT user_id IN (1, 2) OR value <= 3.5"
+    )
+    w = st.where
+    assert w[0] == "or"
+    assert w[1][0] == "and"
+    assert w[1][1] == ("in", "event_type", ["a", "it's"])
+    assert w[1][2] == ("not", ("in", "user_id", [1, 2]))
+    assert w[2] == ("cmp", "<=", "value", 3.5)
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_solr_sql("SELECT FROM events")
+    with pytest.raises(ValueError):
+        parse_solr_sql("SELECT a FROM events WHERE a ~ 3")
+    with pytest.raises(ValueError):
+        parse_solr_sql("SELECT a FROM events LIMIT")
+
+
+# --- lowering ----------------------------------------------------------------
+
+
+def test_plain_select_where_order_limit(tables):
+    got = execute_solr_sql(
+        tables,
+        "SELECT event_id, value FROM events WHERE value >= 2.0 "
+        "AND event_type = 'view' ORDER BY value DESC LIMIT 2",
+    ).collect()
+    assert [(r["event_id"], r["value"]) for r in got] == [(5, 100.0), (4, 2.0)]
+
+
+def test_select_star_and_distinct(tables):
+    assert execute_solr_sql(tables, "SELECT * FROM events").count() == 6
+    got = execute_solr_sql(
+        tables, "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+    ).collect()
+    assert [r["event_type"] for r in got] == ["buy", "click", "view"]
+
+
+def test_group_by_aggregates_having(tables):
+    got = execute_solr_sql(
+        tables,
+        "SELECT event_type, count(*) AS cnt, sum(value) AS sv, "
+        "avg(value) AS av, min(value) AS mn, max(value) AS mx, "
+        "count(distinct user_id) AS du "
+        "FROM events GROUP BY event_type HAVING count(*) > 1 "
+        "ORDER BY event_type",
+    ).collect()
+    rows = {r["event_type"]: r for r in got}
+    assert set(rows) == {"click", "view"}
+    c = rows["click"]
+    assert (c["cnt"], c["sv"], c["av"], c["mn"], c["mx"], c["du"]) == (
+        2, 12.5, 6.25, 5.0, 7.5, 2)
+    v = rows["view"]
+    assert (v["cnt"], v["sv"], v["du"]) == (3, 103.25, 2)
+
+
+def test_having_by_alias_and_agg_text(tables):
+    by_alias = execute_solr_sql(
+        tables,
+        "SELECT event_type, sum(value) AS sv FROM events "
+        "GROUP BY event_type HAVING sv > 50 ORDER BY event_type",
+    ).collect()
+    by_text = execute_solr_sql(
+        tables,
+        "SELECT event_type, sum(value) AS sv FROM events "
+        "GROUP BY event_type HAVING sum(value) > 50 ORDER BY event_type",
+    ).collect()
+    assert [r["event_type"] for r in by_alias] == ["view"]
+    assert by_alias == by_text
+
+
+def test_where_boolean_precedence(tables):
+    # AND binds tighter than OR: buy OR (click AND value>6)
+    got = execute_solr_sql(
+        tables,
+        "SELECT event_id FROM events WHERE event_type = 'buy' "
+        "OR event_type = 'click' AND value > 6 ORDER BY event_id",
+    ).collect()
+    assert [r["event_id"] for r in got] == [2, 6]
+
+
+def test_validation_errors(tables):
+    with pytest.raises(ValueError, match="unknown table"):
+        execute_solr_sql(tables, "SELECT * FROM nope")
+    with pytest.raises(ValueError, match="not in GROUP BY"):
+        execute_solr_sql(
+            tables,
+            "SELECT user_id, count(*) AS c FROM events GROUP BY event_type",
+        )
+    with pytest.raises(ValueError, match="without GROUP BY"):
+        execute_solr_sql(tables, "SELECT user_id, count(*) AS c FROM events")
+
+
+def test_matches_spark_sql(tables, spark):
+    """Cross-check the whole lowering against Catalyst's own SQL engine."""
+    tables["events"].createOrReplaceTempView("ev")
+    mine = execute_solr_sql(
+        tables,
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "WHERE user_id IN (10, 11) GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type LIMIT 3",
+    ).collect()
+    ref = spark.sql(
+        "SELECT event_type, count(*) AS cnt FROM ev "
+        "WHERE user_id IN (10, 11) GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type LIMIT 3"
+    ).collect()
+    assert [(r["event_type"], r["cnt"]) for r in mine] == [
+        (r["event_type"], r["cnt"]) for r in ref
+    ]
