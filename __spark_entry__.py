@@ -1701,6 +1701,39 @@ SQL_HANDLER_STMT = (
 )
 
 
+SCORE_NODES_SEEDS = ("p:1", "p:2", "p:3")  # gather seeds (part nodes)
+PACK_BUDGET = 512  # tokens per training context window
+
+
+def q_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoreNodes stream: suppliers gathered from seed parts, ranked by
+    gather-count x idf over the part->supplier relation (top 10)."""
+    from lucene_solr_spark.graph import score_nodes
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(s,) for s in SCORE_NODES_SEEDS], "node string")
+    out = score_nodes(edges, seeds)
+    return (
+        out.select("node", "cnt", "df", F.col("score").cast("float").alias("score"))
+        .limit(10)
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing manifest: documents concatenated in doc_id order
+    into 512-token context windows — global token offset and bin per
+    doc, via the two-phase distributed cumulative sum (no
+    single-partition window; DuckDB oracle is the global window)."""
+    from lucene_solr_spark.pipeline.packing import pack_sequences, with_token_counts
+
+    d = with_token_counts(_docs(spark, sf_dir))
+    return pack_sequences(d, PACK_BUDGET).orderBy("doc_id")
+
+
 def q_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel SQL handler (Solr /sql): the statement is parsed by the
     engine's own recursive-descent compiler and lowered onto relational
@@ -1891,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": q_suggest,
         "spellcheck": q_spellcheck,
         "sql_handler": q_sql_handler,
+        "score_nodes": q_score_nodes,
+        "pack_sequences": q_pack_sequences,
         "facet_multiselect": q_facet_multiselect,
         "group_facet": q_group_facet,
         "mlt_interesting": q_mlt_interesting,
@@ -3120,6 +3155,36 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
         f"lead(term,{i}) OVER w" for i in range(1, DUPWIN_K)
     )
     out.update({
+        "score_nodes": f"""
+WITH e AS (
+  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS node FROM lineitem
+),
+n AS (SELECT count(DISTINCT src) AS n_docs FROM e),
+seeds(src) AS (VALUES {", ".join(f"('{s}')" for s in SCORE_NODES_SEEDS)}),
+cnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS cnt
+  FROM e JOIN seeds USING (src) GROUP BY node
+),
+dfreq AS (SELECT node, CAST(count(DISTINCT src) AS BIGINT) AS df FROM e GROUP BY node)
+SELECT c.node, c.cnt, d.df,
+       CAST(c.cnt * (ln((n.n_docs + 1e0) / (d.df + 1e0)) + 1e0) AS FLOAT) AS score
+FROM cnt c JOIN dfreq d USING (node), n
+ORDER BY c.cnt * (ln((n.n_docs + 1e0) / (d.df + 1e0)) + 1e0) DESC, c.node ASC
+LIMIT 10""",
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS bin
+FROM c ORDER BY doc_id""",
         "sql_handler": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

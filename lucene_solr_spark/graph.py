@@ -20,7 +20,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gather_nodes", "shortest_path"]
+__all__ = ["gather_nodes", "shortest_path", "score_nodes"]
+
+
+def score_nodes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """scoreNodes stream (``[8x] solr/solrj/.../io/stream/ScoreNodes
+    Stream.java``): rank nodes gathered from the seed set by traversal
+    count × inverse document frequency, so hub nodes that are common
+    across the WHOLE graph (high docFreq) rank below nodes specifically
+    dense around the seeds — the same tf·idf shape ScoreNodesStream
+    fetches from the collection's term statistics.
+
+    score = cnt · (ln((N + 1) / (df + 1)) + 1), where cnt = edges from
+    the seed set reaching the node (the gather count), df = distinct
+    sources linking to the node anywhere (its docFreq), N = distinct
+    sources in the relation (numDocs).
+
+    Shape: one broadcast semi-join for the gather, one groupBy(dst) for
+    each of cnt/df (same shuffle key — co-partitioned merge join), and
+    ONE bounded metadata count for N.  Returns [node, cnt, df, score]."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("node"))
+    n_docs = e.select("_s").distinct().count()
+    seed = seeds.select(F.col(seeds.columns[0]).alias("_s")).distinct()
+    cnt = (
+        e.join(F.broadcast(seed), "_s")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dfreq = e.groupBy("node").agg(
+        F.countDistinct("_s").cast("long").alias("df")
+    )
+    return (
+        cnt.join(dfreq, "node")
+        .withColumn(
+            "score",
+            F.expr(f"cnt * (ln(({n_docs} + 1e0) / (df + 1e0)) + 1e0)"),
+        )
+        .orderBy(F.desc("score"), F.asc("node"))
+    )
 
 
 def gather_nodes(

@@ -1,0 +1,84 @@
+"""Sequence packing for training pipelines: docs → fixed-token bins.
+
+LLM pre-training packs documents back-to-back into fixed-length context
+windows (e.g. 4096 tokens).  The packing manifest — which bin each doc
+starts in, at which global token offset — is a pure function of a
+GLOBAL running sum of per-doc token counts in a deterministic document
+order.  A naive Spark window (``Window.orderBy(id)``) computes that
+running sum on ONE partition — the classic scale trap this module
+exists to avoid.
+
+``pack_sequences`` computes the same cumulative sum with the standard
+two-phase distributed scan: range-partition by the order key, sum each
+partition (one tiny row per partition to the driver — bounded by the
+partition count, same discipline as the engine's other driver-side
+metadata steps), broadcast the exclusive per-partition prefix offsets
+back, and add them to a WITHIN-partition running sum (window partitioned
+by the physical partition id — parallel across partitions).  Result is
+bit-identical to the single-partition global window at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .hashing import TOKENS_SQL
+
+__all__ = ["pack_sequences", "with_token_counts"]
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text",
+                      out_col: str = "n_tokens") -> DataFrame:
+    """Analyzer-consistent token count per doc (one JVM regexp pass)."""
+    return df.withColumn(
+        out_col, F.expr(f"size({TOKENS_SQL.format(col=text_col)})").cast("long")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Packing manifest: [id, n_tokens, start_offset, bin] where
+    ``start_offset`` is the doc's global token offset when docs are
+    concatenated in ``id_col`` order and ``bin`` = start_offset div
+    ``budget`` — the context window the doc STARTS in (contiguous-fill
+    packing; splitting docs that straddle a boundary is the consumer's
+    choice, the manifest gives it the exact offsets).
+
+    Distributed two-phase cumulative sum — no global single-partition
+    window; see module docstring."""
+    d = (
+        df.select(F.col(id_col), F.col(count_col).cast("long").alias("_n"))
+        .repartitionByRange(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # phase 1: per-partition totals -> exclusive prefix offsets (bounded:
+    # one row per partition; range partitions are ordered by key)
+    psums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    # phase 2: within-partition running sum (parallel) + broadcast offset
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    return (
+        d.withColumn("_cum", F.sum("_n").over(w))
+        .withColumn("start_offset", off_map[F.col("_pid")] + F.col("_cum") - F.col("_n"))
+        .select(
+            id_col,
+            F.col("_n").alias(count_col),
+            "start_offset",
+            F.floor(F.col("start_offset") / budget).cast("long").alias("bin"),
+        )
+    )

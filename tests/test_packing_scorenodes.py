@@ -1,0 +1,80 @@
+"""Sequence packing (distributed two-phase cumsum) + scoreNodes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.graph import score_nodes
+from lucene_solr_spark.pipeline.packing import pack_sequences, with_token_counts
+
+
+def test_pack_sequences_matches_global_window(spark):
+    rows = [(i, (i * 37) % 101 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = pack_sequences(df, 128).orderBy("doc_id").collect()
+    ref = (
+        df.withColumn(
+            "start_offset",
+            F.sum("n_tokens").over(Window.orderBy("doc_id")) - F.col("n_tokens"),
+        )
+        .withColumn("bin", F.floor(F.col("start_offset") / 128).cast("long"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["doc_id"], r["start_offset"], r["bin"]) for r in got] == [
+        (r["doc_id"], r["start_offset"], r["bin"]) for r in ref
+    ]
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    rows = [(i, i % 7 + 1) for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = pack_sequences(base.repartition(1), 32).orderBy("doc_id").collect()
+    b = pack_sequences(base.repartition(13), 32).orderBy("doc_id").collect()
+    assert a == b
+    # offsets are a proper running sum: next start = prev start + prev n
+    for prev, cur in zip(a, a[1:]):
+        assert cur["start_offset"] == prev["start_offset"] + prev["n_tokens"]
+    assert a[0]["start_offset"] == 0
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    df = spark.createDataFrame([(i, 5) for i in range(50)], "doc_id long, n_tokens long")
+    plan = pack_sequences(df, 64)._jdf.queryExecution().executedPlan().toString()
+    # the window must be partitioned (by _pid), never a global sort into one partition
+    assert "SinglePartition" not in plan
+
+
+def test_with_token_counts_matches_analyzer(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha, beta_GAMMA  7x!"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in with_token_counts(df).collect()}
+    assert got == {1: 3, 2: 0}  # alpha / beta_gamma / 7x
+
+
+def test_score_nodes_formula_and_ranking(spark):
+    # s:hub is linked by every part (high df); s:rare only around seeds
+    edges = spark.createDataFrame(
+        [
+            ("p:1", "s:hub"), ("p:2", "s:hub"), ("p:3", "s:hub"), ("p:4", "s:hub"),
+            ("p:1", "s:rare"), ("p:2", "s:rare"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("p:1",), ("p:2",)], "node string")
+    got = {r["node"]: r for r in score_nodes(edges, seeds).collect()}
+    n_docs = 4  # distinct sources
+    hub = got["s:hub"]
+    rare = got["s:rare"]
+    assert (hub["cnt"], hub["df"]) == (2, 4)
+    assert (rare["cnt"], rare["df"]) == (2, 2)
+    assert hub["score"] == pytest.approx(2 * (math.log(5 / 5) + 1))
+    assert rare["score"] == pytest.approx(2 * (math.log(5 / 3) + 1))
+    # equal gather count, lower global df -> rare outranks hub
+    rows = score_nodes(edges, seeds).collect()
+    assert [r["node"] for r in rows][0] == "s:rare"
