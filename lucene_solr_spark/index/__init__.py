@@ -1,6 +1,6 @@
 from .builder import assign_doc_ids, build_index, open_index, read_manifest, write_manifest
 from .check import check_index
-from .deletes import delete_docs, read_tombstones, update_documents
+from .deletes import atomic_update, delete_docs, read_tombstones, update_documents
 from .core import (
     IndexView,
     build_index_view,
@@ -15,6 +15,7 @@ from .merge import merge_postings, merge_segments, tiered_merge
 __all__ = [
     "IndexView",
     "assign_doc_ids",
+    "atomic_update",
     "build_index",
     "build_index_view",
     "build_multifield_index_view",

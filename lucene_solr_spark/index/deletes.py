@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from .builder import build_index, read_manifest, write_manifest
 
-__all__ = ["delete_docs", "update_documents", "read_tombstones"]
+__all__ = ["delete_docs", "update_documents", "read_tombstones",
+           "atomic_update"]
 
 TOMBSTONES = "tombstones.parquet"
 
@@ -115,6 +116,65 @@ def update_documents(
     # write appended segment via the builder's segment machinery
     manifest = _append_docs_segment(spark, index_path, appended, text_col, **build_kwargs)
     return manifest
+
+
+def atomic_update(
+    spark: SparkSession,
+    index_path: str | Path,
+    keys: DataFrame,
+    modifiers: dict[str, tuple[str, object]],
+    key_cols: list[str] | None = None,
+    *,
+    text_col: str = "content",
+    **build_kwargs,
+) -> dict:
+    """Solr atomic updates (``[8x] solr/core/.../update/processor/
+    AtomicUpdateDocumentMerger.java``): modify FIELDS of existing docs
+    without the client re-sending the whole document.  Like Solr, the
+    engine reads the docs' stored fields, applies the modifiers, and
+    re-indexes the merged documents (updateDocument under the hood —
+    tombstone + append); every field must therefore be stored, which in
+    this engine is always true (docs.parquet IS the stored-fields file).
+
+    ``modifiers`` maps field -> (op, value) with Solr's ops:
+    ``set`` (replace; None removes by setting NULL), ``inc`` (numeric
+    add), ``add`` (append to a multivalued field), ``remove`` (drop
+    matching values from a multivalued field).
+
+    ``keys`` selects the target docs by unique key (broadcast semi-join
+    against the stored fields — one column-pruned scan); untouched docs
+    are not rewritten (segment-granular, exactly Lucene's model)."""
+    index_path = Path(index_path)
+    key_cols = key_cols or ["repo", "path"]
+    stored = spark.read.parquet(str(index_path / "docs.parquet"))
+    target = stored.join(
+        F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_semi"
+    )
+    for fld, (op, val) in modifiers.items():
+        if op == "set":
+            target = target.withColumn(
+                fld,
+                F.lit(val).cast(dict(target.dtypes)[fld])
+                if val is not None else F.lit(None).cast(dict(target.dtypes)[fld]),
+            )
+        elif op == "inc":
+            target = target.withColumn(fld, F.col(fld) + F.lit(val))
+        elif op == "add":
+            target = target.withColumn(
+                fld,
+                F.concat(
+                    F.coalesce(F.col(fld), F.array()),
+                    F.array(F.lit(val)),
+                ),
+            )
+        elif op == "remove":
+            target = target.withColumn(fld, F.array_remove(F.col(fld), val))
+        else:
+            raise ValueError(f"unsupported atomic op {op!r} for field {fld!r}")
+    new_docs = target.drop("doc_id", "content_sha256")
+    return update_documents(
+        spark, index_path, new_docs, key_cols, text_col=text_col, **build_kwargs
+    )
 
 
 def _resolve_append_chains(manifest: dict, build_kwargs: dict) -> None:

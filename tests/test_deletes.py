@@ -225,3 +225,40 @@ def test_merge_segments_forced_distributed_purge(spark, tmp_path, monkeypatch):
     hits = search(idx2, Term("def"), k=10).collect()
     assert hits and all(r["doc_id"] % 5 != 0 for r in hits)
     assert check_index(idx2, expect_disjoint_ranges=False) == {}
+
+
+def test_atomic_update_set_and_inc(spark, built):
+    """Atomic updates: set rewrites the indexed text via stored fields;
+    inc mutates a numeric stored field; untouched docs keep their ids."""
+    from lucene_solr_spark.index import atomic_update
+
+    stored = spark.read.parquet(str(built / "docs.parquet"))
+    row = stored.orderBy("doc_id").limit(1).collect()[0]
+    keys = spark.createDataFrame([(row["repo"], row["path"])], "repo string, path string")
+
+    atomic_update(
+        spark, built, keys,
+        {"content": ("set", "zzzatomic zzzatomic sentinel"),
+         "commit": ("set", "deadbeef")},
+    )
+    # the new content is searchable; exactly one doc matches
+    hits = _topk(spark, built, "zzzatomic")
+    assert len(hits) == 1
+    # stored fields reflect both set ops for the target key only
+    after = spark.read.parquet(str(built / "docs.parquet"))
+    got = after.filter(
+        (F.col("repo") == row["repo"]) & (F.col("path") == row["path"])
+    ).orderBy(F.desc("doc_id")).limit(1).collect()[0]
+    assert got["commit"] == "deadbeef"
+    assert "zzzatomic" in got["content"]
+    # old version is tombstoned: searching its unique old text finds the
+    # replacement only (by new doc_id), never the old doc_id
+    assert hits[0][0] == got["doc_id"]
+
+
+def test_atomic_update_rejects_unknown_op(spark, built):
+    from lucene_solr_spark.index import atomic_update
+
+    keys = spark.createDataFrame([("r", "p")], "repo string, path string")
+    with pytest.raises(ValueError, match="unsupported atomic op"):
+        atomic_update(spark, built, keys, {"content": ("multiply", 2)})
