@@ -1701,6 +1701,46 @@ SQL_HANDLER_STMT = (
 )
 
 
+RANDOM_SORT_SEED = "seed42"  # RandomSortField probe seed
+
+
+def q_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.missing=true: terms facet keeping the NULL bucket — lang
+    facet over a field that is NULL for 'fr' docs (nullif derivation,
+    the missing-value case the synthetic table lacks naturally)."""
+    from lucene_solr_spark.relational import facet_terms
+
+    d = _docs(spark, sf_dir).withColumn(
+        "lang_opt", F.when(F.col("lang") != "fr", F.col("lang"))
+    )
+    return facet_terms(d, "lang_opt", limit=10, missing=True).select(
+        "lang_opt", F.col("count").cast("long").alias("cnt")
+    )
+
+
+def q_random_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomSortField: top-10 docs under the deterministic
+    pseudo-random order for seed 'seed42' (stable across partitionings
+    and engines — md5(seed ':' doc_id))."""
+    from lucene_solr_spark.functions import random_sort_key
+
+    d = _docs(spark, sf_dir)
+    key = random_sort_key(RANDOM_SORT_SEED, F.col("doc_id"))
+    return (
+        d.select("doc_id", key.alias("sort_key"))
+        .orderBy("sort_key", "doc_id")
+        .limit(10)
+    )
+
+
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luke handler: global index stats + top-10 terms by df, read from
+    the term dictionary and precomputed corpus stats only."""
+    from lucene_solr_spark.search.extras import luke_top_terms
+
+    return luke_top_terms(_index_for(spark, sf_dir), top=10)
+
+
 SCORE_NODES_SEEDS = ("p:1", "p:2", "p:3")  # gather seeds (part nodes)
 PACK_BUDGET = 512  # tokens per training context window
 
@@ -1926,6 +1966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_handler": q_sql_handler,
         "score_nodes": q_score_nodes,
         "pack_sequences": q_pack_sequences,
+        "facet_missing": q_facet_missing,
+        "random_sort": q_random_sort,
+        "index_stats": q_index_stats,
         "facet_multiselect": q_facet_multiselect,
         "group_facet": q_group_facet,
         "mlt_interesting": q_mlt_interesting,
@@ -3155,6 +3198,31 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
         f"lead(term,{i}) OVER w" for i in range(1, DUPWIN_K)
     )
     out.update({
+        "facet_missing": """
+SELECT CASE WHEN lang <> 'fr' THEN lang END AS lang_opt,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents
+GROUP BY lang_opt
+ORDER BY cnt DESC, lang_opt ASC NULLS LAST LIMIT 10""",
+        "random_sort": f"""
+SELECT doc_id, md5('{RANDOM_SORT_SEED}' || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
+FROM documents
+ORDER BY sort_key, doc_id LIMIT 10""",
+        "index_stats": f"""
+WITH {_TOK_CTE},
+td AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM tok GROUP BY term
+),
+tot AS (SELECT count(*) AS n_terms FROM td),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT count(*) FROM tok) AS sum_ttf)
+SELECT t.term, CAST(t.df AS BIGINT) AS df, CAST(t.cf AS BIGINT) AS cf,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(x.n_terms AS BIGINT) AS n_terms,
+       CAST(c.sum_ttf AS BIGINT) AS sum_ttf
+FROM td t, tot x, corpus c
+ORDER BY t.df DESC, t.term ASC LIMIT 10""",
         "score_nodes": f"""
 WITH e AS (
   SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS node FROM lineitem

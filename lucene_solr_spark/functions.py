@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
     "date_ms", "geodist", "geofilt", "bbox", "termfreq", "docfreq",
-    "idf_col", "norm_col", "frange",
+    "idf_col", "norm_col", "frange", "random_sort_key",
 ]
 
 
@@ -36,6 +36,18 @@ def recip(x: Column, m: float, a: float, b: float) -> Column:
 def linear(x: Column, m: float, c: float) -> Column:
     """Solr ``linear(x,m,c)`` = m*x + c."""
     return F.lit(float(m)) * x + F.lit(float(c))
+
+
+def random_sort_key(seed: str, key: Column) -> Column:
+    """RandomSortField (``[8x] solr/core/.../schema/RandomSortField.java``,
+    the ``random_<seed>`` dynamic field): a deterministic pseudo-random
+    sort key — stable for a given (seed, uniqueKey) so paging stays
+    consistent, different across seeds so each seed is a fresh shuffle.
+    Solr hashes the seed with the doc; here md5(seed ':' key) gives the
+    same contract portably (identical in any engine, repeatable across
+    partitionings).  Map-side expression; sorting on it is the usual
+    TakeOrdered."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
 
 
 def frange(fn: Column, l: float | None = None, u: float | None = None,

@@ -57,12 +57,22 @@ __all__ = [
 
 
 def facet_terms(df: DataFrame, field: str, limit: int = 10,
-                min_count: int = 1, sort_by_count: bool = True) -> DataFrame:
-    """Terms facet: top buckets of ``field`` by count (FacetField)."""
-    g = df.groupBy(field).agg(F.count(F.lit(1)).alias("count"))
+                min_count: int = 1, sort_by_count: bool = True,
+                missing: bool = False) -> DataFrame:
+    """Terms facet: top buckets of ``field`` by count (FacetField).
+
+    ``missing=True`` keeps the NULL bucket (Solr ``facet.missing=true``:
+    the count of docs with no value in the field); by default NULL rows
+    are dropped like Solr's default.  Same single partial-agg shuffle
+    either way — NULL is just one more grouping key."""
+    base = df if missing else df.filter(F.col(field).isNotNull())
+    g = base.groupBy(field).agg(F.count(F.lit(1)).alias("count"))
     if min_count > 1:
         g = g.filter(F.col("count") >= min_count)
-    order = [F.desc("count"), F.asc(field)] if sort_by_count else [F.asc(field)]
+    order = (
+        [F.desc("count"), F.asc_nulls_last(field)]
+        if sort_by_count else [F.asc_nulls_last(field)]
+    )
     return g.orderBy(*order).limit(limit)
 
 

@@ -27,7 +27,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "boost_by_value", "block_join_parents", "block_join_children",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms",
-           "suggest_infix_blended"]
+           "suggest_infix_blended", "luke_top_terms"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -484,6 +484,35 @@ def suggest_infix(index: IndexView, fragment: str, k: int = 10) -> DataFrame:
         .orderBy(F.asc("_pfx"), F.desc("cf"), F.asc("term"))
         .limit(k)
         .select("term", F.col("cf").cast("long").alias("weight"))
+    )
+
+
+def luke_top_terms(index: IndexView, top: int = 10) -> DataFrame:
+    """Luke request handler (``[8x] solr/core/.../handler/admin/
+    LukeRequestHandler.java``, the index-introspection API): the
+    index's global statistics with its top terms by document frequency
+    — DataFrame[term, df, cf, n_docs, n_terms, sum_ttf].
+
+    Everything reads EXISTING aggregates: the term dictionary scan (one
+    TakeOrdered for the top terms, one tiny agg for n_terms) and the
+    precomputed corpus stats — no posting block is decoded, matching
+    Luke's read of per-segment metadata."""
+    totals = index.term_dict.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    top_terms = (
+        index.term_dict.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
+    return (
+        top_terms.crossJoin(F.broadcast(totals))
+        .withColumn("n_docs", F.lit(int(index.doc_count)).cast("long"))
+        .withColumn("sum_ttf", F.lit(int(index.sum_ttf)).cast("long"))
     )
 
 

@@ -186,3 +186,51 @@ def test_suggest_infix_blended_position_discount(spark):
     assert by_id[4]["score"] == pytest.approx(200.0)
     assert ids == [4, 1, 2]  # blended order, not raw weight order
     assert by_id[4]["first_pos"] == 4
+
+
+# --- facet.missing / random sort / Luke ---------------------------------------
+
+
+def test_facet_missing_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (5, None)],
+        "id long, f string",
+    )
+    from lucene_solr_spark.relational import facet_terms
+
+    without = {r["f"]: r["count"] for r in facet_terms(df, "f").collect()}
+    assert without == {"a": 2, "b": 1}
+    with_missing = {
+        r["f"]: r["count"] for r in facet_terms(df, "f", missing=True).collect()
+    }
+    assert with_missing == {"a": 2, None: 2, "b": 1}
+
+
+def test_random_sort_key_deterministic_and_seed_sensitive(spark):
+    from lucene_solr_spark.functions import random_sort_key
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    k1 = [r["id"] for r in df.orderBy(
+        random_sort_key("s1", F.col("id")), "id").limit(10).collect()]
+    k1b = [r["id"] for r in df.repartition(7).orderBy(
+        random_sort_key("s1", F.col("id")), "id").limit(10).collect()]
+    k2 = [r["id"] for r in df.orderBy(
+        random_sort_key("s2", F.col("id")), "id").limit(10).collect()]
+    assert k1 == k1b          # stable across partitionings
+    assert k1 != k2           # different seed, different order
+    assert k1 != sorted(k1)   # actually shuffled
+
+
+def test_luke_top_terms_stats(spark, docs):
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search.extras import luke_top_terms
+
+    index = build_index_view(docs, id_col="doc_id", text_col="text")
+    rows = luke_top_terms(index, top=3).collect()
+    assert len(rows) == 3
+    r0 = rows[0]
+    # corpus: 5 docs, 14 tokens, 5 distinct terms; top df terms: alpha(3)/beta(3)
+    assert r0["n_docs"] == 5 and r0["sum_ttf"] == 14 and r0["n_terms"] == 5
+    assert [(r["term"], r["df"]) for r in rows] == [
+        ("alpha", 3), ("beta", 3), ("delta", 2)]
+    assert {r["term"]: r["cf"] for r in rows}["beta"] == 5
