@@ -1704,6 +1704,23 @@ SQL_HANDLER_STMT = (
 RANDOM_SORT_SEED = "seed42"  # RandomSortField probe seed
 
 
+def q_block_join_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockJoinFacetComponent (uniqueBlock): facet over the child lang
+    field for children matching the probe term, each parent (source)
+    counted once per lang regardless of how many of its children match."""
+    from lucene_solr_spark.search.extras import block_join_facet
+    from lucene_solr_spark.search.query import Term
+
+    d = _docs(spark, sf_dir)
+    return block_join_facet(
+        _index_for(spark, sf_dir),
+        Term(BM25_TERM),
+        d.select("doc_id", F.col("source").alias("parent_id")),
+        d.select("doc_id", "lang"),
+        limit=10,
+    )
+
+
 def q_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.missing=true: terms facet keeping the NULL bucket — lang
     facet over a field that is NULL for 'fr' docs (nullif derivation,
@@ -1967,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_nodes": q_score_nodes,
         "pack_sequences": q_pack_sequences,
         "facet_missing": q_facet_missing,
+        "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
         "facet_multiselect": q_facet_multiselect,
@@ -3198,6 +3216,16 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
         f"lead(term,{i}) OVER w" for i in range(1, DUPWIN_K)
     )
     out.update({
+        "block_join_facet": f"""
+WITH {_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}'),
+pairs AS (
+  SELECT DISTINCT d.source AS parent_id, d.lang AS value
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT value, CAST(count(*) AS BIGINT) AS parent_count
+FROM pairs GROUP BY value
+ORDER BY parent_count DESC, value ASC LIMIT 10""",
         "facet_missing": """
 SELECT CASE WHEN lang <> 'fr' THEN lang END AS lang_opt,
        CAST(count(*) AS BIGINT) AS cnt

@@ -25,6 +25,7 @@ from .query import Or, Term, rewrite
 __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
+           "block_join_facet",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms",
            "suggest_infix_blended", "luke_top_terms"]
@@ -157,6 +158,40 @@ def block_join_parents(
     }[score_mode]
     out = j.groupBy("parent_id").agg(agg.cast("float").alias("score"))
     return out.orderBy(F.desc("score"), F.asc("parent_id")).limit(k)
+
+
+def block_join_facet(
+    index: IndexView,
+    child_query,
+    parent_of: DataFrame,
+    child_values: DataFrame,
+    limit: int = 10,
+) -> DataFrame:
+    """Block-join faceting (``[8x] solr/core/.../search/join/
+    BlockJoinFacetComponent.java``): facet over CHILD field values where
+    each matching PARENT counts once per value, however many of its
+    children carry it — Solr's uniqueBlock() semantics, the dedup that
+    makes child facets meaningful at the parent level.
+
+    ``child_values`` is [doc_id, value] (the child field, pre-exploded
+    if multivalued).  Shape: scored-stream match set → join parent_of
+    and child_values on doc_id (same key, co-shuffled) → DISTINCT
+    (parent_id, value) → one partial-agg count per value.  All
+    map-side-combinable; no parent list ever reaches the driver."""
+    matches = _scored_stream(index, child_query).select("doc_id")
+    vals = child_values.toDF("doc_id", "value")
+    pairs = (
+        matches.join(parent_of, "doc_id")
+        .join(vals, "doc_id")
+        .select("parent_id", "value")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("parent_count"))
+        .orderBy(F.desc("parent_count"), F.asc("value"))
+        .limit(limit)
+    )
 
 
 def block_join_children(

@@ -152,3 +152,36 @@ def test_block_join_children_inherit_parent_score(engine, oracle, parent_of):
     got = [(int(r["doc_id"]), int(r["parent_id"]), np.float32(r["score"]))
            for r in rows]
     assert got == want[:12]
+
+
+def test_block_join_facet_uniqueblock(spark):
+    """uniqueBlock semantics: a parent with many matching children sharing
+    a value counts ONCE for that value."""
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search.extras import block_join_facet
+    from lucene_solr_spark.search.query import Term
+
+    rows = [
+        # parent p1: three matching children, all lang=en -> en counts 1
+        (0, "probe alpha", "p1", "en"),
+        (1, "probe beta", "p1", "en"),
+        (2, "probe gamma", "p1", "en"),
+        # parent p2: one en match + one fr match
+        (3, "probe delta", "p2", "en"),
+        (4, "probe epsilon", "p2", "fr"),
+        # parent p3: children do NOT match
+        (5, "nothing here", "p3", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, parent string, lang string"
+    )
+    index = build_index_view(df, id_col="doc_id", text_col="text")
+    got = {
+        r["value"]: r["parent_count"]
+        for r in block_join_facet(
+            index, Term("probe"),
+            df.select("doc_id", F.col("parent").alias("parent_id")),
+            df.select("doc_id", "lang"),
+        ).collect()
+    }
+    assert got == {"en": 2, "fr": 1}
