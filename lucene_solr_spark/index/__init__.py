@@ -1,6 +1,6 @@
 from .builder import assign_doc_ids, build_index, open_index, read_manifest, write_manifest
 from .check import check_index
-from .deletes import atomic_update, delete_docs, read_tombstones, update_documents
+from .deletes import atomic_update, delete_docs, read_tombstones, realtime_get, update_documents
 from .core import (
     IndexView,
     build_index_view,
@@ -23,6 +23,7 @@ __all__ = [
     "compute_norms",
     "delete_docs",
     "read_tombstones",
+    "realtime_get",
     "update_documents",
     "encode_postings",
     "invert_tokens",

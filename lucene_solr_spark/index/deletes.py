@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .builder import build_index, read_manifest, write_manifest
 
 __all__ = ["delete_docs", "update_documents", "read_tombstones",
-           "atomic_update"]
+           "atomic_update", "realtime_get"]
 
 TOMBSTONES = "tombstones.parquet"
 
@@ -116,6 +116,46 @@ def update_documents(
     # write appended segment via the builder's segment machinery
     manifest = _append_docs_segment(spark, index_path, appended, text_col, **build_kwargs)
     return manifest
+
+
+def realtime_get(
+    spark: SparkSession,
+    index_path: str | Path,
+    keys: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Realtime Get (``[8x] solr/core/.../handler/component/RealTimeGet
+    Component.java``, the ``/get`` handler): fetch the LATEST live
+    version of documents by unique key, without requiring a commit —
+    Solr answers from the update log; here the stored-fields file plays
+    that role (it is written before the commit flag flips, so appended
+    updates are visible immediately).
+
+    Per key: the highest-doc_id stored row that is not tombstoned —
+    updateDocument appends replacements above maxDoc, so max(doc_id) IS
+    the newest version, and a key whose newest version was deleted
+    returns nothing.  One broadcast semi-join + per-key window (keys are
+    the partition key — parallel), tombstone anti-join."""
+    from pyspark.sql.window import Window
+
+    index_path = Path(index_path)
+    docs_path = index_path / "docs.parquet"
+    if not docs_path.exists():
+        raise FileNotFoundError(f"no stored fields at {docs_path}")
+    key_cols = key_cols or ["repo", "path"]
+    stored = spark.read.parquet(str(docs_path))
+    hit = stored.join(
+        F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_semi"
+    )
+    tomb = read_tombstones(spark, index_path)
+    if tomb is not None:
+        hit = hit.join(tomb, "doc_id", "left_anti")
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("doc_id"))
+    return (
+        hit.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def atomic_update(

@@ -262,3 +262,36 @@ def test_atomic_update_rejects_unknown_op(spark, built):
     keys = spark.createDataFrame([("r", "p")], "repo string, path string")
     with pytest.raises(ValueError, match="unsupported atomic op"):
         atomic_update(spark, built, keys, {"content": ("multiply", 2)})
+
+
+def test_realtime_get_latest_live_version(spark, built):
+    """/get semantics: newest non-tombstoned version per key, visible
+    without reopening; deleted keys return nothing."""
+    from lucene_solr_spark.index import atomic_update, delete_docs, realtime_get
+
+    stored = spark.read.parquet(str(built / "docs.parquet"))
+    rows = stored.orderBy("doc_id").limit(2).collect()
+    k0 = (rows[0]["repo"], rows[0]["path"])
+    k1 = (rows[1]["repo"], rows[1]["path"])
+    keys = spark.createDataFrame([k0, k1], "repo string, path string")
+
+    # before any update: returns the original rows
+    got = realtime_get(spark, built, keys)
+    assert got.count() == 2
+
+    # update key0 -> RTG returns the NEW version for key0, original for key1
+    atomic_update(
+        spark, built,
+        spark.createDataFrame([k0], "repo string, path string"),
+        {"content": ("set", "rtg sentinel content")},
+    )
+    got = {(r["repo"], r["path"]): r for r in realtime_get(spark, built, keys).collect()}
+    assert got[k0]["content"] == "rtg sentinel content"
+    assert got[k0]["doc_id"] > rows[0]["doc_id"]
+    assert got[k1]["doc_id"] == rows[1]["doc_id"]
+
+    # delete key1's live doc -> RTG drops it, key0 unaffected
+    delete_docs(spark, built, spark.createDataFrame(
+        [(rows[1]["doc_id"],)], "doc_id long"))
+    left = realtime_get(spark, built, keys).collect()
+    assert [(r["repo"], r["path"]) for r in left] == [k0]
