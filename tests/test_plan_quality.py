@@ -279,3 +279,57 @@ def test_freetext_lookup_prunes_by_order_and_context(spark, tmp_path_factory):
     ]
     assert any("EqualTo(ord,3)" in p and "EqualTo(context,a b)" in p
                for p in pushed), pushed
+
+
+def test_dup_windows_tokenizes_once(spark):
+    """duplicate_windows: the regexp tokenizer must appear ONCE in the
+    optimized plan — inlining it into the transform lambda re-evaluates
+    it per window start offset (measured 12x slower)."""
+    from lucene_solr_spark.pipeline.dedup import duplicate_windows
+
+    df = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    out = duplicate_windows(df, k=8)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_extract_all") == 1, opt
+
+
+def test_facet_excluding_filters_reach_scan(spark, tmp_path):
+    """Multi-select faceting: the kept tag's filter must push to parquet."""
+    from lucene_solr_spark.relational import facet_excluding
+
+    p = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"s{i % 3}") for i in range(50)],
+        "doc_id long, lang string, source string",
+    ).write.parquet(p)
+    d = spark.read.parquet(p)
+    out = facet_excluding(
+        d,
+        {"lang": F.col("lang") == "en", "source": F.col("source") == "s1"},
+        "lang",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(source,s1)" in pushed, pushed
+    assert "lang" not in pushed.replace("IsNotNull(lang)", ""), pushed
+
+
+def test_sql_handler_pushdown_and_partial_agg(spark, tmp_path):
+    """/sql lowering: WHERE reaches the parquet scan; GROUP BY plans as
+    two-phase partial aggregation (map-side combine before the exchange)."""
+    from lucene_solr_spark.sql_handler import execute_solr_sql
+
+    p = str(tmp_path / "e.parquet")
+    spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id long, t string, v double",
+    ).write.parquet(p)
+    tables = {"events": spark.read.parquet(p)}
+    out = execute_solr_sql(
+        tables,
+        "SELECT t, count(*) AS cnt FROM events WHERE v > 10 GROUP BY t",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThan(v,10" in pushed, pushed
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
