@@ -43,6 +43,7 @@ __all__ = [
     "with_tokens",
     "analyze",
     "Chain",
+    "analyze_steps",
     "Stop",
     "Length",
     "Map",
@@ -581,6 +582,29 @@ class Chain:
                 raise TypeError(f"unknown chain step {step}")
         dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
         return terms, row_idx, pos, dl
+
+
+def analyze_steps(chain: Chain, text: str) -> list[tuple[str, str, int]]:
+    """Field-analysis debug handler (``[8x] solr/core/.../handler/
+    FieldAnalysisRequestHandler.java``, the admin UI's Analysis screen):
+    the token stream after the tokenizer and after EACH chain step, so a
+    user can see which step dropped/rewrote which token — returns
+    [(step_name, term, position)] in stream order per step.
+
+    Driver-side by design, like the handler itself: it analyzes ONE
+    probe value through the reference (per-doc) chain implementation,
+    which the property tests pin identical to the vectorized engine
+    path."""
+    out: list[tuple[str, str, int]] = []
+
+    def name_of(step) -> str:
+        return getattr(step, "name", None) or type(step).__name__.lower()
+
+    for i in range(len(chain.steps) + 1):
+        label = "tokenizer" if i == 0 else name_of(chain.steps[i - 1])
+        sub = Chain(steps=chain.steps[:i], pattern=chain.pattern)
+        out.extend((label, t, p) for t, p in sub.tokens(text))
+    return out
 
 
 def chain_for(stopwords: frozenset[str] | None = None,

@@ -404,3 +404,19 @@ def test_double_metaphone_chain_query_side(spark):
     assert hits == {0, 1}      # schmidt matches via XMT
 
     assert chain_from_spec(chain_spec(chain)) == chain
+
+
+def test_analyze_steps_debug_handler():
+    """/analysis/field: per-step token streams show each filter's effect."""
+    from lucene_solr_spark.analysis import (
+        Chain, analyze_steps, stem_filter, stop_filter,
+    )
+
+    chain = Chain(steps=(stop_filter({"the"}), stem_filter()))
+    rows = analyze_steps(chain, "The running foxes")
+    by_step: dict[str, list] = {}
+    for step, term, pos in rows:
+        by_step.setdefault(step, []).append((term, pos))
+    assert by_step["tokenizer"] == [("the", 0), ("running", 1), ("foxes", 2)]
+    assert by_step["stop"] == [("running", 1), ("foxes", 2)]  # gap preserved
+    assert by_step["porter"] == [("run", 1), ("fox", 2)]
