@@ -1879,6 +1879,88 @@ def q_suggest_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_infix_blended(_docs(spark, sf_dir), BLEND_FRAG, k=10)
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CharFilter slot entry: HTMLStripCharFilter term dictionary.  Both
+    engines derive the same HTML-wrapped text from `documents`, the
+    engine runs the char-filter chain, DuckDB re-derives with
+    regexp_replace + entity decodes — markup terms (p/b/class/amp) must
+    never reach the dictionary."""
+    from lucene_solr_spark.analysis import Chain, html_strip_char_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    html = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="hd">'), F.col("text"),
+            F.lit("</p> &amp; <b>tailmark</b>&#169;"),
+        ).alias("html"),
+    )
+    chain = Chain(char_steps=(html_strip_char_filter(),))
+    idx = build_index_view(html, id_col="doc_id", text_col="html",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
+
+
+def q_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordDelimiterGraphFilter entry: camelCase / letter↔digit /
+    underscore splitting over a derived mixed-case column (the documents
+    text is all-lowercase, so both engines prepend deterministic
+    camelCase+digit tokens).  The oracle applies the filter's
+    two-capture-group boundary rules with regexp_replace — the shared
+    lookahead-free formulation pinned equal to the token-level engine
+    kernel by test_charfilters_wdgf."""
+    from lucene_solr_spark.analysis import (
+        MIXED_TOKEN_PATTERN, Chain, lowercase_filter, word_delimiter_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    mixed = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("fooBar"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(" getHTTPResponse2 snake_case "), F.col("text"),
+        ).alias("mixed"),
+    )
+    chain = Chain(
+        steps=(word_delimiter_filter(), lowercase_filter()),
+        pattern=MIXED_TOKEN_PATTERN, lower=False,
+    )
+    idx = build_index_view(mixed, id_col="doc_id", text_col="mixed",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
+
+
+def q_rev_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReversedWildcardFilter entry: a leading-wildcard query `*dow`
+    rewritten by query analysis into a PREFIX seek over the reversed
+    marker terms (parquet min/max-prunable), matching the oracle's
+    unprunable LIKE '%dow' re-derivation doc-for-doc."""
+    from lucene_solr_spark.analysis import Chain, reversed_wildcard_filter
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search.query import Prefix, Wildcard, analyze_query
+
+    chain = Chain(steps=(reversed_wildcard_filter(),))
+    idx = build_index_view(_docs(spark, sf_dir), id_col="doc_id",
+                           text_col="text", analyzer=chain, cache=False)
+    q = analyze_query(Wildcard("*dow"), chain)
+    assert isinstance(q, Prefix)  # the rewrite is the thing under test
+    return (
+        search(idx, q, k=1_000_000)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1993,6 +2075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frange": q_frange,
         "dup_windows": q_dup_windows,
         "suggest_blended": q_suggest_blended,
+        "html_strip": q_html_strip,
+        "word_delimiter": q_word_delimiter,
+        "rev_wildcard": q_rev_wildcard,
     }
 
 
@@ -2886,6 +2971,64 @@ SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM sh GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
+        # rule order mirrors _HTML_STRIP_RULES exactly: tags → space,
+        # then named entities decoded, numeric entities last
+        "html_strip": f"""
+WITH h AS (
+  SELECT doc_id,
+         '<p class="hd">' || text || '</p> &amp; <b>tailmark</b>&#169;' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&apos;', ''''),
+           '&#[0-9]+;', ' ', 'g') AS clean
+  FROM h
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(clean), '{TOKEN_PATTERN}')) AS term
+  FROM s
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
+        # the filter's lookahead-free boundary rules applied content-level
+        # (pinned equal to the engine's token-level kernel by
+        # test_charfilters_wdgf::test_wd_boundary_rules_match_content_level_rewrite)
+        "word_delimiter": r"""
+WITH m AS (
+  SELECT doc_id,
+         'fooBar' || CAST(doc_id % 97 AS VARCHAR)
+           || ' getHTTPResponse2 snake_case ' || text AS mixed
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(mixed,
+           '([a-z])([A-Z])', '\1 \2', 'g'),
+           '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+           '([A-Za-z])([0-9])', '\1 \2', 'g'),
+           '([0-9])([A-Za-z])', '\1 \2', 'g') AS sep
+  FROM m
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(sep), '[a-z0-9]+')) AS term
+  FROM s
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
+        "rev_wildcard": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+FROM tok WHERE term LIKE '%dow'
+ORDER BY doc_id""",
         "percentile": """
 WITH ranked AS (
   SELECT l_returnflag, l_quantity,

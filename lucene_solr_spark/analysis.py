@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "TOKEN_PATTERN",
+    "MIXED_TOKEN_PATTERN",
+    "REV_MARKER",
     "tokenize_series",
     "tokens_col",
     "with_tokens",
@@ -49,6 +51,13 @@ __all__ = [
     "Map",
     "Expand",
     "Shingle",
+    "CharReplace",
+    "html_strip_char_filter",
+    "pattern_replace_char_filter",
+    "mapping_char_filter",
+    "lowercase_filter",
+    "word_delimiter_filter",
+    "reversed_wildcard_filter",
     "porter_stem",
     "ascii_fold",
     "soundex",
@@ -72,6 +81,16 @@ TOKEN_PATTERN = "[a-z0-9_]+"
 #: tokenizer pattern for accent-bearing text (ASCIIFolding chains): keeps
 #: Latin-1 Supplement / Latin Extended letters so the fold filter sees them
 LATIN_TOKEN_PATTERN = "[a-z0-9_À-ɏ]+"
+
+#: case-preserving tokenizer pattern for WordDelimiter chains (``lower=False``
+#: so the filter can see camelCase boundaries before an explicit lowercase
+#: step — Lucene puts WordDelimiterGraphFilter BEFORE LowerCaseFilter)
+MIXED_TOKEN_PATTERN = "[A-Za-z0-9_]+"
+
+#: index marker for ReversedWildcardFilter terms (Solr uses U+0001
+#: START_OF_HEADING so reversed forms can never collide with real tokens,
+#: ``[8x] solr/core/.../analysis/ReversedWildcardFilter.java``)
+REV_MARKER = "\x01"
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:
@@ -379,6 +398,88 @@ class Shingle:
     keep_unigrams: bool = True
 
 
+@dataclass(frozen=True)
+class CharReplace:
+    """Pre-tokenizer char filter: an ordered list of string rewrites
+    applied to the RAW text before tokenization (Lucene's CharFilter
+    slot — ``[8x] lucene/analysis/common/.../charfilter/``).  Each rule
+    is ``(pattern, repl, is_regex)``; regex rules may use ``\\1``-style
+    backreferences.  Offsets are not tracked (the engine re-analyzes for
+    highlighting, so corrected offsets are never needed)."""
+
+    rules: tuple
+    name: str = "char_replace"
+
+
+#: HTMLStripCharFilter rules: tags → space, then the common named +
+#: numeric entities decoded (decode AFTER stripping, like the Java
+#: filter's output — decoded '<' is literal text, never re-parsed).
+_HTML_STRIP_RULES = (
+    ("<[^>]*>", " ", True),
+    ("&nbsp;", " ", False),
+    ("&amp;", "&", False),
+    ("&lt;", "<", False),
+    ("&gt;", ">", False),
+    ("&quot;", '"', False),
+    ("&apos;", "'", False),
+    ("&#[0-9]+;", " ", True),  # numeric entities → space (simplification)
+)
+
+
+def html_strip_char_filter() -> CharReplace:
+    """HTMLStripCharFilter analog (``[8x] lucene/analysis/common/.../
+    charfilter/HTMLStripCharFilter.java``): removes tags and decodes the
+    common entities so markup never leaks into the term dictionary
+    (without it, ``&amp;`` would index the bogus term ``amp``)."""
+    return CharReplace(_HTML_STRIP_RULES, "html_strip")
+
+
+def pattern_replace_char_filter(pattern: str, repl: str) -> CharReplace:
+    """PatternReplaceCharFilter analog: one global regex rewrite of the
+    raw text (``[8x] lucene/analysis/common/.../pattern/
+    PatternReplaceCharFilter.java``)."""
+    return CharReplace(((pattern, repl, True),), "pattern_replace")
+
+
+def mapping_char_filter(mapping: dict[str, str]) -> CharReplace:
+    """MappingCharFilter analog: literal string→string rewrites in ONE
+    left-to-right pass, longest source winning at each position and
+    outputs never re-scanned (the Java filter's greedy-longest-match
+    semantics — a single sequential-replace formulation would wrongly
+    re-process earlier rules' outputs)."""
+    import re
+
+    keys = sorted(mapping, key=len, reverse=True)
+    pattern = "|".join(re.escape(k) for k in keys)
+    return CharReplace(((pattern, tuple(sorted(mapping.items())), "table"),), "mapping")
+
+
+def _apply_char_rules(text: str, char_steps: tuple) -> str:
+    import re
+
+    for step in char_steps:
+        for pat, repl, mode in step.rules:
+            if mode == "table":
+                table = dict(repl)
+                text = re.sub(pat, lambda m: table[m.group(0)], text)
+            elif mode:
+                text = re.sub(pat, repl, text)
+            else:
+                text = text.replace(pat, repl)
+    return text
+
+
+def _apply_char_rules_series(texts: pd.Series, char_steps: tuple) -> pd.Series:
+    for step in char_steps:
+        for pat, repl, mode in step.rules:
+            if mode == "table":
+                table = dict(repl)
+                texts = texts.str.replace(pat, lambda m: table[m.group(0)], regex=True)
+            else:
+                texts = texts.str.replace(pat, repl, regex=bool(mode))
+    return texts
+
+
 def stop_filter(words: Iterable[str]) -> Stop:
     return Stop(frozenset(w.lower() for w in words))
 
@@ -463,6 +564,88 @@ def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) ->
     return Shingle(size, sep, keep_unigrams)
 
 
+def lowercase_filter() -> Map:
+    """Explicit LowerCaseFilter step for case-preserving chains
+    (``lower=False`` + MIXED_TOKEN_PATTERN); the default chain fuses
+    lowercasing into the tokenizer instead."""
+    return Map(str.lower, "lowercase", prefix_safe=True)
+
+
+#: WordDelimiterGraphFilter boundary rules — inserting a space at each
+#: boundary then splitting on non-alphanumerics reproduces the part set
+#: WITHOUT regex lookahead, so the DuckDB oracle (RE2) can apply the
+#: identical rewrites with regexp_replace:
+#:   camelCase     → camel Case          (splitOnCaseChange)
+#:   HTTPResponse  → HTTP Response       (acronym boundary)
+#:   utf8 / 8bit   → utf 8 / 8 bit       (splitOnNumerics)
+_WD_BOUNDARY_RULES = (
+    (r"([a-z])([A-Z])", r"\1 \2"),
+    (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+)
+
+
+def _wd_parts(t: str) -> tuple:
+    import re
+
+    s = t
+    for pat, repl in _WD_BOUNDARY_RULES:
+        s = re.sub(pat, repl, s)
+    return tuple(p for p in re.split(r"[^A-Za-z0-9]+", s) if p)
+
+
+def word_delimiter_filter(preserve_original: bool = False,
+                          catenate: bool = False) -> Expand:
+    """WordDelimiterGraphFilter analog (``[8x] lucene/analysis/common/
+    .../miscellaneous/WordDelimiterGraphFilter.java``): splits tokens on
+    case transitions, letter↔digit boundaries, and intra-token
+    delimiters (``_``, ``-``) — generateWordParts + generateNumberParts
+    + splitOnCaseChange + splitOnNumerics.  ``preserve_original`` keeps
+    the unsplit token; ``catenate`` adds the concatenated parts
+    (catenateAll).  Sub-tokens stack at the source token's position
+    (the same simplification as the synonym filter — Lucene's posInc
+    graph is flattened; documented in SURVEY §2.2).
+
+    Designed for code corpora: ``getHttpResponse`` → get/http/response
+    after the usual trailing lowercase step, so camelCase identifiers
+    become searchable by their parts."""
+
+    def fn(t: str) -> tuple:
+        parts = _wd_parts(t)
+        if parts == (t,):
+            return (t,)
+        out = (t,) if preserve_original else ()
+        out += parts
+        if catenate and len(parts) > 1:
+            out += ("".join(parts),)
+        return out
+
+    return Expand(
+        fn, "word_delimiter",
+        params=(bool(preserve_original), bool(catenate)),
+        query_expand=not preserve_original,
+    )
+
+
+def reversed_wildcard_filter() -> Expand:
+    """ReversedWildcardFilter analog (``[8x] solr/core/.../analysis/
+    ReversedWildcardFilterFactory.java``): index each token PLUS its
+    reversed form under the ``REV_MARKER`` prefix.  ``analyze_query``
+    then rewrites a leading-wildcard query ``*suffix`` into
+    ``Prefix(REV_MARKER + reversed(suffix))`` — a startswith predicate
+    the parquet term dictionary prunes by min/max column stats, instead
+    of an unprunable full-dictionary ``LIKE '%suffix'`` scan.  Like
+    Solr, the reversed tokens are real index terms (they contribute to
+    cf/df and doc length; leading-wildcard queries are constant-score,
+    so ranking never reads the inflated stats)."""
+
+    def fn(t: str) -> tuple:
+        return (t, REV_MARKER + t[::-1])
+
+    return Expand(fn, "reversed_wildcard", params=())
+
+
 # ---------------------------------------------------------------------------
 # the chain
 # ---------------------------------------------------------------------------
@@ -479,11 +662,22 @@ class Chain:
 
     steps: tuple = ()
     pattern: str = TOKEN_PATTERN
+    #: pre-tokenizer CharReplace filters (Lucene's CharFilter slot)
+    char_steps: tuple = ()
+    #: fuse LowerCaseFilter into the tokenizer (the default chain);
+    #: False preserves case for WordDelimiter chains, which then carry
+    #: an explicit ``lowercase_filter()`` step
+    lower: bool = True
 
     # --- tokenizer ---------------------------------------------------------
 
     def tokenize(self, texts: pd.Series) -> pd.Series:
-        return texts.fillna("").str.lower().str.findall(self.pattern)
+        s = texts.fillna("")
+        if self.char_steps:
+            s = _apply_char_rules_series(s, self.char_steps)
+        if self.lower:
+            s = s.str.lower()
+        return s.str.findall(self.pattern)
 
     # --- reference implementation (per doc) --------------------------------
 
@@ -491,7 +685,12 @@ class Chain:
         """text → [(term, position)] after the full chain."""
         import re
 
-        stream = [(t, i) for i, t in enumerate(re.findall(self.pattern, (text or "").lower()))]
+        raw = text or ""
+        if self.char_steps:
+            raw = _apply_char_rules(raw, self.char_steps)
+        if self.lower:
+            raw = raw.lower()
+        stream = [(t, i) for i, t in enumerate(re.findall(self.pattern, raw))]
         for step in self.steps:
             if isinstance(step, Stop):
                 stream = [(t, p) for t, p in stream if t not in step.words]
@@ -602,7 +801,8 @@ def analyze_steps(chain: Chain, text: str) -> list[tuple[str, str, int]]:
 
     for i in range(len(chain.steps) + 1):
         label = "tokenizer" if i == 0 else name_of(chain.steps[i - 1])
-        sub = Chain(steps=chain.steps[:i], pattern=chain.pattern)
+        sub = Chain(steps=chain.steps[:i], pattern=chain.pattern,
+                    char_steps=chain.char_steps, lower=chain.lower)
         out.extend((label, t, p) for t, p in sub.tokens(text))
     return out
 
@@ -639,8 +839,16 @@ def chain_spec(chain: Chain) -> dict | None:
         elif isinstance(step, Length):
             steps.append({"kind": "length", "min_len": step.min_len,
                           "max_len": step.max_len})
-        elif isinstance(step, Map) and step.name in ("porter", "ascii_fold", "soundex"):
+        elif isinstance(step, Map) and step.name in (
+            "porter", "ascii_fold", "soundex", "lowercase"
+        ):
             steps.append({"kind": step.name})
+        elif isinstance(step, Expand) and step.name == "word_delimiter":
+            preserve, cat = step.params
+            steps.append({"kind": "word_delimiter", "preserve_original": preserve,
+                          "catenate": cat})
+        elif isinstance(step, Expand) and step.name == "reversed_wildcard":
+            steps.append({"kind": "reversed_wildcard"})
         elif isinstance(step, Expand) and step.name == "synonym" and step.params:
             table, keep = step.params
             steps.append(
@@ -669,7 +877,19 @@ def chain_spec(chain: Chain) -> dict | None:
             )
         else:
             return None  # custom callable — not declaratively serializable
-    return {"pattern": chain.pattern, "steps": steps}
+    chars: list = []
+    for cs in chain.char_steps:
+        if not isinstance(cs, CharReplace):
+            return None
+        chars.append({
+            "name": cs.name,
+            "rules": [
+                [pat, [list(kv) for kv in repl] if mode == "table" else repl, mode]
+                for pat, repl, mode in cs.rules
+            ],
+        })
+    return {"pattern": chain.pattern, "steps": steps,
+            "char_steps": chars, "lower": chain.lower}
 
 
 def chain_from_spec(spec: dict) -> Chain:
@@ -688,6 +908,15 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(ascii_fold_filter())
         elif kind == "soundex":
             steps.append(phonetic_filter())
+        elif kind == "lowercase":
+            steps.append(lowercase_filter())
+        elif kind == "word_delimiter":
+            steps.append(
+                word_delimiter_filter(s.get("preserve_original", False),
+                                      s.get("catenate", False))
+            )
+        elif kind == "reversed_wildcard":
+            steps.append(reversed_wildcard_filter())
         elif kind == "synonym":
             steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
         elif kind == "edge_ngram":
@@ -707,4 +936,16 @@ def chain_from_spec(spec: dict) -> Chain:
             )
         else:
             raise ValueError(f"unknown chain step kind: {kind!r}")
-    return Chain(steps=tuple(steps), pattern=spec.get("pattern", TOKEN_PATTERN))
+    chars = tuple(
+        CharReplace(
+            tuple(
+                (pat, tuple(tuple(kv) for kv in repl) if mode == "table" else repl,
+                 mode)
+                for pat, repl, mode in cs["rules"]
+            ),
+            cs.get("name", "char_replace"),
+        )
+        for cs in spec.get("char_steps", [])
+    )
+    return Chain(steps=tuple(steps), pattern=spec.get("pattern", TOKEN_PATTERN),
+                 char_steps=chars, lower=spec.get("lower", True))

@@ -610,9 +610,20 @@ def analyze_query(q, analyzer):
       ([8x] lucene/core/.../util/QueryBuilder.java#analyzeBoolean) —
       and a Phrase position takes the primary (first) code.
     """
-    from ..analysis import Expand, Length, Map, Stop
+    from ..analysis import (
+        Expand, Length, Map, Stop, REV_MARKER, _apply_char_rules,
+    )
+
+    has_rev = any(
+        isinstance(s, Expand) and s.name == "reversed_wildcard"
+        for s in analyzer.steps
+    )
 
     def many(term: str) -> list[str]:
+        if analyzer.char_steps:
+            term = _apply_char_rules(term, analyzer.char_steps)
+        if analyzer.lower:
+            term = term.lower()
         variants = [term]
         for step in analyzer.steps:
             if isinstance(step, Stop):
@@ -657,6 +668,22 @@ def analyze_query(q, analyzer):
                 if isinstance(step, Map) and getattr(step, "prefix_safe", False):
                     p = step.fn(p)
             return n if p == n.prefix else Prefix(p, n.boost, n.constant_score)
+        if (
+            has_rev
+            and isinstance(n, Wildcard)
+            and n.pattern.startswith("*")
+            and len(n.pattern) > 1
+            and not any(c in "*?" for c in n.pattern[1:])
+        ):
+            # ReversedWildcardFilter rewrite (Solr's SolrQueryParser does
+            # this when the field's chain contains the factory): a pure
+            # leading wildcard becomes a PREFIX seek over the reversed
+            # marker terms — parquet min/max stats prune the dictionary
+            # scan, vs an unprunable LIKE '%suffix'.
+            suffix = n.pattern[1:]
+            if analyzer.lower:
+                suffix = suffix.lower()
+            return Prefix(REV_MARKER + suffix[::-1], n.boost, n.constant_score)
         if isinstance(n, (And, Or)):
             kids = [walk(c) for c in n.clauses]
             kids = [k for k in kids if k is not None]

@@ -1,0 +1,242 @@
+"""CharFilter slot (HTMLStrip / Mapping / PatternReplace), the
+WordDelimiterGraphFilter analog, and ReversedWildcardFilter with its
+leading-wildcard query rewrite — reference-vs-vectorized identity and
+engine-vs-recompute end-to-end."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.analysis import (
+    Chain,
+    MIXED_TOKEN_PATTERN,
+    REV_MARKER,
+    chain_from_spec,
+    chain_spec,
+    html_strip_char_filter,
+    lowercase_filter,
+    mapping_char_filter,
+    pattern_replace_char_filter,
+    reversed_wildcard_filter,
+    stem_filter,
+    stop_filter,
+    word_delimiter_filter,
+)
+from lucene_solr_spark.search.query import Prefix, Term, Wildcard, analyze_query
+
+
+# --- char filters ------------------------------------------------------------
+
+
+def test_html_strip_tokens():
+    c = Chain(char_steps=(html_strip_char_filter(),))
+    got = [t for t, _ in c.tokens('<p class="x">Hello &amp; <b>world</b>&#169;</p>')]
+    assert got == ["hello", "world"]
+    # without the filter, markup leaks into the dictionary
+    plain = [t for t, _ in Chain().tokens("<b>x</b> &amp;")]
+    assert "b" in plain and "amp" in plain
+
+
+def test_html_strip_entity_decoded_not_reparsed():
+    # decoded '<' is literal text, never re-parsed as a tag
+    c = Chain(char_steps=(html_strip_char_filter(),))
+    got = [t for t, _ in c.tokens("&lt;b&gt;kept&lt;/b&gt;")]
+    assert got == ["b", "kept", "b"]
+
+
+def test_mapping_char_filter_longest_first():
+    # ONE pass, longest source wins at each position, outputs never
+    # re-scanned: 'c++' → 'cpp' (not 'see'++), 'code' → 'seeode', and the
+    # produced 'cpp'/'see' are not themselves rewritten again
+    c = Chain(char_steps=(mapping_char_filter({"c++": "cpp", "c": "see"}),))
+    assert [t for t, _ in c.tokens("c++ code")] == ["cpp", "seeode"]
+
+
+def test_pattern_replace_char_filter():
+    c = Chain(char_steps=(pattern_replace_char_filter(r"([0-9]+)-([0-9]+)", r"\1\2"),))
+    assert [t for t, _ in c.tokens("part 12-34 end")] == ["part", "1234", "end"]
+
+
+def test_char_filter_series_matches_reference():
+    c = Chain(char_steps=(html_strip_char_filter(),), steps=(stem_filter(),))
+    texts = ["<p>running &amp; flies</p>", "", "no markup", "<a href='x'>y</a>&#10;"]
+    got = list(c.tokenize(pd.Series(texts)))
+    want = [[t for t, _ in Chain(char_steps=c.char_steps).tokens(x)] for x in texts]
+    assert got == want
+
+
+# --- word delimiter ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "token,parts",
+    [
+        ("getHttpResponse", ("get", "Http", "Response")),
+        ("HTTPResponse", ("HTTP", "Response")),
+        ("utf8", ("utf", "8")),
+        ("8bit", ("8", "bit")),
+        ("snake_case", ("snake", "case")),
+        ("plain", ("plain",)),
+        ("ID42x", ("ID", "42", "x")),
+    ],
+)
+def test_wd_part_semantics(token, parts):
+    from lucene_solr_spark.analysis import _wd_parts
+
+    assert _wd_parts(token) == parts
+
+
+def test_wd_filter_emission_modes():
+    base = word_delimiter_filter()
+    assert base.fn("getHttp") == ("get", "Http")
+    assert base.fn("plain") == ("plain",)  # unsplit token emitted once
+    keep = word_delimiter_filter(preserve_original=True)
+    assert keep.fn("getHttp") == ("getHttp", "get", "Http")
+    assert keep.fn("plain") == ("plain",)
+    cat = word_delimiter_filter(catenate=True)
+    assert cat.fn("wi_fi") == ("wi", "fi", "wifi")
+
+
+def _wd_chain(**kw):
+    return Chain(
+        steps=(word_delimiter_filter(**kw), lowercase_filter()),
+        pattern=MIXED_TOKEN_PATTERN,
+        lower=False,
+    )
+
+
+def _flat_via_engine_path(chain: Chain, texts: list[str]):
+    """Mirror index/core._flat_token_arrays exactly (chain.tokenize source)."""
+    toks = chain.tokenize(pd.Series(texts))
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(int(lens.sum()), dtype=np.int64) - starts[row_idx]
+    terms = np.array(list(itertools.chain.from_iterable(toks)), dtype=object)
+    return chain.flat(terms, row_idx, pos, lens.size)
+
+
+@pytest.mark.parametrize(
+    "chain",
+    [
+        _wd_chain(),
+        _wd_chain(preserve_original=True),
+        _wd_chain(catenate=True),
+        Chain(steps=(reversed_wildcard_filter(),)),
+        Chain(char_steps=(html_strip_char_filter(),),
+              steps=(stop_filter(["the"]), stem_filter())),
+        Chain(steps=(word_delimiter_filter(), lowercase_filter(), stem_filter()),
+              pattern=MIXED_TOKEN_PATTERN, lower=False),
+    ],
+)
+def test_new_steps_flat_matches_reference(chain):
+    rng = np.random.default_rng(7)
+    vocab = ["getHttpResponse", "HTTPServer", "utf8", "snake_case", "plain",
+             "id123", "The", "running", "<b>bold</b>", "&amp;", "Mixed9Case"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 10))) for _ in range(50)]
+    terms, row_idx, pos, dl = _flat_via_engine_path(chain, texts)
+    got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+    want = sorted(
+        (t, r, p) for r, text in enumerate(texts) for t, p in chain.tokens(text)
+    )
+    assert got == want
+    for r, text in enumerate(texts):
+        assert dl[r] == len(chain.tokens(text))
+
+
+def test_wd_boundary_rules_match_content_level_rewrite():
+    """The oracle formulation: applying the boundary rules to the WHOLE
+    text then tokenizing lowercase must equal the engine's token-level
+    split (preserve_original=False, catenate=False) — this equivalence is
+    what lets DuckDB reproduce WDGF with regexp_replace (RE2 has no
+    lookahead, so the two-capture-group rules are the shared form)."""
+    import re
+
+    from lucene_solr_spark.analysis import _WD_BOUNDARY_RULES
+
+    chain = _wd_chain()
+    texts = ["getHttpResponse utf8; snake_case(HTTPServer)", "a9B plain Wi_Fi",
+             "ID42x foo_barBaz99"]
+    for text in texts:
+        s = text
+        for pat, repl in _WD_BOUNDARY_RULES:
+            s = re.sub(pat, repl, s)
+        want = re.findall("[a-z0-9]+", s.lower())
+        got = [t for t, _ in chain.tokens(text)]
+        assert got == want, (text, got, want)
+
+
+# --- reversed wildcard -------------------------------------------------------
+
+
+def test_reversed_wildcard_query_rewrite():
+    rv = Chain(steps=(reversed_wildcard_filter(),))
+    q = analyze_query(Wildcard("*dow"), rv)
+    assert q == Prefix(REV_MARKER + "wod", 1.0, True)
+    # multi-wildcard patterns are NOT rewritten
+    q2 = analyze_query(Wildcard("*d?w"), rv)
+    assert isinstance(q2, Wildcard)
+    # plain chains never rewrite
+    q3 = analyze_query(Wildcard("*dow"), Chain())
+    assert isinstance(q3, Wildcard)
+    # terms pass through unreversed
+    assert analyze_query(Term("window"), rv) == Term("window")
+
+
+def test_reversed_wildcard_end_to_end(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import count_hits, search
+
+    rows = [(i, t) for i, t in enumerate(
+        ["window shadow", "merge sort", "meadow view", "plain row", "window merge"]
+    )]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    rv = Chain(steps=(reversed_wildcard_filter(),))
+    idx = build_index_view(df, analyzer=rv, salt=False)
+    q = analyze_query(Wildcard("*dow"), rv)
+    assert isinstance(q, Prefix)
+    got = sorted(r.doc_id for r in search(idx, q, k=10).collect())
+    # terms ending in 'dow': window, shadow, meadow
+    assert got == [0, 2, 4]
+    assert count_hits(idx, q) == 3
+    idx.unpersist()
+
+
+def test_wd_query_side_matches_index(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import search
+
+    rows = [(0, "getHttpResponse parse"), (1, "http client"), (2, "plain text")]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    chain = _wd_chain()
+    idx = build_index_view(df, analyzer=chain, salt=False)
+    # a camelCase query term splits into its parts (SynonymQuery-style Or)
+    q = analyze_query(Term("getHttp"), chain)
+    got = sorted(r.doc_id for r in search(idx, q, k=10).collect())
+    assert got == [0, 1]
+    idx.unpersist()
+
+
+# --- spec round-trips --------------------------------------------------------
+
+
+def test_new_steps_spec_round_trip():
+    chains = [
+        Chain(char_steps=(html_strip_char_filter(),)),
+        Chain(char_steps=(mapping_char_filter({"c++": "cpp"}),)),
+        Chain(char_steps=(pattern_replace_char_filter(r"[0-9]+", "#"),)),
+        _wd_chain(preserve_original=True),
+        _wd_chain(catenate=True),
+        Chain(steps=(reversed_wildcard_filter(),)),
+    ]
+    probe = "Ab9 <b>x&amp;y</b> c++ camelCase 12 snake_case"
+    for ch in chains:
+        spec = chain_spec(ch)
+        assert spec is not None, ch
+        ch2 = chain_from_spec(spec)
+        assert ch2.tokens(probe) == ch.tokens(probe)
+        assert ch2.pattern == ch.pattern and ch2.lower == ch.lower
