@@ -1961,6 +1961,62 @@ def q_rev_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_math_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming math expressions (corr + regress): Pearson r, OLS
+    slope/intercept, r² per return flag — ONE partial-agg shuffle of
+    DECIMAL-exact moment sums, closed-form f64 statistics from the
+    shared REGRESS_FORMULAS text (both engines evaluate the same
+    expression tree)."""
+    from lucene_solr_spark.mathx import corr_regress
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    out = corr_regress(li, "l_quantity", "l_extendedprice", by=["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("corr_r").cast("float").alias("corr_r"),
+        F.col("slope").cast("float").alias("slope"),
+        F.col("intercept").cast("float").alias("intercept"),
+        F.col("r2").cast("float").alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+def q_math_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming math hist(): explicit-bounds equal-width histogram —
+    map-side bin assignment + one groupBy; edge bins absorb out-of-range
+    rows.  Bounds are literals by design: a data-driven min/max would be
+    a second full scan at 100 TB."""
+    from lucene_solr_spark.mathx import hist_stream
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    return hist_stream(li, "l_extendedprice", 900.0, 105000.0, 12).orderBy("bin")
+
+
+def q_math_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming math movingAvg() + diff() over per-user event series:
+    keyed trailing windows (never SinglePartition).  events.value is
+    quantized to integer cents on BOTH engines first (the classify-entry
+    quantized discipline), so the window sums are exact under any
+    partitioning."""
+    from lucene_solr_spark.mathx import diff_stream, moving_avg_stream
+
+    e = (
+        _tbl(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id", "event_id", "ts",
+            F.round(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+        )
+    )
+    out = moving_avg_stream(e, "user_id", ["ts", "event_id"], "cents", window=3)
+    out = diff_stream(out, "user_id", ["ts", "event_id"], "cents", lag=1)
+    return out.select(
+        "user_id", "event_id",
+        F.col("moving_avg").cast("float").alias("moving_avg"),
+        F.col("diff").cast("float").alias("diff"),
+    ).orderBy("user_id", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2078,6 +2134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
         "rev_wildcard": q_rev_wildcard,
+        "math_regress": q_math_regress,
+        "math_hist": q_math_hist,
+        "math_moving": q_math_moving,
     }
 
 
@@ -2795,6 +2854,32 @@ ORDER BY d.doc_id"""
 _LANG_ID_ORACLE = _lang_id_oracle()
 
 
+def _math_regress_oracle() -> str:
+    """corr/regress oracle from the SAME formula text the Spark plan
+    evaluates (lucene_solr_spark.mathx.REGRESS_FORMULAS) over identical
+    DECIMAL(18,4)-exact moment sums."""
+    from lucene_solr_spark.mathx import REGRESS_FORMULAS as RF
+
+    dec = "DECIMAL(14,2)"
+    return f"""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS {dec})) AS sx,
+         sum(CAST(l_extendedprice AS {dec})) AS sy,
+         sum(CAST(l_quantity AS {dec}) * CAST(l_quantity AS {dec})) AS sxx,
+         sum(CAST(l_extendedprice AS {dec}) * CAST(l_extendedprice AS {dec})) AS syy,
+         sum(CAST(l_quantity AS {dec}) * CAST(l_extendedprice AS {dec})) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST({RF["corr_r"]} AS FLOAT) AS corr_r,
+       CAST({RF["slope"]} AS FLOAT) AS slope,
+       CAST({RF["intercept"]} AS FLOAT) AS intercept,
+       CAST({RF["r2"]} AS FLOAT) AS r2
+FROM s ORDER BY l_returnflag"""
+
+
 def oracle_sql() -> dict[str, str]:
     probe_list = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
@@ -3029,6 +3114,36 @@ WITH {_TOK_CTE}
 SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
 FROM tok WHERE term LIKE '%dow'
 ORDER BY doc_id""",
+        "math_regress": _math_regress_oracle(),
+        "math_hist": """
+WITH b AS (
+  SELECT least(11, greatest(0,
+           CAST(floor((l_extendedprice - 9e2) / 8675e0) AS BIGINT))) AS bin
+  FROM lineitem
+)
+SELECT bin, 9e2 + bin * 8675e0 AS lo_edge, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY bin ORDER BY bin""",
+        "math_moving": """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 1e2) AS BIGINT) AS cents
+  FROM events WHERE user_id < 40
+),
+w AS (
+  SELECT user_id, event_id, ts,
+         count(*) OVER win AS wn,
+         sum(CAST(cents AS DECIMAL(14,2))) OVER win AS wsum,
+         CAST(cents AS DECIMAL(14,2))
+           - lag(CAST(cents AS DECIMAL(14,2)), 1)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CAST(CASE WHEN wn >= 3 THEN CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) END
+            AS FLOAT) AS moving_avg,
+       CAST(CAST(d AS DOUBLE) AS FLOAT) AS diff
+FROM w ORDER BY user_id, event_id""",
         "percentile": """
 WITH ranked AS (
   SELECT l_returnflag, l_quantity,

@@ -1,0 +1,182 @@
+"""Solr streaming math expressions as distributed DataFrame transforms.
+
+Solr 8 ships a math-expression library over streaming tuples
+(``[8x] solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/`` —
+``DescribeEvaluator``, ``CorrelationEvaluator``, ``RegressionEvaluator``,
+``HistogramEvaluator``, ``MovingAverageEvaluator``, ``DiffEvaluator``).
+There they run DRIVER-SIDE over a collected array of tuples; here each is
+the equivalent distributed computation:
+
+* ``describe`` / ``corr`` / ``regress`` reduce to ONE partial-aggregate
+  shuffle producing the moment sums (n, Σx, Σy, Σx², Σy², Σxy); the
+  statistic is a closed-form scalar expression over those sums.  Sums go
+  through DECIMAL (exact, order-independent) so the result is
+  bit-identical under ANY partitioning — and matches a DuckDB oracle
+  evaluating the textually identical final f64 expression.
+* ``hist`` is a map-side bin assignment + one groupBy shuffle.  Bounds
+  are explicit (no second pass over the data to find min/max; at 100 TB
+  a range scan for bounds would double the cost — callers that need
+  data-driven bounds run ``stats_component`` first).
+* ``movingAvg`` / ``diff`` are per-key window functions (trailing frame);
+  the partition key is REQUIRED — Solr's evaluators operate on one
+  in-memory array, the distributed analog must never fall into a global
+  SinglePartition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "moment_sums",
+    "describe_stream",
+    "corr_regress",
+    "hist_stream",
+    "moving_avg_stream",
+    "diff_stream",
+    "REGRESS_FORMULAS",
+]
+
+#: exact-sum carrier for f64 inputs (money-style columns: ≤10^12 with ≤2
+#: decimals).  14 digits keeps the PRODUCT type inside BOTH engines'
+#: int128 decimal kernels ((14,2) × (14,2) → (28..29,4), exact in Spark
+#: AND DuckDB — an (18,·) operand overflows DuckDB's multiply); the
+#: post-product sums then widen losslessly.
+_DEC = "decimal(14,2)"
+
+
+def moment_sums(df: DataFrame, x: str, y: str,
+                by: list[str] | None = None) -> DataFrame:
+    """The one-shuffle reduction shared by describe/corr/regress: per
+    group (n, Σx, Σy, Σx², Σy², Σxy) with DECIMAL-exact sums."""
+    xd = F.col(x).cast(_DEC)
+    yd = F.col(y).cast(_DEC)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    ]
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
+#: final-statistic formulas over the moment sums — ONE text evaluated by
+#: both Spark (F.expr) and DuckDB (embedded in the oracle SQL), so the
+#: f64 operation order is identical on both sides.  n/sx/... are the
+#: DECIMAL sums; every operand is cast to DOUBLE first.
+_D = "CAST({} AS DOUBLE)"
+_N, _SX, _SY, _SXX, _SYY, _SXY = (
+    _D.format("n"), _D.format("sx"), _D.format("sy"),
+    _D.format("sxx"), _D.format("syy"), _D.format("sxy"),
+)
+REGRESS_FORMULAS = {
+    "slope": f"(({_N} * {_SXY}) - ({_SX} * {_SY}))"
+             f" / (({_N} * {_SXX}) - ({_SX} * {_SX}))",
+    "corr_r": f"(({_N} * {_SXY}) - ({_SX} * {_SY}))"
+              f" / sqrt((({_N} * {_SXX}) - ({_SX} * {_SX}))"
+              f" * (({_N} * {_SYY}) - ({_SY} * {_SY})))",
+    "mean_x": f"{_SX} / {_N}",
+    "mean_y": f"{_SY} / {_N}",
+}
+REGRESS_FORMULAS["intercept"] = (
+    f"({REGRESS_FORMULAS['mean_y']}) - (({REGRESS_FORMULAS['slope']})"
+    f" * ({REGRESS_FORMULAS['mean_x']}))"
+)
+REGRESS_FORMULAS["r2"] = (
+    f"({REGRESS_FORMULAS['corr_r']}) * ({REGRESS_FORMULAS['corr_r']})"
+)
+
+
+def describe_stream(df: DataFrame, col: str,
+                    by: list[str] | None = None) -> DataFrame:
+    """DescribeEvaluator analog: n / min / max / mean / variance /
+    stddev per group.  mean and the (population) variance come from the
+    DECIMAL moment sums, so they are partition-order independent."""
+    sums = moment_sums(df.withColumn("__y", F.col(col)), col, "__y", by=by)
+    mean = REGRESS_FORMULAS["mean_x"]
+    # bias-corrected sample variance — what Commons Math
+    # DescriptiveStatistics.getVariance() returns inside DescribeEvaluator
+    var = f"(({_SXX}) - (({_SX} * {_SX}) / {_N})) / ({_N} - 1e0)"
+    mm = df.groupBy(*(by or [])).agg(
+        F.min(col).alias("min_v"), F.max(col).alias("max_v"))
+    joined = sums.join(mm, on=by) if by else sums.crossJoin(mm)
+    return joined.select(
+        *(by or []),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_v").alias("min"),
+        F.col("max_v").alias("max"),
+        F.expr(mean).alias("mean"),
+        F.expr(var).alias("variance"),
+        F.expr(f"sqrt({var})").alias("stddev"),
+    )
+
+
+def corr_regress(df: DataFrame, x: str, y: str,
+                 by: list[str] | None = None) -> DataFrame:
+    """CorrelationEvaluator + RegressionEvaluator in one pass: Pearson r,
+    OLS slope/intercept, r² per group — one shuffle, closed form."""
+    sums = moment_sums(df, x, y, by=by)
+    return sums.select(
+        *(by or []),
+        F.col("n").cast("long").alias("n"),
+        F.expr(REGRESS_FORMULAS["corr_r"]).alias("corr_r"),
+        F.expr(REGRESS_FORMULAS["slope"]).alias("slope"),
+        F.expr(REGRESS_FORMULAS["intercept"]).alias("intercept"),
+        F.expr(REGRESS_FORMULAS["r2"]).alias("r2"),
+    )
+
+
+def hist_stream(df: DataFrame, col: str, lo: float, hi: float,
+                bins: int) -> DataFrame:
+    """HistogramEvaluator analog with explicit [lo, hi) bounds: map-side
+    bin assignment, one partial-agg groupBy; out-of-range rows clamp to
+    the edge bins (Commons Math EmpiricalDistribution keeps them)."""
+    w = (float(hi) - float(lo)) / int(bins)
+    bin_expr = F.floor((F.col(col) - F.lit(float(lo))) / F.lit(w))
+    bin_c = F.least(F.lit(bins - 1), F.greatest(F.lit(0), bin_expr)).cast("long")
+    return (
+        df.select(bin_c.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("lo_edge", F.lit(float(lo)) + F.col("bin") * F.lit(w))
+        .select("bin", "lo_edge", "cnt")
+    )
+
+
+def _keyed_window(key: str, order: list[str | Column]):
+    return Window.partitionBy(key).orderBy(*order)
+
+
+def moving_avg_stream(df: DataFrame, key: str, order: list[str],
+                      value: str, window: int) -> DataFrame:
+    """MovingAverageEvaluator analog: trailing ``window``-row mean of
+    ``value`` per ``key`` ordered by ``order``.  The first window-1 rows
+    of each series yield NULL like Solr's evaluator (which emits a
+    shorter array).  DECIMAL window sums keep the mean exact."""
+    w = _keyed_window(key, order).rowsBetween(-(window - 1), 0)
+    n_in_frame = F.count(F.lit(1)).over(w)
+    avg = (F.sum(F.col(value).cast(_DEC)).over(w).cast("double")
+           / F.col("__wn").cast("double"))
+    return (
+        df.withColumn("__wn", n_in_frame)
+        .withColumn(
+            "moving_avg",
+            F.when(F.col("__wn") >= window, avg).otherwise(F.lit(None)),
+        )
+        .drop("__wn")
+    )
+
+
+def diff_stream(df: DataFrame, key: str, order: list[str], value: str,
+                lag: int = 1) -> DataFrame:
+    """DiffEvaluator analog (first differencing, lag=k): value −
+    value[k back] per key series; DECIMAL subtraction keeps it exact."""
+    w = _keyed_window(key, order)
+    prev = F.lag(F.col(value).cast(_DEC), lag).over(w)
+    return df.withColumn(
+        "diff", (F.col(value).cast(_DEC) - prev).cast("double")
+    )

@@ -1,0 +1,129 @@
+"""Solr streaming math expressions (describe / corr / regress / hist /
+movingAvg / diff) — numpy/pandas reference identity and
+partitioning-invariance of the DECIMAL-exact reductions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.mathx import (
+    corr_regress,
+    describe_stream,
+    diff_stream,
+    hist_stream,
+    moving_avg_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def xy_df(spark):
+    rng = np.random.default_rng(11)
+    n = 500
+    x = np.round(rng.uniform(1, 50, n), 2)
+    y = np.round(3.5 * x + rng.normal(0, 10, n) + 20, 2)
+    g = rng.choice(["A", "B", "C"], n)
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_corr_regress_vs_numpy(xy_df):
+    df, pdf = xy_df
+    got = {r["g"]: r for r in corr_regress(df, "x", "y", by=["g"]).collect()}
+    for g, sub in pdf.groupby("g"):
+        r = np.corrcoef(sub.x, sub.y)[0, 1]
+        slope, intercept = np.polyfit(sub.x, sub.y, 1)
+        row = got[g]
+        assert row["n"] == len(sub)
+        assert abs(row["corr_r"] - r) < 1e-9
+        assert abs(row["slope"] - slope) < 1e-9
+        assert abs(row["intercept"] - intercept) < 1e-8
+        assert abs(row["r2"] - r * r) < 1e-9
+
+
+def test_corr_regress_partitioning_invariant(xy_df):
+    """DECIMAL moment sums ⇒ bit-identical stats under any partitioning."""
+    df, _ = xy_df
+    a = sorted(map(tuple, corr_regress(df.repartition(1), "x", "y", by=["g"]).collect()))
+    b = sorted(map(tuple, corr_regress(df.repartition(13), "x", "y", by=["g"]).collect()))
+    assert a == b  # exact equality, not allclose
+
+
+def test_describe_vs_numpy(xy_df):
+    df, pdf = xy_df
+    row = describe_stream(df, "x").collect()[0]
+    assert row["n"] == len(pdf)
+    assert row["min"] == pdf.x.min() and row["max"] == pdf.x.max()
+    assert abs(row["mean"] - pdf.x.mean()) < 1e-12
+    assert abs(row["variance"] - pdf.x.var(ddof=1)) < 1e-9
+    assert abs(row["stddev"] - pdf.x.std(ddof=1)) < 1e-9
+    by = {r["g"]: r for r in describe_stream(df, "y", by=["g"]).collect()}
+    for g, sub in pdf.groupby("g"):
+        assert abs(by[g]["variance"] - sub.y.var(ddof=1)) < 1e-9
+
+
+def test_hist_vs_numpy(xy_df):
+    df, pdf = xy_df
+    got = {r["bin"]: (r["lo_edge"], r["cnt"]) for r in
+           hist_stream(df, "x", lo=0.0, hi=50.0, bins=10).collect()}
+    edges = np.arange(0.0, 50.0 + 5.0, 5.0)
+    counts, _ = np.histogram(np.clip(pdf.x, 0, 49.999999), bins=edges)
+    for b, c in enumerate(counts):
+        if c:
+            lo, cnt = got[b]
+            assert cnt == c and lo == b * 5.0
+    assert sum(c for _, c in got.values()) == len(pdf)
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [-5.0, 0.0, 9.99, 10.0, 99.0]}))
+    got = {r["bin"]: r["cnt"] for r in hist_stream(df, "v", 0.0, 10.0, 2).collect()}
+    # w=5: bin0 ← {-5 (clamped), 0.0}; bin1 ← {9.99, 10.0 (clamped), 99 (clamped)}
+    assert got == {0: 2, 1: 3}
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for key in range(6):
+        for t in range(40):
+            rows.append((key, t, float(np.round(rng.uniform(0, 100), 2))))
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_moving_avg_vs_pandas(series_df):
+    df, pdf = series_df
+    out = moving_avg_stream(df, "k", ["t"], "v", window=5)
+    got = out.orderBy("k", "t").toPandas()
+    want = pdf.sort_values(["k", "t"]).groupby("k")["v"].rolling(5).mean()
+    w = want.reset_index(drop=True).to_numpy()
+    g = got["moving_avg"].to_numpy(dtype=float)
+    assert np.allclose(np.nan_to_num(g, nan=-1), np.nan_to_num(w, nan=-1), atol=1e-9)
+    # first window-1 rows of each series are NULL
+    assert got.groupby("k")["moving_avg"].apply(lambda s: s.head(4).isna().all()).all()
+
+
+def test_diff_vs_pandas(series_df):
+    df, pdf = series_df
+    got = diff_stream(df, "k", ["t"], "v", lag=1).orderBy("k", "t").toPandas()
+    want = pdf.sort_values(["k", "t"]).groupby("k")["v"].diff()
+    assert np.allclose(
+        np.nan_to_num(got["diff"].to_numpy(dtype=float), nan=-999),
+        np.nan_to_num(want.to_numpy(), nan=-999),
+        atol=1e-12,
+    )
+
+
+def test_window_plans_have_no_single_partition(series_df):
+    """The distributed analog of Solr's in-memory evaluators must key the
+    window — no global SinglePartition exchange anywhere in the plan."""
+    df, _ = series_df
+    for out in (
+        moving_avg_stream(df, "k", ["t"], "v", window=3),
+        diff_stream(df, "k", ["t"], "v"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
