@@ -2017,6 +2017,17 @@ def q_math_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline LM quality filter (CCNet recipe): per-doc
+    bigram stupid-backoff perplexity, self-trained on the corpus.  The
+    ln-scores quantize to 1e-6 BIGINTs before the per-doc mean, so the
+    result is partition-order independent and DuckDB re-derives it from
+    the raw text exactly."""
+    from lucene_solr_spark.pipeline.filters import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2137,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_regress": q_math_regress,
         "math_hist": q_math_hist,
         "math_moving": q_math_moving,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2880,6 +2892,44 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM s ORDER BY l_returnflag"""
 
 
+def _lm_perplexity_oracle() -> str:
+    """Bigram-LM perplexity re-derived from raw text with the SAME
+    stupid-backoff score text (pipeline.filters.LM_SCORE_EXPR) and the
+    same 1e-6 ln-quantization."""
+    from lucene_solr_spark.pipeline.filters import LM_SCORE_EXPR
+
+    return f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, lag(term) OVER (PARTITION BY doc_id ORDER BY ord) AS prev,
+         term AS tok
+  FROM tokp
+),
+p2 AS (SELECT doc_id, prev, tok FROM pairs WHERE prev IS NOT NULL),
+bi AS (SELECT prev, tok, count(*) AS cnt FROM p2 GROUP BY prev, tok),
+uni AS (SELECT term AS tok, count(*) AS ucnt FROM tokp GROUP BY term),
+ctx AS (SELECT tok AS prev, ucnt AS ctx_cnt FROM uni),
+tot AS (SELECT count(*) AS total FROM tokp),
+scored AS (
+  SELECT p2.doc_id,
+         CAST(round(ln({LM_SCORE_EXPR}) * 1e6) AS BIGINT) AS q
+  FROM p2
+  LEFT JOIN bi USING (prev, tok)
+  LEFT JOIN ctx USING (prev)
+  LEFT JOIN uni USING (tok)
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(exp(-(CAST(sum(q) AS DOUBLE) / 1e6) / CAST(count(1) AS DOUBLE))
+            AS FLOAT) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     probe_list = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
@@ -3115,6 +3165,7 @@ SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
 FROM tok WHERE term LIKE '%dow'
 ORDER BY doc_id""",
         "math_regress": _math_regress_oracle(),
+        "lm_perplexity": _lm_perplexity_oracle(),
         "math_hist": """
 WITH b AS (
   SELECT least(11, greatest(0,

@@ -34,7 +34,7 @@ from .dedup import with_shingle_hashes
 from .hashing import TOKENS_SQL, h64_sql
 
 __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
-           "pii_scrub", "PII_RULES"]
+           "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -285,3 +285,91 @@ def stratified_sample(
         thresh = str(default_ppm)
     h = h64_sql(f"concat({strata_col}, ':', CAST({id_col} AS STRING))")
     return df.filter(F.expr(f"({h} % {SAMPLE_DENOM}) < ({thresh})"))
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity quality filter (CCNet-style)
+# ---------------------------------------------------------------------------
+
+#: stupid-backoff token score over the joined count columns — ONE text
+#: evaluated by Spark and by the DuckDB oracle, so the f64 tree is
+#: identical on both sides.  cnt/ctx_cnt are the bigram/context counts
+#: (NULL when the bigram is unseen), ucnt/total the unigram count and
+#: corpus token total; 4e-1 is FreeTextSuggester's ALPHA.
+LM_SCORE_EXPR = (
+    "CASE WHEN cnt IS NOT NULL"
+    " THEN CAST(cnt AS DOUBLE) / CAST(ctx_cnt AS DOUBLE)"
+    " ELSE 4e-1 * (CAST(ucnt AS DOUBLE) / CAST(total AS DOUBLE)) END"
+)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram-LM perplexity for corpus quality filtering —
+    the CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High
+    Quality Monolingual Datasets"): score each document by an n-gram
+    language model and keep/bucket by perplexity.  The LM is the same
+    stupid-backoff model FreeTextSuggester builds (search/freetext.py);
+    by default it is trained on ``df`` itself (self-perplexity — the
+    in-sandbox substitute for CCNet's pretrained Wikipedia LM; pass
+    ``model=`` a persisted ``freetext_model`` frame for held-out
+    scoring).
+
+    Returns ``[doc_id, n_pairs, ppl]`` for documents with ≥2 tokens:
+    ppl = exp(−mean ln score(tᵢ | tᵢ₋₁)), float32.
+
+    Exactness discipline: per-token ln scores are quantized to 1e-6
+    (``round(ln(s)·1e6) → BIGINT``) before the per-doc sum, so the mean
+    is partition-order independent and DuckDB-reproducible (the
+    classify-entry quantized mode).
+
+    Scale shape (100 TB lens): token-pair extraction is map-only; the
+    scoring joins are plain equi-joins against the model frame keyed by
+    (context, token) and (token) — the LM join IS the CCNet hot loop,
+    and it buckets by hash like any dimension join (broadcast when the
+    model fits, shuffle-hash otherwise).  The final reduce is one
+    doc-keyed partial agg.  No Python anywhere.
+    """
+    if model is None:
+        from ..search.freetext import freetext_model
+
+        model = freetext_model(df, id_col=id_col, text_col=text_col, n=2)
+    bi = model.filter(F.col("ord") == 2).select(
+        F.col("context").alias("prev"), F.col("token").alias("tok"),
+        "cnt", "ctx_cnt",
+    )
+    uni = model.filter(F.col("ord") == 1).select(
+        F.col("token").alias("tok"), F.col("cnt").alias("ucnt"),
+        F.col("ctx_cnt").alias("total"),
+    )
+    toks = TOKENS_SQL.format(col=text_col)
+    tokd = (
+        df.select(F.col(id_col).alias("doc_id"), F.expr(toks).alias("tk"))
+        .filter(F.size("tk") >= 2)
+    )
+    pairs = tokd.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(2, size(tk)),"
+                   " i -> struct(tk[i-2] AS prev, tk[i-1] AS tok))")
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.tok")
+    scored = (
+        pairs.join(bi, ["prev", "tok"], "left")
+        .join(uni, ["tok"], "left")
+        .select(
+            "doc_id",
+            F.expr(f"CAST(round(ln({LM_SCORE_EXPR}) * 1e6) AS BIGINT)").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(exp(-(CAST(sum(q) AS DOUBLE) / 1e6) / CAST(count(1) AS DOUBLE))"
+            " AS FLOAT)"
+        ).alias("ppl"),
+    )

@@ -1,0 +1,84 @@
+"""CCNet-style bigram-LM perplexity filter: hand-computed reference
+identity (including the stupid-backoff path on held-out text) and
+partitioning invariance of the quantized mean."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.pipeline.filters import lm_perplexity
+from lucene_solr_spark.search.freetext import freetext_model
+
+TRAIN = [
+    (0, "the quick fox jumps over the lazy dog"),
+    (1, "the quick dog runs past the slow fox"),
+    (2, "a lazy fox naps under the old tree"),
+]
+HELD_OUT = [
+    (10, "the quick fox naps"),          # all-seen bigrams
+    (11, "the slow tree jumps the fox"), # 'slow tree' / 'tree jumps' unseen → backoff
+    (12, "dog"),                          # <2 tokens: no row
+]
+
+
+def _ref_ppl(model_rows, texts):
+    """Pure-python recompute with the SAME quantization discipline."""
+    bi = {(r["context"], r["token"]): (r["cnt"], r["ctx_cnt"])
+          for r in model_rows if r["ord"] == 2}
+    uni = {r["token"]: (r["cnt"], r["ctx_cnt"]) for r in model_rows if r["ord"] == 1}
+    out = {}
+    for doc_id, text in texts:
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        if len(toks) < 2:
+            continue
+        qs = []
+        for prev, tok in zip(toks, toks[1:]):
+            if (prev, tok) in bi:
+                cnt, ctx = bi[(prev, tok)]
+                s = cnt / ctx
+            else:
+                ucnt, total = uni[tok]
+                s = 0.4 * (ucnt / total)
+            qs.append(round(math.log(s) * 1e6))
+        nll = -(sum(qs) / 1e6) / len(qs)
+        out[doc_id] = (len(qs), np.float32(math.exp(nll)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    df = spark.createDataFrame(TRAIN, ["doc_id", "text"])
+    m = freetext_model(df, id_col="doc_id", text_col="text", n=2).cache()
+    yield m
+    m.unpersist()
+
+
+def test_self_perplexity_matches_reference(spark, model):
+    df = spark.createDataFrame(TRAIN, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_pairs"], np.float32(r["ppl"]))
+           for r in lm_perplexity(df).collect()}
+    want = _ref_ppl(model.collect(), TRAIN)
+    assert got == want
+
+
+def test_held_out_backoff_matches_reference(spark, model):
+    df = spark.createDataFrame(HELD_OUT, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_pairs"], np.float32(r["ppl"]))
+           for r in lm_perplexity(df, model=model).collect()}
+    want = _ref_ppl(model.collect(), HELD_OUT)
+    assert set(got) == {10, 11}  # the 1-token doc emits no row
+    assert got == want
+    # the unseen-bigram doc must be strictly more perplexing than the
+    # all-seen one (that is the filter's entire point)
+    assert got[11][1] > got[10][1]
+
+
+def test_perplexity_partitioning_invariant(spark):
+    df = spark.createDataFrame(TRAIN * 5, ["doc_id", "text"])
+    a = sorted(map(tuple, lm_perplexity(df.repartition(1)).collect()))
+    b = sorted(map(tuple, lm_perplexity(df.repartition(11)).collect()))
+    assert a == b  # bit-exact, not allclose
