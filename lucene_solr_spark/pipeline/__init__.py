@@ -13,6 +13,7 @@ in __spark_entry__.py.
 """
 
 from .dedup import (
+    boilerplate_line_dedup,
     dedup_clusters,
     exact_dedup,
     minhash_signatures,
@@ -32,6 +33,8 @@ from .similarity import (
 from .text import doc_fingerprint, lang_id, text_quality, token_stats
 from .filters import (
     PII_RULES,
+    SECRET_RULES,
+    secret_scan,
     contamination_ngrams,
     gopher_quality,
     pii_scrub,
@@ -41,7 +44,10 @@ from .multimodal import media_features, with_media_binary
 
 __all__ = [
     "TextLogit",
+    "boilerplate_line_dedup",
     "contamination_ngrams",
+    "secret_scan",
+    "SECRET_RULES",
     "cosine_neardup_pairs",
     "gopher_quality",
     "pii_scrub",

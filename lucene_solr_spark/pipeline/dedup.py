@@ -44,6 +44,7 @@ __all__ = [
     "with_shingle_hashes",
     "dedup_clusters",
     "duplicate_windows",
+    "boilerplate_line_dedup",
 ]
 
 
@@ -475,4 +476,75 @@ def duplicate_windows(
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 4,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb style): drop
+    every line that occurs verbatim in >= ``min_docs`` DISTINCT
+    documents (license headers, nav bars, generated-file banners),
+    keeping document-unique content in original order.
+
+    Returns ``[id, text_clean, n_lines, n_removed]`` — ``text_clean``
+    is the surviving lines re-joined with ``\\n``; counts let a
+    pipeline audit how much boilerplate each doc carried.
+
+    Lines shorter than ``min_chars`` after trim are never counted as
+    boilerplate (blank lines and lone braces stay — removing them would
+    destroy code structure and their counts are pathological skew keys).
+
+    Shape (100 TB): ONE posexplode (map-only), ONE aggregation shuffle
+    keyed by the line string (partial map-side combine absorbs hot
+    lines before the exchange), ONE join of lines against the
+    (typically tiny) boilerplate set — Catalyst/AQE broadcasts it when
+    it fits — and ONE reassembly shuffle keyed by ``id_col``.  At
+    cluster scale you would key the count + join on ``xxhash64(line)``
+    instead of the raw string to shrink shuffle bytes; the string key
+    is kept here because the DuckDB oracle compares it verbatim.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.filter(F.length(F.trim(F.col("line"))) >= min_chars)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line", F.lit(True).alias("_is_b"))
+    )
+    marked = lines.join(boiler, "line", "left").select(
+        id_col,
+        "pos",
+        "line",
+        F.coalesce(F.col("_is_b"), F.lit(False)).alias("_is_b"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_is_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_is_b"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_removed")
     )

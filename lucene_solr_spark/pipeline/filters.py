@@ -34,7 +34,8 @@ from .dedup import with_shingle_hashes
 from .hashing import TOKENS_SQL, h64_sql
 
 __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
-           "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR"]
+           "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
+           "secret_scan", "SECRET_RULES"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -372,4 +373,63 @@ def lm_perplexity(
             "CAST(exp(-(CAST(sum(q) AS DOUBLE) / 1e6) / CAST(count(1) AS DOUBLE))"
             " AS FLOAT)"
         ).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Secret / credential scanning (code-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, tag) — patterns restricted to the Java-regex ∩ RE2
+#: dialect (no lookaround, no backrefs) so Spark's regexp_* and the
+#: DuckDB oracle's regexp_* compile the SAME automaton.  Rules model
+#: the high-confidence prefixes real scanners key on (AWS AKIA, GitHub
+#: ghp_/gho_/ghu_/ghs_/ghr_, Slack xox?, PEM headers, JWTs).
+SECRET_RULES = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    ("github_token", r"gh[pousr]_[A-Za-z0-9]{36}", "<GH_TOKEN>"),
+    ("slack_token", r"xox[baprs]-[0-9A-Za-z-]{10,48}", "<SLACK_TOKEN>"),
+    ("private_key", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ("jwt", r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}", "<JWT>"),
+)
+
+
+def secret_scan(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Credential scanning + redaction for code corpora: count and
+    replace embedded secrets (cloud keys, API tokens, PEM private-key
+    blocks, JWTs) with typed tags before the text reaches a training
+    set.
+
+    Returns ``[id, text_clean, n_aws_key, n_github_token,
+    n_slack_token, n_private_key, n_jwt, n_secrets, has_secret]``.
+
+    Map-side only, same shape as :func:`pii_scrub`: one projection of
+    chained ``regexp_replace`` for the redaction plus
+    ``regexp_extract_all`` counts over the ORIGINAL text (counts are
+    independent of replacement order).  No shuffle, no UDF — at 100 TB
+    this rides the corpus scan for free.
+    """
+    def esc(p: str) -> str:
+        return p.replace("\\", "\\\\").replace("'", "\\'")
+
+    counts = [
+        F.expr(
+            f"CAST(size(regexp_extract_all({text_col}, '{esc(pat)}', 0)) "
+            "AS BIGINT)"
+        ).alias(f"n_{name}")
+        for name, pat, _ in SECRET_RULES
+    ]
+    clean = text_col
+    for name, pat, tag in SECRET_RULES:
+        clean = f"regexp_replace({clean}, '{esc(pat)}', '{tag}')"
+    out = df.select(
+        id_col,
+        F.expr(clean).alias("text_clean"),
+        *counts,
+    )
+    total = sum((F.col(f"n_{name}") for name, _, _ in SECRET_RULES[1:]),
+                F.col(f"n_{SECRET_RULES[0][0]}"))
+    return out.withColumn("n_secrets", total.cast("long")).withColumn(
+        "has_secret", (F.col("n_secrets") > 0)
     )

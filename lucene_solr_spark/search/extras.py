@@ -27,7 +27,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "boost_by_value", "block_join_parents", "block_join_children",
            "block_join_facet",
            "common_terms_query", "elevate", "suggest_infix",
-           "spellcheck_collate", "explain", "interesting_terms",
+           "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
            "suggest_infix_blended", "luke_top_terms"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
@@ -718,3 +718,60 @@ def explain(index: IndexView, terms: list[str], k: int = 10) -> DataFrame:
             })
 
     return pt.mapInPandas(_kern, schema)
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str, str]],
+    k: int = 10,
+    k0: int = 60,
+    depth: int = 20,
+    rank_names: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over ranked retrieval lists (hybrid
+    lexical + vector search; Solr 9.8 ``combiner=rrf``, after
+    Cormack/Clarke/Buettcher SIGIR'09): each list contributes
+    ``1/(k0 + rank)`` to every id it ranks, fused score summed, top-k
+    by (fused desc, id asc).
+
+    ``ranked`` is ``[(df, id_col, score_col), ...]``; each df is an
+    already-collected top list (e.g. BM25 top-k, cosine top-k).  Ranks
+    are assigned here by (score desc, id asc) — identical to each
+    retriever's own collector order, so passing a retriever's top-k
+    output reproduces its ranks exactly.
+
+    Returns ``[id, rrf_score, <rank_names...>]`` — absent ranks are
+    NULL and contribute 0.  ``rrf_score`` is an exact f64: each term is
+    1/(integer) and the sum is over at most ``len(ranked)`` terms in
+    fixed list order, so the oracle reproduces it bit-for-bit.
+
+    Scale note: inputs are top-``depth`` lists (k rows each), so the
+    unpartitioned rank windows and the outer joins run on ~depth rows —
+    driver-scale by construction; the heavy lifting happened inside
+    each retriever.
+    """
+    from pyspark.sql.window import Window
+
+    names = rank_names or [f"rank_{i}" for i in range(len(ranked))]
+    fused = None
+    for (df, id_col, score_col), nm in zip(ranked, names):
+        w = Window.orderBy(F.desc("_s"), F.asc("id"))
+        r = (
+            df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
+            .withColumn(nm, F.row_number().over(w).cast("long"))
+            .filter(F.col(nm) <= depth)
+            .drop("_s")
+        )
+        fused = r if fused is None else fused.join(r, "id", "full_outer")
+    contribs = [
+        F.coalesce(1.0 / (F.lit(float(k0)) + F.col(nm).cast("double")), F.lit(0.0))
+        for nm in names
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        fused.withColumn("rrf_score", score)
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(k)
+        .select("id", "rrf_score", *names)
+    )
