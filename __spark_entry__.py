@@ -1071,6 +1071,21 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings (Solr math
+    ``kmeans`` evaluator): k=4 seeded from vec_ids 1..4, two exact
+    iterations (DECIMAL centroid sums, sequential-f64 distances), then
+    the final nearest-centroid assignment."""
+    from lucene_solr_spark.mathx import kmeans_assign, kmeans_fit
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iters=2, init_ids=[1, 2, 3, 4])
+    out = kmeans_assign(emb, cents)
+    return out.select(
+        "id", "cluster", F.col("dist2").cast("float").alias("dist2")
+    ).orderBy("id")
+
+
 def q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PayloadScoreQuery over a delimited-payload corpus: annotate every
     token with a deterministic numeric payload (``tok|(len+i+1)%10``),
@@ -2171,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": q_secret_scan,
         "line_dedup": q_line_dedup,
         "rrf_hybrid": q_rrf_hybrid,
+        "kmeans_clusters": q_kmeans_clusters,
         "ltr_rerank": q_ltr_rerank,
         "ltr_trees": q_ltr_trees,
         "freetext": q_freetext_suggest,
@@ -3004,6 +3020,64 @@ FROM h ORDER BY doc_id""",
     }
 
 
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations in DuckDB (the classify discipline):
+    distances are the SAME sequential f64 fold as mathx._SQDIST
+    (list_reduce over zipped dims — 0-init vs first-element-init agree
+    because squared diffs are non-negative), centroid sums go through
+    DECIMAL(38,18), and the per-dim mean is one IEEE division."""
+    sqd = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),"
+        " (acc, v) -> acc + v)"
+    )
+    parts = [
+        f"cent0 AS (SELECT vec_id - 1 AS cluster, embedding AS cent"
+        f" FROM embeddings WHERE vec_id BETWEEN 1 AND {k})",
+        "dims AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,"
+        " unnest(embedding) AS x FROM embeddings)",
+    ]
+    for i in range(iters):
+        d = sqd.format(a="e.embedding", b="c.cent")
+        parts.append(
+            f"a{i} AS (SELECT e.vec_id, c.cluster, {d} AS d"
+            f" FROM embeddings e, cent{i} c)"
+        )
+        parts.append(
+            f"assign{i} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT vec_id, cluster, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn"
+            f" FROM a{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"upd{i} AS (SELECT a.cluster, d.dim,"
+            f" CAST(sum(CAST(CAST(d.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE) AS val"
+            f" FROM assign{i} a JOIN dims d USING (vec_id)"
+            f" GROUP BY a.cluster, d.dim)"
+        )
+        parts.append(
+            f"cent{i + 1} AS (SELECT cluster, list(val ORDER BY dim) AS cent"
+            f" FROM (SELECT dd.cluster, dd.dim,"
+            f" COALESCE(u.val, CAST(dd.cv AS DOUBLE)) AS val"
+            f" FROM (SELECT cluster, unnest(range(1, len(cent) + 1)) AS dim,"
+            f" unnest(cent) AS cv FROM cent{i}) dd"
+            f" LEFT JOIN upd{i} u ON u.cluster = dd.cluster AND u.dim = dd.dim)"
+            f" GROUP BY cluster)"
+        )
+    d = sqd.format(a="e.embedding", b="c.cent")
+    parts.append(
+        f"af AS (SELECT e.vec_id, c.cluster, {d} AS d"
+        f" FROM embeddings e, cent{iters} c)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT vec_id AS id, CAST(cluster AS BIGINT) AS cluster, CAST(d AS FLOAT) AS dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn FROM af)
+WHERE rn = 1 ORDER BY id"""
+    )
+
+
 def _lang_id_oracle() -> str:
     from lucene_solr_spark.pipeline.text import LANG_MARKERS
 
@@ -3101,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
+    out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
     out.update({
         "fts_classic_topk": f"""
 WITH {_TOK_CTE},

@@ -37,6 +37,8 @@ __all__ = [
     "moving_avg_stream",
     "diff_stream",
     "REGRESS_FORMULAS",
+    "kmeans_fit",
+    "kmeans_assign",
 ]
 
 #: exact-sum carrier for f64 inputs (money-style columns: ≤10^12 with ≤2
@@ -180,3 +182,107 @@ def diff_stream(df: DataFrame, key: str, order: list[str], value: str,
     return df.withColumn(
         "diff", (F.col(value).cast(_DEC) - prev).cast("double")
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans — distributed Lloyd iterations (Solr math `kmeans` evaluator)
+# ---------------------------------------------------------------------------
+
+#: sequential f64 squared-L2 between two array expressions — the same
+#: left-to-right fold discipline as pipeline.similarity._DOT, so DuckDB's
+#: list_reduce reproduces every distance bit-for-bit.
+_SQDIST = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cent_arr(c: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({repr(float(v))} AS DOUBLE)" for v in c) + ")"
+
+
+def _argmin_cluster_expr(centroids: list[list[float]], vec_col: str) -> str:
+    """SQL expr assigning the nearest centroid index: lexicographic min of
+    (dist², cluster) structs — f64-exact ties broken by LOWEST cluster."""
+    cands = ", ".join(
+        f"named_struct('d', {_SQDIST.format(a=vec_col, b=_cent_arr(c))}, 'c', {j})"
+        for j, c in enumerate(centroids)
+    )
+    return f"array_min(array({cands}))"
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """[id, cluster, dist2] — nearest-centroid assignment, map-only.
+
+    Every distance is a sequential f64 fold over the dims and the argmin
+    tie-breaks on the lowest cluster index, so the assignment is
+    bit-deterministic and exactly reproducible from SQL.
+    """
+    m = _argmin_cluster_expr(centroids, vec_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"({m}).c").cast("long").alias("cluster"),
+        F.expr(f"({m}).d").alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_ids: list[int] | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means (``[8x] solr/solrj/src/java/org/apache/
+    solr/client/solrj/io/eval/KmeansEvaluator.java`` — there it runs
+    driver-side over a collected matrix; here each iteration is ONE
+    Spark aggregation over the full table and only the k×dim centroid
+    matrix ever reaches the driver).
+
+    Deterministic under ANY partitioning: initial centroids are the
+    rows with ``init_ids`` (default ids 1..k, the IVF convention), each
+    centroid-update sum goes through DECIMAL(38,18) (exact, associative
+    — the classify/train discipline), and the per-dim mean is one IEEE
+    f64 division.  An emptied cluster keeps its previous centroid.
+    Returns the k×dim centroid list (plain Python floats).
+    """
+    init_ids = init_ids or list(range(1, k + 1))
+    rows = df.filter(F.col(id_col).isin(init_ids)).orderBy(id_col).collect()
+    if len(rows) != k:
+        raise ValueError(f"init_ids matched {len(rows)} rows, need {k}")
+    cents = [[float(x) for x in r[vec_col]] for r in rows]
+    dims = len(cents[0])
+    sum_aggs = [
+        F.sum(
+            F.expr(
+                f"CAST(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE)"
+                " AS DECIMAL(38,18))"
+            )
+        ).alias(f"s{d}")
+        for d in range(dims)
+    ]
+    for _ in range(iters):
+        assigned = df.select(
+            F.expr(f"({_argmin_cluster_expr(cents, vec_col)}).c").alias("cluster"),
+            vec_col,
+        )
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("cnt"), *sum_aggs)
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in upd:
+            j = int(r["cluster"])
+            cnt = float(r["cnt"])
+            new[j] = [float(r[f"s{d}"]) / cnt for d in range(dims)]
+        cents = new
+    return cents

@@ -127,3 +127,61 @@ def test_window_plans_have_no_single_partition(series_df):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# kmeans (Solr math `kmeans` evaluator, distributed Lloyd)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from lucene_solr_spark.mathx import kmeans_assign, kmeans_fit
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            base = [10.0, 0.0]
+        elif i % 3 == 1:
+            base = [0.0, 10.0]
+        else:
+            base = [-10.0, -10.0]
+        rows.append((i, [base[0] + (i % 7) * 0.1, base[1] + (i % 5) * 0.1]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, k=3, iters=4, init_ids=[0, 1, 2])
+    cl = {r["id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    # init ids 0/1/2 belong to groups 0/1/2 -> cluster j == planted group j
+    for i in range(60):
+        assert cl[i] == i % 3, (i, cl[i])
+    # centroids are the per-group means (within fp tolerance)
+    assert abs(cents[0][0] - (10.0 + 0.3)) < 0.05  # mean of (i%7)*0.1 ~ 0.3
+    assert abs(cents[1][1] - (10.0 + 0.2)) < 0.05
+
+
+def test_kmeans_bit_identical_across_partitionings(spark):
+    from lucene_solr_spark.mathx import kmeans_fit
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11), float(i % 5)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = kmeans_fit(df, k=3, iters=3, init_ids=[1, 2, 3])
+    b = kmeans_fit(df.repartition(17), k=3, iters=3, init_ids=[1, 2, 3])
+    c = kmeans_fit(df.coalesce(1), k=3, iters=3, init_ids=[1, 2, 3])
+    assert a == b == c  # DECIMAL sums: exact, partitioning-independent
+
+
+def test_kmeans_assign_tie_breaks_low_cluster(spark):
+    from lucene_solr_spark.mathx import kmeans_assign
+
+    df = spark.createDataFrame([(0, [0.0, 0.0])], ["vec_id", "embedding"])
+    # two identical centroids -> equal distance, lowest cluster wins
+    out = kmeans_assign(df, [[1.0, 0.0], [1.0, 0.0]]).collect()
+    assert out[0]["cluster"] == 0
+
+
+def test_kmeans_init_ids_must_exist(spark):
+    import pytest as _pytest
+    from lucene_solr_spark.mathx import kmeans_fit
+
+    df = spark.createDataFrame([(0, [0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, k=2, iters=1, init_ids=[0, 99])
