@@ -1071,6 +1071,22 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning over the documents corpus:
+    the first 5 learned merges (pair counts exact integers, argmax
+    tie-broken by (cnt desc, lhs asc, rhs asc))."""
+    from lucene_solr_spark.pipeline.bpe import bpe_learn
+
+    m = bpe_learn(_docs(spark, sf_dir), n_merges=5)
+    return spark.createDataFrame(
+        [
+            (x["merge_idx"], x["left"], x["right"], x["merged"], x["cnt"])
+            for x in m
+        ],
+        "merge_idx long, lhs string, rhs string, merged string, cnt long",
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings (Solr math
     ``kmeans`` evaluator): k=4 seeded from vec_ids 1..4, two exact
@@ -2187,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "rrf_hybrid": q_rrf_hybrid,
         "kmeans_clusters": q_kmeans_clusters,
+        "bpe_merges": q_bpe_merges,
         "ltr_rerank": q_ltr_rerank,
         "ltr_trees": q_ltr_trees,
         "freetext": q_freetext_suggest,
@@ -3020,6 +3037,53 @@ FROM h ORDER BY doc_id""",
     }
 
 
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Unrolled BPE merge learning in DuckDB: same word-type collapse,
+    same wrapped-string encoding (<c> per char), same left-to-right
+    non-overlapping `replace` merge, same integer argmax tie-break.
+    The chosen pair per iteration enters the next CTE as a scalar
+    subquery instead of a driver-collected literal."""
+    parts = [
+        """w0 AS (
+  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS sym, freq FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+', 0)) AS word
+      FROM documents)
+    GROUP BY word))"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+  SELECT ls[j] AS l, ls[j + 1] AS r, freq FROM (
+    SELECT unnest(range(1, len(ls))) AS j, ls, freq FROM (
+      SELECT string_split(substring(sym, 2, length(sym) - 2), '><') AS ls,
+             freq
+      FROM w{i})))"""
+        )
+        parts.append(
+            f"""t{i} AS (
+  SELECT {i} AS merge_idx, l AS lhs, r AS rhs, l || r AS merged,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM p{i} GROUP BY l, r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        if i + 1 < n_merges:
+            parts.append(
+                f"""w{i + 1} AS (
+  SELECT replace(sym,
+                 (SELECT '<' || lhs || '><' || rhs || '>' FROM t{i}),
+                 (SELECT '<' || merged || '>' FROM t{i})) AS sym, freq
+  FROM w{i})"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM t{i}" for i in range(n_merges))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(merge_idx AS BIGINT) AS merge_idx, lhs, rhs, merged, cnt
+FROM ({union}) ORDER BY merge_idx"""
+    )
+
+
 def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
     """Unrolled Lloyd iterations in DuckDB (the classify discipline):
     distances are the SAME sequential f64 fold as mathx._SQDIST
@@ -3176,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
     out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
+    out["bpe_merges"] = _bpe_oracle(n_merges=5)
     out.update({
         "fts_classic_topk": f"""
 WITH {_TOK_CTE},

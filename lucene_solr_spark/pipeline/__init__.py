@@ -41,9 +41,13 @@ from .filters import (
     stratified_sample,
 )
 from .multimodal import media_features, with_media_binary
+from .bpe import bpe_encode, bpe_learn, bpe_word_types
 
 __all__ = [
     "TextLogit",
+    "bpe_encode",
+    "bpe_learn",
+    "bpe_word_types",
     "boilerplate_line_dedup",
     "contamination_ngrams",
     "secret_scan",

@@ -1,0 +1,153 @@
+"""Distributed BPE vocabulary learning (byte-pair-encoding merges).
+
+The training-data op behind every modern tokenizer (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"):
+iteratively merge the most frequent adjacent symbol pair.  The engine's
+``token_stats`` counts tokens with a FIXED BPE-ish regex; this module
+LEARNS the merge table itself, distributed:
+
+* the corpus collapses to a **word-type table** ``(word, freq)`` once —
+  one shuffle keyed by word; after that every merge iteration runs over
+  word TYPES (vocabulary-sized, ~10^6 rows at 100 TB), never over the
+  corpus again.  This is the standard scalable BPE formulation: corpus
+  size pays exactly one aggregation.
+* each iteration = ONE distributed pair-count aggregation (map-side
+  partial combine) + a driver-side argmax of a single row + ONE
+  map-only ``replace`` over the word types.  Only the chosen
+  ``(left, right)`` pair ever reaches the driver.
+* symbol sequences are encoded as wrapped strings ``<h><e><l><l><o>``
+  (tokens are ``[a-z0-9_]+`` so ``<``/``>`` never collide).  Merging
+  pair (l, l) is then ``replace(sym, '<l><l>', '<ll>')`` — SQL string
+  replace is left-to-right non-overlapping, exactly BPE's greedy merge
+  order, and is reproduced verbatim by the DuckDB oracle.
+* determinism: pair counts are exact integers; argmax tie-breaks by
+  (count desc, left asc, right asc).  No floats anywhere, so the merge
+  table is bit-identical on any engine and any partitioning.
+
+Simplification vs the paper (documented): merges happen strictly within
+words and there is no end-of-word marker — the word boundary itself is
+the delimiter, which matches how the engine's analysis chain consumes
+tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import TOKENS_SQL
+
+__all__ = ["bpe_word_types", "bpe_learn", "bpe_encode"]
+
+#: wrapped symbol string for a word: each char becomes <c>
+_WRAP_SQL = "regexp_replace({col}, '(.)', '<$1>')"
+
+#: symbol array back out of a wrapped string
+_SYMS_SQL = "split(substring({col}, 2, length({col}) - 2), '><')"
+
+
+def bpe_word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """[word, freq, sym] — the corpus collapsed to word types.
+
+    ``sym`` is the initial per-character wrapped encoding.  ONE shuffle
+    keyed by word (uniform); the corpus is never touched again.
+    """
+    words = df.select(
+        F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("sym", F.expr(_WRAP_SQL.format(col="word")))
+    )
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    """[l, r, cnt] — adjacent-symbol pair counts weighted by word freq."""
+    pairs = wt.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({_SYMS_SQL.format(col='sym')}) >= 2 THEN"
+                f" transform(sequence(1, size({_SYMS_SQL.format(col='sym')}) - 1),"
+                f" i -> named_struct("
+                f"   'l', element_at({_SYMS_SQL.format(col='sym')}, i),"
+                f"   'r', element_at({_SYMS_SQL.format(col='sym')}, i + 1)))"
+                f" ELSE array() END"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges; returns the merge table as
+    ``[{merge_idx, left, right, merged, cnt}, ...]`` in merge order.
+
+    Stops early if no adjacent pair remains.  Each iteration is one
+    distributed aggregation; the word-type table is persisted and
+    re-derived by chained map-only replaces (lineage depth = merges
+    done, fine for vocabulary-scale merge counts).
+    """
+    wt = bpe_word_types(df, text_col).select("freq", "sym").persist()
+    try:
+        merges: list[dict] = []
+        for i in range(n_merges):
+            top = (
+                _pair_counts(wt)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append(
+                {
+                    "merge_idx": i,
+                    "left": l,
+                    "right": r,
+                    "merged": l + r,
+                    "cnt": cnt,
+                }
+            )
+            pat, rep = f"<{l}><{r}>", f"<{l}{r}>"
+            wt2 = wt.select(
+                "freq", F.expr(f"replace(sym, '{pat}', '{rep}')").alias("sym")
+            ).persist()
+            wt.unpersist()
+            wt = wt2
+        return merges
+    finally:
+        wt.unpersist()
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[id, tokens] — apply a learned merge table to a corpus: wrap
+    each word's characters, replay the merges in order (map-only
+    chained replaces, no shuffle), and emit the subword array per doc
+    (word boundaries flattened)."""
+    enc = _WRAP_SQL.format(col="w")
+    for m in merges:
+        pat = f"<{m['left']}><{m['right']}>"
+        rep = f"<{m['merged']}>"
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+    syms = _SYMS_SQL.format(col=f"({enc})")
+    return df.select(
+        id_col,
+        F.expr(
+            f"flatten(transform({TOKENS_SQL.format(col=text_col)},"
+            f" w -> {syms}))"
+        ).alias("tokens"),
+    )

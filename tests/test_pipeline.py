@@ -429,3 +429,48 @@ def test_rrf_fuse_depth_cut(spark):
     out = rrf_fuse([(lex, "doc_id", "score")], k=10, depth=3).collect()
     assert sorted(r["id"] for r in out) == [0, 1, 2]
     assert [r["rank_0"] for r in sorted(out, key=lambda r: r["id"])] == [1, 2, 3]
+
+
+def test_bpe_learn_textbook_example(spark):
+    """Sennrich-style toy corpus: most frequent pairs merge in order,
+    greedy left-to-right within words."""
+    from lucene_solr_spark.pipeline.bpe import bpe_encode, bpe_learn
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new lower")],
+        ["doc_id", "text"])
+    m = bpe_learn(df, n_merges=6)
+    assert [(x["merged"], x["cnt"]) for x in m] == [
+        ("lo", 6), ("low", 6), ("ew", 4), ("new", 4), ("er", 3), ("es", 2)]
+    enc = {r["doc_id"]: r["tokens"] for r in bpe_encode(df, m).collect()}
+    # low | low+er | low+es+t | low | low
+    assert enc[0] == ["low", "low", "er", "low", "es", "t", "low", "low"]
+
+
+def test_bpe_greedy_left_to_right(spark):
+    """'aaa' with pair (a,a): leftmost merge wins -> [aa, a]."""
+    from lucene_solr_spark.pipeline.bpe import bpe_encode, bpe_learn
+
+    df = spark.createDataFrame([(0, "aaa aaa")], ["doc_id", "text"])
+    m = bpe_learn(df, n_merges=1)
+    assert m[0]["merged"] == "aa" and m[0]["cnt"] == 4  # 2 per 'aaa' x 2
+    enc = bpe_encode(df, m).collect()[0]["tokens"]
+    assert enc == ["aa", "a", "aa", "a"]
+
+
+def test_bpe_deterministic_across_partitionings(spark):
+    from lucene_solr_spark.pipeline.bpe import bpe_learn
+
+    rows = [(i, f"alpha beta gamma delta w{i % 7} alpha beta") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = bpe_learn(df, n_merges=4)
+    b = bpe_learn(df.repartition(13), n_merges=4)
+    assert a == b
+
+
+def test_bpe_stops_when_no_pairs(spark):
+    from lucene_solr_spark.pipeline.bpe import bpe_learn
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    m = bpe_learn(df, n_merges=5)
+    assert m == []  # single-char words have no adjacent pairs
