@@ -1,4 +1,4 @@
-from .builder import assign_doc_ids, build_index, open_index, read_manifest, write_manifest
+from .builder import assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
 from .deletes import atomic_update, delete_docs, read_tombstones, realtime_get, update_documents
 from .core import (
@@ -18,6 +18,7 @@ __all__ = [
     "atomic_update",
     "build_index",
     "build_index_view",
+    "sorted_topk",
     "build_multifield_index_view",
     "check_index",
     "compute_norms",

@@ -46,6 +46,7 @@ from .core import (
 __all__ = [
     "assign_doc_ids",
     "assign_doc_ids_arrival",
+    "sorted_topk",
     "build_index",
     "open_index",
     "read_manifest",
@@ -190,6 +191,7 @@ def build_index(
     analyzers: dict | None = None,
     default_field: str | None = None,
     store_term_vectors: bool = False,
+    sort_field: str | None = None,
 ) -> dict:
     """Build (or resume) a persistent index; returns the committed manifest.
 
@@ -208,6 +210,11 @@ def build_index(
     """
     index_path = Path(index_path)
     bm25 = bm25 or BM25()
+    if sort_field is not None and id_col is not None:
+        raise ValueError(
+            "sort_field requires builder-assigned doc ids (id_col=None): "
+            "caller-provided ids cannot be re-ordered by the sort"
+        )
     manifest = None if overwrite else read_manifest(index_path)
     if manifest and manifest.get("committed"):
         return manifest
@@ -258,12 +265,30 @@ def build_index(
             }
         else:
             manifest["analyzer"] = chain_spec(chain_for(stopwords, analyzer))
+        if sort_field is not None:
+            # Lucene index sorting (IndexWriterConfig.setIndexSort /
+            # [8x] lucene/core/.../index/IndexSorter.java): doc ids are
+            # assigned in (sort_field, tiebreak) order, so segments and
+            # the stored-fields parquet are physically sorted by the
+            # field — sorted_topk() early-terminates off the doc_id
+            # parquet stats instead of scanning + sorting everything.
+            manifest["sort"] = {
+                "field": sort_field,
+                "order": "asc",
+                "tiebreak": list(key_cols or ["repo", "path", "commit"]),
+            }
 
     # ---- stored fields + doc ids (idempotent: skip if already written) ---
     docs_path = index_path / "docs.parquet"
     if id_col is None:
         if not docs_path.exists():
-            docs = assign_doc_ids(corpus, key_cols)
+            sort_spec = manifest.get("sort")
+            keys = (
+                [sort_spec["field"], *sort_spec["tiebreak"]]
+                if sort_spec
+                else key_cols
+            )
+            docs = assign_doc_ids(corpus, keys)
             docs = docs.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
             docs.write.mode("overwrite").parquet(str(docs_path))
         docs = spark.read.parquet(str(docs_path))
@@ -470,3 +495,55 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         default_field=manifest.get("default_field", "content"),
         term_vectors=tv,
     )
+
+
+def sorted_topk(
+    spark: SparkSession,
+    index_path: str | Path,
+    k: int = 10,
+    descending: bool = False,
+    columns: list[str] | None = None,
+) -> "DataFrame":
+    """Early-terminated top-k over an index built with ``sort_field``
+    (Lucene's TopFieldCollector early termination on a sorted index,
+    ``[8x] lucene/core/.../index/IndexSorter.java`` +
+    ``TopFieldCollector``: segments sorted by the field let the
+    collector stop after k competitive hits).
+
+    The Spark analog: doc ids were assigned in sort order, so the
+    stored-fields parquet is range-partitioned by doc_id and top-k by
+    the sort field == the first (or last) k live doc ids.  The reader
+    pushes ``doc_id < k + |tombstones|`` into the parquet scan — file
+    and row-group min/max stats prune everything past the bound, so
+    the job reads O(k) rows no matter how large the index is.  A full
+    scan + global sort never happens; the plan is filter → local sort
+    of one pruned split → limit.
+    """
+    index_path = Path(index_path)
+    manifest = read_manifest(index_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    sort_spec = manifest.get("sort")
+    if not sort_spec:
+        raise ValueError(
+            "index was not built with sort_field= (manifest has no sort); "
+            "use search.extras.sort_by_field for unsorted indexes"
+        )
+    from .deletes import read_tombstones
+
+    tomb = read_tombstones(spark, index_path)
+    n_del = tomb.count() if tomb is not None else 0
+    n_docs = int(manifest["stats"]["doc_count"])
+    bound = k + n_del
+    docs = spark.read.parquet(str(index_path / "docs.parquet"))
+    if columns:
+        docs = docs.select("doc_id", *columns)
+    if descending:
+        pruned = docs.filter(F.col("doc_id") >= F.lit(n_docs - bound))
+        order = F.col("doc_id").desc()
+    else:
+        pruned = docs.filter(F.col("doc_id") < F.lit(bound))
+        order = F.col("doc_id").asc()
+    if tomb is not None:
+        pruned = pruned.join(tomb, "doc_id", "left_anti")
+    return pruned.orderBy(order).limit(k)

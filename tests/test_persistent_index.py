@@ -13,6 +13,7 @@ import shutil
 from pathlib import Path
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from lucene_solr_spark.corpus import gen_corpus_df
@@ -134,3 +135,87 @@ def test_sha256_invariant(spark, index_path):
     bad = docs.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count()
     assert bad == 0
     assert docs.count() == N_DOCS
+
+
+# ---------------------------------------------------------------------------
+# index sorting (IndexWriterConfig.setIndexSort / TopFieldCollector
+# early termination)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sorted_index_path(spark, tmp_path_factory):
+    from lucene_solr_spark.index import sorted_topk  # noqa: F401 (import check)
+
+    path = tmp_path_factory.mktemp("persist_sorted") / "idx"
+    corpus = gen_corpus_df(spark, N_DOCS, seed=7)
+    manifest = build_index(
+        spark, corpus, path, segment_docs=SEG_DOCS, sort_field="lang"
+    )
+    assert manifest["committed"]
+    assert manifest["sort"]["field"] == "lang"
+    return path
+
+
+def test_sorted_index_doc_ids_follow_sort(spark, sorted_index_path):
+    docs = spark.read.parquet(str(sorted_index_path / "docs.parquet"))
+    rows = docs.select("doc_id", "lang", "repo", "path", "commit").collect()
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    keys = [(r["lang"], r["repo"], r["path"], r["commit"]) for r in by_id]
+    assert keys == sorted(keys)  # doc_id order == (sort_field, tiebreak) order
+
+
+def test_sorted_topk_identity_and_pruning(spark, sorted_index_path):
+    from lucene_solr_spark.index import sorted_topk
+
+    docs = spark.read.parquet(str(sorted_index_path / "docs.parquet"))
+    expect = [
+        (r["doc_id"], r["lang"])
+        for r in docs.orderBy("lang", "repo", "path", "commit").limit(5).collect()
+    ]
+    got_df = sorted_topk(spark, sorted_index_path, k=5, columns=["lang"])
+    got = [(r["doc_id"], r["lang"]) for r in got_df.collect()]
+    assert got == expect
+    # early termination is real: the doc_id bound reaches the parquet scan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(doc_id,5" in plan, plan
+
+
+def test_sorted_topk_descending(spark, sorted_index_path):
+    from lucene_solr_spark.index import sorted_topk
+
+    docs = spark.read.parquet(str(sorted_index_path / "docs.parquet"))
+    expect = [r["doc_id"] for r in docs.orderBy(
+        docs.doc_id.desc()).limit(4).collect()]
+    got_df = sorted_topk(spark, sorted_index_path, k=4, descending=True)
+    assert [r["doc_id"] for r in got_df.collect()] == expect
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(doc_id" in plan, plan
+
+
+def test_sorted_topk_skips_tombstones(spark, sorted_index_path, tmp_path):
+    from lucene_solr_spark.index import sorted_topk
+    from lucene_solr_spark.index.deletes import delete_docs
+
+    path = tmp_path / "idx_del"
+    shutil.copytree(sorted_index_path, path)
+    delete_docs(spark, path, spark.createDataFrame([(0,), (2,)], ["doc_id"]))
+    got = [r["doc_id"] for r in sorted_topk(spark, path, k=3).collect()]
+    assert got == [1, 3, 4]  # deleted ids invisible, bound widened past them
+
+
+def test_sorted_topk_requires_sorted_index(spark, index_path):
+    from lucene_solr_spark.index import sorted_topk
+
+    with pytest.raises(ValueError):
+        sorted_topk(spark, index_path, k=3)
+
+
+def test_sort_field_rejects_caller_ids(spark, tmp_path):
+    corpus = gen_corpus_df(spark, 20, seed=1).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    with pytest.raises(ValueError):
+        build_index(
+            spark, corpus, tmp_path / "x", id_col="doc_id", sort_field="lang"
+        )
