@@ -2132,6 +2132,114 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shard routing (SolrCloud compositeId hash ring)
+# ---------------------------------------------------------------------------
+
+ROUTE_SHARDS = 8
+
+
+def q_shard_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompositeId routing: murmur3_x86_32 hashes + hash-ring shard.
+
+    id hash = mm3(doc_id); composite hash = top-16 bits of mm3(source)
+    | bottom-16 of mm3(doc_id) (route!id semantics); shard = ring range
+    of the composite hash over ROUTE_SHARDS shards."""
+    from lucene_solr_spark.routing import assign_shards, murmur3_hash_col
+
+    d = _docs(spark, sf_dir)
+    comp = assign_shards(d, ROUTE_SHARDS, id_col="doc_id", route_col="source")
+    return (
+        comp.withColumn("id_hash", murmur3_hash_col(F.col("doc_id").cast("string")))
+        .select(
+            "doc_id",
+            F.col("id_hash").cast("int").alias("id_hash"),
+            F.col("hash32").cast("int").alias("comp_hash"),
+            F.col("shard").cast("int").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _murmur3_route_oracle() -> str:
+    """MurmurHash3 x86_32 in pure DuckDB SQL: a recursive CTE walks the
+    4-byte blocks of each key (32-bit modular arithmetic via HUGEINT
+    products masked back to BIGINT), then staged CTEs apply the 1-3 byte
+    tail and the avalanche finalizer — bit-identical to the numpy kernel
+    in lucene_solr_spark/routing.py."""
+
+    def mul32(a: str, c: int) -> str:
+        return f"CAST((CAST(({a}) AS HUGEINT) * {c}) % 4294967296 AS BIGINT)"
+
+    def rotl(x: str, r: int) -> str:
+        return f"(((({x}) << {r}) | (({x}) >> {32 - r})) & 4294967295)"
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    blockval = (
+        "(ord(substr(b.keyp, bl.i * 4 + 1, 1))"
+        " | (ord(substr(b.keyp, bl.i * 4 + 2, 1)) << 8)"
+        " | (ord(substr(b.keyp, bl.i * 4 + 3, 1)) << 16)"
+        " | (ord(substr(b.keyp, bl.i * 4 + 4, 1)) << 24))"
+    )
+    hmix = f"((({rotl('xor(s2.h, s2.k2)', 13)}) * 5 + 3864292196) % 4294967296)"
+    tailval = (
+        "(CASE WHEN n % 4 >= 1 THEN ord(substr(keyp, (n // 4) * 4 + 1, 1)) ELSE 0 END"
+        " | CASE WHEN n % 4 >= 2 THEN ord(substr(keyp, (n // 4) * 4 + 2, 1)) << 8 ELSE 0 END"
+        " | CASE WHEN n % 4 >= 3 THEN ord(substr(keyp, (n // 4) * 4 + 3, 1)) << 16 ELSE 0 END)"
+    )
+    step = (1 << 32) // ROUTE_SHARDS
+    return f"""
+WITH RECURSIVE keys AS (
+  SELECT doc_id, 0 AS which, CAST(doc_id AS VARCHAR) AS key FROM documents
+  UNION ALL
+  SELECT doc_id, 1, source FROM documents
+),
+kb AS (SELECT doc_id, which, key || '...' AS keyp, length(key) AS n,
+              length(key) // 4 AS nb
+       FROM keys),
+blk(doc_id, which, i, h) AS (
+  SELECT doc_id, which, 0, CAST(0 AS BIGINT) FROM kb
+  UNION ALL
+  SELECT s2.doc_id, s2.which, s2.i + 1, {hmix}
+  FROM (
+    SELECT s1.doc_id, s1.which, s1.i, s1.h, {mul32(rotl('s1.k1', 15), c2)} AS k2
+    FROM (
+      SELECT bl.doc_id, bl.which, bl.i, bl.h, {mul32(blockval, c1)} AS k1
+      FROM blk bl JOIN kb b ON b.doc_id = bl.doc_id AND b.which = bl.which
+      WHERE bl.i < b.nb
+    ) s1
+  ) s2
+),
+hb AS (SELECT bl.doc_id, bl.which, bl.h, b.keyp, b.n
+       FROM blk bl JOIN kb b
+         ON b.doc_id = bl.doc_id AND b.which = bl.which AND bl.i = b.nb),
+t1 AS (SELECT doc_id, which, h, n, {tailval} AS k0 FROM hb),
+t2 AS (SELECT doc_id, which, h, n, {mul32('k0', c1)} AS k1 FROM t1),
+t3 AS (SELECT doc_id, which, h, n, {mul32(rotl('k1', 15), c2)} AS k2 FROM t2),
+f1 AS (SELECT doc_id, which, n,
+              CASE WHEN n % 4 > 0 THEN xor(h, k2) ELSE h END AS h FROM t3),
+f2 AS (SELECT doc_id, which, xor(h, n) AS h FROM f1),
+f3 AS (SELECT doc_id, which, xor(h, h >> 16) AS h FROM f2),
+f4 AS (SELECT doc_id, which, {mul32('h', 0x85EBCA6B)} AS h FROM f3),
+f5 AS (SELECT doc_id, which, xor(h, h >> 13) AS h FROM f4),
+f6 AS (SELECT doc_id, which, {mul32('h', 0xC2B2AE35)} AS h FROM f5),
+fin AS (SELECT doc_id, which, xor(h, h >> 16) AS hu FROM f6),
+comb AS (
+  SELECT i.doc_id, i.hu AS id_u,
+         ((r.hu & 4294901760) | (i.hu & 65535)) AS comp_u
+  FROM (SELECT doc_id, hu FROM fin WHERE which = 0) i
+  JOIN (SELECT doc_id, hu FROM fin WHERE which = 1) r USING (doc_id)
+)
+SELECT doc_id,
+  CAST(CASE WHEN id_u >= 2147483648 THEN id_u - 4294967296 ELSE id_u END
+       AS INTEGER) AS id_hash,
+  CAST(CASE WHEN comp_u >= 2147483648 THEN comp_u - 4294967296 ELSE comp_u END
+       AS INTEGER) AS comp_hash,
+  CAST(least(xor(comp_u, 2147483648) // {step}, {ROUTE_SHARDS - 1})
+       AS INTEGER) AS shard
+FROM comb ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -2257,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_hist": q_math_hist,
         "math_moving": q_math_moving,
         "lm_perplexity": q_lm_perplexity,
+        "shard_route": q_shard_route,
     }
 
 
@@ -3960,5 +4069,6 @@ SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
 FROM m
 ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
 LIMIT 10""",
+        "shard_route": _murmur3_route_oracle(),
     })
     return out

@@ -1,0 +1,146 @@
+"""CompositeId / hash-ring routing: murmur3 kernel + shard assignment."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.routing import (
+    assign_shards,
+    murmur3_x86_32,
+    shard_of_hash,
+    shard_ranges,
+)
+
+
+def _mm3_ref(data: bytes, seed: int = 0) -> int:
+    """Scalar MurmurHash3 x86_32 straight from Austin Appleby's published
+    reference (public domain smhasher); independent of the numpy kernel."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(n // 4):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[(n // 4) * 4 :]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def test_murmur3_known_vectors():
+    # smhasher verification values for x86_32
+    assert _mm3_ref(b"", 0) == 0
+    assert murmur3_x86_32([""], 0)[0] == 0
+    # seed participates even on empty input
+    assert murmur3_x86_32([""], 1)[0] == _mm3_ref(b"", 1)
+
+
+def test_murmur3_kernel_matches_reference_all_lengths():
+    rng = random.Random(20260818)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789!_-:/."
+    keys = [""]
+    for ln in list(range(1, 24)) + [31, 32, 33, 64, 127]:
+        for _ in range(8):
+            keys.append("".join(rng.choice(alphabet) for _ in range(ln)))
+    got = murmur3_x86_32(keys, 0)
+    want = np.array([_mm3_ref(k.encode(), 0) for k in keys], dtype=np.int32)
+    assert (got == want).all()
+    # non-zero seed path
+    got7 = murmur3_x86_32(keys, 7)
+    want7 = np.array([_mm3_ref(k.encode(), 7) for k in keys], dtype=np.int32)
+    assert (got7 == want7).all()
+
+
+def test_shard_ranges_tile_the_ring_exactly():
+    for n in (1, 2, 3, 8, 7, 100):
+        rs = shard_ranges(n)
+        assert rs[0][0] == -(1 << 31)
+        assert rs[-1][1] == (1 << 31) - 1
+        for (s0, e0), (s1, _) in zip(rs, rs[1:]):
+            assert s1 == e0 + 1
+        assert sum(e - s + 1 for s, e in rs) == 1 << 32
+
+
+def test_shard_of_hash_matches_ranges(spark):
+    rng = random.Random(42)
+    hashes = [rng.randint(-(1 << 31), (1 << 31) - 1) for _ in range(500)]
+    hashes += [-(1 << 31), (1 << 31) - 1, 0, -1]
+    for n in (3, 8):
+        rs = shard_ranges(n)
+
+        def shard_ref(h):
+            return next(i for i, (s, e) in enumerate(rs) if s <= h <= e)
+
+        df = spark.createDataFrame([(h,) for h in hashes], "h int")
+        got = {
+            r["h"]: r["s"]
+            for r in df.select("h", shard_of_hash(F.col("h"), n).alias("s")).collect()
+        }
+        for h in hashes:
+            assert got[h] == shard_ref(h), (h, n)
+
+
+def test_assign_shards_plain_and_composite(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = assign_shards(docs, 8, id_col="doc_id")
+    rows = plain.select("doc_id", "hash32", "shard").collect()
+    assert len(rows) > 0
+    rs = shard_ranges(8)
+    for r in rows:
+        want = _mm3_ref(str(r["doc_id"]).encode(), 0)
+        assert r["hash32"] == want
+        lo, hi = rs[r["shard"]]
+        assert lo <= r["hash32"] <= hi
+
+    # compositeId: all docs of one route (source) land on ONE shard
+    comp = assign_shards(docs, 8, id_col="doc_id", route_col="source")
+    per_route = (
+        comp.groupBy("source")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .collect()
+    )
+    assert per_route and all(r["ns"] == 1 for r in per_route)
+    # and the 16/16 split matches the reference formula
+    sample = comp.select("doc_id", "source", "hash32").limit(50).collect()
+    for r in sample:
+        rh = _mm3_ref(r["source"].encode(), 0) & 0xFFFF0000
+        ih = _mm3_ref(str(r["doc_id"]).encode(), 0) & 0xFFFF
+        u = rh | ih
+        want = u - (1 << 32) if u >= (1 << 31) else u
+        assert r["hash32"] == want
+
+
+def test_routed_repartition_colocates(spark, sf_dir):
+    """A routed build is repartition(n, shard): every Spark partition holds
+    at most the shards the hash ring assigns it — one shuffle, and all docs
+    of a shard are processed by exactly one task."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    routed = assign_shards(docs, 4, id_col="doc_id").repartition(4, "shard")
+    pid = routed.withColumn("pid", F.spark_partition_id())
+    spread = pid.groupBy("shard").agg(F.countDistinct("pid").alias("np")).collect()
+    assert all(r["np"] == 1 for r in spread)
