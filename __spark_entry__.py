@@ -2132,6 +2132,35 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MinHash query parser ({!min_hash}): query-by-document similarity
+# ---------------------------------------------------------------------------
+
+MINHASH_QUERY_DOC = 7
+MINHASH_QUERY_SIM = 0.125  # >= 2 of 16 matching hashes
+
+
+def q_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank docs by estimated Jaccard similarity to doc 7's text: the
+    query signature folds into the plan as a literal; scoring is one
+    map-only pass over the corpus signatures."""
+    from lucene_solr_spark.pipeline import minhash_query
+
+    d = _docs(spark, sf_dir)
+    qtext = d.filter(F.col("doc_id") == MINHASH_QUERY_DOC).select("text").head()[0]
+    res = minhash_query(d, qtext, sim=MINHASH_QUERY_SIM, k=20)
+    return res.select(
+        "doc_id", "matches", F.col("est_sim").cast("float").alias("est_sim")
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextProfileSignature fuzzy dedup-at-ingest (SignatureUpdateProcessor)."""
+    from lucene_solr_spark.pipeline import text_profile_signature
+
+    return text_profile_signature(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # shard routing (SolrCloud compositeId hash ring)
 # ---------------------------------------------------------------------------
 
@@ -2366,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_moving": q_math_moving,
         "lm_perplexity": q_lm_perplexity,
         "shard_route": q_shard_route,
+        "minhash_query": q_minhash_query,
+        "text_profile_sig": q_text_profile,
     }
 
 
@@ -2632,6 +2663,18 @@ FROM documents ORDER BY doc_id""",
         "minhash_sig": f"""
 WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte}
 SELECT doc_id, CAST(perm AS INT) AS perm, sig FROM sig""",
+        "minhash_query": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
+qsig AS (SELECT perm, sig FROM sig WHERE doc_id = 7),
+m AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN s.sig = q.sig THEN 1 ELSE 0 END) AS INT) AS matches
+  FROM sig s JOIN qsig q USING (perm) GROUP BY s.doc_id
+)
+SELECT doc_id, matches,
+       CAST(CAST(matches AS DOUBLE) / 16e0 AS FLOAT) AS est_sim
+FROM m WHERE CAST(matches AS DOUBLE) / 16e0 >= 125e-3
+ORDER BY matches DESC, doc_id ASC LIMIT 20""",
         "cos_neardup": f"""
 WITH planes AS (
   SELECT p, list_transform(generate_series(0, 63), d ->
@@ -4070,5 +4113,31 @@ FROM m
 ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
 LIMIT 10""",
         "shard_route": _murmur3_route_oracle(),
+        "text_profile_sig": """
+WITH tp AS (
+  SELECT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents)
+  WHERE length(t) >= 2
+),
+cnt AS (SELECT doc_id, tok, count(*) AS cnt FROM tp GROUP BY doc_id, tok),
+mx AS (SELECT doc_id, tok, cnt, max(cnt) OVER (PARTITION BY doc_id) AS maxf FROM cnt),
+qn AS (SELECT *, CAST(CASE WHEN floor(maxf * 1e-2 + 5e-1) < 2
+                           THEN CASE WHEN maxf > 1 THEN 2 ELSE 1 END
+                           ELSE floor(maxf * 1e-2 + 5e-1) END AS BIGINT) AS quant
+       FROM mx),
+qc AS (SELECT doc_id, tok, quant,
+              CAST(floor(CAST(cnt AS DOUBLE) / quant) AS BIGINT) * quant AS qcnt
+       FROM qn),
+pf AS (SELECT doc_id,
+              string_agg(tok || ' ' || qcnt, chr(10) ORDER BY qcnt DESC, tok ASC)
+              AS profile
+       FROM qc WHERE qcnt >= quant GROUP BY doc_id),
+sg AS (SELECT d.doc_id, md5(COALESCE(pf.profile, '')) AS signature
+       FROM documents d LEFT JOIN pf USING (doc_id))
+SELECT doc_id, signature,
+  CAST(count(*) OVER (PARTITION BY signature) AS BIGINT) AS group_size,
+  row_number() OVER (PARTITION BY signature ORDER BY doc_id) = 1 AS is_canonical
+FROM sg ORDER BY doc_id""",
     })
     return out

@@ -16,6 +16,8 @@ from .dedup import (
     boilerplate_line_dedup,
     dedup_clusters,
     exact_dedup,
+    minhash_query,
+    text_profile_signature,
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -67,6 +69,8 @@ __all__ = [
     "lang_id",
     "lsh_candidate_pairs",
     "media_features",
+    "minhash_query",
+    "text_profile_signature",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",

@@ -548,3 +548,137 @@ def boilerplate_line_dedup(
         )
         .select(id_col, "text_clean", "n_lines", "n_removed")
     )
+
+
+def minhash_query(
+    df: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim: float = 0.0,
+    k: int | None = None,
+) -> DataFrame:
+    """MinHash query parser: rank documents by estimated Jaccard
+    similarity to ``query_text`` (Solr's ``{!min_hash}`` —
+    ``[8x] solr/core/src/java/org/apache/solr/search/MinHashQParser.java``:
+    the query text is analyzed into min-hash values and scored as a
+    Boolean disjunction over the indexed signature; score = number of
+    matching hashes).
+
+    Spark shape: the query signature is computed ONCE driver-side (pure
+    Python mirror of the signature kernel — query analysis is driver
+    work in Lucene too) and folded into the plan as an array literal;
+    scoring is then a map-only pass over the corpus signatures — no
+    shuffle, no per-row Python.  Returns [id, matches, est_sim] with
+    ``est_sim >= sim``, ranked (matches desc, id asc), top-``k``.
+    """
+    import hashlib
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", query_text.lower())
+    th = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P31 for t in toks
+    ]
+    if len(th) < 3:
+        raise ValueError("min_hash query needs at least 3 tokens")
+    sh = [
+        (((th[i] * SHINGLE_BASE + th[i + 1]) % P31) * SHINGLE_BASE + th[i + 2]) % P31
+        for i in range(len(th) - 2)
+    ]
+    qsig = [min((a * s + b) % P31 for s in sh) for a, b in zip(MINHASH_A, MINHASH_B)]
+
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col)
+    qlit = F.array(*[F.lit(int(v)) for v in qsig])
+    matches = F.size(
+        F.filter(F.zip_with(F.col("sig"), qlit, lambda a, b: a == b), lambda x: x)
+    )
+    out = (
+        sigs.filter(F.col("sig").isNotNull())
+        .select(
+            id_col,
+            matches.cast("int").alias("matches"),
+            (matches.cast("double") / F.lit(float(len(qsig)))).alias("est_sim"),
+        )
+        .filter(F.col("est_sim") >= F.lit(float(sim)))
+        .orderBy(F.desc("matches"), F.asc(id_col))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def text_profile_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant_rate: float = 0.01,
+    min_token_len: int = 2,
+) -> DataFrame:
+    """Fuzzy near-duplicate signature at ingest: Solr's
+    SignatureUpdateProcessor with TextProfileSignature
+    (``[8x] solr/core/src/java/org/apache/solr/update/processor/
+    TextProfileSignature.java``, the Nutch page-dedup profile; the exact
+    MD5Signature variant of the same processor is :func:`exact_dedup`).
+
+    Algorithm (as published): lowercase letter/digit tokens of length >=
+    ``min_token_len`` are counted; ``quant = round(max_freq *
+    quant_rate)`` clamped to 2 (or 1 when max_freq == 1); counts are
+    quantized down to multiples of ``quant``; tokens quantized to zero
+    drop out; the signature is the MD5 of the remaining
+    ``token count`` profile.  One deliberate deviation: upstream sorts
+    profile entries by count only (HashMap tie order — irreproducible);
+    here ties break by token so the signature is deterministic.
+
+    Pure JVM SQL end-to-end (no Python); one (doc, token) shuffle + one
+    window — the same shape at any corpus size.  Returns
+    [id, signature, group_size, is_canonical].
+    """
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    ).filter(F.length("tok") >= min_token_len)
+    cnt = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(id_col)
+    rounded = F.floor(F.col("maxf") * F.lit(quant_rate) + F.lit(0.5))
+    quant = (
+        F.when(rounded < 2, F.when(F.col("maxf") > 1, F.lit(2)).otherwise(F.lit(1)))
+        .otherwise(rounded)
+        .cast("long")
+    )
+    q = (
+        cnt.withColumn("maxf", F.max("cnt").over(w))
+        .withColumn("quant", quant)
+        .withColumn(
+            "qcnt",
+            F.floor(F.col("cnt").cast("double") / F.col("quant")).cast("long")
+            * F.col("quant"),
+        )
+        .filter(F.col("qcnt") >= F.col("quant"))
+    )
+    profile = q.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("qcnt")).alias("negq"), "tok", "qcnt"))
+                ),
+                lambda s: F.concat(s["tok"], F.lit(" "), s["qcnt"].cast("string")),
+            ),
+            "\n",
+        ).alias("profile")
+    )
+    sigs = (
+        df.select(id_col)
+        .join(profile, id_col, "left")
+        .select(id_col, F.md5(F.coalesce("profile", F.lit(""))).alias("signature"))
+    )
+    ws = Window.partitionBy("signature")
+    return (
+        sigs.withColumn("rn", F.row_number().over(ws.orderBy(id_col)))
+        .withColumn("group_size", F.count(F.lit(1)).over(ws))
+        .select(
+            id_col,
+            "signature",
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )

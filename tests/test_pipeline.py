@@ -474,3 +474,45 @@ def test_bpe_stops_when_no_pairs(spark):
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     m = bpe_learn(df, n_merges=5)
     assert m == []  # single-char words have no adjacent pairs
+
+
+def test_minhash_query_ranks_near_dup(spark, neardup):
+    """{!min_hash} query-by-document: the query doc itself scores 16/16,
+    its planted near-dup ranks next, unrelated docs fall below."""
+    from lucene_solr_spark.pipeline import minhash_query
+
+    qtext = neardup.filter(F.col("doc_id") == 3).head()["text"]
+    res = minhash_query(neardup, qtext, sim=0.0, k=5).collect()
+    assert res[0]["doc_id"] == 3 and res[0]["matches"] == 16
+    assert res[0]["est_sim"] == 1.0
+    assert res[1]["doc_id"] == 103  # the planted near-dup
+    assert res[1]["matches"] >= 8
+    # unrelated docs share (almost) no hashes
+    rest = {r["doc_id"]: r["matches"] for r in res[2:]}
+    assert all(m <= 4 for m in rest.values())
+
+    with pytest.raises(ValueError):
+        minhash_query(neardup, "only two")
+
+
+def test_text_profile_signature_quantizes(spark):
+    """TextProfileSignature: word order never matters; low-frequency
+    variation collapses once counts quantize; distinct profiles split."""
+    from lucene_solr_spark.pipeline import text_profile_signature
+
+    base = ("alpha " * 10 + "beta " * 7 + "gamma " * 3).strip()
+    shuffled = ("beta " * 7 + "gamma " * 3 + "alpha " * 10).strip()
+    # quant = 2 here (maxf=10): counts 10/7/3 -> 10/6/2; 10/6/3 -> same
+    near = ("alpha " * 10 + "beta " * 6 + "gamma " * 3).strip()
+    other = "totally different words here repeated " * 3
+    df = spark.createDataFrame(
+        [(0, base), (1, shuffled), (2, near), (3, other), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_profile_signature(df).collect()}
+    assert out[0]["signature"] == out[1]["signature"] == out[2]["signature"]
+    assert out[0]["group_size"] == 3 and out[0]["is_canonical"]
+    assert not out[1]["is_canonical"] and not out[2]["is_canonical"]
+    assert out[3]["signature"] != out[0]["signature"]
+    # doc 4: token "x" is below min_token_len -> empty-profile signature
+    assert out[4]["group_size"] == 1
