@@ -2153,6 +2153,33 @@ def q_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DATE_MATH_EXPR = "/DAY+12HOURS"
+
+
+def q_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr date math (DateMathParser): round + offset chain as native
+    interval arithmetic, bucketing events by ts/DAY+12HOURS."""
+    from lucene_solr_spark.functions import date_math
+
+    e = _tbl(spark, sf_dir, "events")
+    b = date_math(F.col("ts"), DATE_MATH_EXPR)
+    return (
+        e.groupBy(F.date_format(b, "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def q_facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.prefix + facet.contains: bucket filters pushed into the scan."""
+    from lucene_solr_spark.relational import facet_terms
+
+    p = _tbl(spark, sf_dir, "part")
+    return facet_terms(
+        p, "p_type", limit=25, prefix="S", contains="A"
+    ).withColumn("count", F.col("count").cast("long"))
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextProfileSignature fuzzy dedup-at-ingest (SignatureUpdateProcessor)."""
     from lucene_solr_spark.pipeline import text_profile_signature
@@ -2266,6 +2293,16 @@ SELECT doc_id,
   CAST(least(xor(comp_u, 2147483648) // {step}, {ROUTE_SHARDS - 1})
        AS INTEGER) AS shard
 FROM comb ORDER BY doc_id"""
+
+
+def _date_math_oracle() -> str:
+    from lucene_solr_spark.functions import date_math_sql
+
+    return f"""
+SELECT strftime({date_math_sql('ts', DATE_MATH_EXPR)}, '%Y-%m-%d %H:%M:%S')
+       AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY bucket ORDER BY bucket"""
 
 
 # ---------------------------------------------------------------------------
@@ -2397,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_route": q_shard_route,
         "minhash_query": q_minhash_query,
         "text_profile_sig": q_text_profile,
+        "date_math": q_date_math,
+        "facet_prefix": q_facet_prefix,
     }
 
 
@@ -4139,5 +4178,11 @@ SELECT doc_id, signature,
   CAST(count(*) OVER (PARTITION BY signature) AS BIGINT) AS group_size,
   row_number() OVER (PARTITION BY signature ORDER BY doc_id) = 1 AS is_canonical
 FROM sg ORDER BY doc_id""",
+        "date_math": _date_math_oracle(),
+        "facet_prefix": """
+SELECT p_type, CAST(count(*) AS BIGINT) AS count FROM part
+WHERE p_type IS NOT NULL AND p_type LIKE 'S%'
+  AND p_type LIKE '%A%'
+GROUP BY p_type ORDER BY count DESC, p_type ASC LIMIT 25""",
     })
     return out

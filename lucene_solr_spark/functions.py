@@ -198,3 +198,82 @@ def norm_col(index) -> DataFrame:
             "quantized_length"
         ),
     )
+
+
+# --- date math (Solr DateMathParser) -----------------------------------------
+
+#: Solr unit aliases -> the unit keyword BOTH Spark SQL and DuckDB accept
+#: in date_trunc('<unit>', ts) and `ts + INTERVAL n <unit>`.
+_DATE_MATH_UNITS = {
+    "YEAR": "YEAR", "YEARS": "YEAR",
+    "MONTH": "MONTH", "MONTHS": "MONTH",
+    "DAY": "DAY", "DAYS": "DAY", "DATE": "DAY",
+    "HOUR": "HOUR", "HOURS": "HOUR",
+    "MINUTE": "MINUTE", "MINUTES": "MINUTE",
+    "SECOND": "SECOND", "SECONDS": "SECOND",
+}
+
+_DATE_MATH_TOKEN = __import__("re").compile(r"/([A-Z]+)|([+-])(\d+)([A-Z]+)")
+
+
+def parse_date_math(expr: str) -> list[tuple[str, str, int]]:
+    """Parse a Solr date-math string (``/DAY+6MONTHS-3DAYS``) into ops.
+
+    Grammar as in ``[8x] solr/solrj/src/java/org/apache/solr/util/
+    DateMathParser.java``: a sequence of round-downs (``/UNIT``) and
+    signed offsets (``+N UNIT`` / ``-N UNIT``) applied left to right.
+    Returns [(kind, unit, n)] with kind in {"trunc", "add"}.
+    """
+    ops: list[tuple[str, str, int]] = []
+    pos = 0
+    for m in _DATE_MATH_TOKEN.finditer(expr):
+        if m.start() != pos:
+            raise ValueError(f"bad date math at {pos!r} in {expr!r}")
+        pos = m.end()
+        if m.group(1):
+            unit = _DATE_MATH_UNITS.get(m.group(1))
+            if unit is None:
+                raise ValueError(f"unknown unit {m.group(1)!r} in {expr!r}")
+            ops.append(("trunc", unit, 0))
+        else:
+            unit = _DATE_MATH_UNITS.get(m.group(4))
+            if unit is None:
+                raise ValueError(f"unknown unit {m.group(4)!r} in {expr!r}")
+            n = int(m.group(3))
+            ops.append(("add", unit, -n if m.group(2) == "-" else n))
+    if pos != len(expr):
+        raise ValueError(f"bad date math at {pos!r} in {expr!r}")
+    if not ops:
+        raise ValueError("empty date math expression")
+    return ops
+
+
+def date_math(ts: Column, expr: str) -> Column:
+    """Apply a Solr date-math expression to a timestamp column.
+
+    Every op is a native JVM expression (date_trunc / interval
+    arithmetic) — whole-stage codegen, no UDF; month offsets clamp to
+    month end exactly like Java calendar arithmetic.
+    """
+    c = ts
+    for kind, unit, n in parse_date_math(expr):
+        if kind == "trunc":
+            c = F.date_trunc(unit, c)
+        elif n >= 0:
+            c = c + F.expr(f"INTERVAL {n} {unit}")
+        else:
+            c = c - F.expr(f"INTERVAL {-n} {unit}")
+    return c
+
+
+def date_math_sql(base_sql: str, expr: str) -> str:
+    """The same date-math pipeline as a SQL expression string — valid in
+    BOTH Spark SQL and DuckDB (shared oracle text)."""
+    s = base_sql
+    for kind, unit, n in parse_date_math(expr):
+        if kind == "trunc":
+            s = f"date_trunc('{unit}', {s})"
+        else:
+            op, mag = ("+", n) if n >= 0 else ("-", -n)
+            s = f"({s} {op} INTERVAL {mag} {unit})"
+    return s

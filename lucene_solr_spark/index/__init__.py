@@ -1,6 +1,7 @@
 from .builder import assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
-from .deletes import atomic_update, delete_docs, read_tombstones, realtime_get, update_documents
+from .deletes import (atomic_update, delete_by_query, delete_docs,
+                      read_tombstones, realtime_get, update_documents)
 from .core import (
     IndexView,
     build_index_view,
@@ -22,6 +23,7 @@ __all__ = [
     "build_multifield_index_view",
     "check_index",
     "compute_norms",
+    "delete_by_query",
     "delete_docs",
     "read_tombstones",
     "realtime_get",

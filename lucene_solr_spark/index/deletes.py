@@ -55,6 +55,30 @@ def delete_docs(spark: SparkSession, index_path: str | Path, doc_ids: DataFrame)
     return n
 
 
+def delete_by_query(spark: SparkSession, index_path: str | Path, query) -> int:
+    """Solr deleteByQuery: evaluate ``query`` (string or parsed node)
+    against the CURRENT live view of the index and tombstone every
+    matching document (``[8x] solr/core/src/java/org/apache/solr/update/
+    DirectUpdateHandler2.java`` deleteByQuery → Lucene
+    ``IndexWriter.deleteDocuments(Query)``).
+
+    The matching-id set is computed distributed (the query's unscored
+    ``_matches`` plan — same pruned posting-block scan as FILTER
+    clauses) and appended to the tombstone set without ever collecting
+    ids to the driver.  Returns the number of newly-buffered deletes.
+    """
+    from ..search.executor import _matches
+    from ..search.query import parse_query
+    from .builder import open_index
+
+    q = parse_query(query) if isinstance(query, str) else query
+    index = open_index(spark, index_path)
+    m = _matches(index, q).distinct()
+    if index.tombstones is not None:  # liveDocs: never re-buffer dead ids
+        m = m.join(index.tombstones, "doc_id", "left_anti")
+    return delete_docs(spark, index_path, m)
+
+
 def update_documents(
     spark: SparkSession,
     index_path: str | Path,

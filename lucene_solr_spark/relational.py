@@ -58,14 +58,30 @@ __all__ = [
 
 def facet_terms(df: DataFrame, field: str, limit: int = 10,
                 min_count: int = 1, sort_by_count: bool = True,
-                missing: bool = False) -> DataFrame:
+                missing: bool = False, prefix: str | None = None,
+                contains: str | None = None,
+                contains_ignore_case: bool = False) -> DataFrame:
     """Terms facet: top buckets of ``field`` by count (FacetField).
 
     ``missing=True`` keeps the NULL bucket (Solr ``facet.missing=true``:
     the count of docs with no value in the field); by default NULL rows
-    are dropped like Solr's default.  Same single partial-agg shuffle
-    either way — NULL is just one more grouping key."""
+    are dropped like Solr's default.  ``prefix`` / ``contains`` are
+    Solr's ``facet.prefix`` / ``facet.contains`` (+``.ignoreCase``)
+    bucket filters; both are plain scan predicates, so they prune BEFORE
+    the aggregation shuffle (and facet.prefix on a sorted dictionary is
+    a range seek upstream — here it's a pushed startswith filter, the
+    parquet-scan equivalent).  Same single partial-agg shuffle either
+    way — NULL is just one more grouping key."""
     base = df if missing else df.filter(F.col(field).isNotNull())
+    if prefix is not None:
+        base = base.filter(F.col(field).startswith(prefix))
+    if contains is not None:
+        if contains_ignore_case:
+            base = base.filter(
+                F.lower(F.col(field)).contains(contains.lower())
+            )
+        else:
+            base = base.filter(F.col(field).contains(contains))
     g = base.groupBy(field).agg(F.count(F.lit(1)).alias("count"))
     if min_count > 1:
         g = g.filter(F.col("count") >= min_count)

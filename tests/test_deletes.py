@@ -295,3 +295,27 @@ def test_realtime_get_latest_live_version(spark, built):
         [(rows[1]["doc_id"],)], "doc_id long"))
     left = realtime_get(spark, built, keys).collect()
     assert [(r["repo"], r["path"]) for r in left] == [k0]
+
+
+def test_delete_by_query(spark, built):
+    """deleteByQuery: matching docs become invisible; non-matching top-k
+    unchanged; a second overlapping deleteByQuery buffers only new ids."""
+    from lucene_solr_spark.index import delete_by_query
+
+    n_def = count_hits(open_index(spark, built), parse_query("def"))
+    assert n_def > 0
+    n = delete_by_query(spark, built, "def")
+    assert n == n_def
+    idx = open_index(spark, built)
+    assert count_hits(idx, parse_query("def")) == 0
+    assert search(idx, parse_query("def"), k=5).count() == 0
+    # conjunction with the deleted term is empty too
+    assert count_hits(idx, parse_query("def AND return")) == 0
+    # overlapping second delete: "def OR class" only buffers class-only docs
+    n_class = count_hits(idx, parse_query("class"))
+    n2 = delete_by_query(spark, built, "def OR class")
+    assert n2 == n_class
+    idx2 = open_index(spark, built)
+    assert count_hits(idx2, parse_query("class")) == 0
+    # unrelated queries still live
+    assert count_hits(idx2, parse_query("import")) > 0

@@ -75,3 +75,48 @@ def test_relevance_sources(spark):
     from lucene_solr_spark.smallfloat import byte4_to_int
     assert nc[0] == int(byte4_to_int(np.int64(oracle.norm_byte[0])))
     idx.postings.unpersist(); idx.norms.unpersist()
+
+
+def test_date_math(spark):
+    """DateMathParser chains: engine column == hand-computed datetimes,
+    and the shared SQL text evaluates identically in Spark SQL."""
+    from datetime import datetime
+
+    from lucene_solr_spark.functions import date_math, date_math_sql, parse_date_math
+
+    rows = [
+        (0, datetime(2024, 1, 31, 13, 45, 12)),
+        (1, datetime(2024, 3, 15, 0, 0, 0)),
+        (2, datetime(2023, 12, 31, 23, 59, 59)),
+    ]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", date_math(F.col("ts"), "/MONTH+45DAYS-2HOURS").alias("out")).collect()
+    }
+    assert got[0] == datetime(2024, 2, 14, 22, 0, 0)   # Jan/MONTH +45d -2h
+    assert got[1] == datetime(2024, 4, 14, 22, 0, 0)
+    assert got[2] == datetime(2024, 1, 14, 22, 0, 0)
+    # month-end clamp like Java calendar arithmetic
+    got2 = df.filter("i = 0").select(date_math(F.col("ts"), "+1MONTH").alias("o")).head()["o"]
+    assert got2 == datetime(2024, 2, 29, 13, 45, 12)
+    # shared SQL text == column pipeline
+    df.createOrReplaceTempView("dm_t")
+    sql = spark.sql(f"SELECT i, {date_math_sql('ts', '/MONTH+45DAYS-2HOURS')} AS out FROM dm_t")
+    assert {r["i"]: r["out"] for r in sql.collect()} == got
+    for bad in ["", "DAY", "/FORTNIGHT", "+3", "1DAY", "/DAY+"]:
+        with pytest.raises(ValueError):
+            parse_date_math(bad)
+
+
+def test_facet_prefix_contains(spark):
+    from lucene_solr_spark.relational import facet_terms
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["apple", "apricot", "banana", "avocado", "Apple", None]],
+        "f string",
+    )
+    assert {r["f"] for r in facet_terms(df, "f", prefix="ap").collect()} == {"apple", "apricot"}
+    assert {r["f"] for r in facet_terms(df, "f", contains="cad").collect()} == {"avocado"}
+    assert {r["f"] for r in facet_terms(df, "f", prefix="a", contains="PRI",
+                                        contains_ignore_case=True).collect()} == {"apricot"}
