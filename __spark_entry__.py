@@ -2153,6 +2153,31 @@ def q_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+MIX_TARGET = 200
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping fixed-token chunks per doc."""
+    from lucene_solr_spark.pipeline import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_id")
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (n^0.5 tempered rates, deterministic
+    md5 thresholds)."""
+    from lucene_solr_spark.pipeline import temperature_sample
+
+    return (
+        temperature_sample(_docs(spark, sf_dir), MIX_TARGET)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 DATE_MATH_EXPR = "/DAY+12HOURS"
 
 
@@ -2436,6 +2461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_sig": q_text_profile,
         "date_math": q_date_math,
         "facet_prefix": q_facet_prefix,
+        "chunk_docs": q_chunk_docs,
+        "mix_temperature": q_mix_temperature,
     }
 
 
@@ -4179,6 +4206,31 @@ SELECT doc_id, signature,
   row_number() OVER (PARTITION BY signature ORDER BY doc_id) = 1 AS is_canonical
 FROM sg ORDER BY doc_id""",
         "date_math": _date_math_oracle(),
+        "chunk_docs": f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+                  AS tk
+           FROM documents),
+c AS (SELECT doc_id, unnest(generate_series(0, len(tk) - 1, {CHUNK_STRIDE}))
+             AS start, tk
+      FROM t WHERE len(tk) > 0)
+SELECT doc_id, CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+  CAST(len(tk[start + 1 : start + {CHUNK_SIZE}]) AS BIGINT) AS n_tokens,
+  array_to_string(tk[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id""",
+        "mix_temperature": f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+                           (a, b) -> a + b) AS t
+        FROM c),
+r AS (SELECT source,
+             CAST(floor(least(1e0, {MIX_TARGET} * sqrt(CAST(n AS DOUBLE)) / t / n)
+                        * 1152921504606846976e0) AS BIGINT) AS thr
+      FROM c, tot)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) < thr
+ORDER BY doc_id""",
         "facet_prefix": """
 SELECT p_type, CAST(count(*) AS BIGINT) AS count FROM part
 WHERE p_type IS NOT NULL AND p_type LIKE 'S%'

@@ -41,8 +41,10 @@ from .filters import (
     gopher_quality,
     pii_scrub,
     stratified_sample,
+    temperature_sample,
 )
 from .multimodal import media_features, with_media_binary
+from .packing import chunk_documents
 from .bpe import bpe_encode, bpe_learn, bpe_word_types
 
 __all__ = [
@@ -58,6 +60,8 @@ __all__ = [
     "gopher_quality",
     "pii_scrub",
     "stratified_sample",
+    "temperature_sample",
+    "chunk_documents",
     "cosine_topk",
     "ivf_fit_centroids",
     "ivf_topk",

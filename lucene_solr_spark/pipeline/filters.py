@@ -34,6 +34,7 @@ from .dedup import with_shingle_hashes
 from .hashing import TOKENS_SQL, h64_sql
 
 __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
+           "temperature_sample",
            "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
            "secret_scan", "SECRET_RULES"]
 
@@ -433,3 +434,50 @@ def secret_scan(df: DataFrame, text_col: str = "text",
     return out.withColumn("n_secrets", total.cast("long")).withColumn(
         "has_secret", (F.col("n_secrets") > 0)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    target_rows: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing: sample each source at a rate
+    proportional to ``n_s^alpha`` (the multilingual/multi-corpus
+    "temperature sampling" rule, alpha<1 upweights small sources), so
+    the kept corpus approaches ``target_rows`` rows with the tempered
+    mixture.  rate_s = min(1, target * n_s^alpha / sum_t n_t^alpha / n_s).
+
+    Deterministic and engine-reproducible: per-source keep thresholds
+    derive from EXACT integer counts with a fixed f64 evaluation order
+    (sqrt + left-fold sum in sorted source order — the driver-side
+    per-source stats step, bounded by the number of sources); a row is
+    kept iff its salted md5 (uniform in [0, 2^60)) falls below its
+    source's threshold.  Rows shuffle nowhere — the filter is map-only.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    srcs = sorted(counts)
+    if not srcs:
+        return df
+    powed = {
+        s: (math.sqrt(float(counts[s])) if alpha == 0.5 else float(counts[s]) ** alpha)
+        for s in srcs
+    }
+    tot = 0.0
+    for s in srcs:
+        tot += powed[s]
+    thresholds = {
+        s: int(math.floor(min(1.0, target_rows * powed[s] / tot / counts[s]) * (1 << 60)))
+        for s in srcs
+    }
+    thr = F.create_map(
+        *[F.lit(x) for kv in sorted(thresholds.items()) for x in kv]
+    )[F.col(source_col)]
+    h = F.expr(h64_sql(f"concat('{salt}:', CAST({id_col} AS STRING))"))
+    return df.filter(h < thr)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from .hashing import TOKENS_SQL
 
-__all__ = ["pack_sequences", "with_token_counts"]
+__all__ = ["chunk_documents", "pack_sequences", "with_token_counts"]
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text",
@@ -81,4 +81,43 @@ def pack_sequences(
             "start_offset",
             F.floor(F.col("start_offset") / budget).cast("long").alias("bin"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (the standard
+    context-window chunking step of a training/RAG pipeline: chunk i
+    covers whitespace tokens [i*stride, i*stride + size)).
+
+    Pure JVM SQL — one map-only pass (split + sequence + explode +
+    slice), no shuffle, no Python; the explode multiplies rows by
+    ~n_tokens/stride, which Spark streams through whole-stage codegen.
+    Docs with zero tokens yield no chunks; the final chunk is short
+    rather than padded.  Returns [id, chunk_id, n_tokens, chunk_text].
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(id_col, toks.alias("tk")).filter(F.size("tk") > 0)
+    start = F.explode(
+        F.expr(f"sequence(0, size(tk) - 1, {stride})")
+    ).alias("start")
+    chunks = base.select(id_col, "tk", start).select(
+        id_col,
+        (F.col("start") / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.slice(F.col("tk"), F.col("start") + 1, size).alias("ch"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.size("ch").cast("long").alias("n_tokens"),
+        F.array_join("ch", " ").alias("chunk_text"),
     )

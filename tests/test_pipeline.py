@@ -516,3 +516,45 @@ def test_text_profile_signature_quantizes(spark):
     assert out[3]["signature"] != out[0]["signature"]
     # doc 4: token "x" is below min_token_len -> empty-profile signature
     assert out[4]["group_size"] == 1
+
+
+def test_chunk_documents_windows(spark):
+    from lucene_solr_spark.pipeline import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "a  b\n c"), (3, "   ")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, size=64, stride=48).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # doc 1: starts 0,48,96,144 -> 4 chunks; last is short
+    assert sorted(by[1]) == [0, 1, 2, 3]
+    assert [by[1][i]["n_tokens"] for i in range(4)] == [64, 64, 54, 6]
+    c0, c1 = by[1][0]["chunk_text"].split(), by[1][1]["chunk_text"].split()
+    assert c0[0] == "t0" and c1[0] == "t48"
+    assert c0[48:] == c1[:16]  # overlap = size - stride
+    # whitespace runs collapse; empty doc yields no chunks
+    assert by[2][0]["chunk_text"] == "a b c"
+    assert 3 not in by
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    from lucene_solr_spark.pipeline import temperature_sample
+
+    rows = [(i, "big") for i in range(2000)] + [(10_000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, target_rows=500).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    # tempered rates: small source keeps ~100% (rate clamps at 1),
+    # big keeps ~ 500*sqrt(2000)/(sqrt(2000)+sqrt(100))/2000 ~= 0.205
+    assert got["small"] >= 90
+    assert 300 <= got["big"] <= 520
+    # deterministic across partitionings
+    again = temperature_sample(df.repartition(13), target_rows=500)
+    a = sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, target_rows=500).select("doc_id").collect()
+    )
+    assert a == b
