@@ -2157,6 +2157,28 @@ CHUNK_SIZE, CHUNK_STRIDE = 64, 48
 MIX_TARGET = 200
 
 
+def q_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScoreJoinQParserPlugin: {!join from=source to=source score=max} —
+    to-side docs carry the max BM25 score of from-side matches sharing
+    their key (f64-parity scores over real decoded postings)."""
+    from lucene_solr_spark.relational import score_join
+
+    d = _docs(spark, sf_dir)
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select("doc_id", "score64")
+    frm = sc.join(F.broadcast(d.select("doc_id", "source")), "doc_id")
+    joined = score_join(
+        frm, d.select("doc_id", "source"), "source", "source",
+        score_mode="max", score_col="score64",
+    )
+    return (
+        joined.select(
+            "doc_id", "source", F.col("join_score").cast("float").alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: overlapping fixed-token chunks per doc."""
     from lucene_solr_spark.pipeline import chunk_documents
@@ -2320,6 +2342,33 @@ SELECT doc_id,
 FROM comb ORDER BY doc_id"""
 
 
+def _score_join_oracle() -> str:
+    formula = _BM25_EXPR.format(
+        N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
+    )
+    return f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term = '{BM25_TERM}' GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT doc_id, {formula} AS score64 FROM inputs),
+agg AS (SELECT dd.source, max(sc.score64) AS js
+        FROM scored sc JOIN documents dd USING (doc_id) GROUP BY dd.source)
+SELECT d.doc_id, d.source, CAST(a.js AS FLOAT) AS score
+FROM documents d JOIN agg a USING (source)
+ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+
 def _date_math_oracle() -> str:
     from lucene_solr_spark.functions import date_math_sql
 
@@ -2463,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_prefix": q_facet_prefix,
         "chunk_docs": q_chunk_docs,
         "mix_temperature": q_mix_temperature,
+        "score_join": q_score_join,
     }
 
 
@@ -4206,6 +4256,7 @@ SELECT doc_id, signature,
   row_number() OVER (PARTITION BY signature ORDER BY doc_id) = 1 AS is_canonical
 FROM sg ORDER BY doc_id""",
         "date_math": _date_math_oracle(),
+        "score_join": _score_join_oracle(),
         "chunk_docs": f"""
 WITH t AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')

@@ -1,7 +1,8 @@
 from .builder import assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
-from .deletes import (atomic_update, delete_by_query, delete_docs,
-                      read_tombstones, realtime_get, update_documents)
+from .deletes import (VersionConflict, atomic_update, conditional_update,
+                      delete_by_query, delete_docs, read_tombstones,
+                      realtime_get, update_documents)
 from .core import (
     IndexView,
     build_index_view,
@@ -23,6 +24,8 @@ __all__ = [
     "build_multifield_index_view",
     "check_index",
     "compute_norms",
+    "VersionConflict",
+    "conditional_update",
     "delete_by_query",
     "delete_docs",
     "read_tombstones",

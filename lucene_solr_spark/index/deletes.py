@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 
 from .builder import build_index, read_manifest, write_manifest
 
-__all__ = ["delete_docs", "update_documents", "read_tombstones",
-           "atomic_update", "realtime_get"]
+__all__ = ["delete_docs", "delete_by_query", "update_documents",
+           "read_tombstones", "atomic_update", "realtime_get",
+           "conditional_update", "VersionConflict"]
 
 TOMBSTONES = "tombstones.parquet"
 
@@ -447,3 +448,66 @@ def _append_docs_segment(
     write_manifest(index_path, manifest)
     docs.unpersist()
     return manifest
+
+
+class VersionConflict(ValueError):
+    """Optimistic-concurrency failure (HTTP 409 in Solr): carries a
+    bounded sample of the conflicting keys."""
+
+    def __init__(self, keys: list, expected: int):
+        self.keys, self.expected = keys, expected
+        super().__init__(
+            f"version conflict for expected_version={expected}: {keys!r}"
+        )
+
+
+def conditional_update(
+    spark: SparkSession,
+    index_path: str | Path,
+    new_docs: DataFrame,
+    expected_version: int,
+    key_cols: list[str] | None = None,
+    *,
+    text_col: str = "content",
+    **build_kwargs,
+) -> dict:
+    """Optimistic concurrency on updates — Solr's ``_version_`` contract
+    (``[8x] solr/core/src/java/org/apache/solr/update/processor/
+    DistributedUpdateProcessor.java`` versionAdd):
+
+    * ``expected_version > 1``  — each key's CURRENT version must equal it
+    * ``expected_version == 1`` — the document must already exist
+    * ``expected_version < 0``  — the document must NOT exist
+    * ``expected_version == 0`` — unconditional (plain updateDocument)
+
+    A key's version is its newest live doc_id (updateDocument appends
+    replacements above maxDoc — the same monotone-version scheme Solr
+    gets from the update log; :func:`realtime_get` exposes it).  The
+    check is one broadcast semi/anti-join; conflicts raise
+    :class:`VersionConflict` with a bounded key sample and NOTHING is
+    written (all-or-nothing like Solr's per-request 409).
+    """
+    key_cols = key_cols or ["repo", "path"]
+    if expected_version == 0:
+        return update_documents(
+            spark, index_path, new_docs, key_cols, text_col=text_col, **build_kwargs
+        )
+    want = new_docs.select(*key_cols).distinct()
+    current = realtime_get(spark, index_path, want, key_cols).select(
+        *key_cols, F.col("doc_id").alias("_cur")
+    )
+    if expected_version < 0:
+        bad = want.join(current, key_cols, "left_semi")
+    elif expected_version == 1:
+        bad = want.join(current, key_cols, "left_anti")
+    else:
+        matched = current.filter(F.col("_cur") == expected_version)
+        bad = want.join(matched, key_cols, "left_anti")
+    sample = bad.limit(5).collect()
+    if sample:
+        raise VersionConflict(
+            [tuple(r[c] for c in key_cols) for r in sample], expected_version
+        )
+    return update_documents(
+        spark, index_path, new_docs, key_cols, text_col=text_col, **build_kwargs
+    )

@@ -50,6 +50,7 @@ __all__ = [
     "export_sorted",
     "facet_excluding",
     "grouped_facet",
+    "score_join",
 ]
 
 
@@ -493,3 +494,41 @@ def grouped_facet(df: DataFrame, group: str, facet_field: str,
         .orderBy(F.desc("group_count"), F.asc(facet_field))
         .limit(limit)
     )
+
+
+def score_join(
+    scored_from: DataFrame,
+    to_df: DataFrame,
+    from_field: str,
+    to_field: str,
+    score_mode: str = "none",
+    score_col: str = "score",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Cross-collection score-passing join: Solr's ScoreJoinQParserPlugin
+    (``[8x] solr/core/src/java/org/apache/solr/search/join/
+    ScoreJoinQParserPlugin.java``, ``{!join from=.. to=.. score=mode}``):
+    to-side documents whose ``to_field`` matches a from-side match get the
+    aggregate (none|min|max|sum|avg) of the from-side scores for that key
+    as ``join_score``.
+
+    Scale shape: ONE partial-agg shuffle over the from side keyed by the
+    join key (map-side combine shrinks it to |distinct keys| rows), then
+    an equi-join against the to side — broadcast by default because the
+    aggregated key set is small; pass ``broadcast_keys=False`` to let AQE
+    pick a shuffle join when the key domain is huge.
+    """
+    modes = {"min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}
+    if score_mode == "none":
+        keys = scored_from.select(F.col(from_field).alias(to_field)).distinct()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
+        return to_df.join(keys, to_field, "left_semi")
+    if score_mode not in modes:
+        raise ValueError(f"score_mode must be none|min|max|sum|avg, got {score_mode!r}")
+    agg = scored_from.groupBy(F.col(from_field).alias(to_field)).agg(
+        modes[score_mode](score_col).alias("join_score")
+    )
+    if broadcast_keys:
+        agg = F.broadcast(agg)
+    return to_df.join(agg, to_field)

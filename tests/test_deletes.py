@@ -319,3 +319,52 @@ def test_delete_by_query(spark, built):
     assert count_hits(idx2, parse_query("class")) == 0
     # unrelated queries still live
     assert count_hits(idx2, parse_query("import")) > 0
+
+
+def test_conditional_update_versions(spark, built):
+    """Optimistic concurrency: _version_ semantics over newest-live-doc_id
+    versions — wrong version 409s and writes nothing; right version,
+    exists-only (1), and must-not-exist (<0) behave like Solr."""
+    from lucene_solr_spark.index import VersionConflict, conditional_update, realtime_get
+
+    docs = spark.read.parquet(str(built / "docs.parquet"))
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    key = {"repo": victim["repo"], "path": victim["path"]}
+    cur = realtime_get(
+        spark, built, spark.createDataFrame([key]), ["repo", "path"]
+    ).head()
+    newdoc = spark.createDataFrame(
+        [(key["repo"], key["path"], victim["commit"], victim["lang"], "def fresh(): pass")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(VersionConflict):
+        conditional_update(spark, built, newdoc, expected_version=cur["doc_id"] + 999)
+    # nothing written on conflict
+    after = realtime_get(spark, built, spark.createDataFrame([key]), ["repo", "path"]).head()
+    assert after["doc_id"] == cur["doc_id"]
+    # correct version: succeeds and bumps the version
+    conditional_update(spark, built, newdoc, expected_version=cur["doc_id"])
+    bumped = realtime_get(spark, built, spark.createDataFrame([key]), ["repo", "path"]).head()
+    assert bumped["doc_id"] > cur["doc_id"] and bumped["content"] == "def fresh(): pass"
+    # exists-only (version=1) succeeds on the same key
+    conditional_update(spark, built, newdoc, expected_version=1)
+    # must-not-exist (<0) on an existing key conflicts...
+    with pytest.raises(VersionConflict):
+        conditional_update(spark, built, newdoc, expected_version=-1)
+    # ...and succeeds for a brand-new key
+    fresh = spark.createDataFrame(
+        [("nrepo", "npath", "c0", "py", "class New: pass")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    conditional_update(spark, built, fresh, expected_version=-1)
+    got = realtime_get(
+        spark, built, spark.createDataFrame([{"repo": "nrepo", "path": "npath"}]), ["repo", "path"]
+    ).head()
+    assert got is not None and got["content"] == "class New: pass"
+    # exists-only on a missing key conflicts
+    missing = spark.createDataFrame(
+        [("ghost", "gone", "c0", "py", "x = 1")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(VersionConflict):
+        conditional_update(spark, built, missing, expected_version=1)

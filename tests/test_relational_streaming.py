@@ -146,3 +146,36 @@ def test_reduce_stream_deterministic(spark):
     out2 = {r["k"]: (r["reduced"], r["n"])
             for r in reduce_stream(df.repartition(5), ["k"], "v").collect()}
     assert out == out2
+
+
+def test_score_join_modes(spark):
+    """ScoreJoinQParserPlugin: to-side docs get the agg of from-side
+    scores sharing the key; none = plain semi-join."""
+    from lucene_solr_spark.relational import score_join
+
+    frm = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("b", 10.0)], "k string, score double"
+    )
+    to = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, k string"
+    )
+    got = {
+        (r["id"], round(r["join_score"], 3))
+        for r in score_join(frm, to, "k", "k", "max").collect()
+    }
+    assert got == {(1, 4.0), (2, 4.0), (3, 10.0)}
+    got_avg = {
+        (r["id"], round(r["join_score"], 3))
+        for r in score_join(frm, to, "k", "k", "avg").collect()
+    }
+    assert got_avg == {(1, 3.0), (2, 3.0), (3, 10.0)}
+    got_sum = {
+        (r["id"], r["join_score"]) for r in score_join(frm, to, "k", "k", "sum").collect()
+    }
+    assert got_sum == {(1, 6.0), (2, 6.0), (3, 10.0)}
+    ids = {r["id"] for r in score_join(frm, to, "k", "k", "none").collect()}
+    assert ids == {1, 2, 3}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        score_join(frm, to, "k", "k", "median")
