@@ -2157,6 +2157,20 @@ CHUNK_SIZE, CHUNK_STRIDE = 64, 48
 MIX_TARGET = 200
 
 
+PASSAGE_TERMS = ["spark", "join"]
+PASSAGE_WINDOW = 20
+
+
+def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedHighlighter passage ranking: best idf-weighted window per
+    doc, top-10 docs (quantized-int scores — order-independent)."""
+    from lucene_solr_spark.search.highlight import best_passages
+
+    return best_passages(
+        _docs(spark, sf_dir), PASSAGE_TERMS, window=PASSAGE_WINDOW, k=10
+    )
+
+
 def q_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ScoreJoinQParserPlugin: {!join from=source to=source score=max} —
     to-side docs carry the max BM25 score of from-side matches sharing
@@ -2342,6 +2356,41 @@ SELECT doc_id,
 FROM comb ORDER BY doc_id"""
 
 
+def _best_passage_oracle() -> str:
+    tlist = ", ".join(f"'{t}'" for t in PASSAGE_TERMS)
+    w = PASSAGE_WINDOW
+    return f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) - 1
+         AS pos
+  FROM documents),
+hits AS (SELECT doc_id, pos, term FROM tokp WHERE term IN ({tlist})),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+wts AS (SELECT term,
+               CAST(floor(ln(1e0 + ((SELECT count(*) FROM documents) - df + 5e-1)
+                              / (df + 5e-1)) * 1e6) AS BIGINT) AS w
+        FROM dfs),
+h AS (SELECT hits.doc_id, hits.pos, w FROM hits JOIN wts USING (term)),
+p AS (SELECT a.doc_id, a.pos AS start_pos, sum(b.w) AS score
+      FROM h a JOIN h b
+        ON b.doc_id = a.doc_id AND b.pos >= a.pos AND b.pos < a.pos + {w}
+      GROUP BY a.doc_id, a.pos),
+best AS (SELECT doc_id, start_pos, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, start_pos ASC) AS r
+         FROM p),
+tkl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+        FROM documents)
+SELECT b.doc_id, CAST(start_pos AS INTEGER) AS start_pos,
+       CAST(score AS BIGINT) AS score,
+       array_to_string(tk[start_pos + 1 : start_pos + {w}], ' ') AS snippet
+FROM best b JOIN tkl USING (doc_id)
+WHERE r = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
 def _score_join_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2513,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "mix_temperature": q_mix_temperature,
         "score_join": q_score_join,
+        "best_passage": q_best_passage,
     }
 
 
@@ -4257,6 +4307,7 @@ SELECT doc_id, signature,
 FROM sg ORDER BY doc_id""",
         "date_math": _date_math_oracle(),
         "score_join": _score_join_oracle(),
+        "best_passage": _best_passage_oracle(),
         "chunk_docs": f"""
 WITH t AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..analysis import TOKEN_PATTERN
 from .query import query_terms, rewrite
 
-__all__ = ["highlight"]
+__all__ = ["highlight", "best_passages"]
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
@@ -118,3 +118,81 @@ def highlight(
         if f.name != text_col
     ) + ", snippet string"
     return joined.mapInPandas(_snip, out_schema)
+
+
+def best_passages(
+    df: DataFrame,
+    terms: list[str],
+    window: int = 20,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage RANKING — the UnifiedHighlighter's scored-passage pass
+    (``[8x] lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+    PassageScorer.java``): candidate passages anchor at query-term hits;
+    a passage's score is the idf-weighted sum of the hits it covers; the
+    best passage per document ranks the documents.
+
+    Deliberate simplifications, declared: passages are fixed
+    ``window``-token spans anchored at hits (upstream uses a
+    BreakIterator over sentences), and the per-hit weight is
+    ``floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6)`` as int64 — the
+    BM25 idf quantized to a micro-unit integer so the passage sum is
+    ORDER-INDEPENDENT (exact under any Spark aggregation order, and in
+    the DuckDB oracle).
+
+    Fully relational: posexplode the tokens once, join the (tiny,
+    broadcast) per-term idf weights, self-join hits within a doc to sum
+    windows (hits per doc are few — the join is keyed by doc), window
+    functions pick the best passage per doc, a top-k ends the plan.
+    Returns [id, start_pos, score, snippet].
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()  # scalar stat, same role as Weight-time stats
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    )
+    base = df.select(id_col, toks.alias("tk"))
+    pos = base.select(
+        id_col, F.posexplode("tk").alias("pos", "term"), "tk"
+    ).drop("tk")
+    hits = pos.filter(F.col("term").isin(terms))
+    dfs = hits.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    w_expr = (
+        f"CAST(floor(ln(1e0 + ({n_docs} - df + 5e-1) / (df + 5e-1)) * 1e6)"
+        " AS BIGINT)"
+    )
+    hits = hits.join(F.broadcast(dfs.withColumn("w", F.expr(w_expr))), "term")
+    a, b = hits.alias("a"), hits.alias("b")
+    passages = (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("b.pos") >= F.col("a.pos"))
+            & (F.col("b.pos") < F.col("a.pos") + F.lit(window)),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias(id_col), F.col("a.pos").alias("start_pos"))
+        .agg(F.sum("b.w").alias("score"))
+    )
+    wd = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("start_pos"))
+    best = passages.withColumn("_r", F.row_number().over(wd)).filter(
+        F.col("_r") == 1
+    ).drop("_r")
+    out = (
+        best.join(base, id_col)
+        .select(
+            id_col,
+            F.col("start_pos").cast("int").alias("start_pos"),
+            F.col("score").cast("long").alias("score"),
+            F.array_join(
+                F.slice(F.col("tk"), F.col("start_pos") + 1, window), " "
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return out

@@ -226,3 +226,38 @@ def test_explain_components_sum_to_score(spark):
         assert np.float32(s) == want[d], d
         # the reported combined score matches too
     assert all(np.float32(r["score"]) == want[r["doc_id"]] for r in rows)
+
+
+def test_best_passages_ranks_dense_windows(spark):
+    """Passage ranking: the window with the most (idf-weighted) hits wins;
+    rare terms outweigh common ones; snippet covers the anchor window."""
+    from lucene_solr_spark.search.highlight import best_passages
+
+    filler = " ".join(f"f{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: 3 hits clustered -> dense passage
+            (0, f"{filler} apple apple banana {filler}"),
+            # doc 1: 2 hits, far apart
+            (1, f"apple {filler} banana {filler}"),
+            # doc 2: one hit of each term in every doc -> banana df == apple df
+            (2, f"{filler} banana {filler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = best_passages(docs, ["apple", "banana"], window=10, k=3).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
+    top = out[0]
+    assert top["start_pos"] == 40
+    assert top["snippet"].split()[:3] == ["apple", "apple", "banana"]
+    # idf weighting: a term in fewer docs outweighs a ubiquitous one
+    docs2 = spark.createDataFrame(
+        [
+            (0, "common rare"),
+            (1, "common common common x y z"),
+            (2, "common here too"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = best_passages(docs2, ["common", "rare"], window=3, k=3).collect()
+    assert out2[0]["doc_id"] == 0  # rare-term doc beats 3x common-term doc
