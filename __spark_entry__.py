@@ -2157,6 +2157,56 @@ CHUNK_SIZE, CHUNK_STRIDE = 64, 48
 MIX_TARGET = 200
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merge table: wrap each word's chars,
+    replay the 5 learned merges (map-only chained replaces), emit subword
+    count + the first 30 subwords per doc."""
+    from lucene_solr_spark.pipeline.bpe import bpe_encode, bpe_learn
+
+    d = _docs(spark, sf_dir)
+    merges = bpe_learn(d, n_merges=5)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_subwords"),
+        F.array_join(F.slice("tokens", 1, 30), " ").alias("head"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    """Learning CTEs from _bpe_oracle + a per-document encode chain: each
+    learned merge applies to every doc's wrapped words via the same
+    scalar-subquery replace — no driver-collected literals."""
+    learn = _bpe_oracle(n_merges)
+    with_block = learn[len("WITH "): learn.index("\nSELECT CAST(merge_idx")]
+    parts = [with_block]
+    parts.append(
+        """d0 AS (SELECT doc_id,
+  list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+', 0),
+                 w -> regexp_replace(w, '(.)', '<\\1>', 'g')) AS syms
+FROM documents)"""
+    )
+    for i in range(n_merges):
+        parts.append(
+            f"""d{i + 1} AS (SELECT doc_id,
+  list_transform(syms, s -> replace(s, m.pat, m.rep)) AS syms
+FROM d{i}, (SELECT '<' || lhs || '><' || rhs || '>' AS pat,
+                   '<' || merged || '>' AS rep FROM t{i}) m)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+fin AS (SELECT doc_id,
+  flatten(list_transform(syms, s ->
+    string_split(substring(s, 2, length(s) - 2), '><'))) AS toks
+FROM d{n_merges})
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_subwords,
+       array_to_string(toks[1:30], ' ') AS head
+FROM fin ORDER BY doc_id"""
+    )
+
+
 PASSAGE_TERMS = ["spark", "join"]
 PASSAGE_WINDOW = 20
 
@@ -2563,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": q_mix_temperature,
         "score_join": q_score_join,
         "best_passage": q_best_passage,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -3559,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
     out["classify"] = _classify_oracle()
     out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
     out["bpe_merges"] = _bpe_oracle(n_merges=5)
+    out["bpe_encode"] = _bpe_encode_oracle(n_merges=5)
     out.update({
         "fts_classic_topk": f"""
 WITH {_TOK_CTE},

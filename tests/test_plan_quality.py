@@ -333,3 +333,46 @@ def test_sql_handler_pushdown_and_partial_agg(spark, tmp_path):
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "GreaterThan(v,10" in pushed, pushed
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Context-window chunking must not shuffle: split + sequence +
+    explode + slice all inside one stage."""
+    from lucene_solr_spark.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df, size=4, stride=2))
+    assert "Exchange" not in plan, plan
+
+
+def test_temperature_sample_filter_is_map_only(spark):
+    """After the bounded per-source stats step, the keep-filter plan is a
+    scan + filter — no shuffle of the corpus."""
+    from lucene_solr_spark.pipeline import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(100)], "doc_id long, source string"
+    )
+    plan = _plan(temperature_sample(df, target_rows=50))
+    assert "Exchange" not in plan, plan
+
+
+def test_score_join_broadcasts_aggregated_keys(spark):
+    from lucene_solr_spark.relational import score_join
+
+    frm = spark.createDataFrame([("a", 1.0)], "k string, score double")
+    to = spark.createDataFrame([(1, "a")], "id long, k string")
+    plan = _plan(score_join(frm, to, "k", "k", "max"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_routing_hash_and_shard_in_one_stage(spark):
+    """Hash + shard assignment are one ArrowEval + project over the scan —
+    the only exchange in a routed build is the final repartition(n, shard)."""
+    from lucene_solr_spark.routing import assign_shards
+
+    df = spark.createDataFrame([(1, "r")], "doc_id long, source string")
+    plan = _plan(assign_shards(df, 8, id_col="doc_id", route_col="source"))
+    assert "Exchange" not in plan, plan
+    routed = assign_shards(df, 8, id_col="doc_id").repartition(8, "shard")
+    assert _plan(routed).count("Exchange") == 1
