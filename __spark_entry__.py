@@ -2207,6 +2207,53 @@ FROM fin ORDER BY doc_id"""
     )
 
 
+def q_sharded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded scatter-gather BM25 (ExactStatsCache): 4 hash-ring shard
+    views, per-shard scoring with merged global stats, one top-k merge.
+    Rank-compared against the unsharded f64 oracle (scores are the real
+    f32 engine path — identity vs the unsharded engine is pinned in
+    tests/test_distributed.py)."""
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.search.distributed import (
+        build_sharded_views,
+        distributed_search,
+    )
+
+    d = _docs(spark, sf_dir)
+    shards = build_sharded_views(d, 4, id_col="doc_id", text_col="text")
+    res = distributed_search(shards, BM25_TERM, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id"
+    ).orderBy("rank")
+
+
+def _sharded_bm25_oracle() -> str:
+    formula = _BM25_EXPR.format(
+        N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
+    )
+    return f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term = '{BM25_TERM}' GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT doc_id, {formula} AS score64 FROM inputs)
+SELECT CAST(row_number() OVER (ORDER BY score64 DESC, doc_id ASC) AS INT)
+       AS rank, doc_id
+FROM scored ORDER BY rank LIMIT 10"""
+
+
 PASSAGE_TERMS = ["spark", "join"]
 PASSAGE_WINDOW = 20
 
@@ -2614,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_join": q_score_join,
         "best_passage": q_best_passage,
         "bpe_encode": q_bpe_encode,
+        "sharded_bm25": q_sharded_bm25,
     }
 
 
@@ -4360,6 +4408,7 @@ FROM sg ORDER BY doc_id""",
         "date_math": _date_math_oracle(),
         "score_join": _score_join_oracle(),
         "best_passage": _best_passage_oracle(),
+        "sharded_bm25": _sharded_bm25_oracle(),
         "chunk_docs": f"""
 WITH t AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')

@@ -1,0 +1,115 @@
+"""Distributed (sharded) search: scatter-gather with EXACT global stats.
+
+SolrCloud executes a query by fanning out to every shard, merging each
+shard's top-k by (score, id), and — when rank fidelity matters — scoring
+every shard with GLOBAL term statistics instead of shard-local ones
+(``[8x] solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache
+.java``: a stats round-trip collects per-shard docFreq/collectionFreq
+and redistributes the merged totals before scoring;
+``[8x] solr/core/src/java/org/apache/solr/handler/component/QueryComponent
+.java`` does the top-k merge).
+
+Spark mapping: a "shard" is an :class:`IndexView` over a hash-ring
+subset of the corpus (see :mod:`lucene_solr_spark.routing`); the stats
+round-trip is a per-shard dictionary lookup (driver-side, bounded by
+|query terms| × |shards| — the same metadata step Lucene runs in
+IndexSearcher#createWeight); the redistribution is a prefilled
+``stats_memo`` plus overridden corpus totals on a shallow view copy, so
+every shard's scorer computes the exact weights the unsharded index
+would.  The merge is a union of per-shard top-k frames followed by one
+global TakeOrdered — k × n_shards rows, never the corpora.
+
+Guarantee (tested): ``distributed_search(shards, q, k)`` is
+rank-AND-score identical (float32 bit-for-bit) to ``search`` over the
+unsharded index for term/boolean/phrase queries, because BM25's
+per-doc score depends only on (global stats, local tf, local norm).
+Multi-term rewrites (fuzzy/prefix scoring mode) expand against the
+local dictionary and are out of scope here, as they are for Solr's
+stats cache.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.core import IndexView, build_index_view
+from .executor import _leaf_stats_full, search
+from .query import parse_query, query_terms
+
+__all__ = ["build_sharded_views", "exact_global_stats", "distributed_search"]
+
+
+def build_sharded_views(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    route_col: str | None = None,
+    **build_kwargs,
+) -> list[IndexView]:
+    """Split a corpus over the murmur3 hash ring and build one IndexView
+    per shard (global doc ids preserved — the ring partitions, it does
+    not renumber).
+
+    Test-scale convenience: each shard filters the routed frame (the
+    scan is re-read per shard).  At cluster scale you would write the
+    routed frame once with ``partitionBy("shard")`` and open each
+    shard's partition directly — the ring is the partitioning either
+    way.
+    """
+    from ..routing import assign_shards
+
+    routed = assign_shards(df, num_shards, id_col=id_col, route_col=route_col)
+    views = []
+    for s in range(num_shards):
+        part = routed.filter(F.col("shard") == s).drop("hash32", "shard")
+        views.append(build_index_view(part, id_col, text_col, **build_kwargs))
+    return views
+
+
+def exact_global_stats(
+    shards: list[IndexView], terms: list[str]
+) -> tuple[int, int, dict[str, tuple[int, int] | None]]:
+    """The ExactStatsCache round-trip: merge per-shard (df, cf) into
+    global TermStatistics, and per-shard (docCount, sumTotalTermFreq)
+    into global CollectionStatistics."""
+    n_docs = sum(s.doc_count for s in shards)
+    sum_ttf = sum(s.sum_ttf for s in shards)
+    merged: dict[str, tuple[int, int]] = {}
+    for s in shards:
+        for t, st in _leaf_stats_full(s, terms).items():
+            df0, cf0 = merged.get(t, (0, 0))
+            merged[t] = (df0 + st[0], cf0 + st[1])
+    stats: dict[str, tuple[int, int] | None] = {
+        t: merged.get(t) for t in terms
+    }
+    return n_docs, sum_ttf, stats
+
+
+def distributed_search(
+    shards: list[IndexView], query, k: int = 10
+) -> DataFrame:
+    """Scatter-gather top-k over shard views with exact global idf.
+
+    Per shard: a shallow view copy carries the merged corpus totals and
+    a prefilled term-stats memo, so its scorer (including block-max
+    pruning — the global weights are its upper bounds) runs unchanged;
+    the per-shard plans stay fully distributed.  Gather: union of n_shards
+    top-k frames, one TakeOrdered — the Solr QueryComponent merge.
+    """
+    q = parse_query(query) if isinstance(query, str) else query
+    terms = sorted(set(query_terms(q)))
+    n_docs, sum_ttf, stats = exact_global_stats(shards, terms)
+    parts = []
+    for s in shards:
+        gview = replace(
+            s, doc_count=n_docs, sum_ttf=sum_ttf, stats_memo=dict(stats)
+        )
+        parts.append(search(gview, q, k=k))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,76 @@
+"""Sharded scatter-gather with exact global stats: must be rank- AND
+score-identical (float32 bit-for-bit) to the unsharded index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import parse_query, search
+from lucene_solr_spark.search.distributed import (
+    build_sharded_views,
+    distributed_search,
+    exact_global_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return gen_corpus_df(spark, 400, seed=23).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long") - 1,
+    )
+
+
+@pytest.fixture(scope="module")
+def unsharded(corpus):
+    return build_index_view(corpus, "doc_id", "content")
+
+
+@pytest.fixture(scope="module")
+def shards(corpus):
+    return build_sharded_views(corpus, 4, id_col="doc_id", text_col="content")
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in df.collect()]
+
+
+def test_global_stats_merge_exactly(unsharded, shards):
+    from lucene_solr_spark.search.executor import _leaf_stats_full
+
+    terms = ["def", "class", "return", "nosuchterm"]
+    n, ttf, stats = exact_global_stats(shards, terms)
+    assert n == unsharded.doc_count and ttf == unsharded.sum_ttf
+    want = _leaf_stats_full(unsharded, terms)
+    for t in terms:
+        assert stats[t] == want.get(t)
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "def",
+        "return AND class",
+        "import OR lambda OR yield",
+        '"def main"',
+        "(def AND class) OR return",
+    ],
+)
+def test_distributed_equals_unsharded(unsharded, shards, qs):
+    got = _rows(distributed_search(shards, qs, k=10))
+    want = _rows(search(unsharded, parse_query(qs), k=10))
+    assert got == want, qs
+
+
+def test_shards_partition_the_corpus(corpus, shards):
+    assert sum(s.doc_count for s in shards) == corpus.count()
+    ids = set()
+    for s in shards:
+        part = {r["doc_id"] for r in s.norms.select("doc_id").distinct().collect()}
+        assert not (ids & part)
+        ids |= part
