@@ -2207,6 +2207,23 @@ FROM fin ORDER BY doc_id"""
     )
 
 
+def q_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.query: arbitrary query buckets counted in ONE aggregation
+    pass (token-precise conditions over the analyzed text)."""
+    from lucene_solr_spark.relational import facet_query
+
+    d = _docs(spark, sf_dir)
+    tk = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    conds = {
+        "spark_and_join": F.expr(
+            f"array_contains({tk}, 'spark') AND array_contains({tk}, 'join')"
+        ),
+        "window": F.expr(f"array_contains({tk}, 'window')"),
+        "not_hash": ~F.expr(f"array_contains({tk}, 'hash')"),
+    }
+    return facet_query(d, conds)
+
+
 def q_sharded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded scatter-gather BM25 (ExactStatsCache): 4 hash-ring shard
     views, per-shard scoring with merged global stats, one top-k merge.
@@ -2662,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": q_best_passage,
         "bpe_encode": q_bpe_encode,
         "sharded_bm25": q_sharded_bm25,
+        "facet_query": q_facet_query,
     }
 
 
@@ -4409,6 +4427,22 @@ FROM sg ORDER BY doc_id""",
         "score_join": _score_join_oracle(),
         "best_passage": _best_passage_oracle(),
         "sharded_bm25": _sharded_bm25_oracle(),
+        "facet_query": f"""
+WITH tk AS (SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+            FROM documents),
+agg AS (SELECT
+  CAST(sum(CASE WHEN list_contains(t, 'spark') AND list_contains(t, 'join')
+                THEN 1 ELSE 0 END) AS BIGINT) AS spark_and_join,
+  CAST(sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END)
+       AS BIGINT) AS "window",
+  CAST(sum(CASE WHEN NOT list_contains(t, 'hash') THEN 1 ELSE 0 END)
+       AS BIGINT) AS not_hash
+FROM tk)
+SELECT f AS facet_query, c AS count FROM (
+  SELECT 'spark_and_join' AS f, spark_and_join AS c FROM agg
+  UNION ALL SELECT 'window', "window" FROM agg
+  UNION ALL SELECT 'not_hash', not_hash FROM agg)
+ORDER BY facet_query""",
         "chunk_docs": f"""
 WITH t AS (SELECT doc_id,
                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')

@@ -51,6 +51,7 @@ __all__ = [
     "facet_excluding",
     "grouped_facet",
     "score_join",
+    "facet_query",
 ]
 
 
@@ -532,3 +533,27 @@ def score_join(
     if broadcast_keys:
         agg = F.broadcast(agg)
     return to_df.join(agg, to_field)
+
+
+def facet_query(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
+    """``facet.query``: counts for arbitrary query buckets
+    (``[8x] solr/core/src/java/org/apache/solr/request/SimpleFacets.java``
+    getFacetQueryCounts) — each label's count is the number of rows its
+    boolean condition matches.
+
+    ONE aggregation pass computes every bucket as a conditional sum
+    (no per-query scan, no join); the single combined row unpivots to
+    (facet_query, count) rows via ``stack``.  Scale cost is one map-side
+    partial agg regardless of how many facet queries are asked.
+    """
+    if not conds:
+        raise ValueError("facet_query needs at least one labeled condition")
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(lbl)
+        for lbl, c in conds.items()
+    ]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{lbl}', `{lbl}`" for lbl in conds)
+    return row.selectExpr(
+        f"stack({len(conds)}, {stack}) AS (facet_query, count)"
+    ).orderBy("facet_query")

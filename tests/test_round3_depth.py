@@ -70,6 +70,33 @@ def test_facet_excluding_all_other_filters_compose(docs):
     assert got == {"fr": 1}  # doc 4: source=s2 AND n_chars>=13
 
 
+# --- facet.query -------------------------------------------------------------
+
+
+def test_facet_query_counts_each_labeled_condition(docs):
+    from lucene_solr_spark.relational import facet_query
+
+    got = {
+        r["facet_query"]: r["count"]
+        for r in facet_query(
+            docs,
+            {
+                "en": F.col("lang") == "en",
+                "long": F.col("n_chars") >= 14,
+                "en_or_s1": (F.col("lang") == "en") | (F.col("source") == "s1"),
+            },
+        ).collect()
+    }
+    assert got == {"en": 2, "long": 3, "en_or_s1": 4}
+
+
+def test_facet_query_rejects_empty(docs):
+    from lucene_solr_spark.relational import facet_query
+
+    with pytest.raises(ValueError):
+        facet_query(docs, {})
+
+
 # --- grouped faceting --------------------------------------------------------
 
 
