@@ -1392,6 +1392,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (Jégou et al. TPAMI'11) with deterministic codebooks — the
+    8-dim subvectors of embeddings 1..8 per subspace: ONE map-only pass
+    encodes each vector (pure-SQL argmin per subspace) and folds the
+    query's precomputed ADC table, a TakeOrdered keeps the 50 best ADC
+    candidates, exact cosine reranks to top-10.  Assignment, ADC sums,
+    the candidate cut, and the ranking are all sequential-IEEE f64, so
+    DuckDB reproduces the whole pipeline bit-for-bit."""
+    from lucene_solr_spark.pipeline import pq_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+    books = [
+        [[float(x) for x in r["embedding"][j * 8 : (j + 1) * 8]] for r in rows]
+        for j in range(8)
+    ]
+    return pq_topk(
+        emb, _query_vec(spark, sf_dir), books, k=10, rerank=50, exclude_ids=[0]
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed semantic dedup —
+    nearest-centroid assignment (embeddings 1..8 as the deterministic
+    codebook), within-CLUSTER pair join (never all-pairs), prune every
+    vector with a lower-id cluster-mate at cosine >= 0.35.  Returns the
+    full per-row decision [id, cluster, keep]."""
+    from lucene_solr_spark.pipeline import semdedup
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return (
+        semdedup(emb, centroids, threshold=0.35)
+        .select("id", F.col("cluster").cast("long").alias("cluster"), "keep")
+        .orderBy("id")
+    )
+
+
 def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH bucket equi-join (the
     candidate generator — never all-pairs) + exact cosine >= 0.40,
@@ -2628,6 +2667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
+        "semdedup": q_semdedup,
         "cos_neardup": q_cos_neardup,
         "token_stats": q_token_stats,
         "text_quality": q_text_quality,
@@ -3385,6 +3426,64 @@ SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
 FROM embeddings e
 JOIN assigned a ON a.vec_id = e.vec_id AND a.ci IN (SELECT ci FROM probes), q
 ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "ann_pq": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+codes AS (
+  SELECT j.j, e.vec_id - 1 AS ci,
+         list_slice(e.embedding, j.j * 8 + 1, j.j * 8 + 8) AS cw
+  FROM (SELECT unnest(generate_series(0, 7)) AS j) j,
+       embeddings e WHERE e.vec_id BETWEEN 1 AND 8
+),
+tbl AS (
+  SELECT cd.j, cd.ci, cd.cw,
+    list_reduce(list_transform(
+      list_zip(list_slice(q.qe, cd.j * 8 + 1, cd.j * 8 + 8), cd.cw),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+      (acc, v) -> acc + v) AS t,
+    list_reduce(list_transform(cd.cw, x -> x::DOUBLE * x::DOUBLE),
+      (acc, v) -> acc + v) AS c2
+  FROM codes cd, q
+),
+assign AS (
+  SELECT vec_id, j, t FROM (
+    SELECT e.vec_id, tb.j, tb.t,
+      row_number() OVER (PARTITION BY e.vec_id, tb.j ORDER BY
+        (tb.c2 - 2 * ({dot.format(a="list_slice(e.embedding, tb.j * 8 + 1, tb.j * 8 + 8)", b="tb.cw")})) ASC,
+        tb.ci ASC) AS rn
+    FROM embeddings e, tbl tb WHERE e.vec_id != 0)
+  WHERE rn = 1
+),
+adc AS (
+  SELECT vec_id, list_reduce(list(t ORDER BY j), (a, b) -> a + b) AS adc
+  FROM assign GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50)
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "semdedup": f"""
+WITH cent AS (SELECT vec_id - 1 AS ci, embedding AS ce FROM embeddings
+              WHERE vec_id BETWEEN 1 AND 8),
+assigned AS (
+  SELECT vec_id AS id, embedding AS v, CAST(ci AS BIGINT) AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.ci,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (list_reduce(list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE),
+           (acc, v) -> acc + v)
+         - 2 * ({dot.format(a="e.embedding", b="c.ce")})) ASC, c.ci ASC) AS rn
+    FROM embeddings e, cent c)
+  WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.id FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.id < b.id
+  WHERE CAST(({dot.format(a="a.v", b="b.v")}) /
+        (sqrt({dot.format(a="a.v", b="a.v")}) * sqrt({dot.format(a="b.v", b="b.v")}))
+        AS FLOAT) >= 0.35
+)
+SELECT a.id, a.cluster, (p.id IS NULL) AS keep
+FROM assigned a LEFT JOIN pruned p ON p.id = a.id
+ORDER BY a.id""",
         "ann_lsh": f"""
 WITH planes AS (
   SELECT p, list_transform(generate_series(0, 63), d ->

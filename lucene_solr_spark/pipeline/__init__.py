@@ -31,6 +31,9 @@ from .similarity import (
     hyperplane_lsh_topk,
     ivf_fit_centroids,
     ivf_topk,
+    pq_fit_codebooks,
+    pq_topk,
+    semdedup,
 )
 from .text import doc_fingerprint, lang_id, text_quality, token_stats
 from .filters import (
@@ -65,6 +68,9 @@ __all__ = [
     "cosine_topk",
     "ivf_fit_centroids",
     "ivf_topk",
+    "pq_fit_codebooks",
+    "pq_topk",
+    "semdedup",
     "train_text_logit",
     "doc_fingerprint",
     "dedup_clusters",

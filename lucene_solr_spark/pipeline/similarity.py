@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk", "hyperplane_lsh_topk", "ivf_fit_centroids", "ivf_topk",
-           "cosine_neardup_pairs"]
+           "cosine_neardup_pairs", "pq_fit_codebooks", "pq_topk", "semdedup"]
 
 #: sequential f64 dot product of two array columns (bit-deterministic)
 _DOT = (
@@ -95,6 +95,24 @@ def ivf_fit_centroids(
     return cent
 
 
+def _nearest_centroid_expr(cent: list[list[float]], vec_col: str) -> str:
+    """Nearest-centroid assignment as a pure SQL expression: argmin over
+    per-centroid squared distance (expanded: |x|² − 2x·c + |c|²; |x|² is
+    constant per row so argmin needs only −2x·c + |c|²).  |c|² is a
+    sequential left-to-right f64 fold so a DuckDB oracle reproduces the
+    assignment bit-for-bit; ties break to the lowest centroid index via
+    the struct's second field."""
+    terms = []
+    for ci, c in enumerate(cent):
+        arr = "array(" + ", ".join(repr(float(v)) + "D" for v in c) + ")"
+        dot = _DOT.format(a=vec_col, b=arr)
+        c2 = 0.0
+        for v in c:  # sequential fold (see ivf_topk._seq_l2 note)
+            c2 += float(v) * float(v)
+        terms.append(f"struct(CAST({c2!r} AS DOUBLE) - 2D * ({dot}) AS d, {ci} AS c)")
+    return f"array_min(array({', '.join(terms)})).c"
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -122,19 +140,7 @@ def ivf_topk(
         return acc
 
     probe = sorted(range(len(cent)), key=lambda i: (_seq_l2(cent[i]), i))[:n_probes]
-
-    # nearest-centroid assignment as a pure SQL expression: argmin over
-    # per-centroid squared distance (expanded: |x|² − 2x·c + |c|²; |x|²
-    # is constant per row so argmin needs only −2x·c + |c|²)
-    terms = []
-    for ci, c in enumerate(cent):
-        arr = "array(" + ", ".join(repr(float(v)) + "D" for v in c) + ")"
-        dot = _DOT.format(a=vec_col, b=arr)
-        c2 = 0.0
-        for v in c:  # sequential fold (see _seq_l2 note)
-            c2 += v * v
-        terms.append(f"struct(CAST({c2!r} AS DOUBLE) - 2D * ({dot}) AS d, {ci} AS c)")
-    assign = f"array_min(array({', '.join(terms)})).c"
+    assign = _nearest_centroid_expr(cent, vec_col)
 
     d = df
     if exclude_ids:
@@ -239,3 +245,163 @@ def hyperplane_lsh_topk(
     d = d.withColumn("bucket", F.expr(bucket_expr(vec_col)))
     cand = d.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and run per-subspace Lloyd k-means on a bounded
+    driver-side sample (same training split as :func:`ivf_fit_centroids`
+    — training is cheap and bounded, ENCODING is the distributed part).
+
+    Returns ``m × n_codes × (dim/m)`` floats.  Mirrors the IVF/PQ split
+    of Jégou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011) — the standard billion-scale ANN memory layout."""
+    import numpy as np
+
+    rows = df.select(vec_col).sample(fraction=1.0, seed=seed).limit(sample).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cent = xs[rng.choice(xs.shape[0], size=min(n_codes, xs.shape[0]), replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(cent.shape[0]):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cent])
+    return books
+
+
+def _seq_l2_list(a: list[float], b: list[float]) -> float:
+    """Left-to-right IEEE f64 squared-L2 fold — matches DuckDB's
+    ``list_reduce`` order so oracles reproduce ADC tables bit-for-bit."""
+    acc = 0.0
+    for av, bv in zip(a, b):
+        acc += (float(av) - float(bv)) * (float(av) - float(bv))
+    return acc
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact rerank.
+
+    Distributed plan (the 100 TB shape): ONE map-only pass encodes each
+    vector per subspace (argmin over the subspace codebook, a pure SQL
+    ``array_min`` over structs — no UDF) and simultaneously folds the
+    query's precomputed ADC lookup value for the chosen code, summing
+    subspaces left-to-right; a TakeOrderedAndProject keeps the ``rerank``
+    best ADC candidates (only ``rerank`` rows per partition reach the
+    driver-side merge); exact cosine reranks those.  No shuffle at all —
+    scan → local top-r → merge → tiny rerank.
+
+    Every fold is sequential IEEE f64, so a DuckDB oracle reproduces the
+    code assignment, the ADC sum, the candidate cut, and the final
+    ranking bit-for-bit.  Parity: Lucene 9 KnnVectorsFormat quantized
+    readers play this role upstream; the reference engine's ANN story is
+    the same coarse-filter + exact-rerank split."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(v) for v in query_vec]
+
+    sub_exprs = []
+    for j, book in enumerate(codebooks):
+        qsub = q[j * dsub : (j + 1) * dsub]
+        sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+        terms = []
+        for ci, cw in enumerate(book):
+            arr = "array(" + ", ".join(repr(float(v)) + "D" for v in cw) + ")"
+            dot = _DOT.format(a=sub, b=arr)
+            c2 = 0.0
+            for v in cw:  # sequential fold — see _seq_l2_list
+                c2 += float(v) * float(v)
+            t = _seq_l2_list(qsub, cw)  # ADC table entry, driver-side
+            terms.append(
+                f"struct(CAST({c2!r} AS DOUBLE) - 2D * ({dot}) AS d, "
+                f"{ci} AS c, CAST({t!r} AS DOUBLE) AS t)"
+            )
+        sub_exprs.append(f"array_min(array({', '.join(terms)})).t")
+    # subspace ADC contributions summed left-to-right (j = 0..m-1)
+    adc = "(" + " + ".join(f"({e})" for e in sub_exprs) + ")"
+
+    d = df
+    if exclude_ids:
+        d = d.filter(~F.col(id_col).isin(exclude_ids))
+    cand = (
+        d.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                 F.expr(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("id"))
+        .limit(int(rerank))
+    )
+    qarr = "array(" + ", ".join(f"CAST({repr(float(v))} AS DOUBLE)" for v in q) + ")"
+    cos = f"({_DOT.format(a='v', b=qarr)}) / ({_norm('v')} * {_norm(qarr)})"
+    return (
+        cand.select("id", F.expr(f"CAST({cos} AS FLOAT)").alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(int(k))
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — k-means-cluster the corpus, compare
+    pairs ONLY within a cluster, and prune every vector that has a
+    more-canonical (lower-id) cluster-mate with cosine ≥ ``threshold``.
+
+    Scale shape: nearest-centroid assignment is a map-only SQL argmin
+    (no UDF); the candidate generator is a CLUSTER equi-join, never
+    all-pairs — the quadratic is bounded by the largest cluster, which
+    the number of centroids controls (SemDeDup's own knob).  Returns
+    [id, cluster, keep] for every input row; ``keep`` marks the
+    canonical survivors.  Assignment folds and cosines are sequential
+    IEEE f64, so DuckDB reproduces the whole decision bit-for-bit."""
+    import numpy as np
+
+    cent = [[float(v) for v in c] for c in np.asarray(centroids, dtype=np.float64)]
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.expr(_nearest_centroid_expr(cent, vec_col)).alias("cluster"),
+    )
+    left = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    right = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    cos = f"({_DOT.format(a='va', b='vb')}) / ({_norm('va')} * {_norm('vb')})"
+    pruned = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"CAST({cos} AS FLOAT)") >= float(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned.withColumn("_pruned", F.lit(True)), "id", "left")
+        .select("id", "cluster", F.coalesce(~F.col("_pruned"), F.lit(True)).alias("keep"))
+    )

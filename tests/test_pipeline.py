@@ -558,3 +558,66 @@ def test_temperature_sample_upweights_small_sources(spark):
         for r in temperature_sample(df, target_rows=500).select("doc_id").collect()
     )
     assert a == b
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ ADC + exact rerank: recalls most of the exact top-k, and the
+    encode/ADC pass is partitioning-invariant (pure sequential-IEEE SQL
+    folds — no kernel state)."""
+    from lucene_solr_spark.pipeline.similarity import pq_fit_codebooks, pq_topk
+
+    df, m = _rand_embeddings(spark, n=300, d=16, seed=11)
+    books = pq_fit_codebooks(df, m=4, n_codes=8, sample=300, iters=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    hits = 0
+    for qid in range(5):
+        q = [float(x) for x in m[qid]]
+        exact = {r["id"] for r in cosine_topk(df, q, k=5, exclude_ids=[qid]).collect()}
+        approx = {
+            r["id"]
+            for r in pq_topk(df, q, books, k=5, rerank=60, exclude_ids=[qid]).collect()
+        }
+        hits += len(exact & approx)
+    assert hits >= 15, f"PQ recall too low: {hits}/25"
+    # partitioning invariance: same rows, different physical layout
+    q = [float(x) for x in m[0]]
+    a = pq_topk(df, q, books, k=5, rerank=60, exclude_ids=[0]).collect()
+    b = pq_topk(df.repartition(7, "vec_id"), q, books, k=5, rerank=60,
+                exclude_ids=[0]).collect()
+    assert [(r["id"], r["cosine"]) for r in a] == [(r["id"], r["cosine"]) for r in b]
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    from lucene_solr_spark.pipeline.similarity import pq_fit_codebooks
+
+    df, _ = _rand_embeddings(spark, n=20, d=16, seed=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_fit_codebooks(df, m=5, n_codes=4, sample=20, iters=1)
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """SemDeDup: planted near-duplicates lose their higher-id copy; all
+    other vectors survive; every input row gets a decision."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline.similarity import ivf_fit_centroids, semdedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    for nid, src in [(100, 0), (101, 7)]:
+        rows.append(
+            (nid, [float(x) for x in base[src] + rng.normal(scale=0.01, size=16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = ivf_fit_centroids(df, n_clusters=4, sample=40, iters=8)
+    got = {r["id"]: (r["cluster"], r["keep"]) for r in
+           semdedup(df, cent, threshold=0.98).collect()}
+    assert len(got) == 32
+    # the planted copies share a cluster with their source (cosine ~1
+    # implies same nearest centroid) and the higher id is pruned
+    assert got[100][1] is False and got[101][1] is False
+    assert got[0][1] is True and got[7][1] is True
+    assert sum(1 for _, k in got.values() if not k) == 2
