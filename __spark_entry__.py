@@ -950,6 +950,16 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): per-line retention
+    (terminal punctuation, >=5 words, no 'javascript'), document drops
+    (<3 sentences, 'lorem ipsum', curly brace).  One map-only
+    projection — no shuffle, no UDF."""
+    from lucene_solr_spark.pipeline import quality_c4
+
+    return quality_c4(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 CONTAM_MOD = 97  # benchmark stratum: doc_id % CONTAM_MOD == 0
 
 
@@ -1556,6 +1566,20 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest(_index_for(spark, sf_dir), "s", k=10)
 
 
+FUZZY_SUGGEST_Q = "windwo"  # transposed prefix of 'window*'
+
+
+def q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester: completions whose prefix is within 1 OSA edit of
+    the transposed typo 'windwo', weight-ranked (cf desc, term asc).
+    The OSA kernel runs batch-vectorized over the pushed 'w%' dictionary
+    range scan."""
+    from lucene_solr_spark.search.extras import suggest_fuzzy
+
+    return suggest_fuzzy(_index_for(spark, sf_dir), FUZZY_SUGGEST_Q, k=10,
+                         max_edits=1)
+
+
 INFIX_FRAG = "a"  # AnalyzingInfixSuggester probe (mid-word fragment)
 
 
@@ -1767,6 +1791,23 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "fidx int, term string, weight double").orderBy(
         "fidx"
     )
+
+
+def q_feature_igain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """featuresSelection stream (Solr FeaturesSelectionStream / IGain):
+    top-25 terms by information gain against the label 'doc contains
+    spark' — one distinct-(doc, term) pass, one per-term count agg, IG
+    as a pure projection, TakeOrdered 25."""
+    from lucene_solr_spark.pipeline.classify import select_features_igain
+
+    docs = _docs(spark, sf_dir)
+    toks_expr = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(F.expr(toks_expr), CLASSIFY_LABEL_TERM).cast("int").alias("label"),
+    )
+    return select_features_igain(labeled, "label", k=25)
 
 
 def _classify_oracle() -> str:
@@ -2645,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_gopher": q_quality_gopher,
+        "quality_c4": q_quality_c4,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
@@ -2677,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "percentile": q_percentile,
         "classify": q_classify,
+        "feature_igain": q_feature_igain,
         "fts_shingle_dict": q_shingle_dict,
         "fts_classic_topk": q_fts_classic_topk,
         "fts_lm_topk": q_fts_lm_topk,
@@ -2688,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_queries": q_function_queries,
         "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
+        "suggest_fuzzy": q_suggest_fuzzy,
         "spellcheck": q_spellcheck,
         "sql_handler": q_sql_handler,
         "score_nodes": q_score_nodes,
@@ -3077,6 +3121,34 @@ bits AS (
 SELECT doc_id,
   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id""",
+        "quality_c4": """
+WITH base AS (
+  SELECT doc_id,
+    list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lines, has_lorem, has_brace,
+    list_filter(lines, l -> len(string_split_regex(l, ' +')) >= 5
+      AND right(l, 1) IN ('.', '!', '?', '"')
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS kept_lines,
+    CAST(coalesce(list_sum(list_transform(kept,
+      l -> length(l) - length(translate(l, '.!?', '')))), 0) AS BIGINT)
+      AS n_sentences,
+    has_lorem, has_brace
+  FROM k
+)
+SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
+       (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+FROM s ORDER BY doc_id""",
         "quality_gopher": f"""
 WITH {tok_cte},
 base AS (
@@ -3773,6 +3845,26 @@ def oracle_sql() -> dict[str, str]:
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
+    from lucene_solr_spark.pipeline.classify import igain_sql
+
+    out["feature_igain"] = f"""
+WITH {_TOK_CTE},
+lab AS (
+  SELECT d.doc_id,
+         CAST(max(CASE WHEN t.term = '{CLASSIFY_LABEL_TERM}' THEN 1 ELSE 0 END) AS INTEGER) AS y
+  FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos FROM lab),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+per AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS nt, CAST(sum(l.y) AS BIGINT) AS ntp
+  FROM dt JOIN lab l USING (doc_id) GROUP BY term
+)
+SELECT term, nt AS df_total, ntp AS df_pos,
+       CAST({igain_sql('per.nt', 'per.ntp', 'tot.n', 'tot.npos')} AS FLOAT) AS igain
+FROM per, tot
+ORDER BY igain DESC, term ASC LIMIT 25"""
     out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
     out["bpe_merges"] = _bpe_oracle(n_merges=5)
     out["bpe_encode"] = _bpe_encode_oracle(n_merges=5)
@@ -3868,6 +3960,21 @@ WITH {_TOK_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS weight
 FROM tok WHERE term LIKE 's%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 10""",
+        "suggest_fuzzy": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+d AS (
+  SELECT term, cf,
+    least(
+      damerau_levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q) - 1}), '{FUZZY_SUGGEST_Q}'),
+      damerau_levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q)}), '{FUZZY_SUGGEST_Q}'),
+      damerau_levenshtein(substr(term, 1, {len(FUZZY_SUGGEST_Q) + 1}), '{FUZZY_SUGGEST_Q}')
+    ) AS dist
+  FROM td WHERE term LIKE '{FUZZY_SUGGEST_Q[0]}%'
+)
+SELECT term, CAST(dist AS INTEGER) AS distance, CAST(cf AS BIGINT) AS weight
+FROM d WHERE dist <= 1
+ORDER BY weight DESC, term ASC LIMIT 10""",
         "suggest_infix": f"""
 WITH {_TOK_CTE},
 td AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)

@@ -42,6 +42,7 @@ from .filters import (
     secret_scan,
     contamination_ngrams,
     gopher_quality,
+    quality_c4,
     pii_scrub,
     stratified_sample,
     temperature_sample,
@@ -61,6 +62,7 @@ __all__ = [
     "SECRET_RULES",
     "cosine_neardup_pairs",
     "gopher_quality",
+    "quality_c4",
     "pii_scrub",
     "stratified_sample",
     "temperature_sample",

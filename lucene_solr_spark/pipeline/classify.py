@@ -25,7 +25,90 @@ from pyspark.sql import functions as F
 
 from .hashing import TOKENS_SQL
 
-__all__ = ["TextLogit", "train_text_logit"]
+__all__ = ["TextLogit", "train_text_logit", "igain_sql", "select_features_igain"]
+
+
+def igain_sql(nt: str, ntp: str, n: int | str, npos: int | str) -> str:
+    """Per-term information gain IG(C; T) = H(C) − H(C|T) as a shared
+    Spark-SQL/DuckDB expression over integer count columns ``nt`` (docs
+    containing the term) and ``ntp`` (positive docs containing it), with
+    corpus totals ``n`` / ``npos`` given as integer literals or SQL refs.
+
+    The SAME text runs on both engines (f64-parity discipline): every
+    probability is an integer ratio in f64, ``ln`` is the only libm call,
+    and callers CAST the result to FLOAT, absorbing last-ULP ln
+    differences.  Zero-probability terms contribute 0 (the p·ln p → 0
+    limit), and the no-absent-docs case (nt = n) guards its division.
+
+    Reference: Solr's featuresSelection stream / IGainTermsQParserPlugin
+    (``[8x] solr/core/.../search/IGainTermsQParserPlugin.java``) computes
+    exactly this quantity per term to pick `train`'s feature set."""
+    n_d = f"CAST({n} AS DOUBLE)"
+
+    def xlx(p: str) -> str:
+        return (f"(CASE WHEN ({p}) > CAST(0 AS DOUBLE) "
+                f"THEN ({p}) * ln({p}) ELSE CAST(0 AS DOUBLE) END)")
+
+    def h2(pa: str, pb: str) -> str:  # binary entropy from two probs
+        return f"(CAST(0 AS DOUBLE) - {xlx(pa)} - {xlx(pb)})"
+
+    hc = h2(f"(CAST({npos} AS DOUBLE) / {n_d})",
+            f"(CAST({n} - {npos} AS DOUBLE) / {n_d})")
+    p_t = f"(CAST({nt} AS DOUBLE) / {n_d})"
+    p_a = f"(CAST({n} - {nt} AS DOUBLE) / {n_d})"
+    h_t = h2(f"(CAST({ntp} AS DOUBLE) / CAST({nt} AS DOUBLE))",
+             f"(CAST({nt} - {ntp} AS DOUBLE) / CAST({nt} AS DOUBLE))")
+    h_a = h2(f"(CAST({npos} - {ntp} AS DOUBLE) / CAST({n} - {nt} AS DOUBLE))",
+             f"(CAST({n} - {nt} - ({npos} - {ntp}) AS DOUBLE) / CAST({n} - {nt} AS DOUBLE))")
+    h_a_guarded = (f"(CASE WHEN {nt} = {n} THEN CAST(0 AS DOUBLE) "
+                   f"ELSE {p_a} * {h_a} END)")
+    return f"({hc} - {p_t} * {h_t} - {h_a_guarded})"
+
+
+def select_features_igain(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """featuresSelection stream: top-``k`` terms by information gain
+    against a binary label — the feature-selection step Solr runs before
+    ``train`` (``[8x] solr/solrj/.../io/stream/FeaturesSelectionStream
+    .java``).
+
+    Distributed shape: ONE distinct-(doc, term) pass → one per-term
+    aggregation carrying two integer counts; the IG formula is a pure
+    projection over those counts (no second scan, no UDF); TakeOrdered
+    keeps k rows.  The two corpus totals are a bounded driver-side agg —
+    the same global-stats step as Lucene's Weight creation."""
+    labels = df.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("int").alias("_y")
+    )
+    tot = labels.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("npos")
+    ).head()
+    n, npos = int(tot["n"]), int(tot["npos"])
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"),
+    ).distinct()
+    per_term = (
+        toks.join(labels, "_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("nt"), F.sum("_y").alias("ntp"))
+    )
+    score = igain_sql("nt", "ntp", n, npos)
+    return (
+        per_term.select(
+            "term",
+            F.col("nt").cast("long").alias("df_total"),
+            F.col("ntp").cast("long").alias("df_pos"),
+            F.expr(f"CAST({score} AS FLOAT)").alias("igain"),
+        )
+        .orderBy(F.desc("igain"), F.asc("term"))
+        .limit(int(k))
+    )
 
 
 def _quant(col, scale: float):

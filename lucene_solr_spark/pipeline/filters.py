@@ -481,3 +481,52 @@ def temperature_sample(
     )[F.col(source_col)]
     h = F.expr(h64_sql(f"concat('{salt}:', CAST({id_col} AS STRING))"))
     return df.filter(h < thr)
+
+
+def quality_c4(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, the 'Colossal Clean
+    Crawled Corpus' heuristics, §2.2) — the other canonical web-corpus
+    filter next to :func:`gopher_quality`:
+
+    * line level: a line is RETAINED iff it ends in terminal punctuation
+      (``. ! ? "``), has at least ``min_words_per_line`` words, and does
+      not mention 'javascript';
+    * document level: drop docs with fewer than ``min_sentences``
+      sentences among retained lines, docs containing 'lorem ipsum', and
+      docs containing a curly brace (the code/markup tell).
+
+    Returns ``[id, n_lines, kept_lines, n_sentences, has_lorem,
+    has_brace, keep]``.  ONE map-only projection — no shuffle, no UDF,
+    no regex beyond what RE2 and Java agree on (none needed: the rules
+    compile to split/trim/right/translate, available on both engines, so
+    the DuckDB oracle reproduces every decision exactly)."""
+    lines = f"transform(split({text_col}, '\\n'), x -> trim(x))"
+    keep_line = (
+        f"size(split(l, ' +')) >= {int(min_words_per_line)}"
+        " AND right(l, 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    kept = f"filter({lines}, l -> {keep_line})"
+    n_sent = (
+        f"aggregate({kept}, CAST(0 AS BIGINT), "
+        "(acc, l) -> acc + (length(l) - length(translate(l, '.!?', ''))))"
+    )
+    return df.select(
+        id_col,
+        F.expr(f"CAST(size({lines}) AS BIGINT)").alias("n_lines"),
+        F.expr(f"CAST(size({kept}) AS BIGINT)").alias("kept_lines"),
+        F.expr(n_sent).alias("n_sentences"),
+        F.expr(f"contains(lower({text_col}), 'lorem ipsum')").alias("has_lorem"),
+        F.expr(f"contains({text_col}, '{{')").alias("has_brace"),
+    ).withColumn(
+        "keep",
+        (F.col("n_sentences") >= int(min_sentences))
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )

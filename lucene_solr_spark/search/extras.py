@@ -358,6 +358,54 @@ def suggest(index: IndexView, prefix: str, k: int = 10) -> DataFrame:
     )
 
 
+def suggest_fuzzy(index: IndexView, q: str, k: int = 10, max_edits: int = 1,
+                  non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3) -> DataFrame:
+    """FuzzySuggester analog (``[8x] lucene/suggest/.../analyzing/
+    FuzzySuggester.java``): completions whose PREFIX is within
+    ``max_edits`` OSA edits of the typed text, ranked by weight
+    (cf desc, term asc) like AnalyzingSuggester.
+
+    Lucene intersects a Levenshtein automaton with the suggest FST; the
+    distributed analog compares the typed text against each candidate
+    term's prefixes of length len(q)-max_edits .. len(q)+max_edits
+    (insertions/deletions shift the matching prefix) with the
+    batch-vectorized OSA kernel, taking the min — no per-row Python, no
+    driver term list.  FuzzySuggester's defaults are honored:
+    ``non_fuzzy_prefix`` chars must match exactly (pushed into the
+    term-sorted scan as a StartsWith — the FST-seek analog) and typed
+    text shorter than ``min_fuzzy_length`` falls back to exact prefix
+    completion."""
+    if len(q) < min_fuzzy_length:
+        return suggest(index, q, k=k).withColumn(
+            "distance", F.lit(0)).select("term", "distance", "weight")
+    from .fuzzy import osa_distances
+
+    target, cap = q, max_edits
+    lengths = [L for L in range(max(1, len(q) - max_edits), len(q) + max_edits + 1)]
+
+    @F.pandas_udf("int")
+    def _pdist(terms: pd.Series) -> pd.Series:
+        best = None
+        for L in lengths:
+            d = osa_distances(terms.str.slice(0, L), target, cap=cap)
+            best = d if best is None else np.minimum(best, d)
+        return pd.Series(best.astype(np.int32))
+
+    dictionary = index.term_dict
+    if non_fuzzy_prefix > 0:
+        dictionary = dictionary.filter(
+            F.col("term").startswith(q[:non_fuzzy_prefix])
+        )
+    return (
+        dictionary.withColumn("distance", _pdist(F.col("term")))
+        .filter(F.col("distance") <= cap)
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+        .select("term", "distance", F.col("cf").cast("long").alias("weight"))
+    )
+
+
 def spell_suggest(index: IndexView, term: str, max_edits: int = 2,
                   k: int = 5, min_df: int = 1,
                   prefix_length: int = 1) -> DataFrame:

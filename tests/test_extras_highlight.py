@@ -261,3 +261,38 @@ def test_best_passages_ranks_dense_windows(spark):
     )
     out2 = best_passages(docs2, ["common", "rare"], window=3, k=3).collect()
     assert out2[0]["doc_id"] == 0  # rare-term doc beats 3x common-term doc
+
+
+def test_suggest_fuzzy(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import suggest_fuzzy
+
+    docs = spark.createDataFrame(
+        [(0, "search searching searched sea"),
+         (1, "search sermon separate"), (2, "zebra")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        # transposed typo 'serach': prefix within 1 OSA edit of 'search*'
+        got = suggest_fuzzy(idx, "serach", k=5, max_edits=1).collect()
+        terms = [r["term"] for r in got]
+        assert terms[0] == "search" and got[0]["weight"] == 2
+        assert {"search", "searching", "searched"} <= set(terms)
+        assert "sermon" not in terms and "sea" not in terms
+        assert all(r["distance"] == 1 for r in got)
+        # deletion typo 'sarch' still completes (prefix-length sweep)
+        got2 = [r["term"] for r in suggest_fuzzy(idx, "sarch", k=5).collect()]
+        assert "search" in got2
+        # exact prefix gets distance 0 and ranks by weight
+        got3 = suggest_fuzzy(idx, "search", k=5).collect()
+        assert got3[0]["term"] == "search" and got3[0]["distance"] == 0
+        # below min_fuzzy_length: exact-prefix fallback only
+        got4 = [r["term"] for r in suggest_fuzzy(idx, "se", k=10).collect()]
+        assert "sermon" in got4 and "zebra" not in got4
+        # non_fuzzy_prefix pins the first character
+        got5 = [r["term"] for r in suggest_fuzzy(idx, "aearch", k=5).collect()]
+        assert "search" not in got5
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()

@@ -621,3 +621,60 @@ def test_semdedup_prunes_planted_duplicates(spark):
     assert got[100][1] is False and got[101][1] is False
     assert got[0][1] is True and got[7][1] is True
     assert sum(1 for _, k in got.values() if not k) == 2
+
+
+def test_select_features_igain(spark):
+    """featuresSelection: a perfectly class-predictive term gets
+    IG == H(C); a class-independent term gets IG == 0; values match a
+    hand-computed numpy reference at f32."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline.classify import select_features_igain
+
+    # 8 docs: label == contains 'cat'; 'the' in every doc (IG = 0);
+    # 'dog' in half of each class (IG = 0)
+    rows = [
+        (0, "cat the dog", 1), (1, "cat the", 1), (2, "cat the dog", 1),
+        (3, "cat the", 1), (4, "the dog", 0), (5, "the", 0),
+        (6, "the dog", 0), (7, "the", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    got = {r["term"]: r for r in
+           select_features_igain(df, "label", k=10).collect()}
+    hc = -2 * (0.5 * np.log(0.5))  # H(C) with balanced classes = ln 2
+    assert got["cat"]["df_total"] == 4 and got["cat"]["df_pos"] == 4
+    assert got["cat"]["igain"] == np.float32(hc)
+    assert got["the"]["igain"] == np.float32(0.0)
+    assert got["dog"]["igain"] == np.float32(0.0)
+    # ranking: the predictive term first, ties broken by term asc
+    ordered = [r["term"] for r in
+               select_features_igain(df, "label", k=3).collect()]
+    assert ordered[0] == "cat" and ordered[1:] == sorted(ordered[1:])
+
+
+def test_quality_c4_rules(spark):
+    """C4 cleaning: line retention (terminal punct + min words + no
+    'javascript'), doc drops (<3 sentences, lorem ipsum, curly brace)."""
+    from lucene_solr_spark.pipeline import quality_c4
+
+    good = "\n".join(
+        ["This is a perfectly fine first sentence.",
+         "Here is another complete readable sentence!",
+         "And a third one closes the document?"]
+    )
+    rows = [
+        (0, good),                                        # keeps all 3 lines
+        (1, good + "\nshort line."),                      # short line dropped, doc kept
+        (2, "Enable javascript to view this page now."),  # js line dropped -> 0 sentences
+        (3, good + "\nlorem ipsum dolor sit amet here."), # lorem -> drop
+        (4, good + "\nfunction f() { return 1; }"),       # brace -> drop
+        (5, "one two three four five no punct at end"),   # no terminal punct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_c4(df, min_words_per_line=5).collect()}
+    assert got[0]["keep"] and got[0]["kept_lines"] == 3 and got[0]["n_sentences"] == 3
+    assert got[1]["keep"] and got[1]["kept_lines"] == 3  # 'short line.' < 5 words
+    assert not got[2]["keep"] and got[2]["kept_lines"] == 0
+    assert not got[3]["keep"] and got[3]["has_lorem"]
+    assert not got[4]["keep"] and got[4]["has_brace"]
+    assert not got[5]["keep"] and got[5]["n_sentences"] == 0
