@@ -2550,6 +2550,44 @@ SELECT doc_id,
 FROM comb ORDER BY doc_id"""
 
 
+SPLIT_SHARD = 0  # SPLITSHARD target for the shard_split entry
+
+
+def q_shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLITSHARD: bisect shard 0's hash range (compositeId route!id
+    routing on source!doc_id) into two children and build each child's
+    index; output = per-child doc counts.  Child predicates are pure
+    range filters on the murmur3 hash column — no global reshuffle."""
+    from lucene_solr_spark.search.distributed import split_shard
+
+    kids = split_shard(
+        _docs(spark, sf_dir), ROUTE_SHARDS, SPLIT_SHARD,
+        id_col="doc_id", text_col="text", route_col="source",
+    )
+    parts = [
+        k.norms.select(F.lit(i).cast("int").alias("child"), "doc_id")
+        for i, k in enumerate(kids)
+    ]
+    return (
+        parts[0].unionByName(parts[1])
+        .groupBy("child")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("child")
+    )
+
+
+def _shard_split_oracle() -> str:
+    from lucene_solr_spark.search.distributed import split_shard_ranges
+
+    (_, h0), _ = split_shard_ranges(ROUTE_SHARDS, SPLIT_SHARD)
+    return f"""
+SELECT CAST(CASE WHEN comp_hash <= {h0} THEN 0 ELSE 1 END AS INTEGER) AS child,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_murmur3_route_oracle()}) r
+WHERE shard = {SPLIT_SHARD}
+GROUP BY child ORDER BY child"""
+
+
 def _best_passage_oracle() -> str:
     tlist = ", ".join(f"'{t}'" for t in PASSAGE_TERMS)
     w = PASSAGE_WINDOW
@@ -2754,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_moving": q_math_moving,
         "lm_perplexity": q_lm_perplexity,
         "shard_route": q_shard_route,
+        "shard_split": q_shard_split,
         "minhash_query": q_minhash_query,
         "text_profile_sig": q_text_profile,
         "date_math": q_date_math,
@@ -4603,6 +4642,7 @@ FROM m
 ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
 LIMIT 10""",
         "shard_route": _murmur3_route_oracle(),
+        "shard_split": _shard_split_oracle(),
         "text_profile_sig": """
 WITH tp AS (
   SELECT doc_id, t AS tok

@@ -39,7 +39,8 @@ from ..index.core import IndexView, build_index_view
 from .executor import _leaf_stats_full, search
 from .query import parse_query, query_terms
 
-__all__ = ["build_sharded_views", "exact_global_stats", "distributed_search"]
+__all__ = ["build_sharded_views", "exact_global_stats", "distributed_search",
+           "split_shard_ranges", "split_shard"]
 
 
 def build_sharded_views(
@@ -113,3 +114,46 @@ def distributed_search(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def split_shard_ranges(num_shards: int, shard: int) -> list[tuple[int, int]]:
+    """SPLITSHARD range math (``[8x] solr/solrj/.../common/cloud/
+    CompositeIdRouter.java`` partitionRange via the collections API):
+    bisect the parent shard's hash range into two contiguous children,
+    mid = lo + (hi - lo) / 2 — the union is exactly the parent range."""
+    from ..routing import shard_ranges
+
+    lo, hi = shard_ranges(num_shards)[shard]
+    mid = lo + (hi - lo) // 2
+    return [(lo, mid), (mid + 1, hi)]
+
+
+def split_shard(
+    df: DataFrame,
+    num_shards: int,
+    shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    route_col: str | None = None,
+    **build_kwargs,
+) -> list[IndexView]:
+    """SPLITSHARD: re-route ONE shard's documents into two child shards
+    by bisecting its hash range, and build each child's index.
+
+    Spark shape: the parent filter and both child range filters are pure
+    column predicates over the murmur3 hash column — each child build
+    scans only the parent's rows (at cluster scale, only the parent's
+    partition of a shard-partitioned layout), no global reshuffle, which
+    is exactly why SolrCloud splits ranges instead of rehashing the ring.
+    Children are queryable immediately via :func:`distributed_search`
+    alongside the untouched sibling shards (tested rank/score-identical
+    to the unsharded index)."""
+    from ..routing import assign_shards
+
+    routed = assign_shards(df, num_shards, id_col=id_col, route_col=route_col)
+    parent = routed.filter(F.col("shard") == shard)
+    out = []
+    for lo, hi in split_shard_ranges(num_shards, shard):
+        part = parent.filter(F.col("hash32").between(lo, hi)).drop("hash32", "shard")
+        out.append(build_index_view(part, id_col, text_col, **build_kwargs))
+    return out

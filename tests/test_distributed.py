@@ -74,3 +74,33 @@ def test_shards_partition_the_corpus(corpus, shards):
         part = {r["doc_id"] for r in s.norms.select("doc_id").distinct().collect()}
         assert not (ids & part)
         ids |= part
+
+
+def test_split_shard_partitions_parent(corpus, shards):
+    from lucene_solr_spark.search.distributed import split_shard, split_shard_ranges
+    from lucene_solr_spark.routing import shard_ranges
+
+    # range math: children bisect the parent exactly
+    (l0, h0), (l1, h1) = split_shard_ranges(4, 0)
+    plo, phi = shard_ranges(4)[0]
+    assert l0 == plo and h1 == phi and l1 == h0 + 1 and l0 <= h0 < l1 <= h1
+
+    kids = split_shard(corpus, 4, 0, id_col="doc_id", text_col="content")
+    parent_ids = {r["doc_id"] for r in shards[0].norms.select("doc_id").collect()}
+    a = {r["doc_id"] for r in kids[0].norms.select("doc_id").collect()}
+    b = {r["doc_id"] for r in kids[1].norms.select("doc_id").collect()}
+    assert a | b == parent_ids and not (a & b)
+    assert a and b  # 400 docs: both halves of the range are populated
+
+
+def test_split_shard_search_identity(corpus, unsharded, shards):
+    """Post-split topology (children + untouched siblings) stays rank-
+    and score-identical to the unsharded index."""
+    from lucene_solr_spark.search.distributed import split_shard
+
+    kids = split_shard(corpus, 4, 0, id_col="doc_id", text_col="content")
+    topo = kids + shards[1:]
+    for qs in ["def", "return AND class", '"def main"']:
+        got = _rows(distributed_search(topo, qs, k=10))
+        want = _rows(search(unsharded, parse_query(qs), k=10))
+        assert got == want, qs
