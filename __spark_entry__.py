@@ -1372,6 +1372,19 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0])
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (Lucene KnnFloatVectorQuery + acceptDocs,
+    pre-filter semantics): exact cosine top-10 restricted to label = 1;
+    the predicate reaches the parquet scan before any arithmetic."""
+    from lucene_solr_spark.pipeline import cosine_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, _query_vec(spark, sf_dir), k=10, exclude_ids=[0],
+        filter_expr="label = 1",
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-LSH buckets + margin-ordered multi-probe +
     exact cosine rerank.  Fully oracle-checked: the hyperplanes are
@@ -2733,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "rrf_hybrid": q_rrf_hybrid,
         "kmeans_clusters": q_kmeans_clusters,
+        "doc_clusters": q_doc_clusters,
         "bpe_merges": q_bpe_merges,
         "ltr_rerank": q_ltr_rerank,
         "ltr_trees": q_ltr_trees,
@@ -2745,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_terms": q_regexp_terms,
         "sort_by_field": q_sort_by_field,
         "knn_cosine": q_knn_cosine,
+        "knn_filtered": q_knn_filtered,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3505,6 +3520,11 @@ SELECT id_a, id_b, inter,
   CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS FLOAT) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ORDER BY jaccard DESC, id_a, id_b LIMIT 100""",
+        "knn_filtered": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = 1
+ORDER BY cosine DESC, id ASC LIMIT 10""",
         "knn_cosine": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
@@ -3729,7 +3749,9 @@ FROM ({union}) ORDER BY merge_idx"""
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+def _kmeans_oracle(k: int = 4, iters: int = 2, src: str = "embeddings",
+                   idc: str = "vec_id", vecc: str = "embedding",
+                   pre: str = "") -> str:
     """Unrolled Lloyd iterations in DuckDB (the classify discipline):
     distances are the SAME sequential f64 fold as mathx._SQDIST
     (list_reduce over zipped dims — 0-init vs first-element-init agree
@@ -3741,16 +3763,16 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
         " (acc, v) -> acc + v)"
     )
     parts = [
-        f"cent0 AS (SELECT vec_id - 1 AS cluster, embedding AS cent"
-        f" FROM embeddings WHERE vec_id BETWEEN 1 AND {k})",
-        "dims AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,"
-        " unnest(embedding) AS x FROM embeddings)",
+        f"cent0 AS (SELECT {idc} - 1 AS cluster, {vecc} AS cent"
+        f" FROM {src} WHERE {idc} BETWEEN 1 AND {k})",
+        f"dims AS (SELECT {idc}, unnest(range(1, len({vecc}) + 1)) AS dim,"
+        f" unnest({vecc}) AS x FROM {src})",
     ]
     for i in range(iters):
-        d = sqd.format(a="e.embedding", b="c.cent")
+        d = sqd.format(a=f"e.{vecc}", b="c.cent")
         parts.append(
-            f"a{i} AS (SELECT e.vec_id, c.cluster, {d} AS d"
-            f" FROM embeddings e, cent{i} c)"
+            f"a{i} AS (SELECT e.{idc} AS vec_id, c.cluster, {d} AS d"
+            f" FROM {src} e, cent{i} c)"
         )
         parts.append(
             f"assign{i} AS (SELECT vec_id, cluster FROM ("
@@ -3762,7 +3784,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
             f"upd{i} AS (SELECT a.cluster, d.dim,"
             f" CAST(sum(CAST(CAST(d.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)"
             f" / CAST(count(*) AS DOUBLE) AS val"
-            f" FROM assign{i} a JOIN dims d USING (vec_id)"
+            f" FROM assign{i} a JOIN (SELECT {idc} AS vec_id, dim, x FROM dims) d USING (vec_id)"
             f" GROUP BY a.cluster, d.dim)"
         )
         parts.append(
@@ -3774,17 +3796,57 @@ def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
             f" LEFT JOIN upd{i} u ON u.cluster = dd.cluster AND u.dim = dd.dim)"
             f" GROUP BY cluster)"
         )
-    d = sqd.format(a="e.embedding", b="c.cent")
+    d = sqd.format(a=f"e.{vecc}", b="c.cent")
     parts.append(
-        f"af AS (SELECT e.vec_id, c.cluster, {d} AS d"
-        f" FROM embeddings e, cent{iters} c)"
+        f"af AS (SELECT e.{idc} AS vec_id, c.cluster, {d} AS d"
+        f" FROM {src} e, cent{iters} c)"
     )
     return (
-        "WITH " + ",\n".join(parts) + """
+        "WITH " + (pre + ",\n" if pre else "") + ",\n".join(parts) + """
 SELECT vec_id AS id, CAST(cluster AS BIGINT) AS cluster, CAST(d AS FLOAT) AS dist2
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn FROM af)
 WHERE rn = 1 ORDER BY id"""
     )
+
+
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clustering (ClusteringComponent analog): quantized
+    tf-idf vectors over the top-8-df vocabulary → 2 exact Lloyd
+    iterations seeded from docs 1..4 → map-only assignment."""
+    from lucene_solr_spark.pipeline import cluster_documents
+
+    return cluster_documents(
+        _docs(spark, sf_dir), k=4, vocab_size=8, iters=2
+    ).orderBy("id")
+
+
+def _cluster_docs_oracle(v: int = 8, k: int = 4, iters: int = 2) -> str:
+    """tf-idf vectors in DuckDB (same quantized expression tree as
+    pipeline/text.py tfidf_vectors) feeding the unrolled Lloyd oracle."""
+    pre = f"""{_TOK_CTE},
+voc AS (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INTEGER) AS fidx
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+  QUALIFY fidx <= {v}
+),
+tfv AS (
+  SELECT t.doc_id, v.fidx,
+    floor(((CAST(1 AS DOUBLE) + ln(CAST(count(*) AS DOUBLE)))
+      * ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+           / CAST(v.df + 1 AS DOUBLE))) * 1e6 + 5e-1) / 1e6 AS val
+  FROM tok t JOIN voc v USING (term) GROUP BY t.doc_id, v.fidx, v.df
+),
+grid AS (SELECT d.doc_id, g.fidx FROM documents d,
+         (SELECT unnest(generate_series(1, {v})) AS fidx) g),
+vecs AS (
+  SELECT grid.doc_id,
+         list(coalesce(tfv.val, CAST(0 AS DOUBLE)) ORDER BY grid.fidx) AS vec
+  FROM grid LEFT JOIN tfv ON tfv.doc_id = grid.doc_id AND tfv.fidx = grid.fidx
+  GROUP BY grid.doc_id
+)"""
+    return _kmeans_oracle(k=k, iters=iters, src="vecs", idc="doc_id",
+                          vecc="vec", pre=pre)
 
 
 def _lang_id_oracle() -> str:
@@ -3905,6 +3967,7 @@ SELECT term, nt AS df_total, ntp AS df_pos,
 FROM per, tot
 ORDER BY igain DESC, term ASC LIMIT 25"""
     out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
+    out["doc_clusters"] = _cluster_docs_oracle(v=8, k=4, iters=2)
     out["bpe_merges"] = _bpe_oracle(n_merges=5)
     out["bpe_encode"] = _bpe_encode_oracle(n_merges=5)
     out.update({

@@ -35,7 +35,8 @@ from .similarity import (
     pq_topk,
     semdedup,
 )
-from .text import doc_fingerprint, lang_id, text_quality, token_stats
+from .text import (doc_fingerprint, lang_id, text_quality, token_stats,
+                   tfidf_vectors, cluster_documents)
 from .filters import (
     PII_RULES,
     SECRET_RULES,
@@ -75,6 +76,8 @@ __all__ = [
     "semdedup",
     "train_text_logit",
     "doc_fingerprint",
+    "tfidf_vectors",
+    "cluster_documents",
     "dedup_clusters",
     "exact_dedup",
     "hyperplane_lsh_topk",

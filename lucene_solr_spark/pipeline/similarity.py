@@ -42,15 +42,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: list[int] | None = None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec``.
 
     Returns [id, cosine:float] ordered by (cosine desc, id asc) — a
     TakeOrderedAndProject plan: the scan is map-only, only k rows per
     partition reach the driver-side merge.
-    """
+
+    ``filter_expr`` is a SQL predicate applied BEFORE scoring — filtered
+    vector search with pre-filter semantics (Lucene KnnFloatVectorQuery's
+    acceptDocs): the predicate reaches the parquet scan (PushedFilters),
+    so a selective filter prunes row groups before any arithmetic."""
     q = "array(" + ", ".join(f"CAST({repr(float(v))} AS DOUBLE)" for v in query_vec) + ")"
     d = df
+    if filter_expr:
+        d = d.filter(F.expr(filter_expr))
     if exclude_ids:
         d = d.filter(~F.col(id_col).isin(exclude_ids))
     cos = f"({_DOT.format(a=vec_col, b=q)}) / ({_norm(vec_col)} * {_norm(q)})"
@@ -122,10 +129,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: list[int] | None = None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """IVF search: assign vectors to their nearest centroid (distributed),
     scan only the ``n_probes`` lists nearest to the query, exact cosine
-    rerank inside them."""
+    rerank inside them.  ``filter_expr`` pre-filters the corpus before
+    list assignment (filtered ANN, Lucene acceptDocs semantics)."""
     import numpy as np
 
     cent = [[float(v) for v in c] for c in np.asarray(centroids, dtype=np.float64)]
@@ -143,6 +152,8 @@ def ivf_topk(
     assign = _nearest_centroid_expr(cent, vec_col)
 
     d = df
+    if filter_expr:
+        d = d.filter(F.expr(filter_expr))
     if exclude_ids:
         d = d.filter(~F.col(id_col).isin(exclude_ids))
     cand = d.withColumn("_cluster", F.expr(assign)).filter(

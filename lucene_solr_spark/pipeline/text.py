@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from .hashing import P31, SHINGLE_BASE, TOKENS_SQL, hterm_sql
 
-__all__ = ["token_stats", "text_quality", "lang_id", "doc_fingerprint", "LANG_MARKERS"]
+__all__ = ["token_stats", "text_quality", "lang_id", "doc_fingerprint",
+           "LANG_MARKERS", "tfidf_vectors", "cluster_documents"]
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -139,4 +140,98 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             f"aggregate(transform({toks}, t -> {th}), CAST(0 AS BIGINT), "
             f"(acc, h) -> (acc * {SHINGLE_BASE} + h) % {P31})"
         ).alias("fingerprint"),
+    )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    vocab_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, list[str]]:
+    """Dense tf-idf document vectors over the top-``vocab_size`` terms
+    by document frequency (ties → term asc) — the vectorization step of
+    Solr's clustering component and of the `train` stream's feature
+    space.
+
+    value = (1 + ln(tf)) · ln((N + 1) / (df + 1)), quantized to 6
+    decimals with the classify-stream quantizer (floor(x·1e6 + 0.5)/1e6
+    — pure IEEE mul/add/floor/div), so last-ULP libm ``ln`` differences
+    between engines are absorbed and everything downstream (k-means
+    folds, DECIMAL centroid sums) is bit-exact cross-engine.  Returns
+    ([id, vec: array<double>], vocab).
+    Distributed shape: one token pass for the vocab counts (the bounded
+    driver-side global-stats step), one token pass + one doc-keyed
+    aggregation for the vectors — docs with no vocab terms keep the zero
+    vector."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"),
+    )
+    n = df.count()
+    vocab_rows = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(vocab_size))
+        .collect()
+    )
+    vocab = [r["term"] for r in vocab_rows]
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [(t, i + 1, int(r["df"])) for i, (t, r) in enumerate(zip(vocab, vocab_rows))],
+        "term string, fidx int, df long",
+    )
+    vals = (
+        toks.join(F.broadcast(vdf), "term")
+        .groupBy("id", "fidx", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "id", "fidx",
+            F.expr(
+                "floor(((CAST(1 AS DOUBLE) + ln(CAST(tf AS DOUBLE)))"
+                f" * ln(CAST({n} + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)))"
+                " * 1e6 + 5e-1) / 1e6"
+            ).alias("val"),
+        )
+    )
+    dense = vals.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("fidx", "val"))).alias("m")
+    )
+    vec = (
+        df.select(F.col(id_col).alias("id"))
+        .join(dense, "id", "left")
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(1, {int(vocab_size)}),"
+                " i -> coalesce(element_at(m, i), CAST(0 AS DOUBLE)))"
+            ).alias("vec"),
+        )
+    )
+    return vec, vocab
+
+
+def cluster_documents(
+    df: DataFrame,
+    k: int = 4,
+    vocab_size: int = 8,
+    iters: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    init_ids: list[int] | None = None,
+) -> DataFrame:
+    """Document clustering (Solr ClusteringComponent analog / the topic
+    bucketing step of a training-data pipeline): tf-idf vectors →
+    distributed Lloyd k-means (mathx.kmeans_fit — DECIMAL-exact centroid
+    sums, bit-deterministic under any partitioning) → map-only
+    assignment.  Returns [id, cluster, dist2]."""
+    from ..mathx import kmeans_assign, kmeans_fit
+
+    vec, _ = tfidf_vectors(df, vocab_size=vocab_size,
+                           text_col=text_col, id_col=id_col)
+    cents = kmeans_fit(vec, k=k, iters=iters, vec_col="vec", id_col="id",
+                       init_ids=init_ids or list(range(1, k + 1)))
+    return kmeans_assign(vec, cents, vec_col="vec", id_col="id").withColumn(
+        "dist2", F.col("dist2").cast("float")
     )

@@ -678,3 +678,49 @@ def test_quality_c4_rules(spark):
     assert not got[3]["keep"] and got[3]["has_lorem"]
     assert not got[4]["keep"] and got[4]["has_brace"]
     assert not got[5]["keep"] and got[5]["n_sentences"] == 0
+
+
+def test_cosine_topk_filter_expr(spark):
+    """Filtered vector search: pre-filter semantics — results come only
+    from rows passing the predicate and equal brute-force over the
+    pre-filtered frame."""
+    df, m = _rand_embeddings(spark, n=100, d=8, seed=3)
+    lab = df.withColumn("grp", (F.col("vec_id") % 2).cast("int"))
+    q = [float(x) for x in m[0]]
+    got = cosine_topk(lab, q, k=5, exclude_ids=[0], filter_expr="grp = 1").collect()
+    want = cosine_topk(lab.filter("grp = 1"), q, k=5, exclude_ids=[0]).collect()
+    assert [(r["id"], r["cosine"]) for r in got] == [
+        (r["id"], r["cosine"]) for r in want
+    ]
+    assert all(r["id"] % 2 == 1 for r in got)
+
+
+def test_tfidf_cluster_documents(spark):
+    """tf-idf vectors: zero-vector for vocab-free docs, deterministic
+    vocab order; clustering separates two planted topic groups."""
+    from lucene_solr_spark.pipeline import cluster_documents, tfidf_vectors
+
+    rows = (
+        [(i, "alpha beta gamma " * 3) for i in range(1, 3)]
+        + [(i, "delta epsilon zeta " * 3) for i in range(3, 5)]
+        + [(i, "alpha beta gamma alpha") for i in range(5, 15)]
+        + [(i, "delta epsilon zeta zeta") for i in range(15, 25)]
+        + [(25, "xxxx yyyy")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vec, vocab = tfidf_vectors(df, vocab_size=6)
+    assert len(vocab) == 6
+    got = {r["id"]: r["vec"] for r in vec.collect()}
+    assert len(got) == 25
+    assert all(v == 0.0 for v in got[25])  # no vocab terms -> zero vector
+    out = {r["id"]: r["cluster"] for r in
+           cluster_documents(df, k=2, vocab_size=6, iters=3,
+                             init_ids=[1, 3]).collect()}
+    a = {out[i] for i in range(5, 15)}
+    b = {out[i] for i in range(15, 25)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # partitioning invariance (DECIMAL-exact centroid sums)
+    out2 = {r["id"]: r["cluster"] for r in
+            cluster_documents(df.repartition(7, "doc_id"), k=2, vocab_size=6,
+                              iters=3, init_ids=[1, 3]).collect()}
+    assert out == out2
