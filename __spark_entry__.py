@@ -2747,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_clusters": q_doc_clusters,
+        "text_tagger": q_text_tagger,
         "bpe_merges": q_bpe_merges,
         "ltr_rerank": q_ltr_rerank,
         "ltr_trees": q_ltr_trees,
@@ -3849,6 +3850,52 @@ vecs AS (
                           vecc="vec", pre=pre)
 
 
+TAGGER_DICT = ["table hash", "customer join", "merge group", "hash"]
+
+
+def q_text_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Text Tagger (/tag handler): dictionary phrase occurrences
+    via a broadcast candidate join + anchor-count verification, with
+    one-pass dominance overlap resolution (longest wins, ties -> right)."""
+    from lucene_solr_spark.search.tagger import tag_text
+
+    return tag_text(
+        _docs(spark, sf_dir), TAGGER_DICT, overlaps="DOMINANT"
+    ).orderBy("id", "start_pos", "tag")
+
+
+def _tagger_oracle() -> str:
+    vals = ", ".join(
+        f"('{p}', {i}, '{t}', {len(p.split())})"
+        for p in TAGGER_DICT for i, t in enumerate(p.split())
+    )
+    return f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) - 1
+         AS pos
+  FROM documents),
+dict(tag, i, term, length) AS (VALUES {vals}),
+tags AS (
+  SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+         CAST(start_pos + length - 1 AS BIGINT) AS end_pos, tag
+  FROM (SELECT t.doc_id, t.pos - d.i AS start_pos, d.tag, d.length
+        FROM tokp t JOIN dict d USING (term))
+  GROUP BY doc_id, start_pos, tag, length
+  HAVING count(*) = length AND start_pos >= 0
+)
+SELECT a.doc_id AS id, a.start_pos, a.end_pos, a.tag
+FROM tags a
+WHERE NOT EXISTS (
+  SELECT 1 FROM tags b WHERE b.doc_id = a.doc_id
+    AND a.start_pos <= b.end_pos AND b.start_pos <= a.end_pos
+    AND ((b.end_pos - b.start_pos) > (a.end_pos - a.start_pos)
+         OR ((b.end_pos - b.start_pos) = (a.end_pos - a.start_pos)
+             AND b.start_pos > a.start_pos)))
+ORDER BY id, start_pos, tag"""
+
+
 def _lang_id_oracle() -> str:
     from lucene_solr_spark.pipeline.text import LANG_MARKERS
 
@@ -3968,6 +4015,7 @@ FROM per, tot
 ORDER BY igain DESC, term ASC LIMIT 25"""
     out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
     out["doc_clusters"] = _cluster_docs_oracle(v=8, k=4, iters=2)
+    out["text_tagger"] = _tagger_oracle()
     out["bpe_merges"] = _bpe_oracle(n_merges=5)
     out["bpe_encode"] = _bpe_encode_oracle(n_merges=5)
     out.update({

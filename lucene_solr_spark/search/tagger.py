@@ -1,0 +1,102 @@
+"""Dictionary text tagging — the Solr Text Tagger.
+
+Reference semantics: Solr's ``/tag`` handler (``[8x] solr/core/src/java/
+org/apache/solr/handler/tagger/TaggerRequestHandler.java``, the donated
+SolrTextTagger): a dictionary of (multi-token) phrases is matched
+against analyzed document text, emitting one tag per occurrence with
+start/end offsets, with an overlap-resolution policy (ALL vs the
+longest-dominant variants).
+
+Spark-first shape: Lucene builds an FST over the dictionary and walks
+it per token; the distributed analog is a CANDIDATE JOIN — corpus
+tokens (one ``posexplode`` pass) equi-join the broadcast dictionary
+token table on the term, aligned by anchor position (``pos - i`` — the
+same position-intersection trick as PhraseQuery), and a single grouped
+count verifies full-phrase matches.  One scan, one broadcast join, one
+shuffle on (doc, anchor, tag) — no per-row Python, no FST state, and
+the dictionary side is the small broadcast dim exactly as a 100 TB run
+wants it.
+
+Overlap policies:
+
+* ``ALL`` — every match.
+* ``DOMINANT`` — one-pass dominance: a tag survives iff NO overlapping
+  tag dominates it, where A dominates B when A is longer, or equal
+  length and further right.  This equals Solr's
+  ``LONGEST_DOMINANT_RIGHT`` everywhere except domination chains
+  (A ⊐ B ⊐ C with A not overlapping C), where Solr's iterative resolver
+  revives C; the one-pass rule is deterministic, relational, and
+  oracle-reproducible, so it is the contract here (documented
+  divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline.hashing import TOKENS_SQL
+
+__all__ = ["tag_text"]
+
+
+def tag_text(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    overlaps: str = "DOMINANT",
+) -> DataFrame:
+    """Tag every occurrence of the dictionary ``phrases`` in the corpus.
+
+    Returns ``[id, start_pos, end_pos, tag]`` (token positions,
+    inclusive), ordered by nothing — callers sort.  ``overlaps`` is
+    ``"ALL"`` or ``"DOMINANT"`` (see module docstring).
+    """
+    if overlaps not in ("ALL", "DOMINANT"):
+        raise ValueError(f"unknown overlap policy {overlaps!r}")
+    spark = df.sparkSession
+    rows = []
+    for phrase in phrases:
+        toks = phrase.lower().split()
+        rows.extend((phrase, i, t, len(toks)) for i, t in enumerate(toks))
+    ddf = spark.createDataFrame(rows, "tag string, i int, term string, length int")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(TOKENS_SQL.format(col=text_col))).alias("pos", "term"),
+    )
+    cand = toks.join(F.broadcast(ddf), "term").select(
+        "id", (F.col("pos") - F.col("i")).alias("start_pos"), "tag", "length"
+    )
+    tags = (
+        cand.groupBy("id", "start_pos", "tag", "length")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter((F.col("hits") == F.col("length")) & (F.col("start_pos") >= 0))
+        .select(
+            "id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            (F.col("start_pos") + F.col("length") - 1).cast("long").alias("end_pos"),
+            "tag",
+        )
+    )
+    if overlaps == "ALL":
+        return tags
+    other = tags.select(
+        F.col("id").alias("id2"), F.col("start_pos").alias("s2"),
+        F.col("end_pos").alias("e2"), F.col("tag").alias("t2"),
+    )
+    return tags.join(
+        other,
+        (F.col("id") == F.col("id2"))
+        & (F.col("start_pos") <= F.col("e2"))
+        & (F.col("s2") <= F.col("end_pos"))
+        & (
+            ((F.col("e2") - F.col("s2")) > (F.col("end_pos") - F.col("start_pos")))
+            | (
+                ((F.col("e2") - F.col("s2")) == (F.col("end_pos") - F.col("start_pos")))
+                & (F.col("s2") > F.col("start_pos"))
+            )
+        ),
+        "left_anti",
+    )

@@ -1,0 +1,57 @@
+"""Solr Text Tagger analog: dictionary phrase tagging via candidate
+join + anchor-count verification, with dominance overlap resolution."""
+
+from __future__ import annotations
+
+from lucene_solr_spark.search.tagger import tag_text
+
+import pytest
+
+
+def _rows(df):
+    return {(r["id"], r["start_pos"], r["end_pos"], r["tag"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, "the new york city council met in new york today"),
+         (1, "york alone and new alone"),
+         (2, "a b a b a")],
+        "doc_id long, text string",
+    )
+
+
+def test_tagger_all_matches(spark, docs):
+    got = _rows(tag_text(docs, ["new york", "new york city", "york", "a b a"],
+                         overlaps="ALL"))
+    assert got == {
+        (0, 1, 2, "new york"), (0, 1, 3, "new york city"), (0, 2, 2, "york"),
+        (0, 7, 8, "new york"), (0, 8, 8, "york"), (1, 0, 0, "york"),
+        (2, 0, 2, "a b a"), (2, 2, 4, "a b a"),
+    }
+
+
+def test_tagger_dominant_resolution(spark, docs):
+    got = _rows(tag_text(docs, ["new york", "new york city", "york", "a b a"],
+                         overlaps="DOMINANT"))
+    # longest wins; equal-length overlap -> rightmost wins (a b a @2-4)
+    assert got == {
+        (0, 1, 3, "new york city"), (0, 7, 8, "new york"),
+        (1, 0, 0, "york"), (2, 2, 4, "a b a"),
+    }
+
+
+def test_tagger_repeated_token_alignment(spark):
+    """A phrase with a repeated token must not match shifted/partial
+    occurrences (anchor alignment, not bag-of-words)."""
+    docs = spark.createDataFrame(
+        [(0, "x a a x"), (1, "a x a")], "doc_id long, text string"
+    )
+    got = _rows(tag_text(docs, ["a a"], overlaps="ALL"))
+    assert got == {(0, 1, 2, "a a")}
+
+
+def test_tagger_rejects_unknown_policy(spark, docs):
+    with pytest.raises(ValueError):
+        tag_text(docs, ["york"], overlaps="LEFTMOST")
