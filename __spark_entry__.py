@@ -1385,6 +1385,30 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized vector search (Lucene 9 quantized KnnVectorsFormat
+    analog): int8 codes + integer dot-product ranking (the pass that runs
+    against the 4x-smaller store), top-50 rerank by exact float cosine."""
+    from lucene_solr_spark.pipeline import quantized_cosine_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(
+        emb, _query_vec(spark, sf_dir), k=10, rerank=50, exclude_ids=[0]
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN self-join (the all-pairs retrieval primitive): top-3
+    neighbors for each of the first 10 vectors, sign-LSH bucketed (4
+    planes) so candidates are bucket-mates only — never all-pairs."""
+    from lucene_solr_spark.pipeline import knn_join
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=3, n_planes=4, query_filter="id < 10").orderBy(
+        "id", "rank"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-LSH buckets + margin-ordered multi-probe +
     exact cosine rerank.  Fully oracle-checked: the hyperplanes are
@@ -2761,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": q_sort_by_field,
         "knn_cosine": q_knn_cosine,
         "knn_filtered": q_knn_filtered,
+        "knn_quantized": q_knn_quantized,
+        "knn_join": q_knn_join,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3521,6 +3547,48 @@ SELECT id_a, id_b, inter,
   CAST(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS FLOAT) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ORDER BY jaccard DESC, id_a, id_b LIMIT 100""",
+        "knn_quantized": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qz AS (SELECT vec_id, list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(x::DOUBLE / 4e0 * 127e0 + 5e-1) AS BIGINT)))) AS qvec
+       FROM embeddings WHERE vec_id != 0),
+qc AS (SELECT list_transform(qe, x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), CAST(floor(x::DOUBLE / 4e0 * 127e0 + 5e-1) AS BIGINT)))) AS qcodes FROM q),
+dots AS (SELECT vec_id,
+  list_reduce(list_transform(list_zip(z.qvec, qc.qcodes), x -> x[1] * x[2]),
+    (acc, v) -> acc + v) AS qdot
+  FROM qz z, qc),
+cand AS (SELECT vec_id FROM dots ORDER BY qdot DESC, vec_id ASC LIMIT 50)
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "knn_join": f"""
+WITH planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+    CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 8)) AS BIGINT) % 16 - 8)
+    AS comps
+  FROM (SELECT unnest(generate_series(0, 3)) AS p)
+),
+buckets AS (
+  SELECT e.vec_id, e.embedding,
+    CAST(sum(CASE WHEN
+      list_reduce(list_transform(list_zip(e.embedding, pl.comps),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v) > 0
+      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding
+),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor,
+    CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
+      (sqrt({dot.format(a="a.embedding", b="a.embedding")})
+       * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+),
+r AS (SELECT id, neighbor, cosine,
+             row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor ASC)
+             AS rank
+      FROM pairs)
+SELECT id, neighbor, CAST(rank AS INTEGER) AS rank, cosine
+FROM r WHERE rank <= 3 ORDER BY id, rank""",
         "knn_filtered": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine

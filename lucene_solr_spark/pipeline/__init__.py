@@ -34,6 +34,9 @@ from .similarity import (
     pq_fit_codebooks,
     pq_topk,
     semdedup,
+    quantize_embeddings,
+    quantized_cosine_topk,
+    knn_join,
 )
 from .text import (doc_fingerprint, lang_id, text_quality, token_stats,
                    tfidf_vectors, cluster_documents)
@@ -74,6 +77,9 @@ __all__ = [
     "pq_fit_codebooks",
     "pq_topk",
     "semdedup",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
+    "knn_join",
     "train_text_logit",
     "doc_fingerprint",
     "tfidf_vectors",

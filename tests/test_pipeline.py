@@ -724,3 +724,74 @@ def test_tfidf_cluster_documents(spark):
             cluster_documents(df.repartition(7, "doc_id"), k=2, vocab_size=6,
                               iters=3, init_ids=[1, 3]).collect()}
     assert out == out2
+
+
+def test_quantize_embeddings_codes(spark):
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0, -1.0, 3.99, -3.99, 10.0, -10.0, 0.01575])],
+        "vec_id long, embedding array<float>",
+    )
+    r = quantize_embeddings(df, clip=4.0).head()
+    assert r["scale"] == np.float32(4.0 / 127.0)
+    # round-half-up = floor(x + 0.5), clamp to [-127, 127], over the
+    # float32-stored inputs widened to f64 (exactly what the engine does)
+    x = np.float64(np.float32([0.0, 1.0, -1.0, 3.99, -3.99, 10.0, -10.0, 0.01575]))
+    want = [int(v) for v in np.clip(np.floor(x / 4.0 * 127.0 + 0.5), -127, 127)]
+    assert list(r["qvec"]) == want
+    assert want[5] == 127 and want[6] == -127  # clamps engaged
+
+
+def test_quantized_cosine_topk_recall(spark):
+    from lucene_solr_spark.pipeline import quantized_cosine_topk
+
+    df, m = _rand_embeddings(spark, n=200, d=16, seed=13)
+    hits = 0
+    for qid in range(5):
+        q = [float(x) for x in m[qid]]
+        exact = {r["id"] for r in cosine_topk(df, q, k=5, exclude_ids=[qid]).collect()}
+        approx = {r["id"] for r in quantized_cosine_topk(
+            df, q, k=5, rerank=40, exclude_ids=[qid]).collect()}
+        hits += len(exact & approx)
+    assert hits >= 20, f"quantized recall too low: {hits}/25"
+
+
+def test_knn_join_exact_matches_per_query_topk(spark):
+    from lucene_solr_spark.pipeline import knn_join
+
+    df, m = _rand_embeddings(spark, n=60, d=8, seed=21)
+    got = knn_join(df, k=3, query_filter="id < 4").collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append((r["rank"], r["neighbor"], r["cosine"]))
+    assert set(by_id) == {0, 1, 2, 3}
+    for qid, rows in by_id.items():
+        q = [float(x) for x in m[qid]]
+        want = cosine_topk(df, q, k=3, exclude_ids=[qid]).collect()
+        rows.sort()
+        assert [(n, c) for _, n, c in rows] == [
+            (r["id"], r["cosine"]) for r in want
+        ]
+
+
+def test_knn_join_lsh_stays_in_bucket(spark):
+    from lucene_solr_spark.pipeline import knn_join
+    from lucene_solr_spark.pipeline.similarity import _DOT, _plane_component
+
+    df, m = _rand_embeddings(spark, n=80, d=8, seed=22)
+    got = knn_join(df, k=2, n_planes=3).collect()
+    planes = [[_plane_component(p, d) for d in range(8)] for p in range(3)]
+
+    def bucket(v):
+        return sum(
+            (1 << p)
+            for p, comps in enumerate(planes)
+            if sum(c * float(x) for c, x in zip(comps, v)) > 0
+        )
+
+    vecs = {i: m[i] for i in range(80)}
+    for r in got:
+        assert bucket(vecs[r["id"]]) == bucket(vecs[r["neighbor"]])
