@@ -488,8 +488,22 @@ def length_filter(min_len: int = 1, max_len: int = 255) -> Length:
     return Length(int(min_len), int(max_len))
 
 
-def stem_filter() -> Map:
-    return Map(porter_stem, "porter")
+def stem_filter(protected: "tuple[str, ...] | list[str]" = ()) -> Map:
+    """PorterStemFilter; ``protected`` words pass through unstemmed —
+    KeywordMarkerFilter semantics (``[8x] lucene/analysis/common/.../
+    miscellaneous/SetKeywordMarkerFilter.java`` placed before the
+    stemmer: tokens in the protected set carry the keyword attribute and
+    every Lucene stemmer skips them).  The protected set serializes into
+    the manifest chain spec like any other declarative step param."""
+    prot = tuple(sorted(set(protected)))
+    if not prot:
+        return Map(porter_stem, "porter")
+    ps = frozenset(prot)
+    return Map(
+        lambda t: t if t in ps else porter_stem(t),
+        "porter_protected",
+        params=(prot,),
+    )
 
 
 def ascii_fold_filter() -> Map:
@@ -843,6 +857,9 @@ def chain_spec(chain: Chain) -> dict | None:
             "porter", "ascii_fold", "soundex", "lowercase"
         ):
             steps.append({"kind": step.name})
+        elif isinstance(step, Map) and step.name == "porter_protected":
+            steps.append({"kind": "porter_protected",
+                          "words": list(step.params[0])})
         elif isinstance(step, Expand) and step.name == "word_delimiter":
             preserve, cat = step.params
             steps.append({"kind": "word_delimiter", "preserve_original": preserve,
@@ -904,6 +921,8 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(length_filter(s.get("min_len", 1), s.get("max_len", 255)))
         elif kind == "porter":
             steps.append(stem_filter())
+        elif kind == "porter_protected":
+            steps.append(stem_filter(protected=s["words"]))
         elif kind == "ascii_fold":
             steps.append(ascii_fold_filter())
         elif kind == "soundex":

@@ -90,6 +90,8 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (stop_filter(["of"]), stem_filter(), shingle_filter(2)),
         (length_filter(3, 8),),
         (length_filter(2, 6), stem_filter()),
+        (stem_filter(protected=("running", "classes")),),
+        (stop_filter(["the"]), stem_filter(protected=("flies",))),
         (double_metaphone_filter(),),
         (double_metaphone_filter(inject=True), shingle_filter(2)),
     ],
@@ -420,3 +422,27 @@ def test_analyze_steps_debug_handler():
     assert by_step["tokenizer"] == [("the", 0), ("running", 1), ("foxes", 2)]
     assert by_step["stop"] == [("running", 1), ("foxes", 2)]  # gap preserved
     assert by_step["porter"] == [("run", 1), ("fox", 2)]
+
+
+def test_keyword_marker_protected_stemming():
+    """KeywordMarkerFilter semantics: protected words skip the Porter
+    stemmer; everything else stems; declarative spec round-trips; the
+    vectorized flat path matches the reference."""
+    from lucene_solr_spark.analysis import (
+        Chain, chain_from_spec, chain_spec, stem_filter,
+    )
+
+    plain = Chain(steps=(stem_filter(),))
+    prot = Chain(steps=(stem_filter(protected=["running", "classes"]),))
+    text = "running runner classes class connection"
+    assert [t for t, _ in plain.tokens(text)] == [
+        "run", "runner", "class", "class", "connect"]
+    assert [t for t, _ in prot.tokens(text)] == [
+        "running", "runner", "classes", "class", "connect"]
+    terms, _, _, _ = _flat_from_tokens(prot, [text])
+    assert terms.tolist() == [t for t, _ in prot.tokens(text)]
+    spec = chain_spec(prot)
+    assert spec is not None and spec["steps"][0]["kind"] == "porter_protected"
+    rebuilt = chain_from_spec(spec)
+    assert rebuilt.tokens(text) == prot.tokens(text)
+    assert rebuilt.steps[0] == prot.steps[0]  # spec-level equality
