@@ -1617,6 +1617,18 @@ def q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_edits=1)
 
 
+def q_suggest_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContextQuery-filtered suggester: completions of 's' drawn only
+    from documents whose source context matches; weight = cf within the
+    context (partition-prunable at a context-partitioned layout)."""
+    from lucene_solr_spark.search.extras import suggest_with_contexts
+
+    docs = _docs(spark, sf_dir)
+    ctx = [r["source"] for r in
+           docs.select("source").distinct().orderBy("source").limit(1).collect()]
+    return suggest_with_contexts(docs, "s", ctx, k=10)
+
+
 INFIX_FRAG = "a"  # AnalyzingInfixSuggester probe (mid-word fragment)
 
 
@@ -2363,6 +2375,30 @@ def q_sharded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_sharded_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cursorMark: page 2 (ranks 11-20) of the sharded
+    scatter-gather query — the cursor from page 1's last row is pushed
+    into every shard's scored stream, so deep pages stay small-k
+    TakeOrdered per shard."""
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.search.distributed import (
+        build_sharded_views,
+        distributed_search,
+        distributed_search_after,
+    )
+
+    d = _docs(spark, sf_dir)
+    shards = build_sharded_views(d, 4, id_col="doc_id", text_col="text")
+    p1 = distributed_search(shards, BM25_TERM, k=10).collect()
+    after = (float(p1[-1]["score"]), int(p1[-1]["doc_id"]))
+    res = distributed_search_after(shards, BM25_TERM, k=10, after=after)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id"
+    ).orderBy("rank")
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2812,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
         "suggest_fuzzy": q_suggest_fuzzy,
+        "suggest_contexts": q_suggest_contexts,
         "spellcheck": q_spellcheck,
         "sql_handler": q_sql_handler,
         "score_nodes": q_score_nodes,
@@ -2845,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": q_best_passage,
         "bpe_encode": q_bpe_encode,
         "sharded_bm25": q_sharded_bm25,
+        "sharded_page2": q_sharded_page2,
         "facet_query": q_facet_query,
     }
 
@@ -4178,6 +4216,15 @@ WITH {_TOK_CTE}
 SELECT term, CAST(count(*) AS BIGINT) AS weight
 FROM tok WHERE term LIKE 's%'
 GROUP BY term ORDER BY weight DESC, term ASC LIMIT 10""",
+        "suggest_contexts": f"""
+WITH ctx AS (SELECT source FROM documents GROUP BY source ORDER BY source LIMIT 1),
+tokc AS (
+  SELECT unnest(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')) AS term
+  FROM documents d JOIN ctx ON d.source = ctx.source
+)
+SELECT term, CAST(count(*) AS BIGINT) AS weight
+FROM tokc WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 10""",
         "suggest_fuzzy": f"""
 WITH {_TOK_CTE},
 td AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
@@ -4852,6 +4899,9 @@ FROM sg ORDER BY doc_id""",
         "score_join": _score_join_oracle(),
         "best_passage": _best_passage_oracle(),
         "sharded_bm25": _sharded_bm25_oracle(),
+        "sharded_page2": _sharded_bm25_oracle().replace(
+            "SELECT CAST(row_number() OVER (ORDER BY score64 DESC, doc_id ASC) AS INT)\n       AS rank, doc_id\nFROM scored ORDER BY rank LIMIT 10",
+            "SELECT CAST(rn - 10 AS INT) AS rank, doc_id FROM (\n  SELECT doc_id, row_number() OVER (ORDER BY score64 DESC, doc_id ASC) AS rn\n  FROM scored) WHERE rn BETWEEN 11 AND 20 ORDER BY rank"),
         "facet_query": f"""
 WITH tk AS (SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
             FROM documents),

@@ -40,7 +40,7 @@ from .executor import _leaf_stats_full, search
 from .query import parse_query, query_terms
 
 __all__ = ["build_sharded_views", "exact_global_stats", "distributed_search",
-           "split_shard_ranges", "split_shard"]
+           "split_shard_ranges", "split_shard", "distributed_search_after"]
 
 
 def build_sharded_views(
@@ -157,3 +157,36 @@ def split_shard(
         part = parent.filter(F.col("hash32").between(lo, hi)).drop("hash32", "shard")
         out.append(build_index_view(part, id_col, text_col, **build_kwargs))
     return out
+
+
+def distributed_search_after(
+    shards: list[IndexView],
+    query,
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Distributed cursorMark paging (``[8x] solr/core/.../handler/
+    component/QueryComponent.java`` + CursorMark): the cursor is pushed
+    into EVERY shard's scored stream (each shard returns at most k rows
+    strictly after the cursor, small-k TakeOrdered — deep pages never
+    funnel earlier hits anywhere), then one global merge.  Scoring uses
+    the same exact-global-stats round-trip as
+    :func:`distributed_search`, so pages are rank- and score-identical
+    to paging the unsharded index."""
+    q = parse_query(query) if isinstance(query, str) else query
+    terms = sorted(set(query_terms(q)))
+    n_docs, sum_ttf, stats = exact_global_stats(shards, terms)
+    cursor = None if after is None else (float(after[0]), int(after[1]))
+    parts = []
+    for s in shards:
+        gview = replace(
+            s, doc_count=n_docs, sum_ttf=sum_ttf, stats_memo=dict(stats)
+        )
+        if cursor is None:
+            parts.append(search(gview, q, k=k))
+        else:
+            parts.append(search(gview, q, k=k, cursor=cursor))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

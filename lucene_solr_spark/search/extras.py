@@ -639,6 +639,39 @@ def suggest_infix_blended(df: DataFrame, fragment: str, k: int = 10,
     )
 
 
+def suggest_with_contexts(df: DataFrame, prefix: str,
+                          contexts: list[str], k: int = 10,
+                          text_col: str = "text",
+                          context_col: str = "source") -> DataFrame:
+    """Context-filtered suggester (Lucene ``ContextQuery`` over an
+    AnalyzingSuggester / Solr's suggester ``contextField``,
+    ``[8x] lucene/suggest/.../document/ContextQuery.java``): completions
+    of ``prefix`` drawn ONLY from documents whose ``context_col`` is in
+    ``contexts``, weight = collection frequency within those contexts.
+
+    Shape: the context IN-filter and the token prefix filter are plain
+    scan predicates (partition pruning when the corpus is written
+    partitioned by the context column — the intended 100 TB layout);
+    one grouped count; TakeOrdered."""
+    from ..analysis import TOKEN_PATTERN
+
+    toks = (
+        df.filter(F.col(context_col).isin(list(contexts)))
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+            ).alias("term")
+        )
+        .filter(F.col("term").startswith(prefix.lower()))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def spellcheck_collate(
     index: IndexView,
     terms: list[str],

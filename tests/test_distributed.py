@@ -104,3 +104,26 @@ def test_split_shard_search_identity(corpus, unsharded, shards):
         got = _rows(distributed_search(topo, qs, k=10))
         want = _rows(search(unsharded, parse_query(qs), k=10))
         assert got == want, qs
+
+
+def test_distributed_cursor_paging_identity(unsharded, shards):
+    """cursorMark across shards: page boundaries, contents, and scores
+    are identical to paging the unsharded index."""
+    from lucene_solr_spark.search.extras import search_after
+    from lucene_solr_spark.search.distributed import distributed_search_after
+
+    q = parse_query("def OR class")
+    after = None
+    for _page in range(3):
+        got = _rows(distributed_search_after(shards, q, k=5, after=after))
+        want = _rows(search_after(unsharded, q, k=5, after=after))
+        assert got == want
+        if not want:
+            break
+        after = (want[-1][1], want[-1][0])  # (score, doc_id)
+    # pages are disjoint and ordered across the boundary
+    p1 = _rows(distributed_search_after(shards, q, k=5))
+    a = (p1[-1][1], p1[-1][0])
+    p2 = _rows(distributed_search_after(shards, q, k=5, after=a))
+    assert not ({d for d, _ in p1} & {d for d, _ in p2})
+    assert all(s <= p1[-1][1] for _, s in p2)

@@ -296,3 +296,20 @@ def test_suggest_fuzzy(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_suggest_with_contexts(spark):
+    from lucene_solr_spark.search.extras import suggest_with_contexts
+
+    docs = spark.createDataFrame(
+        [(0, "search searching", "web"), (1, "search seaside", "web"),
+         (2, "search sermon seabed", "code"), (3, "seaside", "docs")],
+        "doc_id long, text string, source string",
+    )
+    got = suggest_with_contexts(docs, "sea", ["web"], k=10).collect()
+    assert [(r["term"], r["weight"]) for r in got] == [
+        ("search", 2), ("searching", 1), ("seaside", 1)]
+    # context widening pulls in the other sources' terms
+    got2 = {r["term"]: r["weight"] for r in
+            suggest_with_contexts(docs, "sea", ["web", "docs"], k=10).collect()}
+    assert got2["seaside"] == 2 and "seabed" not in got2
