@@ -419,6 +419,33 @@ def merge_segments(
             .collect()[0]
         )
         manifest["stats"] = {"doc_count": int(stats["n"]), "sum_ttf": int(stats["ttf"])}
+        # the merge also physically purges the row stores that tolerate
+        # tombstoned rows until now (Lucene parity: stored fields and term
+        # vectors of deleted docs stay readable in old segments and vanish
+        # at merge — SegmentMerger rewrites .fdt/.tvd the same way)
+        dead = tomb.select("doc_id")
+        tv_path = index_path / "term_vectors.parquet"
+        if manifest.get("term_vectors") and tv_path.exists():
+            live_tv = spark.read.parquet(str(tv_path)).join(dead, "doc_id", "left_anti")
+            tmp = index_path / "term_vectors.parquet.tmp"
+            live_tv.sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
+                "seg"
+            ).parquet(str(tmp))
+            shutil.rmtree(tv_path)
+            tmp.rename(tv_path)
+        docs_path = index_path / "docs.parquet"
+        if docs_path.exists():
+            seg_layout = any(
+                p.is_dir() and "=" in p.name for p in docs_path.iterdir()
+            )
+            live_docs = spark.read.parquet(str(docs_path)).join(
+                dead, "doc_id", "left_anti"
+            )
+            tmp = index_path / "docs.parquet.tmp"
+            w = live_docs.write.mode("overwrite")
+            (w.partitionBy("seg") if seg_layout else w).parquet(str(tmp))
+            shutil.rmtree(docs_path)
+            tmp.rename(docs_path)
         manifest["pending_deletes"] = 0
         shutil.rmtree(index_path / TOMBSTONES)
 

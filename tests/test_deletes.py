@@ -368,3 +368,31 @@ def test_conditional_update_versions(spark, built):
     )
     with pytest.raises(VersionConflict):
         conditional_update(spark, built, missing, expected_version=1)
+
+
+def test_merge_physically_purges_term_vectors_and_stored_fields(spark, tmp_path):
+    """The full merge is the moment deletes become physical EVERYWHERE:
+    postings, norms, AND the row stores — term vectors and stored fields
+    of tombstoned docs must vanish (SegmentMerger rewrites .fdt/.tvd the
+    same way); live docs' rows survive intact."""
+    from lucene_solr_spark.search.extras import doc_term_vector
+
+    path = tmp_path / "idx"
+    build_index(spark, gen_corpus_df(spark, 120, seed=19), path,
+                segment_docs=60, store_term_vectors=True)
+    idx = open_index(spark, path)
+    victim, survivor = 3, 5
+    before = doc_term_vector(idx, victim)
+    assert before  # stored term vector exists pre-delete
+    keep = doc_term_vector(idx, survivor)
+    delete_docs(spark, path,
+                spark.createDataFrame([(victim,)], "doc_id long"))
+    # pre-merge: Lucene parity — the row stores still hold the doc
+    assert doc_term_vector(open_index(spark, path), victim) == before
+    merge_segments(spark, path)
+    idx2 = open_index(spark, path)
+    assert doc_term_vector(idx2, victim) == []          # physically gone
+    assert doc_term_vector(idx2, survivor) == keep      # untouched
+    docs = spark.read.parquet(str(path / "docs.parquet"))
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert victim not in ids and survivor in ids and len(ids) == 119
