@@ -2399,6 +2399,33 @@ def q_sharded_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+MLT_TEXT = "spark window merge join fast table scan"
+
+
+def q_mlt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis over free text (MLT handler stream.body): the probe
+    string is analyzed driver-side, its top-10 tf-idf terms form the Or,
+    scored with the f64-parity formula + DECIMAL-exact disjunction sum
+    (same discipline as the stored-doc mlt entry)."""
+    from lucene_solr_spark.search.extras import mlt_query_text
+
+    index = _index_for(spark, sf_dir)
+    q = mlt_query_text(index, MLT_TEXT, max_terms=10, min_tf=1, min_df=2)
+    terms = [c.term for c in q.clauses]
+    sc = _bm25_scores(spark, sf_dir, terms)
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("score64").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s64")
+        )
+        .select("doc_id", F.col("s64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2843,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_dict": q_edge_ngram_dict,
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
+        "mlt_text": q_mlt_text,
         "stream_merge_unique": q_stream_merge_unique,
         "function_queries": q_function_queries,
         "stream_reduce": q_stream_reduce,
@@ -4158,6 +4186,37 @@ SELECT doc_id,
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
 
+        "mlt_text": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+probe AS (SELECT unnest(regexp_extract_all(lower('{MLT_TEXT}'), '{TOKEN_PATTERN}'))
+          AS term),
+doc_tf AS (SELECT term, count(*) AS dtf FROM probe GROUP BY term),
+dfs_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+mlt AS (
+  SELECT t.term FROM doc_tf t JOIN dfs_all f USING (term), stats s
+  WHERE f.df >= 2
+  ORDER BY CAST(t.dtf AS DOUBLE)
+           * CAST(ln(1e0 + ((s.n_docs - f.df) + 5e-1) / (f.df + 5e-1)) AS FLOAT)
+           DESC, t.term ASC
+  LIMIT 10
+),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM mlt) GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl, s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT doc_id, {_BM25_EXPR.format(N='n_docs', avgdl='(CAST(sum_ttf AS DOUBLE) / n_docs)')} AS score64 FROM inputs)
+SELECT doc_id,
+  CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
+FROM scored
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "mlt": f"""
 WITH {_TOK_CTE},
 {_DL_CTE},

@@ -289,6 +289,14 @@ def mlt_query(index: IndexView, doc_id: int, max_terms: int = 25,
     the full posting store (MoreLikeThis#retrieveTerms reads term
     vectors for exactly this reason)."""
     doc_terms = doc_term_vector(index, doc_id)
+    return _mlt_select(index, doc_terms, max_terms, min_tf, min_df)
+
+
+def _mlt_select(index: IndexView, doc_terms, max_terms: int,
+                min_tf: int, min_df: int) -> Or | None:
+    """Shared MLT term selection: top terms by tf·idf with the
+    (boost desc, term asc) tie-break; dictionary stats come from one
+    pushed IN-filter scan (bounded by the source's distinct terms)."""
     if not doc_terms:
         return None
     stats = {
@@ -307,6 +315,39 @@ def mlt_query(index: IndexView, doc_id: int, max_terms: int = 25,
     scored.sort(key=lambda x: (-x[0], x[1]))
     top = [t for _, t in scored[:max_terms]]
     return Or(*[Term(t) for t in top]) if top else None
+
+
+def mlt_query_text(index: IndexView, text: str, max_terms: int = 25,
+                   min_tf: int = 1, min_df: int = 2,
+                   analyzer=None) -> Or | None:
+    """MoreLikeThis over FREE TEXT — Solr's MLT handler ``stream.body``
+    mode (``[8x] solr/core/.../handler/MoreLikeThisHandler.java``: the
+    posted body is analyzed and its terms feed the same tf·idf
+    selection as the stored-document path).  The probe is one string,
+    so its tokenization is a bounded driver-side step — the same shape
+    as query parsing."""
+    import pandas as pd
+    from collections import Counter
+
+    from ..analysis import tokenize_series
+
+    if analyzer is not None:
+        toks = [t for t, _ in analyzer.tokens(text)]
+    else:
+        toks = list(tokenize_series(pd.Series([text]))[0])
+    doc_terms = sorted(Counter(toks).items())
+    return _mlt_select(index, doc_terms, max_terms, min_tf, min_df)
+
+
+def more_like_this_text(index: IndexView, text: str, k: int = 10,
+                        max_terms: int = 25, min_tf: int = 1,
+                        min_df: int = 2, analyzer=None) -> DataFrame:
+    """Top-k docs most like the given text (stream.body MLT)."""
+    q = mlt_query_text(index, text, max_terms=max_terms, min_tf=min_tf,
+                       min_df=min_df, analyzer=analyzer)
+    if q is None:
+        return search(index, Term("\x00nosuchterm"), k=k)
+    return search(index, q, k=k)
 
 
 def interesting_terms(index: IndexView, doc_id: int, max_terms: int = 25,

@@ -313,3 +313,35 @@ def test_suggest_with_contexts(spark):
     got2 = {r["term"]: r["weight"] for r in
             suggest_with_contexts(docs, "sea", ["web", "docs"], k=10).collect()}
     assert got2["seaside"] == 2 and "seabed" not in got2
+
+
+def test_mlt_text_stream_body(spark):
+    """MLT over free text (stream.body): same selection as the stored-doc
+    path when the text equals a stored doc's content; empty/min_df-starved
+    probes return no matches rather than erroring."""
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import (
+        mlt_query, mlt_query_text, more_like_this_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark joins windows and merges tables"),
+         (1, "spark joins tables"), (2, "window merge sort"),
+         (3, "unrelated words entirely")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        text = "spark joins windows and merges tables"
+        q_doc = mlt_query(idx, 0, max_terms=5, min_df=2)
+        q_text = mlt_query_text(idx, text, max_terms=5, min_df=2)
+        assert q_text is not None and q_doc is not None
+        assert {t.term for t in q_text.clauses} == {t.term for t in q_doc.clauses}
+        hits = more_like_this_text(idx, "spark joins", k=5, min_df=1).collect()
+        got = [int(r["doc_id"]) for r in hits]
+        assert got[0] in (0, 1) and 3 not in got
+        # unknown-vocabulary probe -> empty result, no error
+        assert more_like_this_text(idx, "zzz qqq", k=5).collect() == []
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
