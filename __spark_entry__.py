@@ -2871,6 +2871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
         "mlt_text": q_mlt_text,
+        "dismax": q_dismax,
+        "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
         "function_queries": q_function_queries,
         "stream_reduce": q_stream_reduce,
@@ -2915,11 +2917,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bm25_oracle(term_pred: str, or_mode: bool) -> str:
+DISMAX_TERMS = ["spark", "window", "merge"]
+DISMAX_TIE = 0.3
+MSM_TERMS = ["spark", "window", "merge"]
+MSM_N = 2
+
+
+def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisMaxQuery (tie=0.3): score = max(per-term BM25) + tie * (sum -
+    max) — the engine's DisMax node validates the clause set; scoring
+    rides the f64-parity stream with a DECIMAL-exact sum (engine-f32
+    identity vs the oracle scorer is pinned in test_query_operators)."""
+    from lucene_solr_spark.search.query import DisMax, Term
+
+    DisMax(*[Term(t) for t in DISMAX_TERMS], tie_breaker=DISMAX_TIE)  # validates
+    sc = _bm25_scores(spark, sf_dir, DISMAX_TERMS)
+    agg = sc.groupBy("doc_id").agg(
+        F.max("score64").alias("mx"),
+        F.sum(F.col("score64").cast("decimal(38,18)")).cast("double").alias("sm"),
+    )
+    score = (F.col("mx") + F.lit(DISMAX_TIE) * (F.col("sm") - F.col("mx"))).cast("float")
+    return (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanQuery minimumNumberShouldMatch=2 over three SHOULD terms:
+    docs matching at least 2 score the sum of their matching clauses
+    (f64-parity stream + DECIMAL-exact sum)."""
+    sc = _bm25_scores(spark, sf_dir, MSM_TERMS)
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_match"),
+        F.sum(F.col("score64").cast("decimal(38,18)")).cast("double").alias("sm"),
+    )
+    return (
+        agg.filter(F.col("n_match") >= MSM_N)
+        .select("doc_id", F.col("sm").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _bm25_oracle_base(term_pred: str) -> str:
+    """The shared scored-stream CTE block (tok/dl/stats/tfs/dfs/inputs/
+    scored) for BM25-family oracles."""
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
     )
-    base = f"""
+    return f"""
 WITH {_TOK_CTE},
 {_DL_CTE},
 stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
@@ -2935,6 +2983,10 @@ inputs AS (
   FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
 ),
 scored AS (SELECT doc_id, {formula} AS score64 FROM inputs)"""
+
+
+def _bm25_oracle(term_pred: str, or_mode: bool) -> str:
+    base = _bm25_oracle_base(term_pred)
     if or_mode:
         return (
             base
@@ -4217,6 +4269,21 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "dismax": f"""
+{_bm25_oracle_base("term IN ('spark', 'window', 'merge')")}
+SELECT doc_id,
+  CAST(mx + 3e-1 * (sm - mx) AS FLOAT) AS score
+FROM (
+  SELECT doc_id, max(score64) AS mx,
+         CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS sm
+  FROM scored GROUP BY doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "min_should_match": f"""
+{_bm25_oracle_base("term IN ('spark', 'window', 'merge')")}
+SELECT doc_id,
+  CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
+FROM scored GROUP BY doc_id HAVING count(*) >= 2
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
         "mlt": f"""
 WITH {_TOK_CTE},
 {_DL_CTE},
