@@ -72,6 +72,23 @@ SUBSET = [
     "explain_bm25",
     "regexp_terms",
     "sort_by_field",
+    # third-continuation families: PQ/quantized/filtered/self-join ANN,
+    # SemDeDup, IGain, C4, clustering, tagging, sharding, suggesters
+    "ann_pq",
+    "knn_quantized",
+    "knn_filtered",
+    "knn_join",
+    "semdedup",
+    "feature_igain",
+    "quality_c4",
+    "doc_clusters",
+    "text_tagger",
+    "shard_split",
+    "suggest_fuzzy",
+    "suggest_contexts",
+    "mlt_text",
+    "dismax",
+    "min_should_match",
 ]
 
 
