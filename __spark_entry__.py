@@ -2426,6 +2426,16 @@ def q_mlt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle sample construction (Bavarian et al. 2022):
+    a deterministic 50%% of docs re-emitted as <PRE>prefix<SUF>suffix
+    <MID>middle at two md5-derived character cuts — map-only, zero
+    shuffle, bit-identical on any partitioning."""
+    from lucene_solr_spark.pipeline import fim_split
+
+    return fim_split(_docs(spark, sf_dir), rate=0.5).orderBy("id")
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2883,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_handler": q_sql_handler,
         "score_nodes": q_score_nodes,
         "pack_sequences": q_pack_sequences,
+        "fim_split": q_fim_split,
         "facet_missing": q_facet_missing,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
@@ -3645,6 +3656,23 @@ SELECT doc_id, CAST(count(payload) AS BIGINT) AS n_payloads,
   CAST(sum(payload) AS FLOAT) AS sum_payload
 FROM pl WHERE term = '{BM25_TERM}'
 GROUP BY doc_id ORDER BY doc_id""",
+        "fim_split": """
+WITH c AS (
+  SELECT doc_id, text,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 15)) AS BIGINT) % 1000000) < 500000 AS selected,
+         least((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 15)) AS BIGINT) % (length(text) + 1)), (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 15)) AS BIGINT) % (length(text) + 1))) AS lo,
+         greatest((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 15)) AS BIGINT) % (length(text) + 1)), (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 15)) AS BIGINT) % (length(text) + 1))) AS hi
+  FROM documents
+)
+SELECT doc_id AS id, selected,
+  CAST(CASE WHEN selected THEN lo ELSE length(text) END AS BIGINT) AS prefix_len,
+  CAST(CASE WHEN selected THEN hi - lo ELSE 0 END AS BIGINT) AS middle_len,
+  CAST(CASE WHEN selected THEN length(text) - hi ELSE 0 END AS BIGINT) AS suffix_len,
+  CASE WHEN selected THEN
+    '<PRE>' || substr(text, 1, lo) || '<SUF>' || substr(text, hi + 1)
+    || '<MID>' || substr(text, lo + 1, hi - lo)
+  ELSE text END AS fim_text
+FROM c ORDER BY id""",
         "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE (CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))

@@ -52,7 +52,7 @@ from .filters import (
     temperature_sample,
 )
 from .multimodal import media_features, with_media_binary
-from .packing import chunk_documents
+from .packing import fim_split, chunk_documents
 from .bpe import bpe_encode, bpe_learn, bpe_word_types
 
 __all__ = [
@@ -71,6 +71,7 @@ __all__ = [
     "stratified_sample",
     "temperature_sample",
     "chunk_documents",
+    "fim_split",
     "cosine_topk",
     "ivf_fit_centroids",
     "ivf_topk",

@@ -121,3 +121,56 @@ def chunk_documents(
         F.size("ch").cast("long").alias("n_tokens"),
         F.array_join("ch", " ").alias("chunk_text"),
     )
+
+
+def fim_split(
+    df: DataFrame,
+    rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle sample construction (Bavarian et al. 2022,
+    arXiv:2207.14255 — the code-model training transform): a
+    deterministic ``rate`` fraction of documents is split at two random
+    character offsets into (prefix, middle, suffix) and re-emitted in
+    PSM order ``<PRE>prefix<SUF>suffix<MID>middle``; the rest pass
+    through unchanged.
+
+    Everything is the md5-threshold house pattern (selection) plus two
+    md5-derived cut offsets — map-only, zero shuffle, and bit-identical
+    on ANY engine or partitioning (no RNG state; rerunning a 100 TB
+    pass reproduces the same corpus).  Returns [id, selected,
+    prefix_len, middle_len, suffix_len, fim_text]."""
+    from .filters import SAMPLE_DENOM
+    from .hashing import h64_sql
+
+    ppm = int(round(float(rate) * SAMPLE_DENOM))
+    key = f"CAST({id_col} AS STRING)"
+    k_sel = f"concat({key}, ':fim')"
+    k_c1 = f"concat({key}, ':fim1')"
+    k_c2 = f"concat({key}, ':fim2')"
+    sel = f"({h64_sql(k_sel)} % {SAMPLE_DENOM}) < {ppm}"
+    l_ = f"length({text_col})"
+    c1 = f"({h64_sql(k_c1)} % ({l_} + 1))"
+    c2 = f"({h64_sql(k_c2)} % ({l_} + 1))"
+    lo, hi = f"least({c1}, {c2})", f"greatest({c1}, {c2})"
+    prefix = f"substr({text_col}, 1, {lo})"
+    middle = f"substr({text_col}, {lo} + 1, {hi} - {lo})"
+    suffix = f"substr({text_col}, {hi} + 1)"
+    fim = (f"concat('{pre_tok}', {prefix}, '{suf_tok}', {suffix}, "
+           f"'{mid_tok}', {middle})")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(sel).alias("selected"),
+        F.expr(f"CAST(CASE WHEN {sel} THEN {lo} ELSE {l_} END AS BIGINT)")
+        .alias("prefix_len"),
+        F.expr(f"CAST(CASE WHEN {sel} THEN {hi} - {lo} ELSE 0 END AS BIGINT)")
+        .alias("middle_len"),
+        F.expr(f"CAST(CASE WHEN {sel} THEN {l_} - {hi} ELSE 0 END AS BIGINT)")
+        .alias("suffix_len"),
+        F.expr(f"CASE WHEN {sel} THEN {fim} ELSE {text_col} END")
+        .alias("fim_text"),
+    )

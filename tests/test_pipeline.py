@@ -795,3 +795,35 @@ def test_knn_join_lsh_stays_in_bucket(spark):
     vecs = {i: m[i] for i in range(80)}
     for r in got:
         assert bucket(vecs[r["id"]]) == bucket(vecs[r["neighbor"]])
+
+
+def test_fim_split_invariants(spark):
+    """FIM transform: selected docs reassemble to the original text,
+    markers appear in PSM order, unselected docs pass through, and the
+    whole transform is partitioning-invariant (md5-derived, no RNG)."""
+    from lucene_solr_spark.pipeline import fim_split
+
+    rows = [(i, f"doc {i} " + "abcdefghij" * (1 + i % 4)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = dict(rows)
+    out = {r["id"]: r for r in fim_split(df, rate=0.5).collect()}
+    n_sel = sum(1 for r in out.values() if r["selected"])
+    assert 10 <= n_sel <= 50  # rate ~0.5, deterministic not exact
+    for i, r in out.items():
+        t = texts[i]
+        if not r["selected"]:
+            assert r["fim_text"] == t
+            assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) == (
+                len(t), 0, 0)
+            continue
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == len(t)
+        body = r["fim_text"]
+        assert body.startswith("<PRE>")
+        pre, rest = body[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == t
+        assert (len(pre), len(mid), len(suf)) == (
+            r["prefix_len"], r["middle_len"], r["suffix_len"])
+    out2 = {r["id"]: r["fim_text"] for r in
+            fim_split(df.repartition(7, "doc_id"), rate=0.5).collect()}
+    assert out2 == {i: r["fim_text"] for i, r in out.items()}
