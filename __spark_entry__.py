@@ -2436,6 +2436,19 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_split(_docs(spark, sf_dir), rate=0.5).orderBy("id")
 
 
+def q_sharded_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed terms facet with Solr FacetComponent refinement:
+    per-shard overrequested pages -> merged candidates -> exact per-shard
+    re-counts -> global top-5.  Counts are exact (oracle = the global
+    single-frame facet)."""
+    from lucene_solr_spark.search.distributed import (
+        distributed_facet_terms, shard_frames,
+    )
+
+    parts = shard_frames(_docs(spark, sf_dir), 4)
+    return distributed_facet_terms(parts, "source", limit=5)
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2924,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "sharded_bm25": q_sharded_bm25,
         "sharded_page2": q_sharded_page2,
+        "sharded_facet": q_sharded_facet,
         "facet_query": q_facet_query,
     }
 
@@ -5021,6 +5035,10 @@ SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
 FROM m
 ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
 LIMIT 10""",
+        "sharded_facet": """
+SELECT source, CAST(count(*) AS BIGINT) AS cnt
+FROM documents GROUP BY source
+ORDER BY cnt DESC, source ASC LIMIT 5""",
         "shard_route": _murmur3_route_oracle(),
         "shard_split": _shard_split_oracle(),
         "text_profile_sig": """

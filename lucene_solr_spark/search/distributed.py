@@ -40,7 +40,8 @@ from .executor import _leaf_stats_full, search
 from .query import parse_query, query_terms
 
 __all__ = ["build_sharded_views", "exact_global_stats", "distributed_search",
-           "split_shard_ranges", "split_shard", "distributed_search_after"]
+           "split_shard_ranges", "split_shard", "distributed_search_after",
+           "shard_frames", "distributed_facet_terms"]
 
 
 def build_sharded_views(
@@ -190,3 +191,69 @@ def distributed_search_after(
     for p in parts[1:]:
         merged = merged.unionByName(p)
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def shard_frames(
+    df: DataFrame, num_shards: int, id_col: str = "doc_id",
+    route_col: str | None = None,
+) -> list[DataFrame]:
+    """The corpus split over the murmur3 hash ring WITHOUT building
+    indexes — the raw per-shard frames a distributed relational request
+    (facets, terms) fans out over."""
+    from ..routing import assign_shards
+
+    routed = assign_shards(df, num_shards, id_col=id_col, route_col=route_col)
+    return [
+        routed.filter(F.col("shard") == s).drop("hash32", "shard")
+        for s in range(num_shards)
+    ]
+
+
+def distributed_facet_terms(
+    parts: list[DataFrame],
+    field: str,
+    limit: int = 10,
+    overrequest: int | None = None,
+) -> DataFrame:
+    """Distributed terms facet with Solr's two-phase REFINEMENT
+    (``[8x] solr/core/src/java/org/apache/solr/handler/component/
+    FacetComponent.java``: per-shard counts are complete only for the
+    terms that shard returned, so a naive merge of per-shard top-k
+    UNDERCOUNTS any term missing from some shard's page — phase 1
+    overrequests ``limit*1.5 + 10`` per shard, phase 2 asks every shard
+    for exact counts of each merged candidate, then re-ranks).
+
+    Spark shape: phase 1 is one partial-agg + per-shard TakeOrdered
+    (k·n_shards rows ever merged); phase 2 broadcasts the candidate key
+    set into a filtered re-aggregation per shard — exact counts with one
+    more partial-agg pass, never a global unfiltered shuffle.  Returns
+    [<field>, cnt] — counts are EXACT for every returned bucket; as in
+    Solr, a bucket can only be missed entirely if it falls below every
+    shard's overrequested page (the overrequest is the mitigation knob).
+    """
+    over = int(limit * 1.5 + 10) if overrequest is None else limit + int(overrequest)
+    cands = None
+    for p in parts:
+        top = (
+            p.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(field))
+            .limit(over)
+            .select(field)
+        )
+        cands = top if cands is None else cands.unionByName(top)
+    keys = cands.distinct()
+    refined = None
+    for p in parts:
+        ex = (
+            p.join(F.broadcast(keys), field, "left_semi")
+            .groupBy(field)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        refined = ex if refined is None else refined.unionByName(ex)
+    return (
+        refined.groupBy(field)
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(field))
+        .limit(int(limit))
+    )

@@ -127,3 +127,43 @@ def test_distributed_cursor_paging_identity(unsharded, shards):
     p2 = _rows(distributed_search_after(shards, q, k=5, after=a))
     assert not ({d for d, _ in p1} & {d for d, _ in p2})
     assert all(s <= p1[-1][1] for _, s in p2)
+
+
+def test_distributed_facet_refinement_exact_counts(spark):
+    """Refinement regression: construct shards where the global #1 term
+    is NEVER any shard's #1, so a naive merge of per-shard top-1 pages
+    undercounts it; the two-phase refinement returns exact global
+    counts."""
+    from lucene_solr_spark.search.distributed import distributed_facet_terms
+
+    # shard s is dominated by its own 'local{s}' value (60 rows), but
+    # 'global' appears 50x on EVERY shard -> global top-1 overall (200)
+    parts = []
+    for s in range(4):
+        rows = [(i, f"local{s}") for i in range(60)] + [
+            (100 + i, "global") for i in range(50)
+        ]
+        parts.append(spark.createDataFrame(rows, "doc_id long, cat string"))
+    got = [(r["cat"], r["cnt"]) for r in
+           distributed_facet_terms(parts, "cat", limit=3).collect()]
+    assert got[0] == ("global", 200)
+    assert set(got[1:]) <= {(f"local{s}", 60) for s in range(4)}
+    # naive merge control: per-shard top-1 pages would report global at
+    # 0 or 50; the refined count is the exact 200 — checked above.
+
+
+def test_distributed_facet_matches_global(spark, corpus):
+    """On the hash-ring split of a real corpus, the refined distributed
+    facet equals the single-frame facet exactly."""
+    from lucene_solr_spark.search.distributed import (
+        distributed_facet_terms, shard_frames,
+    )
+
+    df = corpus.withColumn("cat", (F.col("doc_id") % 7).cast("string"))
+    parts = shard_frames(df, 4)
+    got = [(r["cat"], r["cnt"]) for r in
+           distributed_facet_terms(parts, "cat", limit=5).collect()]
+    want = [(r["cat"], r["cnt"]) for r in
+            df.groupBy("cat").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("cat")).limit(5).collect()]
+    assert got == want
