@@ -2449,6 +2449,20 @@ def q_sharded_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_facet_terms(parts, "source", limit=5)
 
 
+def q_sharded_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed result grouping (two-phase SearchGroups/TopGroups):
+    top-3 lang groups by their global max n_chars, top-2 docs per group
+    — heads and members exact across the hash-ring shards."""
+    from lucene_solr_spark.search.distributed import (
+        distributed_group_top_k, shard_frames,
+    )
+
+    parts = shard_frames(_docs(spark, sf_dir), 4)
+    return distributed_group_top_k(
+        parts, "lang", "n_chars", k_groups=3, docs_per_group=2
+    )
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2938,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_bm25": q_sharded_bm25,
         "sharded_page2": q_sharded_page2,
         "sharded_facet": q_sharded_facet,
+        "sharded_group": q_sharded_group,
         "facet_query": q_facet_query,
     }
 
@@ -5035,6 +5050,18 @@ SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
 FROM m
 ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
 LIMIT 10""",
+        "sharded_group": """
+WITH heads AS (SELECT lang, max(n_chars) AS head FROM documents GROUP BY lang),
+tg AS (SELECT lang, head FROM heads ORDER BY head DESC, lang ASC LIMIT 3),
+r AS (
+  SELECT d.lang, t.head, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS doc_rank
+  FROM documents d JOIN tg t USING (lang)
+)
+SELECT lang, head, doc_id, n_chars, CAST(doc_rank AS INTEGER) AS doc_rank
+FROM r WHERE doc_rank <= 2
+ORDER BY head DESC, lang ASC, doc_rank ASC""",
         "sharded_facet": """
 SELECT source, CAST(count(*) AS BIGINT) AS cnt
 FROM documents GROUP BY source

@@ -41,7 +41,7 @@ from .query import parse_query, query_terms
 
 __all__ = ["build_sharded_views", "exact_global_stats", "distributed_search",
            "split_shard_ranges", "split_shard", "distributed_search_after",
-           "shard_frames", "distributed_facet_terms"]
+           "shard_frames", "distributed_facet_terms", "distributed_group_top_k"]
 
 
 def build_sharded_views(
@@ -256,4 +256,60 @@ def distributed_facet_terms(
         .agg(F.sum("cnt").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc(field))
         .limit(int(limit))
+    )
+
+
+def distributed_group_top_k(
+    parts: list[DataFrame],
+    group: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    k_groups: int = 5,
+    docs_per_group: int = 2,
+    overrequest: int | None = None,
+) -> DataFrame:
+    """Distributed result grouping, Solr's two-phase protocol
+    (``[8x] solr/core/.../search/grouping/distributed/*`` — phase 1
+    SearchGroupsField: each shard returns its top sorted groups; phase 2
+    TopGroups: shards return top docs WITHIN the merged candidate
+    groups).  A naive merge of per-shard grouped pages can rank a group
+    by a shard-local head and miss its true (cross-shard) best doc;
+    phase 2 makes heads and members exact for every returned group.
+
+    Groups rank by their global head value (max of ``order_col``, desc,
+    group asc); within a group, docs rank by (``order_col`` desc, id
+    asc), top ``docs_per_group``.  Returns [<group>, head, <id>,
+    <order_col>, doc_rank].  Phase 1 moves k·n_shards group keys; phase
+    2 is a broadcast-semi-filtered re-scan per shard + one small
+    window over candidate-group rows only."""
+    from pyspark.sql.window import Window
+
+    over = int(k_groups * 1.5 + 10) if overrequest is None else k_groups + int(overrequest)
+    cands = None
+    for p in parts:
+        top = (
+            p.groupBy(group)
+            .agg(F.max(order_col).alias("_h"))
+            .orderBy(F.desc("_h"), F.asc(group))
+            .limit(over)
+            .select(group)
+        )
+        cands = top if cands is None else cands.unionByName(top)
+    keys = cands.distinct()
+    rows = None
+    for p in parts:
+        part_rows = p.join(F.broadcast(keys), group, "left_semi").select(
+            group, id_col, order_col
+        )
+        rows = part_rows if rows is None else rows.unionByName(part_rows)
+    heads = rows.groupBy(group).agg(F.max(order_col).alias("head"))
+    top_groups = heads.orderBy(F.desc("head"), F.asc(group)).limit(int(k_groups))
+    w = Window.partitionBy(group).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        rows.join(F.broadcast(top_groups), group)
+        .withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= int(docs_per_group))
+        .select(group, "head", id_col, order_col,
+                F.col("doc_rank").cast("int").alias("doc_rank"))
+        .orderBy(F.desc("head"), F.asc(group), F.asc("doc_rank"))
     )

@@ -167,3 +167,51 @@ def test_distributed_facet_matches_global(spark, corpus):
             df.groupBy("cat").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("cat")).limit(5).collect()]
     assert got == want
+
+
+def test_distributed_grouping_cross_shard_heads(spark):
+    """Two-phase grouping: a group whose best doc lives on a shard where
+    the group is NOT locally top-ranked still gets its true global head
+    and true top member."""
+    from lucene_solr_spark.search.distributed import distributed_group_top_k
+
+    # shard 0: group 'b' has the single best doc overall (val 100) but
+    # shard 0 is dominated by 'a' rows; shard 1 has mid 'b' rows only
+    p0 = spark.createDataFrame(
+        [(1, "a", 90.0), (2, "a", 80.0), (3, "b", 100.0)],
+        "doc_id long, g string, val double",
+    )
+    p1 = spark.createDataFrame(
+        [(4, "b", 50.0), (5, "c", 60.0), (6, "b", 55.0)],
+        "doc_id long, g string, val double",
+    )
+    got = [(r["g"], r["head"], r["doc_id"], r["doc_rank"]) for r in
+           distributed_group_top_k([p0, p1], "g", "val", k_groups=2,
+                                   docs_per_group=2).collect()]
+    # group 'b' head = 100 (from shard 0), members: doc 3 then doc 6
+    assert got[0] == ("b", 100.0, 3, 1) and got[1] == ("b", 100.0, 6, 2)
+    assert got[2] == ("a", 90.0, 1, 1) and got[3] == ("a", 90.0, 2, 2)
+
+
+def test_distributed_grouping_matches_global(spark, corpus):
+    from lucene_solr_spark.search.distributed import (
+        distributed_group_top_k, shard_frames,
+    )
+    from pyspark.sql.window import Window
+
+    df = corpus.withColumn("g", (F.col("doc_id") % 5).cast("string")).withColumn(
+        "val", (F.col("doc_id") * 37 % 101).cast("double")
+    )
+    parts = shard_frames(df, 4)
+    got = [(r["g"], r["head"], r["doc_id"], r["doc_rank"]) for r in
+           distributed_group_top_k(parts, "g", "val", k_groups=3,
+                                   docs_per_group=2).collect()]
+    w = Window.partitionBy("g").orderBy(F.desc("val"), F.asc("doc_id"))
+    heads = df.groupBy("g").agg(F.max("val").alias("head"))
+    want_groups = [r["g"] for r in
+                   heads.orderBy(F.desc("head"), F.asc("g")).limit(3).collect()]
+    want = [(r["g"], r["head"], r["doc_id"], r["rn"]) for r in
+            df.join(heads, "g").withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2).filter(F.col("g").isin(want_groups))
+            .orderBy(F.desc("head"), F.asc("g"), F.asc("rn")).collect()]
+    assert got == want
