@@ -89,6 +89,9 @@ SUBSET = [
     "mlt_text",
     "dismax",
     "min_should_match",
+    "fim_split",
+    "sharded_facet",
+    "sharded_group",
 ]
 
 
