@@ -2463,6 +2463,28 @@ def q_sharded_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot scan: the documents table committed as two
+    snapshots (manifest-listed files with per-file doc_id stats), read
+    back at the CURRENT snapshot with a between-predicate that prunes
+    files at the manifest level before Spark opens them.  Row identity
+    vs the plain parquet table is the oracle."""
+    import shutil
+    from pathlib import Path
+
+    from lucene_solr_spark.sources import (
+        read_table_snapshot, write_table_snapshot,
+    )
+
+    docs = _docs(spark, sf_dir)
+    t = f"/tmp/lss_iceberg_entry_{Path(sf_dir).name}"
+    shutil.rmtree(t, ignore_errors=True)  # fixed path: reruns overwrite
+    write_table_snapshot(docs.filter("doc_id < 250"), t, stats_col="doc_id")
+    write_table_snapshot(docs.filter("doc_id >= 250"), t, stats_col="doc_id")
+    out = read_table_snapshot(spark, t, pred=("doc_id", "between", 100, 299))
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2953,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_page2": q_sharded_page2,
         "sharded_facet": q_sharded_facet,
         "sharded_group": q_sharded_group,
+        "iceberg_scan": q_iceberg_scan,
         "facet_query": q_facet_query,
     }
 
@@ -5050,6 +5073,9 @@ SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
 FROM m
 ORDER BY CAST(n_chars AS DOUBLE) / (1e0 + first_pos) DESC, doc_id ASC
 LIMIT 10""",
+        "iceberg_scan": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id BETWEEN 100 AND 299 ORDER BY doc_id""",
         "sharded_group": """
 WITH heads AS (SELECT lang, max(n_chars) AS head FROM documents GROUP BY lang),
 tg AS (SELECT lang, head FROM heads ORDER BY head DESC, lang ASC LIMIT 3),

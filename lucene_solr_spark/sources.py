@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_corpus", "read_jdbc_corpus", "find_jdbc_driver_jar",
-           "CONTRACT_COLUMNS", "validate_corpus"]
+           "CONTRACT_COLUMNS", "validate_corpus",
+           "write_table_snapshot", "read_table_snapshot"]
 
 
 def find_jdbc_driver_jar(name_glob: str = "duckdb_jdbc-*.jar") -> str | None:
@@ -129,3 +130,160 @@ def validate_corpus(df: DataFrame) -> DataFrame:
 def with_sha256(df: DataFrame, text_col: str = "content") -> DataFrame:
     """Attach the per-row invariant column (sha256 of content)."""
     return df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style snapshot tables (manifest-listed files, time travel,
+# file-level stats pruning) — the sandbox stand-in for a real Iceberg
+# catalog, built from the PUBLIC Iceberg table-format spec's mechanics:
+# a snapshot is a metadata file listing exactly the data files that are
+# live, each carrying min/max column stats the planner prunes with.
+# ---------------------------------------------------------------------------
+
+def write_table_snapshot(
+    df: DataFrame,
+    table_path: str,
+    stats_col: str | None = None,
+    n_files: int = 4,
+) -> dict:
+    """Commit one SNAPSHOT of an Iceberg-style table: write ``n_files``
+    parquet data files (range-partitioned by ``stats_col`` so file-level
+    min/max stats are selective, like a sorted Iceberg write), collect
+    per-file min/max from the parquet footers, and atomically publish
+    ``metadata/v{N}.json`` listing every live file (previous snapshot's
+    plus the new ones) with its stats.
+
+    Mirrors the Iceberg format's snapshot+manifest mechanics: readers
+    see ONLY manifest-listed files (a crashed write's orphans are
+    invisible), every commit is a new immutable snapshot (time travel =
+    read an older metadata version), and file stats drive scan pruning.
+    Returns the new snapshot dict."""
+    import json
+    import time
+    import uuid
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    table = Path(table_path)
+    data_dir = table / "data"
+    meta_dir = table / "metadata"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    meta_dir.mkdir(parents=True, exist_ok=True)
+
+    staged = data_dir / f"stage-{uuid.uuid4().hex}"
+    d = df
+    if stats_col is not None:
+        d = d.repartitionByRange(int(n_files), F.col(stats_col))
+    else:
+        d = d.repartition(int(n_files))
+    d.write.mode("overwrite").parquet(str(staged))
+
+    files = []
+    for p in sorted(staged.glob("*.parquet")):
+        final = data_dir / f"{uuid.uuid4().hex}.parquet"
+        p.rename(final)
+        entry = {"path": f"data/{final.name}", "rows": None, "stats": {}}
+        meta = pq.ParquetFile(str(final)).metadata
+        entry["rows"] = meta.num_rows
+        if stats_col is not None:
+            los, his = [], []
+            schema_names = meta.schema.to_arrow_schema().names
+            ci = schema_names.index(stats_col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    los.append(st.min)
+                    his.append(st.max)
+            if los:
+                entry["stats"][stats_col] = [min(los), max(his)]
+        files.append(entry)
+    import shutil
+
+    shutil.rmtree(staged)
+
+    versions = sorted(meta_dir.glob("v*.json"))
+    prev_files = []
+    version = 1
+    if versions:
+        prev = json.loads(versions[-1].read_text())
+        prev_files = prev["files"]
+        version = prev["version"] + 1
+    snap = {
+        "version": version,
+        "ts": int(time.time() * 1000),
+        "stats_col": stats_col,
+        "files": prev_files + files,
+    }
+    tmp = meta_dir / f"v{version}.json.tmp"
+    tmp.write_text(json.dumps(snap, indent=1, default=str))
+    tmp.rename(meta_dir / f"v{version}.json")  # atomic publish
+    return snap
+
+
+def read_table_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    snapshot: int | None = None,
+    pred: tuple | None = None,
+) -> DataFrame:
+    """Scan an Iceberg-style table: the CURRENT snapshot (or version
+    ``snapshot`` for time travel), reading ONLY manifest-listed files —
+    orphans from crashed writes are invisible — and PRUNING files whose
+    [min, max] stats cannot satisfy ``pred`` before Spark ever opens
+    them (manifest-level pruning; the same predicate is then applied
+    row-level too, where it also reaches parquet row groups).
+
+    ``pred`` is ``(col, op, value)`` with op in ``>= <= == between``
+    (between takes ``(col, "between", lo, hi)``)."""
+    import json
+    from pathlib import Path
+
+    meta_dir = Path(table_path) / "metadata"
+    versions = sorted(meta_dir.glob("v*.json"),
+                      key=lambda p: int(p.stem[1:]))
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    if snapshot is None:
+        snap = json.loads(versions[-1].read_text())
+    else:
+        want = meta_dir / f"v{snapshot}.json"
+        if not want.exists():
+            raise FileNotFoundError(f"no snapshot v{snapshot} at {table_path}")
+        snap = json.loads(want.read_text())
+
+    def keep(entry: dict) -> bool:
+        if pred is None:
+            return True
+        col = pred[0]
+        st = entry.get("stats", {}).get(col)
+        if st is None:
+            return True  # no stats — cannot prune
+        lo, hi = st
+        if pred[1] == ">=":
+            return hi >= pred[2]
+        if pred[1] == "<=":
+            return lo <= pred[2]
+        if pred[1] == "==":
+            return lo <= pred[2] <= hi
+        if pred[1] == "between":
+            return hi >= pred[2] and lo <= pred[3]
+        raise ValueError(f"unknown pred op {pred[1]!r}")
+
+    paths = [str(Path(table_path) / e["path"]) for e in snap["files"] if keep(e)]
+    if not paths:
+        # preserve schema from any live file; empty result
+        any_path = str(Path(table_path) / snap["files"][0]["path"])
+        return spark.read.parquet(any_path).limit(0)
+    out = spark.read.parquet(*paths)
+    if pred is not None:
+        col = F.col(pred[0])
+        if pred[1] == ">=":
+            out = out.filter(col >= pred[2])
+        elif pred[1] == "<=":
+            out = out.filter(col <= pred[2])
+        elif pred[1] == "==":
+            out = out.filter(col == pred[2])
+        elif pred[1] == "between":
+            out = out.filter(col.between(pred[2], pred[3]))
+    return out

@@ -1,0 +1,59 @@
+"""Iceberg-style snapshot tables: manifest-listed files only, time
+travel, file-level stats pruning, orphan invisibility."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.sources import read_table_snapshot, write_table_snapshot
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+    )
+    t = str(tmp_path / "tbl")
+    write_table_snapshot(df.filter("doc_id < 250"), t, stats_col="doc_id")
+    write_table_snapshot(df.filter("doc_id >= 250"), t, stats_col="doc_id")
+    return t
+
+
+def test_snapshots_accumulate_and_time_travel(spark, table):
+    assert read_table_snapshot(spark, table).count() == 400
+    assert read_table_snapshot(spark, table, snapshot=1).count() == 250
+    with pytest.raises(FileNotFoundError):
+        read_table_snapshot(spark, table, snapshot=9)
+
+
+def test_stats_pruning_skips_files(spark, table):
+    full = read_table_snapshot(spark, table)
+    pruned = read_table_snapshot(spark, table, pred=("doc_id", "between", 0, 40))
+    assert pruned.count() == 41
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # row-level predicate still applied inside surviving files
+    assert {r["doc_id"] for r in pruned.collect()} == set(range(41))
+    eq = read_table_snapshot(spark, table, pred=("doc_id", "==", 300))
+    assert [r["doc_id"] for r in eq.collect()] == [300]
+    assert len(eq.inputFiles()) == 1
+
+
+def test_orphan_files_invisible(spark, table):
+    n = read_table_snapshot(spark, table).count()
+    extra = spark.range(0, 9).select(
+        F.col("id").alias("doc_id"), F.lit("xx").alias("lang")
+    )
+    extra.coalesce(1).write.mode("overwrite").parquet(
+        str(Path(table) / "data" / "orphan.parquet")
+    )
+    assert read_table_snapshot(spark, table).count() == n  # unchanged
+
+
+def test_columns_without_stats_never_pruned(spark, table):
+    # lang has no recorded stats -> no file pruned, filter still applied
+    out = read_table_snapshot(spark, table, pred=("lang", "==", "3"))
+    assert out.count() == 400 // 7 + (1 if 3 < 400 % 7 else 0)
