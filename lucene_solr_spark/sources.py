@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["read_corpus", "read_jdbc_corpus", "find_jdbc_driver_jar",
            "CONTRACT_COLUMNS", "validate_corpus",
-           "write_table_snapshot", "read_table_snapshot"]
+           "write_table_snapshot", "read_table_snapshot",
+           "compact_table", "expire_snapshots"]
 
 
 def find_jdbc_driver_jar(name_glob: str = "duckdb_jdbc-*.jar") -> str | None:
@@ -287,3 +288,65 @@ def read_table_snapshot(
         elif pred[1] == "between":
             out = out.filter(col.between(pred[2], pred[3]))
     return out
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    n_files: int = 2,
+) -> dict:
+    """Compaction (Iceberg ``rewrite_data_files``): read the CURRENT
+    snapshot, rewrite it as ``n_files`` fresh data files, and commit a
+    new snapshot listing ONLY the rewritten files.  Older snapshots
+    keep referencing the old files, so time travel still works until
+    :func:`expire_snapshots` reclaims them — exactly the format's
+    copy-on-write contract."""
+    import json
+    from pathlib import Path
+
+    meta_dir = Path(table_path) / "metadata"
+    versions = sorted(meta_dir.glob("v*.json"), key=lambda p: int(p.stem[1:]))
+    cur = json.loads(versions[-1].read_text())
+    df = read_table_snapshot(spark, table_path)
+    snap = write_table_snapshot(
+        df, table_path, stats_col=cur.get("stats_col"), n_files=n_files
+    )
+    # the append added rewritten files to the old list; a compaction
+    # snapshot replaces the list with ONLY the rewritten files
+    new_files = snap["files"][len(cur["files"]):]
+    snap["files"] = new_files
+    out = meta_dir / f"v{snap['version']}.json"
+    tmp = meta_dir / f"v{snap['version']}.json.tmp"
+    tmp.write_text(json.dumps(snap, indent=1, default=str))
+    tmp.rename(out)
+    return snap
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Snapshot expiry (Iceberg ``expire_snapshots``): drop metadata
+    versions older than the newest ``keep_last`` and DELETE data files
+    referenced by no surviving snapshot — never a file a live snapshot
+    still lists.  Returns {"removed_versions": n, "removed_files": n}."""
+    import json
+    from pathlib import Path
+
+    meta_dir = Path(table_path) / "metadata"
+    data_dir = Path(table_path) / "data"
+    versions = sorted(meta_dir.glob("v*.json"), key=lambda p: int(p.stem[1:]))
+    keep = versions[-max(1, int(keep_last)):]
+    drop = [v for v in versions if v not in keep]
+    live = set()
+    for v in keep:
+        for e in json.loads(v.read_text())["files"]:
+            live.add(e["path"])
+    removed_files = 0
+    for v in drop:
+        for e in json.loads(v.read_text())["files"]:
+            if e["path"] not in live:
+                p = Path(table_path) / e["path"]
+                if p.exists():
+                    p.unlink()
+                    removed_files += 1
+                live.add(e["path"])  # count once
+        v.unlink()
+    return {"removed_versions": len(drop), "removed_files": removed_files}

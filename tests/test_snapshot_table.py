@@ -57,3 +57,35 @@ def test_columns_without_stats_never_pruned(spark, table):
     # lang has no recorded stats -> no file pruned, filter still applied
     out = read_table_snapshot(spark, table, pred=("lang", "==", "3"))
     assert out.count() == 400 // 7 + (1 if 3 < 400 % 7 else 0)
+
+
+def test_compaction_preserves_rows_and_time_travel(spark, table):
+    from lucene_solr_spark.sources import compact_table
+
+    before = read_table_snapshot(spark, table)
+    n_before_files = len(before.inputFiles())
+    rows = {r["doc_id"] for r in before.collect()}
+    snap = compact_table(spark, table, n_files=2)
+    after = read_table_snapshot(spark, table)
+    assert {r["doc_id"] for r in after.collect()} == rows
+    assert len(after.inputFiles()) == 2 < n_before_files
+    assert len(snap["files"]) == 2
+    # older snapshots untouched: time travel still sees v1's 250 rows
+    assert read_table_snapshot(spark, table, snapshot=1).count() == 250
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, table):
+    from pathlib import Path
+
+    from lucene_solr_spark.sources import compact_table, expire_snapshots
+
+    compact_table(spark, table, n_files=2)  # v3 references only 2 files
+    n_data = len(list((Path(table) / "data").glob("*.parquet")))
+    out = expire_snapshots(table, keep_last=1)
+    assert out["removed_versions"] == 2
+    # every pre-compaction file reclaimed; the 2 live files survive
+    assert out["removed_files"] == n_data - 2
+    assert len(list((Path(table) / "data").glob("*.parquet"))) == 2
+    assert read_table_snapshot(spark, table).count() == 400
+    with pytest.raises(FileNotFoundError):
+        read_table_snapshot(spark, table, snapshot=1)
