@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["read_corpus", "read_jdbc_corpus", "find_jdbc_driver_jar",
            "CONTRACT_COLUMNS", "validate_corpus",
            "write_table_snapshot", "read_table_snapshot",
-           "compact_table", "expire_snapshots"]
+           "compact_table", "expire_snapshots", "read_table_increment"]
 
 
 def find_jdbc_driver_jar(name_glob: str = "duckdb_jdbc-*.jar") -> str | None:
@@ -350,3 +350,40 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
                 live.add(e["path"])  # count once
         v.unlink()
     return {"removed_versions": len(drop), "removed_files": removed_files}
+
+
+def read_table_increment(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental scan (Iceberg's incremental append read): exactly the
+    rows ADDED after snapshot ``from_snapshot`` up to ``to_snapshot``
+    (default: current) — the file-set difference between the two
+    manifests, so a downstream consumer (index append, training-data
+    refresh) re-reads nothing it already processed.  Append-only tables
+    only (a compaction snapshot rewrites the file set; consume
+    increments before compacting, as Iceberg's changelog scan also
+    requires)."""
+    import json
+    from pathlib import Path
+
+    meta_dir = Path(table_path) / "metadata"
+
+    def load(v: int) -> dict:
+        p = meta_dir / f"v{v}.json"
+        if not p.exists():
+            raise FileNotFoundError(f"no snapshot v{v} at {table_path}")
+        return json.loads(p.read_text())
+
+    if to_snapshot is None:
+        versions = sorted(meta_dir.glob("v*.json"), key=lambda p: int(p.stem[1:]))
+        to_snapshot = int(versions[-1].stem[1:])
+    base = {e["path"] for e in load(from_snapshot)["files"]}
+    target = load(to_snapshot)
+    new = [e["path"] for e in target["files"] if e["path"] not in base]
+    if not new:
+        any_path = str(Path(table_path) / target["files"][0]["path"])
+        return spark.read.parquet(any_path).limit(0)
+    return spark.read.parquet(*[str(Path(table_path) / p) for p in new])

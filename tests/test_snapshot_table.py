@@ -89,3 +89,50 @@ def test_expire_snapshots_reclaims_unreferenced_files(spark, table):
     assert read_table_snapshot(spark, table).count() == 400
     with pytest.raises(FileNotFoundError):
         read_table_snapshot(spark, table, snapshot=1)
+
+
+def test_incremental_scan_reads_only_new_rows(spark, table):
+    from lucene_solr_spark.sources import read_table_increment
+
+    inc = read_table_increment(spark, table, from_snapshot=1)
+    got = {r["doc_id"] for r in inc.collect()}
+    assert got == set(range(250, 400))  # exactly snapshot 2's appends
+    # no-op increment -> empty frame with the table's schema
+    none = read_table_increment(spark, table, from_snapshot=2, to_snapshot=2)
+    assert none.count() == 0 and set(none.columns) == {"doc_id", "lang"}
+
+
+def test_lake_to_index_incremental_append(spark, tmp_path):
+    """Composition: NRT ingest FROM the lake table — build the index at
+    snapshot 1, append exactly the snapshot-2 increment, and the merged
+    index answers queries over both waves (the Iceberg-source analog of
+    the streaming segment append)."""
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index, update_documents
+    from lucene_solr_spark.search import Term, count_hits
+    from lucene_solr_spark.sources import (
+        read_table_increment, read_table_snapshot, write_table_snapshot,
+    )
+    from pyspark.sql.window import Window
+
+    corpus = gen_corpus_df(spark, 200, seed=29).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("repo", "path", "commit")).cast("long") - 1,
+    )
+    lake = str(tmp_path / "lake")
+    write_table_snapshot(corpus.filter("doc_id < 120"), lake, stats_col="doc_id")
+    idx_path = tmp_path / "idx"
+    build_index(spark, read_table_snapshot(spark, lake), idx_path,
+                segment_docs=60, id_col="doc_id", text_col="content")
+    n1 = count_hits(open_index(spark, idx_path), Term("def"))
+
+    write_table_snapshot(corpus.filter("doc_id >= 120"), lake, stats_col="doc_id")
+    inc = read_table_increment(spark, lake, from_snapshot=1)
+    assert inc.count() == 80
+    update_documents(spark, idx_path, inc, key_col="doc_id", text_col="content")
+    n2 = count_hits(open_index(spark, idx_path), Term("def"))
+
+    full = build_index(spark, corpus, tmp_path / "idx_full",
+                       segment_docs=60, id_col="doc_id", text_col="content")
+    want = count_hits(open_index(spark, tmp_path / "idx_full"), Term("def"))
+    assert n2 == want and n2 >= n1
