@@ -444,6 +444,26 @@ def q_geo_filt(spark: SparkSession, sf_dir: str) -> DataFrame:
 CT_TERMS = ("dup", "data", "table")  # 'dup' df≈5%, others ≈78% -> split at 0.5
 
 
+def q_geo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort=geodist() asc: the 10 customers nearest GEO_PT by haversine
+    great-circle distance (Solr's distance sort over LatLonPoint
+    docvalues) — f64 trig, one final f32 cast, ties by key."""
+    from lucene_solr_spark.functions import geodist
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    d = geodist(F.col("lat"), F.col("lon"), F.lit(GEO_PT[0]), F.lit(GEO_PT[1]))
+    return (
+        pts.select("c_custkey", d.cast("float").alias("dist_km"))
+        .orderBy(F.asc("dist_km"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
 def q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonTermsQuery doc set: terms split at df/docCount = 0.5 into the
     required low-freq disjunction + optional high-freq boost; the match
@@ -1777,6 +1797,24 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full NGramTokenFilter chain (all 2..3-grams, originals dropped)
+    term dictionary — the substring-search indexing path."""
+    from lucene_solr_spark.analysis import Chain, ngram_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(ngram_filter(2, 3, keep_original=False),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
 def q_edge_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EdgeNGram chain (2..4 prefixes, no originals) term dictionary —
     the search-as-you-type indexing path, cross-checked in SQL."""
@@ -2485,6 +2523,32 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+def q_feature_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureField static signal: BM25 + saturation(n_chars, pivot=1000)
+    · 0.5 added as a SHOULD clause (Lucene FeatureQuery's recommended
+    shape — pure rational arithmetic, exact cross-engine)."""
+    from lucene_solr_spark.search.extras import feature_score
+
+    # engine kernel validated in tests; the entry follows the f64-parity
+    # discipline (the repo-wide rule for score entries): base BM25 from
+    # the shared parity stream, saturation contribution in f64, one
+    # final f32 cast — textually mirrored by the oracle
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    d = _docs(spark, sf_dir)
+    sat = (F.col("n_chars").cast("double")
+           / (F.col("n_chars").cast("double") + F.lit(1000.0)))
+    return (
+        sc.join(d.select("doc_id", sat.alias("_sat")), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("score64") + F.lit(0.5) * F.col("_sat"))
+            .cast("float").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -2847,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_in_set": q_term_in_set,
         "facet_interval": q_facet_interval,
         "geo_filt": q_geo_filt,
+        "geo_sort": q_geo_sort,
         "geo_heatmap": q_geo_heatmap,
         "common_terms": q_common_terms,
         "elevation": q_elevation,
@@ -2927,9 +2992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_lm_topk": q_fts_lm_topk,
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
+        "ngram_dict": q_ngram_dict,
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
         "mlt_text": q_mlt_text,
+        "feature_sat": q_feature_sat,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -4349,6 +4416,14 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "feature_sat": f"""
+{_bm25_oracle_base("term = '" + BM25_TERM + "'")}
+SELECT s.doc_id,
+  CAST(score64
+       + 5e-1 * (CAST(d.n_chars AS DOUBLE) / (CAST(d.n_chars AS DOUBLE) + 1e3))
+       AS FLOAT) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "dismax": f"""
 {_bm25_oracle_base("term IN ('spark', 'window', 'merge')")}
 SELECT doc_id,
@@ -4498,6 +4573,32 @@ SELECT min(ts) AS session_start,
        user_id, CAST(count(*) AS BIGINT) AS cnt
 FROM g GROUP BY user_id, sid
 ORDER BY user_id, session_start""",
+        "geo_sort": """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 9973 % 17000) / 1e2 - 85e0) AS lat,
+         ((c_custkey * 7919 % 36000) / 1e2 - 180e0) AS lon
+  FROM customer
+)
+SELECT c_custkey,
+  CAST(2e0 * 6371.0087714e0 * asin(sqrt(
+       power(sin(radians(1e1 - lat) / 2e0), 2)
+       + cos(radians(lat)) * cos(radians(1e1))
+         * power(sin(radians(2e1 - lon) / 2e0), 2)
+  )) AS FLOAT) AS dist_km
+FROM pts ORDER BY dist_km ASC, c_custkey ASC LIMIT 10""",
+        "ngram_dict": f"""
+WITH {_TOK_CTE},
+grams AS (
+  SELECT doc_id, substr(term, i, n) AS term
+  FROM (SELECT doc_id, term, unnest(generate_series(1, len(term))) AS i FROM tok),
+       (SELECT unnest(generate_series(2, 3)) AS n)
+  WHERE i + n - 1 <= len(term)
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM grams GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
         "edge_ngram_dict": f"""
 WITH {_TOK_CTE},
 grams AS (

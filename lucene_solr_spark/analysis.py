@@ -68,6 +68,7 @@ __all__ = [
     "double_metaphone_filter",
     "synonym_filter",
     "edge_ngram_filter",
+    "ngram_filter",
     "shingle_filter",
     "stop_filter",
     "length_filter",
@@ -574,6 +575,31 @@ def edge_ngram_filter(min_gram: int = 2, max_gram: int = 5, keep_original: bool 
     )
 
 
+def ngram_filter(min_gram: int = 2, max_gram: int = 3,
+                 keep_original: bool = False) -> Expand:
+    """NGramTokenFilter (``[8x] lucene/analysis/common/.../ngram/
+    NGramTokenFilter.java``): ALL substrings of each token with length
+    in [min_gram, max_gram], emitted at the source token's position in
+    Lucene's order (by start offset, then gram size); the original token
+    is dropped unless ``keep_original`` (preserveOriginal)."""
+
+    def fn(t: str) -> tuple:
+        grams = tuple(
+            t[i : i + n]
+            for i in range(len(t))
+            for n in range(min_gram, max_gram + 1)
+            if i + n <= len(t)
+        )
+        if keep_original and t not in grams:
+            grams += (t,)
+        return grams or ((t,) if keep_original else ())
+
+    return Expand(
+        fn, "ngram",
+        params=(int(min_gram), int(max_gram), bool(keep_original)),
+    )
+
+
 def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) -> Shingle:
     return Shingle(size, sep, keep_unigrams)
 
@@ -875,6 +901,12 @@ def chain_spec(chain: Chain) -> dict | None:
                     "keep_original": keep,
                 }
             )
+        elif isinstance(step, Expand) and step.name == "ngram" and step.params:
+            mn, mx, keep = step.params
+            steps.append(
+                {"kind": "ngram", "min_gram": mn, "max_gram": mx,
+                 "keep_original": keep}
+            )
         elif isinstance(step, Expand) and step.name == "edge_ngram" and step.params:
             mn, mx, keep = step.params
             steps.append(
@@ -938,6 +970,11 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(reversed_wildcard_filter())
         elif kind == "synonym":
             steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
+        elif kind == "ngram":
+            steps.append(
+                ngram_filter(s.get("min_gram", 2), s.get("max_gram", 3),
+                             s.get("keep_original", False))
+            )
         elif kind == "edge_ngram":
             steps.append(
                 edge_ngram_filter(s.get("min_gram", 2), s.get("max_gram", 5),

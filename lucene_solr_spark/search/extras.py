@@ -118,6 +118,56 @@ def boost_by_value(
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def feature_score(
+    index: IndexView,
+    query,
+    features: DataFrame,
+    feature_col: str,
+    fn: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    k: int = 10,
+    exponent: float = 1.0,
+) -> DataFrame:
+    """Static ranking signals — Lucene FeatureField / FeatureQuery
+    (``[8x] lucene/core/src/java/org/apache/lucene/document/FeatureField
+    .java``): a per-document feature (pagerank, recency, length prior)
+    indexed once and ADDED to the text score as another SHOULD clause,
+    through one of the published monotone shapes:
+
+    * ``saturation``: boost · f / (f + pivot)   (pure rational — exact
+      cross-engine, FeatureField's recommended default)
+    * ``log``: boost · ln(1 + f / pivot)
+    * ``sigmoid``: boost · f^a / (f^a + pivot^a)
+
+    Docs with no feature row contribute 0 (FeatureQuery matches only
+    docs WITH the feature; combined as SHOULD, everything else keeps its
+    text score).  The join is doc-keyed against the scored stream; the
+    collector stays a small-k TakeOrdered."""
+    if fn not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"unknown feature function {fn!r}")
+    sc = _scored_stream(index, query)
+    f = F.col(feature_col).cast("double")
+    p = float(pivot)
+    if fn == "saturation":
+        contrib = F.lit(float(boost)) * (f / (f + F.lit(p)))
+    elif fn == "log":
+        contrib = F.lit(float(boost)) * F.expr(
+            f"ln(CAST(1 AS DOUBLE) + CAST({feature_col} AS DOUBLE) / CAST({p!r} AS DOUBLE))"
+        )
+    else:
+        a = float(exponent)
+        fa = F.expr(f"power(CAST({feature_col} AS DOUBLE), CAST({a!r} AS DOUBLE))")
+        contrib = F.lit(float(boost)) * (fa / (fa + F.lit(p ** a)))
+    feats = features.select("doc_id", contrib.alias("_feat"))
+    out = sc.join(feats, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score") + F.coalesce(F.col("_feat"), F.lit(0.0)))
+        .cast("float").alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 _BJ_MODES = ("max", "total", "avg", "none")
 
 

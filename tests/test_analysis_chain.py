@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from lucene_solr_spark.analysis import (
+    ngram_filter,
     Chain,
     LATIN_TOKEN_PATTERN,
     ascii_fold,
@@ -85,6 +86,8 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (stop_filter(["the"]), stem_filter()),
         (synonym_filter({"fast": ["quick", "rapid"]}),),
         (edge_ngram_filter(2, 4, keep_original=True),),
+        (ngram_filter(2, 3),),
+        (ngram_filter(2, 3, keep_original=True), stem_filter()),
         (shingle_filter(2, "_", keep_unigrams=True),),
         (shingle_filter(3, "_", keep_unigrams=False),),
         (stop_filter(["of"]), stem_filter(), shingle_filter(2)),
@@ -307,6 +310,7 @@ def test_length_filter_semantics(spark):
     from pyspark.sql import functions as F
 
     from lucene_solr_spark.analysis import (
+    ngram_filter,
         Chain,
         chain_from_spec,
         chain_spec,
@@ -411,6 +415,7 @@ def test_double_metaphone_chain_query_side(spark):
 def test_analyze_steps_debug_handler():
     """/analysis/field: per-step token streams show each filter's effect."""
     from lucene_solr_spark.analysis import (
+    ngram_filter,
         Chain, analyze_steps, stem_filter, stop_filter,
     )
 
@@ -429,6 +434,7 @@ def test_keyword_marker_protected_stemming():
     stemmer; everything else stems; declarative spec round-trips; the
     vectorized flat path matches the reference."""
     from lucene_solr_spark.analysis import (
+    ngram_filter,
         Chain, chain_from_spec, chain_spec, stem_filter,
     )
 
@@ -446,3 +452,21 @@ def test_keyword_marker_protected_stemming():
     rebuilt = chain_from_spec(spec)
     assert rebuilt.tokens(text) == prot.tokens(text)
     assert rebuilt.steps[0] == prot.steps[0]  # spec-level equality
+
+
+def test_ngram_filter_semantics():
+    from lucene_solr_spark.analysis import Chain, chain_from_spec, chain_spec
+
+    c = Chain(steps=(ngram_filter(2, 3),))
+    toks = c.tokens("abcd x")
+    # all 2- and 3-grams of 'abcd' at position 0, Lucene order
+    assert [t for t, _ in toks] == ["ab", "abc", "bc", "bcd", "cd"]
+    assert all(p == 0 for _, p in toks[:5])
+    # 'x' shorter than min_gram -> dropped entirely
+    assert all(t != "x" for t, _ in toks)
+    keep = Chain(steps=(ngram_filter(2, 3, keep_original=True),))
+    assert ("abcd", 0) in keep.tokens("abcd")
+    assert keep.tokens("x") == [("x", 0)]
+    spec = chain_spec(keep)
+    assert spec["steps"][0]["kind"] == "ngram"
+    assert chain_from_spec(spec).tokens("abcd x") == keep.tokens("abcd x")

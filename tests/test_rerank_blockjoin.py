@@ -185,3 +185,39 @@ def test_block_join_facet_uniqueblock(spark):
         ).collect()
     }
     assert got == {"en": 2, "fr": 1}
+
+
+def test_feature_field_saturation(spark):
+    """FeatureField: the saturation-shaped static signal adds to the text
+    score; missing features contribute 0; monotone in the feature."""
+    import numpy as np
+
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Term, search
+    from lucene_solr_spark.search.extras import feature_score
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "alpha beta"),
+         (3, "gamma only")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        feats = spark.createDataFrame(
+            [(0, 0.0), (1, 100.0)], "doc_id long, pagerank double"
+        )  # doc 2 has NO feature row
+        base = {r["doc_id"]: r["score"] for r in search(idx, Term("alpha"), k=5).collect()}
+        got = {r["doc_id"]: r["score"] for r in
+               feature_score(idx, Term("alpha"), feats, "pagerank",
+                             fn="saturation", pivot=10.0, boost=0.5, k=5).collect()}
+        assert got[0] == base[0]                       # f=0 -> +0
+        assert got[2] == base[2]                       # missing -> +0
+        want1 = np.float32(np.float64(base[1]) + 0.5 * (100.0 / 110.0))
+        assert got[1] == want1
+        assert got[1] > got[0]
+        import pytest as _p
+        with _p.raises(ValueError):
+            feature_score(idx, Term("alpha"), feats, "pagerank", fn="exp")
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
