@@ -92,6 +92,10 @@ SUBSET = [
     "fim_split",
     "sharded_facet",
     "sharded_group",
+    "iceberg_scan",
+    "feature_sat",
+    "ngram_dict",
+    "geo_sort",
 ]
 
 
