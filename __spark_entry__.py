@@ -2549,6 +2549,14 @@ def q_feature_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed StatsComponent: per-shard DECIMAL-exact partial
+    moments merged to the same bits as the single-frame stats."""
+    from lucene_solr_spark.search.distributed import distributed_stats, shard_frames
+
+    return distributed_stats(shard_frames(_docs(spark, sf_dir), 4), "n_chars")
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -3042,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_page2": q_sharded_page2,
         "sharded_facet": q_sharded_facet,
         "sharded_group": q_sharded_group,
+        "sharded_stats": q_sharded_stats,
         "iceberg_scan": q_iceberg_scan,
         "facet_query": q_facet_query,
     }
@@ -5177,6 +5186,22 @@ LIMIT 10""",
         "iceberg_scan": """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id BETWEEN 100 AND 299 ORDER BY doc_id""",
+        "sharded_stats": """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         sum(CAST(n_chars AS DECIMAL(18,2))) AS s,
+         sum(CAST(CAST(n_chars AS DECIMAL(18,2))
+                  * CAST(n_chars AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss,
+         min(n_chars) AS mn, max(n_chars) AS mx
+  FROM documents
+)
+SELECT cnt,
+  CAST(s AS DOUBLE) AS sum,
+  CAST(s AS DOUBLE) / cnt AS mean,
+  mn AS min, mx AS max,
+  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt)
+       / (cnt - 1)) AS stddev
+FROM m""",
         "sharded_group": """
 WITH heads AS (SELECT lang, max(n_chars) AS head FROM documents GROUP BY lang),
 tg AS (SELECT lang, head FROM heads ORDER BY head DESC, lang ASC LIMIT 3),

@@ -41,7 +41,8 @@ from .query import parse_query, query_terms
 
 __all__ = ["build_sharded_views", "exact_global_stats", "distributed_search",
            "split_shard_ranges", "split_shard", "distributed_search_after",
-           "shard_frames", "distributed_facet_terms", "distributed_group_top_k"]
+           "shard_frames", "distributed_facet_terms", "distributed_group_top_k",
+           "distributed_stats"]
 
 
 def build_sharded_views(
@@ -312,4 +313,50 @@ def distributed_group_top_k(
         .select(group, "head", id_col, order_col,
                 F.col("doc_rank").cast("int").alias("doc_rank"))
         .orderBy(F.desc("head"), F.asc(group), F.asc("doc_rank"))
+    )
+
+
+def distributed_stats(
+    parts: list[DataFrame],
+    field: str,
+) -> DataFrame:
+    """Distributed StatsComponent (``[8x] solr/core/.../handler/component/
+    StatsComponent.java`` distributed merge): each shard computes its
+    partial moments (count, sum, sumsq via DECIMAL-exact arithmetic,
+    min, max); the coordinator merges them EXACTLY — count/sum/sumsq
+    add, min/max fold — and derives mean/stddev from the merged moments,
+    so the distributed answer is bit-identical to the single-frame one
+    (same DECIMAL(18,2) discipline as the local stats_component).
+    Returns one row [cnt, sum, mean, min, max, stddev]."""
+    partials = None
+    for p in parts:
+        q = p.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(field).cast("decimal(18,2)")).alias("s"),
+            F.sum(
+                (F.col(field).cast("decimal(18,2)")
+                 * F.col(field).cast("decimal(18,2)")).cast("decimal(38,4)")
+            ).alias("ss"),
+            F.min(field).alias("mn"),
+            F.max(field).alias("mx"),
+        )
+        partials = q if partials is None else partials.unionByName(q)
+    merged = partials.agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return merged.select(
+        "cnt",
+        F.col("s").cast("double").alias("sum"),
+        (F.col("s").cast("double") / F.col("cnt")).alias("mean"),
+        F.col("mn").alias("min"),
+        F.col("mx").alias("max"),
+        F.sqrt(
+            (F.col("ss").cast("double")
+             - F.col("s").cast("double") * F.col("s").cast("double") / F.col("cnt"))
+            / (F.col("cnt") - 1)
+        ).alias("stddev"),
     )

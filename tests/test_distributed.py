@@ -215,3 +215,20 @@ def test_distributed_grouping_matches_global(spark, corpus):
             .filter(F.col("rn") <= 2).filter(F.col("g").isin(want_groups))
             .orderBy(F.desc("head"), F.asc("g"), F.asc("rn")).collect()]
     assert got == want
+
+
+def test_distributed_stats_bit_identical_to_global(spark, corpus):
+    """StatsComponent merge: DECIMAL-exact partial moments merge to the
+    SAME bits as the single-frame computation, under any sharding."""
+    from lucene_solr_spark.search.distributed import distributed_stats, shard_frames
+
+    df = corpus.withColumn("v", (F.col("doc_id") % 97).cast("double") / 4)
+    got = distributed_stats(shard_frames(df, 4), "v").head()
+    want = distributed_stats([df], "v").head()
+    assert got == want
+    import numpy as np
+
+    vals = np.array([r["v"] for r in df.select("v").collect()])
+    assert got["cnt"] == len(vals) and got["min"] == vals.min()
+    assert abs(got["mean"] - vals.mean()) < 1e-9
+    assert abs(got["stddev"] - vals.std(ddof=1)) < 1e-9
