@@ -2557,6 +2557,19 @@ def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_stats(shard_frames(_docs(spark, sf_dir), 4), "n_chars")
 
 
+def q_sharded_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spellcheck: per-shard corrections merged by summed
+    docFreq — identical to the unsharded dictionary's ranking (the
+    oracle is the same global-dictionary SQL as the spellcheck entry)."""
+    from lucene_solr_spark.search.distributed import (
+        build_sharded_views, distributed_spell,
+    )
+
+    shards = build_sharded_views(_docs(spark, sf_dir), 4,
+                                 id_col="doc_id", text_col="text")
+    return distributed_spell(shards, "sacn", max_edits=1, k=5)
+
+
 def _sharded_bm25_oracle() -> str:
     formula = _BM25_EXPR.format(
         N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
@@ -3051,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_facet": q_sharded_facet,
         "sharded_group": q_sharded_group,
         "sharded_stats": q_sharded_stats,
+        "sharded_spell": q_sharded_spell,
         "iceberg_scan": q_iceberg_scan,
         "facet_query": q_facet_query,
     }
@@ -5186,6 +5200,14 @@ LIMIT 10""",
         "iceberg_scan": """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id BETWEEN 100 AND 299 ORDER BY doc_id""",
+        "sharded_spell": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(damerau_levenshtein(term, 'sacn') AS INTEGER) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM td
+WHERE damerau_levenshtein(term, 'sacn') = 1 AND term LIKE 's%'
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
         "sharded_stats": """
 WITH m AS (
   SELECT CAST(count(*) AS BIGINT) AS cnt,

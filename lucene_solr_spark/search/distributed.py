@@ -42,7 +42,7 @@ from .query import parse_query, query_terms
 __all__ = ["build_sharded_views", "exact_global_stats", "distributed_search",
            "split_shard_ranges", "split_shard", "distributed_search_after",
            "shard_frames", "distributed_facet_terms", "distributed_group_top_k",
-           "distributed_stats"]
+           "distributed_stats", "distributed_spell"]
 
 
 def build_sharded_views(
@@ -359,4 +359,36 @@ def distributed_stats(
              - F.col("s").cast("double") * F.col("s").cast("double") / F.col("cnt"))
             / (F.col("cnt") - 1)
         ).alias("stddev"),
+    )
+
+
+def distributed_spell(
+    shards: list[IndexView],
+    term: str,
+    max_edits: int = 1,
+    k: int = 5,
+    prefix_length: int = 1,
+) -> DataFrame:
+    """Distributed spellcheck (``[8x] solr/core/.../handler/component/
+    SpellCheckComponent.java#merge``): every shard proposes corrections
+    from its own dictionary slice; the coordinator merges by term,
+    SUMMING docFreq across shards (a term's merged df equals its global
+    df, since the hash ring partitions docs), and re-ranks by
+    (distance asc, merged df desc, term asc) — identical to spellcheck
+    against the unsharded dictionary.  Per-shard candidate sets are the
+    full within-edits match (bounded by the edit-distance + prefix
+    filters), so the merge cannot miss a correction."""
+    from .extras import spell_suggest
+
+    parts = None
+    for s in shards:
+        p = spell_suggest(s, term, max_edits=max_edits, k=1_000_000,
+                          prefix_length=prefix_length)
+        parts = p if parts is None else parts.unionByName(p)
+    return (
+        parts.groupBy("term")
+        .agg(F.min("distance").alias("distance"),
+             F.sum("df").cast("long").alias("df"))
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(int(k))
     )

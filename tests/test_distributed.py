@@ -232,3 +232,17 @@ def test_distributed_stats_bit_identical_to_global(spark, corpus):
     assert got["cnt"] == len(vals) and got["min"] == vals.min()
     assert abs(got["mean"] - vals.mean()) < 1e-9
     assert abs(got["stddev"] - vals.std(ddof=1)) < 1e-9
+
+
+def test_distributed_spell_matches_unsharded(spark, corpus, unsharded):
+    from lucene_solr_spark.search.distributed import (
+        build_sharded_views, distributed_spell,
+    )
+    from lucene_solr_spark.search.extras import spell_suggest
+
+    shards = build_sharded_views(corpus, 4, id_col="doc_id", text_col="content")
+    got = [(r["term"], r["distance"], r["df"]) for r in
+           distributed_spell(shards, "deff", max_edits=1, k=5).collect()]
+    want = [(r["term"], r["distance"], r["df"]) for r in
+            spell_suggest(unsharded, "deff", max_edits=1, k=5).collect()]
+    assert got == want and got
