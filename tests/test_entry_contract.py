@@ -96,6 +96,8 @@ SUBSET = [
     "feature_sat",
     "ngram_dict",
     "geo_sort",
+    "sharded_stats",
+    "sharded_spell",
 ]
 
 
