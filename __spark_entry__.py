@@ -2904,6 +2904,84 @@ SELECT strftime({date_math_sql('ts', DATE_MATH_EXPR)}, '%Y-%m-%d %H:%M:%S')
 FROM events GROUP BY bucket ORDER BY bucket"""
 
 
+SLOPPY_SLOP = 2  # sloppy-phrase position-spread budget for sloppy_phrase
+
+
+def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy PhraseQuery (slop>0): per-doc minimal-window count and the
+    order-free integer slop-factor sum Σ 6//(1+width) over the greedy
+    non-retreating window enumeration (SloppyPhraseMatcher semantics) —
+    the DuckDB oracle replays the event-sweep with reverse-running-min
+    window functions."""
+    from lucene_solr_spark.search.executor import sloppy_window_stats
+    from lucene_solr_spark.search.query import Phrase
+
+    index = _index_for(spark, sf_dir)
+    return (
+        sloppy_window_stats(index, Phrase(*PHRASE, slop=SLOPPY_SLOP), scale=6)
+        .select("doc_id", "n_matches", F.col("score_scaled").alias("score6"))
+        .orderBy("doc_id")
+    )
+
+
+def q_synonym_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SynonymQuery over BM25_OR_TERMS: ONE pseudo-term — per-doc tf
+    summed across the synonym set, df = max of the members' docFreqs
+    (SynonymWeight's blended TermStatistics) — vs fts_bm25_or_topk which
+    sums per-term scores.  f64-parity formula over real decoded postings.
+    """
+    index = _index_for(spark, sf_dir)
+    terms = list(BM25_OR_TERMS)
+    pt = postings_table(index, terms)
+    merged = pt.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("tf"),
+        F.first("norm_byte").alias("norm_byte"),
+    )
+    lt = F.array(*[F.lit(v) for v in _LT])
+    merged = merged.withColumn(
+        "qdl", F.element_at(lt, (F.col("norm_byte") + 1).cast("int")).cast("long")
+    )
+    dfm = (
+        index.term_dict.filter(F.col("term").isin(terms))
+        .agg(F.max("df").cast("long").alias("df"))
+    )
+    expr = _BM25_EXPR.format(
+        N=index.doc_count, avgdl=_avgdl_expr(index.sum_ttf, index.doc_count)
+    )
+    sc = merged.crossJoin(F.broadcast(dfm)).withColumn("score64", F.expr(expr))
+    return (
+        sc.select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_covering_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoveringQuery over TIS_TERMS with a PER-DOC dynamic minimum-match
+    from a values source (1 + n_chars % 3 ∈ {1,2,3}) — docs where the
+    number of matching clauses reaches their own threshold.  Integer
+    outputs (clause count + threshold), hash-exact."""
+    from lucene_solr_spark.search.extras import covering_query
+
+    index = _index_for(spark, sf_dir)
+    vals = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(1) + F.col("n_chars") % 3).cast("long").alias("min_match"),
+    )
+    out = covering_query(index, list(TIS_TERMS), vals)
+    return out.select("doc_id", "n_matched", "min_match").orderBy("doc_id")
+
+
+def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.pivot with attached stats: per (lang, source) pivot bucket,
+    count + min/max/exact-DECIMAL sum/mean over n_chars."""
+    from lucene_solr_spark.relational import pivot_stats
+
+    d = _docs(spark, sf_dir)
+    out = pivot_stats(d, ["lang", "source"], "n_chars")
+    return out.withColumn("sum", F.col("sum").cast("double"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2927,6 +3005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_or_topk": q_fts_bm25_or_topk,
         "fts_significant_terms": q_fts_significant_terms,
         "fts_phrase": q_fts_phrase,
+        "sloppy_phrase": q_sloppy_phrase,
+        "synonym_query": q_synonym_query,
+        "covering_query": q_covering_query,
+        "pivot_stats": q_pivot_stats,
         "span_near": q_span_near,
         "multi_phrase": q_multi_phrase,
         "term_in_set": q_term_in_set,
@@ -4790,6 +4872,85 @@ SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
 WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
 GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "sloppy_phrase": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+ev AS (  -- offset-adjusted clause occurrences (a = p - clause_index)
+  SELECT doc_id, ord AS v, 0 AS cl FROM tokp WHERE term = '{PHRASE[0]}'
+  UNION ALL
+  SELECT doc_id, ord - 1 AS v, 1 AS cl FROM tokp WHERE term = '{PHRASE[1]}'
+),
+cand AS (SELECT doc_id FROM ev GROUP BY doc_id HAVING count(DISTINCT cl) = 2),
+seq AS (  -- the greedy sweep: event k's window = max over clauses of the
+          -- first clause occurrence at sorted position >= k, minus v_k
+  SELECT e.doc_id, v, cl,
+    row_number() OVER w AS k,
+    min(CASE WHEN cl = 0 THEN v END) OVER
+      (PARTITION BY e.doc_id ORDER BY v, cl
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h0,
+    min(CASE WHEN cl = 1 THEN v END) OVER
+      (PARTITION BY e.doc_id ORDER BY v, cl
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h1
+  FROM ev e JOIN cand USING (doc_id)
+  WINDOW w AS (PARTITION BY e.doc_id ORDER BY v, cl)
+),
+stops AS (  -- sweep stops after consuming the last event of any clause
+  SELECT doc_id,
+         least(max(CASE WHEN cl = 0 THEN k END),
+               max(CASE WHEN cl = 1 THEN k END)) AS stop_k
+  FROM seq GROUP BY doc_id
+),
+hits AS (
+  SELECT s.doc_id, greatest(h0, h1) - v AS width
+  FROM seq s JOIN stops USING (doc_id)
+  WHERE s.k <= stop_k AND greatest(h0, h1) - v <= {SLOPPY_SLOP}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(sum(CAST(floor(6.0 / (1 + width)) AS BIGINT)) AS BIGINT) AS score6
+FROM hits GROUP BY doc_id ORDER BY doc_id""",
+        "synonym_query": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_OR_TERMS)})
+        GROUP BY doc_id),
+dfs AS (SELECT max(df) AS df FROM (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok
+          WHERE term IN ({", ".join(f"'{t}'" for t in BM25_OR_TERMS)})
+          GROUP BY term)),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+)
+SELECT doc_id,
+  CAST({_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS FLOAT) AS score
+FROM inputs
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "covering_query": f"""
+WITH {_TOK_CTE},
+m AS (SELECT doc_id, count(DISTINCT term) AS n_matched FROM tok
+      WHERE term IN ({", ".join(f"'{t}'" for t in TIS_TERMS)})
+      GROUP BY doc_id)
+SELECT d.doc_id, CAST(m.n_matched AS BIGINT) AS n_matched,
+       CAST(1 + d.n_chars % 3 AS BIGINT) AS min_match
+FROM m JOIN documents d USING (doc_id)
+WHERE m.n_matched >= 1 + d.n_chars % 3
+ORDER BY doc_id""",
+        "pivot_stats": """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS count,
+       CAST(min(n_chars) AS DOUBLE) AS min,
+       CAST(max(n_chars) AS DOUBLE) AS max,
+       CAST(CAST(sum(n_chars) AS DECIMAL(38,6)) AS DOUBLE) AS sum,
+       CAST(CAST(CAST(sum(n_chars) AS DECIMAL(38,6)) AS DOUBLE) / count(*)
+            AS DOUBLE) AS mean
+FROM documents GROUP BY lang, source ORDER BY lang, source""",
         "span_near": f"""
 WITH tokp AS (
   SELECT doc_id,

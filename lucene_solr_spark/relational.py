@@ -263,6 +263,32 @@ def facet_stats(df: DataFrame, bucket: str, field: str,
     return df.groupBy(bucket).agg(*aggs).orderBy(bucket)
 
 
+def pivot_stats(df: DataFrame, fields: list[str], stat_field: str) -> DataFrame:
+    """facet.pivot with an attached stats component (Solr's
+    ``facet.pivot={!stats=tag}f1,f2`` — ``[8x] solr/core/src/java/org/
+    apache/solr/handler/component/PivotFacetProcessor.java`` attaches
+    StatsComponent results to every pivot bucket): per (f1, f2, …)
+    bucket, the count plus min/max/sum/mean over ``stat_field``.
+
+    Sums run in DECIMAL(38,6) so the per-bucket totals are exact and
+    hash-stable at any partitioning (float sums are order-dependent);
+    mean = exact sum / count, one f64 division per bucket.  One shuffle
+    on the pivot key tuple, map-side partial aggregation — the same
+    plan as a plain pivot facet."""
+    c = F.col(stat_field)
+    dec = c.cast("decimal(38,6)")
+    g = df.groupBy(*fields).agg(
+        F.count(F.lit(1)).cast("long").alias("count"),
+        F.min(c).cast("double").alias("min"),
+        F.max(c).cast("double").alias("max"),
+        F.sum(dec).cast("decimal(38,6)").alias("sum"),
+    )
+    g = g.withColumn(
+        "mean", (F.col("sum").cast("double") / F.col("count")).cast("double")
+    )
+    return g.orderBy(*[F.asc(f) for f in fields])
+
+
 def stats_component(df: DataFrame, field: str) -> DataFrame:
     """StatsComponent: min/max/sum/count/mean/stddev/sumOfSquares over the
     whole result set."""

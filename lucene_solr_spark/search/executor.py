@@ -19,6 +19,7 @@ is cast back to float32 — so join/aggregation order cannot change results.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 import numpy as np
@@ -1165,3 +1166,85 @@ def count_hits(index: IndexView, query) -> int:
     if index.tombstones is not None:
         m = m.join(index.tombstones, "doc_id", "left_anti")
     return m.count()
+
+
+def sloppy_window_stats(index: IndexView, phrase, scale: int = 6) -> DataFrame:
+    """[doc_id, n_matches, score_scaled] — the sloppy-phrase minimal
+    windows of ``phrase`` (slop > 0) reduced to ORDER-FREE integers:
+    per doc, the count of minimal windows and Σ scale // (1 + width)
+    over them.  With ``scale`` = lcm(1..slop+1) every per-window
+    contribution scale/(1+width) is an exact integer, so the per-doc sum
+    is hash-stable across engines and partitionings — the integer twin
+    of ``_sloppy_tf``'s Σ 1/(1+width) sloppyFreq (same kernel, same
+    greedy enumeration; ``[8x] lucene/core/.../search/
+    SloppyPhraseMatcher.java``).
+
+    Plan shape is identical to ``_sloppy_tf``: leapfrog-filtered blocks,
+    candidate AND pre-intersection above the cost gate, collect_list
+    packing, ONE ``mapInPandas`` running the batched event-sweep with
+    ``return_windows=True``.
+    """
+    from .sloppy import sloppy_freq_batch
+
+    if scale % math.lcm(*range(1, phrase.slop + 2)) != 0:
+        raise ValueError(
+            f"scale {scale} not divisible by lcm(1..{phrase.slop + 1})")
+    offs, n_clauses, uniq = _phrase_spec(phrase)
+    stats, total_blocks = _phrase_stats(index, uniq, None)
+    pt = positions_table(
+        index, uniq, blocks=_phrase_blocks(index, uniq, stats, total_blocks)
+    )
+    if n_clauses > 1 and total_blocks >= _PHRASE_PREINTERSECT_MIN_BLOCKS:
+        pt = pt.join(_phrase_candidates(index, uniq, offs, n_clauses),
+                     "doc_id", "left_semi")
+    cdf = index.spark.createDataFrame(offs, "term string, off int, clause int")
+    j = pt.join(F.broadcast(cdf), "term").select(
+        "doc_id", "clause", "off", "positions"
+    )
+    packed = j.groupBy("doc_id").agg(
+        F.collect_list(F.struct("clause", "off", "positions")).alias("_cl"),
+    )
+    slop = phrase.slop
+    sc = int(scale)
+
+    def _kern(batches):
+        for pdf in batches:
+            cl_col = pdf["_cl"]
+            n_batch = pdf.shape[0]
+            vals, cls, dgs = [], [], []
+            keep = np.zeros(n_batch, dtype=bool)
+            for i in range(n_batch):  # list ASSEMBLY only — sweep is batched
+                cl = cl_col.iat[i]
+                if len(cl) < n_clauses:
+                    continue
+                keep[i] = True
+                for item in cl:
+                    a = np.asarray(item["positions"], dtype=np.int64) - int(item["off"])
+                    vals.append(a)
+                    cls.append(np.full(a.size, int(item["clause"]), dtype=np.int64))
+                    dgs.append(np.full(a.size, i, dtype=np.int64))
+            if not vals:
+                continue
+            _, (gw, _, _, ww) = sloppy_freq_batch(
+                np.concatenate(vals), np.concatenate(cls), np.concatenate(dgs),
+                n_clauses, slop, n_batch, return_windows=True,
+            )
+            n_m = np.bincount(gw, minlength=n_batch).astype(np.int64)
+            s6 = np.bincount(
+                gw, weights=(sc // (1 + ww)).astype(np.float64),
+                minlength=n_batch,
+            ).astype(np.int64)
+            sel = keep & (n_m > 0)
+            if not sel.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[sel],
+                    "n_matches": n_m[sel],
+                    "score_scaled": s6[sel],
+                }
+            )
+
+    return packed.mapInPandas(
+        _kern, "doc_id long, n_matches long, score_scaled long"
+    )

@@ -28,7 +28,8 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "block_join_facet",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
-           "suggest_infix_blended", "luke_top_terms"]
+           "suggest_infix_blended", "luke_top_terms", "synonym_search",
+           "covering_query"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -947,3 +948,101 @@ def rrf_fuse(
         .limit(k)
         .select("id", "rrf_score", *names)
     )
+
+
+def synonym_search(index: IndexView, terms: list[str], k: int = 10,
+                   boost: float = 1.0) -> DataFrame:
+    """Lucene SynonymQuery: score all ``terms`` as ONE pseudo-term
+    (``[8x] lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java``).
+
+    Semantics (SynonymWeight's blended TermStatistics + SynonymScorer's
+    merged postings): per-doc freq = Σ tf over the synonym terms,
+    docFreq = MAX of the terms' docFreqs, collectionFreq = their SUM —
+    the idf is computed once from the blended stats, unlike ``Or`` which
+    sums per-term idf-weighted scores.  Top-k in (score desc, doc asc)
+    order, TopScoreDocCollector contract.
+
+    Distributed shape: one decode pass over the terms' posting blocks;
+    the per-doc tf merge is a single groupBy(doc_id) with map-side
+    combine; term stats come from the memoized dictionary (two ints per
+    term of bounded driver work — Lucene's TermStates resolution step).
+    """
+    from .executor import _leaf_stats_full
+
+    full = _leaf_stats_full(index, terms)
+    if not full:
+        return index.spark.createDataFrame([], "doc_id long, score float")
+    present = list(full)
+    sim = index.bm25
+    df_syn = max(d for d, _ in full.values())
+    cf_syn = sum(c for _, c in full.values())
+    cache = index.norm_inverse_cache(present[0])
+    score_fn = sim.score
+    if hasattr(sim, "weight_full"):
+        w = sim.weight_full(df_syn, cf_syn, *index.stats_for(present[0]), boost)
+    else:
+        w = sim.weight(df_syn, index.stats_for(present[0])[0], boost)
+
+    @F.pandas_udf("double")
+    def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+        s = score_fn(tf.to_numpy(dtype=np.float64),
+                     nb.to_numpy(dtype=np.int64), w, cache)
+        return pd.Series(np.asarray(s, dtype=np.float64))
+
+    merged = (
+        postings_table(index, present)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"),
+             F.first("norm_byte").alias("norm_byte"))
+    )
+    sc = merged.select(
+        "doc_id", _score(F.col("tf"), F.col("norm_byte")).alias("score")
+    )
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return (
+        sc.withColumn("score", F.col("score").cast("float"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def covering_query(index: IndexView, terms: list[str], min_match: DataFrame,
+                   k: int | None = None) -> DataFrame:
+    """CoveringQuery (``[8x] lucene/sandbox/src/java/org/apache/lucene/
+    search/CoveringQuery.java``): a doc matches iff at least
+    ``minimumNumberMatch(doc)`` of the clause terms match it — the
+    per-doc minimum comes from a LongValuesSource, here a
+    ``[doc_id, min_match]`` DataFrame (the docvalues analog); values
+    below 1 are clamped to 1 (a clause must still match).  The score is
+    the SUM of the matching clauses' scores, exactly Lucene's
+    CoveringScorer (sum of positioned sub-scorers).
+
+    Returns [doc_id, n_matched, min_match, score] in (score desc,
+    doc asc) order.  Distributed shape: ONE decode pass over the clause
+    terms feeds both the per-doc clause count and the per-clause BM25
+    stream; the threshold test is a doc_id equi-join against the
+    docvalues frame — no driver-side evaluation of the values source.
+    """
+    counts = (
+        postings_table(index, terms)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").cast("long").alias("n_matched"))
+    )
+    mm = min_match.select(
+        "doc_id",
+        F.greatest(F.col("min_match").cast("long"), F.lit(1)).alias("min_match"),
+    )
+    ok = (
+        counts.join(mm, "doc_id")
+        .filter(F.col("n_matched") >= F.col("min_match"))
+        .select("doc_id", "n_matched", "min_match")
+    )
+    sc = _scored_stream(index, Or(*[Term(t) for t in terms]))
+    out = (
+        sc.join(ok, "doc_id")
+        .withColumn("score", F.col("score").cast("float"))
+        .select("doc_id", "n_matched", "min_match", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return out.limit(k) if k is not None else out

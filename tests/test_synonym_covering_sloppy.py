@@ -1,0 +1,208 @@
+"""SynonymQuery / CoveringQuery / sloppy window stats / pivot stats.
+
+SynonymQuery (``[8x] lucene/core/.../search/SynonymQuery.java``): all
+terms scored as ONE pseudo-term — per-doc tf summed, df = max of the
+members' docFreqs — checked float32-exact against a direct numpy
+evaluation of the blended stats over the engine's own (independently
+tested) posting decode.
+
+CoveringQuery (``[8x] lucene/sandbox/.../search/CoveringQuery.java``):
+per-doc dynamic minimumNumberMatch from a values source; score = sum of
+matching clause scores (the Or stream restricted to covered docs).
+
+sloppy_window_stats: integer Σ scale//(1+width) twin of _sloppy_tf's
+sloppyFreq — same greedy kernel, so 6 × freq must equal score_scaled to
+f64 round-off, and the matched doc sets must be identical.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.bm25 import BM25
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import Or, Phrase, Term, search
+from lucene_solr_spark.search.executor import (
+    _sloppy_tf,
+    postings_table,
+    sloppy_window_stats,
+)
+from lucene_solr_spark.search.extras import covering_query, synonym_search
+
+N_DOCS = 300
+SYN = ["def", "class"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=77).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def _expected_synonym(engine, terms, boost=1.0):
+    """Direct numpy evaluation of the blended-stat pseudo-term score over
+    the engine's decoded postings (tf merge + df=max computed here, NOT
+    by the code under test)."""
+    rows = postings_table(engine, terms).collect()
+    tf = {}
+    nb = {}
+    for r in rows:
+        tf[r["doc_id"]] = tf.get(r["doc_id"], 0) + r["tf"]
+        nb[r["doc_id"]] = r["norm_byte"]
+    dfs = {
+        r["term"]: r["df"]
+        for r in engine.term_dict.filter(F.col("term").isin(terms)).collect()
+    }
+    sim: BM25 = engine.bm25
+    w = sim.weight(max(dfs.values()), engine.doc_count, boost)
+    cache = engine.norm_inverse_cache(terms[0])
+    out = {}
+    for d, t in tf.items():
+        s = sim.score(np.array([t], dtype=np.float64),
+                      np.array([nb[d]], dtype=np.int64), w, cache)
+        out[d] = np.float32(s[0])
+    return out
+
+
+def test_synonym_blended_stats_identity(engine):
+    got = synonym_search(engine, SYN, k=1_000_000).collect()
+    want = _expected_synonym(engine, SYN)
+    assert {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        assert np.float32(r["score"]) == want[r["doc_id"]]
+    # collector order: score desc, doc asc
+    keys = [(-np.float32(r["score"]), r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_synonym_differs_from_or(engine):
+    """Or sums per-term idf-weighted scores; SynonymQuery computes ONE idf
+    from the blended df — on terms with unequal dfs the scores differ."""
+    syn = {r["doc_id"]: np.float32(r["score"])
+           for r in synonym_search(engine, SYN, k=50).collect()}
+    disj = {r["doc_id"]: np.float32(r["score"])
+            for r in search(engine, Or(Term(SYN[0]), Term(SYN[1])), k=10_000,
+                            prune=False).collect()}
+    both = set(syn) & set(disj)
+    assert both
+    assert any(syn[d] != disj[d] for d in both)
+
+
+def test_synonym_missing_term_degrades(engine):
+    """Absent members contribute nothing; an all-absent set is empty."""
+    one = synonym_search(engine, [SYN[0], "zzqq_not_a_term"], k=20).collect()
+    base = _expected_synonym(engine, [SYN[0]])
+    assert all(np.float32(r["score"]) == base[r["doc_id"]] for r in one)
+    assert synonym_search(engine, ["zzqq_not_a_term"], k=5).count() == 0
+
+
+def test_covering_threshold_and_scores(engine, corpus, spark):
+    terms = ["def", "class", "return"]
+    # per-doc minimum: 1 + len(content) % 3  (values source analog)
+    vals = spark.createDataFrame(
+        [(int(i), 1 + len(c) % 3)
+         for i, c in zip(corpus["doc_id"], corpus["content"])],
+        "doc_id long, min_match long",
+    )
+    got = covering_query(engine, terms, vals).collect()
+    # reference: count matching clauses per doc from the decoded postings
+    rows = postings_table(engine, terms).collect()
+    cnt = {}
+    for r in rows:
+        cnt.setdefault(r["doc_id"], set()).add(r["term"])
+    minv = {int(i): 1 + len(c) % 3
+            for i, c in zip(corpus["doc_id"], corpus["content"])}
+    want = {d for d, s in cnt.items() if len(s) >= max(minv[d], 1)}
+    assert {r["doc_id"] for r in got} == want
+    for r in got:
+        assert r["n_matched"] == len(cnt[r["doc_id"]])
+        assert r["min_match"] == minv[r["doc_id"]]
+    # score = the Or stream's score on covered docs (sum of clause scores)
+    disj = {r["doc_id"]: np.float32(r["score"])
+            for r in search(engine, Or(*[Term(t) for t in terms]),
+                            k=10_000, prune=False).collect()}
+    for r in got:
+        assert np.float32(r["score"]) == disj[r["doc_id"]]
+
+
+def test_covering_min_clamped_to_one(engine, spark):
+    """Values < 1 clamp to 1 — a clause must still match (no match-all)."""
+    terms = ["def", "class"]
+    vals = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"), F.lit(-5).alias("min_match")
+    )
+    got = covering_query(engine, terms, vals).collect()
+    assert got  # non-empty
+    assert all(r["min_match"] == 1 and r["n_matched"] >= 1 for r in got)
+    rows = postings_table(engine, terms).select("doc_id").distinct().collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in rows}
+
+
+@pytest.mark.parametrize("slop", [1, 2, 3])
+def test_sloppy_window_stats_vs_sloppy_freq(engine, slop):
+    """Same greedy kernel: scale × sloppyFreq == Σ scale//(1+width) to f64
+    round-off, and matched doc sets identical."""
+    phrase = Phrase("def", "class", slop=slop)
+    scale = math.lcm(*range(1, slop + 2))
+    freq = {r["doc_id"]: r["sf"] for r in _sloppy_tf(engine, phrase).collect()}
+    stats = {r["doc_id"]: (r["n_matches"], r["score_scaled"])
+             for r in sloppy_window_stats(engine, phrase, scale=scale).collect()}
+    assert set(freq) == set(stats)
+    assert freq  # probe matches somewhere
+    for d, sf in freq.items():
+        n, s = stats[d]
+        assert n >= 1
+        assert abs(sf * scale - s) < 1e-6
+
+
+def test_sloppy_window_stats_hand_case(spark):
+    """Hand-enumerated greedy windows: doc 'a x b a b' with slop 1 —
+    adjusted positions A=[0,3], B=[1,3]; the sweep's per-step widths and
+    the k<=stop rule are enumerated inline below (ground truth)."""
+    df = spark.createDataFrame([(0, "a x b a b")], "doc_id long, text string")
+    idx = build_index_view(df, id_col="doc_id", text_col="text")
+    out = sloppy_window_stats(idx, Phrase("a", "b", slop=1), scale=2).collect()
+    # positions: a@0, a@3; b@2, b@4 → adjusted B=[1,3]
+    # events: (0,A),(1,B),(3,A),(3,B); stop after third event (A exhausted)
+    # k=1: heads A=0,B=1 → width 1 ≤ 1 hit (contrib 2//2=1)
+    # k=2: heads A=3,B=1 → width 2 > 1 miss
+    # k=3: heads A=3,B=3 → width 0 hit (contrib 2)
+    # k=4 > stop
+    assert len(out) == 1
+    assert out[0]["n_matches"] == 2 and out[0]["score_scaled"] == 3
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_pivot_stats_matches_pandas(spark, corpus):
+    from lucene_solr_spark.relational import pivot_stats
+
+    pdf = corpus.copy()
+    pdf["lang"] = ["en" if i % 3 else "de" for i in range(len(pdf))]
+    pdf["n"] = pdf["content"].str.len().astype("int64")
+    df = spark.createDataFrame(pdf[["doc_id", "lang", "n"]])
+    got = pivot_stats(df, ["lang"], "n").collect()
+    grp = pdf.groupby("lang")["n"]
+    want = {
+        k: (int(g.count()), float(g.min()), float(g.max()), int(g.sum()))
+        for k, g in grp
+    }
+    assert len(got) == len(want)
+    for r in got:
+        c, mn, mx, sm = want[r["lang"]]
+        assert (r["count"], r["min"], r["max"]) == (c, mn, mx)
+        assert float(r["sum"]) == float(sm)
+        assert r["mean"] == float(sm) / c
