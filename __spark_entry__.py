@@ -2972,6 +2972,65 @@ def q_covering_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_matched", "min_match").orderBy("doc_id")
 
 
+BLEND_TIE = 0.01  # BlendedTermQuery's default DisjunctionMaxRewrite tie
+
+
+def q_blended_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedTermQuery: BM25_TERM across two fields (text + a title
+    field = first 160 chars) with BLENDED term stats — df = max of the
+    two fields' dfs — while norms/avgdl/docCount stay per-field;
+    combined DisMax(tie=0.01).  f64-parity leaves over the real
+    multi-field decoded postings, DECIMAL-exact sum."""
+    from lucene_solr_spark.index import build_multifield_index_view
+
+    d = _docs(spark, sf_dir).withColumn("title", F.substring("text", 1, 160))
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "title": "title"}, default_field="text"
+    )
+    terms = [f"text:{BM25_TERM}", f"title:{BM25_TERM}"]
+    pt = postings_table(idx, terms)
+    lt = F.array(*[F.lit(v) for v in _LT])
+    pt = pt.withColumn(
+        "qdl", F.element_at(lt, (F.col("norm_byte") + 1).cast("int")).cast("long")
+    )
+    dfm = (
+        idx.term_dict.filter(F.col("term").isin(terms))
+        .agg(F.max("df").cast("long").alias("df"))
+    )
+    fs = spark.createDataFrame(
+        [
+            (t, int(idx.field_stats[t.split(":", 1)[0]][0]),
+             int(idx.field_stats[t.split(":", 1)[0]][1]))
+            for t in terms
+        ],
+        "term string, n_docs long, sum_ttf long",
+    )
+    expr = _BM25_EXPR.format(
+        N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)"
+    )
+    sc = (
+        pt.join(F.broadcast(fs), "term")
+        .crossJoin(F.broadcast(dfm))
+        .withColumn("score64", F.expr(expr))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.max("score64").alias("mx"),
+        F.sum(F.col("score64").cast("decimal(38,18)")).cast("double").alias("sm"),
+    )
+    score = (
+        F.col("mx") + F.lit(BLEND_TIE) * (F.col("sm") - F.col("mx"))
+    ).cast("float")
+    out = (
+        agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.pivot with attached stats: per (lang, source) pivot bucket,
     count + min/max/exact-DECIMAL sum/mean over n_chars."""
@@ -3007,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_phrase": q_fts_phrase,
         "sloppy_phrase": q_sloppy_phrase,
         "synonym_query": q_synonym_query,
+        "blended_term": q_blended_term,
         "covering_query": q_covering_query,
         "pivot_stats": q_pivot_stats,
         "span_near": q_span_near,
@@ -4933,6 +4993,42 @@ SELECT doc_id,
   CAST({_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS FLOAT) AS score
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "blended_term": f"""
+WITH {_TOK_CTE},
+tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(substr(text, 1, 160)),
+         '{TOKEN_PATTERN}')) AS term FROM documents),
+{_DL_CTE},
+dlt AS (SELECT doc_id, count(*) AS dl FROM tokt GROUP BY doc_id),
+stx AS (SELECT (SELECT count(*) FROM dl) AS n_docs,
+               (SELECT count(*) FROM tok) AS sum_ttf),
+stt AS (SELECT (SELECT count(*) FROM dlt) AS n_docs,
+               (SELECT count(*) FROM tokt) AS sum_ttf),
+t_tf AS (SELECT doc_id, count(*) AS tf FROM tok
+         WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+ti_tf AS (SELECT doc_id, count(*) AS tf FROM tokt
+          WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfb AS (SELECT greatest((SELECT count(*) FROM t_tf),
+                        (SELECT count(*) FROM ti_tf)) AS df),
+in_t AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM t_tf t JOIN dl d USING (doc_id), dfb f, stx s
+),
+in_i AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM ti_tf t JOIN dlt d USING (doc_id), dfb f, stt s
+),
+u AS (
+  SELECT doc_id, {_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS score64 FROM in_t
+  UNION ALL
+  SELECT doc_id, {_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS score64 FROM in_i
+)
+SELECT doc_id, CAST(mx + 1e-2 * (sm - mx) AS FLOAT) AS score
+FROM (SELECT doc_id, max(score64) AS mx,
+             CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS sm
+      FROM u GROUP BY doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
         "covering_query": f"""
 WITH {_TOK_CTE},
 m AS (SELECT doc_id, count(DISTINCT term) AS n_matched FROM tok

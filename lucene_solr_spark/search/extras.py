@@ -29,7 +29,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
-           "covering_query"]
+           "covering_query", "blended_term_search"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1046,3 +1046,70 @@ def covering_query(index: IndexView, terms: list[str], min_match: DataFrame,
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return out.limit(k) if k is not None else out
+
+
+def blended_term_search(index: IndexView, token: str, fields: list[str],
+                        k: int = 10, tie: float = 0.01,
+                        boost: float = 1.0) -> DataFrame:
+    """BlendedTermQuery (``[8x] lucene/core/src/java/org/apache/lucene/
+    search/BlendedTermQuery.java``): the same token across several
+    FIELDS, each per-field TermQuery scored with BLENDED term statistics
+    — docFreq and totalTermFreq replaced by the MAX over the per-field
+    term contexts (BlendedTermQuery#blend) — then combined with Lucene's
+    default DisjunctionMaxRewrite (tieBreaker=0.01): per doc
+    f32(max + tie * (sum - max)).  Norms and collection statistics stay
+    PER-FIELD (each clause keeps its own field's avgdl / docCount, as
+    adjustFrequencies only touches the TermStates); only the term stats
+    blend — this is what makes cross-field scoring comparable when one
+    field is rare-vocabulary (the ES ``cross_fields`` primitive).
+
+    Distributed shape: one decode pass over the per-field posting
+    blocks; each field's leaf is scored by its own Arrow-batched kernel
+    (per-field norm cache); the DisMax combine is one groupBy(doc_id).
+    """
+    terms = [f"{f}:{token}" for f in fields]
+    from .executor import _leaf_stats_full
+
+    full = _leaf_stats_full(index, terms)
+    if not full:
+        return index.spark.createDataFrame([], "doc_id long, score float")
+    sim = index.bm25
+    df_b = max(d for d, _ in full.values())
+    cf_b = max(c for _, c in full.values())
+    score_fn = sim.score
+    pt = postings_table(index, list(full))
+    children = []
+    for t in full:
+        if hasattr(sim, "weight_full"):
+            w = sim.weight_full(df_b, cf_b, *index.stats_for(t), boost)
+        else:
+            w = sim.weight(df_b, index.stats_for(t)[0], boost)
+        cache = index.norm_inverse_cache(t)
+
+        def _mk(w=w, cache=cache):
+            @F.pandas_udf("double")
+            def _score(tf: pd.Series, nb: pd.Series) -> pd.Series:
+                s = score_fn(tf.to_numpy(dtype=np.float64),
+                             nb.to_numpy(dtype=np.int64), w, cache)
+                return pd.Series(np.asarray(s, dtype=np.float64))
+            return _score
+
+        children.append(
+            pt.filter(F.col("term") == t).select(
+                "doc_id", _mk()(F.col("tf"), F.col("norm_byte")).alias("score")
+            )
+        )
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, children)
+    agg = u.groupBy("doc_id").agg(
+        F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+    )
+    sc = agg.select(
+        "doc_id",
+        (F.col("_mx") + (F.col("_sm") - F.col("_mx")) * F.lit(float(tie)))
+        .cast("float").alias("score"),
+    )
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -98,6 +98,11 @@ SUBSET = [
     "geo_sort",
     "sharded_stats",
     "sharded_spell",
+    "sloppy_phrase",
+    "synonym_query",
+    "covering_query",
+    "pivot_stats",
+    "blended_term",
 ]
 
 

@@ -206,3 +206,46 @@ def test_pivot_stats_matches_pandas(spark, corpus):
         assert (r["count"], r["min"], r["max"]) == (c, mn, mx)
         assert float(r["sum"]) == float(sm)
         assert r["mean"] == float(sm) / c
+
+
+def test_blended_term_cross_field(spark, corpus):
+    """BlendedTermQuery: per-field leaves scored with the BLENDED df
+    (= max over fields) but each field's own norms/avgdl, DisMax(0.01)
+    combine — checked f32-exact against a direct numpy evaluation."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search.extras import blended_term_search
+
+    pdf = corpus.copy()
+    pdf["title"] = pdf["content"].str.slice(0, 80)
+    df = spark.createDataFrame(pdf[["doc_id", "content", "title"]])
+    idx = build_multifield_index_view(
+        df, fields={"body": "content", "title": "title"}, default_field="body"
+    )
+    token = "def"
+    got = blended_term_search(idx, token, ["body", "title"], k=10_000).collect()
+
+    terms = [f"body:{token}", f"title:{token}"]
+    rows = postings_table(idx, terms).collect()
+    dfs = {
+        r["term"]: (r["df"], r["cf"])
+        for r in idx.term_dict.filter(F.col("term").isin(terms)).collect()
+    }
+    df_b = max(d for d, _ in dfs.values())
+    assert dfs[terms[0]][0] != dfs[terms[1]][0]  # fields genuinely differ
+    sim = idx.bm25
+    per_doc: dict = {}
+    for r in rows:
+        w = sim.weight(df_b, idx.stats_for(r["term"])[0], 1.0)
+        cache = idx.norm_inverse_cache(r["term"])
+        s = sim.score(np.array([r["tf"]], dtype=np.float64),
+                      np.array([r["norm_byte"]], dtype=np.int64), w, cache)
+        per_doc.setdefault(r["doc_id"], []).append(float(s[0]))
+    want = {}
+    for d, ss in per_doc.items():
+        mx, sm = max(ss), sum(ss)
+        want[d] = np.float32(mx + (sm - mx) * 0.01)
+    assert {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        assert np.float32(r["score"]) == want[r["doc_id"]]
+    idx.postings.unpersist()
+    idx.norms.unpersist()
