@@ -1024,27 +1024,32 @@ def covering_query(index: IndexView, terms: list[str], min_match: DataFrame,
     stream; the threshold test is a doc_id equi-join against the
     docvalues frame — no driver-side evaluation of the values source.
     """
-    counts = (
-        postings_table(index, terms)
-        .groupBy("doc_id")
-        .agg(F.count_distinct("term").cast("long").alias("n_matched"))
+    from functools import reduce
+
+    from .executor import _scores
+
+    # one scored stream per clause term (each reads its own posting
+    # blocks once); count + sum come out of ONE groupBy — no second
+    # decode pass for the clause counter
+    children = [_scores(index, Term(t)) for t in dict.fromkeys(terms)]
+    u = reduce(DataFrame.unionByName, children)
+    agg = u.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("score").alias("_sm"),  # f64 accumulate, f32 at the boundary
     )
     mm = min_match.select(
         "doc_id",
         F.greatest(F.col("min_match").cast("long"), F.lit(1)).alias("min_match"),
     )
-    ok = (
-        counts.join(mm, "doc_id")
-        .filter(F.col("n_matched") >= F.col("min_match"))
-        .select("doc_id", "n_matched", "min_match")
-    )
-    sc = _scored_stream(index, Or(*[Term(t) for t in terms]))
     out = (
-        sc.join(ok, "doc_id")
-        .withColumn("score", F.col("score").cast("float"))
-        .select("doc_id", "n_matched", "min_match", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        agg.join(mm, "doc_id")
+        .filter(F.col("n_matched") >= F.col("min_match"))
+        .select("doc_id", "n_matched", "min_match",
+                F.col("_sm").cast("float").alias("score"))
     )
+    if index.tombstones is not None:
+        out = out.join(index.tombstones, "doc_id", "left_anti")
+    out = out.orderBy(F.desc("score"), F.asc("doc_id"))
     return out.limit(k) if k is not None else out
 
 
