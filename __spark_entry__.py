@@ -404,6 +404,22 @@ def q_term_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TR_LO, TR_HI = "spa", "spm"  # lexical term-range probe [lo, hi)
+
+
+def q_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery (constant-score): docs containing any dictionary
+    term lexically in [TR_LO, TR_HI) — the range predicate pushes to the
+    posting-block scan (parquet min/max stats prune), doc ids decoded
+    distributed."""
+    from lucene_solr_spark.search.executor import _matches
+    from lucene_solr_spark.search.query import TermRange
+
+    index = _index_for(spark, sf_dir)
+    q = TermRange(TR_LO, TR_HI, include_lower=True, include_upper=False)
+    return _matches(index, q).select("doc_id").distinct().orderBy("doc_id")
+
+
 IV_SPECS = ("[*,500)", "[0,1000]", "[2000,*]", "[500,2000)")  # overlap on purpose
 
 
@@ -909,6 +925,20 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = minhash_signatures(_docs(spark, sf_dir))
     return lsh_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+def q_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: odd-doc_id docs (the 'new batch') flagged
+    against even-doc_id docs (the 'existing corpus') — exact sha256
+    collisions + LSH-band near-dups with signature agreement >= 0.5.
+    No base×base work anywhere: both probes are equi-joins on
+    hash / (band, key)."""
+    from lucene_solr_spark.pipeline import delta_dedup
+
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    delta = d.filter(F.col("doc_id") % 2 == 1)
+    return delta_dedup(base, delta)
 
 
 def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,6 +1589,29 @@ def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
+CG_WORDS = ("the", "a", "of", "to", "and", "in")  # commonWords probe set
+
+
+def q_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonGramsFilter dictionary: adjacent pairs where either member
+    is a common word become gram terms 'a_b' (alongside the unigrams) —
+    top 50 grams by cf via the full chain→invert→encode pipeline."""
+    from lucene_solr_spark.analysis import Chain, common_grams_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(common_grams_filter(CG_WORDS),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.filter(F.col("term").contains("_"))
+        .orderBy(F.desc("cf"), F.asc("term"))
         .limit(50)
         .select("term", "df", "cf")
     )
@@ -3067,11 +3120,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sloppy_phrase": q_sloppy_phrase,
         "synonym_query": q_synonym_query,
         "blended_term": q_blended_term,
+        "common_grams": q_common_grams,
         "covering_query": q_covering_query,
         "pivot_stats": q_pivot_stats,
         "span_near": q_span_near,
         "multi_phrase": q_multi_phrase,
         "term_in_set": q_term_in_set,
+        "term_range": q_term_range,
         "facet_interval": q_facet_interval,
         "geo_filt": q_geo_filt,
         "geo_sort": q_geo_sort,
@@ -3106,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "lsh_pairs": q_lsh_pairs,
+        "delta_dedup": q_delta_dedup,
         "dedup_clusters": q_dedup_clusters,
         "highlight": q_highlight,
         "simhash": q_simhash,
@@ -3582,6 +3638,41 @@ SELECT id_a, id_b,
   CAST(CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 16 AS FLOAT)
   AS est_jaccard
 FROM pairs ORDER BY id_a, id_b""",
+        "delta_dedup": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
+siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
+bandb AS (
+  SELECT doc_id, b, sigl[b*4+1 : b*4+4] AS key, sigl
+  FROM siglist, (VALUES (0), (1), (2), (3)) AS bands(b)
+  WHERE doc_id % 2 = 0
+),
+bandd AS (
+  SELECT doc_id, b, sigl[b*4+1 : b*4+4] AS key, sigl
+  FROM siglist, (VALUES (0), (1), (2), (3)) AS bands(b)
+  WHERE doc_id % 2 = 1
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS nid, x.doc_id AS bid, d.sigl AS sd, x.sigl AS sb
+  FROM bandd d JOIN bandb x ON d.b = x.b AND d.key = x.key
+),
+near AS (
+  SELECT nid AS doc_id, CAST(count(*) AS BIGINT) AS n_near
+  FROM cand
+  WHERE CAST(CAST(len(list_filter(list_zip(sd, sb), x -> x[1] = x[2]))
+        AS DOUBLE) / 16 AS FLOAT) >= 5e-1
+  GROUP BY nid
+),
+bh AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+ex AS (
+  SELECT d.doc_id, (bh.h IS NOT NULL) AS exact_dup
+  FROM documents d LEFT JOIN bh ON sha256(d.text) = bh.h
+  WHERE d.doc_id % 2 = 1
+)
+SELECT e.doc_id, e.exact_dup,
+       CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+       coalesce(n.n_near, 0) > 0 AS near_dup
+FROM ex e LEFT JOIN near n USING (doc_id)
+ORDER BY e.doc_id""",
         "dedup_clusters": f"""
 WITH RECURSIVE {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
 siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
@@ -4993,6 +5084,27 @@ SELECT doc_id,
   CAST({_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS FLOAT) AS score
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "common_grams": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+grams AS (
+  SELECT a.doc_id, a.term || '_' || b.term AS term
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  WHERE a.term IN ({", ".join(f"'{w}'" for w in CG_WORDS)})
+     OR b.term IN ({", ".join(f"'{w}'" for w in CG_WORDS)})
+),
+alltoks AS (
+  SELECT doc_id, term FROM tokp UNION ALL SELECT doc_id, term FROM grams
+),
+d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+      FROM alltoks GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+FROM d WHERE contains(term, '_')
+ORDER BY cf DESC, term ASC LIMIT 50""",
         "blended_term": f"""
 WITH {_TOK_CTE},
 tokt AS (SELECT doc_id, unnest(regexp_extract_all(lower(substr(text, 1, 160)),
@@ -5038,6 +5150,11 @@ SELECT d.doc_id, CAST(m.n_matched AS BIGINT) AS n_matched,
        CAST(1 + d.n_chars % 3 AS BIGINT) AS min_match
 FROM m JOIN documents d USING (doc_id)
 WHERE m.n_matched >= 1 + d.n_chars % 3
+ORDER BY doc_id""",
+        "term_range": f"""
+WITH {_TOK_CTE}
+SELECT DISTINCT doc_id FROM tok
+WHERE term >= '{TR_LO}' AND term < '{TR_HI}'
 ORDER BY doc_id""",
         "pivot_stats": """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS count,

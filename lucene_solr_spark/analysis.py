@@ -51,6 +51,7 @@ __all__ = [
     "Map",
     "Expand",
     "Shingle",
+    "CommonGrams",
     "CharReplace",
     "html_strip_char_filter",
     "pattern_replace_char_filter",
@@ -70,6 +71,7 @@ __all__ = [
     "edge_ngram_filter",
     "ngram_filter",
     "shingle_filter",
+    "common_grams_filter",
     "stop_filter",
     "length_filter",
     "chain_spec",
@@ -400,6 +402,22 @@ class Shingle:
 
 
 @dataclass(frozen=True)
+class CommonGrams:
+    """CommonGramsFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/commongrams/CommonGramsFilter.java``): for
+    each ADJACENT stream token pair where either member is a common
+    word, additionally emit the gram ``a<sep>b`` at the first member's
+    position — phrase-shaped high-frequency pairs ("the_data") become
+    single dictionary terms, so stopword-heavy phrases stay searchable
+    without paying the stopword postings at query time.  The index
+    filter always keeps the unigrams (Lucene's query-side
+    CommonGramsQueryFilter is the one that drops them)."""
+
+    words: frozenset
+    sep: str = "_"
+
+
+@dataclass(frozen=True)
 class CharReplace:
     """Pre-tokenizer char filter: an ordered list of string rewrites
     applied to the RAW text before tokenization (Lucene's CharFilter
@@ -604,6 +622,12 @@ def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) ->
     return Shingle(size, sep, keep_unigrams)
 
 
+def common_grams_filter(words: Iterable[str], sep: str = "_") -> CommonGrams:
+    """CommonGramsFilterFactory analog: ``words`` is the commonWords set
+    (typically the stopword list)."""
+    return CommonGrams(frozenset(words), sep)
+
+
 def lowercase_filter() -> Map:
     """Explicit LowerCaseFilter step for case-preserving chains
     (``lower=False`` + MIXED_TOKEN_PATTERN); the default chain fuses
@@ -747,6 +771,13 @@ class Chain:
                     for i in range(len(stream) - step.size + 1)
                 ]
                 stream = (stream + sh) if step.keep_unigrams else sh
+            elif isinstance(step, CommonGrams):
+                cg = [
+                    (stream[i][0] + step.sep + stream[i + 1][0], stream[i][1])
+                    for i in range(len(stream) - 1)
+                    if stream[i][0] in step.words or stream[i + 1][0] in step.words
+                ]
+                stream = stream + cg
             else:
                 raise TypeError(f"unknown chain step {step}")
         return stream
@@ -817,6 +848,22 @@ class Chain:
                     pos = np.concatenate([pos, sh_pos])
                 else:
                     terms, row_idx, pos = sh_terms, sh_rows, sh_pos
+            elif isinstance(step, CommonGrams):
+                if terms.size < 2:
+                    continue
+                a, b = terms[:-1], terms[1:]
+                same = row_idx[1:] == row_idx[:-1]
+                common = pd.Series(terms).isin(step.words).to_numpy()
+                keep = same & (common[:-1] | common[1:])
+                cg_terms = (a[keep] + step.sep) + b[keep]
+                terms = np.concatenate([terms, cg_terms])
+                row_idx = np.concatenate([row_idx, row_idx[:-1][keep]])
+                pos = np.concatenate([pos, pos[:-1][keep]])
+                # restore per-row stream order (reference appends grams
+                # per ROW, so a later stream step like Shingle must see
+                # [row's unigrams..., row's grams...] contiguously)
+                order = np.argsort(row_idx, kind="stable")
+                terms, row_idx, pos = terms[order], row_idx[order], pos[order]
             else:
                 raise TypeError(f"unknown chain step {step}")
         dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
@@ -924,6 +971,11 @@ def chain_spec(chain: Chain) -> dict | None:
                 {"kind": "shingle", "size": step.size, "sep": step.sep,
                  "keep_unigrams": step.keep_unigrams}
             )
+        elif isinstance(step, CommonGrams):
+            steps.append(
+                {"kind": "common_grams", "words": sorted(step.words),
+                 "sep": step.sep}
+            )
         else:
             return None  # custom callable — not declaratively serializable
     chars: list = []
@@ -990,6 +1042,8 @@ def chain_from_spec(spec: dict) -> Chain:
                 shingle_filter(s.get("size", 2), s.get("sep", "_"),
                                s.get("keep_unigrams", True))
             )
+        elif kind == "common_grams":
+            steps.append(common_grams_filter(s["words"], s.get("sep", "_")))
         else:
             raise ValueError(f"unknown chain step kind: {kind!r}")
     chars = tuple(

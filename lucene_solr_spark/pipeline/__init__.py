@@ -14,6 +14,7 @@ in __spark_entry__.py.
 
 from .dedup import (
     boilerplate_line_dedup,
+    delta_dedup,
     dedup_clusters,
     exact_dedup,
     minhash_query,
@@ -87,6 +88,7 @@ __all__ = [
     "cluster_documents",
     "dedup_clusters",
     "exact_dedup",
+    "delta_dedup",
     "hyperplane_lsh_topk",
     "lang_id",
     "lsh_candidate_pairs",

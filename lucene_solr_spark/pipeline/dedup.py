@@ -37,6 +37,7 @@ from .hashing import MINHASH_A, MINHASH_B, P31, SHINGLE_BASE, TOKENS_SQL, hterm_
 
 __all__ = [
     "exact_dedup",
+    "delta_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
@@ -681,4 +682,78 @@ def text_profile_signature(
             F.col("group_size").cast("long").alias("group_size"),
             (F.col("rn") == 1).alias("is_canonical"),
         )
+    )
+
+
+def delta_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 4,
+    jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW document in ``delta`` against an
+    EXISTING corpus ``base`` — the shape every rolling training-data
+    pipeline needs (dedup today's crawl against the accumulated corpus
+    without re-deduplicating the corpus).
+
+    Per delta doc: ``exact_dup`` = content sha256 collides with any base
+    doc; ``n_near`` = number of base docs sharing an LSH band whose
+    signature agreement >= ``jaccard``; ``near_dup`` = n_near > 0.
+    Returns [id, exact_dup, n_near, near_dup] ordered by id.
+
+    100 TB shape: the base side reduces to two compact artifacts — its
+    content-hash set and its banded minhash keys — which at scale are
+    PRECOMPUTED and maintained with the corpus (one map pass per ingest;
+    this function accepts raw text for self-containment).  Both probes
+    are equi-joins keyed on (hash) / (band_id, key): cost scales with
+    |delta| plus band-collision volume, never |base| × |base| — no
+    base-side self-join exists anywhere in the plan.
+    """
+    assert bands * rows == 16
+    bh = base.select(F.sha2(F.col(text_col), 256).alias("h")).distinct()
+    dh = delta.select(id_col, F.sha2(F.col(text_col), 256).alias("h"))
+    exact = dh.join(bh.withColumn("_e", F.lit(True)), "h", "left").select(
+        id_col, F.coalesce(F.col("_e"), F.lit(False)).alias("exact_dup")
+    )
+
+    def bandify(sigs: DataFrame, side: str) -> DataFrame:
+        band = F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band_id, slice(sig, b * {rows} + 1, {rows}) AS key))"
+            )
+        ).alias("band")
+        return (
+            sigs.filter(F.col("sig").isNotNull())
+            .select(F.col(id_col).alias(side), "sig", band)
+            .select(side, F.col("sig").alias(f"sig_{side}"),
+                    F.col("band.band_id"), F.col("band.key"))
+        )
+
+    db = bandify(minhash_signatures(delta, text_col, id_col), "nid")
+    bb = bandify(minhash_signatures(base, text_col, id_col), "bid")
+    match = "size(filter(zip_with(sig_nid, sig_bid, (x, y) -> x = y), v -> v))"
+    near = (
+        db.join(bb, ["band_id", "key"])
+        .dropDuplicates(["nid", "bid"])
+        .withColumn(
+            "est", F.expr(f"cast(cast({match} as double) / 16 as float)")
+        )
+        .filter(F.col("est") >= float(jaccard))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near"))
+        .withColumnRenamed("nid", id_col)
+    )
+    return (
+        exact.join(near, id_col, "left")
+        .select(
+            id_col,
+            "exact_dup",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+        .withColumn("near_dup", F.col("n_near") > 0)
+        .orderBy(id_col)
     )

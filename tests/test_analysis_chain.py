@@ -18,6 +18,7 @@ from lucene_solr_spark.analysis import (
     length_filter,
     porter_stem,
     shingle_filter,
+    common_grams_filter,
     stem_filter,
     stop_filter,
     synonym_filter,
@@ -97,6 +98,9 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (stop_filter(["the"]), stem_filter(protected=("flies",))),
         (double_metaphone_filter(),),
         (double_metaphone_filter(inject=True), shingle_filter(2)),
+        (common_grams_filter(["the", "of", "a"]),),
+        (stem_filter(), common_grams_filter(["the", "of"])),
+        (common_grams_filter(["the"]), shingle_filter(2)),
     ],
 )
 def test_chain_flat_matches_reference(steps):
@@ -470,3 +474,19 @@ def test_ngram_filter_semantics():
     spec = chain_spec(keep)
     assert spec["steps"][0]["kind"] == "ngram"
     assert chain_from_spec(spec).tokens("abcd x") == keep.tokens("abcd x")
+
+
+def test_common_grams_semantics():
+    """CommonGramsFilter: grams only at pairs touching a common word,
+    unigrams always kept, gram position = first member's; spec
+    round-trips."""
+    from lucene_solr_spark.analysis import chain_from_spec, chain_spec
+
+    chain = Chain(steps=(common_grams_filter(["the", "of"]),))
+    toks = chain.tokens("top of the list now")
+    assert ("top_of", 0) in toks and ("of_the", 1) in toks \
+        and ("the_list", 2) in toks
+    assert ("list_now", 3) not in toks  # neither member common
+    assert all((t, p) in toks for p, t in
+               enumerate(["top", "of", "the", "list", "now"]))
+    assert chain_from_spec(chain_spec(chain)) == chain

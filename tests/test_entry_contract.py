@@ -103,6 +103,9 @@ SUBSET = [
     "covering_query",
     "pivot_stats",
     "blended_term",
+    "common_grams",
+    "delta_dedup",
+    "term_range",
 ]
 
 

@@ -249,3 +249,26 @@ def test_blended_term_cross_field(spark, corpus):
         assert np.float32(r["score"]) == want[r["doc_id"]]
     idx.postings.unpersist()
     idx.norms.unpersist()
+
+
+def test_delta_dedup_incremental(spark):
+    """New-batch flags against an existing corpus: an exact copy, a
+    near-copy (one token changed), and a fresh doc — no base×base work
+    (plan has no base-side self-join by construction)."""
+    from lucene_solr_spark.pipeline import delta_dedup
+
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    near_text = " ".join(f"tok{i}" if i != 37 else "changed" for i in range(40))
+    other = " ".join(f"other{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(0, base_text), (2, other)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(1, base_text), (3, near_text), (5, "totally unrelated words only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in delta_dedup(base, delta).collect()}
+    assert got[1]["exact_dup"] and got[1]["near_dup"]
+    assert not got[3]["exact_dup"] and got[3]["near_dup"]
+    assert not got[5]["exact_dup"] and not got[5]["near_dup"]
+    assert got[3]["n_near"] == 1
