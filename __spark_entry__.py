@@ -237,6 +237,15 @@ def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_range_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.other=all: the o_totalprice histogram plus Solr's
+    before/after/between side buckets, one aggregation pass."""
+    from lucene_solr_spark.relational import facet_range_other
+
+    o = _tbl(spark, sf_dir, "orders")
+    return facet_range_other(o, "o_totalprice", 50000.0, 300000.0, 50000.0)
+
+
 def q_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot facet: nation x mktsegment counts (join + 2-level group-by)."""
     c = _tbl(spark, sf_dir, "customer")
@@ -2527,6 +2536,35 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_split(_docs(spark, sf_dir), rate=0.5).orderBy("id")
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption: deterministic block-wise span masking with
+    per-doc sentinels — inputs/targets strings, span + masked-token
+    counts; md5-block scheme, bit-identical at any partitioning."""
+    from lucene_solr_spark.pipeline import span_corrupt
+
+    return span_corrupt(_docs(spark, sf_dir))
+
+
+MONITOR_QUERIES = {
+    "alert_term": "spark",
+    "alert_and": "join AND window",
+    "alert_or": "hash OR stream",
+    "alert_phrase": '"data table"',
+}
+
+
+def q_monitor_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor / reverse search: the registered query set matched against
+    the document batch — (doc, saved query) hits via one presearcher-
+    filtered tokenize pass."""
+    from lucene_solr_spark.search.monitor import monitor_match
+    from lucene_solr_spark.search.query import Phrase
+
+    qs = dict(MONITOR_QUERIES)
+    qs["alert_phrase"] = Phrase("data", "table")
+    return monitor_match(_docs(spark, sf_dir), qs)
+
+
 def q_sharded_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed terms facet with Solr FacetComponent refinement:
     per-shard overrequested pages -> merged candidates -> exact per-shard
@@ -3151,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join": q_block_join,
         "facet_terms": q_facet_terms,
         "facet_range": q_facet_range,
+        "facet_range_other": q_facet_range_other,
         "facet_pivot": q_facet_pivot,
         "facet_cube": q_facet_cube,
         "stats_numeric": q_stats_numeric,
@@ -3229,6 +3268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_nodes": q_score_nodes,
         "pack_sequences": q_pack_sequences,
         "fim_split": q_fim_split,
+        "span_corrupt": q_span_corrupt,
+        "monitor_match": q_monitor_match,
         "facet_missing": q_facet_missing,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
@@ -4048,6 +4089,58 @@ SELECT doc_id AS id, selected,
     || '<MID>' || substr(text, lo + 1, hi - lo)
   ELSE text END AS fim_text
 FROM c ORDER BY id""",
+        "span_corrupt": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+m0 AS (
+  SELECT doc_id, tok, ord - 1 AS pos, (ord - 1) % 10 AS ib,
+         ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(CAST(FLOOR((ord - 1) / 10) AS BIGINT) AS VARCHAR) || ':scs'), 1, 15)) AS BIGINT)) % 1000000) < 750000 AS sel,
+         1 + ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(CAST(FLOOR((ord - 1) / 10) AS BIGINT) AS VARCHAR) || ':scl'), 1, 15)) AS BIGINT)) % 3) AS L,
+         ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(CAST(FLOOR((ord - 1) / 10) AS BIGINT) AS VARCHAR) || ':sco'), 1, 15)) AS BIGINT)) % (10 - (1 + ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(CAST(FLOOR((ord - 1) / 10) AS BIGINT) AS VARCHAR) || ':scl'), 1, 15)) AS BIGINT)) % 3)) + 1)) AS off
+  FROM tokp
+),
+m1 AS (
+  SELECT doc_id, tok, pos,
+         sel AND ib >= off AND ib < off + L AS masked,
+         sel AND ib = off AS is_start
+  FROM m0
+),
+m2 AS (
+  SELECT doc_id, tok, pos, masked, is_start,
+         sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS k
+  FROM m1
+),
+m3 AS (
+  SELECT doc_id, pos, masked, is_start,
+         CASE WHEN NOT masked THEN tok
+              WHEN is_start THEN '<X' || CAST(k AS VARCHAR) || '>'
+              ELSE NULL END AS pi,
+         CASE WHEN is_start THEN '<X' || CAST(k AS VARCHAR) || '> ' || tok
+              WHEN masked THEN tok
+              ELSE NULL END AS pt
+  FROM m2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         coalesce(string_agg(pi, ' ' ORDER BY pos), '') AS inputs_text,
+         coalesce(string_agg(pt, ' ' ORDER BY pos), '') AS targets_text
+  FROM m3 GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+       coalesce(a.inputs_text, '') AS inputs_text,
+       coalesce(a.targets_text, '') AS targets_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY id""",
         "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE (CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
@@ -5156,6 +5249,42 @@ WITH {_TOK_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE term >= '{TR_LO}' AND term < '{TR_HI}'
 ORDER BY doc_id""",
+        "monitor_match": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+m_term AS (SELECT DISTINCT doc_id, 'alert_term' AS query_id FROM tokp WHERE term = 'spark'),
+m_and AS (
+  SELECT doc_id, 'alert_and' AS query_id FROM tokp
+  WHERE term IN ('join', 'window') GROUP BY doc_id
+  HAVING count(DISTINCT term) = 2
+),
+m_or AS (SELECT DISTINCT doc_id, 'alert_or' AS query_id FROM tokp
+         WHERE term IN ('hash', 'stream')),
+m_ph AS (
+  SELECT DISTINCT a.doc_id, 'alert_phrase' AS query_id
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  WHERE a.term = 'data' AND b.term = 'table'
+)
+SELECT doc_id, query_id FROM (
+  SELECT * FROM m_term UNION ALL SELECT * FROM m_and
+  UNION ALL SELECT * FROM m_or UNION ALL SELECT * FROM m_ph
+) ORDER BY doc_id, query_id""",
+        "facet_range_other": """
+WITH lab AS (
+  SELECT CASE WHEN o_totalprice < 50000.0 THEN 'before'
+              WHEN o_totalprice >= 300000.0 THEN 'after'
+              ELSE 'range_' || CAST(CAST(floor((o_totalprice - 50000.0) / 50000.0) AS BIGINT) AS VARCHAR)
+         END AS bucket
+  FROM orders
+),
+base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS count FROM lab GROUP BY bucket),
+betw AS (SELECT 'between' AS bucket, CAST(count(*) AS BIGINT) AS count
+         FROM orders WHERE o_totalprice >= 50000.0 AND o_totalprice < 300000.0)
+SELECT * FROM base UNION ALL SELECT * FROM betw ORDER BY bucket""",
         "pivot_stats": """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS count,
        CAST(min(n_chars) AS DOUBLE) AS min,

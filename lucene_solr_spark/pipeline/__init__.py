@@ -53,7 +53,7 @@ from .filters import (
     temperature_sample,
 )
 from .multimodal import media_features, with_media_binary
-from .packing import fim_split, chunk_documents
+from .packing import chunk_documents, fim_split, span_corrupt
 from .bpe import bpe_encode, bpe_learn, bpe_word_types
 
 __all__ = [
@@ -73,6 +73,7 @@ __all__ = [
     "temperature_sample",
     "chunk_documents",
     "fim_split",
+    "span_corrupt",
     "cosine_topk",
     "ivf_fit_centroids",
     "ivf_topk",

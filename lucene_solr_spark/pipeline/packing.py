@@ -174,3 +174,102 @@ def fim_split(
         F.expr(f"CASE WHEN {sel} THEN {fim} ELSE {text_col} END")
         .alias("fim_text"),
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 10,
+    max_span: int = 3,
+    rate: float = 0.75,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, arXiv:1910.10683 —
+    the denoising-pretraining transform): contiguous token spans are
+    replaced by per-document sentinels ``<X0> <X1> …`` in the input and
+    emitted after their sentinel in the target.
+
+    Deterministic block scheme (no RNG state — the md5-threshold house
+    pattern, so a 100 TB pass is bit-identical on ANY partitioning or
+    engine): the token stream is cut into blocks of ``block`` tokens;
+    block b of doc d masks one span iff h64(d:b:scs) is under ``rate``,
+    with span length 1 + h64(d:b:scl) %% ``max_span`` and in-block start
+    offset h64(d:b:sco) %% (block - L + 1).  Blocks are independent, so
+    expected corruption = rate × (max_span+1)/2 ÷ block (defaults ≈ 15%,
+    T5's figure).  A short final block may mask nothing; sentinels are
+    numbered over spans that actually mask a token.
+
+    Returns [id, n_spans, n_masked, inputs_text, targets_text].  Plan
+    shape: one posexplode + ONE shuffle on the doc id (the window and
+    the re-assembly group share it); string assembly is
+    sort_array-over-struct, no order-dependent collect.
+    """
+    from .filters import SAMPLE_DENOM
+    from .hashing import h64_sql
+
+    ppm = int(round(float(rate) * SAMPLE_DENOM))
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(TOKENS_SQL.format(col=text_col))).alias("pos", "tok"),
+    )
+    blk = "CAST(FLOOR(pos / {b}) AS BIGINT)".format(b=block)
+    key = f"concat(CAST(id AS STRING), ':', CAST({blk} AS STRING)"
+    h_sel = h64_sql(key + ", ':scs')")
+    h_len = h64_sql(key + ", ':scl')")
+    h_off = h64_sql(key + ", ':sco')")
+    t = (
+        t.withColumn("ib", F.expr(f"pos % {block}"))
+        .withColumn("sel", F.expr(f"({h_sel} % {SAMPLE_DENOM}) < {ppm}"))
+        .withColumn("L", F.expr(f"1 + ({h_len} % {max_span})"))
+        .withColumn("off", F.expr(f"({h_off} % ({block} - L + 1))"))
+    )
+    t = t.withColumn(
+        "masked", F.col("sel") & (F.col("ib") >= F.col("off"))
+        & (F.col("ib") < F.col("off") + F.col("L"))
+    ).withColumn("is_start", F.col("masked") & (F.col("ib") == F.col("off")))
+    w = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.withColumn("k", F.sum(F.col("is_start").cast("long")).over(w) - 1)
+    sentinel = F.concat(F.lit("<X"), F.col("k").cast("string"), F.lit(">"))
+    piece_in = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("is_start"), sentinel)
+        .otherwise(F.lit(None))
+    )
+    piece_tgt = (
+        F.when(F.col("is_start"),
+               F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .when(F.col("masked"), F.col("tok"))
+        .otherwise(F.lit(None))
+    )
+    t = t.select("id", "pos", "masked", "is_start",
+                 piece_in.alias("pi"), piece_tgt.alias("pt"))
+
+    def assemble(col: str):
+        return F.concat_ws(
+            " ", F.expr(
+                f"transform(filter(sort_array(collect_list(struct(pos, {col} AS p))),"
+                f" s -> s.p IS NOT NULL), s -> s.p)"
+            )
+        )
+
+    agg = t.groupBy("id").agg(
+        F.sum(F.col("is_start").cast("long")).alias("n_spans"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        assemble("pi").alias("inputs_text"),
+        assemble("pt").alias("targets_text"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.coalesce("inputs_text", F.lit("")).alias("inputs_text"),
+            F.coalesce("targets_text", F.lit("")).alias("targets_text"),
+        )
+        .orderBy("id")
+    )

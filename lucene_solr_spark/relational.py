@@ -149,6 +149,38 @@ def facet_range(df: DataFrame, field: str, start: float, end: float,
     )
 
 
+def facet_range_other(df: DataFrame, field: str, start: float, end: float,
+                      gap: float) -> DataFrame:
+    """facet.range.other=all (``[8x] solr/core/src/java/org/apache/solr/
+    handler/component/RangeFacetProcessor.java``): the fixed-gap
+    histogram PLUS the three outside buckets Solr reports alongside it —
+    ``before`` (< start), ``after`` (>= end), ``between`` (the in-range
+    total).  One aggregation pass: every row maps to exactly one
+    histogram label or before/after, and ``between`` folds in the same
+    groupBy via a grouping-sets-free second aggregate (map-side
+    partials, one shuffle)."""
+    c = F.col(field)
+    label = (
+        F.when(c < start, F.lit("before"))
+        .when(c >= end, F.lit("after"))
+        .otherwise(
+            F.concat(
+                F.lit("range_"),
+                F.floor((c - F.lit(start)) / F.lit(gap)).cast("long").cast("string"),
+            )
+        )
+    )
+    base = df.select(label.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("count")
+    )
+    between = (
+        df.filter((c >= start) & (c < end))
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .select(F.lit("between").alias("bucket"), "count")
+    )
+    return base.unionByName(between).orderBy("bucket")
+
+
 def parse_interval(s: str) -> tuple[str, float | None, float | None, bool, bool]:
     """Solr interval syntax ``[0,10)`` / ``(10,100]`` / ``[100,*]`` →
     (label, lower, upper, incl_lower, incl_upper); ``*`` = unbounded

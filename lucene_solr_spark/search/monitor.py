@@ -1,0 +1,113 @@
+"""Monitor — reverse search / saved-query alerting.
+
+Lucene's monitor module (``[8x] lucene/monitor/src/java/org/apache/
+lucene/monitor/Monitor.java``, the luwak lineage): a REGISTERED SET of
+queries is matched against a stream of documents — the reverse of
+normal search, used for alerting ("tell me when a doc matching my query
+arrives") and classification-by-query.
+
+Spark-first shape (the Presearcher analog, ``[8x] .../monitor/
+TermFilteredPresearcher.java``): the union of all registered queries'
+terms is broadcast as a scan filter, so each incoming document batch is
+tokenized ONCE and immediately cut down to the tiny slice of tokens any
+query could care about; per-query verification then runs on that slice
+(count-distinct for conjunctions, adjacency joins for phrases).  Cost
+per batch ∝ batch size + slice size — independent of corpus history,
+and the query set never leaves the driver's broadcast.
+
+Supported query nodes: Term, And/Or over Terms, Phrase (exact).  That
+matches MonitorQuery's common use; richer trees can pre-rewrite to
+these forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import TOKEN_PATTERN
+from .query import And, Or, Phrase, Term, parse_query
+
+__all__ = ["monitor_match"]
+
+
+def _tok_frame(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """[doc_id, term, pos] — one tokenize pass, positions kept for
+    phrase verification (same TOKEN_PATTERN as the index chain)."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def _query_terms(q) -> list[str]:
+    if isinstance(q, Term):
+        return [q.term]
+    if isinstance(q, (And, Or)):
+        return [t for c in q.clauses for t in _query_terms(c)]
+    if isinstance(q, Phrase):
+        return list(q.terms)
+    raise TypeError(f"monitor_match supports Term/And/Or/Phrase, got {type(q)}")
+
+
+def _match_frame(tok: DataFrame, q) -> DataFrame:
+    """Distinct doc_ids of ``tok`` (the presearcher-filtered slice)
+    matching query node ``q``."""
+    if isinstance(q, Term):
+        return tok.filter(F.col("term") == q.term).select("doc_id").distinct()
+    if isinstance(q, Or):
+        terms = list({c.term for c in q.clauses})
+        return tok.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+    if isinstance(q, And):
+        terms = list({c.term for c in q.clauses})
+        return (
+            tok.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_n"))
+            .filter(F.col("_n") == len(terms))
+            .select("doc_id")
+        )
+    if isinstance(q, Phrase):
+        if q.slop:
+            raise TypeError("monitor_match phrases are exact (slop=0)")
+        cur = tok.filter(F.col("term") == q.terms[0]).select(
+            "doc_id", F.col("pos").alias("_p")
+        )
+        for i, t in enumerate(q.terms[1:], start=1):
+            nxt = tok.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("_p")
+            )
+            cur = cur.join(nxt, ["doc_id", "_p"], "left_semi")
+        return cur.select("doc_id").distinct()
+    raise TypeError(f"unsupported monitor query node {type(q)}")
+
+
+def monitor_match(
+    docs: DataFrame,
+    queries: dict[str, object],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Match every registered query against the document batch.
+
+    ``queries`` maps query_id → query (a parsed node or a query
+    string).  For And/Or trees, clauses must be Terms (MonitorQuery's
+    rewritten form).  Returns [doc_id, query_id] for every (document,
+    saved query) hit, ordered by (doc_id, query_id).
+    """
+    parsed = {
+        qid: (parse_query(q) if isinstance(q, str) else q)
+        for qid, q in queries.items()
+    }
+    all_terms = sorted({t for q in parsed.values() for t in _query_terms(q)})
+    tok = _tok_frame(docs, text_col, id_col).filter(F.col("term").isin(all_terms))
+    # presearcher slice is tiny relative to the batch: keep it hot for
+    # the per-query verifications instead of re-tokenizing per query
+    tok = tok.persist()
+    out = None
+    for qid in sorted(parsed):
+        m = _match_frame(tok, parsed[qid]).withColumn("query_id", F.lit(qid))
+        out = m if out is None else out.unionByName(m)
+    result = out.orderBy("doc_id", "query_id")
+    result._lss_cached = (tok,)
+    return result

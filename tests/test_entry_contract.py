@@ -106,6 +106,9 @@ SUBSET = [
     "common_grams",
     "delta_dedup",
     "term_range",
+    "span_corrupt",
+    "monitor_match",
+    "facet_range_other",
 ]
 
 

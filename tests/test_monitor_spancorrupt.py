@@ -1,0 +1,121 @@
+"""Monitor reverse search, T5 span corruption, facet.range.other.
+
+Monitor (``[8x] lucene/monitor/.../Monitor.java``): a registered query
+set matched against a document batch — (doc, query) hits checked
+against hand-computable documents; presearcher slice semantics.
+
+span_corrupt: the deterministic block scheme's invariants — sentinel
+numbering, input/target round-trip (de-corrupting inputs with targets
+reproduces the token stream), partitioning invariance.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.monitor import monitor_match
+from lucene_solr_spark.search.query import And, Or, Phrase, Term
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    rows = [
+        (0, "spark joins the window stream"),
+        (1, "data table data table"),
+        (2, "hash only here"),
+        (3, "window without the other term"),
+        (4, "nothing relevant at all"),
+        (5, "join and window together with spark"),
+        (6, "table data reversed order"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_monitor_match_semantics(batch):
+    qs = {
+        "t": Term("spark"),
+        "a": And(Term("join"), Term("window")),
+        "o": Or(Term("hash"), Term("stream")),
+        "p": Phrase("data", "table"),
+    }
+    got = {(r["doc_id"], r["query_id"]) for r in monitor_match(batch, qs).collect()}
+    assert got == {
+        (0, "t"), (5, "t"),
+        (5, "a"),
+        (0, "o"), (2, "o"),
+        (1, "p"),
+    }
+
+
+def test_monitor_accepts_query_strings(batch):
+    got = monitor_match(batch, {"q1": "spark AND window"}).collect()
+    assert {r["doc_id"] for r in got} == {0, 5}
+
+
+def test_monitor_rejects_sloppy_phrase(batch):
+    with pytest.raises(TypeError):
+        monitor_match(batch, {"bad": Phrase("data", "table", slop=2)}).collect()
+
+
+def test_span_corrupt_invariants(spark):
+    from lucene_solr_spark.pipeline import span_corrupt
+
+    texts = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate([0, 1, 7, 10, 23, 40, 55])
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["id"]: r for r in span_corrupt(df).collect()}
+    assert set(out) == {t[0] for t in texts}
+    assert out[0]["n_spans"] == 0 and out[0]["inputs_text"] == ""
+    for i, text in texts:
+        r = out[i]
+        toks = text.split()
+        inp, tgt = r["inputs_text"].split(), r["targets_text"].split()
+        # sentinels numbered densely and in order in BOTH streams
+        sents = [t for t in inp if t.startswith("<X")]
+        assert sents == [f"<X{k}>" for k in range(r["n_spans"])]
+        assert [t for t in tgt if t.startswith("<X")] == sents
+        # de-corruption round-trip: splice each sentinel's target span
+        # back into the input → the original token stream
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for t in tgt:
+            if t.startswith("<X"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t.startswith("<X") else [t])
+        assert rebuilt == toks
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+
+
+def test_span_corrupt_partitioning_invariant(spark):
+    from lucene_solr_spark.pipeline import span_corrupt
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = span_corrupt(df.repartition(1)).collect()
+    b = span_corrupt(df.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_facet_range_other_buckets(spark):
+    from lucene_solr_spark.relational import facet_range_other
+
+    vals = [5.0, 15.0, 25.0, 25.0, 35.0, 95.0, 120.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["bucket"]: r["count"]
+           for r in facet_range_other(df, "x", 10.0, 100.0, 30.0).collect()}
+    assert got == {
+        "before": 1,          # 5
+        "range_0": 4,         # 15, 25, 25, 35 in [10, 40)
+        "range_2": 1,         # 95 in [70, 100); empty [40, 70) not emitted
+        "after": 1,           # 120
+        "between": 5,
+    }
