@@ -982,6 +982,74 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("doc_id")
 
 
+WB_TERM = "datatable"  # word-break probe (splits into dictionary terms)
+
+
+def q_word_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker: splits of an out-of-dictionary term where
+    both sides are dictionary terms, ranked by bottleneck docFreq."""
+    from lucene_solr_spark.search.extras import word_break_suggest
+
+    index = _index_for(spark, sf_dir)
+    return word_break_suggest(index, WB_TERM, k=10)
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature logging (Solr's [features] transformer /
+    FeatureLogger, [8x] solr/contrib/ltr/.../response/transform/
+    LTRFeatureLoggerTransformerFactory.java): the raw named feature
+    vector per window doc — the training-data extraction pass that
+    precedes model fitting."""
+    from lucene_solr_spark.search import (
+        FieldValueFeature,
+        OriginalScoreFeature,
+        ValueFeature,
+        ltr_features,
+    )
+
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select(
+        "doc_id", F.col("score64").alias("score")
+    )
+    window = sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(LTR_RERANK_DOCS)
+    dv = _docs(spark, sf_dir).select("doc_id", "n_chars", "lang")
+    feats = [
+        FieldValueFeature("doclen", "n_chars"),
+        ValueFeature("lang_en", "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"),
+        OriginalScoreFeature("orig"),
+    ]
+    wide = ltr_features(None, window, feats, dv)
+    return wide.select(
+        "doc_id",
+        F.col("f_doclen").cast("double").alias("f_doclen"),
+        F.col("f_lang_en").cast("double").alias("f_lang_en"),
+        F.col("f_orig").cast("double").alias("f_orig"),
+    ).orderBy("doc_id")
+
+
+def q_facet_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled faceting (RandomSamplingFacetsCollector): source facet
+    over a deterministic 25% md5 sample, counts scaled to estimates."""
+    from lucene_solr_spark.relational import facet_terms_sampled
+
+    return facet_terms_sampled(_docs(spark, sf_dir), "source", "doc_id",
+                               rate=0.25, limit=10)
+
+
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonical selection: per near-dup component,
+    keep the LONGEST copy (quality = n_chars) instead of the lowest id."""
+    from lucene_solr_spark.pipeline import (
+        dedup_keep_best,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(d))
+    quality = d.select("doc_id", F.col("n_chars").alias("quality"))
+    return dedup_keep_best(pairs, quality)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.pipeline import simhash
 
@@ -3202,6 +3270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "delta_dedup": q_delta_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_best": q_dedup_best,
+        "word_break": q_word_break,
+        "ltr_features": q_ltr_features,
+        "facet_sampled": q_facet_sampled,
         "highlight": q_highlight,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3735,6 +3807,33 @@ reach(v, m) AS (
 )
 SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
 FROM reach GROUP BY v ORDER BY doc_id""",
+        "dedup_best": f"""
+WITH RECURSIVE {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
+siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
+bandk AS (
+  SELECT doc_id, b, sigl[b*4+1 : b*4+4] AS key
+  FROM siglist, (VALUES (0), (1), (2), (3)) AS bands(b)
+),
+cpairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandk x JOIN bandk y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM cpairs
+          UNION SELECT id_b, id_a FROM cpairs),
+reach(v, m) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.m FROM reach r JOIN edges e ON e.s = r.v
+),
+comp AS (SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY v),
+j AS (SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS DOUBLE) AS quality
+      FROM comp c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+FROM j ORDER BY doc_id""",
         "simhash": f"""
 WITH {tok_cte},
 tf AS (SELECT doc_id, t AS term, count(*) AS tf
@@ -3871,6 +3970,55 @@ FROM documents d
 LEFT JOIN sizes sz ON sz.doc_id = d.doc_id
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id""",
+        "word_break": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY term),
+splits AS (
+  SELECT substr('{WB_TERM}', 1, i) AS left_part,
+         substr('{WB_TERM}', i + 1) AS right_part
+  FROM (SELECT unnest(generate_series(2, length('{WB_TERM}') - 2)) AS i)
+)
+SELECT s.left_part AS "left", s.right_part AS "right",
+       CAST(least(a.df, b.df) AS BIGINT) AS freq
+FROM splits s JOIN td a ON a.term = s.left_part
+              JOIN td b ON b.term = s.right_part
+ORDER BY freq DESC, "left" ASC LIMIT 10""",
+        "ltr_features": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tfs),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+),
+scored AS (SELECT doc_id,
+  {_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")}
+  AS score64 FROM inputs),
+win AS (SELECT doc_id, score64 FROM scored
+        ORDER BY score64 DESC, doc_id ASC LIMIT {LTR_RERANK_DOCS})
+SELECT w.doc_id,
+  CAST(d.n_chars AS DOUBLE) AS f_doclen,
+  CAST(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS f_lang_en,
+  CAST(w.score64 AS DOUBLE) AS f_orig
+FROM win w JOIN documents d USING (doc_id)
+ORDER BY w.doc_id""",
+        "facet_sampled": """
+WITH s AS (
+  SELECT source FROM documents
+  WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fsamp'), 1, 15))
+         AS BIGINT) % 1000000) < 250000
+),
+g AS (SELECT source AS value, CAST(count(*) AS BIGINT) AS sample_count
+      FROM s GROUP BY source)
+SELECT value, sample_count,
+       CAST(CAST(sample_count AS DOUBLE) * 4e0 AS DOUBLE) AS est_count
+FROM g ORDER BY sample_count DESC, value ASC LIMIT 10""",
         "ltr_rerank": f"""
 WITH {_TOK_CTE},
 {_DL_CTE},

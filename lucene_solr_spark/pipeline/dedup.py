@@ -38,6 +38,7 @@ from .hashing import MINHASH_A, MINHASH_B, P31, SHINGLE_BASE, TOKENS_SQL, hterm_
 __all__ = [
     "exact_dedup",
     "delta_dedup",
+    "dedup_keep_best",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
@@ -756,4 +757,38 @@ def delta_dedup(
         )
         .withColumn("near_dup", F.col("n_near") > 0)
         .orderBy(id_col)
+    )
+
+
+def dedup_keep_best(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup component, KEEP
+    the highest-quality copy instead of the lowest id — what a training
+    pipeline actually wants (the longest / cleanest / highest-scoring
+    duplicate survives, the rest are dropped).
+
+    ``pairs`` are the LSH candidate edges; ``quality`` maps every doc in
+    them to a numeric score.  Components come from the same distributed
+    min-label propagation as ``dedup_clusters``; the winner per
+    component is one window argmax (quality desc, id asc as the
+    deterministic tie-break).  Returns [id, cluster_id, quality, keep].
+    """
+    comp = dedup_clusters(pairs, max_iters=max_iters)
+    q = quality.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(quality_col).cast("double").alias("quality"),
+    )
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "keep")
+        .orderBy("doc_id")
     )

@@ -615,3 +615,38 @@ def facet_query(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
     return row.selectExpr(
         f"stack({len(conds)}, {stack}) AS (facet_query, count)"
     ).orderBy("facet_query")
+
+
+def facet_terms_sampled(df: DataFrame, field: str, id_col: str,
+                        rate: float = 0.25, limit: int = 10) -> DataFrame:
+    """Sampled faceting (``[8x] lucene/facet/src/java/org/apache/lucene/
+    facet/RandomSamplingFacetsCollector.java``): facet counts computed
+    over a document SAMPLE and scaled back to estimates — at 100 TB a
+    10-100× cheaper facet with bounded relative error on the large
+    buckets, which is what sampled facets are for.
+
+    Determinism: the sample is the md5-threshold house pattern keyed on
+    the doc id (no RNG state), so the estimate is bit-identical on any
+    partitioning or engine — unlike Lucene's XORShift sampling, which
+    this deliberately replaces to keep reruns reproducible.
+
+    Returns [value, sample_count, est_count] — est = sample_count /
+    rate as one f64 multiply, ordered (sample_count desc, value asc)."""
+    from .pipeline.filters import SAMPLE_DENOM
+    from .pipeline.hashing import h64_sql
+
+    ppm = int(round(float(rate) * SAMPLE_DENOM))
+    key = "concat(CAST({id} AS STRING), ':fsamp')".format(id=id_col)
+    sel = f"({h64_sql(key)} % {SAMPLE_DENOM}) < {ppm}"
+    scale = float(SAMPLE_DENOM) / float(ppm)
+    return (
+        df.filter(F.expr(sel))
+        .groupBy(F.col(field).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sample_count"))
+        .withColumn(
+            "est_count",
+            (F.col("sample_count").cast("double") * F.lit(scale)).cast("double"),
+        )
+        .orderBy(F.desc("sample_count"), F.asc("value"))
+        .limit(limit)
+    )

@@ -29,7 +29,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
-           "covering_query", "blended_term_search"]
+           "covering_query", "blended_term_search", "word_break_suggest"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1118,3 +1118,40 @@ def blended_term_search(index: IndexView, token: str, fields: list[str],
     if index.tombstones is not None:
         sc = sc.join(index.tombstones, "doc_id", "left_anti")
     return sc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def word_break_suggest(index: IndexView, term: str, k: int = 10,
+                       min_part_len: int = 2) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (``[8x] lucene/suggest/
+    src/java/org/apache/lucene/search/spell/WordBreakSpellChecker
+    .java``): split an out-of-dictionary term at every position where
+    BOTH sides are real dictionary terms ("sparkjoin" → "spark join"),
+    ranked by the pair's bottleneck docFreq (the least-frequent part —
+    a break is only as believable as its rarer half), tie-broken by the
+    left part.  ``min_part_len`` mirrors the checker's minBreakWordLength.
+
+    Distributed shape: the candidate split list is O(len(term)) and
+    broadcast; both dictionary probes are broadcast-joins against the
+    term dictionary (term-ordered parquet → min/max pruned scans)."""
+    splits = [
+        (term[:i], term[i:])
+        for i in range(min_part_len, len(term) - min_part_len + 1)
+    ]
+    if not splits:
+        return index.spark.createDataFrame(
+            [], "left string, right string, freq long")
+    sdf = index.spark.createDataFrame(splits, "left string, right string")
+    td = index.term_dict
+    out = (
+        sdf.join(td.select(F.col("term").alias("left"),
+                           F.col("df").alias("_dl")), "left")
+        .join(td.select(F.col("term").alias("right"),
+                        F.col("df").alias("_dr")), "right")
+        .select(
+            "left", "right",
+            F.least(F.col("_dl"), F.col("_dr")).cast("long").alias("freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("left"))
+        .limit(k)
+    )
+    return out

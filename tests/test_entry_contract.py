@@ -109,6 +109,10 @@ SUBSET = [
     "span_corrupt",
     "monitor_match",
     "facet_range_other",
+    "word_break",
+    "ltr_features",
+    "facet_sampled",
+    "dedup_best",
 ]
 
 

@@ -119,3 +119,54 @@ def test_facet_range_other_buckets(spark):
         "after": 1,           # 120
         "between": 5,
     }
+
+
+def test_word_break_suggest(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import word_break_suggest
+
+    df = spark.createDataFrame(
+        [(0, "spark join spark"), (1, "spark fire"), (2, "join me")],
+        "doc_id long, text string",
+    )
+    idx = build_index_view(df, id_col="doc_id", text_col="text")
+    got = word_break_suggest(idx, "sparkjoin").collect()
+    assert [(r["left"], r["right"]) for r in got] == [("spark", "join")]
+    # bottleneck freq = min(df('spark')=2, df('join')=2) = 2
+    assert got[0]["freq"] == 2
+    assert word_break_suggest(idx, "nosplits").count() == 0
+    assert word_break_suggest(idx, "abc", min_part_len=2).count() == 0
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_facet_sampled_deterministic(spark):
+    from lucene_solr_spark.relational import facet_terms_sampled
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(400)], "doc_id long, source string"
+    )
+    a = facet_terms_sampled(df, "source", "doc_id", rate=0.25, limit=5).collect()
+    b = facet_terms_sampled(df.repartition(7), "source", "doc_id",
+                            rate=0.25, limit=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    total_sampled = sum(r["sample_count"] for r in a)
+    assert 0.15 * 400 < total_sampled < 0.35 * 400  # ~rate of the corpus
+    for r in a:
+        assert r["est_count"] == r["sample_count"] * 4.0
+
+
+def test_dedup_keep_best(spark):
+    from lucene_solr_spark.pipeline import dedup_keep_best
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 1.0), (11, 1.0)],
+        "doc_id long, quality double",
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(pairs, quality).collect()}
+    assert {d for d, r in got.items() if r["keep"]} == {2, 10}
+    assert got[2]["cluster_id"] == 1 and got[3]["cluster_id"] == 1
+    assert got[10]["keep"] and not got[11]["keep"]  # tie → lower id wins
