@@ -3066,6 +3066,56 @@ FROM events GROUP BY bucket ORDER BY bucket"""
 SLOPPY_SLOP = 2  # sloppy-phrase position-spread budget for sloppy_phrase
 
 
+SIMPLE_Q = "spark + (join | window) -merge"  # SimpleQueryParser probe
+
+
+def q_simple_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser: the lenient end-user syntax parsed to
+    Bool(must=[spark, Or(join, window)], must_not=[merge]) and scored on
+    the f64-parity stream with the engine's node-boundary f32 casts
+    (Or child f32, outer conjunction sum f32)."""
+    from lucene_solr_spark.search.query import And, Bool, Or, Term, simple_parse
+
+    q = simple_parse(SIMPLE_Q)
+    want = Bool(
+        should=(And(Term("spark"), Or(Term("join"), Term("window"))),),
+        must_not=(Term("merge"),),
+    )
+    assert q == want, q  # single-SHOULD Bool == the must form numerically
+    sc = _bm25_scores(spark, sf_dir, ["spark", "join", "window", "merge"])
+    spark_s = sc.filter(F.col("term") == "spark").select(
+        "doc_id", F.col("score64").alias("s_must"))
+    or_s = (
+        sc.filter(F.col("term").isin(["join", "window"]))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("score64").cast("decimal(38,18)")).cast("double")
+             .alias("s_or64"))
+        .select("doc_id",
+                F.col("s_or64").cast("float").cast("double").alias("s_or"))
+    )
+    merge_docs = sc.filter(F.col("term") == "merge").select("doc_id")
+    out = (
+        spark_s.join(or_s, "doc_id")
+        .join(merge_docs, "doc_id", "left_anti")
+        .select("doc_id",
+                (F.col("s_must") + F.col("s_or")).cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return out
+
+
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiversifiedTopDocsCollector: BM25 top-10 for BM25_TERM with at
+    most 2 docs per source key."""
+    from lucene_solr_spark.search.extras import diversified_top_k
+
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select(
+        "doc_id", F.col("score64").cast("float").alias("score"))
+    keys = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("key"))
+    return diversified_top_k(sc, keys, max_per_key=2, k=10)
+
+
 def q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy PhraseQuery (slop>0): per-doc minimal-window count and the
     order-free integer slop-factor sum Σ 6//(1+width) over the greedy
@@ -3224,6 +3274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_significant_terms": q_fts_significant_terms,
         "fts_phrase": q_fts_phrase,
         "sloppy_phrase": q_sloppy_phrase,
+        "simple_query": q_simple_query,
+        "diversified_topk": q_diversified_topk,
         "synonym_query": q_synonym_query,
         "blended_term": q_blended_term,
         "common_grams": q_common_grams,
@@ -5441,6 +5493,30 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS count,
        CAST(CAST(CAST(sum(n_chars) AS DECIMAL(38,6)) AS DOUBLE) / count(*)
             AS DOUBLE) AS mean
 FROM documents GROUP BY lang, source ORDER BY lang, source""",
+        "simple_query": f"""
+{_scored_terms_cte(["spark", "join", "window", "merge"])}
+, must_s AS (SELECT doc_id, score64 AS s_must FROM scored WHERE term = 'spark'),
+or_s AS (
+  SELECT doc_id,
+         CAST(CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE)
+              AS FLOAT) AS DOUBLE) AS s_or
+  FROM scored WHERE term IN ('join', 'window') GROUP BY doc_id
+),
+merge_d AS (SELECT DISTINCT doc_id FROM scored WHERE term = 'merge')
+SELECT m.doc_id, CAST(m.s_must + o.s_or AS FLOAT) AS score
+FROM must_s m JOIN or_s o USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM merge_d)
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "diversified_topk": f"""
+{_bm25_oracle_base(f"term = '{BM25_TERM}'")}
+, sc AS (SELECT s.doc_id, CAST(s.score64 AS FLOAT) AS score, d.source AS key
+         FROM scored s JOIN documents d USING (doc_id)),
+r AS (SELECT doc_id, key, score,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM sc)
+SELECT doc_id, key, score FROM r WHERE rn <= 2
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "span_near": f"""
 WITH tokp AS (
   SELECT doc_id,

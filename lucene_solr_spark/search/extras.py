@@ -29,7 +29,8 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
-           "covering_query", "blended_term_search", "word_break_suggest"]
+           "covering_query", "blended_term_search", "word_break_suggest",
+           "diversified_top_k"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1155,3 +1156,28 @@ def word_break_suggest(index: IndexView, term: str, k: int = 10,
         .limit(k)
     )
     return out
+
+
+def diversified_top_k(scores: DataFrame, keys: DataFrame,
+                      max_per_key: int = 1, k: int = 10) -> DataFrame:
+    """DiversifiedTopDocsCollector (``[8x] lucene/misc/src/java/org/
+    apache/lucene/search/DiversifiedTopDocsCollector.java``): the normal
+    relevance top-k but with AT MOST ``max_per_key`` documents per key
+    (author, domain, source…) — lower-scored docs of an over-represented
+    key make room for other keys' docs.
+
+    ``scores`` is any scored stream [doc_id, score]; ``keys`` maps
+    doc_id → key.  One window per key (rank within key by score desc,
+    doc asc) then the global top-k — a shuffle on the key column and a
+    small-k TakeOrdered, no driver-side loop."""
+    from pyspark.sql.window import Window
+
+    j = scores.join(keys, "doc_id")
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(max_per_key))
+        .select("doc_id", "key", F.col("score").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

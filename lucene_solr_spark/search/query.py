@@ -29,7 +29,7 @@ __all__ = [
     "Term", "And", "Or", "Bool", "Phrase", "ConstantScore", "DisMax", "Boost",
     "MatchAll", "Prefix", "Wildcard", "Regexp", "Fuzzy", "TermRange",
     "rewrite", "parse_query", "query_terms", "is_multiterm", "qualify_query",
-    "analyze_query", "edismax_query",
+    "analyze_query", "edismax_query", "simple_parse",
 ]
 
 
@@ -713,3 +713,169 @@ def analyze_query(q, analyzer):
 
     out = walk(q)
     return NO_MATCH if out is None else out
+
+
+def simple_parse(s: str, default_and: bool = False):
+    """SimpleQueryParser (``[8x] lucene/queryparser/src/java/org/apache/
+    lucene/queryparser/simple/SimpleQueryParser.java``): the end-user
+    query syntax — ``+`` conjunction, ``|`` disjunction, ``-`` negation,
+    ``"..."`` phrases (``"..."~N`` sloppy), trailing ``*`` prefix,
+    ``~N`` fuzzy, ``(...)`` grouping, ``\\`` escapes — with the parser's
+    defining property: it is LENIENT and never raises.  Malformed input
+    degrades to literal text exactly where it breaks: an unmatched
+    ``"`` turns the rest of the string into the phrase, an unmatched
+    ``(`` runs its group to end-of-input, a stray ``)`` or dangling
+    operator is ignored.  Whitespace between clauses applies the default
+    operator (SHOULD, Lucene's default; ``default_and=True`` = the
+    setDefaultOperator(MUST) configuration).  ``+`` binds tighter than
+    ``|``; ``-`` applies to the single following clause.
+    """
+    import re as _re
+
+    # --- lexer: specials, quoted phrases (lenient), terms -----------------
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c in "+|()":
+            toks.append((c, None))
+            i += 1
+        elif c == "-":
+            toks.append(("-", None))
+            i += 1
+        elif c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:  # lenient: unmatched quote → rest is the phrase
+                body, i = s[i + 1:], n
+                slop = 0
+            else:
+                body, i = s[i + 1:j], j + 1
+                m = _re.match(r"~(\d+)", s[i:])
+                slop = int(m.group(1)) if m else 0
+                i += m.end() if m else 0
+            words = _re.findall(r"[^\s]+", body.replace("\\", ""))
+            if words:
+                toks.append(("PHRASE", (tuple(words), slop)))
+        else:
+            m = _re.match(r'(?:\\.|[^\s+|()"\\-])+', s[i:])
+            if not m:  # stray backslash etc. — lenient skip
+                i += 1
+                continue
+            raw = m.group(0)
+            i += m.end()
+            term = raw.replace("\\", "")
+            fuzzy = _re.search(r"~(\d*)$", term)
+            if term.endswith("*") and len(term) > 1:
+                toks.append(("PREFIX", term[:-1]))
+            elif fuzzy and len(term[: fuzzy.start()]) > 0:
+                base = term[: fuzzy.start()]
+                edits = int(fuzzy.group(1)) if fuzzy.group(1) else 2
+                toks.append(("FUZZY", (base, edits)))
+            elif term:
+                toks.append(("TERM", term))
+    # --- recursive descent, all failures lenient ---------------------------
+    # or_expr := group ((ws | '|') group)*    (ws = the default operator)
+    # group   := unit (ws unit)*  folded with And   [only when default_and]
+    # unit    := ['-'] atom ('+' ['-'] atom)*       ('+' binds tighter)
+    # a '-' clause with no '+'-siblings attaches MUST_NOT at the OR level
+    # (Lucene: "john -smith" = SHOULD john, MUST_NOT smith)
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def atom():
+        nonlocal pos
+        kind, val = toks[pos]
+        if kind == "(":
+            pos += 1
+            e = or_expr()
+            if peek() == ")":
+                pos += 1
+            return e  # unmatched '(' ran to end — lenient
+        pos += 1
+        if kind == "TERM":
+            return Term(val)
+        if kind == "PREFIX":
+            return Prefix(val)
+        if kind == "FUZZY":
+            return Fuzzy(val[0], max_edits=min(val[1], 2))
+        if kind == "PHRASE":
+            words, slop = val
+            if len(words) == 1:
+                return Term(words[0])
+            return Phrase(*words, slop=slop)
+        return None  # stray ')' — lenient
+
+    def unit():
+        """One '+'-bound conjunction: (positive_node_or_None, leaked_negs)."""
+        nonlocal pos
+        positives: list = []
+        negatives: list = []
+
+        def one():
+            nonlocal pos
+            neg = False
+            while peek() == "-":
+                neg = True
+                pos += 1
+            if pos >= len(toks) or peek() in (")", "|", "+"):
+                return  # dangling operator — lenient
+            a = atom()
+            if a is not None:
+                (negatives if neg else positives).append(a)
+
+        one()
+        while peek() == "+":
+            pos += 1
+            one()
+        if negatives and positives:
+            return Bool(must=tuple(positives), must_not=tuple(negatives)), []
+        if negatives:
+            return None, negatives  # bare negation: bind at the OR level
+        if not positives:
+            return None, []
+        if len(positives) == 1:
+            return positives[0], []
+        return And(*positives), []
+
+    def or_expr(top: bool = False):
+        nonlocal pos
+        clauses: list = []
+        negs: list = []
+        bar = False  # was the separator before this unit an explicit '|'
+        while pos < len(toks):
+            if peek() == ")":
+                if not top:
+                    break
+                pos += 1  # stray ')' at top level — lenient skip
+                continue
+            if peek() == "|":
+                pos += 1
+                bar = True
+                continue
+            at = pos
+            node, leaked = unit()
+            negs.extend(leaked)
+            if node is None:
+                if pos == at:
+                    pos += 1  # stuck on an unparseable token — lenient skip
+                continue
+            if default_and and clauses and not bar:
+                clauses[-1] = And(clauses[-1], node)
+            else:
+                clauses.append(node)
+            bar = False
+        if negs:
+            if not clauses:
+                return Bool(must_not=tuple(negs))
+            return Bool(should=tuple(clauses), must_not=tuple(negs))
+        if not clauses:
+            return MatchAll()
+        if len(clauses) == 1:
+            return clauses[0]
+        return Or(*clauses)
+
+    return rewrite(or_expr(top=True))

@@ -113,6 +113,8 @@ SUBSET = [
     "ltr_features",
     "facet_sampled",
     "dedup_best",
+    "simple_query",
+    "diversified_topk",
 ]
 
 

@@ -1,0 +1,109 @@
+"""SimpleQueryParser (lenient end-user syntax) + DiversifiedTopDocs.
+
+simple_parse never raises — that's SimpleQueryParser's defining
+contract — and produces the documented trees; query execution through
+it matches the equivalent hand-built node.
+"""
+
+import random
+import string
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import search
+from lucene_solr_spark.search.query import (
+    And,
+    Bool,
+    Fuzzy,
+    MatchAll,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+    simple_parse,
+)
+
+
+def test_simple_parse_trees():
+    assert simple_parse("a b") == Or(Term("a"), Term("b"))
+    assert simple_parse("a + b") == And(Term("a"), Term("b"))
+    assert simple_parse("a + b | c") == Or(And(Term("a"), Term("b")), Term("c"))
+    assert simple_parse("a -b") == Bool(should=(Term("a"),),
+                                        must_not=(Term("b"),))
+    assert simple_parse("a + -b") == Bool(must=(Term("a"),),
+                                          must_not=(Term("b"),))
+    assert simple_parse('"x y"~2') == Phrase("x", "y", slop=2)
+    assert simple_parse("pre*") == Prefix("pre")
+    assert simple_parse("fz~1") == Fuzzy("fz", max_edits=1)
+    assert simple_parse("(a | b) + c") == And(Or(Term("a"), Term("b")),
+                                              Term("c"))
+    # default_and: whitespace folds as conjunction
+    assert simple_parse("a b", default_and=True) == And(Term("a"), Term("b"))
+    assert simple_parse("a b | c", default_and=True) == Or(
+        And(Term("a"), Term("b")), Term("c"))
+
+
+def test_simple_parse_lenient():
+    """Malformed input degrades, never raises."""
+    assert simple_parse('"unclosed rest of it') == Phrase(
+        "unclosed", "rest", "of", "it")
+    assert simple_parse("a (b") == Or(Term("a"), Term("b"))
+    assert simple_parse("a ) b") == Or(Term("a"), Term("b"))
+    assert simple_parse("+ | -") == MatchAll()
+    assert simple_parse("") == MatchAll()
+    assert simple_parse("a + ") == Term("a")
+
+
+def test_simple_parse_never_raises_fuzz():
+    rng = random.Random(1234)
+    alphabet = string.ascii_lowercase + '+|-()"*~ \\'
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 30)))
+        simple_parse(s)  # must not raise
+        simple_parse(s, default_and=True)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pdf = gen_corpus_pdf(200, seed=31).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(200, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_simple_parse_search_identity(engine):
+    """Executing the parsed tree == executing the hand-built node."""
+    got = search(engine, simple_parse("def + class"), k=20).collect()
+    want = search(engine, And(Term("def"), Term("class")), k=20).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == \
+        [(r["doc_id"], np.float32(r["score"])) for r in want]
+    got2 = search(engine, simple_parse("def -class"), k=20).collect()
+    want2 = search(
+        engine, Bool(should=(Term("def"),), must_not=(Term("class"),)), k=20
+    ).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got2] == \
+        [(r["doc_id"], np.float32(r["score"])) for r in want2]
+
+
+def test_diversified_top_k(spark):
+    from lucene_solr_spark.search.extras import diversified_top_k
+
+    scores = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(8)], "doc_id long, score double"
+    )
+    keys = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(8)],
+        "doc_id long, key string",
+    )
+    got = diversified_top_k(scores, keys, max_per_key=2, k=10).collect()
+    # key 'a' holds docs 0..4 (best scores) but only 2 may survive
+    assert [r["doc_id"] for r in got] == [0, 1, 5, 6]
+    assert all(r["key"] == ("a" if r["doc_id"] < 5 else "b") for r in got)
