@@ -1492,6 +1492,21 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
+MMR_LAM, MMR_WINDOW, MMR_K = 0.5, 20, 5
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank: top-20 cosine window
+    for query vec 0, greedy 5 picks at lambda=0.5 — relevance traded
+    against max similarity to the already-selected set.  The DuckDB
+    oracle unrolls the 5 greedy steps (kmeans-oracle style)."""
+    from lucene_solr_spark.pipeline import mmr_rerank
+
+    emb = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return mmr_rerank(emb, _query_vec(spark, sf_dir), lam=MMR_LAM,
+                      window=MMR_WINDOW, k=MMR_K)
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.pipeline import cosine_topk
 
@@ -3353,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_terms": q_regexp_terms,
         "sort_by_field": q_sort_by_field,
         "knn_cosine": q_knn_cosine,
+        "mmr_rerank": q_mmr_rerank,
         "knn_filtered": q_knn_filtered,
         "knn_quantized": q_knn_quantized,
         "knn_join": q_knn_join,
@@ -4870,6 +4886,50 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _mmr_oracle(lam: float = MMR_LAM, window: int = MMR_WINDOW,
+                k: int = MMR_K) -> str:
+    """Unrolled greedy MMR in DuckDB (kmeans-oracle style): step CTEs
+    s0..s{k-1}, each picking argmax(lam*rel - (1-lam)*max-sim-to-
+    selected) over the remaining candidates."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (f"(({dot.format(a=a, b=b)}) / "
+                f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)})))")
+
+    parts = [f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id AS id, embedding AS vec, {cos("e.embedding", "q.qe")} AS rel
+  FROM embeddings e, q WHERE vec_id != 0
+  ORDER BY rel DESC, id ASC LIMIT {window}
+),
+s0 AS (SELECT id, vec, rel,
+              CAST({lam!r} AS DOUBLE) * rel AS mmr
+       FROM cand ORDER BY mmr DESC, id ASC LIMIT 1)"""]
+    for i in range(1, k):
+        prev = [f"s{j}" for j in range(i)]
+        froms = ", ".join(prev)
+        notin = ", ".join(f"{p}.id" for p in prev)
+        pens = [cos("c.vec", f"{p}.vec") for p in prev]
+        pen = pens[0] if len(pens) == 1 else f"greatest({', '.join(pens)})"
+        parts.append(f""",
+s{i} AS (SELECT c.id, c.vec, c.rel,
+           CAST({lam!r} AS DOUBLE) * c.rel
+             - CAST({1.0 - lam!r} AS DOUBLE) * ({pen}) AS mmr
+         FROM cand c, {froms}
+         WHERE c.id NOT IN ({notin})
+         ORDER BY mmr DESC, c.id ASC LIMIT 1)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, id, rel, mmr AS mmr_score FROM s{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + sel + "\nORDER BY rank"
+
+
 def oracle_sql() -> dict[str, str]:
     probe_list = ", ".join(f"'{t}'" for t in PROBE_TERMS)
     and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
@@ -4896,6 +4956,7 @@ SELECT term, nt AS df_total, ntp AS df_pos,
 FROM per, tot
 ORDER BY igain DESC, term ASC LIMIT 25"""
     out["kmeans_clusters"] = _kmeans_oracle(k=4, iters=2)
+    out["mmr_rerank"] = _mmr_oracle()
     out["doc_clusters"] = _cluster_docs_oracle(v=8, k=4, iters=2)
     out["text_tagger"] = _tagger_oracle()
     out["bpe_merges"] = _bpe_oracle(n_merges=5)

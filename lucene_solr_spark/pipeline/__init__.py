@@ -30,6 +30,7 @@ from .classify import TextLogit, train_text_logit
 from .similarity import (
     cosine_neardup_pairs,
     cosine_topk,
+    mmr_rerank,
     hyperplane_lsh_topk,
     ivf_fit_centroids,
     ivf_topk,
@@ -76,6 +77,7 @@ __all__ = [
     "fim_split",
     "span_corrupt",
     "cosine_topk",
+    "mmr_rerank",
     "ivf_fit_centroids",
     "ivf_topk",
     "pq_fit_codebooks",

@@ -546,3 +546,76 @@ def knn_join(
         .filter(F.col("rank") <= int(k))
         .select("id", "neighbor", F.col("rank").cast("int").alias("rank"), "cosine")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    lam: float = 0.5,
+    window: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998,
+    SIGIR — the standard diversity rerank for retrieval and RAG):
+    greedily pick ``k`` of the top-``window`` candidates maximizing
+    ``lam * rel(q, d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    relevance traded against redundancy with what's already picked.
+
+    Distributed shape: the candidate window is the normal map-only
+    cosine TakeOrdered (scan never materializes); the greedy loop runs
+    ``k`` bounded steps, each one small aggregation over the ≤``window``
+    cached candidates with the selected vectors embedded as literals —
+    driver work is k rows total (the collector pattern, like Lucene's
+    driver-side Weight step).  All arithmetic is the engine's sequential
+    f64 fold, so results are bit-identical cross-engine and at any
+    parallelism.
+
+    Returns [rank, id, rel, mmr_score] in selection order.
+    """
+
+    def lit_vec(vals) -> str:
+        return "array(" + ", ".join(
+            f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+    q = lit_vec(query_vec)
+    rel = f"({_DOT.format(a=vec_col, b=q)}) / ({_norm(vec_col)} * {_norm(q)})"
+    cand = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                  F.expr(rel).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(int(window))
+        .persist()
+    )
+    lam = float(lam)
+    picked: list = []
+    out_rows: list = []
+    try:
+        for rank in range(int(k)):
+            rem = cand
+            if picked:
+                rem = rem.filter(~F.col("id").isin([p[0] for p in picked]))
+                pens = [
+                    f"({_DOT.format(a='vec', b=lit_vec(pv))})"
+                    f" / ({_norm('vec')} * {_norm(lit_vec(pv))})"
+                    for _, pv in picked
+                ]
+                pen = pens[0] if len(pens) == 1 else f"greatest({', '.join(pens)})"
+            else:
+                pen = "CAST(0 AS DOUBLE)"
+            scored = rem.withColumn(
+                "mmr", F.expr(f"CAST({lam!r} AS DOUBLE) * rel"
+                              f" - CAST({1.0 - lam!r} AS DOUBLE) * ({pen})")
+            )
+            top = scored.orderBy(F.desc("mmr"), F.asc("id")).limit(1).collect()
+            if not top:
+                break
+            r = top[0]
+            picked.append((r["id"], list(r["vec"])))
+            out_rows.append((rank, r["id"], float(r["rel"]), float(r["mmr"])))
+    finally:
+        cand.unpersist()
+    return df.sparkSession.createDataFrame(
+        out_rows, "rank long, id long, rel double, mmr_score double"
+    )

@@ -115,6 +115,7 @@ SUBSET = [
     "dedup_best",
     "simple_query",
     "diversified_topk",
+    "mmr_rerank",
 ]
 
 

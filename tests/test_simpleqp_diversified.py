@@ -107,3 +107,45 @@ def test_diversified_top_k(spark):
     # key 'a' holds docs 0..4 (best scores) but only 2 may survive
     assert [r["doc_id"] for r in got] == [0, 1, 5, 6]
     assert all(r["key"] == ("a" if r["doc_id"] < 5 else "b") for r in got)
+
+
+def test_mmr_rerank_diversity(spark):
+    """MMR at lambda=0.5 must skip a near-duplicate of the first pick in
+    favor of a diverse lower-relevance candidate."""
+    from lucene_solr_spark.pipeline import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),   # most relevant
+        (2, [1.0, 0.06, 0.0, 0.0]),   # near-duplicate of 1
+        (3, [0.6, 0.8, 0.0, 0.0]),    # diverse, decent relevance
+        (4, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to q (rel 0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_rerank(df, q, lam=0.5, window=4, k=3).collect()
+    order = [r["id"] for r in got]
+
+    # exact greedy reference in numpy
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    vecs = dict(rows)
+    rel = {i: cos(v, q) for i, v in vecs.items()}
+    sel: list = []
+    for _ in range(3):
+        rem = [i for i in sorted(vecs) if i not in sel]
+        mmr = {
+            i: 0.5 * rel[i]
+            - 0.5 * (max((cos(vecs[i], vecs[s]) for s in sel), default=0.0))
+            for i in rem
+        }
+        sel.append(min(rem, key=lambda i: (-mmr[i], i)))
+    assert order == sel
+    assert order[0] == 1                 # pure relevance first
+    assert order[1] == 4                 # orthogonal (penalty 0) beats near-dup
+    assert [r["rank"] for r in got] == [0, 1, 2]
+    assert got[0]["mmr_score"] == 0.5 * got[0]["rel"]  # no penalty at rank 0
+    # determinism across partitionings
+    again = mmr_rerank(df.repartition(3), q, lam=0.5, window=4, k=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
