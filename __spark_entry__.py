@@ -2648,6 +2648,38 @@ def q_monitor_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monitor_match(_docs(spark, sf_dir), qs)
 
 
+def q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexWriter.addIndexes: two half-corpus indexes (even / odd
+    doc_ids, locally re-numbered) folded into one via docBase-rebased
+    segment copies — the combined dictionary must equal the whole
+    corpus's (the oracle re-derives it from all documents)."""
+    import tempfile
+
+    from lucene_solr_spark.index import add_indexes, build_index, open_index
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lss_addidx_")
+    for name, par in (("dst", 0), ("src", 1)):
+        half = d.filter(F.col("doc_id") % 2 == par).drop("doc_id")
+        from pyspark.sql.window import Window
+
+        half = half.withColumn(
+            "doc_id",
+            (F.row_number().over(Window.orderBy("text", "source")) - 1)
+            .cast("long"),
+        )
+        build_index(spark, half, f"{root}/{name}", text_col="text",
+                    id_col="doc_id", segment_docs=200)
+    add_indexes(spark, f"{root}/dst", f"{root}/src")
+    idx = open_index(spark, f"{root}/dst")
+    return (
+        idx.term_dict.filter(F.col("term").isin(PROBE_TERMS))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_sharded_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed terms facet with Solr FacetComponent refinement:
     per-shard overrequested pages -> merged candidates -> exact per-shard
@@ -3410,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_split": q_fim_split,
         "span_corrupt": q_span_corrupt,
         "monitor_match": q_monitor_match,
+        "add_indexes": q_add_indexes,
         "facet_missing": q_facet_missing,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
@@ -5510,6 +5543,12 @@ WITH {_TOK_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE term >= '{TR_LO}' AND term < '{TR_HI}'
 ORDER BY doc_id""",
+        "add_indexes": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)})
+GROUP BY term ORDER BY term""",
         "monitor_match": f"""
 WITH tokp AS (
   SELECT doc_id,

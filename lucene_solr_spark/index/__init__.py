@@ -1,4 +1,4 @@
-from .builder import assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
+from .builder import add_indexes, assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
 from .deletes import (VersionConflict, atomic_update, conditional_update,
                       delete_by_query, delete_docs, read_tombstones,
@@ -19,6 +19,7 @@ __all__ = [
     "assign_doc_ids",
     "atomic_update",
     "build_index",
+    "add_indexes",
     "build_index_view",
     "sorted_topk",
     "build_multifield_index_view",

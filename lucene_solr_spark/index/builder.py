@@ -547,3 +547,148 @@ def sorted_topk(
     if tomb is not None:
         pruned = pruned.join(tomb, "doc_id", "left_anti")
     return pruned.orderBy(order).limit(k)
+
+
+def add_indexes(
+    spark: SparkSession, dst_path: str | Path, src_path: str | Path
+) -> dict:
+    """IndexWriter.addIndexes(Directory...) (``[8x] lucene/core/src/java/
+    org/apache/lucene/index/IndexWriter.java#addIndexes``): append a
+    committed FOREIGN index's segments to this one wholesale — no
+    re-analysis, no re-flush, no shuffle of postings.  Source doc ids are
+    REBASED by the destination's maxDoc (Lucene's docBase shift): under
+    delta+VByte only the doc-id stream changes, so each source block is
+    decoded, shifted, re-encoded in one distributed map pass; terms,
+    tfs, positions, and norms bytes are byte-identical copies.
+
+    Guards (stricter than Lucene, matching Solr's schema discipline):
+    both indexes committed; identical similarity and analyzer/field
+    specs (mixed analyzers would silently corrupt the merged
+    dictionary); the source must carry no tombstones (merge it first —
+    addIndexes(CodecReader...) in Lucene drops deletes the same way);
+    term-vector storage must match.
+
+    Scale shape: cost ∝ source size only (one decode+encode pass over
+    src blocks + one stored-fields append); the destination's segments
+    are untouched — exactly why addIndexes is the cheap way to fold a
+    per-tenant or per-day index into a bigger one.
+    """
+    from ..codec import decode_doc_ids, delta_encode, vbyte_encode
+    from .deletes import read_tombstones
+
+    dst_path, src_path = Path(dst_path), Path(src_path)
+    mdst, msrc = read_manifest(dst_path), read_manifest(src_path)
+    if not (mdst and mdst.get("committed")):
+        raise FileNotFoundError(f"no committed index at {dst_path}")
+    if not (msrc and msrc.get("committed")):
+        raise FileNotFoundError(f"no committed index at {src_path}")
+    for key in ("similarity", "bm25", "analyzer", "fields", "analyzers",
+                "default_field"):
+        if mdst.get(key) != msrc.get(key):
+            raise ValueError(
+                f"addIndexes config mismatch on {key!r}: "
+                f"{mdst.get(key)!r} != {msrc.get(key)!r}"
+            )
+    if bool(mdst.get("term_vectors")) != bool(msrc.get("term_vectors")):
+        raise ValueError("addIndexes: term-vector storage must match")
+    if read_tombstones(spark, src_path) is not None:
+        raise ValueError(
+            "addIndexes: source index carries tombstones — merge it first"
+        )
+
+    dst_docs = spark.read.parquet(str(dst_path / "docs.parquet"))
+    base = int(dst_docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+
+    def _shift_blocks(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["first_doc"] = out["first_doc"] + base
+            out["last_doc"] = out["last_doc"] + base
+            out["doc_ids_vb"] = [
+                vbyte_encode(delta_encode(decode_doc_ids(b) + base))
+                for b in out["doc_ids_vb"]
+            ]
+            yield out
+
+    next_seg = max((s["segment_id"] for s in mdst["segments"]), default=-1) + 1
+    new_entries = []
+    for s in sorted(msrc["segments"], key=lambda x: x["segment_id"]):
+        seg_id = next_seg
+        next_seg += 1
+        blocks = spark.read.parquet(str(src_path / s["path"]))
+        shifted = blocks.mapInPandas(_shift_blocks, blocks.schema)
+        seg_path = dst_path / "segments" / f"seg={seg_id}"
+        shifted.repartitionByRange("term").sortWithinPartitions(
+            "term", "first_doc"
+        ).write.mode("overwrite").parquet(str(seg_path))
+        src_norms = spark.read.parquet(
+            str(src_path / "norms.parquet" / f"seg={s['segment_id']}")
+        )
+        src_norms.withColumn(
+            "doc_id", (F.col("doc_id") + base).cast("long")
+        ).write.mode("overwrite").parquet(
+            str(dst_path / "norms.parquet" / f"seg={seg_id}")
+        )
+        if msrc.get("term_vectors"):
+            tv = spark.read.parquet(
+                str(src_path / "term_vectors.parquet" / f"seg={s['segment_id']}")
+            )
+            tv.withColumn(
+                "doc_id", (F.col("doc_id") + base).cast("long")
+            ).write.mode("overwrite").parquet(
+                str(dst_path / "term_vectors.parquet" / f"seg={seg_id}")
+            )
+        new_entries.append(
+            {
+                "segment_id": seg_id,
+                "status": "done",
+                "doc_base": int(s["doc_base"]) + base,
+                "max_doc": int(s["max_doc"]) + base,
+                "num_docs": int(s["num_docs"]),
+                "lineage": {
+                    "source": f"addIndexes:{src_path}",
+                    "src_segment": s["segment_id"],
+                    "doc_base_shift": base,
+                },
+                "metrics": dict(s.get("metrics", {})),
+                "path": f"segments/seg={seg_id}",
+            }
+        )
+
+    src_docs = spark.read.parquet(str(src_path / "docs.parquet"))
+    src_docs.withColumn(
+        "doc_id", (F.col("doc_id") + base).cast("long")
+    ).write.mode("append").parquet(str(dst_path / "docs.parquet"))
+
+    mdst["segments"] = sorted(
+        mdst["segments"] + new_entries, key=lambda x: x["segment_id"]
+    )
+    mdst["merged"] = False  # appended segments invalidate a merged snapshot
+    # global dictionary + stats over the combined segment set
+    from .core import NORMS_TERM
+
+    seg_paths = [str(dst_path / s["path"]) for s in mdst["segments"]]
+    all_segs = spark.read.parquet(*seg_paths).filter(
+        ~F.col("term").startswith(NORMS_TERM)
+    )
+    term_dict = all_segs.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    term_dict.repartitionByRange(
+        max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4), "term"
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        str(dst_path / "term_dict.parquet")
+    )
+    mdst["stats"] = {
+        "doc_count": int(mdst["stats"]["doc_count"]) + int(msrc["stats"]["doc_count"]),
+        "sum_ttf": int(mdst["stats"]["sum_ttf"]) + int(msrc["stats"]["sum_ttf"]),
+    }
+    if mdst.get("field_stats"):
+        fs = {
+            f: [a + b for a, b in zip(mdst["field_stats"][f], msrc["field_stats"][f])]
+            for f in mdst["field_stats"]
+        }
+        mdst["field_stats"] = fs
+    write_manifest(dst_path, mdst)
+    return mdst

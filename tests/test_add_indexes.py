@@ -1,0 +1,94 @@
+"""IndexWriter.addIndexes: fold a foreign committed index into another.
+
+Doc ids rebase by the destination's maxDoc; postings/norms/stored
+fields copy without re-analysis.  The combined index must be
+indistinguishable (dictionary, stats, per-document BM25 scores keyed by
+content sha256) from an index built over the union corpus in one shot.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import add_indexes, build_index, open_index
+from lucene_solr_spark.search import Term, search
+
+N = 240
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("addidx")
+    pdf = gen_corpus_pdf(N, seed=91).reset_index(drop=True)
+    halves = []
+    for name, lo, hi in [("dst", 0, N // 2), ("src", N // 2, N)]:
+        part = pdf.iloc[lo:hi].reset_index(drop=True).copy()
+        part["doc_id"] = np.arange(hi - lo, dtype=np.int64)
+        df = spark.createDataFrame(part[["doc_id", "content"]])
+        build_index(spark, df, root / name, text_col="content",
+                    id_col="doc_id", segment_docs=50)
+        halves.append(part)
+    full = pdf.copy()
+    full["doc_id"] = np.arange(N, dtype=np.int64)
+    build_index(spark, spark.createDataFrame(full[["doc_id", "content"]]),
+                root / "full", text_col="content", id_col="doc_id",
+                segment_docs=50)
+    return root
+
+
+def test_add_indexes_identity(spark, paths):
+    m = add_indexes(spark, paths / "dst", paths / "src")
+    assert m["committed"] and m["stats"]["doc_count"] == N
+    combined = open_index(spark, paths / "dst")
+    full = open_index(spark, paths / "full")
+    # dictionary identity
+    a = sorted(map(tuple, combined.term_dict.collect()))
+    b = sorted(map(tuple, full.term_dict.collect()))
+    assert a == b
+    assert combined.sum_ttf == full.sum_ttf
+    # per-document score identity, keyed by content sha (ids permuted)
+    sha_c = {r["doc_id"]: r["content_sha256"] for r in spark.read.parquet(
+        str(paths / "dst" / "docs.parquet")).collect()}
+    sha_f = {r["doc_id"]: r["content_sha256"] for r in spark.read.parquet(
+        str(paths / "full" / "docs.parquet")).collect()}
+    for term in ("def", "class", "return"):
+        sc_c = {sha_c[r["doc_id"]]: np.float32(r["score"])
+                for r in search(combined, Term(term), k=10_000,
+                                prune=False).collect()}
+        sc_f = {sha_f[r["doc_id"]]: np.float32(r["score"])
+                for r in search(full, Term(term), k=10_000,
+                                prune=False).collect()}
+        assert sc_c == sc_f and sc_c
+    # rebased ids are dense and disjoint
+    ids = sorted(sha_c)
+    assert ids == list(range(N))
+
+
+def test_add_indexes_guards(spark, paths, tmp_path):
+    from lucene_solr_spark.bm25 import ClassicSimilarity
+
+    pdf = gen_corpus_pdf(30, seed=5).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(30, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    other = tmp_path / "classic"
+    build_index(spark, df, other, text_col="content", id_col="doc_id",
+                bm25=ClassicSimilarity())
+    with pytest.raises(ValueError, match="mismatch"):
+        add_indexes(spark, paths / "full", other)
+    with pytest.raises(FileNotFoundError):
+        add_indexes(spark, paths / "full", tmp_path / "nowhere")
+
+
+def test_add_indexes_rejects_tombstoned_source(spark, paths, tmp_path):
+    from lucene_solr_spark.index.deletes import delete_docs
+
+    pdf = gen_corpus_pdf(30, seed=6).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(30, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    src = tmp_path / "tomb"
+    build_index(spark, df, src, text_col="content", id_col="doc_id")
+    delete_docs(spark, src,
+                spark.createDataFrame([(3,), (4,)], "doc_id long"))
+    with pytest.raises(ValueError, match="tombstones"):
+        add_indexes(spark, paths / "full", src)

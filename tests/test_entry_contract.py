@@ -116,6 +116,7 @@ SUBSET = [
     "simple_query",
     "diversified_topk",
     "mmr_rerank",
+    "add_indexes",
 ]
 
 
