@@ -2648,6 +2648,87 @@ def q_monitor_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monitor_match(_docs(spark, sf_dir), qs)
 
 
+def _duck_discounts(k: int = 10) -> str:
+    from lucene_solr_spark.evaluation import discounts
+
+    return "[" + ", ".join(f"CAST(\'{v!r}\' AS DOUBLE)" for v in discounts(k)) + "]"
+
+
+RANK_EVAL_TERMS = ("spark", "join", "window")
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery: the ordered near spans of PHRASE (slop=SPAN_SLOP)
+    that overlap NO occurrence of BM25_TERM — per doc span count +
+    integer slop-factor sum, like span_near."""
+    from lucene_solr_spark.search.spans import (
+        SpanNear, SpanNot, SpanTerm, spans_frame,
+    )
+
+    index = _index_for(spark, sf_dir)
+    q = SpanNot(
+        SpanNear(SpanTerm(PHRASE[0]), SpanTerm(PHRASE[1]), slop=SPAN_SLOP),
+        SpanTerm(BM25_TERM),
+    )
+    frame = spans_frame(index, q)
+    return (
+        frame.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(
+                F.floor(F.lit(6.0) / (F.lit(1) + F.col("width"))).cast("long")
+            ).alias("score6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PW_PREFIX = "s"  # wildcard slot probe: "data s*"
+
+
+def q_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhraseWildcardQuery: exact slot 'data' followed by the pattern
+    slot 's*' — dictionary-expanded under a budget, evaluated through
+    the shared MultiPhrase position plan."""
+    from lucene_solr_spark.search.extras import phrase_wildcard_tf
+    from lucene_solr_spark.search.query import Prefix
+
+    index = _index_for(spark, sf_dir)
+    return phrase_wildcard_tf(
+        index, [PHRASE[0], Prefix(PW_PREFIX)], max_expansions=4096
+    )
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR quality harness (lucene/benchmark quality package): per probe
+    query, precision@10 / recall / MRR / AP / nDCG of the f64-parity
+    BM25 top-10 page against graded tf-derived judgments (tf>=4 -> rel 2,
+    tf>=2 -> rel 1).  DCG/AP fold in rank order (sequential f64), so the
+    metrics hash-match the DuckDB replay."""
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.evaluation import rank_eval
+
+    sc = _bm25_scores(spark, sf_dir, list(RANK_EVAL_TERMS))
+    w = Window.partitionBy("term").orderBy(F.desc("score64"), F.asc("doc_id"))
+    results = (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("term").alias("query"), "doc_id", "rank")
+    )
+    index = _index_for(spark, sf_dir)
+    judgments = (
+        postings_table(index, list(RANK_EVAL_TERMS))
+        .filter(F.col("tf") >= 2)
+        .select(
+            F.col("term").alias("query"), "doc_id",
+            F.when(F.col("tf") >= 4, F.lit(2)).otherwise(F.lit(1))
+            .cast("long").alias("rel"),
+        )
+    )
+    return rank_eval(results, judgments, k=10)
+
+
 def q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexWriter.addIndexes: two half-corpus indexes (even / odd
     doc_ids, locally re-numbered) folded into one via docBase-rebased
@@ -3443,6 +3524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corrupt": q_span_corrupt,
         "monitor_match": q_monitor_match,
         "add_indexes": q_add_indexes,
+        "rank_eval": q_rank_eval,
+        "span_not": q_span_not,
+        "phrase_wildcard": q_phrase_wildcard,
         "facet_missing": q_facet_missing,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
@@ -5543,6 +5627,107 @@ WITH {_TOK_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE term >= '{TR_LO}' AND term < '{TR_HI}'
 ORDER BY doc_id""",
+        "span_not": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}'),
+x AS (SELECT doc_id, ord FROM tokp WHERE term = '{BM25_TERM}'),
+greedy AS (
+  SELECT a.doc_id, a.ord AS a_ord, min(b.ord) AS b_ord
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord >= a.ord + 1
+  GROUP BY a.doc_id, a.ord
+),
+minimal AS (
+  SELECT doc_id, max(a_ord) AS a_ord, b_ord
+  FROM greedy GROUP BY doc_id, b_ord
+),
+keep AS (
+  SELECT m.doc_id, m.a_ord, m.b_ord
+  FROM minimal m
+  WHERE m.b_ord - m.a_ord - 1 <= {SPAN_SLOP}
+    AND NOT EXISTS (SELECT 1 FROM x
+                    WHERE x.doc_id = m.doc_id
+                      AND x.ord >= m.a_ord AND x.ord <= m.b_ord)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CAST(floor(6.0 / (b_ord - a_ord)) AS BIGINT)) AS BIGINT) AS score6
+FROM keep GROUP BY doc_id ORDER BY doc_id""",
+        "phrase_wildcard": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term LIKE '{PW_PREFIX}%')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+GROUP BY a.doc_id ORDER BY a.doc_id""",
+        "rank_eval": f"""
+{_scored_terms_cte(list(RANK_EVAL_TERMS))},
+judg AS (
+  SELECT term AS query, doc_id,
+         CASE WHEN count(*) >= 4 THEN 2 WHEN count(*) >= 2 THEN 1 END AS rel
+  FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in RANK_EVAL_TERMS)})
+  GROUP BY term, doc_id HAVING count(*) >= 2
+),
+page AS (
+  SELECT term AS query, doc_id, rank FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY score64 DESC, doc_id ASC) AS rank
+    FROM scored) WHERE rank <= 10
+),
+pj AS (
+  SELECT p.query, p.rank,
+         CAST(coalesce(j.rel, 0) AS DOUBLE) AS g,
+         CASE WHEN coalesce(j.rel, 0) > 0 THEN 1 ELSE 0 END AS h
+  FROM page p LEFT JOIN judg j USING (query, doc_id)
+),
+run AS (
+  SELECT query, rank, g, h,
+         sum(h) OVER (PARTITION BY query ORDER BY rank) AS hits_so_far
+  FROM pj
+),
+folds AS (
+  SELECT query,
+    CAST(sum(h) AS BIGINT) AS n_hits,
+    list_reduce(list(g * ({_duck_discounts()}[rank]) ORDER BY rank),
+                (a, b) -> a + b) AS dcg,
+    list_reduce(list(CASE WHEN h = 1 THEN CAST(hits_so_far AS DOUBLE) / rank
+                          ELSE CAST(0 AS DOUBLE) END ORDER BY rank),
+                (a, b) -> a + b) AS ap_num,
+    coalesce(CAST(1 AS DOUBLE) / min(CASE WHEN h = 1 THEN rank END), 0e0) AS mrr
+  FROM run GROUP BY query
+),
+tot AS (
+  SELECT query, CAST(count(*) AS BIGINT) AS n_rel,
+    list_reduce(
+      list_transform(
+        list_sort(list(CAST(rel AS DOUBLE)), 'DESC')[1:10],
+        (g, i) -> g * ({_duck_discounts()}[i])),
+      (a, b) -> a + b) AS idcg
+  FROM judg GROUP BY query
+)
+SELECT f.query,
+  CAST(coalesce(t.n_rel, 0) AS BIGINT) AS n_rel,
+  f.n_hits,
+  CAST(f.n_hits AS DOUBLE) / 10e0 AS p_at_k,
+  CASE WHEN coalesce(t.n_rel, 0) > 0
+       THEN CAST(f.n_hits AS DOUBLE) / CAST(t.n_rel AS DOUBLE)
+       ELSE 0e0 END AS recall_at_k,
+  f.mrr,
+  CASE WHEN coalesce(t.n_rel, 0) > 0
+       THEN f.ap_num / CAST(t.n_rel AS DOUBLE) ELSE 0e0 END AS ap,
+  CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
+FROM folds f LEFT JOIN tot t USING (query)
+ORDER BY query""",
         "add_indexes": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

@@ -1,0 +1,124 @@
+"""IR quality evaluation — the Lucene benchmark `quality` package analog
+(``[8x] lucene/benchmark/src/java/org/apache/lucene/benchmark/quality/
+QualityBenchmark.java`` / ``QualityStats.java``): score a system's
+ranked results against graded judgments, per query.
+
+Metrics: precision@k, recall@k, MRR (reciprocal rank of the first
+relevant hit), average precision (MAP's per-query term), and nDCG@k.
+
+Float discipline: the ratio metrics are single exact divisions; DCG and
+AP fold their per-rank contributions IN RANK ORDER through a sequential
+f64 accumulator (``aggregate`` over a rank-sorted array — the same
+pattern as the cosine kernels), so every value is bit-identical across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["rank_eval"]
+
+#: rank discounts 1/log2(rank+1) as EXACT f64 literals — computed once
+#: in Python and embedded on both engines via shortest-round-trip string
+#: parse (strtod is correctly rounded; JVM Math.log is not, so runtime
+#: ln() can drift a ulp between engines)
+def discounts(k: int) -> list[float]:
+    import math
+
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def _discount_arr_sql(k: int) -> str:
+    return "array(" + ", ".join(
+        f"CAST('{v!r}' AS DOUBLE)" for v in discounts(k)) + ")"
+
+
+def rank_eval(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query quality metrics for ranked results.
+
+    ``results``: [query, doc_id, rank] with 1-based ranks (a system's
+    top-k page per query).  ``judgments``: [query, doc_id, rel] graded
+    relevance (rel > 0 = relevant; unjudged docs count as rel 0, the
+    trec_eval convention).
+
+    Returns [query, n_rel, n_hits, p_at_k, recall_at_k, mrr, ap, ndcg]
+    ordered by query.  nDCG uses gain = rel with the standard
+    1/log2(rank+1) discount; the ideal DCG takes the query's judged
+    rels sorted descending, capped at ``k``.
+    """
+    q, d, r = query_col, id_col, rank_col
+    jpos = judgments.filter(F.col(rel_col) > 0)
+    disc = _discount_arr_sql(k)
+    tot = jpos.groupBy(q).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
+        F.expr(
+            f"aggregate(slice(reverse(array_sort(collect_list("
+            f"CAST({rel_col} AS DOUBLE)))), 1, {k}), "
+            f"struct(CAST(0 AS DOUBLE) AS s, CAST(0 AS BIGINT) AS i), "
+            f"(acc, g) -> struct("
+            f"acc.s + g * element_at({disc}, CAST(acc.i + 1 AS INT)) AS s,"
+            f" acc.i + 1 AS i), acc -> acc.s)"
+        ).alias("idcg"),
+    )
+    page = (
+        results.filter(F.col(r) <= k)
+        .join(judgments, [q, d], "left")
+        .withColumn("_rel", F.coalesce(F.col(rel_col), F.lit(0)).cast("double"))
+        .withColumn("_hit", (F.col("_rel") > 0).cast("int"))
+    )
+    # rank-ordered (rank, rel, hit) triples: every ordered fold reads them
+    arr = F.expr(f"array_sort(collect_list(struct({r} AS rank, _rel AS g, _hit AS h)))")
+    agg = page.groupBy(q).agg(arr.alias("_a"))
+    dcg = (
+        f"aggregate(_a, CAST(0 AS DOUBLE), (acc, x) -> "
+        f"acc + x.g * element_at({disc}, CAST(x.rank AS INT)))"
+    )
+    # AP: at each relevant rank, precision-so-far = hits<=rank / rank —
+    # fold carries (sum, hits_so_far)
+    ap_num = (
+        "aggregate(_a, struct(CAST(0 AS DOUBLE) AS s, CAST(0 AS BIGINT) AS n), "
+        "(acc, x) -> struct(acc.s + CASE WHEN x.h = 1 THEN "
+        "CAST(acc.n + 1 AS DOUBLE) / x.rank ELSE CAST(0 AS DOUBLE) END AS s, "
+        "acc.n + CAST(x.h AS BIGINT) AS n), acc -> acc.s)"
+    )
+    mrr = (
+        "coalesce(CAST(1 AS DOUBLE) / "
+        "array_min(transform(filter(_a, x -> x.h = 1), x -> x.rank)), 0e0)"
+    )
+    out = (
+        agg.join(tot, q, "left")
+        .select(
+            q,
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.expr("aggregate(_a, 0, (acc, x) -> acc + x.h)").cast("long")
+            .alias("n_hits"),
+            (F.expr("aggregate(_a, 0, (acc, x) -> acc + x.h)")
+             / F.lit(float(k))).alias("p_at_k"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.expr("aggregate(_a, 0, (acc, x) -> acc + x.h)")
+                / F.col("n_rel").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+            F.expr(mrr).alias("mrr"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.expr(ap_num) / F.col("n_rel").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("ap"),
+            F.when(
+                F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                F.expr(dcg) / F.col("idcg"),
+            ).otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+        .orderBy(q)
+    )
+    return out

@@ -30,7 +30,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
            "covering_query", "blended_term_search", "word_break_suggest",
-           "diversified_top_k"]
+           "diversified_top_k", "phrase_wildcard_tf"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1181,3 +1181,51 @@ def diversified_top_k(scores: DataFrame, keys: DataFrame,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_wildcard_tf(index: IndexView, slots: list, k: int | None = None,
+                       max_expansions: int = 128) -> DataFrame:
+    """PhraseWildcardQuery (``[8x] lucene/sandbox/src/java/org/apache/
+    lucene/search/PhraseWildcardQuery.java``): a phrase where some slots
+    are multi-term patterns ("data t*") — each pattern slot expands
+    against the term DICTIONARY under an expansion budget (Lucene shares
+    the budget across segments; here one bounded dictionary probe, the
+    startswith pushed into the term-sorted parquet scan), then the
+    expanded alternative sets run the shared MultiPhrase position plan.
+
+    ``slots``: str (exact term) or Prefix per position.  Returns
+    [doc_id, tf] — per-doc phrase frequency over the expanded sets.
+    Raises when a pattern exceeds ``max_expansions`` (the query's
+    TooComplexToDeterminizeError analog) — an unbounded slot would turn
+    the position decode into a dictionary-sized explode at scale.
+    """
+    from .executor import _phrase_tf
+    from .query import MultiPhrase, Prefix
+
+    positions = []
+    for slot in slots:
+        if isinstance(slot, str):
+            positions.append((slot,))
+            continue
+        if not isinstance(slot, Prefix):
+            raise TypeError(f"slot must be str or Prefix, got {type(slot)}")
+        rows = (
+            index.term_dict.filter(F.col("term").startswith(slot.prefix))
+            .select("term").orderBy("term")
+            .limit(max_expansions + 1).collect()
+        )
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"prefix {slot.prefix!r} expands past the budget "
+                f"({max_expansions}) — narrow the pattern"
+            )
+        if not rows:
+            return index.spark.createDataFrame([], "doc_id long, tf long")
+        positions.append(tuple(r["term"] for r in rows))
+    q = MultiPhrase(*positions)
+    out = _phrase_tf(index, q).select(
+        "doc_id", F.col("tf").cast("long").alias("tf"))
+    if index.tombstones is not None:
+        out = out.join(index.tombstones, "doc_id", "left_anti")
+    out = out.orderBy("doc_id")
+    return out.limit(k) if k is not None else out

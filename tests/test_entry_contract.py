@@ -117,6 +117,9 @@ SUBSET = [
     "diversified_topk",
     "mmr_rerank",
     "add_indexes",
+    "rank_eval",
+    "span_not",
+    "phrase_wildcard",
 ]
 
 

@@ -149,3 +149,70 @@ def test_mmr_rerank_diversity(spark):
     # determinism across partitionings
     again = mmr_rerank(df.repartition(3), q, lam=0.5, window=4, k=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_rank_eval_hand_numbers(spark):
+    from lucene_solr_spark.evaluation import rank_eval
+
+    results = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [("q2", d, r) for r, d in enumerate([20, 21, 22], 1)],
+        "query string, doc_id long, rank long",
+    )
+    judg = spark.createDataFrame(
+        [("q1", 10, 2), ("q1", 12, 1), ("q1", 99, 3), ("q2", 25, 1)],
+        "query string, doc_id long, rel long",
+    )
+    got = {r["query"]: r for r in rank_eval(results, judg, k=5).collect()}
+    r1 = got["q1"]
+    assert (r1["n_rel"], r1["n_hits"]) == (3, 2)
+    assert r1["p_at_k"] == 2 / 5 and r1["mrr"] == 1.0
+    assert abs(r1["ap"] - (1 / 1 + 2 / 3) / 3) < 1e-12
+    # DCG = 2/log2(2) + 1/log2(4) = 2.5; IDCG = 3 + 2/log2(3) + 0.5
+    import math
+
+    idcg = 3 + 2 / math.log2(3) + 0.5
+    assert abs(r1["ndcg"] - 2.5 / idcg) < 1e-12
+    r2 = got["q2"]
+    assert r2["n_hits"] == 0 and r2["mrr"] == 0.0 and r2["ndcg"] == 0.0
+
+
+def test_phrase_wildcard_budget_and_match(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import phrase_wildcard_tf
+    from lucene_solr_spark.search.query import Prefix
+
+    df = spark.createDataFrame(
+        [(0, "data stream data store data x"), (1, "data s"), (2, "other")],
+        "doc_id long, text string",
+    )
+    idx = build_index_view(df, id_col="doc_id", text_col="text")
+    got = {r["doc_id"]: r["tf"]
+           for r in phrase_wildcard_tf(idx, ["data", Prefix("st")]).collect()}
+    assert got == {0: 2}  # data stream + data store; 'data x' not st*
+    with pytest.raises(ValueError, match="budget"):
+        phrase_wildcard_tf(idx, ["data", Prefix("s")], max_expansions=1)
+    assert phrase_wildcard_tf(idx, ["data", Prefix("zz")]).count() == 0
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_span_not_excludes_overlaps(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.spans import (
+        SpanNear, SpanNot, SpanTerm, spans_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b keep a x b"), (1, "a bad b")],
+        "doc_id long, text string",
+    )
+    idx = build_index_view(df, id_col="doc_id", text_col="text")
+    q = SpanNot(SpanNear(SpanTerm("a"), SpanTerm("b"), slop=1), SpanTerm("x"))
+    rows = spans_frame(idx, q).collect()
+    spans = {(r["doc_id"], r["start"], r["end"]) for r in rows}
+    # doc 0: span a@0..b@1 kept; span a@3..b@5 overlaps x@4 -> dropped
+    # doc 1: a@0..b@2 (gap 'bad' = 1 slop) kept, no x
+    assert spans == {(0, 0, 2), (1, 0, 3)}
+    idx.postings.unpersist()
+    idx.norms.unpersist()
