@@ -2699,6 +2699,17 @@ def q_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy facet: hierarchical source/lang paths with rollup counts
+    at every ancestor node (the Lucene facet-module dimension tree)."""
+    from lucene_solr_spark.relational import facet_taxonomy
+
+    d = _docs(spark, sf_dir).withColumn(
+        "path", F.concat_ws("/", F.col("source"), F.col("lang"))
+    )
+    return facet_taxonomy(d, "path", limit=50)
+
+
 def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR quality harness (lucene/benchmark quality package): per probe
     query, precision@10 / recall / MRR / AP / nDCG of the f64-parity
@@ -3525,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_match": q_monitor_match,
         "add_indexes": q_add_indexes,
         "rank_eval": q_rank_eval,
+        "facet_taxonomy": q_facet_taxonomy,
         "span_not": q_span_not,
         "phrase_wildcard": q_phrase_wildcard,
         "facet_missing": q_facet_missing,
@@ -5627,6 +5639,16 @@ WITH {_TOK_CTE}
 SELECT DISTINCT doc_id FROM tok
 WHERE term >= '{TR_LO}' AND term < '{TR_HI}'
 ORDER BY doc_id""",
+        "facet_taxonomy": """
+WITH p AS (SELECT source || '/' || lang AS path FROM documents),
+nodes AS (
+  SELECT unnest(list_transform(generate_series(1, len(string_split(path, '/'))),
+         n -> array_to_string(string_split(path, '/')[1:n], '/'))) AS node
+  FROM p
+)
+SELECT node, CAST(len(string_split(node, '/')) AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS count
+FROM nodes GROUP BY node ORDER BY count DESC, node ASC LIMIT 50""",
         "span_not": f"""
 WITH tokp AS (
   SELECT doc_id,

@@ -52,6 +52,10 @@ __all__ = [
     "grouped_facet",
     "score_join",
     "facet_query",
+    "facet_range_other",
+    "facet_terms_sampled",
+    "facet_taxonomy",
+    "pivot_stats",
 ]
 
 
@@ -648,5 +652,35 @@ def facet_terms_sampled(df: DataFrame, field: str, id_col: str,
             (F.col("sample_count").cast("double") * F.lit(scale)).cast("double"),
         )
         .orderBy(F.desc("sample_count"), F.asc("value"))
+        .limit(limit)
+    )
+
+
+def facet_taxonomy(df: DataFrame, path_col: str, sep: str = "/",
+                   limit: int = 50) -> DataFrame:
+    """Hierarchical (taxonomy) facets (``[8x] lucene/facet/src/java/org/
+    apache/lucene/facet/taxonomy/TaxonomyFacetCounts.java``): each
+    document carries a category PATH ("a/b/c"); counts roll up to every
+    ancestor node, so the facet tree shows "a: 100, a/b: 60, a/b/c: 25".
+
+    One explode of the ancestor-prefix list (depth ≤ path depth — tiny)
+    followed by one partial-agg shuffle on the node key; no taxonomy
+    sidecar index needed because the prefix set IS the ancestor chain.
+    Returns [node, depth, count] ordered (count desc, node asc)."""
+    prefixes = F.expr(
+        f"transform(sequence(1, size(split({path_col}, '{sep}'))), "
+        f"n -> array_join(slice(split({path_col}, '{sep}'), 1, n), '{sep}'))"
+    )
+    return (
+        df.filter(F.col(path_col).isNotNull())
+        .select(F.explode(prefixes).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .withColumn(
+            "depth",
+            (F.size(F.split(F.col("node"), sep)) ).cast("long"),
+        )
+        .select("node", "depth", "count")
+        .orderBy(F.desc("count"), F.asc("node"))
         .limit(limit)
     )

@@ -120,6 +120,7 @@ SUBSET = [
     "rank_eval",
     "span_not",
     "phrase_wildcard",
+    "facet_taxonomy",
 ]
 
 

@@ -170,3 +170,17 @@ def test_dedup_keep_best(spark):
     assert {d for d, r in got.items() if r["keep"]} == {2, 10}
     assert got[2]["cluster_id"] == 1 and got[3]["cluster_id"] == 1
     assert got[10]["keep"] and not got[11]["keep"]  # tie → lower id wins
+
+
+def test_facet_taxonomy_rollup(spark):
+    from lucene_solr_spark.relational import facet_taxonomy
+
+    df = spark.createDataFrame(
+        [("a/b/c",), ("a/b",), ("a/x",), ("z",), (None,)], "path string"
+    )
+    got = {r["node"]: (r["depth"], r["count"])
+           for r in facet_taxonomy(df, "path").collect()}
+    assert got == {
+        "a": (1, 3), "a/b": (2, 2), "a/b/c": (3, 1), "a/x": (2, 1),
+        "z": (1, 1),
+    }
