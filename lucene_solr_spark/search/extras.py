@@ -1025,16 +1025,13 @@ def covering_query(index: IndexView, terms: list[str], min_match: DataFrame,
     stream; the threshold test is a doc_id equi-join against the
     docvalues frame — no driver-side evaluation of the values source.
     """
-    from functools import reduce
+    from .executor import scored_leaves
 
-    from .executor import _scores
-
-    # one scored stream per clause term (each reads its own posting
-    # blocks once); count + sum come out of ONE groupBy — no second
-    # decode pass for the clause counter
-    children = [_scores(index, Term(t)) for t in dict.fromkeys(terms)]
-    u = reduce(DataFrame.unionByName, children)
-    agg = u.groupBy("doc_id").agg(
+    # ONE combined decode+score pass over every clause term's posting
+    # blocks (term IN (...) scan — each parquet file opens once, vs one
+    # filtered scan per clause); count + sum come out of ONE groupBy
+    scored, _ = scored_leaves(index, list(dict.fromkeys(terms)))
+    agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matched"),
         F.sum("score").alias("_sm"),  # f64 accumulate, f32 at the boundary
     )
