@@ -2699,6 +2699,40 @@ def q_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR): per probe query, the top-5 BM25
+    candidates NOT judged relevant (tf >= 2 graded judgments) — the
+    contrastive retriever-training construction."""
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.evaluation import hard_negatives
+
+    sc = _bm25_scores(spark, sf_dir, list(RANK_EVAL_TERMS))
+    w = Window.partitionBy("term").orderBy(F.desc("score64"), F.asc("doc_id"))
+    results = (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(F.col("term").alias("query"), "doc_id", "rank")
+    )
+    index = _index_for(spark, sf_dir)
+    judgments = (
+        postings_table(index, list(RANK_EVAL_TERMS))
+        .filter(F.col("tf") >= 4)
+        .select(F.col("term").alias("query"), "doc_id",
+                F.lit(1).cast("long").alias("rel"))
+    )
+    return hard_negatives(results, judgments, n=5)
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair construction from the dedup signal: LSH near-dup
+    positives (signature agreement >= 0.5) + one md5-derived random
+    negative per positive, accidental candidates anti-joined away."""
+    from lucene_solr_spark.pipeline import contrastive_pairs
+
+    return contrastive_pairs(_docs(spark, sf_dir))
+
+
 def q_facet_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Taxonomy facet: hierarchical source/lang paths with rollup counts
     at every ancestor node (the Lucene facet-module dimension tree)."""
@@ -3537,6 +3571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_indexes": q_add_indexes,
         "rank_eval": q_rank_eval,
         "facet_taxonomy": q_facet_taxonomy,
+        "hard_negatives": q_hard_negatives,
+        "contrastive_pairs": q_contrastive_pairs,
         "span_not": q_span_not,
         "phrase_wildcard": q_phrase_wildcard,
         "facet_missing": q_facet_missing,
@@ -3948,6 +3984,50 @@ SELECT id_a, id_b,
   CAST(CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE) / 16 AS FLOAT)
   AS est_jaccard
 FROM pairs ORDER BY id_a, id_b""",
+        "contrastive_pairs": f"""
+WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
+siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
+bandk AS (
+  SELECT doc_id, b, sigl[b*4+1 : b*4+4] AS key, sigl
+  FROM siglist, (VALUES (0), (1), (2), (3)) AS bands(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sigl AS sa, y.sigl AS sb
+  FROM bandk x JOIN bandk y
+    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+),
+pos AS (
+  SELECT id_a, id_b FROM cand
+  WHERE CAST(CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2]))
+        AS DOUBLE) / 16 AS FLOAT) >= 5e-1
+),
+nd AS (SELECT count(*) AS n FROM documents),
+negraw AS (
+  SELECT id_a, id_b,
+         (CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR) || ':' ||
+          CAST(id_b AS VARCHAR) || ':neg'), 1, 15)) AS BIGINT) % nd.n) AS n1,
+         (CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR) || ':' ||
+          CAST(id_b AS VARCHAR) || ':neg2'), 1, 15)) AS BIGINT) % nd.n) AS n2
+  FROM pos, nd
+),
+negpick AS (
+  SELECT id_a, id_b,
+         CASE WHEN n1 IN (id_a, id_b) THEN n2 ELSE n1 END AS nb
+  FROM negraw
+),
+neg AS (
+  SELECT DISTINCT least(id_a, nb) AS id_a, greatest(id_a, nb) AS id_b
+  FROM negpick WHERE nb != id_a AND nb != id_b
+),
+neg2 AS (
+  SELECT n.id_a, n.id_b FROM neg n
+  ANTI JOIN cand c ON c.id_a = n.id_a AND c.id_b = n.id_b
+  WHERE n.id_a != n.id_b
+)
+SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pos
+UNION ALL
+SELECT id_a, id_b, CAST(0 AS BIGINT) AS label FROM neg2
+ORDER BY id_a, id_b, label""",
         "delta_dedup": f"""
 WITH {tok_cte}, {th_cte}, {sh_cte}, {sig_cte},
 siglist AS (SELECT doc_id, list(sig ORDER BY perm) AS sigl FROM sig GROUP BY doc_id),
@@ -5649,6 +5729,29 @@ nodes AS (
 SELECT node, CAST(len(string_split(node, '/')) AS BIGINT) AS depth,
        CAST(count(*) AS BIGINT) AS count
 FROM nodes GROUP BY node ORDER BY count DESC, node ASC LIMIT 50""",
+        "hard_negatives": f"""
+{_scored_terms_cte(list(RANK_EVAL_TERMS))},
+judg AS (
+  SELECT term AS query, doc_id FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in RANK_EVAL_TERMS)})
+  GROUP BY term, doc_id HAVING count(*) >= 4
+),
+page AS (
+  SELECT term AS query, doc_id, rank FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY score64 DESC, doc_id ASC) AS rank
+    FROM scored) WHERE rank <= 10
+),
+neg AS (
+  SELECT p.query, p.doc_id, p.rank,
+         row_number() OVER (PARTITION BY p.query ORDER BY p.rank ASC)
+           AS neg_rank
+  FROM page p ANTI JOIN judg j ON j.query = p.query AND j.doc_id = p.doc_id
+)
+SELECT query, doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neg_rank AS BIGINT) AS neg_rank
+FROM neg WHERE neg_rank <= 5 ORDER BY query, neg_rank""",
         "span_not": f"""
 WITH tokp AS (
   SELECT doc_id,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rank_eval"]
+__all__ = ["rank_eval", "hard_negatives"]
 
 #: rank discounts 1/log2(rank+1) as EXACT f64 literals — computed once
 #: in Python and embedded on both engines via shortest-round-trip string
@@ -122,3 +122,37 @@ def rank_eval(
         .orderBy(q)
     )
     return out
+
+
+def hard_negatives(
+    results: DataFrame,
+    judgments: DataFrame,
+    n: int = 5,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Hard-negative mining (Karpukhin et al. 2020, DPR — the standard
+    construction of contrastive retriever training data): per query, the
+    TOP-RANKED candidates that are NOT judged relevant — documents the
+    ranker loves but the labels reject, exactly the negatives a dual
+    encoder needs to learn from.
+
+    ``results``: ranked pages [query, doc_id, rank]; ``judgments``:
+    [query, doc_id, rel] (rel > 0 = positive).  Returns [query, doc_id,
+    rank, neg_rank] — the first ``n`` negatives per query in rank order.
+    One anti-join on (query, doc) + one per-query window; pages are ≤k
+    rows per query so the window is trivially balanced."""
+    from pyspark.sql.window import Window
+
+    q, d, r = query_col, id_col, rank_col
+    pos = judgments.filter(F.col(rel_col) > 0).select(q, d)
+    neg = results.join(pos, [q, d], "left_anti")
+    w = Window.partitionBy(q).orderBy(F.col(r).asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= int(n))
+        .select(q, d, F.col(r).cast("long").alias(r), "neg_rank")
+        .orderBy(q, "neg_rank")
+    )

@@ -15,6 +15,7 @@ in __spark_entry__.py.
 from .dedup import (
     boilerplate_line_dedup,
     delta_dedup,
+    contrastive_pairs,
     dedup_keep_best,
     dedup_clusters,
     exact_dedup,

@@ -792,3 +792,57 @@ def dedup_keep_best(
         .select("doc_id", "cluster_id", "quality", "keep")
         .orderBy("doc_id")
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard: float = 0.5,
+) -> DataFrame:
+    """Contrastive training pairs from the dedup signal (the SimCSE/E5
+    weak-supervision construction): near-duplicate pairs — LSH
+    candidates whose signature agreement >= ``jaccard`` — become
+    POSITIVES (label 1); each positive is matched by one DETERMINISTIC
+    md5-derived random pair as an in-batch NEGATIVE (label 0), with
+    accidental near-dups anti-joined away.
+
+    Returns [id_a, id_b, label] ordered.  Everything derives from the
+    existing LSH machinery plus the md5 house pattern, so a 100 TB pass
+    regenerates the identical pair set on any partitioning — the
+    property a reproducible training corpus needs.
+    """
+    from .hashing import h64_sql
+
+    sigs = minhash_signatures(df, text_col, id_col)
+    cand = lsh_candidate_pairs(sigs, id_col=id_col)
+    pos = cand.filter(F.col("est_jaccard") >= float(jaccard)).select(
+        "id_a", "id_b"
+    )
+    n_docs = df.count()
+    key = "concat(CAST(id_a AS STRING), ':', CAST(id_b AS STRING), ':neg')"
+    key2 = "concat(CAST(id_a AS STRING), ':', CAST(id_b AS STRING), ':neg2')"
+    p1 = f"({h64_sql(key)} % {n_docs})"
+    p2 = f"({h64_sql(key2)} % {n_docs})"
+    # two deterministic draws: take the second when the first lands on
+    # either member of the positive pair (still md5-pure — no RNG state)
+    partner = (
+        f"CASE WHEN {p1} IN (id_a, id_b) THEN {p2} ELSE {p1} END"
+    )
+    neg = (
+        pos.withColumn("nb", F.expr(partner).cast("long"))
+        .filter((F.col("nb") != F.col("id_a")) & (F.col("nb") != F.col("id_b")))
+        .select(
+            F.least(F.col("id_a"), F.col("nb")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("nb")).alias("id_b"),
+        )
+        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .distinct()
+    )
+    out = pos.withColumn("label", F.lit(1).cast("long")).unionByName(
+        neg.withColumn("label", F.lit(0).cast("long"))
+    )
+    handle = getattr(cand, "_lss_cached", ())
+    out = out.orderBy("id_a", "id_b", "label")
+    out._lss_cached = handle
+    return out

@@ -121,6 +121,8 @@ SUBSET = [
     "span_not",
     "phrase_wildcard",
     "facet_taxonomy",
+    "hard_negatives",
+    "contrastive_pairs",
 ]
 
 

@@ -216,3 +216,37 @@ def test_span_not_excludes_overlaps(spark):
     assert spans == {(0, 0, 2), (1, 0, 3)}
     idx.postings.unpersist()
     idx.norms.unpersist()
+
+
+def test_hard_negatives_semantics(spark):
+    from lucene_solr_spark.evaluation import hard_negatives
+
+    results = spark.createDataFrame(
+        [("q", d, r) for r, d in enumerate([10, 11, 12, 13], 1)],
+        "query string, doc_id long, rank long",
+    )
+    judg = spark.createDataFrame(
+        [("q", 11, 1), ("q", 50, 1)], "query string, doc_id long, rel long"
+    )
+    got = hard_negatives(results, judg, n=2).collect()
+    assert [(r["doc_id"], r["neg_rank"]) for r in got] == [(10, 1), (12, 2)]
+
+
+def test_contrastive_pairs_labels(spark):
+    from lucene_solr_spark.pipeline import contrastive_pairs
+
+    base = " ".join(f"w{j}" for j in range(40))
+    base2 = " ".join(f"v{j}" for j in range(40))
+    rows = [(0, base), (1, base + " tail"), (6, base2), (7, base2 + " x")] + [
+        (i, f"unique body number {i} " * (5 + i)) for i in (2, 3, 4, 5, 8, 9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = contrastive_pairs(df, jaccard=0.3).collect()
+    pos = [(r["id_a"], r["id_b"]) for r in got if r["label"] == 1]
+    neg = [(r["id_a"], r["id_b"]) for r in got if r["label"] == 0]
+    assert (0, 1) in pos            # near-dup pair surfaced as positive
+    assert neg                      # at least one generated negative
+    assert all(p not in pos for p in neg)
+    # determinism across partitionings
+    again = contrastive_pairs(df.repartition(5), jaccard=0.3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
