@@ -376,3 +376,39 @@ def test_routing_hash_and_shard_in_one_stage(spark):
     assert "Exchange" not in plan, plan
     routed = assign_shards(df, 8, id_col="doc_id").repartition(8, "shard")
     assert _plan(routed).count("Exchange") == 1
+
+
+def test_monitor_presearcher_filter_before_exchange(spark):
+    """The registered-query term filter must prune the tokenized batch
+    BEFORE any exchange (the presearcher contract): the only exchanges
+    left are the per-query verification aggregates."""
+    from lucene_solr_spark.search.monitor import monitor_match
+
+    docs = spark.createDataFrame([(0, "spark join")], "doc_id long, text string")
+    out = monitor_match(docs, {"a": "spark", "b": "join AND window"})
+    plan = _plan(out)
+    # every verification branch reads the PERSISTED presearcher slice
+    # with the term predicate pushed into the cache scan — the raw batch
+    # is tokenized/filtered once, never per query
+    assert "InMemoryTableScan" in plan, plan
+    assert "Filter (isnotnull(term#" in plan, plan
+    for c in getattr(out, "_lss_cached", ()):
+        c.unpersist()
+
+
+def test_covering_single_shared_scan(spark):
+    """CoveringQuery decodes the clause terms in ONE shared-leaf pass:
+    exactly one posting-decode kernel feeds both the counter and the
+    score sum (no per-clause rescan)."""
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import covering_query
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a c"), (2, "b")], "doc_id long, text string"
+    )
+    idx = build_index_view(df, id_col="doc_id", text_col="text")
+    vals = df.select("doc_id", F.lit(1).alias("min_match"))
+    plan = _plan(covering_query(idx, ["a", "b", "c"], vals))
+    assert plan.count("MapInPandas") <= 3, plan  # decode kernels, not 3x3
+    idx.postings.unpersist()
+    idx.norms.unpersist()
