@@ -2699,6 +2699,41 @@ def q_phrase_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS, BLOOM_K = 1 << 16, 4
+BLOOM_ABSENT = ("zzqq_not_a_term", "qq_nothing_here")
+
+
+def q_bloom_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered term dictionary (BloomFilteringPostingsFormat /
+    FuzzySet): membership verdicts for present probes + definitely-absent
+    probes, computed DISTRIBUTED (probe bits joined against the built
+    bit set) so the oracle can replay the identical md5 bit math."""
+    from lucene_solr_spark.bloom import bloom_hash_sql, term_bloom_bits
+
+    index = _index_for(spark, sf_dir)
+    bits = term_bloom_bits(index.term_dict, BLOOM_BITS, BLOOM_K)
+    probes = spark.createDataFrame(
+        [(t,) for t in (*PROBE_TERMS, *BLOOM_ABSENT)], "term string"
+    )
+    pb = probes.select(
+        "term",
+        F.explode(F.array(*[
+            F.expr(bloom_hash_sql("term", i, BLOOM_BITS))
+            for i in range(BLOOM_K)
+        ])).alias("bit"),
+    )
+    hit = pb.join(bits, "bit", "left_semi").groupBy("term").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        probes.join(hit, "term", "left")
+        .select("term",
+                (F.coalesce(F.col("_n"), F.lit(0)) == BLOOM_K)
+                .alias("may_contain"))
+        .orderBy("term")
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (DPR): per probe query, the top-5 BM25
     candidates NOT judged relevant (tf >= 2 graded judgments) — the
@@ -3572,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         "facet_taxonomy": q_facet_taxonomy,
         "hard_negatives": q_hard_negatives,
+        "bloom_terms": q_bloom_terms,
         "contrastive_pairs": q_contrastive_pairs,
         "span_not": q_span_not,
         "phrase_wildcard": q_phrase_wildcard,
@@ -5729,6 +5765,28 @@ nodes AS (
 SELECT node, CAST(len(string_split(node, '/')) AS BIGINT) AS depth,
        CAST(count(*) AS BIGINT) AS count
 FROM nodes GROUP BY node ORDER BY count DESC, node ASC LIMIT 50""",
+        "bloom_terms": f"""
+WITH {_TOK_CTE},
+dict AS (SELECT DISTINCT term FROM tok),
+dbits AS (
+  SELECT DISTINCT
+    unnest([{", ".join(f"(CAST(('0x' || substr(md5(term || ':bloom{i}'), 1, 15)) AS BIGINT) % {1 << 16})" for i in range(4))}]) AS bit
+  FROM dict
+),
+probes(term) AS (VALUES {", ".join(f"('{t}')" for t in (*PROBE_TERMS, "zzqq_not_a_term", "qq_nothing_here"))}),
+pb AS (
+  SELECT term,
+    unnest([{", ".join(f"(CAST(('0x' || substr(md5(term || ':bloom{i}'), 1, 15)) AS BIGINT) % {1 << 16})" for i in range(4))}]) AS bit
+  FROM probes
+),
+hit AS (
+  SELECT pb.term, count(*) AS n
+  FROM pb SEMI JOIN dbits ON dbits.bit = pb.bit
+  GROUP BY pb.term
+)
+SELECT p.term, coalesce(h.n, 0) = 4 AS may_contain
+FROM probes p LEFT JOIN hit h USING (term)
+ORDER BY p.term""",
         "hard_negatives": f"""
 {_scored_terms_cte(list(RANK_EVAL_TERMS))},
 judg AS (

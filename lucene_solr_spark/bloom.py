@@ -1,0 +1,79 @@
+"""Bloom-filtered term dictionary — BloomFilteringPostingsFormat analog
+(``[8x] lucene/codecs/src/java/org/apache/lucene/codecs/bloom/
+BloomFilteringPostingsFormat.java`` / ``FuzzySet.java``): a compact
+bitset over the term dictionary that answers "definitely absent" without
+touching the dictionary — Lucene uses it to make primary-key misses and
+rare-term misses O(1).
+
+Spark-first shape: the filter BUILD is one distributed pass (explode k
+md5-derived bit positions per term, distinct) and the materialized
+bitset is n_bits/8 bytes — 128 KiB at 2^20 bits — collected once to the
+driver like Lucene loads FuzzySet into RAM.  A membership probe is pure
+driver arithmetic (the term-dictionary FST analog); the false-positive
+rate is the standard (1 - e^{-kn/m})^k and misses are exact.
+
+The hash is the repo's md5 house pattern, so the same bits are
+reproducible in SQL on any engine (the driver entry verifies the
+distributed build against a DuckDB replay).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["term_bloom_bits", "build_term_bloom", "may_contain",
+           "bloom_hash_sql"]
+
+_SALT = ":bloom"
+
+
+def bloom_hash_sql(term_expr: str, i: int, n_bits: int) -> str:
+    """Bit position i of a term expression — identical md5 formula text
+    in Spark SQL (conv) and, with the CAST('0x'||…) spelling, DuckDB."""
+    return (
+        f"(CAST(conv(substr(md5(concat({term_expr}, '{_SALT}{i}')), 1, 15),"
+        f" 16, 10) AS BIGINT) % {n_bits})"
+    )
+
+
+def term_bloom_bits(term_dict: DataFrame, n_bits: int = 1 << 20,
+                    k: int = 4) -> DataFrame:
+    """Distinct set bit positions of the dictionary's bloom filter —
+    one map pass + one distinct (the distributed build)."""
+    cols = [F.expr(bloom_hash_sql("term", i, n_bits)) for i in range(k)]
+    return (
+        term_dict.select(F.explode(F.array(*cols)).alias("bit"))
+        .distinct()
+    )
+
+
+def build_term_bloom(index, n_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Materialize the filter as a packed uint64 word array (n_bits/64
+    words — 128 KiB at 2^20, bounded driver memory like Lucene's RAM
+    FuzzySet)."""
+    words = np.zeros(n_bits // 64 + 1, dtype=np.uint64)
+    for r in term_bloom_bits(index.term_dict, n_bits, k).collect():
+        b = int(r["bit"])
+        words[b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    return words
+
+
+def _bit(term: str, i: int, n_bits: int) -> int:
+    h = int(hashlib.md5(f"{term}{_SALT}{i}".encode()).hexdigest()[:15], 16)
+    return h % n_bits
+
+
+def may_contain(bloom: np.ndarray, term: str, n_bits: int = 1 << 20,
+                k: int = 4) -> bool:
+    """Driver-side probe: False = the term is DEFINITELY absent (skip
+    the dictionary job entirely); True = probably present."""
+    for i in range(k):
+        b = _bit(term, i, n_bits)
+        if not (int(bloom[b >> 6]) >> (b & 63)) & 1:
+            return False
+    return True

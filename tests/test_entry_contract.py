@@ -123,6 +123,7 @@ SUBSET = [
     "facet_taxonomy",
     "hard_negatives",
     "contrastive_pairs",
+    "bloom_terms",
 ]
 
 

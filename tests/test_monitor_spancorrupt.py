@@ -184,3 +184,30 @@ def test_facet_taxonomy_rollup(spark):
         "a": (1, 3), "a/b": (2, 2), "a/b/c": (3, 1), "a/x": (2, 1),
         "z": (1, 1),
     }
+
+
+def test_bloom_term_filter(spark):
+    """BloomFilteringPostingsFormat analog: present terms always pass;
+    absent probes are definitely-absent (no false negatives by
+    construction; the FP rate at these parameters is ~(1-e^-kn/m)^k)."""
+    import numpy as np
+
+    from lucene_solr_spark.bloom import build_term_bloom, may_contain
+    from lucene_solr_spark.index import build_index_view
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = build_index_view(df, id_col="doc_id", text_col="text")
+    bloom = build_term_bloom(idx, n_bits=1 << 16, k=4)
+    assert isinstance(bloom, np.ndarray)
+    for t in ("alpha", "beta", "tok7", "tok49"):
+        assert may_contain(bloom, t, n_bits=1 << 16, k=4)
+    misses = sum(
+        not may_contain(bloom, f"absent_{j}", n_bits=1 << 16, k=4)
+        for j in range(200)
+    )
+    assert misses >= 195  # definite-absent fast path actually fires
+    idx.postings.unpersist()
+    idx.norms.unpersist()
