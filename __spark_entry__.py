@@ -2824,6 +2824,9 @@ def q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         half = d.filter(F.col("doc_id") % 2 == par).drop("doc_id")
         from pyspark.sql.window import Window
 
+        # entry-harness ids only: a global window over the ≤500-row half
+        # corpus (the LIBRARY path is assign_doc_ids' partition-offset
+        # scheme — no SinglePartition exchange at scale)
         half = half.withColumn(
             "doc_id",
             (F.row_number().over(Window.orderBy("text", "source")) - 1)
