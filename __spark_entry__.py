@@ -3461,6 +3461,34 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+URP_CHAIN = [
+    {"trim": {"fields": ["text"]}},
+    {"regex_replace": {"field": "text", "pattern": "[ \\t]+", "replacement": " "}},
+    {"clone": {"src": "lang", "dest": "lang_orig"}},
+    {"remove_blank": {"fields": ["lang"]}},
+    {"default": {"field": "lang", "value": "und"}},
+    {"truncate": {"field": "text", "max_chars": 120}},
+    {"field_length": {"src": "text", "dest": "text_len"}},
+    {"concat": {"dest": "route_key", "fields": ["source", "lang"], "sep": "!"}},
+    {"signature": {"dest": "sig", "fields": ["text", "source"]}},
+    {"uuid": {"dest": "uid", "fields": ["text", "source", "lang"]}},
+    {"timestamp": {"dest": "indexed_at", "value": "2026-08-19 00:00:00"}},
+]
+
+
+def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr UpdateRequestProcessorChain: declarative ingest processors
+    (trim/regex/clone/blank/default/truncate/length/concat/signature/
+    uuid/timestamp) compiled to ONE map-only projection."""
+    from lucene_solr_spark.pipeline import apply_urp_chain
+
+    out = apply_urp_chain(_docs(spark, sf_dir), URP_CHAIN)
+    return out.select(
+        "doc_id", "lang", "lang_orig", "text_len", "route_key",
+        "sig", "uid", "indexed_at",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3623,6 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_interesting": q_mlt_interesting,
         "frange": q_frange,
         "dup_windows": q_dup_windows,
+        "urp_chain": q_urp_chain,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6368,6 +6397,28 @@ FROM documents d JOIN m USING (doc_id)
 WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
   AND 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) <= {FRANGE_U}
 ORDER BY d.doc_id""",
+        "urp_chain": r"""
+WITH s1 AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(trim(text), '[ \t]+', ' ', 'g') AS text
+  FROM documents),
+s2 AS (
+  SELECT doc_id, source,
+         lang AS lang_orig,
+         COALESCE(CASE WHEN lang = '' THEN NULL ELSE lang END, 'und') AS lang,
+         substring(text, 1, 120) AS text
+  FROM s1),
+s3 AS (
+  SELECT *, md5(concat_ws(chr(31), text, source, lang)) AS uh FROM s2)
+SELECT doc_id, lang, lang_orig,
+       CAST(length(text) AS BIGINT) AS text_len,
+       concat_ws('!', source, lang) AS route_key,
+       md5(concat_ws(chr(31), text, source)) AS sig,
+       concat_ws('-', substring(uh, 1, 8), substring(uh, 9, 4),
+                 substring(uh, 13, 4), substring(uh, 17, 4),
+                 substring(uh, 21, 12)) AS uid,
+       TIMESTAMP '2026-08-19 00:00:00' AS indexed_at
+FROM s3 ORDER BY doc_id""",
         "dup_windows": f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,

@@ -56,6 +56,7 @@ from .filters import (
     temperature_sample,
 )
 from .multimodal import media_features, with_media_binary
+from .urp import URP_PROCESSORS, apply_urp_chain, validate_urp_chain
 from .packing import chunk_documents, fim_split, span_corrupt
 from .bpe import bpe_encode, bpe_learn, bpe_word_types
 
@@ -98,6 +99,9 @@ __all__ = [
     "lang_id",
     "lsh_candidate_pairs",
     "media_features",
+    "URP_PROCESSORS",
+    "apply_urp_chain",
+    "validate_urp_chain",
     "minhash_query",
     "text_profile_signature",
     "minhash_signatures",

@@ -1,0 +1,197 @@
+"""Update Request Processor chain — Solr's document-ingest pipeline.
+
+Solr runs every incoming document through a configured
+``UpdateRequestProcessorChain`` before it reaches the index writer
+(``[8x] solr/core/src/java/org/apache/solr/update/processor/
+UpdateRequestProcessorChain.java`` and the factory family under the
+same package).  This module re-expresses the widely-used field-mutating
+processors as a declarative spec applied with pure Spark SQL column
+expressions — one map-only projection per chain, no shuffle, no Python
+in the row path — so the same chain text also serializes into an index
+manifest exactly like the analyzer ``chain_spec``.
+
+Supported processors (spec key → Solr factory):
+
+* ``clone``          → CloneFieldUpdateProcessorFactory
+* ``regex_replace``  → RegexReplaceProcessorFactory
+* ``trim``           → TrimFieldUpdateProcessorFactory
+* ``remove_blank``   → RemoveBlankFieldUpdateProcessorFactory
+* ``default``        → DefaultValueUpdateProcessorFactory
+* ``truncate``       → TruncateFieldUpdateProcessorFactory
+* ``concat``         → ConcatFieldUpdateProcessorFactory
+* ``field_length``   → FieldLengthUpdateProcessorFactory
+* ``signature``      → SignatureUpdateProcessorFactory (md5 over the
+  named fields, Solr's MD5Signature; the dedup key used by
+  ``overwriteDupes``)
+* ``uuid``           → UUIDUpdateProcessorFactory.  Deliberate
+  deviation: Solr mints a random UUID; random ids are not reproducible
+  across engines or retries, so this one derives the UUID bytes from
+  the md5 signature of the listed fields (a content-addressed id —
+  what a resumable 100 TB ingest actually wants).
+* ``timestamp``      → TimestampUpdateProcessorFactory.  Solr stamps
+  NOW(); a distributed re-runnable ingest must not, so the spec
+  carries the explicit batch timestamp.
+
+Every processor is expressible in both Spark SQL and DuckDB SQL with
+identical semantics (md5 hex, regexp_replace with RE2-safe patterns,
+substring, length, concat_ws), which is what the oracle entry checks.
+
+Scale notes (100 TB lens): the whole chain compiles to a single
+narrow projection over the scan — zero shuffles, zero UDFs, fully
+inside WholeStageCodegen; Catalyst collapses the per-step
+``withColumn`` calls into one Project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["apply_urp_chain", "validate_urp_chain", "URP_PROCESSORS"]
+
+
+def _str_params(step: str, params: dict, required: tuple[str, ...],
+                optional: tuple[str, ...] = ()) -> None:
+    missing = [k for k in required if k not in params]
+    if missing:
+        raise ValueError(f"urp step {step!r} missing params {missing}")
+    unknown = [k for k in params if k not in required + optional]
+    if unknown:
+        raise ValueError(f"urp step {step!r} unknown params {unknown}")
+
+
+def validate_urp_chain(chain: list[dict]) -> None:
+    """Raise ValueError on a malformed chain spec (unknown processor,
+    missing/unknown params).  Called by ``apply_urp_chain`` and by
+    manifest loaders before any Spark work starts."""
+    if not isinstance(chain, (list, tuple)):
+        raise ValueError("urp chain must be a list of single-key dicts")
+    for step in chain:
+        if not isinstance(step, dict) or len(step) != 1:
+            raise ValueError(f"urp step must be a single-key dict, got {step!r}")
+        name, params = next(iter(step.items()))
+        if name not in URP_PROCESSORS:
+            raise ValueError(
+                f"unknown urp processor {name!r}; known: {sorted(URP_PROCESSORS)}")
+        URP_PROCESSORS[name][0](name, params)
+
+
+# ---------------------------------------------------------------- steps
+# Each entry: (validator, applier).  Appliers return the new DataFrame.
+
+def _apply_clone(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(p["dest"], F.col(p["src"]))
+
+
+def _apply_regex_replace(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(
+        p["field"],
+        F.regexp_replace(F.col(p["field"]), p["pattern"], p["replacement"]),
+    )
+
+
+def _apply_trim(df: DataFrame, p: dict) -> DataFrame:
+    out = df
+    for f in p["fields"]:
+        out = out.withColumn(f, F.trim(F.col(f)))
+    return out
+
+
+def _apply_remove_blank(df: DataFrame, p: dict) -> DataFrame:
+    out = df
+    for f in p["fields"]:
+        out = out.withColumn(
+            f, F.when(F.col(f) == F.lit(""), F.lit(None)).otherwise(F.col(f)))
+    return out
+
+
+def _apply_default(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(
+        p["field"], F.coalesce(F.col(p["field"]), F.lit(p["value"])))
+
+
+def _apply_truncate(df: DataFrame, p: dict) -> DataFrame:
+    n = int(p["max_chars"])
+    return df.withColumn(p["field"], F.substring(F.col(p["field"]), 1, n))
+
+
+def _apply_concat(df: DataFrame, p: dict) -> DataFrame:
+    sep = p.get("sep", "|")
+    return df.withColumn(
+        p["dest"], F.concat_ws(sep, *[F.col(f) for f in p["fields"]]))
+
+
+def _apply_field_length(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(
+        p["dest"], F.length(F.col(p["src"])).cast("long"))
+
+
+def _sig_col(fields: list[str]) -> Column:
+    # Solr MD5Signature concatenates the field values; NULLs contribute
+    # nothing (concat_ws skips them), the unit separator keeps
+    # ("ab","c") distinct from ("a","bc").
+    return F.md5(F.concat_ws("\x1f", *[F.col(f) for f in fields]))
+
+
+def _apply_signature(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(p["dest"], _sig_col(list(p["fields"])))
+
+
+def _apply_uuid(df: DataFrame, p: dict) -> DataFrame:
+    h = _sig_col(list(p["fields"]))
+    return df.withColumn(
+        p["dest"],
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8), F.substring(h, 9, 4),
+            F.substring(h, 13, 4), F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ),
+    )
+
+
+def _apply_timestamp(df: DataFrame, p: dict) -> DataFrame:
+    return df.withColumn(
+        p["dest"], F.lit(p["value"]).cast("timestamp"))
+
+
+URP_PROCESSORS = {
+    "clone": (
+        lambda n, p: _str_params(n, p, ("src", "dest")), _apply_clone),
+    "regex_replace": (
+        lambda n, p: _str_params(n, p, ("field", "pattern", "replacement")),
+        _apply_regex_replace),
+    "trim": (
+        lambda n, p: _str_params(n, p, ("fields",)), _apply_trim),
+    "remove_blank": (
+        lambda n, p: _str_params(n, p, ("fields",)), _apply_remove_blank),
+    "default": (
+        lambda n, p: _str_params(n, p, ("field", "value")), _apply_default),
+    "truncate": (
+        lambda n, p: _str_params(n, p, ("field", "max_chars")),
+        _apply_truncate),
+    "concat": (
+        lambda n, p: _str_params(n, p, ("dest", "fields"), ("sep",)),
+        _apply_concat),
+    "field_length": (
+        lambda n, p: _str_params(n, p, ("src", "dest")), _apply_field_length),
+    "signature": (
+        lambda n, p: _str_params(n, p, ("dest", "fields")), _apply_signature),
+    "uuid": (
+        lambda n, p: _str_params(n, p, ("dest", "fields")), _apply_uuid),
+    "timestamp": (
+        lambda n, p: _str_params(n, p, ("dest", "value")), _apply_timestamp),
+}
+
+
+def apply_urp_chain(df: DataFrame, chain: list[dict]) -> DataFrame:
+    """Run every document through the processor chain, in order, as one
+    map-only projection.  The chain spec is JSON-serializable and is
+    what an index manifest records (the ingest analog of the analyzer
+    ``chain_spec``)."""
+    validate_urp_chain(chain)
+    out = df
+    for step in chain:
+        name, params = next(iter(step.items()))
+        out = URP_PROCESSORS[name][1](out, params)
+    return out

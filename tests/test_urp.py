@@ -1,0 +1,105 @@
+"""UpdateRequestProcessor chain: per-processor semantics, chain order,
+spec validation, and the map-only plan shape.
+
+Mirrors Solr's field-mutating URP factories ([8x] solr/core/.../update/
+processor/): CloneField, RegexReplace, TrimField, RemoveBlankField,
+DefaultValue, TruncateField, ConcatField, FieldLength, Signature
+(MD5Signature), UUID (content-addressed here), Timestamp (explicit
+batch value here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from lucene_solr_spark.pipeline import apply_urp_chain, validate_urp_chain
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        (1, "  Hello   world ", "en", "web"),
+        (2, "tabs\t\tcollapse", "", "web"),
+        (3, "unchanged", None, "book"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string, lang string, src string")
+
+
+def test_trim_regex_truncate_length(spark, raw):
+    chain = [
+        {"trim": {"fields": ["text"]}},
+        {"regex_replace": {"field": "text", "pattern": "[ \\t]+", "replacement": " "}},
+        {"truncate": {"field": "text", "max_chars": 8}},
+        {"field_length": {"src": "text", "dest": "n"}},
+    ]
+    got = {r["id"]: (r["text"], r["n"])
+           for r in apply_urp_chain(raw, chain).collect()}
+    assert got[1] == ("Hello wo", 8)       # trimmed, collapsed, truncated
+    assert got[2] == ("tabs col", 8)       # tabs collapsed before truncate
+    assert got[3] == ("unchange", 8)
+
+
+def test_blank_default_clone_concat(spark, raw):
+    chain = [
+        {"clone": {"src": "lang", "dest": "lang_orig"}},
+        {"remove_blank": {"fields": ["lang"]}},
+        {"default": {"field": "lang", "value": "und"}},
+        {"concat": {"dest": "key", "fields": ["src", "lang"], "sep": "!"}},
+    ]
+    got = {r["id"]: (r["lang"], r["lang_orig"], r["key"])
+           for r in apply_urp_chain(raw, chain).collect()}
+    assert got[1] == ("en", "en", "web!en")
+    # '' became NULL, then the default filled it; the clone kept the original
+    assert got[2] == ("und", "", "web!und")
+    assert got[3] == ("und", None, "book!und")
+
+
+def test_signature_uuid_timestamp(spark, raw):
+    chain = [
+        {"signature": {"dest": "sig", "fields": ["text", "src"]}},
+        {"uuid": {"dest": "uid", "fields": ["text", "src"]}},
+        {"timestamp": {"dest": "ts", "value": "2026-08-19 00:00:00"}},
+    ]
+    rows = {r["id"]: r for r in apply_urp_chain(raw, chain).collect()}
+    h = hashlib.md5("unchanged\x1fbook".encode()).hexdigest()
+    assert rows[3]["sig"] == h
+    assert rows[3]["uid"] == f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    assert str(rows[3]["ts"]) == "2026-08-19 00:00:00"
+    # NULL fields contribute nothing to the signature (concat_ws skips)
+    chain2 = [{"signature": {"dest": "sig", "fields": ["lang", "src"]}}]
+    rows2 = {r["id"]: r for r in apply_urp_chain(raw, chain2).collect()}
+    assert rows2[3]["sig"] == hashlib.md5(b"book").hexdigest()
+
+
+def test_chain_order_matters(spark, raw):
+    # default-then-blank leaves NULL; blank-then-default fills it
+    a = [{"default": {"field": "lang", "value": "und"}},
+         {"remove_blank": {"fields": ["lang"]}}]
+    b = [{"remove_blank": {"fields": ["lang"]}},
+         {"default": {"field": "lang", "value": "und"}}]
+    ra = {r["id"]: r["lang"] for r in apply_urp_chain(raw, a).collect()}
+    rb = {r["id"]: r["lang"] for r in apply_urp_chain(raw, b).collect()}
+    assert ra[2] is None and rb[2] == "und"
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="unknown urp processor"):
+        validate_urp_chain([{"nope": {}}])
+    with pytest.raises(ValueError, match="missing params"):
+        validate_urp_chain([{"clone": {"src": "a"}}])
+    with pytest.raises(ValueError, match="unknown params"):
+        validate_urp_chain([{"trim": {"fields": ["a"], "bogus": 1}}])
+    with pytest.raises(ValueError, match="single-key"):
+        validate_urp_chain([{"clone": {"src": "a", "dest": "b"}, "trim": {}}])
+
+
+def test_chain_is_one_maponly_projection(spark, raw):
+    chain = [
+        {"trim": {"fields": ["text"]}},
+        {"clone": {"src": "lang", "dest": "lang2"}},
+        {"signature": {"dest": "sig", "fields": ["text"]}},
+    ]
+    plan = apply_urp_chain(raw, chain)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: ingest stays map-side
