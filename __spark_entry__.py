@@ -466,6 +466,45 @@ def q_geo_filt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: concave C-shaped test polygon [(lat, lon)] — the notch exercises the
+#: even-odd rule; vertices sized so sf0.01 customers land on both sides
+GEO_POLY = [(-40.0, -120.0), (40.0, -120.0), (40.0, 0.0), (15.0, 0.0),
+            (15.0, -80.0), (-15.0, -80.0), (-15.0, 0.0), (-40.0, 0.0)]
+
+
+def q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene LatLonShape / Solr RPT polygon intersects-filter: even-odd
+    ray cast compiled to one shared SQL expression (bit-identical on
+    both engines), bbox range pre-filter reaching parquet stats."""
+    from lucene_solr_spark.functions import polygon_filter
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return (pts.filter(polygon_filter("lat", "lon", GEO_POLY))
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+def _geo_polygon_oracle() -> str:
+    from lucene_solr_spark.functions import (polygon_bbox_sql,
+                                             polygon_contains_sql)
+
+    # IEEE-double op order matches Spark's exactly (CAST then /, then -)
+    return (f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey * 9973 % 17000 AS DOUBLE) / 100e0 - 85e0 AS lat,
+         CAST(c_custkey * 7919 % 36000 AS DOUBLE) / 100e0 - 180e0 AS lon
+  FROM customer)
+SELECT c_custkey FROM pts
+WHERE {polygon_bbox_sql('lat', 'lon', GEO_POLY)}
+  AND {polygon_contains_sql('lat', 'lon', GEO_POLY)}
+ORDER BY c_custkey""")
+
+
 CT_TERMS = ("dup", "data", "table")  # 'dup' df≈5%, others ≈78% -> split at 0.5
 
 
@@ -3526,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range": q_term_range,
         "facet_interval": q_facet_interval,
         "geo_filt": q_geo_filt,
+        "geo_polygon": q_geo_polygon,
         "geo_sort": q_geo_sort,
         "geo_heatmap": q_geo_heatmap,
         "common_terms": q_common_terms,
@@ -6084,6 +6124,7 @@ SELECT * FROM (
   SELECT '[500,2000)',
          CAST(count(*) FILTER (n_chars >= 500 AND n_chars < 2000) AS BIGINT) FROM documents
 ) ORDER BY "interval" """,
+        "geo_polygon": _geo_polygon_oracle(),
         "geo_filt": f"""
 WITH pts AS (
   SELECT c_custkey,

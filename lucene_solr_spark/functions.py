@@ -14,6 +14,7 @@ joining ``postings_table`` / ``term_dict`` / ``norms``.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -22,6 +23,8 @@ __all__ = [
     "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
     "date_ms", "geodist", "geofilt", "bbox", "termfreq", "docfreq",
     "idf_col", "norm_col", "frange", "random_sort_key",
+    "parse_wkt_polygon", "polygon_contains_sql", "polygon_bbox_sql",
+    "polygon_filter",
 ]
 
 
@@ -158,6 +161,84 @@ def bbox(lat: Column, lon: Column, pt_lat: float, pt_lon: float,
         else:
             cond = cond & (lon >= lo) & (lon <= hi)
     return cond
+
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """Parse a simple ``POLYGON((lon lat, lon lat, ...))`` WKT ring into
+    [(lat, lon), ...] — the exterior ring only, no holes (Solr's RPT
+    field accepts WKT polygons via ``[8x] solr/core/src/java/org/apache/
+    solr/schema/AbstractSpatialFieldType.java``; WKT coordinate order is
+    lon lat).  A repeated closing vertex is dropped (the ray-cast closes
+    the ring itself)."""
+    m = re.fullmatch(r"\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*", wkt,
+                     flags=re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"unsupported WKT (exterior-ring POLYGON only): {wkt!r}")
+    pts = []
+    for pair in m.group(1).split(","):
+        xy = pair.split()
+        if len(xy) != 2:
+            raise ValueError(f"bad WKT coordinate pair {pair!r}")
+        lon, lat = float(xy[0]), float(xy[1])
+        pts.append((lat, lon))
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("polygon needs at least 3 distinct vertices")
+    return pts
+
+
+def polygon_contains_sql(lat_sql: str, lon_sql: str,
+                         vertices: list[tuple[float, float]]) -> str:
+    """Even-odd ray-cast point-in-polygon as ONE SQL boolean expression
+    over the literal vertex ring — the same text runs on Spark and
+    DuckDB, so both engines compute bit-identical f64 arithmetic and the
+    boundary never disagrees cross-engine.  Lucene's LatLonShape polygon
+    query evaluates the same even-odd rule against the doc point
+    (``[8x] lucene/core/src/java/org/apache/lucene/geo/Polygon2D.java``).
+
+    The polygon is tiny and rides inside the expression (a broadcast of
+    constants); the filter is map-only and stays in WholeStageCodegen —
+    wrap with a bounding-box pre-filter (:func:`polygon_bbox_sql`) so
+    plain range predicates reach parquet row-group stats first."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    lit = lambda v: f"{float(v)!r}e0"  # noqa: E731 — force DOUBLE on both engines
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({lit(y1)} > {lat_sql}) != ({lit(y2)} > {lat_sql}))"
+            f" AND ({lon_sql} < ({lit(x2)} - {lit(x1)}) * ({lat_sql} - {lit(y1)})"
+            f" / ({lit(y2)} - {lit(y1)}) + {lit(x1)}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def polygon_bbox_sql(lat_sql: str, lon_sql: str,
+                     vertices: list[tuple[float, float]]) -> str:
+    """Bounding-box pre-filter for :func:`polygon_contains_sql` — plain
+    range predicates that reach parquet min/max stats (the two-phase
+    shape of Lucene's polygon query: grid/box prune, then exact test)."""
+    lats = [float(v[0]) for v in vertices]
+    lons = [float(v[1]) for v in vertices]
+    lit = lambda v: f"{v!r}e0"  # noqa: E731
+    return (f"({lat_sql} >= {lit(min(lats))} AND {lat_sql} <= {lit(max(lats))}"
+            f" AND {lon_sql} >= {lit(min(lons))} AND {lon_sql} <= {lit(max(lons))})")
+
+
+def polygon_filter(lat_col: str, lon_col: str,
+                   vertices_or_wkt) -> Column:
+    """Solr RPT polygon intersects-filter over point docvalues: boolean
+    Column, box-pruned then exact even-odd ray cast, all inside one
+    codegen'd projection.  ``vertices_or_wkt`` is [(lat, lon), ...] or a
+    WKT POLYGON string."""
+    verts = (parse_wkt_polygon(vertices_or_wkt)
+             if isinstance(vertices_or_wkt, str) else list(vertices_or_wkt))
+    return F.expr(polygon_bbox_sql(lat_col, lon_col, verts)) & \
+        F.expr(polygon_contains_sql(lat_col, lon_col, verts))
 
 
 # --- relevance value sources (engine tables as columns) ---------------------

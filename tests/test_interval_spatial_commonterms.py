@@ -198,3 +198,77 @@ def test_common_terms_high_only_boosts_low_matches(engine, oracle):
     }
     low_docs = set(oracle.postings[rare])
     assert hits == low_docs
+
+
+# --------------------------------------------------------------- polygon
+
+def _raycast_np(lat, lon, verts):
+    """Independent numpy even-odd ray cast (reference for the SQL text)."""
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(verts)
+    for i in range(n):
+        y1, x1 = verts[i]
+        y2, x2 = verts[(i + 1) % n]
+        crosses = ((y1 > lat) != (y2 > lat)) & (
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+        inside ^= crosses
+    return inside
+
+
+def test_polygon_filter_matches_numpy_raycast(spark):
+    from lucene_solr_spark.functions import polygon_filter
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-10, 10, 4000)
+    lon = rng.uniform(-10, 10, 4000)
+    # concave C-shape: the notch catches winding/parity bugs
+    verts = [(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (2.0, 5.0),
+             (2.0, -2.0), (-2.0, -2.0), (-2.0, 5.0), (-5.0, 5.0)]
+    pdf = pd.DataFrame({"id": np.arange(4000), "lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    got = set(r["id"] for r in
+              df.filter(polygon_filter("lat", "lon", verts)).collect())
+    want = set(pdf["id"][_raycast_np(lat, lon, verts)])
+    assert got == want and 100 < len(want) < 4000
+
+
+def test_polygon_wkt_parse_and_filter(spark):
+    from lucene_solr_spark.functions import parse_wkt_polygon, polygon_filter
+
+    # WKT is lon lat; closing vertex dropped
+    wkt = "POLYGON((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+    assert parse_wkt_polygon(wkt) == [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0),
+                                      (4.0, 0.0)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [2.0, 5.0, -1.0], "lon": [2.0, 2.0, 2.0]}))
+    got = [r["lat"] for r in df.filter(polygon_filter("lat", "lon", wkt)).collect()]
+    assert got == [2.0]
+    with pytest.raises(ValueError, match="POLYGON"):
+        parse_wkt_polygon("LINESTRING(0 0, 1 1)")
+    with pytest.raises(ValueError, match="3 distinct"):
+        parse_wkt_polygon("POLYGON((0 0, 1 1, 0 0))")
+
+
+def test_polygon_filter_is_maponly_and_duckdb_identical(spark):
+    import duckdb
+
+    from lucene_solr_spark.functions import (polygon_bbox_sql,
+                                             polygon_contains_sql,
+                                             polygon_filter)
+
+    verts = [(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (2.0, 5.0),
+             (2.0, -2.0), (-2.0, -2.0), (-2.0, 5.0), (-5.0, 5.0)]
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"id": np.arange(2000),
+                        "lat": rng.uniform(-10, 10, 2000),
+                        "lon": rng.uniform(-10, 10, 2000)})
+    df = spark.createDataFrame(pdf)
+    flt = df.filter(polygon_filter("lat", "lon", verts)).select("id")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    sql = (f"SELECT id FROM pts WHERE {polygon_bbox_sql('lat', 'lon', verts)}"
+           f" AND {polygon_contains_sql('lat', 'lon', verts)}")
+    want = set(con.execute(sql).df()["id"])
+    assert set(r["id"] for r in flt.collect()) == want
