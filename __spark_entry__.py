@@ -3500,6 +3500,57 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+DSIR_BUCKETS = 4096
+DSIR_N = 100
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): top-100 documents by
+    hashed-ngram importance weight toward the lang='en' target slice;
+    exact BIGINT quantized-log ranking key."""
+    from lucene_solr_spark.pipeline import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(d, d.filter(F.col("lang") == "en"), DSIR_N,
+                       buckets=DSIR_BUCKETS)
+
+
+def _dsir_oracle() -> str:
+    B, N = DSIR_BUCKETS, DSIR_N
+    h = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(tk) AS gram FROM tk
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(2, len(tk) + 1),
+                               i -> tk[i-1] || ' ' || tk[i])) AS gram
+  FROM tk),
+gb AS (SELECT doc_id, lang, {h} % {B} AS bucket FROM grams),
+tc AS (SELECT bucket, count(*) AS cnt_t FROM gb WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cnt_r FROM gb GROUP BY bucket),
+tot AS (SELECT (SELECT sum(cnt_t) FROM tc) AS tot_t,
+               (SELECT sum(cnt_r) FROM rc) AS tot_r),
+ratio AS (
+  SELECT rc.bucket,
+         CAST(round((ln(CAST(coalesce(tc.cnt_t, 0) + 1 AS DOUBLE)
+                        / CAST(tot.tot_t + {B} AS DOUBLE))
+                   - ln(CAST(rc.cnt_r + 1 AS DOUBLE)
+                        / CAST(tot.tot_r + {B} AS DOUBLE))) * 1e6) AS BIGINT) AS q
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+w AS (
+  SELECT gb.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(ratio.q) AS BIGINT) AS weight_q
+  FROM gb JOIN ratio USING (bucket)
+  GROUP BY gb.doc_id)
+SELECT doc_id, n_grams, weight_q, CAST(weight_q / 1e6 AS FLOAT) AS weight
+FROM w ORDER BY weight_q DESC, doc_id ASC LIMIT {N}"""
+
+
 URP_CHAIN = [
     {"trim": {"fields": ["text"]}},
     {"regex_replace": {"field": "text", "pattern": "[ \\t]+", "replacement": " "}},
@@ -3692,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frange": q_frange,
         "dup_windows": q_dup_windows,
         "urp_chain": q_urp_chain,
+        "dsir_select": q_dsir_select,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6438,6 +6490,7 @@ FROM documents d JOIN m USING (doc_id)
 WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
   AND 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) <= {FRANGE_U}
 ORDER BY d.doc_id""",
+        "dsir_select": _dsir_oracle(),
         "urp_chain": r"""
 WITH s1 AS (
   SELECT doc_id, lang, source,

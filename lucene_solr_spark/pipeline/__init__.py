@@ -49,6 +49,8 @@ from .filters import (
     SECRET_RULES,
     secret_scan,
     contamination_ngrams,
+    dsir_select,
+    dsir_weights,
     gopher_quality,
     quality_c4,
     pii_scrub,
@@ -67,6 +69,8 @@ __all__ = [
     "bpe_word_types",
     "boilerplate_line_dedup",
     "contamination_ngrams",
+    "dsir_select",
+    "dsir_weights",
     "secret_scan",
     "SECRET_RULES",
     "cosine_neardup_pairs",

@@ -34,7 +34,7 @@ from .dedup import with_shingle_hashes
 from .hashing import TOKENS_SQL, h64_sql
 
 __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
-           "temperature_sample",
+           "temperature_sample", "dsir_weights", "dsir_select",
            "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
            "secret_scan", "SECRET_RULES"]
 
@@ -393,6 +393,107 @@ SECRET_RULES = (
     ("private_key", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----", "<PRIVATE_KEY>"),
     ("jwt", r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}", "<JWT>"),
 )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much more likely its hashed n-gram
+    features are under the target distribution than under the raw
+    distribution, log w(x) = Σ_b c_b(x)·(ln p_target[b] − ln p_raw[b])
+    with Laplace-smoothed bucket unigram models over hashed
+    unigram+bigram features.
+
+    Returns ``[doc_id, n_grams, weight_q, weight]`` — ``weight_q`` is
+    the per-gram-quantized BIGINT log-weight (×1e6): partition-order
+    independent, DuckDB-reproducible, and the exact ranking key for
+    selection (no float rank flips); ``weight`` is its f32 display
+    value.
+
+    Scale shape (100 TB lens): both corpora are scanned once, map-only
+    gram emission with a partial agg down to ≤``buckets`` rows each;
+    the log-ratio table is ``buckets`` rows — broadcast into the
+    doc-gram join — and the final reduce is one doc-keyed partial agg.
+    Selection (top-n by weight) composes downstream; the paper's
+    Gumbel-noise resampling is replaced by the deterministic top-n —
+    reproducibility across retries is worth more than sampling jitter
+    at this scale.
+    """
+    toks = TOKENS_SQL.format(col=text_col)
+    # two-step (alias tk, then gram-explode over tk): the tokenizer regex
+    # runs once per row, not once per gram
+    grams_from_tk = (
+        "concat(tk, CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(2, size(tk)), i -> concat(tk[i-2], ' ', tk[i-1])) "
+        "ELSE array() END)"
+    )
+    bucket = f"({h64_sql('gram')} % {buckets})"
+
+    def doc_grams(df: DataFrame, *cols: str) -> DataFrame:
+        return (
+            df.select(*cols, F.expr(toks).alias("tk"))
+            .select(*cols, F.explode(F.expr(grams_from_tk)).alias("gram"))
+            .select(*cols, F.expr(bucket).alias("bucket"))
+        )
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return (doc_grams(df).groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+
+    t_cnt = bucket_counts(target, "cnt_t")
+    r_cnt = bucket_counts(raw, "cnt_r")
+    tot_t = t_cnt.agg(F.sum("cnt_t").cast("long").alias("tot_t"))
+    tot_r = r_cnt.agg(F.sum("cnt_r").cast("long").alias("tot_r"))
+    # Laplace(+1) smoothed log-ratio per bucket, quantized to 1e-6 like
+    # the lm_perplexity discipline (ln's last ulp can differ between
+    # engines; the quantized BIGINT cannot)
+    ratio = (
+        r_cnt.join(t_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST(round((ln(CAST(coalesce(cnt_t, 0) + 1 AS DOUBLE)"
+                f" / CAST(tot_t + {buckets} AS DOUBLE))"
+                f" - ln(CAST(cnt_r + 1 AS DOUBLE)"
+                f" / CAST(tot_r + {buckets} AS DOUBLE))) * 1e6) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    doc_buckets = doc_grams(
+        raw.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+    return (
+        doc_buckets.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("q").cast("long").alias("weight_q"),
+        )
+        .withColumn("weight", (F.col("weight_q") / F.lit(1e6)).cast("float"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR top-n selection: the n raw documents with the
+    highest importance weight (exact BIGINT key, ties by doc_id)."""
+    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col,
+                     buckets=buckets)
+    return (w.orderBy(F.col("weight_q").desc(), F.col("doc_id").asc())
+            .limit(int(n)))
 
 
 def secret_scan(df: DataFrame, text_col: str = "text",

@@ -827,3 +827,73 @@ def test_fim_split_invariants(spark):
     out2 = {r["id"]: r["fim_text"] for r in
             fim_split(df.repartition(7, "doc_id"), rate=0.5).collect()}
     assert out2 == {i: r["fim_text"] for i, r in out.items()}
+
+
+# ------------------------------------------------------------------ DSIR
+
+def test_dsir_prefers_targetlike_docs(spark):
+    from lucene_solr_spark.pipeline import dsir_select, dsir_weights
+
+    tgt_rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    raw_rows = (
+        [(100 + i, "quick brown fox and lazy dog in the field") for i in range(5)]
+        + [(200 + i, "zorb qux flib grue xyzzy plugh thud waldo") for i in range(5)]
+    )
+    target = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    w = {r["doc_id"]: r["weight_q"] for r in dsir_weights(raw, target).collect()}
+    assert min(w[100 + i] for i in range(5)) > max(w[200 + i] for i in range(5))
+    top = [r["doc_id"] for r in dsir_select(raw, target, 5).collect()]
+    assert sorted(top) == [100, 101, 102, 103, 104]
+
+
+def test_dsir_weight_partitioning_invariant(spark):
+    from lucene_solr_spark.pipeline import dsir_weights
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "), F.col("id").cast("string"),
+                 F.lit(" delta epsilon")).alias("text"),
+    )
+    tgt = docs.filter(F.col("doc_id") % 3 == 0)
+    a = dsir_weights(docs.repartition(1), tgt.repartition(1)).collect()
+    b = dsir_weights(docs.repartition(16), tgt.repartition(7)).collect()
+    assert {r["doc_id"]: (r["weight_q"], r["n_grams"]) for r in a} == \
+           {r["doc_id"]: (r["weight_q"], r["n_grams"]) for r in b}
+
+
+def test_dsir_hand_computed_single_doc(spark):
+    import hashlib
+    import math
+
+    from lucene_solr_spark.pipeline import dsir_weights
+
+    B = 4096
+    target = spark.createDataFrame([(0, "aa bb")], "doc_id long, text string")
+    raw = spark.createDataFrame([(1, "aa cc")], "doc_id long, text string")
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    t_cnt = {}
+    for g in ["aa", "bb", "aa bb"]:
+        t_cnt[bucket(g)] = t_cnt.get(bucket(g), 0) + 1
+    r_cnt = {}
+    for g in ["aa", "cc", "aa cc"]:
+        r_cnt[bucket(g)] = r_cnt.get(bucket(g), 0) + 1
+    want = sum(
+        round((math.log((t_cnt.get(bucket(g), 0) + 1) / (3 + B))
+               - math.log((r_cnt[bucket(g)] + 1) / (3 + B))) * 1e6)
+        for g in ["aa", "cc", "aa cc"]
+    )
+    got = dsir_weights(raw, target).collect()
+    assert len(got) == 1 and got[0]["weight_q"] == want and got[0]["n_grams"] == 3
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    from lucene_solr_spark.pipeline import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bucket ratio table rides broadcast
