@@ -3500,6 +3500,30 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+SURROUND_TEXT = "((data W slow) OR (window W join)) NOT batch"
+
+
+def q_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surround query parser: W adjacency spans OR-combined, boolean NOT
+    — parsed from surround syntax, executed on the span machinery;
+    integer span counts (hash-stable) per surviving doc."""
+    from lucene_solr_spark.search.executor import postings_table
+    from lucene_solr_spark.search.spans import spans_frame
+    from lucene_solr_spark.search.surround import BoolOp, surround_query
+
+    index = _index_for(spark, sf_dir)
+    q = surround_query(index, SURROUND_TEXT)
+    assert isinstance(q, BoolOp) and q.op == "not"
+    pos, neg = q.clauses
+    stats = (
+        spans_frame(index, pos)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_spans"))
+    )
+    neg_docs = postings_table(index, [neg.term]).select("doc_id")
+    return stats.join(neg_docs, "doc_id", "left_anti").orderBy("doc_id")
+
+
 DSIR_BUCKETS = 4096
 DSIR_N = 100
 
@@ -3744,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": q_dup_windows,
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
+        "surround": q_surround,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6491,6 +6516,22 @@ WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
   AND 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) <= {FRANGE_U}
 ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
+        "surround": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  WHERE (a.term = 'data' AND b.term = 'slow')
+     OR (a.term = 'window' AND b.term = 'join')
+  GROUP BY a.doc_id)
+SELECT p.doc_id, p.n_spans FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM tokp t
+                  WHERE t.doc_id = p.doc_id AND t.term = 'batch')
+ORDER BY p.doc_id""",
         "urp_chain": r"""
 WITH s1 AS (
   SELECT doc_id, lang, source,

@@ -1,0 +1,297 @@
+"""Surround query parser — span-oriented proximity query language.
+
+Lucene's surround parser (``[8x] lucene/queryparser/src/java/org/apache/
+lucene/queryparser/surround/``) exposes span queries through a compact
+text syntax: ``W``/``N`` distance operators (ordered / unordered, with
+an optional distance prefix: ``a 3W b``), boolean ``AND`` / ``OR`` /
+``NOT`` (infix, case-insensitive), parentheses, prefix form
+``OP(e1, e2, ...)``, and trailing-``*`` prefix wildcards.
+
+Semantics mirrored here:
+
+* ``a W b``   → SpanNear(ordered, slop=0);  ``a nW b`` → slop = n−1
+  (surround's distance is the max term count of the window).
+* ``a N b``   → SpanNear(unordered, slop=0); ``a nN b`` → slop = n−1.
+* ``OR`` of span-composable operands stays a SpanOr (usable inside a
+  distance op, exactly like surround's OrQuery).
+* ``AND`` / ``NOT`` / mixed ``OR`` produce boolean combinations
+  (BooleanQuery in surround): SHOULD-sum scoring for OR, all-clauses
+  score-sum for AND, anti-join for NOT.  A boolean operand inside a
+  distance operator is rejected, as in surround.
+* ``pre*``    → multi-term expansion via the term dictionary
+  (span_wrap_multiterm), surround's SrndTruncQuery.
+* precedence: OR < AND < NOT < W/N; same-level chains associate left.
+
+Scale shape: the parse is driver-side over a tiny string; everything it
+compiles to is the existing distributed span machinery (frames, greedy
+kernels, pseudo-term scoring) — no new execution paths.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .spans import (
+    SpanNear,
+    SpanOr,
+    SpanTerm,
+    span_scores,
+    span_wrap_multiterm,
+)
+
+__all__ = ["parse_surround", "surround_query", "surround_search",
+           "SurroundPrefix", "BoolOp"]
+
+
+@dataclass(frozen=True)
+class SurroundPrefix:
+    """Unresolved trailing-* wildcard leaf (SrndTruncQuery) — expanded
+    against the index dictionary at query time."""
+    prefix: str
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    """Boolean combination (surround's And/Or/NotQuery when operands are
+    not span-composable): op ∈ {'and', 'or', 'not'}."""
+    op: str
+    clauses: tuple
+
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)"
+    r"|(?P<dist>\d+[wWnN])(?=[\s(])"
+    r"|(?P<word>[A-Za-z0-9_][A-Za-z0-9_]*\*?))"
+)
+
+
+def _lex(text: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"surround: cannot lex at {text[pos:]!r}")
+        out.append(m.group(m.lastgroup))
+        pos = m.end()
+    return out
+
+
+_DIST_RE = re.compile(r"^(\d*)([wWnN])$")
+
+
+def _dist_op(tok: str):
+    """(slop, ordered) for a W/N token, else None."""
+    m = _DIST_RE.match(tok)
+    if not m or (m.group(1) == "" and m.group(2) not in "wWnN"):
+        return None
+    n = int(m.group(1)) if m.group(1) else 1
+    if n < 1:
+        raise ValueError(f"surround: distance must be >= 1 in {tok!r}")
+    return n - 1, m.group(2) in "wW"
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("surround: unexpected end of query")
+        self.i += 1
+        return t
+
+    # precedence ladder: or < and < not < distance < atom
+    def parse_or(self):
+        left = self.parse_and()
+        while (t := self.peek()) is not None and t.lower() == "or":
+            self.next()
+            right = self.parse_and()
+            left = _combine_or(left, right)
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while (t := self.peek()) is not None and t.lower() == "and":
+            self.next()
+            right = self.parse_not()
+            if isinstance(left, BoolOp) and left.op == "and":
+                left = BoolOp("and", left.clauses + (right,))
+            else:
+                left = BoolOp("and", (left, right))
+        return left
+
+    def parse_not(self):
+        left = self.parse_dist()
+        while (t := self.peek()) is not None and t.lower() == "not":
+            self.next()
+            right = self.parse_dist()
+            left = BoolOp("not", (left, right))
+        return left
+
+    def parse_dist(self):
+        left = self.parse_atom()
+        while (t := self.peek()) is not None and (d := _dist_op(t)) is not None:
+            self.next()
+            right = self.parse_atom()
+            slop, ordered = d
+            _require_span(left, t)
+            _require_span(right, t)
+            if isinstance(left, SpanNear) and left.slop == slop \
+                    and left.in_order == ordered:
+                left = SpanNear(*left.clauses, right, slop=slop,
+                                in_order=ordered)
+            else:
+                left = SpanNear(left, right, slop=slop, in_order=ordered)
+        return left
+
+    def parse_atom(self):
+        t = self.next()
+        if t == "(":
+            inner = self.parse_or()
+            if self.next() != ")":
+                raise ValueError("surround: expected ')'")
+            return inner
+        if t == ")" or t == ",":
+            raise ValueError(f"surround: unexpected {t!r}")
+        low = t.lower()
+        if low in ("and", "or", "not") or _dist_op(t) is not None:
+            # prefix form: OP(e1, e2, ...)
+            if self.peek() != "(":
+                raise ValueError(f"surround: operator {t!r} without operand")
+            self.next()
+            args = [self.parse_or()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self.parse_or())
+            if self.next() != ")":
+                raise ValueError("surround: expected ')'")
+            if len(args) < 2:
+                raise ValueError(f"surround: prefix {t!r} needs >= 2 operands")
+            if low == "and":
+                return BoolOp("and", tuple(args))
+            if low == "or":
+                out = args[0]
+                for a in args[1:]:
+                    out = _combine_or(out, a)
+                return out
+            if low == "not":
+                if len(args) != 2:
+                    raise ValueError("surround: NOT takes exactly 2 operands")
+                return BoolOp("not", tuple(args))
+            slop, ordered = _dist_op(t)
+            for a in args:
+                _require_span(a, t)
+            return SpanNear(*args, slop=slop, in_order=ordered)
+        if t.endswith("*"):
+            if len(t) < 2:
+                raise ValueError("surround: bare '*' not allowed")
+            return SurroundPrefix(t[:-1].lower())
+        return SpanTerm(low)
+
+
+def _is_span(node) -> bool:
+    return isinstance(node, (SpanTerm, SpanNear, SpanOr, SurroundPrefix))
+
+
+def _require_span(node, op: str) -> None:
+    if not _is_span(node):
+        raise ValueError(
+            f"surround: boolean subquery not allowed inside distance op {op!r}")
+
+
+def _combine_or(left, right):
+    """OR keeps span-composability when both sides are spans (SpanOr);
+    otherwise it becomes a boolean OR."""
+    if _is_span(left) and _is_span(right):
+        if isinstance(left, SpanOr):
+            return SpanOr(*left.clauses, right)
+        return SpanOr(left, right)
+    if isinstance(left, BoolOp) and left.op == "or":
+        return BoolOp("or", left.clauses + (right,))
+    return BoolOp("or", (left, right))
+
+
+def parse_surround(text: str):
+    """Parse surround syntax into a Span tree (pure proximity query) or
+    a BoolOp tree over span operands.  Raises ValueError on syntax
+    errors, mirroring surround's ParseException."""
+    p = _Parser(_lex(text))
+    out = p.parse_or()
+    if p.peek() is not None:
+        raise ValueError(f"surround: trailing input at {p.toks[p.i:]!r}")
+    return out
+
+
+def _resolve(index, node, max_expansions: int):
+    """Expand SurroundPrefix leaves against the term dictionary."""
+    if isinstance(node, SurroundPrefix):
+        from .query import Prefix
+
+        return span_wrap_multiterm(index, Prefix(node.prefix),
+                                   max_expansions=max_expansions)
+    if isinstance(node, SpanTerm):
+        return node
+    if isinstance(node, SpanNear):
+        return SpanNear(
+            *[_resolve(index, c, max_expansions) for c in node.clauses],
+            slop=node.slop, in_order=node.in_order)
+    if isinstance(node, SpanOr):
+        return SpanOr(*[_resolve(index, c, max_expansions)
+                        for c in node.clauses])
+    if isinstance(node, BoolOp):
+        return BoolOp(node.op, tuple(_resolve(index, c, max_expansions)
+                                     for c in node.clauses))
+    raise TypeError(f"surround: unknown node {node!r}")
+
+
+def surround_query(index, text: str, max_expansions: int = 1024):
+    """Parse + wildcard-resolve a surround query against an index."""
+    return _resolve(index, parse_surround(text), max_expansions)
+
+
+def _bool_scores(index, node) -> DataFrame:
+    """[doc_id, score:double(f32-valued)] for a resolved surround tree.
+    BooleanQuery semantics over span clause scores: OR = SHOULD sum,
+    AND = all-match sum, NOT = anti-join; every combine re-rounds to f32
+    like the Bool scorer tree."""
+    if _is_span(node):
+        return span_scores(index, node)
+    scored = [_bool_scores(index, c) for c in node.clauses]
+    if node.op == "not":
+        pos, neg = scored
+        return pos.join(neg.select("doc_id"), "doc_id", "left_anti")
+    tagged = [s.withColumn("_c", F.lit(i)) for i, s in enumerate(scored)]
+    un = tagged[0]
+    for t in tagged[1:]:
+        un = un.unionByName(t)
+    agg = un.groupBy("doc_id").agg(
+        F.expr("CAST(CAST(sum(score) AS FLOAT) AS DOUBLE)").alias("score"),
+        F.countDistinct("_c").alias("_n"),
+    )
+    if node.op == "and":
+        agg = agg.filter(F.col("_n") == len(scored))
+    return agg.select("doc_id", "score")
+
+
+def surround_search(index, text: str, k: int = 10,
+                    max_expansions: int = 1024) -> DataFrame:
+    """Top-k surround query → [doc_id, score:float], (score desc, doc
+    asc) — the surround parser wired to the span machinery end-to-end."""
+    q = surround_query(index, text, max_expansions)
+    sc = _bool_scores(index, q)
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return (sc.withColumn("score", F.col("score").cast("float"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -1,0 +1,108 @@
+"""Surround query parser: syntax → span/boolean trees, precedence,
+prefix form, wildcards, and end-to-end identity with hand-built span
+queries on the engine."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import SpanNear, SpanOr, SpanTerm, span_search
+from lucene_solr_spark.search.surround import (
+    BoolOp,
+    SurroundPrefix,
+    parse_surround,
+    surround_query,
+    surround_search,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pdf = gen_corpus_pdf(200, seed=1234).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(200, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_parse_distance_ops():
+    assert parse_surround("a w b") == SpanNear(
+        SpanTerm("a"), SpanTerm("b"), slop=0, in_order=True)
+    assert parse_surround("a 3N b") == SpanNear(
+        SpanTerm("a"), SpanTerm("b"), slop=2, in_order=False)
+    # same-op infix chain is one n-ary distance query (surround semantics)
+    assert parse_surround("a W b W c") == SpanNear(
+        SpanTerm("a"), SpanTerm("b"), SpanTerm("c"), slop=0, in_order=True)
+    # prefix form
+    assert parse_surround("3w(a, b, c)") == SpanNear(
+        SpanTerm("a"), SpanTerm("b"), SpanTerm("c"), slop=2, in_order=True)
+
+
+def test_parse_precedence_and_booleans():
+    # distance binds tighter than OR; span OR stays a SpanOr
+    assert parse_surround("a OR b W c") == SpanOr(
+        SpanTerm("a"), SpanNear(SpanTerm("b"), SpanTerm("c"), slop=0))
+    # AND of spans is boolean
+    assert parse_surround("a AND b") == BoolOp("and", (SpanTerm("a"), SpanTerm("b")))
+    assert parse_surround("a NOT b") == BoolOp("not", (SpanTerm("a"), SpanTerm("b")))
+    # OR over a boolean operand degrades to boolean OR
+    q = parse_surround("(a AND b) OR c")
+    assert isinstance(q, BoolOp) and q.op == "or"
+    # parenthesized span OR usable inside a distance op
+    assert parse_surround("(a OR b) W c") == SpanNear(
+        SpanOr(SpanTerm("a"), SpanTerm("b")), SpanTerm("c"), slop=0)
+    assert parse_surround("and(a, b, c)") == BoolOp(
+        "and", (SpanTerm("a"), SpanTerm("b"), SpanTerm("c")))
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="distance op"):
+        parse_surround("(a AND b) W c")
+    with pytest.raises(ValueError, match="trailing"):
+        parse_surround("a b")
+    with pytest.raises(ValueError, match="cannot lex"):
+        parse_surround("* W a")
+    with pytest.raises(ValueError, match="end of query"):
+        parse_surround("a AND")
+    with pytest.raises(ValueError, match="NOT takes exactly"):
+        parse_surround("not(a, b, c)")
+
+
+def test_wildcard_resolution(engine):
+    ast = parse_surround("ret* W x")
+    assert ast.clauses[0] == SurroundPrefix("ret")
+    q = surround_query(engine, "ret* W x")
+    lhs = q.clauses[0]
+    assert isinstance(lhs, (SpanOr, SpanTerm))
+    terms = [lhs.term] if isinstance(lhs, SpanTerm) else \
+        [c.term for c in lhs.clauses]
+    assert all(t.startswith("ret") for t in terms) and "return" in terms
+
+
+def test_span_identity_with_hand_built(engine):
+    want = span_search(
+        engine, SpanNear(SpanTerm("return"), SpanTerm("class"), slop=2,
+                         in_order=False), k=10).collect()
+    got = surround_search(engine, "return 3N class", k=10).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == \
+        [(r["doc_id"], np.float32(r["score"])) for r in want]
+    assert len(got) > 0
+
+
+def test_boolean_and_not_semantics(engine):
+    a = {r["doc_id"]: np.float32(r["score"])
+         for r in surround_search(engine, "def", k=1000).collect()}
+    b = {r["doc_id"]: np.float32(r["score"])
+         for r in surround_search(engine, "class", k=1000).collect()}
+    both = surround_search(engine, "def AND class", k=1000).collect()
+    assert {r["doc_id"] for r in both} == set(a) & set(b)
+    for r in both:
+        assert np.float32(r["score"]) == np.float32(
+            np.float32(a[r["doc_id"]] + b[r["doc_id"]]))
+    notq = surround_search(engine, "def NOT class", k=1000).collect()
+    assert {r["doc_id"] for r in notq} == set(a) - set(b)
+    for r in notq:  # NOT keeps the positive clause's score untouched
+        assert np.float32(r["score"]) == a[r["doc_id"]]
