@@ -192,6 +192,26 @@ class SpanWithin(Span):
         return SpanWithin(self.little, self.big, float(b))
 
 
+@dataclass(frozen=True)
+class SpanFieldMask(Span):
+    """FieldMaskingSpanQuery (``[8x] lucene/core/src/java/org/apache/
+    lucene/search/spans/FieldMaskingSpanQuery.java``): report the wrapped
+    span as belonging to ``field`` so SpanNear/SpanNot compose clauses
+    from different fields whose position streams run parallel (the
+    classic use: the same source text analyzed into both fields, e.g. an
+    exact field masked onto a stemmed one).  Matching and scoring use
+    the WRAPPED query's terms and postings — only the declared field
+    changes, exactly Lucene's getField() override (its javadoc carries
+    the same score caveat)."""
+
+    inner: object
+    field: str
+    boost: float = 1.0
+
+    def with_boost(self, b: float):
+        return SpanFieldMask(self.inner, self.field, float(b))
+
+
 def span_wrap_multiterm(index: "IndexView", q, max_expansions: int = 1024):
     """SpanMultiTermQueryWrapper analog (``[8x] lucene/core/.../spans/
     SpanMultiTermQueryWrapper.java``, SCORING_SPAN_QUERY_REWRITE): expand
@@ -239,6 +259,8 @@ def span_terms(q) -> list[str]:
         elif isinstance(n, SpanWithin):
             walk(n.little)
             walk(n.big)
+        elif isinstance(n, SpanFieldMask):
+            walk(n.inner)
         else:
             raise TypeError(f"not a span node: {type(n)}")
 
@@ -269,14 +291,37 @@ def qualify_span(q, fix):
     if isinstance(q, SpanWithin):
         return SpanWithin(qualify_span(q.little, fix),
                           qualify_span(q.big, fix), q.boost)
+    if isinstance(q, SpanFieldMask):
+        return SpanFieldMask(qualify_span(q.inner, fix), q.field, q.boost)
+    raise TypeError(f"not a span node: {type(q)}")
+
+
+def _span_fields(q) -> set[str]:
+    """Declared fields of a span tree — a SpanFieldMask reports its mask
+    field and hides the wrapped tree's real fields (getField())."""
+    if isinstance(q, SpanFieldMask):
+        return {q.field}
+    if isinstance(q, SpanTerm):
+        return {q.term.split(":", 1)[0]} if ":" in q.term else set()
+    if isinstance(q, (SpanNear, SpanOr)):
+        return set().union(*[_span_fields(c) for c in q.clauses])
+    if isinstance(q, (SpanFirst, SpanPositionRange)):
+        return _span_fields(q.match)
+    if isinstance(q, SpanNot):
+        return _span_fields(q.include) | _span_fields(q.exclude)
+    if isinstance(q, SpanContaining):
+        return _span_fields(q.big) | _span_fields(q.little)
+    if isinstance(q, SpanWithin):
+        return _span_fields(q.little) | _span_fields(q.big)
     raise TypeError(f"not a span node: {type(q)}")
 
 
 def _check_same_field(q) -> None:
     """SpanNearQuery/SpanNotQuery reject clauses from different fields
     (positions only align within one field) — mirror the
-    IllegalArgumentException of SpanNearQuery#addClause."""
-    fields = {t.split(":", 1)[0] for t in span_terms(q) if ":" in t}
+    IllegalArgumentException of SpanNearQuery#addClause.  SpanFieldMask
+    counts as its MASK field, which is the whole point of the wrapper."""
+    fields = _span_fields(q)
     if len(fields) > 1:
         raise ValueError(
             f"span clauses must be in the same field, got {sorted(fields)}"
@@ -614,6 +659,8 @@ def spans_frame(index: IndexView, q) -> DataFrame:
             & (big["_be"] >= little["end"])
         )
         return little.join(big, cond, "left_semi")
+    if isinstance(q, SpanFieldMask):
+        return spans_frame(index, q.inner)
     raise TypeError(f"not a span node: {type(q)}")
 
 

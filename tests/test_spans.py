@@ -376,3 +376,45 @@ def test_span_wrap_multiterm(spark):
     q = SpanNear((wrapped, SpanTerm("writer")), slop=0, in_order=True)
     got = {r["doc_id"] for r in spans_frame(idx, q).collect()}
     assert got == {0, 1}
+
+
+# ---------------------------------------------------------- field masking
+
+def test_field_masking_span_query(spark):
+    """FieldMaskingSpanQuery: same source text indexed into two fields
+    (parallel positions); the mask lets SpanNear mix them, and the
+    masked composition matches the single-field equivalent exactly."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search.spans import SpanFieldMask
+
+    pdf = gen_corpus_pdf(80, seed=99).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(80, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    # 'exact' and 'body' index the SAME column -> parallel position streams
+    idx = build_multifield_index_view(
+        df, fields={"body": "content", "exact": "content"},
+        default_field="body")
+    try:
+        plain = SpanNear(SpanTerm("body:return"), SpanTerm("body:class"),
+                         slop=3, in_order=True)
+        masked = SpanNear(
+            SpanTerm("body:return"),
+            SpanFieldMask(SpanTerm("exact:class"), "body"),
+            slop=3, in_order=True)
+        want = spans_frame(idx, plain).collect()
+        got = spans_frame(idx, masked).collect()
+        key = lambda r: (r["doc_id"], r["start"], r["end"])  # noqa: E731
+        assert sorted(map(key, got)) == sorted(map(key, want))
+        assert len(want) > 0
+        # without the mask, mixing fields inside SpanNear is rejected
+        with pytest.raises(ValueError, match="same field"):
+            spans_frame(idx, SpanNear(SpanTerm("body:return"),
+                                      SpanTerm("exact:class"), slop=3))
+        # terms for scoring come from the WRAPPED field (Lucene caveat)
+        assert span_terms(masked) == ["body:return", "exact:class"]
+        # scored end-to-end: runs and ranks deterministically
+        rows = span_search(idx, masked, k=5).collect()
+        assert len(rows) > 0
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
