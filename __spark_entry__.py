@@ -3500,6 +3500,20 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_facet_join_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet with domain:{join:} — domain = urgent orders, mapped
+    o_custkey -> c_custkey into customer, terms facet on c_mktsegment
+    (set semantics: each reachable customer counts once)."""
+    from lucene_solr_spark.relational import facet_join_domain
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return facet_join_domain(
+        orders, cust, "o_custkey", "c_custkey", "c_mktsegment",
+        domain_filter=F.col("o_orderpriority") == "1-URGENT", limit=10,
+    )
+
+
 SURROUND_TEXT = "((data W slow) OR (window W join)) NOT batch"
 
 
@@ -3769,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
         "surround": q_surround,
+        "facet_join_domain": q_facet_join_domain,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6516,6 +6531,13 @@ WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
   AND 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) <= {FRANGE_U}
 ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
+        "facet_join_domain": """
+WITH dom AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT')
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS count
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM dom)
+GROUP BY c_mktsegment
+ORDER BY count DESC, c_mktsegment ASC LIMIT 10""",
         "surround": f"""
 WITH tokp AS (
   SELECT doc_id,

@@ -24,6 +24,7 @@ __all__ = [
     "facet_terms",
     "facet_range",
     "json_facet_nested",
+    "facet_join_domain",
     "facet_interval",
     "facet_heatmap",
     "parse_interval",
@@ -96,6 +97,28 @@ def facet_terms(df: DataFrame, field: str, limit: int = 10,
         if sort_by_count else [F.asc_nulls_last(field)]
     )
     return g.orderBy(*order).limit(limit)
+
+
+def facet_join_domain(from_df: DataFrame, to_df: DataFrame,
+                      from_col: str, to_col: str, facet_field: str,
+                      domain_filter: Column | None = None,
+                      limit: int = 10) -> DataFrame:
+    """JSON facet with a JOIN domain change (``domain: {join: {from,
+    to}}`` — ``[8x] solr/core/src/java/org/apache/solr/search/facet/
+    FacetRequest.java`` + JoinQParser): the facet domain starts as the
+    (optionally filtered) docs of ``from_df``, maps through
+    from_col → to_col into ``to_df``, and the terms facet runs there.
+    Set semantics: a target doc counts once however many domain docs
+    point at it (Solr's join produces a doc set).
+
+    Scale shape: the domain side reduces to its distinct join keys
+    before moving (partial-agg), then a LEFT SEMI join — broadcast when
+    the key set is small, shuffle-hash otherwise, never a row-
+    multiplying inner join — feeds the single facet partial-agg."""
+    dom = from_df.filter(domain_filter) if domain_filter is not None else from_df
+    keys = dom.select(F.col(from_col).alias(to_col)).distinct()
+    domain = to_df.join(keys, to_col, "left_semi")
+    return facet_terms(domain, facet_field, limit=limit)
 
 
 def json_facet_nested(df: DataFrame, outer: str, inner: str,

@@ -179,3 +179,21 @@ def test_score_join_modes(spark):
 
     with _pt.raises(ValueError):
         score_join(frm, to, "k", "k", "median")
+
+
+def test_facet_join_domain_set_semantics(spark):
+    """A target doc counts once no matter how many domain docs join to
+    it, and the domain filter applies before the join."""
+    from lucene_solr_spark.relational import facet_join_domain
+
+    orders = spark.createDataFrame(
+        [(1, 10, "hi"), (2, 10, "hi"), (3, 11, "hi"), (4, 12, "lo")],
+        "o_id long, cust long, prio string")
+    cust = spark.createDataFrame(
+        [(10, "A"), (11, "A"), (12, "B"), (13, "C")],
+        "c_id long, seg string")
+    out = facet_join_domain(
+        orders, cust, "cust", "c_id", "seg",
+        domain_filter=F.col("prio") == "hi").collect()
+    # custs 10, 11 reachable (10 twice -> once); 12 filtered out; 13 unreachable
+    assert [(r["seg"], r["count"]) for r in out] == [("A", 2)]
