@@ -1,3 +1,4 @@
+from .backup import backup_index, restore_index
 from .builder import add_indexes, assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
 from .deletes import (VersionConflict, atomic_update, conditional_update,
@@ -18,6 +19,8 @@ __all__ = [
     "IndexView",
     "assign_doc_ids",
     "atomic_update",
+    "backup_index",
+    "restore_index",
     "build_index",
     "add_indexes",
     "build_index_view",

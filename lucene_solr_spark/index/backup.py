@@ -1,0 +1,97 @@
+"""Index backup / restore — Solr's Backup & Restore API.
+
+Solr snapshots the files of the LATEST COMMIT into a backup location
+and restores them into a (new) core (``[8x] solr/core/src/java/org/
+apache/solr/handler/SnapShooter.java`` / ``RestoreCore.java``).  The
+load-bearing semantics reproduced here:
+
+* only files referenced by the committed manifest are backed up —
+  crash-orphan segment directories (a tiered merge that committed but
+  died before source cleanup) are excluded, exactly like Solr copying
+  only the files named by the commit point;
+* the backup's own manifest is written LAST via the same
+  tmp+fsync+rename two-phase commit, so a torn backup is detectable
+  (no manifest → not a backup);
+* the transaction log is NOT part of a backup (Solr backups are
+  committed-snapshot-only; uncommitted tlog entries replay on the
+  source, never on a restore);
+* restore targets a fresh directory and commits its manifest last, so
+  a torn restore is equally detectable.
+
+The copy itself is a driver-side file-tree copy — at cluster scale the
+identical protocol runs over the shared filesystem (DistCp-style
+parallel copy of the same file list); the manifest-last commit is the
+part that matters and is what the tests pin.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from .builder import read_manifest, write_manifest
+
+__all__ = ["backup_index", "restore_index"]
+
+#: top-level artifacts copied wholesale when present (all are
+#: manifest-era consistent: merges rewrite them under the same commit)
+_ARTIFACTS = (
+    "norms.parquet",
+    "docs.parquet",
+    "term_dict.parquet",
+    "term_vectors.parquet",
+    "tombstones.parquet",
+    "merged.parquet",
+)
+
+
+def _copy(src: Path, dst: Path) -> None:
+    if src.is_dir():
+        shutil.copytree(src, dst)
+    else:
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, dst)
+
+
+def backup_index(index_path: str | Path, backup_path: str | Path) -> dict:
+    """Snapshot the committed index at ``index_path`` into
+    ``backup_path`` (must not already contain a backup).  Returns the
+    backed-up manifest."""
+    index_path, backup_path = Path(index_path), Path(backup_path)
+    manifest = read_manifest(index_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    if read_manifest(backup_path) is not None:
+        raise FileExistsError(f"backup already exists at {backup_path}")
+    backup_path.mkdir(parents=True, exist_ok=True)
+    # segments: ONLY the manifest-listed ones (orphans stay behind)
+    for seg in manifest["segments"]:
+        _copy(index_path / seg["path"], backup_path / seg["path"])
+    for name in _ARTIFACTS:
+        src = index_path / name
+        if src.exists():
+            _copy(src, backup_path / name)
+    write_manifest(backup_path, manifest)  # commit point: written LAST
+    return manifest
+
+
+def restore_index(backup_path: str | Path, new_index_path: str | Path) -> dict:
+    """Restore a backup into a fresh index directory; returns the
+    restored manifest.  The result opens with ``open_index`` and
+    answers queries identically to the source at backup time."""
+    backup_path, new_index_path = Path(backup_path), Path(new_index_path)
+    manifest = read_manifest(backup_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed backup at {backup_path}")
+    new_index_path = Path(new_index_path)
+    if read_manifest(new_index_path) is not None:
+        raise FileExistsError(f"index already exists at {new_index_path}")
+    new_index_path.mkdir(parents=True, exist_ok=True)
+    for seg in manifest["segments"]:
+        _copy(backup_path / seg["path"], new_index_path / seg["path"])
+    for name in _ARTIFACTS:
+        src = backup_path / name
+        if src.exists():
+            _copy(src, new_index_path / name)
+    write_manifest(new_index_path, manifest)  # commit point: written LAST
+    return manifest

@@ -219,3 +219,36 @@ def test_sort_field_rejects_caller_ids(spark, tmp_path):
         build_index(
             spark, corpus, tmp_path / "x", id_col="doc_id", sort_field="lang"
         )
+
+
+# ------------------------------------------------------------ backup/restore
+
+def test_backup_restore_identity_and_orphan_exclusion(spark, index_path,
+                                                      tmp_path_factory):
+    from lucene_solr_spark.index import backup_index, restore_index
+
+    base = tmp_path_factory.mktemp("bak")
+    bak, restored = base / "backup", base / "restored"
+    # plant a crash-orphan segment dir: must NOT travel with the backup
+    orphan = Path(index_path) / "seg_orphan.parquet"
+    orphan.mkdir()
+    (orphan / "junk.bin").write_bytes(b"\x00" * 16)
+    try:
+        m = backup_index(index_path, bak)
+        assert m["committed"] and not (bak / "seg_orphan.parquet").exists()
+        restore_index(bak, restored)
+        for qs in ["def", "return AND class", "import OR lambda"]:
+            assert topk(spark, restored, qs) == topk(spark, index_path, qs)
+        # double-backup and restore-over-existing are refused
+        with pytest.raises(FileExistsError):
+            backup_index(index_path, bak)
+        with pytest.raises(FileExistsError):
+            restore_index(bak, restored)
+        # a torn backup (no manifest) is not restorable
+        torn = base / "torn"
+        shutil.copytree(bak, torn)
+        (torn / "manifest.json").unlink()
+        with pytest.raises(FileNotFoundError):
+            restore_index(torn, base / "nope")
+    finally:
+        shutil.rmtree(orphan, ignore_errors=True)
