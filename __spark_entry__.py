@@ -3500,6 +3500,43 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+SCHEMA_GUESS_COLS = {
+    "k": "CAST(o_orderkey AS STRING)",
+    "price": "CAST(o_totalprice AS STRING)",
+    "dt": "CAST(o_orderdate AS STRING)",
+    "prio": "o_orderpriority",
+}
+
+
+def q_schema_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-mode type guessing (ParseBoolean/Long/Double/Date +
+    AddSchemaFields chain) over stringified orders columns — one
+    partial-agg pass, stack-pivoted."""
+    from lucene_solr_spark.sources import guess_field_types
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        *[f"{expr} AS {name}" for name, expr in SCHEMA_GUESS_COLS.items()])
+    return guess_field_types(o).orderBy("field")
+
+
+def _schema_guess_oracle() -> str:
+    per_col = []
+    for name, expr in SCHEMA_GUESS_COLS.items():
+        per_col.append(f"""
+SELECT '{name}' AS field,
+       CASE WHEN count({name}) = 0 THEN 'string'
+            WHEN sum(CASE WHEN lower({name}) IN ('true','false') THEN 1 ELSE 0 END) = count({name}) THEN 'boolean'
+            WHEN sum(CASE WHEN regexp_matches({name}, '^[+-]?[0-9]+$') THEN 1 ELSE 0 END) = count({name}) THEN 'long'
+            WHEN sum(CASE WHEN TRY_CAST({name} AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) = count({name}) THEN 'double'
+            WHEN sum(CASE WHEN TRY_CAST({name} AS TIMESTAMP) IS NOT NULL THEN 1 ELSE 0 END) = count({name}) THEN 'date'
+            ELSE 'string' END AS guessed,
+       CAST(count({name}) AS BIGINT) AS n_nonnull
+FROM s""")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in SCHEMA_GUESS_COLS.items())
+    return (f"WITH s AS (SELECT {cols} FROM orders)\n"
+            + "\nUNION ALL".join(per_col) + "\nORDER BY field")
+
+
 def q_facet_join_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON facet with domain:{join:} — domain = urgent orders, mapped
     o_custkey -> c_custkey into customer, terms facet on c_mktsegment
@@ -3784,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "surround": q_surround,
         "facet_join_domain": q_facet_join_domain,
+        "schema_guess": q_schema_guess,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6531,6 +6569,7 @@ WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
   AND 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) <= {FRANGE_U}
 ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
+        "schema_guess": _schema_guess_oracle(),
         "facet_join_domain": """
 WITH dom AS (SELECT DISTINCT o_custkey FROM orders
              WHERE o_orderpriority = '1-URGENT')

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_corpus", "read_jdbc_corpus", "find_jdbc_driver_jar",
+           "guess_field_types",
            "CONTRACT_COLUMNS", "validate_corpus",
            "write_table_snapshot", "read_table_snapshot",
            "compact_table", "expire_snapshots", "read_table_increment"]
@@ -117,6 +118,65 @@ def read_jdbc_corpus(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return validate_corpus(reader.load())
+
+
+#: Solr's field-type parse chain order (schemaless mode:
+#: ParseBooleanField → ParseLongField → ParseDoubleField →
+#: ParseDateField, then AddSchemaFields picks the surviving type)
+_GUESS_ORDER = ("boolean", "long", "double", "date")
+
+
+def guess_field_types(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Schemaless-mode field-type guessing — Solr's
+    ParseBoolean/Long/Double/Date + AddSchemaFieldsUpdateProcessor chain
+    (``[8x] solr/core/src/java/org/apache/solr/update/processor/
+    AddSchemaFieldsUpdateProcessorFactory.java``): for each string
+    column, the guessed type is the FIRST parse in chain order that
+    every non-null value survives; anything mixed stays ``string``, an
+    all-null column has nothing to parse and stays ``string`` too.
+
+    Parse predicates are engine-portable by construction: boolean =
+    lower(v) IN ('true','false'); long = ``^[+-]?[0-9]+$``; double =
+    TRY_CAST AS DOUBLE; date = TRY_CAST AS TIMESTAMP.
+
+    Returns ``[field, guessed, n_nonnull]`` — computed in ONE partial-agg
+    pass over the corpus (5 counters per column folded map-side; the
+    result is a single row pivoted driver-free via ``stack``)."""
+    if cols is None:
+        cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    if not cols:
+        raise ValueError("no string columns to guess")
+    preds = {
+        "boolean": lambda c: F.lower(F.col(c)).isin("true", "false"),
+        "long": lambda c: F.col(c).rlike("^[+-]?[0-9]+$"),
+        "double": lambda c: F.expr(f"try_cast(`{c}` AS DOUBLE)").isNotNull(),
+        "date": lambda c: F.expr(f"try_cast(`{c}` AS TIMESTAMP)").isNotNull(),
+    }
+    short = {"boolean": "b", "long": "l", "double": "d", "date": "t"}
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"nn_{i}"))
+        for t in _GUESS_ORDER:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNotNull() & preds[t](c), 1)
+                      .otherwise(0)).cast("long").alias(f"{short[t]}{i}"))
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{i}, b{i}, l{i}, d{i}, t{i}" for i, c in enumerate(cols))
+    piv = row.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (field, n_nonnull, nb, nl, nd, nt)")
+    return piv.select(
+        "field",
+        F.expr(
+            "CASE WHEN n_nonnull = 0 THEN 'string' "
+            "WHEN nb = n_nonnull THEN 'boolean' "
+            "WHEN nl = n_nonnull THEN 'long' "
+            "WHEN nd = n_nonnull THEN 'double' "
+            "WHEN nt = n_nonnull THEN 'date' "
+            "ELSE 'string' END"
+        ).alias("guessed"),
+        "n_nonnull",
+    )
 
 
 def validate_corpus(df: DataFrame) -> DataFrame:

@@ -204,3 +204,23 @@ def test_read_jdbc_corpus_end_to_end_duckdb(spark, tmp_path):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_guess_field_types_schemaless_chain(spark):
+    from lucene_solr_spark.sources import guess_field_types
+
+    df = spark.createDataFrame(
+        [("true", "12", "1.5", "2020-01-02", "abc", None),
+         ("FALSE", "-3", "7", "2021-12-31 10:00:00", "8", None),
+         (None, "+4", "2e3", "1999-06-07", "x", None)],
+        "b string, l string, d string, ts string, mixed string, empty string")
+    got = {r["field"]: (r["guessed"], r["n_nonnull"])
+           for r in guess_field_types(df).collect()}
+    assert got == {
+        "b": ("boolean", 2),
+        "l": ("long", 3),
+        "d": ("double", 3),      # '7' is long-castable but '1.5' is not -> double
+        "ts": ("date", 3),
+        "mixed": ("string", 3),
+        "empty": ("string", 0),  # nothing to parse
+    }
