@@ -3500,6 +3500,16 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_facet_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date range facet with a DateMathParser gap (+3DAYS) over
+    events.ts — integer epoch bucketing, one partial-agg shuffle."""
+    from lucene_solr_spark.relational import facet_range_date
+
+    e = _tbl(spark, sf_dir, "events")
+    return facet_range_date(e, "ts", "2024-01-01 00:00:00",
+                            "2024-02-01 00:00:00", "+3DAYS")
+
+
 SCHEMA_GUESS_COLS = {
     "k": "CAST(o_orderkey AS STRING)",
     "price": "CAST(o_totalprice AS STRING)",
@@ -3822,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround": q_surround,
         "facet_join_domain": q_facet_join_domain,
         "schema_guess": q_schema_guess,
+        "facet_range_date": q_facet_range_date,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6570,6 +6581,17 @@ WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
 ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
+        "facet_range_date": """
+WITH b AS (
+  SELECT CAST(floor((floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00')))
+              / 259200) AS BIGINT) AS bucket
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00')
+SELECT bucket,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + bucket * 259200 * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(count(*) AS BIGINT) AS count
+FROM b GROUP BY bucket ORDER BY bucket""",
         "facet_join_domain": """
 WITH dom AS (SELECT DISTINCT o_custkey FROM orders
              WHERE o_orderpriority = '1-URGENT')

@@ -25,6 +25,7 @@ __all__ = [
     "facet_range",
     "json_facet_nested",
     "facet_join_domain",
+    "facet_range_date",
     "facet_interval",
     "facet_heatmap",
     "parse_interval",
@@ -97,6 +98,69 @@ def facet_terms(df: DataFrame, field: str, limit: int = 10,
         if sort_by_count else [F.asc_nulls_last(field)]
     )
     return g.orderBy(*order).limit(limit)
+
+
+#: seconds per fixed-width date-math unit (calendar units handled apart)
+_GAP_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def facet_range_date(df: DataFrame, field: str, start: str, end: str,
+                     gap: str) -> DataFrame:
+    """Date range facet with a DateMathParser gap (Solr
+    ``facet.range.gap=+1DAY`` / ``+2MONTHS`` — ``[8x] solr/core/src/java/
+    org/apache/solr/handler/component/RangeFacetProcessor.java``):
+    buckets are [start + i*gap, start + (i+1)*gap), out-of-range rows
+    dropped.  Returns ``[bucket, bucket_start, count]`` with
+    ``bucket_start`` formatted ``yyyy-MM-dd HH:mm:ss`` (UTC session).
+
+    Fixed-width units (SECONDS..DAYS) bucket by integer epoch
+    arithmetic; MONTHS/YEARS bucket by calendar month index and require
+    a month-aligned ``start`` (first-of-month midnight) so month-end
+    clamping can't make bucket membership ambiguous.  One partial-agg
+    shuffle either way — the bucket id is computed map-side."""
+    import re as _re
+
+    m = _re.fullmatch(r"\+(\d+)([A-Z]+)", gap)
+    if not m:
+        raise ValueError(f"gap must look like +3DAYS, got {gap!r}")
+    from .functions import _DATE_MATH_UNITS
+
+    n, unit = int(m.group(1)), _DATE_MATH_UNITS.get(m.group(2))
+    if unit is None or n < 1:
+        raise ValueError(f"bad gap {gap!r}")
+    c = F.col(field)
+    s_lit = F.lit(start).cast("timestamp")
+    base = df.filter((c >= s_lit) & (c < F.lit(end).cast("timestamp")))
+    if unit in _GAP_SECONDS:
+        secs = n * _GAP_SECONDS[unit]
+        bucket = F.floor(
+            (F.unix_timestamp(c) - F.unix_timestamp(s_lit)) / F.lit(secs)
+        ).cast("long")
+        bstart = F.from_unixtime(
+            F.unix_timestamp(s_lit) + F.col("bucket") * F.lit(secs))
+    else:  # MONTH / YEAR: calendar arithmetic
+        import datetime as _dt
+
+        s_dt = _dt.datetime.fromisoformat(start)
+        if (s_dt.day, s_dt.hour, s_dt.minute, s_dt.second) != (1, 0, 0, 0):
+            raise ValueError(
+                f"calendar gaps need a month-aligned start, got {start!r}")
+        nm = n * (12 if unit == "YEAR" else 1)
+        ym = F.year(c) * 12 + F.month(c)
+        bucket = F.floor(
+            (ym - F.lit(s_dt.year * 12 + s_dt.month)) / F.lit(nm)
+        ).cast("long")
+        bstart = F.date_format(
+            F.add_months(s_lit, F.col("bucket") * F.lit(nm)),
+            "yyyy-MM-dd HH:mm:ss")
+    return (
+        base.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .withColumn("bucket_start", bstart)
+        .select("bucket", "bucket_start", "count")
+        .orderBy("bucket")
+    )
 
 
 def facet_join_domain(from_df: DataFrame, to_df: DataFrame,

@@ -197,3 +197,32 @@ def test_facet_join_domain_set_semantics(spark):
         domain_filter=F.col("prio") == "hi").collect()
     # custs 10, 11 reachable (10 twice -> once); 12 filtered out; 13 unreachable
     assert [(r["seg"], r["count"]) for r in out] == [("A", 2)]
+
+
+def test_facet_range_date_fixed_and_calendar(spark):
+    from lucene_solr_spark.relational import facet_range_date
+
+    rows = [("2024-01-01 05:00:00",), ("2024-01-03 23:59:59",),
+            ("2024-01-04 00:00:00",), ("2024-02-15 12:00:00",),
+            ("2024-05-01 00:00:00",), ("2023-12-31 23:59:59",)]
+    df = spark.createDataFrame(rows, "t string").select(
+        F.col("t").cast("timestamp").alias("ts"))
+    # +3DAYS from 2024-01-01: [01-01, 01-04) bucket 0; [01-04, 01-07) bucket 1
+    out = facet_range_date(df, "ts", "2024-01-01 00:00:00",
+                           "2024-06-01 00:00:00", "+3DAYS").collect()
+    got = {r["bucket"]: (r["bucket_start"], r["count"]) for r in out}
+    assert got[0] == ("2024-01-01 00:00:00", 2)
+    assert got[1] == ("2024-01-04 00:00:00", 1)
+    assert -1 not in got  # 2023 row dropped (out of range)
+    # +2MONTHS calendar buckets: Jan-Feb / Mar-Apr / May-Jun
+    out2 = facet_range_date(df, "ts", "2024-01-01 00:00:00",
+                            "2024-07-01 00:00:00", "+2MONTHS").collect()
+    got2 = {r["bucket"]: (r["bucket_start"], r["count"]) for r in out2}
+    assert got2[0] == ("2024-01-01 00:00:00", 4)
+    assert got2[2] == ("2024-05-01 00:00:00", 1)
+    with pytest.raises(ValueError, match="month-aligned"):
+        facet_range_date(df, "ts", "2024-01-15 00:00:00",
+                         "2024-07-01 00:00:00", "+1MONTH")
+    with pytest.raises(ValueError, match="gap"):
+        facet_range_date(df, "ts", "2024-01-01 00:00:00",
+                         "2024-07-01 00:00:00", "3DAYS")
