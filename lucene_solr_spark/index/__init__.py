@@ -1,4 +1,4 @@
-from .backup import backup_index, restore_index
+from .backup import backup_index, replicate_index, restore_index
 from .builder import add_indexes, assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
 from .deletes import (VersionConflict, atomic_update, conditional_update,
@@ -20,6 +20,7 @@ __all__ = [
     "assign_doc_ids",
     "atomic_update",
     "backup_index",
+    "replicate_index",
     "restore_index",
     "build_index",
     "add_indexes",

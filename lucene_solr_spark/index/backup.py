@@ -31,7 +31,7 @@ from pathlib import Path
 
 from .builder import read_manifest, write_manifest
 
-__all__ = ["backup_index", "restore_index"]
+__all__ = ["backup_index", "restore_index", "replicate_index"]
 
 #: top-level artifacts copied wholesale when present (all are
 #: manifest-era consistent: merges rewrite them under the same commit)
@@ -73,6 +73,50 @@ def backup_index(index_path: str | Path, backup_path: str | Path) -> dict:
             _copy(src, backup_path / name)
     write_manifest(backup_path, manifest)  # commit point: written LAST
     return manifest
+
+
+def replicate_index(src_path: str | Path, replica_path: str | Path) -> dict:
+    """Incremental replica sync — the Lucene replicator / Solr legacy
+    replication model (``[8x] lucene/replicator/src/java/org/apache/
+    lucene/replicator/IndexReplicationHandler.java``): diff the master's
+    index directory against the replica and move only the delta (the
+    rsync model of Solr's legacy replication — the whole live directory
+    mirrors; use :func:`backup_index` for a commit-file-only snapshot).
+
+    Works because index files are write-once with unique names (parquet
+    part files get fresh UUIDs on every rewrite, segments are immutable
+    until merge-replaced) — name-presence IS the change detector, the
+    same invariant Lucene's replicator relies on.  Files the master no
+    longer references are deleted from the replica (old segments after
+    a merge), and the manifest lands LAST so a torn sync leaves the
+    replica on its previous consistent commit.
+
+    Returns ``{"copied": n, "deleted": n, "skipped": n}``."""
+    src_path, replica_path = Path(src_path), Path(replica_path)
+    manifest = read_manifest(src_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {src_path}")
+    replica_path.mkdir(parents=True, exist_ok=True)
+    skip = {"manifest.json", "manifest.json.tmp"}
+    src_files = {p.relative_to(src_path) for p in src_path.rglob("*")
+                 if p.is_file() and p.name not in skip}
+    rep_files = {p.relative_to(replica_path) for p in replica_path.rglob("*")
+                 if p.is_file() and p.name not in skip}
+    copied = deleted = 0
+    for rel in sorted(src_files - rep_files):
+        _copy(src_path / rel, replica_path / rel)
+        copied += 1
+    for rel in sorted(rep_files - src_files):
+        (replica_path / rel).unlink()
+        deleted += 1
+    # prune directories emptied by deletions (removed segments)
+    for d in sorted((p for p in replica_path.rglob("*") if p.is_dir()),
+                    key=lambda p: -len(p.parts)):
+        if not any(d.iterdir()):
+            d.rmdir()
+    write_manifest(replica_path, manifest)  # commit point: written LAST
+    return {"copied": copied, "deleted": deleted,
+            "skipped": len(src_files & rep_files)}
 
 
 def restore_index(backup_path: str | Path, new_index_path: str | Path) -> dict:

@@ -252,3 +252,31 @@ def test_backup_restore_identity_and_orphan_exclusion(spark, index_path,
             restore_index(torn, base / "nope")
     finally:
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_replicate_index_incremental_sync(spark, tmp_path_factory):
+    from lucene_solr_spark.index import delete_docs, merge_segments, replicate_index
+
+    base = tmp_path_factory.mktemp("repl")
+    src, rep = base / "src", base / "replica"
+    corpus = gen_corpus_df(spark, N_DOCS, seed=21)
+    build_index(spark, corpus, src, segment_docs=SEG_DOCS)
+
+    first = replicate_index(src, rep)
+    assert first["copied"] > 0 and first["skipped"] == 0
+    qs = ["def", "return AND class"]
+    for q in qs:
+        assert topk(spark, rep, q) == topk(spark, src, q)
+
+    # mutate the master: buffer deletes, then full-merge (rewrites files)
+    ids = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    delete_docs(spark, src, ids)
+    merge_segments(spark, src)
+    second = replicate_index(src, rep)
+    # incremental: untouched files were skipped, merge-dropped files removed
+    assert second["skipped"] > 0 and second["copied"] > 0
+    for q in qs:
+        assert topk(spark, rep, q) == topk(spark, src, q)
+    # a third sync with no master changes moves nothing
+    third = replicate_index(src, rep)
+    assert third["copied"] == 0 and third["deleted"] == 0
