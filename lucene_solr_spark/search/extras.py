@@ -30,7 +30,8 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
            "covering_query", "blended_term_search", "word_break_suggest",
-           "diversified_top_k", "phrase_wildcard_tf"]
+           "diversified_top_k", "phrase_wildcard_tf",
+           "synonym_graph_paths", "synonym_graph_query"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1226,3 +1227,76 @@ def phrase_wildcard_tf(index: IndexView, slots: list, k: int | None = None,
         out = out.join(index.tombstones, "doc_id", "left_anti")
     out = out.orderBy("doc_id")
     return out.limit(k) if k is not None else out
+
+
+# ---------------------------------------------------------------------------
+# multi-word synonym graph (query-time SynonymGraphFilter + QueryBuilder)
+# ---------------------------------------------------------------------------
+
+
+def synonym_graph_paths(tokens: list[str],
+                        rules: dict[tuple[str, ...], list[tuple[str, ...]]],
+                        keep_original: bool = True,
+                        max_paths: int = 64) -> list[tuple[str, ...]]:
+    """Enumerate the token-path alternatives of a query under multi-word
+    synonym rules — the query-time half of Lucene's SynonymGraphFilter
+    (``[8x] lucene/analysis/common/src/java/org/apache/lucene/analysis/
+    synonym/SynonymGraphFilter.java``) + QueryBuilder#analyzeGraphQuery:
+    index-time multi-word synonyms corrupt positions, so Lucene's
+    documented practice is to expand the QUERY into the distinct paths
+    of the token graph.
+
+    Rules map a source token sequence to replacement sequences, e.g.
+    ``{("new", "york"): [("ny",)]}``.  Matching is leftmost-longest
+    (the filter's greedy scan); ``keep_original`` keeps the source path
+    alongside the replacements.  Path count is capped at ``max_paths``
+    (graph blowup guard — Lucene's maxDeterminizedStates analog);
+    deterministic order: original-first depth-first."""
+    if max_paths < 1:
+        raise ValueError("max_paths must be >= 1")
+    by_first: dict[str, list[tuple[str, ...]]] = {}
+    for src in rules:
+        if not src:
+            raise ValueError("empty source sequence in synonym rule")
+        by_first.setdefault(src[0], []).append(src)
+    for srcs in by_first.values():
+        srcs.sort(key=len, reverse=True)  # leftmost-LONGEST
+
+    out: list[tuple[str, ...]] = []
+
+    def walk(i: int, acc: tuple[str, ...]) -> None:
+        if len(out) >= max_paths:
+            return
+        if i == len(tokens):
+            out.append(acc)
+            return
+        for src in by_first.get(tokens[i], ()):
+            if tuple(tokens[i:i + len(src)]) == src:
+                alts = ((src,) if keep_original else ()) + tuple(rules[src])
+                for alt in alts:
+                    walk(i + len(src), acc + alt)
+                return  # leftmost-longest consumed the match
+        walk(i + 1, acc + (tokens[i],))
+
+    walk(0, ())
+    return out
+
+
+def synonym_graph_query(tokens: list[str],
+                        rules: dict[tuple[str, ...], list[tuple[str, ...]]],
+                        keep_original: bool = True,
+                        max_paths: int = 64,
+                        phrase: bool = False):
+    """Build the graph query for a token sequence under multi-word
+    synonym rules: the Or over every distinct path, each path a Phrase
+    (len > 1) or Term — QueryBuilder's boolean-of-paths shape
+    (analyzeGraphPhrase when ``phrase=True``: every path stays a
+    phrase even at length 1)."""
+    from .query import Phrase
+
+    paths = synonym_graph_paths(tokens, rules, keep_original, max_paths)
+    clauses = [
+        Phrase(list(p)) if (phrase or len(p) > 1) else Term(p[0])
+        for p in paths
+    ]
+    return clauses[0] if len(clauses) == 1 else Or(*clauses)

@@ -345,3 +345,54 @@ def test_mlt_text_stream_body(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+# ------------------------------------------------- multi-word synonym graph
+
+def test_synonym_graph_paths_enumeration():
+    from lucene_solr_spark.search.extras import synonym_graph_paths
+
+    rules = {("new", "york"): [("ny",)]}
+    assert synonym_graph_paths(["new", "york", "pizza"], rules) == [
+        ("new", "york", "pizza"), ("ny", "pizza")]
+    assert synonym_graph_paths(["new", "york", "pizza"], rules,
+                               keep_original=False) == [("ny", "pizza")]
+    # leftmost-LONGEST: the 3-token rule wins over the 2-token one
+    rules2 = {("a", "b"): [("x",)], ("a", "b", "c"): [("y",)]}
+    assert synonym_graph_paths(["a", "b", "c"], rules2) == [
+        ("a", "b", "c"), ("y",)]
+    # two independent matches multiply paths (2 x 2)
+    rules3 = {("a",): [("x",)], ("c",): [("z",)]}
+    assert synonym_graph_paths(["a", "b", "c"], rules3) == [
+        ("a", "b", "c"), ("a", "b", "z"), ("x", "b", "c"), ("x", "b", "z")]
+    assert len(synonym_graph_paths(["a", "b", "c"], rules3, max_paths=3)) == 3
+
+
+def test_synonym_graph_query_shape_and_search(spark):
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Or, Phrase, Term, search
+    from lucene_solr_spark.search.extras import synonym_graph_query
+
+    rules = {("new", "york"): [("big", "apple"), ("ny",)]}
+    q = synonym_graph_query(["new", "york", "pizza"], rules)
+    assert isinstance(q, Or) and len(q.clauses) == 3
+    assert q.clauses[0] == Phrase(["new", "york", "pizza"])
+    assert q.clauses[1] == Phrase(["big", "apple", "pizza"])
+    assert q.clauses[2] == Phrase(["ny", "pizza"])
+    # single-token path with phrase=False is a Term
+    q2 = synonym_graph_query(["new", "york"], {("new", "york"): [("ny",)]})
+    assert q2.clauses[1] == Term("ny")
+
+    docs = spark.createDataFrame(
+        [(0, "the new york pizza shop"),
+         (1, "big apple pizza is the best pizza"),
+         (2, "ny pizza corner"),
+         (3, "chicago pizza only")],
+        "doc_id long, text string")
+    idx = build_index_view(docs, id_col="doc_id", text_col="text")
+    try:
+        got = {r["doc_id"] for r in search(idx, q, k=10).collect()}
+        assert got == {0, 1, 2}
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
