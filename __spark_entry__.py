@@ -3500,6 +3500,26 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+TRA_START, TRA_END = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+
+
+def q_time_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time Routed Alias: events written day-partitioned, a 10-day
+    window read back with partition-level pruning (collection
+    selection), counts per event_type."""
+    from pathlib import Path
+
+    from lucene_solr_spark.routing import time_routed_read, time_routed_write
+
+    e = _tbl(spark, sf_dir, "events")
+    t = f"/tmp/lss_tra_entry_{Path(sf_dir).name}"
+    time_routed_write(e, t, unit="DAY")  # overwrite mode: reruns clean
+    win = time_routed_read(spark, t, start=TRA_START, end=TRA_END)
+    return (win.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy("event_type"))
+
+
 def q_facet_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date range facet with a DateMathParser gap (+3DAYS) over
     events.ts — integer epoch bucketing, one partial-agg shuffle."""
@@ -3833,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_join_domain": q_facet_join_domain,
         "schema_guess": q_schema_guess,
         "facet_range_date": q_facet_range_date,
+        "time_routed": q_time_routed,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6581,6 +6602,11 @@ WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
 ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
+        "time_routed": f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+WHERE ts >= TIMESTAMP '{TRA_START}' AND ts < TIMESTAMP '{TRA_END}'
+GROUP BY event_type ORDER BY event_type""",
         "facet_range_date": """
 WITH b AS (
   SELECT CAST(floor((floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00')))

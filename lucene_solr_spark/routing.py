@@ -38,6 +38,8 @@ __all__ = [
     "shard_ranges",
     "shard_of_hash",
     "assign_shards",
+    "time_routed_write",
+    "time_routed_read",
 ]
 
 _C1 = np.uint32(0xCC9E2D51)
@@ -181,3 +183,62 @@ def assign_shards(
         h = F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u).cast("int")
     out = df.withColumn("hash32", h)
     return out.withColumn(out_col, shard_of_hash(F.col("hash32"), num_shards))
+
+
+# ---------------------------------------------------------------------------
+# Time Routed Alias (time-partitioned collections)
+# ---------------------------------------------------------------------------
+
+#: partition units accepted by time_routed_write (DateMathParser-style)
+_TRA_UNITS = {"HOUR": "yyyy-MM-dd-HH", "DAY": "yyyy-MM-dd", "MONTH": "yyyy-MM"}
+_TRA_COL = "_tra"
+
+
+def time_routed_write(df: "DataFrame", table_path: str, ts_col: str = "ts",
+                      unit: str = "DAY", mode: str = "overwrite") -> None:
+    """Time Routed Alias — SolrCloud's time-partitioned collection family
+    (``[8x] solr/core/src/java/org/apache/solr/cloud/api/collections/
+    TimeRoutedAlias.java``): each document routes to the collection that
+    owns its timestamp window; queries touch only the collections their
+    time filter overlaps.
+
+    The Spark-first translation: the routing window IS a partition
+    column.  Docs land in ``_tra=<window>`` directories, and a time
+    filter on read becomes a PARTITION filter — Spark never lists, let
+    alone opens, files outside the window (the same pruning SolrCloud
+    gets by skipping whole collections).  ``unit``: HOUR / DAY / MONTH."""
+    fmt = _TRA_UNITS.get(unit.upper())
+    if fmt is None:
+        raise ValueError(f"unit must be one of {sorted(_TRA_UNITS)}, got {unit!r}")
+    (df.withColumn(_TRA_COL, F.date_format(F.col(ts_col), fmt))
+       .write.mode(mode).partitionBy(_TRA_COL).parquet(table_path))
+
+
+def time_routed_read(spark, table_path: str, ts_col: str = "ts",
+                     unit: str = "DAY",
+                     start: str | None = None,
+                     end: str | None = None) -> "DataFrame":
+    """Read a time-routed table for the [start, end) timestamp window —
+    the TRA query fan-out in two phases: the window's partition values
+    prune whole directories first (collection selection; shows up as
+    ``PartitionFilters`` in the plan — files outside are never listed),
+    then the exact ``ts`` bounds trim the edge partitions (each selected
+    collection still applies the filter).  ``unit`` must match the
+    writer's (Solr aliases carry their router config the same way).
+
+    The partition predicate compares formatted strings; for every
+    _TRA_UNITS format, lexicographic order == time order, and
+    formatting ``end`` itself keeps the partition that CONTAINS the
+    exclusive bound (its rows are then cut by ``ts < end``)."""
+    fmt = _TRA_UNITS.get(unit.upper())
+    if fmt is None:
+        raise ValueError(f"unit must be one of {sorted(_TRA_UNITS)}, got {unit!r}")
+    df = spark.read.parquet(table_path)
+    c, p = F.col(ts_col), F.col(_TRA_COL)
+    if start is not None:
+        s = F.lit(start).cast("timestamp")
+        df = df.filter((p >= F.date_format(s, fmt)) & (c >= s))
+    if end is not None:
+        e = F.lit(end).cast("timestamp")
+        df = df.filter((p <= F.date_format(e, fmt)) & (c < e))
+    return df.drop(_TRA_COL)

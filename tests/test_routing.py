@@ -144,3 +144,33 @@ def test_routed_repartition_colocates(spark, sf_dir):
     pid = routed.withColumn("pid", F.spark_partition_id())
     spread = pid.groupBy("shard").agg(F.countDistinct("pid").alias("np")).collect()
     assert all(r["np"] == 1 for r in spread)
+
+
+# ------------------------------------------------------- time routed alias
+
+def test_time_routed_write_read_pruning(spark, tmp_path):
+    from lucene_solr_spark.routing import time_routed_read, time_routed_write
+
+    rows = [(i, f"2024-01-{d:02d} {h:02d}:30:00")
+            for i, (d, h) in enumerate((d, h) for d in range(1, 11)
+                                       for h in (0, 12, 23))]
+    df = spark.createDataFrame(rows, "id long, t string").select(
+        "id", F.col("t").cast("timestamp").alias("ts"))
+    path = str(tmp_path / "tra")
+    time_routed_write(df, path, unit="DAY")
+    # 10 day-partitions on disk
+    parts = sorted(p.name for p in (tmp_path / "tra").glob("_tra=*"))
+    assert len(parts) == 10 and parts[0] == "_tra=2024-01-01"
+
+    out = time_routed_read(spark, path, start="2024-01-03 12:00:00",
+                           end="2024-01-06 00:00:00")
+    got = sorted(r["ts"].strftime("%m-%d %H") for r in out.collect())
+    # 01-03 rows at 12 and 23 only (>= start), all of 01-04/05, none later
+    assert got == ["01-03 12", "01-03 23",
+                   "01-04 00", "01-04 12", "01-04 23",
+                   "01-05 00", "01-05 12", "01-05 23"]
+    # the window is a PARTITION filter: out-of-window dirs never read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_tra" in plan.split("PartitionFilters")[1][:200]
+    with pytest.raises(ValueError, match="unit"):
+        time_routed_write(df, path, unit="WEEK")
