@@ -3500,6 +3500,28 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+#: algebraic subset only — bit-identical cross-engine (see expressions.py)
+EXPR_TEXT = "sqrt(n_chars) * 2 + n_chars / 8 - min(n_chars, 500)"
+
+
+def q_expr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene expressions module: JS-like arithmetic compiled to one
+    canonical SQL text evaluated per document (map-only projection)."""
+    from lucene_solr_spark.expressions import compile_expression
+
+    col, _ = compile_expression(EXPR_TEXT)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", col.cast("float").alias("val"))
+            .orderBy("doc_id"))
+
+
+def _expr_eval_oracle() -> str:
+    from lucene_solr_spark.expressions import expression_sql
+
+    return (f"SELECT doc_id, CAST({expression_sql(EXPR_TEXT)} AS FLOAT) AS val "
+            f"FROM documents ORDER BY doc_id")
+
+
 TRA_START, TRA_END = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
 
 
@@ -3854,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_guess": q_schema_guess,
         "facet_range_date": q_facet_range_date,
         "time_routed": q_time_routed,
+        "expr_eval": q_expr_eval,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6602,6 +6625,7 @@ WHERE 1000e0 / (CAST(d.n_chars AS DOUBLE) + 1000e0) >= {FRANGE_L}
 ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
+        "expr_eval": _expr_eval_oracle(),
         "time_routed": f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
 FROM events

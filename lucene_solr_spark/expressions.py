@@ -1,0 +1,150 @@
+"""Lucene expressions module — compiled scoring/sort expressions.
+
+Lucene's expressions module (``[8x] lucene/expressions/src/java/org/
+apache/lucene/expressions/js/JavascriptCompiler.java``) compiles a
+JS-like arithmetic string ("0.5 * _score + ln(1 + popularity)") into a
+DoubleValuesSource usable for sorting and FunctionScoreQuery boosts;
+Solr exposes the same surface through function queries.
+
+This compiler parses the identical grammar and emits ONE canonical SQL
+expression string that both Spark SQL and DuckDB accept.  Exactness:
+the algebraic subset (+ − * /, unary minus, sqrt, abs, min, max) is
+BIT-IDENTICAL cross-engine (IEEE-exact operations over identical f64
+trees); the transcendentals (ln, log10, exp, pow) are each correctly
+rounded by the engine's libm and can differ in the last ulp — oracle
+entries built on them must quantize (the repo's round(·×1e6)→BIGINT
+discipline), exactly like lm_perplexity/DSIR.  Canonicalization:
+
+* every numeric literal becomes an e-notation double (``2`` → ``2e0``)
+  so neither engine falls into DECIMAL or integer division;
+* every variable is ``CAST(name AS DOUBLE)`` so the whole tree is f64;
+* functions map to the common dialect: ln, log10, exp, sqrt, abs,
+  pow→power, min→least, max→greatest.
+
+``compile_expression`` returns (Column, sql_text) — the Column for the
+engine, the text for the DuckDB oracle; the two are the same string, so
+the shared-expression-text exactness discipline holds by construction.
+Evaluation is a pure projection: map-only, whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["compile_expression", "expression_sql"]
+
+_FUNCS = {  # name -> (sql name, arity)
+    "ln": ("ln", 1),
+    "log10": ("log10", 1),
+    "exp": ("exp", 1),
+    "sqrt": ("sqrt", 1),
+    "abs": ("abs", 1),
+    "pow": ("power", 2),
+    "min": ("least", 2),
+    "max": ("greatest", 2),
+}
+
+_TOK = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[-+*/(),]))"
+)
+
+
+def _lex(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOK.match(text, pos)
+        if not m:
+            raise ValueError(f"expression: cannot lex at {text[pos:]!r}")
+        out.append((m.lastgroup, m.group(m.lastgroup)))
+        pos = m.end()
+    return out
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks, self.i = toks, 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        if t[0] is None:
+            raise ValueError("expression: unexpected end")
+        self.i += 1
+        return t
+
+    def expr(self) -> str:
+        s = self.term()
+        while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
+            op = self.next()[1]
+            s = f"({s} {op} {self.term()})"
+        return s
+
+    def term(self) -> str:
+        s = self.factor()
+        while self.peek() == ("op", "*") or self.peek() == ("op", "/"):
+            op = self.next()[1]
+            s = f"({s} {op} {self.factor()})"
+        return s
+
+    def factor(self) -> str:
+        if self.peek() == ("op", "-"):
+            self.next()
+            return f"(- {self.factor()})"
+        return self.atom()
+
+    def atom(self) -> str:
+        kind, val = self.next()
+        if kind == "num":
+            f = float(val)
+            if f != f or f in (float("inf"), float("-inf")):
+                raise ValueError(f"expression: bad literal {val!r}")
+            # canonical double literal: both engines parse e-notation as f64
+            return f"{f!r}e0" if "e" not in f"{f!r}" else f"{f!r}"
+        if kind == "ident":
+            if self.peek() == ("op", "("):
+                self.next()
+                fn = _FUNCS.get(val)
+                if fn is None:
+                    raise ValueError(f"expression: unknown function {val!r}")
+                args = [self.expr()]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    args.append(self.expr())
+                if self.next() != ("op", ")"):
+                    raise ValueError("expression: expected ')'")
+                if len(args) != fn[1]:
+                    raise ValueError(
+                        f"expression: {val} takes {fn[1]} args, got {len(args)}")
+                return f"{fn[0]}({', '.join(args)})"
+            return f"CAST({val} AS DOUBLE)"
+        if (kind, val) == ("op", "("):
+            s = self.expr()
+            if self.next() != ("op", ")"):
+                raise ValueError("expression: expected ')'")
+            return s
+        raise ValueError(f"expression: unexpected {val!r}")
+
+
+def expression_sql(text: str) -> str:
+    """Compile a JS-like expression into the canonical shared SQL text."""
+    p = _P(_lex(text))
+    s = p.expr()
+    if p.peek()[0] is not None:
+        raise ValueError(f"expression: trailing input at {p.toks[p.i:]!r}")
+    return s
+
+
+def compile_expression(text: str) -> tuple[Column, str]:
+    """(engine Column, oracle SQL text) — the same string, twice."""
+    s = expression_sql(text)
+    return F.expr(s), s

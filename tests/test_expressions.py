@@ -1,0 +1,60 @@
+"""Lucene expressions module: grammar, canonical SQL text, engine ==
+DuckDB bit-identity on random data."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.expressions import compile_expression, expression_sql
+
+
+def test_grammar_and_canonical_text():
+    assert expression_sql("2") == "2.0e0"
+    assert expression_sql("a + b * c") == \
+        "(CAST(a AS DOUBLE) + (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))"
+    assert expression_sql("(a + b) * c") == \
+        "((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * CAST(c AS DOUBLE))"
+    assert expression_sql("-a / 2") == "((- CAST(a AS DOUBLE)) / 2.0e0)"
+    assert expression_sql("pow(a, 2) + min(b, c)") == \
+        "(power(CAST(a AS DOUBLE), 2.0e0) + least(CAST(b AS DOUBLE), CAST(c AS DOUBLE)))"
+    assert expression_sql("ln(1 + x)") == "ln((1.0e0 + CAST(x AS DOUBLE)))"
+
+
+def test_grammar_errors():
+    for bad in ["a +", "foo(a)", "pow(a)", "a b", "1..2", "max(a, b, c)", ""]:
+        with pytest.raises(ValueError):
+            expression_sql(bad)
+
+
+def test_engine_equals_duckdb_bitwise(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "x": rng.uniform(0.1, 100, 2000),
+        "y": rng.uniform(0.1, 100, 2000),
+        "n": rng.integers(1, 10_000, 2000),
+    })
+    # (expr, exact): the algebraic subset is bit-identical; ln/log10/
+    # exp/pow go through each engine's libm and may differ 1 ulp
+    exprs = [
+        ("0.5 * x + y / 3 - sqrt(n)", True),
+        ("max(x, y) + min(x, y) - abs(x - y)", True),
+        ("sqrt(x) * 2 + n / 8", True),
+        ("0.5 * x + ln(1 + n)", False),
+        ("sqrt(x) * log10(n) - y / 3", False),
+        ("pow(x, 0.5) + exp(y / 100)", False),
+    ]
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for e, exact in exprs:
+        col, sql = compile_expression(e)
+        got = np.sort(np.array(
+            [r[0] for r in df.select(col).collect()], dtype=np.float64))
+        want = np.sort(con.execute(f"SELECT {sql} FROM t").df().iloc[:, 0]
+                       .to_numpy(dtype=np.float64))
+        if exact:
+            assert np.array_equal(got, want), e  # bit-identical f64
+        else:
+            ulps = np.abs(got.view(np.int64) - want.view(np.int64))
+            assert ulps.max() <= 8, (e, ulps.max())  # libm last-ulp drift
