@@ -1,0 +1,95 @@
+"""Filter cache — Lucene's LRUQueryCache / Solr's filterCache.
+
+Lucene caches the doc-id sets of reused scoreless filters per segment
+(``[8x] lucene/core/src/java/org/apache/lucene/search/LRUQueryCache.java``);
+Solr's ``fq`` clauses hit the same idea through filterCache.  The Spark
+analog: the filter's match frame is ``persist()``-ed once and every
+later query that carries the same filter reuses the materialized rows
+instead of re-running the scan + decode.
+
+Soundness mirrors Lucene exactly: cached sets are LIVE-DOCS-FREE (the
+raw match set; deletes are applied by the caller's anti-join, just like
+liveDocs intersect cached bitsets), and a cache is bound to ONE
+IndexView — views are immutable, merges/appends produce a new view, so
+a stale cache cannot exist, only a discarded one.
+
+Scale shape: each cached entry is a doc-id-only frame (8 bytes/row
+columnar); MEMORY_AND_DISK persistence spills instead of evicting
+executors' memory; the LRU bound caps total footprint and eviction
+unpersists eagerly.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..index.core import IndexView
+
+__all__ = ["FilterCache", "filtered_search"]
+
+
+class FilterCache:
+    """LRU cache of filter-query match frames for one IndexView."""
+
+    def __init__(self, index: IndexView, max_entries: int = 64):
+        if max_entries < 1:
+            raise ValueError("max_entries must be >= 1")
+        self.index = index
+        self.max_entries = int(max_entries)
+        self._entries: "OrderedDict[str, DataFrame]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def matches(self, q) -> DataFrame:
+        """The (persisted) unscored doc-id frame of ``q`` — computed on
+        first use, reused afterwards; LRU-evicted with unpersist."""
+        from .executor import _matches, expand_multiterm
+        from .query import qualify_query, rewrite
+
+        key = repr(q)
+        hit = self._entries.get(key)
+        if hit is not None:
+            self.hits += 1
+            self._entries.move_to_end(key)
+            return hit
+        self.misses += 1
+        qq = rewrite(q)
+        if self.index.field_stats is not None:
+            qq = qualify_query(qq, self.index.default_field)
+        qq = rewrite(expand_multiterm(self.index, qq))
+        df = _matches(self.index, qq).persist(StorageLevel.MEMORY_AND_DISK)
+        self._entries[key] = df
+        if len(self._entries) > self.max_entries:
+            _, evicted = self._entries.popitem(last=False)
+            evicted.unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __contains__(self, q) -> bool:
+        return repr(q) in self._entries
+
+
+def filtered_search(index: IndexView, query, flt, cache: FilterCache,
+                    k: int = 10) -> DataFrame:
+    """Solr's ``q=... fq=...`` shape: the main query scored normally,
+    the filter applied as a cached scoreless doc-set semi-join (FILTER
+    clause semantics — no score contribution), liveDocs last."""
+    from .extras import _scored_stream
+
+    if cache.index is not index:
+        raise ValueError("FilterCache is bound to a different IndexView")
+    sc = _scored_stream(index, query)  # applies tombstones itself
+    out = sc.join(cache.matches(flt), "doc_id", "left_semi")
+    return (out.withColumn("score", F.col("score").cast("float"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

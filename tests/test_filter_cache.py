@@ -1,0 +1,61 @@
+"""LRUQueryCache / filterCache analog: hit/miss accounting, persisted
+reuse, LRU eviction with unpersist, and fq-semantics search results."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import Bool, Prefix, Term, parse_query, search
+from lucene_solr_spark.search.cache import FilterCache, filtered_search
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pdf = gen_corpus_pdf(150, seed=31).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_hit_miss_and_persisted_reuse(engine):
+    cache = FilterCache(engine, max_entries=4)
+    a = cache.matches(Term("def"))
+    assert (cache.hits, cache.misses) == (0, 1)
+    b = cache.matches(Term("def"))
+    assert b is a and (cache.hits, cache.misses) == (1, 1)
+    assert a.storageLevel.useMemory  # actually persisted
+    got = {r["doc_id"] for r in a.collect()}
+    want = {r["doc_id"] for r in
+            search(engine, Term("def"), k=1000).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_lru_eviction_unpersists(engine):
+    cache = FilterCache(engine, max_entries=2)
+    a = cache.matches(Term("def"))
+    cache.matches(Term("class"))
+    cache.matches(Term("return"))  # evicts 'def'
+    assert len(cache) == 2 and Term("def") not in cache
+    assert not a.storageLevel.useMemory  # eviction unpersisted it
+    # multi-term filters cache too (expanded before _matches)
+    cache.matches(Prefix("ret"))
+    assert Prefix("ret") in cache
+
+
+def test_filtered_search_fq_semantics(engine):
+    cache = FilterCache(engine, max_entries=4)
+    q, flt = parse_query("def OR class"), Term("return")
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in filtered_search(engine, q, flt, cache, k=10).collect()]
+    # oracle composition: FILTER clause inside Bool (scoreless, no boost)
+    want_df = search(engine, Bool(should=[q], filter=[flt]), k=10)
+    want = [(r["doc_id"], np.float32(r["score"])) for r in want_df.collect()]
+    assert got == want and len(got) > 0
+    # second call hits the cache
+    filtered_search(engine, parse_query("import"), flt, cache, k=10).collect()
+    assert cache.hits >= 1
