@@ -1,7 +1,7 @@
 from .backup import backup_index, replicate_index, restore_index
 from .builder import add_indexes, assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
-from .deletes import (VersionConflict, atomic_update, conditional_update,
+from .deletes import (VersionConflict, apply_changelog, atomic_update, conditional_update,
                       delete_by_query, delete_docs, read_tombstones,
                       realtime_get, update_documents)
 from .core import (
@@ -19,6 +19,7 @@ __all__ = [
     "IndexView",
     "assign_doc_ids",
     "atomic_update",
+    "apply_changelog",
     "backup_index",
     "replicate_index",
     "restore_index",

@@ -511,3 +511,58 @@ def conditional_update(
     return update_documents(
         spark, index_path, new_docs, key_cols, text_col=text_col, **build_kwargs
     )
+
+
+def apply_changelog(
+    spark: SparkSession,
+    index_path: str | Path,
+    changes: DataFrame,
+    key_cols: list[str] | None = None,
+    *,
+    op_col: str = "op",
+    version_col: str = "version",
+    **update_kwargs,
+) -> dict:
+    """Apply a CDC changelog (merge-on-read ingestion): rows carry an
+    op ('I' insert / 'U' update / 'D' delete), a monotonically
+    increasing version per key, and — for I/U — the document fields.
+
+    Per key only the HIGHEST version wins (a late-arriving older change
+    is a no-op), then the surviving I/U rows flow through
+    ``update_documents`` (tombstone + append — IndexWriter#updateDocument)
+    and the surviving D keys through ``delete_docs``.  This is the
+    standard lake-changelog → search-index composition: idempotent under
+    replays (same changelog twice = same index), one shuffle on the key
+    for the latest-wins reduce.
+
+    Returns ``{"upserts": n, "deletes": n}``."""
+    index_path = Path(index_path)
+    key_cols = key_cols or ["repo", "path"]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col(op_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    bad = latest.filter(~F.col(op_col).isin("I", "U", "D")).limit(1).collect()
+    if bad:
+        raise ValueError(f"unknown changelog op {bad[0][op_col]!r}")
+    latest = latest.persist()
+    try:
+        upserts = latest.filter(F.col(op_col).isin("I", "U")) \
+            .drop(op_col, version_col)
+        n_up = upserts.count()
+        if n_up:
+            update_documents(spark, index_path, upserts, key_cols,
+                             **update_kwargs)
+        del_keys = latest.filter(F.col(op_col) == "D").select(*key_cols)
+        stored = spark.read.parquet(str(index_path / "docs.parquet"))
+        del_ids = stored.join(del_keys, key_cols, "left_semi").select("doc_id")
+        n_del = 0
+        if del_ids.head(1):
+            n_del = delete_docs(spark, index_path, del_ids)
+        return {"upserts": int(n_up), "deletes": int(n_del)}
+    finally:
+        latest.unpersist()

@@ -396,3 +396,51 @@ def test_merge_physically_purges_term_vectors_and_stored_fields(spark, tmp_path)
     docs = spark.read.parquet(str(path / "docs.parquet"))
     ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert victim not in ids and survivor in ids and len(ids) == 119
+
+
+def test_apply_changelog_latest_wins(spark, built):
+    from lucene_solr_spark.index import apply_changelog, realtime_get
+
+    stored = spark.read.parquet(str(built / "docs.parquet"))
+    rows = stored.orderBy("doc_id").limit(2).collect()
+    upd, dr = rows[0], rows[1]
+    schema = ("op string, version long, repo string, path string, "
+              "commit string, lang string, content string")
+    changes = spark.createDataFrame([
+        # update superseded by a NEWER update (v2 wins)
+        ("U", 1, upd["repo"], upd["path"], "c1", upd["lang"], "stalebody stale"),
+        ("U", 2, upd["repo"], upd["path"], "c2", upd["lang"], "freshtoken fresh body"),
+        # delete superseded by nothing (v1 delete wins over v0 update)
+        ("U", 0, dr["repo"], dr["path"], "c0", dr["lang"], "zombie body"),
+        ("D", 1, dr["repo"], dr["path"], None, None, None),
+        # brand-new insert
+        ("I", 1, "newrepo", "new/path.py", "c9", "py", "brandnewtoken body"),
+    ], schema)
+    out = apply_changelog(spark, built, changes, key_cols=["repo", "path"])
+    assert out == {"upserts": 2, "deletes": 1}
+
+    idx = open_index(spark, built)
+    assert len(search(idx, Term("freshtoken"), k=5).collect()) == 1
+    assert len(search(idx, Term("stalebody"), k=5).collect()) == 0  # v1 lost
+    assert len(search(idx, Term("zombie"), k=5).collect()) == 0     # D won
+    assert len(search(idx, Term("brandnewtoken"), k=5).collect()) == 1
+    # the deleted key is gone from realtime_get too
+    rt = realtime_get(spark, built, spark.createDataFrame(
+        [(dr["repo"], dr["path"])], "repo string, path string"),
+        key_cols=["repo", "path"])
+    assert rt.count() == 0
+
+    # replay idempotence: applying the SAME changelog again changes nothing
+    idx_docs_before = search(idx, parse_query("def OR class OR return"),
+                             k=10_000).count()
+    apply_changelog(spark, built, changes, key_cols=["repo", "path"])
+    idx2 = open_index(spark, built)
+    assert len(search(idx2, Term("freshtoken"), k=5).collect()) == 1
+    assert len(search(idx2, Term("zombie"), k=5).collect()) == 0
+    assert search(idx2, parse_query("def OR class OR return"),
+                  k=10_000).count() == idx_docs_before
+
+    with pytest.raises(ValueError, match="unknown changelog op"):
+        apply_changelog(spark, built, spark.createDataFrame(
+            [("X", 1, "r", "p", None, None, None)], schema),
+            key_cols=["repo", "path"])
