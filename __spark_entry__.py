@@ -3500,6 +3500,23 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+BUDGET_TOKENS = 30_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedy quality-first fill (here
+    quality = n_chars) until the cumulative token budget; distributed
+    two-phase cumsum, bit-identical to a global window."""
+    from lucene_solr_spark.pipeline import select_within_budget
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens",
+        F.expr("CAST(size(regexp_extract_all(lower(text),"
+               " '[a-z0-9_]+', 0)) AS BIGINT)"))
+    return (select_within_budget(d, BUDGET_TOKENS, "n_chars")
+            .orderBy("doc_id"))
+
+
 #: algebraic subset only — bit-identical cross-engine (see expressions.py)
 EXPR_TEXT = "sqrt(n_chars) * 2 + n_chars / 8 - min(n_chars, 500)"
 
@@ -3877,6 +3894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_date": q_facet_range_date,
         "time_routed": q_time_routed,
         "expr_eval": q_expr_eval,
+        "budget_select": q_budget_select,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6626,6 +6644,18 @@ ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
         "expr_eval": _expr_eval_oracle(),
+        "budget_select": f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC) AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {BUDGET_TOKENS} ORDER BY doc_id""",
         "time_routed": f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
 FROM events

@@ -59,7 +59,7 @@ from .filters import (
 )
 from .multimodal import media_features, with_media_binary
 from .urp import URP_PROCESSORS, apply_urp_chain, validate_urp_chain
-from .packing import chunk_documents, fim_split, span_corrupt
+from .packing import chunk_documents, fim_split, select_within_budget, span_corrupt
 from .bpe import bpe_encode, bpe_learn, bpe_word_types
 
 __all__ = [
@@ -80,6 +80,7 @@ __all__ = [
     "stratified_sample",
     "temperature_sample",
     "chunk_documents",
+    "select_within_budget",
     "fim_split",
     "span_corrupt",
     "cosine_topk",

@@ -273,3 +273,49 @@ def span_corrupt(
         )
         .orderBy("id")
     )
+
+
+def select_within_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget-constrained corpus selection: walk documents in
+    (quality desc, id asc) order and keep each doc whose tokens still
+    fit ENTIRELY within ``budget`` cumulative tokens — the greedy
+    quality-first fill every fixed-compute training run does when the
+    corpus exceeds the token budget.
+
+    Returns ``[id, count_col, cum_tokens]`` for the kept docs.  Exact
+    and partitioning-invariant: the same distributed two-phase
+    cumulative sum as ``pack_sequences`` (range partitions ordered by
+    the SAME key as the within-partition window; per-partition totals
+    are the only driver data), integer token counts, full tie-break by
+    id — bit-identical to a single global window at any parallelism."""
+    order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    d = (
+        df.select(F.col(id_col), F.col(quality_col),
+                  F.col(count_col).cast("long").alias("_n"))
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    psums = {
+        r["_pid"]: r["s"]
+        for r in d.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        d.withColumn("_cum", off_map[F.col("_pid")] + F.sum("_n").over(w))
+        .filter(F.col("_cum") <= int(budget))
+        .select(id_col, F.col("_n").alias(count_col),
+                F.col("_cum").alias("cum_tokens"))
+    )

@@ -78,3 +78,33 @@ def test_score_nodes_formula_and_ranking(spark):
     # equal gather count, lower global df -> rare outranks hub
     rows = score_nodes(edges, seeds).collect()
     assert [r["node"] for r in rows][0] == "s:rare"
+
+
+def test_select_within_budget_greedy_exact(spark):
+    from lucene_solr_spark.pipeline import select_within_budget
+
+    rows = [(0, 5.0, 40), (1, 9.0, 50), (2, 9.0, 30), (3, 7.0, 25),
+            (4, 1.0, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, n_tokens long")
+    # order: (9.0, 1) n=50, (9.0, 2) n=30, (7.0, 3) n=25, (5.0, 0) n=40 ...
+    # cum:              50            80            105 > 100 stop
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in select_within_budget(df, 100, "q").collect()}
+    assert got == {1: 50, 2: 80}
+    # a doc that doesn't FIT entirely is skipped even if later ones would
+    got2 = {r["doc_id"] for r in select_within_budget(df, 105, "q").collect()}
+    assert got2 == {1, 2, 3}
+
+
+def test_select_within_budget_partitioning_invariant(spark):
+    from lucene_solr_spark.pipeline import select_within_budget
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37).cast("double").alias("q"),
+        (F.col("id") % 13 + 1).cast("long").alias("n_tokens"))
+    a = select_within_budget(df.repartition(1), 800, "q").collect()
+    b = select_within_budget(df.repartition(16), 800, "q").collect()
+    assert {r["doc_id"]: r["cum_tokens"] for r in a} == \
+           {r["doc_id"]: r["cum_tokens"] for r in b}
+    assert len(a) > 0
