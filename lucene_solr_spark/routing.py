@@ -40,6 +40,8 @@ __all__ = [
     "assign_shards",
     "time_routed_write",
     "time_routed_read",
+    "category_routed_write",
+    "category_routed_read",
 ]
 
 _C1 = np.uint32(0xCC9E2D51)
@@ -242,3 +244,24 @@ def time_routed_read(spark, table_path: str, ts_col: str = "ts",
         e = F.lit(end).cast("timestamp")
         df = df.filter((p <= F.date_format(e, fmt)) & (c < e))
     return df.drop(_TRA_COL)
+
+
+def category_routed_write(df: "DataFrame", table_path: str,
+                          cat_col: str, mode: str = "overwrite") -> None:
+    """Category Routed Alias (``[8x] solr/core/src/java/org/apache/solr/
+    cloud/api/collections/CategoryRoutedAlias.java``): documents route
+    to per-category collections; here the category IS the partition
+    column, so a category filter on read prunes whole directories."""
+    (df.withColumn(_TRA_COL, F.col(cat_col).cast("string"))
+       .write.mode(mode).partitionBy(_TRA_COL).parquet(table_path))
+
+
+def category_routed_read(spark, table_path: str,
+                         categories: list[str] | None = None) -> "DataFrame":
+    """Read a category-routed table, optionally restricted to some
+    categories — the restriction is a PARTITION filter (collection
+    selection), never a row scan of other categories."""
+    df = spark.read.parquet(table_path)
+    if categories is not None:
+        df = df.filter(F.col(_TRA_COL).isin([str(c) for c in categories]))
+    return df.withColumnRenamed(_TRA_COL, "category")

@@ -174,3 +174,21 @@ def test_time_routed_write_read_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "_tra" in plan.split("PartitionFilters")[1][:200]
     with pytest.raises(ValueError, match="unit"):
         time_routed_write(df, path, unit="WEEK")
+
+
+def test_category_routed_alias(spark, tmp_path):
+    from lucene_solr_spark.routing import (category_routed_read,
+                                           category_routed_write)
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(30)],
+        "id long, lang string")
+    path = str(tmp_path / "cra")
+    category_routed_write(df, path, "lang")
+    parts = sorted(p.name for p in (tmp_path / "cra").glob("_tra=*"))
+    assert parts == ["_tra=de", "_tra=en", "_tra=fr"]
+    out = category_routed_read(spark, path, ["en", "fr"])
+    assert out.count() == 20
+    assert set(r["category"] for r in out.select("category").distinct().collect()) == {"en", "fr"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
