@@ -3500,6 +3500,16 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusteringComponent label extraction: top distinctive terms per
+    group (lang as the cluster domain) by doc-frequency lift."""
+    from lucene_solr_spark.pipeline import label_clusters
+
+    d = _docs(spark, sf_dir)
+    asg = d.select("doc_id", F.col("lang").alias("cluster"))
+    return label_clusters(d, asg, labels_per_cluster=5)
+
+
 BUDGET_TOKENS = 30_000
 
 
@@ -3895,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_routed": q_time_routed,
         "expr_eval": q_expr_eval,
         "budget_select": q_budget_select,
+        "cluster_labels": q_cluster_labels,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6644,6 +6655,23 @@ ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
         "expr_eval": _expr_eval_oracle(),
+        "cluster_labels": """
+WITH dt AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+  FROM documents),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY term),
+fg AS (SELECT d.lang AS cluster, t.term, CAST(count(*) AS BIGINT) AS fg_df
+       FROM dt t JOIN documents d USING (doc_id)
+       GROUP BY d.lang, t.term HAVING count(*) >= 2),
+sc AS (SELECT cluster, term, fg_df, bg_df,
+              CAST(CAST(fg_df AS DOUBLE) / CAST(bg_df AS DOUBLE) AS FLOAT) AS score
+       FROM fg JOIN bg USING (term)),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY score DESC, fg_df DESC, term ASC) AS BIGINT) AS rank
+      FROM sc)
+SELECT cluster, rank, term, fg_df, bg_df, score
+FROM r WHERE rank <= 5 ORDER BY cluster, rank""",
         "budget_select": f"""
 WITH t AS (
   SELECT doc_id, n_chars,

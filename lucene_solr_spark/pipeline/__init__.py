@@ -42,8 +42,8 @@ from .similarity import (
     quantized_cosine_topk,
     knn_join,
 )
-from .text import (doc_fingerprint, lang_id, text_quality, token_stats,
-                   tfidf_vectors, cluster_documents)
+from .text import (doc_fingerprint, label_clusters, lang_id, text_quality,
+                   token_stats, tfidf_vectors, cluster_documents)
 from .filters import (
     PII_RULES,
     SECRET_RULES,
@@ -97,6 +97,7 @@ __all__ = [
     "doc_fingerprint",
     "tfidf_vectors",
     "cluster_documents",
+    "label_clusters",
     "dedup_clusters",
     "exact_dedup",
     "delta_dedup",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .hashing import P31, SHINGLE_BASE, TOKENS_SQL, hterm_sql
 
@@ -234,4 +235,52 @@ def cluster_documents(
                        init_ids=init_ids or list(range(1, k + 1)))
     return kmeans_assign(vec, cents, vec_col="vec", id_col="id").withColumn(
         "dist2", F.col("dist2").cast("float")
+    )
+
+
+def label_clusters(
+    df: DataFrame,
+    assignments: DataFrame,
+    labels_per_cluster: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    min_fg: int = 2,
+) -> DataFrame:
+    """Cluster labeling — the label half of Solr's ClusteringComponent
+    (``[8x] solr/contrib/clustering/``, Carrot2 engines label clusters
+    with their most distinctive vocabulary): per cluster, the top terms
+    by doc-frequency LIFT fg_df/bg_df (significantTerms scoring with the
+    cluster as the foreground domain), ties by (fg_df desc, term asc).
+
+    Returns ``[cluster, rank, term, fg_df, bg_df, score]``.
+
+    Scale shape: one distinct (doc, term) pass over the corpus, one
+    broadcastable join to the assignment, two partial-agg shuffles
+    (term; cluster × term), and a per-cluster top-m window over rows
+    already reduced to cluster-term counts — never raw postings."""
+    toks = TOKENS_SQL.format(col=text_col)
+    dt = (
+        df.select(F.col(id_col).alias("_id"), F.expr(toks).alias("tk"))
+        .select("_id", F.explode(F.array_distinct("tk")).alias("term"))
+    )
+    bg = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("bg_df"))
+    asg = assignments.select(F.col(id_col).alias("_id"),
+                             F.col(cluster_col).alias("cluster"))
+    fg = (
+        dt.join(asg, "_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        .filter(F.col("fg_df") >= int(min_fg))
+    )
+    scored = fg.join(bg, "term").withColumn(
+        "score", (F.col("fg_df").cast("double") / F.col("bg_df").cast("double"))
+        .cast("float"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("score"), F.desc("fg_df"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(labels_per_cluster))
+        .select("cluster", "rank", "term", "fg_df", "bg_df", "score")
+        .orderBy("cluster", "rank")
     )

@@ -897,3 +897,31 @@ def test_dsir_ratio_join_is_broadcast(spark):
     out = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bucket ratio table rides broadcast
+
+
+def test_label_clusters_distinctive_terms(spark):
+    from lucene_solr_spark.pipeline import label_clusters
+
+    rows = (
+        [(i, "spark shuffle join exchange plan common") for i in range(5)]
+        + [(10 + i, "tokenizer stemmer analyzer lucene common") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    asg = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10 + i, 1) for i in range(5)],
+        "doc_id long, cluster int")
+    out = label_clusters(docs, asg, labels_per_cluster=3)
+    by_cluster = {}
+    for r in out.collect():
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["rank"], r["term"], r["score"]))
+    # distinctive terms (lift 1.0) label each cluster; 'common' (lift .5)
+    # never ranks above them
+    c0 = [t for _, t, _ in sorted(by_cluster[0])]
+    c1 = [t for _, t, _ in sorted(by_cluster[1])]
+    assert set(c0) <= {"spark", "shuffle", "join", "exchange", "plan"}
+    assert set(c1) <= {"tokenizer", "stemmer", "analyzer", "lucene"}
+    assert all(s == 1.0 for _, _, s in by_cluster[0])
+    # ranks are 1..3 with deterministic term tie-break
+    assert [r for r, _, _ in sorted(by_cluster[0])] == [1, 2, 3]
+    assert c0 == sorted(c0)  # equal scores -> alphabetical
