@@ -3500,6 +3500,56 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply, end to end: base index from documents, then
+    a derived changelog (stale update superseded by fresh update, delete
+    overriding an update, fresh inserts) — output is md5 of every LIVE
+    stored doc, which the oracle re-derives from documents alone."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import apply_changelog, build_index
+    from lucene_solr_spark.index.deletes import read_tombstones
+
+    d0 = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "text", "lang", "source")
+    base = d0.withColumn(
+        "doc_id",
+        # entry-harness ids only (≤5k rows); the library path is
+        # assign_doc_ids' partition-offset scheme
+        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    root = tempfile.mkdtemp(prefix="lss_cdc_")
+    build_index(spark, base, root, text_col="text", id_col="doc_id",
+                segment_docs=2000)
+
+    def tagged(df, op, version):
+        return df.withColumn("op", F.lit(op)).withColumn(
+            "version", F.lit(version).cast("long"))
+
+    oid = F.col("orig_id")
+    u1 = tagged(d0.filter(oid < 30).withColumn(
+        "text", F.concat(F.lit("stale "), F.col("text"))), "U", 1)
+    u2 = tagged(d0.filter(oid < 20).withColumn(
+        "text", F.concat(F.lit("fresh "), F.col("text"))), "U", 2)
+    dd = tagged(d0.filter((oid >= 10) & (oid < 20)).select(
+        "orig_id", *[F.lit(None).cast("string").alias(c)
+                     for c in ("text", "lang", "source")]), "D", 3)
+    ii = tagged(d0.filter(oid < 10).select(
+        (oid + 100000).alias("orig_id"),
+        F.concat(F.lit("brandnew "), F.col("text")).alias("text"),
+        "lang", "source"), "I", 1)
+    changes = u1.unionByName(u2).unionByName(dd).unionByName(ii)
+    apply_changelog(spark, root, changes, key_cols=["orig_id"],
+                    text_col="text", id_col="doc_id")
+
+    stored = spark.read.parquet(f"{root}/docs.parquet")
+    tomb = read_tombstones(spark, root)
+    live = stored.join(tomb, "doc_id", "left_anti") if tomb is not None else stored
+    return (live.select("orig_id", F.md5("text").alias("text_md5"))
+            .orderBy("orig_id"))
+
+
 def q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusteringComponent label extraction: top distinctive terms per
     group (lang as the cluster domain) by doc-frequency lift."""
@@ -3906,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_eval": q_expr_eval,
         "budget_select": q_budget_select,
         "cluster_labels": q_cluster_labels,
+        "changelog": q_changelog,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6655,6 +6706,16 @@ ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
         "expr_eval": _expr_eval_oracle(),
+        "changelog": """
+WITH final AS (
+  SELECT doc_id AS orig_id,
+         CASE WHEN doc_id < 10 THEN 'fresh ' || text
+              WHEN doc_id >= 20 AND doc_id < 30 THEN 'stale ' || text
+              ELSE text END AS text
+  FROM documents WHERE NOT (doc_id >= 10 AND doc_id < 20)
+  UNION ALL
+  SELECT doc_id + 100000, 'brandnew ' || text FROM documents WHERE doc_id < 10)
+SELECT orig_id, md5(text) AS text_md5 FROM final ORDER BY orig_id""",
         "cluster_labels": """
 WITH dt AS (
   SELECT doc_id,
