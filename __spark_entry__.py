@@ -3500,6 +3500,33 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+SYN_RULES_DESC = 'multi-word rule: "data table" also matches "window join"'
+
+
+def q_syn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time multi-word synonym graph: the query [data, table]
+    expands to the Or of its token paths under the rule
+    (data table) -> (window join); per-doc total exact-phrase tf across
+    paths (integer, hash-stable)."""
+    from lucene_solr_spark.search.executor import _phrase_tf
+    from lucene_solr_spark.search.extras import synonym_graph_query
+    from lucene_solr_spark.search.query import Phrase
+
+    index = _index_for(spark, sf_dir)
+    q = synonym_graph_query(["data", "table"],
+                            {("data", "table"): [("window", "join")]})
+    frames = [
+        _phrase_tf(index, p).select("doc_id", F.col("tf").alias("_tf"))
+        for p in q.clauses
+        if isinstance(p, Phrase)
+    ]
+    assert len(frames) == 2
+    un = frames[0].unionByName(frames[1])
+    return (un.groupBy("doc_id")
+            .agg(F.sum("_tf").cast("long").alias("phrase_tf"))
+            .orderBy("doc_id"))
+
+
 def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog apply, end to end: base index from documents, then
     a derived changelog (stale update superseded by fresh update, delete
@@ -3957,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "cluster_labels": q_cluster_labels,
         "changelog": q_changelog,
+        "syn_graph": q_syn_graph,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6706,6 +6734,17 @@ ORDER BY d.doc_id""",
         "dsir_select": _dsir_oracle(),
         "schema_guess": _schema_guess_oracle(),
         "expr_eval": _expr_eval_oracle(),
+        "syn_graph": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE (a.term = 'data' AND b.term = 'table')
+   OR (a.term = 'window' AND b.term = 'join')
+GROUP BY a.doc_id ORDER BY a.doc_id""",
         "changelog": """
 WITH final AS (
   SELECT doc_id AS orig_id,
