@@ -3500,6 +3500,36 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup/restore round-trip end to end: build -> backup -> restore
+    into a fresh dir -> open -> probe the restored term dictionary; the
+    oracle re-derives df/cf from documents (identical to add_indexes'),
+    so a torn or lossy copy cannot pass."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import (backup_index, build_index,
+                                         open_index, restore_index)
+
+    d = _docs(spark, sf_dir).withColumn(
+        "doc_id",
+        # entry-harness ids only (≤5k rows); library path = assign_doc_ids
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).cast("long"))
+    root = tempfile.mkdtemp(prefix="lss_bak_")
+    build_index(spark, d, f"{root}/src", text_col="text", id_col="doc_id",
+                segment_docs=2000)
+    backup_index(f"{root}/src", f"{root}/bak")
+    restore_index(f"{root}/bak", f"{root}/restored")
+    idx = open_index(spark, f"{root}/restored")
+    return (
+        idx.term_dict.filter(F.col("term").isin(PROBE_TERMS))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 SYN_RULES_DESC = 'multi-word rule: "data table" also matches "window join"'
 
 
@@ -3985,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_labels": q_cluster_labels,
         "changelog": q_changelog,
         "syn_graph": q_syn_graph,
+        "backup_restore": q_backup_restore,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6276,6 +6307,12 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "backup_restore": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)})
+GROUP BY term ORDER BY term""",
         "add_indexes": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
