@@ -3500,6 +3500,14 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per source slice (Li et al. 2016): the
+    repetition check run per source before mixture weighting."""
+    from lucene_solr_spark.pipeline import corpus_diversity
+
+    return corpus_diversity(_docs(spark, sf_dir), by="source", n=2)
+
+
 def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backup/restore round-trip end to end: build -> backup -> restore
     into a fresh dir -> open -> probe the restored term dictionary; the
@@ -4016,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog": q_changelog,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
+        "diversity": q_diversity,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6307,6 +6316,22 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "diversity": """
+WITH tk AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents),
+g AS (
+  SELECT source,
+         unnest(list_transform(range(2, len(tk) + 1),
+                               i -> tk[i-1] || ' ' || tk[i])) AS gram
+  FROM tk),
+per AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY source, gram)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       CAST(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS FLOAT)
+         AS distinct_ratio
+FROM per GROUP BY source ORDER BY source""",
         "backup_restore": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

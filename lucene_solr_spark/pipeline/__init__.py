@@ -42,7 +42,7 @@ from .similarity import (
     quantized_cosine_topk,
     knn_join,
 )
-from .text import (doc_fingerprint, label_clusters, lang_id, text_quality,
+from .text import (corpus_diversity, doc_fingerprint, label_clusters, lang_id, text_quality,
                    token_stats, tfidf_vectors, cluster_documents)
 from .filters import (
     PII_RULES,
@@ -98,6 +98,7 @@ __all__ = [
     "tfidf_vectors",
     "cluster_documents",
     "label_clusters",
+    "corpus_diversity",
     "dedup_clusters",
     "exact_dedup",
     "delta_dedup",

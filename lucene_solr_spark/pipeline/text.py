@@ -284,3 +284,40 @@ def label_clusters(
         .select("cluster", "rank", "term", "fg_df", "bg_df", "score")
         .orderBy("cluster", "rank")
     )
+
+
+def corpus_diversity(
+    df: DataFrame,
+    by: str = "source",
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per corpus slice (Li et al. 2016, "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models"): distinct n-grams / total n-grams — the standard repetition
+    /mode-collapse check a training-data pipeline runs per source before
+    mixing.  Returns ``[by, total_ngrams, distinct_ngrams, distinct_ratio]``
+    (ratio = one f64 division cast f32 — cross-engine exact).
+
+    Scale shape: one gram explode + one (slice, gram) partial agg, then
+    a slice-keyed reduce; counts are integer-exact."""
+    toks = TOKENS_SQL.format(col=text_col)
+    grams = (
+        df.select(F.col(by), F.expr(toks).alias("tk"))
+        .select(by, F.explode(F.expr(
+            f"CASE WHEN size(tk) >= {n} THEN transform(sequence({n}, size(tk)),"
+            f" i -> concat_ws(' ', slice(tk, i - {n - 1}, {n}))) "
+            "ELSE array() END")).alias("gram"))
+    )
+    per = grams.groupBy(by, "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        per.groupBy(by)
+        .agg(F.sum("cnt").cast("long").alias("total_ngrams"),
+             F.count(F.lit(1)).cast("long").alias("distinct_ngrams"))
+        .withColumn(
+            "distinct_ratio",
+            (F.col("distinct_ngrams").cast("double")
+             / F.col("total_ngrams").cast("double")).cast("float"))
+        .orderBy(by)
+    )
