@@ -163,6 +163,14 @@ def bbox(lat: Column, lon: Column, pt_lat: float, pt_lon: float,
     return cond
 
 
+def _dlit(v) -> str:
+    """Canonical double literal valid in BOTH SQL dialects: e-notation
+    appended only when repr lacks one (repr(1e-05) == '1e-05' — appending
+    'e0' there would be a syntax error)."""
+    r = f"{float(v)!r}"
+    return r if "e" in r or "E" in r else f"{r}e0"
+
+
 def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
     """Parse a simple ``POLYGON((lon lat, lon lat, ...))`` WKT ring into
     [(lat, lon), ...] — the exterior ring only, no holes (Solr's RPT
@@ -203,7 +211,7 @@ def polygon_contains_sql(lat_sql: str, lon_sql: str,
     plain range predicates reach parquet row-group stats first."""
     if len(vertices) < 3:
         raise ValueError("polygon needs at least 3 vertices")
-    lit = lambda v: f"{float(v)!r}e0"  # noqa: E731 — force DOUBLE on both engines
+    lit = _dlit  # force DOUBLE on both engines
     terms = []
     n = len(vertices)
     for i in range(n):
@@ -224,7 +232,7 @@ def polygon_bbox_sql(lat_sql: str, lon_sql: str,
     shape of Lucene's polygon query: grid/box prune, then exact test)."""
     lats = [float(v[0]) for v in vertices]
     lons = [float(v[1]) for v in vertices]
-    lit = lambda v: f"{v!r}e0"  # noqa: E731
+    lit = _dlit
     return (f"({lat_sql} >= {lit(min(lats))} AND {lat_sql} <= {lit(max(lats))}"
             f" AND {lon_sql} >= {lit(min(lons))} AND {lon_sql} <= {lit(max(lons))})")
 

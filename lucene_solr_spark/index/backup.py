@@ -61,8 +61,13 @@ def backup_index(index_path: str | Path, backup_path: str | Path) -> dict:
     manifest = read_manifest(index_path)
     if not manifest or not manifest.get("committed"):
         raise FileNotFoundError(f"no committed index at {index_path}")
-    if read_manifest(backup_path) is not None:
-        raise FileExistsError(f"backup already exists at {backup_path}")
+    if backup_path.exists() and any(backup_path.iterdir()):
+        # a manifest means a completed backup; files without one mean a
+        # TORN backup — refuse both with a actionable message instead of
+        # crashing mid-copytree on the leftovers
+        raise FileExistsError(
+            f"backup target {backup_path} is not empty "
+            f"({'completed backup' if read_manifest(backup_path) else 'torn backup — remove it first'})")
     backup_path.mkdir(parents=True, exist_ok=True)
     # segments: ONLY the manifest-listed ones (orphans stay behind)
     for seg in manifest["segments"]:
@@ -88,8 +93,10 @@ def replicate_index(src_path: str | Path, replica_path: str | Path) -> dict:
     until merge-replaced) — name-presence IS the change detector, the
     same invariant Lucene's replicator relies on.  Files the master no
     longer references are deleted from the replica (old segments after
-    a merge), and the manifest lands LAST so a torn sync leaves the
-    replica on its previous consistent commit.
+    a merge) only AFTER the new manifest commits, so a torn sync leaves
+    the replica on a consistent commit either way — the previous one if
+    the crash precedes the commit, the new one plus harmless extra
+    files (the next sync removes them) if it follows.
 
     Returns ``{"copied": n, "deleted": n, "skipped": n}``."""
     src_path, replica_path = Path(src_path), Path(replica_path)
@@ -106,6 +113,11 @@ def replicate_index(src_path: str | Path, replica_path: str | Path) -> dict:
     for rel in sorted(src_files - rep_files):
         _copy(src_path / rel, replica_path / rel)
         copied += 1
+    # commit BEFORE deleting stale files: a crash mid-delete then leaves a
+    # replica on the NEW consistent commit plus harmless extra files (the
+    # next sync removes them); deleting first would leave the OLD manifest
+    # pointing at removed files — Lucene's replicator uses the same order
+    write_manifest(replica_path, manifest)
     for rel in sorted(rep_files - src_files):
         (replica_path / rel).unlink()
         deleted += 1
@@ -114,7 +126,6 @@ def replicate_index(src_path: str | Path, replica_path: str | Path) -> dict:
                     key=lambda p: -len(p.parts)):
         if not any(d.iterdir()):
             d.rmdir()
-    write_manifest(replica_path, manifest)  # commit point: written LAST
     return {"copied": copied, "deleted": deleted,
             "skipped": len(src_files & rep_files)}
 
@@ -127,9 +138,10 @@ def restore_index(backup_path: str | Path, new_index_path: str | Path) -> dict:
     manifest = read_manifest(backup_path)
     if not manifest or not manifest.get("committed"):
         raise FileNotFoundError(f"no committed backup at {backup_path}")
-    new_index_path = Path(new_index_path)
-    if read_manifest(new_index_path) is not None:
-        raise FileExistsError(f"index already exists at {new_index_path}")
+    if new_index_path.exists() and any(new_index_path.iterdir()):
+        raise FileExistsError(
+            f"restore target {new_index_path} is not empty "
+            f"({'existing index' if read_manifest(new_index_path) else 'torn restore — remove it first'})")
     new_index_path.mkdir(parents=True, exist_ok=True)
     for seg in manifest["segments"]:
         _copy(backup_path / seg["path"], new_index_path / seg["path"])

@@ -540,16 +540,21 @@ def apply_changelog(
     key_cols = key_cols or ["repo", "path"]
     from pyspark.sql.window import Window
 
+    # validate EVERY row (not just latest-per-key): a malformed or NULL op
+    # anywhere in the changelog is a producer bug that must not be
+    # silently dropped by the latest-wins reduce; checking the raw frame
+    # is also one cheap scan instead of an extra window pass
+    bad = changes.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(f"unknown changelog op {bad[0][op_col]!r}")
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(), F.col(op_col).desc())
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1).drop("_rn")
-    )
-    bad = latest.filter(~F.col(op_col).isin("I", "U", "D")).limit(1).collect()
-    if bad:
-        raise ValueError(f"unknown changelog op {bad[0][op_col]!r}")
-    latest = latest.persist()
+    ).persist()
     try:
         upserts = latest.filter(F.col(op_col).isin("I", "U")) \
             .drop(op_col, version_col)

@@ -282,11 +282,12 @@ def select_within_budget(
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
 ) -> DataFrame:
-    """Token-budget-constrained corpus selection: walk documents in
-    (quality desc, id asc) order and keep each doc whose tokens still
-    fit ENTIRELY within ``budget`` cumulative tokens — the greedy
-    quality-first fill every fixed-compute training run does when the
-    corpus exceeds the token budget.
+    """Token-budget-constrained corpus selection: keep the maximal
+    PREFIX of the (quality desc, id asc) ranking whose running token
+    total fits in ``budget`` — the first doc that would overflow ends
+    the selection (quality-threshold semantics: everything kept is
+    strictly better-ranked than everything dropped; no skip-and-
+    backfill of lower-quality short docs past an oversized one).
 
     Returns ``[id, count_col, cum_tokens]`` for the kept docs.  Exact
     and partitioning-invariant: the same distributed two-phase

@@ -216,6 +216,22 @@ def time_routed_write(df: "DataFrame", table_path: str, ts_col: str = "ts",
        .write.mode(mode).partitionBy(_TRA_COL).parquet(table_path))
 
 
+def _read_no_partition_inference(spark, table_path: str) -> "DataFrame":
+    """Read a partitioned table with partition-column TYPE INFERENCE
+    disabled (set/restore of the session conf): routed partition values
+    are strings by contract — inference would turn '007' into 7 or a
+    'yyyy-MM-dd' window into a DATE, breaking round-trips and the
+    lexicographic window predicates."""
+    conf = spark.conf
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try:
+        return spark.read.parquet(table_path)
+    finally:
+        conf.set(key, prev)
+
+
 def time_routed_read(spark, table_path: str, ts_col: str = "ts",
                      unit: str = "DAY",
                      start: str | None = None,
@@ -235,7 +251,7 @@ def time_routed_read(spark, table_path: str, ts_col: str = "ts",
     fmt = _TRA_UNITS.get(unit.upper())
     if fmt is None:
         raise ValueError(f"unit must be one of {sorted(_TRA_UNITS)}, got {unit!r}")
-    df = spark.read.parquet(table_path)
+    df = _read_no_partition_inference(spark, table_path)
     c, p = F.col(ts_col), F.col(_TRA_COL)
     if start is not None:
         s = F.lit(start).cast("timestamp")
@@ -261,7 +277,7 @@ def category_routed_read(spark, table_path: str,
     """Read a category-routed table, optionally restricted to some
     categories — the restriction is a PARTITION filter (collection
     selection), never a row scan of other categories."""
-    df = spark.read.parquet(table_path)
+    df = _read_no_partition_inference(spark, table_path)
     if categories is not None:
         df = df.filter(F.col(_TRA_COL).isin([str(c) for c in categories]))
     return df.withColumnRenamed(_TRA_COL, "category")

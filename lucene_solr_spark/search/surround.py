@@ -234,31 +234,41 @@ def parse_surround(text: str):
     return out
 
 
-def _resolve(index, node, max_expansions: int):
-    """Expand SurroundPrefix leaves against the term dictionary."""
+def _resolve(index, node, max_expansions: int, fix):
+    """Expand SurroundPrefix leaves against the term dictionary and
+    field-qualify bare terms (``fix``) — qualification MUST precede
+    expansion: a multi-field dictionary stores ``field:token`` terms,
+    so an unqualified prefix would match nothing there."""
     if isinstance(node, SurroundPrefix):
         from .query import Prefix
 
-        return span_wrap_multiterm(index, Prefix(node.prefix),
+        return span_wrap_multiterm(index, Prefix(fix(node.prefix)),
                                    max_expansions=max_expansions)
     if isinstance(node, SpanTerm):
-        return node
+        return SpanTerm(fix(node.term), node.boost)
     if isinstance(node, SpanNear):
         return SpanNear(
-            *[_resolve(index, c, max_expansions) for c in node.clauses],
+            *[_resolve(index, c, max_expansions, fix) for c in node.clauses],
             slop=node.slop, in_order=node.in_order)
     if isinstance(node, SpanOr):
-        return SpanOr(*[_resolve(index, c, max_expansions)
+        return SpanOr(*[_resolve(index, c, max_expansions, fix)
                         for c in node.clauses])
     if isinstance(node, BoolOp):
-        return BoolOp(node.op, tuple(_resolve(index, c, max_expansions)
+        return BoolOp(node.op, tuple(_resolve(index, c, max_expansions, fix)
                                      for c in node.clauses))
     raise TypeError(f"surround: unknown node {node!r}")
 
 
 def surround_query(index, text: str, max_expansions: int = 1024):
-    """Parse + wildcard-resolve a surround query against an index."""
-    return _resolve(index, parse_surround(text), max_expansions)
+    """Parse + field-qualify + wildcard-resolve a surround query against
+    an index: bare terms take the index's default field on a multi-field
+    index (Solr's df parameter); single-field indexes pass through."""
+    if getattr(index, "field_stats", None) is not None:
+        pre = index.default_field + ":"
+        fix = lambda s: s if ":" in s else pre + s  # noqa: E731
+    else:
+        fix = lambda s: s  # noqa: E731
+    return _resolve(index, parse_surround(text), max_expansions, fix)
 
 
 def _bool_scores(index, node) -> DataFrame:

@@ -272,3 +272,18 @@ def test_polygon_filter_is_maponly_and_duckdb_identical(spark):
            f" AND {polygon_contains_sql('lat', 'lon', verts)}")
     want = set(con.execute(sql).df()["id"])
     assert set(r["id"] for r in flt.collect()) == want
+
+
+def test_polygon_small_coordinate_literals(spark):
+    """Vertices whose repr uses e-notation (|v| < 1e-4) must compile —
+    the double-literal canonicalizer appends e0 only when absent."""
+    from lucene_solr_spark.functions import polygon_contains_sql, polygon_filter
+
+    verts = [(0.00001, -0.00002), (1.0, 0.0), (0.0, 1.0)]
+    sql = polygon_contains_sql("lat", "lon", verts)
+    assert "e-05e0" not in sql and "1e-05" in sql
+    df = spark.createDataFrame(pd.DataFrame(
+        {"lat": [0.3, 5.0], "lon": [0.3, 5.0]}))
+    got = [r["lat"] for r in df.filter(
+        polygon_filter("lat", "lon", verts)).collect()]
+    assert got == [0.3]

@@ -91,9 +91,14 @@ def test_select_within_budget_greedy_exact(spark):
     got = {r["doc_id"]: r["cum_tokens"]
            for r in select_within_budget(df, 100, "q").collect()}
     assert got == {1: 50, 2: 80}
-    # a doc that doesn't FIT entirely is skipped even if later ones would
+    # prefix semantics: the first overflow ENDS the selection — the
+    # lower-ranked doc 3 (fits at budget 105) is included only when the
+    # whole prefix up to it fits
     got2 = {r["doc_id"] for r in select_within_budget(df, 105, "q").collect()}
     assert got2 == {1, 2, 3}
+    # and at budget 104 the overflow at doc 3 ends the selection there
+    got3 = {r["doc_id"] for r in select_within_budget(df, 104, "q").collect()}
+    assert got3 == {1, 2}
 
 
 def test_select_within_budget_partitioning_invariant(spark):

@@ -192,3 +192,18 @@ def test_category_routed_alias(spark, tmp_path):
     assert set(r["category"] for r in out.select("category").distinct().collect()) == {"en", "fr"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_category_routed_preserves_string_categories(spark, tmp_path):
+    """Numeric-looking category strings round-trip verbatim (partition
+    type inference disabled on the routed read)."""
+    from lucene_solr_spark.routing import (category_routed_read,
+                                           category_routed_write)
+
+    df = spark.createDataFrame([(1, "01"), (2, "007"), (3, "x9")],
+                               "id long, code string")
+    path = str(tmp_path / "cra2")
+    category_routed_write(df, path, "code")
+    got = {r["id"]: r["category"]
+           for r in category_routed_read(spark, path).collect()}
+    assert got == {1: "01", 2: "007", 3: "x9"}

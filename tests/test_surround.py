@@ -106,3 +106,27 @@ def test_boolean_and_not_semantics(engine):
     assert {r["doc_id"] for r in notq} == set(a) - set(b)
     for r in notq:  # NOT keeps the positive clause's score untouched
         assert np.float32(r["score"]) == a[r["doc_id"]]
+
+
+def test_surround_on_multifield_index(spark):
+    """Bare surround terms take the default field on a multi-field index
+    (qualification precedes wildcard expansion)."""
+    from lucene_solr_spark.index import build_multifield_index_view
+
+    pdf = gen_corpus_pdf(80, seed=7).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(80, dtype=np.int64)
+    pdf["pathtext"] = pdf["path"].str.replace("/", " ")
+    df = spark.createDataFrame(pdf[["doc_id", "content", "pathtext"]])
+    idx = build_multifield_index_view(
+        df, fields={"content": "content", "path": "pathtext"},
+        default_field="content")
+    try:
+        got = surround_search(idx, "return 3N class", k=10).collect()
+        assert len(got) > 0  # silently-empty would mean no qualification
+        q = surround_query(idx, "ret* W x")
+        terms = ([q.clauses[0].term] if isinstance(q.clauses[0], SpanTerm)
+                 else [c.term for c in q.clauses[0].clauses])
+        assert all(t.startswith("content:ret") for t in terms)
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
