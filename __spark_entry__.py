@@ -3500,6 +3500,15 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentDictionary suggester: source values with prefix 'src1',
+    weighted by summed n_chars over their docs."""
+    from lucene_solr_spark.search.extras import suggest_documents
+
+    return suggest_documents(_docs(spark, sf_dir), "source", "n_chars",
+                             "src1", k=8)
+
+
 def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-2 diversity per source slice (Li et al. 2016): the
     repetition check run per source before mixture weighting."""
@@ -4025,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
+        "suggest_docweight": q_suggest_docs,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6316,6 +6326,10 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "suggest_docweight": """
+SELECT source AS suggestion, CAST(sum(n_chars) AS BIGINT) AS weight
+FROM documents WHERE source LIKE 'src1%'
+GROUP BY source ORDER BY weight DESC, suggestion ASC LIMIT 8""",
         "diversity": """
 WITH tk AS (
   SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk

@@ -31,7 +31,7 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
            "covering_query", "blended_term_search", "word_break_suggest",
            "diversified_top_k", "phrase_wildcard_tf",
-           "synonym_graph_paths", "synonym_graph_query"]
+           "synonym_graph_paths", "synonym_graph_query", "suggest_documents"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1300,3 +1300,25 @@ def synonym_graph_query(tokens: list[str],
         for p in paths
     ]
     return clauses[0] if len(clauses) == 1 else Or(*clauses)
+
+
+def suggest_documents(df: DataFrame, field: str, weight_col: str,
+                      prefix: str, k: int = 10) -> DataFrame:
+    """DocumentDictionary suggester (``[8x] lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/DocumentDictionary.java`` / Solr's
+    DocumentDictionaryFactory with weightField): suggestions are the
+    FIELD VALUES of the corpus, weighted by summing ``weight_col`` over
+    the docs carrying each value — no index required, the dictionary is
+    the stored-fields table itself.
+
+    Returns [suggestion, weight] in (weight desc, suggestion asc) order.
+    Scale shape: the prefix filter prunes the scan (startswith reaches
+    parquet stats on a sorted layout), one partial-agg shuffle over the
+    distinct-value keys, small-k TakeOrdered."""
+    return (
+        df.filter(F.col(field).startswith(prefix))
+        .groupBy(F.col(field).alias("suggestion"))
+        .agg(F.sum(F.col(weight_col)).cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )
