@@ -3500,6 +3500,29 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldMaskingSpanQuery: 'echo' indexes the SAME column as the
+    default field (parallel positions); a cross-field SpanNear with the
+    echo side masked as 'text' must reproduce the plain single-field
+    adjacency counts the oracle derives from documents."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search.spans import (SpanFieldMask, SpanNear,
+                                                SpanTerm, spans_frame)
+
+    d = _docs(spark, sf_dir)
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "echo": "text"}, default_field="text")
+    q = SpanNear(SpanTerm("text:data"),
+                 SpanFieldMask(SpanTerm("echo:table"), "text"),
+                 slop=0, in_order=True)
+    out = (
+        spans_frame(idx, q).groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_spans"))
+        .orderBy("doc_id")
+    )
+    return out
+
+
 def q_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocumentDictionary suggester: source values with prefix 'src1',
     weighted by summed n_chars over their docs."""
@@ -4035,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
         "suggest_docweight": q_suggest_docs,
+        "span_mask": q_span_mask,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6326,6 +6350,16 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "span_mask": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.term = 'data' AND b.term = 'table'
+GROUP BY a.doc_id ORDER BY a.doc_id""",
         "suggest_docweight": """
 SELECT source AS suggestion, CAST(sum(n_chars) AS BIGINT) AS weight
 FROM documents WHERE source LIKE 'src1%'
