@@ -3500,6 +3500,20 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQueryParser: '"data s*"' — the prefix slot expands
+    against the dictionary, the slots chain in an ordered adjacent
+    SpanNear; per-doc span counts."""
+    from lucene_solr_spark.search.extras import complex_phrase_query
+    from lucene_solr_spark.search.spans import spans_frame
+
+    index = _index_for(spark, sf_dir)
+    q = complex_phrase_query(index, '"data s*"', max_expansions=4096)
+    return (spans_frame(index, q).groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"))
+            .orderBy("doc_id"))
+
+
 def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldMaskingSpanQuery: 'echo' indexes the SAME column as the
     default field (parallel positions); a cross-field SpanNear with the
@@ -4059,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity": q_diversity,
         "suggest_docweight": q_suggest_docs,
         "span_mask": q_span_mask,
+        "complex_phrase": q_complex_phrase,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6350,6 +6365,16 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "complex_phrase": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.term = 'data' AND b.term LIKE 's%'
+GROUP BY a.doc_id ORDER BY a.doc_id""",
         "span_mask": f"""
 WITH tokp AS (
   SELECT doc_id,

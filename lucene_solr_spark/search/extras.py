@@ -31,7 +31,8 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "suggest_infix_blended", "luke_top_terms", "synonym_search",
            "covering_query", "blended_term_search", "word_break_suggest",
            "diversified_top_k", "phrase_wildcard_tf",
-           "synonym_graph_paths", "synonym_graph_query", "suggest_documents"]
+           "synonym_graph_paths", "synonym_graph_query", "suggest_documents",
+           "parse_complex_phrase", "complex_phrase_query", "complex_phrase_search"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1322,3 +1323,75 @@ def suggest_documents(df: DataFrame, field: str, weight_col: str,
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+def parse_complex_phrase(s: str):
+    """ComplexPhraseQueryParser syntax (``[8x] lucene/queryparser/src/
+    java/org/apache/lucene/queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java`` / Solr ``{!complexphrase}``): a
+    quoted phrase whose slots may be wildcard / prefix / fuzzy patterns,
+    with optional slop — ``"data t* qu?ry fix~1"~2``.
+
+    Returns ``(slots, slop)`` where each slot is a str (exact term),
+    Prefix, Wildcard, or Fuzzy node."""
+    import re as _re
+
+    from .query import Fuzzy, Prefix, Wildcard
+
+    m = _re.fullmatch(r'\s*"([^"]*)"(?:~(\d+))?\s*', s)
+    if not m:
+        raise ValueError(f'complexphrase: expected "..."[~slop], got {s!r}')
+    slop = int(m.group(2)) if m.group(2) else 0
+    slots: list = []
+    for tok in m.group(1).split():
+        tok = tok.lower()
+        fz = _re.fullmatch(r"([^~*?]+)~(\d*)", tok)
+        if fz:
+            slots.append(Fuzzy(fz.group(1),
+                               max_edits=int(fz.group(2)) if fz.group(2) else 2))
+        elif "*" in tok or "?" in tok:
+            if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+                slots.append(Prefix(tok[:-1]))
+            else:
+                slots.append(Wildcard(tok))
+        else:
+            slots.append(tok)
+    if not slots:
+        raise ValueError("complexphrase: empty phrase")
+    return slots, slop
+
+
+def complex_phrase_query(index: IndexView, s: str,
+                         max_expansions: int = 128):
+    """Compile a complex phrase to the span tree Lucene builds: each
+    pattern slot dictionary-expands through SpanMultiTermQueryWrapper,
+    the slots chain in an ordered SpanNear with the phrase's slop."""
+    from .query import qualify_query
+    from .spans import SpanNear, SpanTerm, span_wrap_multiterm
+
+    slots, slop = parse_complex_phrase(s)
+    clauses = []
+    for slot in slots:
+        if isinstance(slot, str):
+            t = slot
+            if index.field_stats is not None and ":" not in t:
+                t = f"{index.default_field}:{t}"
+            clauses.append(SpanTerm(t))
+        else:
+            q = slot
+            if index.field_stats is not None:
+                q = qualify_query(q, index.default_field)
+            clauses.append(span_wrap_multiterm(index, q,
+                                               max_expansions=max_expansions))
+    if len(clauses) == 1:
+        return clauses[0]
+    return SpanNear(*clauses, slop=slop, in_order=True)
+
+
+def complex_phrase_search(index: IndexView, s: str, k: int = 10,
+                          max_expansions: int = 128) -> DataFrame:
+    """Top-k for a complex phrase — the span machinery end to end."""
+    from .spans import span_search
+
+    return span_search(index, complex_phrase_query(index, s, max_expansions),
+                       k=k)

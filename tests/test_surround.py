@@ -130,3 +130,36 @@ def test_surround_on_multifield_index(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+# --------------------------------------------------------- complex phrase
+
+def test_complex_phrase_parse_and_search(spark, engine):
+    from lucene_solr_spark.search import SpanNear, SpanOr, SpanTerm, spans_frame
+    from lucene_solr_spark.search.extras import (complex_phrase_query,
+                                                 complex_phrase_search,
+                                                 parse_complex_phrase)
+    from lucene_solr_spark.search.query import Fuzzy, Prefix, Wildcard
+
+    slots, slop = parse_complex_phrase('"data t* qu?ry fix~1"~2')
+    assert slots[0] == "data" and slots[1] == Prefix("t")
+    assert slots[2] == Wildcard("qu?ry")
+    assert slots[3] == Fuzzy("fix", max_edits=1)
+    assert slop == 2
+    with pytest.raises(ValueError, match="expected"):
+        parse_complex_phrase("no quotes")
+    with pytest.raises(ValueError, match="empty"):
+        parse_complex_phrase('""')
+
+    # compiled shape: ordered SpanNear; the prefix slot expanded via
+    # the dictionary (SpanOr/SpanTerm)
+    q = complex_phrase_query(engine, '"return cl*"~1')
+    assert isinstance(q, SpanNear) and q.slop == 1 and q.in_order
+    assert isinstance(q.clauses[1], (SpanOr, SpanTerm))
+    # identity with the hand-built equivalent on match sets
+    hand = SpanNear(SpanTerm("return"), q.clauses[1], slop=1, in_order=True)
+    got = {r["doc_id"] for r in spans_frame(engine, q).collect()}
+    want = {r["doc_id"] for r in spans_frame(engine, hand).collect()}
+    assert got == want and len(got) > 0
+    rows = complex_phrase_search(engine, '"return cl*"~1', k=5).collect()
+    assert len(rows) > 0
