@@ -3500,6 +3500,26 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery: the adjacent phrase [data table] matches
+    only where 'data' carries payload 5 (payload = (len+pos+1)%10 from
+    the same annotated corpus as payload_score)."""
+    from lucene_solr_spark.pipeline.hashing import TOKENS_SQL
+    from lucene_solr_spark.search import payload_token_stream
+    from lucene_solr_spark.search.payloads import payload_check
+
+    toks = TOKENS_SQL.format(col="text")
+    ann = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            f"concat_ws(' ', transform({toks}, (t, i) -> "
+            "concat(t, '|', CAST((length(t) + i + 1) % 10 AS STRING))))"
+        ).alias("content"),
+    )
+    pl = payload_token_stream(ann)
+    return payload_check(pl, ["data", "table"], [5.0, None])
+
+
 def q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ComplexPhraseQueryParser: '"data s*"' — the prefix slot expands
     against the dictionary, the slots chain in an ordered adjacent
@@ -4074,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_docweight": q_suggest_docs,
         "span_mask": q_span_mask,
         "complex_phrase": q_complex_phrase,
+        "payload_check": q_payload_check,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6365,6 +6386,17 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "payload_check": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents)
+SELECT a.doc_id, CAST(a.ord - 1 AS BIGINT) AS start
+FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+WHERE a.term = 'data' AND b.term = 'table'
+  AND (length(a.term) + a.ord) % 10 = 5
+ORDER BY a.doc_id, start""",
         "complex_phrase": f"""
 WITH tokp AS (
   SELECT doc_id,

@@ -41,6 +41,7 @@ __all__ = [
     "strip_payloads",
     "payload_scores",
     "payload_span_scores",
+    "payload_check",
 ]
 
 #: payload aggregate → (Spark agg over non-null f64 payloads, empty-doc default)
@@ -191,3 +192,35 @@ def payload_span_scores(
         F.expr("CAST(CAST(payload_score AS DOUBLE) * CAST(_span_score AS DOUBLE) "
                "AS FLOAT)").alias("payload_score"),
     )
+
+
+def payload_check(
+    payloads: DataFrame,
+    terms: list[str],
+    expected: list[float | None],
+) -> DataFrame:
+    """SpanPayloadCheckQuery (``[8x] lucene/queries/src/java/org/apache/
+    lucene/queries/payloads/SpanPayloadCheckQuery.java`` / Solr
+    ``{!payload_check f=.. payloads='..'}``): an adjacent phrase of
+    ``terms`` matches only where the payload AT EACH POSITION equals the
+    corresponding ``expected`` value (None = any payload at that slot).
+
+    Returns ``[doc_id, start]`` — one row per verified phrase start.
+    Scale shape: each slot is a term-pruned sidecar filter re-anchored
+    to ``pos - i``, the slots intersect on (doc, anchor) equi-joins —
+    the standard n-way position intersection, no explode."""
+    if len(terms) != len(expected) or not terms:
+        raise ValueError("terms and expected must align and be non-empty")
+    from functools import reduce as _reduce
+
+    frames = []
+    for i, (t, e) in enumerate(zip(terms, expected)):
+        f = payloads.filter(F.col("term") == t)
+        if e is not None:
+            f = f.filter(F.col("payload") == float(e))
+        frames.append(
+            f.select("doc_id", (F.col("pos") - F.lit(i)).alias("start"))
+            .distinct()
+        )
+    out = _reduce(lambda a, b: a.join(b, ["doc_id", "start"]), frames)
+    return out.orderBy("doc_id", "start")

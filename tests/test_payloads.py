@@ -90,3 +90,27 @@ def test_payload_span_scores(spark, corpus):
                                          include_span_score=True).collect()}
     assert set(comb) == {0, 1}
     assert comb[0] > 0 and comb[1] > 0 and comb[0] != got[0][1]
+
+
+def test_payload_check_phrase_positions(spark):
+    from lucene_solr_spark.search.payloads import (payload_check,
+                                                   payload_token_stream)
+
+    docs = spark.createDataFrame(
+        [(0, "the|1 quick|2 fox|3 quick|9 fox|3"),
+         (1, "quick|2 fox|4"),
+         (2, "quick|2 fox|3 quick|2 fox|3")],
+        "doc_id long, content string")
+    pl = payload_token_stream(docs)
+    # phrase [quick fox] with payloads [2, 3]
+    got = [(r["doc_id"], r["start"])
+           for r in payload_check(pl, ["quick", "fox"], [2.0, 3.0]).collect()]
+    # doc0: only the FIRST pair qualifies (second has quick|9);
+    # doc1: payload mismatch on fox; doc2: both occurrences qualify
+    assert got == [(0, 1), (2, 0), (2, 2)]
+    # None = any payload at that slot
+    got2 = [(r["doc_id"], r["start"])
+            for r in payload_check(pl, ["quick", "fox"], [None, 3.0]).collect()]
+    assert got2 == [(0, 1), (0, 3), (2, 0), (2, 2)]
+    with pytest.raises(ValueError, match="align"):
+        payload_check(pl, ["quick"], [1.0, 2.0])
