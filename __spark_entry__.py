@@ -3500,6 +3500,17 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesClassifier: multinomial NB trained on lang
+    labels, self-classified; quantized-ln BIGINT scores make the argmax
+    engine-exact."""
+    from lucene_solr_spark.pipeline import (naive_bayes_classify,
+                                            naive_bayes_train)
+
+    d = _docs(spark, sf_dir)
+    return naive_bayes_classify(naive_bayes_train(d), d).orderBy("doc_id")
+
+
 def q_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanPayloadCheckQuery: the adjacent phrase [data table] matches
     only where 'data' carries payload 5 (payload = (len+pos+1)%10 from
@@ -4095,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_mask": q_span_mask,
         "complex_phrase": q_complex_phrase,
         "payload_check": q_payload_check,
+        "naive_bayes": q_naive_bayes,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6386,6 +6398,41 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "naive_bayes": """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+cnt AS (SELECT lang AS label, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, term),
+tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot_tokens
+        FROM cnt GROUP BY label),
+pri AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+vv AS (SELECT count(DISTINCT term) AS v FROM cnt),
+nn AS (SELECT count(*) AS n FROM documents),
+dtok AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS k
+         FROM tok GROUP BY doc_id, term),
+pairs AS (SELECT d.doc_id, d.term, d.k, p.label FROM dtok d CROSS JOIN pri p),
+lik AS (
+  SELECT pairs.doc_id, pairs.label,
+         pairs.k * CAST(round(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+            / CAST(t.tot_tokens + (SELECT v FROM vv) AS DOUBLE)) * 1e6)
+            AS BIGINT) AS q
+  FROM pairs
+  LEFT JOIN cnt c ON c.label = pairs.label AND c.term = pairs.term
+  JOIN tot t ON t.label = pairs.label),
+pq AS (SELECT label,
+              CAST(round(ln(CAST(n_docs AS DOUBLE)
+                 / CAST((SELECT n FROM nn) AS DOUBLE)) * 1e6) AS BIGINT) AS pq
+       FROM pri),
+sc AS (SELECT doc_id, label, CAST(sum(q) AS BIGINT) AS sq
+       FROM lik GROUP BY doc_id, label),
+sc2 AS (SELECT sc.doc_id, sc.label, CAST(sc.sq + pq.pq AS BIGINT) AS score_q
+        FROM sc JOIN pq ON pq.label = sc.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_q DESC, label ASC) AS rn FROM sc2)
+SELECT doc_id, label AS pred, score_q FROM r WHERE rn = 1 ORDER BY doc_id""",
         "payload_check": f"""
 WITH tokp AS (
   SELECT doc_id,

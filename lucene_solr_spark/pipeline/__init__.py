@@ -27,7 +27,8 @@ from .dedup import (
     simhash,
     with_shingle_hashes,
 )
-from .classify import TextLogit, train_text_logit
+from .classify import (TextLogit, naive_bayes_classify, naive_bayes_train,
+                       train_text_logit)
 from .similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -94,6 +95,8 @@ __all__ = [
     "quantized_cosine_topk",
     "knn_join",
     "train_text_logit",
+    "naive_bayes_train",
+    "naive_bayes_classify",
     "doc_fingerprint",
     "tfidf_vectors",
     "cluster_documents",

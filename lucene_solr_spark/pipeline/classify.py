@@ -254,3 +254,101 @@ def train_text_logit(
             w = _quant_np(w, 1e12)
     feats.unpersist()
     return TextLogit(vocab, w, text_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes (Lucene classification module)
+# ---------------------------------------------------------------------------
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> dict:
+    """Multinomial Naive Bayes training — Lucene's
+    SimpleNaiveBayesClassifier (``[8x] lucene/classification/src/java/
+    org/apache/lucene/classification/SimpleNaiveBayesClassifier.java``
+    reads the same statistics straight off the index: per-class doc
+    counts for priors, per-(class, term) frequencies with Laplace(+1)
+    smoothing for likelihoods).
+
+    Returns a model dict: ``cnt`` [label, term, cnt], ``tot`` [label,
+    tot_tokens], ``priors`` [label, n_docs], plus scalars ``vocab``
+    (|V|) and ``n_docs`` — two partial-agg passes over the corpus, the
+    per-class frames are label-cardinality-sized (broadcastable)."""
+    tok = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"),
+    )
+    cnt = tok.groupBy("label", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cnt.groupBy("label").agg(
+        F.sum("cnt").cast("long").alias("tot_tokens"))
+    priors = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    vocab = cnt.select("term").distinct().count()
+    n_docs = df.count()
+    return {"cnt": cnt, "tot": tot, "priors": priors,
+            "vocab": int(vocab), "n_docs": int(n_docs)}
+
+
+def naive_bayes_classify(
+    model: dict,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify documents with a ``naive_bayes_train`` model: per class,
+    score = Σ_tokens k·ln((cnt+1)/(tot+|V|)) + ln(n_docs_c/n_docs);
+    every ln is quantized to BIGINT at 1e-6 (the repo's cross-engine
+    discipline), so the per-class sums are exact integers and the
+    argmax (ties by label asc) is deterministic on any engine.
+
+    Returns ``[id_col, pred, score_q]``.  Scale shape: doc tokens reduce
+    to (doc, term, k) map-side; the (term × class) likelihood table and
+    the priors broadcast; one (doc, class) partial agg then a per-doc
+    argmax window over |classes| rows."""
+    V, N = model["vocab"], model["n_docs"]
+    dtok = (
+        docs.select(F.col(id_col).alias("_id"),
+                    F.explode(F.expr(TOKENS_SQL.format(col=text_col)))
+                    .alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    classes = model["priors"].join(model["tot"], "label")
+    pairs = dtok.crossJoin(F.broadcast(classes.select("label")))
+    lik = (
+        pairs.join(F.broadcast(model["cnt"]), ["label", "term"], "left")
+        .join(F.broadcast(classes), "label")
+        .select(
+            "_id", "label",
+            (F.col("k") * F.expr(
+                f"CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)"
+                f" / CAST(tot_tokens + {V} AS DOUBLE)) * 1e6) AS BIGINT)"
+            )).alias("q"),
+        )
+    )
+    prior_q = classes.select(
+        "label",
+        F.expr(
+            f"CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST({N} AS DOUBLE))"
+            " * 1e6) AS BIGINT)"
+        ).alias("pq"),
+    )
+    scored = (
+        lik.groupBy("_id", "label")
+        .agg(F.sum("q").cast("long").alias("sq"))
+        .join(F.broadcast(prior_q), "label")
+        .select("_id", "label", (F.col("sq") + F.col("pq")).alias("score_q"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(F.desc("score_q"), F.asc("label"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_id").alias(id_col), F.col("label").alias("pred"),
+                F.col("score_q").cast("long").alias("score_q"))
+    )

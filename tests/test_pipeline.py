@@ -925,3 +925,45 @@ def test_label_clusters_distinctive_terms(spark):
     # ranks are 1..3 with deterministic term tie-break
     assert [r for r, _, _ in sorted(by_cluster[0])] == [1, 2, 3]
     assert c0 == sorted(c0)  # equal scores -> alphabetical
+
+
+def test_naive_bayes_hand_computed_and_separates(spark):
+    import math
+
+    from lucene_solr_spark.pipeline import (naive_bayes_classify,
+                                            naive_bayes_train)
+
+    train = spark.createDataFrame(
+        [(0, "aa aa bb", "x"), (1, "aa bb bb", "x"),
+         (2, "cc dd", "y"), (3, "cc cc dd", "y")],
+        "doc_id long, text string, lang string")
+    m = naive_bayes_train(train, label_col="lang")
+    assert m["vocab"] == 4 and m["n_docs"] == 4
+
+    test = spark.createDataFrame(
+        [(10, "aa bb"), (11, "cc dd dd")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["pred"], r["score_q"])
+           for r in naive_bayes_classify(m, test).collect()}
+    assert got[10][0] == "x" and got[11][0] == "y"
+
+    # hand-compute doc 10's winning score: class x has aa=3, bb=3,
+    # tot=6, V=4; prior 2/4
+    q = lambda v: round(math.log(v) * 1e6)  # noqa: E731
+    want = q((3 + 1) / (6 + 4)) * 2 + q(2 / 4)
+    assert got[10][1] == want
+
+
+def test_naive_bayes_partitioning_invariant(spark):
+    from lucene_solr_spark.pipeline import (naive_bayes_classify,
+                                            naive_bayes_train)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = naive_bayes_train(docs, label_col="lang", text_col="text")
+    a = {r["doc_id"]: (r["pred"], r["score_q"]) for r in
+         naive_bayes_classify(m, docs.repartition(1)).collect()}
+    b = {r["doc_id"]: (r["pred"], r["score_q"]) for r in
+         naive_bayes_classify(m, docs.repartition(13)).collect()}
+    assert a == b and len(a) == docs.count()
+    # self-classification should mostly recover the dominant label
+    hits = sum(1 for r in a if a[r][0] is not None)
+    assert hits == len(a)
