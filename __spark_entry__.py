@@ -3500,6 +3500,15 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborClassifier over embeddings: majority label of
+    the exact top-5 cosine neighbors for the first 50 vectors."""
+    from lucene_solr_spark.pipeline import knn_classify
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return knn_classify(emb, k=5, query_filter="id < 50")
+
+
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleNaiveBayesClassifier: multinomial NB trained on lang
     labels, self-classified; quantized-ln BIGINT scores make the argmax
@@ -4107,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase": q_complex_phrase,
         "payload_check": q_payload_check,
         "naive_bayes": q_naive_bayes,
+        "knn_classify": q_knn_classify,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -5151,6 +5161,23 @@ r AS (SELECT id, neighbor, cosine,
       FROM pairs)
 SELECT id, neighbor, CAST(rank AS INTEGER) AS rank, cosine
 FROM r WHERE rank <= 3 ORDER BY id, rank""",
+        "knn_classify": f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor, b.label AS nlabel,
+    CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
+      (sqrt({dot.format(a="a.embedding", b="a.embedding")})
+       * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 50),
+r AS (SELECT id, neighbor, nlabel, cosine,
+             row_number() OVER (PARTITION BY id
+               ORDER BY cosine DESC, neighbor ASC) AS rank
+      FROM pairs),
+v AS (SELECT id, nlabel, CAST(count(*) AS BIGINT) AS votes
+      FROM r WHERE rank <= 5 GROUP BY id, nlabel),
+t AS (SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY votes DESC, nlabel ASC) AS rn FROM v)
+SELECT id, nlabel AS pred, votes FROM t WHERE rn = 1 ORDER BY id""",
         "knn_filtered": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine

@@ -42,6 +42,7 @@ from .similarity import (
     quantize_embeddings,
     quantized_cosine_topk,
     knn_join,
+    knn_classify,
 )
 from .text import (corpus_diversity, doc_fingerprint, label_clusters, lang_id, text_quality,
                    token_stats, tfidf_vectors, cluster_documents)
@@ -94,6 +95,7 @@ __all__ = [
     "quantize_embeddings",
     "quantized_cosine_topk",
     "knn_join",
+    "knn_classify",
     "train_text_logit",
     "naive_bayes_train",
     "naive_bayes_classify",

@@ -619,3 +619,41 @@ def mmr_rerank(
     return df.sparkSession.createDataFrame(
         out_rows, "rank long, id long, rel double, mmr_score double"
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 0,
+    query_filter: str | None = None,
+) -> DataFrame:
+    """K-nearest-neighbor classification — Lucene's
+    KNearestNeighborClassifier (``[8x] lucene/classification/src/java/
+    org/apache/lucene/classification/KNearestNeighborClassifier.java``:
+    retrieve the top-k neighbors, majority-vote their class) over the
+    embedding column instead of MLT term queries.
+
+    Returns ``[id, pred, votes]`` — majority label of the k neighbors,
+    ties by (votes desc, label asc).  Rides :func:`knn_join` (exact or
+    sign-LSH-bucketed), so the scale path is bucket-mates-only."""
+    nb = knn_join(df, k=k, id_col=id_col, vec_col=vec_col,
+                  n_planes=n_planes, query_filter=query_filter)
+    lbl = df.select(F.col(id_col).alias("neighbor"),
+                    F.col(label_col).alias("nlabel"))
+    votes = (
+        nb.join(lbl, "neighbor")
+        .groupBy("id", "nlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("nlabel").alias("pred"), "votes")
+        .orderBy("id")
+    )
