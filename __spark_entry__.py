@@ -3500,6 +3500,26 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
+
+
+def q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinedFieldQuery (BM25F): 'en' scored against text+lang as one
+    combined field (weighted tf, weighted re-quantized length, union
+    df); f64-parity scores."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search.extras import combined_field_scores
+
+    d = _docs(spark, sf_dir)
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "lang": "lang"}, default_field="text")
+    sc = combined_field_scores(idx, CFQ_TOKEN, CFQ_WEIGHTS)
+    return sc.select(
+        "doc_id", "tf_c", "qdl_c",
+        F.col("score64").cast("float").alias("score"),
+    ).orderBy("doc_id")
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNearestNeighborClassifier over embeddings: majority label of
     the exact top-5 cosine neighbors for the first 50 vectors."""
@@ -4117,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_check": q_payload_check,
         "naive_bayes": q_naive_bayes,
         "knn_classify": q_knn_classify,
+        "combined_field": q_combined_field,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6425,6 +6446,39 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "combined_field": f"""
+WITH {_TOK_CTE},
+tft AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf_t FROM tok
+        WHERE term = '{CFQ_TOKEN}' GROUP BY doc_id),
+tfl AS (SELECT doc_id, 2e0 AS tf_l FROM documents WHERE lang = '{CFQ_TOKEN}'),
+nn AS (SELECT count(*) AS n FROM documents),
+ts AS (SELECT count(*) AS c FROM tok),
+dlt AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl FROM documents d
+        LEFT JOIN (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id) t
+        USING (doc_id)),
+qt AS (SELECT doc_id, {_QDL_SQL} AS q_t FROM dlt),
+lc AS (SELECT doc_id,
+              CAST(round(CAST(q_t AS DOUBLE) * 1e0 + 1e0 * 2e0) AS BIGINT)
+                AS dl
+       FROM qt),
+qc AS (SELECT doc_id, CAST({_QDL_SQL} AS BIGINT) AS qdl FROM lc),
+tfc AS (SELECT coalesce(t.doc_id, l.doc_id) AS doc_id,
+               CAST(coalesce(t.tf_t, 0e0) * 1e0 + coalesce(l.tf_l, 0e0)
+                    AS DOUBLE) AS tf
+        FROM tft t FULL JOIN tfl l ON t.doc_id = l.doc_id),
+dfq AS (SELECT count(*) AS df FROM tfc)
+SELECT tfc.doc_id, tf AS tf_c, qdl AS qdl_c,
+  CAST(
+    ln(1e0 + (((SELECT n FROM nn) - (SELECT df FROM dfq)) + 5e-1)
+       / ((SELECT df FROM dfq) + 5e-1))
+    - ln(1e0 + (((SELECT n FROM nn) - (SELECT df FROM dfq)) + 5e-1)
+       / ((SELECT df FROM dfq) + 5e-1))
+    / (1e0 + tf * (1e0 / (12e-1 * (25e-2 + (75e-2 * qdl)
+       / (CAST((SELECT c FROM ts) + 2 * (SELECT n FROM nn) AS DOUBLE)
+          / (SELECT n FROM nn))))))
+  AS FLOAT) AS score
+FROM tfc JOIN qc ON qc.doc_id = tfc.doc_id
+ORDER BY tfc.doc_id""",
         "naive_bayes": """
 WITH tok AS (
   SELECT doc_id, lang,

@@ -32,7 +32,8 @@ __all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
            "covering_query", "blended_term_search", "word_break_suggest",
            "diversified_top_k", "phrase_wildcard_tf",
            "synonym_graph_paths", "synonym_graph_query", "suggest_documents",
-           "parse_complex_phrase", "complex_phrase_query", "complex_phrase_search"]
+           "parse_complex_phrase", "complex_phrase_query", "complex_phrase_search",
+           "combined_field_scores", "combined_field_search", "BM25_PARITY_EXPR"]
 
 #: Lucene BM25 idf as f64 SQL text — shared verbatim with DuckDB oracles
 #: so the float arithmetic is bit-identical cross-engine.
@@ -1395,3 +1396,81 @@ def complex_phrase_search(index: IndexView, s: str, k: int = 10,
 
     return span_search(index, complex_phrase_query(index, s, max_expansions),
                        k=k)
+
+
+#: BM25 f64-parity formula text (identical to the entry-harness/oracle
+#: discipline): plugged with integer/driver literals, evaluated by BOTH
+#: engines verbatim.  Scientific-notation constants keep DuckDB in
+#: DOUBLE (plain decimals would parse as DECIMAL).
+BM25_PARITY_EXPR = (
+    "ln(1e0 + (({N} - df) + 5e-1) / (df + 5e-1))"
+    " - ln(1e0 + (({N} - df) + 5e-1) / (df + 5e-1))"
+    " / (1e0 + tf * (1e0 / (12e-1 * (25e-2 + (75e-2 * qdl) / {avgdl}))))"
+)
+
+
+def combined_field_scores(index: IndexView, token: str,
+                          weights: dict[str, float]) -> DataFrame:
+    """CombinedFieldQuery / BM25F (``[8x] lucene/sandbox/src/java/org/
+    apache/lucene/search/CombinedFieldQuery.java``): score ``token``
+    against several fields AS IF they were one combined field — per doc,
+    tf = Σ_f w_f·tf_f and length = round(Σ_f w_f·len_f) (each field's
+    length decoded from its own norm, re-quantized through SmallFloat
+    exactly like Lucene's MultiNormsLeafSimScorer), with pseudo-stats
+    df = |docs matching in ANY field| and sumTotalTermFreq = Σ w_f·ttf_f.
+
+    Returns ``[doc_id, tf_c, qdl_c, score64]`` — score64 is the shared
+    f64-parity BM25 text (BM25_PARITY_EXPR), integer-exact inputs, so a
+    SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: one term-pruned decode per field, a doc-keyed union/agg
+    for tf, a norms-frame agg for lengths (both partial-agg shuffles on
+    doc_id), and ONE bounded driver int (the pseudo-df — Lucene's
+    Weight-stats step is driver-side there too)."""
+    if index.field_stats is None:
+        raise ValueError("combined_field_scores needs a multi-field index")
+    from ..smallfloat import LENGTH_TABLE
+
+    lt_arr = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
+    tf_parts = [
+        postings_table(index, [f"{fld}:{token}"]).select(
+            "doc_id", (F.col("tf").cast("double") * float(w)).alias("wtf"))
+        for fld, w in weights.items()
+    ]
+    from functools import reduce as _reduce
+
+    tf_c = (_reduce(DataFrame.unionByName, tf_parts)
+            .groupBy("doc_id").agg(F.sum("wtf").alias("tf")))
+    norms = index.norms.filter(F.col("field").isin(list(weights)))
+    qdl_f = F.element_at(lt_arr, (F.col("norm_byte") + 1).cast("int")).cast("double")
+    wmap = F.create_map(*[F.lit(x) for fw in weights.items() for x in fw])
+    lens = (norms.select("doc_id", (qdl_f * wmap[F.col("field")]).alias("wlen"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("wlen")).cast("long").alias("len_c")))
+    lens = lens.withColumn(
+        "qdl",
+        F.array_max(F.filter(lt_arr, lambda x: x <= F.col("len_c")))
+        .cast("long"))
+    joined = tf_c.join(lens, "doc_id")
+    df_pseudo = joined.count()  # bounded driver int: the Weight-stats step
+    n = index.doc_count
+    wsum = sum(float(w) * index.field_stats[f][1] for f, w in weights.items())
+    expr = BM25_PARITY_EXPR.format(
+        N=n, avgdl=f"(CAST({wsum!r} AS DOUBLE) / {n})")
+    return (joined
+            .withColumn("df", F.lit(int(df_pseudo)).cast("long"))
+            .select("doc_id", F.col("tf").alias("tf_c"),
+                    F.col("qdl").alias("qdl_c"),
+                    F.expr(expr)
+                    .alias("score64")))
+
+
+def combined_field_search(index: IndexView, token: str,
+                          weights: dict[str, float], k: int = 10) -> DataFrame:
+    """Top-k CombinedFieldQuery → [doc_id, score:float], (score desc,
+    doc asc)."""
+    sc = combined_field_scores(index, token, weights)
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return (sc.select("doc_id", F.col("score64").cast("float").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

@@ -396,3 +396,43 @@ def test_synonym_graph_query_shape_and_search(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_combined_field_query_bm25f(spark):
+    """CombinedFieldQuery: hand-computed BM25F score on a tiny
+    two-field corpus (weighted tf, weighted re-quantized length,
+    union df)."""
+    import math
+
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search.extras import (combined_field_scores,
+                                                 combined_field_search)
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE
+
+    rows = [(0, "x y z", "x"), (1, "a b", "x c"), (2, "a a a", "q")]
+    df = spark.createDataFrame(rows, "doc_id long, t1 string, t2 string")
+    idx = build_multifield_index_view(
+        df, fields={"t1": "t1", "t2": "t2"}, default_field="t1")
+    try:
+        w = {"t1": 1.0, "t2": 2.0}
+        got = {r["doc_id"]: (r["tf_c"], r["qdl_c"], r["score64"])
+               for r in combined_field_scores(idx, "x", w).collect()}
+        # doc0: tf = 1*1 + 2*1 = 3; doc1: tf = 0 + 2*1 = 2
+        assert set(got) == {0, 1}
+        assert got[0][0] == 3.0 and got[1][0] == 2.0
+        # lengths: doc0 t1=3 t2=1 -> 1*3+2*1 = 5; requantized via table
+        lt = [int(v) for v in LENGTH_TABLE]
+        q5 = max(v for v in lt if v <= 5)
+        assert got[0][1] == q5
+        # hand BM25: df=2 (union), N=3, avgdl = (1*8 + 2*4)/3
+        n, dfq = 3, 2
+        avgdl = (1.0 * 8 + 2.0 * 4) / 3
+        idf = math.log(1.0 + ((n - dfq) + 0.5) / (dfq + 0.5))
+        tfn = 3.0 * (1.0 / (1.2 * (0.25 + (0.75 * q5) / avgdl)))
+        assert abs(got[0][2] - (idf - idf / (1.0 + tfn))) < 1e-12
+        top = combined_field_search(idx, "x", w, k=2).collect()
+        assert [r["doc_id"] for r in top] == sorted(
+            got, key=lambda d: (-got[d][2], d))[:2]
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
