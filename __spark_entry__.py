@@ -3500,6 +3500,27 @@ def q_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum", F.col("sum").cast("double"))
 
 
+GEO_RING_KM = 2000.0  # ring width for the distance facet
+
+
+def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-ring facet (Solr facet.query over geodist rings): counts
+    of customers per 2000-km haversine ring around GEO_PT — geodist as
+    a value source feeding the fixed-gap range facet."""
+    from lucene_solr_spark.functions import geodist
+    from lucene_solr_spark.relational import facet_range
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    ).withColumn("dist", geodist(F.col("lat"), F.col("lon"),
+                                 F.lit(GEO_PT[0]), F.lit(GEO_PT[1])))
+    out = facet_range(pts, "dist", 0.0, 20000.0, GEO_RING_KM)
+    return out.select("bucket", F.col("count").cast("long").alias("count"))
+
+
 CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
 
 
@@ -4138,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "knn_classify": q_knn_classify,
         "combined_field": q_combined_field,
+        "geo_rings": q_geo_rings,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6446,6 +6468,24 @@ SELECT f.query,
   CASE WHEN coalesce(t.idcg, 0e0) > 0 THEN f.dcg / t.idcg ELSE 0e0 END AS ndcg
 FROM folds f LEFT JOIN tot t USING (query)
 ORDER BY query""",
+        "geo_rings": f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 9973 % 17000) / 100.0 - 85.0 AS lat,
+         (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon
+  FROM customer),
+d AS (
+  SELECT c_custkey,
+         2 * 6371.0087714 * asin(sqrt(
+           sin(radians(lat - {GEO_PT[0]}) / 2) * sin(radians(lat - {GEO_PT[0]}) / 2)
+         + cos(radians({GEO_PT[0]})) * cos(radians(lat))
+           * sin(radians(lon - {GEO_PT[1]}) / 2) * sin(radians(lon - {GEO_PT[1]}) / 2)
+         )) AS dist
+  FROM pts)
+SELECT CAST(floor(dist / {GEO_RING_KM}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS count
+FROM d WHERE dist >= 0 AND dist < 20000
+GROUP BY bucket ORDER BY bucket""",
         "combined_field": f"""
 WITH {_TOK_CTE},
 tft AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf_t FROM tok
