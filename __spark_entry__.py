@@ -2936,9 +2936,8 @@ def q_feature_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FeatureField static signal: BM25 + saturation(n_chars, pivot=1000)
     · 0.5 added as a SHOULD clause (Lucene FeatureQuery's recommended
     shape — pure rational arithmetic, exact cross-engine)."""
-    from lucene_solr_spark.search.extras import feature_score
-
-    # engine kernel validated in tests; the entry follows the f64-parity
+    # engine kernel (extras.feature_score) validated in tests; the
+    # entry follows the f64-parity
     # discipline (the repo-wide rule for score entries): base BM25 from
     # the shared parity stream, saturation contribution in f64, one
     # final f32 cast — textually mirrored by the oracle

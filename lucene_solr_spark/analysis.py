@@ -27,7 +27,7 @@ the source position, shingles take the first constituent's position.
 from __future__ import annotations
 
 import unicodedata
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from collections.abc import Callable, Iterable
 
 import numpy as np

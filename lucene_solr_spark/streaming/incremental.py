@@ -21,11 +21,10 @@ the transaction log (tlog) makes ingest resumable.  Spark-first mapping:
 
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..bm25 import BM25
