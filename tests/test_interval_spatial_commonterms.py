@@ -287,3 +287,33 @@ def test_polygon_small_coordinate_literals(spark):
     got = [r["lat"] for r in df.filter(
         polygon_filter("lat", "lon", verts)).collect()]
     assert got == [0.3]
+
+
+def test_polygon_random_rings_match_numpy(spark):
+    """Property sweep: 6 random simple polygons (star-convex rings, so
+    never self-intersecting) x 800 random points each — SQL even-odd
+    ray cast == the independent numpy reference everywhere."""
+    import duckdb
+
+    from lucene_solr_spark.functions import polygon_contains_sql
+
+    rng = np.random.default_rng(23)
+    con = duckdb.connect()
+    for trial in range(6):
+        n_v = int(rng.integers(3, 9))
+        # star-convex ring around a random center: sorted angles + radii
+        angles = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        radii = rng.uniform(1.0, 6.0, n_v)
+        cy, cx = rng.uniform(-3, 3, 2)
+        verts = [(cy + r * np.sin(a), cx + r * np.cos(a))
+                 for a, r in zip(angles, radii)]
+        pdf = pd.DataFrame({"lat": rng.uniform(-10, 10, 800),
+                            "lon": rng.uniform(-10, 10, 800)})
+        want = _raycast_np(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(),
+                           verts)
+        con.register("pts", pdf)
+        sql = polygon_contains_sql("lat", "lon", verts)
+        got = con.execute(f"SELECT {sql} FROM pts").df().iloc[:, 0] \
+            .to_numpy(dtype=bool)
+        assert np.array_equal(got, want), f"trial {trial}"
+        assert 0 < want.sum() < 800
