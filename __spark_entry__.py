@@ -3523,6 +3523,16 @@ def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
 
 
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch vector search (query frame vs corpus): exact top-4 cosine
+    neighbors in vec_id>=3 for each of the first 3 vectors."""
+    from lucene_solr_spark.pipeline import knn_search_batch
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return knn_search_batch(emb.filter(F.col("vec_id") < 3),
+                            emb.filter(F.col("vec_id") >= 3), k=4)
+
+
 def q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F): 'en' scored against text+lang as one
     combined field (weighted tf, weighted re-quantized length, union
@@ -4159,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "combined_field": q_combined_field,
         "geo_rings": q_geo_rings,
+        "knn_batch": q_knn_batch,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -5203,6 +5214,20 @@ r AS (SELECT id, neighbor, cosine,
       FROM pairs)
 SELECT id, neighbor, CAST(rank AS INTEGER) AS rank, cosine
 FROM r WHERE rank <= 3 ORDER BY id, rank""",
+        "knn_batch": f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS id,
+    CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
+      (sqrt({dot.format(a="a.embedding", b="a.embedding")})
+       * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id >= 3
+  WHERE a.vec_id < 3),
+r AS (SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, id ASC) AS rank
+      FROM pairs)
+SELECT query_id, id, CAST(rank AS INTEGER) AS rank, cosine
+FROM r WHERE rank <= 4 ORDER BY query_id, rank""",
         "knn_classify": f"""
 WITH pairs AS (
   SELECT a.vec_id AS id, b.vec_id AS neighbor, b.label AS nlabel,

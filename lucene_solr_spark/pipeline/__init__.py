@@ -43,6 +43,7 @@ from .similarity import (
     quantized_cosine_topk,
     knn_join,
     knn_classify,
+    knn_search_batch,
 )
 from .text import (corpus_diversity, doc_fingerprint, label_clusters, lang_id, text_quality,
                    token_stats, tfidf_vectors, cluster_documents)
@@ -96,6 +97,7 @@ __all__ = [
     "quantized_cosine_topk",
     "knn_join",
     "knn_classify",
+    "knn_search_batch",
     "train_text_logit",
     "naive_bayes_train",
     "naive_bayes_classify",

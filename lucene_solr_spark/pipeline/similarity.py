@@ -657,3 +657,61 @@ def knn_classify(
         .select("id", F.col("nlabel").alias("pred"), "votes")
         .orderBy("id")
     )
+
+
+def knn_search_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+) -> DataFrame:
+    """Batch vector search: top-``k`` cosine neighbors in ``corpus`` for
+    EVERY query vector in ``queries`` — the serving-batch shape (a frame
+    of query embeddings against the corpus, not a self-join).
+
+    ``n_planes = 0`` is exact (query × corpus — use when one side is
+    small or pre-filtered); ``n_planes > 0`` buckets BOTH frames with
+    the shared sign-LSH hyperplanes so candidates are bucket-mates only
+    (the scale path: the join key is the bucket, never all-pairs).
+    Returns ``[query_id, id, rank, cosine]`` ranked (cosine desc, id
+    asc) per query."""
+    q = queries.select(F.col(query_id).alias("qid"),
+                       F.col(query_vec).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+
+    def with_bucket(df: DataFrame, vcol: str) -> DataFrame:
+        dims = len(df.select(vcol).head()[0])
+        bits = []
+        for p in range(n_planes):
+            arr = "array(" + ", ".join(
+                str(_plane_component(p, d)) for d in range(dims)) + ")"
+            bits.append(
+                f"(CASE WHEN ({_DOT.format(a=vcol, b=arr)}) > 0 "
+                f"THEN {1 << p} ELSE 0 END)")
+        return df.withColumn("bucket", F.expr("(" + " + ".join(bits) + ")"))
+
+    if n_planes > 0:
+        q, c = with_bucket(q, "qv"), with_bucket(c, "cv")
+        pairs = q.join(c, "bucket")
+    else:
+        pairs = q.crossJoin(c)
+    cos = (
+        f"CAST(({_DOT.format(a='qv', b='cv')}) / "
+        f"(sqrt({_DOT.format(a='qv', b='qv')}) "
+        f"* sqrt({_DOT.format(a='cv', b='cv')})) AS FLOAT)"
+    )
+    scored = pairs.select("qid", "cid", F.expr(cos).alias("cosine"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("id"),
+                "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )

