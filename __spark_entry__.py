@@ -3523,6 +3523,44 @@ def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
 
 
+def q_lake_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-index NRT composition end to end: snapshot v1 indexed,
+    snapshot v2 committed, the INCREMENTAL scan (file-set difference)
+    appended via updateDocument — final dictionary probe must equal the
+    whole corpus's (the oracle re-derives it from documents)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import (build_index, open_index,
+                                         update_documents)
+    from lucene_solr_spark.sources import (read_table_increment,
+                                           read_table_snapshot,
+                                           write_table_snapshot)
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lss_nrt_")
+    lake = f"{root}/lake"
+    write_table_snapshot(d.filter("doc_id < 300"), lake, stats_col="doc_id")
+    v1 = read_table_snapshot(spark, lake).withColumn(
+        "idx_id",
+        # entry-harness ids only; library path = assign_doc_ids
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).cast("long"))
+    build_index(spark, v1, f"{root}/idx", text_col="text", id_col="idx_id",
+                segment_docs=2000)
+    write_table_snapshot(d.filter("doc_id >= 300"), lake, stats_col="doc_id")
+    inc = read_table_increment(spark, lake, from_snapshot=1)
+    update_documents(spark, f"{root}/idx", inc, key_cols=["doc_id"],
+                     text_col="text", id_col="idx_id")
+    idx = open_index(spark, f"{root}/idx")
+    return (
+        idx.term_dict.filter(F.col("term").isin(PROBE_TERMS))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch vector search (query frame vs corpus): exact top-4 cosine
     neighbors in vec_id>=3 for each of the first 3 vectors."""
@@ -4170,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_field": q_combined_field,
         "geo_rings": q_geo_rings,
         "knn_batch": q_knn_batch,
+        "lake_nrt": q_lake_nrt,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6629,6 +6668,12 @@ SELECT source, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
        CAST(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS FLOAT)
          AS distinct_ratio
 FROM per GROUP BY source ORDER BY source""",
+        "lake_nrt": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)})
+GROUP BY term ORDER BY term""",
         "backup_restore": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
