@@ -3550,8 +3550,10 @@ def q_lake_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 segment_docs=2000)
     write_table_snapshot(d.filter("doc_id >= 300"), lake, stats_col="doc_id")
     inc = read_table_increment(spark, lake, from_snapshot=1)
+    # pure append (fresh keys): update_documents assigns its own index
+    # ids via assign_doc_ids — no id kwarg exists on this path
     update_documents(spark, f"{root}/idx", inc, key_cols=["doc_id"],
-                     text_col="text", id_col="idx_id")
+                     text_col="text")
     idx = open_index(spark, f"{root}/idx")
     return (
         idx.term_dict.filter(F.col("term").isin(PROBE_TERMS))
@@ -6612,8 +6614,11 @@ pq AS (SELECT label,
        FROM pri),
 sc AS (SELECT doc_id, label, CAST(sum(q) AS BIGINT) AS sq
        FROM lik GROUP BY doc_id, label),
-sc2 AS (SELECT sc.doc_id, sc.label, CAST(sc.sq + pq.pq AS BIGINT) AS score_q
-        FROM sc JOIN pq ON pq.label = sc.label),
+base AS (SELECT d.doc_id, pq.label, pq.pq FROM documents d CROSS JOIN pq),
+sc2 AS (SELECT base.doc_id, base.label,
+               CAST(coalesce(sc.sq, 0) + base.pq AS BIGINT) AS score_q
+        FROM base LEFT JOIN sc
+          ON sc.doc_id = base.doc_id AND sc.label = base.label),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY score_q DESC, label ASC) AS rn FROM sc2)
 SELECT doc_id, label AS pred, score_q FROM r WHERE rn = 1 ORDER BY doc_id""",

@@ -273,10 +273,11 @@ def naive_bayes_train(
     counts for priors, per-(class, term) frequencies with Laplace(+1)
     smoothing for likelihoods).
 
-    Returns a model dict: ``cnt`` [label, term, cnt], ``tot`` [label,
-    tot_tokens], ``priors`` [label, n_docs], plus scalars ``vocab``
-    (|V|) and ``n_docs`` — two partial-agg passes over the corpus, the
-    per-class frames are label-cardinality-sized (broadcastable)."""
+    Returns a model dict: ``cnt`` [label, term, cnt] (VOCABULARY-sized
+    — joined, not broadcast, at classify time), ``tot`` [label,
+    tot_tokens], ``priors`` [label, n_docs] (label-cardinality-sized),
+    plus scalars ``vocab`` (|V|) and ``n_docs`` — two partial-agg
+    passes over the corpus."""
     tok = df.select(
         F.col(label_col).alias("label"),
         F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"),
@@ -303,12 +304,15 @@ def naive_bayes_classify(
     score = Σ_tokens k·ln((cnt+1)/(tot+|V|)) + ln(n_docs_c/n_docs);
     every ln is quantized to BIGINT at 1e-6 (the repo's cross-engine
     discipline), so the per-class sums are exact integers and the
-    argmax (ties by label asc) is deterministic on any engine.
+    argmax (ties by label asc) is deterministic on any engine.  A
+    token-less document classifies by priors alone (Lucene semantics).
 
     Returns ``[id_col, pred, score_q]``.  Scale shape: doc tokens reduce
-    to (doc, term, k) map-side; the (term × class) likelihood table and
-    the priors broadcast; one (doc, class) partial agg then a per-doc
-    argmax window over |classes| rows."""
+    to (doc, term, k) map-side; the (term × class) likelihood table is
+    vocabulary-sized and joins plainly (AQE picks broadcast vs
+    shuffle-hash); only the label-cardinality frames (priors, totals)
+    ride explicit broadcasts; one (doc, class) partial agg then a
+    per-doc argmax window over |classes| rows."""
     V, N = model["vocab"], model["n_docs"]
     dtok = (
         docs.select(F.col(id_col).alias("_id"),
@@ -319,8 +323,11 @@ def naive_bayes_classify(
     )
     classes = model["priors"].join(model["tot"], "label")
     pairs = dtok.crossJoin(F.broadcast(classes.select("label")))
+    # the (label x term) likelihood table is VOCABULARY-sized — join it
+    # plainly (AQE broadcasts when it fits, shuffle-hash otherwise);
+    # only the label-cardinality frames ride explicit broadcasts
     lik = (
-        pairs.join(F.broadcast(model["cnt"]), ["label", "term"], "left")
+        pairs.join(model["cnt"], ["label", "term"], "left")
         .join(F.broadcast(classes), "label")
         .select(
             "_id", "label",
@@ -337,11 +344,18 @@ def naive_bayes_classify(
             " * 1e6) AS BIGINT)"
         ).alias("pq"),
     )
+    token_scores = lik.groupBy("_id", "label").agg(
+        F.sum("q").cast("long").alias("sq"))
+    # every doc scores against every class — a token-less doc (empty or
+    # all-punctuation text) classifies by PRIORS alone, exactly like
+    # SimpleNaiveBayesClassifier, instead of silently dropping out
+    base = docs.select(F.col(id_col).alias("_id")).crossJoin(
+        F.broadcast(prior_q))
     scored = (
-        lik.groupBy("_id", "label")
-        .agg(F.sum("q").cast("long").alias("sq"))
-        .join(F.broadcast(prior_q), "label")
-        .select("_id", "label", (F.col("sq") + F.col("pq")).alias("score_q"))
+        base.join(token_scores, ["_id", "label"], "left")
+        .select("_id", "label",
+                (F.coalesce(F.col("sq"), F.lit(0)) + F.col("pq"))
+                .alias("score_q"))
     )
     from pyspark.sql.window import Window
 

@@ -493,6 +493,24 @@ def quantized_cosine_topk(
     )
 
 
+def _sign_bucket_col(df: DataFrame, vcol: str, n_planes: int) -> DataFrame:
+    """Attach the shared sign-LSH bucket column (same hyperplanes as
+    hyperplane_lsh_topk).  An empty frame gets bucket 0 — there are no
+    rows to route, and head() on it would otherwise crash."""
+    row = df.select(vcol).head()
+    if row is None:
+        return df.withColumn("bucket", F.lit(0))
+    dims = len(row[0])
+    bits = []
+    for p in range(n_planes):
+        arr = "array(" + ", ".join(
+            str(_plane_component(p, d)) for d in range(dims)) + ")"
+        bits.append(
+            f"(CASE WHEN ({_DOT.format(a=vcol, b=arr)}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    return df.withColumn("bucket", F.expr("(" + " + ".join(bits) + ")"))
+
+
 def knn_join(
     df: DataFrame,
     k: int = 3,
@@ -515,15 +533,7 @@ def knn_join(
     asc) per id."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_planes > 0:
-        dims = len(df.select(vec_col).head()[0])
-        planes = [[_plane_component(p, d) for d in range(dims)] for p in range(n_planes)]
-        bits = []
-        for p, comps in enumerate(planes):
-            arr = "array(" + ", ".join(str(c) for c in comps) + ")"
-            bits.append(
-                f"(CASE WHEN ({_DOT.format(a='v', b=arr)}) > 0 THEN {1 << p} ELSE 0 END)"
-            )
-        base = base.withColumn("bucket", F.expr("(" + " + ".join(bits) + ")"))
+        base = _sign_bucket_col(base, "v", n_planes)
         join_on = ["bucket"]
     else:
         base = base.withColumn("bucket", F.lit(0))
@@ -683,19 +693,9 @@ def knn_search_batch(
                        F.col(query_vec).alias("qv"))
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
 
-    def with_bucket(df: DataFrame, vcol: str) -> DataFrame:
-        dims = len(df.select(vcol).head()[0])
-        bits = []
-        for p in range(n_planes):
-            arr = "array(" + ", ".join(
-                str(_plane_component(p, d)) for d in range(dims)) + ")"
-            bits.append(
-                f"(CASE WHEN ({_DOT.format(a=vcol, b=arr)}) > 0 "
-                f"THEN {1 << p} ELSE 0 END)")
-        return df.withColumn("bucket", F.expr("(" + " + ".join(bits) + ")"))
-
     if n_planes > 0:
-        q, c = with_bucket(q, "qv"), with_bucket(c, "cv")
+        q = _sign_bucket_col(q, "qv", n_planes)
+        c = _sign_bucket_col(c, "cv", n_planes)
         pairs = q.join(c, "bucket")
     else:
         pairs = q.crossJoin(c)

@@ -1350,6 +1350,10 @@ def parse_complex_phrase(s: str):
         if fz:
             slots.append(Fuzzy(fz.group(1),
                                max_edits=int(fz.group(2)) if fz.group(2) else 2))
+        elif "~" in tok:
+            # '~0.8' fractional fuzzy / '~' after a wildcard: unsupported
+            # forms must raise, not fall through to a never-matching term
+            raise ValueError(f"complexphrase: unsupported fuzzy form {tok!r}")
         elif "*" in tok or "?" in tok:
             if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
                 slots.append(Prefix(tok[:-1]))
@@ -1403,8 +1407,7 @@ def complex_phrase_search(index: IndexView, s: str, k: int = 10,
 #: engines verbatim.  Scientific-notation constants keep DuckDB in
 #: DOUBLE (plain decimals would parse as DECIMAL).
 BM25_PARITY_EXPR = (
-    "ln(1e0 + (({N} - df) + 5e-1) / (df + 5e-1))"
-    " - ln(1e0 + (({N} - df) + 5e-1) / (df + 5e-1))"
+    f"{IDF_EXPR} - {IDF_EXPR}"
     " / (1e0 + tf * (1e0 / (12e-1 * (25e-2 + (75e-2 * qdl) / {avgdl}))))"
 )
 
@@ -1451,8 +1454,12 @@ def combined_field_scores(index: IndexView, token: str,
         "qdl",
         F.array_max(F.filter(lt_arr, lambda x: x <= F.col("len_c")))
         .cast("long"))
+    # every tf_c doc has norms rows, so |tf_c| IS the pseudo-df; persist
+    # the (small: matching docs only) frame so the count does not recompute
+    # the per-field decodes a second time when the caller consumes scores
+    tf_c = tf_c.persist()
     joined = tf_c.join(lens, "doc_id")
-    df_pseudo = joined.count()  # bounded driver int: the Weight-stats step
+    df_pseudo = tf_c.count()  # bounded driver int: the Weight-stats step
     n = index.doc_count
     wsum = sum(float(w) * index.field_stats[f][1] for f, w in weights.items())
     expr = BM25_PARITY_EXPR.format(

@@ -946,6 +946,13 @@ def test_naive_bayes_hand_computed_and_separates(spark):
            for r in naive_bayes_classify(m, test).collect()}
     assert got[10][0] == "x" and got[11][0] == "y"
 
+    # a token-less doc classifies by PRIORS alone (equal priors here ->
+    # tie broken by label asc), never silently dropped
+    empty = spark.createDataFrame([(12, "!!!")], "doc_id long, text string")
+    e = naive_bayes_classify(m, empty).collect()
+    assert len(e) == 1 and e[0]["pred"] == "x"
+    assert e[0]["score_q"] == round(math.log(2 / 4) * 1e6)
+
     # hand-compute doc 10's winning score: class x has aa=3, bb=3,
     # tot=6, V=4; prior 2/4
     q = lambda v: round(math.log(v) * 1e6)  # noqa: E731
@@ -964,9 +971,8 @@ def test_naive_bayes_partitioning_invariant(spark):
     b = {r["doc_id"]: (r["pred"], r["score_q"]) for r in
          naive_bayes_classify(m, docs.repartition(13)).collect()}
     assert a == b and len(a) == docs.count()
-    # self-classification should mostly recover the dominant label
-    hits = sum(1 for r in a if a[r][0] is not None)
-    assert hits == len(a)
+    # every score is a sum of log-probabilities: strictly negative
+    assert all(score < 0 for _, score in a.values())
 
 
 def test_knn_search_batch_exact_vs_per_query(spark):
@@ -994,13 +1000,22 @@ def test_knn_search_batch_bucketed_subset(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = {(r["query_id"], r["id"])
-             for r in knn_search_batch(queries, emb, k=50).collect()}
     bucketed = knn_search_batch(queries, emb, k=50, n_planes=4).collect()
-    # bucketed candidates are a subset of the exact candidate space and
-    # every returned pair shares the query's bucket by construction
-    assert {(r["query_id"], r["id"]) for r in bucketed} <= exact or \
-        len(bucketed) > 0  # recall may trim, pairs stay valid
+    assert len(bucketed) > 0
+    # ranks are contiguous 1..n per query (no gaps from bad windowing)
+    by_q = {}
+    for r in bucketed:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    # reported cosines are REAL cosines (numpy cross-check on query 0)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < 200).collect()}
+    for r in bucketed:
+        if r["query_id"] == 0 and r["id"] in vecs:
+            a, b = vecs[0], vecs[r["id"]]
+            want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r["cosine"] - want) < 1e-5, r["id"]
     # self-match ranks first in the bucketed path (same bucket, cos = 1)
     firsts = {r["query_id"]: r["id"] for r in bucketed if r["rank"] == 1}
     assert all(firsts[q] == q for q in firsts)
