@@ -3523,6 +3523,20 @@ def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
 
 
+def q_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr group.func: grouping by a COMPUTED value — floor(n_chars /
+    500) length buckets, top-2 docs per bucket by (n_chars desc,
+    doc_id)."""
+    from lucene_solr_spark.relational import group_top_k
+
+    d = _docs(spark, sf_dir).withColumn(
+        "g", F.floor(F.col("n_chars") / 500).cast("long"))
+    out = group_top_k(d, "g", [F.desc("n_chars"), F.asc("doc_id")], k=2)
+    return (out.select("g", F.col("group_rank").cast("long").alias("rnk"),
+                       "doc_id", "n_chars")
+            .orderBy("g", "rnk"))
+
+
 def q_lake_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-to-index NRT composition end to end: snapshot v1 indexed,
     snapshot v2 committed, the INCREMENTAL scan (file-set difference)
@@ -4211,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rings": q_geo_rings,
         "knn_batch": q_knn_batch,
         "lake_nrt": q_lake_nrt,
+        "group_func": q_group_func,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6673,6 +6688,13 @@ SELECT source, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
        CAST(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS FLOAT)
          AS distinct_ratio
 FROM per GROUP BY source ORDER BY source""",
+        "group_func": """
+WITH g AS (SELECT doc_id, n_chars,
+                  CAST(floor(n_chars / 500) AS BIGINT) AS g
+           FROM documents),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY g
+             ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk FROM g)
+SELECT g, rnk, doc_id, n_chars FROM r WHERE rnk <= 2 ORDER BY g, rnk""",
         "lake_nrt": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
