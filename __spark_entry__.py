@@ -3523,6 +3523,21 @@ def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
 
 
+SORT_EXPR = "sqrt(n_chars) * 3 - n_chars / 16"  # algebraic: exact cross-engine
+
+
+def q_sort_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort-by-function (sort=<func> desc): top-10 docs by a
+    compiled scoring expression, ties by doc_id — the expressions
+    module driving the sort."""
+    from lucene_solr_spark.expressions import compile_expression
+
+    col, _ = compile_expression(SORT_EXPR)
+    return (_docs(spark, sf_dir)
+            .select("doc_id", col.cast("float").alias("val"))
+            .orderBy(F.desc("val"), F.asc("doc_id")).limit(10))
+
+
 def q_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr group.func: grouping by a COMPUTED value — floor(n_chars /
     500) length buckets, top-2 docs per bucket by (n_chars desc,
@@ -3535,6 +3550,13 @@ def q_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("g", F.col("group_rank").cast("long").alias("rnk"),
                        "doc_id", "n_chars")
             .orderBy("g", "rnk"))
+
+
+def _sort_by_expr_oracle() -> str:
+    from lucene_solr_spark.expressions import expression_sql
+
+    return (f"SELECT doc_id, CAST({expression_sql(SORT_EXPR)} AS FLOAT) AS val "
+            f"FROM documents ORDER BY val DESC, doc_id ASC LIMIT 10")
 
 
 def q_lake_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": q_knn_batch,
         "lake_nrt": q_lake_nrt,
         "group_func": q_group_func,
+        "sort_by_expr": q_sort_by_expr,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -6688,6 +6711,7 @@ SELECT source, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
        CAST(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS FLOAT)
          AS distinct_ratio
 FROM per GROUP BY source ORDER BY source""",
+        "sort_by_expr": _sort_by_expr_oracle(),
         "group_func": """
 WITH g AS (SELECT doc_id, n_chars,
                   CAST(floor(n_chars / 500) AS BIGINT) AS g
