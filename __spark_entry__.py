@@ -3523,6 +3523,24 @@ def q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CFQ_TOKEN, CFQ_WEIGHTS = "en", {"text": 1.0, "lang": 2.0}
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ shape): coarse lists restrict the scan
+    (2 probes), PQ ADC ranks within the probed lists, exact cosine
+    reranks — deterministic quantizers (embeddings 1..8), every fold
+    sequential IEEE so DuckDB replays the whole cascade."""
+    from lucene_solr_spark.pipeline import ivfpq_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").between(1, 8)).orderBy("vec_id").collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in rows]
+    books = [
+        [[float(x) for x in r["embedding"][j * 8: (j + 1) * 8]] for r in rows]
+        for j in range(8)
+    ]
+    return ivfpq_topk(emb, _query_vec(spark, sf_dir), centroids, books,
+                      k=10, n_probes=2, rerank=50, exclude_ids=[0])
+
+
 SORT_EXPR = "sqrt(n_chars) * 3 - n_chars / 16"  # algebraic: exact cross-engine
 
 
@@ -4249,6 +4267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_nrt": q_lake_nrt,
         "group_func": q_group_func,
         "sort_by_expr": q_sort_by_expr,
+        "ann_ivfpq": q_ann_ivfpq,
         "suggest_blended": q_suggest_blended,
         "html_strip": q_html_strip,
         "word_delimiter": q_word_delimiter,
@@ -5386,6 +5405,67 @@ assign AS (
         (tb.c2 - 2 * ({dot.format(a="list_slice(e.embedding, tb.j * 8 + 1, tb.j * 8 + 8)", b="tb.cw")})) ASC,
         tb.ci ASC) AS rn
     FROM embeddings e, tbl tb WHERE e.vec_id != 0)
+  WHERE rn = 1
+),
+adc AS (
+  SELECT vec_id, list_reduce(list(t ORDER BY j), (a, b) -> a + b) AS adc
+  FROM assign GROUP BY vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50)
+SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "ann_ivfpq": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id - 1 AS ci, embedding AS ce FROM embeddings
+         WHERE vec_id BETWEEN 1 AND 8),
+probes AS (
+  SELECT ci FROM (
+    SELECT c.ci,
+      list_reduce(list_transform(list_zip(c.ce, q.qe),
+        x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+        (acc, v) -> acc + v) AS d
+    FROM cent c, q)
+  ORDER BY d ASC, ci ASC LIMIT 2
+),
+ivfassigned AS (
+  SELECT vec_id, ci FROM (
+    SELECT e.vec_id, c.ci,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        (list_reduce(list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE),
+           (acc, v) -> acc + v)
+         - 2 * ({dot.format(a="e.embedding", b="c.ce")})) ASC, c.ci ASC) AS rn
+    FROM embeddings e, cent c WHERE e.vec_id != 0)
+  WHERE rn = 1
+),
+dom AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN ivfassigned a ON a.vec_id = e.vec_id
+                    AND a.ci IN (SELECT ci FROM probes)
+),
+codes AS (
+  SELECT j.j, e.vec_id - 1 AS ci,
+         list_slice(e.embedding, j.j * 8 + 1, j.j * 8 + 8) AS cw
+  FROM (SELECT unnest(generate_series(0, 7)) AS j) j,
+       embeddings e WHERE e.vec_id BETWEEN 1 AND 8
+),
+tbl AS (
+  SELECT cd.j, cd.ci, cd.cw,
+    list_reduce(list_transform(
+      list_zip(list_slice(q.qe, cd.j * 8 + 1, cd.j * 8 + 8), cd.cw),
+      x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+      (acc, v) -> acc + v) AS t,
+    list_reduce(list_transform(cd.cw, x -> x::DOUBLE * x::DOUBLE),
+      (acc, v) -> acc + v) AS c2
+  FROM codes cd, q
+),
+assign AS (
+  SELECT vec_id, j, t FROM (
+    SELECT e.vec_id, tb.j, tb.t,
+      row_number() OVER (PARTITION BY e.vec_id, tb.j ORDER BY
+        (tb.c2 - 2 * ({dot.format(a="list_slice(e.embedding, tb.j * 8 + 1, tb.j * 8 + 8)", b="tb.cw")})) ASC,
+        tb.ci ASC) AS rn
+    FROM dom e, tbl tb)
   WHERE rn = 1
 ),
 adc AS (

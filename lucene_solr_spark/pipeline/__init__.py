@@ -36,6 +36,7 @@ from .similarity import (
     hyperplane_lsh_topk,
     ivf_fit_centroids,
     ivf_topk,
+    ivfpq_topk,
     pq_fit_codebooks,
     pq_topk,
     semdedup,
@@ -90,6 +91,7 @@ __all__ = [
     "mmr_rerank",
     "ivf_fit_centroids",
     "ivf_topk",
+    "ivfpq_topk",
     "pq_fit_codebooks",
     "pq_topk",
     "semdedup",

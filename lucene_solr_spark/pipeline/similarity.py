@@ -140,10 +140,17 @@ def ivf_topk(
 
     cent = [[float(v) for v in c] for c in np.asarray(centroids, dtype=np.float64)]
     q = [float(v) for v in query_vec]
+    cand = _ivf_candidates(df, q, cent, n_probes, id_col, vec_col,
+                           exclude_ids, filter_expr)
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
+
+def _ivf_candidates(df, q, cent, n_probes, id_col, vec_col,
+                    exclude_ids, filter_expr):
+    """Corpus restricted to the ``n_probes`` IVF lists nearest the query
+    (shared by ivf_topk and ivfpq_topk) — probe choice by the same
+    left-to-right IEEE fold the SQL oracle replays."""
     def _seq_l2(c: list[float]) -> float:
-        # left-to-right IEEE fold — matches the SQL list_reduce order, so
-        # a cross-engine oracle reproduces probe choice bit-for-bit
         acc = 0.0
         for cv, qv in zip(c, q):
             acc += (cv - qv) * (cv - qv)
@@ -151,16 +158,14 @@ def ivf_topk(
 
     probe = sorted(range(len(cent)), key=lambda i: (_seq_l2(cent[i]), i))[:n_probes]
     assign = _nearest_centroid_expr(cent, vec_col)
-
     d = df
     if filter_expr:
         d = d.filter(F.expr(filter_expr))
     if exclude_ids:
         d = d.filter(~F.col(id_col).isin(exclude_ids))
-    cand = d.withColumn("_cluster", F.expr(assign)).filter(
+    return d.withColumn("_cluster", F.expr(assign)).filter(
         F.col("_cluster").isin(probe)
-    )
-    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    ).drop("_cluster")
 
 
 def _plane_component(plane: int, dim: int) -> int:
@@ -715,3 +720,38 @@ def knn_search_batch(
                 "rank", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probes: int = 3,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IndexIVFPQ shape, Jégou et al. TPAMI'11 §V):
+    the coarse quantizer restricts the scan to the ``n_probes`` nearest
+    inverted lists, PQ ADC ranks WITHIN the probed lists, exact cosine
+    reranks the top-``rerank`` candidates — the composition that makes
+    billion-vector search tractable: the scan touches probed lists
+    only, the ADC pass is map-only, the exact math touches ``rerank``
+    rows.
+
+    Every stage is the same sequential-IEEE arithmetic as its
+    standalone half (ivf_topk / pq_topk), so a SQL oracle reproduces
+    list choice, code assignment, ADC order, and the final ranking
+    bit-for-bit."""
+    import numpy as np
+
+    cent = [[float(v) for v in c] for c in np.asarray(centroids, dtype=np.float64)]
+    q = [float(v) for v in query_vec]
+    cand = _ivf_candidates(df, q, cent, n_probes, id_col, vec_col,
+                           exclude_ids, filter_expr)
+    return pq_topk(cand, query_vec, codebooks, k=k, rerank=rerank,
+                   id_col=id_col, vec_col=vec_col)

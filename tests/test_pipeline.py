@@ -1019,3 +1019,37 @@ def test_knn_search_batch_bucketed_subset(spark):
     # self-match ranks first in the bucketed path (same bucket, cos = 1)
     firsts = {r["query_id"]: r["id"] for r in bucketed if r["rank"] == 1}
     assert all(firsts[q] == q for q in firsts)
+
+
+def test_ivfpq_composition_properties(spark):
+    """IVF-PQ candidates live inside the probed IVF lists, and the
+    final ranking is cosine-correct over whatever survives both cuts."""
+    from lucene_solr_spark.pipeline import (ivf_fit_centroids, ivf_topk,
+                                            ivfpq_topk, pq_fit_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_fit_centroids(emb, n_clusters=8, sample=400, iters=4)
+    books = pq_fit_codebooks(emb, m=8, n_codes=8, sample=400, iters=4)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = ivfpq_topk(emb, q, cents, books, k=10, n_probes=3, rerank=80,
+                     exclude_ids=[0]).collect()
+    assert 0 < len(got) <= 10
+    # candidates are a subset of the pure-IVF probe domain
+    ivf_domain = {r["id"] for r in
+                  ivf_topk(emb, q, cents, k=10_000, n_probes=3,
+                           exclude_ids=[0]).collect()}
+    assert {r["id"] for r in got} <= ivf_domain
+    # scores are real cosines, ranked desc with id tie-break
+    import numpy as np
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    qv = np.asarray(q)
+    prev = None
+    for r in got:
+        want = float(qv @ vecs[r["id"]]
+                     / (np.linalg.norm(qv) * np.linalg.norm(vecs[r["id"]])))
+        assert abs(r["cosine"] - want) < 1e-5
+        cur = (-r["cosine"], r["id"])
+        assert prev is None or prev <= cur
+        prev = cur
