@@ -1935,6 +1935,30 @@ _LM_EXPR = (
     "greatest(0e0, ln(1e0 + tf / (2000e0 * ((cf + 1e0) / ({TTF} + 1e0))))"
     " + ln(2000e0 / (qdl + 2000e0)))"
 )
+#: LMJelinekMercer (lambda = 0.3): ln(1 + ((1-l)*tf/dl) / (l*p))
+_LMJM_EXPR = (
+    "ln(1e0 + ((1e0 - 0.3e0) * CAST(tf AS DOUBLE) / qdl)"
+    " / (0.3e0 * ((cf + 1e0) / ({TTF} + 1e0))))"
+)
+#: DFI chi-squared: expected = (cf+1)*dl/(ttf+1); log2 spelled ln/ln(2)
+#: so both engines take the same ln route (log2 differs libm-vs-JVM)
+_DFI_EXPR = (
+    "CASE WHEN CAST(tf AS DOUBLE)"
+    " <= ((cf + 1e0) * qdl / ({TTF} + 1e0)) THEN 0e0"
+    " ELSE ln((tf - ((cf + 1e0) * qdl / ({TTF} + 1e0)))"
+    " * (tf - ((cf + 1e0) * qdl / ({TTF} + 1e0)))"
+    " / ((cf + 1e0) * qdl / ({TTF} + 1e0)) + 1e0) / ln(2e0) END"
+)
+#: IB LL x LambdaDF x H2: ln((tfn + lam)/lam), tfn = tf*log2(1+avgdl/dl)
+_IB_EXPR = (
+    "ln((CAST(tf AS DOUBLE) * (ln(1e0 + (CAST({TTF} AS DOUBLE) / {N}) / qdl)"
+    " / ln(2e0)) + ((df + 1e0) / ({N} + 1e0))) / ((df + 1e0) / ({N} + 1e0)))"
+)
+#: Axiomatic F2LOG: tf/(tf + s + s*dl/avgdl) * ln((N+1)/df), s = 0.5
+_AXIO_EXPR = (
+    "(CAST(tf AS DOUBLE) / (tf + 0.5e0 + 0.5e0 * qdl"
+    " / (CAST({TTF} AS DOUBLE) / {N}))) * ln(({N} + 1e0) / df)"
+)
 
 
 def _sim_parity_scores(spark: SparkSession, sf_dir: str, term: str, expr: str) -> DataFrame:
@@ -1965,6 +1989,30 @@ def q_fts_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LMDirichlet top-10 (mu=2000) in the f64-parity formulation:
     ln(1 + tf/(mu*p)) + ln(mu/(qdl+mu)) with p=(cf+1)/(sumTtf+1), clip 0."""
     return _sim_parity_scores(spark, sf_dir, BM25_TERM, _LM_EXPR)
+
+
+def q_fts_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LMJelinekMercer top-10 (lambda=0.3) in the f64-parity formulation:
+    ln(1 + ((1-l)*tf/dl)/(l*p)) with p=(cf+1)/(sumTtf+1)."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _LMJM_EXPR)
+
+
+def q_fts_dfi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFI chi-squared top-10 in the f64-parity formulation: expected =
+    (cf+1)*dl/(ttf+1), below-independence rows 0, log2((tf-e)^2/e + 1)."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _DFI_EXPR)
+
+
+def q_fts_ib_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB (LL distribution, LambdaDF, H2 norm) top-10 in the f64-parity
+    formulation: ln((tfn+lam)/lam), tfn = tf*log2(1+avgdl/dl)."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _IB_EXPR)
+
+
+def q_fts_axiomatic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F2LOG top-10 in the f64-parity formulation:
+    tf/(tf + s + s*dl/avgdl) * ln((N+1)/df) with s = 0.5."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _AXIO_EXPR)
 
 
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4202,6 +4250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_shingle_dict": q_shingle_dict,
         "fts_classic_topk": q_fts_classic_topk,
         "fts_lm_topk": q_fts_lm_topk,
+        "fts_lmjm_topk": q_fts_lmjm_topk,
+        "fts_dfi_topk": q_fts_dfi_topk,
+        "fts_ib_topk": q_fts_ib_topk,
+        "fts_axiomatic_topk": q_fts_axiomatic_topk,
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
         "ngram_dict": q_ngram_dict,
@@ -5979,6 +6031,31 @@ SELECT doc_id,
   CAST({_LM_EXPR.format(TTF="sum_ttf")} AS FLOAT) AS score
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    })
+    _SIM_ORACLE_TEMPLATE = """
+WITH {tok},
+{dl},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df, sum(tf) AS cf FROM tfs),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, f.cf, {qdl} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+)
+SELECT doc_id,
+  CAST({expr} AS FLOAT) AS score
+FROM inputs
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    for _k, _e in [("fts_lmjm_topk", _LMJM_EXPR), ("fts_dfi_topk", _DFI_EXPR),
+                   ("fts_ib_topk", _IB_EXPR), ("fts_axiomatic_topk", _AXIO_EXPR)]:
+        out[_k] = _SIM_ORACLE_TEMPLATE.format(
+            tok=_TOK_CTE, dl=_DL_CTE, term=BM25_TERM,
+            qdl=_QDL_SQL.replace("dl", "d.dl"),
+            expr=_e.format(N="n_docs", TTF="sum_ttf"),
+        )
+    out.update({
 
         "mlt_text": f"""
 WITH {_TOK_CTE},

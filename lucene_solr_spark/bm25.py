@@ -32,8 +32,12 @@ __all__ = [
     "BM25",
     "ClassicSimilarity",
     "LMDirichlet",
+    "LMJelinekMercer",
     "DFRInL2",
     "DFR",
+    "DFI",
+    "IB",
+    "Axiomatic",
     "BooleanSimilarity",
     "DEFAULT_K1",
     "DEFAULT_B",
@@ -260,6 +264,278 @@ class LMDirichlet:
         dl_part = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
         s = boost * (np.log1p(tf * wp) + dl_part)
         return np.maximum(s, 0.0).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class LMJelinekMercer:
+    """Lucene-8 LMJelinekMercerSimilarity (``[8x] lucene/core/src/java/org/
+    apache/lucene/search/similarities/LMJelinekMercerSimilarity.java``;
+    Zhai & Lafferty, "A study of smoothing methods for language models
+    applied to ad hoc information retrieval", SIGIR 2001):
+
+      p(t|C)  = (totalTermFreq + 1) / (sumTotalTermFreq + 1)   (f32, LMStats)
+      score   = boost · ln(1 + ((1 − λ) · tf / dl_q) / (λ · p)), clipped ≥ 0
+
+    Per-term weight = (boost, (1 − λ)/(λ·p)) via ``weight_full``; the
+    256-entry cache holds the quantized doc lengths.  The log argument is
+    ≥ 0, so scores are non-negative by construction; monotone increasing
+    in tf and decreasing in dl — block-max pruning stays sound."""
+
+    lam: float = 0.7
+
+    def __post_init__(self) -> None:
+        if not (math.isfinite(self.lam) and 0 < self.lam < 1):
+            raise ValueError(
+                f"illegal lambda value: {self.lam}, must be in the range (0, 1)"
+            )
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)  # quantized lengths
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        # LMSimilarity.computeProbability promotes long+1F to FLOAT (both
+        # operands round to f32 before the f32 division) — match LMDirichlet
+        p = np.float32(np.float32(cf + 1.0) / np.float32(sum_ttf + 1.0))
+        wp = (1.0 - self.lam) / (self.lam * np.float64(p))
+        return np.array([np.float32(boost), wp], dtype=np.float64)
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        boost, wp = np.float64(weight[0]), np.float64(weight[1])
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        s = boost * np.log1p((tf / np.maximum(dl, 1.0)) * wp)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DFI:
+    """Lucene-8 DFISimilarity — divergence from independence (``[8x]
+    lucene/core/src/java/org/apache/lucene/search/similarities/
+    DFISimilarity.java``; Kocabaş, Dinçer & Karaoğlan, "A nonparametric
+    term weighting method for information retrieval based on measuring
+    the divergence from independence", Information Retrieval 2014):
+
+      expected = (totalTermFreq + 1) · dl_q / (sumTotalTermFreq + 1)
+      if tf ≤ expected: score = 0
+      measure  = standardized: (tf − e) / sqrt(e)
+                 saturated:    (tf − e) / e
+                 chisquared:   (tf − e)² / e
+      score    = boost · log2(measure + 1)
+
+    Per-term weight = (boost, cf, sumTtf, measure flag) via
+    ``weight_full``; the cache holds quantized doc lengths.  Monotone
+    increasing in tf; expected grows with dl so the score decreases in
+    dl — block-max pruning stays sound."""
+
+    measure: str = "chisquared"  # "standardized" | "saturated" | "chisquared"
+
+    _FLAGS = {"standardized": 0.0, "saturated": 1.0, "chisquared": 2.0}
+
+    def __post_init__(self) -> None:
+        if self.measure not in self._FLAGS:
+            raise ValueError(f"unknown DFI independence measure: {self.measure!r}")
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)  # quantized lengths
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        return np.array(
+            [float(boost), float(cf), float(sum_ttf), self._FLAGS[self.measure]],
+            dtype=np.float64,
+        )
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        boost, cf, sum_ttf, flag = (float(weight[i]) for i in range(4))
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        expected = (cf + 1.0) * dl / (sum_ttf + 1.0)
+        delta = tf - expected
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if flag == 0.0:
+                measure = delta / np.sqrt(expected)
+            elif flag == 1.0:
+                measure = delta / expected
+            else:
+                measure = delta * delta / expected
+            # below-independence rows are masked to 0 next; their log2
+            # argument may be <= 0, hence the errstate guard
+            s = boost * np.log2(measure + 1.0)
+        return np.where(tf <= expected, 0.0, s).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class IB:
+    """Lucene-8 IBSimilarity — information-based model (``[8x] lucene/
+    core/src/java/org/apache/lucene/search/similarities/IBSimilarity.java``;
+    Clinchant & Gaussier, "Information-based models for ad hoc IR",
+    SIGIR 2010): Distribution × Lambda × Normalization.
+
+      λ_DF  = (df + 1) / (N + 1)          (LambdaDF)
+      λ_TTF = (cf + 1) / (N + 1)          (LambdaTTF)
+      tfn   = H1: tf · c · avgdl / dl_q   |   H2: tf · log2(1 + c·avgdl/dl_q)
+      LL:   score = boost · −ln(λ / (tfn + λ)) = boost · ln((tfn + λ)/λ)
+      SPL:  score = boost · −log2((λ^(tfn/(tfn+1)) − λ) / (1 − λ))
+      both clipped ≥ 0.
+
+    Monotone increasing in tfn (hence tf) and tfn decreases in dl for
+    both normalizations — block-max pruning stays sound."""
+
+    distribution: str = "ll"   # "ll" | "spl"
+    lam: str = "df"            # "df" | "ttf"
+    normalization: str = "h2"  # "h1" | "h2"
+    c: float = 1.0
+
+    def __post_init__(self) -> None:
+        if self.distribution not in ("ll", "spl"):
+            raise ValueError(f"unknown IB distribution: {self.distribution!r}")
+        if self.lam not in ("df", "ttf"):
+            raise ValueError(f"unknown IB lambda: {self.lam!r}")
+        if self.normalization not in ("h1", "h2"):
+            raise ValueError(f"unknown IB normalization: {self.normalization!r}")
+        if not (math.isfinite(self.c) and self.c > 0):
+            raise ValueError(f"illegal c value: {self.c}, must be a positive finite value")
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)  # quantized lengths
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        lam_stat = float(df) if self.lam == "df" else float(cf)
+        return np.array(
+            [float(boost), (lam_stat + 1.0) / (doc_count + 1.0),
+             float(self.avgdl(sum_ttf, doc_count)), self.c,
+             1.0 if self.distribution == "spl" else 0.0,
+             1.0 if self.normalization == "h2" else 0.0],
+            dtype=np.float64,
+        )
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        boost, lam, avgdl, c, spl, h2 = (float(weight[i]) for i in range(6))
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        dl = np.maximum(dl, 1.0)
+        tfn = tf * (np.log2(1.0 + c * avgdl / dl) if h2 else c * avgdl / dl)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if spl:
+                if lam >= 1.0:
+                    # λ_TTF = (cf+1)/(N+1) can exceed 1, and λ_DF hits
+                    # exactly 1 for a term in EVERY doc — the published
+                    # SPL formula is 0/0 there (Lucene NaNs); we define
+                    # the degenerate case as 0 to keep scores finite.
+                    s = np.zeros_like(tfn)
+                else:
+                    num = np.power(lam, tfn / (tfn + 1.0)) - lam
+                    s = boost * -(np.log2(num / (1.0 - lam)))
+            else:
+                s = boost * np.log((tfn + lam) / lam)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class Axiomatic:
+    """Lucene-8 axiomatic similarities F2EXP / F2LOG (``[8x] lucene/core/
+    src/java/org/apache/lucene/search/similarities/AxiomaticF2EXP.java`` /
+    ``AxiomaticF2LOG.java``; Fang & Zhai, "An exploration of axiomatic
+    approaches to information retrieval", SIGIR 2005):
+
+      tfln  = tf / (tf + s + s · dl_q / avgdl)
+      F2EXP: idf = ((N + 1) / df)^k        (k = 0.35)
+      F2LOG: idf = ln((N + 1) / df)
+      score = boost · tfln · idf
+
+    Monotone increasing in tf and decreasing in dl — block-max pruning
+    stays sound; df ≥ 1 for any indexed term keeps idf finite."""
+
+    variant: str = "f2exp"  # "f2exp" | "f2log"
+    s: float = 0.5
+    k: float = 0.35
+
+    def __post_init__(self) -> None:
+        if self.variant not in ("f2exp", "f2log"):
+            raise ValueError(f"unknown axiomatic variant: {self.variant!r}")
+        if not (math.isfinite(self.s) and self.s >= 0):
+            raise ValueError(f"illegal s value: {self.s}, must be a non-negative finite value")
+        if not (math.isfinite(self.k) and self.k > 0):
+            raise ValueError(f"illegal k value: {self.k}, must be a positive finite value")
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float32)  # quantized lengths
+
+    def weight_full(
+        self, df: int, cf: int, doc_count: int, sum_ttf: int, boost: float = 1.0
+    ) -> np.ndarray:
+        if self.variant == "f2exp":
+            idf = ((doc_count + 1.0) / float(df)) ** self.k
+        else:
+            idf = math.log((doc_count + 1.0) / float(df))
+        return np.array(
+            [float(boost), idf, float(self.avgdl(sum_ttf, doc_count)), self.s],
+            dtype=np.float64,
+        )
+
+    @staticmethod
+    def score(
+        tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.ndarray, cache: np.ndarray
+    ) -> np.ndarray:
+        boost, idf, avgdl, s = (float(weight[i]) for i in range(4))
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(np.float64)
+        tfln = tf / (tf + s + s * dl / max(avgdl, 1e-300))
+        return np.maximum(boost * tfln * idf, 0.0).astype(np.float32)
 
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:

@@ -31,7 +31,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..bm25 import DFR, BM25, BooleanSimilarity, ClassicSimilarity, DFRInL2, LMDirichlet
+from ..bm25 import (
+    DFI,
+    DFR,
+    IB,
+    BM25,
+    Axiomatic,
+    BooleanSimilarity,
+    ClassicSimilarity,
+    DFRInL2,
+    LMDirichlet,
+    LMJelinekMercer,
+)
 from .core import (
     NORMS_TERM,
     IndexView,
@@ -74,6 +85,23 @@ def _similarity_from_manifest(manifest: dict):
             after_effect=sim.get("after", "l"),
             normalization=sim.get("norm", "h2"),
             c=float(sim.get("c", 1.0)),
+        )
+    if sim.get("name") == "lm_jelinek_mercer":
+        return LMJelinekMercer(lam=float(sim.get("lambda", 0.7)))
+    if sim.get("name") == "dfi":
+        return DFI(measure=sim.get("measure", "chisquared"))
+    if sim.get("name") == "ib":
+        return IB(
+            distribution=sim.get("distribution", "ll"),
+            lam=sim.get("lambda", "df"),
+            normalization=sim.get("norm", "h2"),
+            c=float(sim.get("c", 1.0)),
+        )
+    if sim.get("name") == "axiomatic":
+        return Axiomatic(
+            variant=sim.get("variant", "f2exp"),
+            s=float(sim.get("s", 0.5)),
+            k=float(sim.get("k", 0.35)),
         )
     return BM25(**manifest["bm25"])
 
@@ -239,6 +267,21 @@ def build_index(
             bm25_entry = {}
         elif isinstance(bm25, BooleanSimilarity):
             sim_entry = {"name": "boolean"}
+            bm25_entry = {}
+        elif isinstance(bm25, LMJelinekMercer):
+            sim_entry = {"name": "lm_jelinek_mercer", "lambda": bm25.lam}
+            bm25_entry = {}
+        elif isinstance(bm25, DFI):
+            sim_entry = {"name": "dfi", "measure": bm25.measure}
+            bm25_entry = {}
+        elif isinstance(bm25, IB):
+            sim_entry = {"name": "ib", "distribution": bm25.distribution,
+                         "lambda": bm25.lam, "norm": bm25.normalization,
+                         "c": bm25.c}
+            bm25_entry = {}
+        elif isinstance(bm25, Axiomatic):
+            sim_entry = {"name": "axiomatic", "variant": bm25.variant,
+                         "s": bm25.s, "k": bm25.k}
             bm25_entry = {}
         else:  # ClassicSimilarity (or any parameterless duck-typed sim)
             sim_entry = {"name": "classic"}

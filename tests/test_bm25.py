@@ -538,3 +538,182 @@ def test_dfr_generic_persistent_roundtrip(spark, tmp_path):
     idx = open_index(spark, path)
     assert idx.bm25 == sim
     assert search(idx, Term("def"), k=5).count() == 5
+
+# --- LMJelinekMercer / DFI / IB / Axiomatic (the remaining Lucene sims) ------
+
+
+def test_lm_jelinek_mercer_formula_hand_computed():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import LMJelinekMercer
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    sim = LMJelinekMercer(lam=0.3)
+    nb = int(int_to_byte4(np.int64(20)))
+    dl_q = float(LENGTH_TABLE[nb])
+    w = sim.weight_full(df=5, cf=12, doc_count=100, sum_ttf=5000, boost=2.0)
+    got = float(sim.score(np.array([3]), np.array([nb]), w,
+                          sim.norm_inverse_cache(None))[0])
+    p = np.float32(np.float32(13.0) / np.float32(5001.0))
+    want = np.float32(2.0 * np.log1p(((1 - 0.3) * 3.0 / dl_q) / (0.3 * float(p))))
+    assert np.float32(got) == want
+    for bad in (0.0, 1.0, -0.5, float("nan")):
+        with pytest.raises(ValueError):
+            LMJelinekMercer(lam=bad)
+
+
+def test_dfi_formula_hand_computed():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import DFI
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    nb = int(int_to_byte4(np.int64(25)))
+    dl_q = float(LENGTH_TABLE[nb])
+    cf, ttf = 50, 90000
+    expected = (cf + 1.0) * dl_q / (ttf + 1.0)
+    tf = 4
+    assert tf > expected  # the hand case must be above independence
+    for measure, fn in [
+        ("standardized", lambda d, e: d / np.sqrt(e)),
+        ("saturated", lambda d, e: d / e),
+        ("chisquared", lambda d, e: d * d / e),
+    ]:
+        sim = DFI(measure=measure)
+        w = sim.weight_full(df=10, cf=cf, doc_count=1000, sum_ttf=ttf, boost=1.5)
+        got = float(sim.score(np.array([tf]), np.array([nb]), w,
+                              sim.norm_inverse_cache(None))[0])
+        want = np.float32(1.5 * np.log2(fn(tf - expected, expected) + 1.0))
+        assert np.float32(got) == want, measure
+        # at-or-below expected tf scores exactly 0
+        got0 = float(sim.score(np.array([0]), np.array([nb]), w,
+                               sim.norm_inverse_cache(None))[0])
+        assert got0 == 0.0
+    with pytest.raises(ValueError):
+        DFI(measure="nope")
+
+
+def test_ib_formulas_hand_computed():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import IB
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    N, df, cf, ttf = 1000, 10, 50, 90000
+    nb = int(int_to_byte4(np.int64(30)))
+    dl = float(LENGTH_TABLE[nb])
+    avgdl = float(np.float32(ttf / N))
+    tf = 3
+    # LL x DF x H2
+    sim = IB("ll", "df", "h2", c=1.0)
+    w = sim.weight_full(df, cf, N, ttf, 1.0)
+    tfn = tf * np.log2(1.0 + avgdl / dl)
+    lam = (df + 1.0) / (N + 1.0)
+    want = np.float32(np.log((tfn + lam) / lam))
+    got = float(sim.score(np.array([tf]), np.array([nb]), w,
+                          sim.norm_inverse_cache(np.float32(avgdl)))[0])
+    assert np.float32(got) == want
+    # SPL x TTF x H1
+    sim2 = IB("spl", "ttf", "h1", c=1.0)
+    w2 = sim2.weight_full(df, cf, N, ttf, 1.0)
+    tfn2 = tf * avgdl / dl
+    lam2 = (cf + 1.0) / (N + 1.0)
+    want2 = np.float32(max(
+        0.0, -np.log2((lam2 ** (tfn2 / (tfn2 + 1.0)) - lam2) / (1.0 - lam2))))
+    got2 = float(sim2.score(np.array([tf]), np.array([nb]), w2,
+                            sim2.norm_inverse_cache(np.float32(avgdl)))[0])
+    assert np.float32(got2) == want2
+    for bad in (dict(distribution="x"), dict(lam="x"),
+                dict(normalization="x"), dict(c=0.0)):
+        with pytest.raises(ValueError):
+            IB(**bad)
+
+
+def test_axiomatic_formulas_hand_computed():
+    import numpy as np
+
+    from lucene_solr_spark.bm25 import Axiomatic
+    from lucene_solr_spark.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    N, df, ttf = 1000, 10, 90000
+    nb = int(int_to_byte4(np.int64(30)))
+    dl = float(LENGTH_TABLE[nb])
+    avgdl = float(np.float32(ttf / N))
+    tf = 3
+    tfln = tf / (tf + 0.5 + 0.5 * dl / avgdl)
+    sim = Axiomatic("f2exp")
+    w = sim.weight_full(df, 50, N, ttf, 1.0)
+    want = np.float32(tfln * ((N + 1.0) / df) ** 0.35)
+    got = float(sim.score(np.array([tf]), np.array([nb]), w,
+                          sim.norm_inverse_cache(np.float32(avgdl)))[0])
+    assert np.float32(got) == want
+    sim2 = Axiomatic("f2log")
+    w2 = sim2.weight_full(df, 50, N, ttf, 1.0)
+    want2 = np.float32(tfln * np.log((N + 1.0) / df))
+    got2 = float(sim2.score(np.array([tf]), np.array([nb]), w2,
+                            sim2.norm_inverse_cache(np.float32(avgdl)))[0])
+    assert np.float32(got2) == want2
+    for bad in (dict(variant="x"), dict(s=-1.0), dict(k=0.0)):
+        with pytest.raises(ValueError):
+            Axiomatic(**bad)
+
+
+@pytest.mark.parametrize("mk", [
+    lambda: __import__("lucene_solr_spark.bm25", fromlist=["LMJelinekMercer"]).LMJelinekMercer(lam=0.4),
+    lambda: __import__("lucene_solr_spark.bm25", fromlist=["DFI"]).DFI(measure="standardized"),
+    lambda: __import__("lucene_solr_spark.bm25", fromlist=["IB"]).IB("ll", "df", "h2", 1.0),
+    lambda: __import__("lucene_solr_spark.bm25", fromlist=["IB"]).IB("spl", "df", "h2", 1.0),
+    lambda: __import__("lucene_solr_spark.bm25", fromlist=["Axiomatic"]).Axiomatic("f2exp"),
+])
+def test_new_sims_engine_vs_oracle_identity(spark, mk):
+    import numpy as np
+
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Term, search
+
+    sim = mk()
+    pdf = gen_corpus_pdf(150, seed=61).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), Term(KEYWORDS[5], boost=2.0),
+                  And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9]))]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), (type(sim).__name__, q)
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_new_sims_persistent_roundtrip_and_pruned(spark, tmp_path, monkeypatch):
+    from lucene_solr_spark.bm25 import DFI, IB, Axiomatic, LMJelinekMercer
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.search import Term, executor, search
+
+    corpus = gen_corpus_df(spark, 100, seed=8)
+    for name, sim in [
+        ("lmjm", LMJelinekMercer(lam=0.2)),
+        ("dfi", DFI(measure="saturated")),
+        ("ib", IB("spl", "df", "h1", c=2.0)),
+        ("axio", Axiomatic("f2log", s=0.4, k=0.3)),
+    ]:
+        path = tmp_path / name
+        build_index(spark, corpus, path, segment_docs=50, bm25=sim)
+        idx = open_index(spark, path)
+        assert idx.bm25 == sim, name
+        # pruned == unpruned: every new sim is monotone in (tf, -dl)
+        monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+        a = [(r["doc_id"], r["score"])
+             for r in search(idx, Term("def"), k=10, prune=True).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in search(idx, Term("def"), k=10, prune=False).collect()]
+        assert a == b and a, name
