@@ -2322,6 +2322,59 @@ def q_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", F.col("count").cast("long").alias("cnt"))
 
 
+def q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillSideways over orders: drill-down on (o_orderstatus='F',
+    o_orderpriority='1-URGENT'); each dimension's facet counts exclude
+    its own filter but keep the sibling's."""
+    from lucene_solr_spark.relational import drill_sideways
+
+    o = _tbl(spark, sf_dir, "orders")
+    return drill_sideways(
+        o,
+        {"o_orderstatus": F.col("o_orderstatus") == "F",
+         "o_orderpriority": F.col("o_orderpriority") == "1-URGENT"},
+        limit=10,
+    )
+
+
+def q_facet_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relatedness() facet agg (semantic knowledge graph): how related
+    each `source` bucket is to the lang='en' foreground — z-score of
+    fg popularity vs bg probability through the 5-sigmoid blend,
+    rounded to 5 digits (shared SQL text both engines)."""
+    from lucene_solr_spark.relational import facet_relatedness
+
+    d = _docs(spark, sf_dir)
+    return facet_relatedness(
+        d, F.col("lang") == MSELECT_LANG, "source", limit=10
+    )
+
+
+def q_facet_numbuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON facet numBuckets + allBuckets: top-3 o_orderpriority buckets
+    plus the distinct-bucket count and the all-docs bucket."""
+    from lucene_solr_spark.relational import facet_terms_meta
+
+    o = _tbl(spark, sf_dir, "orders")
+    return facet_terms_meta(o, "o_orderpriority", limit=3)
+
+
+def q_export_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export handler round-trip: export_sorted writes the sorted
+    selection to parquet; reading it back yields exactly the ORDER BY
+    selection (sink + scan both exercised)."""
+    import tempfile
+
+    from lucene_solr_spark.relational import export_sorted
+
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="lss_export_") + "/exp"
+    export_sorted(li, out, ["l_orderkey", "l_linenumber"])
+    return spark.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+
+
 def q_group_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group.facet=true (grouped faceting): facet on l_returnflag where
     each bucket counts DISTINCT order groups, not line items."""
@@ -4289,6 +4342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
         "facet_multiselect": q_facet_multiselect,
+        "drill_sideways": q_drill_sideways,
+        "facet_relatedness": q_facet_relatedness,
+        "facet_numbuckets": q_facet_numbuckets,
+        "export_stream": q_export_stream,
         "group_facet": q_group_facet,
         "mlt_interesting": q_mlt_interesting,
         "frange": q_frange,
@@ -5973,6 +6030,9 @@ def oracle_sql() -> dict[str, str]:
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
     from lucene_solr_spark.pipeline.classify import igain_sql
+    from lucene_solr_spark.relational import relatedness_sql
+
+    _rel_expr = relatedness_sql("fg_count", "fg_size", "bg_count", "bg_size")
 
     out["feature_igain"] = f"""
 WITH {_TOK_CTE},
@@ -7322,6 +7382,53 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10""",
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS group_count
 FROM lineitem GROUP BY l_returnflag
 ORDER BY group_count DESC, l_returnflag ASC LIMIT 10""",
+        "drill_sideways": """
+WITH a AS (
+  SELECT 'o_orderstatus' AS dim, CAST(o_orderstatus AS VARCHAR) AS value,
+         CAST(count(*) AS BIGINT) AS "count"
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderstatus IS NOT NULL
+  GROUP BY o_orderstatus ORDER BY "count" DESC, value ASC LIMIT 10
+), b AS (
+  SELECT 'o_orderpriority' AS dim, CAST(o_orderpriority AS VARCHAR) AS value,
+         CAST(count(*) AS BIGINT) AS "count"
+  FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority IS NOT NULL
+  GROUP BY o_orderpriority ORDER BY "count" DESC, value ASC LIMIT 10
+)
+SELECT * FROM a UNION ALL SELECT * FROM b
+ORDER BY dim, "count" DESC, value""",
+        "facet_relatedness": f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS bg_count,
+         CAST(count(CASE WHEN lang = '{MSELECT_LANG}' THEN 1 END) AS BIGINT) AS fg_count
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), tot AS (
+  SELECT CAST(count(CASE WHEN lang = '{MSELECT_LANG}' THEN 1 END) AS BIGINT) AS fg_size,
+         CAST(count(*) AS BIGINT) AS bg_size
+  FROM documents
+)
+SELECT source, fg_count, bg_count,
+       {_rel_expr} AS relatedness
+FROM per, tot WHERE fg_count >= 1
+ORDER BY relatedness DESC, source ASC LIMIT 10""",
+        "facet_numbuckets": """
+WITH base AS (SELECT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL),
+b AS (
+  SELECT 'bucket' AS kind, CAST(o_orderpriority AS VARCHAR) AS bucket,
+         CAST(count(*) AS BIGINT) AS "count"
+  FROM base GROUP BY o_orderpriority ORDER BY "count" DESC, bucket ASC LIMIT 3
+), meta AS (
+  SELECT 'numBuckets' AS kind, CAST(NULL AS VARCHAR) AS bucket,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS "count" FROM base
+  UNION ALL
+  SELECT 'allBuckets', CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT) FROM base
+)
+SELECT * FROM b UNION ALL SELECT * FROM meta
+ORDER BY kind, "count" DESC, bucket""",
+        "export_stream": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity >= 45
+ORDER BY l_orderkey, l_linenumber""",
         "mlt_interesting": f"""
 WITH {_TOK_CTE},
 n AS (SELECT count(*) AS n_docs FROM documents),

@@ -58,6 +58,10 @@ __all__ = [
     "facet_terms_sampled",
     "facet_taxonomy",
     "pivot_stats",
+    "drill_sideways",
+    "facet_relatedness",
+    "relatedness_sql",
+    "facet_terms_meta",
 ]
 
 
@@ -627,6 +631,136 @@ def facet_excluding(df: DataFrame, filters: dict[str, Column],
         if tag != facet_field:
             domain = domain.filter(cond)
     return facet_terms(domain, facet_field, limit=limit)
+
+
+def drill_sideways(df: DataFrame, filters: dict[str, Column],
+                   limit: int = 10) -> DataFrame:
+    """DrillSideways (``[8x] lucene/facet/src/java/org/apache/lucene/
+    facet/DrillSideways.java``): for a drill-down with one filter per
+    dimension, each dimension's facet counts are computed with every
+    OTHER dimension's filter applied but its OWN excluded — so the UI
+    can show what the user would get by switching that dimension's
+    choice while keeping the rest of the drill-down.
+
+    ``filters`` maps dimension (a column name) → its drill-down filter.
+    Output: one (dim, value, count) frame, top ``limit`` buckets per
+    dimension.  Lucene does this in one collector pass over near-miss
+    docs; the Spark-native shape is one column-pruned scan + one
+    partial-agg shuffle per dimension (each scan reads only that
+    dimension's column plus the sibling filter columns — at 100 TB the
+    per-dimension re-scan is cheaper than materializing a near-miss doc
+    set, and the scans run as independent jobs)."""
+    parts = []
+    for dim in filters:
+        domain = df
+        for tag, cond in filters.items():
+            if tag != dim:
+                domain = domain.filter(cond)
+        parts.append(
+            facet_terms(domain, dim, limit=limit)
+            .select(F.lit(dim).alias("dim"),
+                    F.col(dim).cast("string").alias("value"),
+                    F.col("count").cast("long").alias("count"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dim", F.desc("count"), "value")
+
+
+def relatedness_sql(fg_count: str, fg_size: str, bg_count: str,
+                    bg_size: str) -> str:
+    """The SKG relatedness formula as ONE shared SQL text (evaluated
+    identically by Spark and DuckDB — the cross-engine discipline used
+    by ``igain_sql``): z-score of the foreground popularity against the
+    background probability, blended through five scaled sigmoids and
+    rounded to 5 digits, per Solr's RelatednessAgg (``[8x] solr/core/
+    src/java/org/apache/solr/search/facet/RelatednessAgg.java``;
+    Grainger et al., "The Semantic Knowledge Graph", DSAA 2016).
+
+    The 5-digit rounding is Java's ``Math.round`` spelled as
+    ``floor(x·1e5 + 0.5)/1e5`` so both engines round identically."""
+    bg_prob = f"(CAST({bg_count} AS DOUBLE) / {bg_size})"
+    num = f"({fg_count} - {fg_size} * {bg_prob})"
+    raw_denom = f"sqrt({fg_size} * {bg_prob} * (1e0 - {bg_prob}))"
+    denom = f"(CASE WHEN {raw_denom} = 0e0 THEN 1e-10 ELSE {raw_denom} END)"
+    z = f"({num} / {denom})"
+
+    def sig(offset: str, scale: str) -> str:
+        return (f"(({z} + {offset}) / ({scale} + abs({z} + {offset})))")
+
+    blend = " + ".join(
+        f"2e-1 * {sig(o, s)}"
+        for o, s in [("-80e0", "50e0"), ("-30e0", "30e0"), ("0e0", "30e0"),
+                     ("30e0", "30e0"), ("80e0", "50e0")]
+    )
+    return f"(floor(({blend}) * 1e5 + 5e-1) / 1e5)"
+
+
+def facet_relatedness(df: DataFrame, fg_filter: Column, field: str,
+                      limit: int = 10, min_fg: int = 1) -> DataFrame:
+    """JSON facet ``relatedness($fg,$bg)`` aggregate (semantic knowledge
+    graph): for each bucket of ``field``, how related the bucket is to
+    the foreground set defined by ``fg_filter``, against the whole frame
+    as background.
+
+    One conditional-aggregation pass per bucket (fg_count via a filtered
+    count — no join) + a broadcast of the 1-row (fg_size, bg_size)
+    totals; the relatedness expression itself is the shared SQL text
+    from ``relatedness_sql`` so a DuckDB oracle reproduces it exactly."""
+    per = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bg_count"),
+            F.count(F.when(fg_filter, 1)).cast("long").alias("fg_count"),
+        )
+    )
+    totals = df.agg(
+        F.count(F.when(fg_filter, 1)).cast("long").alias("fg_size"),
+        F.count(F.lit(1)).cast("long").alias("bg_size"),
+    )
+    expr = relatedness_sql("fg_count", "fg_size", "bg_count", "bg_size")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_count") >= min_fg)
+        .withColumn("relatedness", F.expr(expr))
+        .select(field, "fg_count", "bg_count", "relatedness")
+        .orderBy(F.desc("relatedness"), F.asc(field))
+        .limit(limit)
+    )
+
+
+def facet_terms_meta(df: DataFrame, field: str, limit: int = 10) -> DataFrame:
+    """Terms facet with JSON-facet ``numBuckets:true`` + ``allBuckets:
+    true`` (``[8x] solr/core/.../search/facet/FacetField.java``): the
+    top-``limit`` buckets PLUS a ``numBuckets`` row (how many distinct
+    buckets exist beyond the page) and an ``allBuckets`` row (every doc
+    with a value, regardless of the limit).  Output: (kind, bucket,
+    count); the two meta rows are one extra partial agg over the same
+    filtered scan — no extra shuffle of the bucket rows."""
+    base = df.filter(F.col(field).isNotNull())
+    buckets = facet_terms(base, field, limit=limit).select(
+        F.lit("bucket").alias("kind"),
+        F.col(field).cast("string").alias("bucket"),
+        F.col("count").cast("long").alias("count"),
+    )
+    meta = base.agg(
+        F.countDistinct(field).cast("long").alias("num_buckets"),
+        F.count(F.lit(1)).cast("long").alias("all_count"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("numBuckets").alias("kind"),
+                         F.lit(None).cast("string").alias("bucket"),
+                         F.col("num_buckets").alias("count")),
+                F.struct(F.lit("allBuckets").alias("kind"),
+                         F.lit(None).cast("string").alias("bucket"),
+                         F.col("all_count").alias("count")),
+            )
+        ).alias("row")
+    ).select("row.kind", "row.bucket", "row.count")
+    return buckets.unionByName(meta).orderBy("kind", F.desc("count"), "bucket")
 
 
 def grouped_facet(df: DataFrame, group: str, facet_field: str,

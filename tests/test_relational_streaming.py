@@ -226,3 +226,58 @@ def test_facet_range_date_fixed_and_calendar(spark):
     with pytest.raises(ValueError, match="gap"):
         facet_range_date(df, "ts", "2024-01-01 00:00:00",
                          "2024-07-01 00:00:00", "3DAYS")
+
+
+def test_drill_sideways_excludes_own_filter(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"), ("c", "y")],
+        "color string, size string",
+    )
+    out = R.drill_sideways(
+        df, {"color": F.col("color") == "a", "size": F.col("size") == "x"}
+    ).collect()
+    got = {(r["dim"], r["value"]): r["count"] for r in out}
+    # color facet: size=x applied, color filter excluded -> a:1, b:2
+    assert got[("color", "a")] == 1 and got[("color", "b")] == 2
+    assert ("color", "c") not in got  # c only has size=y
+    # size facet: color=a applied, size filter excluded -> x:1, y:1
+    assert got[("size", "x")] == 1 and got[("size", "y")] == 1
+
+
+def test_facet_relatedness_formula_and_ordering(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("s1", "en")] * 8 + [("s1", "fr")] * 2
+        + [("s2", "en")] * 1 + [("s2", "fr")] * 9,
+        "source string, lang string",
+    )
+    out = R.facet_relatedness(df, F.col("lang") == "en", "source").collect()
+    # hand-compute s1: fg_count=8, bg_count=10, fg_size=9, bg_size=20
+    def rel(fg_c, fg_s, bg_c, bg_s):
+        bg_prob = bg_c / bg_s
+        num = fg_c - fg_s * bg_prob
+        den = math.sqrt(fg_s * bg_prob * (1 - bg_prob)) or 1e-10
+        z = num / den
+        sig = lambda o, s: (z + o) / (s + abs(z + o))
+        blend = 0.2 * (sig(-80, 50) + sig(-30, 30) + sig(0, 30)
+                       + sig(30, 30) + sig(80, 50))
+        return math.floor(blend * 1e5 + 0.5) / 1e5
+    got = {r["source"]: r for r in out}
+    assert got["s1"]["relatedness"] == rel(8, 9, 10, 20)
+    assert got["s2"]["relatedness"] == rel(1, 9, 10, 20)
+    # over-represented bucket ranks first
+    assert out[0]["source"] == "s1" and out[0]["relatedness"] > out[1]["relatedness"]
+
+
+def test_facet_terms_meta_numbuckets_allbuckets(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [(None,)],
+        "f string",
+    )
+    out = R.facet_terms_meta(df, "f", limit=2).collect()
+    kinds = {(r["kind"], r["bucket"]): r["count"] for r in out}
+    assert kinds[("bucket", "a")] == 5 and kinds[("bucket", "b")] == 3
+    assert ("bucket", "c") not in kinds        # beyond the page limit
+    assert kinds[("numBuckets", None)] == 3    # ...but still counted here
+    assert kinds[("allBuckets", None)] == 10   # NULL row excluded
