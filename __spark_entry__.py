@@ -1925,6 +1925,44 @@ def q_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bipartite part↔supplier graph (both directions) used by the
+    graph entries."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    return p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-integer PageRank (2 iterations, damping 0.85) over the
+    part↔supplier graph: every step is integer floor arithmetic, so the
+    unrolled DuckDB oracle replays the ranks bit-for-bit."""
+    from lucene_solr_spark.graph import pagerank
+
+    pr = pagerank(_ps_edges(spark, sf_dir), iters=2)
+    return (
+        pr.select("node", "rank_i")
+        .orderBy(F.desc("rank_i"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks (DeepWalk corpus sampling):
+    3 steps from 5 part seeds, transitions chosen by salted-md5 argmin
+    so the oracle replays every hop."""
+    from lucene_solr_spark.graph import random_walks
+
+    seeds = spark.createDataFrame([(f"p:{k}",) for k in range(1, 6)], "n string")
+    out = random_walks(_ps_edges(spark, sf_dir), seeds, steps=3, salt="rw")
+    return out.orderBy("walk_id", "step")
+
+
 #: f64-parity similarity formulas over REAL decoded postings (same
 #: discipline as _BM25_EXPR: identical text both engines, cast float)
 _CLASSIC_EXPR = (
@@ -4228,6 +4266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_unique": q_facet_unique,
         "group_expand": q_group_expand,
         "graph_gather": q_graph_gather,
+        "pagerank": q_pagerank,
+        "random_walks": q_random_walks,
         "multifield_dict": q_multifield_dict,
         "edismax": q_edismax,
         "term_vector": q_term_vector,
@@ -7216,6 +7256,58 @@ walk(node, hop) AS (
   SELECT e.d, w.hop + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.hop < 2
 )
 SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node ORDER BY node""",
+        "pagerank": """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem
+  UNION
+  SELECT DISTINCT 's:' || l_suppkey AS s, 'p:' || l_partkey AS d FROM lineitem
+),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s),
+r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS rank_i FROM nodes, nn),
+c1 AS (SELECT e.d AS node, CAST(sum(r0.rank_i // deg.outdeg) AS BIGINT) AS sm
+       FROM e JOIN r0 ON r0.node = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+r1 AS (SELECT nodes.node,
+       CAST(((1000000000000 // nn.n) * 15) // 100
+            + (COALESCE(c1.sm, 0) * 85) // 100 AS BIGINT) AS rank_i
+       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node, nn),
+c2 AS (SELECT e.d AS node, CAST(sum(r1.rank_i // deg.outdeg) AS BIGINT) AS sm
+       FROM e JOIN r1 ON r1.node = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+r2 AS (SELECT nodes.node,
+       CAST(((1000000000000 // nn.n) * 15) // 100
+            + (COALESCE(c2.sm, 0) * 85) // 100 AS BIGINT) AS rank_i
+       FROM nodes LEFT JOIN c2 ON c2.node = nodes.node, nn)
+SELECT node, rank_i FROM r2 ORDER BY rank_i DESC, node ASC LIMIT 20""",
+        "random_walks": """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem
+  UNION
+  SELECT DISTINCT 's:' || l_suppkey AS s, 'p:' || l_partkey AS d FROM lineitem
+),
+s0 AS (SELECT 'p:' || k AS walk_id, 'p:' || k AS node
+       FROM (VALUES (1), (2), (3), (4), (5)) t(k)),
+p1 AS (SELECT s0.walk_id,
+              min(md5('rw' || ':' || s0.walk_id || ':' || '1' || ':' || e.d)
+                  || '|' || e.d) AS mk
+       FROM s0 JOIN e ON e.s = s0.node GROUP BY s0.walk_id),
+s1 AS (SELECT walk_id, substr(mk, 34) AS node FROM p1),
+p2 AS (SELECT s1.walk_id,
+              min(md5('rw' || ':' || s1.walk_id || ':' || '2' || ':' || e.d)
+                  || '|' || e.d) AS mk
+       FROM s1 JOIN e ON e.s = s1.node GROUP BY s1.walk_id),
+s2 AS (SELECT walk_id, substr(mk, 34) AS node FROM p2),
+p3 AS (SELECT s2.walk_id,
+              min(md5('rw' || ':' || s2.walk_id || ':' || '3' || ':' || e.d)
+                  || '|' || e.d) AS mk
+       FROM s2 JOIN e ON e.s = s2.node GROUP BY s2.walk_id),
+s3 AS (SELECT walk_id, substr(mk, 34) AS node FROM p3)
+SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+  SELECT walk_id, 0 AS step, node FROM s0
+  UNION ALL SELECT walk_id, 1, node FROM s1
+  UNION ALL SELECT walk_id, 2, node FROM s2
+  UNION ALL SELECT walk_id, 3, node FROM s3
+) ORDER BY walk_id, step""",
         "group_expand": """
 WITH r AS (
   SELECT lang, doc_id, n_chars,

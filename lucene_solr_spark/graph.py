@@ -20,7 +20,123 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gather_nodes", "shortest_path", "score_nodes"]
+__all__ = ["gather_nodes", "shortest_path", "score_nodes", "pagerank",
+           "random_walks"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Quantized-integer PageRank (damping 0.85) — the link-analysis
+    quality signal a web-scale training pipeline ranks sources by
+    (Page et al., "The PageRank citation ranking", 1999; the iteration
+    shape is Spark's canonical example, re-done in exact arithmetic).
+
+    Ranks are BIGINT micro-units (``scale`` = 1.0) and every step is
+    integer floor arithmetic — contribution = rank // outdeg, damped
+    sum = (85 · Σ) // 100, base = ((scale // N) · 15) // 100 — so the
+    result is bit-identical under ANY partitioning / aggregation order
+    (the DECIMAL-exact-sums discipline of ``pipeline/classify.py``,
+    integer form) and a SQL oracle replays it exactly.  Dangling-node
+    mass leaks, as in the classic simplified formulation (documented
+    divergence from the redistributing variant).
+
+    Each iteration is ONE join (ranks ⋈ edges, co-keyed with the
+    out-degree frame) + one partial-agg shuffle on dst; the driver loop
+    holds only DataFrame handles.  Returns [node, rank_i, rank]."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    # e ⋈ deg is loop-invariant: materialize once, reuse every iteration
+    ed = e.join(deg, "_s").persist()
+    init = int(scale) // n
+    base = (init * 15) // 100
+    ranks = nodes.withColumn("rank_i", F.lit(init).cast("long")).persist()
+    for _ in range(iters):
+        contribs = (
+            ranks.join(ed, ranks.node == ed._s)
+            .select(
+                F.col("_d").alias("node"),
+                F.floor(F.col("rank_i") / F.col("outdeg")).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        nxt = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("long")
+                 + F.floor(F.coalesce(F.col("s"), F.lit(0)) * 85 / 100).cast("long")
+                 ).alias("rank_i"),
+            )
+            .persist()
+        )
+        ranks.unpersist()
+        ranks = nxt
+    ed.unpersist()
+    return ranks.withColumn(
+        "rank", (F.col("rank_i") / F.lit(float(scale))).cast("double")
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int,
+    salt: str = "rw",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks for graph sampling (the
+    DeepWalk/node2vec corpus-construction step, Perozzi et al. KDD 2014
+    — p=q=1 uniform transitions): one walk per seed, ``steps`` hops.
+
+    The "random" choice is a salted hash argmin — at step t the walk at
+    node u moves to the neighbor v minimizing md5(salt:walk:t:v) — so
+    walks are reproducible across engines, partitionings, and retries
+    (the engine-reproducible-randomness discipline of
+    ``stratified_sample``).  Ties (md5 collisions) break by the full
+    (hash | node) string, keeping the argmin total.  A walk reaching a
+    node with no out-edges simply stops.
+
+    Each step is one frontier equi-join + one groupBy(walk) argmin —
+    the same per-hop shape as ``gather_nodes``.  Returns
+    [walk_id, step, node]."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
+    cur = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("walk_id"),
+        F.col(seeds.columns[0]).cast("string").alias("node"),
+    ).distinct().persist()
+    out = cur.withColumn("step", F.lit(0).cast("int"))
+    for t in range(1, steps + 1):
+        key = F.md5(F.concat_ws(":", F.lit(salt), F.col("walk_id"),
+                                F.lit(str(t)), F.col("_d")))
+        pick = (
+            cur.join(e, cur.node == e._s)
+            .select("walk_id", F.concat(key, F.lit("|"), F.col("_d")).alias("k"))
+            .groupBy("walk_id")
+            .agg(F.min("k").alias("mk"))
+            # md5 hex is exactly 32 chars; the node starts after "|"
+            .select("walk_id", F.expr("substr(mk, 34)").alias("node"))
+            .persist()
+        )
+        out = out.unionByName(pick.withColumn("step", F.lit(t).cast("int")))
+        cur.unpersist()
+        cur = pick
+        if not cur.head(1):
+            break
+    return out
 
 
 def score_nodes(

@@ -32,3 +32,71 @@ def test_shortest_path(spark, edges):
     assert shortest_path(edges, "a", "c") == ["a", "b", "c"]
     assert shortest_path(edges, "a", "f2", max_hops=4) is None
     assert shortest_path(edges, "a", "a") == ["a"]
+
+
+def test_pagerank_hand_computed_and_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.graph import pagerank
+
+    # a -> b, a -> c, b -> c, c -> a  (classic 3-node example)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    S = 10**12
+    got = {r["node"]: r["rank_i"] for r in pagerank(edges, iters=2).collect()}
+
+    # replay the quantized iteration in pure python
+    init = S // 3
+    base = (init * 15) // 100
+    r = {"a": init, "b": init, "c": init}
+    for _ in range(2):
+        contrib = {"a": r["c"] // 1, "b": r["a"] // 2,
+                   "c": r["a"] // 2 + r["b"] // 1}
+        r = {n: base + (contrib.get(n, 0) * 85) // 100 for n in r}
+    assert got == r
+    # partitioning invariance: same ranks from a shuffled 7-partition input
+    got2 = {r2["node"]: r2["rank_i"]
+            for r2 in pagerank(edges.repartition(7), iters=2).collect()}
+    assert got2 == got
+    # rank column is rank_i / scale
+    row = pagerank(edges, iters=1).filter(F.col("node") == "a").head()
+    assert row["rank"] == row["rank_i"] / float(S)
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    import hashlib
+
+    from lucene_solr_spark.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a"), ("d", "d")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "n string")
+    out = random_walks(edges, seeds, steps=3, salt="t").collect()
+    walks = {}
+    for r in sorted(out, key=lambda r: (r["walk_id"], r["step"])):
+        walks.setdefault(r["walk_id"], []).append(r["node"])
+
+    # replay the salted-hash argmin in pure python
+    adj = {"a": ["b", "c"], "b": ["c", "d"], "c": ["a"], "d": ["d"]}
+    for seed in ("a", "b"):
+        path = [seed]
+        for t in range(1, 4):
+            nbrs = adj.get(path[-1], [])
+            if not nbrs:
+                break
+            key = lambda v: (hashlib.md5(
+                f"t:{seed}:{t}:{v}".encode()).hexdigest(), v)
+            path.append(min(nbrs, key=key))
+        assert walks[seed] == path, seed
+    # every transition is a real edge
+    eset = {("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "a"), ("d", "d")}
+    for w, p in walks.items():
+        for u, v in zip(p, p[1:]):
+            assert (u, v) in eset
+    # partitioning invariance
+    out2 = random_walks(edges.repartition(5), seeds, steps=3, salt="t").collect()
+    assert sorted((r["walk_id"], r["step"], r["node"]) for r in out2) == \
+           sorted((r["walk_id"], r["step"], r["node"]) for r in out)
