@@ -1857,6 +1857,20 @@ def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spell_suggest(_index_for(spark, sf_dir), "sacn", max_edits=1, k=5)
 
 
+def q_spell_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker with JaroWinklerDistance in the StringDistance
+    slot: candidates for 'sorta' ranked by JW similarity desc (accuracy
+    0.7).  The batch kernel is bit-exact f64 against DuckDB's
+    jaro_winkler_similarity (same classic 0.7-threshold Winkler),
+    so the oracle compares raw doubles."""
+    from lucene_solr_spark.search.extras import spell_suggest
+
+    return spell_suggest(
+        _index_for(spark, sf_dir), "sorta", k=8,
+        distance="jaro_winkler", accuracy=0.7,
+    )
+
+
 def q_stream_merge_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-expression composition merge(unique(...)): two sorted
     substreams with overlapping rows merged and deduped on the unique
@@ -4382,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
         "facet_multiselect": q_facet_multiselect,
+        "spell_jaro": q_spell_jaro,
         "drill_sideways": q_drill_sideways,
         "facet_relatedness": q_facet_relatedness,
         "facet_numbuckets": q_facet_numbuckets,
@@ -6309,6 +6324,15 @@ SELECT term, CAST(damerau_levenshtein(term, 'sacn') AS INTEGER) AS distance,
 FROM td
 WHERE damerau_levenshtein(term, 'sacn') = 1 AND term LIKE 's%'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
+        "spell_jaro": f"""
+WITH {_TOK_CTE},
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, jaro_winkler_similarity(term, 'sorta') AS similarity,
+       CAST(df AS BIGINT) AS df
+FROM td
+WHERE jaro_winkler_similarity(term, 'sorta') >= 0.7
+  AND term <> 'sorta' AND term LIKE 's%'
+ORDER BY similarity DESC, df DESC, term ASC LIMIT 8""",
         "stream_merge_unique": """
 SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')

@@ -504,7 +504,9 @@ def suggest_fuzzy(index: IndexView, q: str, k: int = 10, max_edits: int = 1,
 
 def spell_suggest(index: IndexView, term: str, max_edits: int = 2,
                   k: int = 5, min_df: int = 1,
-                  prefix_length: int = 1) -> DataFrame:
+                  prefix_length: int = 1,
+                  distance: str = "osa",
+                  accuracy: float = 0.5) -> DataFrame:
     """DirectSpellChecker analog (``[8x] lucene/suggest/.../spell/
     DirectSpellChecker.java``): dictionary terms within OSA (Damerau)
     distance of the input, ranked by (distance asc, docFreq desc, term
@@ -517,20 +519,48 @@ def spell_suggest(index: IndexView, term: str, max_edits: int = 2,
     StartsWith predicate is pushed into the term-sorted parquet scan —
     on a 10^8-term dictionary the kernel then touches one row-group
     range, the FST-prefix-seek analog.  Pass 0 to scan the whole
-    dictionary."""
-    from .fuzzy import osa_distances
+    dictionary.
 
+    ``distance`` selects the StringDistance (DirectSpellChecker's
+    ``setDistance`` slot): ``"osa"`` (the default, LevenshteinDistance/
+    OSA ranked by edit distance asc) or ``"jaro_winkler"``
+    (JaroWinklerDistance, ``[8x] lucene/suggest/.../spell/
+    JaroWinklerDistance.java`` — similarity desc, candidates below
+    ``accuracy`` dropped, DirectSpellChecker's 0.5 default)."""
+    from .fuzzy import jaro_winkler_batch, osa_distances
+
+    if distance not in ("osa", "jaro_winkler"):
+        raise ValueError(f"unknown spell distance: {distance!r}")
     target, cap = term, max_edits
-
-    @F.pandas_udf("int")
-    def _dist(terms: pd.Series) -> pd.Series:
-        return pd.Series(osa_distances(terms, target, cap=cap).astype(np.int32))
 
     dictionary = index.term_dict
     if prefix_length > 0:
         dictionary = dictionary.filter(
             F.col("term").startswith(term[:prefix_length])
         )
+
+    if distance == "jaro_winkler":
+
+        @F.pandas_udf("double")
+        def _sim(terms: pd.Series) -> pd.Series:
+            return pd.Series(jaro_winkler_batch(terms, target))
+
+        cand = (
+            dictionary.withColumn("_sim", _sim(F.col("term")))
+            .filter((F.col("_sim") >= accuracy) & (F.col("term") != target)
+                    & (F.col("df") >= min_df))
+        )
+        return (
+            cand.orderBy(F.desc("_sim"), F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select("term", F.col("_sim").alias("similarity"),
+                    F.col("df").cast("long").alias("df"))
+        )
+
+    @F.pandas_udf("int")
+    def _dist(terms: pd.Series) -> pd.Series:
+        return pd.Series(osa_distances(terms, target, cap=cap).astype(np.int32))
+
     cand = (
         dictionary.withColumn("_dist", _dist(F.col("term")))
         .filter((F.col("_dist") <= cap) & (F.col("_dist") > 0)

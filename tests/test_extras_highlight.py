@@ -436,3 +436,31 @@ def test_combined_field_query_bm25f(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_spell_suggest_jaro_winkler(spark):
+    import pytest as _pytest
+
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import spell_suggest
+
+    docs = spark.createDataFrame(
+        [(0, "class classes classic clash clear"), (1, "class claim clamp")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        got = spell_suggest(idx, "clas", k=5, distance="jaro_winkler",
+                            accuracy=0.7).collect()
+        # ranked by JW similarity desc; 'class' (one insertion, shared
+        # 4-char prefix) beats longer edits
+        assert got[0]["term"] == "class"
+        assert got[0]["similarity"] > got[-1]["similarity"]
+        assert all(r["term"] != "clas" for r in got)
+        # the exact term itself is excluded, distances are similarities
+        assert all(0.7 <= r["similarity"] <= 1.0 for r in got)
+        with _pytest.raises(ValueError, match="spell distance"):
+            spell_suggest(idx, "clas", distance="nope")
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()

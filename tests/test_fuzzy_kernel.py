@@ -107,3 +107,67 @@ def test_sloppy_batch_microbench_5x():
     assert np.allclose(got, ref)
     speedup = t_loop / max(t_batch, 1e-9)
     assert speedup >= 5.0, f"batched sweep only {speedup:.1f}x"
+
+
+def _jw_ref(s1: str, s2: str) -> float:
+    """Per-pair classic Jaro-Winkler (threshold 0.7, prefix 4, p=0.1)."""
+    if len(s2) == 0:
+        return 1.0 if len(s1) == 0 else 0.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0:
+        return 0.0
+    md = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(i + md + 1, l2)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t, k = 0, 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    if j > 0.7:
+        pl = 0
+        for a, b in zip(s1, s2):
+            if a == b and pl < 4:
+                pl += 1
+            else:
+                break
+        return j + pl * 0.1 * (1 - j)
+    return j
+
+
+@given(st.lists(WORD, max_size=50), WORD)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_batch_matches_reference(words, target):
+    from lucene_solr_spark.search.fuzzy import jaro_winkler_batch
+
+    got = jaro_winkler_batch(pd.Series(words, dtype=object), target)
+    want = np.array([_jw_ref(w, target) for w in words], dtype=np.float64)
+    assert got.shape == want.shape
+    assert (got == want).all()  # bit-exact, f64 throughout
+
+
+def test_jaro_winkler_classics():
+    from lucene_solr_spark.search.fuzzy import jaro_winkler_batch
+
+    got = jaro_winkler_batch(
+        pd.Series(["marhta", "dixon", "duane", "martha"]), "martha"
+    )
+    assert abs(got[0] - 0.9611111111111111) < 1e-15  # the canonical pair
+    assert got[3] == 1.0
+    # no boost below the 0.7 threshold
+    low = jaro_winkler_batch(pd.Series(["zzzzax"]), "axq")
+    assert low[0] <= 0.7
