@@ -789,6 +789,91 @@ def q_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_edismax_pf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eDisMax phrase-field boost (pf): the query's word sequence becomes
+    an optional Phrase clause per pf field (boost 3), so docs containing
+    the words adjacently outrank bag-of-words matches WITHOUT changing
+    the match set.  Oracle mirrors the stepwise-f32 scorer boundaries:
+    f32 term leaves -> f64 Or sum -> f32, phrase pseudo-term weight =
+    f32(f64 idf sum) * f32(boost), final Bool sum f64 -> f32."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.search import edismax_query
+
+    d = _docs(spark, sf_dir)
+    idx = build_multifield_index_view(
+        d, fields={"text": "text"}, default_field="text"
+    )
+    q = edismax_query(f"{PHRASE[0]} {PHRASE[1]}", {"text": 1.0},
+                      pf={"text": 3.0})
+    out = search(idx, q, k=20).select(
+        "doc_id", F.col("score").cast("float").alias("score")
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _edismax_pf_oracle() -> str:
+    """edismax pf in DuckDB: the f32 leaf/boundary discipline of
+    _edismax_oracle plus the phrase pseudo-term score."""
+    f = lambda x: f"CAST({x} AS FLOAT)"
+    inv = (
+        f"({f(1)} / ({f('12e-1')} * (({f(1)} - {f('75e-2')})"
+        f" + ({f('75e-2')} * {f('qdl')}) /"
+        f" {f('(CAST(sum_ttf AS DOUBLE) / n_docs)')})))"
+    )
+
+    def leaf(term: str, alias: str) -> str:
+        return f"""
+{alias}_tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id),
+{alias}_df AS (SELECT count(*) AS df FROM {alias}_tf),
+{alias}_in AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM {alias}_tf t JOIN dl d USING (doc_id), {alias}_df f, stats s
+  WHERE f.df > 0
+),
+{alias} AS (SELECT doc_id,
+  {_bm25_f32_sql("n_docs", "(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS s
+  FROM {alias}_in)"""
+
+    idf = lambda dfa: f(f"ln(1e0 + ((s.n_docs - {dfa}.df) + 5e-1) / ({dfa}.df + 5e-1))")
+    idf_sum32 = f("CAST(" + idf("f1") + " AS DOUBLE) + CAST(" + idf("f2") + " AS DOUBLE)")
+    w_expr = f(idf_sum32 + " * " + f("3e0"))
+    return f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),{leaf(PHRASE[0], "t1")},{leaf(PHRASE[1], "t2")},
+or_c AS (SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS s
+         FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) GROUP BY doc_id),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+ph_tf AS (
+  SELECT a.doc_id, count(*) AS tf
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+),
+wv AS (SELECT {w_expr} AS w
+       FROM t1_df f1, t2_df f2, stats s),
+ph_in AS (SELECT t.doc_id, t.tf, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+                 s.n_docs, s.sum_ttf
+          FROM ph_tf t JOIN dl d USING (doc_id), stats s),
+ph AS (SELECT doc_id,
+       CAST(w.w - w.w / ({f(1)} + {f('tf')} * {inv}) AS FLOAT) AS s
+       FROM ph_in, wv w)
+SELECT o.doc_id,
+       CAST(CAST(o.s AS DOUBLE) + COALESCE(CAST(p.s AS DOUBLE), 0e0) AS FLOAT) AS score
+FROM or_c o LEFT JOIN ph p USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+
 RERANK_WINDOW = 40
 RERANK_WEIGHT = "2e0"
 #: shared combine expression — identical text in Spark SQL and DuckDB:
@@ -4284,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "multifield_dict": q_multifield_dict,
         "edismax": q_edismax,
+        "edismax_pf": q_edismax_pf,
         "term_vector": q_term_vector,
         "fts_fuzzy": q_fts_fuzzy,
         "search_after": q_search_after,
@@ -7236,6 +7322,7 @@ FROM tok WHERE term LIKE 's%' GROUP BY term ORDER BY term""",
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY event_type ORDER BY event_type""",
         "edismax": _edismax_oracle(),
+        "edismax_pf": _edismax_pf_oracle(),
         "rerank": _rerank_oracle(),
         "boost_function": _boost_function_oracle(),
         "block_join": _block_join_oracle(),

@@ -540,7 +540,9 @@ def parse_query(s: str):
 
 
 def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
-                  mm: int = 0):
+                  mm: int = 0, pf: dict[str, float] | None = None,
+                  ps: int = 0, pf2: dict[str, float] | None = None,
+                  pf3: dict[str, float] | None = None):
     """eDisMax field-boosted multi-field query (``[8x] solr/core/src/java/
     org/apache/solr/search/ExtendedDismaxQParser.java`` core behavior):
     parse ``s`` with the standard grammar, then rewrite every UNQUALIFIED
@@ -549,6 +551,13 @@ def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
     given ``tie_breaker``; explicitly qualified leaves (``title:foo``)
     are left alone.  ``mm`` applies minimumNumberShouldMatch to a
     top-level disjunction (Solr's ``mm`` param).
+
+    ``pf`` / ``pf2`` / ``pf3`` are Solr's phrase-boost fields: the
+    query's unqualified terms, in order, become an optional (SHOULD)
+    exact-or-sloppy Phrase per pf field (``ps`` = phrase slop) — pf over
+    the whole term sequence, pf2/pf3 over consecutive bigrams/trigrams —
+    so documents matching the words AS A PHRASE rank higher without
+    changing the match set (ExtendedDismaxQParser#addShingledPhraseQueries).
 
     The result runs on a multi-field index (``build_multifield_index_
     view`` / ``build_index(fields=...)``) where terms live as
@@ -584,12 +593,45 @@ def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
                         n.min_should_match)
         return n  # MatchAll
 
-    q = fieldize(parse_query(s))
+    parsed = parse_query(s)
+    q = fieldize(parsed)
     if mm:
         if isinstance(q, Or):
             q = Bool(should=q.clauses, min_should_match=mm)
         elif isinstance(q, Bool):
             q = Bool(q.must, q.should, q.must_not, q.filter, mm)
+
+    # phrase-boost clauses: the unqualified terms of the user query, in
+    # parse order (Solr shingles the "sow" word sequence)
+    if pf or pf2 or pf3:
+        words: list[str] = []
+
+        def walk(n):
+            if isinstance(n, Term):
+                if qualify_query(n, "\x00probe") != n:  # unqualified only
+                    words.append(n.term)
+            elif isinstance(n, (And, Or)):
+                for c in n.clauses:
+                    walk(c)
+            elif isinstance(n, Bool):
+                for c in (*n.must, *n.should):
+                    walk(c)
+
+        walk(parsed)
+        boosts = []
+        for fields, size in ((pf, 0), (pf2, 2), (pf3, 3)):
+            if not fields:
+                continue
+            grams = ([words] if size == 0 else
+                     [words[i:i + size] for i in range(len(words) - size + 1)])
+            for g in grams:
+                if len(g) < 2:
+                    continue
+                for f, b in fields.items():
+                    ph = Phrase(*g, boost=b, slop=ps if size == 0 else 0)
+                    boosts.append(qualify_query(ph, f))
+        if boosts:
+            q = Bool(must=(q,), should=tuple(boosts))
     return rewrite(q)
 
 

@@ -305,3 +305,45 @@ def test_edismax_engine_vs_oracle(engine, oracle):
         got = _run(engine, q)
         want = oracle.search(q, k=10)
         assert got == want, (s, qf, tie)
+
+
+def test_edismax_pf_structure():
+    from lucene_solr_spark.search import edismax_query
+    from lucene_solr_spark.search.query import Phrase
+
+    q = edismax_query("hash join", {"text": 1.0}, pf={"text": 5.0}, ps=1)
+    # main query wrapped in Bool(must=[...], should=[pf phrases])
+    assert isinstance(q, Bool) and len(q.must) == 1 and len(q.should) == 1
+    ph = q.should[0]
+    assert isinstance(ph, Phrase) and ph.terms == ("text:hash", "text:join")
+    assert ph.boost == 5.0 and ph.slop == 1
+    # pf2 over 3 words -> two bigram phrases per field
+    q2 = edismax_query("a b c", {"text": 1.0}, pf2={"text": 2.0, "src": 1.0})
+    bigrams = {tuple(p.terms) for p in q2.should}
+    assert bigrams == {("text:a", "text:b"), ("text:b", "text:c"),
+                       ("src:a", "src:b"), ("src:b", "src:c")}
+    # single-word query: no phrase possible, query unchanged shape
+    q3 = edismax_query("solo", {"text": 1.0}, pf={"text": 2.0})
+    assert not isinstance(q3, Bool)
+    # explicitly qualified terms are NOT shingled into pf phrases
+    q4 = edismax_query("src:x alpha beta", {"text": 1.0}, pf={"text": 2.0})
+    ph4 = q4.should[0]
+    assert ph4.terms == ("text:alpha", "text:beta")
+
+
+def test_edismax_pf_engine_vs_oracle(engine, oracle):
+    from lucene_solr_spark.search import edismax_query
+
+    for kwargs in [
+        dict(pf={"content": 3.0}),
+        dict(pf={"content": 3.0}, ps=2),
+        dict(pf={"content": 2.0, "path": 1.0}, pf2={"content": 1.5}),
+    ]:
+        q = edismax_query("def main", {"content": 1.0, "path": 1.0}, **kwargs)
+        got = _run(engine, q)
+        want = oracle.search(q, k=10)
+        assert got == want, kwargs
+        # the phrase boost must not change the MATCH SET, only scores
+        base = edismax_query("def main", {"content": 1.0, "path": 1.0})
+        assert {d for d, _ in oracle.search(base, k=100)} == \
+               {d for d, _ in oracle.search(q, k=100)}
