@@ -2184,6 +2184,42 @@ def q_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_truncate_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TruncateTokenFilter(4) term dictionary — every token trimmed to
+    its 4-char prefix (the poor-man's stemmer), cross-checked in SQL."""
+    from lucene_solr_spark.analysis import Chain, truncate_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(truncate_filter(4),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
+def q_limit_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LimitTokenCountFilter(30) term dictionary — only each document's
+    first 30 tokens are indexed (Solr maxFieldLength)."""
+    from lucene_solr_spark.analysis import Chain, limit_token_count_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(limit_token_count_filter(30),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
 def q_edge_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EdgeNGram chain (2..4 prefixes, no originals) term dictionary —
     the search-as-you-type indexing path, cross-checked in SQL."""
@@ -4450,6 +4486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
         "ngram_dict": q_ngram_dict,
+        "truncate_dict": q_truncate_dict,
+        "limit_dict": q_limit_dict,
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
         "mlt_text": q_mlt_text,
@@ -6480,6 +6518,24 @@ grams AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM grams GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
+        "truncate_dict": f"""
+WITH {_TOK_CTE}
+SELECT substr(term, 1, 4) AS term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY substr(term, 1, 4)
+ORDER BY cf DESC, term ASC LIMIT 50""",
+        "limit_dict": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tokp WHERE ord <= 30 GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
         "edge_ngram_dict": f"""
 WITH {_TOK_CTE},

@@ -74,6 +74,10 @@ __all__ = [
     "common_grams_filter",
     "stop_filter",
     "length_filter",
+    "Limit",
+    "truncate_filter",
+    "limit_token_count_filter",
+    "keyword_repeat_stem_filter",
     "chain_spec",
     "chain_from_spec",
 ]
@@ -339,6 +343,17 @@ class Length:
 
 
 @dataclass(frozen=True)
+class Limit:
+    """LimitTokenCountFilter: keep only the first ``max_tokens`` tokens
+    of each document's stream (``[8x] lucene/analysis/common/.../
+    miscellaneous/LimitTokenCountFilter.java`` — Solr's
+    maxFieldLength replacement).  Counts STREAM tokens at this chain
+    position, like Lucene (not positions)."""
+
+    max_tokens: int
+
+
+@dataclass(frozen=True)
 class Map:
     """Token → token filter (stem, fold); vectorized per unique token.
 
@@ -523,6 +538,47 @@ def stem_filter(protected: "tuple[str, ...] | list[str]" = ()) -> Map:
         "porter_protected",
         params=(prot,),
     )
+
+
+def truncate_filter(length: int) -> Map:
+    """TruncateTokenFilter (``[8x] lucene/analysis/common/.../
+    miscellaneous/TruncateTokenFilter.java``): trim every token to at
+    most ``length`` chars (prefix truncation — the classic poor-man's
+    stemmer).  NOT prefix_safe despite being a prefix map: truncating a
+    query prefix longer than ``length`` changes its match set."""
+    if length < 1:
+        raise ValueError("truncate length must be >= 1")
+    return Map(lambda t: t[:length], name="truncate", params=(length,))
+
+
+def limit_token_count_filter(max_tokens: int) -> Limit:
+    """LimitTokenCountFilter: index only each document's first
+    ``max_tokens`` stream tokens (Solr's maxFieldLength)."""
+    if max_tokens < 0:
+        raise ValueError("max_tokens must be >= 0")
+    return Limit(max_tokens)
+
+
+def keyword_repeat_stem_filter(protected: "tuple[str, ...] | list[str]" = ()) -> Expand:
+    """The KeywordRepeatFilter → PorterStemFilter →
+    RemoveDuplicatesTokenFilter trio fused into one step (``[8x]
+    lucene/analysis/common/.../miscellaneous/KeywordRepeatFilter.java`` /
+    ``RemoveDuplicatesTokenFilter.java``): every token is indexed BOTH
+    as itself and as its stem, at the same position, with exact-form
+    duplicates removed — so exact-form queries still match exactly while
+    stemmed recall is kept.  Query side expands a Term into
+    Or(original, stem), Lucene's SynonymQuery for same-position
+    multi-token analysis (hence ``query_expand=True``)."""
+    prot = frozenset(protected)
+
+    def fn(t: str) -> tuple:
+        if t in prot:
+            return (t,)
+        s = porter_stem(t)
+        return (t,) if s == t else (t, s)
+
+    return Expand(fn, name="keyword_repeat_stem",
+                  params=(tuple(sorted(prot)),), query_expand=True)
 
 
 def ascii_fold_filter() -> Map:
@@ -761,6 +817,8 @@ class Chain:
             elif isinstance(step, Length):
                 stream = [(t, p) for t, p in stream
                           if step.min_len <= len(t) <= step.max_len]
+            elif isinstance(step, Limit):
+                stream = stream[: step.max_tokens]
             elif isinstance(step, Map):
                 stream = [(step.fn(t), p) for t, p in stream]
             elif isinstance(step, Expand):
@@ -803,6 +861,21 @@ class Chain:
             elif isinstance(step, Length):
                 lens = pd.Series(terms).str.len().to_numpy()
                 keep = (lens >= step.min_len) & (lens <= step.max_len)
+                terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+            elif isinstance(step, Limit):
+                # per-row stream ordinal; a stable sort by row reproduces
+                # the reference's per-row stream order even after steps
+                # that append globally (Shingle's unigrams-then-grams)
+                order = np.argsort(row_idx, kind="stable")
+                r = row_idx[order]
+                idx = np.arange(terms.size, dtype=np.int64)
+                change = np.empty(terms.size, dtype=bool)
+                change[0] = True
+                change[1:] = r[1:] != r[:-1]
+                row_start = np.maximum.accumulate(np.where(change, idx, 0))
+                keep_sorted = (idx - row_start) < step.max_tokens
+                keep = np.empty(terms.size, dtype=bool)
+                keep[order] = keep_sorted
                 terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
             elif isinstance(step, Map):
                 uniq, inv = np.unique(terms.astype(object), return_inverse=True)
@@ -933,6 +1006,13 @@ def chain_spec(chain: Chain) -> dict | None:
         elif isinstance(step, Map) and step.name == "porter_protected":
             steps.append({"kind": "porter_protected",
                           "words": list(step.params[0])})
+        elif isinstance(step, Map) and step.name == "truncate":
+            steps.append({"kind": "truncate", "length": step.params[0]})
+        elif isinstance(step, Limit):
+            steps.append({"kind": "limit", "max_tokens": step.max_tokens})
+        elif isinstance(step, Expand) and step.name == "keyword_repeat_stem":
+            steps.append({"kind": "keyword_repeat_stem",
+                          "protected": list(step.params[0])})
         elif isinstance(step, Expand) and step.name == "word_delimiter":
             preserve, cat = step.params
             steps.append({"kind": "word_delimiter", "preserve_original": preserve,
@@ -1007,6 +1087,12 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(stem_filter())
         elif kind == "porter_protected":
             steps.append(stem_filter(protected=s["words"]))
+        elif kind == "truncate":
+            steps.append(truncate_filter(s["length"]))
+        elif kind == "limit":
+            steps.append(limit_token_count_filter(s["max_tokens"]))
+        elif kind == "keyword_repeat_stem":
+            steps.append(keyword_repeat_stem_filter(s.get("protected", ())))
         elif kind == "ascii_fold":
             steps.append(ascii_fold_filter())
         elif kind == "soundex":

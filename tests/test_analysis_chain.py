@@ -22,6 +22,9 @@ from lucene_solr_spark.analysis import (
     stem_filter,
     stop_filter,
     synonym_filter,
+    truncate_filter,
+    limit_token_count_filter,
+    keyword_repeat_stem_filter,
 )
 from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
 from lucene_solr_spark.index import build_index_view
@@ -101,6 +104,14 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (common_grams_filter(["the", "of", "a"]),),
         (stem_filter(), common_grams_filter(["the", "of"])),
         (common_grams_filter(["the"]), shingle_filter(2)),
+        (truncate_filter(4),),
+        (truncate_filter(5), stem_filter()),
+        (keyword_repeat_stem_filter(),),
+        (keyword_repeat_stem_filter(protected=("flies",)), shingle_filter(2)),
+        (limit_token_count_filter(3),),
+        (stop_filter(["the"]), limit_token_count_filter(4)),
+        (shingle_filter(2), limit_token_count_filter(5)),
+        (limit_token_count_filter(0),),
     ],
 )
 def test_chain_flat_matches_reference(steps):
@@ -490,3 +501,66 @@ def test_common_grams_semantics():
     assert all((t, p) in toks for p, t in
                enumerate(["top", "of", "the", "list", "now"]))
     assert chain_from_spec(chain_spec(chain)) == chain
+
+
+def test_truncate_limit_keywordrepeat_semantics():
+    ch = Chain(steps=(truncate_filter(4),))
+    assert [t for t, _ in ch.tokens("relational merge xy")] == ["rela", "merg", "xy"]
+    with pytest.raises(ValueError):
+        truncate_filter(0)
+    # limit keeps only the first N stream tokens
+    ch2 = Chain(steps=(limit_token_count_filter(2),))
+    assert ch2.tokens("a b c d") == [("a", 0), ("b", 1)]
+    # ...counting SURVIVING tokens when placed after a stop filter
+    ch3 = Chain(steps=(stop_filter(["a"]), limit_token_count_filter(2)))
+    assert ch3.tokens("a b c d") == [("b", 1), ("c", 2)]
+    with pytest.raises(ValueError):
+        limit_token_count_filter(-1)
+    # keyword repeat: original AND stem at the same position, deduped
+    ch4 = Chain(steps=(keyword_repeat_stem_filter(),))
+    assert ch4.tokens("running fast") == [
+        ("running", 0), ("run", 0), ("fast", 1)
+    ]
+    ch5 = Chain(steps=(keyword_repeat_stem_filter(protected=("running",)),))
+    assert ch5.tokens("running") == [("running", 0)]
+
+
+def test_new_steps_spec_roundtrip():
+    from lucene_solr_spark.analysis import chain_from_spec, chain_spec
+
+    ch = Chain(steps=(stop_filter(["the"]), truncate_filter(6),
+                      keyword_repeat_stem_filter(protected=("xy",)),
+                      limit_token_count_filter(50)))
+    spec = chain_spec(ch)
+    assert spec is not None
+    assert chain_from_spec(spec) == ch
+
+
+def test_keyword_repeat_query_side_matches_index(spark):
+    """An exact-form query matches the exact form; a stemmed-away form
+    matches via the stem — Lucene's SynonymQuery on the query side."""
+    import numpy as np
+
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import Term, analyze_query, search
+
+    chain = Chain(steps=(keyword_repeat_stem_filter(),))
+    docs = [(0, "running shoes"), (1, "run forest"), (2, "nothing here")]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    idx = build_index_view(df, id_col="doc_id", text_col="content",
+                           analyzer=chain)
+    oracle = MiniLucene(docs, analyzer=chain)
+    try:
+        for q in [Term("running"), Term("run"), Term("runs")]:
+            aq = analyze_query(q, chain)
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, aq, k=10).collect()]
+            assert got == oracle.search(aq, k=10), q
+        # 'running' (query-expanded to Or(running, run)) matches BOTH docs
+        aq = analyze_query(Term("running"), chain)
+        ids = {d for d, _ in oracle.search(aq, k=10)}
+        assert ids == {0, 1}
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
