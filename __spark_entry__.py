@@ -1201,6 +1201,29 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (gibberish / binary-spill
+    filter): quantized integer nano-bit contributions summed per doc —
+    order-independent, so the oracle replays it exactly."""
+    from lucene_solr_spark.pipeline.filters import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain cap of web corpora):
+    keep at most 15 docs per source, chosen by a deterministic md5
+    lottery both engines replay."""
+    from lucene_solr_spark.pipeline.filters import cap_per_key
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        cap_per_key(d, "source", 15)
+        .select("doc_id", "source", F.col("cap_rank").cast("int").alias("cap_rank"))
+        .orderBy("source", "cap_rank")
+    )
+
+
 def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020 §2.2): per-line retention
     (terminal punctuation, >=5 words, no 'javascript'), document drops
@@ -4437,6 +4460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_gopher": q_quality_gopher,
         "quality_c4": q_quality_c4,
+        "char_entropy": q_char_entropy,
+        "domain_cap": q_domain_cap,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
@@ -6209,6 +6234,7 @@ def oracle_sql() -> dict[str, str]:
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
     from lucene_solr_spark.pipeline.classify import igain_sql
+    from lucene_solr_spark.pipeline.filters import ENTROPY_CONTRIB_SQL
     from lucene_solr_spark.relational import relatedness_sql
 
     _rel_expr = relatedness_sql("fg_count", "fg_size", "bg_count", "bg_size")
@@ -7641,6 +7667,35 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10""",
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS group_count
 FROM lineitem GROUP BY l_returnflag
 ORDER BY group_count DESC, l_returnflag ASC LIMIT 10""",
+        "char_entropy": f"""
+WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+             FROM documents),
+per AS (SELECT doc_id, substr(text, i, 1) AS ch, count(*) AS cnt
+        FROM pos GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM per GROUP BY doc_id),
+contrib AS (SELECT p.doc_id, {ENTROPY_CONTRIB_SQL} AS q
+            FROM per p JOIN tot USING (doc_id)),
+agg AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS entropy_q
+        FROM contrib GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.entropy_q, 0) AS BIGINT) AS entropy_q,
+       COALESCE(a.entropy_q, 0) / 1e9 AS entropy
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id""",
+        "domain_cap": """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap' || ':' || source || ':' || CAST(doc_id AS VARCHAR)),
+                    doc_id
+         ) AS INTEGER) AS cap_rank
+  FROM documents
+)
+SELECT doc_id, source, cap_rank FROM ranked
+WHERE cap_rank <= 15 ORDER BY source, cap_rank""",
         "drill_sideways": """
 WITH a AS (
   SELECT 'o_orderstatus' AS dim, CAST(o_orderstatus AS VARCHAR) AS value,

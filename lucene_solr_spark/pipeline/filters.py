@@ -36,7 +36,8 @@ from .hashing import TOKENS_SQL, h64_sql
 __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
            "temperature_sample", "dsir_weights", "dsir_select",
            "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
-           "secret_scan", "SECRET_RULES"]
+           "secret_scan", "SECRET_RULES", "cap_per_key", "char_entropy",
+           "ENTROPY_CONTRIB_SQL"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -630,4 +631,82 @@ def quality_c4(
         (F.col("n_sentences") >= int(min_sentences))
         & ~F.col("has_lorem")
         & ~F.col("has_brace"),
+    )
+
+
+#: one char-frequency bucket's entropy contribution in integer nano-bits:
+#: (cnt/n) * log2(n/cnt) * 1e9, floored — shared text, so Spark and
+#: DuckDB compute the identical f64 then the identical BIGINT, and the
+#: per-doc SUM of BIGINTs is order-independent (the quantized-integer
+#: discipline of dsir_weights / naive_bayes)
+ENTROPY_CONTRIB_SQL = (
+    "CAST(floor(cnt * (ln(CAST(n AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))"
+    " / ln(2e0) * 1e9 / n) AS BIGINT)"
+)
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the classic
+    gibberish / binary-spill / low-information filter a pre-training
+    pipeline runs beside the Gopher rules (high-entropy ≈ random bytes,
+    near-zero ≈ one repeated char; natural text sits ~3.5-4.5).
+
+    Shape: one (doc, char) explode + partial-agg shuffle, then a doc-keyed
+    integer sum — the same two-agg cascade as corpus_diversity.  Returns
+    [id_col, n_chars, entropy_q (integer nano-bits), entropy (float)].
+    Empty docs report entropy 0."""
+    chars = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "")).alias("_i", "ch"),
+    ).filter(F.col("ch") != "")
+    per = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = per.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("n"))
+    contrib = per.join(tot, id_col).withColumn(
+        "q", F.expr(ENTROPY_CONTRIB_SQL)
+    )
+    out = contrib.groupBy(id_col).agg(
+        F.max("n").alias("n_chars"),
+        F.sum("q").cast("long").alias("entropy_q"),
+    )
+    base = df.select(id_col).distinct()
+    return (
+        base.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.col("entropy_q"), F.lit(0)).cast("long").alias("entropy_q"),
+            (F.coalesce(F.col("entropy_q"), F.lit(0)) / F.lit(1e9))
+            .cast("double").alias("entropy"),
+        )
+    )
+
+
+def cap_per_key(df: DataFrame, key: str, n: int,
+                id_col: str = "doc_id", salt: str = "cap") -> DataFrame:
+    """Per-key document cap: keep at most ``n`` rows per ``key`` (the
+    per-domain / per-source cap every web-scale corpus applies so a
+    single crawl host cannot dominate the mixture).  Selection is a
+    deterministic md5 lottery — rank rows within the key by
+    md5(salt:key:id) and keep the first ``n`` — so the choice is
+    unbiased, reproducible across engines/partitionings/retries, and
+    independent of input order (same discipline as stratified_sample).
+
+    One window over the key (shuffle on key; a hot key's partition holds
+    only that key's rows — at 100 TB a pathological single-domain skew
+    would call for pre-aggregation, which the md5 rank allows since any
+    n-subset by rank can be found with a bounded top-n per partition
+    first).  Returns the capped frame with a ``cap_rank`` column."""
+    if n < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"),
+                          F.col(id_col).cast("string")))
+    w = Window.partitionBy(key).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= n)
     )

@@ -1053,3 +1053,60 @@ def test_ivfpq_composition_properties(spark):
         cur = (-r["cosine"], r["id"])
         assert prev is None or prev <= cur
         prev = cur
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from lucene_solr_spark.pipeline.filters import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    # entropy("aaaa") = 0; ("abab") = 1 bit; ("abcd") = 2 bits
+    def q(counts, n):
+        return sum(
+            math.floor(c * (math.log(n) - math.log(c)) / math.log(2.0) * 1e9 / n)
+            for c in counts
+        )
+    assert got[0]["entropy_q"] == 0
+    assert got[1]["entropy_q"] == q([2, 2], 4)
+    assert abs(got[1]["entropy"] - 1.0) < 1e-6
+    assert got[2]["entropy_q"] == q([1, 1, 1, 1], 4)
+    assert abs(got[2]["entropy"] - 2.0) < 1e-6
+    assert got[3]["entropy_q"] == 0 and got[3]["n_chars"] == 0
+    # partitioning invariance (integer sums are order-independent)
+    got2 = {r["doc_id"]: r["entropy_q"]
+            for r in char_entropy(df.repartition(5)).collect()}
+    assert got2 == {k: v["entropy_q"] for k, v in got.items()}
+
+
+def test_cap_per_key_deterministic(spark):
+    import hashlib
+
+    from lucene_solr_spark.pipeline.filters import cap_per_key
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, "source", 4).collect()
+    # exactly 4 per key, ranks 1..4
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append((r["cap_rank"], r["doc_id"]))
+    assert all(sorted(k for k, _ in v) == [1, 2, 3, 4] for v in per.values())
+    # replay the md5 lottery
+    for src, kept in per.items():
+        ids = [i for i, s in rows if s == src]
+        want = sorted(
+            ids, key=lambda i: (hashlib.md5(f"cap:{src}:{i}".encode()).hexdigest(), i)
+        )[:4]
+        assert sorted(i for _, i in kept) == sorted(want), src
+    # invariance under partitioning
+    out2 = cap_per_key(df.repartition(7), "source", 4).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in out2) == \
+           sorted((r["source"], r["doc_id"]) for r in out)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_key(df, "source", 0)
