@@ -2546,6 +2546,16 @@ def q_facet_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic (equal-weight) range facets: o_totalprice split into 8
+    quantile buckets by integer rank cuts — two-phase distributed rank,
+    no single-partition window; the oracle replays the cuts exactly."""
+    from lucene_solr_spark.relational import facet_dynamic_range
+
+    o = _tbl(spark, sf_dir, "orders")
+    return facet_dynamic_range(o, "o_totalprice", 8, "o_orderkey")
+
+
 def q_facet_numbuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON facet numBuckets + allBuckets: top-3 o_orderpriority buckets
     plus the distinct-bucket count and the all-docs bucket."""
@@ -4549,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_sideways": q_drill_sideways,
         "facet_relatedness": q_facet_relatedness,
         "facet_numbuckets": q_facet_numbuckets,
+        "facet_dynamic_range": q_facet_dynamic_range,
         "export_stream": q_export_stream,
         "group_facet": q_group_facet,
         "mlt_interesting": q_mlt_interesting,
@@ -7725,6 +7736,19 @@ SELECT source, fg_count, bg_count,
        {_rel_expr} AS relatedness
 FROM per, tot WHERE fg_count >= 1
 ORDER BY relatedness DESC, source ASC LIMIT 10""",
+        "facet_dynamic_range": """
+WITH base AS (
+  SELECT o_totalprice AS v, o_orderkey AS id FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+nn AS (SELECT count(*) AS n FROM base),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, id) - 1 AS r FROM base
+)
+SELECT CAST((r * 8) // nn.n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+FROM ranked, nn GROUP BY 1 ORDER BY bucket""",
         "facet_numbuckets": """
 WITH base AS (SELECT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL),
 b AS (

@@ -59,6 +59,7 @@ __all__ = [
     "facet_taxonomy",
     "pivot_stats",
     "drill_sideways",
+    "facet_dynamic_range",
     "facet_relatedness",
     "relatedness_sql",
     "facet_terms_meta",
@@ -631,6 +632,65 @@ def facet_excluding(df: DataFrame, filters: dict[str, Column],
         if tag != facet_field:
             domain = domain.filter(cond)
     return facet_terms(domain, facet_field, limit=limit)
+
+
+def facet_dynamic_range(df: DataFrame, field: str, buckets: int,
+                        id_col: str) -> DataFrame:
+    """Dynamic (equal-weight) range facets (``[8x] lucene/facet/src/java/
+    org/apache/lucene/facet/range/DynamicRangeUtil.java``): split the
+    numeric field's value distribution into ``buckets`` ranges of equal
+    DOC WEIGHT — quantile cuts, not fixed gaps — so every bucket is
+    equally populated however skewed the values.
+
+    Row rank in (value, id) order is computed with the two-phase
+    distributed cumulative scheme of ``pack_sequences`` (range
+    repartition → bounded per-partition counts → within-partition
+    window) — NO single-partition exchange, unlike a naive global
+    ntile.  Bucket of rank r = r·buckets div n (integer arithmetic, so
+    a SQL oracle replays the cuts exactly).  Returns
+    [bucket, cnt, lo, hi] — each bucket's population and value span."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    d = (
+        df.filter(F.col(field).isNotNull())
+        .select(F.col(field).alias("_v"), F.col(id_col).alias("_id"))
+        .repartitionByRange("_v", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if not df.is_cached:
+        d = d.persist()
+    counts = {
+        int(r["_pid"]): int(r["c"])
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n = acc
+    if n == 0:
+        return d.sparkSession.createDataFrame(
+            [], "bucket long, cnt long, lo double, hi double"
+        )
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy("_v", "_id")
+    ranked = d.withColumn(
+        "_rank", off_map[F.col("_pid")] + F.row_number().over(w) - 1
+    )
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"CAST((_rank * {int(buckets)}) DIV {n} AS BIGINT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("_v").cast("double").alias("lo"),
+            F.max("_v").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def drill_sideways(df: DataFrame, filters: dict[str, Column],

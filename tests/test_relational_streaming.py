@@ -281,3 +281,30 @@ def test_facet_terms_meta_numbuckets_allbuckets(spark):
     assert ("bucket", "c") not in kinds        # beyond the page limit
     assert kinds[("numBuckets", None)] == 3    # ...but still counted here
     assert kinds[("allBuckets", None)] == 10   # NULL row excluded
+
+
+def test_facet_dynamic_range_equal_weight(spark):
+    # 100 heavily skewed values: buckets must still be equally populated
+    rows = [(i, float(1 if i < 90 else i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = R.facet_dynamic_range(df, "v", 4, "id").collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3]
+    assert all(r["cnt"] == 25 for r in out)
+    # ranks tie-break by id inside the constant run; the last bucket
+    # spans the skewed tail
+    assert out[0]["lo"] == 1.0 and out[3]["hi"] == 99.0
+    # replay the integer cuts
+    ranked = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {}
+    for r, (i, v) in enumerate(ranked):
+        b = (r * 4) // 100
+        c, lo, hi = want.get(b, (0, v, v))
+        want[b] = (c + 1, min(lo, v), max(hi, v))
+    got = {r["bucket"]: (r["cnt"], r["lo"], r["hi"]) for r in out}
+    assert got == want
+    # partitioning invariance + n % buckets != 0
+    out2 = R.facet_dynamic_range(df.repartition(7), "v", 3, "id").collect()
+    assert [r["cnt"] for r in out2] == [34, 33, 33]
+    with pytest.raises(ValueError):
+        R.facet_dynamic_range(df, "v", 0, "id")
+    assert R.facet_dynamic_range(df.filter("v < 0"), "v", 3, "id").count() == 0
