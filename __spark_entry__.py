@@ -4037,6 +4037,18 @@ def q_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "src1", k=8)
 
 
+def q_suggest_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentExpressionDictionary suggester: source values weighted by
+    a compiled Lucene expression (algebraic subset — bit-identical
+    cross-engine) quantized to integer micro-units before the sum."""
+    from lucene_solr_spark.search.extras import suggest_documents
+
+    return suggest_documents(
+        _docs(spark, sf_dir), "source", None, "src",
+        k=8, weight_expr="sqrt(n_chars) * 100 + n_chars / 7",
+    )
+
+
 def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-2 diversity per source slice (Li et al. 2016): the
     repetition check run per source before mixture weighting."""
@@ -4580,6 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
         "suggest_docweight": q_suggest_docs,
+        "suggest_expr": q_suggest_expr,
         "span_mask": q_span_mask,
         "complex_phrase": q_complex_phrase,
         "payload_check": q_payload_check,
@@ -6245,10 +6258,12 @@ def oracle_sql() -> dict[str, str]:
     out = _pipeline_oracles()
     out["classify"] = _classify_oracle()
     from lucene_solr_spark.pipeline.classify import igain_sql
+    from lucene_solr_spark.expressions import expression_sql
     from lucene_solr_spark.pipeline.filters import ENTROPY_CONTRIB_SQL
     from lucene_solr_spark.relational import relatedness_sql
 
     _rel_expr = relatedness_sql("fg_count", "fg_size", "bg_count", "bg_size")
+    _suggest_expr_sql = expression_sql("sqrt(n_chars) * 100 + n_chars / 7")
 
     out["feature_igain"] = f"""
 WITH {_TOK_CTE},
@@ -7154,6 +7169,11 @@ GROUP BY a.doc_id ORDER BY a.doc_id""",
         "suggest_docweight": """
 SELECT source AS suggestion, CAST(sum(n_chars) AS BIGINT) AS weight
 FROM documents WHERE source LIKE 'src1%'
+GROUP BY source ORDER BY weight DESC, suggestion ASC LIMIT 8""",
+        "suggest_expr": f"""
+SELECT source AS suggestion,
+       CAST(sum(CAST(floor(({_suggest_expr_sql}) * 1e6) AS BIGINT)) AS BIGINT) AS weight
+FROM documents WHERE source LIKE 'src%'
 GROUP BY source ORDER BY weight DESC, suggestion ASC LIMIT 8""",
         "diversity": """
 WITH tk AS (

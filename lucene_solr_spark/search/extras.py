@@ -1334,8 +1334,9 @@ def synonym_graph_query(tokens: list[str],
     return clauses[0] if len(clauses) == 1 else Or(*clauses)
 
 
-def suggest_documents(df: DataFrame, field: str, weight_col: str,
-                      prefix: str, k: int = 10) -> DataFrame:
+def suggest_documents(df: DataFrame, field: str, weight_col: str | None,
+                      prefix: str, k: int = 10,
+                      weight_expr: str | None = None) -> DataFrame:
     """DocumentDictionary suggester (``[8x] lucene/suggest/src/java/org/
     apache/lucene/search/suggest/DocumentDictionary.java`` / Solr's
     DocumentDictionaryFactory with weightField): suggestions are the
@@ -1343,14 +1344,30 @@ def suggest_documents(df: DataFrame, field: str, weight_col: str,
     the docs carrying each value — no index required, the dictionary is
     the stored-fields table itself.
 
+    ``weight_expr`` instead compiles a Lucene-expressions string
+    (DocumentValueSourceDictionary / DocumentExpressionDictionary,
+    ``[8x] lucene/suggest/.../suggest/DocumentValueSourceDictionary
+    .java``): each doc's weight is the expression value quantized to
+    integer micro-units (floor(x·1e6) → BIGINT) so the per-value sum is
+    order-independent and a SQL oracle replays it exactly.
+
     Returns [suggestion, weight] in (weight desc, suggestion asc) order.
     Scale shape: the prefix filter prunes the scan (startswith reaches
     parquet stats on a sorted layout), one partial-agg shuffle over the
     distinct-value keys, small-k TakeOrdered."""
+    if (weight_col is None) == (weight_expr is None):
+        raise ValueError("exactly one of weight_col / weight_expr required")
+    base = df.filter(F.col(field).startswith(prefix))
+    if weight_expr is not None:
+        from ..expressions import expression_sql
+
+        sql = expression_sql(weight_expr)
+        w = F.expr(f"CAST(floor(({sql}) * 1e6) AS BIGINT)")
+    else:
+        w = F.col(weight_col)
     return (
-        df.filter(F.col(field).startswith(prefix))
-        .groupBy(F.col(field).alias("suggestion"))
-        .agg(F.sum(F.col(weight_col)).cast("long").alias("weight"))
+        base.groupBy(F.col(field).alias("suggestion"))
+        .agg(F.sum(w).cast("long").alias("weight"))
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )

@@ -464,3 +464,26 @@ def test_spell_suggest_jaro_winkler(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_suggest_documents_expression_weights(spark):
+    import math
+
+    import pytest as _pytest
+
+    from lucene_solr_spark.search.extras import suggest_documents
+
+    df = spark.createDataFrame(
+        [("apple", 100), ("apple", 9), ("apricot", 400), ("banana", 1000)],
+        "name string, pop long",
+    )
+    out = suggest_documents(df, "name", None, "ap", k=5,
+                            weight_expr="sqrt(pop) * 10").collect()
+    w = {r["suggestion"]: r["weight"] for r in out}
+    q = lambda x: math.floor(math.sqrt(x) * 10 * 1e6)
+    assert w == {"apple": q(100) + q(9), "apricot": q(400)}
+    assert out[0]["suggestion"] == "apricot"  # 200e6 beats apple's 130e6
+    with _pytest.raises(ValueError):
+        suggest_documents(df, "name", "pop", "ap", weight_expr="pop")
+    with _pytest.raises(ValueError):
+        suggest_documents(df, "name", None, "ap")
