@@ -412,3 +412,40 @@ def test_covering_single_shared_scan(spark):
     assert plan.count("MapInPandas") <= 3, plan  # decode kernels, not 3x3
     idx.postings.unpersist()
     idx.norms.unpersist()
+
+
+def test_pagerank_has_no_single_partition_exchange(spark):
+    from lucene_solr_spark.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    pr = pagerank(edges, iters=2)
+    plan = _plan(pr)
+    assert "SinglePartition" not in plan, plan
+    pr.unpersist()
+
+
+def test_dynamic_range_window_is_partitioned(spark):
+    from lucene_solr_spark.relational import facet_dynamic_range
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(200)], "id long, v double"
+    )
+    out = facet_dynamic_range(df, "v", 4, "id")
+    plan = _plan(out)
+    # the global rank comes from a _pid-partitioned window + broadcast
+    # offsets — never a one-partition global sort window
+    assert "SinglePartition" not in plan, plan
+
+
+def test_cap_per_key_window_partitioned_by_key(spark):
+    from lucene_solr_spark.pipeline.filters import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 5)) for i in range(100)], "doc_id long, source string"
+    )
+    plan = _plan(cap_per_key(df, "source", 3))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan  # window keyed by source
