@@ -2060,6 +2060,49 @@ def _ps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!graph} query parser: traverse the nation table
+    (from=n_regionkey, to=n_nationkey) from roots {20, 23}, maxDepth=2 —
+    roots point at region keys 0/3, whose nation rows are reached at hop
+    1; their region keys then reach more rows at hop 2."""
+    from lucene_solr_spark.graph import graph_query
+
+    n = _tbl(spark, sf_dir, "nation")
+    return graph_query(
+        n, F.col("n_nationkey").isin(20, 23), "n_regionkey", "n_nationkey",
+        max_depth=2,
+    ).select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+def q_stream_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cartesianProduct stream: unroll the multivalued split of
+    o_orderpriority ('1-URGENT' -> two rows) — one row per value."""
+    from lucene_solr_spark.relational import cartesian_product
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.split("o_orderpriority", "-").alias("vals")
+    )
+    return (
+        cartesian_product(o, "vals", "val")
+        .select("o_orderkey", "val")
+        .orderBy("o_orderkey", "val")
+    )
+
+
+def q_stream_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetch stream: batch-enrich the lineitem stream with the order's
+    status by key lookup against the orders store."""
+    from lucene_solr_spark.relational import fetch
+
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48) \
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber")
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        fetch(li, o, "o_orderkey", ["o_orderstatus"])
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-integer PageRank (2 iterations, damping 0.85) over the
     part↔supplier graph: every step is integer floor arithmetic, so the
@@ -4448,6 +4491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gather": q_graph_gather,
         "pagerank": q_pagerank,
         "random_walks": q_random_walks,
+        "graph_filter": q_graph_filter,
+        "stream_cartesian": q_stream_cartesian,
+        "stream_fetch": q_stream_fetch,
         "multifield_dict": q_multifield_dict,
         "edismax": q_edismax,
         "edismax_pf": q_edismax_pf,
@@ -7480,6 +7526,31 @@ walk(node, hop) AS (
   SELECT e.d, w.hop + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.hop < 2
 )
 SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node ORDER BY node""",
+        "graph_filter": """
+WITH roots AS (SELECT * FROM nation WHERE n_nationkey IN (20, 23)),
+f1 AS (SELECT DISTINCT n_regionkey AS k FROM roots),
+r1 AS (SELECT DISTINCT n_nationkey AS k FROM nation
+       WHERE n_nationkey IN (SELECT k FROM f1)),
+f2 AS (SELECT DISTINCT n_regionkey AS k FROM nation
+       WHERE n_nationkey IN (SELECT k FROM r1)),
+r2 AS (SELECT DISTINCT n_nationkey AS k FROM nation
+       WHERE n_nationkey IN (SELECT k FROM f2)
+         AND n_nationkey NOT IN (SELECT k FROM r1)),
+reach AS (SELECT k FROM r1 UNION SELECT k FROM r2)
+SELECT DISTINCT n_nationkey, n_name, n_regionkey FROM (
+  SELECT n_nationkey, n_name, n_regionkey FROM roots
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey FROM nation
+  WHERE n_nationkey IN (SELECT k FROM reach)
+) ORDER BY n_nationkey""",
+        "stream_cartesian": """
+SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS val
+FROM orders ORDER BY o_orderkey, val""",
+        "stream_fetch": """
+SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, o.o_orderstatus
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity >= 48
+ORDER BY o_orderkey, l_linenumber""",
         "pagerank": """
 WITH e AS (
   SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem

@@ -21,7 +21,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["gather_nodes", "shortest_path", "score_nodes", "pagerank",
-           "random_walks"]
+           "random_walks", "graph_query"]
+
+
+def graph_query(
+    df: DataFrame,
+    root_filter,
+    from_col: str,
+    to_col: str,
+    max_depth: int = 1,
+    return_root: bool = True,
+) -> DataFrame:
+    """Solr's graph query parser (``{!graph from=.. to=.. maxDepth=..}``,
+    ``[8x] solr/core/src/java/org/apache/solr/search/join/
+    GraphQueryParser.java`` / GraphQuery): start from the rows matching
+    ``root_filter`` and repeatedly follow edges where a frontier row's
+    ``from_col`` equals another row's ``to_col``, up to ``max_depth``
+    hops; the result is every reachable row (``return_root=False``
+    drops the roots, Solr's returnRoot).
+
+    Same frontier-join BFS shape as ``gather_nodes`` — per hop ONE
+    equi-join of the (bounded) frontier key set against the collection
+    plus a distributed visited anti-join; works on the collection
+    itself, no separate edge table."""
+    roots = df.filter(root_filter)
+    frontier = roots.select(F.col(from_col).alias("_k")).distinct().persist()
+    reach_keys = None  # distinct to-values of reached (non-root-set) rows
+    for _ in range(max_depth):
+        hit = df.join(
+            frontier.withColumnRenamed("_k", "_fk"),
+            df[to_col] == F.col("_fk"),
+            "left_semi",
+        )
+        nxt_keys = hit.select(F.col(to_col).alias("_k")).distinct()
+        if reach_keys is not None:
+            nxt_keys = nxt_keys.join(reach_keys, "_k", "left_anti")
+        nxt_keys = nxt_keys.persist()
+        if not nxt_keys.head(1):
+            nxt_keys.unpersist()
+            break
+        reach_keys = (
+            nxt_keys if reach_keys is None
+            else reach_keys.unionByName(nxt_keys).distinct().persist()
+        )
+        frontier.unpersist()
+        # the next frontier: from-values of the rows just reached
+        frontier = (
+            df.join(nxt_keys.withColumnRenamed("_k", "_nk"),
+                    df[to_col] == F.col("_nk"), "left_semi")
+            .select(F.col(from_col).alias("_k")).distinct().persist()
+        )
+    reached = (
+        df.limit(0) if reach_keys is None
+        else df.join(reach_keys.withColumnRenamed("_k", "_rk"),
+                     df[to_col] == F.col("_rk"), "left_semi")
+    )
+    if return_root:
+        return roots.unionByName(reached).distinct()
+    return reached.distinct()
 
 
 def pagerank(

@@ -100,3 +100,46 @@ def test_random_walks_deterministic_and_valid(spark):
     out2 = random_walks(edges.repartition(5), seeds, steps=3, salt="t").collect()
     assert sorted((r["walk_id"], r["step"], r["node"]) for r in out2) == \
            sorted((r["walk_id"], r["step"], r["node"]) for r in out)
+
+
+def test_graph_query_traversal(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.graph import graph_query
+
+    # collection rows: (id, from=child pointer, to=own key)
+    rows = [
+        (0, "b", "a"),   # root (to='a'): points to b
+        (1, "c", "b"),   # hop 1 via to='b'
+        (2, "d", "c"),   # hop 2 via to='c'
+        (3, "x", "d"),   # hop 3 — beyond max_depth=2
+        (4, "z", "b"),   # also reached at hop 1 (same to value)
+        (5, "q", "zzz"), # unreachable
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, dst string")
+    got = {r["id"] for r in graph_query(
+        df, F.col("dst") == "a", "src", "dst", max_depth=2).collect()}
+    assert got == {0, 1, 2, 4}
+    # returnRoot=false drops the root rows
+    got2 = {r["id"] for r in graph_query(
+        df, F.col("dst") == "a", "src", "dst", max_depth=2,
+        return_root=False).collect()}
+    assert got2 == {1, 2, 4}
+    # depth 3 reaches id=3; a non-root doc sharing a ROOT's to-value is
+    # still reachable (the corner the visited-set must not hide)
+    rows2 = rows + [(6, "y", "a")]  # to='a' like the root, but not a root
+    df2 = spark.createDataFrame(rows2, "id long, src string, dst string")
+    got3 = {r["id"] for r in graph_query(
+        df2, (F.col("dst") == "a") & (F.col("id") == 0),
+        "src", "dst", max_depth=4).collect()}
+    # chain: 0 -> b{1,4} -> c{2}, z{} -> d{3} -> x{}; id=6 reachable only
+    # if some from-value equals 'a' — none is, so 6 stays out here
+    assert got3 == {0, 1, 2, 3, 4}
+    # now make a cycle back to 'a': id=2's from already 'd'; add row with from='a'
+    rows3 = rows2 + [(7, "a", "d")]  # reached at depth 3 via 'd', points back to 'a'
+    df3 = spark.createDataFrame(rows3, "id long, src string, dst string")
+    got4 = {r["id"] for r in graph_query(
+        df3, (F.col("dst") == "a") & (F.col("id") == 0),
+        "src", "dst", max_depth=6).collect()}
+    # 'a' re-entered at depth 4 -> ids 0 AND 6 (both to='a') are reached rows
+    assert got4 == {0, 1, 2, 3, 4, 6, 7}
