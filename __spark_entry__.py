@@ -2074,6 +2074,31 @@ def q_graph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
 
 
+def q_child_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[child] doc transformer: orders returned with their line items
+    nested (ordered by l_linenumber, childLimit=3), flattened to a
+    deterministic string for the cross-engine compare."""
+    from lucene_solr_spark.relational import with_children
+
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber"
+    )
+    out = with_children(o, li, "o_orderkey", ["l_linenumber"],
+                        "l_linenumber", limit=3)
+    return (
+        out.select(
+            "o_orderkey", "o_orderstatus",
+            F.array_join(
+                F.transform("children", lambda c: c["l_linenumber"].cast("string")),
+                ",",
+            ).alias("kids"),
+            F.size("children").cast("int").alias("n_kids"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def q_stream_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cartesianProduct stream: unroll the multivalued split of
     o_orderpriority ('1-URGENT' -> two rows) — one row per value."""
@@ -4492,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "random_walks": q_random_walks,
         "graph_filter": q_graph_filter,
+        "child_transform": q_child_transform,
         "stream_cartesian": q_stream_cartesian,
         "stream_fetch": q_stream_fetch,
         "multifield_dict": q_multifield_dict,
@@ -7543,6 +7569,23 @@ SELECT DISTINCT n_nationkey, n_name, n_regionkey FROM (
   SELECT n_nationkey, n_name, n_regionkey FROM nation
   WHERE n_nationkey IN (SELECT k FROM reach)
 ) ORDER BY n_nationkey""",
+        "child_transform": """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+),
+kids AS (
+  SELECT l_orderkey,
+         string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS kids,
+         CAST(count(*) AS INTEGER) AS n_kids
+  FROM ranked WHERE rn <= 3 GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       COALESCE(k.kids, '') AS kids,
+       COALESCE(k.n_kids, 0) AS n_kids
+FROM orders o LEFT JOIN kids k ON k.l_orderkey = o.o_orderkey
+ORDER BY o.o_orderkey""",
         "stream_cartesian": """
 SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS val
 FROM orders ORDER BY o_orderkey, val""",

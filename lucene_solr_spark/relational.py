@@ -59,6 +59,7 @@ __all__ = [
     "facet_taxonomy",
     "pivot_stats",
     "drill_sideways",
+    "with_children",
     "facet_dynamic_range",
     "facet_relatedness",
     "relatedness_sql",
@@ -691,6 +692,31 @@ def facet_dynamic_range(df: DataFrame, field: str, buckets: int,
         )
         .orderBy("bucket")
     )
+
+
+def with_children(parents: DataFrame, children: DataFrame,
+                  on: str, child_cols: list[str],
+                  order_by: str, limit: int | None = None) -> DataFrame:
+    """Solr's ``[child]`` doc transformer (``[8x] solr/core/src/java/org/
+    apache/solr/response/transform/ChildDocTransformerFactory.java``):
+    return parent rows with their child documents nested as an array of
+    structs, ordered by ``order_by`` (and capped at ``limit`` — the
+    transformer's childLimit).
+
+    One co-keyed aggregation: children shuffle once on the join key,
+    ``sort_array`` makes the collected order deterministic (collect_list
+    alone is partition-order-dependent), parents join the nested frame
+    left — parents without children carry an empty array."""
+    struct_cols = [order_by] + [c for c in child_cols if c != order_by]
+    nested = (
+        children.groupBy(on)
+        .agg(F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("children"))
+    )
+    if limit is not None:
+        nested = nested.withColumn("children", F.slice("children", 1, limit))
+    out = parents.join(nested, on, "left")
+    empty = F.array().cast(nested.schema["children"].dataType)
+    return out.withColumn("children", F.coalesce(F.col("children"), empty))
 
 
 def drill_sideways(df: DataFrame, filters: dict[str, Column],

@@ -308,3 +308,25 @@ def test_facet_dynamic_range_equal_weight(spark):
     with pytest.raises(ValueError):
         R.facet_dynamic_range(df, "v", 0, "id")
     assert R.facet_dynamic_range(df.filter("v < 0"), "v", 3, "id").count() == 0
+
+
+def test_with_children_transformer(spark):
+    parents = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                    "pid long, name string")
+    children = spark.createDataFrame(
+        [(1, 3, "x"), (1, 1, "y"), (1, 2, "z"), (2, 1, "w")],
+        "pid long, seq long, v string",
+    )
+    out = {r["pid"]: r for r in R.with_children(
+        parents, children, "pid", ["seq", "v"], "seq").collect()}
+    # children nested, ordered by seq
+    assert [(c["seq"], c["v"]) for c in out[1]["children"]] == \
+           [(1, "y"), (2, "z"), (3, "x")]
+    assert [(c["seq"], c["v"]) for c in out[2]["children"]] == [(1, "w")]
+    # parent without children -> empty array, row kept
+    assert out[3]["children"] == []
+    # childLimit caps the array AFTER ordering
+    out2 = {r["pid"]: r for r in R.with_children(
+        parents, children, "pid", ["seq", "v"], "seq", limit=2).collect()}
+    assert [(c["seq"], c["v"]) for c in out2[1]["children"]] == \
+           [(1, "y"), (2, "z")]
