@@ -29,7 +29,76 @@ from pyspark.storagelevel import StorageLevel
 
 from ..index.core import IndexView
 
-__all__ = ["FilterCache", "filtered_search"]
+__all__ = ["FilterCache", "filtered_search", "ResultCache"]
+
+
+class ResultCache:
+    """Solr's queryResultCache + newSearcher warming (``[8x] solr/core/
+    src/java/org/apache/solr/search/SolrIndexSearcher.java``
+    queryResultCache / ``solr/core/.../search/FastLRUCache.java``):
+    top-k RESULT PAGES keyed by (query, k) — unlike the filter cache,
+    which stores match frames, this stores the finished small result
+    (collected rows: k is bounded, so driver-side rows are bounded,
+    exactly what Solr keeps on-heap).
+
+    ``queryResultWindowSize`` semantics: a request for k is served from
+    any cached page with k' >= k (pages are cached at the rounded-up
+    window size, so paging through 10/20/30 reuses one superset entry).
+
+    ``warm(queries)`` replays a list of queries into the cache — the
+    newSearcher/firstSearcher warming hook; a new view (after
+    append/merge) gets a fresh cache warmed from the old cache's keys
+    (Solr's autowarmCount), which ``warm_from`` does."""
+
+    def __init__(self, index: IndexView, max_entries: int = 128,
+                 window_size: int = 20):
+        if max_entries < 1 or window_size < 1:
+            raise ValueError("max_entries and window_size must be >= 1")
+        self.index = index
+        self.max_entries = int(max_entries)
+        self.window_size = int(window_size)
+        #: key -> (query_obj, k_cached, rows, schema)
+        self._entries: "OrderedDict[str, tuple]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _window(self, k: int) -> int:
+        w = self.window_size
+        return ((k + w - 1) // w) * w
+
+    def search(self, q, k: int = 10) -> DataFrame:
+        from .executor import search as _search
+
+        key = repr(q)
+        hit = self._entries.get(key)
+        if hit is not None and hit[1] >= k:
+            self.hits += 1
+            self._entries.move_to_end(key)
+            _, kc, rows, schema = hit
+            return self.index.spark.createDataFrame(rows[:k], schema)
+        self.misses += 1
+        kc = max(self._window(k), k)
+        out = _search(self.index, q, k=kc)
+        rows, schema = out.collect(), out.schema
+        self._entries[key] = (q, kc, rows, schema)
+        if len(self._entries) > self.max_entries:
+            self._entries.popitem(last=False)
+        return self.index.spark.createDataFrame(rows[:k], schema)
+
+    def warm(self, queries, k: int | None = None) -> None:
+        for q in queries:
+            self.search(q, k=k or self.window_size)
+
+    def warm_from(self, old: "ResultCache", autowarm_count: int | None = None) -> None:
+        """Re-execute the old cache's most recent query objects against
+        THIS view (Solr's autowarm: keys carry over, results re-run —
+        a new searcher never serves the old searcher's pages)."""
+        n = autowarm_count or len(old._entries)
+        for _, (q, _, _, _) in list(old._entries.items())[-n:]:
+            self.search(q, k=self.window_size)
+
+    def __len__(self) -> int:
+        return len(self._entries)
 
 
 class FilterCache:

@@ -59,3 +59,46 @@ def test_filtered_search_fq_semantics(engine):
     # second call hits the cache
     filtered_search(engine, parse_query("import"), flt, cache, k=10).collect()
     assert cache.hits >= 1
+
+
+def test_result_cache_pages_and_warming(spark):
+    import numpy as np
+
+    from lucene_solr_spark.corpus import gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Term, search
+    from lucene_solr_spark.search.cache import ResultCache
+
+    pdf = gen_corpus_pdf(120, seed=91).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(120, dtype=np.int64)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content",
+    )
+    try:
+        rc = ResultCache(idx, window_size=20)
+        direct = [(r["doc_id"], r["score"])
+                  for r in search(idx, Term("def"), k=10).collect()]
+        got = [(r["doc_id"], r["score"])
+               for r in rc.search(Term("def"), k=10).collect()]
+        assert got == direct
+        assert rc.misses == 1 and rc.hits == 0
+        # page 2 within the 20-row window: a HIT, identical to direct
+        got20 = [(r["doc_id"], r["score"])
+                 for r in rc.search(Term("def"), k=20).collect()]
+        direct20 = [(r["doc_id"], r["score"])
+                    for r in search(idx, Term("def"), k=20).collect()]
+        assert got20 == direct20 and rc.hits == 1
+        # k beyond the cached window: a miss, re-cached at the new window
+        rc.search(Term("def"), k=25)
+        assert rc.misses == 2
+        # warming a fresh cache (new searcher) from the old one's queries
+        rc2 = ResultCache(idx, window_size=20)
+        rc2.warm_from(rc)
+        assert len(rc2) == 1 and rc2.misses == 1
+        hits_before = rc2.hits
+        rc2.search(Term("def"), k=10)
+        assert rc2.hits == hits_before + 1  # warmed -> served from cache
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
