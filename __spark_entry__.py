@@ -7834,7 +7834,7 @@ WITH ranked AS (
   SELECT doc_id, source,
          CAST(row_number() OVER (
            PARTITION BY source
-           ORDER BY md5('cap' || ':' || source || ':' || CAST(doc_id AS VARCHAR)),
+           ORDER BY md5('cap' || ':' || COALESCE(source, '') || ':' || CAST(doc_id AS VARCHAR)),
                     doc_id
          ) AS INTEGER) AS cap_rank
   FROM documents

@@ -105,6 +105,10 @@ def pagerank(
     Each iteration is ONE join (ranks ⋈ edges, co-keyed with the
     out-degree frame) + one partial-agg shuffle on dst; the driver loop
     holds only DataFrame handles.  Returns [node, rank_i, rank]."""
+    if not (0 < scale <= 10**15):
+        # keeps every intermediate (rank*85) far inside int64 AND keeps
+        # the documented integer semantics honest at any magnitude
+        raise ValueError("scale must be in (0, 10^15]")
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).distinct()
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -124,7 +128,9 @@ def pagerank(
             ranks.join(ed, ranks.node == ed._s)
             .select(
                 F.col("_d").alias("node"),
-                F.floor(F.col("rank_i") / F.col("outdeg")).cast("long").alias("c"),
+                # true int64 division (DIV), not f64 floor — exact at
+                # any magnitude the scale guard admits
+                F.expr("CAST(rank_i DIV outdeg AS BIGINT)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("s"))
@@ -134,7 +140,7 @@ def pagerank(
             .select(
                 "node",
                 (F.lit(base).cast("long")
-                 + F.floor(F.coalesce(F.col("s"), F.lit(0)) * 85 / 100).cast("long")
+                 + F.expr("CAST((COALESCE(s, 0) * 85) DIV 100 AS BIGINT)")
                  ).alias("rank_i"),
             )
             .persist()

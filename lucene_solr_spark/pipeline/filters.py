@@ -703,7 +703,12 @@ def cap_per_key(df: DataFrame, key: str, n: int,
         raise ValueError("cap must be >= 1")
     from pyspark.sql.window import Window
 
-    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"),
+    # NULL keys hash as the empty string EXPLICITLY (concat_ws would
+    # silently drop a null key AND its separator, while a SQL replay
+    # with || would yield NULL for the whole hash — both engines must
+    # agree, so the coalesce is part of the contract)
+    k_str = F.coalesce(F.col(key).cast("string"), F.lit(""))
+    h = F.md5(F.concat_ws(":", F.lit(salt), k_str,
                           F.col(id_col).cast("string")))
     w = Window.partitionBy(key).orderBy(h.asc(), F.col(id_col).asc())
     return (

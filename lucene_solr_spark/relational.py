@@ -657,9 +657,11 @@ def facet_dynamic_range(df: DataFrame, field: str, buckets: int,
         .select(F.col(field).alias("_v"), F.col(id_col).alias("_id"))
         .repartitionByRange("_v", "_id")
         .withColumn("_pid", F.spark_partition_id())
+        # persist UNCONDITIONALLY: the counts job and the rank job must
+        # see the SAME range boundaries, and RangePartitioner samples
+        # per-job — a cached INPUT does not pin d's partition ids
+        .persist()
     )
-    if not df.is_cached:
-        d = d.persist()
     counts = {
         int(r["_pid"]): int(r["c"])
         for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -730,12 +732,14 @@ def drill_sideways(df: DataFrame, filters: dict[str, Column],
 
     ``filters`` maps dimension (a column name) → its drill-down filter.
     Output: one (dim, value, count) frame, top ``limit`` buckets per
-    dimension.  Lucene does this in one collector pass over near-miss
+    dimension.  At least one dimension is required.  Lucene does this in one collector pass over near-miss
     docs; the Spark-native shape is one column-pruned scan + one
     partial-agg shuffle per dimension (each scan reads only that
     dimension's column plus the sibling filter columns — at 100 TB the
     per-dimension re-scan is cheaper than materializing a near-miss doc
     set, and the scans run as independent jobs)."""
+    if not filters:
+        raise ValueError("drill_sideways requires at least one dimension")
     parts = []
     for dim in filters:
         domain = df

@@ -81,19 +81,27 @@ class ResultCache:
         out = _search(self.index, q, k=kc)
         rows, schema = out.collect(), out.schema
         self._entries[key] = (q, kc, rows, schema)
+        # an overwrite keeps the key's OLD OrderedDict position; the
+        # just-recomputed page is the most recently used — move it
+        self._entries.move_to_end(key)
         if len(self._entries) > self.max_entries:
             self._entries.popitem(last=False)
         return self.index.spark.createDataFrame(rows[:k], schema)
 
     def warm(self, queries, k: int | None = None) -> None:
+        kk = self.window_size if k is None else k
         for q in queries:
-            self.search(q, k=k or self.window_size)
+            self.search(q, k=kk)
 
     def warm_from(self, old: "ResultCache", autowarm_count: int | None = None) -> None:
         """Re-execute the old cache's most recent query objects against
         THIS view (Solr's autowarm: keys carry over, results re-run —
-        a new searcher never serves the old searcher's pages)."""
-        n = autowarm_count or len(old._entries)
+        a new searcher never serves the old searcher's pages).
+        ``autowarm_count=0`` disables warming, like Solr's
+        autowarmCount=0."""
+        n = len(old._entries) if autowarm_count is None else int(autowarm_count)
+        if n <= 0:
+            return
         for _, (q, _, _, _) in list(old._entries.items())[-n:]:
             self.search(q, k=self.window_size)
 

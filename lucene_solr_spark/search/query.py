@@ -542,7 +542,8 @@ def parse_query(s: str):
 def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
                   mm: int = 0, pf: dict[str, float] | None = None,
                   ps: int = 0, pf2: dict[str, float] | None = None,
-                  pf3: dict[str, float] | None = None):
+                  pf3: dict[str, float] | None = None,
+                  ps2: int | None = None, ps3: int | None = None):
     """eDisMax field-boosted multi-field query (``[8x] solr/core/src/java/
     org/apache/solr/search/ExtendedDismaxQParser.java`` core behavior):
     parse ``s`` with the standard grammar, then rewrite every UNQUALIFIED
@@ -554,7 +555,8 @@ def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
 
     ``pf`` / ``pf2`` / ``pf3`` are Solr's phrase-boost fields: the
     query's unqualified terms, in order, become an optional (SHOULD)
-    exact-or-sloppy Phrase per pf field (``ps`` = phrase slop) — pf over
+    exact-or-sloppy Phrase per pf field (``ps`` = phrase slop;
+    ``ps2``/``ps3`` default to ``ps``, Solr's fallback) — pf over
     the whole term sequence, pf2/pf3 over consecutive bigrams/trigrams —
     so documents matching the words AS A PHRASE rank higher without
     changing the match set (ExtendedDismaxQParser#addShingledPhraseQueries).
@@ -619,6 +621,8 @@ def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
 
         walk(parsed)
         boosts = []
+        slops = {0: ps, 2: ps if ps2 is None else ps2,
+                 3: ps if ps3 is None else ps3}
         for fields, size in ((pf, 0), (pf2, 2), (pf3, 3)):
             if not fields:
                 continue
@@ -628,7 +632,7 @@ def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
                 if len(g) < 2:
                     continue
                 for f, b in fields.items():
-                    ph = Phrase(*g, boost=b, slop=ps if size == 0 else 0)
+                    ph = Phrase(*g, boost=b, slop=slops[size])
                     boosts.append(qualify_query(ph, f))
         if boosts:
             q = Bool(must=(q,), should=tuple(boosts))

@@ -102,3 +102,40 @@ def test_result_cache_pages_and_warming(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_result_cache_autowarm_zero_and_lru_overwrite(spark):
+    import numpy as np
+
+    from lucene_solr_spark.corpus import gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Term
+    from lucene_solr_spark.search.cache import ResultCache
+
+    pdf = gen_corpus_pdf(80, seed=92).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(80, dtype=np.int64)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content",
+    )
+    try:
+        rc = ResultCache(idx, window_size=10)
+        rc.search(Term("def"), k=5)
+        rc.search(Term("class"), k=5)
+        # autowarmCount=0 disables warming entirely (Solr semantics)
+        rc2 = ResultCache(idx, window_size=10)
+        rc2.warm_from(rc, autowarm_count=0)
+        assert len(rc2) == 0 and rc2.misses == 0
+        # overwrite-miss refreshes LRU position: re-query the OLDEST key
+        # beyond its window, then insert a new key — the refreshed entry
+        # must survive, the middle (now-coldest) one must be evicted
+        rc3 = ResultCache(idx, window_size=10, max_entries=2)
+        rc3.search(Term("def"), k=5)     # oldest
+        rc3.search(Term("class"), k=5)
+        rc3.search(Term("def"), k=15)    # miss overwrite, now most recent
+        rc3.search(Term("import"), k=5)  # evicts 'class', not 'def'
+        assert repr(Term("def")) in rc3._entries
+        assert repr(Term("class")) not in rc3._entries
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()

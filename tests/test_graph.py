@@ -143,3 +143,26 @@ def test_graph_query_traversal(spark):
         "src", "dst", max_depth=6).collect()}
     # 'a' re-entered at depth 4 -> ids 0 AND 6 (both to='a') are reached rows
     assert got4 == {0, 1, 2, 3, 4, 6, 7}
+
+
+def test_pagerank_scale_guard_and_large_scale_exact(spark):
+    import pytest as _pytest
+
+    from lucene_solr_spark.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    with _pytest.raises(ValueError):
+        pagerank(edges, scale=10**16)
+    # at the guard's ceiling the arithmetic must stay integer-exact
+    S = 10**15
+    got = {r["node"]: r["rank_i"] for r in pagerank(edges, iters=2, scale=S).collect()}
+    init = S // 3
+    base = (init * 15) // 100
+    r = {"a": init, "b": init, "c": init}
+    for _ in range(2):
+        contrib = {"a": r["c"] // 1, "b": r["a"] // 2,
+                   "c": r["a"] // 2 + r["b"] // 1}
+        r = {n: base + (contrib.get(n, 0) * 85) // 100 for n in r}
+    assert got == r

@@ -1110,3 +1110,20 @@ def test_cap_per_key_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         cap_per_key(df, "source", 0)
+
+
+def test_cap_per_key_null_keys_deterministic(spark):
+    import hashlib
+
+    from lucene_solr_spark.pipeline.filters import cap_per_key
+
+    rows = [(i, None if i % 2 else "s") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, "source", 2).collect()
+    kept_null = sorted(r["doc_id"] for r in out if r["source"] is None)
+    # replay: NULL key hashes as the empty string
+    ids = [i for i, s in rows if s is None]
+    want = sorted(sorted(
+        ids, key=lambda i: (hashlib.md5(f"cap::{i}".encode()).hexdigest(), i)
+    )[:2])
+    assert kept_null == want

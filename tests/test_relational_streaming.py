@@ -330,3 +330,9 @@ def test_with_children_transformer(spark):
         parents, children, "pid", ["seq", "v"], "seq", limit=2).collect()}
     assert [(c["seq"], c["v"]) for c in out2[1]["children"]] == \
            [(1, "y"), (2, "z")]
+
+
+def test_drill_sideways_empty_dims_raises(spark):
+    df = spark.createDataFrame([("a",)], "x string")
+    with pytest.raises(ValueError, match="at least one dimension"):
+        R.drill_sideways(df, {})
