@@ -1201,6 +1201,17 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunking of the synthetic binary payloads (512-byte
+    chunks, content-addressed md5 per chunk).  The corpus text is pure
+    ASCII, so the oracle's char-based substring hashes the same bytes
+    the engine's binary substring does."""
+    from lucene_solr_spark.pipeline.multimodal import media_chunks, with_media_binary
+
+    m = with_media_binary(_docs(spark, sf_dir))
+    return media_chunks(m, 512).orderBy("doc_id", "chunk_id")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy (gibberish / binary-spill
     filter): quantized integer nano-bit contributions summed per doc —
@@ -4556,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_c4": q_quality_c4,
         "char_entropy": q_char_entropy,
         "domain_cap": q_domain_cap,
+        "media_chunks": q_media_chunks,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
@@ -7812,6 +7824,22 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10""",
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS group_count
 FROM lineitem GROUP BY l_returnflag
 ORDER BY group_count DESC, l_returnflag ASC LIMIT 10""",
+        "media_chunks": """
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE length(text) > 0
+),
+offs AS (
+  SELECT doc_id, text, len,
+         unnest(generate_series(CAST(0 AS BIGINT), len - 1, 512)) AS "offset"
+  FROM base
+)
+SELECT doc_id,
+       CAST("offset" // 512 AS BIGINT) AS chunk_id,
+       "offset",
+       CAST(least(512, len - "offset") AS BIGINT) AS n_bytes,
+       md5(substring(text, CAST("offset" + 1 AS BIGINT), 512)) AS chunk_md5
+FROM offs ORDER BY doc_id, chunk_id""",
         "char_entropy": f"""
 WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
              FROM documents),

@@ -24,7 +24,49 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_media_binary", "decode_media", "media_features"]
+__all__ = ["with_media_binary", "decode_media", "media_features",
+           "media_chunks"]
+
+
+def media_chunks(media_df: DataFrame, chunk_bytes: int,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Byte-range chunking of binary payloads — the REAL (codec-free)
+    half of the multimodal path: large blobs split into fixed-size
+    chunks for ranged upload / shard-parallel decode / dedup at the
+    chunk level (the content-defined-chunking shape, fixed-window
+    variant).
+
+    Pure JVM SQL, map-only: sequence + explode + binary substring; no
+    Python, no shuffle.  Returns [id, chunk_id, offset, n_bytes,
+    chunk_md5] — the md5 stands in for the chunk store key
+    (content-addressed upload).  The final chunk is short, empty
+    payloads yield no chunks."""
+    if chunk_bytes < 1:
+        raise ValueError("chunk_bytes must be >= 1")
+    base = media_df.select(
+        id_col,
+        "media",
+        F.octet_length("media").cast("long").alias("_len"),
+    ).filter(F.col("_len") > 0)
+    return (
+        base.select(
+            id_col,
+            "media",
+            "_len",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS BIGINT), _len - 1, {int(chunk_bytes)})")
+            ).alias("offset"),
+        )
+        .select(
+            id_col,
+            (F.col("offset") / chunk_bytes).cast("long").alias("chunk_id"),
+            "offset",
+            F.least(F.lit(chunk_bytes).cast("long"),
+                    F.col("_len") - F.col("offset")).alias("n_bytes"),
+            F.md5(F.expr(f"substring(media, offset + 1, {int(chunk_bytes)})"))
+            .alias("chunk_md5"),
+        )
+    )
 
 _FEATURES_SCHEMA = (
     "doc_id long, n_bytes long, media_type string, fake_width long, "

@@ -1127,3 +1127,27 @@ def test_cap_per_key_null_keys_deterministic(spark):
         ids, key=lambda i: (hashlib.md5(f"cap::{i}".encode()).hexdigest(), i)
     )[:2])
     assert kept_null == want
+
+
+def test_media_chunks_byte_ranges(spark):
+    import hashlib
+
+    from lucene_solr_spark.pipeline.multimodal import media_chunks, with_media_binary
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "xyz"), (2, "")], "doc_id long, text string"
+    )
+    m = with_media_binary(df)
+    out = sorted(media_chunks(m, 4).collect(),
+                 key=lambda r: (r["doc_id"], r["chunk_id"]))
+    got = [(r["doc_id"], r["chunk_id"], r["offset"], r["n_bytes"], r["chunk_md5"])
+           for r in out]
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+    assert got == [
+        (0, 0, 0, 4, h("abcd")), (0, 1, 4, 4, h("efgh")), (0, 2, 8, 2, h("ij")),
+        (1, 0, 0, 3, h("xyz")),
+    ]  # empty payload yields no chunks
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        media_chunks(m, 0)
