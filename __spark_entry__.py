@@ -1212,6 +1212,16 @@ def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_chunks(m, 512).orderBy("doc_id", "chunk_id")
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: Rabin window-hash boundaries (w=16,
+    mod 2^31-1, divisor 64) — integer hashing, so the oracle replays
+    every boundary; chunk md5 is the content address."""
+    from lucene_solr_spark.pipeline.multimodal import cdc_chunks, with_media_binary
+
+    m = with_media_binary(_docs(spark, sf_dir))
+    return cdc_chunks(m).orderBy("doc_id", "chunk_id")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy (gibberish / binary-spill
     filter): quantized integer nano-bit contributions summed per doc —
@@ -4568,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "domain_cap": q_domain_cap,
         "media_chunks": q_media_chunks,
+        "cdc_chunks": q_cdc_chunks,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
@@ -6348,6 +6359,9 @@ def oracle_sql() -> dict[str, str]:
 
     _rel_expr = relatedness_sql("fg_count", "fg_size", "bg_count", "bg_size")
     _suggest_expr_sql = expression_sql("sqrt(n_chars) * 100 + n_chars / 7")
+    from lucene_solr_spark.pipeline.multimodal import CDC_POWERS
+
+    _cdc_pw = "[" + ", ".join(str(p) for p in CDC_POWERS) + "]"
 
     out["feature_igain"] = f"""
 WITH {_TOK_CTE},
@@ -7824,6 +7838,43 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10""",
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS group_count
 FROM lineitem GROUP BY l_returnflag
 ORDER BY group_count DESC, l_returnflag ASC LIMIT 10""",
+        "cdc_chunks": f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE length(text) > 0
+),
+pos AS (
+  SELECT doc_id, text, len,
+         unnest(generate_series(CAST(15 AS BIGINT), len - 1)) AS i
+  FROM base WHERE len >= 16
+),
+posj AS (
+  SELECT doc_id, text, len, i, unnest(generate_series(0, 15)) AS j FROM pos
+),
+hash AS (
+  SELECT doc_id, i, len,
+         CAST(sum(CAST(ascii(substring(text, CAST(i - 15 + j + 1 AS BIGINT), 1)) AS BIGINT)
+                  * ({_cdc_pw})[CAST(j + 1 AS INTEGER)]) % 2147483647 AS BIGINT) AS h
+  FROM posj GROUP BY doc_id, i, len
+),
+bnd AS (SELECT doc_id, i FROM hash WHERE h % 64 = 0 AND i < len - 1),
+starts AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS s FROM base
+  UNION ALL
+  SELECT doc_id, i + 1 FROM bnd
+),
+chunks AS (
+  SELECT s.doc_id, s.s AS "offset",
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1 AS chunk_id,
+         lead(s.s, 1, b.len) OVER (PARTITION BY s.doc_id ORDER BY s.s) AS nxt
+  FROM starts s JOIN base b USING (doc_id)
+)
+SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id, c."offset",
+       CAST(c.nxt - c."offset" AS BIGINT) AS n_bytes,
+       md5(substring(b.text, CAST(c."offset" + 1 AS BIGINT),
+                     CAST(c.nxt - c."offset" AS BIGINT))) AS chunk_md5
+FROM chunks c JOIN base b USING (doc_id)
+ORDER BY c.doc_id, c.chunk_id""",
         "media_chunks": """
 WITH base AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len

@@ -25,7 +25,99 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["with_media_binary", "decode_media", "media_features",
-           "media_chunks"]
+           "media_chunks", "cdc_chunks", "CDC_W", "CDC_B", "CDC_M", "CDC_D"]
+
+#: content-defined chunking constants (Rabin window hash):
+#: window, polynomial base, modulus (2^31-1), boundary divisor
+CDC_W, CDC_B, CDC_M, CDC_D = 16, 257, 2_147_483_647, 64
+#: B^(W-1-j) mod M for j = 0..W-1 — shared by kernel and SQL oracle
+CDC_POWERS = [pow(CDC_B, CDC_W - 1 - j, CDC_M) for j in range(CDC_W)]
+
+
+def cdc_chunks(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (Rabin-style rolling-hash boundaries —
+    Muthitacharoen et al., "A low-bandwidth network file system", SOSP
+    2001; the fixed-window-hash variant without FastCDC's min/max
+    clamps): a chunk boundary falls after byte i whenever the
+    polynomial hash of the 16-byte window ending at i is ≡ 0 mod 64, so
+    boundaries depend only on LOCAL content — an insertion re-chunks
+    only its neighborhood, which is what makes chunk-level dedup of
+    shifted payloads work where fixed windows break.
+
+    The kernel is ONE batch-vectorized pass (all payloads concatenated,
+    one sliding-window int64 matvec for every window hash, cross-doc
+    windows masked out, chunk extents derived with sort arithmetic —
+    no per-byte Python); integer hashing means the SQL oracle replays
+    boundaries exactly.  Returns [id, chunk_id, offset, n_bytes,
+    chunk_md5] (md5 computed JVM-side after a doc-keyed join).
+    Payloads shorter than the window form one chunk; empty payloads
+    yield none."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    powers = np.array(CDC_POWERS, dtype=np.int64)
+    w, m_mod, d = CDC_W, CDC_M, CDC_D
+
+    def _bounds(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            payloads = [bytes(b) for b in pdf["media"]]
+            lens = np.array([len(b) for b in payloads], dtype=np.int64)
+            nz = np.flatnonzero(lens > 0)
+            if nz.size == 0:
+                yield pd.DataFrame({id_col: np.empty(0, np.int64),
+                                    "chunk_id": np.empty(0, np.int64),
+                                    "offset": np.empty(0, np.int64),
+                                    "n_bytes": np.empty(0, np.int64)})
+                continue
+            codes = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            docix = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+            doc_start = np.cumsum(lens) - lens
+            if codes.size >= w:
+                # window j covers global bytes [j, j+w); hash is exact
+                # int64 (255 * (M-1) * W < 2^63)
+                H = (sliding_window_view(codes, w) @ powers) % m_mod
+                same_doc = docix[: H.size] == docix[w - 1:]
+                end_pos = np.flatnonzero(same_doc & (H % d == 0)) + w - 1
+                bd = docix[end_pos]
+                local = end_pos - doc_start[bd]
+                keep = local < lens[bd] - 1  # a boundary at the last byte is moot
+                bd, local = bd[keep], local[keep]
+            else:
+                bd = np.empty(0, np.int64)
+                local = np.empty(0, np.int64)
+            # chunk starts: 0 for every non-empty doc, plus boundary+1
+            s_doc = np.concatenate([nz, bd])
+            s_off = np.concatenate([np.zeros(nz.size, np.int64), local + 1])
+            order = np.lexsort((s_off, s_doc))
+            s_doc, s_off = s_doc[order], s_off[order]
+            first = np.empty(s_doc.size, dtype=bool)
+            first[0] = True
+            first[1:] = s_doc[1:] != s_doc[:-1]
+            idx = np.arange(s_doc.size, dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(first, idx, 0))
+            chunk_id = idx - run_start
+            nxt = np.empty(s_doc.size, dtype=np.int64)
+            nxt[:-1] = np.where(s_doc[:-1] == s_doc[1:], s_off[1:],
+                                lens[s_doc[:-1]])
+            nxt[-1] = lens[s_doc[-1]]
+            yield pd.DataFrame({
+                id_col: ids[s_doc],
+                "chunk_id": chunk_id,
+                "offset": s_off,
+                "n_bytes": nxt - s_off,
+            })
+
+    bounds = media_df.select(id_col, "media").mapInPandas(
+        _bounds, f"{id_col} long, chunk_id long, offset long, n_bytes long"
+    )
+    return (
+        bounds.join(media_df.select(id_col, "media"), id_col)
+        .select(
+            id_col, "chunk_id", "offset", "n_bytes",
+            F.md5(F.expr("substring(media, offset + 1, CAST(n_bytes AS INT))"))
+            .alias("chunk_md5"),
+        )
+    )
 
 
 def media_chunks(media_df: DataFrame, chunk_bytes: int,

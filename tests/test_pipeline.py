@@ -1151,3 +1151,52 @@ def test_media_chunks_byte_ranges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         media_chunks(m, 0)
+
+
+def test_cdc_chunks_boundaries_and_shift_stability(spark):
+    import hashlib
+
+    from lucene_solr_spark.pipeline.multimodal import (
+        CDC_B, CDC_D, CDC_M, CDC_POWERS, CDC_W, cdc_chunks, with_media_binary,
+    )
+
+    def replay(s: str):
+        b = s.encode()
+        if not b:
+            return []  # empty payloads yield no chunks
+        bounds = []
+        for i in range(CDC_W - 1, len(b)):
+            h = sum(b[i - CDC_W + 1 + j] * CDC_POWERS[j]
+                    for j in range(CDC_W)) % CDC_M
+            if h % CDC_D == 0 and i < len(b) - 1:
+                bounds.append(i)
+        starts = [0] + [p + 1 for p in bounds]
+        ends = starts[1:] + [len(b)]
+        return [(c, st, e - st, hashlib.md5(b[st:e]).hexdigest())
+                for c, (st, e) in enumerate(zip(starts, ends))]
+
+    import random, string
+    rng = random.Random(13)
+    texts = ["".join(rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 800)))
+             for _ in range(20)]
+    texts += ["short", ""]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {}
+    for r in cdc_chunks(with_media_binary(df)).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["offset"], r["n_bytes"], r["chunk_md5"]))
+    for i, t in enumerate(texts):
+        want = replay(t)
+        got = sorted(out.get(i, []))
+        assert got == want, (i, got[:3], want[:3])
+    # the content-defined property: a prefix insertion leaves chunk
+    # hashes after the first boundary unchanged (fixed windows would
+    # shift every chunk)
+    base = texts[0]
+    shifted = "XYZ" + base
+    df2 = spark.createDataFrame([(0, base), (1, shifted)], "doc_id long, text string")
+    h2 = {}
+    for r in cdc_chunks(with_media_binary(df2)).collect():
+        h2.setdefault(r["doc_id"], set()).add(r["chunk_md5"])
+    common = h2[0] & h2[1]
+    assert len(common) >= max(0, len(h2[0]) - 2)  # all but the head chunk(s) survive
