@@ -1212,6 +1212,33 @@ def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_chunks(m, 512).orderBy("doc_id", "chunk_id")
 
 
+def q_relevance_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance value sources as first-class columns (Solr
+    termfreq()/docfreq()/idf()/norm() function queries): per matching
+    doc, the term's tf, the dictionary df, the f32 BM25 idf, and the
+    SmallFloat-quantized length — all off the real decoded store."""
+    from lucene_solr_spark.functions import docfreq, norm_col, termfreq
+
+    index = _index_for(spark, sf_dir)
+    tf = termfreq(index, BM25_TERM)
+    df_scalar = docfreq(index, BM25_TERM)
+    norms = norm_col(index).select("doc_id", "quantized_length")
+    return (
+        tf.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            F.lit(df_scalar).cast("long").alias("df"),
+            F.expr(
+                f"CAST(ln(1e0 + (({index.doc_count} - {df_scalar}) + 5e-1)"
+                f" / ({df_scalar} + 5e-1)) AS FLOAT)"
+            ).alias("idf"),
+            "quantized_length",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking: Rabin window-hash boundaries (w=16,
     mod 2^31-1, divisor 64) — integer hashing, so the oracle replays
@@ -4579,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "media_chunks": q_media_chunks,
         "cdc_chunks": q_cdc_chunks,
+        "relevance_functions": q_relevance_functions,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "payload_score": q_payload_score,
@@ -7838,6 +7866,18 @@ GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10""",
 SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS group_count
 FROM lineitem GROUP BY l_returnflag
 ORDER BY group_count DESC, l_returnflag ASC LIMIT 10""",
+        "relevance_functions": f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+tfs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT CAST(count(*) AS BIGINT) AS df FROM tfs)
+SELECT t.doc_id, t.tf, f.df,
+       CAST(ln(1e0 + ((n.n_docs - f.df) + 5e-1) / (f.df + 5e-1)) AS FLOAT) AS idf,
+       CAST({_QDL_SQL.replace("dl", "d.dl")} AS BIGINT) AS quantized_length
+FROM tfs t JOIN dl d USING (doc_id), dfs f, n
+ORDER BY t.doc_id""",
         "cdc_chunks": f"""
 WITH base AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
