@@ -2235,6 +2235,14 @@ _AXIO_EXPR = (
     "(CAST(tf AS DOUBLE) / (tf + 0.5e0 + 0.5e0 * qdl"
     " / (CAST({TTF} AS DOUBLE) / {N}))) * ln(({N} + 1e0) / df)"
 )
+#: SweetSpot (ln_min=8, ln_max=64, steepness=0.5, baselineTf base=1 min=2):
+#: Classic idf x plateau baselineTf x plateau lengthNorm over qdl
+_SWEETSPOT_EXPR = (
+    "(ln(({N} + 1e0) / (df + 1e0)) + 1e0)"
+    " * (CASE WHEN tf <= 2e0 THEN 1e0"
+    "        ELSE sqrt(CAST(tf AS DOUBLE) + 1e0 - 2e0) END)"
+    " * (1e0 / sqrt(0.5e0 * (abs(qdl - 8e0) + abs(qdl - 64e0) - 56e0) + 1e0))"
+)
 
 
 def _sim_parity_scores(spark: SparkSession, sf_dir: str, term: str, expr: str) -> DataFrame:
@@ -2289,6 +2297,13 @@ def q_fts_axiomatic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axiomatic F2LOG top-10 in the f64-parity formulation:
     tf/(tf + s + s*dl/avgdl) * ln((N+1)/df) with s = 0.5."""
     return _sim_parity_scores(spark, sf_dir, BM25_TERM, _AXIO_EXPR)
+
+
+def q_fts_sweetspot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SweetSpotSimilarity top-10 in the f64-parity formulation: Classic
+    idf x baselineTf(base=1, min=2) x plateau lengthNorm([8, 64], s=0.5) —
+    the length plateau is non-monotone, the pruning envelope's case."""
+    return _sim_parity_scores(spark, sf_dir, BM25_TERM, _SWEETSPOT_EXPR)
 
 
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4653,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_dfi_topk": q_fts_dfi_topk,
         "fts_ib_topk": q_fts_ib_topk,
         "fts_axiomatic_topk": q_fts_axiomatic_topk,
+        "fts_sweetspot_topk": q_fts_sweetspot_topk,
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
         "ngram_dict": q_ngram_dict,
@@ -6466,7 +6482,8 @@ SELECT doc_id,
 FROM inputs
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
     for _k, _e in [("fts_lmjm_topk", _LMJM_EXPR), ("fts_dfi_topk", _DFI_EXPR),
-                   ("fts_ib_topk", _IB_EXPR), ("fts_axiomatic_topk", _AXIO_EXPR)]:
+                   ("fts_ib_topk", _IB_EXPR), ("fts_axiomatic_topk", _AXIO_EXPR),
+                   ("fts_sweetspot_topk", _SWEETSPOT_EXPR)]:
         out[_k] = _SIM_ORACLE_TEMPLATE.format(
             tok=_TOK_CTE, dl=_DL_CTE, term=BM25_TERM,
             qdl=_QDL_SQL.replace("dl", "d.dl"),

@@ -38,6 +38,7 @@ __all__ = [
     "DFI",
     "IB",
     "Axiomatic",
+    "SweetSpot",
     "BooleanSimilarity",
     "DEFAULT_K1",
     "DEFAULT_B",
@@ -685,6 +686,120 @@ class DFR:
         else:
             gain = 1.0 / (tfn + 1.0)
         return np.maximum(boost * gain * inf, 0.0).astype(np.float32)
+
+    @staticmethod
+    def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
+        return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class SweetSpot:
+    """Lucene SweetSpotSimilarity (``[8x] lucene/misc/src/java/org/apache/
+    lucene/misc/SweetSpotSimilarity.java``) — ClassicSimilarity with a
+    *plateau* length norm and a baseline/hyperbolic tf curve, tuned so a
+    "sweet spot" of document lengths is not penalized:
+
+      lengthNorm(dl) = (float) 1/sqrt(steepness·(|dl−min|+|dl−max|−(max−min)) + 1)
+      baselineTf(f)  = 0                       if f == 0
+                       tf_base                 if f <= tf_min
+                       sqrt(f + tf_base² − tf_min)   otherwise
+      hyperbolicTf(f)= min + (max−min)/2 · (tanh-like in base^(f−xoffset))
+      idf            = ln((N+1)/(df+1)) + 1          (inherited Classic)
+      score          = boost · idf · tf(f) · normTable[norm_byte]
+
+    Like upstream, ``tf()`` is the baseline curve by default; the
+    hyperbolic curve is selectable (upstream exposes it for subclasses).
+
+    NOT monotone in document length: docs shorter than ``ln_min`` are
+    penalized exactly like docs longer than ``ln_max``, so the block-max
+    upper bound cannot use the block's min norm byte directly —
+    ``norm_monotone = False`` makes the pruning pass take the suffix-max
+    envelope of the norm table instead (sound for any byte ≥ the block
+    min, since SmallFloat bytes order by length)."""
+
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+    tf_mode: str = "baseline"  # "baseline" | "hyperbolic"
+    hyper_min: float = 0.0
+    hyper_max: float = 2.0
+    hyper_base: float = 1.3
+    hyper_xoffset: float = 10.0
+
+    norm_monotone = False  # plateau norm ⇒ envelope bound in the pruner
+
+    def __post_init__(self) -> None:
+        if self.ln_min < 0 or self.ln_max < self.ln_min:
+            raise ValueError(
+                f"illegal length-norm plateau: [{self.ln_min}, {self.ln_max}]")
+        if not (math.isfinite(self.steepness) and self.steepness > 0):
+            raise ValueError(f"illegal steepness: {self.steepness}")
+        if self.tf_mode not in ("baseline", "hyperbolic"):
+            raise ValueError(f"unknown tf mode: {self.tf_mode!r}")
+
+    @staticmethod
+    def idf(df: int | np.ndarray, doc_count: int) -> np.float32 | np.ndarray:
+        return ClassicSimilarity.idf(df, doc_count)
+
+    @staticmethod
+    def avgdl(sum_total_term_freq: int, doc_count: int) -> np.float32:
+        if doc_count <= 0:
+            return np.float32(0)
+        return np.float32(sum_total_term_freq / float(doc_count))
+
+    def length_norm(self, num_terms: np.ndarray) -> np.ndarray:
+        """f32-stepwise like Java: the steepness product is computed in
+        float, the sqrt in double, the final division cast to float."""
+        n = np.asarray(num_terms, dtype=np.float64)
+        tri = np.float32(self.steepness) * (
+            np.abs(n - self.ln_min) + np.abs(n - self.ln_max)
+            - (self.ln_max - self.ln_min)
+        ).astype(np.float32)
+        return (1.0 / np.sqrt(tri.astype(np.float64) + np.float32(1.0))).astype(
+            np.float32
+        )
+
+    def norm_inverse_cache(self, avgdl: np.float32) -> np.ndarray:
+        return self.length_norm(LENGTH_TABLE)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+        return np.float32(np.float32(boost) * self.idf(df, doc_count))
+
+    def tf(self, freqs: np.ndarray) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float32)
+        # np.where evaluates both branches: negative sqrt args / inf**x are
+        # expected on the branch that is then discarded
+        with np.errstate(invalid="ignore", over="ignore"):
+            if self.tf_mode == "baseline":
+                out = np.where(
+                    f <= np.float32(self.tf_min),
+                    np.float32(self.tf_base),
+                    np.sqrt(
+                        (f + np.float32(self.tf_base * self.tf_base)
+                         - np.float32(self.tf_min)).astype(np.float64)
+                    ).astype(np.float32),
+                )
+            else:
+                x = (f - np.float32(self.hyper_xoffset)).astype(np.float64)
+                bpx = np.power(self.hyper_base, x)
+                bnx = np.power(self.hyper_base, -x)
+                out = (
+                    np.float32(self.hyper_min)
+                    + ((np.float32(self.hyper_max - self.hyper_min) / np.float32(2.0))
+                       * ((bpx - bnx) / (bpx + bnx) + 1.0)).astype(np.float32)
+                )
+                out = np.where(np.isnan(out), np.float32(self.hyper_max), out)
+        return np.where(f == 0, np.float32(0.0), out).astype(np.float32)
+
+    def score(
+        self, tfs: np.ndarray, norm_bytes: np.ndarray, weight: np.float32,
+        cache: np.ndarray,
+    ) -> np.ndarray:
+        tf = self.tf(tfs)
+        inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return (np.float32(weight) * tf * inv).astype(np.float32)
 
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:

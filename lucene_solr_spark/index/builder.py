@@ -42,6 +42,7 @@ from ..bm25 import (
     DFRInL2,
     LMDirichlet,
     LMJelinekMercer,
+    SweetSpot,
 )
 from .core import (
     NORMS_TERM,
@@ -102,6 +103,19 @@ def _similarity_from_manifest(manifest: dict):
             variant=sim.get("variant", "f2exp"),
             s=float(sim.get("s", 0.5)),
             k=float(sim.get("k", 0.35)),
+        )
+    if sim.get("name") == "sweetspot":
+        return SweetSpot(
+            ln_min=int(sim.get("ln_min", 1)),
+            ln_max=int(sim.get("ln_max", 1)),
+            steepness=float(sim.get("steepness", 0.5)),
+            tf_base=float(sim.get("tf_base", 0.0)),
+            tf_min=float(sim.get("tf_min", 0.0)),
+            tf_mode=sim.get("tf_mode", "baseline"),
+            hyper_min=float(sim.get("hyper_min", 0.0)),
+            hyper_max=float(sim.get("hyper_max", 2.0)),
+            hyper_base=float(sim.get("hyper_base", 1.3)),
+            hyper_xoffset=float(sim.get("hyper_xoffset", 10.0)),
         )
     return BM25(**manifest["bm25"])
 
@@ -282,6 +296,15 @@ def build_index(
         elif isinstance(bm25, Axiomatic):
             sim_entry = {"name": "axiomatic", "variant": bm25.variant,
                          "s": bm25.s, "k": bm25.k}
+            bm25_entry = {}
+        elif isinstance(bm25, SweetSpot):
+            sim_entry = {"name": "sweetspot", "ln_min": bm25.ln_min,
+                         "ln_max": bm25.ln_max, "steepness": bm25.steepness,
+                         "tf_base": bm25.tf_base, "tf_min": bm25.tf_min,
+                         "tf_mode": bm25.tf_mode, "hyper_min": bm25.hyper_min,
+                         "hyper_max": bm25.hyper_max,
+                         "hyper_base": bm25.hyper_base,
+                         "hyper_xoffset": bm25.hyper_xoffset}
             bm25_entry = {}
         else:  # ClassicSimilarity (or any parameterless duck-typed sim)
             sim_entry = {"name": "classic"}

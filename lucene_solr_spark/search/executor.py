@@ -1017,6 +1017,12 @@ def _single_term_pruned(index: IndexView, term: str, k: int,
         return None
     w = _term_weight(index, term, df_term, cf_term, boost)
     cache = index.norm_inverse_cache(term)
+    if not getattr(index.bm25, "norm_monotone", True):
+        # plateau-norm similarities (SweetSpot): score is NOT decreasing in
+        # the norm byte, so bound with the suffix-max envelope — for every
+        # byte >= the block's min byte, envelope[min] >= cache[byte]
+        # (SmallFloat bytes order by length), keeping ub >= true score.
+        cache = np.maximum.accumulate(cache[::-1])[::-1]
 
     score_fn = index.bm25.score
 

@@ -1,0 +1,136 @@
+"""SweetSpotSimilarity — plateau length norm + baseline/hyperbolic tf.
+
+Reference semantics: ``[8x] lucene/misc/src/java/org/apache/lucene/misc/
+SweetSpotSimilarity.java`` and its TestSweetSpotSimilarity: lengthNorm is
+1 inside [ln_min, ln_max] and decays on BOTH sides; baselineTf is a
+constant plateau below tf_min; hyperbolicTf saturates at hyper_max.
+The non-monotone norm exercises the pruner's suffix-max envelope bound.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.bm25 import SweetSpot
+
+
+def test_sweetspot_length_norm_plateau():
+    sim = SweetSpot(ln_min=10, ln_max=30, steepness=0.5)
+    ln = sim.length_norm(np.arange(1, 60, dtype=np.int64))
+    # 1.0 across the plateau (indices 9..29 are lengths 10..30)
+    assert (ln[9:30] == np.float32(1.0)).all()
+    # strictly below 1 outside, decaying on both sides
+    assert ln[8] < 1.0 and ln[30] < 1.0
+    assert ln[0] < ln[5] < ln[8]          # rising toward the plateau
+    assert ln[35] < ln[31]                # falling past it
+    # closed form at a sample point: dl=40 -> 1/sqrt(.5*(30+10-20)+1)
+    want = np.float32(1.0 / math.sqrt(0.5 * (abs(40 - 10) + abs(40 - 30) - 20) + 1.0))
+    assert ln[39] == want
+
+
+def test_sweetspot_baseline_tf():
+    sim = SweetSpot(tf_base=1.5, tf_min=3.0)
+    got = sim.tf(np.array([0, 1, 3, 4, 10]))
+    assert got.dtype == np.float32
+    assert got[0] == np.float32(0.0)                   # freq 0 scores 0
+    assert got[1] == got[2] == np.float32(1.5)         # plateau below tf_min
+    assert got[3] == np.float32(math.sqrt(4 + 1.5 * 1.5 - 3.0))
+    assert got[4] == np.float32(math.sqrt(10 + 2.25 - 3.0))
+    # defaults degenerate to Classic's sqrt(freq)
+    dflt = SweetSpot()
+    assert (dflt.tf(np.array([1, 4, 9])) == np.sqrt(
+        np.array([1, 4, 9], dtype=np.float32))).all()
+
+
+def test_sweetspot_hyperbolic_tf():
+    sim = SweetSpot(tf_mode="hyperbolic")
+    got = sim.tf(np.array([0, 10, 1000, 100000]))
+    assert got[0] == np.float32(0.0)
+    # symmetric midpoint at xoffset: min + (max-min)/2
+    assert abs(float(got[1]) - 1.0) < 1e-6
+    # saturates at hyper_max (incl. the Float.isNaN guard for inf/inf)
+    assert got[2] == np.float32(2.0) and got[3] == np.float32(2.0)
+    assert (sim.tf(np.array([1, 2, 3, 20])) <= np.float32(2.0)).all()
+
+
+def test_sweetspot_validation():
+    with pytest.raises(ValueError):
+        SweetSpot(ln_min=5, ln_max=2)
+    with pytest.raises(ValueError):
+        SweetSpot(steepness=0.0)
+    with pytest.raises(ValueError):
+        SweetSpot(tf_mode="parabolic")
+
+
+def test_sweetspot_engine_vs_oracle_identity(spark):
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import And, Or, Phrase, Term, search
+
+    pdf = gen_corpus_pdf(150, seed=91).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    sim = SweetSpot(ln_min=8, ln_max=64, steepness=0.5, tf_base=1.0, tf_min=2.0)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    try:
+        for q in [Term(KEYWORDS[0]), Term(KEYWORDS[5], boost=1.5),
+                  And(Term(KEYWORDS[0]), Term(KEYWORDS[3])),
+                  Or(Term(KEYWORDS[4]), Term(KEYWORDS[9])),
+                  Phrase("def", "class", boost=2.0)]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10), q
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_sweetspot_forced_prune_identity(spark, monkeypatch):
+    """The envelope bound: plateau sits INSIDE the corpus length range so
+    some blocks' min norm byte lies below it — a min-byte bound would be
+    unsound there; pruned results must still match the oracle exactly."""
+    from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import Term, executor, search
+
+    pdf = gen_corpus_pdf(150, seed=92).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(150, dtype=np.int64)
+    lens = pdf["content"].str.split().str.len()
+    mid = int(lens.median())
+    sim = SweetSpot(ln_min=max(1, mid - 2), ln_max=mid + 2, steepness=0.5)
+    idx = build_index_view(
+        spark.createDataFrame(pdf[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content", bm25=sim,
+    )
+    oracle = MiniLucene(list(zip(pdf["doc_id"], pdf["content"])), bm25=sim)
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    try:
+        for kw in (KEYWORDS[0], KEYWORDS[2], "def"):
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, Term(kw), k=10, prune=True).collect()]
+            assert got == oracle.search(Term(kw), k=10), kw
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_sweetspot_persistent_roundtrip(spark, tmp_path):
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.search import Term, search
+
+    path = tmp_path / "ssidx"
+    sim = SweetSpot(ln_min=4, ln_max=40, steepness=0.25, tf_base=1.0,
+                    tf_min=2.0, tf_mode="hyperbolic", hyper_xoffset=5.0)
+    build_index(spark, gen_corpus_df(spark, 100, seed=7), path,
+                segment_docs=50, bm25=sim)
+    idx = open_index(spark, path)
+    assert isinstance(idx.bm25, SweetSpot)
+    assert idx.bm25 == sim  # every parameter round-trips
+    assert search(idx, Term("def"), k=5).count() > 0
