@@ -2516,6 +2516,8 @@ MSELECT_LANG = "en"       # multi-select facet: the user's own lang filter
 MSELECT_SOURCE = "src3"   # ...and a second (kept) tagged filter
 BLEND_FRAG = "wind"       # BlendedInfixSuggester probe (token prefix)
 DUPWIN_K = 8              # duplicate-window width (tokens)
+WINNOW_K = 5              # winnowing gram width (tokens)
+WINNOW_W = 4              # winnowing window (grams); guarantee span = w+k-1
 FRANGE_L, FRANGE_U = 0.45, 0.82  # frange bounds over recip(n_chars,1,1000,1000)
 MLT_ITERMS_DOC = 7        # interestingTerms source doc
 
@@ -2761,6 +2763,27 @@ def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return duplicate_windows(d, k=DUPWIN_K).orderBy("window_hash")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — MOSS):
+    min-of-window gram-hash selection (rightmost tie), then the
+    fingerprints selected in >= 2 distinct docs with doc/selection
+    counts — the candidate clone spans at 2/(w+1) the dup_windows
+    shuffle volume."""
+    from lucene_solr_spark.pipeline.dedup import winnow_fingerprints
+
+    d = _docs(spark, sf_dir)
+    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sel"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
+    )
 
 
 def q_suggest_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4716,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_interesting": q_mlt_interesting,
         "frange": q_frange,
         "dup_windows": q_dup_windows,
+        "winnowing": q_winnowing,
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
         "surround": q_surround,
@@ -7801,6 +7825,9 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
     _dupwin_leads = ", ".join(
         f"lead(term,{i}) OVER w" for i in range(1, DUPWIN_K)
     )
+    _winnow_leads = ", ".join(
+        f"lead(term,{i}) OVER w" for i in range(1, WINNOW_K)
+    )
     out.update({
         "block_join_facet": f"""
 WITH {_TOK_CTE},
@@ -8186,6 +8213,31 @@ SELECT md5(gram) AS window_hash,
 FROM g WHERE last_t IS NOT NULL
 GROUP BY window_hash HAVING count(DISTINCT doc_id) >= 2
 ORDER BY window_hash""",
+        "winnowing": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents),
+g AS (SELECT doc_id, ord - 1 AS pos,
+             concat_ws(' ', term, {_winnow_leads}) AS gram,
+             lead(term, {WINNOW_K - 1}) OVER w AS last_t
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+h AS (SELECT doc_id, pos,
+             (CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {(1 << 31) - 1})
+               * CAST({1 << 24} AS BIGINT) + ({(1 << 24) - 1} - pos) AS key,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM g WHERE last_t IS NOT NULL),
+wm AS (SELECT doc_id, pos, n,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+       FROM h),
+sel AS (SELECT DISTINCT doc_id, wmin FROM wm
+        WHERE pos <= greatest(n - {WINNOW_W}, 0))
+SELECT wmin // {1 << 24} AS fp,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sel
+FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+ORDER BY fp""",
         "suggest_blended": f"""
 WITH tok AS (
   SELECT doc_id, n_chars,

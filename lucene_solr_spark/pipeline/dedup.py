@@ -47,6 +47,7 @@ __all__ = [
     "dedup_clusters",
     "duplicate_windows",
     "boilerplate_line_dedup",
+    "winnow_fingerprints",
 ]
 
 
@@ -846,3 +847,84 @@ def contrastive_pairs(
     out = out.orderBy("id_a", "id_b", "label")
     out._lss_cached = handle
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS code-plagiarism selector): hash every k-token gram,
+    slide a window of ``w`` consecutive gram hashes, and in each window
+    select the minimum hash, rightmost position on ties.  Guarantees of
+    the paper hold exactly: any shared token run of >= ``w + k - 1``
+    tokens shares at least one selected fingerprint (no false negatives
+    at that span length), and expected density is 2/(w+1) — the sketch
+    is ~2/(w+1) the size of the full gram set that
+    ``duplicate_windows`` shuffles.
+
+    Returns DataFrame[id, fp:long, pos:long] — the selected fingerprint
+    hashes (mod P31) with their 0-based gram positions.
+
+    Shape: gram emission is the same two-stage map-only projection as
+    ``duplicate_windows`` (the aliased token array is load-bearing —
+    inlining the tokenizer into the slice lambda re-evaluates it per
+    offset).  The ONLY exchange is the hash partition by ``id_col`` for
+    the per-doc ordered window — winnowing is sequential per doc by
+    definition, and docs are the parallel unit, so this holds at 100 TB
+    (no skew: window state is O(w), cost linear in doc length).  The
+    rightmost-tie rule is encoded in the single int64 ordering key
+    ``h·2^24 + (2^24−1 − pos)`` (exact for h < 2^31, docs < 2^24 grams),
+    so one ``min() OVER (ROWS CURRENT..w-1 FOLLOWING)`` implements
+    select-min-rightmost, and decoding the key recovers (fp, pos) with
+    no join back to the gram stream.  Docs shorter than ``w`` grams
+    winnow their single truncated window (min of the whole doc), per the
+    paper's treatment of short documents.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    shift = 1 << 24
+    toked = df.select(
+        F.col(id_col), F.expr(TOKENS_SQL.format(col=text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN size(_toks) >= {k} THEN"
+            f" transform(sequence(1, size(_toks) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(_toks, i, {k})))"
+            f" ELSE array() END"
+        ).alias("_grams"),
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.expr("size(_grams)").alias("n"),
+        F.posexplode("_grams").alias("pos", "gram"),
+    )
+    keyed = grams.select(
+        F.col(id_col),
+        F.col("n"),
+        F.col("pos"),
+        F.expr(
+            f"{hterm_sql('gram')} * CAST({shift} AS BIGINT)"
+            f" + ({shift - 1} - pos)"
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        keyed.withColumn("wmin", F.min("key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - F.lit(w), F.lit(0)))
+        .select(id_col, "wmin")
+        .distinct()
+    )
+    return sel.select(
+        F.col(id_col),
+        F.expr(f"wmin DIV {shift}").alias("fp"),
+        (F.lit(shift - 1) - F.col("wmin") % F.lit(shift)).cast("long").alias("pos"),
+    )

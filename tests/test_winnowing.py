@@ -1,0 +1,87 @@
+"""Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS) vs an
+independent pure-Python reference of the paper's algorithm."""
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+
+P31 = (1 << 31) - 1
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Direct transliteration of the paper: hash k-grams, then for each
+    window of w hashes select the min, rightmost on ties; dedup (h, pos)."""
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P31 for g in grams]
+    if not hs:
+        return set()
+    out = set()
+    n = len(hs)
+    for s in range(max(n - w, 0) + 1):
+        window = hs[s:s + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        p = s + max(i for i, h in enumerate(window) if h == m)
+        out.add((hs[p], p))
+    return out
+
+
+@pytest.mark.parametrize("k,w", [(3, 4), (2, 5), (5, 1)])
+def test_winnow_matches_reference(spark, k, w):
+    from lucene_solr_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = [
+        (0, "def foo(a, b): return a + b  # adds a and b together ok"),
+        (1, "def bar(x): x = x + 1; return x * x  # square of successor"),
+        (2, "short doc"),
+        (3, "aa aa aa aa aa aa aa aa aa aa"),  # all-equal hashes: tie rule
+        (4, ""),
+        (5, "def foo(a, b): return a + b  # adds a and b together ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (int(r["doc_id"]), int(r["fp"]), int(r["pos"]))
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    want = {
+        (i, h, p) for i, t in docs for (h, p) in _ref_winnow(t, k, w)
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Paper properties: (1) two docs sharing a run of >= w+k-1 tokens
+    share a fingerprint hash; (2) every doc with >= 1 gram selects >= 1
+    fingerprint; density is well below the full gram count."""
+    from lucene_solr_spark.pipeline.dedup import winnow_fingerprints
+
+    k, w = 4, 6
+    shared = "the quick brown fox jumps over the lazy dog again"  # 10 tokens > w+k-1
+    docs = [
+        (0, "alpha beta " + shared + " gamma delta epsilon zeta eta"),
+        (1, "one two three four five " + shared + " six seven"),
+        (2, "completely different content with no overlap at all here today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), set()).add(int(r["fp"]))
+    assert by_doc[0] & by_doc[1], "shared >= w+k-1 token run must share a fingerprint"
+    assert by_doc.get(2), "every non-empty doc selects at least one fingerprint"
+    # sketch is smaller than the full gram set (expected density 2/(w+1))
+    n_grams_0 = len(docs[0][1].split()) - k + 1
+    assert len(by_doc[0]) < n_grams_0
+
+
+def test_winnow_validation(spark):
+    from lucene_solr_spark.pipeline.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, w=0)
