@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.analysis import TOKEN_PATTERN
+from lucene_solr_spark.analysis import URL_EMAIL_TOKEN_PATTERN as _UAX29_PATTERN
 from lucene_solr_spark.index.core import IndexView, build_index_view
 from lucene_solr_spark.search.executor import postings_table, search
 from lucene_solr_spark.search.query import parse_query
@@ -2392,6 +2393,35 @@ def q_edge_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uax29_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UAX29URLEmailTokenizer analog: URLs and e-mails survive as single
+    tokens.  The corpus has none, so each row's text is synthesised
+    deterministically from its own columns (shared construction SQL);
+    dictionary restricted to the url/email terms."""
+    from lucene_solr_spark.analysis import URL_EMAIL_TOKEN_PATTERN, Chain
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr(
+            "concat('contact ', source, '@example.com visit https://', "
+            "source, '.example.org/', lang, ' ', substr(text, 1, 40))"
+        ).alias("t"),
+    )
+    chain = Chain(pattern=URL_EMAIL_TOKEN_PATTERN)
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict.filter(
+            F.col("term").contains("@") | F.col("term").contains("://")
+        )
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank percentile per bucket (PercentileAgg contract,
     computed exactly): pure integer rank arithmetic, hashable."""
@@ -4740,6 +4770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frange": q_frange,
         "dup_windows": q_dup_windows,
         "winnowing": q_winnowing,
+        "uax29_dict": q_uax29_dict,
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
         "surround": q_surround,
@@ -8238,6 +8269,20 @@ SELECT wmin // {1 << 24} AS fp,
        CAST(count(*) AS BIGINT) AS n_sel
 FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
 ORDER BY fp""",
+        "uax29_dict": f"""
+WITH s AS (
+  SELECT doc_id,
+         concat('contact ', source, '@example.com visit https://', source,
+                '.example.org/', lang, ' ', substr(text, 1, 40)) AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(t), '{_UAX29_PATTERN}')) AS term
+  FROM s)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE term LIKE '%@%' OR term LIKE '%://%'
+GROUP BY term ORDER BY term""",
         "suggest_blended": f"""
 WITH tok AS (
   SELECT doc_id, n_chars,

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "TOKEN_PATTERN",
     "MIXED_TOKEN_PATTERN",
+    "URL_EMAIL_TOKEN_PATTERN",
     "REV_MARKER",
     "tokenize_series",
     "tokens_col",
@@ -93,6 +94,20 @@ LATIN_TOKEN_PATTERN = "[a-z0-9_À-ɏ]+"
 #: so the filter can see camelCase boundaries before an explicit lowercase
 #: step — Lucene puts WordDelimiterGraphFilter BEFORE LowerCaseFilter)
 MIXED_TOKEN_PATTERN = "[A-Za-z0-9_]+"
+
+#: UAX29URLEmailTokenizer analog (``[8x] lucene/analysis/common/src/java/
+#: org/apache/lucene/analysis/standard/UAX29URLEmailTokenizer.java``):
+#: URLs (scheme-required — Lucene's bare-domain rules are out of scope)
+#: and e-mail addresses survive as SINGLE tokens; everything else falls
+#: back to the standard word-run rule.  Alternation order is load-bearing
+#: and behaves identically in Python re, Java regex, and RE2 (all
+#: leftmost-first); every group is non-capturing so findall returns whole
+#: matches; character classes only, so the three engines agree exactly.
+URL_EMAIL_TOKEN_PATTERN = (
+    "(?:https?://[a-z0-9.-]+(?:/[a-z0-9._/%+~-]*)?"
+    "|[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    "|[a-z0-9_]+)"
+)
 
 #: index marker for ReversedWildcardFilter terms (Solr uses U+0001
 #: START_OF_HEADING so reversed forms can never collide with real tokens,

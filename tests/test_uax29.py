@@ -1,0 +1,54 @@
+"""UAX29URLEmailTokenizer analog: URLs and e-mails as single tokens."""
+
+import re
+
+import pytest
+
+from lucene_solr_spark.analysis import Chain, URL_EMAIL_TOKEN_PATTERN
+
+
+def test_url_email_tokens():
+    chain = Chain(pattern=URL_EMAIL_TOKEN_PATTERN)
+    got = [t for t, _ in chain.tokens(
+        "Contact Dev.Team+ops@Example.COM or see "
+        "https://docs.example.org/v2/api_ref ok http://a.b"
+    )]
+    assert got == [
+        "contact", "dev.team+ops@example.com", "or", "see",
+        "https://docs.example.org/v2/api_ref", "ok", "http://a.b",
+    ]
+
+
+def test_word_fallback_and_bare_domain():
+    chain = Chain(pattern=URL_EMAIL_TOKEN_PATTERN)
+    # no scheme, no @ -> standard word runs (documented simplification)
+    got = [t for t, _ in chain.tokens("see example.com for defs")]
+    assert got == ["see", "example", "com", "for", "defs"]
+    # positions are the post-tokenize stream ordinals
+    assert [p for _, p in chain.tokens("a b@c.de f")] == [0, 1, 2]
+
+
+def test_no_capturing_groups():
+    # findall must return whole matches, not group fragments
+    assert re.compile(URL_EMAIL_TOKEN_PATTERN).groups == 0
+
+
+def test_uax29_index_and_search(spark):
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search import Term, search
+
+    docs = [
+        (0, "mail admin@example.com for access"),
+        (1, "see https://wiki.example.org/setup then mail admin@example.com"),
+        (2, "no links here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chain = Chain(pattern=URL_EMAIL_TOKEN_PATTERN)
+    idx = build_index_view(df, id_col="doc_id", text_col="text",
+                           analyzer=chain, cache=False)
+    terms = {r["term"] for r in idx.term_dict.collect()}
+    assert "admin@example.com" in terms
+    assert "https://wiki.example.org/setup" in terms
+    hits = sorted(int(r["doc_id"])
+                  for r in search(idx, Term("admin@example.com"), k=10).collect())
+    assert hits == [0, 1]
