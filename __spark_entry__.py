@@ -2393,6 +2393,86 @@ def q_edge_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_enum_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnumFieldType: o_orderpriority sorted/range-filtered by configured
+    severity ORDINAL (reverse of lexicographic) — counts for priorities
+    at least '4-NOT SPECIFIED' in severity order."""
+    from lucene_solr_spark.fieldtypes import enum_ordinal, enum_range
+
+    o = _tbl(spark, sf_dir, "orders")
+    sel = o.filter(enum_range("o_orderpriority", ENUM_PRIORITIES,
+                              low="4-NOT SPECIFIED"))
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("ordinal", enum_ordinal("o_orderpriority", ENUM_PRIORITIES))
+        .select("o_orderpriority", "ordinal", "cnt")
+        .orderBy("ordinal")
+    )
+
+
+def q_currency_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CurrencyFieldType: "minor,CUR" stored strings (synthesised from
+    p_retailprice; odd part keys priced in EUR) parsed, converted to USD
+    through the rational rate table with EXACT integer multiply/DIV, and
+    range-filtered in the query currency."""
+    from lucene_solr_spark.fieldtypes import currency_convert_minor, currency_parse
+
+    p = _tbl(spark, sf_dir, "part")
+    stored = p.select(
+        "p_partkey",
+        F.expr(
+            "concat(CAST(CAST(round(p_retailprice * 100e0) AS BIGINT) AS STRING),"
+            " ',', CASE WHEN p_partkey % 2 = 0 THEN 'USD' ELSE 'EUR' END)"
+        ).alias("price_c"),
+    )
+    amt, cur = currency_parse("price_c")
+    parsed = stored.select("p_partkey", amt.alias("amt"), cur.alias("cur"))
+    conv = parsed.withColumn(
+        "usd_minor", currency_convert_minor("amt", "cur", "USD", FX_RATES)
+    )
+    return (
+        conv.filter((F.col("usd_minor") >= CUR_LO) & (F.col("usd_minor") <= CUR_HI))
+        .select("p_partkey", "cur", "usd_minor")
+        .orderBy("p_partkey")
+    )
+
+
+def q_external_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExternalFileField: key=value sidecar floats (LAST occurrence of a
+    key wins, malformed lines skipped) parsed driver-side like Solr's
+    node-local file, broadcast-joined as the boost ValueSource over the
+    f64-parity BM25 stream (defVal=1 for uncovered docs)."""
+    import os
+    import tempfile
+
+    from lucene_solr_spark.fieldtypes import external_file_values
+
+    lines = [f"{i}={(i % 7) + 1}" for i in range(EXT_FILE_KEYS)]
+    lines += [f"{i}={(i % 7) + 3}" for i in range(0, EXT_FILE_KEYS, 5)]
+    lines.append("not a valid line")     # skipped (upstream logs + continues)
+    lines.append("999999999=9")          # key outside the corpus: ignored
+    path = os.path.join(tempfile.mkdtemp(prefix="extff_"), "external_boost.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    ext = external_file_values(spark, path, key_type="long").withColumnRenamed(
+        "key", "doc_id"
+    )
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    out = sc.join(F.broadcast(ext), "doc_id", "left").withColumn(
+        "score",
+        F.expr(
+            "CAST(CAST(CAST(score64 AS FLOAT) AS DOUBLE)"
+            " * coalesce(value, 1e0) AS FLOAT)"
+        ),
+    )
+    return (
+        out.select("doc_id", F.col("value").alias("ext_val"), "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_uax29_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UAX29URLEmailTokenizer analog: URLs and e-mails survive as single
     tokens.  The corpus has none, so each row's text is synthesised
@@ -2548,6 +2628,12 @@ BLEND_FRAG = "wind"       # BlendedInfixSuggester probe (token prefix)
 DUPWIN_K = 8              # duplicate-window width (tokens)
 WINNOW_K = 5              # winnowing gram width (tokens)
 WINNOW_W = 4              # winnowing window (grams); guarantee span = w+k-1
+#: EnumFieldType config: severity order (reverse of lexicographic!)
+ENUM_PRIORITIES = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT"]
+#: CurrencyFieldType rational rate table (asymmetric, Solr rates.xml model)
+FX_RATES = {("EUR", "USD"): (108, 100), ("USD", "EUR"): (92, 100)}
+CUR_LO, CUR_HI = 91_000, 98_500   # USD minor units (cents)
+EXT_FILE_KEYS = 200               # external sidecar covers doc_id < 200
 FRANGE_L, FRANGE_U = 0.45, 0.82  # frange bounds over recip(n_chars,1,1000,1000)
 MLT_ITERMS_DOC = 7        # interestingTerms source doc
 
@@ -4771,6 +4857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_windows": q_dup_windows,
         "winnowing": q_winnowing,
         "uax29_dict": q_uax29_dict,
+        "enum_sort": q_enum_sort,
+        "currency_range": q_currency_range,
+        "external_file": q_external_file,
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
         "surround": q_surround,
@@ -7636,6 +7725,17 @@ FROM events GROUP BY event_type ORDER BY event_type""",
         "edismax_pf": _edismax_pf_oracle(),
         "rerank": _rerank_oracle(),
         "boost_function": _boost_function_oracle(),
+        "external_file": _scored_terms_cte([BM25_TERM]) + f""",
+ext AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN CAST((doc_id % 7) + 3 AS DOUBLE)
+              ELSE CAST((doc_id % 7) + 1 AS DOUBLE) END AS ext_val
+  FROM documents WHERE doc_id < {EXT_FILE_KEYS})
+SELECT s.doc_id, e.ext_val,
+       CAST(CAST(CAST(s.score64 AS FLOAT) AS DOUBLE)
+            * coalesce(e.ext_val, 1e0) AS FLOAT) AS score
+FROM scored s LEFT JOIN ext e USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
         "block_join": _block_join_oracle(),
         "term_vector": f"""
 WITH {_TOK_CTE}
@@ -7859,6 +7959,11 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
     _winnow_leads = ", ".join(
         f"lead(term,{i}) OVER w" for i in range(1, WINNOW_K)
     )
+    _enum_when = " ".join(
+        f"WHEN '{v}' THEN {i}" for i, v in enumerate(ENUM_PRIORITIES)
+    )
+    from lucene_solr_spark.fieldtypes import currency_convert_sql as _ccsql
+    _currency_usd_sql = _ccsql("amt", "cur", "USD", FX_RATES, div_op="//")
     out.update({
         "block_join_facet": f"""
 WITH {_TOK_CTE},
@@ -8283,6 +8388,26 @@ SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM tok WHERE term LIKE '%@%' OR term LIKE '%://%'
 GROUP BY term ORDER BY term""",
+        "enum_sort": f"""
+WITH m AS (
+  SELECT o_orderpriority,
+         CASE o_orderpriority {_enum_when} END AS ordinal
+  FROM orders)
+SELECT o_orderpriority, CAST(ordinal AS INTEGER) AS ordinal,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM m WHERE ordinal >= {ENUM_PRIORITIES.index('4-NOT SPECIFIED')}
+GROUP BY o_orderpriority, ordinal ORDER BY ordinal""",
+        "currency_range": f"""
+WITH parsed AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100e0) AS BIGINT) AS amt,
+         CASE WHEN p_partkey % 2 = 0 THEN 'USD' ELSE 'EUR' END AS cur
+  FROM part),
+conv AS (
+  SELECT p_partkey, cur, {_currency_usd_sql} AS usd_minor FROM parsed)
+SELECT p_partkey, cur, usd_minor
+FROM conv WHERE usd_minor BETWEEN {CUR_LO} AND {CUR_HI}
+ORDER BY p_partkey""",
         "suggest_blended": f"""
 WITH tok AS (
   SELECT doc_id, n_chars,

@@ -1,0 +1,147 @@
+"""Solr schema field types beyond the primitives: EnumFieldType,
+CurrencyFieldType, ExternalFileField.
+
+* EnumFieldType (``[8x] solr/core/src/java/org/apache/solr/schema/
+  EnumFieldType.java``): the schema config lists the legal values in
+  severity order; sorting and range queries operate on the ORDINAL
+  integer, never the lexicographic string.
+* CurrencyFieldType (``[8x] solr/core/src/java/org/apache/solr/schema/
+  CurrencyFieldType.java`` + FileExchangeRateProvider): values are
+  "amount,CUR" strings; the amount is stored in integer MINOR units
+  (cents) and range queries convert through the rate table to the
+  query currency before comparing.
+* ExternalFileField (``[8x] solr/core/src/java/org/apache/solr/schema/
+  ExternalFileField.java``): per-document floats live in a
+  ``key=value`` sidecar text file outside the index, refreshable
+  without re-indexing, usable only as a ValueSource (boost).  The file
+  is searcher-node-local config-scale data in Solr, so parsing it
+  driver-side and broadcast-joining the result is the faithful
+  distributed shape — the per-doc multiply is the cluster-side part.
+
+Scale notes (100 TB): enum ordinals and currency conversion are pure
+map-side projections (a CASE / array lookup over a config-sized
+broadcast literal — no exchange); the external-file join broadcasts a
+config-sized frame.  Nothing here shuffles the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "enum_ordinal",
+    "enum_range",
+    "currency_parse",
+    "currency_convert_sql",
+    "currency_convert_minor",
+    "read_external_file",
+    "external_file_values",
+]
+
+
+def enum_ordinal(col: Column | str, values: list[str]) -> Column:
+    """0-based ordinal of ``col`` within the configured enum ``values``
+    (EnumFieldType: sort/range by ordinal).  Unknown values — which
+    Solr rejects at index time — surface as NULL so callers can decide."""
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.array_position(F.array(*[F.lit(v) for v in values]), c)
+    return F.when(pos > 0, (pos - 1).cast("int")).otherwise(F.lit(None))
+
+
+def enum_range(col: Column | str, values: list[str],
+               low: str | None = None, high: str | None = None) -> Column:
+    """Range predicate over enum ORDINALS (inclusive bounds), matching
+    EnumFieldType's numeric range semantics — '2-HIGH'..'1-URGENT' is a
+    severity range, not a string range."""
+    o = enum_ordinal(col, values)
+    pred = o.isNotNull()
+    if low is not None:
+        if low not in values:
+            raise ValueError(f"unknown enum value: {low!r}")
+        pred = pred & (o >= values.index(low))
+    if high is not None:
+        if high not in values:
+            raise ValueError(f"unknown enum value: {high!r}")
+        pred = pred & (o <= values.index(high))
+    return pred
+
+
+def currency_parse(col: Column | str) -> tuple[Column, Column]:
+    """Parse a CurrencyField "minor_amount,CUR" stored string into
+    (amount_minor: long, currency: string) columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    amount = F.split(c, ",").getItem(0).cast("long")
+    cur = F.split(c, ",").getItem(1)
+    return amount, cur
+
+
+def currency_convert_sql(
+    amount_col: str,
+    currency_col: str,
+    target: str,
+    rates: dict[tuple[str, str], tuple[int, int]],
+    div_op: str = "DIV",
+) -> str:
+    """SQL text converting integer minor units to ``target`` through a
+    rational rate table {(src, dst): (num, den)} — integer multiply then
+    truncating divide (``DIV``), so the conversion is EXACT and identical
+    on every engine/partitioning (no float rate drift; Solr's
+    asymmetric-rate model: (a, b) and (b, a) are independent entries).
+    Same-currency is the implicit identity rate.  ``div_op`` lets the
+    DuckDB oracle share the text with ``//`` (floor-div — equal to DIV
+    for the non-negative amounts CurrencyField stores)."""
+    cases = [f"WHEN {currency_col} = '{target}' THEN CAST({amount_col} AS BIGINT)"]
+    for (src, dst), (num, den) in rates.items():
+        if dst != target:
+            continue
+        if num < 0 or den <= 0:
+            raise ValueError(f"illegal rate for {src}->{dst}: {num}/{den}")
+        cases.append(
+            f"WHEN {currency_col} = '{src}'"
+            f" THEN CAST({amount_col} * {num} {div_op} {den} AS BIGINT)"
+        )
+    return "CASE " + " ".join(cases) + " END"
+
+
+def currency_convert_minor(
+    amount_col: str,
+    currency_col: str,
+    target: str,
+    rates: dict[tuple[str, str], tuple[int, int]],
+) -> Column:
+    """Column form of :func:`currency_convert_sql` (NULL for currencies
+    with no rate to ``target`` — Solr raises at query time; callers
+    filter or assert)."""
+    return F.expr(currency_convert_sql(amount_col, currency_col, target, rates))
+
+
+def read_external_file(path: str) -> dict:
+    """Parse an ExternalFileField sidecar: ``key=value`` lines, float
+    values, LAST occurrence of a key wins, malformed lines skipped
+    (upstream logs and continues).  Driver-side by design — the file is
+    node-local config-scale data in Solr."""
+    out: dict[str, float] = {}
+    with open(path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, val = line.rpartition("=")
+            try:
+                out[key] = float(val)
+            except ValueError:
+                continue
+    return out
+
+
+def external_file_values(
+    spark: SparkSession, path: str, key_type: str = "long"
+) -> DataFrame:
+    """The parsed sidecar as a broadcastable DataFrame[key, value]."""
+    kv = read_external_file(path)
+    rows = [(k, v) for k, v in kv.items()]
+    df = spark.createDataFrame(rows, "key string, value double")
+    if key_type != "string":
+        df = df.select(F.col("key").cast(key_type).alias("key"), "value")
+    return df

@@ -1,0 +1,77 @@
+"""Solr field types: EnumFieldType, CurrencyFieldType, ExternalFileField."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.fieldtypes import (
+    currency_convert_minor,
+    currency_convert_sql,
+    currency_parse,
+    enum_ordinal,
+    enum_range,
+    external_file_values,
+    read_external_file,
+)
+
+SEV = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT"]
+
+
+def test_enum_ordinal_and_range(spark):
+    df = spark.createDataFrame(
+        [(p,) for p in SEV + ["9-BOGUS"]], "prio string"
+    )
+    rows = df.select("prio", enum_ordinal("prio", SEV).alias("o")).collect()
+    got = {r["prio"]: r["o"] for r in rows}
+    assert got == {"5-LOW": 0, "4-NOT SPECIFIED": 1, "3-MEDIUM": 2,
+                   "2-HIGH": 3, "1-URGENT": 4, "9-BOGUS": None}
+    # severity range '3-MEDIUM'..'1-URGENT' — NOT a lexicographic range
+    kept = sorted(r["prio"] for r in
+                  df.filter(enum_range("prio", SEV, low="3-MEDIUM")).collect())
+    assert kept == ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    kept = sorted(r["prio"] for r in
+                  df.filter(enum_range("prio", SEV, low="4-NOT SPECIFIED",
+                                       high="2-HIGH")).collect())
+    assert kept == ["2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]
+    with pytest.raises(ValueError):
+        enum_range("prio", SEV, low="nope")
+
+
+def test_currency_parse_and_convert(spark):
+    rates = {("EUR", "USD"): (108, 100), ("GBP", "USD"): (127, 100)}
+    df = spark.createDataFrame(
+        [(0, "10000,USD"), (1, "10000,EUR"), (2, "999,GBP"), (3, "5,CHF")],
+        "id long, price string",
+    )
+    amt, cur = currency_parse("price")
+    out = df.select("id", amt.alias("amt"), cur.alias("cur")).withColumn(
+        "usd", currency_convert_minor("amt", "cur", "USD", rates)
+    )
+    got = {r["id"]: (r["amt"], r["cur"], r["usd"]) for r in out.collect()}
+    assert got[0] == (10000, "USD", 10000)          # identity rate
+    assert got[1] == (10000, "EUR", 10800)
+    assert got[2] == (999, "GBP", 1268)             # 999*127 DIV 100 truncates
+    assert got[3] == (5, "CHF", None)               # no rate to target
+    with pytest.raises(ValueError):
+        currency_convert_sql("a", "c", "USD", {("EUR", "USD"): (1, 0)})
+    # oracle dialect shares the text modulo the div operator
+    assert currency_convert_sql("a", "c", "USD", rates, div_op="//") == \
+        currency_convert_sql("a", "c", "USD", rates).replace(" DIV ", " // ")
+
+
+def test_external_file_last_wins(tmp_path, spark):
+    p = tmp_path / "external_rank.txt"
+    p.write_text(
+        "1=2.5\n"
+        "2=3\n"
+        "# comment line\n"
+        "not a valid line\n"
+        "1=7.25\n"        # last occurrence wins
+        "x=notafloat\n"   # malformed value: skipped
+        "\n"
+    )
+    assert read_external_file(str(p)) == {"1": 7.25, "2": 3.0}
+    df = external_file_values(spark, str(p), key_type="long")
+    got = {r["key"]: r["value"] for r in df.collect()}
+    assert got == {1: 7.25, 2: 3.0}
+    assert dict(df.dtypes) == {"key": "bigint", "value": "double"}
