@@ -2148,6 +2148,36 @@ def q_child_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subquery_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[subquery] doc transformer: each top-10 BM25 result is augmented
+    with the first 3 docs (by doc_id) sharing its source — the
+    children.q={!terms f=source v=$row.source} shape — flattened to
+    (parent, rank, sub_doc) rows for the cross-engine compare."""
+    from lucene_solr_spark.relational import subquery_transform
+
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    top = (
+        sc.select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    d = _docs(spark, sf_dir)
+    parents = top.join(d.select("doc_id", "source"), "doc_id")
+    out = subquery_transform(parents, d.select("doc_id", "source"),
+                             parent_key="source", sub_key="source",
+                             sub_cols=["doc_id"], order_by="doc_id", rows=3)
+    return (
+        out.select(
+            "doc_id", "score",
+            F.posexplode("subdocs").alias("rank0", "c"),
+        )
+        .select("doc_id", "score",
+                (F.col("rank0") + 1).cast("int").alias("sub_rank"),
+                F.col("c.doc_id").alias("sub_doc"))
+        .orderBy("doc_id", "sub_rank")
+    )
+
+
 def q_stream_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cartesianProduct stream: unroll the multivalued split of
     o_orderpriority ('1-URGENT' -> two rows) — one row per value."""
@@ -4860,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_sort": q_enum_sort,
         "currency_range": q_currency_range,
         "external_file": q_external_file,
+        "subquery_transform": q_subquery_transform,
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
         "surround": q_surround,
@@ -7736,6 +7767,18 @@ SELECT s.doc_id, e.ext_val,
             * coalesce(e.ext_val, 1e0) AS FLOAT) AS score
 FROM scored s LEFT JOIN ext e USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "subquery_transform": _scored_terms_cte([BM25_TERM]) + """,
+top10 AS (
+  SELECT doc_id, CAST(score64 AS FLOAT) AS score
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10),
+p AS (SELECT t.doc_id, t.score, d.source
+      FROM top10 t JOIN documents d USING (doc_id)),
+sub AS (SELECT source, doc_id AS sub_doc,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+        FROM documents)
+SELECT p.doc_id, p.score, CAST(s.rnk AS INTEGER) AS sub_rank, s.sub_doc
+FROM p JOIN sub s USING (source) WHERE s.rnk <= 3
+ORDER BY p.doc_id, sub_rank""",
         "block_join": _block_join_oracle(),
         "term_vector": f"""
 WITH {_TOK_CTE}

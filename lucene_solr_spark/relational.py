@@ -60,6 +60,7 @@ __all__ = [
     "pivot_stats",
     "drill_sideways",
     "with_children",
+    "subquery_transform",
     "facet_dynamic_range",
     "facet_relatedness",
     "relatedness_sql",
@@ -719,6 +720,33 @@ def with_children(parents: DataFrame, children: DataFrame,
     out = parents.join(nested, on, "left")
     empty = F.array().cast(nested.schema["children"].dataType)
     return out.withColumn("children", F.coalesce(F.col("children"), empty))
+
+
+def subquery_transform(parents: DataFrame, sub: DataFrame,
+                       parent_key: str, sub_key: str,
+                       sub_cols: list[str], order_by: str,
+                       rows: int = 10, out_col: str = "subdocs") -> DataFrame:
+    """Solr's ``[subquery]`` doc transformer (``[8x] solr/core/src/java/
+    org/apache/solr/response/transform/SubQueryAugmenterFactory.java``):
+    every result document gets the top ``rows`` documents of a subquery
+    parameterized by its own field value (``children.q={!terms f=...
+    v=$row.field}``) attached as a nested array.
+
+    ``sub`` is the already-shaped subquery frame (any filter/sort the
+    caller wants — Solr allows an arbitrary query there); this operator
+    contributes the per-row parameterization: match ``sub.sub_key`` to
+    each result's ``parent_key`` value, order by ``order_by``, cap at
+    ``rows``.  Shape: the nested aggregation groups the SUBQUERY side by
+    its key first — one shuffle keyed by ``sub_key``, computed ONCE per
+    distinct key even when many results share a value (Solr re-executes
+    the subquery per result doc; the set-oriented form is the 100 TB
+    version) — then one left join against the (small, top-k) result
+    frame, which Spark broadcasts."""
+    aligned = sub.select(F.col(sub_key).alias(parent_key),
+                         *[c for c in sub_cols])
+    out = with_children(parents, aligned, parent_key, sub_cols, order_by,
+                        limit=rows)
+    return out.withColumnRenamed("children", out_col)
 
 
 def drill_sideways(df: DataFrame, filters: dict[str, Column],

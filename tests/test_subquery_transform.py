@@ -1,0 +1,28 @@
+"""[subquery] doc transformer: per-result parameterized subquery attach."""
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.relational import subquery_transform
+
+
+def test_subquery_transform_shape(spark):
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz")], "id long, grp string"
+    )
+    sub = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "a"), (13, "b")],
+        "sid long, sgrp string",
+    )
+    out = subquery_transform(parents, sub, parent_key="grp", sub_key="sgrp",
+                             sub_cols=["sid"], order_by="sid", rows=2)
+    got = {r["id"]: [c["sid"] for c in r["subdocs"]] for r in out.collect()}
+    assert got == {1: [10, 11], 2: [13], 3: []}  # capped, ordered, empty ok
+
+
+def test_subquery_transform_shared_key_computed_once(spark):
+    # two parents sharing a key get identical attachments
+    parents = spark.createDataFrame([(1, "a"), (2, "a")], "id long, grp string")
+    sub = spark.createDataFrame([(9, "a"), (8, "a")], "sid long, sgrp string")
+    out = subquery_transform(parents, sub, "grp", "sgrp", ["sid"], "sid", rows=5)
+    got = {r["id"]: [c["sid"] for c in r["subdocs"]] for r in out.collect()}
+    assert got == {1: [8, 9], 2: [8, 9]}
