@@ -2423,6 +2423,36 @@ def q_edge_ngram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: han chars for the synthetic CJK rows (corpus is latin-only)
+HAN_CHARS = list("数据分布式索引擎")
+
+
+def q_cjk_bigram_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJKBigramFilter: ideograph runs indexed as overlapping char
+    bigrams.  Each row gets a deterministic 6-ideograph run synthesised
+    from its doc_id (the corpus has no CJK) plus its latin lang token;
+    dictionary over the full chain output."""
+    from lucene_solr_spark.analysis import CJK_TOKEN_PATTERN, Chain, cjk_bigram_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    han_arr = F.array(*[F.lit(c) for c in HAN_CHARS])
+    run = F.concat(*[
+        F.element_at(han_arr, ((F.col("doc_id") + i) % 8 + 1).cast("int"))
+        for i in range(6)
+    ])
+    synth = d.select("doc_id", F.concat(run, F.lit(" "), F.col("lang")).alias("t"))
+    chain = Chain(pattern=CJK_TOKEN_PATTERN, steps=(cjk_bigram_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_enum_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EnumFieldType: o_orderpriority sorted/range-filtered by configured
     severity ORDINAL (reverse of lexicographic) — counts for priorities
@@ -4891,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "currency_range": q_currency_range,
         "external_file": q_external_file,
         "subquery_transform": q_subquery_transform,
+        "cjk_bigram_dict": q_cjk_bigram_dict,
         "urp_chain": q_urp_chain,
         "dsir_select": q_dsir_select,
         "surround": q_surround,
@@ -8007,6 +8038,11 @@ FROM events GROUP BY day, event_type ORDER BY day, event_type""",
     )
     from lucene_solr_spark.fieldtypes import currency_convert_sql as _ccsql
     _currency_usd_sql = _ccsql("amt", "cur", "USD", FX_RATES, div_op="//")
+    _han_list = "[" + ", ".join(f"'{c}'" for c in HAN_CHARS) + "]"
+    _han_concat = " || ".join(
+        f"{_han_list}[CAST((doc_id + {i}) % 8 AS INTEGER) + 1]" for i in range(6)
+    )
+    from lucene_solr_spark.analysis import CJK_TOKEN_PATTERN as _CJK_PATTERN
     out.update({
         "block_join_facet": f"""
 WITH {_TOK_CTE},
@@ -8451,6 +8487,29 @@ conv AS (
 SELECT p_partkey, cur, usd_minor
 FROM conv WHERE usd_minor BETWEEN {CUR_LO} AND {CUR_HI}
 ORDER BY p_partkey""",
+        "cjk_bigram_dict": f"""
+WITH s AS (
+  SELECT doc_id,
+         concat({_han_concat}, ' ', lang) AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(t), '{_CJK_PATTERN}')) AS term
+  FROM s),
+flagged AS (
+  SELECT doc_id, term,
+         regexp_matches(term, '^[一-鿿]') AS is_cjk
+  FROM tok),
+ex AS (
+  SELECT doc_id,
+         CASE WHEN is_cjk THEN substr(term, CAST(i AS INTEGER), 2)
+              ELSE term END AS term
+  FROM flagged,
+       unnest(generate_series(1,
+         CASE WHEN is_cjk THEN greatest(length(term) - 1, 1) ELSE 1 END)) AS u(i))
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM ex GROUP BY term ORDER BY term""",
         "suggest_blended": f"""
 WITH tok AS (
   SELECT doc_id, n_chars,

@@ -40,6 +40,7 @@ __all__ = [
     "TOKEN_PATTERN",
     "MIXED_TOKEN_PATTERN",
     "URL_EMAIL_TOKEN_PATTERN",
+    "CJK_TOKEN_PATTERN",
     "REV_MARKER",
     "tokenize_series",
     "tokens_col",
@@ -69,6 +70,7 @@ __all__ = [
     "phonetic_filter",
     "double_metaphone_filter",
     "synonym_filter",
+    "cjk_bigram_filter",
     "edge_ngram_filter",
     "ngram_filter",
     "shingle_filter",
@@ -108,6 +110,10 @@ URL_EMAIL_TOKEN_PATTERN = (
     "|[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
     "|[a-z0-9_]+)"
 )
+
+#: tokenizer pattern for CJK chains: keep ideograph runs (CJK Unified
+#: block) as single tokens for cjk_bigram_filter, word runs otherwise
+CJK_TOKEN_PATTERN = "(?:[一-鿿]+|[a-z0-9_]+)"
 
 #: index marker for ReversedWildcardFilter terms (Solr uses U+0001
 #: START_OF_HEADING so reversed forms can never collide with real tokens,
@@ -689,6 +695,35 @@ def ngram_filter(min_gram: int = 2, max_gram: int = 3,
     )
 
 
+def cjk_bigram_filter(output_unigrams: bool = False) -> Expand:
+    """CJKBigramFilter (``[8x] lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/cjk/CJKBigramFilter.java``): runs of CJK ideographs
+    become overlapping character BIGRAMS — the classic CJK indexing unit
+    (no whitespace to tokenize on); non-CJK tokens pass through.  A lone
+    ideograph is emitted as-is (upstream outputs the single char when no
+    bigram can form); ``output_unigrams`` additionally emits every
+    constituent char (the upstream flag for mixed recall).
+
+    Use with ``CJK_TOKEN_PATTERN`` so the tokenizer keeps ideograph runs
+    intact.  Position model: the engine's Expand slot puts all grams at
+    the run's position (dictionary/term/SynonymQuery semantics exact;
+    upstream's within-run position increments — which matter only to
+    phrases INSIDE a han run — are out of scope and documented here)."""
+
+    def fn(t: str) -> tuple:
+        if not t or not ("一" <= t[0] <= "鿿"):
+            return (t,)
+        if len(t) == 1:
+            return (t,)
+        bi = tuple(t[i:i + 2] for i in range(len(t) - 1))
+        if output_unigrams:
+            bi += tuple(t)
+        return bi
+
+    return Expand(fn, "cjk_bigram", params=(bool(output_unigrams),),
+                  query_expand=True)
+
+
 def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) -> Shingle:
     return Shingle(size, sep, keep_unigrams)
 
@@ -1055,6 +1090,9 @@ def chain_spec(chain: Chain) -> dict | None:
                 {"kind": "edge_ngram", "min_gram": mn, "max_gram": mx,
                  "keep_original": keep}
             )
+        elif isinstance(step, Expand) and step.name == "cjk_bigram" and step.params:
+            steps.append({"kind": "cjk_bigram",
+                          "output_unigrams": step.params[0]})
         elif isinstance(step, Expand) and step.name == "double_metaphone" and step.params:
             inject, mcl = step.params
             steps.append(
@@ -1133,6 +1171,8 @@ def chain_from_spec(spec: dict) -> Chain:
                 edge_ngram_filter(s.get("min_gram", 2), s.get("max_gram", 5),
                                   s.get("keep_original", False))
             )
+        elif kind == "cjk_bigram":
+            steps.append(cjk_bigram_filter(s.get("output_unigrams", False)))
         elif kind == "double_metaphone":
             steps.append(
                 double_metaphone_filter(s.get("inject", False),

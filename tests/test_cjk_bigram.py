@@ -1,0 +1,54 @@
+"""CJKBigramFilter: ideograph runs become overlapping char bigrams."""
+
+from lucene_solr_spark.analysis import (
+    CJK_TOKEN_PATTERN,
+    Chain,
+    chain_from_spec,
+    chain_spec,
+    cjk_bigram_filter,
+)
+
+
+def _chain(**kw):
+    return Chain(pattern=CJK_TOKEN_PATTERN, steps=(cjk_bigram_filter(**kw),))
+
+
+def test_cjk_bigram_tokens():
+    got = [t for t, _ in _chain().tokens("数据分布 spark 引 index")]
+    assert got == ["数据", "据分", "分布", "spark", "引", "index"]
+
+
+def test_cjk_bigram_output_unigrams():
+    got = [t for t, _ in _chain(output_unigrams=True).tokens("数据分")]
+    assert got == ["数据", "据分", "数", "据", "分"]
+
+
+def test_cjk_bigram_spec_roundtrip():
+    chain = _chain(output_unigrams=True)
+    spec = chain_spec(chain)
+    assert spec["steps"] == [{"kind": "cjk_bigram", "output_unigrams": True}]
+    rebuilt = chain_from_spec(spec)
+    assert [t for t, _ in rebuilt.tokens("数据分 abc")] == \
+        [t for t, _ in chain.tokens("数据分 abc")]
+
+
+def test_cjk_bigram_index_and_query(spark):
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search import Term, search
+
+    docs = [
+        (0, "分布式索引 with spark"),
+        (1, "分布式计算 engine"),
+        (2, "plain latin only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index_view(df, id_col="doc_id", text_col="text",
+                           analyzer=_chain(), cache=False)
+    terms = {r["term"] for r in idx.term_dict.collect()}
+    assert {"分布", "布式", "式索", "索引", "式计", "计算", "spark"} <= terms
+    hits = sorted(int(r["doc_id"])
+                  for r in search(idx, Term("分布"), k=10).collect())
+    assert hits == [0, 1]
+    only0 = sorted(int(r["doc_id"])
+                   for r in search(idx, Term("索引"), k=10).collect())
+    assert only0 == [0]
