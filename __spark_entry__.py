@@ -2337,6 +2337,58 @@ def q_fts_sweetspot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim_parity_scores(spark, sf_dir, BM25_TERM, _SWEETSPOT_EXPR)
 
 
+def q_per_field_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PerFieldSimilarityWrapper / Solr SchemaSimilarityFactory: ONE
+    multi-field index whose 'src' field scores ClassicSimilarity while the
+    default 'text' field scores BM25.  The wrapper's get(field) dispatch
+    picks each field's f64-parity formula; stats (N, avgdl, df) come from
+    the wrapped index's OWN per-field flush metadata and postings, so the
+    entry pins the whole per-field stats + norms + dictionary pipeline
+    cross-engine.  (f32 kernel dispatch identity is pytest's job —
+    tests/test_per_field_sim.py.)"""
+    from lucene_solr_spark.bm25 import BM25, ClassicSimilarity, PerFieldSimilarity
+    from lucene_solr_spark.index import build_multifield_index_view
+
+    d = _docs(spark, sf_dir)
+    sim = PerFieldSimilarity(sims=(("src", ClassicSimilarity()),), default=BM25())
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "src": "source"}, default_field="text",
+        bm25=sim,
+    )
+    lt = F.array(*[F.lit(v) for v in _LT])
+    parts = []
+    for field, qterm in (("text", f"text:{BM25_TERM}"), ("src", "src:src7")):
+        member = idx.bm25.get(field)  # the wrapper's dispatch call site
+        n, ttf = idx.field_stats[field]
+        if isinstance(member, ClassicSimilarity):
+            expr = _CLASSIC_EXPR.format(N=n)
+        else:
+            expr = _BM25_EXPR.format(
+                N=n, avgdl=f"(CAST({ttf} AS DOUBLE) / {n})"
+            )
+        pt = postings_table(idx, [qterm]).withColumn(
+            "qdl", F.element_at(lt, (F.col("norm_byte") + 1).cast("int")).cast("long")
+        )
+        td = idx.term_dict.filter(F.col("term") == qterm).select("term", "df")
+        parts.append(
+            pt.join(F.broadcast(td), "term")
+            .withColumn("score64", F.expr(expr))
+            .select(
+                F.lit(field).alias("qfield"), "doc_id",
+                F.col("score64").cast("float").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+    out = parts[0].unionByName(parts[1]).orderBy(
+        "qfield", F.desc("score"), F.asc("doc_id")
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user over the events table (30-min gap):
     Spark's session_window vs a DuckDB gaps-and-islands re-derivation."""
@@ -4868,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_ib_topk": q_fts_ib_topk,
         "fts_axiomatic_topk": q_fts_axiomatic_topk,
         "fts_sweetspot_topk": q_fts_sweetspot_topk,
+        "per_field_sim": q_per_field_sim,
         "session_windows": q_session_windows,
         "edge_ngram_dict": q_edge_ngram_dict,
         "ngram_dict": q_ngram_dict,
@@ -6695,6 +6748,38 @@ ORDER BY score DESC, doc_id ASC LIMIT 10"""
             qdl=_QDL_SQL.replace("dl", "d.dl"),
             expr=_e.format(N="n_docs", TTF="sum_ttf"),
         )
+    out["per_field_sim"] = f"""
+WITH {_TOK_CTE},
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (SELECT doc_id, count(*) AS tf FROM tok
+        WHERE term = '{BM25_TERM}' GROUP BY doc_id),
+dfs AS (SELECT count(*) AS df FROM tfs),
+tinputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace("dl", "d.dl")} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dl d USING (doc_id), dfs f, stats s
+),
+ttop AS (
+  SELECT 'text' AS qfield, doc_id,
+         CAST({_BM25_EXPR.format(N="n_docs", avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")} AS FLOAT) AS score
+  FROM tinputs ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+stok AS (SELECT doc_id, lower(source) AS term FROM documents),
+stfs AS (SELECT doc_id, count(*) AS tf FROM stok
+         WHERE term = 'src7' GROUP BY doc_id),
+sdfs AS (SELECT count(*) AS df FROM stfs),
+sinputs AS (SELECT t.doc_id, t.tf, f.df, CAST(1 AS BIGINT) AS qdl, s.n_docs
+            FROM stfs t, sdfs f, stats s),
+stop AS (
+  SELECT 'src' AS qfield, doc_id,
+         CAST({_CLASSIC_EXPR.format(N="n_docs")} AS FLOAT) AS score
+  FROM sinputs ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT qfield, doc_id, score FROM stop
+UNION ALL SELECT qfield, doc_id, score FROM ttop
+ORDER BY qfield, score DESC, doc_id ASC"""
     out.update({
 
         "mlt_text": f"""

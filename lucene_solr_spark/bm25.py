@@ -40,6 +40,7 @@ __all__ = [
     "Axiomatic",
     "SweetSpot",
     "BooleanSimilarity",
+    "PerFieldSimilarity",
     "DEFAULT_K1",
     "DEFAULT_B",
 ]
@@ -804,3 +805,38 @@ class SweetSpot:
     @staticmethod
     def combine(scores_f64_sum: np.ndarray) -> np.ndarray:
         return np.asarray(scores_f64_sum, dtype=np.float64).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class PerFieldSimilarity:
+    """Lucene PerFieldSimilarityWrapper (``[8x] lucene/core/src/java/org/
+    apache/lucene/search/similarities/PerFieldSimilarityWrapper.java`` /
+    Solr's SchemaSimilarityFactory): ``get(field)`` returns the
+    similarity governing that field; unlisted fields fall back to
+    ``default``.  Valid only on multi-field indexes — the engine
+    resolves the member similarity per qualified term through
+    ``IndexView.sim_for`` (weight, norm cache, score kernel, and the
+    pruner's monotonicity flag all dispatch per field), exactly where
+    Lucene calls ``wrapper.get(field)`` when building each field's
+    SimScorer.
+
+    ``sims`` is a tuple of (field, similarity) pairs (kept as a tuple so
+    the wrapper stays frozen/hashable like every other slot member)."""
+
+    sims: tuple = ()
+    default: object = None
+
+    def __post_init__(self) -> None:
+        if not self.sims and self.default is None:
+            raise ValueError("PerFieldSimilarity needs at least one field or a default")
+        fields = [f for f, _ in self.sims]
+        if len(set(fields)) != len(fields):
+            raise ValueError(f"duplicate field in PerFieldSimilarity: {fields}")
+
+    def get(self, field: str | None):
+        for f, sim in self.sims:
+            if f == field:
+                return sim
+        if self.default is not None:
+            return self.default
+        raise KeyError(f"no similarity configured for field {field!r} and no default")

@@ -42,6 +42,7 @@ from ..bm25 import (
     DFRInL2,
     LMDirichlet,
     LMJelinekMercer,
+    PerFieldSimilarity,
     SweetSpot,
 )
 from .core import (
@@ -63,6 +64,8 @@ __all__ = [
     "open_index",
     "read_manifest",
     "write_manifest",
+    "similarity_spec",
+    "similarity_from_spec",
 ]
 
 MANIFEST = "manifest.json"
@@ -72,6 +75,29 @@ def _similarity_from_manifest(manifest: dict):
     """Similarity slot from a manifest: BM25 (with its params) unless the
     manifest names another similarity (ClassicSimilarity, §2.5)."""
     sim = manifest.get("similarity") or {"name": "bm25"}
+    if sim.get("name") == "bm25" and "k1" not in sim:
+        # legacy manifests keep BM25 params only in manifest["bm25"]
+        return BM25(**manifest.get("bm25", {}))
+    return similarity_from_spec(sim)
+
+
+def similarity_from_spec(sim: dict):
+    """Reconstruct a similarity from its declarative manifest spec
+    (inverse of ``similarity_spec``; Solr's SchemaSimilarityFactory
+    reads the same config out of the managed schema)."""
+    if sim.get("name") == "per_field":
+        return PerFieldSimilarity(
+            sims=tuple(
+                (f, similarity_from_spec(s)) for f, s in sim.get("fields", [])
+            ),
+            default=(
+                similarity_from_spec(sim["default"])
+                if sim.get("default") is not None
+                else None
+            ),
+        )
+    if sim.get("name") == "bm25":
+        return BM25(k1=float(sim.get("k1", 1.2)), b=float(sim.get("b", 0.75)))
     if sim.get("name") == "classic":
         return ClassicSimilarity()
     if sim.get("name") == "boolean":
@@ -117,7 +143,55 @@ def _similarity_from_manifest(manifest: dict):
             hyper_base=float(sim.get("hyper_base", 1.3)),
             hyper_xoffset=float(sim.get("hyper_xoffset", 10.0)),
         )
-    return BM25(**manifest["bm25"])
+    raise ValueError(f"unknown similarity spec: {sim!r}")
+
+
+def similarity_spec(bm25) -> dict:
+    """Declarative manifest spec for a similarity slot member (Solr
+    persists the same choice in the managed schema —
+    ``[8x] solr/core/src/java/org/apache/solr/schema/IndexSchema.java``).
+    ``similarity_from_spec`` is the exact inverse."""
+    if isinstance(bm25, BM25):
+        return {"name": "bm25", "k1": bm25.k1, "b": bm25.b}
+    if isinstance(bm25, LMDirichlet):
+        return {"name": "lm_dirichlet", "mu": bm25.mu}
+    if isinstance(bm25, DFRInL2):
+        return {"name": "dfr_inl2", "c": bm25.c}
+    if isinstance(bm25, DFR):
+        return {"name": "dfr", "basic": bm25.basic_model,
+                "after": bm25.after_effect, "norm": bm25.normalization,
+                "c": bm25.c}
+    if isinstance(bm25, BooleanSimilarity):
+        return {"name": "boolean"}
+    if isinstance(bm25, LMJelinekMercer):
+        return {"name": "lm_jelinek_mercer", "lambda": bm25.lam}
+    if isinstance(bm25, DFI):
+        return {"name": "dfi", "measure": bm25.measure}
+    if isinstance(bm25, IB):
+        return {"name": "ib", "distribution": bm25.distribution,
+                "lambda": bm25.lam, "norm": bm25.normalization, "c": bm25.c}
+    if isinstance(bm25, Axiomatic):
+        return {"name": "axiomatic", "variant": bm25.variant,
+                "s": bm25.s, "k": bm25.k}
+    if isinstance(bm25, SweetSpot):
+        return {"name": "sweetspot", "ln_min": bm25.ln_min,
+                "ln_max": bm25.ln_max, "steepness": bm25.steepness,
+                "tf_base": bm25.tf_base, "tf_min": bm25.tf_min,
+                "tf_mode": bm25.tf_mode, "hyper_min": bm25.hyper_min,
+                "hyper_max": bm25.hyper_max, "hyper_base": bm25.hyper_base,
+                "hyper_xoffset": bm25.hyper_xoffset}
+    if isinstance(bm25, PerFieldSimilarity):
+        return {
+            "name": "per_field",
+            "fields": [[f, similarity_spec(s)] for f, s in bm25.sims],
+            "default": (
+                similarity_spec(bm25.default)
+                if bm25.default is not None
+                else None
+            ),
+        }
+    # ClassicSimilarity (or any parameterless duck-typed sim)
+    return {"name": "classic"}
 
 
 def assign_doc_ids_arrival(df: DataFrame, doc_base: int = 0) -> DataFrame:
@@ -252,6 +326,16 @@ def build_index(
     """
     index_path = Path(index_path)
     bm25 = bm25 or BM25()
+    if isinstance(bm25, PerFieldSimilarity):
+        if not fields:
+            raise ValueError(
+                "PerFieldSimilarity requires a multi-field build (fields=...)"
+            )
+        unknown = [f for f, _ in bm25.sims if f not in fields]
+        if unknown:
+            raise ValueError(
+                f"PerFieldSimilarity names fields not in the index: {unknown}"
+            )
     if sort_field is not None and id_col is not None:
         raise ValueError(
             "sort_field requires builder-assigned doc ids (id_col=None): "
@@ -265,50 +349,11 @@ def build_index(
     (index_path / "segments").mkdir(exist_ok=True)
 
     if manifest is None:
-        if isinstance(bm25, BM25):
-            sim_entry = {"name": "bm25", "k1": bm25.k1, "b": bm25.b}
-            bm25_entry = {"k1": bm25.k1, "b": bm25.b}
-        elif isinstance(bm25, LMDirichlet):
-            sim_entry = {"name": "lm_dirichlet", "mu": bm25.mu}
-            bm25_entry = {}
-        elif isinstance(bm25, DFRInL2):
-            sim_entry = {"name": "dfr_inl2", "c": bm25.c}
-            bm25_entry = {}
-        elif isinstance(bm25, DFR):
-            sim_entry = {"name": "dfr", "basic": bm25.basic_model,
-                         "after": bm25.after_effect, "norm": bm25.normalization,
-                         "c": bm25.c}
-            bm25_entry = {}
-        elif isinstance(bm25, BooleanSimilarity):
-            sim_entry = {"name": "boolean"}
-            bm25_entry = {}
-        elif isinstance(bm25, LMJelinekMercer):
-            sim_entry = {"name": "lm_jelinek_mercer", "lambda": bm25.lam}
-            bm25_entry = {}
-        elif isinstance(bm25, DFI):
-            sim_entry = {"name": "dfi", "measure": bm25.measure}
-            bm25_entry = {}
-        elif isinstance(bm25, IB):
-            sim_entry = {"name": "ib", "distribution": bm25.distribution,
-                         "lambda": bm25.lam, "norm": bm25.normalization,
-                         "c": bm25.c}
-            bm25_entry = {}
-        elif isinstance(bm25, Axiomatic):
-            sim_entry = {"name": "axiomatic", "variant": bm25.variant,
-                         "s": bm25.s, "k": bm25.k}
-            bm25_entry = {}
-        elif isinstance(bm25, SweetSpot):
-            sim_entry = {"name": "sweetspot", "ln_min": bm25.ln_min,
-                         "ln_max": bm25.ln_max, "steepness": bm25.steepness,
-                         "tf_base": bm25.tf_base, "tf_min": bm25.tf_min,
-                         "tf_mode": bm25.tf_mode, "hyper_min": bm25.hyper_min,
-                         "hyper_max": bm25.hyper_max,
-                         "hyper_base": bm25.hyper_base,
-                         "hyper_xoffset": bm25.hyper_xoffset}
-            bm25_entry = {}
-        else:  # ClassicSimilarity (or any parameterless duck-typed sim)
-            sim_entry = {"name": "classic"}
-            bm25_entry = {}
+        sim_entry = similarity_spec(bm25)
+        # legacy slot kept for older readers: BM25 params mirrored here
+        bm25_entry = (
+            {"k1": bm25.k1, "b": bm25.b} if isinstance(bm25, BM25) else {}
+        )
         manifest = {
             "version": 1,
             "committed": False,

@@ -599,16 +599,34 @@ class IndexView:
             return self.doc_count, self.sum_ttf
         return self.field_stats[f]
 
+    def sim_for(self, term: str):
+        """The similarity governing ``term`` — ``bm25`` itself unless it
+        is a PerFieldSimilarity wrapper, which resolves by the term's
+        field (Lucene's ``PerFieldSimilarityWrapper.get(field)`` call
+        site when each field's SimScorer is built)."""
+        from ..bm25 import PerFieldSimilarity
+
+        if isinstance(self.bm25, PerFieldSimilarity):
+            return self.bm25.get(self.field_of(term))
+        return self.bm25
+
     @property
     def avgdl(self) -> np.float32:
         return self.bm25.avgdl(self.sum_ttf, self.doc_count)
 
     def norm_inverse_cache(self, term: str | None = None) -> np.ndarray:
         """256-entry denominator cache for the field governing ``term``
-        (corpus-wide in single-field mode)."""
+        (corpus-wide in single-field mode), built by that field's
+        similarity when the slot holds a PerFieldSimilarity wrapper."""
         if term is not None and self.field_stats is not None:
+            sim = self.sim_for(term)
             n, ttf = self.stats_for(term)
-            return self.bm25.norm_inverse_cache(self.bm25.avgdl(ttf, n))
+            return sim.norm_inverse_cache(sim.avgdl(ttf, n))
+        from ..bm25 import PerFieldSimilarity
+
+        if isinstance(self.bm25, PerFieldSimilarity):
+            raise ValueError("PerFieldSimilarity requires a multi-field index"
+                             " (field_stats) and a per-term cache lookup")
         return self.bm25.norm_inverse_cache(self.avgdl)
 
 

@@ -219,13 +219,19 @@ def _decode_score_udf(weights: dict[str, float], caches, score_fn=BM25.score):
     ``caches`` is either one 256-entry array (single field) or a dict
     term → array (per-field avgdl in multi-field mode).  ``score_fn`` is
     the similarity kernel (BM25.score / ClassicSimilarity.score — any
-    (tfs, norm_bytes, weight, cache) → f32 scores)."""
+    (tfs, norm_bytes, weight, cache) → f32 scores), or a dict term →
+    kernel when the slot holds a PerFieldSimilarity wrapper."""
     if isinstance(caches, dict):
         caches = {t: np.asarray(c, dtype=np.float32) for t, c in caches.items()}
         get_cache = caches.__getitem__
     else:
         arr = np.asarray(caches, dtype=np.float32)
         get_cache = lambda _t: arr
+    if isinstance(score_fn, dict):
+        get_score_fn = score_fn.__getitem__
+    else:
+        fn0 = score_fn
+        get_score_fn = lambda _t: fn0
 
     def _fn(batches):
         for pdf in batches:
@@ -237,7 +243,7 @@ def _decode_score_udf(weights: dict[str, float], caches, score_fn=BM25.score):
                 doc_ids = decode_doc_ids(pdf["doc_ids_vb"].iat[i])
                 tfs = decode_tfs(pdf["tfs_vb"].iat[i])
                 nbs = decode_norm_bytes(pdf["norms_b"].iat[i])
-                s = score_fn(tfs, nbs, w, get_cache(t))
+                s = get_score_fn(t)(tfs, nbs, w, get_cache(t))
                 terms_out.append(np.full(doc_ids.size, t, dtype=object))
                 docs_out.append(doc_ids)
                 scores_out.append(s.astype(np.float64))
@@ -279,8 +285,9 @@ def _leaf_stats(index: IndexView, terms: list[str]) -> dict[str, int]:
 def _term_weight(index: IndexView, term: str, df: int, cf: int, boost: float = 1.0):
     """Similarity weight for one term: the richer ``weight_full`` hook
     (df, cf, docCount, sumTtf) when the similarity defines it, else the
-    classic (df, docCount) path."""
-    sim = index.bm25
+    classic (df, docCount) path.  Resolved per field when the slot holds
+    a PerFieldSimilarity wrapper."""
+    sim = index.sim_for(term)
     n, ttf = index.stats_for(term)
     if hasattr(sim, "weight_full"):
         return sim.weight_full(df, cf, n, ttf, boost)
@@ -306,9 +313,15 @@ def scored_leaves(
     caller already collected it (ignored for cf-needing similarities,
     which refetch the full TermStatistics pair).
     """
+    from ..bm25 import PerFieldSimilarity
+
     bm = index.bm25
+    per_field = isinstance(bm, PerFieldSimilarity)
     boosts = boosts or {}
-    if hasattr(bm, "weight_full"):
+    if per_field or hasattr(bm, "weight_full"):
+        # per-field wrappers fetch the full TermStatistics pair once so
+        # every member similarity's protocol (weight or weight_full) has
+        # what it needs; _term_weight resolves the member per term
         full = _leaf_stats_full(index, terms)
         present = [t for t in terms if t in full]
         weights = {
@@ -326,10 +339,11 @@ def scored_leaves(
         caches = {t: index.norm_inverse_cache(t) for t in present}
     else:
         caches = index.norm_inverse_cache()
+    score_fn = {t: index.sim_for(t).score for t in present} if per_field else bm.score
     if blocks is None:
         blocks = index.postings.filter(F.col("term").isin(present or ["\x00none"]))
     scored = blocks.select(*_BLOCK_COLS).mapInPandas(
-        _decode_score_udf(weights, caches, score_fn=index.bm25.score), _SCORED_SCHEMA
+        _decode_score_udf(weights, caches, score_fn=score_fn), _SCORED_SCHEMA
     )
     return scored, weights
 
@@ -679,7 +693,9 @@ def _phrase_scores(index: IndexView, phrase) -> DataFrame:
         if len(full) < len(uniq):
             return index.spark.createDataFrame([], "doc_id long, score double")
         wterms = list(phrase.terms)
-    sim = index.bm25
+    # a phrase's clauses share one field, so the first term resolves the
+    # governing similarity under a PerFieldSimilarity wrapper too
+    sim = index.sim_for(wterms[0])
     cache = index.norm_inverse_cache(wterms[0])
     score_fn = sim.score
     if hasattr(sim, "weight_full"):
@@ -1017,14 +1033,15 @@ def _single_term_pruned(index: IndexView, term: str, k: int,
         return None
     w = _term_weight(index, term, df_term, cf_term, boost)
     cache = index.norm_inverse_cache(term)
-    if not getattr(index.bm25, "norm_monotone", True):
+    sim = index.sim_for(term)
+    if not getattr(sim, "norm_monotone", True):
         # plateau-norm similarities (SweetSpot): score is NOT decreasing in
         # the norm byte, so bound with the suffix-max envelope — for every
         # byte >= the block's min byte, envelope[min] >= cache[byte]
         # (SmallFloat bytes order by length), keeping ub >= true score.
         cache = np.maximum.accumulate(cache[::-1])[::-1]
 
-    score_fn = index.bm25.score
+    score_fn = sim.score
 
     @F.pandas_udf("float")
     def _ub(max_tf: pd.Series, min_nb: pd.Series) -> pd.Series:

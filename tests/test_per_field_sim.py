@@ -1,0 +1,230 @@
+"""PerFieldSimilarityWrapper: per-field similarity dispatch over the
+multi-field index ([8x] lucene/core/src/java/org/apache/lucene/search/
+similarities/PerFieldSimilarityWrapper.java; Solr exposes it as
+SchemaSimilarityFactory, [8x] solr/core/src/java/org/apache/solr/search/
+similarities/SchemaSimilarityFactory.java).
+
+Dispatch proof is engine == control-engine identity: a wrapped index must
+score a field's terms EXACTLY like an index whose global slot holds that
+field's member similarity (the controls themselves are oracle-verified in
+test_bm25 / test_multifield), across weight, norm cache, score kernel,
+phrase path, and the block-max pruner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.bm25 import (
+    BM25,
+    BooleanSimilarity,
+    ClassicSimilarity,
+    LMDirichlet,
+    PerFieldSimilarity,
+)
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_multifield_index_view
+from lucene_solr_spark.search import Bool, Or, Phrase, Term, search
+
+N = 120
+
+FIELDS = {"content": "content", "path": "pathtext"}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = gen_corpus_pdf(N, seed=77).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N, dtype=np.int64)
+    pdf["pathtext"] = pdf["path"].str.replace("/", " ").str.replace(".", " ")
+    return pdf
+
+
+def _view(spark, corpus, sim):
+    df = spark.createDataFrame(corpus[["doc_id", "content", "pathtext"]])
+    return build_multifield_index_view(
+        df, fields=FIELDS, default_field="content", bm25=sim
+    )
+
+
+@pytest.fixture(scope="module")
+def wrapped(spark, corpus):
+    idx = _view(
+        spark,
+        corpus,
+        PerFieldSimilarity(
+            sims=(("path", ClassicSimilarity()),), default=BM25()
+        ),
+    )
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def classic_ctl(spark, corpus):
+    idx = _view(spark, corpus, ClassicSimilarity())
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def bm25_ctl(spark, corpus):
+    idx = _view(spark, corpus, BM25())
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def _run(idx, q, k=10, **kw):
+    rows = search(idx, q, k=k, **kw).collect()
+    return [(int(r["doc_id"]), np.float32(r["score"])) for r in rows]
+
+
+# --- ctor validation --------------------------------------------------------
+
+
+def test_ctor_rejects_empty():
+    with pytest.raises(ValueError):
+        PerFieldSimilarity()
+
+
+def test_ctor_rejects_duplicate_field():
+    with pytest.raises(ValueError):
+        PerFieldSimilarity(
+            sims=(("a", BM25()), ("a", ClassicSimilarity()))
+        )
+
+
+def test_get_resolution():
+    w = PerFieldSimilarity(sims=(("t", ClassicSimilarity()),), default=BM25())
+    assert isinstance(w.get("t"), ClassicSimilarity)
+    assert isinstance(w.get("other"), BM25)
+    nodefault = PerFieldSimilarity(sims=(("t", ClassicSimilarity()),))
+    with pytest.raises(KeyError):
+        nodefault.get("other")
+
+
+# --- per-field dispatch: wrapped == member-sim control ----------------------
+
+
+def test_path_field_scores_like_classic(wrapped, classic_ctl):
+    for q in (Term("path:src"), Term("path:py"), Phrase("path:src", "path:pkg1")):
+        got = _run(wrapped, q)
+        want = _run(classic_ctl, q)
+        assert got == want and got, q
+
+
+def test_default_field_scores_like_bm25(wrapped, bm25_ctl):
+    for q in (Term("def"), Term("content:class"), Phrase("def", "class")):
+        got = _run(wrapped, q)
+        want = _run(bm25_ctl, q)
+        assert got == want and got, q
+
+
+def test_mixed_bool_per_clause_dispatch(wrapped, classic_ctl, bm25_ctl):
+    """In Or(content-term, path-term), a doc matching only one clause must
+    carry EXACTLY that clause's member-similarity score."""
+    qc, qp = Term("protected"), Term("path:py")  # both mid-frequency
+    mixed = {d: s for d, s in _run(wrapped, Or(qc, qp), k=N)}
+    only_c = {d: s for d, s in _run(bm25_ctl, qc, k=N)}
+    only_p = {d: s for d, s in _run(classic_ctl, qp, k=N)}
+    checked_c = checked_p = 0
+    for d, s in mixed.items():
+        if d in only_c and d not in only_p:
+            assert s == only_c[d], d
+            checked_c += 1
+        elif d in only_p and d not in only_c:
+            assert s == only_p[d], d
+            checked_p += 1
+    assert checked_p, "no path-only docs — probe terms too common"
+
+
+def test_forced_prune_identity(wrapped, monkeypatch):
+    from lucene_solr_spark.search import executor
+
+    monkeypatch.setattr(executor, "_PRUNE_MIN_BLOCKS", 0)
+    for q in (Term("path:src"), Term("def")):
+        assert _run(wrapped, q, prune=True) == _run(wrapped, q, prune=False)
+
+
+def test_must_not_across_fields(wrapped, classic_ctl, bm25_ctl):
+    q = Bool(must=(Term("path:py"),), must_not=(Term("def"),))
+    got = _run(wrapped, q, k=N)
+    want = _run(classic_ctl, q, k=N)  # scoring clause is path-only
+    assert got == want
+
+
+# --- single-field guard ------------------------------------------------------
+
+
+def test_single_field_build_rejected(spark, corpus, tmp_path):
+    from lucene_solr_spark.index import build_index
+
+    df = spark.createDataFrame(corpus[["doc_id", "content"]])
+    with pytest.raises(ValueError, match="multi-field"):
+        build_index(
+            spark, df, tmp_path / "bad", id_col="doc_id",
+            bm25=PerFieldSimilarity(default=BM25()),
+        )
+    with pytest.raises(ValueError, match="not in the index"):
+        build_index(
+            spark, df.withColumnRenamed("content", "c"), tmp_path / "bad2",
+            id_col="doc_id", fields={"c": "c"},
+            bm25=PerFieldSimilarity(sims=(("zzz", BM25()),), default=BM25()),
+        )
+
+
+# --- manifest round-trip ------------------------------------------------------
+
+
+def test_persistent_roundtrip(spark, corpus, wrapped, tmp_path):
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.index.builder import (
+        similarity_from_spec,
+        similarity_spec,
+    )
+
+    sim = PerFieldSimilarity(
+        sims=(("path", ClassicSimilarity()),), default=BM25()
+    )
+    # spec round-trip is exact (including nested member params)
+    spec = similarity_spec(sim)
+    back = similarity_from_spec(spec)
+    assert isinstance(back, PerFieldSimilarity)
+    assert isinstance(back.get("path"), ClassicSimilarity)
+    assert isinstance(back.default, BM25)
+    assert back.default.k1 == sim.default.k1 and back.default.b == sim.default.b
+
+    path = tmp_path / "pfidx"
+    df = spark.createDataFrame(corpus[["doc_id", "content", "pathtext"]])
+    build_index(
+        spark, df, path, id_col="doc_id",
+        fields={"content": "content", "path": "pathtext"},
+        default_field="content", bm25=sim, segment_docs=60,
+    )
+    idx = open_index(spark, path)
+    assert isinstance(idx.bm25, PerFieldSimilarity)
+    for q in (Term("path:src"), Term("def"), Phrase("path:src", "path:pkg1")):
+        assert _run(idx, q) == _run(wrapped, q), q
+
+
+def test_nested_wrapper_spec_roundtrip():
+    from lucene_solr_spark.index.builder import (
+        similarity_from_spec,
+        similarity_spec,
+    )
+
+    sim = PerFieldSimilarity(
+        sims=(
+            ("title", BooleanSimilarity()),
+            ("body", LMDirichlet(mu=1500.0)),
+        ),
+        default=BM25(k1=0.9, b=0.4),
+    )
+    back = similarity_from_spec(similarity_spec(sim))
+    assert isinstance(back.get("title"), BooleanSimilarity)
+    assert isinstance(back.get("body"), LMDirichlet)
+    assert back.get("body").mu == 1500.0
+    assert back.default.k1 == 0.9 and back.default.b == 0.4
