@@ -15,7 +15,7 @@ import re
 import numpy as np
 
 from .analysis import TOKEN_PATTERN
-from .bm25 import BM25
+from .bm25 import BM25, PerFieldSimilarity
 from .smallfloat import int_to_byte4
 from .search.query import (
     And,
@@ -258,18 +258,43 @@ class MiniLucene:
                 for f, m in self._fdl.items()
             }
             self._fcache = {
-                f: self.bm25.norm_inverse_cache(self.bm25.avgdl(t, n))
+                f: (s := self._field_sim(f)).norm_inverse_cache(s.avgdl(t, n))
                 for f, (n, t) in self._fstats.items()
             }
             # single-field views kept for shared code paths
             self.norm_byte = {d: int(int_to_byte4(np.int64(l))) for d, l in self.dl.items()}
         else:
+            if isinstance(self.bm25, PerFieldSimilarity):
+                raise ValueError(
+                    "PerFieldSimilarity requires multi-field docs"
+                )
             self.dl = self._fdl[None]
             self.doc_count = len(self.dl)
             self.sum_ttf = sum(self.dl.values())
             self.norm_byte = {d: int(int_to_byte4(np.int64(l))) for d, l in self.dl.items()}
-        self._avgdl = self.bm25.avgdl(self.sum_ttf, self.doc_count)
-        self._cache = self.bm25.norm_inverse_cache(self._avgdl)
+        if isinstance(self.bm25, PerFieldSimilarity):
+            # corpus-wide fallback views are undefined under a per-field
+            # wrapper (every qualified term resolves through _fcache)
+            self._avgdl = self._cache = None
+        else:
+            self._avgdl = self.bm25.avgdl(self.sum_ttf, self.doc_count)
+            self._cache = self.bm25.norm_inverse_cache(self._avgdl)
+
+    def _field_sim(self, field: str | None):
+        """The similarity governing ``field`` (PerFieldSimilarityWrapper
+        dispatch; the slot member itself otherwise)."""
+        if isinstance(self.bm25, PerFieldSimilarity):
+            return self.bm25.get(field)
+        return self.bm25
+
+    def _sim_for(self, term: str):
+        """The similarity governing ``term`` — resolved by its field
+        prefix in multi-field mode (bare terms are pre-qualified by
+        qualify_query before scoring reaches here)."""
+        if isinstance(self.bm25, PerFieldSimilarity):
+            f = term.split(":", 1)[0] if ":" in term else self.default_field
+            return self.bm25.get(f)
+        return self.bm25
 
     def _term_ctx(self, term: str):
         """(doc_count, norm_byte_map, cache) governing a term — per-field
@@ -306,15 +331,16 @@ class MiniLucene:
         if not plist:
             return {}
         n, nb_map, cache = self._term_ctx(t.term)
-        if hasattr(self.bm25, "weight_full"):
+        sim = self._sim_for(t.term)
+        if hasattr(sim, "weight_full"):
             _, ttf = self._ctx_stats(t.term)
-            w = self.bm25.weight_full(len(plist), sum(plist.values()), n, ttf, t.boost)
+            w = sim.weight_full(len(plist), sum(plist.values()), n, ttf, t.boost)
         else:
-            w = self.bm25.weight(len(plist), n, t.boost)
+            w = sim.weight(len(plist), n, t.boost)
         docs = np.fromiter(plist.keys(), dtype=np.int64, count=len(plist))
         tfs = np.fromiter(plist.values(), dtype=np.int64, count=len(plist))
         nbs = np.array([nb_map[int(d)] for d in docs], dtype=np.int64)
-        scores = self.bm25.score(tfs, nbs, w, cache)
+        scores = sim.score(tfs, nbs, w, cache)
         return {int(d): float(s) for d, s in zip(docs, scores)}
 
     # --- multi-term expansion (same semantics as executor.expand_multiterm)
@@ -445,12 +471,13 @@ class MiniLucene:
         if wterms is None:
             return {}
         _, nb_map, cache = self._term_ctx(wterms[0])
+        sim = self._sim_for(wterms[0])  # phrase terms share one field
         freqs = self._sloppy_tf(q) if q.slop > 0 else self._phrase_tf(q)
-        if hasattr(self.bm25, "weight_full"):
+        if hasattr(sim, "weight_full"):
             # SimilarityBase MultiSimScorer: one sub-scorer per phrase
             # position at the phrase freq, scores summed, cast float
             ws = [
-                self.bm25.weight_full(
+                sim.weight_full(
                     self.df(t), self.cf(t), *self._ctx_stats(t), q.boost
                 )
                 for t in wterms
@@ -460,7 +487,7 @@ class MiniLucene:
                 acc = 0.0
                 for w in ws:
                     acc += float(
-                        self.bm25.score(
+                        sim.score(
                             np.array([tf], dtype=np.float64),
                             np.array([nb_map[d]]), w, cache,
                         )[0]
@@ -470,16 +497,16 @@ class MiniLucene:
         # Lucene PhraseWeight collects one TermStatistics PER POSITION,
         # so a repeated term contributes its idf once per occurrence
         # (PhraseQuery#createWeight iterates terms[], duplicates included)
-        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in wterms]
-        if hasattr(self.bm25, "phrase_weight"):
+        idfs = [sim.idf(self.df(t), self._term_ctx(t)[0]) for t in wterms]
+        if hasattr(sim, "phrase_weight"):
             # one SimScorer per PhraseWeight (BooleanSimilarity: = boost)
-            w = self.bm25.phrase_weight(idfs, q.boost)
+            w = sim.phrase_weight(idfs, q.boost)
         else:
             total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
             w = np.float32(total * np.float32(q.boost))
         out = {}
         for d, tf in freqs.items():
-            s = self.bm25.score(
+            s = sim.score(
                 np.array([tf], dtype=np.float64), np.array([nb_map[d]]), w, cache
             )
             out[d] = float(s[0])
@@ -605,9 +632,10 @@ class MiniLucene:
         if any(t not in self.postings for t in terms):
             return {}
         _, nb_map, cache = self._term_ctx(terms[0])
-        if hasattr(self.bm25, "weight_full"):
+        sim = self._sim_for(terms[0])  # frame terms share one field
+        if hasattr(sim, "weight_full"):
             ws = [
-                self.bm25.weight_full(
+                sim.weight_full(
                     self.df(t), self.cf(t), *self._ctx_stats(t), boost
                 )
                 for t in terms
@@ -617,22 +645,22 @@ class MiniLucene:
                 acc = 0.0
                 for w in ws:
                     acc += float(
-                        self.bm25.score(
+                        sim.score(
                             np.array([tf], dtype=np.float64),
                             np.array([nb_map[d]]), w, cache,
                         )[0]
                     )
                 out[d] = float(np.float32(acc))
             return out
-        idfs = [self.bm25.idf(self.df(t), self._term_ctx(t)[0]) for t in terms]
-        if hasattr(self.bm25, "phrase_weight"):
-            w = self.bm25.phrase_weight(idfs, boost)
+        idfs = [sim.idf(self.df(t), self._term_ctx(t)[0]) for t in terms]
+        if hasattr(sim, "phrase_weight"):
+            w = sim.phrase_weight(idfs, boost)
         else:
             total = np.float32(np.sum(np.asarray(idfs, dtype=np.float64)))
             w = np.float32(total * np.float32(boost))
         out = {}
         for d, tf in freqs.items():
-            s = self.bm25.score(
+            s = sim.score(
                 np.array([tf], dtype=np.float64), np.array([nb_map[d]]), w, cache
             )
             out[d] = float(s[0])

@@ -156,6 +156,46 @@ def test_must_not_across_fields(wrapped, classic_ctl, bm25_ctl):
     assert got == want
 
 
+# --- cross-engine oracle identity --------------------------------------------
+
+
+def test_oracle_identity(wrapped, corpus):
+    """Engine vs MiniLucene under the SAME PerFieldSimilarity wrapper —
+    the full rank/score identity across term, phrase, and mixed-field
+    boolean shapes (float32 equality)."""
+    from lucene_solr_spark.oracle import MiniLucene
+
+    oracle = MiniLucene(
+        [
+            (int(r.doc_id), {"content": r.content, "path": r.pathtext})
+            for r in corpus.itertuples()
+        ],
+        bm25=PerFieldSimilarity(
+            sims=(("path", ClassicSimilarity()),), default=BM25()
+        ),
+        default_field="content",
+    )
+    for q in (
+        Term("path:src"),
+        Term("def"),
+        Phrase("path:src", "path:pkg1"),
+        Phrase("def", "class"),
+        Or(Term("def"), Term("path:py")),
+        Bool(must=(Term("path:py"),), must_not=(Term("def"),)),
+    ):
+        assert _run(wrapped, q) == oracle.search(q, k=10), q
+
+
+def test_oracle_rejects_single_field_wrapper():
+    from lucene_solr_spark.oracle import MiniLucene
+
+    with pytest.raises(ValueError, match="multi-field"):
+        MiniLucene(
+            [(0, "def class")],
+            bm25=PerFieldSimilarity(default=BM25()),
+        )
+
+
 # --- single-field guard ------------------------------------------------------
 
 
