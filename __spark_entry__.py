@@ -4546,6 +4546,36 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("orig_id"))
 
 
+def q_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place numeric DocValues updates, end to end
+    (``IndexWriter.updateNumericDocValue``, ``[8x] lucene/core/.../index/
+    IndexWriter.java`` — update batches land as dv GENERATIONS; readers
+    overlay the highest generation per doc, postings/norms untouched):
+    two update generations over the stored n_chars baseline, then a
+    compaction that folds history into one generation and must preserve
+    the overlaid view exactly."""
+    import tempfile
+
+    from lucene_solr_spark.index import (build_index, compact_docvalues,
+                                         read_docvalues, update_docvalues)
+
+    d = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="lss_dv_")
+    build_index(spark, d, root, text_col="text", id_col="doc_id",
+                segment_docs=2000)
+    base = d.select("doc_id", F.col("n_chars").cast("double").alias("value"))
+    update_docvalues(
+        spark, root, "rank",
+        d.filter(F.col("doc_id") < 50).select(
+            "doc_id", (F.col("n_chars") + 1000.0).alias("value")))
+    update_docvalues(
+        spark, root, "rank",
+        d.filter(F.col("doc_id") < 25).select(
+            "doc_id", F.lit(7.0).alias("value")))
+    compact_docvalues(spark, root, "rank", base=base)
+    return read_docvalues(spark, root, "rank").orderBy("doc_id")
+
+
 def q_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusteringComponent label extraction: top distinctive terms per
     group (lang as the cluster domain) by doc-frequency lift."""
@@ -4986,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "cluster_labels": q_cluster_labels,
         "changelog": q_changelog,
+        "dv_update": q_dv_update,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
@@ -8409,6 +8440,12 @@ WITH final AS (
   UNION ALL
   SELECT doc_id + 100000, 'brandnew ' || text FROM documents WHERE doc_id < 10)
 SELECT orig_id, md5(text) AS text_md5 FROM final ORDER BY orig_id""",
+        "dv_update": """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id < 25 THEN 7
+                 WHEN doc_id < 50 THEN n_chars + 1000
+                 ELSE n_chars END AS DOUBLE) AS value
+FROM documents ORDER BY doc_id""",
         "cluster_labels": """
 WITH dt AS (
   SELECT doc_id,

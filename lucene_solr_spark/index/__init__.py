@@ -1,6 +1,7 @@
 from .backup import backup_index, replicate_index, restore_index
 from .builder import add_indexes, assign_doc_ids, build_index, open_index, read_manifest, sorted_topk, write_manifest
 from .check import check_index
+from .docvalues import compact_docvalues, read_docvalues, update_docvalues
 from .deletes import (VersionConflict, apply_changelog, atomic_update, conditional_update,
                       delete_by_query, delete_docs, read_tombstones,
                       realtime_get, update_documents)
@@ -24,6 +25,9 @@ __all__ = [
     "replicate_index",
     "restore_index",
     "build_index",
+    "update_docvalues",
+    "read_docvalues",
+    "compact_docvalues",
     "add_indexes",
     "build_index_view",
     "sorted_topk",

@@ -1,0 +1,148 @@
+"""In-place numeric DocValues updates — the sidecar-generation analog.
+
+Reference semantics: Lucene mutates a numeric/binary doc-values field
+WITHOUT re-indexing the document (``IndexWriter.updateNumericDocValue``,
+``[8x] lucene/core/src/java/org/apache/lucene/index/IndexWriter.java`` /
+``ReadersAndUpdates.java``): each update batch lands as a new
+``.dvd``/``.dvm`` *generation* file next to the segment, and readers
+overlay the highest generation per doc.  Solr exposes this as atomic
+``set`` on a docValues-only field (in-place updates,
+``[8x] solr/core/src/java/org/apache/solr/update/processor/
+AtomicUpdateDocumentMerger.java`` ``isInPlaceUpdate``).
+
+Spark-first shape: a generation is ONE parquet directory under
+``<index>/dv_updates/<field>/gen-<g>.parquet`` listed in the manifest
+(data first, manifest last — a crash leaves an ignorable orphan, same
+2-phase discipline as segments).  The read path is one shuffle:
+``union(base as gen 0, generations) → groupBy(key) → max_by(value,
+gen)`` — latest generation wins, postings and norms untouched.
+
+Scale: updates are typically tiny next to the corpus, so the overlay
+groupBy is dominated by ONE pass over the base values (Lucene pays the
+same: a full-field rewrite per advanceExact sweep at merge).  At 10^12
+docs the generations stay small per batch and AQE broadcast-joins them;
+compaction (``compact_docvalues``) folds all generations into a new
+single gen-N so read cost never grows with update history — the
+dv-generation merge Lucene performs on segment merge.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .builder import read_manifest, write_manifest
+
+__all__ = ["update_docvalues", "read_docvalues", "compact_docvalues"]
+
+
+def _dv_entries(manifest: dict, field: str) -> list[dict]:
+    return list((manifest.get("dv_updates") or {}).get(field, ()))
+
+
+def update_docvalues(
+    spark: SparkSession,
+    index_path: str | Path,
+    field: str,
+    updates: DataFrame,
+    key_col: str = "doc_id",
+    value_col: str = "value",
+) -> int:
+    """Apply one in-place update batch to docvalues ``field``; returns the
+    committed generation number.
+
+    ``updates`` carries (key_col, value_col); keys MUST be unique within
+    a batch (Lucene applies updates in writer order — a distributed frame
+    has no order, so in-batch duplicates resolve deterministically by max
+    value at read).  Data is written before the manifest row, so a crash
+    between the two leaves an orphan generation that readers ignore.
+    """
+    manifest = read_manifest(index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    entries = _dv_entries(manifest, field)
+    gen = 1 + max((e["gen"] for e in entries), default=0)
+    rel = f"dv_updates/{field}/gen-{gen}.parquet"
+    out = updates.select(
+        F.col(key_col).cast("long").alias("doc_id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    # overwrite: an existing uncommitted directory at this gen is an
+    # orphan from a crash between data write and manifest commit
+    out.write.mode("overwrite").parquet(str(Path(index_path) / rel))
+    # manifest LAST: the generation exists only once this row commits
+    manifest.setdefault("dv_updates", {}).setdefault(field, []).append(
+        {"gen": gen, "path": rel}
+    )
+    write_manifest(index_path, manifest)
+    return gen
+
+
+def read_docvalues(
+    spark: SparkSession,
+    index_path: str | Path,
+    field: str,
+    base: DataFrame | None = None,
+    key_col: str = "doc_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Current (doc_id, value) view of ``field``: committed generations
+    overlaid on ``base`` (generation 0, e.g. the stored-fields column the
+    dv was seeded from), highest generation per doc winning — Lucene's
+    ``docValuesGen`` reader resolution.  One shuffle on doc_id."""
+    manifest = read_manifest(index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    parts = []
+    if base is not None:
+        parts.append(
+            base.select(
+                F.col(key_col).cast("long").alias("doc_id"),
+                F.col(value_col).cast("double").alias("value"),
+                F.lit(0).alias("gen"),
+            )
+        )
+    for e in _dv_entries(manifest, field):
+        gen_df = spark.read.parquet(str(Path(index_path) / e["path"]))
+        parts.append(gen_df.select("doc_id", "value", F.lit(e["gen"]).alias("gen")))
+    if not parts:
+        raise ValueError(f"docvalues field {field!r} has no generations and no base")
+    allgen = parts[0]
+    for p in parts[1:]:
+        allgen = allgen.unionByName(p)
+    # latest-wins; within one generation (caller contract: unique keys)
+    # ties break by max value so the result is deterministic regardless
+    return allgen.groupBy("doc_id").agg(
+        F.expr("max_by(value, struct(gen, value))").alias("value")
+    )
+
+
+def compact_docvalues(
+    spark: SparkSession,
+    index_path: str | Path,
+    field: str,
+    base: DataFrame | None = None,
+    key_col: str = "doc_id",
+    value_col: str = "value",
+) -> int:
+    """Fold every committed generation (and ``base``, if given) into one
+    new highest generation, then drop the old rows from the manifest —
+    the dv-gen merge Lucene runs at segment merge, so read cost stays
+    O(base + 1 gen) no matter how many update batches landed."""
+    manifest = read_manifest(index_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    entries = _dv_entries(manifest, field)
+    if not entries and base is None:
+        raise ValueError(f"docvalues field {field!r}: nothing to compact")
+    current = read_docvalues(
+        spark, index_path, field, base=base, key_col=key_col, value_col=value_col
+    )
+    gen = 1 + max((e["gen"] for e in entries), default=0)
+    rel = f"dv_updates/{field}/gen-{gen}.parquet"
+    current.write.mode("overwrite").parquet(str(Path(index_path) / rel))
+    manifest.setdefault("dv_updates", {})[field] = [{"gen": gen, "path": rel}]
+    write_manifest(index_path, manifest)
+    return gen

@@ -1,0 +1,114 @@
+"""In-place numeric DocValues updates: generation overlay semantics.
+
+Mirrors Lucene's ``IndexWriter.updateNumericDocValue`` contract
+(``[8x] lucene/core/.../index/IndexWriter.java`` — update batches land
+as dv generations; readers resolve the highest ``docValuesGen`` per
+doc) without touching postings or norms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import gen_corpus_df
+from lucene_solr_spark.index import (
+    build_index,
+    compact_docvalues,
+    open_index,
+    read_docvalues,
+    read_manifest,
+    update_docvalues,
+)
+
+N_DOCS = 120
+
+
+def _build(spark, path):
+    corpus = gen_corpus_df(spark, N_DOCS, seed=11)
+    build_index(spark, corpus, path, segment_docs=60)
+    return path
+
+
+def _values(spark, path, base):
+    rows = read_docvalues(spark, path, "rank", base=base).collect()
+    return {int(r["doc_id"]): float(r["value"]) for r in rows}
+
+
+def test_latest_generation_wins(spark, tmp_path):
+    path = _build(spark, tmp_path / "idx")
+    stored = spark.read.parquet(str(path / "docs.parquet"))
+    base = stored.select("doc_id", F.length("content").alias("value"))
+    base_vals = {int(r["doc_id"]): float(r["value"]) for r in base.collect()}
+
+    g1 = update_docvalues(
+        spark, path, "rank",
+        spark.range(0, 40).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") + 1000.0).alias("value")))
+    g2 = update_docvalues(
+        spark, path, "rank",
+        spark.range(0, 20).select(F.col("id").alias("doc_id"),
+                                  F.lit(7.0).alias("value")))
+    assert (g1, g2) == (1, 2)
+
+    got = _values(spark, path, base)
+    assert set(got) == set(base_vals)  # overlay never adds/drops docs
+    for d in range(N_DOCS):
+        if d < 20:
+            expect = 7.0
+        elif d < 40:
+            expect = d + 1000.0
+        else:
+            expect = base_vals[d]
+        assert got[d] == expect, d
+
+    # postings and norms untouched by dv updates (in-place contract)
+    idx = open_index(spark, path)
+    assert idx.norms.count() == N_DOCS
+
+
+def test_orphan_generation_ignored(spark, tmp_path):
+    path = _build(spark, tmp_path / "idx")
+    base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"),
+                                      F.lit(1.0).alias("value"))
+    update_docvalues(spark, path, "rank",
+                     spark.range(5).select(F.col("id").alias("doc_id"),
+                                           F.lit(2.0).alias("value")))
+    # simulate a crash between data write and manifest commit: data for
+    # gen-2 exists on disk but the manifest never recorded it
+    orphan = spark.range(5).select(F.col("id").alias("doc_id"),
+                                   F.lit(99.0).alias("value"))
+    orphan.write.parquet(str(path / "dv_updates/rank/gen-2.parquet"))
+
+    got = _values(spark, path, base)
+    assert all(got[d] == 2.0 for d in range(5))
+    assert all(got[d] == 1.0 for d in range(5, N_DOCS))
+
+    # the next committed update claims gen 2 and OVERWRITES the orphan
+    # (uncommitted data is garbage by the 2-phase contract)
+    g = update_docvalues(spark, path, "rank",
+                         spark.range(3).select(F.col("id").alias("doc_id"),
+                                               F.lit(5.0).alias("value")))
+    assert g == 2
+    got = _values(spark, path, base)
+    assert all(got[d] == 5.0 for d in range(3))
+    assert got[4] == 2.0  # gen-1 value survives; orphan 99.0 never read
+
+
+def test_compaction_preserves_view(spark, tmp_path):
+    path = _build(spark, tmp_path / "idx")
+    base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"),
+                                      (F.col("id") * 1.0).alias("value"))
+    for k in (1, 2, 3):
+        update_docvalues(
+            spark, path, "rank",
+            spark.range(0, 10 * k).select(F.col("id").alias("doc_id"),
+                                          (F.col("id") + 100.0 * k).alias("value")))
+    before = _values(spark, path, base)
+    compact_docvalues(spark, path, "rank", base=base)
+    m = read_manifest(path)
+    assert len(m["dv_updates"]["rank"]) == 1  # history folded away
+    # after compaction the single generation carries the FULL view —
+    # no base needed
+    rows = read_docvalues(spark, path, "rank").collect()
+    after = {int(r["doc_id"]): float(r["value"]) for r in rows}
+    assert after == before
