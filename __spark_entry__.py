@@ -129,6 +129,27 @@ def q_fts_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fingerprint_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis-chain entry: FingerprintFilter (``[8x] lucene/analysis/
+    common/.../miscellaneous/FingerprintFilter.java``) — each doc's whole
+    stream collapses to ONE sorted-unique-joined signature token, the
+    oversize guard dropping signatures past maxOutputTokenSize; the
+    signature dictionary (md5, df, cf) is re-derived in DuckDB from
+    list_distinct + list_sort."""
+    from lucene_solr_spark.analysis import Chain, fingerprint_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(fingerprint_filter(sep="_"),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.select(F.md5("term").alias("sig"), "df", "cf")
+        .orderBy("sig")
+    )
+
+
 def q_fts_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded postings (term, doc_id, tf) for the probe terms — round-trips
     the delta+VByte codec through parquet-shaped blocks."""
@@ -4943,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify": q_classify,
         "feature_igain": q_feature_igain,
         "fts_shingle_dict": q_shingle_dict,
+        "fingerprint_dict": q_fingerprint_dict,
         "fts_classic_topk": q_fts_classic_topk,
         "fts_lm_topk": q_fts_lm_topk,
         "fts_lmjm_topk": q_fts_lmjm_topk,
@@ -7081,6 +7103,17 @@ SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM sh GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
+        "fingerprint_dict": f"""
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))), '_') AS term
+  FROM documents
+),
+k AS (SELECT doc_id, term FROM fp WHERE len(term) >= 1 AND len(term) <= 1024)
+SELECT md5(term) AS sig, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM k GROUP BY term ORDER BY sig""",
         # rule order mirrors _HTML_STRIP_RULES exactly: tags → space,
         # then named entities decoded, numeric entities last
         "html_strip": f"""

@@ -75,6 +75,8 @@ __all__ = [
     "ngram_filter",
     "shingle_filter",
     "common_grams_filter",
+    "Fingerprint",
+    "fingerprint_filter",
     "stop_filter",
     "length_filter",
     "Limit",
@@ -454,6 +456,22 @@ class CommonGrams:
 
 
 @dataclass(frozen=True)
+class Fingerprint:
+    """FingerprintFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/miscellaneous/FingerprintFilter.java`` —
+    Solr's FingerprintFilterFactory, the FingerprintUpdateProcessor's
+    engine): buffer the WHOLE stream, emit ONE token — the sorted,
+    deduplicated terms joined by ``sep`` — an order- and
+    duplication-insensitive signature of the field value (OpenRefine
+    clustering keys; index-time near-dup grouping).  A stream whose
+    joined signature exceeds ``max_output_token_size`` emits nothing
+    (Lucene's guard against unbounded dictionary terms)."""
+
+    sep: str = " "
+    max_output_token_size: int = 1024
+
+
+@dataclass(frozen=True)
 class CharReplace:
     """Pre-tokenizer char filter: an ordered list of string rewrites
     applied to the RAW text before tokenization (Lucene's CharFilter
@@ -728,6 +746,11 @@ def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) ->
     return Shingle(size, sep, keep_unigrams)
 
 
+def fingerprint_filter(sep: str = " ",
+                       max_output_token_size: int = 1024) -> Fingerprint:
+    return Fingerprint(sep=sep, max_output_token_size=max_output_token_size)
+
+
 def common_grams_filter(words: Iterable[str], sep: str = "_") -> CommonGrams:
     """CommonGramsFilterFactory analog: ``words`` is the commonWords set
     (typically the stopword list)."""
@@ -886,6 +909,14 @@ class Chain:
                     if stream[i][0] in step.words or stream[i + 1][0] in step.words
                 ]
                 stream = stream + cg
+            elif isinstance(step, Fingerprint):
+                if stream:
+                    fp = step.sep.join(sorted({t for t, _ in stream}))
+                    stream = (
+                        [(fp, 0)]
+                        if len(fp) <= step.max_output_token_size
+                        else []
+                    )
             else:
                 raise TypeError(f"unknown chain step {step}")
         return stream
@@ -987,6 +1018,18 @@ class Chain:
                 # [row's unigrams..., row's grams...] contiguously)
                 order = np.argsort(row_idx, kind="stable")
                 terms, row_idx, pos = terms[order], row_idx[order], pos[order]
+            elif isinstance(step, Fingerprint):
+                df_fp = pd.DataFrame({"r": row_idx, "t": terms.astype(object)})
+                joined = (
+                    df_fp.drop_duplicates()
+                    .sort_values(["r", "t"], kind="mergesort")
+                    .groupby("r", sort=True)["t"]
+                    .agg(step.sep.join)
+                )
+                joined = joined[joined.str.len() <= step.max_output_token_size]
+                terms = joined.to_numpy(dtype=object)
+                row_idx = joined.index.to_numpy(dtype=np.int64)
+                pos = np.zeros(terms.size, dtype=np.int64)
             else:
                 raise TypeError(f"unknown chain step {step}")
         dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
@@ -1109,6 +1152,11 @@ def chain_spec(chain: Chain) -> dict | None:
                 {"kind": "common_grams", "words": sorted(step.words),
                  "sep": step.sep}
             )
+        elif isinstance(step, Fingerprint):
+            steps.append(
+                {"kind": "fingerprint", "sep": step.sep,
+                 "max_output_token_size": step.max_output_token_size}
+            )
         else:
             return None  # custom callable — not declaratively serializable
     chars: list = []
@@ -1185,6 +1233,9 @@ def chain_from_spec(spec: dict) -> Chain:
             )
         elif kind == "common_grams":
             steps.append(common_grams_filter(s["words"], s.get("sep", "_")))
+        elif kind == "fingerprint":
+            steps.append(fingerprint_filter(
+                s.get("sep", " "), s.get("max_output_token_size", 1024)))
         else:
             raise ValueError(f"unknown chain step kind: {kind!r}")
     chars = tuple(

@@ -25,6 +25,7 @@ from lucene_solr_spark.analysis import (
     truncate_filter,
     limit_token_count_filter,
     keyword_repeat_stem_filter,
+    fingerprint_filter,
 )
 from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
 from lucene_solr_spark.index import build_index_view
@@ -112,6 +113,11 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (stop_filter(["the"]), limit_token_count_filter(4)),
         (shingle_filter(2), limit_token_count_filter(5)),
         (limit_token_count_filter(0),),
+        (fingerprint_filter(),),
+        (fingerprint_filter(sep="_"),),
+        (stop_filter(["the"]), fingerprint_filter()),
+        (stem_filter(), fingerprint_filter(sep="|")),
+        (fingerprint_filter(max_output_token_size=12),),
     ],
 )
 def test_chain_flat_matches_reference(steps):
@@ -530,10 +536,27 @@ def test_new_steps_spec_roundtrip():
 
     ch = Chain(steps=(stop_filter(["the"]), truncate_filter(6),
                       keyword_repeat_stem_filter(protected=("xy",)),
-                      limit_token_count_filter(50)))
+                      limit_token_count_filter(50),
+                      fingerprint_filter(sep="_", max_output_token_size=64)))
     spec = chain_spec(ch)
     assert spec is not None
     assert chain_from_spec(spec) == ch
+
+
+def test_fingerprint_filter_semantics():
+    """FingerprintFilter: sorted-unique join at position 0; empty stream
+    emits nothing; oversize signature emits nothing (Lucene's
+    maxOutputTokenSize guard)."""
+    ch = Chain(steps=(fingerprint_filter(),))
+    assert ch.tokens("b a B c a") == [("a b c", 0)]
+    assert ch.tokens("") == []
+    assert ch.tokens("the the the") == [("the", 0)]
+    tight = Chain(steps=(fingerprint_filter(max_output_token_size=4),))
+    assert tight.tokens("aa bb") == []       # "aa bb" is 5 chars
+    assert tight.tokens("aa") == [("aa", 0)]
+    # downstream of stops: signature reflects the filtered stream
+    ch2 = Chain(steps=(stop_filter(["the"]), fingerprint_filter(sep="_")))
+    assert ch2.tokens("the data of the data") == [("data_of", 0)]
 
 
 def test_keyword_repeat_query_side_matches_index(spark):
