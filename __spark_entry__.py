@@ -150,6 +150,28 @@ def q_fingerprint_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis-chain entry: MinHashFilter (``[8x] lucene/analysis/
+    common/.../minhash/MinHashFilter.java``) — per-doc LSH sketch
+    indexed as ordinary dictionary terms.  bucket_count=16 makes the
+    range partition exactly the first md5 nibble, so DuckDB re-derives
+    bucket mins with substr(md5, 1, 1); rotation off so only non-empty
+    buckets emit."""
+    from lucene_solr_spark.analysis import Chain, minhash_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(minhash_filter(bucket_count=16,
+                                        with_rotation=False),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.select("term", "df", "cf")
+        .orderBy(F.desc("df"), F.asc("term")).limit(200)
+    )
+
+
 def q_fts_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded postings (term, doc_id, tf) for the probe terms — round-trips
     the delta+VByte codec through parquet-shaped blocks."""
@@ -4965,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_igain": q_feature_igain,
         "fts_shingle_dict": q_shingle_dict,
         "fingerprint_dict": q_fingerprint_dict,
+        "minhash_terms": q_minhash_terms,
         "fts_classic_topk": q_fts_classic_topk,
         "fts_lm_topk": q_fts_lm_topk,
         "fts_lmjm_topk": q_fts_lmjm_topk,
@@ -7114,6 +7137,23 @@ k AS (SELECT doc_id, term FROM fp WHERE len(term) >= 1 AND len(term) <= 1024)
 SELECT md5(term) AS sig, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM k GROUP BY term ORDER BY sig""",
+        "minhash_terms": f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text),
+                                                 '{TOKEN_PATTERN}'))) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, md5(t) AS hex FROM tok),
+b AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(hex, 1, 1)) - 1 AS bucket,
+         min(hex) AS term
+  FROM h GROUP BY doc_id, bucket
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM b GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 200""",
         # rule order mirrors _HTML_STRIP_RULES exactly: tags → space,
         # then named entities decoded, numeric entities last
         "html_strip": f"""

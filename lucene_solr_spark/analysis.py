@@ -77,6 +77,8 @@ __all__ = [
     "common_grams_filter",
     "Fingerprint",
     "fingerprint_filter",
+    "MinHashStep",
+    "minhash_filter",
     "stop_filter",
     "length_filter",
     "Limit",
@@ -472,6 +474,26 @@ class Fingerprint:
 
 
 @dataclass(frozen=True)
+class MinHashStep:
+    """MinHashFilter (``[8x] lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/minhash/MinHashFilter.java``): hash every distinct
+    stream term (md5 here; Lucene uses 128-bit murmur — untestable
+    byte-parity in a pure-Python sandbox, same signature math), range-
+    partition the 128-bit hash space into ``bucket_count`` buckets, and
+    emit the ``hash_set_size`` smallest hashes per bucket as hex tokens
+    — a fixed-width LSH sketch of the field indexed as ordinary terms,
+    so Jaccard-similar docs share dictionary entries.  ``with_rotation``
+    (only meaningful at hash_set_size=1, Lucene's default shape) fills
+    each EMPTY bucket from the next non-empty bucket ascending,
+    circularly, so every non-empty doc emits exactly ``bucket_count``
+    tokens.  Token position = bucket index."""
+
+    bucket_count: int = 512
+    hash_set_size: int = 1
+    with_rotation: bool = True
+
+
+@dataclass(frozen=True)
 class CharReplace:
     """Pre-tokenizer char filter: an ordered list of string rewrites
     applied to the RAW text before tokenization (Lucene's CharFilter
@@ -751,6 +773,16 @@ def fingerprint_filter(sep: str = " ",
     return Fingerprint(sep=sep, max_output_token_size=max_output_token_size)
 
 
+def minhash_filter(bucket_count: int = 512, hash_set_size: int = 1,
+                   with_rotation: bool | None = None) -> MinHashStep:
+    """``with_rotation=None`` → Lucene's default: rotate exactly when
+    hash_set_size == 1 (MinHashFilterFactory's withRotation default)."""
+    if with_rotation is None:
+        with_rotation = hash_set_size == 1
+    return MinHashStep(bucket_count=bucket_count, hash_set_size=hash_set_size,
+                       with_rotation=with_rotation)
+
+
 def common_grams_filter(words: Iterable[str], sep: str = "_") -> CommonGrams:
     """CommonGramsFilterFactory analog: ``words`` is the commonWords set
     (typically the stopword list)."""
@@ -917,6 +949,24 @@ class Chain:
                         if len(fp) <= step.max_output_token_size
                         else []
                     )
+            elif isinstance(step, MinHashStep):
+                if stream:
+                    import hashlib
+
+                    B = step.bucket_count
+                    buckets: list[list[str]] = [[] for _ in range(B)]
+                    for t in {t for t, _ in stream}:
+                        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                        buckets[(int(h, 16) * B) >> 128].append(h)
+                    mins = [sorted(v)[: step.hash_set_size] for v in buckets]
+                    if step.with_rotation and step.hash_set_size == 1:
+                        for b in range(B):
+                            if not mins[b]:
+                                j = (b + 1) % B
+                                while not mins[j]:
+                                    j = (j + 1) % B
+                                mins[b] = mins[j]
+                    stream = [(h, b) for b, v in enumerate(mins) for h in v]
             else:
                 raise TypeError(f"unknown chain step {step}")
         return stream
@@ -1030,6 +1080,48 @@ class Chain:
                 terms = joined.to_numpy(dtype=object)
                 row_idx = joined.index.to_numpy(dtype=np.int64)
                 pos = np.zeros(terms.size, dtype=np.int64)
+            elif isinstance(step, MinHashStep):
+                import hashlib
+
+                B = step.bucket_count
+                mh = pd.DataFrame(
+                    {"r": row_idx, "t": terms.astype(object)}
+                ).drop_duplicates()
+                # per-unique-token hashing (Map-step cost shape)
+                uniq_t = mh["t"].unique()
+                hmap = {
+                    t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in uniq_t
+                }
+                bmap = {t: (int(h, 16) * B) >> 128 for t, h in hmap.items()}
+                mh["h"] = mh["t"].map(hmap)
+                mh["b"] = mh["t"].map(bmap).astype(np.int64)
+                mh = mh.sort_values(["r", "b", "h"], kind="mergesort")
+                kept = mh.groupby(["r", "b"], sort=True).head(step.hash_set_size)
+                if step.with_rotation and step.hash_set_size == 1:
+                    # fill every empty bucket from the next non-empty one
+                    # ascending-circular, fully vectorized: combined keys
+                    # r*B+b are globally sorted, so a searchsorted against
+                    # the full (row x bucket) grid lands on the first
+                    # present bucket >= b; wrap past the row's end
+                    kr = kept["r"].to_numpy(dtype=np.int64)
+                    kb = kept["b"].to_numpy(dtype=np.int64)
+                    kh = kept["h"].to_numpy(dtype=object)
+                    urows, counts = np.unique(kr, return_counts=True)
+                    seg_end = np.cumsum(counts)
+                    seg_start = seg_end - counts
+                    grid_r = np.repeat(urows, B)
+                    grid_b = np.tile(np.arange(B, dtype=np.int64), urows.size)
+                    idx = np.searchsorted(kr * B + kb, grid_r * B + grid_b)
+                    g_start = np.repeat(seg_start, B)
+                    g_end = np.repeat(seg_end, B)
+                    idx = np.where(idx >= g_end, g_start, idx)
+                    terms = kh[idx]
+                    row_idx, pos = grid_r, grid_b
+                else:
+                    terms = kept["h"].to_numpy(dtype=object)
+                    row_idx = kept["r"].to_numpy(dtype=np.int64)
+                    pos = kept["b"].to_numpy(dtype=np.int64)
             else:
                 raise TypeError(f"unknown chain step {step}")
         dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
@@ -1157,6 +1249,12 @@ def chain_spec(chain: Chain) -> dict | None:
                 {"kind": "fingerprint", "sep": step.sep,
                  "max_output_token_size": step.max_output_token_size}
             )
+        elif isinstance(step, MinHashStep):
+            steps.append(
+                {"kind": "minhash", "bucket_count": step.bucket_count,
+                 "hash_set_size": step.hash_set_size,
+                 "with_rotation": step.with_rotation}
+            )
         else:
             return None  # custom callable — not declaratively serializable
     chars: list = []
@@ -1236,6 +1334,10 @@ def chain_from_spec(spec: dict) -> Chain:
         elif kind == "fingerprint":
             steps.append(fingerprint_filter(
                 s.get("sep", " "), s.get("max_output_token_size", 1024)))
+        elif kind == "minhash":
+            steps.append(minhash_filter(
+                s.get("bucket_count", 512), s.get("hash_set_size", 1),
+                s.get("with_rotation")))
         else:
             raise ValueError(f"unknown chain step kind: {kind!r}")
     chars = tuple(

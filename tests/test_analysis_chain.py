@@ -26,6 +26,7 @@ from lucene_solr_spark.analysis import (
     limit_token_count_filter,
     keyword_repeat_stem_filter,
     fingerprint_filter,
+    minhash_filter,
 )
 from lucene_solr_spark.corpus import KEYWORDS, gen_corpus_pdf
 from lucene_solr_spark.index import build_index_view
@@ -118,6 +119,12 @@ def _flat_from_tokens(chain: Chain, texts: list[str]):
         (stop_filter(["the"]), fingerprint_filter()),
         (stem_filter(), fingerprint_filter(sep="|")),
         (fingerprint_filter(max_output_token_size=12),),
+        (minhash_filter(bucket_count=8),),
+        (minhash_filter(bucket_count=4, with_rotation=False),),
+        (minhash_filter(bucket_count=4, hash_set_size=2),),
+        (stop_filter(["the"]), minhash_filter(bucket_count=8)),
+        (shingle_filter(2, "_", keep_unigrams=False),
+         minhash_filter(bucket_count=8)),
     ],
 )
 def test_chain_flat_matches_reference(steps):
@@ -557,6 +564,43 @@ def test_fingerprint_filter_semantics():
     # downstream of stops: signature reflects the filtered stream
     ch2 = Chain(steps=(stop_filter(["the"]), fingerprint_filter(sep="_")))
     assert ch2.tokens("the data of the data") == [("data_of", 0)]
+
+
+def test_minhash_filter_semantics():
+    """MinHashFilter: per-bucket min of md5 hashes; rotation fills empty
+    buckets from the next non-empty ascending-circular so every
+    non-empty doc emits exactly bucket_count tokens; signatures are
+    order- and duplication-insensitive (the Jaccard-sketch property)."""
+    import hashlib
+
+    B = 8
+    ch = Chain(steps=(minhash_filter(bucket_count=B),))
+    out = ch.tokens("merge join scan filter")
+    assert len(out) == B and [p for _, p in out] == list(range(B))
+    # permuted + duplicated input → identical signature
+    assert out == ch.tokens("filter scan join merge merge join")
+    assert ch.tokens("") == []
+
+    # hand-check bucket mins with rotation OFF
+    ch0 = Chain(steps=(minhash_filter(bucket_count=B, with_rotation=False),))
+    got = ch0.tokens("merge join")
+    expect = {}
+    for t in ("merge", "join"):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = (int(h, 16) * B) >> 128
+        expect[b] = min(expect.get(b, "g" * 32), h)
+    assert sorted(got) == sorted((h, b) for b, h in expect.items())
+
+    # hash_set_size=2 keeps the two smallest per bucket
+    ch2 = Chain(steps=(minhash_filter(bucket_count=1, hash_set_size=2),))
+    hs = sorted(hashlib.md5(t.encode()).hexdigest()
+                for t in ("a", "b", "c", "d"))
+    assert [t for t, _ in ch2.tokens("a b c d")] == hs[:2]
+
+    # spec round-trip
+    from lucene_solr_spark.analysis import chain_from_spec, chain_spec
+    ch3 = Chain(steps=(minhash_filter(16, 2, False),))
+    assert chain_from_spec(chain_spec(ch3)) == ch3
 
 
 def test_keyword_repeat_query_side_matches_index(spark):
