@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.analysis import TOKEN_PATTERN
+from lucene_solr_spark.pipeline.filters import (URL_DOMAIN_SQL, URL_HOST_SQL,
+                                                URL_PATH_SQL, URL_TLD_SQL)
 from lucene_solr_spark.analysis import URL_EMAIL_TOKEN_PATTERN as _UAX29_PATTERN
 from lucene_solr_spark.index.core import IndexView, build_index_view
 from lucene_solr_spark.search.executor import postings_table, search
@@ -4589,6 +4591,33 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("orig_id"))
 
 
+#: deterministic crawl-URL synthesis over (doc_id, source) — ONE SQL
+#: text evaluated by Spark and DuckDB alike (mixed case, explicit port,
+#: trailing slashes, query strings, blocked domains and a blocked TLD)
+URLF_SYN = (
+    "'HTTPS://WWW.' || source || (CASE WHEN doc_id % 7 = 0 "
+    "THEN '.site.spam' WHEN doc_id % 5 = 0 THEN '.blocked.org' "
+    "ELSE '.example.com' END) || ':443/Docs/' || "
+    "CAST(doc_id AS STRING) || (CASE WHEN doc_id % 2 = 0 THEN '/' "
+    "ELSE '' END) || (CASE WHEN doc_id % 3 = 0 THEN '?utm=' || "
+    "CAST(doc_id AS STRING) ELSE '' END)"
+)
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + blocklist pre-filter (the C4/CCNet/
+    RefinedWeb crawl-intake step): scheme/userinfo/www/port/query
+    stripped into a canonical host+path, rows dropped by registered
+    domain, parent-domain suffix, or TLD — pure map-side JVM SQL, the
+    DuckDB oracle replaying the identical shared regexp texts."""
+    from lucene_solr_spark.pipeline import url_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "source").withColumn(
+        "url", F.expr(URLF_SYN))
+    return url_filter(d, block_domains=("blocked.org",),
+                      block_tlds=("spam",)).orderBy("doc_id")
+
+
 def q_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place numeric DocValues updates, end to end
     (``IndexWriter.updateNumericDocValue``, ``[8x] lucene/core/.../index/
@@ -5062,6 +5091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_labels": q_cluster_labels,
         "changelog": q_changelog,
         "dv_update": q_dv_update,
+        "url_filter": q_url_filter,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
@@ -8519,6 +8549,23 @@ SELECT doc_id,
                  WHEN doc_id < 50 THEN n_chars + 1000
                  ELSE n_chars END AS DOUBLE) AS value
 FROM documents ORDER BY doc_id""",
+        "url_filter": f"""
+WITH u AS (SELECT doc_id, {URLF_SYN} AS url FROM documents),
+c AS (
+  SELECT doc_id,
+         {URL_HOST_SQL.format(u="url")} AS host,
+         {URL_HOST_SQL.format(u="url")} || {URL_PATH_SQL.format(u="url")}
+           AS canon_url
+  FROM u),
+t AS (
+  SELECT doc_id, host, canon_url,
+         {URL_TLD_SQL.format(h="host")} AS tld,
+         {URL_DOMAIN_SQL.format(h="host")} AS reg_domain
+  FROM c)
+SELECT doc_id, host, canon_url, tld,
+       (host <> '' AND tld <> 'spam' AND reg_domain <> 'blocked.org'
+        AND host NOT LIKE '%.blocked.org') AS keep
+FROM t ORDER BY doc_id""",
         "cluster_labels": """
 WITH dt AS (
   SELECT doc_id,

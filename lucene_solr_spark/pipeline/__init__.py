@@ -60,6 +60,7 @@ from .filters import (
     pii_scrub,
     stratified_sample,
     temperature_sample,
+    url_filter,
 )
 from .multimodal import media_features, with_media_binary
 from .urp import URP_PROCESSORS, apply_urp_chain, validate_urp_chain
@@ -83,6 +84,7 @@ __all__ = [
     "pii_scrub",
     "stratified_sample",
     "temperature_sample",
+    "url_filter",
     "chunk_documents",
     "select_within_budget",
     "fim_split",

@@ -37,7 +37,8 @@ __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
            "temperature_sample", "dsir_weights", "dsir_select",
            "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
            "secret_scan", "SECRET_RULES", "cap_per_key", "char_entropy",
-           "ENTROPY_CONTRIB_SQL"]
+           "ENTROPY_CONTRIB_SQL", "url_filter", "URL_HOST_SQL",
+           "URL_PATH_SQL", "URL_TLD_SQL", "URL_DOMAIN_SQL"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -715,3 +716,74 @@ def cap_per_key(df: DataFrame, key: str, n: int,
         df.withColumn("cap_rank", F.row_number().over(w))
         .filter(F.col("cap_rank") <= n)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + blocklist filter (the C4 / CCNet / RefinedWeb
+# pre-filter: canonicalize crawl URLs, drop blocklisted domains/TLDs
+# before any text processing spends compute on them)
+# ---------------------------------------------------------------------------
+
+#: host of {u}: scheme and userinfo stripped, lowercased, leading
+#: "www." and an explicit port removed — ONE shared SQL text so Spark
+#: and any ANSI oracle derive byte-identical hosts (patterns avoid
+#: backslash escapes: '[.]' not '\\.')
+URL_HOST_SQL = (
+    "regexp_replace(regexp_replace(regexp_extract(lower({u}), "
+    "'^[a-z][a-z0-9+.-]*://(?:[^@/]*@)?([^/?#]+)', 1), "
+    "':[0-9]+$', ''), '^www[.]', '')"
+)
+
+#: path of {u}: query/fragment dropped (CCNet canonical form keeps
+#: scheme-less host+path only), trailing slashes trimmed
+URL_PATH_SQL = (
+    "regexp_replace(regexp_extract(lower({u}), "
+    "'^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+)
+
+#: last host label (approximate public-suffix TLD)
+URL_TLD_SQL = "regexp_extract({h}, '[.]([a-z0-9-]+)$', 1)"
+
+#: registered domain approximation: last two host labels
+URL_DOMAIN_SQL = "regexp_extract({h}, '([^.]+[.][^.]+)$', 1)"
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    block_domains: tuple[str, ...] = (),
+    block_tlds: tuple[str, ...] = (),
+) -> DataFrame:
+    """Canonicalize ``url_col`` and flag blocklisted rows.
+
+    Returns ``[id, host, canon_url, tld, keep]`` where ``canon_url`` is
+    the scheme-less ``host || path`` (query string and fragment dropped,
+    port and leading www. stripped — the UT1-blocklist/C4 shape), and
+    ``keep`` is False when the registered domain (last two labels, or
+    any parent-domain suffix match) is in ``block_domains``, the TLD is
+    in ``block_tlds``, or the URL has no parseable host.
+
+    Pure map-side JVM SQL over one scan — no shuffle, no UDF; at crawl
+    scale this runs inside the first projection of the pipeline and
+    feeds partition pruning for everything downstream.
+    """
+    host = URL_HOST_SQL.format(u=url_col)
+    path = URL_PATH_SQL.format(u=url_col)
+    out = df.select(
+        id_col,
+        F.expr(host).alias("host"),
+        F.expr(f"{host} || {path}").alias("canon_url"),
+        F.expr(URL_TLD_SQL.format(h=host)).alias("tld"),
+        F.expr(URL_DOMAIN_SQL.format(h=host)).alias("reg_domain"),
+    )
+    keep = (F.col("host") != "")
+    if block_tlds:
+        keep &= ~F.col("tld").isin(*[t.lower() for t in block_tlds])
+    if block_domains:
+        doms = [d.lower() for d in block_domains]
+        keep &= ~F.col("reg_domain").isin(*doms)
+        for d in doms:  # parent-domain suffix match (bounded list)
+            keep &= ~F.col("host").endswith("." + d)
+    return out.select(id_col, "host", "canon_url", "tld",
+                      keep.alias("keep"))

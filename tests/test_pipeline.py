@@ -1200,3 +1200,36 @@ def test_cdc_chunks_boundaries_and_shift_stability(spark):
         h2.setdefault(r["doc_id"], set()).add(r["chunk_md5"])
     common = h2[0] & h2[1]
     assert len(common) >= max(0, len(h2[0]) - 2)  # all but the head chunk(s) survive
+
+
+def test_url_filter_canonicalization(spark):
+    """URL canonicalization: scheme/userinfo/port/www/query/fragment
+    stripped; blocklist matches registered domain, parent-domain
+    suffix, and TLD; hostless rows dropped."""
+    from lucene_solr_spark.pipeline import url_filter
+
+    rows = [
+        (0, "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x#frag"),
+        (1, "http://user:pw@sub.Example.com/path/"),
+        (2, "https://blocked.org/x"),
+        (3, "https://deep.sub.blocked.org/y"),
+        (4, "https://ok.net/keep"),
+        (5, "https://site.spam/landing"),
+        (6, "not a url at all"),
+        (7, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: (r["host"], r["canon_url"], r["tld"], r["keep"])
+        for r in url_filter(
+            df, block_domains=("blocked.org",), block_tlds=("spam",)
+        ).collect()
+    }
+    assert got[0] == ("example.com", "example.com/a/b", "com", True)
+    assert got[1] == ("sub.example.com", "sub.example.com/path", "com", True)
+    assert got[2][3] is False            # registered-domain block
+    assert got[3][3] is False            # parent-domain suffix block
+    assert got[4] == ("ok.net", "ok.net/keep", "net", True)
+    assert got[5][3] is False            # TLD block
+    assert got[6] == ("", "", "", False)  # no parseable host
+    assert got[7] == ("example.com", "example.com", "com", True)
