@@ -42,6 +42,12 @@ def _dv_entries(manifest: dict, field: str) -> list[dict]:
     return list((manifest.get("dv_updates") or {}).get(field, ()))
 
 
+def _check_field(field: str) -> None:
+    # the field names a directory segment under dv_updates/
+    if not field or "/" in field or "\\" in field or field in (".", ".."):
+        raise ValueError(f"invalid docvalues field name {field!r}")
+
+
 def update_docvalues(
     spark: SparkSession,
     index_path: str | Path,
@@ -59,6 +65,7 @@ def update_docvalues(
     value at read).  Data is written before the manifest row, so a crash
     between the two leaves an orphan generation that readers ignore.
     """
+    _check_field(field)
     manifest = read_manifest(index_path)
     if manifest is None:
         raise FileNotFoundError(f"no committed index at {index_path}")
@@ -131,6 +138,7 @@ def compact_docvalues(
     new highest generation, then drop the old rows from the manifest —
     the dv-gen merge Lucene runs at segment merge, so read cost stays
     O(base + 1 gen) no matter how many update batches landed."""
+    _check_field(field)
     manifest = read_manifest(index_path)
     if manifest is None:
         raise FileNotFoundError(f"no committed index at {index_path}")
