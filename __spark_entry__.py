@@ -4886,6 +4886,36 @@ def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: RangeField min/max expressions + query bounds — one shared text per
+#: side so Spark and DuckDB evaluate identical integer arithmetic
+#: (floor() first: l_quantity is a DOUBLE and bare BIGINT casts round
+#: differently across engines).
+RF_MIN = "CAST(floor(l_quantity) AS BIGINT)"
+RF_MAX = "CAST(floor(l_quantity) AS BIGINT) + CAST(l_linenumber AS BIGINT)"
+RF_QLO, RF_QHI = "10", "25"
+
+
+def q_range_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene RangeField (LongRange) queries: per-lineitem ranges
+    [floor(qty), floor(qty)+linenumber] matched against the query range
+    [10, 25] under all four relations (INTERSECTS/WITHIN/CONTAINS/
+    CROSSES) — one map-side scan, four conditional sums."""
+    from lucene_solr_spark.fieldtypes import RANGE_RELATIONS, range_field_sql
+
+    li = _tbl(spark, sf_dir, "lineitem")
+    r = li.select(F.expr(RF_MIN).alias("rmin"), F.expr(RF_MAX).alias("rmax"))
+    agg = r.agg(*[
+        F.sum(F.expr(range_field_sql("rmin", "rmax", RF_QLO, RF_QHI, rel))
+              .cast("long")).alias(f"n_{rel}")
+        for rel in RANGE_RELATIONS
+    ])
+    stack = ", ".join(f"'{rel}', n_{rel}" for rel in RANGE_RELATIONS)
+    return (
+        agg.select(F.expr(f"stack(4, {stack}) AS (relation, n)"))
+        .orderBy("relation")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine BM25 top-10 disjunction over sf0.001 documents via
     the real float32 scoring path (block decode + pruning + top-k)."""
@@ -5136,6 +5166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_spell": q_sharded_spell,
         "iceberg_scan": q_iceberg_scan,
         "facet_query": q_facet_query,
+        "range_field": q_range_field,
     }
 
 
@@ -8889,5 +8920,24 @@ SELECT p_type, CAST(count(*) AS BIGINT) AS count FROM part
 WHERE p_type IS NOT NULL AND p_type LIKE 'S%'
   AND p_type LIKE '%A%'
 GROUP BY p_type ORDER BY count DESC, p_type ASC LIMIT 25""",
+    })
+    from lucene_solr_spark.fieldtypes import RANGE_RELATIONS, range_field_sql
+
+    _rf_sums = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN {range_field_sql('rmin', 'rmax', RF_QLO, RF_QHI, rel)}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_{rel}"
+        for rel in RANGE_RELATIONS
+    )
+    _rf_rows = "\nUNION ALL ".join(
+        f"SELECT '{rel}' AS relation, n_{rel} AS n FROM s"
+        for rel in RANGE_RELATIONS
+    )
+    out.update({
+        "range_field": f"""
+WITH r AS (SELECT {RF_MIN} AS rmin, {RF_MAX} AS rmax FROM lineitem),
+s AS (SELECT
+  {_rf_sums}
+FROM r)
+SELECT relation, n FROM ({_rf_rows}) ORDER BY relation""",
     })
     return out

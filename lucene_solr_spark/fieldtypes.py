@@ -37,6 +37,10 @@ __all__ = [
     "currency_convert_minor",
     "read_external_file",
     "external_file_values",
+    "RANGE_RELATIONS",
+    "range_field_sql",
+    "range_field_query",
+    "range_field_query_nd",
 ]
 
 
@@ -145,3 +149,79 @@ def external_file_values(
     if key_type != "string":
         df = df.select(F.col("key").cast(key_type).alias("key"), "value")
     return df
+
+
+# ---------------------------------------------------------------------------
+# RangeField family (Lucene IntRange/LongRange/FloatRange/DoubleRange)
+# ---------------------------------------------------------------------------
+
+#: spatial-style relations supported by Lucene's RangeField queries
+#: (``[8x] lucene/core/src/java/org/apache/lucene/document/
+#: RangeFieldQuery.java`` — QueryType INTERSECTS/WITHIN/CONTAINS/CROSSES).
+RANGE_RELATIONS = ("contains", "crosses", "intersects", "within")
+
+
+def range_field_sql(min_col: str, max_col: str, qmin: str, qmax: str,
+                    relation: str) -> str:
+    """Predicate SQL text for one dimension of a RangeField query —
+    shared verbatim between the Spark plan and the DuckDB oracle so both
+    engines evaluate the identical expression.
+
+    Relations follow Lucene's ``LongRange.new*Query`` semantics:
+
+    * ``intersects`` — field and query ranges overlap (bounds inclusive);
+    * ``within``     — field range lies entirely inside the query range;
+    * ``contains``   — field range fully contains the query range;
+    * ``crosses``    — "not disjoint and not within" (LongRange
+      ``newCrossesQuery`` javadoc): the ranges overlap but the field is
+      not contained in the query.
+
+    ``qmin``/``qmax`` are SQL literal texts (e.g. ``"10"``) so callers
+    control the literal form on both engines."""
+    intersects = f"({min_col} <= {qmax} AND {max_col} >= {qmin})"
+    within = f"({min_col} >= {qmin} AND {max_col} <= {qmax})"
+    contains = f"({min_col} <= {qmin} AND {max_col} >= {qmax})"
+    if relation == "intersects":
+        return intersects
+    if relation == "within":
+        return within
+    if relation == "contains":
+        return contains
+    if relation == "crosses":
+        return f"({intersects} AND NOT {within})"
+    raise ValueError(f"unknown range relation: {relation!r}")
+
+
+def range_field_query(min_col: str, max_col: str, qmin, qmax,
+                      relation: str = "intersects") -> Column:
+    """Column predicate for a 1-D RangeField query (numeric bounds)."""
+    return F.expr(range_field_sql(min_col, max_col, repr(qmin), repr(qmax), relation))
+
+
+def range_field_query_nd(dims: list[tuple[str, str]],
+                         query: list[tuple[float, float]],
+                         relation: str = "intersects") -> Column:
+    """N-dimensional RangeField query (Lucene supports up to 4 dims):
+    INTERSECTS/WITHIN/CONTAINS hold iff they hold on EVERY dimension;
+    CROSSES = intersects on every dimension AND NOT within overall —
+    the same conjunction RangeFieldQuery evaluates per packed dim.
+
+    Map-side projection over two plain numeric columns per dimension —
+    no exchange, and the per-dim bound comparisons are eligible for
+    parquet min/max skipping when the range columns are stored."""
+    if len(dims) != len(query):
+        raise ValueError("dims and query must have equal length")
+    if not dims:
+        raise ValueError("at least one dimension required")
+
+    def _all(rel: str) -> str:
+        return " AND ".join(
+            range_field_sql(mn, mx, repr(qmn), repr(qmx), rel)
+            for (mn, mx), (qmn, qmx) in zip(dims, query)
+        )
+
+    if relation in ("intersects", "within", "contains"):
+        return F.expr(_all(relation))
+    if relation == "crosses":
+        return F.expr(f"({_all('intersects')}) AND NOT ({_all('within')})")
+    raise ValueError(f"unknown range relation: {relation!r}")

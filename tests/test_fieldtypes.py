@@ -75,3 +75,65 @@ def test_external_file_last_wins(tmp_path, spark):
     got = {r["key"]: r["value"] for r in df.collect()}
     assert got == {1: 7.25, 2: 3.0}
     assert dict(df.dtypes) == {"key": "bigint", "value": "double"}
+
+
+def test_range_field_relations(spark):
+    from lucene_solr_spark.fieldtypes import (RANGE_RELATIONS,
+                                              range_field_query,
+                                              range_field_query_nd)
+
+    # field ranges vs query range [10, 20]
+    rows = [
+        ("disjoint_lo", 1, 5),
+        ("touch_lo", 5, 10),       # intersects at the inclusive bound
+        ("within_exact", 10, 20),  # equal ranges: within AND contains
+        ("within_strict", 12, 15),
+        ("contains_strict", 5, 25),
+        ("cross_lo", 5, 15),
+        ("cross_hi", 15, 25),
+        ("disjoint_hi", 21, 30),
+    ]
+    df = spark.createDataFrame(rows, "name string, rmin long, rmax long")
+
+    def names(rel):
+        got = df.filter(range_field_query("rmin", "rmax", 10, 20, rel))
+        return sorted(r.name for r in got.collect())
+
+    assert names("intersects") == sorted(
+        ["touch_lo", "within_exact", "within_strict", "contains_strict",
+         "cross_lo", "cross_hi"])
+    assert names("within") == sorted(["within_exact", "within_strict"])
+    assert names("contains") == sorted(["within_exact", "contains_strict"])
+    # crosses = not disjoint and not within (LongRange.newCrossesQuery)
+    assert names("crosses") == sorted(
+        ["touch_lo", "contains_strict", "cross_lo", "cross_hi"])
+
+    # partition of the matching space: intersects == within + crosses
+    n_int = df.filter(range_field_query("rmin", "rmax", 10, 20, "intersects")).count()
+    n_wit = df.filter(range_field_query("rmin", "rmax", 10, 20, "within")).count()
+    n_cro = df.filter(range_field_query("rmin", "rmax", 10, 20, "crosses")).count()
+    assert n_int == n_wit + n_cro
+
+    with pytest.raises(ValueError):
+        range_field_query("rmin", "rmax", 1, 2, "overlaps")
+
+    # 2-D: both dims must satisfy the relation
+    rows2 = [
+        ("both_within", 11, 13, 2, 3),
+        ("one_within", 11, 13, 0, 9),   # dim2 contains the query -> crosses
+        ("one_disjoint", 11, 13, 50, 60),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "name string, amin long, amax long, bmin long, bmax long")
+    dims = [("amin", "amax"), ("bmin", "bmax")]
+    q = [(10, 20), (1, 5)]
+    got_w = sorted(r.name for r in df2.filter(
+        range_field_query_nd(dims, q, "within")).collect())
+    assert got_w == ["both_within"]
+    got_c = sorted(r.name for r in df2.filter(
+        range_field_query_nd(dims, q, "crosses")).collect())
+    assert got_c == ["one_within"]
+    for rel in RANGE_RELATIONS:
+        assert not df2.filter(
+            range_field_query_nd(dims, q, rel)).filter(
+            F.col("name") == "one_disjoint").count()
