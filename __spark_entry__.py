@@ -4886,6 +4886,30 @@ def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_delimited_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DelimitedTermFrequencyTokenFilter: ``term|tf`` token texts declare
+    the term frequency directly; index stats (df, cf) derive from the
+    declared tf (cf accumulates it; the trailing plain `source` token
+    shows declared + natural occurrences stacking)."""
+    from lucene_solr_spark.analysis import Chain, delimited_tf_filter
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.expr("concat(source, '|', CAST(1 + doc_id % 4 AS STRING), ' ', lang,"
+               " ' ', source)").alias("t"),
+    )
+    chain = Chain(steps=(delimited_tf_filter(),), pattern="[a-z0-9|]+")
+    iv = build_index_view(synth, id_col="doc_id", text_col="t", analyzer=chain)
+    return (
+        iv.term_dict.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        ).orderBy("term")
+    )
+
+
 #: RangeField min/max expressions + query bounds — one shared text per
 #: side so Spark and DuckDB evaluate identical integer arithmetic
 #: (floor() first: l_quantity is a DOUBLE and bare BIGINT casts round
@@ -5167,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan": q_iceberg_scan,
         "facet_query": q_facet_query,
         "range_field": q_range_field,
+        "delimited_tf": q_delimited_tf,
     }
 
 
@@ -8932,6 +8957,31 @@ GROUP BY p_type ORDER BY count DESC, p_type ASC LIMIT 25""",
         f"SELECT '{rel}' AS relation, n_{rel} AS n FROM s"
         for rel in RANGE_RELATIONS
     )
+    out.update({
+        "delimited_tf": """
+WITH s AS (
+  SELECT doc_id,
+         concat(source, '|', CAST(1 + doc_id % 4 AS VARCHAR), ' ', lang,
+                ' ', source) AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(t), '[a-z0-9|]+')) AS raw
+  FROM s),
+parsed AS (
+  SELECT doc_id,
+         CASE WHEN raw LIKE '%|%'
+              THEN regexp_extract(raw, '^(.*)\|([0-9]+)$', 1) ELSE raw END AS term,
+         CASE WHEN raw LIKE '%|%'
+              THEN CAST(regexp_extract(raw, '^(.*)\|([0-9]+)$', 2) AS BIGINT)
+              ELSE 1 END AS tf
+  FROM tok),
+ex AS (
+  SELECT doc_id, term
+  FROM parsed, unnest(generate_series(1, CAST(tf AS INTEGER))) AS g(i))
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM ex GROUP BY term ORDER BY term""",
+    })
     out.update({
         "range_field": f"""
 WITH r AS (SELECT {RF_MIN} AS rmin, {RF_MAX} AS rmax FROM lineitem),

@@ -85,6 +85,7 @@ __all__ = [
     "truncate_filter",
     "limit_token_count_filter",
     "keyword_repeat_stem_filter",
+    "delimited_tf_filter",
     "chain_spec",
     "chain_from_spec",
 ]
@@ -783,6 +784,37 @@ def minhash_filter(bucket_count: int = 512, hash_set_size: int = 1,
                        with_rotation=with_rotation)
 
 
+def delimited_tf_filter(delimiter: str = "|") -> Expand:
+    """DelimitedTermFrequencyTokenFilter (``[8x] lucene/analysis/common/
+    src/java/org/apache/lucene/analysis/miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java``): token texts of the form
+    ``term|tf`` declare the term's frequency directly (externally
+    computed signals — clicks, sales counts — indexed as frequencies).
+
+    Re-expressed for a counting inverter: the token is emitted ``tf``
+    times STACKED at its source position, which reproduces Lucene's
+    index stats exactly — tf, cf, and the norm length all derive from
+    the declared frequency (FieldInvertState.length accumulates the
+    termFrequency attribute).  Positions carry no meaning under this
+    filter by contract: Lucene rejects it on fields with positions
+    (IndexOptions must be <= DOCS_AND_FREQS), so the same-position
+    stacking is unobservable to legal queries.  The split is at the
+    LAST delimiter occurrence (like DelimitedPayloadTokenFilter);
+    tokens without the delimiter keep tf=1; a non-positive or
+    non-integer suffix raises, mirroring Lucene's
+    NumberFormatException/IllegalArgumentException."""
+
+    def fn(t: str) -> tuple:
+        head, sep_, tail = t.rpartition(delimiter)
+        if not sep_:
+            return (t,)
+        if not tail.isdigit() or int(tail) < 1:
+            raise ValueError(f"invalid term frequency suffix: {t!r}")
+        return (head,) * int(tail)
+
+    return Expand(fn=fn, name="delimited_tf", params=(delimiter,))
+
+
 def common_grams_filter(words: Iterable[str], sep: str = "_") -> CommonGrams:
     """CommonGramsFilterFactory analog: ``words`` is the commonWords set
     (typically the stopword list)."""
@@ -1202,6 +1234,8 @@ def chain_spec(chain: Chain) -> dict | None:
             preserve, cat = step.params
             steps.append({"kind": "word_delimiter", "preserve_original": preserve,
                           "catenate": cat})
+        elif isinstance(step, Expand) and step.name == "delimited_tf":
+            steps.append({"kind": "delimited_tf", "delimiter": step.params[0]})
         elif isinstance(step, Expand) and step.name == "reversed_wildcard":
             steps.append({"kind": "reversed_wildcard"})
         elif isinstance(step, Expand) and step.name == "synonym" and step.params:
@@ -1303,6 +1337,8 @@ def chain_from_spec(spec: dict) -> Chain:
                 word_delimiter_filter(s.get("preserve_original", False),
                                       s.get("catenate", False))
             )
+        elif kind == "delimited_tf":
+            steps.append(delimited_tf_filter(s.get("delimiter", "|")))
         elif kind == "reversed_wildcard":
             steps.append(reversed_wildcard_filter())
         elif kind == "synonym":

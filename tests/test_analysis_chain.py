@@ -631,3 +631,48 @@ def test_keyword_repeat_query_side_matches_index(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+# --- DelimitedTermFrequencyTokenFilter ---------------------------------------
+
+
+def test_delimited_tf_semantics_and_spec():
+    from lucene_solr_spark.analysis import (chain_from_spec, chain_spec,
+                                            delimited_tf_filter)
+
+    chain = Chain(steps=(delimited_tf_filter(),), pattern="[a-z0-9|]+")
+    # declared tf stacks at the source position; plain tokens keep tf=1
+    assert chain.tokens("apple|3 banana apple") == [
+        ("apple", 0), ("apple", 0), ("apple", 0), ("banana", 1), ("apple", 2)]
+    # LAST delimiter wins (DelimitedPayloadTokenFilter convention)
+    assert chain.tokens("a|b|2") == [("a|b", 0), ("a|b", 0)]
+    # Lucene: NumberFormatException / IllegalArgumentException analogs
+    for bad in ("apple|x", "apple|", "apple|0"):
+        with pytest.raises(ValueError):
+            chain.tokens(bad)
+    spec = chain_spec(chain)
+    assert spec["steps"] == [{"kind": "delimited_tf", "delimiter": "|"}]
+    assert chain_from_spec(spec).steps == chain.steps
+
+    # vectorized flat path identical to the reference on delimited input
+    texts = ["apple|3 banana apple", "cherry|2 banana|4", "", "plain only"]
+    terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
+    got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+    want = sorted(
+        (t, r, p) for r, text in enumerate(texts) for t, p in chain.tokens(text))
+    assert got == want
+    # norm length accumulates the DECLARED frequency (FieldInvertState)
+    assert dl.tolist() == [5, 6, 0, 2]
+
+
+def test_delimited_tf_index_stats(spark):
+    from lucene_solr_spark.analysis import delimited_tf_filter
+
+    chain = Chain(steps=(delimited_tf_filter(),), pattern="[a-z0-9|]+")
+    df = spark.createDataFrame(
+        [(0, "apple|3 banana apple"), (1, "apple banana|2")],
+        "doc_id long, text string")
+    iv = build_index_view(df, id_col="doc_id", text_col="text", analyzer=chain)
+    stats = {r.term: (r.df, r.cf) for r in iv.term_dict.collect()}
+    assert stats["apple"] == (2, 5)   # declared 3 + plain 1 + plain 1
+    assert stats["banana"] == (2, 3)  # plain 1 + declared 2
