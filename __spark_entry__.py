@@ -4886,6 +4886,35 @@ def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_collapse_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingQParser max=o_totalprice with nullPolicy=expand: best
+    order per customer bucket (docid tie-break); orders in the NULL
+    bucket each survive as their own group."""
+    from lucene_solr_spark.relational import collapse_field
+
+    o = _tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.expr("NULLIF(o_custkey % 50, 0)").alias("grp"),
+    )
+    picked = collapse_field(
+        o, "grp", [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        null_policy="expand",
+    )
+    return picked.select("grp", "o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+def q_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.ngroups=true: matches + distinct group count reported with
+    a grouped result (one partial-agg pass)."""
+    from lucene_solr_spark.relational import ngroups
+
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("matches"),
+        ngroups(o, "o_custkey").cast("long").alias("ngroups"),
+    )
+
+
 def q_delimited_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DelimitedTermFrequencyTokenFilter: ``term|tf`` token texts declare
     the term frequency directly; index stats (df, cf) derive from the
@@ -5192,6 +5221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_query": q_facet_query,
         "range_field": q_range_field,
         "delimited_tf": q_delimited_tf,
+        "collapse_null": q_collapse_null,
+        "group_ngroups": q_group_ngroups,
     }
 
 
@@ -8957,6 +8988,25 @@ GROUP BY p_type ORDER BY count DESC, p_type ASC LIMIT 25""",
         f"SELECT '{rel}' AS relation, n_{rel} AS n FROM s"
         for rel in RANGE_RELATIONS
     )
+    out.update({
+        "collapse_null": """
+WITH g AS (
+  SELECT o_orderkey, o_totalprice, NULLIF(o_custkey % 50, 0) AS grp
+  FROM orders),
+nn AS (
+  SELECT grp, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM g WHERE grp IS NOT NULL)
+SELECT grp, o_orderkey, o_totalprice FROM nn WHERE rn = 1
+UNION ALL
+SELECT grp, o_orderkey, o_totalprice FROM g WHERE grp IS NULL
+ORDER BY o_orderkey""",
+        "group_ngroups": """
+SELECT CAST(count(*) AS BIGINT) AS matches,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS ngroups
+FROM orders WHERE o_orderstatus = 'O'""",
+    })
     out.update({
         "delimited_tf": """
 WITH s AS (

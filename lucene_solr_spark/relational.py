@@ -35,6 +35,8 @@ __all__ = [
     "stats_component",
     "group_top_k",
     "collapse",
+    "collapse_field",
+    "ngroups",
     "expand_collapsed",
     "significant_terms",
     "timeseries",
@@ -485,6 +487,40 @@ def group_top_k(df: DataFrame, group: str, order_by: list[Column], k: int = 1) -
 def collapse(df: DataFrame, group: str, order_by: list[Column]) -> DataFrame:
     """CollapsingQParser: keep the single best row per group."""
     return group_top_k(df, group, order_by, k=1).drop("group_rank")
+
+
+def collapse_field(df: DataFrame, group: str, order_by: list[Column],
+                   null_policy: str = "ignore") -> DataFrame:
+    """CollapsingQParserPlugin with a head-selection ordering and a
+    nullPolicy (``[8x] solr/core/src/java/org/apache/solr/search/
+    CollapsingQParserPlugin.java``): ``order_by`` expresses Solr's
+    ``max=field`` / ``min=field`` / ``sort=...`` head choice (callers
+    pass e.g. ``[F.desc("price"), F.asc("id")]`` for max=price with a
+    deterministic tie-break — Solr breaks ties by docid).  nullPolicy:
+
+    * ``ignore``   — rows with a NULL group value are dropped (default);
+    * ``expand``   — every NULL-group row survives as its own group;
+    * ``collapse`` — all NULL-group rows form ONE group.
+
+    One hash-partitioned window over the group key — the same shuffle
+    shape at any scale; NULL rows under ``expand`` bypass the exchange
+    entirely (they need no per-group ranking)."""
+    if null_policy == "collapse":
+        # window partitioning puts all NULL keys in one partition-group
+        return collapse(df, group, order_by)
+    nn = collapse(df.filter(F.col(group).isNotNull()), group, order_by)
+    if null_policy == "ignore":
+        return nn
+    if null_policy == "expand":
+        return nn.unionByName(df.filter(F.col(group).isNull()))
+    raise ValueError(f"unknown nullPolicy: {null_policy!r}")
+
+
+def ngroups(df: DataFrame, group: str) -> Column:
+    """group.ngroups: the distinct group count to report alongside
+    grouped results (one partial-agg pass; NULL groups excluded like
+    Solr's grouping, which requires a non-null docvalue)."""
+    return F.countDistinct(F.col(group))
 
 
 def expand_collapsed(df: DataFrame, collapsed: DataFrame, group: str,

@@ -336,3 +336,26 @@ def test_drill_sideways_empty_dims_raises(spark):
     df = spark.createDataFrame([("a",)], "x string")
     with pytest.raises(ValueError, match="at least one dimension"):
         R.drill_sideways(df, {})
+
+
+def test_collapse_field_null_policy(spark):
+    from lucene_solr_spark.relational import collapse_field, ngroups
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 30.0), (3, "a", 30.0),
+        (4, "b", 5.0),
+        (5, None, 7.0), (6, None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, price double")
+    order = [F.desc("price"), F.asc("id")]  # max=price, docid tie-break
+
+    ids = lambda d: sorted(r.id for r in d.collect())
+    assert ids(collapse_field(df, "grp", order)) == [2, 4]
+    assert ids(collapse_field(df, "grp", order, "expand")) == [2, 4, 5, 6]
+    assert ids(collapse_field(df, "grp", order, "collapse")) == [2, 4, 6]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        collapse_field(df, "grp", order, "drop")
+
+    got = df.agg(ngroups(df, "grp").alias("n")).collect()[0].n
+    assert got == 2  # NULL group excluded
