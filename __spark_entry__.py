@@ -4886,6 +4886,30 @@ def q_urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: FunctionScoreQuery expression (Lucene expressions module) — compiled
+#: once into one shared SQL text; algebraic subset only (sqrt, * / +),
+#: so the f64 tree is bit-identical cross-engine.
+EXPR_BOOST_TEXT = "2 * _score + sqrt(n_chars) / 100"
+
+
+def q_expr_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery with a compiled JS-like expression binding
+    ``_score`` (the BM25 term score) and the ``n_chars`` doc value —
+    the engine operator (``function_score_expression``) is
+    identity-tested in tests/test_rerank_blockjoin.py; this entry rides
+    the f64-parity stream so the hash compares exactly."""
+    from lucene_solr_spark.expressions import expression_sql
+
+    etext = expression_sql(EXPR_BOOST_TEXT)
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    base = (
+        sc.join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_score", F.expr("CAST(CAST(score64 AS FLOAT) AS DOUBLE)"))
+    )
+    out = base.select("doc_id", F.expr(f"CAST({etext} AS FLOAT)").alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def q_collapse_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollapsingQParser max=o_totalprice with nullPolicy=expand: best
     order per customer bucket (docid tie-break); orders in the NULL
@@ -5221,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_query": q_facet_query,
         "range_field": q_range_field,
         "delimited_tf": q_delimited_tf,
+        "expr_boost": q_expr_boost,
         "collapse_null": q_collapse_null,
         "group_ngroups": q_group_ngroups,
     }
@@ -8988,6 +9013,17 @@ GROUP BY p_type ORDER BY count DESC, p_type ASC LIMIT 25""",
         f"SELECT '{rel}' AS relation, n_{rel} AS n FROM s"
         for rel in RANGE_RELATIONS
     )
+    from lucene_solr_spark.expressions import expression_sql as _expr_sql
+
+    out.update({
+        "expr_boost": _scored_terms_cte([BM25_TERM]) + f""",
+b AS (
+  SELECT s.doc_id, CAST(CAST(s.score64 AS FLOAT) AS DOUBLE) AS _score,
+         d.n_chars
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT doc_id, CAST({_expr_sql(EXPR_BOOST_TEXT)} AS FLOAT) AS score
+FROM b ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    })
     out.update({
         "collapse_null": """
 WITH g AS (

@@ -22,7 +22,8 @@ from ..index.core import IndexView
 from .executor import _matches, _scores, expand_multiterm, postings_table, search
 from .query import Or, Term, rewrite
 
-__all__ = ["search_after", "sort_by_field", "more_like_this", "mlt_query",
+__all__ = ["function_score_expression",
+           "search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
            "boost_by_value", "block_join_parents", "block_join_children",
            "block_join_facet",
@@ -120,6 +121,36 @@ def boost_by_value(
         "doc_id",
         (F.col("score") * F.col("_fac")).cast("float").alias("score"),
     )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def function_score_expression(
+    index: IndexView,
+    query,
+    expr_text: str,
+    doc_values: DataFrame | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """FunctionScoreQuery over a COMPILED expression (``[8x] lucene/
+    expressions/.../js/JavascriptCompiler.java`` +
+    ``SimpleBindings.add("_score", DoubleValuesSource.SCORES)``): the
+    JS-like expression may reference ``_score`` (the wrapped query's
+    score) and any column of ``doc_values``; the final score is the
+    expression value cast to float32, exactly FunctionScoreQuery's
+    contract.  Docs missing a doc_values row are dropped (missing
+    DoubleValues → no match), mirroring :func:`boost_by_value`.
+
+    The compiled expression is a pure f64 projection (map-only,
+    whole-stage codegen); the only exchange is the doc_id equi-join
+    with the doc-values stream, same shape as boost_by_value."""
+    from ..expressions import compile_expression
+
+    col, _ = compile_expression(expr_text)
+    sc = _scored_stream(index, query).withColumn(
+        "_score", F.col("score").cast("double"))
+    if doc_values is not None:
+        sc = sc.join(doc_values, "doc_id")
+    out = sc.select("doc_id", col.cast("float").alias("score"))
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -221,3 +221,37 @@ def test_feature_field_saturation(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_function_score_expression_matches_oracle(spark, engine, oracle, corpus):
+    from lucene_solr_spark.search.extras import function_score_expression
+
+    q = parse_query("def OR return")
+    dv = spark.createDataFrame(
+        corpus[["doc_id"]].assign(n_chars=corpus["content"].str.len())
+    )
+    sm = oracle._score_map(q)
+    nch = corpus["content"].str.len().to_numpy(dtype=np.float64)
+    # algebraic-subset expression -> bit-identical f64 both sides
+    want = [
+        (d, np.float32(np.float64(np.float64(s) * 2.0)
+                       + np.sqrt(nch[d]) / np.float64(100.0)))
+        for d, s in sm.items()
+    ]
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = _collect(function_score_expression(
+        engine, q, "2 * _score + sqrt(n_chars) / 100", doc_values=dv, k=10))
+    assert got == want[:10]
+
+
+def test_function_score_expression_score_only(engine, oracle):
+    from lucene_solr_spark.search.extras import function_score_expression
+
+    q = parse_query("def")
+    sm = oracle._score_map(q)
+    want = sorted(
+        ((d, np.float32(np.float64(s) * np.float64(s))) for d, s in sm.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    got = _collect(function_score_expression(engine, q, "_score * _score", k=5))
+    assert got == want
