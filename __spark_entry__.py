@@ -4910,6 +4910,73 @@ def q_expr_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def q_elision_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ElisionFilter (FrenchAnalyzer defaults): article+apostrophe
+    prefixes stripped before indexing.  Each doc synthesises an
+    apostrophe-bearing phrase from its lang/source columns (the corpus
+    itself has no elisions); the DuckDB oracle replays the elision RULE
+    itself (regexp on the article set), not the expected output."""
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, elision_filter, length_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("l'"), F.col("lang"), F.lit(" qu'"), F.col("lang"),
+            F.lit(" xyz'"), F.col("lang"), F.lit(" d’"), F.col("source"),
+            F.lit(" "), F.col("lang"), F.lit(" l'"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=ELISION_TOKEN_PATTERN,
+                  steps=(elision_filter(), length_filter(1)))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+#: explicit batch 'now' + probe instant for the DocExpiration entry
+#: (determinism contract: the spec carries the clock, never reads one)
+TTL_NOW = "2024-02-01 00:00:00"
+TTL_PROBE = "2024-02-03 12:00:00"
+
+
+def q_doc_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocExpirationUpdateProcessor: per-doc '+N UNIT' TTL strings
+    stamped into ``_expire_at_`` by the expire_at URP step (regexp
+    parse + epoch arithmetic, one map-only projection), then the
+    reaper's liveness predicate evaluated at a fixed probe instant.
+    The oracle re-derives the stamp numerically in DuckDB."""
+    from lucene_solr_spark.pipeline import apply_urp_chain
+
+    ev = _tbl(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ev = ev.withColumn(
+        "ttl",
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit("+"), (1 + F.col("event_id") % 5).cast("string"),
+                        F.lit("DAYS")))
+         .when(F.col("event_id") % 3 == 1,
+               F.concat(F.lit("+"), (6 + F.col("event_id") % 90).cast("string"),
+                        F.lit("HOURS"))),
+    )
+    stamped = apply_urp_chain(
+        ev, [{"expire_at": {"now": TTL_NOW, "ttl_field": "ttl"}}])
+    return stamped.select(
+        "event_id",
+        F.col("_expire_at_").cast("string").alias("expire_at"),
+        (F.col("_expire_at_").isNull()
+         | (F.col("_expire_at_") > F.lit(TTL_PROBE).cast("timestamp"))
+         ).alias("live"),
+    ).orderBy("event_id")
+
+
 def q_collapse_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollapsingQParser max=o_totalprice with nullPolicy=expand: best
     order per customer bucket (docid tie-break); orders in the NULL
@@ -5246,6 +5313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_field": q_range_field,
         "delimited_tf": q_delimited_tf,
         "expr_boost": q_expr_boost,
+        "elision_dict": q_elision_dict,
+        "doc_expiration": q_doc_expiration,
         "collapse_null": q_collapse_null,
         "group_ngroups": q_group_ngroups,
     }
@@ -9023,6 +9092,40 @@ b AS (
   FROM scored s JOIN documents d USING (doc_id))
 SELECT doc_id, CAST({_expr_sql(EXPR_BOOST_TEXT)} AS FLOAT) AS score
 FROM b ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    })
+    out.update({
+        "elision_dict": """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'l''' || lang || ' qu''' || lang || ' xyz''' || lang ||
+           ' d’' || source || ' ' || lang || ' l''', ' ')) AS tok
+  FROM documents),
+el AS (
+  SELECT doc_id,
+         regexp_replace(tok,
+           '^(c|d|j|l|lorsqu|m|n|puisqu|qu|quoiqu|s|t)[''’]', '') AS term
+  FROM raw)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM el WHERE length(term) >= 1
+GROUP BY term ORDER BY term""",
+        "doc_expiration": f"""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN (1 + event_id % 5) * 86400
+              WHEN event_id % 3 = 1 THEN (6 + event_id % 90) * 3600
+         END AS ttl_s
+  FROM events WHERE event_id < 500),
+s AS (
+  SELECT event_id,
+         TIMESTAMP '{TTL_NOW}' + to_seconds(ttl_s) AS exp_ts
+  FROM e)
+SELECT event_id,
+       CAST(exp_ts AS VARCHAR) AS expire_at,
+       (exp_ts IS NULL OR exp_ts > TIMESTAMP '{TTL_PROBE}') AS live
+FROM s ORDER BY event_id""",
     })
     out.update({
         "collapse_null": """

@@ -66,6 +66,10 @@ __all__ = [
     "soundex",
     "soundex_sql",
     "stem_filter",
+    "stemmer_override_filter",
+    "ELISION_TOKEN_PATTERN",
+    "ELISION_ARTICLES",
+    "elision_filter",
     "ascii_fold_filter",
     "phonetic_filter",
     "double_metaphone_filter",
@@ -119,6 +123,12 @@ URL_EMAIL_TOKEN_PATTERN = (
 #: tokenizer pattern for CJK chains: keep ideograph runs (CJK Unified
 #: block) as single tokens for cjk_bigram_filter, word runs otherwise
 CJK_TOKEN_PATTERN = "(?:[一-鿿]+|[a-z0-9_]+)"
+
+#: tokenizer pattern for Elision chains: apostrophes (ASCII ' and the
+#: typographic U+2019) stay INSIDE tokens so elision_filter sees
+#: "l'avion" as one token — mirrors UAX#29, where an apostrophe between
+#: letters does not break the word (StandardTokenizer's MidNumLet rule)
+ELISION_TOKEN_PATTERN = "[a-z0-9_À-ɏ'’]+"
 
 #: index marker for ReversedWildcardFilter terms (Solr uses U+0001
 #: START_OF_HEADING so reversed forms can never collide with real tokens,
@@ -600,6 +610,58 @@ def stem_filter(protected: "tuple[str, ...] | list[str]" = ()) -> Map:
         "porter_protected",
         params=(prot,),
     )
+
+
+def stemmer_override_filter(mapping: dict[str, str]) -> Map:
+    """The StemmerOverrideFilter → PorterStemFilter pair fused into one
+    step (``[8x] lucene/analysis/common/.../miscellaneous/
+    StemmerOverrideFilter.java``): tokens found in the override
+    dictionary are REPLACED by their mapped form and marked keyword, so
+    the downstream stemmer skips them; every other token porter-stems.
+    Fused like ``keyword_repeat_stem_filter`` because the keyword
+    attribute is cross-step state the declarative chain model does not
+    carry — the override branch simply never reaches the stem branch."""
+    table = {str(k): str(v) for k, v in mapping.items()}
+    params = (tuple(sorted(table.items())),)
+
+    def fn(t: str) -> str:
+        o = table.get(t)
+        return o if o is not None else porter_stem(t)
+
+    return Map(fn, "stemmer_override_porter", params=params)
+
+
+#: Lucene FrenchAnalyzer's DEFAULT_ARTICLES (``[8x] lucene/analysis/
+#: common/src/java/org/apache/lucene/analysis/fr/FrenchAnalyzer.java``)
+ELISION_ARTICLES = ("c", "d", "j", "l", "lorsqu", "m", "n", "puisqu",
+                    "qu", "quoiqu", "s", "t")
+
+
+def elision_filter(articles: "tuple[str, ...] | list[str]" = ELISION_ARTICLES) -> Map:
+    """ElisionFilter (``[8x] lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/util/ElisionFilter.java``): if the prefix before the
+    FIRST apostrophe (ASCII ``'`` or typographic ``’``) is in the
+    article set, strip the prefix and the apostrophe — ``l'avion`` →
+    ``avion``.  Exactly the Java filter's scan: only the first
+    apostrophe is considered, a non-article prefix leaves the token
+    untouched, and an article with nothing after the apostrophe yields
+    the empty term (Lucene emits it too; add a ``length_filter`` after,
+    as Solr French schemas do, to drop it).  Use with
+    ``ELISION_TOKEN_PATTERN`` so the tokenizer keeps apostrophes."""
+    arts = tuple(sorted({str(a).lower() for a in articles}))
+    aset = frozenset(arts)
+
+    def fn(t: str) -> str:
+        i = -1
+        for j, ch in enumerate(t):
+            if ch == "'" or ch == "’":
+                i = j
+                break
+        if i >= 0 and t[:i] in aset:
+            return t[i + 1:]
+        return t
+
+    return Map(fn, "elision", params=(arts,))
 
 
 def truncate_filter(length: int) -> Map:
@@ -1223,6 +1285,11 @@ def chain_spec(chain: Chain) -> dict | None:
         elif isinstance(step, Map) and step.name == "porter_protected":
             steps.append({"kind": "porter_protected",
                           "words": list(step.params[0])})
+        elif isinstance(step, Map) and step.name == "stemmer_override_porter":
+            steps.append({"kind": "stemmer_override_porter",
+                          "mapping": {k: v for k, v in step.params[0]}})
+        elif isinstance(step, Map) and step.name == "elision":
+            steps.append({"kind": "elision", "articles": list(step.params[0])})
         elif isinstance(step, Map) and step.name == "truncate":
             steps.append({"kind": "truncate", "length": step.params[0]})
         elif isinstance(step, Limit):
@@ -1320,6 +1387,10 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(stem_filter())
         elif kind == "porter_protected":
             steps.append(stem_filter(protected=s["words"]))
+        elif kind == "stemmer_override_porter":
+            steps.append(stemmer_override_filter(s["mapping"]))
+        elif kind == "elision":
+            steps.append(elision_filter(s.get("articles", ELISION_ARTICLES)))
         elif kind == "truncate":
             steps.append(truncate_filter(s["length"]))
         elif kind == "limit":

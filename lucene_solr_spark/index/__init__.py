@@ -3,8 +3,8 @@ from .builder import add_indexes, assign_doc_ids, build_index, open_index, read_
 from .check import check_index
 from .docvalues import compact_docvalues, read_docvalues, update_docvalues
 from .deletes import (VersionConflict, apply_changelog, atomic_update, conditional_update,
-                      delete_by_query, delete_docs, read_tombstones,
-                      realtime_get, update_documents)
+                      delete_by_query, delete_docs, delete_expired,
+                      read_tombstones, realtime_get, update_documents)
 from .core import (
     IndexView,
     build_index_view,
@@ -38,6 +38,7 @@ __all__ = [
     "conditional_update",
     "delete_by_query",
     "delete_docs",
+    "delete_expired",
     "read_tombstones",
     "realtime_get",
     "update_documents",

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from .builder import build_index, read_manifest, write_manifest
 
-__all__ = ["delete_docs", "delete_by_query", "update_documents",
+__all__ = ["delete_docs", "delete_by_query", "delete_expired",
+           "update_documents",
            "read_tombstones", "atomic_update", "realtime_get",
            "conditional_update", "VersionConflict"]
 
@@ -78,6 +79,36 @@ def delete_by_query(spark: SparkSession, index_path: str | Path, query) -> int:
     if index.tombstones is not None:  # liveDocs: never re-buffer dead ids
         m = m.join(index.tombstones, "doc_id", "left_anti")
     return delete_docs(spark, index_path, m)
+
+
+def delete_expired(
+    spark: SparkSession,
+    index_path: str | Path,
+    now: str,
+    field: str = "_expire_at_",
+) -> int:
+    """DocExpirationUpdateProcessorFactory's reaper half (``[8x]
+    solr/core/.../update/processor/DocExpirationUpdateProcessorFactory
+    .java`` DeleteExpiredDocsRunnable: ``deleteByQuery {field}:[* TO
+    NOW]``): tombstone every live doc whose expiration stamp is at or
+    before ``now``.  The stamp is a stored field (written at ingest by
+    the ``expire_at`` URP step), so this is one pruned parquet scan —
+    the predicate reaches the docs.parquet row-group stats — plus the
+    usual tombstone append; no posting decode.  Returns the number of
+    newly-buffered deletes."""
+    index_path = Path(index_path)
+    docs = spark.read.parquet(str(index_path / "docs.parquet"))
+    if field not in docs.columns:
+        raise ValueError(f"index stores no {field!r} column; "
+                         "was the expire_at URP step in the ingest chain?")
+    expired = docs.filter(
+        F.col(field).isNotNull()
+        & (F.col(field) <= F.lit(now).cast("timestamp"))
+    ).select("doc_id")
+    dead = read_tombstones(spark, index_path)
+    if dead is not None:  # liveDocs: never re-buffer dead ids
+        expired = expired.join(dead, "doc_id", "left_anti")
+    return delete_docs(spark, index_path, expired)
 
 
 def update_documents(

@@ -31,6 +31,10 @@ Supported processors (spec key → Solr factory):
 * ``timestamp``      → TimestampUpdateProcessorFactory.  Solr stamps
   NOW(); a distributed re-runnable ingest must not, so the spec
   carries the explicit batch timestamp.
+* ``expire_at``      → DocExpirationUpdateProcessorFactory's ingest
+  half: stamp ``_expire_at_`` = now + TTL (config default via ``ttl``
+  full date math, or per-doc ``ttl_field`` '+N UNIT' strings).  The
+  reaper half is :func:`lucene_solr_spark.index.deletes.delete_expired`.
 
 Every processor is expressible in both Spark SQL and DuckDB SQL with
 identical semantics (md5 hex, regexp_replace with RE2-safe patterns,
@@ -155,6 +159,53 @@ def _apply_timestamp(df: DataFrame, p: dict) -> DataFrame:
         p["dest"], F.lit(p["value"]).cast("timestamp"))
 
 
+#: fixed-duration date-math units a PER-DOC ttl string may use (month /
+#: year offsets are calendar-dependent and stay config-only via "ttl")
+_TTL_SECONDS = {"SECOND": 1, "SECONDS": 1, "MINUTE": 60, "MINUTES": 60,
+                "HOUR": 3600, "HOURS": 3600, "DAY": 86400, "DAYS": 86400}
+
+
+def _validate_expire_at(name: str, p: dict) -> None:
+    _str_params(name, p, ("now",), ("dest", "ttl", "ttl_field"))
+    if ("ttl" in p) == ("ttl_field" in p):
+        raise ValueError(
+            "urp step 'expire_at' needs exactly one of 'ttl' (config "
+            "date math) or 'ttl_field' (per-doc '+N UNIT' strings)")
+    if "ttl" in p:
+        from ..functions import parse_date_math
+        parse_date_math(p["ttl"])
+
+
+def _apply_expire_at(df: DataFrame, p: dict) -> DataFrame:
+    # DocExpirationUpdateProcessorFactory ([8x] solr/core/.../update/
+    # processor/DocExpirationUpdateProcessorFactory.java): stamp
+    # dest = NOW + TTL at ingest.  Solr reads NOW() off the clock; a
+    # re-runnable distributed ingest must not, so the spec carries the
+    # explicit batch 'now' (same determinism contract as "timestamp").
+    # 'ttl' is the factory's defaultTTL (full date-math grammar, one
+    # shared plan for all rows); 'ttl_field' is the per-doc _ttl_
+    # field: '+N UNIT' strings with fixed-duration units, compiled to
+    # epoch-seconds arithmetic — still one map-only JVM projection.
+    # Docs with a NULL/unparseable per-doc ttl get NULL dest (no
+    # expiration), matching Solr docs that carry no _ttl_.
+    from ..functions import date_math
+
+    dest = p.get("dest", "_expire_at_")
+    now = F.lit(p["now"]).cast("timestamp")
+    if "ttl" in p:
+        return df.withColumn(dest, date_math(now, p["ttl"]))
+    ttl = F.col(p["ttl_field"])
+    # try_cast: regexp_extract yields "" on no-match, and ANSI mode
+    # makes a plain cast of "" throw instead of returning NULL
+    n = F.regexp_extract(ttl, r"^\+(\d+)([A-Z]+)$", 1).try_cast("long")
+    unit = F.regexp_extract(ttl, r"^\+(\d+)([A-Z]+)$", 2)
+    per_sec = F.create_map(
+        *[F.lit(x) for kv in _TTL_SECONDS.items() for x in kv])[unit]
+    return df.withColumn(
+        dest,
+        F.timestamp_seconds(F.unix_timestamp(now) + n * per_sec))
+
+
 URP_PROCESSORS = {
     "clone": (
         lambda n, p: _str_params(n, p, ("src", "dest")), _apply_clone),
@@ -181,6 +232,7 @@ URP_PROCESSORS = {
         lambda n, p: _str_params(n, p, ("dest", "fields")), _apply_uuid),
     "timestamp": (
         lambda n, p: _str_params(n, p, ("dest", "value")), _apply_timestamp),
+    "expire_at": (_validate_expire_at, _apply_expire_at),
 }
 
 

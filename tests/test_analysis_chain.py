@@ -676,3 +676,99 @@ def test_delimited_tf_index_stats(spark):
     stats = {r.term: (r.df, r.cf) for r in iv.term_dict.collect()}
     assert stats["apple"] == (2, 5)   # declared 3 + plain 1 + plain 1
     assert stats["banana"] == (2, 3)  # plain 1 + declared 2
+
+
+def test_elision_semantics():
+    from lucene_solr_spark.analysis import elision_filter
+
+    f = elision_filter().fn
+    # FrenchAnalyzer default articles ([8x] lucene/analysis/common/.../
+    # fr/FrenchAnalyzer.java); both ASCII ' and typographic U+2019
+    assert f("l'avion") == "avion"
+    assert f("qu'il") == "il"
+    assert f("d’artagnan") == "artagnan"
+    assert f("lorsqu'on") == "on"
+    # non-article prefix: untouched, including the apostrophe
+    assert f("xyz'abc") == "xyz'abc"
+    # leading apostrophe: empty prefix is not an article
+    assert f("'avion") == "'avion"
+    # only the FIRST apostrophe is considered (Java filter's scan)
+    assert f("l'aujourd'hui") == "aujourd'hui"
+    # article with nothing after: Lucene emits the empty term
+    assert f("l'") == ""
+    assert f("avion") == "avion"
+    # custom article set
+    g = elision_filter(["x"]).fn
+    assert g("x'ray") == "ray"
+    assert g("l'avion") == "l'avion"
+
+
+def test_elision_chain_flat_and_spec(spark):
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, chain_from_spec, chain_spec,
+        elision_filter, length_filter,
+    )
+
+    chain = Chain(pattern=ELISION_TOKEN_PATTERN,
+                  steps=(elision_filter(), length_filter(1)))
+    toks = [t for t, _ in chain.tokens("L'avion d'essai et m’appeler l'")]
+    # "l'" elides to the empty term; length_filter(1) drops it like the
+    # Solr French schema's chain does
+    assert toks == ["avion", "essai", "et", "appeler"]
+    assert chain_from_spec(chain_spec(chain)) == chain
+    # vectorized path == reference path on the same text
+    import numpy as np
+    import pandas as pd
+    tokenized = chain.tokenize(pd.Series(["l'avion d'essai", "qu'il xyz'abc"]))
+    terms = np.concatenate([np.asarray(t, dtype=object) for t in tokenized])
+    row_idx = np.repeat(np.arange(2), [len(t) for t in tokenized])
+    pos = np.concatenate([np.arange(len(t)) for t in tokenized])
+    ft, fr, fp, _ = chain.flat(terms, row_idx, pos, 2)
+    want = [chain.tokens("l'avion d'essai"), chain.tokens("qu'il xyz'abc")]
+    got = [[(t, p) for t, r, p in zip(ft, fr, fp) if r == i] for i in (0, 1)]
+    assert got == want
+
+
+def test_stemmer_override_semantics():
+    from lucene_solr_spark.analysis import (
+        Chain, chain_from_spec, chain_spec, stemmer_override_filter,
+    )
+
+    so = stemmer_override_filter({"mice": "mouse", "running": "running"})
+    assert so.fn("mice") == "mouse"        # override replaces the term
+    assert so.fn("running") == "running"   # keyword-marked: stemmer skipped
+    assert so.fn("jumping") == "jump"      # everything else porter-stems
+    chain = Chain(steps=(so,))
+    assert chain_from_spec(chain_spec(chain)) == chain
+    rebuilt = chain_from_spec(chain_spec(chain)).steps[0]
+    assert rebuilt.fn("mice") == "mouse" and rebuilt.fn("jumping") == "jump"
+
+
+def test_stemmer_override_query_side(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.analysis import Chain, stemmer_override_filter
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search import analyze_query, parse_query, search
+
+    # a real override dict pins the whole lemma family: 'mouse' maps to
+    # itself (keyword-marked) so 'mice' and 'mouse' meet at one term
+    chain = Chain(steps=(stemmer_override_filter(
+        {"mice": "mouse", "mouse": "mouse", "running": "running"}),))
+    rows = [(0, "mice in the house"), (1, "a mouse ran"), (2, "running fast")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index_view(df, id_col="doc_id", text_col="content",
+                           analyzer=chain, cache=False)
+    try:
+        # query 'mice' analyzes to 'mouse' -> matches BOTH docs
+        q = analyze_query(parse_query("mice"), chain)
+        got = sorted(int(r["doc_id"]) for r in search(idx, q, k=10).collect())
+        assert got == [0, 1]
+        # 'runs' porter-stems to 'run' but the override indexed 'running'
+        # verbatim, so it does NOT match (keyword attribute semantics)
+        q2 = analyze_query(parse_query("runs"), chain)
+        assert search(idx, q2, k=10).count() == 0
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()

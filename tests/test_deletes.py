@@ -444,3 +444,47 @@ def test_apply_changelog_latest_wins(spark, built):
         apply_changelog(spark, built, spark.createDataFrame(
             [("X", 1, "r", "p", None, None, None)], schema),
             key_cols=["repo", "path"])
+
+
+def test_delete_expired_reaper(spark, tmp_path):
+    """DocExpiration lifecycle: expire_at URP stamps at ingest, the
+    reaper tombstones only docs at-or-before 'now', NULL-stamped docs
+    never expire, and a second reap at the same instant is a no-op."""
+    from lucene_solr_spark.index import delete_expired
+    from lucene_solr_spark.pipeline import apply_urp_chain
+
+    path = tmp_path / "ttlidx"
+    corpus = gen_corpus_df(spark, 60, seed=23)
+    # per-doc ttl: a third +1DAYS, a third +10DAYS, a third no ttl
+    corpus = corpus.withColumn(
+        "ttl",
+        F.when(F.crc32(F.col("path")) % 3 == 0, F.lit("+1DAYS"))
+         .when(F.crc32(F.col("path")) % 3 == 1, F.lit("+10DAYS")),
+    )
+    stamped = apply_urp_chain(
+        corpus,
+        [{"expire_at": {"now": "2024-06-01 00:00:00", "ttl_field": "ttl"}}],
+    )
+    build_index(spark, stamped, path, segment_docs=40)
+
+    docs = spark.read.parquet(str(path / "docs.parquet"))
+    short = docs.filter(F.col("_expire_at_") == "2024-06-02 00:00:00")
+    n_short = short.count()
+    assert n_short > 0
+
+    # probe before anything expires: no-op
+    assert delete_expired(spark, path, "2024-06-01 12:00:00") == 0
+    # reap at +2 days: exactly the +1DAYS cohort goes
+    assert delete_expired(spark, path, "2024-06-03 00:00:00") == n_short
+    idx = open_index(spark, path)
+    alive = {int(r["doc_id"]) for r in
+             search(idx, parse_query("def OR return OR import"), k=60).collect()}
+    dead = {int(r["doc_id"]) for r in short.select("doc_id").collect()}
+    assert not (alive & dead)
+    # idempotent: same instant again buffers nothing new
+    assert delete_expired(spark, path, "2024-06-03 00:00:00") == 0
+    # index without the stamp column: clear error
+    path2 = tmp_path / "nostamp"
+    build_index(spark, gen_corpus_df(spark, 20, seed=5), path2, segment_docs=20)
+    with pytest.raises(ValueError, match="_expire_at_"):
+        delete_expired(spark, path2, "2024-06-03 00:00:00")

@@ -103,3 +103,40 @@ def test_chain_is_one_maponly_projection(spark, raw):
     ]
     plan = apply_urp_chain(raw, chain)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles: ingest stays map-side
+
+
+def test_expire_at_config_ttl(spark, raw):
+    # defaultTTL path: full date-math grammar, one plan for all rows
+    chain = [{"expire_at": {"now": "2024-01-10 07:30:00",
+                            "ttl": "+3DAYS/DAY"}}]
+    got = apply_urp_chain(raw, chain).select("_expire_at_").distinct().collect()
+    assert [str(r[0]) for r in got] == ["2024-01-13 00:00:00"]
+
+
+def test_expire_at_per_doc_ttl(spark):
+    rows = [(1, "+2DAYS"), (2, "+36HOURS"), (3, None), (4, "soon"), (5, "+90MINUTES")]
+    df = spark.createDataFrame(rows, "id long, ttl string")
+    chain = [{"expire_at": {"now": "2024-01-10 00:00:00",
+                            "ttl_field": "ttl", "dest": "exp"}}]
+    got = {r["id"]: (str(r["exp"]) if r["exp"] is not None else None)
+           for r in apply_urp_chain(df, chain).collect()}
+    assert got[1] == "2024-01-12 00:00:00"
+    assert got[2] == "2024-01-11 12:00:00"
+    assert got[3] is None          # no _ttl_ -> never expires (Solr)
+    assert got[4] is None          # unparseable ttl -> no expiration
+    assert got[5] == "2024-01-10 01:30:00"
+
+
+def test_expire_at_validation():
+    import pytest as _pytest
+
+    # exactly one of ttl / ttl_field
+    for bad in (
+        {"expire_at": {"now": "2024-01-01 00:00:00"}},
+        {"expire_at": {"now": "2024-01-01 00:00:00",
+                       "ttl": "+1DAYS", "ttl_field": "t"}},
+        {"expire_at": {"now": "2024-01-01 00:00:00", "ttl": "banana"}},
+        {"expire_at": {"ttl": "+1DAYS"}},  # now is required
+    ):
+        with _pytest.raises(ValueError):
+            validate_urp_chain([bad])
