@@ -4910,6 +4910,55 @@ def q_expr_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+#: CoreParser XML query document for the xml_query entry — parsed by
+#: search.xmlparser into Bool(must=[hash], should=[spark],
+#: must_not=[table]) and executed on the shared index
+XML_QUERY_TEXT = """
+<BooleanQuery>
+  <Clause occurs="must"><TermQuery>hash</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery>spark</TermQuery></Clause>
+  <Clause occurs="mustNot"><TermQuery>table</TermQuery></Clause>
+</BooleanQuery>"""
+
+
+def q_xml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene XML query parser (CoreParser): the saved XML document
+    parses into a Bool tree whose structure drives the plan —
+    ReqOptSumScorer composition (must + optional should, f32 cast at
+    each node, must_not anti-join) over the f64-parity BM25 stream so
+    the DuckDB oracle replays it bit-for-bit.  The parser's identity
+    against the engine's own search() is pinned in
+    tests/test_xmlparser.py (MiniLucene oracle)."""
+    from lucene_solr_spark.search import Bool, parse_xml_query
+
+    q = parse_xml_query(XML_QUERY_TEXT)
+    assert isinstance(q, Bool)
+    must_t = q.must[0].term
+    should_t = q.should[0].term
+    not_t = q.must_not[0].term
+
+    index = _index_for(spark, sf_dir)
+    leaf = _bm25_scores(spark, sf_dir, [must_t, should_t]).select(
+        "term", "doc_id",
+        F.expr("CAST(CAST(score64 AS FLOAT) AS DOUBLE)").alias("s32"),
+    )
+    m = leaf.filter(F.col("term") == must_t).select(
+        "doc_id", F.col("s32").alias("ms"))
+    s = leaf.filter(F.col("term") == should_t).select(
+        "doc_id", F.col("s32").alias("ss"))
+    neg = postings_table(index, [not_t]).select("doc_id").distinct()
+    out = (
+        m.join(s, "doc_id", "left")
+        .join(neg, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.expr("CAST(ms + COALESCE(ss, CAST(0.0 AS DOUBLE)) AS FLOAT)"
+                   ).alias("score"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+
 def q_elision_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ElisionFilter (FrenchAnalyzer defaults): article+apostrophe
     prefixes stripped before indexing.  Each doc synthesises an
@@ -5313,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_field": q_range_field,
         "delimited_tf": q_delimited_tf,
         "expr_boost": q_expr_boost,
+        "xml_query": q_xml_query,
         "elision_dict": q_elision_dict,
         "doc_expiration": q_doc_expiration,
         "collapse_null": q_collapse_null,
@@ -9092,6 +9142,18 @@ b AS (
   FROM scored s JOIN documents d USING (doc_id))
 SELECT doc_id, CAST({_expr_sql(EXPR_BOOST_TEXT)} AS FLOAT) AS score
 FROM b ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    })
+    out.update({
+        "xml_query": _scored_terms_cte(["hash", "spark"]) + """,
+leaf AS (SELECT term, doc_id,
+                CAST(CAST(score64 AS FLOAT) AS DOUBLE) AS s32 FROM scored),
+m AS (SELECT doc_id, s32 AS ms FROM leaf WHERE term = 'hash'),
+s AS (SELECT doc_id, s32 AS ss FROM leaf WHERE term = 'spark')
+SELECT m.doc_id,
+       CAST(m.ms + COALESCE(s.ss, CAST(0.0 AS DOUBLE)) AS FLOAT) AS score
+FROM m LEFT JOIN s USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+ORDER BY score DESC, doc_id ASC LIMIT 15""",
     })
     out.update({
         "elision_dict": """

@@ -53,6 +53,7 @@ from .payloads import (
     strip_payloads,
 )
 from .cache import FilterCache, filtered_search
+from .xmlparser import parse_xml_query
 from .spans import (
     SpanContaining,
     SpanFieldMask,
@@ -71,7 +72,8 @@ __all__ = [
     "And", "Bool", "Boost", "ConstantScore", "DisMax", "Fuzzy", "MatchAll",
     "MultiPhrase", "Or", "Phrase", "Prefix", "Regexp", "Term", "TermInSet",
     "TermRange", "Wildcard",
-    "analyze_query", "edismax_query", "parse_query", "rewrite", "search", "count_hits", "expand_multiterm",
+    "analyze_query", "edismax_query", "parse_query", "parse_xml_query",
+    "rewrite", "search", "count_hits", "expand_multiterm",
     "positions_table", "postings_table",
     "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanPositionRange",
     "SpanNot", "SpanContaining", "SpanWithin", "SpanFieldMask",

@@ -1,0 +1,207 @@
+"""Lucene XML query parser — the CoreParser analog.
+
+``[8x] lucene/queryparser/src/java/org/apache/lucene/queryparser/xml/
+CoreParser.java`` registers one builder per element name (the classes
+under ``.../xml/builders/``); an XML document describing the query tree
+parses into the corresponding ``Query`` tree.  This module maps the same
+element vocabulary onto the engine's AST (``search.query`` nodes and
+``search.spans`` span nodes), so saved XML queries run unchanged:
+
+========================  =============================================
+element                   builds (Lucene builder → engine node)
+========================  =============================================
+``TermQuery``             TermQueryBuilder → ``Term``
+``TermsQuery``            TermsQueryBuilder → ``Or`` of terms (SHOULD)
+``BooleanQuery``          BooleanQueryBuilder → ``Bool`` (``Clause``
+                          children with ``occurs`` must/should/mustNot/
+                          filter; ``minimumNumberShouldMatch`` attr)
+``DisjunctionMaxQuery``   DisjunctionMaxQueryBuilder → ``DisMax``
+                          (``tieBreaker`` attr)
+``ConstantScoreQuery``    ConstantScoreQueryBuilder → ``ConstantScore``
+``MatchAllDocsQuery``     MatchAllDocsQueryBuilder → ``MatchAll``
+``RangeQuery``            RangeQueryBuilder → ``TermRange``
+                          (``lowerTerm``/``upperTerm``/``includeLower``/
+                          ``includeUpper`` attrs; a missing bound is
+                          open, like a null term in the Java builder)
+``UserQuery``             UserInputQueryBuilder → ``parse_query`` on the
+                          element text (the classic parser hook)
+``SpanTerm``              SpanTermBuilder → ``SpanTerm``
+``SpanOrTerms``           SpanOrTermsBuilder → ``SpanOr`` of terms from
+                          the whitespace-split element text
+``SpanOr``                SpanOrBuilder → ``SpanOr``
+``SpanNear``              SpanNearBuilder → ``SpanNear`` (``slop``
+                          required, ``inOrder`` attr)
+``SpanNot``               SpanNotBuilder → ``SpanNot`` (``Include`` /
+                          ``Exclude`` wrapper children)
+``SpanFirst``             SpanFirstBuilder → ``SpanFirst`` (``end`` attr)
+========================  =============================================
+
+A ``boost`` attribute on any element multiplies the node's weight —
+CoreParser's uniform BoostQuery wrap; span nodes fold it via
+``with_boost`` (the executor scores only the top span node's boost,
+matching SpanWeight).
+
+``fieldName`` attributes: a single-field index ignores them (the
+engine's default); pass ``qualify_fields=True`` against a multi-field
+index to emit the ``"field:term"`` qualified encoding instead — the
+same contract as :func:`lucene_solr_spark.search.query.qualify_query`.
+
+Parsing uses the stdlib ``xml.etree.ElementTree`` with entity-free
+defaults (no DTD processing), matching CoreParser's plain DOM load.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from .query import (
+    Bool, Boost, ConstantScore, DisMax, MatchAll, Or, Term, TermRange,
+    parse_query,
+)
+from .spans import SpanFirst, SpanNear, SpanNot, SpanOr, SpanTerm
+
+__all__ = ["parse_xml_query"]
+
+
+def _bool_attr(el: ET.Element, name: str, default: bool) -> bool:
+    v = el.get(name)
+    if v is None:
+        return default
+    if v.lower() not in ("true", "false"):
+        raise ValueError(f"<{el.tag}> {name}={v!r}: expected true/false")
+    return v.lower() == "true"
+
+
+def _text(el: ET.Element) -> str:
+    t = (el.text or "").strip()
+    if not t:
+        raise ValueError(f"<{el.tag}> requires element text")
+    return t
+
+
+def _term_text(el: ET.Element, qualify: bool) -> str:
+    t = _text(el)
+    f = el.get("fieldName")
+    return f"{f}:{t}" if (qualify and f) else t
+
+
+def _children(el: ET.Element) -> list[ET.Element]:
+    return list(el)
+
+
+def parse_xml_query(xml: str, qualify_fields: bool = False):
+    """Parse a CoreParser XML query document into an engine query node.
+
+    Raises ``ValueError`` on unknown elements, malformed structure, or
+    bad attribute values (CoreParser throws ParserException)."""
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed query XML: {e}") from e
+    return _build(root, qualify_fields)
+
+
+def _build(el: ET.Element, qualify: bool):
+    q = _build_unboosted(el, qualify)
+    b = el.get("boost")
+    if b is None:
+        return q
+    boost = float(b)
+    if isinstance(q, (SpanTerm, SpanNear, SpanNot, SpanOr, SpanFirst)):
+        return q.with_boost(boost)
+    return Boost(q, boost)
+
+
+def _build_span(el: ET.Element, qualify: bool):
+    q = _build(el, qualify)
+    if not isinstance(q, (SpanTerm, SpanNear, SpanNot, SpanOr, SpanFirst)):
+        raise ValueError(f"<{el.tag}> is not a span query element")
+    return q
+
+
+def _build_unboosted(el: ET.Element, qualify: bool):
+    tag = el.tag
+    if tag == "TermQuery":
+        return Term(_term_text(el, qualify))
+    if tag == "TermsQuery":
+        f = el.get("fieldName")
+        pre = f"{f}:" if (qualify and f) else ""
+        terms = [Term(pre + t) for t in _text(el).split()]
+        return Or(*terms) if len(terms) > 1 else terms[0]
+    if tag == "BooleanQuery":
+        must, should, must_not, filt = [], [], [], []
+        dest = {"must": must, "should": should, "mustNot": must_not,
+                "filter": filt}
+        for clause in _children(el):
+            if clause.tag != "Clause":
+                raise ValueError(
+                    f"<BooleanQuery> children must be <Clause>, got <{clause.tag}>")
+            occurs = clause.get("occurs", "should")
+            if occurs not in dest:
+                raise ValueError(f"<Clause> occurs={occurs!r}: expected "
+                                 "must/should/mustNot/filter")
+            kids = _children(clause)
+            if len(kids) != 1:
+                raise ValueError("<Clause> must hold exactly one query element")
+            dest[occurs].append(_build(kids[0], qualify))
+        msm = int(el.get("minimumNumberShouldMatch", "0"))
+        return Bool(must=must, should=should, must_not=must_not,
+                    filter=filt, min_should_match=msm)
+    if tag == "DisjunctionMaxQuery":
+        kids = [_build(k, qualify) for k in _children(el)]
+        if not kids:
+            raise ValueError("<DisjunctionMaxQuery> needs at least one child")
+        return DisMax(*kids, tie_breaker=float(el.get("tieBreaker", "0.0")))
+    if tag == "ConstantScoreQuery":
+        kids = _children(el)
+        if len(kids) != 1:
+            raise ValueError("<ConstantScoreQuery> must hold exactly one child")
+        return ConstantScore(_build(kids[0], qualify))
+    if tag == "MatchAllDocsQuery":
+        return MatchAll()
+    if tag == "RangeQuery":
+        lower, upper = el.get("lowerTerm"), el.get("upperTerm")
+        f = el.get("fieldName")
+        if qualify and f:
+            lower = f"{f}:{lower}" if lower is not None else None
+            upper = f"{f}:{upper}" if upper is not None else None
+        return TermRange(
+            lower, upper,
+            include_lower=_bool_attr(el, "includeLower", True),
+            include_upper=_bool_attr(el, "includeUpper", True),
+        )
+    if tag == "UserQuery":
+        return parse_query(_text(el))
+    if tag == "SpanTerm":
+        return SpanTerm(_term_text(el, qualify))
+    if tag == "SpanOrTerms":
+        f = el.get("fieldName")
+        pre = f"{f}:" if (qualify and f) else ""
+        return SpanOr(*[SpanTerm(pre + t) for t in _text(el).split()])
+    if tag == "SpanOr":
+        return SpanOr(*[_build_span(k, qualify) for k in _children(el)])
+    if tag == "SpanNear":
+        slop = el.get("slop")
+        if slop is None:
+            raise ValueError("<SpanNear> requires a slop attribute")
+        return SpanNear(
+            *[_build_span(k, qualify) for k in _children(el)],
+            slop=int(slop),
+            in_order=_bool_attr(el, "inOrder", True),
+        )
+    if tag == "SpanNot":
+        inc = [k for k in _children(el) if k.tag == "Include"]
+        exc = [k for k in _children(el) if k.tag == "Exclude"]
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError("<SpanNot> needs one <Include> and one <Exclude>")
+        (ik,), (ek,) = _children(inc[0]), _children(exc[0])
+        return SpanNot(_build_span(ik, qualify), _build_span(ek, qualify))
+    if tag == "SpanFirst":
+        end = el.get("end")
+        if end is None:
+            raise ValueError("<SpanFirst> requires an end attribute")
+        kids = _children(el)
+        if len(kids) != 1:
+            raise ValueError("<SpanFirst> must hold exactly one span child")
+        return SpanFirst(_build_span(kids[0], qualify), int(end))
+    raise ValueError(f"unknown query element <{tag}>")

@@ -1,0 +1,170 @@
+"""Lucene XML query parser (CoreParser): element vocabulary → engine AST,
+attribute handling, error cases, and search identity with the classic
+parser on the same logical query.
+
+Mirrors [8x] lucene/queryparser/src/java/org/apache/lucene/queryparser/
+xml/CoreParser.java and its builders/ package (the upstream
+TestCoreParser exercises the same element set from .xml fixture files).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import (
+    Bool, Boost, ConstantScore, DisMax, MatchAll, Or, SpanFirst, SpanNear,
+    SpanNot, SpanOr, SpanTerm, Term, TermRange, parse_query, parse_xml_query,
+    search,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(120, seed=31).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(120, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    idx = build_index_view(
+        spark.createDataFrame(corpus[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content",
+    )
+    yield idx
+    idx.postings.unpersist(); idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def test_term_terms_and_boost():
+    assert parse_xml_query("<TermQuery>def</TermQuery>") == Term("def")
+    assert parse_xml_query('<TermQuery boost="2.5">def</TermQuery>') == \
+        Boost(Term("def"), 2.5)
+    assert parse_xml_query("<TermsQuery>def class</TermsQuery>") == \
+        Or(Term("def"), Term("class"))
+    # single term: TermsQueryBuilder still yields a usable query
+    assert parse_xml_query("<TermsQuery>def</TermsQuery>") == Term("def")
+
+
+def test_boolean_query_clauses():
+    xml = """
+    <BooleanQuery minimumNumberShouldMatch="1">
+      <Clause occurs="must"><TermQuery>def</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>return</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>class</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>lambda</TermQuery></Clause>
+      <Clause occurs="filter"><TermQuery>import</TermQuery></Clause>
+    </BooleanQuery>"""
+    got = parse_xml_query(xml)
+    assert got == Bool(
+        must=[Term("def")],
+        should=[Term("return"), Term("class")],
+        must_not=[Term("lambda")],
+        filter=[Term("import")],
+        min_should_match=1,
+    )
+
+
+def test_dismax_constantscore_matchall_range_userquery():
+    xml = """
+    <DisjunctionMaxQuery tieBreaker="0.3">
+      <TermQuery>def</TermQuery>
+      <ConstantScoreQuery><TermQuery>class</TermQuery></ConstantScoreQuery>
+    </DisjunctionMaxQuery>"""
+    assert parse_xml_query(xml) == DisMax(
+        Term("def"), ConstantScore(Term("class")), tie_breaker=0.3)
+    assert parse_xml_query("<MatchAllDocsQuery/>") == MatchAll()
+    assert parse_xml_query(
+        '<RangeQuery lowerTerm="abc" upperTerm="abq" includeUpper="false"/>'
+    ) == TermRange("abc", "abq", include_lower=True, include_upper=False)
+    # open bounds: missing attr = null term in the Java builder
+    assert parse_xml_query('<RangeQuery lowerTerm="m"/>') == \
+        TermRange("m", None)
+    assert parse_xml_query(
+        "<UserQuery>def AND (return OR class)</UserQuery>"
+    ) == parse_query("def AND (return OR class)")
+
+
+def test_span_elements():
+    xml = """
+    <SpanNear slop="2" inOrder="false">
+      <SpanTerm>def</SpanTerm>
+      <SpanOr>
+        <SpanTerm>return</SpanTerm>
+        <SpanTerm>class</SpanTerm>
+      </SpanOr>
+    </SpanNear>"""
+    assert parse_xml_query(xml) == SpanNear(
+        SpanTerm("def"), SpanOr(SpanTerm("return"), SpanTerm("class")),
+        slop=2, in_order=False)
+    assert parse_xml_query("<SpanOrTerms>def class</SpanOrTerms>") == \
+        SpanOr(SpanTerm("def"), SpanTerm("class"))
+    xml_not = """
+    <SpanNot>
+      <Include><SpanTerm>def</SpanTerm></Include>
+      <Exclude><SpanTerm>class</SpanTerm></Exclude>
+    </SpanNot>"""
+    assert parse_xml_query(xml_not) == SpanNot(SpanTerm("def"),
+                                               SpanTerm("class"))
+    assert parse_xml_query(
+        '<SpanFirst end="5"><SpanTerm>def</SpanTerm></SpanFirst>'
+    ) == SpanFirst(SpanTerm("def"), 5)
+    # span boost folds into the node (SpanWeight scores the top boost)
+    assert parse_xml_query('<SpanTerm boost="2">def</SpanTerm>') == \
+        SpanTerm("def", 2.0)
+
+
+def test_qualified_fields():
+    assert parse_xml_query(
+        '<TermQuery fieldName="title">def</TermQuery>', qualify_fields=True
+    ) == Term("title:def")
+    # default single-field mode ignores fieldName
+    assert parse_xml_query(
+        '<TermQuery fieldName="title">def</TermQuery>') == Term("def")
+    assert parse_xml_query(
+        '<RangeQuery fieldName="f" lowerTerm="a" upperTerm="b"/>',
+        qualify_fields=True,
+    ) == TermRange("f:a", "f:b")
+
+
+@pytest.mark.parametrize("bad", [
+    "<TermQuery></TermQuery>",                     # empty text
+    "<NoSuchQuery>x</NoSuchQuery>",                # unknown element
+    "not xml at all <",                            # malformed
+    "<BooleanQuery><TermQuery>x</TermQuery></BooleanQuery>",  # no Clause
+    '<BooleanQuery><Clause occurs="nope"><TermQuery>x</TermQuery></Clause></BooleanQuery>',
+    "<SpanNear><SpanTerm>x</SpanTerm></SpanNear>",  # slop required
+    "<SpanNear slop='0'><TermQuery>x</TermQuery></SpanNear>",  # non-span child
+    "<ConstantScoreQuery/>",                        # missing child
+    '<RangeQuery lowerTerm="a" includeLower="banana"/>',
+])
+def test_parser_errors(bad):
+    with pytest.raises(ValueError):
+        parse_xml_query(bad)
+
+
+def test_xml_search_identity(spark, engine, oracle):
+    """The XML tree and the classic-parser tree for the same logical
+    query produce bit-identical ranked results."""
+    xml = """
+    <BooleanQuery>
+      <Clause occurs="must"><TermQuery>def</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>return</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>lambda</TermQuery></Clause>
+    </BooleanQuery>"""
+    qx = parse_xml_query(xml)
+    qh = Bool(must=[Term("def")], should=[Term("return")],
+              must_not=[Term("lambda")])
+    assert qx == qh
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in search(engine, qx, k=10).collect()]
+    assert got == oracle.search(qh, k=10)
+    assert len(got) > 0
