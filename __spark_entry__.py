@@ -4991,6 +4991,56 @@ def q_elision_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_replace_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternReplaceFilter: digit runs collapsed to '#' in every token
+    (the classic number-normalizing chain); dictionary over the full
+    corpus, oracle replays the rewrite with regexp_replace(…, 'g')."""
+    from lucene_solr_spark.analysis import Chain, pattern_replace_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(pattern_replace_filter("[0-9]+", "#"),))
+    idx = build_index_view(_docs(spark, sf_dir), id_col="doc_id",
+                           text_col="text", analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_pattern_capture_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternCaptureGroupTokenFilter: camelCase identifiers emit their
+    case runs as stacked tokens (original kept, whole-token group
+    skipped), then LowerCaseFilter — Lucene's code-identifier chain.
+    Each doc synthesises a camelCase token from its lang column."""
+    from lucene_solr_spark.analysis import (
+        Chain, MIXED_TOKEN_PATTERN, lowercase_filter,
+        pattern_capture_group_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(F.lit("get"), F.initcap(F.col("lang")),
+                 F.lit("Value")).alias("t"),
+    )
+    chain = Chain(
+        pattern=MIXED_TOKEN_PATTERN, lower=False,
+        steps=(pattern_capture_group_filter(("([a-z0-9]+|[A-Z][a-z0-9]*)",)),
+               lowercase_filter()),
+    )
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: explicit batch 'now' + probe instant for the DocExpiration entry
 #: (determinism contract: the spec carries the clock, never reads one)
 TTL_NOW = "2024-02-01 00:00:00"
@@ -5364,6 +5414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_boost": q_expr_boost,
         "xml_query": q_xml_query,
         "elision_dict": q_elision_dict,
+        "pattern_replace_dict": q_pattern_replace_dict,
+        "pattern_capture_dict": q_pattern_capture_dict,
         "doc_expiration": q_doc_expiration,
         "collapse_null": q_collapse_null,
         "group_ngroups": q_group_ngroups,
@@ -9154,6 +9206,32 @@ SELECT m.doc_id,
 FROM m LEFT JOIN s USING (doc_id)
 WHERE m.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
 ORDER BY score DESC, doc_id ASC LIMIT 15""",
+    })
+    out.update({
+        "pattern_replace_dict": f"""
+WITH {_TOK_CTE},
+rep AS (SELECT doc_id, regexp_replace(term, '[0-9]+', '#', 'g') AS term
+        FROM tok)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM rep GROUP BY term ORDER BY term""",
+        "pattern_capture_dict": """
+WITH s AS (
+  SELECT doc_id,
+         'get' || upper(substr(lang, 1, 1)) || substr(lang, 2) || 'Value'
+           AS cam
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(list_concat(
+    [cam],
+    list_filter(regexp_extract_all(cam, '[a-z0-9]+|[A-Z][a-z0-9]*'),
+                x -> x <> cam))) AS t
+  FROM s)
+SELECT lower(t) AS term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM tok GROUP BY lower(t) ORDER BY term""",
     })
     out.update({
         "elision_dict": """

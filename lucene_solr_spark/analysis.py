@@ -67,6 +67,8 @@ __all__ = [
     "soundex_sql",
     "stem_filter",
     "stemmer_override_filter",
+    "pattern_replace_filter",
+    "pattern_capture_group_filter",
     "ELISION_TOKEN_PATTERN",
     "ELISION_ARTICLES",
     "elision_filter",
@@ -662,6 +664,57 @@ def elision_filter(articles: "tuple[str, ...] | list[str]" = ELISION_ARTICLES) -
         return t
 
     return Map(fn, "elision", params=(arts,))
+
+
+def pattern_replace_filter(pattern: str, replacement: str) -> Map:
+    """PatternReplaceFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/pattern/PatternReplaceFilter.java`` with
+    replaceAll=true, Solr's factory default): regex-rewrite every token;
+    tokens the pattern does not hit pass through unchanged.  The pattern
+    must be RE2-safe (no backtracking constructs) so the SQL oracle's
+    regexp_replace computes the identical rewrite."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    return Map(lambda t: rx.sub(replacement, t), "pattern_replace",
+               params=(pattern, replacement))
+
+
+def pattern_capture_group_filter(
+    patterns: "tuple[str, ...] | list[str]",
+    preserve_original: bool = True,
+) -> Expand:
+    """PatternCaptureGroupTokenFilter (``[8x] lucene/analysis/common/src/
+    java/org/apache/lucene/analysis/pattern/
+    PatternCaptureGroupTokenFilter.java``): every capture group of every
+    match of every pattern is emitted as a token at the source token's
+    position (the classic camelCase / product-code splitter).
+    ``preserve_original`` keeps the source token too; a token no pattern
+    captures anything from is always passed through.  A group equal to
+    the whole token is skipped when the original is already being kept
+    (the Java filter's same-span guard)."""
+    import re as _re
+
+    pats = tuple(str(p) for p in patterns)
+    compiled = [_re.compile(p) for p in pats]
+
+    def fn(t: str) -> tuple:
+        out: list[str] = []
+        for rx in compiled:
+            for m in rx.finditer(t):
+                for gi in range(1, rx.groups + 1):
+                    g = m.group(gi)
+                    if not g:
+                        continue
+                    if preserve_original and g == t:
+                        continue
+                    out.append(g)
+        if not out:
+            return (t,)
+        return ((t,) if preserve_original else ()) + tuple(out)
+
+    return Expand(fn, "pattern_capture",
+                  params=(pats, bool(preserve_original)))
 
 
 def truncate_filter(length: int) -> Map:
@@ -1290,6 +1343,14 @@ def chain_spec(chain: Chain) -> dict | None:
                           "mapping": {k: v for k, v in step.params[0]}})
         elif isinstance(step, Map) and step.name == "elision":
             steps.append({"kind": "elision", "articles": list(step.params[0])})
+        elif isinstance(step, Map) and step.name == "pattern_replace":
+            steps.append({"kind": "pattern_replace",
+                          "pattern": step.params[0],
+                          "replacement": step.params[1]})
+        elif isinstance(step, Expand) and step.name == "pattern_capture":
+            steps.append({"kind": "pattern_capture",
+                          "patterns": list(step.params[0]),
+                          "preserve_original": step.params[1]})
         elif isinstance(step, Map) and step.name == "truncate":
             steps.append({"kind": "truncate", "length": step.params[0]})
         elif isinstance(step, Limit):
@@ -1391,6 +1452,11 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(stemmer_override_filter(s["mapping"]))
         elif kind == "elision":
             steps.append(elision_filter(s.get("articles", ELISION_ARTICLES)))
+        elif kind == "pattern_replace":
+            steps.append(pattern_replace_filter(s["pattern"], s["replacement"]))
+        elif kind == "pattern_capture":
+            steps.append(pattern_capture_group_filter(
+                s["patterns"], s.get("preserve_original", True)))
         elif kind == "truncate":
             steps.append(truncate_filter(s["length"]))
         elif kind == "limit":

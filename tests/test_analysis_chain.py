@@ -772,3 +772,69 @@ def test_stemmer_override_query_side(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_pattern_replace_filter_semantics():
+    from lucene_solr_spark.analysis import (
+        Chain, chain_from_spec, chain_spec, pattern_replace_filter,
+    )
+
+    f = pattern_replace_filter("[0-9]+", "#")
+    assert f.fn("abc123def45") == "abc#def#"   # replaceAll
+    assert f.fn("nodigits") == "nodigits"
+    chain = Chain(steps=(f,))
+    assert chain_from_spec(chain_spec(chain)) == chain
+    assert chain_from_spec(chain_spec(chain)).steps[0].fn("a1") == "a#"
+
+
+def test_pattern_capture_group_semantics():
+    from lucene_solr_spark.analysis import (
+        Chain, MIXED_TOKEN_PATTERN, chain_from_spec, chain_spec,
+        pattern_capture_group_filter,
+    )
+
+    cam = pattern_capture_group_filter(("([a-z0-9]+|[A-Z][a-z0-9]*)",))
+    # camelCase splitter: original + each captured run, same position
+    assert cam.fn("getFooValue") == ("getFooValue", "get", "Foo", "Value")
+    # whole-token group skipped when the original is kept (same-span guard)
+    assert cam.fn("plain") == ("plain",)
+    # no capture at all: token passes through
+    assert pattern_capture_group_filter(("(XYZ)",)).fn("abc") == ("abc",)
+    # preserve_original=False: groups only (whole-token group emitted)
+    only = pattern_capture_group_filter(
+        ("([a-z0-9]+|[A-Z][a-z0-9]*)",), preserve_original=False)
+    assert only.fn("getFooValue") == ("get", "Foo", "Value")
+    assert only.fn("plain") == ("plain",)
+    # multiple patterns, multiple groups per match
+    two = pattern_capture_group_filter((r"([a-z]+)_([a-z]+)", r"([0-9]+)"))
+    assert two.fn("foo_bar9") == ("foo_bar9", "foo", "bar", "9")
+    chain = Chain(pattern=MIXED_TOKEN_PATTERN, lower=False, steps=(cam,))
+    assert chain_from_spec(chain_spec(chain)) == chain
+    toks = [t for t, _ in chain.tokens("getFooValue plain")]
+    assert toks == ["getFooValue", "get", "Foo", "Value", "plain"]
+    # stacked at the SOURCE position (SynonymFilter shape)
+    poss = [p for _, p in chain.tokens("getFooValue plain")]
+    assert poss == [0, 0, 0, 0, 1]
+
+
+def _new_step_cases():
+    from lucene_solr_spark.analysis import (
+        elision_filter, pattern_capture_group_filter, pattern_replace_filter,
+        stemmer_override_filter,
+    )
+    return [
+        (pattern_replace_filter("[0-9]+", "#"),),
+        (pattern_replace_filter("s$", "z"), stem_filter()),
+        (pattern_capture_group_filter(("([a-z]+)",)),),
+        (pattern_capture_group_filter(("(run)",), preserve_original=False),
+         shingle_filter(2)),
+        (stemmer_override_filter({"flies": "fly", "running": "running"}),),
+        (elision_filter(),),
+    ]
+
+
+@pytest.mark.parametrize("steps", _new_step_cases())
+def test_chain_flat_matches_reference_new_steps(steps):
+    """Vectorized flat path == per-doc reference for the round-3 step
+    additions (same property as test_chain_flat_matches_reference)."""
+    test_chain_flat_matches_reference(steps)
