@@ -5041,6 +5041,117 @@ def q_pattern_capture_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Arabic-Indic digits for the DecimalDigitFilter entry (both sides
+#: synthesize with the same translate table)
+ARABIC_DIGITS = "٠١٢٣٤٥٦٧٨٩"
+
+
+def q_path_hierarchy_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PathHierarchyTokenizer: each doc synthesises a filesystem-style
+    path from its source/lang columns; the index holds every cumulative
+    path prefix (Solr's descendant-path faceting field).  The DuckDB
+    oracle re-derives the prefixes with string_split + list slicing."""
+    from lucene_solr_spark.analysis import (
+        Chain, KEYWORD_TOKEN_PATTERN, path_hierarchy_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"),
+                 F.lit("/doc"), (F.col("doc_id") % 100).cast("string"),
+                 ).alias("path"),
+    )
+    chain = Chain(pattern=KEYWORD_TOKEN_PATTERN, lower=False,
+                  steps=(path_hierarchy_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="path",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_decimal_digit_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalDigitFilter: Arabic-Indic digit runs synthesized per doc
+    fold to ASCII 0-9 in the dictionary; the oracle replays the fold
+    with the identical translate table."""
+    from lucene_solr_spark.analysis import Chain, decimal_digit_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.translate((F.col("doc_id") % 100).cast("string"),
+                        "0123456789", ARABIC_DIGITS),
+            F.lit(" "), F.col("source"),
+        ).alias("t"),
+    )
+    # Nd digits must survive tokenization: extend the token class
+    chain = Chain(pattern="[a-z0-9_٠-٩]+",
+                  steps=(decimal_digit_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_english_minimal_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnglishPossessiveFilter + EnglishMinimalStemFilter (the light
+    English chain): possessive forms synthesized per doc lose the 's,
+    then the S-stemmer drops plural -s; the oracle replays both RULES
+    (strip-possessive regexp, then the guarded final-s CASE)."""
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, english_minimal_stem_filter,
+        english_possessive_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("'s items glass plus "),
+                 F.col("source"), F.lit("s")).alias("t"),
+    )
+    chain = Chain(pattern=ELISION_TOKEN_PATTERN,
+                  steps=(english_possessive_filter(),
+                         english_minimal_stem_filter()))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_capitalization_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CapitalizationFilter over the corpus dictionary: every term
+    title-cased (factory defaults); oracle = upper(first)||rest."""
+    from lucene_solr_spark.analysis import Chain, capitalization_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(capitalization_filter(),))
+    idx = build_index_view(_docs(spark, sf_dir), id_col="doc_id",
+                           text_col="text", analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: explicit batch 'now' + probe instant for the DocExpiration entry
 #: (determinism contract: the spec carries the clock, never reads one)
 TTL_NOW = "2024-02-01 00:00:00"
@@ -5419,6 +5530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_expiration": q_doc_expiration,
         "collapse_null": q_collapse_null,
         "group_ngroups": q_group_ngroups,
+        "path_hierarchy_dict": q_path_hierarchy_dict,
+        "decimal_digit_dict": q_decimal_digit_dict,
+        "english_minimal_dict": q_english_minimal_dict,
+        "capitalization_dict": q_capitalization_dict,
     }
 
 
@@ -9318,5 +9433,67 @@ s AS (SELECT
   {_rf_sums}
 FROM r)
 SELECT relation, n FROM ({_rf_rows}) ORDER BY relation""",
+    })
+    out.update({
+        "path_hierarchy_dict": """
+WITH p AS (
+  SELECT doc_id,
+         '/' || source || '/' || lang || '/doc' ||
+           CAST(doc_id % 100 AS VARCHAR) AS path
+  FROM documents),
+parts AS (SELECT doc_id, string_split(path, '/') AS c FROM p),
+ix AS (SELECT doc_id, c, unnest(generate_series(2, len(c))) AS i
+       FROM parts),
+tok AS (SELECT doc_id, array_to_string(c[1:i], '/') AS term FROM ix)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term""",
+        "decimal_digit_dict": f"""
+WITH s AS (
+  SELECT doc_id,
+         lang || translate(CAST(doc_id % 100 AS VARCHAR),
+                           '0123456789', '{ARABIC_DIGITS}')
+              || ' ' || source AS t
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(t), '[a-z0-9_٠-٩]+')) AS raw
+  FROM s),
+dd AS (SELECT doc_id,
+              translate(raw, '{ARABIC_DIGITS}', '0123456789') AS term
+       FROM tok)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM dd GROUP BY term ORDER BY term""",
+        "english_minimal_dict": """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           lang || '''s items glass plus ' || source || 's', ' ')) AS tok
+  FROM documents),
+poss AS (
+  SELECT doc_id, regexp_replace(lower(tok), '[''’]s$', '') AS t
+  FROM raw),
+stem AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= 3 AND t LIKE '%s'
+                   AND substr(t, length(t) - 1, 1) NOT IN ('u', 's')
+              THEN substr(t, 1, length(t) - 1) ELSE t END AS term
+  FROM poss)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "capitalization_dict": f"""
+WITH {_TOK_CTE},
+cap AS (SELECT doc_id,
+               upper(substr(term, 1, 1)) || substr(term, 2) AS term
+        FROM tok)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM cap GROUP BY term ORDER BY term""",
     })
     return out

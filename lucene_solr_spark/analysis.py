@@ -94,6 +94,13 @@ __all__ = [
     "delimited_tf_filter",
     "chain_spec",
     "chain_from_spec",
+    "KEYWORD_TOKEN_PATTERN",
+    "path_hierarchy_filter",
+    "capitalization_filter",
+    "decimal_digit_filter",
+    "decimal_digit_sql_args",
+    "english_possessive_filter",
+    "english_minimal_stem_filter",
 ]
 
 #: shared with oracle_sql(); keep in sync with __spark_entry__.py
@@ -1018,6 +1025,156 @@ def reversed_wildcard_filter() -> Expand:
     return Expand(fn, "reversed_wildcard", params=())
 
 
+#: keyword tokenizer pattern (Lucene's KeywordTokenizer: the whole field
+#: value is ONE token) — used by path-hierarchy and other whole-value
+#: chains; ``(?s)`` so embedded newlines stay inside the single token
+KEYWORD_TOKEN_PATTERN = r"(?s)\A.+\Z"
+
+
+def _path_hierarchy_tokens(t: str, delimiter: str, replacement: str,
+                           skip: int, reverse: bool) -> tuple:
+    """Core of PathHierarchyTokenizer / ReversePathHierarchyTokenizer
+    (``[8x] lucene/analysis/common/src/java/org/apache/lucene/analysis/
+    path/PathHierarchyTokenizer.java`` and ``ReversePathHierarchy
+    Tokenizer.java``).  Forward: one token per cumulative path prefix —
+    ``/a/b/c`` → ``/a``, ``/a/b``, ``/a/b/c``; ``skip=n`` drops the
+    first n components but keeps each remaining token's leading
+    delimiter (``/a/b/c`` skip=1 → ``/b``, ``/b/c``), exactly the Java
+    tokenizer's examples.  Reverse: one token per path suffix —
+    ``www.site.co.uk`` (delimiter ``.``) → ``www.site.co.uk``,
+    ``site.co.uk``, ``co.uk``, ``uk``; ``skip=n`` drops the last n
+    components, leaving each suffix delimiter-terminated
+    (``/a/b/c/d`` skip=1 → ``/a/b/c/``, ``a/b/c/``, ``b/c/``, ``c/``).
+    ``replacement`` substitutes the delimiter in every emitted token."""
+    if not t:
+        return ()
+    idxs = [i for i, ch in enumerate(t) if ch == delimiter]
+    if not reverse:
+        ends = [i for i in idxs if i > 0] + [len(t)]
+        start = 0
+        if skip > 0:
+            if skip >= len(ends):
+                return ()
+            start = ends[skip - 1]
+            ends = ends[skip:]
+        toks = tuple(t[start:e] for e in ends)
+    else:
+        if skip > 0:
+            inner = [i for i in idxs if 0 < i < len(t) - 1]
+            if skip > len(inner):
+                return ()
+            t = t[: inner[len(inner) - skip] + 1]
+            idxs = [i for i in idxs if i < len(t)]
+        starts = [0] + [i + 1 for i in idxs if i + 1 < len(t)]
+        toks = tuple(t[s:] for s in starts)
+    if replacement != delimiter:
+        toks = tuple(x.replace(delimiter, replacement) for x in toks)
+    return toks
+
+
+def path_hierarchy_filter(delimiter: str = "/", replacement: str | None = None,
+                          skip: int = 0, reverse: bool = False) -> Expand:
+    """PathHierarchyTokenizer as an Expand step over keyword tokens: use
+    with ``Chain(pattern=KEYWORD_TOKEN_PATTERN, lower=False)`` so the
+    whole field value reaches the step as one token, matching the Java
+    tokenizer's char-stream input.  All emitted tokens share the source
+    token's position — the Java tokenizer likewise emits the first token
+    at posInc 1 and the rest at posInc 0 (one logical position)."""
+    repl = delimiter if replacement is None else str(replacement)
+    d, s, r = str(delimiter), int(skip), bool(reverse)
+    if len(d) != 1 or len(repl) != 1:
+        raise ValueError("delimiter and replacement must be single chars")
+    return Expand(
+        lambda t: _path_hierarchy_tokens(t, d, repl, s, r),
+        "path_hierarchy", params=(d, repl, s, r),
+    )
+
+
+def capitalization_filter() -> Map:
+    """CapitalizationFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/miscellaneous/CapitalizationFilter.java``)
+    with the factory defaults (onlyFirstWord=true, forceFirstLetter=
+    true, no keep/okPrefix sets): upper-case the token's first letter,
+    lower-case the rest.  The keep/okPrefix/minWordLength knobs are
+    dictionary refinements of the same per-token rewrite and would ride
+    the identical Map slot."""
+    return Map(lambda t: (t[:1].upper() + t[1:].lower()) if t else t,
+               "capitalization")
+
+
+#: all Unicode decimal digits (category Nd) → their ASCII values; built
+#: once from unicodedata so the SQL oracle can replay the identical
+#: translate() table
+def _decimal_digit_table() -> tuple[str, str]:
+    import sys
+    import unicodedata
+
+    src: list[str] = []
+    dst: list[str] = []
+    for cp in range(0x30, sys.maxunicode + 1):
+        ch = chr(cp)
+        if unicodedata.category(ch) == "Nd":
+            d = unicodedata.decimal(ch, None)
+            if d is not None and ch != chr(0x30 + d):
+                src.append(ch)
+                dst.append(chr(0x30 + d))
+    return "".join(src), "".join(dst)
+
+
+_DECIMAL_SRC, _DECIMAL_DST = _decimal_digit_table()
+_DECIMAL_TRANS = str.maketrans(_DECIMAL_SRC, _DECIMAL_DST)
+
+
+def decimal_digit_filter() -> Map:
+    """DecimalDigitFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/core/DecimalDigitFilter.java``): fold every
+    Unicode decimal digit (category Nd — Arabic-Indic, Devanagari, Thai,
+    fullwidth, …) to its ASCII 0-9 value, via the same
+    ``Character.isDigit``/``getNumericValue`` table the Java filter
+    consults.  ``decimal_digit_sql_args()`` exposes the identical
+    translate table for the DuckDB oracle."""
+    return Map(lambda t: t.translate(_DECIMAL_TRANS), "decimal_digit")
+
+
+def decimal_digit_sql_args() -> tuple[str, str]:
+    """(from, to) strings for SQL ``translate(col, from, to)`` replaying
+    ``decimal_digit_filter`` exactly."""
+    return _DECIMAL_SRC, _DECIMAL_DST
+
+
+def english_possessive_filter() -> Map:
+    """EnglishPossessiveFilter (``[8x] lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/en/EnglishPossessiveFilter.java``): strip
+    a trailing ``'s`` where the apostrophe is ASCII ``'``, U+2019, or
+    U+FF07 and the trailing letter is ``s``/``S`` — ``dog's`` → ``dog``.
+    Runs before LowerCaseFilter in Lucene's EnglishAnalyzer; with this
+    engine's lowercasing tokenizer only the ``s`` case occurs, matching
+    that chain's net effect."""
+
+    def fn(t: str) -> str:
+        if (len(t) >= 2 and t[-1] in ("s", "S")
+                and t[-2] in ("'", "’", "＇")):
+            return t[:-2]
+        return t
+
+    return Map(fn, "english_possessive")
+
+
+def english_minimal_stem_filter() -> Map:
+    """EnglishMinimalStemFilter (``[8x] lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/en/EnglishMinimalStemFilter.java``), the
+    S-stemmer of Harman's "How Effective Is Suffixing?": drop a final
+    ``s`` from words of length ≥ 3 unless the preceding letter is ``u``
+    or ``s`` — exactly the Java stemmer's switch."""
+
+    def fn(t: str) -> str:
+        if len(t) < 3 or t[-1] != "s" or t[-2] in ("u", "s"):
+            return t
+        return t[:-1]
+
+    return Map(fn, "english_minimal_stem")
+
+
 # ---------------------------------------------------------------------------
 # the chain
 # ---------------------------------------------------------------------------
@@ -1332,7 +1489,9 @@ def chain_spec(chain: Chain) -> dict | None:
             steps.append({"kind": "length", "min_len": step.min_len,
                           "max_len": step.max_len})
         elif isinstance(step, Map) and step.name in (
-            "porter", "ascii_fold", "soundex", "lowercase"
+            "porter", "ascii_fold", "soundex", "lowercase",
+            "capitalization", "decimal_digit", "english_possessive",
+            "english_minimal_stem",
         ):
             steps.append({"kind": step.name})
         elif isinstance(step, Map) and step.name == "porter_protected":
@@ -1366,6 +1525,10 @@ def chain_spec(chain: Chain) -> dict | None:
             steps.append({"kind": "delimited_tf", "delimiter": step.params[0]})
         elif isinstance(step, Expand) and step.name == "reversed_wildcard":
             steps.append({"kind": "reversed_wildcard"})
+        elif isinstance(step, Expand) and step.name == "path_hierarchy":
+            d, repl, sk, rv = step.params
+            steps.append({"kind": "path_hierarchy", "delimiter": d,
+                          "replacement": repl, "skip": sk, "reverse": rv})
         elif isinstance(step, Expand) and step.name == "synonym" and step.params:
             table, keep = step.params
             steps.append(
@@ -1478,6 +1641,18 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(delimited_tf_filter(s.get("delimiter", "|")))
         elif kind == "reversed_wildcard":
             steps.append(reversed_wildcard_filter())
+        elif kind == "path_hierarchy":
+            steps.append(path_hierarchy_filter(
+                s.get("delimiter", "/"), s.get("replacement"),
+                s.get("skip", 0), s.get("reverse", False)))
+        elif kind == "capitalization":
+            steps.append(capitalization_filter())
+        elif kind == "decimal_digit":
+            steps.append(decimal_digit_filter())
+        elif kind == "english_possessive":
+            steps.append(english_possessive_filter())
+        elif kind == "english_minimal_stem":
+            steps.append(english_minimal_stem_filter())
         elif kind == "synonym":
             steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
         elif kind == "ngram":

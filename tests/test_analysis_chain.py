@@ -838,3 +838,117 @@ def test_chain_flat_matches_reference_new_steps(steps):
     """Vectorized flat path == per-doc reference for the round-3 step
     additions (same property as test_chain_flat_matches_reference)."""
     test_chain_flat_matches_reference(steps)
+
+
+# --- ninth-session additions -------------------------------------------------
+
+
+def test_path_hierarchy_semantics():
+    """PathHierarchyTokenizer examples from the Lucene tests/ref guide:
+    forward prefixes (incl. the trailing-delimiter case of
+    testEndOfDelimiter), skip, reverse suffixes, reverse skip,
+    replacement char."""
+    from lucene_solr_spark.analysis import path_hierarchy_filter
+
+    f = path_hierarchy_filter()
+    assert f.fn("/a/b/c") == ("/a", "/a/b", "/a/b/c")
+    assert f.fn("a/b/c") == ("a", "a/b", "a/b/c")
+    assert f.fn("/a/b/c/") == ("/a", "/a/b", "/a/b/c", "/a/b/c/")
+    assert f.fn("") == ()
+    assert path_hierarchy_filter(skip=1).fn("/a/b/c") == ("/b", "/b/c")
+    assert path_hierarchy_filter(skip=9).fn("/a/b") == ()
+    rv = path_hierarchy_filter(delimiter=".", reverse=True)
+    assert rv.fn("www.site.co.uk") == (
+        "www.site.co.uk", "site.co.uk", "co.uk", "uk")
+    assert path_hierarchy_filter(reverse=True, skip=1).fn("/a/b/c/d") == (
+        "/a/b/c/", "a/b/c/", "b/c/", "c/")
+    assert path_hierarchy_filter(replacement="\\").fn("/a/b") == (
+        "\\a", "\\a\\b")
+
+
+def test_path_hierarchy_chain_flat_and_spec():
+    """Whole-value keyword tokenization + prefix expansion: flat == ref
+    on path-shaped input; spec round-trips."""
+    from lucene_solr_spark.analysis import (
+        KEYWORD_TOKEN_PATTERN, chain_from_spec, chain_spec,
+        path_hierarchy_filter,
+    )
+
+    chain = Chain(pattern=KEYWORD_TOKEN_PATTERN, lower=False,
+                  steps=(path_hierarchy_filter(),))
+    texts = ["/src/main/java", "README.md", "", "/a", "a/b/", "/x//y"]
+    # _flat_from_tokens lowercases; this chain is case-preserving, so
+    # build the flat arrays through the chain's own tokenizer
+    import pandas as pd
+
+    toks = chain.tokenize(pd.Series(texts)).tolist()
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    row_idx0 = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    pos0 = np.arange(int(lens.sum()), dtype=np.int64) - starts[row_idx0]
+    terms0 = np.array([t for row in toks for t in row], dtype=object)
+    terms, row_idx, pos, dl = chain.flat(terms0, row_idx0, pos0, lens.size)
+    got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+    want = sorted(
+        (t, r, p) for r, text in enumerate(texts) for t, p in chain.tokens(text)
+    )
+    assert got == want
+    for r, text in enumerate(texts):
+        assert dl[r] == len(chain.tokens(text))
+    assert chain_from_spec(chain_spec(chain)) == chain
+
+
+def test_capitalization_decimal_possessive_minstem():
+    """CapitalizationFilter / DecimalDigitFilter / EnglishPossessiveFilter
+    / EnglishMinimalStemFilter per-token rules + spec round-trips."""
+    from lucene_solr_spark.analysis import (
+        capitalization_filter, chain_from_spec, chain_spec,
+        decimal_digit_filter, decimal_digit_sql_args,
+        english_minimal_stem_filter, english_possessive_filter,
+    )
+
+    cap = capitalization_filter()
+    assert cap.fn("hello") == "Hello"
+    assert cap.fn("WORLD") == "World"
+    assert cap.fn("") == ""
+
+    dd = decimal_digit_filter()
+    assert dd.fn("٣١abc๕") == "31abc5"   # Arabic-Indic + Thai digits
+    assert dd.fn("１２３") == "123"        # fullwidth
+    assert dd.fn("plain7") == "plain7"
+    src, dst = decimal_digit_sql_args()
+    assert len(src) == len(dst) and "٣" in src
+
+    ep = english_possessive_filter()
+    assert ep.fn("dog's") == "dog"
+    assert ep.fn("dog’s") == "dog"       # U+2019
+    assert ep.fn("dogs") == "dogs"
+    assert ep.fn("s") == "s"
+
+    ms = english_minimal_stem_filter()
+    assert ms.fn("dogs") == "dog"
+    assert ms.fn("cats") == "cat"
+    assert ms.fn("glass") == "glass"     # -ss protected
+    assert ms.fn("plus") == "plus"       # -us protected
+    assert ms.fn("as") == "as"           # too short
+
+    chain = Chain(steps=(dd, ep, ms, cap))
+    assert chain_from_spec(chain_spec(chain)) == chain
+
+
+def _ninth_step_cases():
+    from lucene_solr_spark.analysis import (
+        capitalization_filter, decimal_digit_filter,
+        english_minimal_stem_filter, english_possessive_filter,
+    )
+    return [
+        (english_minimal_stem_filter(),),
+        (english_possessive_filter(), english_minimal_stem_filter()),
+        (decimal_digit_filter(), capitalization_filter()),
+        (capitalization_filter(), shingle_filter(2)),
+    ]
+
+
+@pytest.mark.parametrize("steps", _ninth_step_cases())
+def test_chain_flat_matches_reference_ninth(steps):
+    test_chain_flat_matches_reference(steps)
