@@ -4294,11 +4294,12 @@ def q_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr group.func: grouping by a COMPUTED value — floor(n_chars /
     500) length buckets, top-2 docs per bucket by (n_chars desc,
     doc_id)."""
-    from lucene_solr_spark.relational import group_top_k
+    from lucene_solr_spark.relational import group_by_function
 
-    d = _docs(spark, sf_dir).withColumn(
-        "g", F.floor(F.col("n_chars") / 500).cast("long"))
-    out = group_top_k(d, "g", [F.desc("n_chars"), F.asc("doc_id")], k=2)
+    d = _docs(spark, sf_dir)
+    out = group_by_function(d, F.floor(F.col("n_chars") / 500).cast("long"),
+                            [F.desc("n_chars"), F.asc("doc_id")], k=2,
+                            out_col="g")
     return (out.select("g", F.col("group_rank").cast("long").alias("rnk"),
                        "doc_id", "n_chars")
             .orderBy("g", "rnk"))
@@ -5152,6 +5153,26 @@ def q_capitalization_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.query grouping: two named predicates over orders, top-2 per
+    group by price; an order may appear in both groups (Solr's
+    query-grouping semantics, unlike field grouping)."""
+    from lucene_solr_spark.relational import group_by_queries
+
+    o = _tbl(spark, sf_dir, "orders")
+    g = group_by_queries(
+        o,
+        {"open": F.col("o_orderstatus") == "O",
+         "urgent": F.col("o_orderpriority") == "1-URGENT"},
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], k=2,
+    )
+    return (
+        g.select("group_query", "o_orderkey", "o_totalprice",
+                 F.col("group_rank").cast("int").alias("rn"))
+        .orderBy("group_query", "rn")
+    )
+
+
 #: explicit batch 'now' + probe instant for the DocExpiration entry
 #: (determinism contract: the spec carries the clock, never reads one)
 TTL_NOW = "2024-02-01 00:00:00"
@@ -5534,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_digit_dict": q_decimal_digit_dict,
         "english_minimal_dict": q_english_minimal_dict,
         "capitalization_dict": q_capitalization_dict,
+        "group_query": q_group_query,
     }
 
 
@@ -9495,5 +9517,19 @@ SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf
 FROM cap GROUP BY term ORDER BY term""",
+        "group_query": """
+WITH g AS (
+  SELECT 'open' AS group_query, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'urgent', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderpriority = '1-URGENT'),
+r AS (
+  SELECT group_query, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY group_query
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM g)
+SELECT group_query, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 2 ORDER BY group_query, rn""",
     })
     return out

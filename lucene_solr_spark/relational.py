@@ -34,6 +34,8 @@ __all__ = [
     "percentile_exact",
     "stats_component",
     "group_top_k",
+    "group_by_queries",
+    "group_by_function",
     "collapse",
     "collapse_field",
     "ngroups",
@@ -514,6 +516,37 @@ def collapse_field(df: DataFrame, group: str, order_by: list[Column],
     if null_policy == "expand":
         return nn.unionByName(df.filter(F.col(group).isNull()))
     raise ValueError(f"unknown nullPolicy: {null_policy!r}")
+
+
+def group_by_queries(df: DataFrame, queries: "dict[str, Column]",
+                     order_by: list[Column], k: int = 1) -> DataFrame:
+    """group.query grouping (``[8x] solr/core/src/java/org/apache/solr/
+    search/Grouping.java`` Command.Query): each named predicate forms
+    one group holding its top-k rows under ``order_by``; a row matching
+    several predicates appears in each matching group (unlike field
+    grouping).
+
+    ONE pass over the source: a map-side projection stamps each row
+    with the array of matching group names, explodes it, and a single
+    hash-partitioned window ranks within groups — the per-query filter
+    never re-scans the input, so the cost at 100× is one scan + one
+    shuffle keyed by at most ``len(queries)`` values (bounded, never
+    skewed worse than the predicate selectivities themselves)."""
+    if not queries:
+        raise ValueError("group_by_queries needs at least one named query")
+    tags = F.array_compact(F.array(*[
+        F.when(cond, F.lit(name)) for name, cond in queries.items()
+    ]))
+    tagged = df.withColumn("group_query", F.explode(tags))
+    return group_top_k(tagged, "group_query", order_by, k=k)
+
+
+def group_by_function(df: DataFrame, func: Column, order_by: list[Column],
+                      k: int = 1, out_col: str = "group_value") -> DataFrame:
+    """group.func grouping (Grouping.java Command.Func): group key = a
+    function-query value computed per row (map-side projection), then
+    the same single-window top-k as field grouping."""
+    return group_top_k(df.withColumn(out_col, func), out_col, order_by, k=k)
 
 
 def ngroups(df: DataFrame, group: str) -> Column:

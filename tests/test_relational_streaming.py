@@ -359,3 +359,33 @@ def test_collapse_field_null_policy(spark):
 
     got = df.agg(ngroups(df, "grp").alias("n")).collect()[0].n
     assert got == 2  # NULL group excluded
+
+
+def test_group_by_queries_and_function(sales):
+    """group.query: named predicates as groups, rows may land in several
+    groups, one explode + one window (no per-query rescan); group.func:
+    computed key grouping."""
+    g = R.group_by_queries(
+        sales,
+        {"big": F.col("amt") >= 10.0, "xs": F.col("sub") == "x"},
+        [F.desc("amt"), F.asc("id")], k=2,
+    )
+    got = {(r["group_query"], r["id"], r["group_rank"]) for r in g.collect()}
+    # 'big': amts 40,20,10 -> top2 = ids 4,2 ; 'xs': ids 4,1,5 -> top2 = 4,1
+    assert got == {("big", 4, 1), ("big", 2, 2), ("xs", 4, 1), ("xs", 1, 2)}
+    # id=4 appears in BOTH groups (query grouping, unlike field grouping)
+    assert sum(1 for t in got if t[1] == 4) == 2
+
+    with pytest.raises(ValueError):
+        R.group_by_queries(sales, {}, [F.asc("id")])
+
+    f = R.group_by_function(sales, (F.col("amt") >= 10.0).cast("int"),
+                            [F.desc("amt"), F.asc("id")], k=1)
+    got_f = {(r["group_value"], r["id"]) for r in f.collect()}
+    assert got_f == {(1, 4), (0, 6)}
+
+    # single source scan: the tagged-explode plan reads the input once
+    # (AQE's toString repeats the tree under "== Initial Plan ==")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0].lower()
+    assert final.count("scan existingrdd") == 1
