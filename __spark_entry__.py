@@ -5173,6 +5173,41 @@ def q_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: compound vocabulary for the DictionaryCompoundWordTokenFilter entry —
+#: each dictionary word occurs AT MOST ONCE per compound so the SQL
+#: oracle's contains() replay counts exactly like the per-start scan
+COMPOUND_WORDS = ["donaudampfschiff", "schifffahrt", "dampfschiff",
+                  "fahrtwind"]
+COMPOUND_DICT = ["donau", "dampf", "schiff", "fahrt", "wind"]
+
+
+def q_compound_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DictionaryCompoundWordTokenFilter: each doc synthesises one
+    German-style compound (by doc_id), decompounded against a fixed
+    dictionary; subwords are indexed at the compound's position.  The
+    oracle replays the decompounding via contains() over the same
+    dictionary (valid because each dict word occurs once per
+    compound)."""
+    from lucene_solr_spark.analysis import Chain, dictionary_compound_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(w) for w in COMPOUND_WORDS]),
+                     (F.col("doc_id") % 4).cast("int") + 1).alias("t"),
+    )
+    chain = Chain(steps=(dictionary_compound_filter(COMPOUND_DICT),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: explicit batch 'now' + probe instant for the DocExpiration entry
 #: (determinism contract: the spec carries the clock, never reads one)
 TTL_NOW = "2024-02-01 00:00:00"
@@ -5556,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_minimal_dict": q_english_minimal_dict,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
+        "compound_dict": q_compound_dict,
     }
 
 
@@ -9531,5 +9567,21 @@ r AS (
   FROM g)
 SELECT group_query, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
 FROM r WHERE rn <= 2 ORDER BY group_query, rn""",
+        "compound_dict": f"""
+WITH s AS (
+  SELECT doc_id,
+         list_extract({COMPOUND_WORDS!r},
+                      CAST(doc_id % 4 AS INTEGER) + 1) AS comp
+  FROM documents),
+tok AS (
+  SELECT doc_id, comp AS term FROM s
+  UNION ALL
+  SELECT doc_id, dw AS term
+  FROM s, (VALUES {", ".join(f"('{w}')" for w in COMPOUND_DICT)}) AS d(dw)
+  WHERE position(dw IN comp) > 0)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM tok GROUP BY term ORDER BY term""",
     })
     return out

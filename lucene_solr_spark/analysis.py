@@ -101,6 +101,7 @@ __all__ = [
     "decimal_digit_sql_args",
     "english_possessive_filter",
     "english_minimal_stem_filter",
+    "dictionary_compound_filter",
 ]
 
 #: shared with oracle_sql(); keep in sync with __spark_entry__.py
@@ -1160,6 +1161,52 @@ def english_possessive_filter() -> Map:
     return Map(fn, "english_possessive")
 
 
+def dictionary_compound_filter(
+    dictionary: Iterable[str],
+    min_word_size: int = 5,
+    min_subword_size: int = 2,
+    max_subword_size: int = 15,
+    only_longest_match: bool = False,
+) -> Expand:
+    """DictionaryCompoundWordTokenFilter (``[8x] lucene/analysis/common/
+    src/java/org/apache/lucene/analysis/compound/DictionaryCompoundWord
+    TokenFilter.java``): tokens of length ≥ ``min_word_size`` emit, at
+    the SAME position, every dictionary word found as a substring with
+    ``min_subword_size ≤ len ≤ max_subword_size`` (the German
+    decompounding filter).  ``only_longest_match`` keeps only the
+    longest dictionary hit per start offset, exactly the Java loop's
+    ``longestMatchToken`` branch.  The original token is always kept
+    first (the Java filter passes the current token through and injects
+    subwords after it).  Cost rides the Expand slot: per UNIQUE token,
+    O(len × max_subword_size) substring probes against a hashed set —
+    the same work Lucene does per token, but once per distinct term per
+    batch."""
+    words = frozenset(str(w).lower() for w in dictionary)
+    params = (tuple(sorted(words)), int(min_word_size),
+              int(min_subword_size), int(max_subword_size),
+              bool(only_longest_match))
+    mnw, mns, mxs, olm = params[1], params[2], params[3], params[4]
+
+    def fn(t: str) -> tuple:
+        if len(t) < mnw:
+            return (t,)
+        out = [t]
+        n = len(t)
+        for i in range(n - mns + 1):
+            longest = None
+            for j in range(mns, min(mxs, n - i) + 1):
+                if t[i:i + j] in words:
+                    if olm:
+                        longest = t[i:i + j]
+                    else:
+                        out.append(t[i:i + j])
+            if olm and longest is not None:
+                out.append(longest)
+        return tuple(out)
+
+    return Expand(fn, "dictionary_compound", params=params)
+
+
 def english_minimal_stem_filter() -> Map:
     """EnglishMinimalStemFilter (``[8x] lucene/analysis/common/src/java/
     org/apache/lucene/analysis/en/EnglishMinimalStemFilter.java``), the
@@ -1529,6 +1576,12 @@ def chain_spec(chain: Chain) -> dict | None:
             d, repl, sk, rv = step.params
             steps.append({"kind": "path_hierarchy", "delimiter": d,
                           "replacement": repl, "skip": sk, "reverse": rv})
+        elif isinstance(step, Expand) and step.name == "dictionary_compound":
+            ws, mnw, mns, mxs, olm = step.params
+            steps.append({"kind": "dictionary_compound",
+                          "dictionary": list(ws), "min_word_size": mnw,
+                          "min_subword_size": mns, "max_subword_size": mxs,
+                          "only_longest_match": olm})
         elif isinstance(step, Expand) and step.name == "synonym" and step.params:
             table, keep = step.params
             steps.append(
@@ -1645,6 +1698,11 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(path_hierarchy_filter(
                 s.get("delimiter", "/"), s.get("replacement"),
                 s.get("skip", 0), s.get("reverse", False)))
+        elif kind == "dictionary_compound":
+            steps.append(dictionary_compound_filter(
+                s["dictionary"], s.get("min_word_size", 5),
+                s.get("min_subword_size", 2), s.get("max_subword_size", 15),
+                s.get("only_longest_match", False)))
         elif kind == "capitalization":
             steps.append(capitalization_filter())
         elif kind == "decimal_digit":

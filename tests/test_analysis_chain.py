@@ -952,3 +952,42 @@ def _ninth_step_cases():
 @pytest.mark.parametrize("steps", _ninth_step_cases())
 def test_chain_flat_matches_reference_ninth(steps):
     test_chain_flat_matches_reference(steps)
+
+
+def test_dictionary_compound_semantics():
+    """DictionaryCompoundWordTokenFilter: subwords at the same position,
+    original kept, size guards, onlyLongestMatch per start offset."""
+    from lucene_solr_spark.analysis import (
+        chain_from_spec, chain_spec, dictionary_compound_filter,
+    )
+
+    f = dictionary_compound_filter(["donau", "dampf", "schiff", "fahrt"])
+    assert f.fn("donaudampfschiff") == (
+        "donaudampfschiff", "donau", "dampf", "schiff")
+    assert f.fn("xyz") == ("xyz",)              # below min_word_size
+    assert f.fn("dampf") == ("dampf", "dampf")  # self-hit like Lucene
+
+    g = dictionary_compound_filter(["schiff", "schiffahrt", "fahrt"],
+                                   only_longest_match=True)
+    assert g.fn("dampfschiffahrt") == (
+        "dampfschiffahrt", "schiffahrt", "fahrt")
+
+    # size guards
+    h = dictionary_compound_filter(["ab", "abcdef"], min_subword_size=3,
+                                   max_subword_size=5)
+    assert h.fn("xxabcdefxx") == ("xxabcdefxx",)
+
+    chain = Chain(steps=(f,))
+    assert chain_from_spec(chain_spec(chain)) == chain
+    # positions: all subwords share the compound's position
+    toks = chain.tokens("big donaudampfschiff")
+    assert toks == [("big", 0), ("donaudampfschiff", 1), ("donau", 1),
+                    ("dampf", 1), ("schiff", 1)]
+
+
+def test_dictionary_compound_flat_matches_reference():
+    from lucene_solr_spark.analysis import dictionary_compound_filter
+
+    test_chain_flat_matches_reference(
+        (dictionary_compound_filter(
+            ["data", "class", "connect", "ion", "merge"]),))
