@@ -5208,6 +5208,30 @@ def q_compound_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: query for the PhrasesIdentificationComponent entry
+PHRASE_ID_WORDS = ["table", "scan", "merge", "join"]
+
+
+def q_phrases_identify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhrasesIdentificationComponent: candidate word windows of the
+    query scored by indexed shingle stats — score = ttf(phrase) /
+    min(ttf(word)); one pruned dictionary scan (term IN candidates)."""
+    from lucene_solr_spark.analysis import Chain, shingle_filter
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search.extras import identify_phrases
+
+    chain = Chain(steps=(shingle_filter(2, "_", keep_unigrams=True),))
+    idx = build_index_view(_docs(spark, sf_dir), id_col="doc_id",
+                           text_col="text", analyzer=chain, cache=False)
+    out = identify_phrases(idx, PHRASE_ID_WORDS)
+    return out.select(
+        "start", "length", "phrase",
+        F.col("phrase_cf").cast("long").alias("phrase_cf"),
+        F.col("min_word_cf").cast("long").alias("min_word_cf"),
+        F.col("score").cast("double").alias("score"),
+    ).orderBy(F.desc("score"), F.asc("start"))
+
+
 #: explicit batch 'now' + probe instant for the DocExpiration entry
 #: (determinism contract: the spec carries the clock, never reads one)
 TTL_NOW = "2024-02-01 00:00:00"
@@ -5592,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
         "compound_dict": q_compound_dict,
+        "phrases_identify": q_phrases_identify,
     }
 
 
@@ -9583,5 +9608,35 @@ SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf
 FROM tok GROUP BY term ORDER BY term""",
+        "phrases_identify": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS p
+  FROM toks),
+uni AS (SELECT term, count(*) AS cf FROM pos GROUP BY term),
+big AS (SELECT a.term || '_' || b.term AS term, count(*) AS cf
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        GROUP BY 1),
+cand(start, length, phrase, w1, w2) AS (VALUES {", ".join(
+    f"({i}, 2, '{PHRASE_ID_WORDS[i]}_{PHRASE_ID_WORDS[i+1]}', "
+    f"'{PHRASE_ID_WORDS[i]}', '{PHRASE_ID_WORDS[i+1]}')"
+    for i in range(len(PHRASE_ID_WORDS) - 1))}),
+sc AS (
+  SELECT start, length, phrase,
+         COALESCE(b.cf, 0) AS phrase_cf,
+         LEAST(COALESCE(u1.cf, 0), COALESCE(u2.cf, 0)) AS min_word_cf
+  FROM cand
+  LEFT JOIN big b ON b.term = cand.phrase
+  LEFT JOIN uni u1 ON u1.term = cand.w1
+  LEFT JOIN uni u2 ON u2.term = cand.w2)
+SELECT CAST(start AS INT) AS start, CAST(length AS INT) AS length, phrase,
+       CAST(phrase_cf AS BIGINT) AS phrase_cf,
+       CAST(min_word_cf AS BIGINT) AS min_word_cf,
+       CASE WHEN min_word_cf > 0
+            THEN CAST(phrase_cf AS DOUBLE) / CAST(min_word_cf AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS score
+FROM sc ORDER BY score DESC, start ASC""",
     })
     return out

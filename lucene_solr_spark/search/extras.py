@@ -1559,3 +1559,69 @@ def combined_field_search(index: IndexView, token: str,
         sc = sc.join(index.tombstones, "doc_id", "left_anti")
     return (sc.select("doc_id", F.col("score64").cast("float").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def identify_phrases(
+    index: IndexView,
+    query_words: list[str],
+    shingle_sizes: tuple = (2,),
+    sep: str = "_",
+) -> DataFrame:
+    """PhrasesIdentificationComponent (``[8x] solr/core/src/java/org/
+    apache/solr/handler/component/PhrasesIdentificationComponent.java``):
+    score every contiguous word window of the (analyzed) query against
+    indexed shingle statistics to find which windows are "real" phrases.
+
+    ``index`` must be built with a shingle chain
+    (``shingle_filter(size, sep, keep_unigrams=True)``) so the term
+    dictionary holds both words and ``sep``-joined phrases.  Score =
+    ``ttf(phrase) / min(ttf(word_i))`` — the fraction of the rarest
+    constituent's occurrences that happen inside this exact phrase (1.0
+    means the word never appears outside it, 0 means the phrase never
+    occurs).  Solr's computeFieldScore blends this ttf ratio with the
+    analogous df ratio against sub/wrapping phrases; the ttf ratio is
+    its dominant term and the one reported here.
+
+    Scale shape: exactly Lucene's Weight-stats step — ONE pruned
+    dictionary scan with ``term IN (words ∪ candidate shingles)``
+    (bounded by |query| × max(size)), then arithmetic on a driver-small
+    frame.  No full-dictionary pass, no shuffle beyond the bounded
+    aggregate."""
+    words = [str(w) for w in query_words]
+    if not words:
+        raise ValueError("identify_phrases needs at least one query word")
+    cands = []  # (start, length, phrase_term, [constituents])
+    for size in shingle_sizes:
+        if size < 2:
+            raise ValueError("shingle sizes must be >= 2")
+        for i in range(len(words) - size + 1):
+            cands.append((i, size, sep.join(words[i:i + size]),
+                          words[i:i + size]))
+    if not cands:
+        raise ValueError("query too short for the given shingle sizes")
+    need = sorted({w for w in words} | {c[2] for c in cands})
+    stats = (index.term_dict.filter(F.col("term").isin(need))
+             .select("term", F.col("cf").cast("long").alias("cf")))
+    spark = index.spark
+    cand_rows = [(int(i), int(sz), ph, cs) for i, sz, ph, cs in cands]
+    cdf = spark.createDataFrame(
+        cand_rows, "start int, length int, phrase string, words array<string>")
+    word_cf = (cdf.select("phrase", F.explode("words").alias("term"))
+               .join(F.broadcast(stats), "term", "left")
+               .groupBy("phrase")
+               .agg(F.min(F.coalesce(F.col("cf"), F.lit(0)))
+                    .alias("min_word_cf")))
+    out = (cdf
+           .join(F.broadcast(stats.withColumnRenamed("term", "phrase")
+                             .withColumnRenamed("cf", "phrase_cf")),
+                 "phrase", "left")
+           .join(F.broadcast(word_cf), "phrase", "left")
+           .select(
+               "start", "length", "phrase",
+               F.coalesce(F.col("phrase_cf"), F.lit(0)).alias("phrase_cf"),
+               F.col("min_word_cf"),
+               F.when(F.col("min_word_cf") > 0,
+                      F.coalesce(F.col("phrase_cf"), F.lit(0)).cast("double")
+                      / F.col("min_word_cf").cast("double"))
+               .otherwise(F.lit(0.0)).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("start"), F.asc("length"))

@@ -487,3 +487,38 @@ def test_suggest_documents_expression_weights(spark):
         suggest_documents(df, "name", "pop", "ap", weight_expr="pop")
     with _pytest.raises(ValueError):
         suggest_documents(df, "name", None, "ap")
+
+
+def test_identify_phrases(spark):
+    """PhrasesIdentificationComponent: ttf-ratio scoring against hand
+    counts; absent phrase scores 0; one pruned dict scan (bounded IN)."""
+    from lucene_solr_spark.analysis import Chain, shingle_filter
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search.extras import identify_phrases
+
+    rows = [
+        (0, "merge join merge join fast merge"),
+        (1, "merge join slow scan"),
+        (2, "table scan table scan scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chain = Chain(steps=(shingle_filter(2, "_", keep_unigrams=True),))
+    idx = build_index_view(df, id_col="doc_id", text_col="text",
+                           analyzer=chain)
+    out = identify_phrases(idx, ["merge", "join", "zebra"]).collect()
+    by_phrase = {r["phrase"]: r for r in out}
+    # ttf(merge_join)=3, ttf(merge)=5, ttf(join)=3 -> 3/3 = 1.0
+    mj = by_phrase["merge_join"]
+    assert mj["phrase_cf"] == 3 and mj["min_word_cf"] == 3
+    assert mj["score"] == 1.0
+    # zebra never occurs: min_word_cf 0 -> score 0
+    jz = by_phrase["join_zebra"]
+    assert jz["phrase_cf"] == 0 and jz["min_word_cf"] == 0 and jz["score"] == 0.0
+    # ranked: merge_join first
+    assert out[0]["phrase"] == "merge_join"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        identify_phrases(idx, [])
+    with _pytest.raises(ValueError):
+        identify_phrases(idx, ["one"], shingle_sizes=(2,))
