@@ -4960,6 +4960,59 @@ def q_xml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
 
 
+#: JSON Request API query DSL document for the json_dsl entry — parsed
+#: by search.jsonquery into Bool(must=[hash], should=[spark],
+#: filter=[merge], must_not=[table]) and executed on the shared index
+JSON_DSL_QUERY = {"bool": {
+    "must": {"term": {"query": "hash"}},
+    "should": "spark",
+    "filter": {"#filt": {"term": {"query": "merge"}}},
+    "must_not": {"term": {"query": "table"}},
+}}
+
+
+def q_json_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Query DSL ([8x] solr/core/src/java/org/apache/solr/
+    request/json/JsonQueryConverter.java): the saved JSON document —
+    including a #tag-annotated filter clause — parses into a Bool tree
+    whose structure drives the plan: ReqOptSumScorer composition (must
+    scores, optional should, f32 cast per node), FILTER as an unscored
+    semi-join, MUST_NOT as an anti-join, over the f64-parity BM25
+    stream so the DuckDB oracle replays it bit-for-bit.  Parser↔engine
+    identity is pinned in tests/test_jsonquery.py (MiniLucene)."""
+    from lucene_solr_spark.search import Bool, parse_json_query
+
+    q = parse_json_query(JSON_DSL_QUERY)
+    assert isinstance(q, Bool)
+    must_t = q.must[0].term
+    should_t = q.should[0].term
+    filt_t = q.filter[0].term
+    not_t = q.must_not[0].term
+
+    index = _index_for(spark, sf_dir)
+    leaf = _bm25_scores(spark, sf_dir, [must_t, should_t]).select(
+        "term", "doc_id",
+        F.expr("CAST(CAST(score64 AS FLOAT) AS DOUBLE)").alias("s32"),
+    )
+    m = leaf.filter(F.col("term") == must_t).select(
+        "doc_id", F.col("s32").alias("ms"))
+    s = leaf.filter(F.col("term") == should_t).select(
+        "doc_id", F.col("s32").alias("ss"))
+    filt = postings_table(index, [filt_t]).select("doc_id").distinct()
+    neg = postings_table(index, [not_t]).select("doc_id").distinct()
+    out = (
+        m.join(s, "doc_id", "left")
+        .join(filt, "doc_id", "left_semi")
+        .join(neg, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.expr("CAST(ms + COALESCE(ss, CAST(0.0 AS DOUBLE)) AS FLOAT)"
+                   ).alias("score"),
+        )
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+
 def q_elision_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ElisionFilter (FrenchAnalyzer defaults): article+apostrophe
     prefixes stripped before indexing.  Each doc synthesises an
@@ -5604,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delimited_tf": q_delimited_tf,
         "expr_boost": q_expr_boost,
         "xml_query": q_xml_query,
+        "json_dsl": q_json_dsl,
         "elision_dict": q_elision_dict,
         "pattern_replace_dict": q_pattern_replace_dict,
         "pattern_capture_dict": q_pattern_capture_dict,
@@ -9403,6 +9457,19 @@ SELECT m.doc_id,
        CAST(m.ms + COALESCE(s.ss, CAST(0.0 AS DOUBLE)) AS FLOAT) AS score
 FROM m LEFT JOIN s USING (doc_id)
 WHERE m.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
+ORDER BY score DESC, doc_id ASC LIMIT 15""",
+    })
+    out.update({
+        "json_dsl": _scored_terms_cte(["hash", "spark"]) + """,
+leaf AS (SELECT term, doc_id,
+                CAST(CAST(score64 AS FLOAT) AS DOUBLE) AS s32 FROM scored),
+m AS (SELECT doc_id, s32 AS ms FROM leaf WHERE term = 'hash'),
+s AS (SELECT doc_id, s32 AS ss FROM leaf WHERE term = 'spark')
+SELECT m.doc_id,
+       CAST(m.ms + COALESCE(s.ss, CAST(0.0 AS DOUBLE)) AS FLOAT) AS score
+FROM m LEFT JOIN s USING (doc_id)
+WHERE m.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+  AND m.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'table')
 ORDER BY score DESC, doc_id ASC LIMIT 15""",
     })
     out.update({

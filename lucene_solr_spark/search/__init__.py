@@ -54,6 +54,7 @@ from .payloads import (
 )
 from .cache import FilterCache, filtered_search
 from .xmlparser import parse_xml_query
+from .jsonquery import parse_json_query
 from .spans import (
     SpanContaining,
     SpanFieldMask,
@@ -73,6 +74,7 @@ __all__ = [
     "MultiPhrase", "Or", "Phrase", "Prefix", "Regexp", "Term", "TermInSet",
     "TermRange", "Wildcard",
     "analyze_query", "edismax_query", "parse_query", "parse_xml_query",
+    "parse_json_query",
     "rewrite", "search", "count_hits", "expand_multiterm",
     "positions_table", "postings_table",
     "SpanTerm", "SpanNear", "SpanOr", "SpanFirst", "SpanPositionRange",

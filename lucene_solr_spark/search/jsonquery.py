@@ -1,0 +1,177 @@
+"""Solr JSON Query DSL → query AST.
+
+The JSON Request API's query DSL (``[8x] solr/core/src/java/org/apache/
+solr/request/json/RequestUtil.java`` + ``JsonQueryConverter.java``; ref
+guide "JSON Query DSL") represents each query as either a query STRING
+(handed to the default lucene parser) or an object with exactly one key
+naming a query parser whose value carries its local params — e.g.::
+
+    {"bool": {"must": [{"term": {"f": "lang", "query": "en"}},
+                       "merge join"],
+              "must_not": {"prefix": {"f": "path", "query": "/tmp"}},
+              "filter": ["batch"],
+              "should": "vector"}}
+
+This module maps that vocabulary onto the engine's AST (`search.query`):
+the ``lucene``/``bool``/``term``/``prefix``/``wildcard``/``regexp``/
+``fuzzy``/``range``/``terms``/``boost``/``const``/``dismax``/``edismax``/
+``match_all`` parsers, ``{"param": name}`` indirection, and the ``#tag``
+key annotation used by JSON facet exclusion domains (tags are metadata —
+the wrapped query parses as itself).
+
+Field-qualified values encode as ``field:token`` terms, the engine's
+multi-field term encoding (``index.core.build_multifield_index_view``);
+single-field callers simply omit ``f``.
+"""
+
+from __future__ import annotations
+
+from .query import (
+    Bool,
+    Boost,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Regexp,
+    Term,
+    TermInSet,
+    TermRange,
+    Wildcard,
+    parse_query,
+)
+
+__all__ = ["parse_json_query"]
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
+def _qualify(field, value: str) -> str:
+    return f"{field}:{value}" if field else str(value)
+
+
+def _sub(v, params):
+    return parse_json_query(v, params)
+
+
+def parse_json_query(obj, params: dict | None = None):
+    """Parse one JSON DSL query value (string or single-key object) into
+    a query AST node.  ``params`` backs ``{"param": name}`` references
+    (Solr's parameter dereferencing)."""
+    params = params or {}
+    if isinstance(obj, str):
+        return parse_query(obj)
+    if not isinstance(obj, dict):
+        raise ValueError(f"JSON query must be a string or object, got {type(obj).__name__}")
+    # strip #tag annotations: {"#mytag": <query>} parses as the query
+    keys = list(obj.keys())
+    if len(keys) == 1 and keys[0].startswith("#"):
+        return _sub(obj[keys[0]], params)
+    if len(keys) != 1:
+        raise ValueError(f"JSON query object must have exactly one parser key, got {keys}")
+    kind, body = keys[0], obj[keys[0]]
+
+    if kind == "param":
+        if body not in params:
+            raise ValueError(f"undefined query param: {body!r}")
+        return _sub(params[body], params)
+
+    if kind == "lucene":
+        if isinstance(body, str):
+            return parse_query(body)
+        return parse_query(body["query"])
+
+    if kind == "bool":
+        mm = int(body.get("mm", body.get("minShouldMatch", 0)))
+        return Bool(
+            must=[_sub(c, params) for c in _as_list(body.get("must"))],
+            should=[_sub(c, params) for c in _as_list(body.get("should"))],
+            must_not=[_sub(c, params) for c in _as_list(body.get("must_not"))],
+            filter=[_sub(c, params) for c in _as_list(body.get("filter"))],
+            min_should_match=mm,
+        )
+
+    if kind in ("term", "prefix", "wildcard", "regexp"):
+        if isinstance(body, str):
+            f, v = None, body
+        else:
+            f, v = body.get("f"), body.get("query", body.get("v"))
+        if v is None:
+            raise ValueError(f"{kind} query needs a 'query' value")
+        val = _qualify(f, v)
+        if kind == "term":
+            return Term(val)
+        if kind == "prefix":
+            return Prefix(val)
+        if kind == "wildcard":
+            return Wildcard(val)
+        return Regexp(val)
+
+    if kind == "fuzzy":
+        f, v = body.get("f"), body["query"]
+        return Fuzzy(_qualify(f, v),
+                     max_edits=int(body.get("maxEdits", 2)),
+                     prefix_length=int(body.get("prefixLength", 0)))
+
+    if kind == "range":
+        f = body.get("f")
+        lo, up = body.get("lower"), body.get("upper")
+        return TermRange(
+            _qualify(f, lo) if lo is not None else None,
+            _qualify(f, up) if up is not None else None,
+            include_lower=bool(body.get("includeLower", True)),
+            include_upper=bool(body.get("includeUpper", True)),
+        )
+
+    if kind == "terms":
+        f = body.get("f")
+        vals = [_qualify(f, v) for v in _as_list(body.get("query"))]
+        if not vals:
+            raise ValueError("terms query needs a non-empty 'query' list")
+        return TermInSet(*vals)
+
+    if kind == "phrase":
+        f = body.get("f")
+        words = str(body["query"]).split()
+        return Phrase(*[_qualify(f, w) for w in words],
+                      slop=int(body.get("slop", 0)))
+
+    if kind == "boost":
+        b = body.get("b", 1.0)
+        if not isinstance(b, (int, float)):
+            raise ValueError("boost 'b' must be numeric (function boosts "
+                             "go through extras.boost_by_value)")
+        return Boost(_sub(body["query"], params), float(b))
+
+    if kind == "const":
+        return ConstantScore(_sub(body["query"], params),
+                             boost=float(body.get("boost", 1.0)))
+
+    if kind == "dismax":
+        clauses = [_sub(c, params) for c in _as_list(body.get("queries"))]
+        if not clauses:
+            raise ValueError("dismax needs a 'queries' list")
+        return DisMax(*clauses, tie_breaker=float(body.get("tie", 0.0)))
+
+    if kind == "edismax":
+        from .query import edismax_query
+
+        qf: dict[str, float] = {}
+        for part in str(body.get("qf", "")).split():
+            name, _, w = part.partition("^")
+            qf[name] = float(w) if w else 1.0
+        if not qf:
+            raise ValueError("edismax needs a 'qf' field list")
+        return edismax_query(str(body["query"]), qf,
+                             tie_breaker=float(body.get("tie", 0.0)))
+
+    if kind == "match_all":
+        return MatchAll()
+
+    raise ValueError(f"unsupported JSON DSL query parser: {kind!r}")

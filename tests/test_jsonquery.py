@@ -1,0 +1,158 @@
+"""Solr JSON Query DSL parser: vocabulary → engine AST, param
+dereferencing, #tag transparency, error cases, and search identity with
+the classic parser on the same logical query.
+
+Mirrors [8x] solr/core/src/java/org/apache/solr/request/json/
+RequestUtil.java + JsonQueryConverter.java (the JSON Request API's query
+DSL) and the ref-guide "JSON Query DSL" examples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.oracle import MiniLucene
+from lucene_solr_spark.search import (
+    Bool, Boost, ConstantScore, DisMax, Fuzzy, MatchAll, Phrase, Prefix,
+    Regexp, Term, TermInSet, TermRange, Wildcard, parse_json_query,
+    parse_query, search,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = gen_corpus_pdf(120, seed=47).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(120, dtype=np.int64)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus):
+    idx = build_index_view(
+        spark.createDataFrame(corpus[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content",
+    )
+    yield idx
+    idx.postings.unpersist(); idx.norms.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return MiniLucene(list(zip(corpus["doc_id"], corpus["content"])))
+
+
+def test_string_is_lucene_qparser():
+    assert parse_json_query("def AND (return OR class)") == \
+        parse_query("def AND (return OR class)")
+    assert parse_json_query({"lucene": "def class"}) == \
+        parse_query("def class")
+    assert parse_json_query({"lucene": {"query": "def class"}}) == \
+        parse_query("def class")
+
+
+def test_bool_clauses_and_mm():
+    got = parse_json_query({"bool": {
+        "must": [{"term": {"query": "def"}}, "return"],
+        "should": {"term": {"query": "class"}},
+        "must_not": [{"prefix": {"query": "lam"}}],
+        "filter": ["import"],
+        "mm": "1",
+    }})
+    assert got == Bool(
+        must=[Term("def"), parse_query("return")],
+        should=[Term("class")],
+        must_not=[Prefix("lam")],
+        filter=[parse_query("import")],
+        min_should_match=1,
+    )
+
+
+def test_leaf_parsers_unqualified_and_qualified():
+    assert parse_json_query({"term": {"query": "def"}}) == Term("def")
+    assert parse_json_query({"term": "def"}) == Term("def")
+    assert parse_json_query({"term": {"f": "title", "query": "def"}}) == \
+        Term("title:def")
+    assert parse_json_query({"prefix": {"f": "t", "query": "de"}}) == \
+        Prefix("t:de")
+    assert parse_json_query({"wildcard": {"query": "d?f*"}}) == \
+        Wildcard("d?f*")
+    assert parse_json_query({"regexp": {"query": "de.*"}}) == Regexp("de.*")
+    assert parse_json_query(
+        {"fuzzy": {"query": "clsas", "maxEdits": 1, "prefixLength": 2}}
+    ) == Fuzzy("clsas", max_edits=1, prefix_length=2)
+    assert parse_json_query(
+        {"range": {"lower": "abc", "upper": "abq", "includeUpper": False}}
+    ) == TermRange("abc", "abq", include_lower=True, include_upper=False)
+    assert parse_json_query({"range": {"f": "p", "lower": "m"}}) == \
+        TermRange("p:m", None)
+    assert parse_json_query({"terms": {"query": ["def", "class"]}}) == \
+        TermInSet("def", "class")
+    assert parse_json_query(
+        {"phrase": {"query": "merge join", "slop": 2}}
+    ) == Phrase("merge", "join", slop=2)
+    assert parse_json_query({"match_all": {}}) == MatchAll()
+
+
+def test_wrappers_boost_const_dismax_edismax():
+    assert parse_json_query(
+        {"boost": {"query": {"term": {"query": "def"}}, "b": 2.5}}
+    ) == Boost(Term("def"), 2.5)
+    assert parse_json_query(
+        {"const": {"query": "def", "boost": 3.0}}
+    ) == ConstantScore(parse_query("def"), boost=3.0)
+    assert parse_json_query(
+        {"dismax": {"queries": ["def", {"term": {"query": "class"}}],
+                    "tie": 0.3}}
+    ) == DisMax(parse_query("def"), Term("class"), tie_breaker=0.3)
+    from lucene_solr_spark.search import edismax_query
+    assert parse_json_query(
+        {"edismax": {"query": "merge join", "qf": "title^2 body"}}
+    ) == edismax_query("merge join", {"title": 2.0, "body": 1.0})
+
+
+def test_param_indirection_and_tags():
+    params = {"myq": {"term": {"query": "def"}}, "other": "class"}
+    assert parse_json_query({"param": "myq"}, params) == Term("def")
+    assert parse_json_query(
+        {"bool": {"must": [{"param": "myq"}, {"param": "other"}]}}, params
+    ) == Bool(must=[Term("def"), parse_query("class")])
+    # #tag annotation is metadata — the wrapped query parses as itself
+    assert parse_json_query({"#top": {"term": {"query": "def"}}}) == \
+        Term("def")
+
+
+@pytest.mark.parametrize("bad", [
+    42,                                              # not string/object
+    {"term": {"query": "a"}, "prefix": {"query": "b"}},  # two parser keys
+    {"nosuchparser": "x"},                           # unknown parser
+    {"param": "missing"},                            # undefined param
+    {"terms": {"query": []}},                        # empty terms
+    {"dismax": {}},                                  # dismax without queries
+    {"term": {"f": "t"}},                            # no query value
+    {"boost": {"query": "x", "b": "log(tf)"}},       # non-numeric boost
+    {"edismax": {"query": "x"}},                     # edismax without qf
+])
+def test_parser_errors(bad):
+    with pytest.raises((ValueError, KeyError)):
+        parse_json_query(bad)
+
+
+def test_json_search_identity(spark, engine, oracle):
+    """The JSON DSL tree and the hand-built tree for the same logical
+    query produce bit-identical ranked results."""
+    qj = parse_json_query({"bool": {
+        "must": {"term": {"query": "def"}},
+        "should": "return",
+        "must_not": {"term": {"query": "lambda"}},
+        "filter": {"term": {"query": "import"}},
+    }})
+    qh = Bool(must=[Term("def")], should=[parse_query("return")],
+              must_not=[Term("lambda")], filter=[Term("import")])
+    assert qj == qh
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in search(engine, qj, k=10).collect()]
+    assert got == oracle.search(qh, k=10)
+    assert len(got) > 0
