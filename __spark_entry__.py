@@ -4592,6 +4592,81 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("orig_id"))
 
 
+def q_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime Get, end to end (``[8x] solr/core/.../handler/component/
+    RealTimeGetComponent.java``): build → updateDocument a key range →
+    delete a sub-range by key → /get a key set spanning updated,
+    deleted, untouched and missing keys.  The newest LIVE stored row
+    per key answers without any merge/commit step; the oracle
+    re-derives every surviving version from documents alone."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import (build_index, delete_docs,
+                                         realtime_get, update_documents)
+
+    d0 = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "text", "lang", "source"
+    ).filter(F.col("orig_id") < 600)
+    base = d0.withColumn(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    root = tempfile.mkdtemp(prefix="lss_rtg_")
+    build_index(spark, base, root, text_col="text", id_col="doc_id",
+                segment_docs=2000)
+    oid = F.col("orig_id")
+    upd = d0.filter(oid < 20).withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text")))
+    update_documents(spark, root, upd, ["orig_id"], text_col="text",
+                     id_col="doc_id")
+    # key-based delete: ALL live versions of keys 10..14 (incl. the
+    # just-appended updates) — Solr's deleteById semantics
+    stored = spark.read.parquet(f"{root}/docs.parquet")
+    victims = stored.filter((oid >= 10) & (oid < 15)).select("doc_id")
+    delete_docs(spark, root, victims)
+    keys = spark.range(0, 30).select(F.col("id").alias("orig_id")).union(
+        spark.createDataFrame([(999999,)], "orig_id long"))
+    got = realtime_get(spark, root, keys, ["orig_id"])
+    return (got.select("orig_id", F.md5("text").alias("text_md5"))
+            .orderBy("orig_id"))
+
+
+def q_atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr atomic updates, end to end (``[8x] solr/core/.../update/
+    processor/AtomicUpdateDocumentMerger.java``): build with an extra
+    numeric stored field, then ``inc`` it and ``set`` another field on
+    a key range WITHOUT the client re-sending documents; /get reads
+    the merged latest versions back.  Text is untouched, so the oracle
+    recomputes fields from documents and md5-pins the stored text."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import (atomic_update, build_index,
+                                         realtime_get)
+
+    d0 = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "text", "lang", "source"
+    ).filter(F.col("orig_id") < 600).withColumn(
+        "views", (F.col("orig_id") % 7).cast("long"))
+    base = d0.withColumn(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    root = tempfile.mkdtemp(prefix="lss_atomic_")
+    build_index(spark, base, root, text_col="text", id_col="doc_id",
+                segment_docs=2000)
+    keys = spark.range(0, 25).select(F.col("id").alias("orig_id"))
+    atomic_update(spark, root, keys,
+                  {"views": ("inc", 100), "lang": ("set", "xx")},
+                  ["orig_id"], text_col="text", id_col="doc_id")
+    want = spark.range(0, 50).select(F.col("id").alias("orig_id"))
+    got = realtime_get(spark, root, want, ["orig_id"])
+    return (got.select("orig_id", "views", "lang",
+                       F.md5("text").alias("text_md5"))
+            .orderBy("orig_id"))
+
+
 #: deterministic crawl-URL synthesis over (doc_id, source) — ONE SQL
 #: text evaluated by Spark and DuckDB alike (mixed case, explicit port,
 #: trailing slashes, query strings, blocked domains and a blocked TLD)
@@ -5607,6 +5682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "cluster_labels": q_cluster_labels,
         "changelog": q_changelog,
+        "realtime_get": q_realtime_get,
+        "atomic_update": q_atomic_update,
         "dv_update": q_dv_update,
         "url_filter": q_url_filter,
         "syn_graph": q_syn_graph,
@@ -9078,6 +9155,19 @@ WITH final AS (
   UNION ALL
   SELECT doc_id + 100000, 'brandnew ' || text FROM documents WHERE doc_id < 10)
 SELECT orig_id, md5(text) AS text_md5 FROM final ORDER BY orig_id""",
+        "realtime_get": """
+SELECT doc_id AS orig_id,
+       md5(CASE WHEN doc_id < 20 THEN 'v2 ' || text ELSE text END) AS text_md5
+FROM documents
+WHERE doc_id < 30 AND NOT (doc_id >= 10 AND doc_id < 15)
+ORDER BY orig_id""",
+        "atomic_update": """
+SELECT doc_id AS orig_id,
+       CAST(doc_id % 7 + CASE WHEN doc_id < 25 THEN 100 ELSE 0 END
+            AS BIGINT) AS views,
+       CASE WHEN doc_id < 25 THEN 'xx' ELSE lang END AS lang,
+       md5(text) AS text_md5
+FROM documents WHERE doc_id < 50 ORDER BY orig_id""",
         "dv_update": """
 SELECT doc_id,
        CAST(CASE WHEN doc_id < 25 THEN 7
