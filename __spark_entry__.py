@@ -119,6 +119,20 @@ def q_fts_term_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent — the /terms handler (``[8x] solr/core/.../handler/
+    component/TermsComponent.java``): dictionary enumeration under
+    terms.prefix + terms.lower/upper bounds (lower inclusive, upper
+    exclusive — Solr defaults) + terms.mincount, sorted terms.sort=count
+    (df desc, term asc) and capped at terms.limit.  Pure dictionary-scan
+    SQL; semantics pinned vs pandas in tests/test_relational_streaming."""
+    from lucene_solr_spark.relational import terms_component
+
+    index = _index_for(spark, sf_dir)
+    return terms_component(index.term_dict, prefix="s", lower="se",
+                           upper="sy", mincount=3, sort="count", limit=20)
+
+
 def q_fts_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc length + SmallFloat norm byte + quantized length."""
     index = _index_for(spark, sf_dir)
@@ -5488,6 +5502,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_term_dict": q_fts_term_dict,
+        "terms_component": q_terms_component,
         "fts_doc_norms": q_fts_doc_norms,
         "fts_termfreq": q_fts_termfreq,
         "fts_term_counts": q_fts_term_counts,
@@ -7903,6 +7918,14 @@ SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM tok GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
+        "terms_component": f"""
+WITH {_TOK_CTE},
+d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(count(*) AS BIGINT) AS cf
+      FROM tok GROUP BY term)
+SELECT term, df, cf FROM d
+WHERE term LIKE 's%' AND term >= 'se' AND term < 'sy' AND df >= 3
+ORDER BY df DESC, term ASC LIMIT 20""",
         "fts_doc_norms": f"""
 WITH {_TOK_CTE},
 dl0 AS (SELECT d.doc_id, coalesce(t.dl, 0) AS dl FROM documents d

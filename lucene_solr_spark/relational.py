@@ -587,6 +587,58 @@ def significant_terms(postings: DataFrame, fg_docs: DataFrame, doc_col: str = "d
     )
 
 
+def terms_component(
+    term_dict: DataFrame,
+    *,
+    prefix: str | None = None,
+    regex: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
+    include_lower: bool = True,
+    include_upper: bool = False,
+    mincount: int = 1,
+    maxcount: int | None = None,
+    limit: int = 10,
+    sort: str = "count",
+) -> DataFrame:
+    """TermsComponent — the ``/terms`` handler (``[8x] solr/core/src/java/
+    org/apache/solr/handler/component/TermsComponent.java``): enumerate
+    the index's term dictionary with docFreq (and totalTermFreq, Solr's
+    ``terms.ttf``), filtered by ``terms.prefix`` / ``terms.regex`` /
+    ``terms.lower``/``terms.upper`` bounds (Solr defaults: lower
+    inclusive, upper exclusive), ``terms.mincount``/``terms.maxcount``,
+    sorted by ``terms.sort=count`` (df desc) or ``index`` (term asc) and
+    capped at ``terms.limit``.
+
+    Everything is native SQL over the dictionary DataFrame — the filters
+    reach the parquet/aggregate scan, the limit is a TakeOrdered; no
+    term list ever touches the driver."""
+    out = term_dict
+    if prefix is not None:
+        out = out.filter(F.col("term").startswith(prefix))
+    if regex is not None:
+        out = out.filter(F.col("term").rlike(regex))
+    if lower is not None:
+        out = out.filter(
+            F.col("term") >= lower if include_lower else F.col("term") > lower)
+    if upper is not None:
+        out = out.filter(
+            F.col("term") <= upper if include_upper else F.col("term") < upper)
+    out = out.filter(F.col("df") >= int(mincount))
+    if maxcount is not None:
+        out = out.filter(F.col("df") <= int(maxcount))
+    if sort == "count":
+        out = out.orderBy(F.desc("df"), F.asc("term"))
+    elif sort == "index":
+        out = out.orderBy(F.asc("term"))
+    else:
+        raise ValueError(f"terms.sort must be 'count' or 'index', got {sort!r}")
+    return out.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    ).limit(int(limit))
+
+
 # --- streaming-expression analogs (§2.7) -----------------------------------
 
 

@@ -389,3 +389,52 @@ def test_group_by_queries_and_function(sales):
     plan = g._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0].lower()
     assert final.count("scan existingrdd") == 1
+
+
+def test_terms_component(spark):
+    """/terms handler semantics: prefix/regex/bounds (lower inclusive,
+    upper exclusive — Solr defaults), mincount, sort=count|index, limit;
+    checked against a pandas recomputation of the same dictionary."""
+    rows = []
+    words = ["apple", "apply", "apt", "bat", "batch", "cat"]
+    for d in range(12):
+        for i, w in enumerate(words):
+            if d % (i + 1) == 0:
+                rows.append((d, w))
+    dic = (
+        spark.createDataFrame(rows, "doc_id long, term string")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf"))
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "term"])
+    ref = pdf.groupby("term").agg(df=("doc_id", "nunique"), cf=("doc_id", "size"))
+
+    got = [(r["term"], r["df"]) for r in
+           R.terms_component(dic, prefix="ap", sort="index", limit=10).collect()]
+    want = sorted((t, int(ref.loc[t, "df"])) for t in ref.index if t.startswith("ap"))
+    assert got == want
+
+    # count sort: df desc, term asc tie-break; mincount prunes
+    got = [r["term"] for r in
+           R.terms_component(dic, mincount=5, sort="count", limit=3).collect()]
+    byc = sorted(((-int(ref.loc[t, "df"]), t) for t in ref.index
+                  if ref.loc[t, "df"] >= 5))
+    assert got == [t for _, t in byc[:3]]
+
+    # bounds: lower inclusive, upper exclusive (Solr defaults)
+    got = {r["term"] for r in
+           R.terms_component(dic, lower="apt", upper="cat", limit=10,
+                             sort="index").collect()}
+    assert got == {t for t in ref.index if "apt" <= t < "cat"}
+
+    # regex + maxcount
+    got = {r["term"] for r in
+           R.terms_component(dic, regex="^ba.*", maxcount=6, limit=10,
+                             sort="index").collect()}
+    assert got == {t for t in ref.index
+                   if t.startswith("ba") and ref.loc[t, "df"] <= 6}
+
+    with pytest.raises(ValueError):
+        R.terms_component(dic, sort="banana")
