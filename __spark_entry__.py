@@ -745,6 +745,37 @@ def q_multifield_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_copy_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr copyField ([8x] solr/core/.../schema/IndexSchema.java): a
+    catch-all 'all' field built by copy_field_column(source, text) with
+    a Gap-first analyzer (positionIncrementGap=100 across the copied
+    values — Lucene's Analyzer#getPositionIncrementGap arithmetic,
+    phrase-boundary semantics pinned in tests/test_multifield.py).  The
+    oracle re-derives the catch-all dictionary from the concatenated
+    sources; the gap sentinel never reaches the dictionary."""
+    from lucene_solr_spark.analysis import (Chain, copy_field_column,
+                                            position_gap_filter)
+    from lucene_solr_spark.index import build_multifield_index_view
+
+    d = _docs(spark, sf_dir).withColumn(
+        "alltext", copy_field_column(["source", "text"]))
+    idx = build_multifield_index_view(
+        d, fields={"text": "text", "all": "alltext"}, default_field="text",
+        analyzers={"all": Chain(steps=(position_gap_filter(),))},
+    )
+    out = (
+        idx.term_dict.filter(F.col("term").startswith("all:"))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward index (Lucene term vectors): doc 7's (term, tf) pairs
     from the map-only term_vectors kernel — the store MoreLikeThis reads
@@ -5544,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cartesian": q_stream_cartesian,
         "stream_fetch": q_stream_fetch,
         "multifield_dict": q_multifield_dict,
+        "copy_field": q_copy_field,
         "edismax": q_edismax,
         "edismax_pf": q_edismax_pf,
         "term_vector": q_term_vector,
@@ -8694,6 +8726,16 @@ srcd AS (
 )
 SELECT term, df, cf FROM textd UNION ALL SELECT term, df, cf FROM srcd
 ORDER BY term""",
+        "copy_field": f"""
+WITH tokall AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+    lower(source || ' ' || text), '{TOKEN_PATTERN}')) AS term
+  FROM documents)
+SELECT 'all:' || term AS term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tokall GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
         "graph_gather": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem

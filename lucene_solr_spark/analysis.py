@@ -54,6 +54,9 @@ __all__ = [
     "Expand",
     "Shingle",
     "CommonGrams",
+    "Gap",
+    "position_gap_filter",
+    "copy_field_column",
     "CharReplace",
     "html_strip_char_filter",
     "pattern_replace_char_filter",
@@ -479,6 +482,27 @@ class CommonGrams:
 
 
 @dataclass(frozen=True)
+class Gap:
+    """Multivalue position-increment gap — Lucene's
+    ``Analyzer#getPositionIncrementGap`` (``[8x] lucene/core/src/java/
+    org/apache/lucene/analysis/Analyzer.java``; Solr TextField default
+    positionIncrementGap=100).  The engine encodes a multivalued field
+    (and Solr ``copyField`` destinations, ``[8x] solr/core/.../schema/
+    IndexSchema.java`` copyField) as the values joined by a reserved
+    ``sentinel`` token (see ``copy_field_column``); this step removes
+    every sentinel and shifts each token by ``gap - 1`` extra positions
+    per preceding sentinel in its row, so the first token of value v+1
+    lands exactly ``gap`` positions after the last token of value v —
+    the same arithmetic Lucene gets by restarting the TokenStream per
+    value.  Phrases therefore cannot match across value boundaries
+    unless slop >= gap.  Place it FIRST in the chain (it consumes raw
+    tokenizer positions, like Lucene applies the gap at the source)."""
+
+    sentinel: str = "xposgapx"
+    gap: int = 100
+
+
+@dataclass(frozen=True)
 class Fingerprint:
     """FingerprintFilter (``[8x] lucene/analysis/common/src/java/org/
     apache/lucene/analysis/miscellaneous/FingerprintFilter.java`` —
@@ -897,6 +921,37 @@ def fingerprint_filter(sep: str = " ",
     return Fingerprint(sep=sep, max_output_token_size=max_output_token_size)
 
 
+def position_gap_filter(sentinel: str = "xposgapx", gap: int = 100) -> Gap:
+    """See :class:`Gap`.  ``gap`` must be >= 1 (gap=1 means adjacent
+    values — positionIncrementGap=0 territory is gap=1 here because the
+    removed sentinel itself contributed one position)."""
+    gap = int(gap)
+    if gap < 1:
+        raise ValueError(f"position gap must be >= 1, got {gap}")
+    import re
+
+    if not re.fullmatch(TOKEN_PATTERN, sentinel):
+        raise ValueError(
+            f"gap sentinel {sentinel!r} would not survive tokenization "
+            f"(must match {TOKEN_PATTERN})")
+    return Gap(str(sentinel), gap)
+
+
+def copy_field_column(sources: "list[str]", sentinel: str = "xposgapx"):
+    """Solr copyField destination (``[8x] solr/core/.../schema/
+    IndexSchema.java`` copyField / ``[8x] solr/core/.../update/
+    DocumentBuilder.java``): one catch-all column holding every source
+    value, joined by the reserved gap sentinel so a chain whose first
+    step is ``position_gap_filter(sentinel, gap)`` reproduces Lucene's
+    multivalue position arithmetic.  Pure JVM expression (concat_ws) —
+    the copy happens inside the scan projection, never in Python."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        f" {sentinel} ", *[F.coalesce(F.col(s), F.lit("")) for s in sources]
+    )
+
+
 def minhash_filter(bucket_count: int = 512, hash_set_size: int = 1,
                    with_rotation: bool | None = None) -> MinHashStep:
     """``with_rotation=None`` → Lucene's default: rotate exactly when
@@ -1292,6 +1347,15 @@ class Chain:
                     if stream[i][0] in step.words or stream[i + 1][0] in step.words
                 ]
                 stream = stream + cg
+            elif isinstance(step, Gap):
+                out = []
+                nsent = 0
+                for t, p in stream:
+                    if t == step.sentinel:
+                        nsent += 1
+                    else:
+                        out.append((t, p + nsent * (step.gap - 1)))
+                stream = out
             elif isinstance(step, Fingerprint):
                 if stream:
                     fp = step.sep.join(sorted({t for t, _ in stream}))
@@ -1419,6 +1483,25 @@ class Chain:
                 # [row's unigrams..., row's grams...] contiguously)
                 order = np.argsort(row_idx, kind="stable")
                 terms, row_idx, pos = terms[order], row_idx[order], pos[order]
+            elif isinstance(step, Gap):
+                is_sent = terms == step.sentinel
+                if not is_sent.any():
+                    continue
+                # row-major stream order; per-row running sentinel count
+                # before each token, all via one cumsum + row-start rebase
+                order = np.lexsort((pos, row_idx))
+                s_sorted = is_sent[order]
+                r_sorted = row_idx[order]
+                before = np.cumsum(s_sorted) - s_sorted
+                change = np.empty(r_sorted.size, dtype=bool)
+                change[0] = True
+                change[1:] = r_sorted[1:] != r_sorted[:-1]
+                base = np.maximum.accumulate(np.where(change, before, 0))
+                new_pos = pos[order] + (before - base) * (step.gap - 1)
+                keep = ~s_sorted
+                terms = terms[order][keep]
+                row_idx = r_sorted[keep]
+                pos = new_pos[keep]
             elif isinstance(step, Fingerprint):
                 df_fp = pd.DataFrame({"r": row_idx, "t": terms.astype(object)})
                 joined = (
@@ -1633,6 +1716,11 @@ def chain_spec(chain: Chain) -> dict | None:
                  "hash_set_size": step.hash_set_size,
                  "with_rotation": step.with_rotation}
             )
+        elif isinstance(step, Gap):
+            steps.append(
+                {"kind": "position_gap", "sentinel": step.sentinel,
+                 "gap": step.gap}
+            )
         else:
             return None  # custom callable — not declaratively serializable
     chars: list = []
@@ -1744,6 +1832,9 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(minhash_filter(
                 s.get("bucket_count", 512), s.get("hash_set_size", 1),
                 s.get("with_rotation")))
+        elif kind == "position_gap":
+            steps.append(position_gap_filter(
+                s.get("sentinel", "xposgapx"), s.get("gap", 100)))
         else:
             raise ValueError(f"unknown chain step kind: {kind!r}")
     chars = tuple(

@@ -991,3 +991,64 @@ def test_dictionary_compound_flat_matches_reference():
     test_chain_flat_matches_reference(
         (dictionary_compound_filter(
             ["data", "class", "connect", "ion", "merge"]),))
+
+
+def test_position_gap_semantics():
+    """Gap step: sentinel removed, following tokens shifted so value v+1
+    starts exactly ``gap`` positions after value v's last token — the
+    Analyzer#getPositionIncrementGap arithmetic."""
+    from lucene_solr_spark.analysis import (
+        Gap, chain_from_spec, chain_spec, position_gap_filter,
+    )
+
+    g = position_gap_filter("xposgapx", 100)
+    chain = Chain(steps=(g,))
+    assert chain.tokens("a b xposgapx c d") == [
+        ("a", 0), ("b", 1), ("c", 102), ("d", 103)]
+    # two boundaries accumulate; empty values collapse (two sentinels)
+    assert chain.tokens("a xposgapx xposgapx b") == [("a", 0), ("b", 201)]
+    # gap=1: adjacent values (sentinel's own position absorbed)
+    assert Chain(steps=(position_gap_filter("xposgapx", 1),)).tokens(
+        "a xposgapx b") == [("a", 0), ("b", 2)]
+    # no sentinel → identity
+    assert chain.tokens("a b c") == [("a", 0), ("b", 1), ("c", 2)]
+    # spec round-trip
+    assert chain_from_spec(chain_spec(chain)) == chain
+    assert chain_spec(chain)["steps"] == [
+        {"kind": "position_gap", "sentinel": "xposgapx", "gap": 100}]
+    with pytest.raises(ValueError):
+        position_gap_filter(gap=0)
+    with pytest.raises(ValueError):
+        position_gap_filter(sentinel="has space")
+    assert isinstance(g, Gap)
+
+
+def test_position_gap_flat_matches_reference():
+    """Vectorized Gap kernel == per-doc reference on sentinel-laden
+    streams, alone and composed with downstream steps."""
+    from lucene_solr_spark.analysis import position_gap_filter
+
+    rng = np.random.default_rng(53)
+    vocab = ["the", "running", "data", "merge", "xposgapx", "joins",
+             "xposgapx", "fast", "classes"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 14)))
+        for _ in range(80)
+    ]
+    for steps in [
+        (position_gap_filter(),),
+        (position_gap_filter("xposgapx", 7),),
+        (position_gap_filter(), stop_filter(["the"])),
+        (position_gap_filter(), stem_filter()),
+        (position_gap_filter("xposgapx", 3), shingle_filter(2)),
+    ]:
+        chain = Chain(steps=steps)
+        terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
+        got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+        want = sorted(
+            (t, r, p) for r, text in enumerate(texts)
+            for t, p in chain.tokens(text)
+        )
+        assert got == want, steps
+        for r, text in enumerate(texts):
+            assert dl[r] == len(chain.tokens(text)), (r, steps)

@@ -347,3 +347,62 @@ def test_edismax_pf_engine_vs_oracle(engine, oracle):
         base = edismax_query("def main", {"content": 1.0, "path": 1.0})
         assert {d for d, _ in oracle.search(base, k=100)} == \
                {d for d, _ in oracle.search(q, k=100)}
+
+
+def test_copy_field_with_position_gap(spark, corpus):
+    """Solr copyField: a catch-all destination built by copy_field_column
+    + a Gap-first analyzer.  df/search identity vs MiniLucene on the same
+    chain; phrases cannot cross the value boundary unless slop >= gap."""
+    from lucene_solr_spark.analysis import (
+        Chain, copy_field_column, position_gap_filter,
+    )
+
+    gap = 50
+    chain = Chain(steps=(position_gap_filter("xposgapx", gap),))
+    df = spark.createDataFrame(
+        corpus[["doc_id", "content", "pathtext"]]
+    ).withColumn("alltext", copy_field_column(["content", "pathtext"]))
+    idx = build_multifield_index_view(
+        df,
+        fields={"content": "content", "all": "alltext"},
+        default_field="content",
+        analyzers={"all": chain},
+    )
+    try:
+        sent = " xposgapx "
+        docs = [
+            (int(r.doc_id),
+             {"content": r.content, "all": r.content + sent + r.pathtext})
+            for r in corpus.itertuples()
+        ]
+        oracle = MiniLucene(docs, default_field="content",
+                            analyzers={"all": chain})
+
+        # catch-all term search: engine == oracle, and the copy really
+        # unions the sources (a path-only token is findable via all:)
+        for q in [Term("all:def"), Term("all:py"),
+                  Bool(must=[Term("all:def")], should=[Term("all:py")])]:
+            got = [(int(r["doc_id"]), np.float32(r["score"]))
+                   for r in search(idx, q, k=10).collect()]
+            assert got == oracle.search(q, k=10)
+        assert count_hits(idx, Term("all:py")) == oracle.count(Term("all:py"))
+        assert count_hits(idx, Term("all:py")) > 0
+
+        # boundary phrase: last content word + first path word are
+        # adjacent in the raw concat but `gap` positions apart here
+        row = corpus.iloc[0]
+        last_c = chain.tokens(row["content"])[-1][0]
+        first_p = row["pathtext"].lower().split()[0]
+        cross = Phrase(f"all:{last_c}", f"all:{first_p}")
+        assert oracle.count(cross) == count_hits(idx, cross)
+        in_doc0 = {d for d, _ in oracle.search(
+            Phrase(f"all:{last_c}", f"all:{first_p}", slop=gap), k=N)}
+        # with slop >= gap the boundary can be crossed again
+        assert 0 in in_doc0
+        got_sloppy = {int(r["doc_id"]) for r in search(
+            idx, Phrase(f"all:{last_c}", f"all:{first_p}", slop=gap),
+            k=N).collect()}
+        assert got_sloppy == in_doc0
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
