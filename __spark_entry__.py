@@ -745,6 +745,45 @@ def q_multifield_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_preanalyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PreAnalyzedField ([8x] solr/core/.../schema/PreAnalyzedField.java
+    + JsonPreAnalyzedParser.java): a client-shipped analyzed stream —
+    three tokens per doc with EXPLICIT position increments (1, 2, and
+    1 + doc_id % 3) — is serialized to the parser's JSON, indexed with
+    NO analysis chain, and read back as decoded absolute positions.
+    The oracle recomputes each token's running-sum position directly;
+    chain round-trip identity (BM25 scores included) is pinned in
+    tests/test_preanalyzed.py."""
+    from lucene_solr_spark.index import build_preanalyzed_index_view
+
+    d = _docs(spark, sf_dir)
+    tokens = F.array(
+        F.struct(F.col("lang").alias("t"), F.lit(1).alias("i")),
+        F.struct(F.lower("source").alias("t"), F.lit(2).alias("i")),
+        F.struct(
+            F.concat(F.lit("w"), (F.col("doc_id") % 5).cast("string")).alias("t"),
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("i"),
+        ),
+    )
+    df = d.select(
+        "doc_id",
+        F.to_json(F.struct(F.lit("1").alias("v"),
+                           tokens.alias("tokens"))).alias("pa"),
+    )
+    idx = build_preanalyzed_index_view(df, "pa", "doc_id")
+    from lucene_solr_spark.search.executor import positions_table
+
+    out = (
+        positions_table(idx, None, blocks=idx.postings)
+        .select("term", "doc_id", F.explode("positions").alias("p"))
+        .select("term", "doc_id", F.col("p").cast("long").alias("pos"))
+        .orderBy("term", "doc_id", "pos")
+    )
+    rows = out.collect()
+    idx.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_copy_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr copyField ([8x] solr/core/.../schema/IndexSchema.java): a
     catch-all 'all' field built by copy_field_column(source, text) with
@@ -5576,6 +5615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_fetch": q_stream_fetch,
         "multifield_dict": q_multifield_dict,
         "copy_field": q_copy_field,
+        "preanalyzed": q_preanalyzed,
         "edismax": q_edismax,
         "edismax_pf": q_edismax_pf,
         "term_vector": q_term_vector,
@@ -8736,6 +8776,15 @@ SELECT 'all:' || term AS term,
        CAST(count(*) AS BIGINT) AS cf
 FROM tokall GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
+        "preanalyzed": """
+WITH pa AS (
+  SELECT lang AS term, doc_id, CAST(0 AS BIGINT) AS pos FROM documents
+  UNION ALL
+  SELECT lower(source), doc_id, CAST(2 AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'w' || CAST(doc_id % 5 AS VARCHAR), doc_id,
+         CAST(3 + doc_id % 3 AS BIGINT) FROM documents)
+SELECT term, doc_id, pos FROM pa ORDER BY term, doc_id, pos""",
         "graph_gather": """
 WITH RECURSIVE e AS (
   SELECT DISTINCT 'p:' || l_partkey AS s, 's:' || l_suppkey AS d FROM lineitem

@@ -15,6 +15,9 @@ from .core import (
     invert_tokens,
 )
 from .merge import merge_postings, merge_segments, tiered_merge
+from .preanalyzed import (PREANALYZED_JSON_SCHEMA, build_preanalyzed_index_view,
+                          preanalyzed_norms, preanalyzed_token_stream,
+                          to_preanalyzed_json)
 
 __all__ = [
     "IndexView",
@@ -50,4 +53,9 @@ __all__ = [
     "read_manifest",
     "tiered_merge",
     "write_manifest",
+    "PREANALYZED_JSON_SCHEMA",
+    "build_preanalyzed_index_view",
+    "preanalyzed_norms",
+    "preanalyzed_token_stream",
+    "to_preanalyzed_json",
 ]

@@ -1,0 +1,192 @@
+"""PreAnalyzedField: index a client-shipped, already-analyzed token stream.
+
+Solr's PreAnalyzedField (``[8x] solr/core/src/java/org/apache/solr/
+schema/PreAnalyzedField.java``) with its default JsonPreAnalyzedParser
+(``[8x] .../schema/JsonPreAnalyzedParser.java``): the field VALUE is a
+JSON document carrying the analyzed token stream — the client (an
+external NLP pipeline, a different analyzer version, a hand-tuned
+stream) did the analysis, and the indexer uses it verbatim, running NO
+analysis chain of its own::
+
+    {"v": "1",
+     "str": "optional stored text",
+     "tokens": [{"t": "one",   "s": 0, "e": 3, "i": 1},
+                {"t": "two",   "s": 4, "e": 7, "i": 1},
+                {"t": "three", "s": 8, "e": 13, "i": 2}]}
+
+``t`` is the term, ``i`` the position INCREMENT (default 1; Lucene's
+PositionIncrementAttribute — gaps survive as increments > 1), ``s``/``e``
+the stored offsets, ``p`` an optional payload.  Version ``v`` must be
+``"1"`` (the parser throws otherwise).
+
+Spark-first shape: ``from_json`` parses the column JVM-side; absolute
+positions come from a per-doc running sum of increments (a window keyed
+by doc — embarrassingly parallel); the resulting TOKEN_STREAM_SCHEMA
+rows feed the SAME ``encode_postings`` codec path every other build
+uses, and norms quantize ``size(tokens)`` exactly like the analyzed
+path (dl = post-chain token count).  A stream generated from
+``Chain.tokens`` therefore round-trips to a bit-identical index — the
+identity tests/test_preanalyzed.py pins, BM25 scores included.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..bm25 import BM25
+from ..smallfloat import int_to_byte4
+from .core import (IndexView, NORMS_SCHEMA, TOKEN_STREAM_SCHEMA,
+                   encode_postings)
+
+__all__ = [
+    "PREANALYZED_JSON_SCHEMA",
+    "preanalyzed_token_stream",
+    "preanalyzed_norms",
+    "build_preanalyzed_index_view",
+    "to_preanalyzed_json",
+]
+
+#: JsonPreAnalyzedParser's vocabulary (version / stored-text / tokens
+#: with term, offsets, position increment, payload), as a DDL string
+PREANALYZED_JSON_SCHEMA = (
+    "struct<v:string, str:string, "
+    "tokens:array<struct<t:string, s:int, e:int, i:int, p:string>>>"
+)
+
+
+def preanalyzed_token_stream(
+    df: DataFrame, json_col: str, id_col: str = "doc_id",
+    validate: bool = True,
+) -> DataFrame:
+    """Parse the preanalyzed JSON column into TOKEN_STREAM_SCHEMA rows
+    (term, doc_id, pos, dl).  Positions are the running sum of the
+    ``i`` increments (missing ``i`` defaults to 1, like the parser),
+    zero-based; ``dl`` is the token count (what Lucene's norms record).
+
+    ``validate=True`` mirrors the parser's version check: any row whose
+    JSON fails to parse or whose ``v`` != "1" raises ValueError (one
+    aggregate job; disable for pre-validated pipelines)."""
+    from pyspark.sql.window import Window
+
+    parsed = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.from_json(F.col(json_col), PREANALYZED_JSON_SCHEMA).alias("pa"),
+    )
+    if validate:
+        bad = parsed.filter(
+            F.col("pa").isNull() | (F.col("pa.v") != "1")
+            | F.col("pa.v").isNull()
+        )
+        n_bad = bad.count()
+        if n_bad:
+            sample = [r["doc_id"] for r in bad.select("doc_id").limit(5).collect()]
+            raise ValueError(
+                f"{n_bad} preanalyzed rows failed to parse or have "
+                f"version != '1' (doc_ids {sample}); JsonPreAnalyzedParser "
+                f"accepts only v=1 documents")
+    tok = parsed.select(
+        "doc_id",
+        F.coalesce(F.size("pa.tokens"), F.lit(0)).cast("long").alias("dl"),
+        F.posexplode("pa.tokens").alias("ord", "tk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    return tok.select(
+        F.col("tk.t").alias("term"),
+        "doc_id",
+        (F.sum(F.coalesce(F.col("tk.i"), F.lit(1)).cast("long")).over(w)
+         - F.lit(1)).alias("pos"),
+        "dl",
+    )
+
+
+def preanalyzed_norms(
+    df: DataFrame, json_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc norms from the token COUNT (dl), SmallFloat-quantized
+    exactly like the analyzed path; zero-token and null docs get dl=0.
+    Map-only (the count comes from ``size(tokens)`` in the scan
+    projection; only the byte quantization is a vectorized kernel)."""
+    lens = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.coalesce(
+            F.size(F.from_json(F.col(json_col),
+                               PREANALYZED_JSON_SCHEMA)["tokens"]),
+            F.lit(0),
+        ).cast("long").alias("length"),
+    )
+
+    def _nb(batches):
+        for pdf in batches:
+            dl = pdf["length"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "length": dl,
+                "norm_byte": int_to_byte4(dl),
+            })
+
+    return lens.mapInPandas(_nb, NORMS_SCHEMA)
+
+
+def build_preanalyzed_index_view(
+    df: DataFrame,
+    json_col: str,
+    id_col: str = "doc_id",
+    bm25: BM25 | None = None,
+    num_partitions: int | None = None,
+    cache: bool = True,
+    validate: bool = True,
+) -> IndexView:
+    """One-shot transient index over a preanalyzed column — the
+    PreAnalyzedField write path: no analysis chain anywhere; the
+    client's stream goes straight through ``encode_postings``."""
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    stream = preanalyzed_token_stream(df, json_col, id_col, validate=validate)
+    postings = encode_postings(stream, num_partitions)
+    if cache:
+        postings = postings.persist()
+    term_dict = postings.groupBy("term").agg(
+        F.sum("doc_count").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("cf"),
+    )
+    norms = preanalyzed_norms(df, json_col, id_col)
+    if cache:
+        norms = norms.persist()
+    stats = norms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"),
+    ).collect()[0]
+    return IndexView(
+        spark=spark,
+        postings=postings,
+        term_dict=term_dict,
+        norms=norms,
+        doc_count=int(stats["n"]),
+        sum_ttf=int(stats["ttf"]),
+        bm25=bm25 or BM25(),
+        cached=((postings, norms) if cache else ()),
+    )
+
+
+def to_preanalyzed_json(chain, text: str, stored: bool = False) -> str:
+    """Serialize ``chain.tokens(text)`` to the JSON the parser reads —
+    JsonPreAnalyzedParser#toFormattedString's shape (increments rebuild
+    the chain's position gaps exactly).  Driver/test-side helper: the
+    round-trip through :func:`build_preanalyzed_index_view` must be
+    bit-identical to indexing ``text`` with ``chain``."""
+    import json
+
+    toks = chain.tokens(text)
+    out: list[dict] = []
+    prev = -1
+    for t, p in toks:
+        out.append({"t": t, "i": int(p - prev)})
+        prev = p
+    doc: dict = {"v": "1", "tokens": out}
+    if stored:
+        doc["str"] = text
+    return json.dumps(doc)

@@ -1,0 +1,111 @@
+"""PreAnalyzedField: client-shipped token streams round-trip to a
+bit-identical index (dictionary, norms, BM25 scores), position
+increments are honored, and the JsonPreAnalyzedParser version check
+raises.  Mirrors [8x] solr/core/src/java/org/apache/solr/schema/
+PreAnalyzedField.java + JsonPreAnalyzedParser.java (upstream
+TestPreAnalyzedField exercises the same parse/round-trip surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analysis import Chain, stem_filter, stop_filter
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import (
+    build_index_view,
+    build_preanalyzed_index_view,
+    preanalyzed_token_stream,
+    to_preanalyzed_json,
+)
+from lucene_solr_spark.search import Bool, Phrase, Term, count_hits, search
+
+N = 100
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return Chain(steps=(stop_filter(["the", "of"]), stem_filter()))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, chain):
+    pdf = gen_corpus_pdf(N, seed=61).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N, dtype=np.int64)
+    pdf["pa"] = [to_preanalyzed_json(chain, t) for t in pdf["content"]]
+    return pdf
+
+
+def test_preanalyzed_roundtrip_identity(spark, corpus, chain):
+    """Indexing the serialized stream == indexing the text with the
+    chain: dictionary, norms and ranked BM25 results all bit-identical
+    (the stream carries the chain's position gaps as increments)."""
+    df = spark.createDataFrame(corpus[["doc_id", "content", "pa"]])
+    via_text = build_index_view(df, "doc_id", "content", analyzer=chain)
+    via_pa = build_preanalyzed_index_view(df, "pa", "doc_id")
+    try:
+        assert via_pa.doc_count == via_text.doc_count
+        assert via_pa.sum_ttf == via_text.sum_ttf
+        d1 = sorted(map(tuple, via_text.term_dict.collect()))
+        d2 = sorted(map(tuple, via_pa.term_dict.collect()))
+        assert d1 == d2
+        n1 = sorted(map(tuple, via_text.norms.collect()))
+        n2 = sorted(map(tuple, via_pa.norms.collect()))
+        assert n1 == n2
+        for q in [Term("def"), Bool(must=[Term("def")], should=[Term("return")]),
+                  Phrase("def", "main")]:
+            a = [(int(r["doc_id"]), np.float32(r["score"]))
+                 for r in search(via_text, q, k=10).collect()]
+            b = [(int(r["doc_id"]), np.float32(r["score"]))
+                 for r in search(via_pa, q, k=10).collect()]
+            assert a == b, q
+    finally:
+        via_text.unpersist()
+        via_pa.unpersist()
+
+
+def test_preanalyzed_increments_and_empty_docs(spark):
+    """Explicit increments: i accumulates to absolute positions (gap
+    respected by phrases); empty/absent token arrays still get norms
+    rows with dl=0; missing i defaults to 1."""
+    import json
+
+    rows = [
+        (0, json.dumps({"v": "1", "tokens": [
+            {"t": "alpha", "i": 1}, {"t": "beta", "i": 3},
+            {"t": "gamma"}]})),
+        (1, json.dumps({"v": "1", "tokens": []})),
+        (2, json.dumps({"v": "1", "tokens": [
+            {"t": "alpha", "i": 1}, {"t": "beta", "i": 1}]})),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pa string")
+    stream = preanalyzed_token_stream(df, "pa").collect()
+    got = sorted((r["term"], r["doc_id"], r["pos"], r["dl"]) for r in stream)
+    assert got == [
+        ("alpha", 0, 0, 3), ("alpha", 2, 0, 2),
+        ("beta", 0, 3, 3), ("beta", 2, 1, 2),
+        ("gamma", 0, 4, 3),
+    ]
+    idx = build_preanalyzed_index_view(df, "pa")
+    try:
+        norms = {r["doc_id"]: r["length"] for r in idx.norms.collect()}
+        assert norms == {0: 3, 1: 0, 2: 2}
+        # doc 2's alpha/beta are adjacent; doc 0's are 3 apart
+        assert count_hits(idx, Phrase("alpha", "beta")) == 1
+        assert count_hits(idx, Phrase("alpha", "beta", slop=2)) == 2
+    finally:
+        idx.unpersist()
+
+
+def test_preanalyzed_version_check(spark):
+    import json
+
+    bad = [(0, json.dumps({"v": "2", "tokens": [{"t": "x"}]})),
+           (1, "not json at all")]
+    df = spark.createDataFrame(bad, "doc_id long, pa string")
+    with pytest.raises(ValueError, match="version"):
+        preanalyzed_token_stream(df, "pa").collect()
+    # validate=False skips the gate (pre-validated pipelines)
+    ok = preanalyzed_token_stream(df, "pa", validate=False)
+    assert ok.count() == 1
