@@ -548,6 +548,19 @@ def q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey").orderBy("c_custkey"))
 
 
+def _bbox_overlap_oracle() -> str:
+    from lucene_solr_spark.functions import bbox_overlap_sql
+
+    score = bbox_overlap_sql(
+        BBOX_SYN["minx"], BBOX_SYN["maxx"], BBOX_SYN["miny"],
+        BBOX_SYN["maxy"], *BBOX_QRECT)
+    return f"""
+WITH s AS (SELECT doc_id, {score} AS score64 FROM documents)
+SELECT doc_id, CAST(score64 AS FLOAT) AS score FROM s
+WHERE score64 > 0e0
+ORDER BY score64 DESC, doc_id ASC LIMIT 100"""
+
+
 def _geo_polygon_oracle() -> str:
     from lucene_solr_spark.functions import (polygon_bbox_sql,
                                              polygon_contains_sql)
@@ -563,6 +576,39 @@ SELECT c_custkey FROM pts
 WHERE {polygon_bbox_sql('lat', 'lon', GEO_POLY)}
   AND {polygon_contains_sql('lat', 'lon', GEO_POLY)}
 ORDER BY c_custkey""")
+
+
+#: deterministic per-doc rectangle synthesis — ONE SQL text per side,
+#: evaluated verbatim by Spark and DuckDB (integer arithmetic, exact)
+BBOX_SYN = {
+    "minx": "CAST(doc_id % 50 AS DOUBLE)",
+    "maxx": "CAST(doc_id % 50 + 1 + doc_id % 9 AS DOUBLE)",
+    "miny": "CAST(doc_id * 7 % 40 AS DOUBLE)",
+    "maxy": "CAST(doc_id * 7 % 40 + 1 + doc_id % 5 AS DOUBLE)",
+}
+#: fixed query rectangle for the bbox_overlap entry
+BBOX_QRECT = (20.0, 35.0, 10.0, 25.0)
+
+
+def q_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBoxField score=overlapRatio ([8x] lucene/spatial-extras/.../bbox/
+    BBoxOverlapRatioValueSource.java): per-doc rectangles scored against
+    a fixed query box with the qtp-blended intersection-area ratios —
+    the WHOLE score is one shared f64 SQL text, so the DuckDB oracle
+    replays it bit-for-bit; intersecting docs only (score > 0), ranked."""
+    from lucene_solr_spark.functions import bbox_overlap_sql
+
+    score = bbox_overlap_sql(
+        BBOX_SYN["minx"], BBOX_SYN["maxx"], BBOX_SYN["miny"],
+        BBOX_SYN["maxy"], *BBOX_QRECT)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(score).alias("score64"))
+        .filter(F.col("score64") > 0.0)
+        .orderBy(F.desc("score64"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", F.expr("CAST(score64 AS FLOAT)").alias("score"))
+    )
 
 
 CT_TERMS = ("dup", "data", "table")  # 'dup' df≈5%, others ≈78% -> split at 0.5
@@ -5596,6 +5642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_interval": q_facet_interval,
         "geo_filt": q_geo_filt,
         "geo_polygon": q_geo_polygon,
+        "bbox_overlap": q_bbox_overlap,
         "geo_sort": q_geo_sort,
         "geo_heatmap": q_geo_heatmap,
         "common_terms": q_common_terms,
@@ -8628,6 +8675,7 @@ SELECT * FROM (
          CAST(count(*) FILTER (n_chars >= 500 AND n_chars < 2000) AS BIGINT) FROM documents
 ) ORDER BY "interval" """,
         "geo_polygon": _geo_polygon_oracle(),
+        "bbox_overlap": _bbox_overlap_oracle(),
         "geo_filt": f"""
 WITH pts AS (
   SELECT c_custkey,

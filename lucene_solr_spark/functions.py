@@ -24,7 +24,7 @@ __all__ = [
     "date_ms", "geodist", "geofilt", "bbox", "termfreq", "docfreq",
     "idf_col", "norm_col", "frange", "random_sort_key",
     "parse_wkt_polygon", "polygon_contains_sql", "polygon_bbox_sql",
-    "polygon_filter",
+    "polygon_filter", "bbox_overlap_sql", "bbox_overlap",
 ]
 
 
@@ -250,6 +250,74 @@ def polygon_filter(lat_col: str, lon_col: str,
 
 
 # --- relevance value sources (engine tables as columns) ---------------------
+
+
+def bbox_overlap_sql(
+    minx: str, maxx: str, miny: str, maxy: str,
+    qminx: float, qmaxx: float, qminy: float, qmaxy: float,
+    query_target_proportion: float = 0.25,
+    min_side_length: float = 0.0,
+) -> str:
+    """BBoxField relevance, ``score=overlapRatio`` (``[8x] lucene/
+    spatial-extras/src/java/org/apache/lucene/spatial/bbox/
+    BBoxOverlapRatioValueSource.java``, surfaced by Solr's BBoxField):
+
+        score = qtp * intersectArea/queryArea
+              + (1 - qtp) * intersectArea/targetArea
+
+    with disjoint rectangles scoring 0, zero-length sides substituted by
+    ``min_side_length`` before the area products (Lucene's degenerate
+    line/point handling), and a zero denominator yielding ratio 0.  One
+    SHARED f64 SQL text — Spark and DuckDB evaluate the identical
+    expression tree, so entry hashes compare exactly; the query
+    rectangle's area folds to a Python-side literal."""
+    msl = _dlit(min_side_length)
+
+    def side(s: str) -> str:
+        return f"(CASE WHEN {s} = 0e0 THEN {msl} ELSE {s} END)"
+
+    tw, th = side(f"({maxx} - {minx})"), side(f"({maxy} - {miny})")
+    iw_raw = f"(LEAST({maxx}, {_dlit(qmaxx)}) - GREATEST({minx}, {_dlit(qminx)}))"
+    ih_raw = f"(LEAST({maxy}, {_dlit(qmaxy)}) - GREATEST({miny}, {_dlit(qminy)}))"
+    iw, ih = side(iw_raw), side(ih_raw)
+    qw = (qmaxx - qminx) or min_side_length
+    qh = (qmaxy - qminy) or min_side_length
+    qarea = qw * qh
+    qratio = (f"(CASE WHEN {_dlit(qarea)} = 0e0 THEN 0e0 "
+              f"ELSE ({iw} * {ih}) / {_dlit(qarea)} END)")
+    tratio = (f"(CASE WHEN ({tw} * {th}) = 0e0 THEN 0e0 "
+              f"ELSE ({iw} * {ih}) / ({tw} * {th}) END)")
+    qtp = _dlit(query_target_proportion)
+    onem = _dlit(1.0 - query_target_proportion)
+    return (f"(CASE WHEN {iw_raw} < 0e0 OR {ih_raw} < 0e0 THEN 0e0 "
+            f"ELSE {qtp} * {qratio} + {onem} * {tratio} END)")
+
+
+def bbox_overlap(
+    df: DataFrame,
+    minx_col: str, maxx_col: str, miny_col: str, maxy_col: str,
+    qminx: float, qmaxx: float, qminy: float, qmaxy: float,
+    query_target_proportion: float = 0.25,
+    min_side_length: float = 0.0,
+    intersecting_only: bool = True,
+) -> DataFrame:
+    """Score every row's rectangle against the query rectangle with
+    overlapRatio (see :func:`bbox_overlap_sql`) as a DOUBLE ``score``
+    column; ``intersecting_only`` keeps Lucene's Intersects predicate
+    as a plain range filter (parquet-stats prunable).  Map-only JVM
+    SQL — no Python in the row path."""
+    expr = bbox_overlap_sql(
+        minx_col, maxx_col, miny_col, maxy_col,
+        qminx, qmaxx, qminy, qmaxy,
+        query_target_proportion, min_side_length,
+    )
+    out = df.withColumn("score", F.expr(expr))
+    if intersecting_only:
+        out = out.filter(
+            (F.col(minx_col) <= qmaxx) & (F.col(maxx_col) >= qminx)
+            & (F.col(miny_col) <= qmaxy) & (F.col(maxy_col) >= qminy)
+        )
+    return out
 
 
 def termfreq(index, term: str) -> DataFrame:

@@ -120,3 +120,48 @@ def test_facet_prefix_contains(spark):
     assert {r["f"] for r in facet_terms(df, "f", contains="cad").collect()} == {"avocado"}
     assert {r["f"] for r in facet_terms(df, "f", prefix="a", contains="PRI",
                                         contains_ignore_case=True).collect()} == {"apricot"}
+
+
+def test_bbox_overlap_ratio(spark):
+    """BBoxOverlapRatioValueSource: hand-computed overlap scores, the
+    disjoint→0 rule, and minSideLength substitution for degenerate
+    rectangles; the filter keeps Lucene's Intersects predicate."""
+    from lucene_solr_spark.functions import bbox_overlap, bbox_overlap_sql
+
+    rows = [
+        (1, 2.0, 4.0, 3.0, 7.0),     # fully inside Q
+        (2, 0.0, 10.0, 0.0, 10.0),   # identical to Q
+        (3, 5.0, 15.0, 5.0, 15.0),   # quarter overlap both ways
+        (4, 20.0, 30.0, 0.0, 5.0),   # disjoint
+        (5, 10.0, 20.0, 0.0, 10.0),  # touching edge (zero-width line)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, minx double, maxx double, miny double, maxy double")
+    got = {r["id"]: r["score"] for r in bbox_overlap(
+        df, "minx", "maxx", "miny", "maxy", 0.0, 10.0, 0.0, 10.0,
+        intersecting_only=False).collect()}
+    assert got[1] == pytest.approx(0.25 * 8 / 100 + 0.75 * 1.0)
+    assert got[2] == 1.0
+    assert got[3] == pytest.approx(0.25 * 0.25 + 0.75 * 0.25)
+    assert got[4] == 0.0
+    assert got[5] == 0.0  # zero-width intersection, msl=0
+    # minSideLength substitutes the degenerate side
+    got5 = bbox_overlap(
+        df.filter("id = 5"), "minx", "maxx", "miny", "maxy",
+        0.0, 10.0, 0.0, 10.0, min_side_length=1.0).collect()[0]["score"]
+    assert got5 == pytest.approx(0.25 * 10 / 100 + 0.75 * 10 / 100)
+    # Intersects filter drops the disjoint row only
+    kept = {r["id"] for r in bbox_overlap(
+        df, "minx", "maxx", "miny", "maxy", 0.0, 10.0, 0.0, 10.0).collect()}
+    assert kept == {1, 2, 3, 5}
+    # shared SQL text is DuckDB-parsable and agrees bit-for-bit
+    import duckdb
+
+    expr = bbox_overlap_sql("minx", "maxx", "miny", "maxy",
+                            0.0, 10.0, 0.0, 10.0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, minx DOUBLE, maxx DOUBLE,"
+                " miny DOUBLE, maxy DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    want = dict(con.execute(f"SELECT id, {expr} FROM t").fetchall())
+    assert got == want
