@@ -2955,6 +2955,33 @@ def q_block_join_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_block_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet domain {blockChildren}: returnflag facet over the
+    LINEITEMS of 'F'-status orders — the parent filter switches the
+    domain to the child table along the block key before the single
+    facet partial-agg (distinct-keys LEFT SEMI, no row multiplication)."""
+    from lucene_solr_spark.relational import facet_block_children
+
+    return facet_block_children(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem"),
+        "o_orderkey", "l_orderkey", "l_returnflag",
+        parent_filter=F.col("o_orderstatus") == "F", limit=5,
+    )
+
+
+def q_facet_block_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet domain {blockParent}: orderpriority facet over the
+    distinct PARENT orders having at least one heavy lineitem
+    (l_quantity > 45) — doc-set semantics, each parent counted once."""
+    from lucene_solr_spark.relational import facet_block_parent
+
+    return facet_block_parent(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "orders"),
+        "l_orderkey", "o_orderkey", "o_orderpriority",
+        child_filter=F.col("l_quantity") > 45, limit=5,
+    )
+
+
 def q_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.missing=true: terms facet keeping the NULL bucket — lang
     facet over a field that is NULL for 'fr' docs (nullif derivation,
@@ -5784,6 +5811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not": q_span_not,
         "phrase_wildcard": q_phrase_wildcard,
         "facet_missing": q_facet_missing,
+        "facet_block_children": q_facet_block_children,
+        "facet_block_parent": q_facet_block_parent,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
@@ -9047,6 +9076,20 @@ pairs AS (
 SELECT value, CAST(count(*) AS BIGINT) AS parent_count
 FROM pairs GROUP BY value
 ORDER BY parent_count DESC, value ASC LIMIT 10""",
+        "facet_block_children": """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS count
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag
+ORDER BY count DESC, l_returnflag ASC LIMIT 5""",
+        "facet_block_parent": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS count
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY count DESC, o_orderpriority ASC LIMIT 5""",
         "facet_missing": """
 SELECT CASE WHEN lang <> 'fr' THEN lang END AS lang_opt,
        CAST(count(*) AS BIGINT) AS cnt

@@ -196,6 +196,37 @@ def facet_join_domain(from_df: DataFrame, to_df: DataFrame,
     return facet_terms(domain, facet_field, limit=limit)
 
 
+def facet_block_children(parents: DataFrame, children: DataFrame,
+                         parent_key: str, child_key: str, facet_field: str,
+                         parent_filter: Column | None = None,
+                         limit: int = 10) -> DataFrame:
+    """JSON facet ``domain: {blockChildren: ...}`` (``[8x] solr/core/
+    src/java/org/apache/solr/search/facet/FacetRequest.java``
+    BlockJoin domain + BlockJoinChildQParser): the domain switches from
+    the (filtered) PARENT docs to all their CHILDREN, and the terms
+    facet runs there.  With the engine's relational block model
+    (parent/child tables keyed like orders→lineitem) this is the join
+    domain along the block key — exactly how Solr implements it
+    (a ToChildBlockJoinQuery producing the child doc set)."""
+    return facet_join_domain(parents, children, parent_key, child_key,
+                             facet_field, domain_filter=parent_filter,
+                             limit=limit)
+
+
+def facet_block_parent(children: DataFrame, parents: DataFrame,
+                       child_key: str, parent_key: str, facet_field: str,
+                       child_filter: Column | None = None,
+                       limit: int = 10) -> DataFrame:
+    """JSON facet ``domain: {blockParent: ...}``: the domain switches
+    from the (filtered) CHILD docs to their distinct PARENTS — each
+    parent counted once however many of its children match (Solr's
+    ToParentBlockJoinQuery doc-set semantics, which
+    ``facet_join_domain``'s distinct-keys LEFT SEMI reproduces)."""
+    return facet_join_domain(children, parents, child_key, parent_key,
+                             facet_field, domain_filter=child_filter,
+                             limit=limit)
+
+
 def json_facet_nested(df: DataFrame, outer: str, inner: str,
                       metric_col: str, limit_outer: int = 5,
                       limit_inner: int = 3) -> DataFrame:

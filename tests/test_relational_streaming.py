@@ -438,3 +438,25 @@ def test_terms_component(spark):
 
     with pytest.raises(ValueError):
         R.terms_component(dic, sort="banana")
+
+
+def test_facet_block_domains(spark):
+    """json.facet blockChildren / blockParent domain switches: facet
+    runs over the children of matching parents (and distinct parents of
+    matching children — set semantics, one count per parent)."""
+    parents = spark.createDataFrame(
+        [(1, "F"), (2, "O"), (3, "F")], "pid long, status string")
+    children = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 50), (2, "a", 60), (3, "a", 5), (3, "a", 7)],
+        "pid long, flag string, qty long")
+
+    got = [(r["flag"], r["count"]) for r in R.facet_block_children(
+        parents, children, "pid", "pid", "flag",
+        parent_filter=F.col("status") == "F").collect()]
+    assert got == [("a", 3), ("b", 1)]
+
+    # blockParent: parents with >=1 child qty > 40, counted once
+    got = [(r["status"], r["count"]) for r in R.facet_block_parent(
+        children, parents, "pid", "pid", "status",
+        child_filter=F.col("qty") > 40).collect()]
+    assert got == [("F", 1), ("O", 1)]
