@@ -2080,6 +2080,23 @@ def q_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_func_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale(n_chars,0,100) ([8x] solr/core/.../search/ValueSourceParser
+    .java ScaleFloatFunction): min-max rescale over the result set —
+    the two-phase shape (one tiny min/max agg job, then a map-only
+    projection with the bounds as literals; ScaleInfo does exactly this
+    driver-side createWeight pass in Lucene).  Long arithmetic until one
+    f64 division, f32 at the end, so the oracle replays it exactly."""
+    from lucene_solr_spark.functions import scale_between
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = scale_between(d, "n_chars", 0.0, 100.0)
+    return out.select(
+        "doc_id",
+        F.expr("CAST(n_chars_scaled AS FLOAT)").alias("scaled"),
+    ).orderBy("doc_id")
+
+
 def q_function_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ValueSource / function queries (§2.8): recip, linear, map,
     strdist, ms, geodist evaluated per row over lineitem; float32-cast
@@ -2603,6 +2620,31 @@ def q_truncate_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.index.core import build_index_view
 
     chain = Chain(steps=(truncate_filter(4),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
+#: controlled vocabulary for the keep_word_dict entry
+KEEP_WORDS = ("data", "merge", "join", "hash", "spark", "table", "batch",
+              "stream", "vector", "index")
+
+
+def q_keep_word_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeepWordFilter term dictionary ([8x] lucene/analysis/common/.../
+    miscellaneous/KeepWordFilter.java): only the controlled vocabulary
+    survives analysis (inverse StopFilter, gaps preserved) — the
+    dictionary is exactly the kept terms' df/cf."""
+    from lucene_solr_spark.analysis import Chain, keep_word_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(keep_word_filter(KEEP_WORDS),))
     idx = build_index_view(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
         analyzer=chain, cache=False,
@@ -5782,6 +5824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_dict": q_edge_ngram_dict,
         "ngram_dict": q_ngram_dict,
         "truncate_dict": q_truncate_dict,
+        "keep_word_dict": q_keep_word_dict,
         "limit_dict": q_limit_dict,
         "graph_shortest": q_graph_shortest,
         "mlt": q_mlt,
@@ -5791,6 +5834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
         "function_queries": q_function_queries,
+        "func_scale": q_func_scale,
         "stream_reduce": q_stream_reduce,
         "suggest": q_suggest,
         "suggest_fuzzy": q_suggest_fuzzy,
@@ -7746,6 +7790,11 @@ SELECT doc_id,
   CAST(CAST(sum(CAST(score64 AS DECIMAL(38,18))) AS DOUBLE) AS FLOAT) AS score
 FROM scored WHERE doc_id != 7
 GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "func_scale": """
+WITH s AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents)
+SELECT doc_id,
+       CAST((n_chars - mn) / (mx - mn) * 1e2 + 0e0 AS FLOAT) AS scaled
+FROM documents, s ORDER BY doc_id""",
         "function_queries": """
 SELECT l_orderkey, l_linenumber,
   CAST(1000e0 / (1e0 * l_quantity + 1000e0) AS FLOAT) AS recip,
@@ -7885,6 +7934,13 @@ grams AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM grams GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
+        "keep_word_dict": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok WHERE term IN ({", ".join(f"'{w}'" for w in KEEP_WORDS)})
+GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
         "truncate_dict": f"""
 WITH {_TOK_CTE}

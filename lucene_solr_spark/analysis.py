@@ -55,6 +55,8 @@ __all__ = [
     "Shingle",
     "CommonGrams",
     "Gap",
+    "Keep",
+    "keep_word_filter",
     "position_gap_filter",
     "copy_field_column",
     "CharReplace",
@@ -382,6 +384,19 @@ class Stop:
 
 
 @dataclass(frozen=True)
+class Keep:
+    """KeepWordFilter (``[8x] lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/miscellaneous/KeepWordFilter.java`` — Solr's
+    KeepWordFilterFactory): the inverse of StopFilter — ONLY tokens in
+    the keep set survive, everything else is dropped leaving position
+    gaps (it extends FilteringTokenFilter like StopFilter, so increments
+    accumulate identically).  Controlled-vocabulary indexing: tag
+    fields, entity whitelists, restricted dictionaries."""
+
+    words: frozenset
+
+
+@dataclass(frozen=True)
 class Length:
     """LengthFilter: drop tokens with length outside [min_len, max_len],
     leaving position gaps (like StopFilter) — ``[8x] lucene/analysis/
@@ -622,6 +637,10 @@ def _apply_char_rules_series(texts: pd.Series, char_steps: tuple) -> pd.Series:
 
 def stop_filter(words: Iterable[str]) -> Stop:
     return Stop(frozenset(w.lower() for w in words))
+
+
+def keep_word_filter(words: Iterable[str]) -> Keep:
+    return Keep(frozenset(w.lower() for w in words))
 
 
 def length_filter(min_len: int = 1, max_len: int = 255) -> Length:
@@ -1325,6 +1344,8 @@ class Chain:
         for step in self.steps:
             if isinstance(step, Stop):
                 stream = [(t, p) for t, p in stream if t not in step.words]
+            elif isinstance(step, Keep):
+                stream = [(t, p) for t, p in stream if t in step.words]
             elif isinstance(step, Length):
                 stream = [(t, p) for t, p in stream
                           if step.min_len <= len(t) <= step.max_len]
@@ -1403,6 +1424,9 @@ class Chain:
                 break
             if isinstance(step, Stop):
                 keep = ~pd.Series(terms).isin(step.words).to_numpy()
+                terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+            elif isinstance(step, Keep):
+                keep = pd.Series(terms).isin(step.words).to_numpy()
                 terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
             elif isinstance(step, Length):
                 lens = pd.Series(terms).str.len().to_numpy()
@@ -1615,6 +1639,8 @@ def chain_spec(chain: Chain) -> dict | None:
     for step in chain.steps:
         if isinstance(step, Stop):
             steps.append({"kind": "stop", "words": sorted(step.words)})
+        elif isinstance(step, Keep):
+            steps.append({"kind": "keep", "words": sorted(step.words)})
         elif isinstance(step, Length):
             steps.append({"kind": "length", "min_len": step.min_len,
                           "max_len": step.max_len})
@@ -1746,6 +1772,8 @@ def chain_from_spec(spec: dict) -> Chain:
         kind = s["kind"]
         if kind == "stop":
             steps.append(stop_filter(s["words"]))
+        elif kind == "keep":
+            steps.append(keep_word_filter(s["words"]))
         elif kind == "length":
             steps.append(length_filter(s.get("min_len", 1), s.get("max_len", 255)))
         elif kind == "porter":

@@ -1052,3 +1052,21 @@ def test_position_gap_flat_matches_reference():
         assert got == want, steps
         for r, text in enumerate(texts):
             assert dl[r] == len(chain.tokens(text)), (r, steps)
+
+
+def test_keep_word_filter():
+    """KeepWordFilter: only the keep set survives, position gaps like
+    StopFilter; spec round-trip; vectorized == reference."""
+    from lucene_solr_spark.analysis import (
+        chain_from_spec, chain_spec, keep_word_filter,
+    )
+
+    kw = keep_word_filter(["data", "Merge"])
+    chain = Chain(steps=(kw,))
+    assert chain.tokens("the data will merge fast") == [
+        ("data", 1), ("merge", 3)]
+    assert chain_from_spec(chain_spec(chain)) == chain
+    assert chain_spec(chain)["steps"] == [
+        {"kind": "keep", "words": ["data", "merge"]}]
+    test_chain_flat_matches_reference((kw,))
+    test_chain_flat_matches_reference((kw, shingle_filter(2)))
