@@ -830,6 +830,42 @@ def q_preanalyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_dynamic_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr dynamic fields ([8x] solr/core/.../schema/IndexSchema.java):
+    incoming columns body_txt / lang_s / source_s resolve through
+    ``*_txt`` / ``*_s`` patterns (longest wins — precedence pinned in
+    tests/test_submit_and_sources.py) into the multi-field build; the
+    dictionary carries the pattern-resolved field names."""
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.sources import resolve_dynamic_fields
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("body_txt"),
+        F.col("lang").alias("lang_s"), F.col("source").alias("source_s"))
+    resolved = resolve_dynamic_fields(
+        [c for c in d.columns if c != "doc_id"], {},
+        [("*_txt", "text_general"), ("*_s", "string")])
+    assert resolved == {"body_txt": "text_general", "lang_s": "string",
+                        "source_s": "string"}
+    idx = build_multifield_index_view(
+        d, fields={c: c for c in resolved}, default_field="body_txt")
+    probe = [f"body_txt:{t}" for t in PROBE_TERMS]
+    out = (
+        idx.term_dict.filter(
+            F.col("term").startswith("lang_s:")
+            | F.col("term").startswith("source_s:")
+            | F.col("term").isin(probe)
+        )
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+    rows = out.collect()
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_copy_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr copyField ([8x] solr/core/.../schema/IndexSchema.java): a
     catch-all 'all' field built by copy_field_column(source, text) with
@@ -5732,6 +5768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_dict": q_multifield_dict,
         "copy_field": q_copy_field,
         "preanalyzed": q_preanalyzed,
+        "dynamic_fields": q_dynamic_fields,
         "edismax": q_edismax,
         "edismax_pf": q_edismax_pf,
         "term_vector": q_term_vector,
@@ -8898,6 +8935,29 @@ srcd AS (
   FROM documents GROUP BY lower(source)
 )
 SELECT term, df, cf FROM textd UNION ALL SELECT term, df, cf FROM srcd
+ORDER BY term""",
+        "dynamic_fields": f"""
+WITH {_TOK_CTE},
+bodyd AS (
+  SELECT 'body_txt:' || term AS term,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)})
+  GROUP BY term
+),
+langd AS (
+  SELECT 'lang_s:' || lang AS term, CAST(count(*) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM documents GROUP BY lang
+),
+srcd AS (
+  SELECT 'source_s:' || lower(source) AS term,
+         CAST(count(*) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf
+  FROM documents GROUP BY lower(source)
+)
+SELECT term, df, cf FROM bodyd
+UNION ALL SELECT term, df, cf FROM langd
+UNION ALL SELECT term, df, cf FROM srcd
 ORDER BY term""",
         "copy_field": f"""
 WITH tokall AS (

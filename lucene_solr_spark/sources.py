@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_corpus", "read_jdbc_corpus", "find_jdbc_driver_jar",
-           "guess_field_types",
+           "guess_field_types", "resolve_dynamic_fields",
            "CONTRACT_COLUMNS", "validate_corpus",
            "write_table_snapshot", "read_table_snapshot",
            "compact_table", "expire_snapshots", "read_table_increment"]
@@ -177,6 +177,51 @@ def guess_field_types(df: DataFrame, cols: list[str] | None = None) -> DataFrame
         ).alias("guessed"),
         "n_nonnull",
     )
+
+
+def resolve_dynamic_fields(
+    columns: "list[str]",
+    explicit: "dict[str, object]",
+    dynamic: "list[tuple[str, object]]",
+) -> "dict[str, object]":
+    """Solr dynamic fields (``[8x] solr/core/src/java/org/apache/solr/
+    schema/IndexSchema.java`` dynamicField resolution): map incoming
+    column names to field specs.  An EXPLICIT field always wins; else
+    the matching dynamic pattern with the LONGEST pattern string wins
+    (IndexSchema sorts DynamicField[] by length descending — ``*_txt``
+    beats ``*_t``); columns matching nothing are absent from the result
+    (schema rejects them; pair with ``guess_field_types`` for
+    schemaless).  Patterns follow Solr's restriction: exactly one ``*``,
+    leading or trailing (or the bare ``*`` catch-all).
+
+    Driver-side name arithmetic only — this resolves the SCHEMA, the
+    data never moves; feed the result straight into
+    ``build_multifield_index_view(fields=..., analyzers=...)``."""
+    for pat, _ in dynamic:
+        if pat != "*" and not (
+            (pat.startswith("*") and "*" not in pat[1:])
+            or (pat.endswith("*") and "*" not in pat[:-1])
+        ):
+            raise ValueError(
+                f"dynamic field pattern {pat!r} must be '*', '*suffix' "
+                f"or 'prefix*' (Solr's one-glob restriction)")
+    ordered = sorted(dynamic, key=lambda ps: len(ps[0]), reverse=True)
+    out: "dict[str, object]" = {}
+    for col in columns:
+        if col in explicit:
+            out[col] = explicit[col]
+            continue
+        for pat, spec in ordered:
+            if pat == "*":
+                matched = True
+            elif pat.startswith("*"):
+                matched = col.endswith(pat[1:])
+            else:
+                matched = col.startswith(pat[:-1])
+            if matched:
+                out[col] = spec
+                break
+    return out
 
 
 def validate_corpus(df: DataFrame) -> DataFrame:

@@ -224,3 +224,33 @@ def test_guess_field_types_schemaless_chain(spark):
         "mixed": ("string", 3),
         "empty": ("string", 0),  # nothing to parse
     }
+
+
+def test_resolve_dynamic_fields(spark):
+    """IndexSchema dynamicField resolution: explicit wins, then longest
+    matching pattern; one-glob restriction enforced; unmatched columns
+    are absent (schema rejection)."""
+    from lucene_solr_spark.sources import resolve_dynamic_fields
+
+    got = resolve_dynamic_fields(
+        ["title_txt", "body_txt", "n_views_i", "tag_t", "misc", "attr_x"],
+        explicit={"body_txt": "my_explicit"},
+        dynamic=[("*_t", "short_text"), ("*_txt", "long_text"),
+                 ("*_i", "int"), ("attr_*", "attr")],
+    )
+    assert got == {
+        "title_txt": "long_text",   # *_txt beats *_t (longer pattern)
+        "body_txt": "my_explicit",  # explicit wins
+        "n_views_i": "int",
+        "tag_t": "short_text",
+        "attr_x": "attr",
+        # 'misc' rejected — no rule
+    }
+    # the bare catch-all accepts everything not otherwise matched
+    got = resolve_dynamic_fields(
+        ["a", "b_txt"], {}, [("*_txt", "t"), ("*", "any")])
+    assert got == {"a": "any", "b_txt": "t"}
+    with pytest.raises(ValueError):
+        resolve_dynamic_fields(["x"], {}, [("a*b", "bad")])
+    with pytest.raises(ValueError):
+        resolve_dynamic_fields(["x"], {}, [("*mid*", "bad")])
