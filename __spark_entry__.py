@@ -441,6 +441,53 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: little-span probe term for the within/containing entries
+SPAN_LITTLE = "merge"
+
+
+def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanWithinQuery ([8x] lucene/core/.../search/spans/
+    SpanWithinQuery.java): spans of '{little}' lying fully inside an
+    ordered data..table SpanNear span — result spans come from little,
+    each emitted once (LEFT SEMI against the big frame).  Per doc:
+    contained-occurrence count + first start."""
+    from lucene_solr_spark.search.spans import (SpanNear, SpanTerm,
+                                                SpanWithin, spans_frame)
+
+    index = _index_for(spark, sf_dir)
+    frame = spans_frame(index, SpanWithin(
+        SpanTerm(SPAN_LITTLE),
+        SpanNear(SpanTerm(PHRASE[0]), SpanTerm(PHRASE[1]), slop=SPAN_SLOP),
+    ))
+    return (
+        frame.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_spans"),
+             F.min("start").cast("long").alias("first_start"))
+        .orderBy("doc_id")
+    )
+
+
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanContainingQuery: ordered data..table SpanNear spans that
+    enclose at least one '{little}' — result spans come from big
+    (LEFT SEMI against the little frame).  Per doc: span count +
+    first start."""
+    from lucene_solr_spark.search.spans import (SpanContaining, SpanNear,
+                                                SpanTerm, spans_frame)
+
+    index = _index_for(spark, sf_dir)
+    frame = spans_frame(index, SpanContaining(
+        SpanNear(SpanTerm(PHRASE[0]), SpanTerm(PHRASE[1]), slop=SPAN_SLOP),
+        SpanTerm(SPAN_LITTLE),
+    ))
+    return (
+        frame.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_spans"),
+             F.min("start").cast("long").alias("first_start"))
+        .orderBy("doc_id")
+    )
+
+
 MP_ALTS = ("table", "row", "column")  # alternatives for slot 2 of the probe
 
 
@@ -5741,6 +5788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covering_query": q_covering_query,
         "pivot_stats": q_pivot_stats,
         "span_near": q_span_near,
+        "span_within": q_span_within,
+        "span_containing": q_span_containing,
         "multi_phrase": q_multi_phrase,
         "term_in_set": q_term_in_set,
         "term_range": q_term_range,
@@ -8752,6 +8801,64 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(CAST(floor(6.0 / (b_ord - a_ord)) AS BIGINT)) AS BIGINT) AS score6
 FROM minimal WHERE b_ord - a_ord - 1 <= {SPAN_SLOP}
 GROUP BY doc_id ORDER BY doc_id""",
+        "span_within": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}'),
+greedy AS (
+  SELECT a.doc_id, a.ord AS a_ord, min(b.ord) AS b_ord
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord >= a.ord + 1
+  GROUP BY a.doc_id, a.ord
+),
+minimal AS (
+  SELECT doc_id, max(a_ord) AS a_ord, b_ord
+  FROM greedy GROUP BY doc_id, b_ord
+),
+big AS (SELECT doc_id, a_ord, b_ord FROM minimal
+        WHERE b_ord - a_ord - 1 <= {SPAN_SLOP}),
+m AS (SELECT doc_id, ord FROM tokp WHERE term = '{SPAN_LITTLE}'),
+w AS (
+  SELECT DISTINCT m.doc_id, m.ord FROM m
+  JOIN big ON big.doc_id = m.doc_id
+          AND big.a_ord <= m.ord AND m.ord <= big.b_ord
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(min(ord) - 1 AS BIGINT) AS first_start
+FROM w GROUP BY doc_id ORDER BY doc_id""",
+        "span_containing": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}'),
+greedy AS (
+  SELECT a.doc_id, a.ord AS a_ord, min(b.ord) AS b_ord
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord >= a.ord + 1
+  GROUP BY a.doc_id, a.ord
+),
+minimal AS (
+  SELECT doc_id, max(a_ord) AS a_ord, b_ord
+  FROM greedy GROUP BY doc_id, b_ord
+),
+big AS (SELECT doc_id, a_ord, b_ord FROM minimal
+        WHERE b_ord - a_ord - 1 <= {SPAN_SLOP}),
+m AS (SELECT doc_id, ord FROM tokp WHERE term = '{SPAN_LITTLE}'),
+c AS (
+  SELECT DISTINCT big.doc_id, big.a_ord, big.b_ord FROM big
+  JOIN m ON m.doc_id = big.doc_id
+        AND big.a_ord <= m.ord AND m.ord <= big.b_ord
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(min(a_ord) - 1 AS BIGINT) AS first_start
+FROM c GROUP BY doc_id ORDER BY doc_id""",
         "multi_phrase": f"""
 WITH tokp AS (
   SELECT doc_id,
