@@ -3107,6 +3107,35 @@ def q_facet_block_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_stat_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet sort-by-stat ([8x] solr/core/.../search/facet/
+    FacetFieldProcessor.java): lang buckets ordered by avg(n_chars)
+    desc instead of count — int64-exact sums, one f64 division, f32
+    out."""
+    from lucene_solr_spark.relational import facet_stat_sort
+
+    return facet_stat_sort(_docs(spark, sf_dir), "lang", "n_chars",
+                           agg="avg", limit=5)
+
+
+def q_group_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.main=true / group.format=simple ([8x] solr/core/.../search/
+    Grouping.java): lang groups ordered by head doc (n_chars desc), two
+    docs each, flattened into one main list of 8."""
+    from lucene_solr_spark.relational import group_main
+
+    out = group_main(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "lang", [F.desc("n_chars"), F.asc("doc_id")],
+        group_limit=2, limit=8,
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("group_order").cast("long").alias("group_order"),
+        F.col("group_rank").cast("long").alias("group_rank"),
+    )
+
+
 def q_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.missing=true: terms facet keeping the NULL bucket — lang
     facet over a field that is NULL for 'fr' docs (nullif derivation,
@@ -5943,6 +5972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_missing": q_facet_missing,
         "facet_block_children": q_facet_block_children,
         "facet_block_parent": q_facet_block_parent,
+        "facet_stat_sort": q_facet_stat_sort,
+        "group_main": q_group_main,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
@@ -9299,6 +9330,28 @@ pairs AS (
 SELECT value, CAST(count(*) AS BIGINT) AS parent_count
 FROM pairs GROUP BY value
 ORDER BY parent_count DESC, value ASC LIMIT 10""",
+        "facet_stat_sort": """
+WITH g AS (
+  SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS count,
+         SUM(n_chars) AS s
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+SELECT bucket, count, CAST(CAST(s AS DOUBLE) / count AS FLOAT) AS stat
+FROM g ORDER BY CAST(s AS DOUBLE) / count DESC, bucket ASC LIMIT 5""",
+        "group_main": """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS gr
+  FROM documents),
+heads AS (
+  SELECT lang, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+           AS go
+  FROM ranked WHERE gr = 1)
+SELECT r.doc_id, r.lang, CAST(r.n_chars AS BIGINT) AS n_chars,
+       CAST(h.go AS BIGINT) AS group_order, CAST(r.gr AS BIGINT) AS group_rank
+FROM ranked r JOIN heads h USING (lang)
+WHERE r.gr <= 2
+ORDER BY h.go, r.gr LIMIT 8""",
         "facet_block_children": """
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS count
 FROM lineitem

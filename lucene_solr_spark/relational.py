@@ -196,6 +196,69 @@ def facet_join_domain(from_df: DataFrame, to_df: DataFrame,
     return facet_terms(domain, facet_field, limit=limit)
 
 
+def facet_stat_sort(df: DataFrame, field: str, metric_col: str,
+                    agg: str = "avg", limit: int = 10,
+                    descending: bool = True) -> DataFrame:
+    """JSON facet bucket sort by a NESTED aggregation (``sort: "x
+    desc"`` with ``x: "avg(metric)"`` — ``[8x] solr/core/src/java/org/
+    apache/solr/search/facet/FacetFieldProcessor.java`` sort-by-stat):
+    buckets of ``field`` ordered by the sub-stat instead of the count.
+
+    The metric must be integral for hash-stable results: sums stay
+    exact int64 partials (order-free), avg divides once in f64 — the
+    same discipline the engine's other float streams use.  One partial-
+    agg shuffle; the sort + limit is a TakeOrdered on the tiny bucket
+    frame."""
+    if agg not in ("avg", "sum", "min", "max"):
+        raise ValueError(f"unsupported bucket stat {agg!r}")
+    g = df.filter(F.col(field).isNotNull()).groupBy(field).agg(
+        F.count(F.lit(1)).cast("long").alias("count"),
+        F.sum(F.col(metric_col).cast("long")).alias("_s"),
+        F.min(F.col(metric_col).cast("long")).alias("_mn"),
+        F.max(F.col(metric_col).cast("long")).alias("_mx"),
+    )
+    stat64 = {
+        "avg": F.col("_s").cast("double") / F.col("count"),
+        "sum": F.col("_s").cast("double"),
+        "min": F.col("_mn").cast("double"),
+        "max": F.col("_mx").cast("double"),
+    }[agg]
+    g = g.withColumn("_stat64", stat64)
+    order = [F.desc("_stat64") if descending else F.asc("_stat64"),
+             F.asc_nulls_last(field)]
+    return (
+        g.orderBy(*order).limit(limit)
+        .select(F.col(field).alias("bucket"), "count",
+                F.col("_stat64").cast("float").alias("stat"))
+    )
+
+
+def group_main(df: DataFrame, group: str, order_by: list[Column],
+               group_limit: int = 1, limit: int = 10) -> DataFrame:
+    """``group.main=true`` / ``group.format=simple`` (``[8x] solr/core/
+    src/java/org/apache/solr/search/Grouping.java``): the grouped result
+    flattened into ONE main doc list — groups ordered by their HEAD
+    doc's sort position, each contributing its top ``group_limit`` docs
+    in sort order, truncated to ``limit`` total.
+
+    Two windows (per-group rank, then a global rank over the tiny head
+    set) — the corpus shuffles once on the group key; the head ordering
+    runs on #groups rows."""
+    w = Window.partitionBy(group).orderBy(*order_by)
+    ranked = df.withColumn("group_rank", F.row_number().over(w)) \
+        .filter(F.col("group_rank") <= int(group_limit))
+    heads = ranked.filter(F.col("group_rank") == 1).select(
+        F.col(group).alias("_g"),
+        F.row_number().over(Window.orderBy(*order_by)).alias("group_order"),
+    )
+    return (
+        ranked.join(F.broadcast(heads), ranked[group] == F.col("_g"))
+        .drop("_g")
+        .orderBy("group_order", "group_rank")
+        .limit(int(limit))
+    )
+
+
 def facet_block_children(parents: DataFrame, children: DataFrame,
                          parent_key: str, child_key: str, facet_field: str,
                          parent_filter: Column | None = None,

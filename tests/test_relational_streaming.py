@@ -460,3 +460,27 @@ def test_facet_block_domains(spark):
         children, parents, "pid", "pid", "status",
         child_filter=F.col("qty") > 40).collect()]
     assert got == [("F", 1), ("O", 1)]
+
+
+def test_facet_stat_sort(sales):
+    got = [(r["bucket"], r["count"], r["stat"]) for r in
+           R.facet_stat_sort(sales, "cat", "amt", agg="avg", limit=3).collect()]
+    # avgs: a=35/3, b=41/2, c=7 -> b, a, c
+    assert [g[0] for g in got] == ["b", "a", "c"]
+    assert got[0][1] == 2 and got[0][2] == pytest.approx(20.5)
+    got = [r["bucket"] for r in
+           R.facet_stat_sort(sales, "cat", "amt", agg="max",
+                             descending=False).collect()]
+    assert got == ["c", "a", "b"]  # maxes 7, 20, 40 ascending
+    with pytest.raises(ValueError):
+        R.facet_stat_sort(sales, "cat", "amt", agg="median")
+
+
+def test_group_main_flat_format(sales):
+    """group.main=true: groups ordered by head doc, each contributing
+    its top-k docs, flattened and truncated."""
+    out = R.group_main(sales, "cat", [F.desc("amt"), F.asc("id")],
+                       group_limit=2, limit=5).collect()
+    got = [(r["id"], r["group_order"], r["group_rank"]) for r in out]
+    # heads: b(40) > a(20) > c(7); flatten b:[4,1... wait b docs 40,1 -> ids 4,5
+    assert got == [(4, 1, 1), (5, 1, 2), (2, 2, 1), (1, 2, 2), (6, 3, 1)]
