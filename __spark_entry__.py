@@ -2349,6 +2349,31 @@ def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest distances (distributed
+    Bellman-Ford, lucene_solr_spark.graph.weighted_shortest_paths):
+    a deterministic 200-node, out-degree-2 weighted graph derived from
+    doc_id arithmetic; 8 relaxation rounds from node 0.  Integer
+    weights make the min-fold bit-exact; the DuckDB oracle enumerates
+    every <=8-edge path with a bounded recursive CTE and takes the
+    same per-node minimum."""
+    from lucene_solr_spark.graph import weighted_shortest_paths
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 200)
+    e1 = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 7) % 200).alias("dst"),
+        (1 + F.col("doc_id") % 3).alias("weight"))
+    e2 = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 3) % 200).alias("dst"),
+        (2 + F.col("doc_id") % 5).alias("weight"))
+    out = weighted_shortest_paths(e1.unionByName(e2), 0, max_iters=8)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("dist").cast("long").alias("dist")) \
+        .orderBy("node")
+
+
 def q_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shortestPath stream: BFS distance from part 1 to supplier 5 over
     the bipartite part↔supplier graph.  The path's hop count is the
@@ -5942,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_word_dict": q_keep_word_dict,
         "limit_dict": q_limit_dict,
         "graph_shortest": q_graph_shortest,
+        "weighted_paths": q_weighted_paths,
         "mlt": q_mlt,
         "mlt_text": q_mlt_text,
         "feature_sat": q_feature_sat,
@@ -7994,6 +8020,20 @@ ORDER BY similarity DESC, df DESC, term ASC LIMIT 8""",
 SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
 ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag LIMIT 2000""",
+        "weighted_paths": """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, (doc_id + 7) % 200 AS dst, 1 + doc_id % 3 AS w
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id, (doc_id * 2 + 3) % 200, 2 + doc_id % 5
+  FROM documents WHERE doc_id < 200),
+p AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+  UNION ALL
+  SELECT e.dst, p.dist + e.w, p.hops + 1
+  FROM p JOIN e ON e.src = p.node WHERE p.hops < 8)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM p GROUP BY node ORDER BY node""",
         "graph_shortest": """
 WITH RECURSIVE e AS (
   SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM lineitem

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["gather_nodes", "shortest_path", "score_nodes", "pagerank",
-           "random_walks", "graph_query"]
+           "random_walks", "graph_query", "weighted_shortest_paths"]
 
 
 def graph_query(
@@ -328,3 +328,59 @@ def shortest_path(
         cur = row["parent"]
         path.append(cur)
     return list(reversed(path))
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    src,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    max_iters: int = 8,
+) -> DataFrame:
+    """Single-source WEIGHTED shortest distances — the weighted variant
+    of ShortestPathStream (``[8x] solr/solrj/.../io/graph/
+    ShortestPathStream.java`` walks unweighted hops; Solr models edge
+    cost via repeated traversal) as distributed Bellman-Ford: iteration
+    k holds, per node, the minimum cost over paths of <= k edges.
+
+    Returns ``[node, dist]`` for every node reachable within
+    ``max_iters`` edges.  Weights must be non-negative INTEGERS: the
+    min-fold is then bit-exact under any partitioning/order (the same
+    quantized-arithmetic discipline as :func:`pagerank`).  Each
+    iteration is one edge-join + one min-agg shuffle; the frame is
+    persisted per round and the loop EARLY-EXITS as soon as an
+    iteration improves nothing (Bellman-Ford convergence), so dense
+    well-connected graphs stop after the true diameter, not
+    ``max_iters``."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(src, 0)], "node string, dist long") \
+        if isinstance(src, str) else \
+        spark.createDataFrame([(src, 0)], "node long, dist long")
+    dist = dist.persist()
+    for _ in range(int(max_iters)):
+        cand = (
+            dist.join(e, dist["node"] == e["_s"])
+            .select(F.col("_d").alias("node"),
+                    (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(cand)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+        ).persist()
+        improved = (
+            new_dist.join(dist.withColumnRenamed("dist", "_old"),
+                          "node", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .head(1)
+        )
+        old = dist
+        dist = new_dist
+        old.unpersist()
+        if not improved:
+            break
+    return dist.orderBy("node")

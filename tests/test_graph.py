@@ -166,3 +166,22 @@ def test_pagerank_scale_guard_and_large_scale_exact(spark):
                    "c": r["a"] // 2 + r["b"] // 1}
         r = {n: base + (contrib.get(n, 0) * 85) // 100 for n in r}
     assert got == r
+
+
+def test_weighted_shortest_paths(spark):
+    """Bellman-Ford distances: hand-computed on a small weighted graph,
+    early exit at convergence, max_iters bounds path length."""
+    from lucene_solr_spark.graph import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 4), ("a", "c", 1), ("c", "b", 1), ("b", "d", 1),
+         ("c", "d", 10), ("d", "e", 2), ("x", "y", 1)],
+        "src string, dst string, weight long")
+    got = {r["node"]: r["dist"] for r in
+           weighted_shortest_paths(edges, "a", max_iters=8).collect()}
+    # a->c->b beats a->b (2 < 4); a->c->b->d beats a->c->d (3 < 11)
+    assert got == {"a": 0, "b": 2, "c": 1, "d": 3, "e": 5}
+    # path-length bound: with one iteration only direct edges resolve
+    got1 = {r["node"]: r["dist"] for r in
+            weighted_shortest_paths(edges, "a", max_iters=1).collect()}
+    assert got1 == {"a": 0, "b": 4, "c": 1}
