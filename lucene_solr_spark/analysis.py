@@ -59,6 +59,7 @@ __all__ = [
     "keep_word_filter",
     "position_gap_filter",
     "copy_field_column",
+    "multivalue_column",
     "CharReplace",
     "html_strip_char_filter",
     "pattern_replace_char_filter",
@@ -969,6 +970,19 @@ def copy_field_column(sources: "list[str]", sentinel: str = "xposgapx"):
     return F.concat_ws(
         f" {sentinel} ", *[F.coalesce(F.col(s), F.lit("")) for s in sources]
     )
+
+
+def multivalue_column(array_col, sentinel: str = "xposgapx"):
+    """Encode a MULTIVALUED field (array<string> column) for indexing:
+    values joined by the reserved gap sentinel, exactly like
+    :func:`copy_field_column` does for copyField sources — analyze with
+    a Gap-first chain and each value boundary gets Lucene's
+    positionIncrementGap.  ``array_join`` runs in the scan projection
+    (pure JVM)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(array_col) if isinstance(array_col, str) else array_col
+    return F.array_join(col, f" {sentinel} ")
 
 
 def minhash_filter(bucket_count: int = 512, hash_set_size: int = 1,

@@ -234,18 +234,21 @@ def atomic_update(
 
     ``modifiers`` maps field -> (op, value) with Solr's ops:
     ``set`` (replace; None removes by setting NULL), ``inc`` (numeric
-    add), ``add`` (append to a multivalued field), ``remove`` (drop
-    matching values from a multivalued field).
+    add), ``add`` (append to a multivalued field), ``add-distinct``
+    (append only when absent — Solr 7's AtomicUpdateDocumentMerger
+    addDistinct), ``remove`` (drop matching values), ``removeregex``
+    (drop values the regex FULLY matches — Pattern.matches semantics).
 
     ``keys`` selects the target docs by unique key (broadcast semi-join
     against the stored fields — one column-pruned scan); untouched docs
     are not rewritten (segment-granular, exactly Lucene's model)."""
     index_path = Path(index_path)
     key_cols = key_cols or ["repo", "path"]
-    stored = spark.read.parquet(str(index_path / "docs.parquet"))
-    target = stored.join(
-        F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_semi"
-    )
+    # merge against the LATEST LIVE version of each key (Solr's
+    # AtomicUpdateDocumentMerger does a RealTimeGet first) — raw stored
+    # rows would include superseded/tombstoned versions, and a second
+    # atomic update on the same key would then re-apply over stale data
+    target = realtime_get(spark, index_path, keys, key_cols)
     for fld, (op, val) in modifiers.items():
         if op == "set":
             target = target.withColumn(
@@ -263,8 +266,27 @@ def atomic_update(
                     F.array(F.lit(val)),
                 ),
             )
+        elif op == "add-distinct":
+            # Solr 7+ add-distinct: append only if not already present
+            target = target.withColumn(
+                fld,
+                F.when(
+                    F.array_contains(F.coalesce(F.col(fld), F.array()),
+                                     F.lit(val)),
+                    F.coalesce(F.col(fld), F.array()),
+                ).otherwise(
+                    F.concat(F.coalesce(F.col(fld), F.array()),
+                             F.array(F.lit(val)))
+                ),
+            )
         elif op == "remove":
             target = target.withColumn(fld, F.array_remove(F.col(fld), val))
+        elif op == "removeregex":
+            # Solr uses Pattern.matches — the WHOLE value must match
+            target = target.withColumn(
+                fld,
+                F.filter(F.col(fld), lambda x: ~x.rlike(f"^(?:{val})$")),
+            )
         else:
             raise ValueError(f"unsupported atomic op {op!r} for field {fld!r}")
     new_docs = target.drop("doc_id", "content_sha256")

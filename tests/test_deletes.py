@@ -488,3 +488,37 @@ def test_delete_expired_reaper(spark, tmp_path):
     build_index(spark, gen_corpus_df(spark, 20, seed=5), path2, segment_docs=20)
     with pytest.raises(ValueError, match="_expire_at_"):
         delete_expired(spark, path2, "2024-06-03 00:00:00")
+
+
+def test_atomic_update_add_distinct_and_removeregex(spark, tmp_path):
+    """Solr 7 add-distinct (append only when absent) and removeregex
+    (whole-value Pattern.matches) on a multivalued field present in the
+    stored schema from the start."""
+    from lucene_solr_spark.index import atomic_update, realtime_get
+
+    path = tmp_path / "idx_tags"
+    corpus = gen_corpus_df(spark, 60, seed=19).withColumn(
+        "tags", F.array(F.lit("alpha"), F.lit("beta-1")))
+    build_index(spark, corpus, path, segment_docs=60)
+    key_cols = ["repo", "path"]
+    stored = spark.read.parquet(str(path / "docs.parquet"))
+    keys = stored.select(*key_cols).distinct().limit(3)
+
+    atomic_update(spark, path, keys, {"tags": ("add-distinct", "alpha")},
+                  key_cols)
+    got = realtime_get(spark, path, keys, key_cols).select("tags").head()
+    assert got["tags"] == ["alpha", "beta-1"]  # no duplicate appended
+
+    atomic_update(spark, path, keys, {"tags": ("add-distinct", "gamma")},
+                  key_cols)
+    got = realtime_get(spark, path, keys, key_cols).select("tags").head()
+    assert got["tags"] == ["alpha", "beta-1", "gamma"]
+
+    # removeregex: 'beta-1' fully matches beta-\d; 'gamma' must survive a
+    # partial-match regex ('am' matches inside but not fully)
+    atomic_update(spark, path, keys,
+                  {"tags": ("removeregex", r"beta-\d")}, key_cols)
+    atomic_update(spark, path, keys, {"tags": ("removeregex", "am")},
+                  key_cols)
+    got = realtime_get(spark, path, keys, key_cols).select("tags").head()
+    assert got["tags"] == ["alpha", "gamma"]

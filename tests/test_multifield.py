@@ -406,3 +406,24 @@ def test_copy_field_with_position_gap(spark, corpus):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_multivalue_column_gap(spark):
+    """Multivalued field: array values joined by the gap sentinel; with a
+    Gap-first chain, phrases cannot cross value boundaries."""
+    from lucene_solr_spark.analysis import (
+        Chain, multivalue_column, position_gap_filter,
+    )
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.search import Phrase, count_hits
+
+    df = spark.createDataFrame(
+        [(0, ["merge join", "hash table"]), (1, ["merge", "join now"])],
+        "doc_id long, vals array<string>",
+    ).withColumn("text", multivalue_column("vals"))
+    chain = Chain(steps=(position_gap_filter("xposgapx", 100),))
+    idx = build_index_view(df, "doc_id", "text", analyzer=chain, cache=False)
+    assert count_hits(idx, Phrase("merge", "join")) == 1   # doc 0 only
+    assert count_hits(idx, Phrase("hash", "table")) == 1
+    assert count_hits(idx, Phrase("join", "hash")) == 0    # across boundary
+    assert count_hits(idx, Phrase("merge", "join", slop=100)) == 2
