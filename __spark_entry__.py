@@ -1448,6 +1448,54 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_MIN_TOKENS = 20  # sf docs run ~8-100 tokens; keep the flag informative
 
 
+#: deterministic code-file synthesis — ONE SQL text both engines run:
+#: newline structure from the prose, an auto-generated banner on every
+#: third doc, a '#' comment line on every eleventh
+CODEQ_SYN = (
+    "(CASE WHEN doc_id % 3 = 0 THEN '// auto-generated' || chr(10) "
+    "ELSE '' END) || replace(text, 'e ', 'e' || chr(10)) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || '# comment line' "
+    "ELSE '' END)"
+)
+
+#: license-header synthesis keyed by doc_id % 5 (ground truth for the
+#: oracle: the entry's detector must recover exactly this mapping)
+LIC_SYN = (
+    "(CASE doc_id % 5 WHEN 0 THEN '// SPDX-License-Identifier: MIT' "
+    "WHEN 1 THEN '/* Apache License, Version 2.0 */' "
+    "WHEN 2 THEN '# MIT License' "
+    "WHEN 3 THEN '// GNU General Public License v3' "
+    "ELSE '' END) || chr(10) || text"
+)
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The-Stack-style code-file quality filters (Kocetkov et al. 2022
+    preprocessing family): line metrics, alnum fraction, comment lines,
+    auto-generated marker, combined keep — all integer-decided, over a
+    deterministic newline-structured synthesis of the corpus.  The
+    oracle recomputes every metric independently with DuckDB list
+    functions."""
+    from lucene_solr_spark.pipeline.filters import code_quality
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(CODEQ_SYN).alias("text"))
+    return code_quality(src, max_avg_line_length=60).orderBy("doc_id")
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file license detection (The-Stack permissive-license gate):
+    SPDX tag wins, then the keyword tier — the oracle is the GROUND
+    TRUTH mapping the synthesis planted (doc_id % 5 → license), so a
+    regex false-positive/negative anywhere in 500+ docs fails the
+    hash."""
+    from lucene_solr_spark.pipeline.filters import license_detect
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(LIC_SYN).alias("text"))
+    return license_detect(src).orderBy("doc_id")
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition/quality rules (Rae et al. 2021 table A1,
     token-level family): word count + mean length bounds, top-2/3-gram
@@ -5905,6 +5953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "quality_gopher": q_quality_gopher,
         "quality_c4": q_quality_c4,
+        "code_quality": q_code_quality,
+        "license_detect": q_license_detect,
         "char_entropy": q_char_entropy,
         "domain_cap": q_domain_cap,
         "media_chunks": q_media_chunks,
@@ -6638,6 +6688,33 @@ s AS (
 SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
        (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
 FROM s ORDER BY doc_id""",
+        "code_quality": f"""
+WITH src AS (SELECT doc_id, {CODEQ_SYN} AS s FROM documents),
+l AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM src)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(COALESCE(list_max(list_transform(lines, x -> length(x))), 0)
+       AS BIGINT) AS max_line_len,
+  CAST(length(s) AS BIGINT) AS n_chars,
+  CAST(length(regexp_replace(s, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+    AS n_alnum,
+  CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*(//|#)')))
+       AS BIGINT) AS n_comment_lines,
+  regexp_matches(substr(s, 1, 300), '(?i)auto-?generated|do not edit')
+    AS autogen,
+  (COALESCE(list_max(list_transform(lines, x -> length(x))), 0) <= 1000
+   AND length(s) <= 60 * len(lines)
+   AND CAST(length(regexp_replace(s, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+       >= 25e-2 * length(s)
+   AND NOT regexp_matches(substr(s, 1, 300),
+                          '(?i)auto-?generated|do not edit')) AS keep
+FROM l ORDER BY doc_id""",
+        "license_detect": """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache-2.0'
+            WHEN 2 THEN 'mit' WHEN 3 THEN 'gpl' ELSE 'unknown' END
+         AS license
+FROM documents ORDER BY doc_id""",
         "quality_gopher": f"""
 WITH {tok_cte},
 base AS (

@@ -38,7 +38,8 @@ __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
            "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
            "secret_scan", "SECRET_RULES", "cap_per_key", "char_entropy",
            "ENTROPY_CONTRIB_SQL", "url_filter", "URL_HOST_SQL",
-           "URL_PATH_SQL", "URL_TLD_SQL", "URL_DOMAIN_SQL"]
+           "URL_PATH_SQL", "URL_TLD_SQL", "URL_DOMAIN_SQL",
+           "code_quality", "license_detect", "LICENSE_RULES"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -787,3 +788,89 @@ def url_filter(
             keep &= ~F.col("host").endswith("." + d)
     return out.select(id_col, "host", "canon_url", "tld",
                       keep.alias("keep"))
+
+
+# --- code-corpus filters (The-Stack-style preprocessing) --------------------
+
+def code_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_length: int = 1000,
+    max_avg_line_length: int = 100,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """Source-file quality filters in the published The-Stack /
+    StarCoder preprocessing family (Kocetkov et al. 2022): per file —
+    line count, longest line, average line length, alphanumeric
+    fraction, comment-line count, and an auto-generated-file marker;
+    ``keep`` = within all bounds and not auto-generated.
+
+    Everything is one map-side JVM projection (split + higher-order
+    array functions in the scan); the decisive comparisons are
+    integer-exact (avg-length rule compares ``n_chars`` against
+    ``max_avg_line_length * n_lines``; the alnum rule multiplies by an
+    exactly-representable fraction), so any engine reproduces the kept
+    set bit-for-bit.  ``n_chars`` counts the raw text INCLUDING
+    newlines — the documented denominator for both ratio rules."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    max_line = F.coalesce(
+        F.array_max(F.transform(lines, lambda x: F.length(x))), F.lit(0))
+    n_chars = F.length(t)
+    n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    n_comment = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*(//|#)")))
+    autogen = F.coalesce(
+        F.substring(t, 1, 300).rlike("(?i)auto-?generated|do not edit"),
+        F.lit(False))
+    keep = (
+        (max_line <= F.lit(int(max_line_length)))
+        & (n_chars <= F.lit(int(max_avg_line_length)) * n_lines)
+        & (n_alnum.cast("double") >= F.lit(float(min_alnum_frac)) * n_chars)
+        & ~autogen
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        max_line.cast("long").alias("max_line_len"),
+        n_chars.cast("long").alias("n_chars"),
+        n_alnum.cast("long").alias("n_alnum"),
+        n_comment.cast("long").alias("n_comment_lines"),
+        autogen.alias("autogen"),
+        keep.alias("keep"),
+    )
+
+
+#: (label, detection regex) in priority order AFTER the SPDX tag —
+#: the first matching rule labels the file (licensee/go-license-detector
+#: keyword tier; matching is case-insensitive on the file HEAD)
+LICENSE_RULES = (
+    ("apache-2.0", r"apache license,? version 2\.0|apache-2\.0"),
+    ("mit", r"mit license"),
+    ("gpl", r"gnu general public license"),
+    ("bsd-3-clause", r"bsd 3-clause|redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"mozilla public license"),
+)
+
+
+def license_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_chars: int = 2000,
+) -> DataFrame:
+    """Per-file license detection for code corpora (the permissive-
+    license gate of The-Stack-style pipelines): an explicit
+    ``SPDX-License-Identifier:`` tag wins verbatim (lowercased);
+    otherwise the first ``LICENSE_RULES`` pattern matching the file
+    HEAD labels it; no match → ``unknown``.  Pure scan-projection
+    regexes — no shuffle, no Python."""
+    head = F.lower(F.substring(F.col(text_col), 1, int(head_chars)))
+    spdx = F.regexp_extract(
+        head, r"spdx-license-identifier:\s*([a-z0-9.+-]+)", 1)
+    label = F.lit("unknown")
+    for name, pat in reversed(LICENSE_RULES):
+        label = F.when(head.rlike(pat), F.lit(name)).otherwise(label)
+    label = F.when(spdx != "", spdx).otherwise(label)
+    return df.select(F.col(id_col), label.alias("license"))

@@ -1233,3 +1233,49 @@ def test_url_filter_canonicalization(spark):
     assert got[5][3] is False            # TLD block
     assert got[6] == ("", "", "", False)  # no parseable host
     assert got[7] == ("example.com", "example.com", "com", True)
+
+
+def test_code_quality_filters(spark):
+    """The-Stack-style per-file metrics and keep rules, hand-computed."""
+    from lucene_solr_spark.pipeline.filters import code_quality
+
+    rows = [
+        (0, "def f():\n    # add\n    return 1"),
+        (1, "x" * 1200),                               # one huge line
+        (2, "// auto-generated file\nint x;"),         # marker
+        (3, "$$$ %% !!\n&&&&"),                        # low alnum
+        (4, None),                                     # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           code_quality(df, max_line_length=1000, max_avg_line_length=100,
+                        min_alnum_frac=0.25).collect()}
+    assert got[0]["n_lines"] == 3 and got[0]["n_comment_lines"] == 1
+    assert got[0]["max_line_len"] == len("    return 1")
+    assert got[0]["keep"] is True and got[0]["autogen"] is False
+    assert got[1]["max_line_len"] == 1200 and got[1]["keep"] is False
+    assert got[2]["autogen"] is True and got[2]["keep"] is False
+    assert got[2]["n_comment_lines"] == 1  # the // line
+    assert got[3]["keep"] is False         # alnum frac 4/13 vs … below 0.25?
+    # doc 3: alnum = 0 of 13 chars -> fails alnum rule
+    assert got[3]["n_alnum"] == 0
+    assert got[4]["n_chars"] == 0 and got[4]["n_lines"] == 1
+
+
+def test_license_detect(spark):
+    from lucene_solr_spark.pipeline.filters import license_detect
+
+    rows = [
+        (0, "// SPDX-License-Identifier: Apache-2.0\ncode"),
+        (1, "/*\n * MIT License\n */\ncode"),
+        (2, "Licensed under the Apache License, Version 2.0"),
+        (3, "This file is part of Foo.\nGNU General Public License"),
+        (4, "Redistribution and use in source and binary forms"),
+        (5, "plain code, no license text"),
+        # SPDX beats a keyword match elsewhere in the head
+        (6, "// SPDX-License-Identifier: MPL-2.0\n// MIT License mention"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["license"] for r in license_detect(df).collect()}
+    assert got == {0: "apache-2.0", 1: "mit", 2: "apache-2.0", 3: "gpl",
+                   4: "bsd-3-clause", 5: "unknown", 6: "mpl-2.0"}
