@@ -4772,6 +4772,17 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(emb, k=5, query_filter="id < 50")
 
 
+def q_knn_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knnRegress ([8x] solr/solrj/.../io/eval/KnnRegressionEvaluator
+    .java): predict = mean of the exact top-5 cosine neighbors' integer
+    target — int64 neighbor sums, one f64 division, f32 out."""
+    from lucene_solr_spark.pipeline.similarity import knn_regress
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return knn_regress(emb, k=5, target_col="label",
+                       query_filter="id < 50").orderBy("id")
+
+
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleNaiveBayesClassifier: multinomial NB trained on lang
     labels, self-classified; quantized-ln BIGINT scores make the argmax
@@ -6096,6 +6107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_check": q_payload_check,
         "naive_bayes": q_naive_bayes,
         "knn_classify": q_knn_classify,
+        "knn_regress": q_knn_regress,
         "combined_field": q_combined_field,
         "geo_rings": q_geo_rings,
         "knn_batch": q_knn_batch,
@@ -7223,6 +7235,23 @@ v AS (SELECT id, nlabel, CAST(count(*) AS BIGINT) AS votes
 t AS (SELECT *, row_number() OVER (PARTITION BY id
              ORDER BY votes DESC, nlabel ASC) AS rn FROM v)
 SELECT id, nlabel AS pred, votes FROM t WHERE rn = 1 ORDER BY id""",
+        "knn_regress": f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor, b.label AS t,
+    CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
+      (sqrt({dot.format(a="a.embedding", b="a.embedding")})
+       * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 50),
+r AS (SELECT id, neighbor, t, cosine,
+             row_number() OVER (PARTITION BY id
+               ORDER BY cosine DESC, neighbor ASC) AS rank
+      FROM pairs),
+s AS (SELECT id, SUM(t) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM r WHERE rank <= 5 GROUP BY id)
+SELECT id, CAST(CAST(s AS DOUBLE) / n AS FLOAT) AS pred,
+       n AS n_neighbors
+FROM s ORDER BY id""",
         "knn_filtered": f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id AS id, CAST({cos} AS FLOAT) AS cosine

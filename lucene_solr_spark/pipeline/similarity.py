@@ -636,6 +636,42 @@ def mmr_rerank(
     )
 
 
+def knn_regress(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_col: str = "target",
+    n_planes: int = 0,
+    query_filter: str | None = None,
+) -> DataFrame:
+    """K-nearest-neighbor regression — Solr's ``knnRegress`` stream
+    evaluator (``[8x] solr/solrj/src/java/org/apache/solr/client/solrj/
+    io/eval/KnnRegressionEvaluator.java``: predict = mean of the k
+    neighbors' target values) over the embedding column.
+
+    Returns ``[id, pred, n_neighbors]``.  The target must be integral:
+    the neighbor sum stays an exact int64 (order-free) and the mean is
+    ONE f64 division cast to f32 — hash-stable on any engine.  Rides
+    :func:`knn_join` (exact or sign-LSH-bucketed) like knn_classify."""
+    nb = knn_join(df, k=k, id_col=id_col, vec_col=vec_col,
+                  n_planes=n_planes, query_filter=query_filter)
+    tgt = df.select(F.col(id_col).alias("neighbor"),
+                    F.col(target_col).cast("long").alias("_t"))
+    return (
+        nb.join(tgt, "neighbor")
+        .groupBy("id")
+        .agg(F.sum("_t").alias("_s"),
+             F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+        .select(
+            "id",
+            F.expr("CAST(CAST(_s AS DOUBLE) / n_neighbors AS FLOAT)")
+            .alias("pred"),
+            "n_neighbors",
+        )
+    )
+
+
 def knn_classify(
     df: DataFrame,
     k: int = 5,
