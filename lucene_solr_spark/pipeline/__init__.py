@@ -44,6 +44,7 @@ from .similarity import (
     quantized_cosine_topk,
     knn_join,
     knn_classify,
+    knn_regress,
     knn_search_batch,
 )
 from .text import (corpus_diversity, doc_fingerprint, label_clusters, lang_id, text_quality,
@@ -101,6 +102,7 @@ __all__ = [
     "quantized_cosine_topk",
     "knn_join",
     "knn_classify",
+    "knn_regress",
     "knn_search_batch",
     "train_text_logit",
     "naive_bayes_train",
