@@ -449,3 +449,67 @@ def test_cap_per_key_window_partitioned_by_key(spark):
     plan = _plan(cap_per_key(df, "source", 3))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(source" in plan, plan  # window keyed by source
+
+
+def test_block_domain_facet_is_semi_join_no_row_multiply(spark):
+    """blockChildren facet: distinct parent keys LEFT SEMI into the
+    child table — never an inner join that multiplies child rows."""
+    from lucene_solr_spark.relational import facet_block_children
+
+    parents = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 2 == 0).alias("flag"))
+    children = spark.range(500).select(
+        (F.col("id") % 100).alias("pid"),
+        (F.col("id") % 7).cast("string").alias("f"))
+    plan = _plan(facet_block_children(
+        parents, children, "pid", "pid", "f",
+        parent_filter=F.col("flag")))
+    assert "LeftSemi" in plan, plan
+    # facet agg is a partial (map-side combine) before the exchange
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_code_quality_and_license_are_map_only(spark):
+    """Stack-style filters and license detection: pure scan projection —
+    zero Exchange in the plan."""
+    from lucene_solr_spark.pipeline.filters import code_quality, license_detect
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x\n# y\n"), F.col("id").cast("string")).alias("text"))
+    assert "Exchange" not in _plan(code_quality(df))
+    assert "Exchange" not in _plan(license_detect(df))
+
+
+def test_terms_component_filters_before_limit(spark):
+    """/terms: prefix/bounds/mincount prune BEFORE the TakeOrdered —
+    the dictionary never flows unfiltered into the sort."""
+    from lucene_solr_spark.relational import terms_component
+
+    dic = spark.range(1000).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("term"),
+        (F.col("id") % 50 + 1).alias("df"), (F.col("id") + 1).alias("cf"))
+    plan = _plan(terms_component(dic, prefix="t1", mincount=5, limit=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "StartsWith" in plan or "startswith" in plan.lower(), plan
+
+
+def test_bbox_overlap_intersects_filter_is_scan_predicate(spark, tmp_path):
+    """overlapRatio: the Intersects pre-filter is a plain range predicate
+    that reaches the parquet scan (row-group prunable)."""
+    from lucene_solr_spark.functions import bbox_overlap
+
+    p = str(tmp_path / "boxes.parquet")
+    spark.range(200).select(
+        F.col("id").cast("double").alias("minx"),
+        (F.col("id") + 2).cast("double").alias("maxx"),
+        F.lit(0.0).alias("miny"), F.lit(5.0).alias("maxy"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(bbox_overlap(df, "minx", "maxx", "miny", "maxy",
+                              10.0, 50.0, 0.0, 10.0))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    # the rendered list is elided with '…' past a few entries — the
+    # leading range predicate proves the family reached the scan
+    assert "LessThanOrEqual(minx,50.0)" in pushed, pushed
