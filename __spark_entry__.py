@@ -3180,6 +3180,25 @@ def q_facet_block_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivalued terms facet (Solr UnInvertedField doc-counting over
+    a multivalued field): a synthesized tags array where every fourth
+    doc repeats its lang value — the per-doc distinct collapses it, so
+    each doc contributes once per distinct tag."""
+    from lucene_solr_spark.relational import facet_terms_mv
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            F.col("lang"), F.lower("source"),
+            F.when(F.col("doc_id") % 4 == 0, F.col("lang")).otherwise(
+                F.concat(F.lit("tag"), (F.col("doc_id") % 3).cast("string"))
+            ),
+        ).alias("tags"),
+    )
+    return facet_terms_mv(d, "tags", "doc_id", limit=10)
+
+
 def q_facet_stat_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json.facet sort-by-stat ([8x] solr/core/.../search/facet/
     FacetFieldProcessor.java): lang buckets ordered by avg(n_chars)
@@ -6061,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_block_parent": q_facet_block_parent,
         "facet_stat_sort": q_facet_stat_sort,
         "group_main": q_group_main,
+        "facet_mv": q_facet_mv,
         "block_join_facet": q_block_join_facet,
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
@@ -9476,6 +9496,19 @@ pairs AS (
 SELECT value, CAST(count(*) AS BIGINT) AS parent_count
 FROM pairs GROUP BY value
 ORDER BY parent_count DESC, value ASC LIMIT 10""",
+        "facet_mv": """
+WITH t AS (
+  SELECT doc_id,
+         [lang, lower(source),
+          CASE WHEN doc_id % 4 = 0 THEN lang
+               ELSE 'tag' || CAST(doc_id % 3 AS VARCHAR) END] AS tags
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT doc_id, x.v AS value
+  FROM t, unnest(tags) AS x(v))
+SELECT value, CAST(COUNT(*) AS BIGINT) AS count
+FROM pairs GROUP BY value
+ORDER BY count DESC, value ASC LIMIT 10""",
         "facet_stat_sort": """
 WITH g AS (
   SELECT lang AS bucket, CAST(COUNT(*) AS BIGINT) AS count,

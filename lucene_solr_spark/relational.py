@@ -196,6 +196,24 @@ def facet_join_domain(from_df: DataFrame, to_df: DataFrame,
     return facet_terms(domain, facet_field, limit=limit)
 
 
+def facet_terms_mv(df: DataFrame, array_col: str, id_col: str,
+                   limit: int = 10, min_count: int = 1) -> DataFrame:
+    """Terms facet over a MULTIVALUED field (Solr counts each doc once
+    per distinct value it carries — UnInvertedField semantics over a
+    multivalued schema field): per-doc value dedup INSIDE the array
+    (``array_distinct`` in the scan projection, before the explode), so
+    the shuffle carries exactly one (doc, value) pair per distinct
+    value and the bucket count is one partial agg."""
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.col(array_col))).alias("value"),
+    )
+    g = pairs.groupBy("value").agg(F.count(F.lit(1)).alias("count"))
+    if min_count > 1:
+        g = g.filter(F.col("count") >= min_count)
+    return g.orderBy(F.desc("count"), F.asc_nulls_last("value")).limit(limit)
+
+
 def facet_stat_sort(df: DataFrame, field: str, metric_col: str,
                     agg: str = "avg", limit: int = 10,
                     descending: bool = True) -> DataFrame:

@@ -484,3 +484,16 @@ def test_group_main_flat_format(sales):
     got = [(r["id"], r["group_order"], r["group_rank"]) for r in out]
     # heads: b(40) > a(20) > c(7); flatten b:[4,1... wait b docs 40,1 -> ids 4,5
     assert got == [(4, 1, 1), (5, 1, 2), (2, 2, 1), (1, 2, 2), (6, 3, 1)]
+
+
+def test_facet_terms_mv(spark):
+    """Multivalued terms facet: a doc counts once per DISTINCT value it
+    carries (repeated values within one doc collapse)."""
+    rows = [(1, ["a", "b", "a"]), (2, ["a"]), (3, ["b", "c"]), (4, [])]
+    df = spark.createDataFrame(rows, "id long, tags array<string>")
+    got = [(r["value"], r["count"]) for r in
+           R.facet_terms_mv(df, "tags", "id").collect()]
+    assert got == [("a", 2), ("b", 2), ("c", 1)]
+    got = [(r["value"], r["count"]) for r in
+           R.facet_terms_mv(df, "tags", "id", min_count=2).collect()]
+    assert got == [("a", 2), ("b", 2)]
