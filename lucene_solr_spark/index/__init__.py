@@ -14,7 +14,7 @@ from .core import (
     encode_postings,
     invert_tokens,
 )
-from .merge import merge_postings, merge_segments, tiered_merge
+from .merge import expunge_deletes, merge_postings, merge_segments, tiered_merge
 from .preanalyzed import (PREANALYZED_JSON_SCHEMA, build_preanalyzed_index_view,
                           preanalyzed_norms, preanalyzed_token_stream,
                           to_preanalyzed_json)
@@ -47,6 +47,7 @@ __all__ = [
     "update_documents",
     "encode_postings",
     "invert_tokens",
+    "expunge_deletes",
     "merge_postings",
     "merge_segments",
     "open_index",

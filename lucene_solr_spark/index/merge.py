@@ -467,3 +467,162 @@ def merge_segments(
     }
     write_manifest(index_path, manifest)
     return manifest
+
+
+def expunge_deletes(
+    spark: SparkSession, index_path: str | Path, num_partitions: int | None = None
+) -> dict:
+    """``IndexWriter#forceMergeDeletes`` (TieredMergePolicy
+    ``findForcedDeletesMerges``, ``[8x] lucene/core/src/java/org/apache/
+    lucene/index/TieredMergePolicy.java``): merge ONLY the segments that
+    contain deleted docs, purging their tombstones physically, and leave
+    every clean segment untouched — the bounded-work alternative to the
+    full optimize when the motive is reclaiming deletes, not segment
+    count.
+
+    Mechanics mirror ``tiered_merge`` (new segment dir, manifest-last
+    commit, source dirs dropped after) plus ``merge_segments``'s delete
+    side-effects scoped to the PURGED ids only: their norms / stored
+    fields / term-vector rows are rewritten out, corpus stats recompute
+    over live docs, and the tombstone file shrinks by exactly the
+    covered set.  Segment choice is one broadcast range-join of the
+    tombstone ids against the tiny segment-range list."""
+    import shutil
+
+    from .core import NORMS_TERM
+    from .deletes import TOMBSTONES, read_tombstones
+
+    index_path = Path(index_path)
+    manifest = read_manifest(index_path)
+    if not manifest or not manifest.get("committed"):
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    tomb = read_tombstones(spark, index_path)
+    if tomb is None:
+        return manifest
+    segs = manifest["segments"]
+    rng = spark.createDataFrame(
+        [(s["segment_id"], s["doc_base"], s["max_doc"]) for s in segs],
+        "segment_id long, lo long, hi long",
+    )
+    dead = tomb.select("doc_id").distinct()
+    hits = (
+        dead.join(
+            F.broadcast(rng),
+            (dead["doc_id"] >= rng["lo"]) & (dead["doc_id"] <= rng["hi"]),
+        )
+        .groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+        .collect()
+    )
+    hit_ids = {int(r["segment_id"]) for r in hits}
+    if not hit_ids:
+        return manifest
+    chosen = [s for s in segs if s["segment_id"] in hit_ids]
+    lo = min(s["doc_base"] for s in chosen)
+    hi = max(s["max_doc"] for s in chosen)
+    covered = dead.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    n_covered = int(covered.count())
+
+    t0 = time.time()
+    new_id = max(s["segment_id"] for s in segs) + 1
+    paths = [str(index_path / s["path"]) for s in chosen]
+    blocks = spark.read.parquet(*paths).filter(
+        ~F.col("term").startswith(NORMS_TERM))
+    merged = merge_postings(blocks, num_partitions, tombstones=covered)
+    out = index_path / "segments" / f"seg={new_id}"
+    merged.repartitionByRange("term").sortWithinPartitions(
+        "term", "first_doc"
+    ).write.mode("overwrite").parquet(str(out))
+    agg = spark.read.parquet(str(out)).agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("sum_tf").alias("tokens")
+    ).collect()[0]
+    entry = {
+        "segment_id": new_id,
+        "status": "done",
+        "doc_base": lo,
+        "max_doc": hi,
+        "num_docs": sum(s["num_docs"] for s in chosen) - n_covered,
+        "lineage": {"merged_from": sorted(hit_ids),
+                    "expunged_deletes": n_covered},
+        "metrics": {
+            "blocks": int(agg["blocks"]),
+            "tokens": int(agg["tokens"] or 0),
+            "build_sec": round(time.time() - t0, 3),
+        },
+        "path": f"segments/seg={new_id}",
+    }
+
+    # purge the row stores for the covered ids (Lucene: SegmentMerger
+    # rewrites .fdt/.nvd/.tvd of the merged segments without dead docs)
+    def _rewrite_without_dead(p: Path, partitioned: bool):
+        live = spark.read.parquet(str(p)).join(covered, "doc_id", "left_anti")
+        tmp = p.with_suffix(p.suffix + ".tmp")
+        w = live.write.mode("overwrite")
+        (w.partitionBy("seg") if partitioned else w).parquet(str(tmp))
+        shutil.rmtree(p)
+        tmp.rename(p)
+
+    norms_path = index_path / "norms.parquet"
+    if norms_path.exists():
+        _rewrite_without_dead(norms_path, True)
+        stats = (
+            spark.read.parquet(str(norms_path))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("length"), F.lit(0)).alias("ttf"))
+            .collect()[0]
+        )
+        manifest["stats"] = {"doc_count": int(stats["n"]),
+                             "sum_ttf": int(stats["ttf"])}
+    tv_path = index_path / "term_vectors.parquet"
+    if manifest.get("term_vectors") and tv_path.exists():
+        _rewrite_without_dead(tv_path, True)
+    docs_path = index_path / "docs.parquet"
+    if docs_path.exists():
+        seg_layout = any(
+            p.is_dir() and "=" in p.name for p in docs_path.iterdir())
+        _rewrite_without_dead(docs_path, seg_layout)
+
+    # shrink the tombstone set by the covered ids (data-first: the new
+    # tombstone file lands before the manifest references the new segment)
+    remaining = tomb.join(covered, "doc_id", "left_anti")
+    tmp_tomb = index_path / (TOMBSTONES + ".tmp")
+    remaining.write.mode("overwrite").parquet(str(tmp_tomb))
+    shutil.rmtree(index_path / TOMBSTONES)
+    if spark.read.parquet(str(tmp_tomb)).head(1):
+        tmp_tomb.rename(index_path / TOMBSTONES)
+    else:
+        shutil.rmtree(tmp_tomb)
+
+    manifest["segments"] = [
+        s for s in segs if s["segment_id"] not in hit_ids
+    ] + [entry]
+    manifest["segments"].sort(key=lambda s: s["segment_id"])
+    manifest["merged"] = False
+    manifest["pending_deletes"] = max(
+        0, int(manifest.get("pending_deletes", 0)) - n_covered)
+
+    # the build-time dictionary snapshot still counts the purged docs —
+    # recompute it over the LIVE segment set (same data-first ordering:
+    # new file lands before the manifest that implies it is current)
+    td_path = index_path / "term_dict.parquet"
+    if td_path.exists():
+        live_paths = [str(index_path / s["path"]) for s in manifest["segments"]]
+        td = (
+            spark.read.parquet(*live_paths)
+            .filter(~F.col("term").startswith(NORMS_TERM))
+            .groupBy("term")
+            .agg(F.sum("doc_count").cast("long").alias("df"),
+                 F.sum("sum_tf").cast("long").alias("cf"))
+        )
+        tmp_td = index_path / "term_dict.parquet.tmp"
+        td.repartitionByRange("term").sortWithinPartitions("term").write.mode(
+            "overwrite").parquet(str(tmp_td))
+        shutil.rmtree(td_path)
+        tmp_td.rename(td_path)
+
+    write_manifest(index_path, manifest)
+    for s in chosen:
+        p = index_path / s["path"]
+        if p.exists():
+            shutil.rmtree(p)
+    return manifest

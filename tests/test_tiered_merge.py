@@ -52,3 +52,72 @@ def test_tiered_merge_preserves_results(spark, tmp_path):
     # run to fixpoint: remaining 2 small + 1 big -> no tier with >= 4 peers
     m2 = tiered_merge(spark, path, merge_factor=4)
     assert len(m2["segments"]) == 3
+
+
+def test_expunge_deletes_merges_only_dirty_segments(spark, tmp_path):
+    """forceMergeDeletes: only segments containing tombstones are
+    rewritten; clean segments survive untouched; purged postings,
+    dictionary and stats equal a fresh build over the live docs."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.index import (build_index, delete_docs,
+                                         expunge_deletes, open_index)
+    from lucene_solr_spark.search import Term, count_hits, parse_query, search
+
+    path = tmp_path / "idx"
+    corpus = gen_corpus_df(spark, 300, seed=23)
+    build_index(spark, corpus, path, segment_docs=100)  # 3 segments
+    import json
+
+    man0 = json.loads((path / "manifest.json").read_text())
+    assert len(man0["segments"]) == 3
+
+    # delete 10 docs, all inside the FIRST segment's range
+    victims = spark.range(5, 15).select(F.col("id").alias("doc_id"))
+    delete_docs(spark, path, victims)
+
+    man = expunge_deletes(spark, path)
+    # exactly one dirty segment replaced; the two clean ones untouched
+    ids = [s["segment_id"] for s in man["segments"]]
+    assert len(ids) == 3 and man["pending_deletes"] == 0
+    kept = [s for s in man["segments"] if s["segment_id"] in (1, 2)]
+    assert len(kept) == 2  # segments 1 and 2 were clean
+    new = [s for s in man["segments"] if s["segment_id"] not in (0, 1, 2)]
+    assert len(new) == 1 and new[0]["lineage"]["expunged_deletes"] == 10
+    assert not (path / "tombstones.parquet").exists()
+    # stored fields physically purged
+    stored = spark.read.parquet(str(path / "docs.parquet"))
+    assert stored.count() == 290
+    assert stored.filter(F.col("doc_id").between(5, 14)).count() == 0
+
+    # postings/dictionary/stats == a fresh build over the live docs
+    live = corpus.join(victims.withColumnRenamed("doc_id", "x"),
+                       F.col("doc_id") == F.col("x"), "left_anti") \
+        if "doc_id" in corpus.columns else None
+    expunged = open_index(spark, path)
+    fresh_path = tmp_path / "fresh"
+    live_rows = stored.drop("content_sha256", "seg")
+    build_index(spark, live_rows.drop("doc_id"), fresh_path, segment_docs=100)
+    fresh = open_index(spark, fresh_path)
+    d1 = sorted(map(tuple, expunged.term_dict.collect()))
+    d2 = sorted(map(tuple, fresh.term_dict.collect()))
+    assert d1 == d2
+    assert (expunged.doc_count, expunged.sum_ttf) == \
+        (fresh.doc_count, fresh.sum_ttf)
+    # ranked results identical by content identity (ids differ)
+    sha1 = {r["doc_id"]: r["content_sha256"] for r in
+            spark.read.parquet(str(path / "docs.parquet"))
+            .select("doc_id", "content_sha256").collect()}
+    sha2 = {r["doc_id"]: r["content_sha256"] for r in
+            spark.read.parquet(str(fresh_path / "docs.parquet"))
+            .select("doc_id", "content_sha256").collect()}
+    for qs in ["def", "return AND class"]:
+        a = [(sha1[int(r["doc_id"])], np.float32(r["score"]))
+             for r in search(expunged, parse_query(qs), k=5).collect()]
+        b = [(sha2[int(r["doc_id"])], np.float32(r["score"]))
+             for r in search(fresh, parse_query(qs), k=5).collect()]
+        assert [s for _, s in a] == [s for _, s in b]
+        assert sorted(a) == sorted(b)
+    assert count_hits(expunged, Term("def")) == count_hits(fresh, Term("def"))
