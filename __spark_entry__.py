@@ -5006,6 +5006,41 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("orig_id"))
 
 
+def q_expunge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forceMergeDeletes, end to end: build 3 segments → delete a range
+    inside one → expunge → the LIVE dictionary (probe terms) + stored
+    rows must equal a corpus that never contained the deleted docs.
+    Output: per-probe-term df/cf over the post-expunge index."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import (build_index, delete_docs,
+                                         expunge_deletes, open_index)
+
+    d0 = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "text"
+    ).filter(F.col("orig_id") < 600)
+    base = d0.withColumn(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    root = tempfile.mkdtemp(prefix="lss_expunge_")
+    build_index(spark, base, root, text_col="text", id_col="doc_id",
+                segment_docs=200)
+    victims = base.filter((F.col("orig_id") >= 50) & (F.col("orig_id") < 80)) \
+        .select("doc_id")
+    delete_docs(spark, root, victims)
+    expunge_deletes(spark, root)
+    idx = open_index(spark, root)
+    probe = list(PROBE_TERMS)
+    return (
+        idx.term_dict.filter(F.col("term").isin(probe))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realtime Get, end to end (``[8x] solr/core/.../handler/component/
     RealTimeGetComponent.java``): build → updateDocument a key range →
@@ -6115,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog": q_changelog,
         "realtime_get": q_realtime_get,
         "atomic_update": q_atomic_update,
+        "expunge_deletes": q_expunge_deletes,
         "dv_update": q_dv_update,
         "url_filter": q_url_filter,
         "syn_graph": q_syn_graph,
@@ -9815,6 +9851,14 @@ WITH final AS (
   UNION ALL
   SELECT doc_id + 100000, 'brandnew ' || text FROM documents WHERE doc_id < 10)
 SELECT orig_id, md5(text) AS text_md5 FROM final ORDER BY orig_id""",
+        "expunge_deletes": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok
+WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)})
+  AND doc_id < 600 AND NOT (doc_id >= 50 AND doc_id < 80)
+GROUP BY term ORDER BY term""",
         "realtime_get": """
 SELECT doc_id AS orig_id,
        md5(CASE WHEN doc_id < 20 THEN 'v2 ' || text ELSE text END) AS text_md5
