@@ -2168,6 +2168,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media, fake=True).orderBy("doc_id")
 
 
+def q_shingle_range_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShingleFilter minShingleSize=2 / maxShingleSize=3 ([8x] lucene/
+    analysis/common/.../shingle/ShingleFilter.java): BOTH orders emitted
+    from one stream pass; dictionary re-derived in DuckDB as the union
+    of 2- and 3-token adjacent joins."""
+    from lucene_solr_spark.analysis import Chain, shingle_filter
+    from lucene_solr_spark.index.core import build_index_view
+
+    chain = Chain(steps=(shingle_filter(2, "_", keep_unigrams=False,
+                                        max_size=3),))
+    idx = build_index_view(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        analyzer=chain, cache=False,
+    )
+    return (
+        idx.term_dict.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "cf")
+    )
+
+
 def q_shingle_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analysis-chain entry: ShingleFilter (2-grams, no unigrams) term
     dictionary — the full tokenize→filter→invert→encode→decode pipeline
@@ -6065,6 +6086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify": q_classify,
         "feature_igain": q_feature_igain,
         "fts_shingle_dict": q_shingle_dict,
+        "shingle_range_dict": q_shingle_range_dict,
         "fingerprint_dict": q_fingerprint_dict,
         "minhash_terms": q_minhash_terms,
         "fts_classic_topk": q_fts_classic_topk,
@@ -8290,6 +8312,26 @@ grams AS (
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS cf
 FROM grams GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 50""",
+        "shingle_range_dict": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+sh AS (
+  SELECT a.doc_id, a.term || '_' || b.term AS term
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  UNION ALL
+  SELECT a.doc_id, a.term || '_' || b.term || '_' || c.term
+  FROM tokp a
+  JOIN tokp b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN tokp c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM sh GROUP BY term
 ORDER BY cf DESC, term ASC LIMIT 50""",
         "fts_shingle_dict": f"""
 WITH tokp AS (

@@ -472,13 +472,22 @@ class Expand:
 
 @dataclass(frozen=True)
 class Shingle:
-    """ShingleFilter: combine ``size`` consecutive stream tokens with
-    ``sep``; position = first constituent's.  ``keep_unigrams`` mirrors
-    outputUnigrams."""
+    """ShingleFilter: combine consecutive stream tokens with ``sep``;
+    position = first constituent's.  ``keep_unigrams`` mirrors
+    outputUnigrams.  ``max_size`` (Lucene's minShingleSize/
+    maxShingleSize pair — ``[8x] lucene/analysis/common/.../shingle/
+    ShingleFilter.java``) emits EVERY order from ``size`` to
+    ``max_size``; None keeps the single-order shape."""
 
     size: int = 2
     sep: str = "_"
     keep_unigrams: bool = True
+    max_size: int | None = None
+
+    @property
+    def sizes(self) -> tuple:
+        hi = self.max_size if self.max_size is not None else self.size
+        return tuple(range(self.size, hi + 1))
 
 
 @dataclass(frozen=True)
@@ -932,8 +941,14 @@ def cjk_bigram_filter(output_unigrams: bool = False) -> Expand:
                   query_expand=True)
 
 
-def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True) -> Shingle:
-    return Shingle(size, sep, keep_unigrams)
+def shingle_filter(size: int = 2, sep: str = "_", keep_unigrams: bool = True,
+                   max_size: int | None = None) -> Shingle:
+    """``max_size`` -> Lucene's minShingleSize..maxShingleSize range;
+    must be >= ``size`` when given."""
+    if max_size is not None and int(max_size) < int(size):
+        raise ValueError(f"max_size {max_size} < size {size}")
+    return Shingle(int(size), sep, keep_unigrams,
+                   int(max_size) if max_size is not None else None)
 
 
 def fingerprint_filter(sep: str = " ",
@@ -1371,8 +1386,9 @@ class Chain:
                 stream = [(u, p) for t, p in stream for u in step.fn(t)]
             elif isinstance(step, Shingle):
                 sh = [
-                    (step.sep.join(t for t, _ in stream[i : i + step.size]), stream[i][1])
-                    for i in range(len(stream) - step.size + 1)
+                    (step.sep.join(t for t, _ in stream[i : i + k]), stream[i][1])
+                    for k in step.sizes
+                    for i in range(len(stream) - k + 1)
                 ]
                 stream = (stream + sh) if step.keep_unigrams else sh
             elif isinstance(step, CommonGrams):
@@ -1483,12 +1499,12 @@ class Chain:
                 terms = flat_exp[np.repeat(u_starts[inv], reps) + within]
                 row_idx, pos = row_idx[src], pos[src]
             elif isinstance(step, Shingle):
-                k = step.size
-                if terms.size < k:
-                    sh_terms = np.array([], dtype=object)
-                    sh_rows = np.array([], dtype=np.int64)
-                    sh_pos = np.array([], dtype=np.int64)
-                else:
+                parts_t: list[np.ndarray] = []
+                parts_r: list[np.ndarray] = []
+                parts_p: list[np.ndarray] = []
+                for k in step.sizes:
+                    if terms.size < k:
+                        continue
                     same = np.ones(terms.size - k + 1, dtype=bool)
                     for off in range(1, k):
                         same &= row_idx[off : terms.size - k + 1 + off] == row_idx[: terms.size - k + 1]
@@ -1496,9 +1512,17 @@ class Chain:
                     for off in range(1, k):
                         parts = parts + step.sep
                         parts = parts + terms[off : terms.size - k + 1 + off]
-                    sh_terms = parts[same]
-                    sh_rows = row_idx[: terms.size - k + 1][same]
-                    sh_pos = pos[: terms.size - k + 1][same]
+                    parts_t.append(parts[same])
+                    parts_r.append(row_idx[: terms.size - k + 1][same])
+                    parts_p.append(pos[: terms.size - k + 1][same])
+                if parts_t:
+                    sh_terms = np.concatenate(parts_t)
+                    sh_rows = np.concatenate(parts_r)
+                    sh_pos = np.concatenate(parts_p)
+                else:
+                    sh_terms = np.array([], dtype=object)
+                    sh_rows = np.array([], dtype=np.int64)
+                    sh_pos = np.array([], dtype=np.int64)
                 if step.keep_unigrams:
                     terms = np.concatenate([terms, sh_terms])
                     row_idx = np.concatenate([row_idx, sh_rows])
@@ -1738,7 +1762,9 @@ def chain_spec(chain: Chain) -> dict | None:
         elif isinstance(step, Shingle):
             steps.append(
                 {"kind": "shingle", "size": step.size, "sep": step.sep,
-                 "keep_unigrams": step.keep_unigrams}
+                 "keep_unigrams": step.keep_unigrams,
+                 **({"max_size": step.max_size}
+                    if step.max_size is not None else {})}
             )
         elif isinstance(step, CommonGrams):
             steps.append(
@@ -1863,7 +1889,8 @@ def chain_from_spec(spec: dict) -> Chain:
         elif kind == "shingle":
             steps.append(
                 shingle_filter(s.get("size", 2), s.get("sep", "_"),
-                               s.get("keep_unigrams", True))
+                               s.get("keep_unigrams", True),
+                               s.get("max_size"))
             )
         elif kind == "common_grams":
             steps.append(common_grams_filter(s["words"], s.get("sep", "_")))

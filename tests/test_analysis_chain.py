@@ -1070,3 +1070,29 @@ def test_keep_word_filter():
         {"kind": "keep", "words": ["data", "merge"]}]
     test_chain_flat_matches_reference((kw,))
     test_chain_flat_matches_reference((kw, shingle_filter(2)))
+
+
+def test_shingle_size_range():
+    """minShingleSize..maxShingleSize: every order in the range emitted
+    (Lucene ShingleFilter); spec round-trip; vectorized == reference."""
+    from lucene_solr_spark.analysis import (
+        chain_from_spec, chain_spec, shingle_filter,
+    )
+
+    f = shingle_filter(2, "_", keep_unigrams=False, max_size=3)
+    chain = Chain(steps=(f,))
+    got = chain.tokens("a b c d")
+    assert got == [("a_b", 0), ("b_c", 1), ("c_d", 2),
+                   ("a_b_c", 0), ("b_c_d", 1)]
+    chain2 = Chain(steps=(shingle_filter(2, "_", True, 3),))
+    assert len(chain2.tokens("a b c d")) == 4 + 5
+    assert chain_from_spec(chain_spec(chain)) == chain
+    assert chain_spec(chain)["steps"][0]["max_size"] == 3
+    # single-order spec stays unchanged (no max_size key)
+    assert "max_size" not in chain_spec(
+        Chain(steps=(shingle_filter(2),)))["steps"][0]
+    with pytest.raises(ValueError):
+        shingle_filter(3, max_size=2)
+    test_chain_flat_matches_reference((f,))
+    test_chain_flat_matches_reference(
+        (stop_filter(["the"]), shingle_filter(2, "_", True, 4)))
