@@ -14,7 +14,8 @@ from .core import (
     encode_postings,
     invert_tokens,
 )
-from .merge import expunge_deletes, merge_postings, merge_segments, tiered_merge
+from .merge import (expunge_deletes, merge_postings, merge_segments,
+                    split_index, tiered_merge)
 from .preanalyzed import (PREANALYZED_JSON_SCHEMA, build_preanalyzed_index_view,
                           preanalyzed_norms, preanalyzed_token_stream,
                           to_preanalyzed_json)
@@ -48,6 +49,7 @@ __all__ = [
     "encode_postings",
     "invert_tokens",
     "expunge_deletes",
+    "split_index",
     "merge_postings",
     "merge_segments",
     "open_index",

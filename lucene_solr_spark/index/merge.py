@@ -45,7 +45,8 @@ from ..codec import (
 from .builder import read_manifest, write_manifest
 from .core import POSTINGS_SCHEMA, _rows_to_pdf
 
-__all__ = ["merge_postings", "merge_segments", "tiered_merge"]
+__all__ = ["merge_postings", "merge_segments", "tiered_merge",
+           "expunge_deletes", "split_index"]
 
 
 def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list[dict]:
@@ -626,3 +627,101 @@ def expunge_deletes(
         if p.exists():
             shutil.rmtree(p)
     return manifest
+
+
+def split_index(
+    spark: SparkSession,
+    src_path: str | Path,
+    dst_a: str | Path,
+    dst_b: str | Path,
+    predicate,
+    num_partitions: int | None = None,
+) -> tuple[dict, dict]:
+    """PKIndexSplitter (``[8x] lucene/misc/src/java/org/apache/lucene/
+    misc/index/PKIndexSplitter.java``): split one committed index into
+    TWO — docs matching ``predicate`` (a Column over the stored fields)
+    go to ``dst_a``, the rest to ``dst_b``.  Lucene implements each side
+    as "copy + delete the complement"; here each side is one
+    ``merge_postings`` pass with the complement as tombstones (postings
+    re-encoded without the other side's docs, ids preserved), plus
+    filtered copies of norms / stored fields / term vectors and a
+    recomputed dictionary.  The analyzer/similarity/field specs travel
+    verbatim in both manifests (schema discipline like ``add_indexes``).
+
+    Returns the two manifests.  Source tombstones must be merged first
+    (same guard as addIndexes)."""
+    import copy as _copy
+    import shutil
+
+    from .core import NORMS_TERM
+    from .deletes import read_tombstones
+
+    src_path = Path(src_path)
+    msrc = read_manifest(src_path)
+    if not (msrc and msrc.get("committed")):
+        raise FileNotFoundError(f"no committed index at {src_path}")
+    if read_tombstones(spark, src_path) is not None:
+        raise ValueError("split_index: source has buffered deletes — "
+                         "merge/expunge first (Lucene drops them the same way)")
+    stored = spark.read.parquet(str(src_path / "docs.parquet"))
+    side_a = stored.filter(predicate).select("doc_id")
+    side_b = stored.join(side_a, "doc_id", "left_anti").select("doc_id")
+    seg_paths = [str(src_path / s["path"]) for s in msrc["segments"]]
+    blocks = spark.read.parquet(*seg_paths).filter(
+        ~F.col("term").startswith(NORMS_TERM))
+
+    out = []
+    for dst, keep, drop in ((dst_a, side_a, side_b), (dst_b, side_b, side_a)):
+        dst = Path(dst)
+        dst.mkdir(parents=True, exist_ok=True)
+        merged = merge_postings(blocks, num_partitions, tombstones=drop)
+        seg_dir = dst / "segments" / "seg=0"
+        merged.repartitionByRange("term").sortWithinPartitions(
+            "term", "first_doc"
+        ).write.mode("overwrite").parquet(str(seg_dir))
+        live_norms = spark.read.parquet(str(src_path / "norms.parquet")) \
+            .join(keep, "doc_id", "left_semi")
+        live_norms.write.mode("overwrite").partitionBy("seg").parquet(
+            str(dst / "norms.parquet"))
+        live_docs = stored.join(keep, "doc_id", "left_semi")
+        live_docs.write.mode("overwrite").parquet(str(dst / "docs.parquet"))
+        tv_path = src_path / "term_vectors.parquet"
+        if msrc.get("term_vectors") and tv_path.exists():
+            spark.read.parquet(str(tv_path)).join(
+                keep, "doc_id", "left_semi"
+            ).write.mode("overwrite").partitionBy("seg").parquet(
+                str(dst / "term_vectors.parquet"))
+        written = spark.read.parquet(str(seg_dir))
+        td = written.groupBy("term").agg(
+            F.sum("doc_count").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"))
+        td.repartitionByRange("term").sortWithinPartitions("term") \
+            .write.mode("overwrite").parquet(str(dst / "term_dict.parquet"))
+        stats = live_norms.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("length"), F.lit(0)).alias("ttf")).collect()[0]
+        bounds = live_docs.agg(
+            F.coalesce(F.min("doc_id"), F.lit(0)).alias("lo"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi")).collect()[0]
+        agg = written.agg(F.count(F.lit(1)).alias("blocks"),
+                          F.sum("sum_tf").alias("tokens")).collect()[0]
+        m = _copy.deepcopy(msrc)
+        m["segments"] = [{
+            "segment_id": 0,
+            "status": "done",
+            "doc_base": int(bounds["lo"]),
+            "max_doc": int(bounds["hi"]) + 1,
+            "num_docs": int(stats["n"]),
+            "lineage": {"split_from": str(src_path)},
+            "metrics": {"blocks": int(agg["blocks"]),
+                        "tokens": int(agg["tokens"] or 0)},
+            "path": "segments/seg=0",
+        }]
+        m["stats"] = {"doc_count": int(stats["n"]),
+                      "sum_ttf": int(stats["ttf"])}
+        m["merged"] = False
+        m.pop("pending_deletes", None)
+        m.pop("merge_metrics", None)
+        write_manifest(dst, m)
+        out.append(m)
+    return out[0], out[1]

@@ -92,3 +92,54 @@ def test_add_indexes_rejects_tombstoned_source(spark, paths, tmp_path):
                 spark.createDataFrame([(3,), (4,)], "doc_id long"))
     with pytest.raises(ValueError, match="tombstones"):
         add_indexes(spark, paths / "full", src)
+
+
+def test_split_index_by_predicate(spark, tmp_path):
+    """PKIndexSplitter: both halves behave exactly like fresh indexes
+    over their own docs — dictionary, stats, ranked results (ids are
+    preserved, so identity is direct)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import (build_index, delete_docs,
+                                         open_index, split_index)
+    from lucene_solr_spark.search import parse_query, search
+
+    src = tmp_path / "src"
+    build_index(spark, gen_corpus_df(spark, 200, seed=29), src,
+                segment_docs=80)
+    a_path, b_path = tmp_path / "a", tmp_path / "b"
+    pred = F.col("doc_id") % 3 == 0
+    ma, mb = split_index(spark, src, a_path, b_path, pred)
+    assert ma["stats"]["doc_count"] + mb["stats"]["doc_count"] == 200
+
+    stored = spark.read.parquet(str(src / "docs.parquet"))
+    for path, keep in ((a_path, pred), (b_path, ~pred)):
+        idx = open_index(spark, path)
+        fresh_path = tmp_path / f"fresh_{path.name}"
+        # fresh build assigns its own dense ids — compare id-free
+        live = stored.filter(keep).drop("content_sha256", "seg", "doc_id")
+        build_index(spark, live, fresh_path, segment_docs=200)
+        fresh = open_index(spark, fresh_path)
+        assert sorted(map(tuple, idx.term_dict.collect())) == \
+            sorted(map(tuple, fresh.term_dict.collect()))
+        assert (idx.doc_count, idx.sum_ttf) == \
+            (fresh.doc_count, fresh.sum_ttf)
+        sha_a = {r["doc_id"]: r["content_sha256"] for r in
+                 spark.read.parquet(str(path / "docs.parquet")).collect()}
+        sha_b = {r["doc_id"]: r["content_sha256"] for r in
+                 spark.read.parquet(str(fresh_path / "docs.parquet")).collect()}
+        for qs in ["def", "return OR class"]:
+            a = [(sha_a[int(r["doc_id"])], np.float32(r["score"]))
+                 for r in search(idx, parse_query(qs), k=5).collect()]
+            b = [(sha_b[int(r["doc_id"])], np.float32(r["score"]))
+                 for r in search(fresh, parse_query(qs), k=5).collect()]
+            assert [s for _, s in a] == [s for _, s in b], (path.name, qs)
+            assert sorted(a) == sorted(b), (path.name, qs)
+
+    # buffered deletes refuse the split (addIndexes guard)
+    delete_docs(spark, src, spark.range(1).select(F.col("id").alias("doc_id")))
+    with pytest.raises(ValueError, match="deletes"):
+        split_index(spark, src, tmp_path / "x", tmp_path / "y", pred)
