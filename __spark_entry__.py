@@ -5027,6 +5027,43 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("orig_id"))
 
 
+def q_split_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PKIndexSplitter, end to end: one index split into two by a
+    stored-field predicate (doc_id % 3 = 0); output = side-A probe-term
+    dictionary UNION side-B doc count — the oracle re-derives both from
+    documents alone."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_solr_spark.index import build_index, open_index, split_index
+
+    d0 = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "text"
+    ).filter(F.col("orig_id") < 600)
+    base = d0.withColumn(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    root = tempfile.mkdtemp(prefix="lss_split_")
+    build_index(spark, base, root, text_col="text", id_col="doc_id",
+                segment_docs=200)
+    a, b = tempfile.mkdtemp(prefix="lss_splitA_"), \
+        tempfile.mkdtemp(prefix="lss_splitB_")
+    ma, mb = split_index(spark, root, a, b, F.col("doc_id") % 3 == 0)
+    idx = open_index(spark, a)
+    probe = list(PROBE_TERMS)
+    dict_rows = (
+        idx.term_dict.filter(F.col("term").isin(probe))
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
+    count_row = spark.createDataFrame(
+        [("_side_b_docs", int(mb["stats"]["doc_count"]),
+          int(ma["stats"]["doc_count"]))],
+        "term string, df long, cf long")
+    return dict_rows.unionByName(count_row).orderBy("term")
+
+
 def q_expunge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """forceMergeDeletes, end to end: build 3 segments → delete a range
     inside one → expunge → the LIVE dictionary (probe terms) + stored
@@ -6173,6 +6210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realtime_get": q_realtime_get,
         "atomic_update": q_atomic_update,
         "expunge_deletes": q_expunge_deletes,
+        "split_pk": q_split_pk,
         "dv_update": q_dv_update,
         "url_filter": q_url_filter,
         "syn_graph": q_syn_graph,
@@ -9893,6 +9931,23 @@ WITH final AS (
   UNION ALL
   SELECT doc_id + 100000, 'brandnew ' || text FROM documents WHERE doc_id < 10)
 SELECT orig_id, md5(text) AS text_md5 FROM final ORDER BY orig_id""",
+        "split_pk": f"""
+WITH {_TOK_CTE},
+d AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in PROBE_TERMS)})
+    AND doc_id < 600 AND doc_id % 3 = 0
+  GROUP BY term),
+c AS (
+  SELECT '_side_b_docs' AS term,
+         CAST(count(*) FILTER (doc_id % 3 <> 0) AS BIGINT) AS df,
+         CAST(count(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS cf
+  FROM documents WHERE doc_id < 600)
+SELECT term, df, cf FROM d
+UNION ALL SELECT term, df, cf FROM c
+ORDER BY term""",
         "expunge_deletes": f"""
 WITH {_TOK_CTE}
 SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
