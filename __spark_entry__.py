@@ -250,6 +250,24 @@ def q_fts_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sig_terms_jlh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significantTerms with the JLH heuristic (the refinement of the
+    ratio score popularized by significant-terms aggregations):
+    (fgp - bgp) * (fgp / bgp) over lang='en' foreground — ONE shared
+    f64 formula text (relational.JLH_SQL), set sizes as equal-valued
+    literals/subqueries on the two engines."""
+    from lucene_solr_spark.relational import significant_terms_scored
+
+    index = _index_for(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    fg = docs.filter(F.col("lang") == "en").select("doc_id")
+    fg_size = fg.count()
+    bg_size = docs.count()
+    pt = postings_table(index).select("term", "doc_id")
+    return significant_terms_scored(pt, fg, fg_size, bg_size,
+                                    min_fg=5, limit=20)
+
+
 def q_fts_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significantTerms stream analog: terms over-represented in lang='en'
     docs vs the whole corpus (SURVEY.md §2.6)."""
@@ -6003,6 +6021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_bm25_or_topk": q_fts_bm25_or_topk,
         "fts_significant_terms": q_fts_significant_terms,
+        "sig_terms_jlh": q_sig_terms_jlh,
         "fts_phrase": q_fts_phrase,
         "sloppy_phrase": q_sloppy_phrase,
         "simple_query": q_simple_query,
@@ -9516,6 +9535,22 @@ FROM r WHERE rn BETWEEN 2 AND 3 ORDER BY lang, group_rank""",
         "fts_bm25_or_topk": _bm25_oracle(
             "term IN (" + ", ".join(f"'{t}'" for t in BM25_OR_TERMS) + ")", or_mode=True
         ),
+        "sig_terms_jlh": f"""
+WITH {_TOK_CTE},
+per AS (
+  SELECT t.term,
+         CAST(count(DISTINCT t.doc_id) AS BIGINT) AS bg_df,
+         CAST(count(DISTINCT CASE WHEN d.lang = 'en' THEN t.doc_id END)
+              AS BIGINT) AS fg_df
+  FROM tok t JOIN documents d USING (doc_id)
+  GROUP BY t.term),
+scored AS (
+  SELECT term, fg_df, bg_df,
+         (((CAST(fg_df AS DOUBLE) / (SELECT count(*) FROM documents WHERE lang = 'en')) - (CAST(bg_df AS DOUBLE) / (SELECT count(*) FROM documents))) * ((CAST(fg_df AS DOUBLE) / (SELECT count(*) FROM documents WHERE lang = 'en')) / (CAST(bg_df AS DOUBLE) / (SELECT count(*) FROM documents)))) AS score64
+  FROM per WHERE fg_df >= 5)
+SELECT term, fg_df, bg_df, CAST(score64 AS FLOAT) AS score
+FROM scored
+ORDER BY score64 DESC, fg_df DESC, term ASC LIMIT 20""",
         "fts_significant_terms": f"""
 WITH {_TOK_CTE},
 per AS (

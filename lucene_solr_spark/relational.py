@@ -751,6 +751,60 @@ def terms_component(
     ).limit(int(limit))
 
 
+#: JLH significance — the significant-terms heuristic popularized by
+#: Elasticsearch's significant_terms aggregation (public reference docs;
+#: Solr's significantTerms stream scores fg/bg ratio — JLH refines it):
+#: score = (fgp - bgp) * (fgp / bgp), fgp = fg_df/fg_size, bgp =
+#: bg_df/bg_size.  ONE f64 text; {fgn}/{bgn} carry the set sizes (a
+#: literal or an equal-valued scalar subquery — IEEE division only sees
+#: the value).
+JLH_SQL = (
+    "(((CAST(fg_df AS DOUBLE) / {fgn}) - (CAST(bg_df AS DOUBLE) / {bgn}))"
+    " * ((CAST(fg_df AS DOUBLE) / {fgn}) / (CAST(bg_df AS DOUBLE) / {bgn})))"
+)
+
+#: PMI-weighted lift: fgp * ln(fgp / bgp) — pointwise mutual information
+#: scaled by foreground mass (the mutual-information-flavored
+#: significance heuristic)
+PMI_SQL = (
+    "((CAST(fg_df AS DOUBLE) / {fgn})"
+    " * ln((CAST(fg_df AS DOUBLE) / {fgn}) / (CAST(bg_df AS DOUBLE) / {bgn})))"
+)
+
+
+def significant_terms_scored(
+    postings: DataFrame, fg_docs: DataFrame, fg_size: int, bg_size: int,
+    doc_col: str = "doc_id", term_col: str = "term",
+    min_fg: int = 1, limit: int = 20, heuristic: str = "jlh",
+) -> DataFrame:
+    """significantTerms with a pluggable significance heuristic over the
+    same fg/bg doc-frequency counts as :func:`significant_terms` —
+    ``jlh`` or ``pmi`` (see ``JLH_SQL`` / ``PMI_SQL``).  Counts are
+    integer partials (one shuffle); the score is one shared f64 text
+    cast f32, so any engine reproduces the ranking bit-for-bit."""
+    tmpl = {"jlh": JLH_SQL, "pmi": PMI_SQL}.get(heuristic)
+    if tmpl is None:
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
+    expr = tmpl.format(fgn=int(fg_size), bgn=int(bg_size))
+    tagged = postings.join(
+        F.broadcast(fg_docs.select(F.col(doc_col).alias("_fg"))),
+        postings[doc_col] == F.col("_fg"),
+        "left",
+    )
+    per = tagged.groupBy(term_col).agg(
+        F.count(F.lit(1)).cast("long").alias("bg_df"),
+        F.count("_fg").cast("long").alias("fg_df"),
+    )
+    return (
+        per.filter(F.col("fg_df") >= int(min_fg))
+        .withColumn("score64", F.expr(expr))
+        .orderBy(F.desc("score64"), F.desc("fg_df"), F.asc(term_col))
+        .limit(int(limit))
+        .select(term_col, "fg_df", "bg_df",
+                F.col("score64").cast("float").alias("score"))
+    )
+
+
 # --- streaming-expression analogs (§2.7) -----------------------------------
 
 

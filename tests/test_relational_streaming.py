@@ -497,3 +497,24 @@ def test_facet_terms_mv(spark):
     got = [(r["value"], r["count"]) for r in
            R.facet_terms_mv(df, "tags", "id", min_count=2).collect()]
     assert got == [("a", 2), ("b", 2)]
+
+
+def test_significant_terms_scored_heuristics(spark):
+    """JLH and PMI significance heuristics, hand-computed."""
+    import math
+
+    pairs = spark.createDataFrame(
+        [("hot", d) for d in (1, 2, 3)] + [("cold", d) for d in (1, 4)],
+        "term string, doc_id long")
+    fg = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {r["term"]: r for r in R.significant_terms_scored(
+        pairs, fg, fg_size=3, bg_size=10, limit=10).collect()}
+    # hot: fgp=1.0, bgp=0.3 -> (1-0.3)*(1/0.3); cold: fgp=1/3, bgp=0.2
+    assert got["hot"]["score"] == pytest.approx((1 - 0.3) * (1 / 0.3))
+    assert got["cold"]["score"] == pytest.approx(
+        (1 / 3 - 0.2) * ((1 / 3) / 0.2))
+    got = {r["term"]: r["score"] for r in R.significant_terms_scored(
+        pairs, fg, 3, 10, heuristic="pmi", limit=10).collect()}
+    assert got["hot"] == pytest.approx(1.0 * math.log(1.0 / 0.3))
+    with pytest.raises(ValueError):
+        R.significant_terms_scored(pairs, fg, 3, 10, heuristic="g2")
