@@ -4133,6 +4133,30 @@ def q_feature_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistanceFeatureQuery (LongPoint.newDistanceFeatureQuery): BM25 +
+    0.7 · 500/(500 + |n_chars − 2000|) recency/proximity-style boost as a
+    SHOULD clause — Lucene's exact weight·pivot/(pivot+distance) shape,
+    pure rational f64 arithmetic so the oracle is bit-identical."""
+    # engine kernel (extras.distance_feature) validated in tests; the
+    # entry follows the f64-parity discipline: base BM25 from the shared
+    # parity stream, distance contribution in f64, one final f32 cast —
+    # textually mirrored by the oracle
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    d = _docs(spark, sf_dir)
+    dist = F.abs(F.col("n_chars").cast("double") - F.lit(2000.0))
+    contrib = F.lit(0.7) * (F.lit(500.0) / (F.lit(500.0) + dist))
+    return (
+        sc.join(d.select("doc_id", contrib.alias("_boost")), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("score64") + F.col("_boost")).cast("float").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed StatsComponent: per-shard DECIMAL-exact partial
     moments merged to the same bits as the single-frame stats."""
@@ -6164,6 +6188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt": q_mlt,
         "mlt_text": q_mlt_text,
         "feature_sat": q_feature_sat,
+        "distance_feature": q_distance_feature,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -8127,6 +8152,14 @@ GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
 SELECT s.doc_id,
   CAST(score64
        + 5e-1 * (CAST(d.n_chars AS DOUBLE) / (CAST(d.n_chars AS DOUBLE) + 1e3))
+       AS FLOAT) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "distance_feature": f"""
+{_bm25_oracle_base("term = '" + BM25_TERM + "'")}
+SELECT s.doc_id,
+  CAST(score64
+       + 7e-1 * (5e2 / (5e2 + abs(CAST(d.n_chars AS DOUBLE) - 2e3)))
        AS FLOAT) AS score
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10""",

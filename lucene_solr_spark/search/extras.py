@@ -25,7 +25,8 @@ from .query import Or, Term, rewrite
 __all__ = ["function_score_expression",
            "search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
-           "boost_by_value", "block_join_parents", "block_join_children",
+           "boost_by_value", "distance_feature", "geo_distance_feature",
+           "block_join_parents", "block_join_children",
            "block_join_facet",
            "common_terms_query", "elevate", "suggest_infix",
            "spellcheck_collate", "explain", "interesting_terms", "rrf_fuse",
@@ -199,6 +200,81 @@ def feature_score(
     out = sc.join(feats, "doc_id", "left").select(
         "doc_id",
         (F.col("score") + F.coalesce(F.col("_feat"), F.lit(0.0)))
+        .cast("float").alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def distance_feature(
+    index: IndexView,
+    query,
+    values: DataFrame,
+    value_col: str,
+    origin: float,
+    pivot: float,
+    weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """Numeric DistanceFeatureQuery — Lucene 8's
+    ``LongPoint.newDistanceFeatureQuery`` (``[8x] lucene/core/src/java/org/
+    apache/lucene/document/LongDistanceFeatureQuery.java``): boost docs by
+    proximity of a numeric field (timestamp, version, price) to an
+    ``origin``, the canonical recency-boost query.  The contribution is
+    Lucene's exact shape
+
+        ``weight * pivot / (pivot + |value - origin|)``
+
+    — ``weight`` at the origin, ``weight/2`` at ``pivot`` distance, pure
+    rational f64 arithmetic (exact cross-engine, no transcendentals).
+    Added to the text score as a SHOULD clause: docs without a value row
+    keep their text score (Lucene's query matches only docs WITH the
+    field).  ``values`` is a docvalues frame [doc_id, value_col]; the join
+    is doc-keyed against the scored stream and the collector stays a
+    small-k TakeOrdered, so the plan is scan + one shuffle-free broadcast
+    or doc-keyed join regardless of corpus size."""
+    sc = _scored_stream(index, query)
+    dist = F.abs(F.col(value_col).cast("double") - F.lit(float(origin)))
+    contrib = F.lit(float(weight)) * (F.lit(float(pivot)) / (F.lit(float(pivot)) + dist))
+    feats = values.select("doc_id", contrib.alias("_df_boost"))
+    out = sc.join(feats, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score") + F.coalesce(F.col("_df_boost"), F.lit(0.0)))
+        .cast("float").alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def geo_distance_feature(
+    index: IndexView,
+    query,
+    points: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    pivot_km: float,
+    weight: float = 1.0,
+    k: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geo DistanceFeatureQuery — ``LatLonPoint.newDistanceFeatureQuery``
+    (``[8x] lucene/core/.../document/LatLonPointDistanceFeatureQuery
+    .java``): ``weight * pivot / (pivot + haversine_km(doc, origin))``
+    added as a SHOULD clause.  Same join shape as the numeric variant;
+    the distance is the shared :func:`~lucene_solr_spark.functions.geodist`
+    haversine column expression (JVM whole-stage codegen, no UDF)."""
+    from ..functions import geodist
+
+    sc = _scored_stream(index, query)
+    dist = geodist(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(origin_lat)), F.lit(float(origin_lon)),
+    )
+    contrib = (F.lit(float(weight))
+               * (F.lit(float(pivot_km)) / (F.lit(float(pivot_km)) + dist)))
+    feats = points.select("doc_id", contrib.alias("_df_boost"))
+    out = sc.join(feats, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score") + F.coalesce(F.col("_df_boost"), F.lit(0.0)))
         .cast("float").alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -255,3 +255,74 @@ def test_function_score_expression_score_only(engine, oracle):
     )[:5]
     got = _collect(function_score_expression(engine, q, "_score * _score", k=5))
     assert got == want
+
+
+def test_distance_feature_numeric(spark):
+    """Lucene LongDistanceFeatureQuery shape: +weight at the origin,
+    +weight*pivot/(pivot+d) elsewhere, +0 for docs without the field;
+    nearer docs outrank farther ones at equal text score."""
+    from lucene_solr_spark.search import Term, search
+    from lucene_solr_spark.search.extras import distance_feature
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "alpha beta"),
+         (3, "gamma only")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        vals = spark.createDataFrame(
+            [(0, 1000.0), (1, 1500.0)], "doc_id long, ts double"
+        )  # doc 2 has NO value row
+        base = {r["doc_id"]: r["score"]
+                for r in search(idx, Term("alpha"), k=5).collect()}
+        got = {r["doc_id"]: r["score"] for r in
+               distance_feature(idx, Term("alpha"), vals, "ts",
+                                origin=1000.0, pivot=250.0, weight=0.8,
+                                k=5).collect()}
+        assert got[0] == np.float32(np.float64(base[0]) + 0.8)  # at origin
+        want1 = np.float32(np.float64(base[1]) + 0.8 * (250.0 / 750.0))
+        assert got[1] == want1
+        assert got[2] == base[2]                                # missing -> +0
+        assert got[0] > got[1] > got[2]
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
+
+
+def test_geo_distance_feature(spark):
+    """LatLonPoint.newDistanceFeatureQuery: haversine-km proximity boost;
+    a doc sitting at the origin gains the full weight, a ~pivot-away doc
+    about half of it."""
+    import math
+
+    from lucene_solr_spark.search import Term, search
+    from lucene_solr_spark.search.extras import geo_distance_feature
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "alpha beta")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        pts = spark.createDataFrame(
+            [(0, 10.0, 20.0), (1, 12.0, 20.0)],
+            "doc_id long, lat double, lon double",
+        )  # doc 2 has NO point
+        base = {r["doc_id"]: r["score"]
+                for r in search(idx, Term("alpha"), k=5).collect()}
+        got = {r["doc_id"]: r["score"] for r in
+               geo_distance_feature(idx, Term("alpha"), pts, 10.0, 20.0,
+                                    pivot_km=200.0, weight=1.0,
+                                    k=5).collect()}
+        assert got[0] == np.float32(np.float64(base[0]) + 1.0)  # at origin
+        # doc 1 is 2 degrees of latitude away: haversine in f64
+        R = 6371.0087714
+        d = 2 * R * math.asin(math.sqrt(math.sin(math.radians(2.0) / 2) ** 2))
+        want1 = np.float64(base[1]) + 200.0 / (200.0 + d)
+        assert got[1] == pytest.approx(want1, rel=1e-6)
+        assert got[2] == base[2]
+        assert got[0] > got[1] > got[2]
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
