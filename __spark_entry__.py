@@ -368,6 +368,43 @@ def q_stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+#: Solr analytics expressions shared verbatim between the Spark entry and
+#: the DuckDB oracle (both sides evaluate the SAME compiled SQL text).
+_ANALYTICS_EXPRS = {
+    "n": "docCount()",
+    "uniq_users": "unique(user_id)",
+    "total_value": "sum(value)",
+    "avg_value": "div(sum(value), count(value))",
+    "spread": "sub(max(value), min(value))",
+    "per_user": "div(sum(value), unique(user_id))",
+}
+
+
+def q_analytics_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Analytics component: composed reduction/mapping expressions
+    (div/sub over sum/count/unique/docCount) per event_type bucket, all
+    evaluated in ONE groupBy pass; float sums DECIMAL-exact."""
+    from lucene_solr_spark.analytics import analytics_facet
+
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        analytics_facet(e, "event_type", _ANALYTICS_EXPRS,
+                        float_cols=["value"])
+        .orderBy("event_type")
+    )
+
+
+def _analytics_oracle() -> str:
+    from lucene_solr_spark.analytics import compile_analytics
+
+    sel = ", ".join(
+        f"{compile_analytics(x, ['value'])} AS {name}"
+        for name, x in _ANALYTICS_EXPRS.items()
+    )
+    return (f"SELECT event_type, {sel} FROM events "
+            "GROUP BY event_type ORDER BY event_type")
+
+
 def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result grouping: top-2 orders per market segment (window ranking)."""
     o = _tbl(spark, sf_dir, "orders")
@@ -6101,6 +6138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot": q_facet_pivot,
         "facet_cube": q_facet_cube,
         "stats_numeric": q_stats_numeric,
+        "analytics_metrics": q_analytics_metrics,
         "group_topk": q_group_topk,
         "collapse_top1": q_collapse_top1,
         "set_intersect": q_set_intersect,
@@ -9612,6 +9650,7 @@ GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment""",
 SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus""",
+        "analytics_metrics": _analytics_oracle(),
         "stats_numeric": """
 WITH g AS (
   SELECT l_returnflag,

@@ -1,0 +1,225 @@
+"""Solr Analytics component — expression analytics over buckets.
+
+Solr's analytics contrib (``[8x] solr/contrib/analytics/src/java/org/
+apache/solr/analytics/AnalyticsRequestManager.java`` and the function
+registry in ``.../analytics/function/``) evaluates composed analytics
+expressions — reduction functions over fields wrapped in mapping
+functions, e.g. ``div(sum(value), unique(user_id))`` — for the whole
+collection and per facet bucket, in ONE pass over the data.
+
+Spark-native formulation: each expression compiles to ONE canonical SQL
+aggregate-expression string that both Spark SQL and DuckDB accept
+verbatim (the repo's shared-expression-text exactness discipline).  All
+requested expressions evaluate in a single ``groupBy().agg()`` — one
+partial-aggregated shuffle for any number of expressions, Solr's
+single-collection-pass contract.  Grammar:
+
+* reduction functions (innermost, take row-level args): ``count``,
+  ``docCount``→count(*), ``missing``, ``unique`` (exact distinct),
+  ``sum``, ``sumofsquares``, ``mean``, ``min``, ``max``;
+* mapping functions (combine reduction results or row-level values):
+  ``add``/``sub``/``mult``/``div``/``neg``/``abs``/``pow``/``round``/
+  ``floor``/``ceil``/``if`` are n-ary per the Solr docs where
+  applicable (``add(a,b,c)``), plus constants in e-notation;
+* row-level mappings are legal INSIDE a reduction (``sum(mult(a,b))``),
+  field references are illegal outside one (Solr rejects both the same
+  way).
+
+Exactness: ``sum``/``mean``/``sumofsquares`` over floating columns run
+through DECIMAL(38,12) partial sums (order-independent, bit-identical
+at any parallelism — the repo's exact-sum discipline); integer columns
+keep native 64-bit sums; every division is f64-over-f64.  The compiled
+text contains no engine-specific syntax, so Spark and the DuckDB oracle
+compute identical bits by construction.
+
+At 100 TB: the plan is scan → partial agg → one exchange on the bucket
+key → final agg, identical to any production rollup; expression count
+adds columns, not passes.  ``unique`` is exact distinct (a second
+shuffle per Solr's own semantics); callers who can tolerate sketches
+should use the existing hll facet instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["compile_analytics", "analytics", "analytics_facet"]
+
+#: reduction name -> SQL template over the row-level argument text {a}
+_REDUCTIONS = {
+    "count": "count({a})",
+    "missing": "(count(*) - count({a}))",
+    "unique": "count(DISTINCT {a})",
+    "min": "min({a})",
+    "max": "max({a})",
+}
+
+#: reductions with float/int split handled in code
+_SUMLIKE = ("sum", "mean", "sumofsquares")
+
+_TOK = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_.]*)"
+    r"|(?P<op>[(),]))"
+)
+
+# n-ary mapping functions -> infix SQL operator
+_NARY = {"add": " + ", "mult": " * "}
+
+
+def _lex(text: str):
+    out, pos = [], 0
+    while pos < len(text):
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOK.match(text, pos)
+        if not m or m.start() != pos:
+            raise ValueError(f"bad analytics expression at {text[pos:]!r}")
+        pos = m.end()
+        for kind in ("num", "ident", "op"):
+            if m.group(kind) is not None:
+                out.append((kind, m.group(kind)))
+                break
+    out.append(("end", ""))
+    return out
+
+
+class _Parser:
+    """Recursive-descent over the functional grammar; emits SQL text.
+
+    ``float_cols`` drives the exact-sum discipline: sums over those
+    columns go through DECIMAL(38,12)."""
+
+    def __init__(self, toks, float_cols):
+        self.toks, self.i = toks, 0
+        self.float_cols = set(float_cols)
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        kind, v = self.next()
+        if v != val:
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    def parse(self) -> str:
+        sql = self.expr(in_reduction=False)
+        if self.peek()[0] != "end":
+            raise ValueError(f"trailing input {self.peek()[1]!r}")
+        return sql
+
+    def args(self, in_reduction: bool, n_min: int, n_max: int | None):
+        self.expect("(")
+        out = [self.expr(in_reduction)]
+        while self.peek()[1] == ",":
+            self.next()
+            out.append(self.expr(in_reduction))
+        self.expect(")")
+        if len(out) < n_min or (n_max is not None and len(out) > n_max):
+            raise ValueError(f"wrong arity {len(out)}")
+        return out
+
+    def _sum_text(self, a: str, square: bool) -> str:
+        body = f"({a} * {a})" if square else a
+        if any(c in a for c in self.float_cols):
+            return (f"CAST(sum(CAST({body} AS DECIMAL(38,12))) AS DOUBLE)")
+        return f"sum({body})"
+
+    def expr(self, in_reduction: bool) -> str:
+        kind, v = self.next()
+        if kind == "num":
+            return _enum(float(v))
+        if kind != "ident":
+            raise ValueError(f"unexpected {v!r}")
+        name = v.lower()
+        if self.peek()[1] != "(":
+            # bare field reference
+            if not in_reduction:
+                raise ValueError(
+                    f"field {v!r} outside a reduction function (Solr "
+                    "analytics requires reductions over fields)")
+            return v
+        # function call
+        if name in _REDUCTIONS or name in _SUMLIKE or name == "doccount":
+            if in_reduction:
+                raise ValueError(f"nested reduction {name!r}")
+            if name == "doccount":
+                self.expect("(")
+                self.expect(")")
+                return "count(*)"
+            (a,) = self.args(True, 1, 1)
+            if name == "sum":
+                return self._sum_text(a, square=False)
+            if name == "sumofsquares":
+                return self._sum_text(a, square=True)
+            if name == "mean":
+                s = self._sum_text(a, square=False)
+                return f"(CAST({s} AS DOUBLE) / CAST(count({a}) AS DOUBLE))"
+            return _REDUCTIONS[name].format(a=a)
+        if name in _NARY:
+            parts = self.args(in_reduction, 2, None)
+            return "(" + _NARY[name].join(parts) + ")"
+        if name == "sub":
+            a, b = self.args(in_reduction, 2, 2)
+            return f"({a} - {b})"
+        if name == "div":
+            a, b = self.args(in_reduction, 2, 2)
+            return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
+        if name == "neg":
+            (a,) = self.args(in_reduction, 1, 1)
+            return f"(- {a})"
+        if name == "abs":
+            (a,) = self.args(in_reduction, 1, 1)
+            return f"abs({a})"
+        if name == "pow":
+            a, b = self.args(in_reduction, 2, 2)
+            return f"power(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE))"
+        if name in ("round", "floor", "ceil"):
+            (a,) = self.args(in_reduction, 1, 1)
+            return f"{name}({a})"
+        if name == "if":
+            c, a, b = self.args(in_reduction, 3, 3)
+            return f"(CASE WHEN {c} THEN {a} ELSE {b} END)"
+        raise ValueError(f"unknown analytics function {v!r}")
+
+
+def _enum(f: float) -> str:
+    """Canonical e-notation double literal (both engines parse as f64)."""
+    s = repr(float(f))
+    if "e" in s or "E" in s:
+        return s
+    return s + "e0" if "." in s else s + ".0e0"
+
+
+def compile_analytics(expr: str, float_cols=()) -> str:
+    """Compile one Solr analytics expression to a canonical SQL aggregate
+    expression string accepted verbatim by Spark SQL and DuckDB."""
+    return _Parser(_lex(expr), float_cols).parse()
+
+
+def _agg_cols(exprs: dict[str, str], float_cols):
+    return [F.expr(compile_analytics(e, float_cols)).alias(name)
+            for name, e in exprs.items()]
+
+
+def analytics(df: DataFrame, exprs: dict[str, str], float_cols=()) -> DataFrame:
+    """Collection-level analytics: one row, one column per expression —
+    a single partial-aggregated pass regardless of expression count."""
+    return df.agg(*_agg_cols(exprs, float_cols))
+
+
+def analytics_facet(df: DataFrame, bucket_col: str, exprs: dict[str, str],
+                    float_cols=()) -> DataFrame:
+    """Per-bucket analytics (Solr analytics value facets): groupBy the
+    bucket field, every expression as an aggregate column.  One shuffle
+    on the bucket key; map-side combine does the heavy lifting."""
+    return df.groupBy(bucket_col).agg(*_agg_cols(exprs, float_cols))

@@ -1,0 +1,87 @@
+"""Solr Analytics component: expression compiler + bucket analytics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lucene_solr_spark.analytics import (
+    analytics, analytics_facet, compile_analytics,
+)
+
+
+def test_compile_shapes():
+    assert compile_analytics("count(x)") == "count(x)"
+    assert compile_analytics("docCount()") == "count(*)"
+    assert compile_analytics("missing(x)") == "(count(*) - count(x))"
+    assert compile_analytics("unique(x)") == "count(DISTINCT x)"
+    assert compile_analytics("sum(n)") == "sum(n)"
+    assert (compile_analytics("sum(v)", float_cols=["v"])
+            == "CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)")
+    assert (compile_analytics("div(sum(n), count(n))")
+            == "(CAST(sum(n) AS DOUBLE) / CAST(count(n) AS DOUBLE))")
+    # row-level mapping inside a reduction
+    assert compile_analytics("sum(mult(a, b))") == "sum((a * b))"
+    # n-ary add, constants in e-notation
+    assert compile_analytics("add(count(a), count(b), 2)") \
+        == "(count(a) + count(b) + 2.0e0)"
+
+
+@pytest.mark.parametrize("bad", [
+    "x",                      # bare field outside a reduction
+    "sum(sum(x))",            # nested reduction
+    "div(sum(x))",            # wrong arity
+    "frobnicate(x)",          # unknown function
+    "sum(x) extra",           # trailing input
+])
+def test_compile_rejects(bad):
+    with pytest.raises(ValueError):
+        compile_analytics(bad)
+
+
+def test_analytics_matches_duckdb(spark):
+    rows = [(i, float(i) * 0.25 + 0.1, "g%d" % (i % 3), i % 5)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double, g string, u long")
+    exprs = {
+        "n": "docCount()",
+        "uniq_u": "unique(u)",
+        "total": "sum(v)",
+        "avg_v": "div(sum(v), count(v))",
+        "spread": "sub(max(v), min(v))",
+        "ss": "sumofsquares(v)",
+    }
+    got = analytics(df, exprs, float_cols=["v"]).toPandas()
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sel = ", ".join(
+        f"{compile_analytics(e, ['v'])} AS {name}" for name, e in exprs.items()
+    )
+    want = con.execute(f"SELECT {sel} FROM t").df()
+    for c in exprs:
+        assert got[c][0] == want[c][0], c
+
+
+def test_analytics_facet_matches_duckdb(spark):
+    rows = [(i, float(i % 7) + 0.5, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    exprs = {"n": "count(v)", "avg_v": "div(sum(v), count(v))"}
+    got = (analytics_facet(df, "g", exprs, float_cols=["v"])
+           .orderBy("g").toPandas())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sel = ", ".join(
+        f"{compile_analytics(e, ['v'])} AS {name}" for name, e in exprs.items()
+    )
+    want = con.execute(f"SELECT g, {sel} FROM t GROUP BY g ORDER BY g").df()
+    assert got["g"].tolist() == want["g"].tolist()
+    for c in exprs:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_sum_is_partitioning_invariant(spark):
+    rows = [(i, 0.1 + i * 1e-3) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = analytics(df.repartition(1), {"s": "sum(v)"}, float_cols=["v"]).first()["s"]
+    b = analytics(df.repartition(32), {"s": "sum(v)"}, float_cols=["v"]).first()["s"]
+    assert a == b  # DECIMAL partial sums: bit-identical at any parallelism
