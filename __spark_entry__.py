@@ -499,6 +499,34 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: little-span probe term for the within/containing entries
 SPAN_LITTLE = "merge"
 
+#: TermAutomatonQuery probe: ('scan'|'merge') immediately followed by 'table'
+AUTOMATON_ALTS = ("scan", "merge")
+AUTOMATON_NEXT = "table"
+
+
+def q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermAutomatonQuery (sandbox token-graph query): an automaton whose
+    first slot accepts 'scan' OR 'merge' and whose second is 'table',
+    expanded to accepted term paths and matched as deduplicated exact
+    span windows; per doc the distinct accepted-window count."""
+    from lucene_solr_spark.search.automaton import (
+        TermAutomaton, term_automaton_frames,
+    )
+
+    index = _index_for(spark, sf_dir)
+    a = TermAutomaton()
+    s0, s1, s2 = (a.create_state() for _ in range(3))
+    for t in AUTOMATON_ALTS:
+        a.add_transition(s0, s1, t)
+    a.add_transition(s1, s2, AUTOMATON_NEXT)
+    a.set_accept(s2)
+    frame = term_automaton_frames(index, a.paths())
+    return (
+        frame.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .orderBy("doc_id")
+    )
+
 
 def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanWithinQuery ([8x] lucene/core/.../search/spans/
@@ -6093,6 +6121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covering_query": q_covering_query,
         "pivot_stats": q_pivot_stats,
         "span_near": q_span_near,
+        "term_automaton": q_term_automaton,
         "span_within": q_span_within,
         "span_containing": q_span_containing,
         "multi_phrase": q_multi_phrase,
@@ -9181,6 +9210,22 @@ r AS (SELECT doc_id, key, score,
       FROM sc)
 SELECT doc_id, key, score FROM r WHERE rn <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "term_automaton": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+alt AS (SELECT doc_id, ord FROM tokp
+        WHERE term IN ('{AUTOMATON_ALTS[0]}', '{AUTOMATON_ALTS[1]}')),
+nxt AS (SELECT doc_id, ord FROM tokp WHERE term = '{AUTOMATON_NEXT}'),
+win AS (
+  SELECT DISTINCT a.doc_id, a.ord FROM alt a
+  JOIN nxt b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+FROM win GROUP BY doc_id ORDER BY doc_id""",
         "span_near": f"""
 WITH tokp AS (
   SELECT doc_id,

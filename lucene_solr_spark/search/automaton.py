@@ -1,0 +1,140 @@
+"""TermAutomatonQuery — token-graph automaton matching.
+
+Lucene's sandbox TermAutomatonQuery (``[8x] lucene/sandbox/src/java/org/
+apache/lucene/search/TermAutomatonQuery.java``) matches documents whose
+token stream is accepted by a term-labeled automaton — the general form
+of graph phrases: MultiPhraseQuery, multi-word-synonym paths, and
+optional-token phrases are all special cases.  The caller builds states
+and term transitions (``createState`` / ``addTransition`` / ``finish``),
+and the scorer counts accepted runs over consecutive token positions.
+
+Spark-native formulation: the automaton (acyclic — cycles would accept
+unbounded token runs, which the positional index cannot enumerate; the
+builder rejects them like TermAutomatonQuery#finish rejects dead states)
+is expanded into its accepted TERM PATHS by a bounded driver-side DFS
+over the state graph — pure metadata, no data touched.  Each path
+lowers onto the shared span machinery as an exact in-order SpanNear
+(one occurrence-table decode per distinct term, the same plan as
+phrase/span queries), the per-path span frames are unioned and
+DEDUPLICATED on (doc, start, end) — a token window accepted via several
+stacked-token paths counts ONCE, exactly as one automaton run over one
+stream — and the result scores through ``frame_scores`` as a pseudo-term
+whose weight sums the idf of every term in the automaton
+(TermAutomatonWeight gathers all terms for its similarity stats).
+
+At 100 TB the plan is: |distinct terms| posting-block range scans →
+per-path position joins (each pre-intersected by the span layer) → one
+union + distinct shuffle on doc-keyed frames → small-k TakeOrdered.
+Path count is a driver-side guard (``max_paths``), not a data-volume
+term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.core import IndexView
+from .spans import SpanNear, SpanTerm, frame_scores, spans_frame
+
+__all__ = ["TermAutomaton", "term_automaton_paths", "term_automaton_search"]
+
+
+class TermAutomaton:
+    """Builder mirroring TermAutomatonQuery's createState/addTransition/
+    setAccept surface; ``paths()`` replaces ``finish()``."""
+
+    def __init__(self):
+        self._n = 0
+        self._edges: dict[int, list[tuple[str, int]]] = {}
+        self._accept: set[int] = set()
+
+    def create_state(self) -> int:
+        s = self._n
+        self._n += 1
+        self._edges[s] = []
+        return s
+
+    def add_transition(self, src: int, dst: int, term: str) -> None:
+        if src not in self._edges or dst >= self._n:
+            raise ValueError("unknown state")
+        self._edges[src].append((str(term), int(dst)))
+
+    def set_accept(self, state: int, accept: bool = True) -> None:
+        if accept:
+            self._accept.add(state)
+        else:
+            self._accept.discard(state)
+
+    def paths(self, initial: int = 0, max_paths: int = 256) -> list[tuple[str, ...]]:
+        return term_automaton_paths(
+            self._edges, self._accept, initial=initial, max_paths=max_paths
+        )
+
+
+def term_automaton_paths(
+    edges: dict[int, list[tuple[str, int]]],
+    accepts,
+    initial: int = 0,
+    max_paths: int = 256,
+) -> list[tuple[str, ...]]:
+    """All accepted term sequences of the automaton, by DFS.  Raises on
+    cycles (unbounded language) and on path blowup past ``max_paths`` —
+    both driver-side guards over pure metadata."""
+    accepts = set(accepts)
+    out: list[tuple[str, ...]] = []
+
+    def walk(state: int, acc: tuple[str, ...], on_path: frozenset) -> None:
+        if state in accepts and acc:
+            out.append(acc)
+            if len(out) > max_paths:
+                raise ValueError(f"automaton expands past {max_paths} paths")
+        for term, dst in edges.get(state, ()):
+            if dst in on_path:
+                raise ValueError("cyclic automaton: unbounded token language")
+            walk(dst, acc + (term,), on_path | {dst})
+
+    walk(initial, (), frozenset({initial}))
+    if not out:
+        raise ValueError("automaton accepts no non-empty path")
+    # deterministic order; dedupe identical sequences reached via
+    # different state routes (they denote the same token path)
+    return sorted(set(out))
+
+
+def term_automaton_frames(index: IndexView, paths) -> DataFrame:
+    """Union of each path's exact in-order span frame, one row per
+    DISTINCT accepted (doc, start, end) window."""
+    frames = []
+    for p in paths:
+        q = SpanTerm(p[0]) if len(p) == 1 else SpanNear(
+            *[SpanTerm(t) for t in p], slop=0, in_order=True
+        )
+        frames.append(spans_frame(index, q))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def term_automaton_search(
+    index: IndexView,
+    automaton: TermAutomaton,
+    k: int = 10,
+    boost: float = 1.0,
+    max_paths: int = 256,
+) -> DataFrame:
+    """Top-k TermAutomatonQuery → [doc_id, score:float] in (score desc,
+    doc asc) order; freq = number of accepted windows per doc, weight =
+    summed idf over the automaton's distinct terms."""
+    paths = automaton.paths(max_paths=max_paths)
+    terms = sorted({t for p in paths for t in p})
+    frame = term_automaton_frames(index, paths)
+    sc = frame_scores(index, frame, terms, float(boost))
+    if index.tombstones is not None:
+        sc = sc.join(index.tombstones, "doc_id", "left_anti")
+    return (
+        sc.withColumn("score", F.col("score").cast("float"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,128 @@
+"""TermAutomatonQuery: path expansion, guards, and span-frame identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import gen_corpus_pdf
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search.automaton import (
+    TermAutomaton, term_automaton_paths, term_automaton_search,
+)
+from lucene_solr_spark.search.spans import SpanNear, SpanOr, SpanTerm, span_search
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pdf = gen_corpus_pdf(N_DOCS, seed=1234).reset_index(drop=True)
+    pdf["doc_id"] = np.arange(N_DOCS, dtype=np.int64)
+    df = spark.createDataFrame(pdf[["doc_id", "content"]])
+    idx = build_index_view(df, id_col="doc_id", text_col="content")
+    yield idx
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def _phrase_automaton(*terms):
+    a = TermAutomaton()
+    states = [a.create_state() for _ in range(len(terms) + 1)]
+    for i, t in enumerate(terms):
+        a.add_transition(states[i], states[i + 1], t)
+    a.set_accept(states[-1])
+    return a
+
+
+def test_paths_enumeration():
+    a = TermAutomaton()
+    s0, s1, s2 = (a.create_state() for _ in range(3))
+    a.add_transition(s0, s1, "new")
+    a.add_transition(s0, s1, "york")      # stacked alternative
+    a.add_transition(s1, s2, "city")
+    a.set_accept(s2)
+    a.set_accept(s1)                      # shorter accepted prefix too
+    assert a.paths() == sorted([
+        ("new",), ("york",), ("new", "city"), ("york", "city"),
+    ])
+
+
+def test_guards():
+    # cycle
+    a = TermAutomaton()
+    s0 = a.create_state()
+    a.add_transition(s0, s0, "loop")
+    a.set_accept(s0)
+    with pytest.raises(ValueError, match="cyclic"):
+        a.paths()
+    # no accepted path
+    b = TermAutomaton()
+    b.create_state()
+    with pytest.raises(ValueError, match="no non-empty"):
+        b.paths()
+    # blowup
+    c = TermAutomaton()
+    states = [c.create_state() for _ in range(10)]
+    for i in range(9):
+        c.add_transition(states[i], states[i + 1], "a")
+        c.add_transition(states[i], states[i + 1], "b")
+    c.set_accept(states[9])
+    with pytest.raises(ValueError, match="paths"):
+        c.paths(max_paths=100)
+    # unknown state
+    with pytest.raises(ValueError, match="unknown"):
+        c.add_transition(0, 99, "x")
+
+
+def test_single_path_equals_span_near(engine):
+    """A straight-line automaton IS the phrase: identical top-k rows to
+    the ordered SpanNear over the same terms."""
+    a = _phrase_automaton("def", "class")
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in term_automaton_search(engine, a, k=10).collect()]
+    want = [(int(r["doc_id"]), np.float32(r["score"]))
+            for r in span_search(
+                engine,
+                SpanNear(SpanTerm("def"), SpanTerm("class"),
+                         slop=0, in_order=True),
+                k=10).collect()]
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_branching_automaton_union_semantics(engine):
+    """Two-alternative automaton matches the union of both phrases; every
+    match of either single path appears in the automaton's match set."""
+    a = TermAutomaton()
+    s0, s1, s2 = (a.create_state() for _ in range(3))
+    a.add_transition(s0, s1, "def")
+    a.add_transition(s0, s1, "return")
+    a.add_transition(s1, s2, "class")
+    a.set_accept(s2)
+    big_k = N_DOCS
+    got = {int(r["doc_id"])
+           for r in term_automaton_search(engine, a, k=big_k).collect()}
+    for path in (("def", "class"), ("return", "class")):
+        single = {int(r["doc_id"]) for r in span_search(
+            engine, SpanNear(*[SpanTerm(t) for t in path],
+                             slop=0, in_order=True), k=big_k).collect()}
+        assert single <= got
+    both = {int(r["doc_id"]) for r in span_search(
+        engine,
+        SpanOr(SpanNear(SpanTerm("def"), SpanTerm("class"), slop=0),
+               SpanNear(SpanTerm("return"), SpanTerm("class"), slop=0)),
+        k=big_k).collect()}
+    assert got == both
+
+
+def test_duplicate_state_routes_count_once():
+    """Two state routes spelling the SAME term sequence collapse to one
+    path (one automaton run over one token stream)."""
+    edges = {
+        0: [("a", 1), ("a", 2)],
+        1: [("b", 3)],
+        2: [("b", 3)],
+        3: [],
+    }
+    assert term_automaton_paths(edges, {3}) == [("a", "b")]
