@@ -4893,6 +4893,24 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             emb.filter(F.col("vec_id") >= 3), k=4)
 
 
+#: annotated (query_id, positive_id) pairs for the hard-negative entry
+HARDNEG_POS = ((0, 3), (0, 17), (1, 42), (2, 5))
+
+
+def q_neg_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (ANCE/RocketQA recipe): top-5 non-positive
+    cosine neighbors per query with margin-0.02 denoising against the
+    best labeled positive."""
+    from lucene_solr_spark.pipeline import mine_hard_negatives
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pos = spark.createDataFrame(list(HARDNEG_POS), "query_id long, id long")
+    return mine_hard_negatives(
+        emb.filter(F.col("vec_id") < 3), emb.filter(F.col("vec_id") >= 3),
+        pos, k=5, margin=0.02,
+    )
+
+
 def q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F): 'en' scored against text+lang as one
     combined field (weighted tf, weighted re-quantized length, union
@@ -6338,6 +6356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_field": q_combined_field,
         "geo_rings": q_geo_rings,
         "knn_batch": q_knn_batch,
+        "neg_mining": q_neg_mining,
         "lake_nrt": q_lake_nrt,
         "group_func": q_group_func,
         "sort_by_expr": q_sort_by_expr,
@@ -7445,6 +7464,32 @@ r AS (SELECT query_id, id, cosine,
       FROM pairs)
 SELECT query_id, id, CAST(rank AS INTEGER) AS rank, cosine
 FROM r WHERE rank <= 4 ORDER BY query_id, rank""",
+        "neg_mining": f"""
+WITH pos(qid, cid) AS (VALUES {", ".join(f"({q}, {c})" for q, c in HARDNEG_POS)}),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+    CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
+      (sqrt({dot.format(a="a.embedding", b="a.embedding")})
+       * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id >= 3
+  WHERE a.vec_id < 3),
+best AS (
+  SELECT p.qid, max(pr.cosine) AS best_pos
+  FROM pos p JOIN pairs pr ON pr.qid = p.qid AND pr.cid = p.cid
+  GROUP BY p.qid),
+neg AS (
+  SELECT pr.qid, pr.cid, pr.cosine FROM pairs pr
+  LEFT JOIN pos p ON p.qid = pr.qid AND p.cid = pr.cid
+  LEFT JOIN best b ON b.qid = pr.qid
+  WHERE p.qid IS NULL
+    AND (b.qid IS NULL
+         OR CAST(pr.cosine AS DOUBLE) <= CAST(b.best_pos AS DOUBLE) - 2e-2)),
+r AS (SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, cid ASC) AS rank
+      FROM neg)
+SELECT qid AS query_id, cid AS id, CAST(rank AS INTEGER) AS rank, cosine
+FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
         "knn_classify": f"""
 WITH pairs AS (
   SELECT a.vec_id AS id, b.vec_id AS neighbor, b.label AS nlabel,

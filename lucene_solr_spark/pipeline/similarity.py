@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk", "hyperplane_lsh_topk", "ivf_fit_centroids", "ivf_topk",
            "cosine_neardup_pairs", "pq_fit_codebooks", "pq_topk", "semdedup",
-           "quantize_embeddings", "quantized_cosine_topk", "knn_join"]
+           "quantize_embeddings", "quantized_cosine_topk", "knn_join",
+           "mine_hard_negatives"]
 
 #: sequential f64 dot product of two array columns (bit-deterministic)
 _DOT = (
@@ -791,3 +792,75 @@ def ivfpq_topk(
                            exclude_ids, filter_expr)
     return pq_topk(cand, query_vec, codebooks, k=k, rerank=rerank,
                    id_col=id_col, vec_col=vec_col)
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    margin: float | None = None,
+    n_planes: int = 0,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for dense-retrieval / embedding-model
+    training (the standard ANCE / RocketQA recipe, Xiong et al. 2021 /
+    Qu et al. 2021): for every query vector, the top-``k`` most-similar
+    corpus items that are NOT annotated positives — the negatives that
+    actually move a contrastive loss.
+
+    ``positives`` is the annotation frame ``[query_id, id]``; those pairs
+    are anti-joined out BEFORE ranking.  With ``margin`` set, candidates
+    scoring ABOVE (best annotated positive's cosine − margin) are also
+    dropped — RocketQA's denoising step: a "negative" nearly tied with a
+    labeled positive is more likely an unlabeled positive than a useful
+    hard negative.  Queries with no labeled positive keep all candidates
+    (nothing to denoise against).
+
+    ``n_planes = 0`` ranks exactly (query × corpus — for pre-filtered or
+    serving-sized batches); ``n_planes > 0`` buckets both sides with the
+    shared sign-LSH hyperplanes so candidates are bucket-mates only — at
+    100 TB the join key is the bucket, never all-pairs, the same scale
+    path as :func:`knn_search_batch`.  Returns
+    ``[query_id, id, rank, cosine]`` ranked (cosine desc, id asc)."""
+    q = queries.select(F.col(query_id).alias("qid"),
+                       F.col(query_vec).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    if n_planes > 0:
+        q = _sign_bucket_col(q, "qv", n_planes)
+        c = _sign_bucket_col(c, "cv", n_planes)
+        pairs = q.join(c, "bucket")
+    else:
+        pairs = q.crossJoin(c)
+    cos = (
+        f"CAST(({_DOT.format(a='qv', b='cv')}) / "
+        f"(sqrt({_DOT.format(a='qv', b='qv')}) "
+        f"* sqrt({_DOT.format(a='cv', b='cv')})) AS FLOAT)"
+    )
+    scored = pairs.select("qid", "cid", F.expr(cos).alias("cosine"))
+    pos = positives.select(F.col(positives.columns[0]).alias("qid"),
+                           F.col(positives.columns[1]).alias("cid"))
+    neg = scored.join(pos, ["qid", "cid"], "left_anti")
+    if margin is not None:
+        best = (
+            scored.join(pos, ["qid", "cid"])          # labeled positives, scored
+            .groupBy("qid").agg(F.max("cosine").alias("_best_pos"))
+        )
+        neg = neg.join(best, "qid", "left").filter(
+            F.col("_best_pos").isNull()
+            | (F.col("cosine").cast("double")
+               <= F.col("_best_pos").cast("double") - F.lit(float(margin)))
+        ).drop("_best_pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        neg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col("qid").alias("query_id"), F.col("cid").alias("id"),
+                "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )

@@ -1279,3 +1279,38 @@ def test_license_detect(spark):
     got = {r["doc_id"]: r["license"] for r in license_detect(df).collect()}
     assert got == {0: "apache-2.0", 1: "mit", 2: "apache-2.0", 3: "gpl",
                    4: "bsd-3-clause", 5: "unknown", 6: "mpl-2.0"}
+
+
+def test_mine_hard_negatives(spark):
+    """Annotated positives are excluded; margin denoising drops
+    candidates nearly tied with the best labeled positive; queries with
+    no positives keep their full candidate list."""
+    from lucene_solr_spark.pipeline import mine_hard_negatives
+
+    # query 0 ~ [1,0]; corpus: 10 = exact dup (positive), 11 = near-dup
+    # (cos ~0.995), 12 = moderate (cos ~0.89), 13 = orthogonal
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.995, 0.1]), (12, [0.9, 0.45]),
+         (13, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pos = spark.createDataFrame([(0, 10)], "query_id long, id long")
+
+    got = mine_hard_negatives(queries, corpus, pos, k=3).toPandas()
+    g0 = got[got.query_id == 0]
+    assert 10 not in set(g0.id)                      # positive excluded
+    assert list(g0.sort_values("rank").id) == [11, 12, 13]
+    g1 = got[got.query_id == 1]                      # no positives: full list
+    assert len(g1) == 3 and 13 in set(g1.id)
+
+    # margin 0.05: best positive for q0 is cos=1.0 -> drop cosine > 0.95
+    # (the near-dup 11), keep 12 and 13
+    den = mine_hard_negatives(queries, corpus, pos, k=3, margin=0.05).toPandas()
+    d0 = den[den.query_id == 0]
+    assert list(d0.sort_values("rank").id) == [12, 13]
+    d1 = den[den.query_id == 1]                      # untouched: no positive
+    assert len(d1) == 3
