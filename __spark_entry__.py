@@ -5752,6 +5752,26 @@ def q_elision_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_split_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PatternTokenizer group=-1 (split mode): the separator regex
+    [^a-z0-9]+ splits snake_case identifiers that the default match-mode
+    tokenizer keeps whole; dictionary (term, df, cf) over the corpus,
+    oracle replays the split with regexp_split_to_array + empty drop."""
+    from lucene_solr_spark.analysis import pattern_tokenizer
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    chain = pattern_tokenizer("[^a-z0-9]+", group=-1)
+    idx = build_index_view(d, id_col="doc_id", text_col="text",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_pattern_replace_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PatternReplaceFilter: digit runs collapsed to '#' in every token
     (the classic number-normalizing chain); dictionary over the full
@@ -6395,6 +6415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_dsl": q_json_dsl,
         "elision_dict": q_elision_dict,
         "pattern_replace_dict": q_pattern_replace_dict,
+        "pattern_split_dict": q_pattern_split_dict,
         "pattern_capture_dict": q_pattern_capture_dict,
         "doc_expiration": q_doc_expiration,
         "collapse_null": q_collapse_null,
@@ -10561,6 +10582,16 @@ WHERE m.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
 ORDER BY score DESC, doc_id ASC LIMIT 15""",
     })
     out.update({
+        "pattern_split_dict": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t != '')) AS term
+  FROM documents)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM toks GROUP BY term ORDER BY term""",
         "pattern_replace_dict": f"""
 WITH {_TOK_CTE},
 rep AS (SELECT doc_id, regexp_replace(term, '[0-9]+', '#', 'g') AS term

@@ -100,6 +100,7 @@ __all__ = [
     "delimited_tf_filter",
     "chain_spec",
     "chain_from_spec",
+    "pattern_tokenizer",
     "KEYWORD_TOKEN_PATTERN",
     "path_hierarchy_filter",
     "capitalization_filter",
@@ -698,6 +699,22 @@ def stemmer_override_filter(mapping: dict[str, str]) -> Map:
 #: common/src/java/org/apache/lucene/analysis/fr/FrenchAnalyzer.java``)
 ELISION_ARTICLES = ("c", "d", "j", "l", "lorsqu", "m", "n", "puisqu",
                     "qu", "quoiqu", "s", "t")
+
+
+def pattern_tokenizer(pattern: str, group: int = 0, lower: bool = True,
+                      steps: tuple = ()) -> "Chain":
+    """Solr PatternTokenizerFactory (``[8x] lucene/analysis/common/src/
+    java/org/apache/lucene/analysis/pattern/PatternTokenizer.java``):
+    ``group=0`` emits every match of ``pattern`` as a token (match mode);
+    ``group=-1`` treats ``pattern`` as the SEPARATOR and emits the
+    non-empty pieces between matches (split mode — Lucene likewise skips
+    empty groups, so adjacent separators consume no positions).  Returns
+    a :class:`Chain`, so the full filter family, spec round-trip, and
+    both engine/oracle token paths apply unchanged."""
+    if group not in (0, -1):
+        raise ValueError("group must be 0 (match) or -1 (split)")
+    return Chain(steps=tuple(steps), pattern=pattern, lower=lower,
+                 split=(group == -1))
 
 
 def elision_filter(articles: "tuple[str, ...] | list[str]" = ELISION_ARTICLES) -> Map:
@@ -1347,6 +1364,12 @@ class Chain:
     #: False preserves case for WordDelimiter chains, which then carry
     #: an explicit ``lowercase_filter()`` step
     lower: bool = True
+    #: PatternTokenizer group=-1 semantics (``[8x] lucene/analysis/common/
+    #: src/java/org/apache/lucene/analysis/pattern/PatternTokenizer.java``):
+    #: ``pattern`` matches the SEPARATORS and tokens are the non-empty
+    #: pieces between matches; False (default) is match mode (group=0),
+    #: where ``pattern`` matches the tokens themselves
+    split: bool = False
 
     # --- tokenizer ---------------------------------------------------------
 
@@ -1356,6 +1379,14 @@ class Chain:
             s = _apply_char_rules_series(s, self.char_steps)
         if self.lower:
             s = s.str.lower()
+        if self.split:
+            # empty pieces between adjacent separators are dropped and do
+            # NOT consume positions, as PatternTokenizer emits only
+            # non-empty groups (same cost class as the flatten below:
+            # the batch flatten is already per-token)
+            return s.str.split(self.pattern).map(
+                lambda toks: [t for t in toks if t]
+            )
         return s.str.findall(self.pattern)
 
     # --- reference implementation (per doc) --------------------------------
@@ -1369,7 +1400,11 @@ class Chain:
             raw = _apply_char_rules(raw, self.char_steps)
         if self.lower:
             raw = raw.lower()
-        stream = [(t, i) for i, t in enumerate(re.findall(self.pattern, raw))]
+        if self.split:
+            pieces = [t for t in re.split(self.pattern, raw) if t]
+        else:
+            pieces = re.findall(self.pattern, raw)
+        stream = [(t, i) for i, t in enumerate(pieces)]
         for step in self.steps:
             if isinstance(step, Stop):
                 stream = [(t, p) for t, p in stream if t not in step.words]
@@ -1643,7 +1678,8 @@ def analyze_steps(chain: Chain, text: str) -> list[tuple[str, str, int]]:
     for i in range(len(chain.steps) + 1):
         label = "tokenizer" if i == 0 else name_of(chain.steps[i - 1])
         sub = Chain(steps=chain.steps[:i], pattern=chain.pattern,
-                    char_steps=chain.char_steps, lower=chain.lower)
+                    char_steps=chain.char_steps, lower=chain.lower,
+                    split=chain.split)
         out.extend((label, t, p) for t, p in sub.tokens(text))
     return out
 
@@ -1801,7 +1837,8 @@ def chain_spec(chain: Chain) -> dict | None:
             ],
         })
     return {"pattern": chain.pattern, "steps": steps,
-            "char_steps": chars, "lower": chain.lower}
+            "char_steps": chars, "lower": chain.lower,
+            "split": chain.split}
 
 
 def chain_from_spec(spec: dict) -> Chain:
@@ -1918,4 +1955,5 @@ def chain_from_spec(spec: dict) -> Chain:
         for cs in spec.get("char_steps", [])
     )
     return Chain(steps=tuple(steps), pattern=spec.get("pattern", TOKEN_PATTERN),
-                 char_steps=chars, lower=spec.get("lower", True))
+                 char_steps=chars, lower=spec.get("lower", True),
+                 split=spec.get("split", False))

@@ -1096,3 +1096,52 @@ def test_shingle_size_range():
     test_chain_flat_matches_reference((f,))
     test_chain_flat_matches_reference(
         (stop_filter(["the"]), shingle_filter(2, "_", True, 4)))
+
+
+def test_pattern_tokenizer_split_mode(spark):
+    """PatternTokenizer group=-1: pattern matches separators, empty
+    pieces between adjacent separators are dropped (no position holes);
+    vectorized and per-doc reference paths agree; spec round-trips."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import (
+        chain_from_spec, chain_spec, pattern_tokenizer,
+    )
+
+    ch = pattern_tokenizer(r"[^a-z0-9]+", group=-1)
+    assert ch.tokens("Foo_Bar;; baz--qux 9") == [
+        ("foo", 0), ("bar", 1), ("baz", 2), ("qux", 3), ("9", 4)]
+    # leading separator: no empty token, positions start at 0
+    assert ch.tokens(";;lead") == [("lead", 0)]
+    # vectorized path identical to the reference
+    got = ch.tokenize(pd.Series(["Foo_Bar;; baz--qux 9", ";;lead", None]))
+    assert list(got) == [["foo", "bar", "baz", "qux", "9"], ["lead"], []]
+    # spec round-trip preserves split mode
+    rt = chain_from_spec(chain_spec(ch))
+    assert rt.split and rt.pattern == ch.pattern
+    assert rt.tokens("a_b") == [("a", 0), ("b", 1)]
+    # match mode unchanged
+    m = pattern_tokenizer(r"[a-z]+", group=0)
+    assert m.tokens("ab_cd") == [("ab", 0), ("cd", 1)]
+    with pytest.raises(ValueError):
+        pattern_tokenizer("x", group=2)
+
+
+def test_pattern_tokenizer_split_index_identity(spark):
+    """A split-mode chain drives the full engine path: dictionary over a
+    snake_case corpus splits identifiers where the default match-mode
+    tokenizer keeps them whole."""
+    from lucene_solr_spark.analysis import pattern_tokenizer
+    from lucene_solr_spark.index import build_index_view
+
+    docs = spark.createDataFrame(
+        [(0, "snake_case_name other"), (1, "snake_case name_two")],
+        "doc_id long, content string",
+    )
+    ch = pattern_tokenizer(r"[^a-z0-9]+", group=-1)
+    idx = build_index_view(docs, id_col="doc_id", text_col="content",
+                           analyzer=ch, cache=False)
+    terms = {r["term"]: (r["df"], r["cf"]) for r in idx.term_dict.collect()}
+    assert terms["snake"] == (2, 2) and terms["case"] == (2, 2)
+    assert terms["name"] == (2, 2) and terms["two"] == (1, 1)
+    assert "snake_case_name" not in terms
