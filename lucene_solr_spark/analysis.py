@@ -1384,7 +1384,7 @@ class Chain:
             # NOT consume positions, as PatternTokenizer emits only
             # non-empty groups (same cost class as the flatten below:
             # the batch flatten is already per-token)
-            return s.str.split(self.pattern).map(
+            return s.str.split(self.pattern, regex=True).map(
                 lambda toks: [t for t in toks if t]
             )
         return s.str.findall(self.pattern)

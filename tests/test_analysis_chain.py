@@ -1145,3 +1145,15 @@ def test_pattern_tokenizer_split_index_identity(spark):
     assert terms["snake"] == (2, 2) and terms["case"] == (2, 2)
     assert terms["name"] == (2, 2) and terms["two"] == (1, 1)
     assert "snake_case_name" not in terms
+
+
+def test_pattern_tokenizer_single_char_regex_separator():
+    """A one-character regex separator (e.g. '\\.') must split as regex,
+    not literally (pandas str.split defaults differ for len-1 patterns)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import pattern_tokenizer
+
+    ch = pattern_tokenizer(r"\.", group=-1)
+    assert ch.tokenize(pd.Series(["a.b.c"])).tolist() == [["a", "b", "c"]]
+    assert ch.tokens("a.b.c") == [("a", 0), ("b", 1), ("c", 2)]
