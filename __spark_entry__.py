@@ -5312,6 +5312,57 @@ URLF_SYN = (
 )
 
 
+def q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-graph extraction over a synthesized code corpus (each doc
+    gets deterministic import statements derived from its doc_id; the
+    documents text itself has none): line-anchored regexp extraction →
+    distinct dependency edges → fan-in count per module.  The oracle
+    replays the SAME shared patterns with DuckDB's regexp_extract_all."""
+    from lucene_solr_spark.pipeline import extract_import_edges
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("import mod"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nfrom pkg"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(" import name\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("import extra\n"))
+             .otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("code"),
+    )
+    edges = extract_import_edges(synth, id_col="doc_id", text_col="code",
+                                 lang="python")
+    return (
+        edges.groupBy("module")
+        .agg(F.count(F.lit(1)).cast("long").alias("fan_in"))
+        .orderBy(F.desc("fan_in"), F.asc("module"))
+    )
+
+
+def _import_graph_oracle() -> str:
+    from lucene_solr_spark.pipeline.filters import IMPORT_PATTERNS
+
+    p1, p2 = IMPORT_PATTERNS["python"]
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         'import mod' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+         'from pkg' || CAST(doc_id % 5 AS VARCHAR) || ' import name' || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'import extra' || chr(10) ELSE '' END ||
+         text AS code
+  FROM documents),
+mods AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(code, '{p1}', 1)
+                || regexp_extract_all(code, '{p2}', 1)) AS module
+  FROM synth),
+edges AS (SELECT DISTINCT doc_id, module FROM mods)
+SELECT module, CAST(count(*) AS BIGINT) AS fan_in
+FROM edges GROUP BY module ORDER BY fan_in DESC, module ASC"""
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + blocklist pre-filter (the C4/CCNet/
     RefinedWeb crawl-intake step): scheme/userinfo/www/port/query
@@ -6362,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_pk": q_split_pk,
         "dv_update": q_dv_update,
         "url_filter": q_url_filter,
+        "import_graph": q_import_graph,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
@@ -10193,6 +10245,7 @@ SELECT doc_id,
                  WHEN doc_id < 50 THEN n_chars + 1000
                  ELSE n_chars END AS DOUBLE) AS value
 FROM documents ORDER BY doc_id""",
+        "import_graph": _import_graph_oracle(),
         "url_filter": f"""
 WITH u AS (SELECT doc_id, {URLF_SYN} AS url FROM documents),
 c AS (

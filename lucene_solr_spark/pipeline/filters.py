@@ -39,7 +39,8 @@ __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
            "secret_scan", "SECRET_RULES", "cap_per_key", "char_entropy",
            "ENTROPY_CONTRIB_SQL", "url_filter", "URL_HOST_SQL",
            "URL_PATH_SQL", "URL_TLD_SQL", "URL_DOMAIN_SQL",
-           "code_quality", "license_detect", "LICENSE_RULES"]
+           "code_quality", "license_detect", "LICENSE_RULES",
+           "extract_import_edges", "IMPORT_PATTERNS"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -874,3 +875,49 @@ def license_detect(
         label = F.when(head.rlike(pat), F.lit(name)).otherwise(label)
     label = F.when(spdx != "", spdx).otherwise(label)
     return df.select(F.col(id_col), label.alias("license"))
+
+
+#: per-language import/include statement extractors (regex group 1 = the
+#: imported module); shared verbatim with DuckDB oracles.  Line-anchored
+#: multiline patterns, Java-regex/RE2-compatible (no lookbehind).
+IMPORT_PATTERNS: dict[str, tuple[str, ...]] = {
+    "python": (
+        r"(?m)^[ \t]*import[ \t]+([A-Za-z_][\w.]*)",
+        r"(?m)^[ \t]*from[ \t]+([A-Za-z_][\w.]*)[ \t]+import",
+    ),
+    "java": (r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([\w.]+)[ \t]*;",),
+    "go": (r"(?m)^[ \t]*import[ \t]+\"([^\"]+)\"",),
+    "c": (r"(?m)^[ \t]*#include[ \t]*[<\"]([^>\"]+)[>\"]",),
+}
+
+
+def extract_import_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "python",
+) -> DataFrame:
+    """Import-graph extraction over a source-code corpus: one map-only
+    JVM regexp projection per statement form, exploded and DISTINCT-ed
+    to dependency edges ``[id_col, module]`` — the intake step for the
+    code-corpus dependency graph (feeds ``graph.gather_nodes`` /
+    ``score_nodes`` / ``pagerank`` unchanged, with modules as nodes).
+
+    At 100 TB: scan-projection + one distinct shuffle on (id, module);
+    no UDF, no Python in the row path.  Patterns live in
+    ``IMPORT_PATTERNS`` and are shared verbatim with oracles."""
+    pats = IMPORT_PATTERNS.get(lang)
+    if pats is None:
+        raise ValueError(f"no import patterns for lang {lang!r}")
+    # function API with lit patterns: no SQL-literal backslash escaping
+    mods = [
+        F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(1))
+        for p in pats
+    ]
+    arr = mods[0]
+    for m in mods[1:]:
+        arr = F.concat(arr, m)
+    return (
+        df.select(F.col(id_col), F.explode(arr).alias("module"))
+        .distinct()
+    )

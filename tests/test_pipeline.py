@@ -1314,3 +1314,40 @@ def test_mine_hard_negatives(spark):
     assert list(d0.sort_values("rank").id) == [12, 13]
     d1 = den[den.query_id == 1]                      # untouched: no positive
     assert len(d1) == 3
+
+
+def test_extract_import_edges(spark):
+    """Import-graph extraction: python import/from forms, line-anchored,
+    deduplicated per file; java/c variants; unknown lang rejected."""
+    from lucene_solr_spark.pipeline import extract_import_edges
+
+    py = spark.createDataFrame(
+        [(0, "import os\nfrom os import path\nimport numpy.linalg\n"
+             "  import indented\nx = 'import fake'\nimport os"),
+         (1, "no imports here")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["module"])
+           for r in extract_import_edges(py).collect()}
+    assert got == {(0, "os"), (0, "numpy.linalg"), (0, "indented")}
+    # 'from os import path' dedupes with 'import os'; mid-line string
+    # literal is NOT an import; doc 1 contributes nothing
+
+    j = spark.createDataFrame(
+        [(0, "import java.util.List;\nimport static org.junit.Assert.fail;")],
+        "doc_id long, text string",
+    )
+    gj = {r["module"] for r in
+          extract_import_edges(j, lang="java").collect()}
+    assert gj == {"java.util.List", "org.junit.Assert.fail"}
+
+    c = spark.createDataFrame(
+        [(0, '#include <stdio.h>\n#include "local.h"')],
+        "doc_id long, text string",
+    )
+    gc = {r["module"] for r in extract_import_edges(c, lang="c").collect()}
+    assert gc == {"stdio.h", "local.h"}
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        extract_import_edges(py, lang="cobol")
