@@ -394,6 +394,40 @@ def q_analytics_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: analytics query-facet domains + expressions (shared with the oracle)
+_ANALYTICS_QF_BUCKETS = {
+    "clicks": "event_type = 'click'",
+    "high": "value > 5.0e0",
+}
+_ANALYTICS_QF_EXPRS = {
+    "n": "docCount()",
+    "avg_value": "div(sum(value), count(value))",
+    "uniq_users": "unique(user_id)",
+}
+
+
+def q_analytics_qfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr analytics QUERY facets: two predicate domains × three
+    expressions, every aggregate carrying FILTER (WHERE …) so all
+    domains compute in ONE scan/agg pass."""
+    from lucene_solr_spark.analytics import analytics_query_facet
+
+    e = _tbl(spark, sf_dir, "events")
+    return analytics_query_facet(e, _ANALYTICS_QF_BUCKETS,
+                                 _ANALYTICS_QF_EXPRS, float_cols=["value"])
+
+
+def _analytics_qf_oracle() -> str:
+    from lucene_solr_spark.analytics import compile_analytics
+
+    sel = ", ".join(
+        f"{compile_analytics(x, ['value'], where=pred)} AS {b}_{name}"
+        for b, pred in _ANALYTICS_QF_BUCKETS.items()
+        for name, x in _ANALYTICS_QF_EXPRS.items()
+    )
+    return f"SELECT {sel} FROM events"
+
+
 def _analytics_oracle() -> str:
     from lucene_solr_spark.analytics import compile_analytics
 
@@ -6257,6 +6291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cube": q_facet_cube,
         "stats_numeric": q_stats_numeric,
         "analytics_metrics": q_analytics_metrics,
+        "analytics_qfacet": q_analytics_qfacet,
         "group_topk": q_group_topk,
         "collapse_top1": q_collapse_top1,
         "set_intersect": q_set_intersect,
@@ -9814,6 +9849,7 @@ SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus""",
         "analytics_metrics": _analytics_oracle(),
+        "analytics_qfacet": _analytics_qf_oracle(),
         "stats_numeric": """
 WITH g AS (
   SELECT l_returnflag,

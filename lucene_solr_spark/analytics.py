@@ -46,16 +46,11 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compile_analytics", "analytics", "analytics_facet"]
+__all__ = ["compile_analytics", "analytics", "analytics_facet",
+           "analytics_query_facet"]
 
-#: reduction name -> SQL template over the row-level argument text {a}
-_REDUCTIONS = {
-    "count": "count({a})",
-    "missing": "(count(*) - count({a}))",
-    "unique": "count(DISTINCT {a})",
-    "min": "min({a})",
-    "max": "max({a})",
-}
+#: reduction names handled by the parser (sum-like split out in code)
+_REDUCTIONS = ("count", "missing", "unique", "min", "max")
 
 #: reductions with float/int split handled in code
 _SUMLIKE = ("sum", "mean", "sumofsquares")
@@ -94,9 +89,15 @@ class _Parser:
     ``float_cols`` drives the exact-sum discipline: sums over those
     columns go through DECIMAL(38,12)."""
 
-    def __init__(self, toks, float_cols):
+    def __init__(self, toks, float_cols, where=None):
         self.toks, self.i = toks, 0
         self.float_cols = set(float_cols)
+        self.where = where
+
+    def _flt(self, call: str) -> str:
+        """Attach the query-facet domain predicate to ONE aggregate call
+        (SQL standard FILTER clause — Spark ≥3.0 and DuckDB share it)."""
+        return f"{call} FILTER (WHERE {self.where})" if self.where else call
 
     def peek(self):
         return self.toks[self.i]
@@ -131,8 +132,9 @@ class _Parser:
     def _sum_text(self, a: str, square: bool) -> str:
         body = f"({a} * {a})" if square else a
         if any(c in a for c in self.float_cols):
-            return (f"CAST(sum(CAST({body} AS DECIMAL(38,12))) AS DOUBLE)")
-        return f"sum({body})"
+            inner = self._flt(f"sum(CAST({body} AS DECIMAL(38,12)))")
+            return f"CAST({inner} AS DOUBLE)"
+        return self._flt(f"sum({body})")
 
     def expr(self, in_reduction: bool) -> str:
         kind, v = self.next()
@@ -155,7 +157,7 @@ class _Parser:
             if name == "doccount":
                 self.expect("(")
                 self.expect(")")
-                return "count(*)"
+                return self._flt("count(*)")
             (a,) = self.args(True, 1, 1)
             if name == "sum":
                 return self._sum_text(a, square=False)
@@ -163,8 +165,16 @@ class _Parser:
                 return self._sum_text(a, square=True)
             if name == "mean":
                 s = self._sum_text(a, square=False)
-                return f"(CAST({s} AS DOUBLE) / CAST(count({a}) AS DOUBLE))"
-            return _REDUCTIONS[name].format(a=a)
+                c = self._flt(f"count({a})")
+                return f"(CAST({s} AS DOUBLE) / CAST({c} AS DOUBLE))"
+            if name == "count":
+                return self._flt(f"count({a})")
+            if name == "missing":
+                return (f"({self._flt('count(*)')}"
+                        f" - {self._flt(f'count({a})')})")
+            if name == "unique":
+                return self._flt(f"count(DISTINCT {a})")
+            return self._flt(f"{name}({a})")  # min / max
         if name in _NARY:
             parts = self.args(in_reduction, 2, None)
             return "(" + _NARY[name].join(parts) + ")"
@@ -200,10 +210,13 @@ def _enum(f: float) -> str:
     return s + "e0" if "." in s else s + ".0e0"
 
 
-def compile_analytics(expr: str, float_cols=()) -> str:
+def compile_analytics(expr: str, float_cols=(), where: str | None = None) -> str:
     """Compile one Solr analytics expression to a canonical SQL aggregate
-    expression string accepted verbatim by Spark SQL and DuckDB."""
-    return _Parser(_lex(expr), float_cols).parse()
+    expression string accepted verbatim by Spark SQL and DuckDB.  With
+    ``where``, every aggregate call carries ``FILTER (WHERE …)`` — the
+    query-facet domain restriction, applied per aggregate so composed
+    mappings (div/sub over several reductions) restrict coherently."""
+    return _Parser(_lex(expr), float_cols, where).parse()
 
 
 def _agg_cols(exprs: dict[str, str], float_cols):
@@ -223,3 +236,19 @@ def analytics_facet(df: DataFrame, bucket_col: str, exprs: dict[str, str],
     bucket field, every expression as an aggregate column.  One shuffle
     on the bucket key; map-side combine does the heavy lifting."""
     return df.groupBy(bucket_col).agg(*_agg_cols(exprs, float_cols))
+
+
+def analytics_query_facet(df: DataFrame, buckets: dict[str, str],
+                          exprs: dict[str, str], float_cols=()) -> DataFrame:
+    """Solr analytics QUERY facets: named predicate domains, every
+    expression evaluated per domain via SQL-standard ``FILTER (WHERE …)``
+    aggregate modifiers — all domains and expressions in ONE scan and one
+    partial-agg pass (never a union of per-predicate scans).  Output is a
+    single wide row with ``{bucket}_{expr}`` columns."""
+    cols = [
+        F.expr(compile_analytics(e, float_cols, where=pred))
+        .alias(f"{bname}_{ename}")
+        for bname, pred in buckets.items()
+        for ename, e in exprs.items()
+    ]
+    return df.agg(*cols)

@@ -85,3 +85,34 @@ def test_sum_is_partitioning_invariant(spark):
     a = analytics(df.repartition(1), {"s": "sum(v)"}, float_cols=["v"]).first()["s"]
     b = analytics(df.repartition(32), {"s": "sum(v)"}, float_cols=["v"]).first()["s"]
     assert a == b  # DECIMAL partial sums: bit-identical at any parallelism
+
+
+def test_query_facet_filter_compile():
+    got = compile_analytics("div(sum(v), count(v))", ["v"], where="g = 'a'")
+    assert got == ("(CAST(CAST(sum(CAST(v AS DECIMAL(38,12))) "
+                   "FILTER (WHERE g = 'a') AS DOUBLE) AS DOUBLE) / "
+                   "CAST(count(v) FILTER (WHERE g = 'a') AS DOUBLE))")
+    assert compile_analytics("missing(x)", where="p") \
+        == "(count(*) FILTER (WHERE p) - count(x) FILTER (WHERE p))"
+
+
+def test_analytics_query_facet_matches_duckdb(spark):
+    from lucene_solr_spark.analytics import analytics_query_facet
+
+    rows = [(i, float(i % 9) + 0.25, "g%d" % (i % 3)) for i in range(240)]
+    df = spark.createDataFrame(rows, "id long, v double, g string")
+    buckets = {"ga": "g = 'g0'", "big": "v > 4.0e0"}
+    exprs = {"n": "docCount()", "avg_v": "div(sum(v), count(v))"}
+    got = analytics_query_facet(df, buckets, exprs, float_cols=["v"]).toPandas()
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sel = ", ".join(
+        f"{compile_analytics(e, ['v'], where=pred)} AS {b}_{name}"
+        for b, pred in buckets.items() for name, e in exprs.items()
+    )
+    want = con.execute(f"SELECT {sel} FROM t").df()
+    for c in want.columns:
+        assert got[c][0] == want[c][0], c
+    # sanity: domains actually restrict
+    assert got["ga_n"][0] == 80 and got["big_n"][0] == sum(
+        1 for i in range(240) if (i % 9) + 0.25 > 4.0)
