@@ -428,6 +428,41 @@ def _analytics_qf_oracle() -> str:
     return f"SELECT {sel} FROM events"
 
 
+def q_analytics_rfacet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr analytics RANGE facets: events.value bucketed [0,10) gap 2,
+    DECIMAL-exact sums + distinct users per bucket in one agg pass."""
+    from lucene_solr_spark.analytics import analytics_range_facet
+
+    e = _tbl(spark, sf_dir, "events")
+    return (
+        analytics_range_facet(e, "value", 0.0, 10.0, 2.0,
+                              _ANALYTICS_RF_EXPRS, float_cols=["value"])
+        .orderBy("bucket")
+    )
+
+
+_ANALYTICS_RF_EXPRS = {
+    "n": "count(value)",
+    "total": "sum(value)",
+    "uniq_users": "unique(user_id)",
+}
+
+
+def _analytics_rf_oracle() -> str:
+    from lucene_solr_spark.analytics import compile_analytics
+
+    sel = ", ".join(
+        f"{compile_analytics(x, ['value'])} AS {name}"
+        for name, x in _ANALYTICS_RF_EXPRS.items()
+    )
+    return (
+        "SELECT CAST(floor((CAST(value AS DOUBLE) - 0.0e0) / 2.0e0) AS BIGINT)"
+        f" AS bucket, {sel} FROM events"
+        " WHERE CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) < 10.0"
+        " GROUP BY bucket ORDER BY bucket"
+    )
+
+
 def _analytics_oracle() -> str:
     from lucene_solr_spark.analytics import compile_analytics
 
@@ -6292,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_numeric": q_stats_numeric,
         "analytics_metrics": q_analytics_metrics,
         "analytics_qfacet": q_analytics_qfacet,
+        "analytics_rfacet": q_analytics_rfacet,
         "group_topk": q_group_topk,
         "collapse_top1": q_collapse_top1,
         "set_intersect": q_set_intersect,
@@ -9850,6 +9886,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus""",
         "analytics_metrics": _analytics_oracle(),
         "analytics_qfacet": _analytics_qf_oracle(),
+        "analytics_rfacet": _analytics_rf_oracle(),
         "stats_numeric": """
 WITH g AS (
   SELECT l_returnflag,

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["compile_analytics", "analytics", "analytics_facet",
-           "analytics_query_facet"]
+           "analytics_query_facet", "analytics_range_facet"]
 
 #: reduction names handled by the parser (sum-like split out in code)
 _REDUCTIONS = ("count", "missing", "unique", "min", "max")
@@ -236,6 +236,30 @@ def analytics_facet(df: DataFrame, bucket_col: str, exprs: dict[str, str],
     bucket field, every expression as an aggregate column.  One shuffle
     on the bucket key; map-side combine does the heavy lifting."""
     return df.groupBy(bucket_col).agg(*_agg_cols(exprs, float_cols))
+
+
+def analytics_range_facet(df: DataFrame, field: str, start: float,
+                          end: float, gap: float, exprs: dict[str, str],
+                          float_cols=()) -> DataFrame:
+    """Solr analytics RANGE facets: rows bucketed by
+    ``floor((field - start) / gap)`` over [start, end), one analytics
+    column set per bucket — completing the contrib's facet trio (value /
+    query / range).  The bucket id is an integer-valued expression both
+    engines compute identically; out-of-range rows drop (Solr's default,
+    no ``other`` buckets here).  Same single partial-agg shuffle as
+    :func:`analytics_facet`, keyed by the derived bucket."""
+    lo, hi, g = float(start), float(end), float(gap)
+    if g <= 0 or hi <= lo:
+        raise ValueError("need gap > 0 and end > start")
+    bucket = F.expr(
+        f"CAST(floor((CAST({field} AS DOUBLE) - {_enum(lo)}) / {_enum(g)}) "
+        "AS BIGINT)"
+    )
+    base = df.filter(
+        (F.col(field).cast("double") >= F.lit(lo))
+        & (F.col(field).cast("double") < F.lit(hi))
+    ).withColumn("bucket", bucket)
+    return base.groupBy("bucket").agg(*_agg_cols(exprs, float_cols))
 
 
 def analytics_query_facet(df: DataFrame, buckets: dict[str, str],

@@ -116,3 +116,28 @@ def test_analytics_query_facet_matches_duckdb(spark):
     # sanity: domains actually restrict
     assert got["ga_n"][0] == 80 and got["big_n"][0] == sum(
         1 for i in range(240) if (i % 9) + 0.25 > 4.0)
+
+
+def test_analytics_range_facet_matches_duckdb(spark):
+    from lucene_solr_spark.analytics import analytics_range_facet
+
+    rows = [(i, float(i % 20) + 0.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    exprs = {"n": "count(v)", "total": "sum(v)"}
+    got = (analytics_range_facet(df, "v", 0.0, 16.0, 4.0, exprs,
+                                 float_cols=["v"])
+           .orderBy("bucket").toPandas())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sel = ", ".join(
+        f"{compile_analytics(e, ['v'])} AS {name}" for name, e in exprs.items())
+    want = con.execute(
+        "SELECT CAST(floor((CAST(v AS DOUBLE) - 0.0e0) / 4.0e0) AS BIGINT)"
+        f" AS bucket, {sel} FROM t"
+        " WHERE CAST(v AS DOUBLE) >= 0.0 AND CAST(v AS DOUBLE) < 16.0"
+        " GROUP BY bucket ORDER BY bucket").df()
+    assert got["bucket"].tolist() == want["bucket"].tolist() == [0, 1, 2, 3]
+    for c in exprs:
+        assert got[c].tolist() == want[c].tolist(), c
+    with pytest.raises(ValueError):
+        analytics_range_facet(df, "v", 0.0, 16.0, 0.0, exprs)
