@@ -5410,6 +5410,60 @@ def q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_code_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment/docstring extraction (CodeSearchNet-style pair intake)
+    over a synthesized python corpus: per (kind, snippet) doc counts,
+    patterns shared verbatim with the DuckDB oracle."""
+    from lucene_solr_spark.pipeline import extract_comments
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('def f():\n    """doc '), F.col("lang"),
+            F.lit('."""\n    # note '), F.col("source"),
+            F.lit("\n    return 1  # tail "),
+            (F.col("doc_id") % 4).cast("string"), F.lit("\n"),
+        ).alias("code"),
+    )
+    ex = extract_comments(synth, id_col="doc_id", text_col="code",
+                          lang="python")
+    return (
+        ex.groupBy("kind", "snippet")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("kind", "snippet")
+    )
+
+
+def _code_comments_oracle() -> str:
+    from lucene_solr_spark.pipeline.filters import COMMENT_PATTERNS
+
+    (dk, dp, dg), (ck, cp, cg) = COMMENT_PATTERNS["python"]
+    # DuckDB single-quoted literals: escape embedded quotes by doubling
+    dp_sql, cp_sql = dp.replace("'", "''"), cp.replace("'", "''")
+    tq = '"' * 3  # keeps the triple quote out of this source literal
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         'def f():' || chr(10) || '    {tq}doc ' || lang || '.{tq}' || chr(10) ||
+         '    # note ' || source || chr(10) ||
+         '    return 1  # tail ' || CAST(doc_id % 4 AS VARCHAR) || chr(10)
+         AS code
+  FROM documents),
+ex AS (
+  SELECT doc_id, '{dk}' AS kind,
+         unnest(regexp_extract_all(code, '{dp_sql}', {dg})) AS snippet
+  FROM synth
+  UNION ALL
+  SELECT doc_id, '{ck}' AS kind,
+         unnest(regexp_extract_all(code, '{cp_sql}', {cg})) AS snippet
+  FROM synth),
+dedup AS (
+  SELECT DISTINCT doc_id, kind, snippet FROM ex WHERE trim(snippet) != '')
+SELECT kind, snippet, CAST(count(*) AS BIGINT) AS n_docs
+FROM dedup GROUP BY kind, snippet ORDER BY kind, snippet"""
+
+
 def _import_graph_oracle() -> str:
     from lucene_solr_spark.pipeline.filters import IMPORT_PATTERNS
 
@@ -6485,6 +6539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update": q_dv_update,
         "url_filter": q_url_filter,
         "import_graph": q_import_graph,
+        "code_comments": q_code_comments,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
@@ -10319,6 +10374,7 @@ SELECT doc_id,
                  ELSE n_chars END AS DOUBLE) AS value
 FROM documents ORDER BY doc_id""",
         "import_graph": _import_graph_oracle(),
+        "code_comments": _code_comments_oracle(),
         "url_filter": f"""
 WITH u AS (SELECT doc_id, {URLF_SYN} AS url FROM documents),
 c AS (

@@ -230,12 +230,16 @@ def analytics(df: DataFrame, exprs: dict[str, str], float_cols=()) -> DataFrame:
     return df.agg(*_agg_cols(exprs, float_cols))
 
 
-def analytics_facet(df: DataFrame, bucket_col: str, exprs: dict[str, str],
+def analytics_facet(df: DataFrame, bucket_col, exprs: dict[str, str],
                     float_cols=()) -> DataFrame:
     """Per-bucket analytics (Solr analytics value facets): groupBy the
     bucket field, every expression as an aggregate column.  One shuffle
-    on the bucket key; map-side combine does the heavy lifting."""
-    return df.groupBy(bucket_col).agg(*_agg_cols(exprs, float_cols))
+    on the bucket key; map-side combine does the heavy lifting.
+    ``bucket_col`` may be a list of fields — the contrib's PIVOT facets
+    (nested value facets) are the same single groupBy on the composite
+    key, not one pass per level."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    return df.groupBy(*cols).agg(*_agg_cols(exprs, float_cols))
 
 
 def analytics_range_facet(df: DataFrame, field: str, start: float,

@@ -40,7 +40,8 @@ __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
            "ENTROPY_CONTRIB_SQL", "url_filter", "URL_HOST_SQL",
            "URL_PATH_SQL", "URL_TLD_SQL", "URL_DOMAIN_SQL",
            "code_quality", "license_detect", "LICENSE_RULES",
-           "extract_import_edges", "IMPORT_PATTERNS"]
+           "extract_import_edges", "IMPORT_PATTERNS",
+           "extract_comments", "COMMENT_PATTERNS"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -921,3 +922,52 @@ def extract_import_edges(
         df.select(F.col(id_col), F.explode(arr).alias("module"))
         .distinct()
     )
+
+
+#: per-language comment/docstring extractors: (kind, regex, group).
+#: Line-anchored / non-greedy, RE2/Java-regex compatible; shared
+#: verbatim with DuckDB oracles.
+COMMENT_PATTERNS: dict[str, tuple[tuple[str, str, int], ...]] = {
+    "python": (
+        ("docstring", '(?s)"""(.*?)"""', 1),
+        ("comment", r"(?m)#[ \t]*([^\n]*)", 1),
+    ),
+    "java": (
+        ("docstring", r"(?s)/\*\*(.*?)\*/", 1),
+        ("comment", r"(?s)/\*([^*].*?)\*/", 1),  # no lookahead (RE2-safe)
+        ("comment", r"(?m)//[ \t]*([^\n]*)", 1),
+    ),
+}
+
+
+def extract_comments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "python",
+) -> DataFrame:
+    """Comment / docstring extraction over a source-code corpus — the
+    intake step for code↔natural-language pair mining (the CodeSearchNet
+    / CodeT5 shape: docstrings become the NL side of contrastive or
+    seq2seq training pairs).  One map-only JVM regexp projection per
+    statement form, exploded to ``[id_col, kind, snippet]`` with blank
+    snippets dropped; ordinal-free (set semantics) so the result is
+    partitioning-invariant.
+
+    At 100 TB: scan-projection + explode, no UDF, no shuffle until the
+    caller aggregates.  Patterns live in ``COMMENT_PATTERNS`` shared
+    verbatim with oracles."""
+    pats = COMMENT_PATTERNS.get(lang)
+    if pats is None:
+        raise ValueError(f"no comment patterns for lang {lang!r}")
+    parts = []
+    for kind, pat, grp in pats:
+        arr = F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(grp))
+        parts.append(
+            df.select(F.col(id_col), F.lit(kind).alias("kind"),
+                      F.explode(arr).alias("snippet"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.trim(F.col("snippet")) != "").distinct()

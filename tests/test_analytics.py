@@ -141,3 +141,13 @@ def test_analytics_range_facet_matches_duckdb(spark):
         assert got[c].tolist() == want[c].tolist(), c
     with pytest.raises(ValueError):
         analytics_range_facet(df, "v", 0.0, 16.0, 0.0, exprs)
+
+
+def test_analytics_pivot_facet(spark):
+    """Pivot (nested value) facets = one groupBy on the composite key."""
+    rows = [(i, float(i % 4), "g%d" % (i % 2), "h%d" % (i % 3))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, v double, g string, h string")
+    got = (analytics_facet(df, ["g", "h"], {"n": "docCount()"})
+           .orderBy("g", "h").toPandas())
+    assert len(got) == 6 and got["n"].sum() == 120

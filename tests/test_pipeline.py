@@ -1351,3 +1351,39 @@ def test_extract_import_edges(spark):
     import pytest as _p
     with _p.raises(ValueError):
         extract_import_edges(py, lang="cobol")
+
+
+def test_extract_comments(spark):
+    """Docstring + comment extraction: python triple-quote docstrings and
+    # comments, java block/line comments; blanks dropped; set semantics."""
+    from lucene_solr_spark.pipeline import extract_comments
+
+    py = spark.createDataFrame(
+        [(0, 'def f():\n    """Adds one."""\n    # increment\n'
+             '    return x + 1  # inline\n#\n'),
+         (1, "no comments")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["kind"], r["snippet"])
+           for r in extract_comments(py).collect()}
+    assert (0, "docstring", "Adds one.") in got
+    assert (0, "comment", "increment") in got
+    assert (0, "comment", "inline") in got
+    assert all(d != 1 for d, _, _ in got)
+    assert all(s.strip() for _, _, s in got)      # blank '#' line dropped
+
+    j = spark.createDataFrame(
+        [(0, "/** javadoc. */\nint x; // line note\n/* block */")],
+        "doc_id long, text string",
+    )
+    gj = {(r["kind"], r["snippet"].strip())
+          for r in extract_comments(j, lang="java").collect()}
+    assert ("docstring", "javadoc.") in gj
+    assert ("comment", "line note") in gj
+    assert any(k == "comment" and "block" in s for k, s in gj)
+    # javadoc must NOT also appear as a plain block comment
+    assert not any(k == "comment" and "javadoc" in s for k, s in gj)
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        extract_comments(py, lang="lisp")
