@@ -5435,6 +5435,63 @@ def q_code_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_func_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CodeSearchNet-style pair mining over a synthesized python corpus:
+    three top-level functions per doc, the undocumented one drops; the
+    oracle replays the split/extract patterns verbatim."""
+    from lucene_solr_spark.pipeline import extract_function_pairs
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("def f"), (F.col("doc_id") % 3).cast("string"),
+            F.lit('(x):\n    """doc '), F.col("lang"),
+            F.lit('."""\n    return x\n'),
+            F.lit("def g(y):\n    return y\n"),
+            F.lit('def h(z):\n    """notes '), F.col("source"),
+            F.lit('"""\n    pass\n'),
+        ).alias("code"),
+    )
+    pairs = extract_function_pairs(synth, id_col="doc_id", text_col="code")
+    return (
+        pairs.select("doc_id", "func_ord", "func_name", "docstring")
+        .orderBy("doc_id", "func_ord")
+    )
+
+
+def _func_pairs_oracle() -> str:
+    from lucene_solr_spark.pipeline.filters import (
+        FUNC_DOCSTRING_PATTERN, FUNC_NAME_PATTERN, FUNC_SPLIT_PATTERN,
+    )
+
+    tq = '"' * 3
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         'def f' || CAST(doc_id % 3 AS VARCHAR) ||
+         '(x):' || chr(10) || '    {tq}doc ' || lang || '.{tq}' || chr(10) ||
+         '    return x' || chr(10) ||
+         'def g(y):' || chr(10) || '    return y' || chr(10) ||
+         'def h(z):' || chr(10) || '    {tq}notes ' || source || '{tq}' ||
+         chr(10) || '    pass' || chr(10) AS code
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(code, '{FUNC_SPLIT_PATTERN}')) AS chunk,
+         generate_subscripts(regexp_split_to_array(code, '{FUNC_SPLIT_PATTERN}'), 1) - 1
+           AS func_ord
+  FROM synth),
+ex AS (
+  SELECT doc_id, CAST(func_ord AS INTEGER) AS func_ord,
+         regexp_extract(chunk, '{FUNC_NAME_PATTERN}', 1) AS func_name,
+         regexp_extract(chunk, '{FUNC_DOCSTRING_PATTERN}', 1) AS docstring
+  FROM chunks WHERE func_ord > 0 AND chunk != '')
+SELECT doc_id, func_ord, func_name, docstring
+FROM ex WHERE func_name != '' AND trim(docstring) != ''
+ORDER BY doc_id, func_ord"""
+
+
 def _code_comments_oracle() -> str:
     from lucene_solr_spark.pipeline.filters import COMMENT_PATTERNS
 
@@ -6540,6 +6597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "import_graph": q_import_graph,
         "code_comments": q_code_comments,
+        "func_pairs": q_func_pairs,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
@@ -10375,6 +10433,7 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         "import_graph": _import_graph_oracle(),
         "code_comments": _code_comments_oracle(),
+        "func_pairs": _func_pairs_oracle(),
         "url_filter": f"""
 WITH u AS (SELECT doc_id, {URLF_SYN} AS url FROM documents),
 c AS (

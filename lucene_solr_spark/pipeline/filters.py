@@ -41,7 +41,9 @@ __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
            "URL_PATH_SQL", "URL_TLD_SQL", "URL_DOMAIN_SQL",
            "code_quality", "license_detect", "LICENSE_RULES",
            "extract_import_edges", "IMPORT_PATTERNS",
-           "extract_comments", "COMMENT_PATTERNS"]
+           "extract_comments", "COMMENT_PATTERNS",
+           "extract_function_pairs", "FUNC_SPLIT_PATTERN",
+           "FUNC_NAME_PATTERN", "FUNC_DOCSTRING_PATTERN"]
 
 #: ppm denominator for sampling thresholds (integer compare, no float drift)
 SAMPLE_DENOM = 1_000_000
@@ -971,3 +973,47 @@ def extract_comments(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.filter(F.trim(F.col("snippet")) != "").distinct()
+
+
+#: top-level python function splitter + per-chunk extractors (RE2-safe:
+#: no lookahead/backreferences); shared verbatim with DuckDB oracles.
+FUNC_SPLIT_PATTERN = r"(?m)^def[ \t]+"
+FUNC_NAME_PATTERN = r"^(\w+)"
+FUNC_DOCSTRING_PATTERN = '(?s)"""(.*?)"""'
+
+
+def extract_function_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CodeSearchNet-style (docstring ↔ code) pair construction over
+    python sources (Husain et al. 2019): the regex fallback pipeline —
+    split each file at top-level ``def`` boundaries (indented/nested
+    defs don't match the line-anchored splitter), take the chunk's first
+    triple-quoted string as the docstring, keep the chunk as the code
+    side.  Rows without a docstring drop: the op mines PAIRS for
+    seq2seq / contrastive code-NL training, not a function inventory.
+
+    Returns ``[id_col, func_ord, func_name, docstring, code]`` where
+    ``func_ord`` is the function's order within its file (split index —
+    deterministic, partitioning-invariant).
+
+    At 100 TB: one map-only split+extract projection, no UDF, no
+    shuffle; patterns shared verbatim with oracles (no lookahead, so
+    RE2 engines replay them bit-for-bit)."""
+    pieces = F.split(F.col(text_col), FUNC_SPLIT_PATTERN)
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(pieces).alias("func_ord", "chunk"),
+    ).filter((F.col("func_ord") > 0) & (F.col("chunk") != ""))
+    out = ex.select(
+        id_col,
+        "func_ord",
+        F.regexp_extract("chunk", FUNC_NAME_PATTERN, 1).alias("func_name"),
+        F.regexp_extract("chunk", FUNC_DOCSTRING_PATTERN, 1).alias("docstring"),
+        F.col("chunk").alias("code"),
+    )
+    return out.filter(
+        (F.col("func_name") != "") & (F.trim(F.col("docstring")) != "")
+    )

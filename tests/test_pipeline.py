@@ -1387,3 +1387,30 @@ def test_extract_comments(spark):
     import pytest as _p
     with _p.raises(ValueError):
         extract_comments(py, lang="lisp")
+
+
+def test_extract_function_pairs(spark):
+    """CodeSearchNet pair construction: top-level defs split, first
+    triple-quoted string is the docstring, undocumented functions drop,
+    nested defs don't split."""
+    from lucene_solr_spark.pipeline import extract_function_pairs
+
+    code = (
+        'import os\n'
+        'def alpha(x):\n    """Add one."""\n    return x + 1\n'
+        'def beta():\n    return 0\n'            # no docstring -> dropped
+        'def gamma(y):\n    """Outer.\n    Doc."""\n'
+        '    def inner():\n        """Nested."""\n        pass\n'
+        '    return inner\n'
+    )
+    df = spark.createDataFrame([(0, code), (1, "just text")],
+                               "doc_id long, text string")
+    got = {r["func_name"]: r for r in extract_function_pairs(df).collect()}
+    assert set(got) == {"alpha", "gamma"}
+    assert got["alpha"]["docstring"] == "Add one."
+    assert got["alpha"]["func_ord"] == 1
+    assert got["gamma"]["docstring"] == "Outer.\n    Doc."
+    assert got["gamma"]["func_ord"] == 3
+    # nested def stays inside gamma's code chunk (splitter is ^def)
+    assert "def inner" in got["gamma"]["code"]
+    assert got["alpha"]["code"].startswith("alpha(x):")
