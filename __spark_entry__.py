@@ -5410,6 +5410,57 @@ def q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level near-dup detection over a synthesized fork structure:
+    6 pseudo-repos whose file contents are keyed doc_id % 50 — repos of
+    the same parity share their whole file set (forks), repo r5 holds
+    unique files; exact Jaccard over distinct file-hash sets."""
+    from lucene_solr_spark.pipeline import repo_similarity
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 6).cast("string"))
+        .alias("source"),
+        F.concat(
+            F.lit("file "), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 6 == 5,
+                   F.concat(F.lit(" uniq"), F.col("doc_id").cast("string")))
+             .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return repo_similarity(synth, repo_col="source", text_col="text",
+                           min_jaccard=0.5, max_repos_per_file=100)
+
+
+def _repo_dedup_oracle() -> str:
+    return """
+WITH synth AS (
+  SELECT 'r' || CAST(doc_id % 6 AS VARCHAR) AS repo,
+         'file ' || CAST(doc_id % 50 AS VARCHAR) ||
+         CASE WHEN doc_id % 6 = 5 THEN ' uniq' || CAST(doc_id AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents),
+fh AS (SELECT DISTINCT repo, sha256(text) AS h FROM synth),
+sizes AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM fh GROUP BY repo),
+live AS (
+  SELECT fh.repo, fh.h FROM fh
+  JOIN (SELECT h FROM fh GROUP BY h HAVING count(*) <= 100) k USING (h)),
+inter AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS inter
+  FROM live a JOIN live b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY a.repo, b.repo),
+scored AS (
+  SELECT repo_a, repo_b, sa.n AS n_a, sb.n AS n_b, inter,
+         CAST(CAST(inter AS DOUBLE)
+              / CAST(sa.n + sb.n - inter AS DOUBLE) AS FLOAT) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.repo = repo_a
+  JOIN sizes sb ON sb.repo = repo_b)
+SELECT repo_a, repo_b, n_a, n_b, inter, jaccard
+FROM scored WHERE jaccard >= CAST(5e-1 AS FLOAT)
+ORDER BY repo_a, repo_b"""
+
+
 def q_code_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comment/docstring extraction (CodeSearchNet-style pair intake)
     over a synthesized python corpus: per (kind, snippet) doc counts,
@@ -6598,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_graph": q_import_graph,
         "code_comments": q_code_comments,
         "func_pairs": q_func_pairs,
+        "repo_dedup": q_repo_dedup,
         "syn_graph": q_syn_graph,
         "backup_restore": q_backup_restore,
         "diversity": q_diversity,
@@ -10434,6 +10486,7 @@ FROM documents ORDER BY doc_id""",
         "import_graph": _import_graph_oracle(),
         "code_comments": _code_comments_oracle(),
         "func_pairs": _func_pairs_oracle(),
+        "repo_dedup": _repo_dedup_oracle(),
         "url_filter": f"""
 WITH u AS (SELECT doc_id, {URLF_SYN} AS url FROM documents),
 c AS (

@@ -48,6 +48,7 @@ __all__ = [
     "duplicate_windows",
     "boilerplate_line_dedup",
     "winnow_fingerprints",
+    "repo_similarity",
 ]
 
 
@@ -927,4 +928,67 @@ def winnow_fingerprints(
         F.col(id_col),
         F.expr(f"wmin DIV {shift}").alias("fp"),
         (F.lit(shift - 1) - F.col("wmin") % F.lit(shift)).cast("long").alias("pos"),
+    )
+
+
+def repo_similarity(
+    df: DataFrame,
+    repo_col: str = "source",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_repos_per_file: int = 100,
+) -> DataFrame:
+    """Repo-level near-duplicate detection (The Stack's fork/mirror
+    problem at repository granularity, Kocetkov et al. 2022): two repos
+    are near-dups when the JACCARD over their distinct file-content
+    sha256 sets reaches ``min_jaccard`` — forks, mirrors, and vendored
+    copies share most file hashes verbatim even when no single file is
+    a cross-repo near-dup.
+
+    Exact (not sketched): candidate pairs come from the equi-join on
+    file_hash — only repos that actually share a file ever pair, so the
+    plan is one distinct (repo, hash) shuffle + one hash-keyed self-join
+    + one pair-keyed count.  ``max_repos_per_file`` drops STOP FILES
+    (empty __init__.py, LICENSE boilerplate …) that appear in more than
+    N repos before the join — the quadratic-blowup guard real pipelines
+    apply, documented as the accuracy trade.  Returns
+    ``[repo_a, repo_b, n_a, n_b, inter, jaccard]`` with repo_a < repo_b,
+    jaccard f32-cast from one f64 division."""
+    fh = (
+        df.select(F.col(repo_col).alias("repo"),
+                  F.sha2(F.col(text_col).cast("binary"), 256).alias("fh"))
+        .distinct()
+    )
+    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+    live = fh.join(
+        fh.groupBy("fh").agg(F.count(F.lit(1)).alias("nrep"))
+          .filter(F.col("nrep") <= int(max_repos_per_file))
+          .select("fh"),
+        "fh",
+    )
+    a = live.select(F.col("repo").alias("repo_a"), "fh")
+    b = live.select(F.col("repo").alias("repo_b"), "fh")
+    inter = (
+        a.join(b, "fh")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col("repo").alias("repo_a"),
+                           F.col("n").alias("n_a")), "repo_a")
+        .join(sizes.select(F.col("repo").alias("repo_b"),
+                           F.col("n").alias("n_b")), "repo_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+             ).cast("float"),
+        )
+    )
+    return (
+        out.filter(F.col("jaccard") >= F.lit(float(min_jaccard)).cast("float"))
+        .select("repo_a", "repo_b", "n_a", "n_b", "inter", "jaccard")
+        .orderBy("repo_a", "repo_b")
     )

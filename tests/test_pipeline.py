@@ -1414,3 +1414,36 @@ def test_extract_function_pairs(spark):
     # nested def stays inside gamma's code chunk (splitter is ^def)
     assert "def inner" in got["gamma"]["code"]
     assert got["alpha"]["code"].startswith("alpha(x):")
+
+
+def test_repo_similarity(spark):
+    """Repo-level near-dup: a fork sharing 3 of 4 files scores 3/5
+    jaccard with its upstream; a stop-file shared by ALL repos is
+    excluded from intersections by max_repos_per_file."""
+    from lucene_solr_spark.pipeline import repo_similarity
+
+    rows = []
+    for i in range(4):                 # upstream: files f0..f3
+        rows.append(("up", "r%d" % i, "file %d" % i))
+    for i in range(3):                 # fork: f0..f2 + one new file
+        rows.append(("fork", "r%d" % i, "file %d" % i))
+    rows.append(("fork", "rx", "file new"))
+    rows.append(("other", "ry", "file 99"))
+    # boilerplate present in every repo
+    for repo in ("up", "fork", "other"):
+        rows.append((repo, "lic", "license text"))
+    df = spark.createDataFrame(rows, "source string, path string, text string")
+
+    got = repo_similarity(df, min_jaccard=0.4, max_repos_per_file=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # sizes include the boilerplate file (5 and 5 distinct hashes);
+    # intersection excludes it (present in 3 > 2 repos): 3 shared files
+    assert (r["repo_a"], r["repo_b"]) == ("fork", "up")
+    assert r["inter"] == 3 and r["n_a"] == 5 and r["n_b"] == 5
+    import numpy as np
+    assert r["jaccard"] == np.float32(3.0 / 7.0)
+    # without the stop-file cap the boilerplate joins everybody
+    allp = repo_similarity(df, min_jaccard=0.0,
+                           max_repos_per_file=100).collect()
+    assert len(allp) == 3
