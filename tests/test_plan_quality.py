@@ -513,3 +513,48 @@ def test_bbox_overlap_intersects_filter_is_scan_predicate(spark, tmp_path):
     # the rendered list is elided with '…' past a few entries — the
     # leading range predicate proves the family reached the scan
     assert "LessThanOrEqual(minx,50.0)" in pushed, pushed
+
+
+def test_code_intake_extractors_are_map_only(spark):
+    """extract_import_edges / extract_comments / extract_function_pairs:
+    the extraction itself is a pure scan projection — the ONLY Exchange
+    in each plan is the final distinct's (and function pairs have none),
+    never a pre-shuffle of raw text."""
+    from lucene_solr_spark.pipeline import (
+        extract_comments, extract_function_pairs, extract_import_edges,
+    )
+
+    df = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit('import os\ndef f():\n    """d."""\n    # c\n'),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    # at most the distinct's one exchange (0 when the scan is a single
+    # partition and AQE elides it); nothing else may shuffle
+    assert _plan(extract_import_edges(df)).count("Exchange") <= 1
+    assert _plan(extract_comments(df)).count("Exchange") <= 1
+    # pair extraction is ordinal-keyed per row: zero exchanges
+    assert "Exchange" not in _plan(extract_function_pairs(df))
+
+
+def test_analytics_single_agg_pass(spark):
+    """All analytics expressions (incl. FILTER query-facet domains)
+    evaluate in ONE aggregation: exactly one shuffle for the grouped
+    form, and the query-facet form collapses to a single-partition
+    final agg fed by one partial-agg exchange."""
+    from lucene_solr_spark.analytics import (
+        analytics_facet, analytics_query_facet,
+    )
+
+    df = spark.range(256).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    exprs = {"n": "docCount()", "avg": "div(sum(v), count(v))",
+             "spread": "sub(max(v), min(v))"}
+    p1 = _plan(analytics_facet(df, "g", exprs, float_cols=["v"]))
+    assert p1.count("Exchange") == 1, p1
+    p2 = _plan(analytics_query_facet(
+        df, {"a": "g = '0'", "b": "v > 3.0e0"}, exprs, float_cols=["v"]))
+    assert p2.count("Exchange") == 1, p2
