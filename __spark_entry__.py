@@ -833,6 +833,41 @@ def q_geo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash grid facet: customers' derived lat/lon encoded to 3-char
+    geohash cells (Solr geohash() / RPT grid), counted per cell — the
+    closed-form integer bit-interleave shared verbatim with DuckDB."""
+    from lucene_solr_spark.functions import geohash
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return (
+        pts.select(geohash(F.col("lat"), F.col("lon"), 3).alias("cell"))
+        .groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("cell"))
+        .limit(20)
+    )
+
+
+def _geohash_grid_oracle() -> str:
+    from lucene_solr_spark.functions import geohash_sql
+
+    gh = geohash_sql("lat", "lon", 3)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 9973 % 17000) / 1e2 - 8.5e1 AS lat,
+         (c_custkey * 7919 % 36000) / 1e2 - 1.8e2 AS lon
+  FROM customer),
+cells AS (SELECT {gh} AS cell FROM pts)
+SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY cell ORDER BY cnt DESC, cell ASC LIMIT 20"""
+
+
 def q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonTermsQuery doc set: terms split at df/docCount = 0.5 into the
     required low-freq disjunction + optional high-freq boost; the match
@@ -6453,6 +6488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap": q_bbox_overlap,
         "geo_sort": q_geo_sort,
         "geo_heatmap": q_geo_heatmap,
+        "geohash_grid": q_geohash_grid,
         "common_terms": q_common_terms,
         "elevation": q_elevation,
         "suggest_infix": q_suggest_infix,
@@ -9764,6 +9800,7 @@ SELECT doc_id, score
 FROM (SELECT * FROM org UNION ALL SELECT * FROM miss)
 ORDER BY (e IS NULL), e ASC NULLS LAST, score DESC, doc_id ASC
 LIMIT 10""",
+        "geohash_grid": _geohash_grid_oracle(),
         "common_terms": f"""
 WITH {_TOK_CTE},
 n AS (SELECT count(*) AS n_docs FROM documents),

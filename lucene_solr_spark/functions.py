@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
-    "date_ms", "geodist", "geofilt", "bbox", "termfreq", "docfreq",
+    "date_ms", "geodist", "geofilt", "bbox", "geohash", "geohash_sql",
+    "termfreq", "docfreq",
     "idf_col", "norm_col", "frange", "random_sort_key",
     "parse_wkt_polygon", "polygon_contains_sql", "polygon_bbox_sql",
     "polygon_filter", "bbox_overlap_sql", "bbox_overlap",
@@ -434,3 +435,82 @@ def date_math_sql(base_sql: str, expr: str) -> str:
             op, mag = ("+", n) if n >= 0 else ("-", -n)
             s = f"({s} {op} INTERVAL {mag} {unit})"
     return s
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 6) -> str:
+    """ONE shared SQL text computing the standard geohash of
+    (``lat_expr``, ``lon_expr``) at ``precision`` base32 characters —
+    Solr's ``geohash(lat,lon)`` function / Lucene GeoHashUtils
+    (``[8x] solr/core/src/java/org/apache/solr/search/function/distance/
+    GeohashFunction.java``).  The iterative bisection is algebraically a
+    single integer cell index per axis (floor((v-min)/range · 2^bits),
+    clamped at the top edge) whose bits interleave lon-first; each
+    output character is a base32 lookup of 5 consecutive bits.  The
+    whole thing is closed-form integer arithmetic over two f64
+    quantizations, so Spark and DuckDB produce identical strings from
+    the identical text (the murmur3-in-SQL discipline).
+    """
+    p = int(precision)
+    if not 1 <= p <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lonq = (f"CAST(LEAST(floor(((({lon_expr}) + 1.8e2) / 3.6e2) * {1 << lon_bits}), "
+            f"{(1 << lon_bits) - 1}) AS BIGINT)")
+    latq = (f"CAST(LEAST(floor(((({lat_expr}) + 9e1) / 1.8e2) * {1 << lat_bits}), "
+            f"{(1 << lat_bits) - 1}) AS BIGINT)")
+    chars = []
+    for c in range(p):
+        parts = []
+        for k in range(5):
+            i = 5 * c + k  # global bit, MSB-first; even = lon, odd = lat
+            if i % 2 == 0:
+                j = i // 2
+                src, nbits = "lonq", lon_bits
+            else:
+                j = i // 2
+                src, nbits = "latq", lat_bits
+            shift = nbits - 1 - j
+            parts.append(f"((({src} >> {shift}) & 1) << {4 - k})")
+        idx = " + ".join(parts)
+        chars.append(f"substr('{_GEOHASH_B32}', CAST({idx} AS INT) + 1, 1)")
+    body = " || ".join(chars)
+    return f"(SELECT {body} FROM (SELECT {lonq} AS lonq, {latq} AS latq) AS _gh)"
+
+
+def geohash(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Solr ``geohash(lat,lon)`` — base32 geohash as a pure column
+    expression (whole-stage codegen, no UDF)."""
+    # inline the quantizers directly (no scalar subquery needed on the
+    # Spark side; the SQL-text form above keeps the oracle readable)
+    p = int(precision)
+    if not 1 <= p <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lonq = F.least(
+        F.floor(((lon + F.lit(180.0)) / F.lit(360.0)) * F.lit(float(1 << lon_bits))),
+        F.lit(float((1 << lon_bits) - 1)),
+    ).cast("long")
+    latq = F.least(
+        F.floor(((lat + F.lit(90.0)) / F.lit(180.0)) * F.lit(float(1 << lat_bits))),
+        F.lit(float((1 << lat_bits) - 1)),
+    ).cast("long")
+    chars = []
+    for c in range(p):
+        idx = F.lit(0)
+        for k in range(5):
+            i = 5 * c + k
+            if i % 2 == 0:
+                src, nbits = lonq, lon_bits
+            else:
+                src, nbits = latq, lat_bits
+            shift = nbits - 1 - i // 2
+            idx = idx + F.shiftleft(F.shiftright(src, shift).bitwiseAND(F.lit(1)), 4 - k)
+        chars.append(F.substring(F.lit(_GEOHASH_B32), 1, 32).substr(idx.cast("int") + 1, F.lit(1)))
+    return F.concat(*chars)

@@ -165,3 +165,36 @@ def test_bbox_overlap_ratio(spark):
     con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
     want = dict(con.execute(f"SELECT id, {expr} FROM t").fetchall())
     assert got == want
+
+
+def test_geohash_canonical_and_cross_engine(spark):
+    """geohash(): canonical reference value, pole/origin edges, and
+    Spark == DuckDB from the shared closed-form text."""
+    import duckdb
+    import pytest as _p
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions import geohash, geohash_sql
+
+    pts = [(57.64911, 10.40744), (-33.86, 151.20), (0.0, 0.0),
+           (89.999, 179.999), (-90.0, -180.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = [r["gh"] for r in
+           df.select(geohash(F.col("lat"), F.col("lon"), 8).alias("gh"))
+           .collect()]
+    assert got[0] == "u4pruydq"          # the canonical example point
+    assert got[4] == "00000000"          # min corner = all-zero cell
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {geohash_sql(repr(la), repr(lo), 8)}").fetchone()[0]
+        for la, lo in pts]
+    assert got == want
+    # 11-char canonical value via the SQL text
+    assert con.execute(
+        f"SELECT {geohash_sql('57.64911', '10.40744', 11)}"
+    ).fetchone()[0] == "u4pruydqqvj"
+    with _p.raises(ValueError):
+        geohash(F.col("lat"), F.col("lon"), 0)
+    with _p.raises(ValueError):
+        geohash_sql("0", "0", 13)
