@@ -463,6 +463,40 @@ def _analytics_rf_oracle() -> str:
     )
 
 
+_ANALYTICS_DOMAIN_EXPRS = {
+    "n": "docCount()",
+    "total_chars": "sum(n_chars)",
+    "mean_chars": "div(sum(n_chars), count(n_chars))",
+    "langs": "unique(lang)",
+}
+
+
+def q_analytics_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr analytics within the q= domain: the engine's real match set
+    for BM25_TERM restricts the documents frame, then the analytics
+    expressions run over that domain in one agg pass (how the analytics
+    component actually composes with search)."""
+    from lucene_solr_spark.analytics import analytics
+
+    index = _index_for(spark, sf_dir)
+    hits = search(index, parse_query(BM25_TERM), k=1_000_000, prune=False)
+    d = _docs(spark, sf_dir).join(hits.select("doc_id"), "doc_id", "left_semi")
+    return analytics(d, _ANALYTICS_DOMAIN_EXPRS)
+
+
+def _analytics_search_oracle() -> str:
+    from lucene_solr_spark.analytics import compile_analytics
+
+    sel = ", ".join(
+        f"{compile_analytics(x)} AS {name}"
+        for name, x in _ANALYTICS_DOMAIN_EXPRS.items()
+    )
+    return f"""
+WITH {_TOK_CTE},
+hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
+SELECT {sel} FROM documents WHERE doc_id IN (SELECT doc_id FROM hits)"""
+
+
 def _analytics_oracle() -> str:
     from lucene_solr_spark.analytics import compile_analytics
 
@@ -6526,6 +6560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_metrics": q_analytics_metrics,
         "analytics_qfacet": q_analytics_qfacet,
         "analytics_rfacet": q_analytics_rfacet,
+        "analytics_search": q_analytics_search,
         "group_topk": q_group_topk,
         "collapse_top1": q_collapse_top1,
         "set_intersect": q_set_intersect,
@@ -10089,6 +10124,7 @@ ORDER BY l_returnflag, l_linestatus""",
         "analytics_metrics": _analytics_oracle(),
         "analytics_qfacet": _analytics_qf_oracle(),
         "analytics_rfacet": _analytics_rf_oracle(),
+        "analytics_search": _analytics_search_oracle(),
         "stats_numeric": """
 WITH g AS (
   SELECT l_returnflag,
