@@ -824,7 +824,10 @@ def mine_hard_negatives(
     serving-sized batches); ``n_planes > 0`` buckets both sides with the
     shared sign-LSH hyperplanes so candidates are bucket-mates only — at
     100 TB the join key is the bucket, never all-pairs, the same scale
-    path as :func:`knn_search_batch`.  Returns
+    path as :func:`knn_search_batch`.  In bucketed mode the margin
+    reference only sees positives that are bucket-mates of their query
+    (a positive outside every probed bucket can't anchor the denoise) —
+    the same candidate-visibility trade every ANN stage makes.  Returns
     ``[query_id, id, rank, cosine]`` ranked (cosine desc, id asc)."""
     q = queries.select(F.col(query_id).alias("qid"),
                        F.col(query_vec).alias("qv"))
