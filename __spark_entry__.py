@@ -599,6 +599,30 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanGap ordered near: PHRASE[0] _ PHRASE[1] (exactly one wildcard
+    token consumed by the gap, residual distance bounded by SPAN_SLOP);
+    per doc the span count and summed residual widths."""
+    from lucene_solr_spark.search.spans import (
+        SpanGap, SpanNear, SpanTerm, spans_frame,
+    )
+
+    index = _index_for(spark, sf_dir)
+    frame = spans_frame(
+        index,
+        SpanNear(SpanTerm(PHRASE[0]), SpanGap(1), SpanTerm(PHRASE[1]),
+                 slop=SPAN_SLOP),
+    )
+    return (
+        frame.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("width").cast("long").alias("sum_width"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: little-span probe term for the within/containing entries
 SPAN_LITTLE = "merge"
 
@@ -6511,6 +6535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_stats": q_pivot_stats,
         "span_near": q_span_near,
         "term_automaton": q_term_automaton,
+        "span_gap": q_span_gap,
         "span_within": q_span_within,
         "span_containing": q_span_containing,
         "multi_phrase": q_multi_phrase,
@@ -9651,6 +9676,29 @@ win AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
 FROM win GROUP BY doc_id ORDER BY doc_id""",
+        "span_gap": f"""
+WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1) AS ord
+  FROM documents
+),
+a AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[0]}'),
+b AS (SELECT doc_id, ord FROM tokp WHERE term = '{PHRASE[1]}'),
+greedy AS (
+  -- the gap consumes one position: b must start at least 2 after a
+  SELECT a.doc_id, a.ord AS a_ord, min(b.ord) AS b_ord
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.ord >= a.ord + 2
+  GROUP BY a.doc_id, a.ord
+),
+minimal AS (
+  SELECT doc_id, max(a_ord) AS a_ord, b_ord
+  FROM greedy GROUP BY doc_id, b_ord
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(b_ord - a_ord - 2) AS BIGINT) AS sum_width
+FROM minimal WHERE b_ord - a_ord - 2 <= {SPAN_SLOP}
+GROUP BY doc_id ORDER BY doc_id""",
         "span_near": f"""
 WITH tokp AS (
   SELECT doc_id,

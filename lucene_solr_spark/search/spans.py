@@ -58,7 +58,7 @@ from ..index.core import IndexView
 from .executor import _leaf_stats_full, occurrences_table
 
 __all__ = [
-    "Span", "SpanTerm", "SpanNear", "SpanOr", "SpanFirst",
+    "Span", "SpanTerm", "SpanGap", "SpanNear", "SpanOr", "SpanFirst",
     "SpanPositionRange", "SpanNot", "SpanContaining", "SpanWithin",
     "span_terms", "span_wrap_multiterm",
     "spans_frame", "span_freqs", "span_scores", "span_search",
@@ -84,6 +84,25 @@ class SpanTerm(Span):
 
     def with_boost(self, b: float):
         return SpanTerm(self.term, float(b))
+
+
+@dataclass(frozen=True)
+class SpanGap(Span):
+    """SpanNearQuery.Builder#addGap (``[8x] lucene/core/src/java/org/
+    apache/lucene/search/spans/SpanNearQuery.java`` — the ``SpanGap``
+    inner query): a fixed-width slot matching ANY ``width`` consecutive
+    tokens inside an ordered near — the ``"a _ b"`` pattern.  Execution
+    folds the gap into the preceding clause's span (end + width), which
+    is exactly the flush arrangement Lucene's gap Spans shrink to, so
+    gaps consume no slop themselves and residual distance past the gap
+    still counts.  Interior positions only (a leading/trailing gap has
+    no following/preceding clause to anchor its tokens against the
+    stored position stream) and ordered mode only, as in Lucene."""
+
+    width: int = 1
+
+    def with_boost(self, b: float):
+        return self  # scoreless pseudo-clause; no term, no weight
 
 
 @dataclass(frozen=True)
@@ -243,6 +262,8 @@ def span_terms(q) -> list[str]:
         if isinstance(n, SpanTerm):
             if n.term not in out:
                 out.append(n.term)
+        elif isinstance(n, SpanGap):
+            pass  # no terms
         elif isinstance(n, (SpanNear, SpanOr)):
             for c in n.clauses:
                 walk(c)
@@ -272,6 +293,8 @@ def qualify_span(q, fix):
     """Field-qualify every term in a span tree (multi-field dispatch)."""
     if isinstance(q, SpanTerm):
         return SpanTerm(fix(q.term), q.boost)
+    if isinstance(q, SpanGap):
+        return q
     if isinstance(q, SpanNear):
         return SpanNear(*[qualify_span(c, fix) for c in q.clauses],
                         slop=q.slop, in_order=q.in_order, boost=q.boost)
@@ -303,6 +326,8 @@ def _span_fields(q) -> set[str]:
         return {q.field}
     if isinstance(q, SpanTerm):
         return {q.term.split(":", 1)[0]} if ":" in q.term else set()
+    if isinstance(q, SpanGap):
+        return set()
     if isinstance(q, (SpanNear, SpanOr)):
         return set().union(*[_span_fields(c) for c in q.clauses])
     if isinstance(q, (SpanFirst, SpanPositionRange)):
@@ -605,7 +630,33 @@ def spans_frame(index: IndexView, q) -> DataFrame:
         )
     if isinstance(q, SpanNear):
         _check_same_field(q)
-        children = [spans_frame(index, c) for c in q.clauses]
+        if any(isinstance(c, SpanGap) for c in q.clauses):
+            if not q.in_order:
+                raise ValueError("SpanGap requires in_order=True")
+            if isinstance(q.clauses[0], SpanGap) \
+                    or isinstance(q.clauses[-1], SpanGap):
+                raise ValueError("SpanGap must sit between real clauses")
+            real: list = []          # real clauses
+            gap_after: list[int] = []  # folded gap width after each
+            for cl in q.clauses:
+                if isinstance(cl, SpanGap):
+                    if cl.width < 1:
+                        raise ValueError("SpanGap width must be >= 1")
+                    gap_after[-1] += cl.width
+                else:
+                    real.append(cl)
+                    gap_after.append(0)
+            children = []
+            for cl, g in zip(real, gap_after):
+                f = spans_frame(index, cl)
+                if g:
+                    # flush arrangement: the gap rides the preceding
+                    # span's end; width (slop spend) is untouched
+                    f = f.withColumn("end", F.col("end") + F.lit(int(g)))
+                children.append(f)
+            q = SpanNear(*real, slop=q.slop, in_order=True, boost=q.boost)
+        else:
+            children = [spans_frame(index, c) for c in q.clauses]
         if len(children) == 1:
             return children[0]
         if q.in_order:

@@ -418,3 +418,50 @@ def test_field_masking_span_query(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_span_gap(spark):
+    """SpanNearQuery.Builder#addGap: 'a _ b' patterns — the gap consumes
+    exactly its width in positions (no slop spend), residual distance
+    still counts against slop; guards reject unordered/edge gaps."""
+    from lucene_solr_spark.search.spans import SpanGap
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a x b"), (2, "a x y b"), (3, "b x a")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        def hits(q):
+            return sorted(
+                int(r["doc_id"]) for r in span_search(idx, q, k=10).collect())
+        g1 = SpanNear(SpanTerm("a"), SpanGap(1), SpanTerm("b"), slop=0)
+        assert hits(g1) == [1]            # exactly one token between
+        g1s = SpanNear(SpanTerm("a"), SpanGap(1), SpanTerm("b"), slop=1)
+        assert hits(g1s) == [1, 2]        # residual 1 allowed
+        g2 = SpanNear(SpanTerm("a"), SpanGap(2), SpanTerm("b"), slop=0)
+        assert hits(g2) == [2]
+        # adjacent-pair phrase is unaffected by an absent gap
+        g0 = SpanNear(SpanTerm("a"), SpanTerm("b"), slop=0)
+        assert hits(g0) == [0]            # only doc 0 has 'a b' adjacent
+        # consecutive gaps sum
+        gg = SpanNear(SpanTerm("a"), SpanGap(1), SpanGap(1), SpanTerm("b"),
+                      slop=0)
+        assert hits(gg) == [2]
+        # frame boundaries include the gap (span covers a..b)
+        from lucene_solr_spark.search.spans import spans_frame
+        row = spans_frame(idx, g1).collect()[0]
+        assert (row["start"], row["end"]) == (0, 3)
+        import pytest as _p
+        with _p.raises(ValueError, match="in_order"):
+            spans_frame(idx, SpanNear(SpanTerm("a"), SpanGap(1),
+                                      SpanTerm("b"), slop=0,
+                                      in_order=False))
+        with _p.raises(ValueError, match="between real"):
+            spans_frame(idx, SpanNear(SpanGap(1), SpanTerm("b"), slop=0))
+        with _p.raises(ValueError, match="width"):
+            spans_frame(idx, SpanNear(SpanTerm("a"), SpanGap(0),
+                                      SpanTerm("b"), slop=0))
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
