@@ -56,7 +56,7 @@ class TermAutomaton:
         return s
 
     def add_transition(self, src: int, dst: int, term: str) -> None:
-        if src not in self._edges or dst >= self._n:
+        if src not in self._edges or not 0 <= dst < self._n:
             raise ValueError("unknown state")
         self._edges[src].append((str(term), int(dst)))
 
