@@ -891,6 +891,23 @@ def q_geo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ord_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ord()/rord() function queries: per-doc 1-based ordinal of lang in
+    its sorted distinct values plus the reverse ordinal — docvalues
+    ordinal semantics via a broadcast dictionary join."""
+    from lucene_solr_spark.functions import ord_values
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    fwd = ord_values(d, "lang").withColumnRenamed("ord", "ord_lang")
+    rev = (ord_values(d.select("doc_id", "lang"), "lang", reverse=True)
+           .select("doc_id", F.col("ord").alias("rord_lang")))
+    return (
+        fwd.join(rev, "doc_id")
+        .select("doc_id", "lang", "ord_lang", "rord_lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash grid facet: customers' derived lat/lon encoded to 3-char
     geohash cells (Solr geohash() / RPT grid), counted per cell — the
@@ -6548,6 +6565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_sort": q_geo_sort,
         "geo_heatmap": q_geo_heatmap,
         "geohash_grid": q_geohash_grid,
+        "ord_func": q_ord_func,
         "common_terms": q_common_terms,
         "elevation": q_elevation,
         "suggest_infix": q_suggest_infix,
@@ -9884,6 +9902,15 @@ FROM (SELECT * FROM org UNION ALL SELECT * FROM miss)
 ORDER BY (e IS NULL), e ASC NULLS LAST, score DESC, doc_id ASC
 LIMIT 10""",
         "geohash_grid": _geohash_grid_oracle(),
+        "ord_func": """
+WITH ranks AS (
+  SELECT v AS lang,
+         CAST(dense_rank() OVER (ORDER BY v ASC) AS BIGINT) AS ord_lang,
+         CAST(dense_rank() OVER (ORDER BY v DESC) AS BIGINT) AS rord_lang
+  FROM (SELECT DISTINCT lang AS v FROM documents WHERE lang IS NOT NULL))
+SELECT d.doc_id, d.lang, r.ord_lang, r.rord_lang
+FROM documents d LEFT JOIN ranks r USING (lang)
+ORDER BY d.doc_id""",
         "common_terms": f"""
 WITH {_TOK_CTE},
 n AS (SELECT count(*) AS n_docs FROM documents),

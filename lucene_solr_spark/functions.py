@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "recip", "scale_between", "map_value", "linear", "strdist", "field_exists",
     "date_ms", "geodist", "geofilt", "bbox", "geohash", "geohash_sql",
+    "ord_values",
     "termfreq", "docfreq",
     "idf_col", "norm_col", "frange", "random_sort_key",
     "parse_wkt_polygon", "polygon_contains_sql", "polygon_bbox_sql",
@@ -514,3 +515,25 @@ def geohash(lat: Column, lon: Column, precision: int = 6) -> Column:
             idx = idx + F.shiftleft(F.shiftright(src, shift).bitwiseAND(F.lit(1)), 4 - k)
         chars.append(F.substring(F.lit(_GEOHASH_B32), 1, 32).substr(idx.cast("int") + 1, F.lit(1)))
     return F.concat(*chars)
+
+
+def ord_values(df: DataFrame, field: str, reverse: bool = False):
+    """Solr ``ord(field)`` / ``rord(field)`` (``[8x] solr/core/src/java/
+    org/apache/solr/search/function/OrdFieldSource.java``): the 1-based
+    ordinal of a doc's value within the field's sorted distinct values
+    (``rord`` counts from the top).  Lucene reads the docvalues ordinal;
+    the Spark-native form derives the ordinal table once — distinct
+    values + dense_rank, a dictionary-sized frame — and broadcast-joins
+    it back, so the per-row cost is a map-side lookup, not a global
+    window over the corpus.  Returns ``df`` with an ``ord`` column
+    (NULL stays NULL, like a missing docvalue)."""
+    from pyspark.sql import DataFrame as _DF  # local: keep module surface
+    from pyspark.sql.window import Window
+
+    vals = df.select(F.col(field).alias("_v")).filter(
+        F.col("_v").isNotNull()).distinct()
+    order = F.desc("_v") if reverse else F.asc("_v")
+    ranks = vals.withColumn(
+        "ord", F.dense_rank().over(Window.orderBy(order)).cast("long"))
+    return df.join(
+        F.broadcast(ranks.withColumnRenamed("_v", field)), field, "left")

@@ -198,3 +198,19 @@ def test_geohash_canonical_and_cross_engine(spark):
         geohash(F.col("lat"), F.col("lon"), 0)
     with _p.raises(ValueError):
         geohash_sql("0", "0", 13)
+
+
+def test_ord_rord(spark):
+    """ord()/rord(): 1-based dense ordinal over sorted distinct values;
+    NULLs stay NULL; rord counts from the top."""
+    from lucene_solr_spark.functions import ord_values
+
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, "c"), (3, "a"), (4, None)],
+        "id long, v string",
+    )
+    got = {r["id"]: r["ord"] for r in ord_values(df, "v").collect()}
+    assert got == {0: 2, 1: 1, 2: 3, 3: 1, 4: None}
+    rev = {r["id"]: r["ord"] for r in
+           ord_values(df, "v", reverse=True).collect()}
+    assert rev == {0: 2, 1: 3, 2: 1, 3: 3, 4: None}
