@@ -1381,12 +1381,24 @@ class Chain:
             s = s.str.lower()
         if self.split:
             # empty pieces between adjacent separators are dropped and do
-            # NOT consume positions, as PatternTokenizer emits only
-            # non-empty groups (same cost class as the flatten below:
-            # the batch flatten is already per-token)
-            return s.str.split(self.pattern, regex=True).map(
-                lambda toks: [t for t in toks if t]
-            )
+            # NOT consume positions (PatternTokenizer emits only
+            # non-empty groups).  Vectorized: separator RUNS collapse via
+            # a + wrapper and edge separators strip first, so the split
+            # itself never yields interior/edge empties — no per-row
+            # Python lambda in the batch path.
+            wrapped = f"(?:{self.pattern})+"
+            stripped = s.str.replace(
+                f"^(?:{wrapped})|(?:{wrapped})$", "", regex=True)
+            toks = stripped.str.split(wrapped, regex=True)
+            empty = stripped == ""
+            if bool(empty.any()):
+                # an all-separator (or empty) row splits to [''] — fix up
+                # the rare rows only
+                toks = toks.copy()
+                toks[empty] = pd.Series(
+                    [[] for _ in range(int(empty.sum()))],
+                    index=toks.index[empty])
+            return toks
         return s.str.findall(self.pattern)
 
     # --- reference implementation (per doc) --------------------------------
