@@ -4401,6 +4401,30 @@ def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boosting_demote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoostingQuery (Solr bq demotion): BM25_TERM matches keep their
+    score unless they also contain 'window', which halves it — demoted
+    but never excluded; f64-parity formula, one final f32 cast."""
+    # engine kernel (extras.boosting_query) validated in tests; entry
+    # follows the f64-parity discipline like feature_sat
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    index = _index_for(spark, sf_dir)
+    ctx = (postings_table(index, ["window"]).select("doc_id").distinct()
+           .withColumn("_ctx", F.lit(1)))
+    return (
+        sc.join(ctx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ctx").isNotNull(),
+                   F.col("score64") * F.lit(0.5))
+             .otherwise(F.col("score64"))
+             .cast("float").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed StatsComponent: per-shard DECIMAL-exact partial
     moments merged to the same bits as the single-frame stats."""
@@ -6692,6 +6716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_text": q_mlt_text,
         "feature_sat": q_feature_sat,
         "distance_feature": q_distance_feature,
+        "boosting_demote": q_boosting_demote,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -8689,6 +8714,14 @@ SELECT s.doc_id,
        + 5e-1 * (CAST(d.n_chars AS DOUBLE) / (CAST(d.n_chars AS DOUBLE) + 1e3))
        AS FLOAT) AS score
 FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "boosting_demote": f"""
+{_bm25_oracle_base("term = '" + BM25_TERM + "'")}
+SELECT s.doc_id,
+  CAST(CASE WHEN s.doc_id IN (
+         SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+       THEN score64 * 5e-1 ELSE score64 END AS FLOAT) AS score
+FROM scored s
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "distance_feature": f"""
 {_bm25_oracle_base("term = '" + BM25_TERM + "'")}

@@ -25,7 +25,8 @@ from .query import Or, Term, rewrite
 __all__ = ["function_score_expression",
            "search_after", "sort_by_field", "more_like_this", "mlt_query",
            "doc_term_vector", "suggest", "spell_suggest", "rerank",
-           "boost_by_value", "distance_feature", "geo_distance_feature",
+           "boost_by_value", "boosting_query",
+           "distance_feature", "geo_distance_feature",
            "block_join_parents", "block_join_children",
            "block_join_facet",
            "common_terms_query", "elevate", "suggest_infix",
@@ -201,6 +202,35 @@ def feature_score(
         "doc_id",
         (F.col("score") + F.coalesce(F.col("_feat"), F.lit(0.0)))
         .cast("float").alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def boosting_query(
+    index: IndexView,
+    match,
+    context,
+    demote: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """BoostingQuery (``[8x] lucene/queries/src/java/org/apache/lucene/
+    queries/BoostingQuery.java`` / Solr ``bq`` demotion): docs matching
+    ``match`` score normally, and those ALSO matching ``context`` have
+    their score multiplied by ``demote`` (< 1 pushes them down without
+    excluding them — the "penalize but keep" shape MUST_NOT can't
+    express).  The match set is exactly ``match``'s; ``context`` only
+    modulates.  Plan: the scored stream left-semi-joins nothing — one
+    doc-keyed left join against the context match set and a pure-JVM
+    conditional multiply; collector stays small-k TakeOrdered."""
+    sc = _scored_stream(index, match)
+    ctx = _matches(index, rewrite(expand_multiterm(index, rewrite(context)))) \
+        .select("doc_id").distinct().withColumn("_ctx", F.lit(1))
+    out = sc.join(ctx, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_ctx").isNotNull(),
+               (F.col("score") * F.lit(float(demote))))
+         .otherwise(F.col("score"))
+         .cast("float").alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

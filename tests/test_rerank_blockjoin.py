@@ -326,3 +326,31 @@ def test_geo_distance_feature(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_boosting_query(spark):
+    """BoostingQuery: context matches are demoted multiplicatively but
+    never excluded; non-context docs keep their exact score."""
+    from lucene_solr_spark.search import Term, search
+    from lucene_solr_spark.search.extras import boosting_query
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma"), (2, "alpha beta beta"),
+         (3, "delta only")],
+        "doc_id long, content string",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    try:
+        base = {r["doc_id"]: r["score"]
+                for r in search(idx, Term("alpha"), k=5).collect()}
+        got = {r["doc_id"]: r["score"] for r in
+               boosting_query(idx, Term("alpha"), Term("beta"),
+                              demote=0.5, k=5).collect()}
+        assert set(got) == set(base)                      # match set unchanged
+        assert got[1] == base[1]                          # no context: exact
+        assert got[0] == np.float32(np.float64(base[0]) * 0.5)
+        assert got[2] == np.float32(np.float64(base[2]) * 0.5)
+        assert got[0] < base[0]
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
