@@ -497,6 +497,62 @@ hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{BM25_TERM}')
 SELECT {sel} FROM documents WHERE doc_id IN (SELECT doc_id FROM hits)"""
 
 
+#: fixed feature set for the perceptron entry (oracle replays training)
+PERCEPTRON_VOCAB = ("hash", "key", "merge", "scan", "spark",
+                    "table", "value", "window")
+PERCEPTRON_ITERS = 3
+
+
+def q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanPerceptronClassifier (Lucene classification 3/3): batch
+    integer-weight perceptron over a fixed vocabulary, label lang='en',
+    3 sweeps — the DuckDB oracle replays every sweep exactly (all
+    arithmetic is int64)."""
+    from lucene_solr_spark.pipeline import perceptron_train
+
+    d = _docs(spark, sf_dir).withColumn("_y", F.col("lang") == "en")
+    _, w = perceptron_train(d, "_y", text_col="text", id_col="doc_id",
+                            vocab=list(PERCEPTRON_VOCAB),
+                            iterations=PERCEPTRON_ITERS)
+    return spark.createDataFrame(
+        sorted((t, int(v)) for t, v in w.items()), "term string, w long"
+    ).orderBy("term")
+
+
+def _perceptron_oracle() -> str:
+    vocab_sql = ", ".join(f"'{t}'" for t in PERCEPTRON_VOCAB)
+    parts = [
+        f"WITH {_TOK_CTE},",
+        "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+        " AS y FROM documents),",
+        f"tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+        f" FROM tok WHERE term IN ({vocab_sql}) GROUP BY doc_id, term),",
+        f"w0 AS (SELECT unnest([{vocab_sql}]) AS term,"
+        " CAST(0 AS BIGINT) AS w),",
+    ]
+    for i in range(PERCEPTRON_ITERS):
+        parts.append(
+            f"act{i} AS (SELECT l.doc_id, l.y,"
+            " COALESCE(sum(t.tf * w.w), 0) AS act"
+            f" FROM lab l LEFT JOIN tf t ON t.doc_id = l.doc_id"
+            f" LEFT JOIN w{i} w ON w.term = t.term"
+            " GROUP BY l.doc_id, l.y),")
+        parts.append(
+            f"mis{i} AS (SELECT doc_id, y FROM act{i}"
+            " WHERE (CASE WHEN act >= 0 THEN 1 ELSE -1 END) != y),")
+        parts.append(
+            f"upd{i} AS (SELECT t.term, CAST(sum(m.y * t.tf) AS BIGINT) AS d"
+            f" FROM tf t JOIN mis{i} m USING (doc_id) GROUP BY t.term),")
+        parts.append(
+            f"w{i + 1} AS (SELECT w.term,"
+            " CAST(w.w + COALESCE(u.d, 0) AS BIGINT) AS w"
+            f" FROM w{i} w LEFT JOIN upd{i} u USING (term)),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT term, w FROM w{PERCEPTRON_ITERS} ORDER BY term")
+    return "\n".join(parts)
+
+
 def _analytics_oracle() -> str:
     from lucene_solr_spark.analytics import compile_analytics
 
@@ -6628,6 +6684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_qfacet": q_analytics_qfacet,
         "analytics_rfacet": q_analytics_rfacet,
         "analytics_search": q_analytics_search,
+        "perceptron": q_perceptron,
         "group_topk": q_group_topk,
         "collapse_top1": q_collapse_top1,
         "set_intersect": q_set_intersect,
@@ -10233,6 +10290,7 @@ ORDER BY l_returnflag, l_linestatus""",
         "analytics_qfacet": _analytics_qf_oracle(),
         "analytics_rfacet": _analytics_rf_oracle(),
         "analytics_search": _analytics_search_oracle(),
+        "perceptron": _perceptron_oracle(),
         "stats_numeric": """
 WITH g AS (
   SELECT l_returnflag,

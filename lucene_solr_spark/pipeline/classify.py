@@ -366,3 +366,108 @@ def naive_bayes_classify(
         .select(F.col("_id").alias(id_col), F.col("label").alias("pred"),
                 F.col("score_q").cast("long").alias("score_q"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean perceptron (Lucene classification module, 3 of 3)
+# ---------------------------------------------------------------------------
+
+
+def perceptron_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+    vocab_size: int = 50,
+    iterations: int = 3,
+) -> tuple[list[str], dict[str, int]]:
+    """Batch Boolean perceptron — the third Lucene classifier
+    (``[8x] lucene/classification/src/java/org/apache/lucene/
+    classification/BooleanPerceptronClassifier.java``: long term weights
+    updated by term frequency on misclassification; threshold 0 here,
+    labels ±1).  Lucene updates per-document online; the distributed
+    formulation batches each sweep — all arithmetic is INTEGER (tf,
+    weights, updates), so the result is bit-identical at any
+    partitioning and exactly replayable in SQL.
+
+    Per iteration: one doc-keyed aggregation for activations, one
+    anti-set of misclassified docs, one term-keyed aggregation for the
+    summed update — weights live on the driver (vocabulary-sized), the
+    data never re-shuffles beyond those two keyed aggs."""
+    labels = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(-1))
+         .cast("long").alias("y"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(TOKENS_SQL.format(col=text_col))).alias("term"),
+    )
+    if vocab is None:
+        vocab = [
+            r["term"] for r in toks.groupBy("term")
+            .agg(F.countDistinct("_id").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(int(vocab_size))
+            .collect()
+        ]
+    tf = (
+        toks.filter(F.col("term").isin(vocab))
+        .groupBy("_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    spark = df.sparkSession
+    w = {t: 0 for t in vocab}
+    for _ in range(int(iterations)):
+        wdf = spark.createDataFrame(
+            [(t, int(v)) for t, v in w.items()], "term string, w long")
+        act = (
+            tf.join(F.broadcast(wdf), "term")
+            .groupBy("_id").agg(F.sum(F.col("tf") * F.col("w")).alias("act"))
+        )
+        mis = (
+            labels.join(act, "_id", "left")
+            .withColumn("act", F.coalesce(F.col("act"), F.lit(0)))
+            .filter(
+                F.when(F.col("act") >= 0, F.lit(1)).otherwise(F.lit(-1))
+                != F.col("y"))
+            .select("_id", "y")
+        )
+        upd = (
+            tf.join(mis, "_id")
+            .groupBy("term").agg(F.sum(F.col("y") * F.col("tf")).alias("d"))
+            .collect()
+        )
+        for r in upd:
+            w[r["term"]] += int(r["d"])
+    tf.unpersist()
+    return vocab, w
+
+
+def perceptron_classify(
+    df: DataFrame,
+    weights: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs with trained perceptron weights: integer activation
+    Σ tf·w, predicted TRUE iff activation >= 0."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, int(v)) for t, v in weights.items()], "term string, w long")
+    tf = (
+        df.select(F.col(id_col),
+                  F.explode(F.expr(TOKENS_SQL.format(col=text_col)))
+                  .alias("term"))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    act = (
+        tf.join(F.broadcast(wdf), "term")
+        .groupBy(id_col).agg(F.sum(F.col("tf") * F.col("w")).alias("act"))
+    )
+    return (
+        df.select(id_col).join(act, id_col, "left")
+        .withColumn("act", F.coalesce(F.col("act"), F.lit(0)))
+        .withColumn("pred", (F.col("act") >= 0))
+        .orderBy(id_col)
+    )

@@ -1447,3 +1447,28 @@ def test_repo_similarity(spark):
     allp = repo_similarity(df, min_jaccard=0.0,
                            max_repos_per_file=100).collect()
     assert len(allp) == 3
+
+
+def test_perceptron(spark):
+    """Boolean perceptron: learns a separable term rule with integer
+    weights; classification matches labels; result is invariant to
+    input partitioning (pure integer sums)."""
+    from lucene_solr_spark.pipeline import perceptron_classify, perceptron_train
+
+    rows = []
+    for i in range(40):
+        pos = i % 2 == 0
+        text = ("good good signal " if pos else "bad noise junk ") + "filler"
+        rows.append((i, text, pos))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+
+    vocab, w = perceptron_train(df, "y", vocab_size=10, iterations=3)
+    assert all(isinstance(v, int) for v in w.values())
+    assert w["good"] > 0 > w["bad"]
+    preds = {r["doc_id"]: r["pred"] for r in
+             perceptron_classify(df, w).collect()}
+    assert all(preds[i] == (i % 2 == 0) for i in range(40))
+    # partitioning invariance: same weights from a 32-way shuffle
+    _, w2 = perceptron_train(df.repartition(32), "y",
+                             vocab=vocab, iterations=3)
+    assert w2 == w
