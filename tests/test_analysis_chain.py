@@ -1157,3 +1157,25 @@ def test_pattern_tokenizer_single_char_regex_separator():
     ch = pattern_tokenizer(r"\.", group=-1)
     assert ch.tokenize(pd.Series(["a.b.c"])).tolist() == [["a", "b", "c"]]
     assert ch.tokens("a.b.c") == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_split_tokenize_matches_reference_random():
+    """Vectorized split-mode tokenize == per-doc reference tokens on
+    randomized messy input (edge separators, runs, empties, unicode)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import pattern_tokenizer
+
+    rng = np.random.default_rng(7)
+    pieces = ["foo", "Bar9", "", ";;", "--", " ", "_", "baz", "Q", "."]
+    texts = [
+        "".join(rng.choice(pieces, size=rng.integers(0, 12)))
+        for _ in range(200)
+    ] + ["", ";;;", "a", None]
+    for pat in (r"[^a-z0-9]+", r"[;\- _.]", r"\."):
+        ch = pattern_tokenizer(pat, group=-1)
+        vec = ch.tokenize(pd.Series(texts))
+        for i, t in enumerate(texts):
+            want = [tok for tok, _ in ch.tokens(t or "")]
+            assert list(vec.iloc[i]) == want, (pat, t)
