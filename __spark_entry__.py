@@ -5784,6 +5784,39 @@ SELECT module, CAST(count(*) AS BIGINT) AS fan_in
 FROM edges GROUP BY module ORDER BY fan_in DESC, module ASC"""
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc script/charset profile (CCNet-style triage): class char
+    fractions via length-diff regexp counting, one map-only pass."""
+    from lucene_solr_spark.pipeline import script_profile
+
+    return script_profile(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _script_profile_oracle() -> str:
+    from lucene_solr_spark.pipeline.text import SCRIPT_CLASSES
+
+    cnt_parts, frac_parts = [], []
+    for name, cls in SCRIPT_CLASSES:
+        cnt = (f"(length(text) - length(regexp_replace(text, '{cls}', '', 'g')))")
+        cnt_parts.append(f"CAST({cnt} AS BIGINT) AS c_{name}")
+        frac_parts.append(
+            f"CAST(CASE WHEN n_chars_total > 0 THEN "
+            f"CAST(c_{name} AS DOUBLE) / CAST(n_chars_total AS DOUBLE) "
+            f"ELSE CAST(0 AS DOUBLE) END AS FLOAT) AS {name}_frac")
+    covered = " + ".join(f"c_{name}" for name, _ in SCRIPT_CLASSES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+         {", ".join(cnt_parts)}
+  FROM documents)
+SELECT doc_id, n_chars_total, {", ".join(frac_parts)},
+  CAST(CASE WHEN n_chars_total > 0 THEN
+       CAST(n_chars_total - ({covered}) AS DOUBLE)
+       / CAST(n_chars_total AS DOUBLE)
+       ELSE CAST(0 AS DOUBLE) END AS FLOAT) AS other_frac
+FROM base ORDER BY doc_id"""
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + blocklist pre-filter (the C4/CCNet/
     RefinedWeb crawl-intake step): scheme/userinfo/www/port/query
@@ -6843,6 +6876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_update": q_dv_update,
         "url_filter": q_url_filter,
         "import_graph": q_import_graph,
+        "script_profile": q_script_profile,
         "code_comments": q_code_comments,
         "func_pairs": q_func_pairs,
         "repo_dedup": q_repo_dedup,
@@ -10723,6 +10757,7 @@ SELECT doc_id,
                  ELSE n_chars END AS DOUBLE) AS value
 FROM documents ORDER BY doc_id""",
         "import_graph": _import_graph_oracle(),
+        "script_profile": _script_profile_oracle(),
         "code_comments": _code_comments_oracle(),
         "func_pairs": _func_pairs_oracle(),
         "repo_dedup": _repo_dedup_oracle(),

@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from .hashing import P31, SHINGLE_BASE, TOKENS_SQL, hterm_sql
 
 __all__ = ["token_stats", "text_quality", "lang_id", "doc_fingerprint",
+           "script_profile", "SCRIPT_CLASSES",
            "LANG_MARKERS", "tfidf_vectors", "cluster_documents"]
 
 
@@ -321,3 +322,42 @@ def corpus_diversity(
              / F.col("total_ngrams").cast("double")).cast("float"))
         .orderBy(by)
     )
+
+
+#: script/charset classes profiled per doc; each is a Java-regex/RE2
+#: character class shared verbatim with oracles.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+    ("cjk", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document script/charset profile — the crawl-pipeline triage
+    step (CCNet / RefinedWeb run exactly this before language ID: a page
+    whose dominant script contradicts its claimed language, or with a
+    high 'other' fraction, is mojibake or binary spill).  One map-only
+    projection: per class, chars counted as
+    ``length(s) - length(regexp_replace(s, class, ''))`` — no explode,
+    no UDF; fractions are one f64 division cast f32.  Returns
+    ``[id, n_chars_total, {cls}_frac …, other_frac]``."""
+    s = F.col(text_col)
+    total = F.length(s).cast("long")
+    cols = [F.col(id_col), total.alias("n_chars_total")]
+    covered = None
+    for name, cls in SCRIPT_CLASSES:
+        cnt = (F.length(s)
+               - F.length(F.regexp_replace(s, cls, ""))).cast("long")
+        covered = cnt if covered is None else covered + cnt
+        frac = (F.when(total > 0, cnt.cast("double") / total.cast("double"))
+                .otherwise(F.lit(0.0)).cast("float"))
+        cols.append(frac.alias(f"{name}_frac"))
+    other = (F.when(total > 0,
+                    (total - covered).cast("double") / total.cast("double"))
+             .otherwise(F.lit(0.0)).cast("float"))
+    cols.append(other.alias("other_frac"))
+    return df.select(*cols)

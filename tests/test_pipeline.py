@@ -1472,3 +1472,29 @@ def test_perceptron(spark):
     _, w2 = perceptron_train(df.repartition(32), "y",
                              vocab=vocab, iterations=3)
     assert w2 == w
+
+
+def test_script_profile(spark):
+    """Script profile: per-class char fractions sum with 'other' to 1;
+    known mixed-script strings come out exact."""
+    from lucene_solr_spark.pipeline import script_profile
+
+    df = spark.createDataFrame(
+        [(0, "abc 123"), (1, "привет"), (2, "日本語 abc"), (3, ""),
+         (4, "!!!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    import numpy as np
+    r0 = got[0]   # 3 latin, 3 digit, 1 space of 7
+    assert r0["n_chars_total"] == 7
+    assert r0["latin_frac"] == np.float32(3 / 7)
+    assert r0["digit_frac"] == np.float32(3 / 7)
+    assert r0["space_frac"] == np.float32(1 / 7)
+    assert r0["other_frac"] == np.float32(0.0)
+    assert got[1]["cyrillic_frac"] == np.float32(1.0)
+    r2 = got[2]   # 3 CJK + 1 space + 3 latin of 7
+    assert r2["cjk_frac"] == np.float32(3 / 7)
+    assert r2["latin_frac"] == np.float32(3 / 7)
+    assert got[3]["n_chars_total"] == 0 and got[3]["other_frac"] == 0.0
+    assert got[4]["other_frac"] == np.float32(1.0)
