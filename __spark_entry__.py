@@ -5784,6 +5784,22 @@ SELECT module, CAST(count(*) AS BIGINT) AS fan_in
 FROM edges GROUP BY module ORDER BY fan_in DESC, module ASC"""
 
 
+def q_doc_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-validation gate (TolerantUpdateProcessor analog): rows
+    annotated valid/reasons — sources longer than 4 chars violate
+    max_length, lang required, n_chars must TRY_CAST to BIGINT."""
+    from lucene_solr_spark.pipeline import validate_documents
+
+    rules = {"lang": {"required": True},
+             "source": {"max_length": 4},
+             "n_chars": {"type": "long"}}
+    return (
+        validate_documents(_docs(spark, sf_dir), rules)
+        .select("doc_id", "valid", "reasons")
+        .orderBy("doc_id")
+    )
+
+
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc script/charset profile (CCNet-style triage): class char
     fractions via length-diff regexp counting, one map-only pass."""
@@ -6877,6 +6893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "import_graph": q_import_graph,
         "script_profile": q_script_profile,
+        "doc_validate": q_doc_validate,
         "code_comments": q_code_comments,
         "func_pairs": q_func_pairs,
         "repo_dedup": q_repo_dedup,
@@ -10758,6 +10775,23 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id""",
         "import_graph": _import_graph_oracle(),
         "script_profile": _script_profile_oracle(),
+        "doc_validate": """
+SELECT doc_id,
+  concat_ws(',',
+    CASE WHEN (lang IS NULL OR CAST(lang AS STRING) = '')
+         THEN 'lang:missing' END,
+    CASE WHEN (n_chars IS NOT NULL AND TRY_CAST(n_chars AS BIGINT) IS NULL)
+         THEN 'n_chars:not_long' END,
+    CASE WHEN (source IS NOT NULL AND length(source) > 4)
+         THEN 'source:too_long' END) AS reasons,
+  (concat_ws(',',
+    CASE WHEN (lang IS NULL OR CAST(lang AS STRING) = '')
+         THEN 'lang:missing' END,
+    CASE WHEN (n_chars IS NOT NULL AND TRY_CAST(n_chars AS BIGINT) IS NULL)
+         THEN 'n_chars:not_long' END,
+    CASE WHEN (source IS NOT NULL AND length(source) > 4)
+         THEN 'source:too_long' END) = '') AS valid
+FROM documents ORDER BY doc_id""",
         "code_comments": _code_comments_oracle(),
         "func_pairs": _func_pairs_oracle(),
         "repo_dedup": _repo_dedup_oracle(),

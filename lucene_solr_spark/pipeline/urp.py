@@ -51,7 +51,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_urp_chain", "validate_urp_chain", "URP_PROCESSORS"]
+__all__ = ["apply_urp_chain", "validate_urp_chain", "URP_PROCESSORS",
+           "validate_documents"]
 
 
 def _str_params(step: str, params: dict, required: tuple[str, ...],
@@ -247,3 +248,56 @@ def apply_urp_chain(df: DataFrame, chain: list[dict]) -> DataFrame:
         name, params = next(iter(step.items()))
         out = URP_PROCESSORS[name][1](out, params)
     return out
+
+
+def validate_documents(
+    df: DataFrame,
+    rules: dict[str, dict],
+) -> DataFrame:
+    """Schema-validation gate — the Solr schema check + TolerantUpdate
+    Processor analog (``[8x] solr/core/src/java/org/apache/solr/update/
+    processor/TolerantUpdateProcessor.java``): instead of failing the
+    whole batch on one bad document, every row is annotated with
+    ``valid`` and a deterministic comma-joined ``reasons`` string, so
+    callers route good rows to the index and quarantine the rest with
+    actionable errors (the ingest dead-letter pattern).
+
+    ``rules`` maps field → constraints from: ``required`` (non-NULL and
+    non-empty), ``type`` (``"long" | "double" | "date"`` — must
+    TRY_CAST cleanly when present), ``max_length``.  One map-only
+    projection; TRY_CAST is shared SQL between Spark and DuckDB, so the
+    kept set is engine-reproducible."""
+    _TYPES = {"long": "BIGINT", "double": "DOUBLE", "date": "DATE"}
+    checks: list[tuple[str, str]] = []  # (reason, SQL bool expr = BAD)
+    for field, cons in rules.items():
+        for key in cons:
+            if key not in ("required", "type", "max_length"):
+                raise ValueError(f"unknown rule {key!r} for field {field!r}")
+        if cons.get("required"):
+            checks.append((
+                f"{field}:missing",
+                f"({field} IS NULL OR CAST({field} AS STRING) = '')",
+            ))
+        t = cons.get("type")
+        if t is not None:
+            if t not in _TYPES:
+                raise ValueError(f"unknown type {t!r}")
+            checks.append((
+                f"{field}:not_{t}",
+                f"({field} IS NOT NULL"
+                f" AND TRY_CAST({field} AS {_TYPES[t]}) IS NULL)",
+            ))
+        ml = cons.get("max_length")
+        if ml is not None:
+            checks.append((
+                f"{field}:too_long",
+                f"({field} IS NOT NULL AND length({field}) > {int(ml)})",
+            ))
+    checks.sort()  # deterministic reason order
+    reason_cols = [
+        F.expr(f"CASE WHEN {bad} THEN '{reason}' END")
+        for reason, bad in checks
+    ]
+    reasons = F.concat_ws(",", *reason_cols) if checks else F.lit("")
+    return df.withColumn("reasons", reasons).withColumn(
+        "valid", F.col("reasons") == "")

@@ -1498,3 +1498,28 @@ def test_script_profile(spark):
     assert r2["latin_frac"] == np.float32(3 / 7)
     assert got[3]["n_chars_total"] == 0 and got[3]["other_frac"] == 0.0
     assert got[4]["other_frac"] == np.float32(1.0)
+
+
+def test_validate_documents(spark):
+    """Schema gate: rows annotated with deterministic reasons; good rows
+    valid; unknown rules rejected."""
+    from lucene_solr_spark.pipeline import validate_documents
+
+    df = spark.createDataFrame(
+        [(0, "ok", "123"), (1, None, "123"), (2, "x" * 20, "nope"),
+         (3, "", "7")],
+        "doc_id long, title string, qty string",
+    )
+    rules = {"title": {"required": True, "max_length": 10},
+             "qty": {"type": "long"}}
+    got = {r["doc_id"]: r for r in validate_documents(df, rules).collect()}
+    assert got[0]["valid"] and got[0]["reasons"] == ""
+    assert got[1]["reasons"] == "title:missing"
+    assert got[2]["reasons"] == "qty:not_long,title:too_long"
+    assert got[3]["reasons"] == "title:missing"
+    assert not got[2]["valid"]
+    import pytest as _p
+    with _p.raises(ValueError):
+        validate_documents(df, {"title": {"frobnicate": 1}})
+    with _p.raises(ValueError):
+        validate_documents(df, {"qty": {"type": "uuid"}})
