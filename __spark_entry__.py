@@ -4481,6 +4481,23 @@ def q_boosting_demote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_solr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select façade: q=BM25_TERM with fq='window' — the request-param
+    routing layer over the engine's search + filter semi-join; scores
+    ride the f64-parity stream for the oracle."""
+    # the façade itself (solr_api.solr_request) is pinned in tests; the
+    # entry mirrors its exact composition on the parity stream
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    index = _index_for(spark, sf_dir)
+    fq = (postings_table(index, ["window"]).select("doc_id").distinct())
+    return (
+        sc.join(fq, "doc_id", "left_semi")
+        .select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed StatsComponent: per-shard DECIMAL-exact partial
     moments merged to the same bits as the single-frame stats."""
@@ -6823,6 +6840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_sat": q_feature_sat,
         "distance_feature": q_distance_feature,
         "boosting_demote": q_boosting_demote,
+        "solr_select": q_solr_select,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -8822,6 +8840,12 @@ SELECT s.doc_id,
        + 5e-1 * (CAST(d.n_chars AS DOUBLE) / (CAST(d.n_chars AS DOUBLE) + 1e3))
        AS FLOAT) AS score
 FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "solr_select": f"""
+{_bm25_oracle_base("term = '" + BM25_TERM + "'")}
+SELECT s.doc_id, CAST(score64 AS FLOAT) AS score
+FROM scored s
+WHERE s.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "boosting_demote": f"""
 {_bm25_oracle_base("term = '" + BM25_TERM + "'")}

@@ -1,0 +1,127 @@
+"""Solr ``/select`` request façade.
+
+Maps the common Solr request-parameter surface (``[8x] solr/core/src/
+java/org/apache/solr/handler/component/SearchHandler.java`` +
+QueryComponent/FacetComponent param parsing) onto the engine's native
+calls, so a caller migrating from the reference can keep thinking in
+request params while running Spark plans:
+
+* ``q`` — classic query-parser string (parse_query);
+* ``fq`` — list of filter queries, each applied as a scoreless
+  match-set LEFT SEMI join (LRUQueryCache semantics live in
+  ``search.cache`` for callers who want reuse);
+* ``rows`` / ``start`` — page size + offset, applied AFTER the top-k
+  collector on a bounded (start + rows)-sized frame (deep paging
+  belongs to cursorMark / ``search_after``, exactly as Solr advises);
+* ``fl`` — stored-field projection joined from a docvalues frame;
+* ``facet.field`` / ``facet.query`` — facets computed over the QUERY
+  DOMAIN (the match set), like FacetComponent.
+
+Returns a dict of DataFrames: ``response`` plus one
+``facet_field:<f>`` / ``facet_query`` entry per requested facet.
+Everything lowers onto existing, oracle-checked operators — this module
+adds routing, not new semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index.core import IndexView
+from .search import parse_query, search
+from .search.executor import _matches, expand_multiterm
+from .search.query import rewrite
+
+__all__ = ["solr_request"]
+
+
+def _match_set(index: IndexView, qs: str) -> DataFrame:
+    q = rewrite(expand_multiterm(index, rewrite(parse_query(qs))))
+    m = _matches(index, q).select("doc_id").distinct()
+    if index.tombstones is not None:
+        m = m.join(index.tombstones, "doc_id", "left_anti")
+    return m
+
+
+def solr_request(
+    index: IndexView,
+    params: dict,
+    docvalues: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Execute a Solr-style request-param dict against an index view.
+
+    Supported params: ``q`` (required), ``fq`` (str or list of str),
+    ``rows`` (default 10), ``start`` (default 0), ``fl`` (list of
+    docvalues columns; requires ``docvalues``), ``facet.field`` (str or
+    list), ``facet.query`` (str or list), ``facet.limit``
+    (default 10).  Unknown params raise — silent ignoring is how real
+    migrations corrupt results."""
+    known = {"q", "fq", "rows", "start", "fl",
+             "facet.field", "facet.query", "facet.limit"}
+    unknown = set(params) - known
+    if unknown:
+        raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
+    if "q" not in params:
+        raise ValueError("q is required")
+
+    def aslist(v):
+        return [v] if isinstance(v, str) else list(v)
+
+    rows = int(params.get("rows", 10))
+    start = int(params.get("start", 0))
+    fqs = aslist(params.get("fq", []))
+
+    # ---- main query: top-(start+rows) then offset ------------------------
+    hits = search(index, parse_query(params["q"]), k=start + rows)
+    for qs in fqs:
+        hits = hits.join(_match_set(index, qs), "doc_id", "left_semi")
+    # offset on the bounded collected page (Solr's own start= behavior;
+    # the frame is at most start+rows rows, so the window is cheap)
+    if start:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        hits = (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > start).drop("_rn")
+        )
+    response = hits
+    if params.get("fl"):
+        if docvalues is None:
+            raise ValueError("fl requires a docvalues frame")
+        cols = aslist(params["fl"])
+        response = response.join(
+            docvalues.select("doc_id", *cols), "doc_id", "left")
+    out = {"response": response.orderBy(F.desc("score"), F.asc("doc_id"))}
+
+    # ---- facets over the query domain (match set, fq-filtered) ----------
+    needs_domain = params.get("facet.field") or params.get("facet.query")
+    if needs_domain:
+        domain = _match_set(index, params["q"])
+        for qs in fqs:
+            domain = domain.join(_match_set(index, qs), "doc_id", "left_semi")
+    if params.get("facet.field"):
+        if docvalues is None:
+            raise ValueError("facet.field requires a docvalues frame")
+        from .relational import facet_terms
+
+        limit = int(params.get("facet.limit", 10))
+        for f_ in aslist(params["facet.field"]):
+            dom = docvalues.join(domain, "doc_id", "left_semi")
+            out[f"facet_field:{f_}"] = facet_terms(dom, f_, limit=limit)
+    if params.get("facet.query"):
+        counts = []
+        for qs in aslist(params["facet.query"]):
+            n = (
+                domain.join(_match_set(index, qs), "doc_id", "left_semi")
+                .agg(F.count(F.lit(1)).cast("long").alias("count"))
+                .withColumn("facet_query", F.lit(qs))
+                .select("facet_query", "count")
+            )
+            counts.append(n)
+        fq_out = counts[0]
+        for c in counts[1:]:
+            fq_out = fq_out.unionByName(c)
+        out["facet_query"] = fq_out
+    return out

@@ -1,0 +1,75 @@
+"""Solr /select façade: param routing onto existing operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.index import build_index_view
+from lucene_solr_spark.search import Term, parse_query, search
+from lucene_solr_spark.solr_api import solr_request
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark shuffle merge", "en", 10),
+         (1, "spark window agg", "en", 20),
+         (2, "spark shuffle spill", "de", 30),
+         (3, "table scan only", "de", 40)],
+        "doc_id long, content string, lang string, n long",
+    )
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    yield idx, docs
+    idx.postings.unpersist()
+    idx.norms.unpersist()
+
+
+def test_q_fq_rows_start(spark, setup):
+    idx, docs = setup
+    base = [(int(r["doc_id"]), np.float32(r["score"]))
+            for r in search(idx, parse_query("spark"), k=10).collect()]
+
+    out = solr_request(idx, {"q": "spark", "rows": 10})
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in out["response"].collect()]
+    assert got == base
+
+    # fq restricts without rescoring
+    out = solr_request(idx, {"q": "spark", "fq": "shuffle", "rows": 10})
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in out["response"].collect()]
+    assert got == [x for x in base if x[0] in (0, 2)]
+
+    # start offsets within the collected page
+    out = solr_request(idx, {"q": "spark", "rows": 2, "start": 1})
+    got = [int(r["doc_id"]) for r in out["response"].collect()]
+    assert got == [d for d, _ in base[1:3]]
+
+
+def test_fl_and_facets(spark, setup):
+    idx, docs = setup
+    out = solr_request(
+        idx,
+        {"q": "spark", "fl": ["lang", "n"], "facet.field": "lang",
+         "facet.query": ["shuffle", "window"]},
+        docvalues=docs.select("doc_id", "lang", "n"),
+    )
+    resp = {r["doc_id"]: (r["lang"], r["n"])
+            for r in out["response"].collect()}
+    assert resp[0] == ("en", 10) and resp[2] == ("de", 30)
+    ff = {r["lang"]: r["count"]
+          for r in out["facet_field:lang"].collect()}
+    assert ff == {"en": 2, "de": 1}      # domain = spark matches only
+    fq = {r["facet_query"]: r["count"] for r in out["facet_query"].collect()}
+    assert fq == {"shuffle": 2, "window": 1}
+
+
+def test_guards(spark, setup):
+    idx, docs = setup
+    with pytest.raises(ValueError, match="unsupported"):
+        solr_request(idx, {"q": "spark", "group.field": "lang"})
+    with pytest.raises(ValueError, match="q is required"):
+        solr_request(idx, {"rows": 5})
+    with pytest.raises(ValueError, match="docvalues"):
+        solr_request(idx, {"q": "spark", "fl": ["lang"]})
