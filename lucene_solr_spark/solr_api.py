@@ -57,7 +57,7 @@ def solr_request(
     list), ``facet.query`` (str or list), ``facet.limit``
     (default 10).  Unknown params raise — silent ignoring is how real
     migrations corrupt results."""
-    known = {"q", "fq", "rows", "start", "fl",
+    known = {"q", "fq", "rows", "start", "fl", "sort",
              "facet.field", "facet.query", "facet.limit"}
     unknown = set(params) - known
     if unknown:
@@ -72,16 +72,51 @@ def solr_request(
     start = int(params.get("start", 0))
     fqs = aslist(params.get("fq", []))
 
-    # ---- main query: top-(start+rows) then offset ------------------------
-    hits = search(index, parse_query(params["q"]), k=start + rows)
-    for qs in fqs:
-        hits = hits.join(_match_set(index, qs), "doc_id", "left_semi")
+    # ---- main query ------------------------------------------------------
+    sort = params.get("sort", "score desc").strip()
+    if sort == "score desc":
+        # relevance order: top-(start+rows) collector, then fq semi-joins
+        hits = search(index, parse_query(params["q"]), k=start + rows)
+        for qs in fqs:
+            hits = hits.join(_match_set(index, qs), "doc_id", "left_semi")
+        order_keys = [F.desc("score"), F.asc("doc_id")]
+        carry: list[str] = []
+    else:
+        # field sort REPLACES relevance (TopFieldCollector): the sort key
+        # is a docvalues column over the full MATCH SET, scores constant 0
+        # (Solr returns no score unless requested; pinned 0 like
+        # sort_by_field).  TakeOrdered bounds the frame BEFORE any window.
+        if docvalues is None:
+            raise ValueError("sort by field requires a docvalues frame")
+        clauses = []
+        for part in sort.split(","):
+            bits = part.split()
+            if len(bits) != 2 or bits[1] not in ("asc", "desc"):
+                raise ValueError(f"bad sort clause {part!r}")
+            clauses.append((bits[0], bits[1]))
+        carry = [c for c, _ in clauses]
+        keys = [F.asc(c) if d == "asc" else F.desc(c) for c, d in clauses]
+        keys.append(F.asc("doc_id"))  # Solr's implicit docid tiebreak
+        dom = _match_set(index, params["q"])
+        for qs in fqs:
+            dom = dom.join(_match_set(index, qs), "doc_id", "left_semi")
+        hits = (
+            docvalues.select("doc_id", *carry).join(dom, "doc_id", "left_semi")
+            .withColumn("score", F.lit(0.0).cast("float"))
+            .orderBy(*keys).limit(start + rows)
+            .select("doc_id", "score",
+                    *[F.col(c).alias(f"_s_{c}") for c in carry])
+        )
+        order_keys = [
+            (F.asc(f"_s_{c}") if d == "asc" else F.desc(f"_s_{c}"))
+            for c, d in clauses
+        ] + [F.asc("doc_id")]
     # offset on the bounded collected page (Solr's own start= behavior;
     # the frame is at most start+rows rows, so the window is cheap)
     if start:
         from pyspark.sql.window import Window
 
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        w = Window.orderBy(*order_keys)
         hits = (
             hits.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > start).drop("_rn")
@@ -93,7 +128,10 @@ def solr_request(
         cols = aslist(params["fl"])
         response = response.join(
             docvalues.select("doc_id", *cols), "doc_id", "left")
-    out = {"response": response.orderBy(F.desc("score"), F.asc("doc_id"))}
+    response = response.orderBy(*order_keys)
+    for c in carry:
+        response = response.drop(f"_s_{c}")  # projection preserves the sort
+    out = {"response": response}
 
     # ---- facets over the query domain (match set, fq-filtered) ----------
     needs_domain = params.get("facet.field") or params.get("facet.query")

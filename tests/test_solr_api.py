@@ -73,3 +73,25 @@ def test_guards(spark, setup):
         solr_request(idx, {"rows": 5})
     with pytest.raises(ValueError, match="docvalues"):
         solr_request(idx, {"q": "spark", "fl": ["lang"]})
+
+
+def test_sort_by_field(spark, setup):
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    out = solr_request(idx, {"q": "spark", "sort": "n desc", "rows": 10},
+                       docvalues=dv)
+    got = [(int(r["doc_id"]), r["score"]) for r in out["response"].collect()]
+    assert got == [(2, 0.0), (1, 0.0), (0, 0.0)]   # n: 30, 20, 10
+    # start offset honors the FIELD order, not score order
+    out = solr_request(idx, {"q": "spark", "sort": "n desc", "rows": 2,
+                             "start": 1}, docvalues=dv)
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [1, 0]
+    # multi-key sort with fl projection
+    out = solr_request(idx, {"q": "spark", "sort": "lang asc, n asc",
+                             "rows": 10, "fl": ["lang"]}, docvalues=dv)
+    rowsx = [(int(r["doc_id"]), r["lang"]) for r in out["response"].collect()]
+    assert rowsx == [(2, "de"), (0, "en"), (1, "en")]
+    with pytest.raises(ValueError, match="bad sort"):
+        solr_request(idx, {"q": "spark", "sort": "n sideways"}, docvalues=dv)
+    with pytest.raises(ValueError, match="docvalues"):
+        solr_request(idx, {"q": "spark", "sort": "n desc"})
