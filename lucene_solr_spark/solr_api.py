@@ -58,7 +58,8 @@ def solr_request(
     (default 10).  Unknown params raise — silent ignoring is how real
     migrations corrupt results."""
     known = {"q", "fq", "rows", "start", "fl", "sort",
-             "facet.field", "facet.query", "facet.limit"}
+             "facet.field", "facet.query", "facet.limit",
+             "hl", "hl.fl"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -148,6 +149,18 @@ def solr_request(
         for f_ in aslist(params["facet.field"]):
             dom = docvalues.join(domain, "doc_id", "left_semi")
             out[f"facet_field:{f_}"] = facet_terms(dom, f_, limit=limit)
+    if params.get("hl"):
+        # highlighting over the response page (HighlightComponent):
+        # snippet around the first query-term occurrence per doc
+        if docvalues is None:
+            raise ValueError("hl requires a docvalues frame")
+        from .search.highlight import highlight
+
+        hl_field = params.get("hl.fl", "text")
+        out["highlighting"] = highlight(
+            out["response"].select("doc_id", "score"),
+            docvalues, parse_query(params["q"]), text_col=hl_field,
+        )
     if params.get("facet.query"):
         counts = []
         for qs in aslist(params["facet.query"]):

@@ -95,3 +95,17 @@ def test_sort_by_field(spark, setup):
         solr_request(idx, {"q": "spark", "sort": "n sideways"}, docvalues=dv)
     with pytest.raises(ValueError, match="docvalues"):
         solr_request(idx, {"q": "spark", "sort": "n desc"})
+
+
+def test_hl(spark, setup):
+    idx, docs = setup
+    out = solr_request(
+        idx, {"q": "shuffle", "hl": True, "hl.fl": "content"},
+        docvalues=docs.select("doc_id", "content"),
+    )
+    snips = {r["doc_id"]: r["snippet"]
+             for r in out["highlighting"].collect()}
+    assert set(snips) == {0, 2}
+    assert "<em>shuffle</em>" in snips[0]
+    with pytest.raises(ValueError, match="docvalues"):
+        solr_request(idx, {"q": "shuffle", "hl": True})
