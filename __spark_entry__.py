@@ -5648,10 +5648,11 @@ WITH synth AS (
               ELSE '' END AS text
   FROM documents),
 fh AS (SELECT DISTINCT repo, sha256(text) AS h FROM synth),
-sizes AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM fh GROUP BY repo),
 live AS (
   SELECT fh.repo, fh.h FROM fh
   JOIN (SELECT h FROM fh GROUP BY h HAVING count(*) <= 100) k USING (h)),
+-- sizes over the SAME stop-file-filtered universe as the intersection
+sizes AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM live GROUP BY repo),
 inter AS (
   SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS inter
   FROM live a JOIN live b ON a.h = b.h AND a.repo < b.repo

@@ -1347,6 +1347,62 @@ def english_minimal_stem_filter() -> Map:
 # ---------------------------------------------------------------------------
 
 
+def _noncapture(pattern: str) -> str:
+    """Rewrite capturing groups to non-capturing for split-mode use.
+
+    Python ``re.split`` (and pandas ``str.split``) emit the text of
+    every capturing group as list elements — Lucene's PatternTokenizer
+    never emits separator content in split mode (``[8x] lucene/analysis/
+    common/.../pattern/PatternTokenizer.java``, group=-1), so a user
+    separator like ``(,|;)`` must behave as ``(?:,|;)``.  Handles
+    escapes, character classes, and named groups; ``(?P=name)``
+    backreferences to a rewritten group are rejected (they cannot
+    survive the rewrite)."""
+    import re as _re
+
+    if _re.compile(pattern).groups == 0 and "(?P<" not in pattern:
+        return pattern
+    if "(?P=" in pattern or _re.search(r"\\[1-9]", pattern):
+        raise ValueError(
+            "split-mode separator pattern may not backreference its own "
+            f"groups: {pattern!r}")
+    out: list[str] = []
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            if pattern.startswith("(?P<", i):
+                j = pattern.index(">", i)
+                out.append("(?:")
+                i = j + 1
+                continue
+            if pattern.startswith("(?", i):
+                out.append(c)  # already a special group
+                i += 1
+                continue
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class Chain:
     """An analyzer: tokenizer pattern + ordered filter steps.
@@ -1386,7 +1442,7 @@ class Chain:
             # a + wrapper and edge separators strip first, so the split
             # itself never yields interior/edge empties — no per-row
             # Python lambda in the batch path.
-            wrapped = f"(?:{self.pattern})+"
+            wrapped = f"(?:{_noncapture(self.pattern)})+"
             stripped = s.str.replace(
                 f"^(?:{wrapped})|(?:{wrapped})$", "", regex=True)
             toks = stripped.str.split(wrapped, regex=True)
@@ -1413,7 +1469,7 @@ class Chain:
         if self.lower:
             raw = raw.lower()
         if self.split:
-            pieces = [t for t in re.split(self.pattern, raw) if t]
+            pieces = [t for t in re.split(_noncapture(self.pattern), raw) if t]
         else:
             pieces = re.findall(self.pattern, raw)
         stream = [(t, i) for i, t in enumerate(pieces)]

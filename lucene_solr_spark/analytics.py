@@ -93,6 +93,11 @@ class _Parser:
         self.toks, self.i = toks, 0
         self.float_cols = set(float_cols)
         self.where = where
+        # stack of per-argument ident-capture sets: float routing is
+        # decided by the FIELD IDENTIFIERS the parser actually saw in a
+        # reduction's argument, never by substring tests on emitted SQL
+        # (a float_col named 'n' must not match 'count(*)')
+        self._ident_stack: list[set] = []
 
     def _flt(self, call: str) -> str:
         """Attach the query-facet domain predicate to ONE aggregate call
@@ -129,9 +134,19 @@ class _Parser:
             raise ValueError(f"wrong arity {len(out)}")
         return out
 
-    def _sum_text(self, a: str, square: bool) -> str:
+    def _capture_args(self, in_reduction: bool, n_min: int,
+                      n_max: int | None):
+        """args() plus the set of bare field idents referenced inside."""
+        self._ident_stack.append(set())
+        out = self.args(in_reduction, n_min, n_max)
+        idents = self._ident_stack.pop()
+        if self._ident_stack:  # propagate through nested captures
+            self._ident_stack[-1] |= idents
+        return out, idents
+
+    def _sum_text(self, a: str, square: bool, idents: set) -> str:
         body = f"({a} * {a})" if square else a
-        if any(c in a for c in self.float_cols):
+        if idents & self.float_cols:
             inner = self._flt(f"sum(CAST({body} AS DECIMAL(38,12)))")
             return f"CAST({inner} AS DOUBLE)"
         return self._flt(f"sum({body})")
@@ -145,6 +160,8 @@ class _Parser:
         name = v.lower()
         if self.peek()[1] != "(":
             # bare field reference
+            if self._ident_stack:
+                self._ident_stack[-1].add(v)
             if not in_reduction:
                 raise ValueError(
                     f"field {v!r} outside a reduction function (Solr "
@@ -158,13 +175,13 @@ class _Parser:
                 self.expect("(")
                 self.expect(")")
                 return self._flt("count(*)")
-            (a,) = self.args(True, 1, 1)
+            (a,), idents = self._capture_args(True, 1, 1)
             if name == "sum":
-                return self._sum_text(a, square=False)
+                return self._sum_text(a, square=False, idents=idents)
             if name == "sumofsquares":
-                return self._sum_text(a, square=True)
+                return self._sum_text(a, square=True, idents=idents)
             if name == "mean":
-                s = self._sum_text(a, square=False)
+                s = self._sum_text(a, square=False, idents=idents)
                 c = self._flt(f"count({a})")
                 return f"(CAST({s} AS DOUBLE) / CAST({c} AS DOUBLE))"
             if name == "count":

@@ -951,7 +951,10 @@ def repo_similarity(
     + one pair-keyed count.  ``max_repos_per_file`` drops STOP FILES
     (empty __init__.py, LICENSE boilerplate …) that appear in more than
     N repos before the join — the quadratic-blowup guard real pipelines
-    apply, documented as the accuracy trade.  Returns
+    apply, documented as the accuracy trade.  Sizes ``n_a``/``n_b`` are
+    computed over the SAME stop-file-filtered universe as ``inter``, so
+    identical repos score exactly 1.0 even when they share popular
+    files (a mixed denominator would bias every Jaccard low).  Returns
     ``[repo_a, repo_b, n_a, n_b, inter, jaccard]`` with repo_a < repo_b,
     jaccard f32-cast from one f64 division."""
     fh = (
@@ -959,13 +962,14 @@ def repo_similarity(
                   F.sha2(F.col(text_col).cast("binary"), 256).alias("fh"))
         .distinct()
     )
-    sizes = fh.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
     live = fh.join(
         fh.groupBy("fh").agg(F.count(F.lit(1)).alias("nrep"))
           .filter(F.col("nrep") <= int(max_repos_per_file))
           .select("fh"),
         "fh",
     )
+    # numerator and denominator share one universe: post-stop-file drop
+    sizes = live.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
     a = live.select(F.col("repo").alias("repo_a"), "fh")
     b = live.select(F.col("repo").alias("repo_b"), "fh")
     inter = (

@@ -1077,6 +1077,7 @@ def search(
     prune: bool = True,
     lead_term_max_blocks: int = 4096,
     cursor: tuple[float, int] | None = None,
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 search → DataFrame[doc_id:long, score:float] ordered by
     (score desc, doc_id asc) — Lucene TopScoreDocCollector semantics.
@@ -1086,8 +1087,15 @@ def search(
     scored stream BEFORE the top-k, so deep pages stay a small-k
     TakeOrderedAndProject (never a full-result materialization).  Score
     pruning is disabled under a cursor: the θ pass bounds the GLOBAL
-    top-k, which would wrongly drop later pages' lower-scoring docs."""
-    if cursor is not None:
+    top-k, which would wrongly drop later pages' lower-scoring docs.
+
+    ``domain``: optional DataFrame with a ``doc_id`` column — the
+    collector domain (Solr ``fq`` semantics: filters intersect the
+    scored stream BEFORE top-k collection, so the page is the top-k of
+    q∩fq, not fq applied to a q-only page).  θ-pruning is disabled under
+    a domain for the same reason as cursors: the global k-th score
+    overestimates the k-th score within the restricted domain."""
+    if cursor is not None or domain is not None:
         prune = False
     q = rewrite(query)
     if index.field_stats is not None:
@@ -1099,6 +1107,11 @@ def search(
     terms = query_terms(q)
 
     def finish(plan: DataFrame) -> DataFrame:
+        if domain is not None:
+            # fq domain intersection BEFORE the top-k limit (QueryComponent
+            # passes the filter to the collector, not to the page)
+            plan = plan.join(
+                domain.select("doc_id").distinct(), "doc_id", "left_semi")
         if index.tombstones is not None:
             # liveDocs check: deleted docs are invisible (stats untouched)
             plan = plan.join(index.tombstones, "doc_id", "left_anti")

@@ -69,6 +69,19 @@ def solr_request(
     def aslist(v):
         return [v] if isinstance(v, str) else list(v)
 
+    def asbool(v):
+        # Solr boolean params accept "true"/"false"/"on"/"off" strings;
+        # a caller migrating params verbatim must not have hl='false'
+        # enable highlighting via Python truthiness
+        if isinstance(v, str):
+            s = v.strip().lower()
+            if s in ("true", "on", "yes", "1"):
+                return True
+            if s in ("false", "off", "no", "0", ""):
+                return False
+            raise ValueError(f"bad boolean param value {v!r}")
+        return bool(v)
+
     rows = int(params.get("rows", 10))
     start = int(params.get("start", 0))
     fqs = aslist(params.get("fq", []))
@@ -76,10 +89,16 @@ def solr_request(
     # ---- main query ------------------------------------------------------
     sort = params.get("sort", "score desc").strip()
     if sort == "score desc":
-        # relevance order: top-(start+rows) collector, then fq semi-joins
-        hits = search(index, parse_query(params["q"]), k=start + rows)
+        # relevance order: fq's intersect the COLLECTOR DOMAIN before the
+        # top-(start+rows) limit (QueryComponent passes filters to the
+        # collector — a doc matching q∩fq below the q-only cutoff must
+        # still make the page, and the page must agree with facet counts)
+        dom = None
         for qs in fqs:
-            hits = hits.join(_match_set(index, qs), "doc_id", "left_semi")
+            m = _match_set(index, qs)
+            dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
+        hits = search(index, parse_query(params["q"]), k=start + rows,
+                      domain=dom)
         order_keys = [F.desc("score"), F.asc("doc_id")]
         carry: list[str] = []
     else:
@@ -149,7 +168,7 @@ def solr_request(
         for f_ in aslist(params["facet.field"]):
             dom = docvalues.join(domain, "doc_id", "left_semi")
             out[f"facet_field:{f_}"] = facet_terms(dom, f_, limit=limit)
-    if params.get("hl"):
+    if asbool(params.get("hl", False)):
         # highlighting over the response page (HighlightComponent):
         # snippet around the first query-term occurrence per doc
         if docvalues is None:

@@ -1159,6 +1159,31 @@ def test_pattern_tokenizer_single_char_regex_separator():
     assert ch.tokens("a.b.c") == [("a", 0), ("b", 1), ("c", 2)]
 
 
+def test_pattern_tokenizer_split_capturing_groups():
+    """A separator pattern with capturing groups must NOT emit the
+    captured separator text as tokens (Lucene PatternTokenizer never
+    emits separator content in split mode; Python re.split semantics
+    must be neutralized in BOTH batch and reference paths)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analysis import _noncapture, pattern_tokenizer
+
+    ch = pattern_tokenizer(r"(,|;)", group=-1)
+    assert ch.tokens("a,b;;c") == [("a", 0), ("b", 1), ("c", 2)]
+    got = ch.tokenize(pd.Series(["a,b;;c", ",x;", None]))
+    assert list(got) == [["a", "b", "c"], ["x"], []]
+    # named group
+    ch2 = pattern_tokenizer(r"(?P<sep>[_\-])+", group=-1)
+    assert ch2.tokens("a_b--c") == [("a", 0), ("b", 1), ("c", 2)]
+    assert list(ch2.tokenize(pd.Series(["a_b--c"]))) == [["a", "b", "c"]]
+    # rewrite helper: escapes / classes / special groups untouched
+    assert _noncapture(r"\(x\)") == r"\(x\)"
+    assert _noncapture(r"[()]+") == r"[()]+"
+    assert _noncapture(r"(?:a)(b)") == r"(?:a)(?:b)"
+    with pytest.raises(ValueError, match="backreference"):
+        _noncapture(r"(x)\1")
+
+
 def test_split_tokenize_matches_reference_random():
     """Vectorized split-mode tokenize == per-doc reference tokens on
     randomized messy input (edge separators, runs, empties, unicode)."""

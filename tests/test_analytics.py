@@ -27,6 +27,27 @@ def test_compile_shapes():
         == "(count(a) + count(b) + 2.0e0)"
 
 
+def test_float_routing_is_token_level():
+    """Float-column routing matches field IDENTIFIERS, never substrings
+    of the emitted SQL: a float_col named 'n' or 'value' must not drag
+    unrelated integer sums through DECIMAL."""
+    # 'n' is a substring of 'count' and of 'total_n_int' but neither is
+    # the field n — integer sum stays native
+    assert (compile_analytics("sum(total_n_int)", float_cols=["n"])
+            == "sum(total_n_int)")
+    assert (compile_analytics("sum(value_int)", float_cols=["value"])
+            == "sum(value_int)")
+    # ...while the actual field still routes through DECIMAL
+    assert (compile_analytics("sum(n)", float_cols=["n"])
+            == "CAST(sum(CAST(n AS DECIMAL(38,12))) AS DOUBLE)")
+    # a float field anywhere inside the reduction's argument routes it
+    assert (compile_analytics("sum(mult(a, v))", float_cols=["v"])
+            == "CAST(sum(CAST((a * v) AS DECIMAL(38,12))) AS DOUBLE)")
+    # mean: sum leg routes, count leg untouched
+    got = compile_analytics("mean(v)", float_cols=["v"])
+    assert "DECIMAL(38,12)" in got and "count(v)" in got
+
+
 @pytest.mark.parametrize("bad", [
     "x",                      # bare field outside a reduction
     "sum(sum(x))",            # nested reduction

@@ -1437,12 +1437,22 @@ def test_repo_similarity(spark):
     got = repo_similarity(df, min_jaccard=0.4, max_repos_per_file=2).collect()
     assert len(got) == 1
     r = got[0]
-    # sizes include the boilerplate file (5 and 5 distinct hashes);
-    # intersection excludes it (present in 3 > 2 repos): 3 shared files
+    # numerator and denominator share the stop-file-filtered universe:
+    # the boilerplate (present in 3 > 2 repos) is excluded from BOTH the
+    # intersection and the sizes — 4 live files each, 3 shared
     assert (r["repo_a"], r["repo_b"]) == ("fork", "up")
-    assert r["inter"] == 3 and r["n_a"] == 5 and r["n_b"] == 5
+    assert r["inter"] == 3 and r["n_a"] == 4 and r["n_b"] == 4
     import numpy as np
-    assert r["jaccard"] == np.float32(3.0 / 7.0)
+    assert r["jaccard"] == np.float32(3.0 / 5.0)
+    # identical repos sharing a popular file still score exactly 1.0
+    twin = spark.createDataFrame(
+        [("a", "p", "same"), ("b", "p", "same"),
+         ("a", "q", "pop"), ("b", "q", "pop"), ("c", "q", "pop")],
+        "source string, path string, text string")
+    t = repo_similarity(twin, min_jaccard=0.0,
+                        max_repos_per_file=2).collect()
+    tr = {(r["repo_a"], r["repo_b"]): r["jaccard"] for r in t}
+    assert tr[("a", "b")] == np.float32(1.0)
     # without the stop-file cap the boilerplate joins everybody
     allp = repo_similarity(df, min_jaccard=0.0,
                            max_repos_per_file=100).collect()

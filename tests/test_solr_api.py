@@ -47,6 +47,47 @@ def test_q_fq_rows_start(spark, setup):
     assert got == [d for d, _ in base[1:3]]
 
 
+def test_fq_intersects_collector_domain(spark, setup):
+    """fq must restrict the stream BEFORE top-k: with rows=1, a doc
+    matching q AND fq ranked below the q-only cutoff must still fill
+    the page (Solr passes filters to the collector, not to the page)."""
+    idx, docs = setup
+    # q="spark" ties docs 0,1,2 → doc_id tiebreak puts doc 0 at rank 1;
+    # fq="window" matches only doc 1.  A q-only page of 1 would be [0],
+    # and the old semi-join-after-limit returned 0 rows.
+    out = solr_request(idx, {"q": "spark", "fq": "window", "rows": 1})
+    got = [int(r["doc_id"]) for r in out["response"].collect()]
+    assert got == [1]
+    # page agrees with the facet counts over the same q∩fq domain
+    out = solr_request(
+        idx, {"q": "spark", "fq": "window", "rows": 1,
+              "facet.field": "lang"},
+        docvalues=docs.select("doc_id", "lang"),
+    )
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [1]
+    ff = {r["lang"]: r["count"] for r in out["facet_field:lang"].collect()}
+    assert ff == {"en": 1}
+    # multiple fq's intersect
+    out = solr_request(
+        idx, {"q": "spark", "fq": ["shuffle", "spill"], "rows": 1})
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [2]
+
+
+def test_hl_boolean_strings(spark, setup):
+    """Solr-style string booleans: hl='false'/'off' must NOT enable
+    highlighting; hl='true' must."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "content")
+    for off in ("false", "off", "no", "0", False):
+        out = solr_request(idx, {"q": "shuffle", "hl": off}, docvalues=dv)
+        assert "highlighting" not in out
+    out = solr_request(idx, {"q": "shuffle", "hl": "true",
+                             "hl.fl": "content"}, docvalues=dv)
+    assert "highlighting" in out
+    with pytest.raises(ValueError, match="bad boolean"):
+        solr_request(idx, {"q": "shuffle", "hl": "maybe"}, docvalues=dv)
+
+
 def test_fl_and_facets(spark, setup):
     idx, docs = setup
     out = solr_request(
