@@ -1874,6 +1874,88 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(m).orderBy("doc_id", "chunk_id")
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (no codec library): per doc_id % 3 the entry
+    synthesizes an actual BMP (24-bit, padded rows), binary PPM, or
+    PCM16 WAV whose pixel/sample bytes are closed-form functions of
+    doc_id, encodes real container bytes, and runs the pure-numpy
+    parser over the binary column.  The oracle re-derives every header
+    field and the integer pixel/amplitude sum from the SAME closed
+    forms — the decoder must read back exactly what the format stores
+    (padding stripped, headers honored) to match."""
+    from lucene_solr_spark.pipeline.multimodal import (
+        decode_features, encode_bmp, encode_pnm, encode_wav,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"].to_numpy(dtype=np.int64):
+                did = int(did)
+                if did % 3 == 0:
+                    w, h = 1 + did % 13, 1 + did % 7
+                    raster = ((did + np.arange(w * h * 3)) % 251
+                              ).astype(np.uint8)
+                    payloads.append(encode_bmp(raster, w, h, 3))
+                elif did % 3 == 1:
+                    w, h = 1 + did % 9, 1 + did % 5
+                    raster = ((did * 3 + np.arange(w * h * 3)) % 256
+                              ).astype(np.uint8)
+                    payloads.append(encode_pnm(raster, w, h, 3))
+                else:
+                    n = 32 + did % 64
+                    s = ((did * 7 + np.arange(n) * 13) % 4001 - 2000
+                         ).astype(np.int16)
+                    payloads.append(encode_wav(s, 8000, 1))
+                out_ids.append(did)
+            yield pd.DataFrame({"doc_id": np.asarray(out_ids, np.int64),
+                                "media": payloads})
+
+    media = ids.mapInPandas(_gen, "doc_id long, media binary")
+    return decode_features(media).orderBy("doc_id")
+
+
+_MEDIA_DECODE_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents)
+SELECT doc_id, media_type,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(px_sum AS BIGINT) AS px_sum
+FROM (
+  SELECT doc_id, 'image/bmp' AS media_type,
+         1 + doc_id % 13 AS width, 1 + doc_id % 7 AS height,
+         3 AS channels, 0 AS sample_rate, 0 AS n_samples, 0 AS duration_ms,
+         list_sum(list_transform(
+           generate_series(0, (1 + doc_id % 13) * (1 + doc_id % 7) * 3 - 1),
+           x -> (doc_id + x) % 251)) AS px_sum
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'image/x-portable-pixmap',
+         1 + doc_id % 9, 1 + doc_id % 5,
+         3, 0, 0, 0,
+         list_sum(list_transform(
+           generate_series(0, (1 + doc_id % 9) * (1 + doc_id % 5) * 3 - 1),
+           x -> (doc_id * 3 + x) % 256))
+  FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'audio/wav',
+         0, 0, 1, 8000, 32 + doc_id % 64,
+         (32 + doc_id % 64) * 1000 // 8000,
+         list_sum(list_transform(
+           generate_series(0, 32 + doc_id % 64 - 1),
+           x -> abs((doc_id * 7 + x * 13) % 4001 - 2000)))
+  FROM d WHERE doc_id % 3 = 2)
+ORDER BY doc_id"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy (gibberish / binary-spill
     filter): quantized integer nano-bit contributions summed per doc —
@@ -6776,6 +6858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "media_chunks": q_media_chunks,
         "cdc_chunks": q_cdc_chunks,
+        "media_decode": q_media_decode,
         "relevance_functions": q_relevance_functions,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
@@ -10567,6 +10650,7 @@ SELECT t.doc_id, t.tf, f.df,
        CAST({_QDL_SQL.replace("dl", "d.dl")} AS BIGINT) AS quantized_length
 FROM tfs t JOIN dl d USING (doc_id), dfs f, n
 ORDER BY t.doc_id""",
+        "media_decode": _MEDIA_DECODE_ORACLE,
         "cdc_chunks": f"""
 WITH base AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len

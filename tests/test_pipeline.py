@@ -120,9 +120,107 @@ def test_hyperplane_lsh_recall(spark):
     assert hits >= 17, f"ANN recall too low: {hits}/25"
 
 
-def test_media_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_media_decode_unknown_magic_raises():
+    with pytest.raises(ValueError, match="unrecognized media container"):
         decode_media(b"\x89PNG...", fake=False)
+
+
+def test_decode_bmp_roundtrip():
+    """BMP write/parse round-trip: 24-bit with non-multiple-of-4 row
+    width (real padding), 8-bit with palette, top-down orientation."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import decode_media, encode_bmp
+
+    w, h = 5, 3                      # row_bytes = 15 -> stride 16 (padded)
+    raster = (np.arange(w * h * 3) * 7 % 256).astype(np.uint8)
+    got = decode_media(encode_bmp(raster, w, h, 3))
+    assert (got["media_type"], got["width"], got["height"],
+            got["channels"]) == ("image/bmp", 5, 3, 3)
+    assert got["px_sum"] == int(raster.astype(np.int64).sum())
+    assert got["sample_rate"] == 0 and got["duration_ms"] == 0
+    # 8-bit grayscale (palette present, offset honored)
+    g = decode_media(encode_bmp(raster[: w * h], w, h, 1))
+    assert g["channels"] == 1
+    assert g["px_sum"] == int(raster[: w * h].astype(np.int64).sum())
+    # top-down BMP (negative height) decodes with abs height
+    b = bytearray(encode_bmp(raster, w, h, 3))
+    import struct as st
+    st.pack_into("<i", b, 22, -h)
+    td = decode_media(bytes(b))
+    assert td["height"] == 3 and td["px_sum"] == got["px_sum"]
+    # truncated pixel array rejected
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_media(bytes(encode_bmp(raster, w, h, 3))[:-8])
+
+
+def test_decode_pnm_roundtrip():
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import decode_media, encode_pnm
+
+    raster = (np.arange(4 * 2 * 3) % 256).astype(np.uint8)
+    got = decode_media(encode_pnm(raster, 4, 2, 3))
+    assert got["media_type"] == "image/x-portable-pixmap"
+    assert (got["width"], got["height"], got["channels"]) == (4, 2, 3)
+    assert got["px_sum"] == int(raster.sum())
+    pg = decode_media(encode_pnm(raster[:8], 4, 2, 1))
+    assert pg["media_type"] == "image/x-portable-graymap"
+    assert pg["channels"] == 1 and pg["px_sum"] == int(raster[:8].sum())
+    # comment-bearing header (hand-built; encoder never emits comments)
+    by_hand = b"P5\n# a comment\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    hc = decode_media(by_hand)
+    assert (hc["width"], hc["height"], hc["px_sum"]) == (2, 2, 10)
+    with pytest.raises(ValueError, match="truncated PNM raster"):
+        decode_media(b"P5\n4 4\n255\n" + b"\x00" * 3)
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import decode_media, encode_wav
+
+    s = (np.arange(100, dtype=np.int64) * 313 % 4001 - 2000).astype(np.int16)
+    got = decode_media(encode_wav(s, 8000, 1))
+    assert got["media_type"] == "audio/wav"
+    assert (got["channels"], got["sample_rate"], got["n_samples"]) \
+        == (1, 8000, 100)
+    assert got["duration_ms"] == 100 * 1000 // 8000
+    assert got["px_sum"] == int(np.abs(s.astype(np.int64)).sum())
+    assert got["width"] == 0 and got["height"] == 0
+    # stereo: frames = samples / channels; odd data size word-aligns
+    st = decode_media(encode_wav(s[:98], 44100, 2))
+    assert st["channels"] == 2 and st["n_samples"] == 49
+    with pytest.raises(ValueError, match="only PCM16"):
+        b = bytearray(encode_wav(s, 8000, 1))
+        b[20] = 3  # IEEE float fmt tag
+        decode_media(bytes(b))
+
+
+def test_decode_features_dataframe(spark):
+    """decode_features: mixed-format binary column decodes in one
+    map-only pass; values equal the per-payload reference calls."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import (
+        decode_features, decode_media, encode_bmp, encode_pnm, encode_wav,
+    )
+
+    payloads = {
+        0: encode_bmp((np.arange(36) % 256).astype(np.uint8), 4, 3, 3),
+        1: encode_pnm((np.arange(6) % 256).astype(np.uint8), 3, 2, 1),
+        2: encode_wav((np.arange(64) % 2000).astype(np.int16), 16000, 1),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, media binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_features(df).collect()}
+    assert len(got) == 3
+    for k, v in payloads.items():
+        ref = decode_media(v)
+        for c in ("media_type", "width", "height", "channels",
+                  "sample_rate", "n_samples", "duration_ms", "px_sum"):
+            assert got[k][c] == ref[c], (k, c)
 
 
 def test_media_features_plumbing(spark):
