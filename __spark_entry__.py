@@ -5242,8 +5242,10 @@ def q_lake_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch vector search (query frame vs corpus): exact top-4 cosine
-    neighbors in vec_id>=3 for each of the first 3 vectors."""
+    """Batch vector search (query frame vs corpus) at the DEFAULT
+    bucketed mode (4 shared sign-LSH hyperplanes — never all-pairs):
+    top-4 cosine neighbors among bucket-mates in vec_id>=3 for each of
+    the first 3 vectors; the oracle replays the bucketing."""
     from lucene_solr_spark.pipeline import knn_search_batch
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -5254,11 +5256,30 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: annotated (query_id, positive_id) pairs for the hard-negative entry
 HARDNEG_POS = ((0, 3), (0, 17), (1, 42), (2, 5))
 
+#: SQL twin of _sign_bucket_col at the DEFAULT_ANN_PLANES=4 default over
+#: the 64-dim embeddings table (same md5-derived hyperplanes) — shared
+#: by the bucketed-by-default knn_batch / neg_mining oracles
+_BUCKETS_CTE = """planes AS (
+  SELECT p, list_transform(generate_series(0, 63), d ->
+    CAST(('0x' || substr(md5('plane:' || p || ':' || d), 1, 8)) AS BIGINT) % 16 - 8)
+    AS comps
+  FROM (SELECT unnest(generate_series(0, 3)) AS p)
+),
+buckets AS (
+  SELECT e.vec_id, e.embedding,
+    CAST(sum(CASE WHEN
+      list_reduce(list_transform(list_zip(e.embedding, pl.comps),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE), (acc, v) -> acc + v) > 0
+      THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes pl GROUP BY e.vec_id, e.embedding
+)"""
+
 
 def q_neg_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining (ANCE/RocketQA recipe): top-5 non-positive
-    cosine neighbors per query with margin-0.02 denoising against the
-    best labeled positive."""
+    """Hard-negative mining (ANCE/RocketQA recipe) at the DEFAULT
+    bucketed mode: top-5 non-positive bucket-mate neighbors per query
+    with margin-0.02 denoising against the best labeled positive seen
+    in the candidate set; the oracle replays the bucketing."""
     from lucene_solr_spark.pipeline import mine_hard_negatives
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -6537,6 +6558,78 @@ def q_english_minimal_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-doc vocab for the non-English stemmer entries (lowercase,
+#: single-token, chosen to hit every rule branch)
+FR_STEM_WORDS = ("chevaux", "chantés", "baronnes", "hiboux",
+                 "nationaux", "chanter")
+DE_STEM_WORDS = ("häusern", "kinder", "bücher", "hauses",
+                 "kleinest", "schönste")
+
+
+def q_french_minimal_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FrenchMinimalStemFilter (Savoy 1999) over a synthesized French
+    corpus: plural -x/-aux, the s/r/e/é cascade, and the double-letter
+    rule; the oracle re-implements the RULES in SQL (CASE cascade) —
+    two independent rule implementations must agree on every term."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, french_minimal_stem_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("peaux eaux chante générale "),
+            F.element_at(F.array(*[F.lit(w) for w in FR_STEM_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(french_minimal_stem_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_german_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GermanLightStemFilter (Savoy 2006) over a synthesized German
+    corpus: umlaut fold, -ern/-e[mnrs]/-e/guarded-s (step 1), then
+    -est/guarded-st (step 2); the oracle re-implements the RULES in
+    SQL."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, german_light_stem_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("haus gras hands landes "),
+            F.element_at(F.array(*[F.lit(w) for w in DE_STEM_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(german_light_stem_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 def q_capitalization_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CapitalizationFilter over the corpus dictionary: every term
     title-cased (factory defaults); oracle = upper(first)||rest."""
@@ -7060,6 +7153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_hierarchy_dict": q_path_hierarchy_dict,
         "decimal_digit_dict": q_decimal_digit_dict,
         "english_minimal_dict": q_english_minimal_dict,
+        "french_minimal_dict": q_french_minimal_dict,
+        "german_light_dict": q_german_light_dict,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
         "compound_dict": q_compound_dict,
@@ -8109,12 +8204,13 @@ r AS (SELECT id, neighbor, cosine,
 SELECT id, neighbor, CAST(rank AS INTEGER) AS rank, cosine
 FROM r WHERE rank <= 3 ORDER BY id, rank""",
         "knn_batch": f"""
-WITH pairs AS (
+WITH {_BUCKETS_CTE},
+pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS id,
     CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
       (sqrt({dot.format(a="a.embedding", b="a.embedding")})
        * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id >= 3
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id >= 3
   WHERE a.vec_id < 3),
 r AS (SELECT query_id, id, cosine,
              row_number() OVER (PARTITION BY query_id
@@ -8124,12 +8220,13 @@ SELECT query_id, id, CAST(rank AS INTEGER) AS rank, cosine
 FROM r WHERE rank <= 4 ORDER BY query_id, rank""",
         "neg_mining": f"""
 WITH pos(qid, cid) AS (VALUES {", ".join(f"({q}, {c})" for q, c in HARDNEG_POS)}),
+{_BUCKETS_CTE},
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
     CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
       (sqrt({dot.format(a="a.embedding", b="a.embedding")})
        * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id >= 3
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id >= 3
   WHERE a.vec_id < 3),
 best AS (
   SELECT p.qid, max(pr.cosine) AS best_pos
@@ -11466,6 +11563,82 @@ SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf
 FROM stem GROUP BY term ORDER BY term""",
+        "french_minimal_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'peaux eaux chante générale ' ||
+           (['{"', '".join(FR_STEM_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS t
+  FROM documents),
+sx AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 6 THEN t
+              WHEN t LIKE '%x' THEN
+                CASE WHEN substr(t, length(t) - 2, 2) = 'au'
+                     THEN substr(t, 1, length(t) - 2) || 'l'
+                     ELSE substr(t, 1, length(t) - 1) END
+              ELSE NULL END AS done,
+         CASE WHEN length(t) >= 6 AND t NOT LIKE '%x' THEN t END AS c
+  FROM raw),
+c1 AS (SELECT doc_id, done,
+              CASE WHEN c LIKE '%s' THEN substr(c, 1, length(c) - 1)
+                   ELSE c END AS c FROM sx),
+c2 AS (SELECT doc_id, done,
+              CASE WHEN c LIKE '%r' THEN substr(c, 1, length(c) - 1)
+                   ELSE c END AS c FROM c1),
+c3 AS (SELECT doc_id, done,
+              CASE WHEN c LIKE '%e' THEN substr(c, 1, length(c) - 1)
+                   ELSE c END AS c FROM c2),
+c4 AS (SELECT doc_id, done,
+              CASE WHEN c LIKE '%é' THEN substr(c, 1, length(c) - 1)
+                   ELSE c END AS c FROM c3),
+c5 AS (SELECT doc_id, done,
+              CASE WHEN substr(c, length(c) - 1, 1) = substr(c, length(c), 1)
+                   THEN substr(c, 1, length(c) - 1) ELSE c END AS c FROM c4),
+stem AS (SELECT doc_id, coalesce(done, c) AS term FROM c5)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "german_light_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'haus gras hands landes ' ||
+           (['{"', '".join(DE_STEM_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS tok
+  FROM documents),
+folded AS (
+  SELECT doc_id,
+         translate(tok, 'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS t
+  FROM raw),
+g1 AS (
+  SELECT doc_id, CASE
+    WHEN length(t) > 5 AND t LIKE '%ern' THEN substr(t, 1, length(t) - 3)
+    WHEN length(t) > 4 AND substr(t, length(t) - 1, 1) = 'e'
+         AND substr(t, length(t), 1) IN ('m', 'n', 'r', 's')
+      THEN substr(t, 1, length(t) - 2)
+    WHEN length(t) > 3 AND t LIKE '%e' THEN substr(t, 1, length(t) - 1)
+    WHEN length(t) > 3 AND t LIKE '%s'
+         AND substr(t, length(t) - 1, 1)
+             IN ('b', 'd', 'f', 'g', 'h', 'k', 'l', 'm', 'n', 't')
+      THEN substr(t, 1, length(t) - 1)
+    ELSE t END AS t
+  FROM folded),
+g2 AS (
+  SELECT doc_id, CASE
+    WHEN length(t) > 5 AND t LIKE '%est' THEN substr(t, 1, length(t) - 3)
+    WHEN length(t) > 4 AND t LIKE '%st'
+         AND substr(t, length(t) - 2, 1)
+             IN ('b', 'd', 'f', 'g', 'h', 'k', 'l', 'm', 'n', 't')
+      THEN substr(t, 1, length(t) - 2)
+    ELSE t END AS term
+  FROM g1)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM g2 GROUP BY term ORDER BY term""",
         "capitalization_dict": f"""
 WITH {_TOK_CTE},
 cap AS (SELECT doc_id,

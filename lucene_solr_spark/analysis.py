@@ -108,6 +108,10 @@ __all__ = [
     "decimal_digit_sql_args",
     "english_possessive_filter",
     "english_minimal_stem_filter",
+    "french_minimal_stem",
+    "french_minimal_stem_filter",
+    "german_light_stem",
+    "german_light_stem_filter",
     "dictionary_compound_filter",
 ]
 
@@ -1342,6 +1346,80 @@ def english_minimal_stem_filter() -> Map:
     return Map(fn, "english_minimal_stem")
 
 
+def french_minimal_stem(t: str) -> str:
+    """Savoy's minimal French stemmer ("A stemming procedure and
+    stopword list for general French corpora", JASIS 1999; the
+    algorithm behind ``[8x] lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/fr/FrenchMinimalStemFilter.java``): words of
+    length ≥ 6 lose plural ``-x`` (with ``-aux`` → ``-al``), then the
+    cascade ``s``, ``r``, ``e``, ``é``, and one letter of a final
+    double — ``chevaux``→``cheval``, ``chantés``→``chant``,
+    ``baronnes``→``baron``."""
+    if len(t) < 6:
+        return t
+    if t[-1] == "x":
+        if t[-3] == "a" and t[-2] == "u":
+            return t[:-2] + "l"
+        return t[:-1]
+    if t[-1] == "s":
+        t = t[:-1]
+    if t[-1] == "r":
+        t = t[:-1]
+    if t[-1] == "e":
+        t = t[:-1]
+    if t[-1] == "é":
+        t = t[:-1]
+    if t[-1] == t[-2]:
+        t = t[:-1]
+    return t
+
+
+def french_minimal_stem_filter() -> Map:
+    """FrenchMinimalStemFilter: :func:`french_minimal_stem` in the Map
+    slot (per-unique-term, batch-vectorized like every Map step)."""
+    return Map(french_minimal_stem, "french_minimal_stem")
+
+
+#: valid consonants before a dropped German ``-s`` / ``-st`` (Savoy's
+#: "st-ending" class: s after vowels or sibilants is not inflection)
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+_DE_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+
+
+def german_light_stem(t: str) -> str:
+    """Savoy's light German stemmer ("Light stemming approaches for the
+    French, Portuguese, German and Hungarian languages", ACM SAC 2006;
+    the algorithm behind ``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/de/GermanLightStemFilter.java``): fold
+    umlauts/accents to base vowels, strip one plural/case ending
+    (``-ern`` | ``-e[mnrs]`` | ``-e`` | consonant-guarded ``-s``), then
+    one degree ending (``-est`` | consonant-guarded ``-st``) —
+    ``häusern``→``haus``, ``kinder``→``kind``."""
+    t = t.translate(_DE_FOLD)
+    n = len(t)
+    if n > 5 and t.endswith("ern"):
+        t = t[:-3]
+    elif n > 4 and t[-1] in "mnrs" and t[-2] == "e":
+        t = t[:-2]
+    elif n > 3 and t[-1] == "e":
+        t = t[:-1]
+    elif n > 3 and t[-1] == "s" and t[-2] in _DE_ST_ENDING:
+        t = t[:-1]
+    n = len(t)
+    if n > 5 and t.endswith("est"):
+        t = t[:-3]
+    elif n > 4 and t.endswith("st") and t[-3] in _DE_ST_ENDING:
+        t = t[:-2]
+    return t
+
+
+def german_light_stem_filter() -> Map:
+    """GermanLightStemFilter: :func:`german_light_stem` in the Map
+    slot."""
+    return Map(german_light_stem, "german_light_stem")
+
+
 # ---------------------------------------------------------------------------
 # the chain
 # ---------------------------------------------------------------------------
@@ -1789,7 +1867,8 @@ def chain_spec(chain: Chain) -> dict | None:
         elif isinstance(step, Map) and step.name in (
             "porter", "ascii_fold", "soundex", "lowercase",
             "capitalization", "decimal_digit", "english_possessive",
-            "english_minimal_stem",
+            "english_minimal_stem", "french_minimal_stem",
+            "german_light_stem",
         ):
             steps.append({"kind": step.name})
         elif isinstance(step, Map) and step.name == "porter_protected":
@@ -1972,6 +2051,10 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(english_possessive_filter())
         elif kind == "english_minimal_stem":
             steps.append(english_minimal_stem_filter())
+        elif kind == "french_minimal_stem":
+            steps.append(french_minimal_stem_filter())
+        elif kind == "german_light_stem":
+            steps.append(german_light_stem_filter())
         elif kind == "synonym":
             steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
         elif kind == "ngram":

@@ -711,6 +711,24 @@ def knn_classify(
     )
 
 
+#: bucketed-mode default: 4 shared sign-LSH hyperplanes (16 buckets) —
+#: the same planes (and plane count) the knn_join entry's SQL oracle
+#: replays, so defaults stay oracle-checkable
+DEFAULT_ANN_PLANES = 4
+
+
+def _resolve_planes(n_planes: int | None, exact: bool) -> int:
+    """Cartesian-safe ANN defaults: with NOTHING specified the batch
+    APIs bucket (never all-pairs — a default crossJoin is a 10^12-pair
+    incident at corpus scale).  Exact mode must be requested explicitly
+    via ``exact=True`` or the legacy ``n_planes=0`` spelling."""
+    if exact:
+        if n_planes:
+            raise ValueError("exact=True contradicts n_planes > 0")
+        return 0
+    return DEFAULT_ANN_PLANES if n_planes is None else int(n_planes)
+
+
 def knn_search_batch(
     queries: DataFrame,
     corpus: DataFrame,
@@ -719,18 +737,21 @@ def knn_search_batch(
     query_vec: str = "embedding",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_planes: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Batch vector search: top-``k`` cosine neighbors in ``corpus`` for
     EVERY query vector in ``queries`` — the serving-batch shape (a frame
     of query embeddings against the corpus, not a self-join).
 
-    ``n_planes = 0`` is exact (query × corpus — use when one side is
-    small or pre-filtered); ``n_planes > 0`` buckets BOTH frames with
-    the shared sign-LSH hyperplanes so candidates are bucket-mates only
-    (the scale path: the join key is the bucket, never all-pairs).
-    Returns ``[query_id, id, rank, cosine]`` ranked (cosine desc, id
-    asc) per query."""
+    DEFAULT is bucketed: both frames hash through the shared sign-LSH
+    hyperplanes (``DEFAULT_ANN_PLANES``) so candidates are bucket-mates
+    only — the join key is the bucket, never all-pairs.  Exact search
+    (query × corpus) must be requested explicitly with ``exact=True``
+    (or the legacy ``n_planes=0``) — appropriate when one side is small
+    or pre-filtered, a scale incident otherwise.  Returns ``[query_id,
+    id, rank, cosine]`` ranked (cosine desc, id asc) per query."""
+    n_planes = _resolve_planes(n_planes, exact)
     q = queries.select(F.col(query_id).alias("qid"),
                        F.col(query_vec).alias("qv"))
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
@@ -800,7 +821,8 @@ def mine_hard_negatives(
     positives: DataFrame,
     k: int = 10,
     margin: float | None = None,
-    n_planes: int = 0,
+    n_planes: int | None = None,
+    exact: bool = False,
     query_id: str = "vec_id",
     query_vec: str = "embedding",
     id_col: str = "vec_id",
@@ -820,15 +842,17 @@ def mine_hard_negatives(
     hard negative.  Queries with no labeled positive keep all candidates
     (nothing to denoise against).
 
-    ``n_planes = 0`` ranks exactly (query × corpus — for pre-filtered or
-    serving-sized batches); ``n_planes > 0`` buckets both sides with the
-    shared sign-LSH hyperplanes so candidates are bucket-mates only — at
-    100 TB the join key is the bucket, never all-pairs, the same scale
-    path as :func:`knn_search_batch`.  In bucketed mode the margin
+    DEFAULT is bucketed (``DEFAULT_ANN_PLANES`` shared sign-LSH
+    hyperplanes): candidates are bucket-mates only — at 100 TB the join
+    key is the bucket, never all-pairs, the same scale path as
+    :func:`knn_search_batch`.  Exact ranking (query × corpus) must be
+    requested explicitly with ``exact=True`` (or the legacy
+    ``n_planes=0``).  In bucketed mode the margin
     reference only sees positives that are bucket-mates of their query
     (a positive outside every probed bucket can't anchor the denoise) —
     the same candidate-visibility trade every ANN stage makes.  Returns
     ``[query_id, id, rank, cosine]`` ranked (cosine desc, id asc)."""
+    n_planes = _resolve_planes(n_planes, exact)
     q = queries.select(F.col(query_id).alias("qid"),
                        F.col(query_vec).alias("qv"))
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))

@@ -1204,3 +1204,62 @@ def test_split_tokenize_matches_reference_random():
         for i, t in enumerate(texts):
             want = [tok for tok, _ in ch.tokens(t or "")]
             assert list(vec.iloc[i]) == want, (pat, t)
+
+
+# --- round-4: non-English light stemmers -----------------------------------
+
+
+def test_french_minimal_stem_vectors():
+    """Savoy-1999 minimal French stemmer on standard vectors."""
+    from lucene_solr_spark.analysis import french_minimal_stem as s
+
+    assert s("chevaux") == "cheval"       # -aux -> -al
+    assert s("hiboux") == "hibou"         # plain -x drop
+    assert s("chanter") == "chant"        # r, e cascade
+    assert s("chantés") == "chant"        # s then é
+    assert s("chante") == "chant"
+    assert s("baronnes") == "baron"       # s, e, double-letter
+    assert s("barons") == "baron"
+    assert s("baron") == "baron"          # < 6 chars untouched
+    assert s("peaux") == "peaux"          # len 5 < 6 untouched
+    assert s("eaux") == "eaux"
+
+
+def test_german_light_stem_vectors():
+    """Savoy-2006 light German stemmer on standard vectors."""
+    from lucene_solr_spark.analysis import german_light_stem as s
+
+    assert s("häusern") == "haus"         # umlaut fold + -ern
+    assert s("häuser") == "haus"          # -er
+    assert s("hauses") == "haus"          # -es
+    assert s("haus") == "haus"
+    assert s("kinder") == "kind"
+    assert s("kindern") == "kind"
+    assert s("bücher") == "buch"
+    assert s("schönste") == "schon"       # -e (step 1) then guarded -st
+    assert s("kleinest") == "klein"       # -est degree ending
+    assert s("gras") == "gras"            # s after vowel kept
+    assert s("hands") == "hand"           # s after valid consonant
+
+
+def test_nonenglish_stem_chain_property_and_spec():
+    """Vectorized flat path == per-doc reference for both new stemmer
+    steps; chain spec round-trips them by name."""
+    from lucene_solr_spark.analysis import (
+        LATIN_TOKEN_PATTERN, Chain, chain_from_spec, chain_spec,
+        french_minimal_stem_filter, german_light_stem_filter,
+    )
+
+    for step in (french_minimal_stem_filter(), german_light_stem_filter()):
+        chain = Chain(steps=(step,), pattern=LATIN_TOKEN_PATTERN)
+        texts = ["chevaux chantés baronnes hiboux",
+                 "häusern kinder bücher hauses kleinest",
+                 "", "mixed chevaux häuser words"]
+        terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
+        got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+        want = sorted((t, r, p) for r, text in enumerate(texts)
+                      for t, p in chain.tokens(text))
+        assert got == want, step.name
+        rt = chain_from_spec(chain_spec(chain))
+        assert [st.name for st in rt.steps] == [step.name]
+        assert rt.tokens("chevaux häusern") == chain.tokens("chevaux häusern")

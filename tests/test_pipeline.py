@@ -1079,7 +1079,7 @@ def test_knn_search_batch_exact_vs_per_query(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 3)
     corpus = emb.filter(F.col("vec_id") >= 3)
-    out = knn_search_batch(queries, corpus, k=4).collect()
+    out = knn_search_batch(queries, corpus, k=4, exact=True).collect()
     by_q = {}
     for r in out:
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"],
@@ -1398,7 +1398,8 @@ def test_mine_hard_negatives(spark):
     )
     pos = spark.createDataFrame([(0, 10)], "query_id long, id long")
 
-    got = mine_hard_negatives(queries, corpus, pos, k=3).toPandas()
+    got = mine_hard_negatives(queries, corpus, pos, k=3,
+                              exact=True).toPandas()
     g0 = got[got.query_id == 0]
     assert 10 not in set(g0.id)                      # positive excluded
     assert list(g0.sort_values("rank").id) == [11, 12, 13]
@@ -1407,7 +1408,8 @@ def test_mine_hard_negatives(spark):
 
     # margin 0.05: best positive for q0 is cos=1.0 -> drop cosine > 0.95
     # (the near-dup 11), keep 12 and 13
-    den = mine_hard_negatives(queries, corpus, pos, k=3, margin=0.05).toPandas()
+    den = mine_hard_negatives(queries, corpus, pos, k=3, margin=0.05,
+                              exact=True).toPandas()
     d0 = den[den.query_id == 0]
     assert list(d0.sort_values("rank").id) == [12, 13]
     d1 = den[den.query_id == 1]                      # untouched: no positive

@@ -558,3 +558,33 @@ def test_analytics_single_agg_pass(spark):
     p2 = _plan(analytics_query_facet(
         df, {"a": "g = '0'", "b": "v > 3.0e0"}, exprs, float_cols=["v"]))
     assert p2.count("Exchange") == 1, p2
+
+
+def test_ann_batch_defaults_never_cartesian(spark):
+    """knn_search_batch / mine_hard_negatives at DEFAULTS must bucket
+    (join on the sign-LSH bucket key) — no CartesianProduct /
+    BroadcastNestedLoopJoin in the plan.  Exact all-pairs requires the
+    explicit exact=True opt-in."""
+    import pytest
+
+    from lucene_solr_spark.pipeline import (
+        knn_search_batch, mine_hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    c = emb.filter(F.col("vec_id") >= 4)
+    p = _plan(knn_search_batch(q, c, k=3))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    pos = spark.createDataFrame([(0, 5)], "query_id long, id long")
+    p2 = _plan(mine_hard_negatives(q, c, pos, k=3, margin=0.1))
+    assert "CartesianProduct" not in p2 and "NestedLoop" not in p2, p2
+    # explicit exact opt-in IS all-pairs
+    pe = _plan(knn_search_batch(q, c, k=3, exact=True))
+    assert "CartesianProduct" in pe or "NestedLoop" in pe, pe
+    with pytest.raises(ValueError, match="contradicts"):
+        knn_search_batch(q, c, k=3, exact=True, n_planes=4)
