@@ -6630,6 +6630,56 @@ def q_german_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: accented/width/case vocab for the collation entry, in SYNTH order
+#: (doc_id % 14 picks one); the oracle hand-specifies the expected
+#: root-collation order — an independent statement of UCA-level
+#: semantics, not derived from the implementation
+COLLATE_WORDS = ("cote", "coté", "côte", "côté", "resume", "Resume",
+                 "résumé", "apfel", "Äpfel", "zebra", "Zebra", "abc",
+                 "ＡＢＣ", "abd")
+#: hand-derived expected order under (primary=base, secondary=accents,
+#: tertiary=case) with marks by codepoint — see collation.py docstring
+COLLATE_EXPECTED = ("abc", "ＡＢＣ", "abd", "apfel", "Äpfel", "cote",
+                    "coté", "côte", "côté", "resume", "résumé", "Resume",
+                    "zebra", "Zebra")
+
+
+def q_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICUCollationKeyAnalyzer semantics: words sort by a binary
+    collation key (computed once, compared as bytes — the property that
+    makes locale sort distributable).  Rank is computed by a
+    count-of-smaller-keys broadcast join (no unpartitioned window);
+    keys compare via hex text so the comparison is JVM-side."""
+    from lucene_solr_spark.collation import collation_key_col
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(
+            F.element_at(F.array(*[F.lit(w) for w in COLLATE_WORDS]),
+                         (F.col("doc_id") % 14 + 1).cast("int"))
+            .alias("word"))
+        .distinct()
+        .withColumn("k", F.hex(collation_key_col("word")))
+    )
+    a, b = words.alias("a"), words.alias("b")
+    smaller = (
+        a.join(F.broadcast(b),
+               (F.col("b.k") < F.col("a.k"))
+               | ((F.col("b.k") == F.col("a.k"))
+                  & (F.col("b.word") < F.col("a.word"))), "left")
+        .groupBy(F.col("a.word").alias("word"))
+        .agg((F.count(F.col("b.word")) + 1).cast("long").alias("rank"))
+    )
+    return smaller.select("word", "rank").orderBy("rank")
+
+
+_COLLATION_ORACLE = (
+    "WITH expected(word, rank) AS (VALUES "
+    + ", ".join(f"('{w}', {i + 1})" for i, w in enumerate(COLLATE_EXPECTED))
+    + ") SELECT word, CAST(rank AS BIGINT) AS rank FROM expected "
+    + "ORDER BY rank")
+
+
 def q_capitalization_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CapitalizationFilter over the corpus dictionary: every term
     title-cased (factory defaults); oracle = upper(first)||rest."""
@@ -7155,6 +7205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_minimal_dict": q_english_minimal_dict,
         "french_minimal_dict": q_french_minimal_dict,
         "german_light_dict": q_german_light_dict,
+        "collation_sort": q_collation_sort,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
         "compound_dict": q_compound_dict,
@@ -11563,6 +11614,7 @@ SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf
 FROM stem GROUP BY term ORDER BY term""",
+        "collation_sort": _COLLATION_ORACLE,
         "french_minimal_dict": f"""
 WITH raw AS (
   SELECT doc_id,

@@ -112,6 +112,8 @@ __all__ = [
     "french_minimal_stem_filter",
     "german_light_stem",
     "german_light_stem_filter",
+    "icu_fold",
+    "icu_folding_filter",
     "dictionary_compound_filter",
 ]
 
@@ -1346,6 +1348,25 @@ def english_minimal_stem_filter() -> Map:
     return Map(fn, "english_minimal_stem")
 
 
+def icu_fold(t: str) -> str:
+    """ICUFoldingFilter-style fold (``[8x] lucene/analysis/icu/src/java/
+    org/apache/lucene/analysis/icu/ICUFoldingFilter.java``): NFKC
+    compatibility normalization (folds width — fullwidth ＡＢＣ→abc —
+    and compatibility forms), full case fold (ß→ss, Σ/ς→σ), diacritic
+    strip via NFKD mark removal, recomposed NFC.  A superset of
+    :func:`ascii_fold` that handles width and non-Latin case folds."""
+    t = unicodedata.normalize("NFKC", t).casefold()
+    d = unicodedata.normalize("NFKD", t)
+    return unicodedata.normalize(
+        "NFC", "".join(c for c in d if not unicodedata.combining(c)))
+
+
+def icu_folding_filter() -> Map:
+    """ICUFoldingFilter: :func:`icu_fold` in the Map slot (prefix-safe:
+    folding a prefix folds to a prefix of the folded word)."""
+    return Map(icu_fold, "icu_fold", prefix_safe=True)
+
+
 def french_minimal_stem(t: str) -> str:
     """Savoy's minimal French stemmer ("A stemming procedure and
     stopword list for general French corpora", JASIS 1999; the
@@ -1868,7 +1889,7 @@ def chain_spec(chain: Chain) -> dict | None:
             "porter", "ascii_fold", "soundex", "lowercase",
             "capitalization", "decimal_digit", "english_possessive",
             "english_minimal_stem", "french_minimal_stem",
-            "german_light_stem",
+            "german_light_stem", "icu_fold",
         ):
             steps.append({"kind": step.name})
         elif isinstance(step, Map) and step.name == "porter_protected":
@@ -2055,6 +2076,8 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(french_minimal_stem_filter())
         elif kind == "german_light_stem":
             steps.append(german_light_stem_filter())
+        elif kind == "icu_fold":
+            steps.append(icu_folding_filter())
         elif kind == "synonym":
             steps.append(synonym_filter(s["mapping"], s.get("keep_original", True)))
         elif kind == "ngram":

@@ -1,0 +1,125 @@
+"""Locale collation keys — ICUCollationKeyAnalyzer's sort-key slot.
+
+Lucene's ICU module sorts text by a binary COLLATION KEY instead of code
+points (``[8x] lucene/analysis/icu/src/java/org/apache/lucene/collation/
+ICUCollationKeyAnalyzer.java``): the key is computed once at index time
+and thereafter compares as plain bytes, so locale-correct ordering costs
+a memcmp, not a locale-aware comparison per sort step.  That property is
+exactly what a distributed sort wants: Spark range-partitions and sorts
+on the binary key column with ordinary byte comparisons — no Python
+comparator anywhere near the shuffle.
+
+Key derivation:
+
+* With PyICU installed (``import icu`` succeeds), keys come from the real
+  ``icu.Collator.getSortKey`` for the requested locale — full UCA/CLDR.
+* Otherwise the DOCUMENTED FALLBACK builds a UCA-shaped three-level key
+  from ``unicodedata``:
+
+  - **primary** — NFKC + casefold + diacritic strip (the base letters;
+    width-folded by NFKC, so fullwidth ＡＢＣ equals ABC);
+  - **secondary** — the sequence of combining-mark codepoints in string
+    order (so ``cote < coté < côte < côté``, the canonical accent
+    example).  ``locale='fr'`` compares accents from the END of the
+    string (traditional French-Canadian backward-secondary:
+    ``cote < coté < côté < côte``);
+  - **tertiary** — a case byte per character (lowercase sorts before
+    uppercase).
+
+  Divergence from real UCA, documented: marks order by CODEPOINT
+  (grave < acute < circumflex) rather than DUCET weight (acute first),
+  and no locale tailorings beyond the French backward-secondary flag.
+  Levels join with ``\\x00`` (never present in UTF-8 of NUL-free text),
+  giving correct level precedence under byte comparison.
+
+At 100 TB: the key is computed once per row in an Arrow-batched pandas
+UDF (per-string ``unicodedata`` work is the same per-item boundary a
+C-library collator has); everything downstream — range partition, sort,
+merge — is JVM byte comparison.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["collation_key", "collation_key_col", "collation_sort",
+           "icu_available"]
+
+
+def icu_available() -> bool:
+    try:
+        import icu  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+#: locales whose traditional collation compares accents backward
+_BACKWARD_SECONDARY = {"fr", "fr_CA", "fr-CA"}
+
+
+def _fallback_key(text: str, locale: str = "") -> bytes:
+    d = unicodedata.normalize("NFKD",
+                              unicodedata.normalize("NFKC", text))
+    primary: list[str] = []
+    secondary: list[int] = []
+    tertiary: list[int] = []
+    for ch in d:
+        if unicodedata.combining(ch):
+            secondary.append(ord(ch))
+            continue
+        folded = ch.casefold()
+        primary.append(folded)
+        tertiary.append(2 if folded != ch else 1)
+    if locale in _BACKWARD_SECONDARY:
+        secondary.reverse()
+    sec = b"".join((m - 0x2FF).to_bytes(2, "big") if m >= 0x300 else
+                   (m + 1).to_bytes(2, "big") for m in secondary)
+    return ("".join(primary).encode("utf-8") + b"\x00" + sec
+            + b"\x00" + bytes(tertiary))
+
+
+def collation_key(text: str, locale: str = "") -> bytes:
+    """Binary sort key for ``text`` under ``locale`` — bytes compare in
+    collation order.  Real ICU when PyICU is installed, else the
+    documented unicodedata fallback (see module docstring)."""
+    if text is None:
+        return b""
+    try:
+        import icu
+
+        coll = icu.Collator.createInstance(icu.Locale(locale or "root"))
+        return bytes(coll.getSortKey(text))
+    except ImportError:
+        return _fallback_key(text, locale)
+
+
+def collation_key_col(text_col: str, locale: str = "") -> Column:
+    """Column expression: the collation key of ``text_col`` as binary.
+    Arrow-batched pandas UDF (per-string unicodedata/ICU work is the
+    per-item collator boundary; everything downstream is JVM bytes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _key(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: collation_key(t, locale))
+
+    return _key(F.col(text_col))
+
+
+def collation_sort(df: DataFrame, text_col: str, locale: str = "",
+                   ascending: bool = True) -> DataFrame:
+    """Sort ``df`` by the locale collation of ``text_col`` (ties by the
+    raw string, then remaining columns as-is) — the
+    ICUCollationKeyAnalyzer pattern: key once, byte-sort after.  The
+    key column is dropped on the way out."""
+    keyed = df.withColumn("_ckey", collation_key_col(text_col, locale))
+    order = [F.asc("_ckey") if ascending else F.desc("_ckey"),
+             F.asc(text_col) if ascending else F.desc(text_col)]
+    return keyed.orderBy(*order).drop("_ckey")

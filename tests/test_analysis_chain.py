@@ -1263,3 +1263,34 @@ def test_nonenglish_stem_chain_property_and_spec():
         rt = chain_from_spec(chain_spec(chain))
         assert [st.name for st in rt.steps] == [step.name]
         assert rt.tokens("chevaux häusern") == chain.tokens("chevaux häusern")
+
+
+def test_icu_fold_vectors():
+    """ICU-style folding: width (NFKC), full case fold, diacritics."""
+    from lucene_solr_spark.analysis import icu_fold
+
+    assert icu_fold("Ｈｅｌｌｏ") == "hello"      # fullwidth -> ASCII
+    assert icu_fold("Straße") == "strasse"        # full case fold
+    assert icu_fold("Ångström") == "angstrom"
+    assert icu_fold("ΣΊΣΥΦΟΣ") == "σισυφοσ"       # Greek fold, accent strip
+    assert icu_fold("ﬁle") == "file"              # ligature compat fold
+    assert icu_fold("plain") == "plain"
+
+
+def test_icu_fold_chain_property_and_spec():
+    from lucene_solr_spark.analysis import (
+        LATIN_TOKEN_PATTERN, Chain, chain_from_spec, chain_spec,
+        icu_folding_filter,
+    )
+
+    chain = Chain(steps=(icu_folding_filter(),),
+                  pattern=LATIN_TOKEN_PATTERN)
+    texts = ["Ångström naïve Café", "straße müller", ""]
+    terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
+    got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+    want = sorted((t, r, p) for r, text in enumerate(texts)
+                  for t, p in chain.tokens(text))
+    assert got == want
+    rt = chain_from_spec(chain_spec(chain))
+    assert [st.name for st in rt.steps] == ["icu_fold"]
+    assert rt.tokens("Ångström straße") == chain.tokens("Ångström straße")

@@ -1,0 +1,66 @@
+"""Locale collation keys: UCA-level ordering, backward-French secondary,
+byte-comparable keys, DataFrame sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.collation import (
+    collation_key, collation_key_col, collation_sort,
+)
+
+WORDS = ["cote", "coté", "côte", "côté", "resume", "Resume", "résumé",
+         "apfel", "Äpfel", "zebra", "Zebra", "abc", "abd"]
+
+
+def test_level_precedence_root():
+    """Primary (base letters) beats secondary (accents) beats tertiary
+    (case): the canonical cote/coté/côte/côté example, and accents
+    outrank case."""
+    order = sorted(WORDS, key=lambda w: (collation_key(w), w))
+    pos = {w: i for i, w in enumerate(order)}
+    assert pos["cote"] < pos["coté"] < pos["côte"] < pos["côté"]
+    # accent difference (secondary) outranks case (tertiary)
+    assert pos["resume"] < pos["résumé"] < pos["Resume"]
+    assert pos["apfel"] < pos["Äpfel"]
+    assert pos["zebra"] < pos["Zebra"]
+    # primary differences dominate everything
+    assert pos["abd"] > pos["abc"] and pos["abd"] < pos["apfel"]
+
+
+def test_french_backward_secondary():
+    k = lambda w: (collation_key(w, "fr"), w)
+    order = sorted(["cote", "coté", "côte", "côté"], key=k)
+    assert order == ["cote", "coté", "côté", "côte"]
+
+
+def test_width_fold_and_empty():
+    assert collation_key("ＡＢＣ").split(b"\x00")[0] == \
+        collation_key("abc").split(b"\x00")[0]       # same primary
+    assert collation_key("abc") < collation_key("ＡＢＣ")  # case tertiary
+    assert collation_key(None) == b""
+    assert collation_key("") == b"\x00\x00"
+
+
+def test_keys_are_plain_bytes():
+    """Keys compare as bytes — the property that lets Spark sort them
+    JVM-side with no Python comparator."""
+    ks = [collation_key(w) for w in WORDS]
+    assert all(isinstance(k, bytes) for k in ks)
+    assert sorted(WORDS, key=lambda w: (collation_key(w), w)) \
+        == [w for _, w in sorted(zip(ks, WORDS))]
+
+
+def test_collation_sort_dataframe(spark):
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(WORDS)],
+                               "id long, word string")
+    got = [r["word"] for r in collation_sort(df, "word").collect()]
+    assert got == sorted(WORDS, key=lambda w: (collation_key(w), w))
+    rev = [r["word"] for r in
+           collation_sort(df, "word", ascending=False).collect()]
+    assert rev == got[::-1]
+    # column expression usable standalone
+    import pyspark.sql.functions as F
+    n = df.select(collation_key_col("word").alias("k")) \
+          .filter(F.length("k") > 0).count()
+    assert n == len(WORDS)
