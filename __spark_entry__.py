@@ -95,6 +95,27 @@ def _index_for(spark: SparkSession, sf_dir: str) -> IndexView:
     return iv
 
 
+def _dense_ids(df: DataFrame, order_col: str, out_col: str) -> DataFrame:
+    """Dense 0-based ids in ``order_col`` order WITHOUT a
+    SinglePartition window: the library's ``assign_doc_ids``
+    range-repartition + partition-offset scheme, so every entry's plan
+    is the plan the real builder has (no WindowExec moving the corpus
+    to one task)."""
+    from lucene_solr_spark.index.builder import assign_doc_ids
+
+    tagged = df.withColumn("_ord", F.col(order_col))
+    keep_orig = "doc_id" in tagged.columns
+    if keep_orig:
+        tagged = tagged.withColumnRenamed("doc_id", "_orig_doc_id")
+    out = assign_doc_ids(tagged, key_cols=["_ord"])
+    if out_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", out_col)
+    if keep_orig:
+        out = (out.drop("_orig_doc_id") if out_col == "doc_id"
+               else out.withColumnRenamed("_orig_doc_id", "doc_id"))
+    return out.drop("_ord")
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -4419,16 +4440,10 @@ def q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lss_addidx_")
     for name, par in (("dst", 0), ("src", 1)):
         half = d.filter(F.col("doc_id") % 2 == par).drop("doc_id")
-        from pyspark.sql.window import Window
+        from lucene_solr_spark.index.builder import assign_doc_ids
 
-        # entry-harness ids only: a global window over the ≤500-row half
-        # corpus (the LIBRARY path is assign_doc_ids' partition-offset
-        # scheme — no SinglePartition exchange at scale)
-        half = half.withColumn(
-            "doc_id",
-            (F.row_number().over(Window.orderBy("text", "source")) - 1)
-            .cast("long"),
-        )
+        # library id path: partition-offset scheme, no SinglePartition
+        half = assign_doc_ids(half, key_cols=["text", "source"])
         build_index(spark, half, f"{root}/{name}", text_col="text",
                     id_col="doc_id", segment_docs=200)
     add_indexes(spark, f"{root}/dst", f"{root}/src")
@@ -5220,10 +5235,7 @@ def q_lake_nrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lss_nrt_")
     lake = f"{root}/lake"
     write_table_snapshot(d.filter("doc_id < 300"), lake, stats_col="doc_id")
-    v1 = read_table_snapshot(spark, lake).withColumn(
-        "idx_id",
-        # entry-harness ids only; library path = assign_doc_ids
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).cast("long"))
+    v1 = _dense_ids(read_table_snapshot(spark, lake), "doc_id", "idx_id")
     build_index(spark, v1, f"{root}/idx", text_col="text", id_col="idx_id",
                 segment_docs=2000)
     write_table_snapshot(d.filter("doc_id >= 300"), lake, stats_col="doc_id")
@@ -5436,10 +5448,7 @@ def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.index import (backup_index, build_index,
                                          open_index, restore_index)
 
-    d = _docs(spark, sf_dir).withColumn(
-        "doc_id",
-        # entry-harness ids only (≤5k rows); library path = assign_doc_ids
-        (F.row_number().over(Window.orderBy("doc_id")) - 1).cast("long"))
+    d = _dense_ids(_docs(spark, sf_dir), "doc_id", "doc_id")
     root = tempfile.mkdtemp(prefix="lss_bak_")
     build_index(spark, d, f"{root}/src", text_col="text", id_col="doc_id",
                 segment_docs=2000)
@@ -5495,11 +5504,7 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d0 = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("orig_id"), "text", "lang", "source")
-    base = d0.withColumn(
-        "doc_id",
-        # entry-harness ids only (≤5k rows); the library path is
-        # assign_doc_ids' partition-offset scheme
-        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    base = _dense_ids(d0, "orig_id", "doc_id")
     root = tempfile.mkdtemp(prefix="lss_cdc_")
     build_index(spark, base, root, text_col="text", id_col="doc_id",
                 segment_docs=2000)
@@ -5545,9 +5550,7 @@ def q_split_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("orig_id"), "text"
     ).filter(F.col("orig_id") < 600)
-    base = d0.withColumn(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    base = _dense_ids(d0, "orig_id", "doc_id")
     root = tempfile.mkdtemp(prefix="lss_split_")
     build_index(spark, base, root, text_col="text", id_col="doc_id",
                 segment_docs=200)
@@ -5583,9 +5586,7 @@ def q_expunge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("orig_id"), "text"
     ).filter(F.col("orig_id") < 600)
-    base = d0.withColumn(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    base = _dense_ids(d0, "orig_id", "doc_id")
     root = tempfile.mkdtemp(prefix="lss_expunge_")
     build_index(spark, base, root, text_col="text", id_col="doc_id",
                 segment_docs=200)
@@ -5620,9 +5621,7 @@ def q_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("orig_id"), "text", "lang", "source"
     ).filter(F.col("orig_id") < 600)
-    base = d0.withColumn(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    base = _dense_ids(d0, "orig_id", "doc_id")
     root = tempfile.mkdtemp(prefix="lss_rtg_")
     build_index(spark, base, root, text_col="text", id_col="doc_id",
                 segment_docs=2000)
@@ -5661,9 +5660,7 @@ def q_atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("orig_id"), "text", "lang", "source"
     ).filter(F.col("orig_id") < 600).withColumn(
         "views", (F.col("orig_id") % 7).cast("long"))
-    base = d0.withColumn(
-        "doc_id",
-        (F.row_number().over(Window.orderBy("orig_id")) - 1).cast("long"))
+    base = _dense_ids(d0, "orig_id", "doc_id")
     root = tempfile.mkdtemp(prefix="lss_atomic_")
     build_index(spark, base, root, text_col="text", id_col="doc_id",
                 segment_docs=2000)
