@@ -37,7 +37,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_solr_sql", "execute_solr_sql", "SqlStatement"]
+__all__ = ["parse_solr_sql", "execute_solr_sql", "SqlStatement",
+           "register_views"]
 
 
 # --- lexer -------------------------------------------------------------------
@@ -360,3 +361,37 @@ def execute_solr_sql(tables: dict[str, DataFrame], sql: str) -> DataFrame:
     if st.limit is not None:
         df = df.limit(st.limit)
     return df
+
+
+def register_views(index, prefix: str, docvalues: DataFrame | None = None,
+                   replace: bool = True) -> list[str]:
+    """Register an index's frames as Spark temp views — the SQL escape
+    hatch: after one call, plain ``spark.sql`` can join the collection's
+    postings/dictionary/norms (and docvalues) against anything else in
+    the session, including a SECOND collection registered under another
+    prefix (Solr's cross-collection join, done by Catalyst).
+
+    Views created: ``{prefix}_postings``, ``{prefix}_term_dict``,
+    ``{prefix}_norms``, plus ``{prefix}_tombstones`` /
+    ``{prefix}_term_vectors`` / ``{prefix}_docvalues`` when present.
+    Returns the created view names.  Temp views are metadata only — no
+    materialization; queries against them plan exactly like the
+    DataFrames they name (pushdown and pruning included)."""
+    pairs = [("postings", index.postings),
+             ("term_dict", index.term_dict),
+             ("norms", index.norms)]
+    if index.tombstones is not None:
+        pairs.append(("tombstones", index.tombstones))
+    if index.term_vectors is not None:
+        pairs.append(("term_vectors", index.term_vectors))
+    if docvalues is not None:
+        pairs.append(("docvalues", docvalues))
+    names = []
+    for suffix, df in pairs:
+        name = f"{prefix}_{suffix}"
+        if replace:
+            df.createOrReplaceTempView(name)
+        else:
+            df.createTempView(name)
+        names.append(name)
+    return names

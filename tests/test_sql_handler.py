@@ -159,3 +159,50 @@ def test_matches_spark_sql(tables, spark):
     assert [(r["event_type"], r["cnt"]) for r in mine] == [
         (r["event_type"], r["cnt"]) for r in ref
     ]
+
+
+def test_register_views_cross_collection_join(spark):
+    """register_views: two collections registered under two prefixes,
+    joined through plain spark.sql — the documented SQL escape hatch
+    (Solr cross-collection join, planned by Catalyst)."""
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.sql_handler import register_views
+
+    news = spark.createDataFrame(
+        [(0, "spark shuffle merge"), (1, "spark window agg")],
+        "doc_id long, content string")
+    wiki = spark.createDataFrame(
+        [(0, "shuffle exchange notes"), (1, "scan pruning notes")],
+        "doc_id long, content string")
+    a = build_index_view(news, id_col="doc_id", text_col="content",
+                         cache=False)
+    b = build_index_view(wiki, id_col="doc_id", text_col="content",
+                         cache=False)
+    va = register_views(a, "news", docvalues=news)
+    vb = register_views(b, "wiki")
+    assert "news_postings" in va and "news_docvalues" in va
+    assert "wiki_term_dict" in vb
+    # terms indexed in BOTH collections, with each side's df
+    got = {r["term"]: (r["news_df"], r["wiki_df"]) for r in spark.sql("""
+        SELECT a.term, a.df AS news_df, b.df AS wiki_df
+        FROM news_term_dict a JOIN wiki_term_dict b USING (term)
+        ORDER BY term""").collect()}
+    assert got == {"shuffle": (1, 1)}
+    # join an index frame against an arbitrary session table (norms is
+    # the per-doc frame; postings views are block-level like the store)
+    n = spark.sql("""
+        SELECT count(*) AS n FROM news_norms m
+        JOIN news_docvalues d ON m.doc_id = d.doc_id
+        WHERE d.content LIKE '%spark%'""").collect()[0]["n"]
+    assert n == 2
+    # the block-level postings view exposes per-term block metadata
+    blocks = spark.sql(
+        "SELECT term, sum(doc_count) AS dc FROM news_postings "
+        "WHERE term = 'spark' GROUP BY term").collect()
+    assert blocks[0]["dc"] == 2
+    # replace=False refuses to clobber
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises((AnalysisException, Exception)):
+        register_views(a, "news", replace=False)
