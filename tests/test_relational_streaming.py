@@ -133,6 +133,84 @@ def test_streaming_incremental_index(spark, tmp_path):
         assert tv and tv == doc_term_vector(no_tv, probe)
 
 
+def test_streaming_daemon_continuous(spark, tmp_path):
+    """DaemonStream analog: a LIVE trigger(processingTime) query ingests
+    waves as they arrive; an NRT reader (open_index — openIfChanged
+    analog) sees each batch while the daemon runs; stopping and
+    restarting on the same checkpoint recovers WITHOUT recompute (no
+    duplicate segments), and a post-restart wave is ingested exactly
+    once."""
+    import json
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx_path = tmp_path / "didx"
+    pdf = gen_corpus_pdf(150, seed=9)
+    pdf.iloc[:50].to_parquet(src / "wave1.parquet", index=False)
+    schema = spark.read.parquet(str(src)).schema
+
+    def daemon():
+        return stream_build_index(
+            spark.readStream.schema(schema).parquet(str(src)), idx_path,
+            text_col="content", processing_time="500 milliseconds",
+        )
+
+    def wait_doc_count(n, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            mf = idx_path / "manifest.json"
+            if mf.exists():
+                m = json.loads(mf.read_text())
+                if m.get("committed") and m["stats"]["doc_count"] >= n:
+                    return m
+            time.sleep(0.3)
+        raise AssertionError(f"daemon never reached doc_count {n}")
+
+    q = daemon()
+    try:
+        m1 = wait_doc_count(50)
+        # NRT reader sees the first batch while the daemon is live
+        assert open_index(spark, idx_path).doc_count == 50
+        # second wave arrives WHILE the daemon runs
+        pdf.iloc[50:100].to_parquet(src / "wave2.parquet", index=False)
+        m2 = wait_doc_count(100)
+        assert open_index(spark, idx_path).doc_count == 100
+        assert len(m2["segments"]) > len(m1["segments"])
+    finally:
+        q.stop()
+    n_segs = len(json.loads((idx_path / "manifest.json").read_text())["segments"])
+
+    # restart on the same checkpoint with NO new input: no recompute —
+    # segment list and doc_count unchanged after a few trigger periods
+    q2 = daemon()
+    try:
+        time.sleep(3)
+        m3 = json.loads((idx_path / "manifest.json").read_text())
+        assert len(m3["segments"]) == n_segs
+        assert m3["stats"]["doc_count"] == 100
+        # a post-restart wave is ingested exactly once
+        pdf.iloc[100:].to_parquet(src / "wave3.parquet", index=False)
+        m4 = wait_doc_count(150)
+        assert m4["stats"]["doc_count"] == 150
+    finally:
+        q2.stop()
+    # batch ids across the daemon's whole life are unique (exactly-once)
+    m = json.loads((idx_path / "manifest.json").read_text())
+    bids = [s["batch_id"] for s in m["segments"]]
+    assert len(bids) == len(set(bids))
+    idx = open_index(spark, idx_path)
+    assert idx.doc_count == 150
+    # the recovered, daemon-built index answers queries == oracle
+    docs = spark.read.parquet(str(idx_path / "docs.parquet")).select(
+        "doc_id", "content").toPandas().sort_values("doc_id")
+    oracle = MiniLucene(list(zip(docs["doc_id"].astype(int),
+                                 docs["content"])))
+    got = [(int(r["doc_id"]), np.float32(r["score"]))
+           for r in search(idx, parse_query("def"), k=5).collect()]
+    assert got == oracle.search(parse_query("def"), k=5)
+
+
 def test_reduce_stream_deterministic(spark):
     from lucene_solr_spark.relational import reduce_stream
 
