@@ -128,6 +128,18 @@ def main() -> None:
     from lucene_solr_spark.search.query import Phrase
     timed("q_phrase", lambda: search(index, Phrase("data", "table"), k=10).collect(),
           repeat=2)
+    # sloppy-phrase + span-near steady-state latency: the two batch
+    # kernels vectorized in r2/r3 (sloppy_freq_batch; greedy-chain
+    # ordered_near_batch), driver-tracked round-over-round
+    timed("q_sloppy",
+          lambda: search(index, Phrase("data", "table", slop=3), k=10).collect(),
+          repeat=2)
+    from lucene_solr_spark.search.spans import SpanNear, SpanTerm, span_search
+    timed("q_span_near",
+          lambda: span_search(
+              index, SpanNear(SpanTerm("data"), SpanTerm("table"), slop=4),
+              k=10).collect(),
+          repeat=2)
 
     from lucene_solr_spark.pipeline import (
         cosine_topk,
