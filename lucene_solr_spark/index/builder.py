@@ -244,12 +244,22 @@ def assign_doc_ids(
     is one count per partition.  (The naive ``row_number().over(orderBy)``
     exchanges the whole corpus into ONE task — measured as the build's
     serial bottleneck, so it is deliberately avoided.)
-    """
+
+    The range-partitioned frame is PERSISTED before the counts job:
+    ``repartitionByRange`` samples its boundaries per execution, so the
+    counts job and the id-assignment job would otherwise see DIFFERENT
+    partition compositions and assign duplicate/missing ids (reproduced
+    at 100k docs × 64 partitions — boundary drift of tens of rows per
+    partition; the same pinning ``assign_doc_ids_arrival`` always had).
+    The cache is evictable (MEMORY_AND_DISK); callers that materialize a
+    downstream store may unpersist via the ``_lss_cached`` handle."""
     key_cols = key_cols or ["repo", "path", "commit"]
     spark = df.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keyed = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
     keyed = keyed.withColumn("_pid", F.spark_partition_id())
+    if not df.is_cached:
+        keyed = keyed.persist()
     counts = {
         int(r["_pid"]): int(r["n"])
         for r in keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -263,10 +273,12 @@ def assign_doc_ids(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )[F.col("_pid")]
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in key_cols])
-    return (
+    out = (
         keyed.withColumn("doc_id", (off_col + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid")
     )
+    out._lss_cached = [keyed]  # caller may unpersist after materializing
+    return out
 
 
 def read_manifest(index_path: str | Path) -> dict | None:
@@ -400,8 +412,11 @@ def build_index(
                 else key_cols
             )
             docs = assign_doc_ids(corpus, keys)
+            cached = getattr(docs, "_lss_cached", [])
             docs = docs.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
             docs.write.mode("overwrite").parquet(str(docs_path))
+            for f in cached:  # parquet store is now the pinned truth
+                f.unpersist()
         docs = spark.read.parquet(str(docs_path))
         id_col = "doc_id"
     else:

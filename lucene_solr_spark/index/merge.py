@@ -50,8 +50,17 @@ __all__ = ["merge_postings", "merge_segments", "tiered_merge",
 
 
 def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list[dict]:
-    """Concatenate one term's decoded blocks (sorted by first_doc), drop
-    tombstoned docs, and re-encode into fresh 128-doc blocks."""
+    """Concatenate one term's decoded blocks, drop tombstoned docs, and
+    re-encode into fresh 128-doc blocks.
+
+    Blocks arrive sorted by first_doc, but the fused DWPT layout legally
+    INTERLEAVES doc ranges across build partitions (only the encoded
+    stream within a block is sorted), so the concatenation is re-sorted
+    by doc id — vectorized, including the per-doc position-slice
+    permutation — before delta encoding.  Skipping this on an
+    interleaved layout produced negative deltas (caught by the 100k-doc
+    soak, not the small fixtures, whose ranges happened to be
+    disjoint)."""
     docs, tfs, nbs, poss = [], [], [], []
     for i in range(sub.shape[0]):
         t = decode_tfs(sub["tfs_vb"].iat[i])
@@ -63,6 +72,17 @@ def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list
     tf = np.concatenate(tfs)
     nb = np.concatenate(nbs)
     pos = np.concatenate(poss)
+    if d.size > 1 and not np.all(d[1:] >= d[:-1]):
+        order = np.argsort(d, kind="stable")
+        tf64 = tf.astype(np.int64)
+        starts = np.cumsum(tf64) - tf64          # per-doc position offsets
+        new_tf = tf64[order]
+        if pos.size:
+            base = np.repeat(starts[order], new_tf)
+            within = (np.arange(int(new_tf.sum()), dtype=np.int64)
+                      - np.repeat(np.cumsum(new_tf) - new_tf, new_tf))
+            pos = pos[base + within]
+        d, tf, nb = d[order], tf[order], nb[order]
     if dead is not None and dead.size:
         live = ~np.isin(d, dead)
         if not live.all():

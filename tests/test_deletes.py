@@ -522,3 +522,46 @@ def test_atomic_update_add_distinct_and_removeregex(spark, tmp_path):
                   key_cols)
     got = realtime_get(spark, path, keys, key_cols).select("tags").head()
     assert got["tags"] == ["alpha", "gamma"]
+
+
+def test_remerge_interleaved_block_ranges():
+    """The fused DWPT layout legally interleaves a term's block doc
+    ranges across build partitions; _remerge_term must re-sort the
+    concatenation (docs, tfs, norms, AND per-doc position slices)
+    before delta encoding.  Regression: the 100k-doc soak hit
+    'vbyte_encode: negative value' here."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.codec import (
+        decode_doc_ids, decode_positions, decode_tfs, encode_posting_blocks,
+    )
+    from lucene_solr_spark.index.merge import _remerge_term
+
+    # two blocks with INTERLEAVED doc ranges: [0,2,4..18] and [1,3,..19]
+    rows = []
+    for offset in (0, 1):
+        d = np.arange(offset, 20, 2, dtype=np.int64)
+        tf = (d % 3 + 1).astype(np.int64)
+        nb = (d % 5).astype(np.int64)
+        pos = np.concatenate([np.arange(t) * 2 + int(x)
+                              for x, t in zip(d, tf)]).astype(np.int64)
+        rows.extend(encode_posting_blocks(d, tf, nb, pos))
+    sub = pd.DataFrame(rows).sort_values("first_doc").reset_index(drop=True)
+
+    out = _remerge_term("t", sub, dead=np.array([4, 7], dtype=np.int64))
+    got_d = np.concatenate([decode_doc_ids(r["doc_ids_vb"]) for r in out])
+    want_d = np.array([x for x in range(20) if x not in (4, 7)])
+    assert np.array_equal(got_d, want_d)
+    # tfs and positions follow their docs through the permutation
+    got_tf = np.concatenate([decode_tfs(r["tfs_vb"]) for r in out])
+    assert np.array_equal(got_tf, (want_d % 3 + 1))
+    got_pos = np.concatenate([
+        decode_positions(r["positions_vb"], decode_tfs(r["tfs_vb"]))
+        for r in out])
+    want_pos = np.concatenate([np.arange(x % 3 + 1) * 2 + x for x in want_d])
+    assert np.array_equal(got_pos, want_pos)
+    # no-dead path re-sorts too
+    out2 = _remerge_term("t", sub, dead=None)
+    got2 = np.concatenate([decode_doc_ids(r["doc_ids_vb"]) for r in out2])
+    assert np.array_equal(got2, np.arange(20))

@@ -280,3 +280,27 @@ def test_replicate_index_incremental_sync(spark, tmp_path_factory):
     # a third sync with no master changes moves nothing
     third = replicate_index(src, rep)
     assert third["copied"] == 0 and third["deleted"] == 0
+
+
+def test_assign_doc_ids_stable_across_jobs(spark):
+    """assign_doc_ids must yield EXACTLY the dense id set 0..n-1:
+    repartitionByRange samples its boundaries per execution, so without
+    persist-pinning the counts job and the assignment job see different
+    partition compositions and emit duplicate/missing ids (reproduced
+    at exactly this shape — 100k docs, 64 range partitions — by the
+    scale soak; a transient 20k bench never tripped it)."""
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index.builder import assign_doc_ids
+
+    c = gen_corpus_df(spark, 100_000, num_partitions=64)
+    ids = assign_doc_ids(c, num_partitions=64)
+    agg = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    assert (agg["n"], agg["nd"], agg["lo"], agg["hi"]) \
+        == (100_000, 100_000, 0, 99_999)
+    for f in ids._lss_cached:
+        f.unpersist()

@@ -1,0 +1,119 @@
+"""Scale soak: one multi-million-doc build + multi-tier merge + real-size
+distributed tombstone purge, with BOUNDED driver memory.
+
+Exercises, at forced-real size, the paths the small-SF tests only probe:
+
+* ``build_index`` over N docs (default 5M) in 100k-doc segments — the
+  DWPT-style fused map-only inversion at ~50 segments;
+* ``tiered_merge`` factor-4: 50 segments collapse through MULTIPLE tiers
+  (100k→400k→1.6M), the continuously-ingesting index's background merge;
+* ``delete_docs`` of HALF the corpus (2.5M ids > the 2M broadcast cap) so
+  ``merge_segments`` takes the DISTRIBUTED decode→anti-join→re-encode
+  tombstone path with no forcing — the delete set never sits on the
+  driver;
+* post-merge queries on the purged index, checked for live-count sanity.
+
+Run:  python tools/scale_soak.py [n_docs]
+Emits one JSON line: docs/sec for the build, wall seconds per phase,
+segment counts per merge pass, and query latencies.  Driver memory is
+bounded via --driver-memory (default 16g) to prove no phase needs
+corpus-sized driver heap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+DRIVER_MEM = os.environ.get("SOAK_DRIVER_MEM", "16g")
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", f"--driver-memory {DRIVER_MEM} pyspark-shell")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lucene_solr_spark.corpus import gen_corpus_df  # noqa: E402
+from lucene_solr_spark.index import (build_index, delete_docs,  # noqa: E402
+                                     merge_segments, open_index)
+from lucene_solr_spark.index.builder import assign_doc_ids  # noqa: E402
+from lucene_solr_spark.index.merge import tiered_merge  # noqa: E402
+from lucene_solr_spark.search import parse_query, search  # noqa: E402
+from lucene_solr_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    root = os.environ.get("SOAK_DIR", "/tmp/lss_soak")
+    out: dict = {"n_docs": n_docs, "driver_memory": DRIVER_MEM,
+                 "loadavg_start": round(os.getloadavg()[0], 1)}
+    spark = get_spark("scale_soak", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    idx_path = f"{root}/idx"
+    import shutil
+
+    if Path(idx_path).exists():
+        shutil.rmtree(idx_path)
+
+    # ---- build: ~50 segments of 100k docs --------------------------------
+    corpus = gen_corpus_df(spark, n_docs, num_partitions=64).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256))
+    corpus = assign_doc_ids(corpus, num_partitions=64)
+    t0 = time.time()
+    manifest = build_index(spark, corpus, idx_path, text_col="content",
+                           id_col="doc_id", segment_docs=100_000)
+    out["build_sec"] = round(time.time() - t0, 1)
+    out["docs_per_sec"] = round(n_docs / out["build_sec"], 1)
+    out["segments_after_build"] = len(manifest["segments"])
+
+    # ---- multi-tier background merge -------------------------------------
+    t0 = time.time()
+    manifest = tiered_merge(spark, idx_path, merge_factor=4, max_passes=10)
+    out["tiered_merge_sec"] = round(time.time() - t0, 1)
+    out["segments_after_tiered"] = len(manifest["segments"])
+    tiers = sorted({s["num_docs"] for s in manifest["segments"]})
+    out["tier_sizes"] = tiers
+    full_scale = n_docs >= 1_000_000
+    if full_scale:
+        assert max(tiers) > 100_000, \
+            "tiered_merge never crossed a tier boundary"
+
+    # ---- real-size delete + DISTRIBUTED purge ----------------------------
+    dead = spark.range(0, n_docs, 2).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    n_dead = delete_docs(spark, idx_path, dead)
+    out["delete_sec"] = round(time.time() - t0, 1)
+    out["n_dead"] = int(n_dead)
+    if full_scale:
+        # > the 2M broadcast cap: merge takes the DISTRIBUTED purge path
+        assert n_dead > 2_000_000, "delete set must exceed the broadcast cap"
+    t0 = time.time()
+    merge_segments(spark, idx_path, num_partitions=64)
+    out["purge_merge_sec"] = round(time.time() - t0, 1)
+
+    # ---- post-merge sanity + query latency --------------------------------
+    idx = open_index(spark, idx_path)
+    assert idx.doc_count == n_docs - n_dead, idx.doc_count
+    out["live_docs"] = idx.doc_count
+    for name, qs in [("q_term", "def"), ("q_and", "class AND import"),
+                     ("q_or", "def OR return")]:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            rows = search(idx, parse_query(qs), k=10).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        assert rows, qs
+        # every surviving doc id must be live (odd)
+        assert all(int(r["doc_id"]) % 2 == 1 for r in rows), qs
+        out[name] = round(best, 2)
+    out["loadavg_end"] = round(os.getloadavg()[0], 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
