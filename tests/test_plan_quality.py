@@ -588,3 +588,22 @@ def test_ann_batch_defaults_never_cartesian(spark):
     assert "CartesianProduct" in pe or "NestedLoop" in pe, pe
     with pytest.raises(ValueError, match="contradicts"):
         knn_search_batch(q, c, k=3, exact=True, n_planes=4)
+
+
+def test_solr_fq_domain_plan_bounded(spark):
+    """Facade relevance+fq: the fq match set joins the scored stream
+    BEFORE the top-k, and the page is still a bounded
+    TakeOrderedAndProject (no full-result sort, no SinglePartition
+    window at start=0)."""
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta{' gamma' if i % 2 else ''}") for i in range(64)],
+        "doc_id long, content string")
+    idx = build_index_view(docs, id_col="doc_id", text_col="content",
+                           cache=False)
+    out = solr_request(idx, {"q": "alpha", "fq": "gamma", "rows": 5})
+    p = _plan(out["response"])
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
