@@ -258,8 +258,9 @@ def assign_doc_ids(
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keyed = df.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
     keyed = keyed.withColumn("_pid", F.spark_partition_id())
-    if not df.is_cached:
-        keyed = keyed.persist()
+    # persist UNCONDITIONALLY: a cached INPUT does not pin the NEW range
+    # exchange's boundaries (RangePartitioner samples per job)
+    keyed = keyed.persist()
     counts = {
         int(r["_pid"]): int(r["n"])
         for r in keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

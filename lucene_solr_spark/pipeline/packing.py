@@ -56,6 +56,9 @@ def pack_sequences(
         df.select(F.col(id_col), F.col(count_col).cast("long").alias("_n"))
         .repartitionByRange(id_col)
         .withColumn("_pid", F.spark_partition_id())
+        # persist UNCONDITIONALLY: the totals job and the offset job must
+        # see the SAME range boundaries (RangePartitioner samples per job)
+        .persist()
     )
     # phase 1: per-partition totals -> exclusive prefix offsets (bounded:
     # one row per partition; range partitions are ordered by key)
@@ -301,6 +304,9 @@ def select_within_budget(
                   F.col(count_col).cast("long").alias("_n"))
         .repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
+        # persist UNCONDITIONALLY — same boundary pinning as
+        # pack_sequences / facet_dynamic_range
+        .persist()
     )
     psums = {
         r["_pid"]: r["s"]
