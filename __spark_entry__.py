@@ -1977,6 +1977,88 @@ FROM (
 ORDER BY doc_id"""
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media resize/frame-sample: the same synthesized BMP/PPM/WAV
+    payloads as media_decode, images nearest-neighbor-resized to 4x3
+    and audio decimated 2:1 inside one Arrow-batched map pass; the
+    oracle replays the floor-mapped resize arithmetic (y*h//oh,
+    x*w//ow) and the decimation closed-form byte-for-byte."""
+    from lucene_solr_spark.pipeline.multimodal import (
+        encode_bmp, encode_pnm, encode_wav, media_resize,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"].to_numpy(dtype=np.int64):
+                did = int(did)
+                if did % 3 == 0:
+                    w, h = 1 + did % 13, 1 + did % 7
+                    raster = ((did + np.arange(w * h * 3)) % 251
+                              ).astype(np.uint8)
+                    payloads.append(encode_bmp(raster, w, h, 3))
+                elif did % 3 == 1:
+                    w, h = 1 + did % 9, 1 + did % 5
+                    raster = ((did * 3 + np.arange(w * h * 3)) % 256
+                              ).astype(np.uint8)
+                    payloads.append(encode_pnm(raster, w, h, 3))
+                else:
+                    n = 32 + did % 64
+                    s = ((did * 7 + np.arange(n) * 13) % 4001 - 2000
+                         ).astype(np.int16)
+                    payloads.append(encode_wav(s, 8000, 1))
+                out_ids.append(did)
+            yield pd.DataFrame({"doc_id": np.asarray(out_ids, np.int64),
+                                "media": payloads})
+
+    media = ids.mapInPandas(_gen, "doc_id long, media binary")
+    return media_resize(media, 4, 3, audio_every_k=2).orderBy("doc_id")
+
+
+def _resize_img_sum(w_expr: str, h_expr: str, base: str, m: int) -> str:
+    """Resize-oracle fragment: out pixel j of 36 (=3 rows × 4 cols × 3
+    channels) maps to source byte y_in*(3w)+x_in*3+c, floor
+    arithmetic."""
+    i_in = (f"(((j // 12) * ({h_expr}) // 3) * 3 * ({w_expr})"
+            f" + (((j // 3) % 4) * ({w_expr}) // 4) * 3 + j % 3)")
+    return (f"list_sum(list_transform(generate_series(0, 35), j -> "
+            f"({base} + {i_in}) % {m}))")
+
+
+_MEDIA_RESIZE_ORACLE = f"""
+WITH d AS (SELECT doc_id FROM documents)
+SELECT doc_id, media_type,
+       CAST(out_width AS BIGINT) AS out_width,
+       CAST(out_height AS BIGINT) AS out_height,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(px_sum AS BIGINT) AS px_sum
+FROM (
+  SELECT doc_id, 'image/bmp' AS media_type, 4 AS out_width,
+         3 AS out_height, 3 AS channels, 0 AS n_samples,
+         {_resize_img_sum("1 + doc_id % 13", "1 + doc_id % 7",
+                          "doc_id", 251)} AS px_sum
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'image/x-portable-pixmap', 4, 3, 3, 0,
+         {_resize_img_sum("1 + doc_id % 9", "1 + doc_id % 5",
+                          "doc_id * 3", 256)}
+  FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'audio/wav', 0, 0, 1,
+         (32 + doc_id % 64 + 1) // 2,
+         list_sum(list_transform(
+           generate_series(0, (32 + doc_id % 64 + 1) // 2 - 1),
+           m -> abs((doc_id * 7 + 2 * m * 13) % 4001 - 2000)))
+  FROM d WHERE doc_id % 3 = 2)
+ORDER BY doc_id"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy (gibberish / binary-spill
     filter): quantized integer nano-bit contributions summed per doc —
@@ -6999,6 +7081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_chunks": q_media_chunks,
         "cdc_chunks": q_cdc_chunks,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
         "relevance_functions": q_relevance_functions,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
@@ -10796,6 +10879,7 @@ SELECT t.doc_id, t.tf, f.df,
 FROM tfs t JOIN dl d USING (doc_id), dfs f, n
 ORDER BY t.doc_id""",
         "media_decode": _MEDIA_DECODE_ORACLE,
+        "media_resize": _MEDIA_RESIZE_ORACLE,
         "cdc_chunks": f"""
 WITH base AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_media_binary", "decode_media", "media_features",
            "decode_features", "encode_bmp", "encode_pnm", "encode_wav",
+           "resize_nearest", "frame_sample", "media_resize",
            "media_chunks", "cdc_chunks", "CDC_W", "CDC_B", "CDC_M", "CDC_D"]
 
 #: content-defined chunking constants (Rabin window hash):
@@ -230,6 +231,7 @@ def _decode_bmp(b: bytes) -> dict:
         "n_samples": 0,
         "duration_ms": 0,
         "px_sum": int(px.astype(np.int64).sum()),
+        "_raster": px.ravel(),
     }
 
 
@@ -275,6 +277,7 @@ def _decode_pnm(b: bytes) -> dict:
         "n_samples": 0,
         "duration_ms": 0,
         "px_sum": int(px.astype(np.int64).sum()),
+        "_raster": px,
     }
 
 
@@ -315,6 +318,7 @@ def _decode_wav(b: bytes) -> dict:
         "n_samples": n_frames,
         "duration_ms": n_frames * 1000 // sample_rate,
         "px_sum": int(np.abs(samples.astype(np.int64)).sum()),
+        "_samples": samples,
     }
 
 
@@ -394,12 +398,15 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
             "fake_height": (h // 1920) % 1080,
             "fake_frames": (h // (1920 * 1080)) % 300,
         }
+    out = None
     if b[:2] == b"BM":
-        return _decode_bmp(b)
-    if b[:2] in (b"P5", b"P6"):
-        return _decode_pnm(b)
-    if b[:4] == b"RIFF":
-        return _decode_wav(b)
+        out = _decode_bmp(b)
+    elif b[:2] in (b"P5", b"P6"):
+        out = _decode_pnm(b)
+    elif b[:4] == b"RIFF":
+        out = _decode_wav(b)
+    if out is not None:
+        return {k: v for k, v in out.items() if not k.startswith("_")}
     raise ValueError(
         "unrecognized media container (expected BMP/PNM/WAV magic); "
         "formats needing a codec library go through fake=True")
@@ -439,6 +446,93 @@ def media_features(media_df: DataFrame, id_col: str = "doc_id", fake: bool = Tru
     return media_df.select(id_col, "media", "media_meta").mapInPandas(
         _extract, _FEATURES_SCHEMA
     )
+
+
+def resize_nearest(raster: np.ndarray, width: int, height: int,
+                   channels: int, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor image resize on a flat (row-major, interleaved-
+    channel) uint8 raster — one fancy-index gather, no Python loops.
+    Source pixel for output (y, x) is (y*height//out_h, x*width//out_w)
+    (floor mapping — integer arithmetic, so an SQL oracle replays every
+    output byte)."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output dimensions must be >= 1")
+    raster = np.ascontiguousarray(raster, dtype=np.uint8).reshape(
+        height, width, channels)
+    ys = (np.arange(out_h, dtype=np.int64) * height) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * width) // out_w
+    return raster[ys[:, None], xs[None, :], :].ravel()
+
+
+def frame_sample(samples: np.ndarray, every_k: int) -> np.ndarray:
+    """Audio/video frame sampling by decimation: keep every k-th frame
+    starting at 0 (the cheap frame-sample step of a media pipeline;
+    anti-alias filtering is a codec-library concern, documented out of
+    scope)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    return np.ascontiguousarray(samples)[::every_k]
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, media_type string, out_width long, out_height long, "
+    "channels long, n_samples long, px_sum long"
+)
+
+
+def media_resize(media_df: DataFrame, out_w: int, out_h: int,
+                 audio_every_k: int = 2,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Decode + spatially resize (images, nearest-neighbor) or
+    frame-sample (audio, decimation by ``audio_every_k``) the binary
+    column in ONE map-only Arrow-batched pass — the real
+    feature-extract/resize stage of a multimodal intake.  Returns
+    ``[doc_id, media_type, out_width, out_height, channels, n_samples,
+    px_sum]`` where ``px_sum`` is the integer Σ over the RESIZED pixel
+    bytes / Σ|sample| over the KEPT frames (hash-stable, so an SQL
+    oracle replays the resize arithmetic exactly)."""
+
+    def _extract(batches):
+        for pdf in batches:
+            out = {id_col: [], "media_type": [], "out_width": [],
+                   "out_height": [], "channels": [], "n_samples": [],
+                   "px_sum": []}
+            for did, payload in zip(
+                    pdf[id_col].to_numpy(dtype=np.int64), pdf["media"]):
+                b = bytes(payload)
+                if b[:2] == b"BM" or b[:2] in (b"P5", b"P6"):
+                    meta = (_decode_bmp(b) if b[:2] == b"BM"
+                            else _decode_pnm(b))
+                    raster = meta.pop("_raster")
+                    rs = resize_nearest(raster, meta["width"],
+                                        meta["height"], meta["channels"],
+                                        out_w, out_h)
+                    out["media_type"].append(meta["media_type"])
+                    out["out_width"].append(out_w)
+                    out["out_height"].append(out_h)
+                    out["channels"].append(meta["channels"])
+                    out["n_samples"].append(0)
+                    out["px_sum"].append(int(rs.astype(np.int64).sum()))
+                elif b[:4] == b"RIFF":
+                    meta = _decode_wav(b)
+                    kept = frame_sample(meta.pop("_samples"), audio_every_k)
+                    out["media_type"].append(meta["media_type"])
+                    out["out_width"].append(0)
+                    out["out_height"].append(0)
+                    out["channels"].append(meta["channels"])
+                    out["n_samples"].append(kept.size // meta["channels"])
+                    out["px_sum"].append(
+                        int(np.abs(kept.astype(np.int64)).sum()))
+                else:
+                    raise ValueError("unrecognized media container")
+                out[id_col].append(int(did))
+            yield pd.DataFrame({
+                k: (pd.array(v, dtype="string") if k == "media_type"
+                    else np.asarray(v, dtype=np.int64))
+                for k, v in out.items()})
+
+    return media_df.select(id_col, "media").mapInPandas(
+        _extract, _RESIZE_SCHEMA)
 
 
 _DECODE_SCHEMA = (

@@ -1633,3 +1633,53 @@ def test_validate_documents(spark):
         validate_documents(df, {"title": {"frobnicate": 1}})
     with _p.raises(ValueError):
         validate_documents(df, {"qty": {"type": "uuid"}})
+
+
+def test_resize_nearest_and_frame_sample():
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import frame_sample, resize_nearest
+
+    # 2x2 RGB -> 4x4: each source pixel becomes a 2x2 block
+    src = np.arange(12, dtype=np.uint8)          # 2x2x3
+    up = resize_nearest(src, 2, 2, 3, 4, 4).reshape(4, 4, 3)
+    assert np.array_equal(up[0, 0], src.reshape(2, 2, 3)[0, 0])
+    assert np.array_equal(up[3, 3], src.reshape(2, 2, 3)[1, 1])
+    assert np.array_equal(up[0, 1], src.reshape(2, 2, 3)[0, 0])  # floor map
+    # downscale picks floor-mapped source rows/cols
+    down = resize_nearest(src, 2, 2, 3, 1, 1).reshape(1, 1, 3)
+    assert np.array_equal(down[0, 0], src.reshape(2, 2, 3)[0, 0])
+    # identity resize is exact
+    assert np.array_equal(resize_nearest(src, 2, 2, 3, 2, 2), src)
+    with pytest.raises(ValueError):
+        resize_nearest(src, 2, 2, 3, 0, 1)
+    s = np.arange(10, dtype=np.int16)
+    assert np.array_equal(frame_sample(s, 3), np.array([0, 3, 6, 9]))
+    assert np.array_equal(frame_sample(s, 1), s)
+    with pytest.raises(ValueError):
+        frame_sample(s, 0)
+
+
+def test_media_resize_dataframe(spark):
+    """media_resize: images really resize (px_sum over the RESIZED
+    raster equals a numpy replay), audio really decimates."""
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import (
+        encode_bmp, encode_wav, media_resize, resize_nearest,
+    )
+
+    raster = (np.arange(5 * 3 * 3, dtype=np.int64) * 11 % 256).astype(np.uint8)
+    wav = (np.arange(40, dtype=np.int64) * 77 % 3001 - 1500).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(raster, 5, 3, 3))),
+         (1, bytearray(encode_wav(wav, 8000, 1)))],
+        "doc_id long, media binary")
+    got = {r["doc_id"]: r.asDict()
+           for r in media_resize(df, 2, 2, audio_every_k=3).collect()}
+    want_img = resize_nearest(raster, 5, 3, 3, 2, 2)
+    assert got[0]["out_width"] == 2 and got[0]["out_height"] == 2
+    assert got[0]["px_sum"] == int(want_img.astype(np.int64).sum())
+    kept = wav[::3]
+    assert got[1]["n_samples"] == kept.size
+    assert got[1]["px_sum"] == int(np.abs(kept.astype(np.int64)).sum())

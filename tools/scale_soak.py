@@ -3,10 +3,11 @@ distributed tombstone purge, with BOUNDED driver memory.
 
 Exercises, at forced-real size, the paths the small-SF tests only probe:
 
-* ``build_index`` over N docs (default 5M) in 100k-doc segments — the
-  DWPT-style fused map-only inversion at ~50 segments;
-* ``tiered_merge`` factor-4: 50 segments collapse through MULTIPLE tiers
-  (100k→400k→1.6M), the continuously-ingesting index's background merge;
+* ``build_index`` over N docs (default 5M) in n/16-doc segments — the
+  DWPT-style fused map-only inversion at 16 segments;
+* ``tiered_merge`` factor-4: 16 segments collapse through TWO tier
+  levels (16 → 4 → 1), the continuously-ingesting index's background
+  merge;
 * ``delete_docs`` of HALF the corpus (2.5M ids > the 2M broadcast cap) so
   ``merge_segments`` takes the DISTRIBUTED decode→anti-join→re-encode
   tombstone path with no forcing — the delete set never sits on the
@@ -47,6 +48,13 @@ from lucene_solr_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    # segment sizing: 16 base segments — enough for TWO factor-4 tier
+    # levels (16 → 4 → 1) while keeping each flush's pruned scan at
+    # ~10 input splits (32 MB each) so per-segment parallelism doesn't
+    # collapse — the knob a production ingest tunes via segment_docs /
+    # maxPartitionBytes
+    segment_docs = int(os.environ.get("SOAK_SEGMENT_DOCS",
+                                      max(50_000, n_docs // 16)))
     root = os.environ.get("SOAK_DIR", "/tmp/lss_soak")
     out: dict = {"n_docs": n_docs, "driver_memory": DRIVER_MEM,
                  "loadavg_start": round(os.getloadavg()[0], 1)}
@@ -64,8 +72,9 @@ def main() -> None:
         "content_sha256", F.sha2(F.col("content"), 256))
     corpus = assign_doc_ids(corpus, num_partitions=64)
     t0 = time.time()
+    out["segment_docs"] = segment_docs
     manifest = build_index(spark, corpus, idx_path, text_col="content",
-                           id_col="doc_id", segment_docs=100_000)
+                           id_col="doc_id", segment_docs=segment_docs)
     out["build_sec"] = round(time.time() - t0, 1)
     out["docs_per_sec"] = round(n_docs / out["build_sec"], 1)
     out["segments_after_build"] = len(manifest["segments"])
@@ -79,8 +88,9 @@ def main() -> None:
     out["tier_sizes"] = tiers
     full_scale = n_docs >= 1_000_000
     if full_scale:
-        assert max(tiers) > 100_000, \
-            "tiered_merge never crossed a tier boundary"
+        # two tier levels crossed: 16 base segments → 4 → 1
+        assert max(tiers) >= 8 * segment_docs, \
+            "tiered_merge never crossed two tier boundaries"
 
     # ---- real-size delete + DISTRIBUTED purge ----------------------------
     dead = spark.range(0, n_docs, 2).select(F.col("id").alias("doc_id"))
