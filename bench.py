@@ -187,6 +187,15 @@ def main() -> None:
 
     extra["loadavg_end"] = round(os.getloadavg()[0], 1)
     extra["query_protocol"] = "min_of_2 everywhere (fresh lineage per build/minhash repeat)"
+    # latest N-vs-4N scaling measurement (tools/scaling_bench.py persists
+    # it with a timestamp; the scaling run is too long for the per-round
+    # suite itself)
+    scal = Path(__file__).resolve().parent / "SCALING_LATEST.json"
+    if scal.exists():
+        try:
+            extra["scaling_latest"] = json.loads(scal.read_text())
+        except ValueError:
+            pass
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -137,19 +137,24 @@ def main() -> None:
                 best[c] = r
     rs = [best[pair[0]], best[pair[1]]]
     eff = rs[1]["docs_per_sec"] / ((pair[1] // pair[0]) * rs[0]["docs_per_sec"])
-    print(
-        json.dumps(
-            {
-                "n_docs": n_docs,
-                "rounds": rounds,
-                f"local{pair[0]}": rs[0],
-                f"local{pair[1]}": rs[1],
-                "scaling_efficiency": round(eff, 3),
-                "target": 0.8,
-                "pass": eff >= 0.8,
-            }
-        )
-    )
+    result = {
+        "n_docs": n_docs,
+        "rounds": rounds,
+        f"local{pair[0]}": rs[0],
+        f"local{pair[1]}": rs[1],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    # persist for bench.py to embed (BENCH_r{N}.json carries the latest
+    # N-vs-4N evidence alongside the suite numbers); stamped so readers
+    # can see when the measurement was taken
+    import time
+
+    result["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(REPO / "SCALING_LATEST.json", "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
