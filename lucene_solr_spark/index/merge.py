@@ -102,6 +102,18 @@ def _remerge_term(term: str, sub: pd.DataFrame, dead: np.ndarray | None) -> list
 #: fine to millions, unacceptable at billions)
 _TOMBSTONE_BROADCAST_MAX = 2_000_000
 
+#: term-skew guard for the merge/purge streams: a hot term (df ≈
+#: n_docs) would otherwise land its ENTIRE posting list in one range
+#: partition — measured as a 25+ minute single-task straggler at 5M
+#: docs (one core busy, 31 idle) in the distributed purge.  Salting the
+#: range key with the high doc-id bits (doc_id >> 17, i.e. 131k-doc
+#: chunks) splits a hot term into independent runs, each re-encoded
+#: into self-contained 128-doc blocks — a layout queries already accept
+#: (multiple block runs per term, exactly like the fused DWPT output).
+#: Indexes under 2^17 docs keep one chunk, so small-scale layouts (and
+#: the broadcast-vs-distributed block-identity test) are unchanged.
+_MERGE_CHUNK_SHIFT = 17
+
 _DECODED_SCHEMA = (
     "term string, doc_id long, tf long, norm_byte long, positions array<long>"
 )
@@ -154,9 +166,15 @@ def _merge_postings_distributed(
     live = _decode_posting_rows(blocks).join(
         tombstones.select("doc_id").distinct(), "doc_id", "left_anti"
     )
+    # chunk-salted range keys (see _MERGE_CHUNK_SHIFT): hot terms split
+    # across partitions at 131k-doc boundaries; within a partition the
+    # (term, doc_id) sort equals the (term, chunk, doc_id) sort because
+    # the chunk is monotone in doc_id
     stream = (
-        live.repartitionByRange(num_partitions, "term")
+        live.withColumn("_chunk", F.shiftright("doc_id", _MERGE_CHUNK_SHIFT))
+        .repartitionByRange(num_partitions, "term", "_chunk")
         .sortWithinPartitions("term", "doc_id")
+        .drop("_chunk")
     )
 
     def _encode(batches):
@@ -241,10 +259,15 @@ def merge_postings(
     if tombstones is not None:
         return _merge_postings_distributed(blocks, tombstones, num_partitions)
     cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    # same chunk-salting at BLOCK granularity (keyed by first_doc): the
+    # block-level merge kernel re-encodes each term in one task too, so
+    # a hot term's 39k blocks at 5M docs would serialize one straggler
     stream = (
         blocks.select(*cols)
-        .repartitionByRange(num_partitions, "term")
+        .withColumn("_chunk", F.shiftright("first_doc", _MERGE_CHUNK_SHIFT))
+        .repartitionByRange(num_partitions, "term", "_chunk")
         .sortWithinPartitions("term", "first_doc")
+        .drop("_chunk")
     )
 
     def _merge(batches):

@@ -565,3 +565,48 @@ def test_remerge_interleaved_block_ranges():
     out2 = _remerge_term("t", sub, dead=None)
     got2 = np.concatenate([decode_doc_ids(r["doc_ids_vb"]) for r in out2])
     assert np.array_equal(got2, np.arange(20))
+
+
+def test_merge_chunk_salting_semantics(spark, tmp_path, monkeypatch):
+    """Hot-term chunk salting: with the chunk shift forced tiny (8-doc
+    chunks) both merge paths emit MULTIPLE independent block runs per
+    term, and the decoded postings + query results are identical to the
+    unsalted merge — the layout-legality the fused DWPT path already
+    relies on, now exercised on the merge/purge streams."""
+    import numpy as np
+
+    from lucene_solr_spark.corpus import gen_corpus_df
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.index import merge as merge_mod
+    from lucene_solr_spark.index.merge import merge_postings
+    from lucene_solr_spark.codec import decode_doc_ids, decode_tfs
+
+    path = tmp_path / "salt"
+    build_index(spark, gen_corpus_df(spark, 120, seed=13), path,
+                segment_docs=60)
+    idx = open_index(spark, path)
+    dead_ids = np.arange(0, 120, 9, dtype=np.int64)
+    dead = spark.createDataFrame([(int(i),) for i in dead_ids],
+                                 "doc_id long")
+
+    def decoded(df):
+        out = {}
+        for r in df.collect():
+            d = decode_doc_ids(r["doc_ids_vb"])
+            t = decode_tfs(r["tfs_vb"])
+            out.setdefault(r["term"], []).extend(zip(d.tolist(), t.tolist()))
+        return {k: sorted(v) for k, v in out.items()}
+
+    base_b = decoded(merge_postings(idx.postings, 8, tombstone_ids=dead_ids))
+    base_d = decoded(merge_postings(idx.postings, 8, tombstones=dead,
+                                    broadcast_threshold=0))
+    monkeypatch.setattr(merge_mod, "_MERGE_CHUNK_SHIFT", 3)  # 8-doc chunks
+    salt_b = merge_postings(idx.postings, 8, tombstone_ids=dead_ids)
+    salt_d = merge_postings(idx.postings, 8, tombstones=dead,
+                            broadcast_threshold=0)
+    # semantic identity regardless of how many runs the sampled range
+    # boundaries actually produced (boundary placement is per-execution;
+    # the 5M-doc soak is the wall-clock evidence for the split itself)
+    assert decoded(salt_b) == base_b
+    assert decoded(salt_d) == base_d
+    assert base_b == base_d
