@@ -369,6 +369,27 @@ def _range_filter_blocks(blocks: DataFrame, ranges: np.ndarray) -> DataFrame:
     return blocks.filter(udf(F.col("first_doc"), F.col("last_doc")))
 
 
+def _doc_filter_blocks(blocks: DataFrame, ids: np.ndarray) -> DataFrame:
+    """Doc-level skip: keep only blocks whose [first_doc, last_doc] span
+    contains at least one of the given doc ids (small sorted array in
+    the UDF closure).  This is the prune that works where range-overlap
+    leapfrog cannot: a SPARSE term's 128-doc blocks each span a huge
+    doc-id range, so every dense-term block "overlaps" some range —
+    but only ~|ids| blocks can actually CONTAIN a candidate doc."""
+    ids = np.ascontiguousarray(np.sort(np.asarray(ids, dtype=np.int64)))
+
+    def _hits(first: pd.Series, last: pd.Series) -> pd.Series:
+        f = first.to_numpy(dtype=np.int64)
+        l = last.to_numpy(dtype=np.int64)
+        return pd.Series(
+            np.searchsorted(ids, l, side="right")
+            > np.searchsorted(ids, f, side="left")
+        )
+
+    udf = F.pandas_udf(_hits, "boolean")
+    return blocks.filter(udf(F.col("first_doc"), F.col("last_doc")))
+
+
 def _f32(col):
     """Quantize a score column at a scorer-node boundary (Lucene's
     ``return (float) sum``), keeping double as the carrier type."""

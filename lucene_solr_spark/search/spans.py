@@ -526,6 +526,100 @@ def unordered_near_spans_batch(
     return freq, (g[hit], s[hit], heads_max_end[hit], width[hit])
 
 
+#: pre-intersect only when the clause posting lists are big enough for
+#: the extra doc-decode pass to pay for itself (same rule as the phrase
+#: path's _PHRASE_PREINTERSECT_MIN_BLOCKS)
+_NEAR_PREINTERSECT_MIN_BLOCKS = 2048
+#: collect + broadcast the candidate doc set when the rarest clause's
+#: df (an upper bound on its size) fits comfortably on the driver
+_NEAR_CANDIDATES_COLLECT_MAX = 200_000
+
+
+def _near_term_candidates(
+    index: IndexView, q: "SpanNear",
+) -> "tuple[DataFrame, DataFrame | None] | None":
+    """For an all-SpanTerm SpanNear over big posting lists, the two
+    phrase-planner prunes, returned as ``(candidate_docs, blocks)``:
+
+    * ``blocks`` — every clause term's posting blocks leapfrog-filtered
+      to ranges overlapping the RAREST term's (first_doc, last_doc)
+      block spans (skip-list analog) — position bytes outside those
+      ranges are never even DECODED; None when the lead list is too
+      long to collect its ranges;
+    * ``candidate_docs`` — docs containing EVERY clause term, from the
+      positions-free doc-id decode of those blocks: span rows explode
+      and shuffle only for docs that can match.
+
+    None when the tree has non-term sub-spans or the lists are small."""
+    real = [c for c in q.clauses if not isinstance(c, SpanGap)]
+    if len(real) < 2 or not all(isinstance(c, SpanTerm) for c in real):
+        return None
+    uniq = list(dict.fromkeys(c.term for c in real))
+    if len(uniq) < 2:
+        return None
+    stats = {t: df for t, (df, _) in _leaf_stats_full(index, uniq).items()}
+    if len(stats) < len(uniq):
+        return None  # a term is absent: the near matches nothing anyway
+    total_blocks = sum((d + 127) // 128 for d in stats.values())
+    if total_blocks < _NEAR_PREINTERSECT_MIN_BLOCKS:
+        return None
+    from .executor import (_doc_filter_blocks, _leapfrog_union,
+                           postings_table)
+
+    lead = min(uniq, key=lambda t: stats[t])
+    if stats[lead] <= _NEAR_CANDIDATES_COLLECT_MAX:
+        # skip-list-style iterative intersection driven by the rarest
+        # list (Lucene's ConjunctionDISI order), distributed per step:
+        # decode the rare list fully (bounded collect), then for each
+        # denser term decode ONLY blocks containing a current candidate
+        # (doc-level block skip — range-overlap leapfrog is useless for
+        # a sparse lead, whose 128-doc blocks span ~n_docs/df ids each
+        # and "overlap" every dense block; measured at 5M docs: 16 rare
+        # blocks pruned NOTHING of 19k dense blocks, 61M position rows
+        # decoded in 78 s) and semi-join to the candidates before the
+        # bounded collect.  Ends with candidates = docs holding EVERY
+        # term, and a block set filtered to candidate-containing blocks,
+        # so position bytes decode only where a match is possible.
+        def _ids_df(ids):
+            return F.broadcast(index.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long"))
+
+        order = sorted(uniq, key=lambda t: stats[t])
+        ids = np.array(
+            sorted(int(r["doc_id"]) for r in
+                   postings_table(index, [order[0]]).select("doc_id")
+                   .collect()),
+            dtype=np.int64)
+        for t in order[1:]:
+            if ids.size == 0:
+                break
+            bt = _doc_filter_blocks(
+                index.postings.filter(F.col("term") == t), ids)
+            present = (
+                postings_table(index, [t], blocks=bt).select("doc_id")
+                .join(_ids_df(ids), "doc_id", "left_semi").collect()
+            )
+            ids = np.array(sorted(int(r["doc_id"]) for r in present),
+                           dtype=np.int64)
+        base = index.postings.filter(F.col("term").isin(uniq))
+        blocks = _doc_filter_blocks(base, ids)  # empty ids keep nothing
+        return _ids_df(ids), blocks
+
+    # dense-lead fallback: range leapfrog (best available without a
+    # bounded collect) + the distributed AND aggregation
+    blocks = None
+    if (stats[lead] + 127) // 128 <= 4096:  # same bound as the planners
+        blocks = _leapfrog_union(index, uniq, lead)
+    pt = postings_table(index, uniq, blocks=blocks)
+    cand = (
+        pt.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select("doc_id")
+    )
+    return cand, blocks
+
+
 def _pack_children(index: IndexView, children: list[DataFrame]) -> DataFrame:
     """Union child span frames tagged with a clause index, keep only docs
     containing EVERY clause (the AND pre-intersection), pack one row per
@@ -630,6 +724,30 @@ def spans_frame(index: IndexView, q) -> DataFrame:
         )
     if isinstance(q, SpanNear):
         _check_same_field(q)
+        # the phrase planner's two prunes, ported to spans: leapfrog
+        # block pruning by the rarest term's ranges (positions outside
+        # are never DECODED), then the AND pre-intersection on the
+        # positions-free decode (span rows explode/shuffle only for
+        # docs containing every clause term).  None for non-term
+        # sub-spans or small lists.
+        pre = _near_term_candidates(index, q)
+        cand, pruned = (None, None) if pre is None else pre
+
+        def child_frame(cl):
+            if pruned is not None and isinstance(cl, SpanTerm):
+                occ = occurrences_table(
+                    pruned.filter(F.col("term") == cl.term))
+                f = occ.select(
+                    "doc_id", "norm_byte", F.col("pos").alias("start"),
+                    (F.col("pos") + 1).alias("end"),
+                    F.lit(0).cast("long").alias("width"),
+                )
+            else:
+                f = spans_frame(index, cl)
+            if cand is not None:
+                f = f.join(cand, "doc_id", "left_semi")
+            return f
+
         if any(isinstance(c, SpanGap) for c in q.clauses):
             if not q.in_order:
                 raise ValueError("SpanGap requires in_order=True")
@@ -648,7 +766,7 @@ def spans_frame(index: IndexView, q) -> DataFrame:
                     gap_after.append(0)
             children = []
             for cl, g in zip(real, gap_after):
-                f = spans_frame(index, cl)
+                f = child_frame(cl)
                 if g:
                     # flush arrangement: the gap rides the preceding
                     # span's end; width (slop spend) is untouched
@@ -656,7 +774,7 @@ def spans_frame(index: IndexView, q) -> DataFrame:
                 children.append(f)
             q = SpanNear(*real, slop=q.slop, in_order=True, boost=q.boost)
         else:
-            children = [spans_frame(index, c) for c in q.clauses]
+            children = [child_frame(c) for c in q.clauses]
         if len(children) == 1:
             return children[0]
         if q.in_order:

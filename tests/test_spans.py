@@ -465,3 +465,29 @@ def test_span_gap(spark):
     finally:
         idx.postings.unpersist()
         idx.norms.unpersist()
+
+
+def test_near_preintersect_paths_rank_identical(engine, oracle, monkeypatch):
+    """The skip-list candidate path (iterative rare-list intersection +
+    doc-level block skip) and the dense-lead aggregation path must both
+    be rank/score-identical to the oracle — forced ON at small scale
+    where the block-count gate normally keeps them off."""
+    import lucene_solr_spark.search.spans as sp
+
+    queries = [
+        SpanNear(SpanTerm("def"), SpanTerm("class"), slop=3),
+        SpanNear(SpanTerm("def"), SpanTerm("return"), slop=5,
+                 in_order=False),
+        SpanNear(SpanTerm("def"), SpanTerm("class"), SpanTerm("return"),
+                 slop=8),
+        SpanNear(SpanTerm("zz_no_such_term"), SpanTerm("def"), slop=2),
+    ]
+    monkeypatch.setattr(sp, "_NEAR_PREINTERSECT_MIN_BLOCKS", 0)
+    # path A: iterative collect (small lead allowed)
+    monkeypatch.setattr(sp, "_NEAR_CANDIDATES_COLLECT_MAX", 10**9)
+    for q in queries:
+        assert _run(engine, q) == oracle.search(q, k=10), ("collect", q)
+    # path B: dense-lead fallback (collect disallowed)
+    monkeypatch.setattr(sp, "_NEAR_CANDIDATES_COLLECT_MAX", -1)
+    for q in queries:
+        assert _run(engine, q) == oracle.search(q, k=10), ("agg", q)
