@@ -303,3 +303,32 @@ def test_term_stats_memo(engine):
     after = sc.statusTracker().getJobIdsForGroup(None)
     assert again == fresh
     assert len(after) == len(before), "memoized lookup must not run a job"
+
+
+def test_phrase_conjunction_candidates_forced_identity(
+        spark, corpus, oracle, monkeypatch):
+    """Force the skip-list conjunction path (iterative rare-list
+    intersection + doc-level block skip) for exact AND sloppy phrases at
+    test scale: rank/score identical to the oracle; MultiPhrase must NOT
+    take it (any-alternative clause semantics)."""
+    from lucene_solr_spark.search import executor
+
+    monkeypatch.setattr(executor, "_PHRASE_PREINTERSECT_MIN_BLOCKS", 0)
+    monkeypatch.setattr(executor, "_CONJ_CANDIDATES_COLLECT_MAX", 10**9)
+    idx = build_index_view(
+        spark.createDataFrame(corpus[["doc_id", "content"]]),
+        id_col="doc_id", text_col="content",
+    )
+    try:
+        for q in [Phrase("def", "class"), Phrase("def", "class", slop=3),
+                  Phrase("def", "zz_missing_term"),
+                  Phrase("int", "new", boost=2.0, slop=1)]:
+            got = _run(idx, q)
+            assert got == oracle.search(q, k=10), q
+        from lucene_solr_spark.search.query import MultiPhrase
+
+        mp = MultiPhrase(("def",), ("class", "return"), slop=2)
+        assert _run(idx, mp) == oracle.search(mp, k=10)
+    finally:
+        idx.postings.unpersist()
+        idx.norms.unpersist()
