@@ -6643,6 +6643,10 @@ FR_STEM_WORDS = ("chevaux", "chantés", "baronnes", "hiboux",
                  "nationaux", "chanter")
 DE_STEM_WORDS = ("häusern", "kinder", "bücher", "hauses",
                  "kleinest", "schönste")
+ES_STEM_WORDS = ("casas", "veces", "ingleses", "tierra",
+                 "camión", "niños")
+IT_STEM_WORDS = ("ragazzi", "ragazzo", "vecchie", "grazie",
+                 "occhio", "storia")
 
 
 def q_french_minimal_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6699,6 +6703,69 @@ def q_german_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chain = Chain(pattern=LATIN_TOKEN_PATTERN,
                   steps=(german_light_stem_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_spanish_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanishLightStemFilter (Savoy light family) over a synthesized
+    Spanish corpus: accent fold, final o/a/e, -eses/-ces→z/vowel+s; the
+    oracle re-implements the RULES in SQL (CASE cascade)."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, spanish_light_stem_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("chico lunes hablar comer "),
+            F.element_at(F.array(*[F.lit(w) for w in ES_STEM_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(spanish_light_stem_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def q_italian_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ItalianLightStemFilter (Savoy light family) over a synthesized
+    Italian corpus: accent fold then the final-vowel table (-ie/-he/-hi/
+    -ii/-ia/-io drop two, bare vowel drops one); oracle re-implements
+    the RULES in SQL."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, italian_light_stem_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("pasta perché libri donne "),
+            F.element_at(F.array(*[F.lit(w) for w in IT_STEM_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(italian_light_stem_filter(),))
     idx = build_index_view(synth, id_col="doc_id", text_col="t",
                            analyzer=chain, cache=False)
     return (
@@ -7285,6 +7352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_minimal_dict": q_english_minimal_dict,
         "french_minimal_dict": q_french_minimal_dict,
         "german_light_dict": q_german_light_dict,
+        "spanish_light_dict": q_spanish_light_dict,
+        "italian_light_dict": q_italian_light_dict,
         "collation_sort": q_collation_sort,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
@@ -11772,6 +11841,72 @@ SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf
 FROM g2 GROUP BY term ORDER BY term""",
+        "spanish_light_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'chico lunes hablar comer ' ||
+           (['{"', '".join(ES_STEM_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS tok
+  FROM documents),
+folded AS (
+  SELECT doc_id, length(tok) < 5 AS short, tok,
+         translate(tok, 'àáâäèéêëìíîïòóôöùúûü',
+                        'aaaaeeeeiiiioooouuuu') AS t
+  FROM raw),
+stem AS (
+  SELECT doc_id, CASE
+    WHEN short THEN tok
+    WHEN substr(t, length(t), 1) IN ('o', 'a', 'e')
+      THEN substr(t, 1, length(t) - 1)
+    WHEN t LIKE '%eses' THEN substr(t, 1, length(t) - 2)
+    WHEN t LIKE '%ces' THEN substr(t, 1, length(t) - 3) || 'z'
+    WHEN t LIKE '%s' AND substr(t, length(t) - 1, 1) IN ('o', 'a', 'e')
+      THEN substr(t, 1, length(t) - 2)
+    ELSE t END AS term
+  FROM folded)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "italian_light_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'pasta perché libri donne ' ||
+           (['{"', '".join(IT_STEM_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS tok
+  FROM documents),
+folded AS (
+  SELECT doc_id, length(tok) < 6 AS short, tok,
+         translate(tok, 'àáâäèéêëìíîïòóôöùúûü',
+                        'aaaaeeeeiiiioooouuuu') AS t
+  FROM raw),
+stem AS (
+  SELECT doc_id, CASE
+    WHEN short THEN tok
+    WHEN substr(t, length(t), 1) = 'e' THEN
+      CASE WHEN substr(t, length(t) - 1, 1) IN ('i', 'h')
+           THEN substr(t, 1, length(t) - 2)
+           ELSE substr(t, 1, length(t) - 1) END
+    WHEN substr(t, length(t), 1) = 'i' THEN
+      CASE WHEN substr(t, length(t) - 1, 1) IN ('h', 'i')
+           THEN substr(t, 1, length(t) - 2)
+           ELSE substr(t, 1, length(t) - 1) END
+    WHEN substr(t, length(t), 1) = 'a' THEN
+      CASE WHEN substr(t, length(t) - 1, 1) = 'i'
+           THEN substr(t, 1, length(t) - 2)
+           ELSE substr(t, 1, length(t) - 1) END
+    WHEN substr(t, length(t), 1) = 'o' THEN
+      CASE WHEN substr(t, length(t) - 1, 1) = 'i'
+           THEN substr(t, 1, length(t) - 2)
+           ELSE substr(t, 1, length(t) - 1) END
+    ELSE t END AS term
+  FROM folded)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
         "capitalization_dict": f"""
 WITH {_TOK_CTE},
 cap AS (SELECT doc_id,

@@ -112,6 +112,10 @@ __all__ = [
     "french_minimal_stem_filter",
     "german_light_stem",
     "german_light_stem_filter",
+    "spanish_light_stem",
+    "spanish_light_stem_filter",
+    "italian_light_stem",
+    "italian_light_stem_filter",
     "icu_fold",
     "icu_folding_filter",
     "dictionary_compound_filter",
@@ -1441,6 +1445,69 @@ def german_light_stem_filter() -> Map:
     return Map(german_light_stem, "german_light_stem")
 
 
+_ES_FOLD = str.maketrans("àáâäèéêëìíîïòóôöùúûü", "aaaaeeeeiiiioooouuuu")
+
+
+def spanish_light_stem(t: str) -> str:
+    """Savoy's light Spanish stemmer ("Light stemming approaches for the
+    French, Portuguese, German and Hungarian languages", ACM SAC 2006
+    family; the algorithm behind ``[8x] lucene/analysis/common/src/java/
+    org/apache/lucene/analysis/es/SpanishLightStemFilter.java``): words
+    of length ≥ 5 fold accented vowels, then strip one inflection —
+    final ``o``/``a``/``e``; for final ``s``: ``-eses``→``-es``,
+    ``-ces``→``-z``, or vowel+``s`` dropped — ``casas``→``cas``,
+    ``veces``→``vez``, ``ingleses``→``ingles``."""
+    if len(t) < 5:
+        return t
+    t = t.translate(_ES_FOLD)
+    last = t[-1]
+    if last in "oae":
+        return t[:-1]
+    if last == "s":
+        if t.endswith("eses"):
+            return t[:-2]
+        if t.endswith("ces"):
+            return t[:-3] + "z"
+        if t[-2] in "oae":
+            return t[:-2]
+    return t
+
+
+def spanish_light_stem_filter() -> Map:
+    """SpanishLightStemFilter: :func:`spanish_light_stem` in the Map
+    slot."""
+    return Map(spanish_light_stem, "spanish_light_stem")
+
+
+def italian_light_stem(t: str) -> str:
+    """Savoy's light Italian stemmer (same SAC 2006 family; the
+    algorithm behind ``[8x] lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/it/ItalianLightStemFilter.java``): words of length
+    ≥ 6 fold accented vowels, then strip the final inflection vowel —
+    ``-ie``/``-he``→2 chars, else ``-e``→1; ``-hi``/``-ii``→2, else
+    ``-i``→1; ``-ia``→2, else ``-a``→1; ``-io``→2, else ``-o``→1 —
+    ``ragazzi``→``ragazz``, ``vecchie``→``vecc``."""
+    if len(t) < 6:
+        return t
+    t = t.translate(_ES_FOLD)
+    last, prev = t[-1], t[-2]
+    if last == "e":
+        return t[:-2] if prev in "ih" else t[:-1]
+    if last == "i":
+        return t[:-2] if prev in "hi" else t[:-1]
+    if last == "a":
+        return t[:-2] if prev == "i" else t[:-1]
+    if last == "o":
+        return t[:-2] if prev == "i" else t[:-1]
+    return t
+
+
+def italian_light_stem_filter() -> Map:
+    """ItalianLightStemFilter: :func:`italian_light_stem` in the Map
+    slot."""
+    return Map(italian_light_stem, "italian_light_stem")
+
+
 # ---------------------------------------------------------------------------
 # the chain
 # ---------------------------------------------------------------------------
@@ -1889,7 +1956,8 @@ def chain_spec(chain: Chain) -> dict | None:
             "porter", "ascii_fold", "soundex", "lowercase",
             "capitalization", "decimal_digit", "english_possessive",
             "english_minimal_stem", "french_minimal_stem",
-            "german_light_stem", "icu_fold",
+            "german_light_stem", "spanish_light_stem",
+            "italian_light_stem", "icu_fold",
         ):
             steps.append({"kind": step.name})
         elif isinstance(step, Map) and step.name == "porter_protected":
@@ -2076,6 +2144,10 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(french_minimal_stem_filter())
         elif kind == "german_light_stem":
             steps.append(german_light_stem_filter())
+        elif kind == "spanish_light_stem":
+            steps.append(spanish_light_stem_filter())
+        elif kind == "italian_light_stem":
+            steps.append(italian_light_stem_filter())
         elif kind == "icu_fold":
             steps.append(icu_folding_filter())
         elif kind == "synonym":

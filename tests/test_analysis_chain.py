@@ -1242,18 +1242,53 @@ def test_german_light_stem_vectors():
     assert s("hands") == "hand"           # s after valid consonant
 
 
+def test_spanish_light_stem_vectors():
+    """Savoy-family light Spanish stemmer on standard vectors."""
+    from lucene_solr_spark.analysis import spanish_light_stem as s
+
+    assert s("casas") == "cas"            # vowel + s
+    assert s("tierra") == "tierr"         # final vowel
+    assert s("casa") == "casa"            # len 4 < 5 untouched
+    assert s("veces") == "vez"            # -ces -> -z
+    assert s("ingleses") == "ingles"      # -eses -> -es
+    assert s("camión") == "camion"        # accent fold, no suffix
+    assert s("niños") == "niñ"            # vowel + s dropped (ñ kept)
+    assert s("chica") == "chic"
+    assert s("real") == "real"            # len 4 < 5 untouched
+    assert s("jugar") == "jugar"          # consonant ending kept
+
+
+def test_italian_light_stem_vectors():
+    """Savoy-family light Italian stemmer on standard vectors."""
+    from lucene_solr_spark.analysis import italian_light_stem as s
+
+    assert s("ragazzi") == "ragazz"       # plain -i
+    assert s("ragazzo") == "ragazz"       # plain -o
+    assert s("ragazza") == "ragazz"       # plain -a
+    assert s("vecchie") == "vecch"        # -he -> drop 2
+    assert s("grazie") == "graz"          # -ie -> drop 2
+    assert s("vecchi") == "vecc"          # -hi -> drop 2
+    assert s("occhio") == "occh"          # -io -> drop 2
+    assert s("storia") == "stor"          # -ia -> drop 2
+    assert s("perché") == "perc"          # accent fold then -he
+    assert s("pasta") == "pasta"          # len 5 < 6 untouched
+
+
 def test_nonenglish_stem_chain_property_and_spec():
     """Vectorized flat path == per-doc reference for both new stemmer
     steps; chain spec round-trips them by name."""
     from lucene_solr_spark.analysis import (
         LATIN_TOKEN_PATTERN, Chain, chain_from_spec, chain_spec,
         french_minimal_stem_filter, german_light_stem_filter,
+        italian_light_stem_filter, spanish_light_stem_filter,
     )
 
-    for step in (french_minimal_stem_filter(), german_light_stem_filter()):
+    for step in (french_minimal_stem_filter(), german_light_stem_filter(),
+                 spanish_light_stem_filter(), italian_light_stem_filter()):
         chain = Chain(steps=(step,), pattern=LATIN_TOKEN_PATTERN)
         texts = ["chevaux chantés baronnes hiboux",
                  "häusern kinder bücher hauses kleinest",
+                 "casas veces ingleses ragazzi vecchie occhio",
                  "", "mixed chevaux häuser words"]
         terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
         got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
