@@ -6776,6 +6776,74 @@ def q_italian_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rotating vocab for the hunspell entry — each surface form resolves
+#: to exactly one stem (or passes through), so the oracle can mirror
+#: the affix-undo rules as a CASE cascade
+HS_STEM_WORDS = ("reworked", "tries", "studied", "plays", "moved",
+                 "rewalks")
+#: the sample dictionary (classic hunspell man-page affix set)
+HS_AFF = """
+PFX A Y 1
+PFX A   0     re         .
+
+SFX D Y 4
+SFX D   0     d          e
+SFX D   y     ied        [^aeiou]y
+SFX D   0     ed         [^ey]
+SFX D   0     ed         [aeiou]y
+
+SFX S Y 4
+SFX S   y     ies        [^aeiou]y
+SFX S   0     s          [aeiou]y
+SFX S   0     es         [sxzh]
+SFX S   0     s          [^sxzhy]
+"""
+HS_DIC = """9
+hello
+try/S
+work/ADS
+walk/ADS
+play/DS
+box/S
+study/DS
+create/DS
+move/DS
+"""
+
+
+def q_hunspell_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HunspellStemFilter over a synthesized corpus: affix-undo
+    stemming against a .aff/.dic pair (suffix rules, the re- prefix,
+    and prefix×suffix cross-products); the oracle re-implements the
+    affix RULES as an independent SQL CASE cascade with the
+    dictionary's flag sets inlined."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, hunspell_stem_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("hello worked boxes "),
+            F.element_at(F.array(*[F.lit(w) for w in HS_STEM_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(hunspell_stem_filter(HS_AFF, HS_DIC),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: accented/width/case vocab for the collation entry, in SYNTH order
 #: (doc_id % 14 picks one); the oracle hand-specifies the expected
 #: root-collation order — an independent statement of UCA-level
@@ -7354,6 +7422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "german_light_dict": q_german_light_dict,
         "spanish_light_dict": q_spanish_light_dict,
         "italian_light_dict": q_italian_light_dict,
+        "hunspell_dict": q_hunspell_dict,
         "collation_sort": q_collation_sort,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
@@ -11903,6 +11972,92 @@ stem AS (
            ELSE substr(t, 1, length(t) - 1) END
     ELSE t END AS term
   FROM folded)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "hunspell_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'hello worked boxes ' ||
+           (['{"', '".join(HS_STEM_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS tok
+  FROM documents),
+stem AS (
+  SELECT doc_id, CASE
+    -- identity: token is itself a dictionary entry
+    WHEN tok IN ('hello', 'try', 'work', 'walk', 'play', 'box',
+                 'study', 'create', 'move') THEN tok
+    -- SFX D: 0/d after e
+    WHEN tok LIKE '%d' AND length(tok) > 1
+         AND regexp_matches(substr(tok, 1, length(tok) - 1), 'e$')
+         AND substr(tok, 1, length(tok) - 1)
+             IN ('work', 'walk', 'play', 'study', 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 1)
+    -- SFX D: y/ied after [^aeiou]y
+    WHEN tok LIKE '%ied' AND length(tok) > 3
+         AND regexp_matches(substr(tok, 1, length(tok) - 3) || 'y',
+                            '[^aeiou]y$')
+         AND substr(tok, 1, length(tok) - 3) || 'y'
+             IN ('work', 'walk', 'play', 'study', 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 3) || 'y'
+    -- SFX D: 0/ed after [^ey]
+    WHEN tok LIKE '%ed' AND length(tok) > 2
+         AND regexp_matches(substr(tok, 1, length(tok) - 2), '[^ey]$')
+         AND substr(tok, 1, length(tok) - 2)
+             IN ('work', 'walk', 'play', 'study', 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 2)
+    -- SFX D: 0/ed after [aeiou]y
+    WHEN tok LIKE '%ed' AND length(tok) > 2
+         AND regexp_matches(substr(tok, 1, length(tok) - 2), '[aeiou]y$')
+         AND substr(tok, 1, length(tok) - 2)
+             IN ('work', 'walk', 'play', 'study', 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 2)
+    -- SFX S: y/ies after [^aeiou]y
+    WHEN tok LIKE '%ies' AND length(tok) > 3
+         AND regexp_matches(substr(tok, 1, length(tok) - 3) || 'y',
+                            '[^aeiou]y$')
+         AND substr(tok, 1, length(tok) - 3) || 'y'
+             IN ('try', 'work', 'walk', 'play', 'box', 'study',
+                 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 3) || 'y'
+    -- SFX S: 0/s after [aeiou]y
+    WHEN tok LIKE '%s' AND length(tok) > 1
+         AND regexp_matches(substr(tok, 1, length(tok) - 1), '[aeiou]y$')
+         AND substr(tok, 1, length(tok) - 1)
+             IN ('try', 'work', 'walk', 'play', 'box', 'study',
+                 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 1)
+    -- SFX S: 0/es after [sxzh]
+    WHEN tok LIKE '%es' AND length(tok) > 2
+         AND regexp_matches(substr(tok, 1, length(tok) - 2), '[sxzh]$')
+         AND substr(tok, 1, length(tok) - 2)
+             IN ('try', 'work', 'walk', 'play', 'box', 'study',
+                 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 2)
+    -- SFX S: 0/s after [^sxzhy]
+    WHEN tok LIKE '%s' AND length(tok) > 1
+         AND regexp_matches(substr(tok, 1, length(tok) - 1), '[^sxzhy]$')
+         AND substr(tok, 1, length(tok) - 1)
+             IN ('try', 'work', 'walk', 'play', 'box', 'study',
+                 'create', 'move')
+      THEN substr(tok, 1, length(tok) - 1)
+    -- cross-product: re- prefix + SFX D 0/ed (A∩D words)
+    WHEN tok LIKE 're%ed' AND length(tok) > 4
+         AND regexp_matches(substr(tok, 3, length(tok) - 4), '[^ey]$')
+         AND substr(tok, 3, length(tok) - 4) IN ('work', 'walk')
+      THEN substr(tok, 3, length(tok) - 4)
+    -- cross-product: re- prefix + SFX S 0/s (A∩S words)
+    WHEN tok LIKE 're%s' AND length(tok) > 3
+         AND regexp_matches(substr(tok, 3, length(tok) - 3), '[^sxzhy]$')
+         AND substr(tok, 3, length(tok) - 3) IN ('work', 'walk')
+      THEN substr(tok, 3, length(tok) - 3)
+    -- PFX A alone (A-flagged words)
+    WHEN tok LIKE 're%' AND length(tok) > 2
+         AND substr(tok, 3) IN ('work', 'walk') THEN substr(tok, 3)
+    ELSE tok END AS term
+  FROM raw)
 SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf

@@ -116,6 +116,7 @@ __all__ = [
     "spanish_light_stem_filter",
     "italian_light_stem",
     "italian_light_stem_filter",
+    "hunspell_stem_filter",
     "icu_fold",
     "icu_folding_filter",
     "dictionary_compound_filter",
@@ -1508,6 +1509,32 @@ def italian_light_stem_filter() -> Map:
     return Map(italian_light_stem, "italian_light_stem")
 
 
+def hunspell_stem_filter(aff: str, dic: str,
+                         longest_only: bool = False) -> Expand:
+    """HunspellStemFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/hunspell/HunspellStemFilter.java``): tokens
+    with dictionary stems are replaced by ALL their stems at the same
+    position (``longest_only`` keeps only the longest, the filter's
+    ``longestOnly`` flag); tokens without stems pass through.  Because
+    the index stores stems, query-side analysis must expand query terms
+    through the same dictionary (``query_expand=True`` — the engine
+    builds an Or over a term's stems, Lucene's SynonymQuery shape).
+    The parsed dictionary lives in the Expand closure; ``params``
+    carries the raw .aff/.dic text so the chain spec round-trips
+    through the index manifest."""
+    from .hunspell import HunspellDictionary
+
+    d = HunspellDictionary(aff, dic)
+    lo = bool(longest_only)
+
+    def fn(t: str) -> tuple:
+        st = d.stems(t, longest_only=lo)
+        return st if st else (t,)
+
+    return Expand(fn, "hunspell_stem", params=(aff, dic, lo),
+                  query_expand=True)
+
+
 # ---------------------------------------------------------------------------
 # the chain
 # ---------------------------------------------------------------------------
@@ -1983,6 +2010,10 @@ def chain_spec(chain: Chain) -> dict | None:
         elif isinstance(step, Expand) and step.name == "keyword_repeat_stem":
             steps.append({"kind": "keyword_repeat_stem",
                           "protected": list(step.params[0])})
+        elif isinstance(step, Expand) and step.name == "hunspell_stem":
+            steps.append({"kind": "hunspell_stem", "aff": step.params[0],
+                          "dic": step.params[1],
+                          "longest_only": step.params[2]})
         elif isinstance(step, Expand) and step.name == "word_delimiter":
             preserve, cat = step.params
             steps.append({"kind": "word_delimiter", "preserve_original": preserve,
@@ -2148,6 +2179,9 @@ def chain_from_spec(spec: dict) -> Chain:
             steps.append(spanish_light_stem_filter())
         elif kind == "italian_light_stem":
             steps.append(italian_light_stem_filter())
+        elif kind == "hunspell_stem":
+            steps.append(hunspell_stem_filter(
+                s["aff"], s["dic"], s.get("longest_only", False)))
         elif kind == "icu_fold":
             steps.append(icu_folding_filter())
         elif kind == "synonym":

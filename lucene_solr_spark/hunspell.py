@@ -1,0 +1,175 @@
+"""Hunspell-style dictionary stemming.
+
+Re-expresses, Spark-first, the behavior of Lucene's Hunspell analysis
+family (``[8x] lucene/analysis/common/src/java/org/apache/lucene/
+analysis/hunspell/Dictionary.java``, ``Stemmer.java``,
+``HunspellStemFilter.java``): a spelling dictionary (``.dic``) plus
+affix rules (``.aff``) define, for each surface form, the set of
+dictionary stems reachable by undoing affixation — remove a suffix
+rule's ``append``, re-add its ``strip``, check the rule's condition
+against the reconstructed base, and accept when the base is a
+dictionary entry carrying the rule's flag (symmetrically for
+prefixes; a prefix and suffix may be undone together only when BOTH
+rules are cross-product ``Y``, hunspell's cross-product semantics).
+
+Like ``HunspellStemFilter``, a token with at least one stem is
+REPLACED by its stems (all at the same position, first stem first);
+a token with no stem passes through unchanged.  ``longest_only``
+mirrors the filter's ``longestOnly`` ctor flag.
+
+Subset notes (documented, deliberate): single-level affix removal —
+no continuation classes / two-fold suffix stripping, and none of the
+spell-checking-only directives (REP, MAP, TRY, COMPOUND*, ICONV),
+which do not affect stemming.  FLAG is the hunspell default
+(single character).  This is the portion of the format Lucene's own
+Stemmer exercises for analysis purposes.
+
+The expansion runs in the analysis chain's ``Expand`` slot: the rule
+table and word list are closure state applied per UNIQUE token per
+Arrow batch (vectorized like every chain step), so executors never
+re-parse the dictionary and the cost is O(#affix rules) per distinct
+term — the same probe loop hunspell runs per token, amortized.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+__all__ = ["AffixRule", "HunspellDictionary"]
+
+
+@dataclass(frozen=True)
+class AffixRule:
+    """One SFX/PFX rule line: undoing it maps a surface form back to a
+    candidate base (``strip``/``append`` swap roles vs generation)."""
+
+    kind: str        # "SFX" | "PFX"
+    flag: str        # single-char continuation flag
+    strip: str       # chars the rule removed from the base ("" for 0)
+    append: str      # chars the rule appended to the base
+    condition: str   # hunspell condition pattern ("." = always)
+    cross: bool      # rule participates in prefix×suffix cross-products
+
+    def __post_init__(self):
+        # compile once; a suffix condition anchors at the END of the
+        # base word, a prefix condition at the START
+        if self.condition in (".", ""):
+            rx = None
+        elif self.kind == "SFX":
+            rx = re.compile(f"(?:{self.condition})$")
+        else:
+            rx = re.compile(f"^(?:{self.condition})")
+        object.__setattr__(self, "_cond_re", rx)
+
+    def undo(self, token: str) -> str | None:
+        """Reconstruct the base this rule would have generated ``token``
+        from, or None when the rule cannot apply."""
+        if not self.append:
+            return None
+        if self.kind == "SFX":
+            if not token.endswith(self.append):
+                return None
+            base = token[: len(token) - len(self.append)] + self.strip
+        else:
+            if not token.startswith(self.append):
+                return None
+            base = self.strip + token[len(self.append):]
+        if not base:
+            return None
+        if self._cond_re is not None and not self._cond_re.search(base):
+            return None
+        return base
+
+
+class HunspellDictionary:
+    """Parsed ``.aff`` + ``.dic`` pair with the stem lookup."""
+
+    def __init__(self, aff: str, dic: str):
+        self.prefixes: list[AffixRule] = []
+        self.suffixes: list[AffixRule] = []
+        self._parse_aff(aff)
+        #: word → frozenset of flag chars
+        self.words: dict[str, frozenset] = {}
+        self._parse_dic(dic)
+
+    # -- parsing ----------------------------------------------------------
+
+    def _parse_aff(self, aff: str) -> None:
+        cross_by_flag: dict[tuple, bool] = {}
+        for line in aff.splitlines():
+            parts = line.split("#", 1)[0].split()
+            if not parts or parts[0] not in ("SFX", "PFX"):
+                continue
+            kind = parts[0]
+            if len(parts) == 4 and parts[3].isdigit():
+                # header: SFX flag cross_product count
+                cross_by_flag[(kind, parts[1])] = parts[2] == "Y"
+                continue
+            if len(parts) < 4:
+                raise ValueError(f"malformed affix line: {line!r}")
+            flag, strip, append = parts[1], parts[2], parts[3]
+            condition = parts[4] if len(parts) > 4 else "."
+            # generated appends may carry their own continuation flags
+            # after '/': stemming undoes only the affix text
+            append = append.split("/", 1)[0]
+            rule = AffixRule(
+                kind=kind,
+                flag=flag,
+                strip="" if strip == "0" else strip,
+                append="" if append == "0" else append,
+                condition=condition,
+                cross=cross_by_flag.get((kind, flag), False),
+            )
+            (self.suffixes if kind == "SFX" else self.prefixes).append(rule)
+
+    def _parse_dic(self, dic: str) -> None:
+        lines = dic.splitlines()
+        start = 0
+        if lines and lines[0].strip().isdigit():
+            start = 1  # leading entry-count line
+        for line in lines[start:]:
+            entry = line.split("#", 1)[0].strip()
+            if not entry:
+                continue
+            word, _, flags = entry.partition("/")
+            self.words[word] = frozenset(flags)
+
+    # -- stemming ---------------------------------------------------------
+
+    def _has(self, word: str, flag: str) -> bool:
+        fl = self.words.get(word)
+        return fl is not None and flag in fl
+
+    def stems(self, token: str, longest_only: bool = False) -> tuple:
+        """All dictionary stems of ``token`` (first-found order,
+        deduplicated): the token itself when it is an entry, then
+        single-suffix, cross-product (suffix+prefix), and
+        single-prefix reconstructions."""
+        out: list[str] = []
+        if token in self.words:
+            out.append(token)
+        for sr in self.suffixes:
+            base = sr.undo(token)
+            if base is None:
+                continue
+            if self._has(base, sr.flag):
+                out.append(base)
+            if sr.cross:
+                for pr in self.prefixes:
+                    if not pr.cross:
+                        continue
+                    b2 = pr.undo(base)
+                    if (b2 is not None and self._has(b2, pr.flag)
+                            and self._has(b2, sr.flag)):
+                        out.append(b2)
+        for pr in self.prefixes:
+            base = pr.undo(token)
+            if base is not None and self._has(base, pr.flag):
+                out.append(base)
+        seen: set = set()
+        uniq = [w for w in out if not (w in seen or seen.add(w))]
+        if longest_only and uniq:
+            top = max(len(w) for w in uniq)
+            uniq = [w for w in uniq if len(w) == top]
+        return tuple(uniq)

@@ -1300,6 +1300,88 @@ def test_nonenglish_stem_chain_property_and_spec():
         assert rt.tokens("chevaux häusern") == chain.tokens("chevaux häusern")
 
 
+HUNSPELL_AFF = """
+SET UTF-8
+PFX A Y 1
+PFX A   0     re         .
+
+SFX D Y 4
+SFX D   0     d          e
+SFX D   y     ied        [^aeiou]y
+SFX D   0     ed         [^ey]
+SFX D   0     ed         [aeiou]y
+
+SFX S Y 4
+SFX S   y     ies        [^aeiou]y
+SFX S   0     s          [aeiou]y
+SFX S   0     es         [sxzh]
+SFX S   0     s          [^sxzhy]
+"""
+HUNSPELL_DIC = """9
+hello
+try/S
+work/ADS
+walk/ADS
+play/DS
+box/S
+study/DS
+create/DS
+move/DS
+"""
+
+
+def test_hunspell_stem_vectors():
+    """Affix-undo semantics on the classic hunspell sample dictionary."""
+    from lucene_solr_spark.hunspell import HunspellDictionary
+
+    d = HunspellDictionary(HUNSPELL_AFF, HUNSPELL_DIC)
+    assert d.stems("worked") == ("work",)       # SFX 0/ed [^ey]
+    assert d.stems("tries") == ("try",)         # SFX y/ies [^aeiou]y
+    assert d.stems("studied") == ("study",)     # SFX y/ied
+    assert d.stems("boxes") == ("box",)         # SFX 0/es [sxzh]
+    assert d.stems("plays") == ("play",)        # SFX 0/s [aeiou]y
+    assert d.stems("moved") == ("move",)        # SFX 0/d e
+    assert d.stems("walks") == ("walk",)        # SFX 0/s [^sxzhy]
+    assert d.stems("reworked") == ("work",)     # cross-product PFX+SFX
+    assert d.stems("rewalks") == ("walk",)
+    assert d.stems("hello") == ("hello",)       # identity entry
+    assert d.stems("work") == ("work",)
+    assert d.stems("replay") == ()              # play lacks the A flag
+    assert d.stems("xyz") == ()
+    assert d.stems("es") == ()                  # empty base guarded
+
+
+def test_hunspell_chain_property_and_spec():
+    """Expand-slot filter: tokens with stems are REPLACED by all stems,
+    others pass through; vectorized flat path == per-doc reference;
+    spec round-trips the raw .aff/.dic text."""
+    from lucene_solr_spark.analysis import (
+        LATIN_TOKEN_PATTERN, Chain, chain_from_spec, chain_spec,
+        hunspell_stem_filter,
+    )
+
+    step = hunspell_stem_filter(HUNSPELL_AFF, HUNSPELL_DIC)
+    chain = Chain(steps=(step,), pattern=LATIN_TOKEN_PATTERN)
+    assert [t for t, _ in chain.tokens("worked replay hello")] == [
+        "work", "replay", "hello"]
+    texts = ["worked reworked tries studied boxes",
+             "plays played moved created walks rewalks",
+             "", "hello replay xyz work"]
+    terms, row_idx, pos, dl = _flat_from_tokens(chain, texts)
+    got = sorted(zip(terms.tolist(), row_idx.tolist(), pos.tolist()))
+    want = sorted((t, r, p) for r, text in enumerate(texts)
+                  for t, p in chain.tokens(text))
+    assert got == want
+    rt = chain_from_spec(chain_spec(chain))
+    assert [st.name for st in rt.steps] == ["hunspell_stem"]
+    assert rt.tokens("reworked boxes") == chain.tokens("reworked boxes")
+    # longest_only keeps the longest stem only
+    lo = hunspell_stem_filter(HUNSPELL_AFF, HUNSPELL_DIC, longest_only=True)
+    ch2 = chain_from_spec(chain_spec(
+        Chain(steps=(lo,), pattern=LATIN_TOKEN_PATTERN)))
+    assert ch2.steps[0].params[2] is True
+
+
 def test_icu_fold_vectors():
     """ICU-style folding: width (NFKC), full case fold, diacritics."""
     from lucene_solr_spark.analysis import icu_fold
