@@ -6776,6 +6776,43 @@ def q_italian_light_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PT_STEM_WORDS = ("balões", "normais", "papéis", "lençóis", "barris",
+                 "flores")
+
+
+def q_portuguese_minimal_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PortugueseMinimalStemFilter (RSLP plural step, Orengo & Huyck
+    2001) over a synthesized Portuguese corpus; the oracle
+    re-implements the rule TABLE (longest suffix first, exception
+    fall-through, min-stem guards) as an independent SQL CASE
+    cascade."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, portuguese_minimal_stem_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("casas livros lápis país bons leis "),
+            F.element_at(F.array(*[F.lit(w) for w in PT_STEM_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(portuguese_minimal_stem_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: rotating vocab for the hunspell entry — each surface form resolves
 #: to exactly one stem (or passes through), so the oracle can mirror
 #: the affix-undo rules as a CASE cascade
@@ -7423,6 +7460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanish_light_dict": q_spanish_light_dict,
         "italian_light_dict": q_italian_light_dict,
         "hunspell_dict": q_hunspell_dict,
+        "portuguese_minimal_dict": q_portuguese_minimal_dict,
         "collation_sort": q_collation_sort,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
@@ -11972,6 +12010,52 @@ stem AS (
            ELSE substr(t, 1, length(t) - 1) END
     ELSE t END AS term
   FROM folded)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "portuguese_minimal_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'casas livros lápis país bons leis ' ||
+           (['{"', '".join(PT_STEM_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS t
+  FROM documents),
+stem AS (
+  SELECT doc_id, CASE
+    WHEN t LIKE '%ões' AND length(t) - 3 >= 3
+      THEN substr(t, 1, length(t) - 3) || 'ão'
+    WHEN t LIKE '%ães' AND t <> 'mães' AND length(t) - 3 >= 1
+      THEN substr(t, 1, length(t) - 3) || 'ão'
+    WHEN t LIKE '%ais' AND t NOT IN ('cais', 'mais') AND length(t) - 3 >= 1
+      THEN substr(t, 1, length(t) - 3) || 'al'
+    WHEN t LIKE '%éis' AND length(t) - 3 >= 2
+      THEN substr(t, 1, length(t) - 3) || 'el'
+    WHEN t LIKE '%eis' AND length(t) - 3 >= 2
+      THEN substr(t, 1, length(t) - 3) || 'el'
+    WHEN t LIKE '%óis' AND length(t) - 3 >= 2
+      THEN substr(t, 1, length(t) - 3) || 'ol'
+    WHEN t LIKE '%is'
+         AND t NOT IN ('lápis', 'cais', 'mais', 'crúcis', 'biquínis',
+                       'pois', 'depois', 'dois', 'leis', 'país')
+         AND length(t) - 2 >= 2
+      THEN substr(t, 1, length(t) - 2) || 'il'
+    WHEN t LIKE '%les' AND length(t) - 3 >= 3
+      THEN substr(t, 1, length(t) - 3) || 'l'
+    WHEN t LIKE '%res' AND t <> 'árvores' AND length(t) - 3 >= 3
+      THEN substr(t, 1, length(t) - 3) || 'r'
+    WHEN t LIKE '%ns' AND length(t) - 2 >= 1
+      THEN substr(t, 1, length(t) - 2) || 'm'
+    WHEN t LIKE '%s'
+         AND t NOT IN ('aliás', 'pires', 'lápis', 'cais', 'mais', 'mas',
+                       'menos', 'férias', 'fezes', 'pêsames', 'crúcis',
+                       'gás', 'atrás', 'moisés', 'através', 'convés',
+                       'ês', 'país', 'após', 'ambas', 'ambos', 'messias')
+         AND length(t) - 1 >= 2
+      THEN substr(t, 1, length(t) - 1)
+    ELSE t END AS term
+  FROM raw)
 SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf

@@ -117,6 +117,8 @@ __all__ = [
     "italian_light_stem",
     "italian_light_stem_filter",
     "hunspell_stem_filter",
+    "portuguese_minimal_stem",
+    "portuguese_minimal_stem_filter",
     "icu_fold",
     "icu_folding_filter",
     "dictionary_compound_filter",
@@ -1509,6 +1511,56 @@ def italian_light_stem_filter() -> Map:
     return Map(italian_light_stem, "italian_light_stem")
 
 
+#: RSLP plural-reduction table (suffix, min stem chars, replacement,
+#: full-word exceptions) — Orengo & Huyck, "A stemming algorithm for
+#: the Portuguese language", SPIRE 2001; the step behind ``[8x]
+#: lucene/analysis/common/src/java/org/apache/lucene/analysis/pt/
+#: PortugueseMinimalStemFilter.java`` (plural-only RSLP).  Longest
+#: overlapping suffixes listed first; at most one rule applies.
+_PT_PLURAL_RULES = (
+    ("ões", 3, "ão", frozenset()),
+    ("ães", 1, "ão", frozenset({"mães"})),
+    ("ais", 1, "al", frozenset({"cais", "mais"})),
+    ("éis", 2, "el", frozenset()),
+    ("eis", 2, "el", frozenset()),
+    ("óis", 2, "ol", frozenset()),
+    ("is", 2, "il", frozenset({"lápis", "cais", "mais", "crúcis",
+                               "biquínis", "pois", "depois", "dois",
+                               "leis", "país"})),
+    ("les", 3, "l", frozenset()),
+    ("res", 3, "r", frozenset({"árvores"})),
+    ("ns", 1, "m", frozenset()),
+    ("s", 2, "", frozenset({"aliás", "pires", "lápis", "cais", "mais",
+                            "mas", "menos", "férias", "fezes",
+                            "pêsames", "crúcis", "gás", "atrás",
+                            "moisés", "através", "convés", "ês",
+                            "país", "após", "ambas", "ambos",
+                            "messias"})),
+)
+
+
+def portuguese_minimal_stem(t: str) -> str:
+    """RSLP plural reduction: the first rule that FULLY applies (suffix
+    matches, the word is not in the rule's exception list, and the
+    remaining stem meets the rule's minimum length) rewrites the suffix;
+    a rule that matches but fails its conditions falls through to later
+    rules, exactly RSLPStemmerBase's scan — ``balões``→``balão``,
+    ``normais``→``normal``, ``bons``→``bom``, ``leis``→``lei`` (is-rule
+    excepted, s-rule applies), ``lápis``→``lápis`` (excepted from
+    both)."""
+    for suffix, min_stem, repl, exceptions in _PT_PLURAL_RULES:
+        if (t.endswith(suffix) and t not in exceptions
+                and len(t) - len(suffix) >= min_stem):
+            return t[: len(t) - len(suffix)] + repl
+    return t
+
+
+def portuguese_minimal_stem_filter() -> Map:
+    """PortugueseMinimalStemFilter: :func:`portuguese_minimal_stem` in
+    the Map slot."""
+    return Map(portuguese_minimal_stem, "portuguese_minimal_stem")
+
+
 def hunspell_stem_filter(aff: str, dic: str,
                          longest_only: bool = False) -> Expand:
     """HunspellStemFilter (``[8x] lucene/analysis/common/src/java/org/
@@ -1984,7 +2036,7 @@ def chain_spec(chain: Chain) -> dict | None:
             "capitalization", "decimal_digit", "english_possessive",
             "english_minimal_stem", "french_minimal_stem",
             "german_light_stem", "spanish_light_stem",
-            "italian_light_stem", "icu_fold",
+            "italian_light_stem", "portuguese_minimal_stem", "icu_fold",
         ):
             steps.append({"kind": step.name})
         elif isinstance(step, Map) and step.name == "porter_protected":
@@ -2182,6 +2234,8 @@ def chain_from_spec(spec: dict) -> Chain:
         elif kind == "hunspell_stem":
             steps.append(hunspell_stem_filter(
                 s["aff"], s["dic"], s.get("longest_only", False)))
+        elif kind == "portuguese_minimal_stem":
+            steps.append(portuguese_minimal_stem_filter())
         elif kind == "icu_fold":
             steps.append(icu_folding_filter())
         elif kind == "synonym":

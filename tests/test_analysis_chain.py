@@ -1280,11 +1280,13 @@ def test_nonenglish_stem_chain_property_and_spec():
     from lucene_solr_spark.analysis import (
         LATIN_TOKEN_PATTERN, Chain, chain_from_spec, chain_spec,
         french_minimal_stem_filter, german_light_stem_filter,
-        italian_light_stem_filter, spanish_light_stem_filter,
+        italian_light_stem_filter, portuguese_minimal_stem_filter,
+        spanish_light_stem_filter,
     )
 
     for step in (french_minimal_stem_filter(), german_light_stem_filter(),
-                 spanish_light_stem_filter(), italian_light_stem_filter()):
+                 spanish_light_stem_filter(), italian_light_stem_filter(),
+                 portuguese_minimal_stem_filter()):
         chain = Chain(steps=(step,), pattern=LATIN_TOKEN_PATTERN)
         texts = ["chevaux chantés baronnes hiboux",
                  "häusern kinder bücher hauses kleinest",
@@ -1298,6 +1300,29 @@ def test_nonenglish_stem_chain_property_and_spec():
         rt = chain_from_spec(chain_spec(chain))
         assert [st.name for st in rt.steps] == [step.name]
         assert rt.tokens("chevaux häusern") == chain.tokens("chevaux häusern")
+
+
+def test_portuguese_minimal_stem_vectors():
+    """RSLP plural-reduction step (Orengo & Huyck 2001) on standard
+    vectors, including exception fall-through."""
+    from lucene_solr_spark.analysis import portuguese_minimal_stem as s
+
+    assert s("balões") == "balão"         # -ões -> -ão
+    assert s("cães") == "cão"             # -ães -> -ão
+    assert s("normais") == "normal"       # -ais -> -al
+    assert s("papéis") == "papel"         # -éis -> -el
+    assert s("lençóis") == "lençol"       # -óis -> -ol
+    assert s("barris") == "barril"        # -is -> -il
+    assert s("bons") == "bom"             # -ns -> -m
+    assert s("flores") == "flor"          # -res -> -r
+    assert s("casas") == "casa"           # plain -s
+    assert s("livros") == "livro"
+    assert s("leis") == "lei"             # is-rule excepted, s-rule fires
+    assert s("lápis") == "lápis"          # excepted everywhere
+    assert s("país") == "país"
+    assert s("mais") == "mais"
+    assert s("gás") == "gás"
+    assert s("flor") == "flor"            # no suffix
 
 
 HUNSPELL_AFF = """
