@@ -2124,6 +2124,38 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: whole SOURCE groups land on
+    one side (near-dups cluster within a source, so doc-level splits
+    leak; Lee et al. 2022 §6).  The assignment is a pure function of
+    (seed, source) — DuckDB reproduces it row-for-row — and the per-side
+    counts expose the group atomicity."""
+    from lucene_solr_spark.pipeline import leakage_safe_split
+
+    return (
+        leakage_safe_split(_docs(spark, sf_dir), "source",
+                           val_frac=0.25, seed=7)
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("long").alias("docs"))
+        .orderBy("source", "split")
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: pseudo-random order + uniform shard
+    assignment as pure functions of (seed, doc_id) — re-running an
+    epoch reproduces its batch order bit-for-bit; no global sort, the
+    writer shuffles by shard (hash keys, uniform) and sorts only within
+    shards."""
+    from lucene_solr_spark.pipeline import epoch_shuffle
+
+    return (
+        epoch_shuffle(_docs(spark, sf_dir), seed=3, shards=8)
+        .select("doc_id", "shard", "shuffle_key")
+        .orderBy("doc_id")
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the documents corpus: append deterministic
     synthetic PII (an email + an IPv4 derived from doc_id) to each doc,
@@ -7257,6 +7289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_functions": q_relevance_functions,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
+        "train_split": q_train_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "payload_score": q_payload_score,
         "pii_scrub": q_pii_scrub,
         "secret_scan": q_secret_scan,
@@ -8453,6 +8487,24 @@ SELECT doc_id, lang FROM documents
 WHERE (CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
        AS BIGINT) % 1000000)
   < (CASE lang WHEN 'de' THEN 250000 WHEN 'en' THEN 500000 ELSE 100000 END)
+ORDER BY doc_id""",
+        "train_split": """
+SELECT source,
+       CASE WHEN (CAST(('0x' || substr(md5('7' || ':' || source), 1, 15))
+                  AS BIGINT) % 1000000) < 250000
+            THEN 'val' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS docs
+FROM documents
+GROUP BY source, split
+ORDER BY source, split""",
+        "epoch_shuffle": """
+SELECT doc_id,
+       CAST((CAST(('0x' || substr(md5('epoch:' || '3' || ':' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8)
+            AS INT) AS shard,
+       CAST(('0x' || substr(md5('epoch:' || '3' || ':' ||
+             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key
+FROM documents
 ORDER BY doc_id""",
         "ngram_jaccard": f"""
 WITH {tok_cte}, {th_cte}, {sh_cte},

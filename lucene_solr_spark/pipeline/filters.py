@@ -34,6 +34,7 @@ from .dedup import with_shingle_hashes
 from .hashing import TOKENS_SQL, h64_sql
 
 __all__ = ["gopher_quality", "contamination_ngrams", "stratified_sample",
+           "leakage_safe_split", "epoch_shuffle",
            "temperature_sample", "dsir_weights", "dsir_select",
            "pii_scrub", "PII_RULES", "lm_perplexity", "LM_SCORE_EXPR",
            "secret_scan", "SECRET_RULES", "cap_per_key", "char_entropy",
@@ -294,6 +295,69 @@ def stratified_sample(
         thresh = str(default_ppm)
     h = h64_sql(f"concat({strata_col}, ':', CAST({id_col} AS STRING))")
     return df.filter(F.expr(f"({h} % {SAMPLE_DENOM}) < ({thresh})"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    val_frac: float = 0.1,
+    seed: int = 0,
+) -> DataFrame:
+    """Train/validation assignment that places WHOLE GROUPS (source
+    domain, repo, dedup cluster id) on one side of the split — the
+    standard guard against near-duplicate leakage when splitting web
+    corpora: splitting at the document level puts near-dups of a
+    held-out doc into train and inflates eval (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §6
+    observes train/test overlap in C4/RealNews split this way).
+
+    ``split = 'val' iff h64(seed:group) % 1e6 < round(val_frac·1e6)``.
+    Map-only (one JVM md5 per row, no shuffle, no group materialization)
+    and reproducible bit-for-bit across reruns, repartitionings, and
+    cluster sizes; co-assignment holds because the hash reads only the
+    group key.  At 100 TB this is a pure scan column."""
+    ppm = int(round(val_frac * SAMPLE_DENOM))
+    h = h64_sql(f"concat('{int(seed)}', ':', CAST({group_col} AS STRING))")
+    return df.withColumn(
+        "split",
+        F.expr(f"CASE WHEN ({h} % {SAMPLE_DENOM}) < {ppm}"
+               f" THEN 'val' ELSE 'train' END"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    shards: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffle for training readers: a
+    pseudo-random total order (``shuffle_key = h64(epoch:seed:id)``)
+    plus, when ``shards > 0``, a uniform shard assignment
+    (``shard = shuffle_key % shards``) and a within-shard local sort.
+
+    This is the 100 TB shuffle shape: no global orderBy (a full
+    range-sort exchange) — the writer repartitions BY SHARD (one
+    hash shuffle with uniform keys, since the key is itself a hash)
+    and sorts only within each shard task, which is exactly what a
+    sharded training reader consumes.  A different ``seed`` per epoch
+    re-permutes everything deterministically — rerunning an epoch
+    reproduces its batch order bit-for-bit (unlike ``rand()``)."""
+    h = h64_sql(f"concat('epoch:', '{int(seed)}', ':',"
+                f" CAST({id_col} AS STRING))")
+    out = df.withColumn("shuffle_key", F.expr(f"CAST({h} AS BIGINT)"))
+    if shards > 0:
+        out = (
+            out.withColumn(
+                "shard",
+                F.expr(f"CAST(pmod(shuffle_key, {int(shards)}) AS INT)"))
+            .repartition(int(shards), F.col("shard"))
+            # hash partitioning may co-locate two shard values in one
+            # task; the leading sort key keeps each shard's rows
+            # contiguous and internally key-ordered either way
+            .sortWithinPartitions("shard", "shuffle_key")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

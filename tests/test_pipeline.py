@@ -1683,3 +1683,61 @@ def test_media_resize_dataframe(spark):
     kept = wav[::3]
     assert got[1]["n_samples"] == kept.size
     assert got[1]["px_sum"] == int(np.abs(kept.astype(np.int64)).sum())
+
+
+def test_leakage_safe_split_group_atomic_and_deterministic(spark):
+    from lucene_solr_spark.pipeline import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(200)], "doc_id long, source string")
+    out = leakage_safe_split(df, "source", val_frac=0.3, seed=11)
+    # group atomicity: every source maps to exactly one side
+    sides = (out.groupBy("source")
+                .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in sides)
+    # deterministic under repartitioning and re-evaluation
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"])
+               for r in leakage_safe_split(df.repartition(13), "source",
+                                           val_frac=0.3, seed=11).collect())
+    assert a == b
+    # a different seed moves at least one group (200 docs, 7 groups)
+    c = sorted((r["doc_id"], r["split"])
+               for r in leakage_safe_split(df, "source", val_frac=0.3,
+                                           seed=12).collect())
+    assert a != c
+    # frac 0 / 1 degenerate cases
+    assert leakage_safe_split(df, "source", 0.0).filter(
+        F.col("split") == "val").count() == 0
+    assert leakage_safe_split(df, "source", 1.0).filter(
+        F.col("split") == "train").count() == 0
+
+
+def test_epoch_shuffle_deterministic_sharded_sorted(spark):
+    from lucene_solr_spark.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = epoch_shuffle(df, seed=5, shards=4)
+    rows = out.select("doc_id", "shard", "shuffle_key").collect()
+    assert len(rows) == 300 and len({r["doc_id"] for r in rows}) == 300
+    # shard is the key mod shards; keys are distinct (no hash collision
+    # in 300 60-bit draws)
+    assert all(r["shard"] == r["shuffle_key"] % 4 for r in rows)
+    assert len({r["shuffle_key"] for r in rows}) == 300
+    # bit-for-bit reproducible epoch
+    again = epoch_shuffle(df.repartition(7), seed=5, shards=4).collect()
+    assert sorted((r["doc_id"], r["shard"], r["shuffle_key"]) for r in rows) \
+        == sorted((r["doc_id"], r["shard"], r["shuffle_key"]) for r in again)
+    # a new seed re-permutes
+    other = epoch_shuffle(df, seed=6, shards=4).collect()
+    assert sorted(r["shuffle_key"] for r in rows) != \
+        sorted(r["shuffle_key"] for r in other)
+    # within-partition layout: shard runs are contiguous and each run
+    # is in ascending key order (what a sharded reader consumes)
+    def check(it):
+        part = list(it)
+        pairs = [(r["shard"], r["shuffle_key"]) for r in part]
+        assert pairs == sorted(pairs)
+        return iter([len(part)])
+    counts = out.rdd.mapPartitions(check).collect()
+    assert sum(counts) == 300
