@@ -607,3 +607,31 @@ def test_solr_fq_domain_plan_bounded(spark):
     p = _plan(out["response"])
     assert "TakeOrderedAndProject" in p, p
     assert "Window" not in p, p
+
+
+def test_leakage_split_is_map_only(spark):
+    """leakage_safe_split adds a scan column: no Exchange of any kind —
+    at 100 TB the split assignment must stay a pure map."""
+    from lucene_solr_spark.pipeline import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(100)], "doc_id long, source string")
+    plan = _plan(leakage_safe_split(df, "source", 0.2, seed=1))
+    assert "Exchange" not in plan, plan
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark):
+    """epoch_shuffle with shards: exactly ONE hash exchange (the shard
+    repartition) and no range/global Sort — a full orderBy would be a
+    second, range-partitioned exchange that cannot scale."""
+    from lucene_solr_spark.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = _plan(epoch_shuffle(df, seed=1, shards=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # the sort is the local (within-partition) variant: the second
+    # positional arg of Sort's toString is global=false
+    assert "Sort [shard" in plan, plan
+    assert "], false, 0" in plan.split("Sort [shard")[1][:120], plan
