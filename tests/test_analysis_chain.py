@@ -1436,3 +1436,45 @@ def test_icu_fold_chain_property_and_spec():
     rt = chain_from_spec(chain_spec(chain))
     assert [st.name for st in rt.steps] == ["icu_fold"]
     assert rt.tokens("Ångström straße") == chain.tokens("Ångström straße")
+
+
+def test_hunspell_chain_persists_through_manifest(spark, tmp_path):
+    """The raw .aff/.dic text rides the manifest chain spec: append
+    WITHOUT re-passing the chain analyzes new docs through the same
+    dictionary, and query-side expansion still resolves surface forms."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, chain_from_spec, hunspell_stem_filter,
+    )
+    from lucene_solr_spark.index import build_index, open_index
+    from lucene_solr_spark.index.builder import read_manifest
+    from lucene_solr_spark.index.deletes import update_documents
+    from lucene_solr_spark.search import analyze_query, parse_query, search
+
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN,
+                  steps=(hunspell_stem_filter(HUNSPELL_AFF, HUNSPELL_DIC),))
+    path = tmp_path / "hidx"
+    corpus = spark.createDataFrame(
+        [("r", f"f{i}.txt", "c1", "en",
+          "worked boxes hello" if i % 2 else "tries studied replay")
+         for i in range(20)],
+        "repo string, path string, commit string, lang string, content string")
+    build_index(spark, corpus, path, segment_docs=10, analyzer=chain)
+
+    # the query-side chain comes back from the MANIFEST, not the caller
+    rt = chain_from_spec(read_manifest(path)["analyzer"])
+    idx = open_index(spark, path)
+    # index stores stems; the surface query form expands through the dict
+    assert search(idx, analyze_query(parse_query("works"), rt),
+                  k=25).count() == 10
+    assert search(idx, analyze_query(parse_query("replay"), rt),
+                  k=25).count() == 10
+
+    new = spark.createDataFrame(
+        [("r", "g0.txt", "c1", "en", "rewalks moved")],
+        "repo string, path string, commit string, lang string, content string")
+    update_documents(spark, path, new, key_cols=["repo", "path"])
+    idx2 = open_index(spark, path)
+    # the appended doc was analyzed through the manifest-reconstructed
+    # dictionary: "rewalks" stemmed to "walk", findable via "walks"
+    assert search(idx2, analyze_query(parse_query("walks"), rt),
+                  k=25).count() == 1
