@@ -17,12 +17,15 @@ REPLACED by its stems (all at the same position, first stem first);
 a token with no stem passes through unchanged.  ``longest_only``
 mirrors the filter's ``longestOnly`` ctor flag.
 
-Subset notes (documented, deliberate): single-level affix removal —
-no continuation classes / two-fold suffix stripping, and none of the
-spell-checking-only directives (REP, MAP, TRY, COMPOUND*, ICONV),
-which do not affect stemming.  FLAG is the hunspell default
-(single character).  This is the portion of the format Lucene's own
-Stemmer exercises for analysis purposes.
+Supported: single prefix + single suffix (with cross-products) and
+hunspell's TWO-FOLD suffix stripping — a suffix rule whose ``append``
+carries continuation classes (``append/FLAGS``) admits a second-level
+suffix on top of its output, and stemming undoes both.  Deliberately
+out of scope (documented): the spell-checking-only directives (REP,
+MAP, TRY, COMPOUND*, ICONV), which do not affect stemming, and
+multi-char FLAG modes (hunspell's default single-char flags only).
+This is the portion of the format Lucene's own Stemmer exercises for
+analysis purposes.
 
 The expansion runs in the analysis chain's ``Expand`` slot: the rule
 table and word list are closure state applied per UNIQUE token per
@@ -50,6 +53,11 @@ class AffixRule:
     append: str      # chars the rule appended to the base
     condition: str   # hunspell condition pattern ("." = always)
     cross: bool      # rule participates in prefix×suffix cross-products
+    #: continuation classes carried by the appended affix text
+    #: (``append/FLAGS`` in the .aff line): a second-level suffix whose
+    #: flag appears here may stack on top of this rule's output —
+    #: hunspell's two-fold suffix stripping
+    cont_flags: frozenset = frozenset()
 
     def __post_init__(self):
         # compile once; a suffix condition anchors at the END of the
@@ -110,9 +118,10 @@ class HunspellDictionary:
                 raise ValueError(f"malformed affix line: {line!r}")
             flag, strip, append = parts[1], parts[2], parts[3]
             condition = parts[4] if len(parts) > 4 else "."
-            # generated appends may carry their own continuation flags
-            # after '/': stemming undoes only the affix text
-            append = append.split("/", 1)[0]
+            # appended affix text may carry continuation classes after
+            # '/': the affix text is what stemming undoes, the classes
+            # admit second-level suffixes (two-fold stripping)
+            append, _, cont = append.partition("/")
             rule = AffixRule(
                 kind=kind,
                 flag=flag,
@@ -120,6 +129,7 @@ class HunspellDictionary:
                 append="" if append == "0" else append,
                 condition=condition,
                 cross=cross_by_flag.get((kind, flag), False),
+                cont_flags=frozenset(cont),
             )
             (self.suffixes if kind == "SFX" else self.prefixes).append(rule)
 
@@ -163,6 +173,15 @@ class HunspellDictionary:
                     if (b2 is not None and self._has(b2, pr.flag)
                             and self._has(b2, sr.flag)):
                         out.append(b2)
+            # two-fold suffix stripping: a first-level suffix whose
+            # continuation classes admit sr stacks beneath it — undo
+            # that one too and validate the doubly-reconstructed base
+            for r1 in self.suffixes:
+                if sr.flag not in r1.cont_flags:
+                    continue
+                b0 = r1.undo(base)
+                if b0 is not None and self._has(b0, r1.flag):
+                    out.append(b0)
         for pr in self.prefixes:
             base = pr.undo(token)
             if base is not None and self._has(base, pr.flag):

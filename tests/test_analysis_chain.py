@@ -1376,6 +1376,31 @@ def test_hunspell_stem_vectors():
     assert d.stems("es") == ()                  # empty base guarded
 
 
+def test_hunspell_twofold_suffix_stripping():
+    """A suffix rule whose append carries continuation classes
+    (append/FLAGS) admits a second-level suffix; stemming undoes both
+    (hunspell two-fold stripping)."""
+    from lucene_solr_spark.hunspell import HunspellDictionary
+
+    aff = """
+SFX V Y 1
+SFX V   e     able/S     e
+
+SFX B Y 1
+SFX B   0     able/S     [^e]
+
+SFX S Y 1
+SFX S   0     s          .
+"""
+    d = HunspellDictionary(aff, "2\ndrink/B\nmove/V\n")
+    assert d.stems("drinkable") == ("drink",)
+    assert d.stems("drinkables") == ("drink",)   # s then able undone
+    assert d.stems("movables") == ("move",)      # strip re-added too
+    assert d.stems("movable") == ("move",)
+    assert d.stems("moveable") == ()             # V strips the e
+    assert d.stems("drinks") == ()               # S only via continuation
+
+
 def test_hunspell_chain_property_and_spec():
     """Expand-slot filter: tokens with stems are REPLACED by all stems,
     others pass through; vectorized flat path == per-doc reference;
