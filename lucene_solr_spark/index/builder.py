@@ -603,6 +603,18 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
             F.sum("sum_tf").cast("long").alias("cf"),
         )
     field_stats = manifest.get("field_stats")
+    # reconstruct the analysis chain from the manifest spec (Solr reads
+    # the schema analyzer with the index); None when the build passed a
+    # chain the spec could not capture (custom callables)
+    from ..analysis import chain_from_spec
+
+    query_chain = None
+    if manifest.get("analyzers"):
+        if all(s is not None for s in manifest["analyzers"].values()):
+            query_chain = {f: chain_from_spec(s)
+                           for f, s in manifest["analyzers"].items()}
+    elif manifest.get("analyzer") is not None:
+        query_chain = chain_from_spec(manifest["analyzer"])
     tv_path = index_path / "term_vectors.parquet"
     tv = (
         spark.read.parquet(str(tv_path))
@@ -621,6 +633,7 @@ def open_index(spark: SparkSession, index_path: str | Path, merged: bool | None 
         field_stats={f: tuple(v) for f, v in field_stats.items()} if field_stats else None,
         default_field=manifest.get("default_field", "content"),
         term_vectors=tv,
+        query_chain=query_chain,
     )
 
 

@@ -562,6 +562,15 @@ class IndexView:
     #: per-field opt-in there too); MoreLikeThis reads ONE row from it
     #: instead of decoding the posting store
     term_vectors: DataFrame | None = None
+    #: the analysis chain this index was built with — a ``Chain`` in
+    #: single-field mode, a ``{field: Chain}`` dict in multi-field mode,
+    #: None when unknown (e.g. a manifest without a reconstructable
+    #: spec).  Solr applies the schema analyzer to query text
+    #: automatically; facade-level callers read this to do the same
+    #: (``solr_api`` runs ``analyze_query`` through it).  The executor
+    #: itself still takes queries verbatim — analysis stays an explicit,
+    #: inspectable step.
+    query_chain: object = None
     #: driver-side memo of term → (df, cf) dictionary lookups.  Lucene's
     #: term dictionary is a RAM-resident FST — TermStates lookup costs
     #: microseconds there; ours lives in a DataFrame, so without the memo
@@ -776,6 +785,8 @@ def build_multifield_index_view(
         field_stats=per_field,
         default_field=default_field or next(iter(fields)),
         term_vectors=tv,
+        query_chain={f: chain_for(stopwords, (analyzers or {}).get(f))
+                     for f in fields},
         cached=((blocks_all, norms) if cache else ())
                + ((tv,) if cache and tv is not None else ()),
     )
@@ -842,6 +853,7 @@ def build_index_view(
             sum_ttf=int(stats["ttf"]),
             bm25=bm25 or BM25(),
             term_vectors=tv,
+            query_chain=chain_for(stopwords, analyzer),
             cached=((blocks_all,) if cache else ())
                    + ((tv,) if cache and tv is not None else ()),
         )
@@ -879,6 +891,7 @@ def build_index_view(
         sum_ttf=int(stats["ttf"]),
         bm25=bm25 or BM25(),
         term_vectors=tv,
+        query_chain=chain_for(stopwords, analyzer),
         cached=((postings, norms) if cache else ())
                + ((tv,) if cache and tv is not None else ()),
     )

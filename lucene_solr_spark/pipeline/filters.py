@@ -342,7 +342,13 @@ def epoch_shuffle(
     and sorts only within each shard task, which is exactly what a
     sharded training reader consumes.  A different ``seed`` per epoch
     re-permutes everything deterministically — rerunning an epoch
-    reproduces its batch order bit-for-bit (unlike ``rand()``)."""
+    reproduces its batch order bit-for-bit (unlike ``rand()``).
+
+    Hash partitioning may map two shard values into one task (and
+    leave another empty); the leading ``shard`` sort key keeps each
+    shard's rows contiguous regardless, and a writer wanting exactly
+    one output file per shard uses ``.write.partitionBy("shard")``,
+    which splits by VALUE at write time."""
     h = h64_sql(f"concat('epoch:', '{int(seed)}', ':',"
                 f" CAST({id_col} AS STRING))")
     out = df.withColumn("shuffle_key", F.expr(f"CAST({h} AS BIGINT)"))

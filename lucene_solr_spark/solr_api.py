@@ -31,13 +31,27 @@ from pyspark.sql import functions as F
 from .index.core import IndexView
 from .search import parse_query, search
 from .search.executor import _matches, expand_multiterm
-from .search.query import rewrite
+from .search.query import analyze_query, rewrite
 
 __all__ = ["solr_request"]
 
 
+def _parse(index: IndexView, qs: str):
+    """Parse + schema-analyze query text: Solr's QueryComponent runs
+    the field analyzer over q/fq before building the Lucene query; the
+    chain the index was built with rides ``IndexView.query_chain``
+    (from the manifest for persisted indexes).  Multi-field chains
+    (a dict) are skipped here — field-qualified terms would each need
+    their field's analyzer; those callers analyze explicitly."""
+    q = parse_query(qs)
+    chain = index.query_chain
+    if chain is not None and not isinstance(chain, dict):
+        q = analyze_query(q, chain)
+    return q
+
+
 def _match_set(index: IndexView, qs: str) -> DataFrame:
-    q = rewrite(expand_multiterm(index, rewrite(parse_query(qs))))
+    q = rewrite(expand_multiterm(index, rewrite(_parse(index, qs))))
     m = _matches(index, q).select("doc_id").distinct()
     if index.tombstones is not None:
         m = m.join(index.tombstones, "doc_id", "left_anti")
@@ -97,7 +111,7 @@ def solr_request(
         for qs in fqs:
             m = _match_set(index, qs)
             dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
-        hits = search(index, parse_query(params["q"]), k=start + rows,
+        hits = search(index, _parse(index, params["q"]), k=start + rows,
                       domain=dom)
         order_keys = [F.desc("score"), F.asc("doc_id")]
         carry: list[str] = []
@@ -178,7 +192,7 @@ def solr_request(
         hl_field = params.get("hl.fl", "text")
         out["highlighting"] = highlight(
             out["response"].select("doc_id", "score"),
-            docvalues, parse_query(params["q"]), text_col=hl_field,
+            docvalues, _parse(index, params["q"]), text_col=hl_field,
         )
     if params.get("facet.query"):
         counts = []

@@ -150,3 +150,30 @@ def test_hl(spark, setup):
     assert "<em>shuffle</em>" in snips[0]
     with pytest.raises(ValueError, match="docvalues"):
         solr_request(idx, {"q": "shuffle", "hl": True})
+
+
+def test_schema_analyzed_query(spark):
+    """Solr runs the schema analyzer over q/fq before querying; the
+    facade reads the chain from IndexView.query_chain — a surface form
+    ("worked") finds stem-indexed docs, and fq is analyzed too."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, stem_filter,
+    )
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(i, "running walker" if i % 2 else "runner jumped")
+         for i in range(10)],
+        "doc_id long, content string")
+    chain = Chain(pattern=LATIN_TOKEN_PATTERN, steps=(stem_filter(),))
+    idx = build_index_view(docs, id_col="doc_id", text_col="content",
+                           analyzer=chain)
+    assert idx.query_chain is chain
+    # "running" and "runs" both stem to "run": every doc matches one
+    out = solr_request(idx, {"q": "running OR jumped", "rows": 20})
+    assert out["response"].count() == 10
+    # fq analyzed as well: restrict to the walker half by surface form
+    # ("walkers" → porter stem "walker", the indexed term)
+    out2 = solr_request(idx, {"q": "running OR jumped",
+                              "fq": "walkers", "rows": 20})
+    assert out2["response"].count() == 5
