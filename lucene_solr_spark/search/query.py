@@ -639,7 +639,7 @@ def edismax_query(s: str, qf: dict[str, float], tie_breaker: float = 0.0,
     return rewrite(q)
 
 
-def analyze_query(q, analyzer):
+def analyze_query(q, analyzer, default_field: str = "content"):
     """Query-side analysis (Lucene's QueryParser runs the field analyzer
     over query text): apply the chain's Map steps (stem/fold) to every
     Term/Phrase/Prefix term and drop stop-worded Terms.
@@ -655,23 +655,47 @@ def analyze_query(q, analyzer):
       emits a SynonymQuery for same-position multi-token analysis
       ([8x] lucene/core/.../util/QueryBuilder.java#analyzeBoolean) —
       and a Phrase position takes the primary (first) code.
+
+    ``analyzer`` may also be a ``{field: Chain}`` dict (multi-field
+    indexes, Solr's per-field schema analyzers): a ``field:token``
+    term is analyzed with ITS field's chain and re-qualified; bare
+    terms use ``default_field``'s chain and stay bare (``search``
+    qualifies them later).  Terms naming a field with no chain pass
+    through untouched.
     """
     from ..analysis import (
         Expand, Length, Map, Stop, REV_MARKER, _apply_char_rules,
     )
 
+    multi = isinstance(analyzer, dict)
+
+    def _resolve(term: str):
+        """(chain, bare_token, requalify_prefix) for a term string."""
+        if not multi:
+            return analyzer, term, ""
+        if ":" in term:
+            f, _, t = term.partition(":")
+            if f in analyzer:
+                return analyzer[f], t, f + ":"
+            return None, term, ""
+        return analyzer.get(default_field), term, ""
+
+    _chains = list(analyzer.values()) if multi else [analyzer]
     has_rev = any(
         isinstance(s, Expand) and s.name == "reversed_wildcard"
-        for s in analyzer.steps
+        for ch in _chains for s in ch.steps
     )
 
     def many(term: str) -> list[str]:
-        if analyzer.char_steps:
-            term = _apply_char_rules(term, analyzer.char_steps)
-        if analyzer.lower:
+        chain, term, pre = _resolve(term)
+        if chain is None:
+            return [term]
+        if chain.char_steps:
+            term = _apply_char_rules(term, chain.char_steps)
+        if chain.lower:
             term = term.lower()
         variants = [term]
-        for step in analyzer.steps:
+        for step in chain.steps:
             if isinstance(step, Stop):
                 variants = [t for t in variants if t not in step.words]
             elif isinstance(step, Length):
@@ -685,7 +709,8 @@ def analyze_query(q, analyzer):
                 return []
         # dedupe, order-preserving (primary code first)
         seen: set = set()
-        return [t for t in variants if not (t in seen or seen.add(t))]
+        return [pre + t for t in variants
+                if not (t in seen or seen.add(t))]
 
     def one(term: str) -> str | None:
         v = many(term)
@@ -709,11 +734,14 @@ def analyze_query(q, analyzer):
         if isinstance(n, Prefix):
             # prefixes fold but never stem (the stem of a prefix is not a
             # prefix of the stems): apply only prefix-safe Map steps
-            p = n.prefix
-            for step in analyzer.steps:
+            chain, p, pre = _resolve(n.prefix)
+            if chain is None:
+                return n
+            for step in chain.steps:
                 if isinstance(step, Map) and getattr(step, "prefix_safe", False):
                     p = step.fn(p)
-            return n if p == n.prefix else Prefix(p, n.boost, n.constant_score)
+            return (n if pre + p == n.prefix
+                    else Prefix(pre + p, n.boost, n.constant_score))
         if (
             has_rev
             and isinstance(n, Wildcard)
@@ -727,7 +755,8 @@ def analyze_query(q, analyzer):
             # marker terms — parquet min/max stats prune the dictionary
             # scan, vs an unprunable LIKE '%suffix'.
             suffix = n.pattern[1:]
-            if analyzer.lower:
+            chain, _, _ = _resolve(n.pattern)
+            if chain is not None and chain.lower:
                 suffix = suffix.lower()
             return Prefix(REV_MARKER + suffix[::-1], n.boost, n.constant_score)
         if isinstance(n, (And, Or)):

@@ -40,13 +40,14 @@ def _parse(index: IndexView, qs: str):
     """Parse + schema-analyze query text: Solr's QueryComponent runs
     the field analyzer over q/fq before building the Lucene query; the
     chain the index was built with rides ``IndexView.query_chain``
-    (from the manifest for persisted indexes).  Multi-field chains
-    (a dict) are skipped here — field-qualified terms would each need
-    their field's analyzer; those callers analyze explicitly."""
+    (from the manifest for persisted indexes).  Multi-field indexes
+    carry a ``{field: Chain}`` dict — each qualified term is analyzed
+    with its own field's chain, bare terms with ``default_field``'s
+    (Solr's per-field schema analyzers)."""
     q = parse_query(qs)
     chain = index.query_chain
-    if chain is not None and not isinstance(chain, dict):
-        q = analyze_query(q, chain)
+    if chain is not None:
+        q = analyze_query(q, chain, index.default_field)
     return q
 
 

@@ -177,3 +177,33 @@ def test_schema_analyzed_query(spark):
     out2 = solr_request(idx, {"q": "running OR jumped",
                               "fq": "walkers", "rows": 20})
     assert out2["response"].count() == 5
+
+
+def test_schema_analyzed_query_multifield(spark):
+    """Per-field schema analyzers: a qualified term is analyzed with
+    its OWN field's chain; bare terms use default_field's chain."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, stem_filter,
+    )
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(i, "running fast" if i % 2 else "jumped high",
+          "walker" if i % 2 else "runner")
+         for i in range(10)],
+        "doc_id long, body string, title string")
+    stemmed = Chain(pattern=LATIN_TOKEN_PATTERN, steps=(stem_filter(),))
+    idx = build_multifield_index_view(
+        docs, id_col="doc_id", fields={"body": "body", "title": "title"},
+        analyzers={"body": stemmed}, default_field="body")
+    assert isinstance(idx.query_chain, dict)
+    # body analyzed (runs -> run matches "running"); title NOT stemmed,
+    # so title:runner matches its literal form only
+    out = solr_request(idx, {"q": "body:runs", "rows": 20})
+    assert out["response"].count() == 5
+    out2 = solr_request(idx, {"q": "title:runner", "rows": 20})
+    assert out2["response"].count() == 5
+    # bare term rides default_field's chain, qualified later by search
+    out3 = solr_request(idx, {"q": "jumping", "rows": 20})
+    assert out3["response"].count() == 5
