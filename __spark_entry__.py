@@ -4709,6 +4709,45 @@ def q_solr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_solr_stemmed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select over an ANALYZED index: the schema analyzer runs over q
+    exactly as the facade does it (IndexView.query_chain, Solr's
+    QueryComponent semantics) — surface forms 'tables OR scans' stem to
+    the indexed terms, and scoring runs over the STEMMED postings (df/cf
+    merged under the stems).  Scores ride the f64-parity stream like
+    every BM25 entry (the facade's f32 kernel is pinned by the
+    MiniLucene rank/score-identity tests).  The oracle re-derives the
+    whole path: tokenize, replay the S-stemmer RULE per token, then
+    full BM25 OR scoring over the stemmed token stream."""
+    from lucene_solr_spark.analysis import Chain, english_minimal_stem_filter
+    from lucene_solr_spark.index.core import build_index_view
+    from lucene_solr_spark.search import analyze_query, parse_query
+    from lucene_solr_spark.search.query import query_terms
+
+    chain = Chain(steps=(english_minimal_stem_filter(),))
+    idx = build_index_view(_docs(spark, sf_dir), id_col="doc_id",
+                           text_col="text", analyzer=chain, cache=False)
+    # the facade's analysis step: surface forms -> indexed stems
+    q = analyze_query(parse_query("tables OR scans"), idx.query_chain)
+    terms = query_terms(q)
+    pt = postings_table(idx, terms)
+    lt = F.array(*[F.lit(v) for v in _LT])
+    pt = pt.withColumn(
+        "qdl", F.element_at(lt, (F.col("norm_byte") + 1).cast("int"))
+        .cast("long"))
+    td = idx.term_dict.filter(F.col("term").isin(terms)).select("term", "df")
+    expr = _BM25_EXPR.format(
+        N=idx.doc_count, avgdl=_avgdl_expr(idx.sum_ttf, idx.doc_count))
+    scored = pt.join(F.broadcast(td), "term").withColumn(
+        "score64", F.expr(expr))
+    agg = scored.groupBy("doc_id").agg(F.sum("score64").alias("score64"))
+    return (
+        agg.select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed StatsComponent: per-shard DECIMAL-exact partial
     moments merged to the same bits as the single-frame stats."""
@@ -7354,6 +7393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature": q_distance_feature,
         "boosting_demote": q_boosting_demote,
         "solr_select": q_solr_select,
+        "solr_stemmed_select": q_solr_stemmed_select,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -9386,6 +9426,34 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""",
 SELECT s.doc_id, CAST(score64 AS FLOAT) AS score
 FROM scored s
 WHERE s.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "solr_stemmed_select": f"""
+WITH tok0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+             '{TOKEN_PATTERN}')) AS t FROM documents),
+tok AS (SELECT doc_id,
+        CASE WHEN length(t) >= 3 AND t LIKE '%s'
+                  AND substr(t, length(t) - 1, 1) NOT IN ('u', 's')
+             THEN substr(t, 1, length(t) - 1) ELSE t END AS term
+        FROM tok0),
+{_DL_CTE},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS sum_ttf),
+tfs AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok
+  WHERE term IN ('table', 'scan') GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+inputs AS (
+  SELECT t.doc_id, t.tf, f.df, {_QDL_SQL.replace('dl', 'd.dl')} AS qdl,
+         s.n_docs, s.sum_ttf
+  FROM tfs t JOIN dfs f USING (term) JOIN dl d USING (doc_id), stats s
+),
+scored AS (SELECT doc_id,
+           {_BM25_EXPR.format(N="n_docs",
+                              avgdl="(CAST(sum_ttf AS DOUBLE) / n_docs)")}
+           AS score64 FROM inputs)
+SELECT doc_id, CAST(sum(score64) AS FLOAT) AS score
+FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "boosting_demote": f"""
 {_bm25_oracle_base("term = '" + BM25_TERM + "'")}
