@@ -36,23 +36,29 @@ from .search.query import analyze_query, rewrite
 __all__ = ["solr_request"]
 
 
-def _parse(index: IndexView, qs: str):
+def _parse(index: IndexView, qs: str, df: str | None = None):
     """Parse + schema-analyze query text: Solr's QueryComponent runs
     the field analyzer over q/fq before building the Lucene query; the
     chain the index was built with rides ``IndexView.query_chain``
     (from the manifest for persisted indexes).  Multi-field indexes
     carry a ``{field: Chain}`` dict — each qualified term is analyzed
-    with its own field's chain, bare terms with ``default_field``'s
-    (Solr's per-field schema analyzers)."""
+    with its own field's chain, bare terms with the default field's
+    (Solr's per-field schema analyzers).  ``df`` overrides the default
+    field (Solr's df param): bare terms are qualified with it BEFORE
+    analysis, so they take df's chain, not default_field's."""
+    from .search.query import qualify_query
+
     q = parse_query(qs)
+    if df is not None:
+        q = qualify_query(q, df)
     chain = index.query_chain
     if chain is not None:
         q = analyze_query(q, chain, index.default_field)
     return q
 
 
-def _match_set(index: IndexView, qs: str) -> DataFrame:
-    q = rewrite(expand_multiterm(index, rewrite(_parse(index, qs))))
+def _match_set(index: IndexView, qs: str, df: str | None = None) -> DataFrame:
+    q = rewrite(expand_multiterm(index, rewrite(_parse(index, qs, df))))
     m = _matches(index, q).select("doc_id").distinct()
     if index.tombstones is not None:
         m = m.join(index.tombstones, "doc_id", "left_anti")
@@ -72,7 +78,7 @@ def solr_request(
     list), ``facet.query`` (str or list), ``facet.limit``
     (default 10).  Unknown params raise — silent ignoring is how real
     migrations corrupt results."""
-    known = {"q", "fq", "rows", "start", "fl", "sort",
+    known = {"q", "fq", "rows", "start", "fl", "sort", "df",
              "facet.field", "facet.query", "facet.limit",
              "hl", "hl.fl"}
     unknown = set(params) - known
@@ -100,6 +106,11 @@ def solr_request(
     rows = int(params.get("rows", 10))
     start = int(params.get("start", 0))
     fqs = aslist(params.get("fq", []))
+    df = params.get("df")
+    if df is not None and index.field_stats is None:
+        raise ValueError("df requires a multi-field index")
+    if df is not None and df not in index.field_stats:
+        raise ValueError(f"df names unknown field {df!r}")
 
     # ---- main query ------------------------------------------------------
     sort = params.get("sort", "score desc").strip()
@@ -110,9 +121,9 @@ def solr_request(
         # still make the page, and the page must agree with facet counts)
         dom = None
         for qs in fqs:
-            m = _match_set(index, qs)
+            m = _match_set(index, qs, df)
             dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
-        hits = search(index, _parse(index, params["q"]), k=start + rows,
+        hits = search(index, _parse(index, params["q"], df), k=start + rows,
                       domain=dom)
         order_keys = [F.desc("score"), F.asc("doc_id")]
         carry: list[str] = []
@@ -132,9 +143,9 @@ def solr_request(
         carry = [c for c, _ in clauses]
         keys = [F.asc(c) if d == "asc" else F.desc(c) for c, d in clauses]
         keys.append(F.asc("doc_id"))  # Solr's implicit docid tiebreak
-        dom = _match_set(index, params["q"])
+        dom = _match_set(index, params["q"], df)
         for qs in fqs:
-            dom = dom.join(_match_set(index, qs), "doc_id", "left_semi")
+            dom = dom.join(_match_set(index, qs, df), "doc_id", "left_semi")
         hits = (
             docvalues.select("doc_id", *carry).join(dom, "doc_id", "left_semi")
             .withColumn("score", F.lit(0.0).cast("float"))
@@ -171,9 +182,9 @@ def solr_request(
     # ---- facets over the query domain (match set, fq-filtered) ----------
     needs_domain = params.get("facet.field") or params.get("facet.query")
     if needs_domain:
-        domain = _match_set(index, params["q"])
+        domain = _match_set(index, params["q"], df)
         for qs in fqs:
-            domain = domain.join(_match_set(index, qs), "doc_id", "left_semi")
+            domain = domain.join(_match_set(index, qs, df), "doc_id", "left_semi")
     if params.get("facet.field"):
         if docvalues is None:
             raise ValueError("facet.field requires a docvalues frame")
@@ -193,13 +204,13 @@ def solr_request(
         hl_field = params.get("hl.fl", "text")
         out["highlighting"] = highlight(
             out["response"].select("doc_id", "score"),
-            docvalues, _parse(index, params["q"]), text_col=hl_field,
+            docvalues, _parse(index, params["q"], df), text_col=hl_field,
         )
     if params.get("facet.query"):
         counts = []
         for qs in aslist(params["facet.query"]):
             n = (
-                domain.join(_match_set(index, qs), "doc_id", "left_semi")
+                domain.join(_match_set(index, qs, df), "doc_id", "left_semi")
                 .agg(F.count(F.lit(1)).cast("long").alias("count"))
                 .withColumn("facet_query", F.lit(qs))
                 .select("facet_query", "count")

@@ -207,3 +207,34 @@ def test_schema_analyzed_query_multifield(spark):
     # bare term rides default_field's chain, qualified later by search
     out3 = solr_request(idx, {"q": "jumping", "rows": 20})
     assert out3["response"].count() == 5
+
+
+def test_df_param(spark):
+    """Solr df param: bare terms resolve (and analyze) against the
+    given field instead of default_field; guarded on single-field."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, stem_filter,
+    )
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(i, "alpha running", "beta walker") for i in range(4)],
+        "doc_id long, body string, title string")
+    stemmed = Chain(pattern=LATIN_TOKEN_PATTERN, steps=(stem_filter(),))
+    idx = build_multifield_index_view(
+        docs, id_col="doc_id", fields={"body": "body", "title": "title"},
+        analyzers={"body": stemmed, "title": stemmed},
+        default_field="body")
+    # bare "walkers" against default_field=body matches nothing; with
+    # df=title it stems to "walker" IN TITLE and matches all docs
+    assert solr_request(idx, {"q": "walkers", "rows": 10}
+                        )["response"].count() == 0
+    assert solr_request(idx, {"q": "walkers", "df": "title", "rows": 10}
+                        )["response"].count() == 4
+    with pytest.raises(ValueError, match="unknown field"):
+        solr_request(idx, {"q": "x", "df": "nope"})
+    single = build_index_view(
+        docs.select("doc_id", "body"), id_col="doc_id", text_col="body")
+    with pytest.raises(ValueError, match="multi-field"):
+        solr_request(single, {"q": "alpha", "df": "body"})
