@@ -412,17 +412,25 @@ def query_terms(q) -> list[str]:
     return out
 
 
-def parse_query(s: str):
+def parse_query(s: str, default_op: str = "OR"):
     """Lucene-QueryParser-style syntax: terms, AND, OR, NOT, parentheses,
     "quoted phrases" (with ``"..."~slop``), prefix* / wild?card patterns,
     ``term~`` / ``term~1`` fuzzy (OSA, default 2 edits), ``atom^2.5``
     boosts, and ``[a TO b]`` / ``{a TO b}`` term ranges (square =
     inclusive, curly = exclusive).  Bare whitespace between terms means
-    OR (Lucene default SHOULD semantics); ``a AND NOT b`` / ``NOT b``
-    use MUST_NOT.  Grammar: or := and (('OR'|ε) and)* ;
-    and := unary ('AND' unary)* ; unary := 'NOT' atom | atom.
+    ``default_op`` — "OR" (Lucene's default SHOULD semantics) or "AND"
+    (Solr's ``q.op=AND``, where adjacency binds at the conjunction
+    level: ``a b OR c`` ≡ ``(a AND b) OR c``); ``a AND NOT b`` /
+    ``NOT b`` use MUST_NOT.  Grammar: or := and (('OR'|ε?) and)* ;
+    and := unary (('AND'|ε?) unary)* ; unary := 'NOT' atom | atom —
+    the ε adjacency rule lives on whichever level ``default_op`` names.
     """
     import re as _re
+
+    op = default_op.upper()
+    if op not in ("OR", "AND"):
+        raise ValueError(f"default_op must be OR or AND, got {default_op!r}")
+    conj = op == "AND"
 
     toks = _re.findall(
         r'[\w.]*:?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'  # [field:]"phrase" [~slop][^boost]
@@ -514,8 +522,12 @@ def parse_query(s: str):
 
     def and_expr():
         parts = [unary()]
-        while peek() == "AND":
-            take()
+        # with default_op=AND (Solr's q.op), bare adjacency binds here
+        while peek() == "AND" or (
+            conj and peek() not in (None, ")", "OR")
+        ):
+            if peek() == "AND":
+                take()
             parts.append(unary())
         pos_parts = [p for p in parts if not (isinstance(p, tuple) and p[0] == "NOT")]
         neg_parts = [p[1] for p in parts if isinstance(p, tuple) and p[0] == "NOT"]
@@ -527,7 +539,9 @@ def parse_query(s: str):
 
     def or_expr():
         left = [and_expr()]
-        while peek() is not None and peek() != ")":
+        while peek() == "OR" or (
+            not conj and peek() not in (None, ")")
+        ):
             if peek() == "OR":
                 take()
             left.append(and_expr())

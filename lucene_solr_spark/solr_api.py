@@ -36,7 +36,8 @@ from .search.query import analyze_query, rewrite
 __all__ = ["solr_request"]
 
 
-def _parse(index: IndexView, qs: str, df: str | None = None):
+def _parse(index: IndexView, qs: str, df: str | None = None,
+           op: str = "OR"):
     """Parse + schema-analyze query text: Solr's QueryComponent runs
     the field analyzer over q/fq before building the Lucene query; the
     chain the index was built with rides ``IndexView.query_chain``
@@ -48,7 +49,7 @@ def _parse(index: IndexView, qs: str, df: str | None = None):
     analysis, so they take df's chain, not default_field's."""
     from .search.query import qualify_query
 
-    q = parse_query(qs)
+    q = parse_query(qs, default_op=op)
     if df is not None:
         q = qualify_query(q, df)
     chain = index.query_chain
@@ -57,8 +58,9 @@ def _parse(index: IndexView, qs: str, df: str | None = None):
     return q
 
 
-def _match_set(index: IndexView, qs: str, df: str | None = None) -> DataFrame:
-    q = rewrite(expand_multiterm(index, rewrite(_parse(index, qs, df))))
+def _match_set(index: IndexView, qs: str, df: str | None = None,
+               op: str = "OR") -> DataFrame:
+    q = rewrite(expand_multiterm(index, rewrite(_parse(index, qs, df, op))))
     m = _matches(index, q).select("doc_id").distinct()
     if index.tombstones is not None:
         m = m.join(index.tombstones, "doc_id", "left_anti")
@@ -78,7 +80,7 @@ def solr_request(
     list), ``facet.query`` (str or list), ``facet.limit``
     (default 10).  Unknown params raise — silent ignoring is how real
     migrations corrupt results."""
-    known = {"q", "fq", "rows", "start", "fl", "sort", "df",
+    known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
              "facet.field", "facet.query", "facet.limit",
              "hl", "hl.fl"}
     unknown = set(params) - known
@@ -107,6 +109,7 @@ def solr_request(
     start = int(params.get("start", 0))
     fqs = aslist(params.get("fq", []))
     df = params.get("df")
+    op = str(params.get("q.op", "OR"))
     if df is not None and index.field_stats is None:
         raise ValueError("df requires a multi-field index")
     if df is not None and df not in index.field_stats:
@@ -121,9 +124,9 @@ def solr_request(
         # still make the page, and the page must agree with facet counts)
         dom = None
         for qs in fqs:
-            m = _match_set(index, qs, df)
+            m = _match_set(index, qs, df, op)
             dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
-        hits = search(index, _parse(index, params["q"], df), k=start + rows,
+        hits = search(index, _parse(index, params["q"], df, op), k=start + rows,
                       domain=dom)
         order_keys = [F.desc("score"), F.asc("doc_id")]
         carry: list[str] = []
@@ -143,9 +146,9 @@ def solr_request(
         carry = [c for c, _ in clauses]
         keys = [F.asc(c) if d == "asc" else F.desc(c) for c, d in clauses]
         keys.append(F.asc("doc_id"))  # Solr's implicit docid tiebreak
-        dom = _match_set(index, params["q"], df)
+        dom = _match_set(index, params["q"], df, op)
         for qs in fqs:
-            dom = dom.join(_match_set(index, qs, df), "doc_id", "left_semi")
+            dom = dom.join(_match_set(index, qs, df, op), "doc_id", "left_semi")
         hits = (
             docvalues.select("doc_id", *carry).join(dom, "doc_id", "left_semi")
             .withColumn("score", F.lit(0.0).cast("float"))
@@ -182,9 +185,9 @@ def solr_request(
     # ---- facets over the query domain (match set, fq-filtered) ----------
     needs_domain = params.get("facet.field") or params.get("facet.query")
     if needs_domain:
-        domain = _match_set(index, params["q"], df)
+        domain = _match_set(index, params["q"], df, op)
         for qs in fqs:
-            domain = domain.join(_match_set(index, qs, df), "doc_id", "left_semi")
+            domain = domain.join(_match_set(index, qs, df, op), "doc_id", "left_semi")
     if params.get("facet.field"):
         if docvalues is None:
             raise ValueError("facet.field requires a docvalues frame")
@@ -204,13 +207,13 @@ def solr_request(
         hl_field = params.get("hl.fl", "text")
         out["highlighting"] = highlight(
             out["response"].select("doc_id", "score"),
-            docvalues, _parse(index, params["q"], df), text_col=hl_field,
+            docvalues, _parse(index, params["q"], df, op), text_col=hl_field,
         )
     if params.get("facet.query"):
         counts = []
         for qs in aslist(params["facet.query"]):
             n = (
-                domain.join(_match_set(index, qs, df), "doc_id", "left_semi")
+                domain.join(_match_set(index, qs, df, op), "doc_id", "left_semi")
                 .agg(F.count(F.lit(1)).cast("long").alias("count"))
                 .withColumn("facet_query", F.lit(qs))
                 .select("facet_query", "count")

@@ -238,3 +238,36 @@ def test_df_param(spark):
         docs.select("doc_id", "body"), id_col="doc_id", text_col="body")
     with pytest.raises(ValueError, match="multi-field"):
         solr_request(single, {"q": "alpha", "df": "body"})
+
+
+def test_q_op_param(spark, setup):
+    """q.op=AND: bare adjacency binds as a conjunction (Solr's default
+    operator override); explicit OR still disjoins."""
+    idx, docs = setup
+    # "spark shuffle": OR default matches 0,1,2,3∌(table scan has neither?)
+    # docs: 0 spark shuffle merge / 1 spark window agg / 2 spark shuffle
+    # spill / 3 table scan only
+    or_ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark shuffle", "rows": 10})["response"].collect()}
+    assert or_ids == {0, 1, 2}
+    and_ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark shuffle", "q.op": "AND", "rows": 10}
+    )["response"].collect()}
+    assert and_ids == {0, 2}
+    # adjacency binds tighter than explicit OR under q.op=AND
+    mixed = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "table OR spark shuffle", "q.op": "AND", "rows": 10}
+    )["response"].collect()}
+    assert mixed == {0, 2, 3}
+    with pytest.raises(ValueError, match="default_op"):
+        solr_request(idx, {"q": "a b", "q.op": "XOR"})
+
+
+def test_parse_query_default_op():
+    from lucene_solr_spark.search.query import And, Or, Term, parse_query
+
+    q = parse_query("a b", default_op="AND")
+    assert isinstance(q, And)
+    q2 = parse_query("a b OR c", default_op="AND")
+    assert isinstance(q2, Or) and isinstance(q2.clauses[0], And)
+    assert isinstance(parse_query("a b"), Or)   # unchanged default
