@@ -36,6 +36,28 @@ from .search.query import analyze_query, rewrite
 __all__ = ["solr_request"]
 
 
+def _local_params(qs: str):
+    """Solr local-params prefix ``{!type k=v ...}rest``: returns
+    ``((qtype, kv), rest)`` or ``(None, qs)`` when there is none.
+    Values may be single- or double-quoted; the bare first token is the
+    parser type (``{!term ...}``), overridable with ``type=``."""
+    if not qs.startswith("{!"):
+        return None, qs
+    end = qs.find("}")
+    if end < 0:
+        raise ValueError(f"unterminated local params in {qs!r}")
+    body, rest = qs[2:end], qs[end + 1:]
+    qtype, kv = "lucene", {}
+    for i, part in enumerate(body.split()):
+        if "=" in part:
+            k, _, v = part.partition("=")
+            kv[k] = v.strip("'\"")
+        elif i == 0:
+            qtype = part
+    qtype = kv.pop("type", qtype)
+    return (qtype, kv), rest
+
+
 def _parse(index: IndexView, qs: str, df: str | None = None,
            op: str = "OR"):
     """Parse + schema-analyze query text: Solr's QueryComponent runs
@@ -46,9 +68,31 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
     with its own field's chain, bare terms with the default field's
     (Solr's per-field schema analyzers).  ``df`` overrides the default
     field (Solr's df param): bare terms are qualified with it BEFORE
-    analysis, so they take df's chain, not default_field's."""
-    from .search.query import qualify_query
+    analysis, so they take df's chain, not default_field's.
 
+    Local params (``{!term f=lang}en``, ``{!prefix f=path}src/``,
+    ``{!lucene df=title q.op=AND}...``) follow QParserPlugin
+    dispatch: ``term``/``field`` build a RAW TermQuery (no parsing, no
+    analysis — exactly Solr's TermQParserPlugin, the fq idiom for
+    docvalues-exact matches), ``prefix`` a raw PrefixQuery, and
+    ``lucene`` re-enters the classic parser with the local ``df`` /
+    ``q.op`` overriding the request's."""
+    from .search.query import Prefix, Term, qualify_query
+
+    lp, qs = _local_params(qs)
+    if lp is not None:
+        qtype, kv = lp
+        f = kv.get("f")
+        pre = (f + ":") if f and index.field_stats else ""
+        if qtype in ("term", "field"):
+            return Term(pre + qs)
+        if qtype == "prefix":
+            return Prefix(pre + qs)
+        if qtype == "lucene":
+            df = kv.get("df", df)
+            op = kv.get("q.op", op)
+        else:
+            raise ValueError(f"unsupported local-params type {qtype!r}")
     q = parse_query(qs, default_op=op)
     if df is not None:
         q = qualify_query(q, df)

@@ -271,3 +271,33 @@ def test_parse_query_default_op():
     q2 = parse_query("a b OR c", default_op="AND")
     assert isinstance(q2, Or) and isinstance(q2.clauses[0], And)
     assert isinstance(parse_query("a b"), Or)   # unchanged default
+
+
+def test_local_params(spark, setup):
+    """{!term}/{!prefix}/{!lucene} local params: term is RAW (no
+    analysis/lowercase — TermQParserPlugin), prefix raw, lucene
+    re-enters the parser with local df/q.op."""
+    idx, docs = setup
+    # {!term} raw: matches the indexed lowercase term exactly
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!term f=content}shuffle", "rows": 10}
+    )["response"].collect()}
+    assert ids == {0, 2}
+    # raw means RAW: an uppercase value matches nothing (Solr parity)
+    assert solr_request(
+        idx, {"q": "spark", "fq": "{!term f=content}Shuffle", "rows": 10}
+    )["response"].count() == 0
+    # {!prefix}
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!prefix f=content}shuf", "rows": 10}
+    )["response"].collect()}
+    assert ids == {0, 2}
+    # {!lucene q.op=AND} on the fq only
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!lucene q.op=AND}shuffle merge",
+              "rows": 10})["response"].collect()}
+    assert ids == {0}
+    with pytest.raises(ValueError, match="local-params type"):
+        solr_request(idx, {"q": "spark", "fq": "{!join from=x to=y}z"})
+    with pytest.raises(ValueError, match="unterminated"):
+        solr_request(idx, {"q": "spark", "fq": "{!term f=content"})
