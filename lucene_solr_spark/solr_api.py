@@ -43,12 +43,25 @@ def _local_params(qs: str):
     parser type (``{!term ...}``), overridable with ``type=``."""
     if not qs.startswith("{!"):
         return None, qs
-    end = qs.find("}")
+    end, quote = -1, None
+    for i in range(2, len(qs)):
+        c = qs[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "}":
+            end = i
+            break
     if end < 0:
         raise ValueError(f"unterminated local params in {qs!r}")
     body, rest = qs[2:end], qs[end + 1:]
+    import re as _re
+
     qtype, kv = "lucene", {}
-    for i, part in enumerate(body.split()):
+    parts = _re.findall(r"""[^\s=]+="[^"]*"|[^\s=]+='[^']*'|\S+""", body)
+    for i, part in enumerate(parts):
         if "=" in part:
             k, _, v = part.partition("=")
             kv[k] = v.strip("'\"")
@@ -88,6 +101,22 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
             return Term(pre + qs)
         if qtype == "prefix":
             return Prefix(pre + qs)
+        if qtype == "edismax":
+            from .search import edismax_query
+
+            if "qf" not in kv:
+                raise ValueError("{!edismax} requires qf=")
+            qf = {}
+            for spec in kv["qf"].replace(",", " ").split():
+                fname, _, b = spec.partition("^")
+                qf[fname] = float(b) if b else 1.0
+            q = edismax_query(
+                qs, qf, tie_breaker=float(kv.get("tie", 0.0)),
+                mm=int(kv.get("mm", 0)))
+            chain = index.query_chain
+            if chain is not None:
+                q = analyze_query(q, chain, index.default_field)
+            return q
         if qtype == "lucene":
             df = kv.get("df", df)
             op = kv.get("q.op", op)

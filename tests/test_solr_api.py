@@ -301,3 +301,32 @@ def test_local_params(spark, setup):
         solr_request(idx, {"q": "spark", "fq": "{!join from=x to=y}z"})
     with pytest.raises(ValueError, match="unterminated"):
         solr_request(idx, {"q": "spark", "fq": "{!term f=content"})
+
+
+def test_local_params_edismax(spark):
+    """{!edismax qf="title^2 body"}: field-boosted DisMax via local
+    params, with schema analysis applied to the produced query."""
+    from lucene_solr_spark.analysis import (
+        Chain, LATIN_TOKEN_PATTERN, stem_filter,
+    )
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "running"), (1, "running beta", "alpha"),
+         (2, "gamma delta", "delta")],
+        "doc_id long, body string, title string")
+    stemmed = Chain(pattern=LATIN_TOKEN_PATTERN, steps=(stem_filter(),))
+    idx = build_multifield_index_view(
+        docs, id_col="doc_id", fields={"body": "body", "title": "title"},
+        analyzers={"body": stemmed, "title": stemmed},
+        default_field="body")
+    out = solr_request(
+        idx, {"q": '{!edismax qf="title^2 body"}runs', "rows": 10})
+    rows = [(int(r["doc_id"]), float(r["score"]))
+            for r in out["response"].collect()]
+    # both docs match via stemming ("runs"->"run"<-"running"); doc 0
+    # matches in the boosted title field and must outrank doc 1's body hit
+    assert [d for d, _ in rows] == [0, 1]
+    with pytest.raises(ValueError, match="requires qf"):
+        solr_request(idx, {"q": "{!edismax}x"})
