@@ -155,7 +155,8 @@ def solr_request(
     migrations corrupt results."""
     known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
              "facet.field", "facet.query", "facet.limit",
-             "hl", "hl.fl"}
+             "facet.range", "facet.range.start", "facet.range.end",
+             "facet.range.gap", "hl", "hl.fl"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -256,7 +257,8 @@ def solr_request(
     out = {"response": response}
 
     # ---- facets over the query domain (match set, fq-filtered) ----------
-    needs_domain = params.get("facet.field") or params.get("facet.query")
+    needs_domain = (params.get("facet.field") or params.get("facet.query")
+                    or params.get("facet.range"))
     if needs_domain:
         domain = _match_set(index, params["q"], df, op)
         for qs in fqs:
@@ -270,6 +272,27 @@ def solr_request(
         for f_ in aslist(params["facet.field"]):
             dom = docvalues.join(domain, "doc_id", "left_semi")
             out[f"facet_field:{f_}"] = facet_terms(dom, f_, limit=limit)
+    if params.get("facet.range"):
+        # RangeFacetProcessor: fixed-gap histogram over the query domain;
+        # a date-math gap string routes to the calendar-aware variant
+        if docvalues is None:
+            raise ValueError("facet.range requires a docvalues frame")
+        for k in ("facet.range.start", "facet.range.end", "facet.range.gap"):
+            if k not in params:
+                raise ValueError(f"facet.range requires {k}")
+        from .relational import facet_range, facet_range_date
+
+        f_ = params["facet.range"]
+        dom = docvalues.join(domain, "doc_id", "left_semi")
+        gap = params["facet.range.gap"]
+        if isinstance(gap, str) and gap.startswith("+"):
+            out[f"facet_range:{f_}"] = facet_range_date(
+                dom, f_, params["facet.range.start"],
+                params["facet.range.end"], gap)
+        else:
+            out[f"facet_range:{f_}"] = facet_range(
+                dom, f_, float(params["facet.range.start"]),
+                float(params["facet.range.end"]), float(gap))
     if asbool(params.get("hl", False)):
         # highlighting over the response page (HighlightComponent):
         # snippet around the first query-term occurrence per doc

@@ -330,3 +330,20 @@ def test_local_params_edismax(spark):
     assert [d for d, _ in rows] == [0, 1]
     with pytest.raises(ValueError, match="requires qf"):
         solr_request(idx, {"q": "{!edismax}x"})
+
+
+def test_facet_range_param(spark, setup):
+    """facet.range: fixed-gap histogram over the q∩fq domain."""
+    idx, docs = setup
+    out = solr_request(
+        idx, {"q": "spark", "facet.range": "n",
+              "facet.range.start": 0, "facet.range.end": 40,
+              "facet.range.gap": 20},
+        docvalues=docs.select("doc_id", "n"))
+    buckets = {int(r["bucket"]): int(r["count"])
+               for r in out["facet_range:n"].collect()}
+    # domain = docs 0,1,2 with n = 10, 20, 30 → [0,20): 1 doc, [20,40): 2
+    assert buckets == {0: 1, 1: 2}
+    with pytest.raises(ValueError, match="facet.range requires"):
+        solr_request(idx, {"q": "spark", "facet.range": "n"},
+                     docvalues=docs.select("doc_id", "n"))
