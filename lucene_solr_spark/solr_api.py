@@ -156,7 +156,9 @@ def solr_request(
     known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
              "facet.field", "facet.query", "facet.limit",
              "facet.range", "facet.range.start", "facet.range.end",
-             "facet.range.gap", "hl", "hl.fl"}
+             "facet.range.gap", "facet.mincount", "facet.prefix",
+             "facet.contains", "facet.contains.ignoreCase",
+             "facet.missing", "facet.sort", "hl", "hl.fl"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -269,9 +271,20 @@ def solr_request(
         from .relational import facet_terms
 
         limit = int(params.get("facet.limit", 10))
+        fsort = params.get("facet.sort", "count")
+        if fsort not in ("count", "index"):
+            raise ValueError(f"facet.sort must be count or index, got {fsort!r}")
         for f_ in aslist(params["facet.field"]):
             dom = docvalues.join(domain, "doc_id", "left_semi")
-            out[f"facet_field:{f_}"] = facet_terms(dom, f_, limit=limit)
+            out[f"facet_field:{f_}"] = facet_terms(
+                dom, f_, limit=limit,
+                min_count=int(params.get("facet.mincount", 1)),
+                sort_by_count=fsort == "count",
+                missing=asbool(params.get("facet.missing", False)),
+                prefix=params.get("facet.prefix"),
+                contains=params.get("facet.contains"),
+                contains_ignore_case=asbool(
+                    params.get("facet.contains.ignoreCase", False)))
     if params.get("facet.range"):
         # RangeFacetProcessor: fixed-gap histogram over the query domain;
         # a date-math gap string routes to the calendar-aware variant

@@ -347,3 +347,26 @@ def test_facet_range_param(spark, setup):
     with pytest.raises(ValueError, match="facet.range requires"):
         solr_request(idx, {"q": "spark", "facet.range": "n"},
                      docvalues=docs.select("doc_id", "n"))
+
+
+def test_facet_field_options(spark, setup):
+    """facet.mincount / facet.prefix / facet.sort=index routing."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang")
+    out = solr_request(
+        idx, {"q": "spark", "facet.field": "lang", "facet.mincount": 2},
+        docvalues=dv)
+    ff = {r["lang"]: r["count"] for r in out["facet_field:lang"].collect()}
+    assert ff == {"en": 2}                       # de has 1 < mincount
+    out = solr_request(
+        idx, {"q": "spark", "facet.field": "lang", "facet.prefix": "d"},
+        docvalues=dv)
+    ff = {r["lang"]: r["count"] for r in out["facet_field:lang"].collect()}
+    assert ff == {"de": 1}
+    out = solr_request(
+        idx, {"q": "spark", "facet.field": "lang", "facet.sort": "index"},
+        docvalues=dv)
+    assert [r["lang"] for r in out["facet_field:lang"].collect()] == ["de", "en"]
+    with pytest.raises(ValueError, match="facet.sort"):
+        solr_request(idx, {"q": "spark", "facet.field": "lang",
+                           "facet.sort": "size"}, docvalues=dv)
