@@ -95,29 +95,50 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
     lp, qs = _local_params(qs)
     if lp is not None:
         qtype, kv = lp
+
+        def check_keys(*allowed):
+            # cache/cost are accepted everywhere (we have no query cache
+            # to disable, so they are semantically no-ops); any OTHER
+            # unknown key raises — silent dropping corrupts migrations
+            extra = set(kv) - set(allowed) - {"cache", "cost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported {{!{qtype}}} local params: {sorted(extra)}")
+
         f = kv.get("f")
         pre = (f + ":") if f and index.field_stats else ""
         if qtype in ("term", "field"):
+            check_keys("f")
             return Term(pre + qs)
         if qtype == "prefix":
+            check_keys("f")
             return Prefix(pre + qs)
         if qtype == "edismax":
             from .search import edismax_query
 
+            check_keys("qf", "tie", "mm", "pf", "ps")
             if "qf" not in kv:
                 raise ValueError("{!edismax} requires qf=")
-            qf = {}
-            for spec in kv["qf"].replace(",", " ").split():
-                fname, _, b = spec.partition("^")
-                qf[fname] = float(b) if b else 1.0
+
+            def boost_map(spec_str):
+                out = {}
+                for spec in spec_str.replace(",", " ").split():
+                    fname, _, b = spec.partition("^")
+                    out[fname] = float(b) if b else 1.0
+                return out
+
             q = edismax_query(
-                qs, qf, tie_breaker=float(kv.get("tie", 0.0)),
-                mm=int(kv.get("mm", 0)))
+                qs, boost_map(kv["qf"]),
+                tie_breaker=float(kv.get("tie", 0.0)),
+                mm=int(kv.get("mm", 0)),
+                pf=boost_map(kv["pf"]) if "pf" in kv else None,
+                ps=int(kv.get("ps", 0)))
             chain = index.query_chain
             if chain is not None:
                 q = analyze_query(q, chain, index.default_field)
             return q
         if qtype == "lucene":
+            check_keys("df", "q.op")
             df = kv.get("df", df)
             op = kv.get("q.op", op)
         else:

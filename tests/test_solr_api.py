@@ -370,3 +370,16 @@ def test_facet_field_options(spark, setup):
     with pytest.raises(ValueError, match="facet.sort"):
         solr_request(idx, {"q": "spark", "facet.field": "lang",
                            "facet.sort": "size"}, docvalues=dv)
+
+
+def test_local_params_unknown_keys_raise(spark, setup):
+    idx, docs = setup
+    # cache/cost accepted everywhere as no-ops
+    assert solr_request(
+        idx, {"q": "spark", "fq": "{!term f=content cache=false}shuffle",
+              "rows": 10})["response"].count() == 2
+    with pytest.raises(ValueError, match="local params"):
+        solr_request(idx, {"q": "spark",
+                           "fq": "{!term f=content v=oops}shuffle"})
+    with pytest.raises(ValueError, match="local params"):
+        solr_request(idx, {"q": "{!lucene boost=2}spark"})
