@@ -1,0 +1,69 @@
+"""Property tests for the local-params parser and default_op grammar
+(Spark-free)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, strategies as st
+
+from lucene_solr_spark.solr_api import _local_params
+from lucene_solr_spark.search.query import And, Or, Term, parse_query
+
+_key = st.text(alphabet="abcdefgh.", min_size=1, max_size=6).filter(
+    lambda s: "=" not in s)
+_val = st.text(alphabet="abcdefgh0123456789^ ", min_size=1, max_size=10)
+
+
+@given(st.dictionaries(_key, _val, min_size=0, max_size=4),
+       st.sampled_from(["term", "prefix", "lucene", "edismax"]),
+       st.text(alphabet="abc z", max_size=12))
+def test_local_params_roundtrip(kv, qtype, rest):
+    """Any key=\"quoted value\" set round-trips: keys, values, type and
+    the rest-string all come back exactly."""
+    body = " ".join([qtype] + [f'{k}="{v}"' for k, v in kv.items()])
+    lp, out_rest = _local_params("{!" + body + "}" + rest)
+    got_type, got_kv = lp
+    assert got_type == qtype
+    assert got_kv == kv
+    assert out_rest == rest
+
+
+def test_local_params_none_and_edges():
+    assert _local_params("plain query") == (None, "plain query")
+    with pytest.raises(ValueError, match="unterminated"):
+        _local_params("{!term f=x")
+    # a } inside a quoted value does not end the prefix
+    lp, rest = _local_params('{!term f="a}b"}val')
+    assert lp == ("term", {"f": "a}b"}) and rest == "val"
+    # bare type only
+    assert _local_params("{!prefix}abc") == (("prefix", {}), "abc")
+    # type= override
+    assert _local_params("{!type=term f=x}y") == (("term", {"f": "x"}), "y")
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=4),
+                min_size=1, max_size=5))
+def test_default_op_term_sets_match(words):
+    """Under both default operators the query references the same term
+    set; a single term parses identically."""
+    qs = " ".join(words)
+    from lucene_solr_spark.search.query import query_terms
+
+    t_or = query_terms(parse_query(qs, "OR"))
+    t_and = query_terms(parse_query(qs, "AND"))
+    assert set(t_or) == set(t_and) == set(words)
+    if len(set(words)) == 1 and len(words) == 1:
+        assert parse_query(qs, "OR") == parse_query(qs, "AND")
+
+
+def test_default_op_structures():
+    assert isinstance(parse_query("a b", "AND"), And)
+    assert isinstance(parse_query("a b", "OR"), Or)
+    q = parse_query("a b OR c d", "AND")
+    assert isinstance(q, Or)
+    assert all(isinstance(c, And) for c in q.clauses)
+    # explicit operators are unaffected by the default
+    assert parse_query("a AND b", "OR") == parse_query("a AND b", "AND")
+    assert parse_query("a OR b", "OR") == parse_query("a OR b", "AND")
+    with pytest.raises(ValueError, match="default_op"):
+        parse_query("a", "NOR")
