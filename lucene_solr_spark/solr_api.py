@@ -153,7 +153,38 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
 
 
 def _match_set(index: IndexView, qs: str, df: str | None = None,
-               op: str = "OR") -> DataFrame:
+               op: str = "OR",
+               docvalues: DataFrame | None = None) -> DataFrame:
+    if qs.startswith("{!"):
+        lp, rest = _local_params(qs)
+        if lp is not None and lp[0] == "frange":
+            # FunctionRangeQParserPlugin: keep docs whose compiled
+            # function value lies in [l, u] (incl/incu bounds) — a pure
+            # docvalues scan predicate, the fq idiom for numeric gates
+            kv = lp[1]
+            extra = set(kv) - {"l", "u", "incl", "incu", "v",
+                               "cache", "cost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported {{!frange}} local params: {sorted(extra)}")
+            if docvalues is None:
+                raise ValueError("{!frange} requires a docvalues frame")
+            from .expressions import compile_expression
+
+            col, _ = compile_expression(kv.get("v", rest))
+            cond = F.lit(True)
+            if "l" in kv:
+                lo = float(kv["l"])
+                cond = cond & (col >= lo if kv.get("incl", "true") != "false"
+                               else col > lo)
+            if "u" in kv:
+                hi = float(kv["u"])
+                cond = cond & (col <= hi if kv.get("incu", "true") != "false"
+                               else col < hi)
+            m = docvalues.filter(cond).select("doc_id")
+            if index.tombstones is not None:
+                m = m.join(index.tombstones, "doc_id", "left_anti")
+            return m
     q = rewrite(expand_multiterm(index, rewrite(_parse(index, qs, df, op))))
     m = _matches(index, q).select("doc_id").distinct()
     if index.tombstones is not None:
@@ -221,7 +252,7 @@ def solr_request(
         # still make the page, and the page must agree with facet counts)
         dom = None
         for qs in fqs:
-            m = _match_set(index, qs, df, op)
+            m = _match_set(index, qs, df, op, docvalues)
             dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
         hits = search(index, _parse(index, params["q"], df, op), k=start + rows,
                       domain=dom)
@@ -243,9 +274,9 @@ def solr_request(
         carry = [c for c, _ in clauses]
         keys = [F.asc(c) if d == "asc" else F.desc(c) for c, d in clauses]
         keys.append(F.asc("doc_id"))  # Solr's implicit docid tiebreak
-        dom = _match_set(index, params["q"], df, op)
+        dom = _match_set(index, params["q"], df, op, docvalues)
         for qs in fqs:
-            dom = dom.join(_match_set(index, qs, df, op), "doc_id", "left_semi")
+            dom = dom.join(_match_set(index, qs, df, op, docvalues), "doc_id", "left_semi")
         hits = (
             docvalues.select("doc_id", *carry).join(dom, "doc_id", "left_semi")
             .withColumn("score", F.lit(0.0).cast("float"))
@@ -283,9 +314,9 @@ def solr_request(
     needs_domain = (params.get("facet.field") or params.get("facet.query")
                     or params.get("facet.range"))
     if needs_domain:
-        domain = _match_set(index, params["q"], df, op)
+        domain = _match_set(index, params["q"], df, op, docvalues)
         for qs in fqs:
-            domain = domain.join(_match_set(index, qs, df, op), "doc_id", "left_semi")
+            domain = domain.join(_match_set(index, qs, df, op, docvalues), "doc_id", "left_semi")
     if params.get("facet.field"):
         if docvalues is None:
             raise ValueError("facet.field requires a docvalues frame")
@@ -343,7 +374,7 @@ def solr_request(
         counts = []
         for qs in aslist(params["facet.query"]):
             n = (
-                domain.join(_match_set(index, qs, df, op), "doc_id", "left_semi")
+                domain.join(_match_set(index, qs, df, op, docvalues), "doc_id", "left_semi")
                 .agg(F.count(F.lit(1)).cast("long").alias("count"))
                 .withColumn("facet_query", F.lit(qs))
                 .select("facet_query", "count")

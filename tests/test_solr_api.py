@@ -383,3 +383,25 @@ def test_local_params_unknown_keys_raise(spark, setup):
                            "fq": "{!term f=content v=oops}shuffle"})
     with pytest.raises(ValueError, match="local params"):
         solr_request(idx, {"q": "{!lucene boost=2}spark"})
+
+
+def test_frange_fq(spark, setup):
+    """{!frange l= u=}expr: function-range filter over docvalues."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "n")
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!frange l=15 u=35}n", "rows": 10},
+        docvalues=dv)["response"].collect()}
+    assert ids == {1, 2}                        # n=20, 30 of the spark docs
+    # exclusive upper bound + v= param form
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!frange l=10 u=30 incu=false v='n'}",
+              "rows": 10}, docvalues=dv)["response"].collect()}
+    assert ids == {0, 1}                        # 10, 20 (30 excluded)
+    # compiled arithmetic over the docvalues column
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!frange l=45}n + n/2", "rows": 10},
+        docvalues=dv)["response"].collect()}
+    assert ids == {2}                           # 30*1.5 = 45 >= 45
+    with pytest.raises(ValueError, match="docvalues"):
+        solr_request(idx, {"q": "spark", "fq": "{!frange l=1}n"})
