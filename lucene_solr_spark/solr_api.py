@@ -244,8 +244,66 @@ def solr_request(
         raise ValueError(f"df names unknown field {df!r}")
 
     # ---- main query ------------------------------------------------------
+    def _is_collapse(qs):
+        if not qs.startswith("{!"):
+            return False
+        lp, _ = _local_params(qs)
+        return lp is not None and lp[0] == "collapse"
+
+    collapses = [qs for qs in fqs if _is_collapse(qs)]
+    plain_fqs = [qs for qs in fqs if not _is_collapse(qs)]
     sort = params.get("sort", "score desc").strip()
-    if sort == "score desc":
+    if collapses and sort != "score desc":
+        raise ValueError("{!collapse} is supported with relevance sort only")
+    if sort == "score desc" and collapses:
+        # CollapsingQParserPlugin: one surviving head doc per group,
+        # chosen by score (default) or min=/max= field, BEFORE top-k —
+        # collapse is a collector decorator in Solr, so it must see the
+        # FULL scored stream, not the page
+        if docvalues is None:
+            raise ValueError("{!collapse} requires a docvalues frame")
+        from .relational import collapse_field
+        from .search.executor import _scores
+
+        q_ast = rewrite(expand_multiterm(
+            index, rewrite(_parse(index, params["q"], df, op))))
+        scored = _scores(index, q_ast)
+        if index.tombstones is not None:
+            scored = scored.join(index.tombstones, "doc_id", "left_anti")
+        for qs in plain_fqs:
+            scored = scored.join(_match_set(index, qs, df, op, docvalues),
+                                 "doc_id", "left_semi")
+        for cq in collapses:
+            (_, kv), _rest = _local_params(cq)
+            extra = set(kv) - {"field", "min", "max", "nullPolicy",
+                               "cache", "cost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported {{!collapse}} local params: {sorted(extra)}")
+            if "field" not in kv:
+                raise ValueError("{!collapse} requires field=")
+            if "min" in kv and "max" in kv:
+                raise ValueError("{!collapse} takes min= or max=, not both")
+            group = kv["field"]
+            need = [group] + [kv[k] for k in ("min", "max") if k in kv]
+            joined = scored.join(
+                docvalues.select("doc_id", *dict.fromkeys(need)),
+                "doc_id", "left")
+            if "max" in kv:
+                head = [F.desc(kv["max"]), F.desc("score")]
+            elif "min" in kv:
+                head = [F.asc(kv["min"]), F.desc("score")]
+            else:
+                head = [F.desc("score")]
+            scored = collapse_field(
+                joined, group, head + [F.asc("doc_id")],
+                null_policy=kv.get("nullPolicy", "ignore"),
+            ).select("doc_id", "score")
+        hits = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(start + rows))
+        order_keys = [F.desc("score"), F.asc("doc_id")]
+        carry: list[str] = []
+    elif sort == "score desc":
         # relevance order: fq's intersect the COLLECTOR DOMAIN before the
         # top-(start+rows) limit (QueryComponent passes filters to the
         # collector — a doc matching q∩fq below the q-only cutoff must
@@ -257,7 +315,7 @@ def solr_request(
         hits = search(index, _parse(index, params["q"], df, op), k=start + rows,
                       domain=dom)
         order_keys = [F.desc("score"), F.asc("doc_id")]
-        carry: list[str] = []
+        carry = []
     else:
         # field sort REPLACES relevance (TopFieldCollector): the sort key
         # is a docvalues column over the full MATCH SET, scores constant 0
@@ -314,9 +372,16 @@ def solr_request(
     needs_domain = (params.get("facet.field") or params.get("facet.query")
                     or params.get("facet.range"))
     if needs_domain:
-        domain = _match_set(index, params["q"], df, op, docvalues)
-        for qs in fqs:
-            domain = domain.join(_match_set(index, qs, df, op, docvalues), "doc_id", "left_semi")
+        if collapses:
+            # Solr: collapse is an fq, so facet domains see the
+            # POST-collapse doc set (one head per group)
+            domain = scored.select("doc_id")
+        else:
+            domain = _match_set(index, params["q"], df, op, docvalues)
+            for qs in plain_fqs:
+                domain = domain.join(
+                    _match_set(index, qs, df, op, docvalues),
+                    "doc_id", "left_semi")
     if params.get("facet.field"):
         if docvalues is None:
             raise ValueError("facet.field requires a docvalues frame")

@@ -405,3 +405,42 @@ def test_frange_fq(spark, setup):
     assert ids == {2}                           # 30*1.5 = 45 >= 45
     with pytest.raises(ValueError, match="docvalues"):
         solr_request(idx, {"q": "spark", "fq": "{!frange l=1}n"})
+
+
+def test_collapse_fq(spark, setup):
+    """{!collapse field=lang}: one head doc per group chosen from the
+    FULL scored stream (max score, docid tiebreak); min=/max= pick by a
+    docvalues field; facets see the post-collapse domain."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    # q=spark matches 0,1,2 (en,en,de).  All tie on score; head per
+    # group by docid → en:0, de:2
+    out = solr_request(
+        idx, {"q": "spark", "fq": "{!collapse field=lang}", "rows": 10},
+        docvalues=dv)
+    assert sorted(int(r["doc_id"]) for r in out["response"].collect()) \
+        == [0, 2]
+    # max=n picks the highest-n doc per group: en→1 (n=20), de→2
+    out = solr_request(
+        idx, {"q": "spark", "fq": "{!collapse field=lang max=n}",
+              "rows": 10}, docvalues=dv)
+    assert sorted(int(r["doc_id"]) for r in out["response"].collect()) \
+        == [1, 2]
+    # facet counts over the collapsed domain: one doc per lang
+    out = solr_request(
+        idx, {"q": "spark", "fq": "{!collapse field=lang}",
+              "facet.field": "lang", "rows": 10}, docvalues=dv)
+    ff = {r["lang"]: r["count"] for r in out["facet_field:lang"].collect()}
+    assert ff == {"en": 1, "de": 1}
+    # a plain fq composes (intersects before collapse)
+    out = solr_request(
+        idx, {"q": "spark", "fq": ["shuffle", "{!collapse field=lang}"],
+              "rows": 10}, docvalues=dv)
+    assert sorted(int(r["doc_id"]) for r in out["response"].collect()) \
+        == [0, 2]
+    with pytest.raises(ValueError, match="relevance sort"):
+        solr_request(idx, {"q": "spark", "sort": "n desc",
+                           "fq": "{!collapse field=lang}"}, docvalues=dv)
+    with pytest.raises(ValueError, match="requires field"):
+        solr_request(idx, {"q": "spark", "fq": "{!collapse}"},
+                     docvalues=dv)
