@@ -210,7 +210,8 @@ def solr_request(
              "facet.range", "facet.range.start", "facet.range.end",
              "facet.range.gap", "facet.mincount", "facet.prefix",
              "facet.contains", "facet.contains.ignoreCase",
-             "facet.missing", "facet.sort", "hl", "hl.fl"}
+             "facet.missing", "facet.sort", "hl", "hl.fl",
+             "expand", "expand.rows"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -273,6 +274,7 @@ def solr_request(
         for qs in plain_fqs:
             scored = scored.join(_match_set(index, qs, df, op, docvalues),
                                  "doc_id", "left_semi")
+        expand_src = None
         for cq in collapses:
             (_, kv), _rest = _local_params(cq)
             extra = set(kv) - {"field", "min", "max", "nullPolicy",
@@ -295,10 +297,13 @@ def solr_request(
                 head = [F.asc(kv["min"]), F.desc("score")]
             else:
                 head = [F.desc("score")]
-            scored = collapse_field(
+            collapsed = collapse_field(
                 joined, group, head + [F.asc("doc_id")],
                 null_policy=kv.get("nullPolicy", "ignore"),
-            ).select("doc_id", "score")
+            )
+            expand_src = (joined, collapsed, group,
+                          head + [F.asc("doc_id")])
+            scored = collapsed.select("doc_id", "score")
         hits = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(start + rows))
         order_keys = [F.desc("score"), F.asc("doc_id")]
@@ -367,6 +372,20 @@ def solr_request(
     for c in carry:
         response = response.drop(f"_s_{c}")  # projection preserves the sort
     out = {"response": response}
+    if asbool(params.get("expand", False)):
+        # ExpandComponent: for each collapsed head, the next-best group
+        # members excluded by the collapse
+        if not collapses:
+            raise ValueError("expand=true requires a {!collapse} fq")
+        from .relational import expand_collapsed
+
+        joined, collapsed, group, head_order = expand_src
+        out["expanded"] = (
+            expand_collapsed(joined, collapsed, group,
+                             k=int(params.get("expand.rows", 5)),
+                             order_by=head_order)
+            .select("doc_id", "score", group)
+        )
 
     # ---- facets over the query domain (match set, fq-filtered) ----------
     needs_domain = (params.get("facet.field") or params.get("facet.query")

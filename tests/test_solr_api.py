@@ -444,3 +444,21 @@ def test_collapse_fq(spark, setup):
     with pytest.raises(ValueError, match="requires field"):
         solr_request(idx, {"q": "spark", "fq": "{!collapse}"},
                      docvalues=dv)
+
+
+def test_expand_component(spark, setup):
+    """expand=true with {!collapse}: per-head next-best group members."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    out = solr_request(
+        idx, {"q": "spark", "fq": "{!collapse field=lang}",
+              "expand": "true", "rows": 10}, docvalues=dv)
+    heads = sorted(int(r["doc_id"]) for r in out["response"].collect())
+    exp = sorted((r["lang"], int(r["doc_id"]))
+                 for r in out["expanded"].collect())
+    assert heads == [0, 2]
+    # en group members beyond head 0: docs 1 and 2? no — 2 is de.
+    # en extra member is doc 1; de has no extra members
+    assert exp == [("en", 1)]
+    with pytest.raises(ValueError, match="collapse"):
+        solr_request(idx, {"q": "spark", "expand": True}, docvalues=dv)
