@@ -211,7 +211,10 @@ def solr_request(
              "facet.range.gap", "facet.mincount", "facet.prefix",
              "facet.contains", "facet.contains.ignoreCase",
              "facet.missing", "facet.sort", "hl", "hl.fl",
-             "expand", "expand.rows"}
+             "expand", "expand.rows",
+             "stats", "stats.field", "group", "group.field",
+             "group.limit", "spellcheck", "spellcheck.q",
+             "spellcheck.count"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -389,7 +392,8 @@ def solr_request(
 
     # ---- facets over the query domain (match set, fq-filtered) ----------
     needs_domain = (params.get("facet.field") or params.get("facet.query")
-                    or params.get("facet.range"))
+                    or params.get("facet.range")
+                    or asbool(params.get("stats", False)))
     if needs_domain:
         if collapses:
             # Solr: collapse is an fq, so facet domains see the
@@ -454,6 +458,52 @@ def solr_request(
             out["response"].select("doc_id", "score"),
             docvalues, _parse(index, params["q"], df, op), text_col=hl_field,
         )
+    if asbool(params.get("stats", False)):
+        # StatsComponent over the query domain (min/max/sum/count/mean/
+        # stddev/sumOfSquares)
+        if docvalues is None:
+            raise ValueError("stats requires a docvalues frame")
+        if "stats.field" not in params:
+            raise ValueError("stats=true requires stats.field")
+        from .relational import stats_component
+
+        for f_ in aslist(params["stats.field"]):
+            dom = docvalues.join(domain, "doc_id", "left_semi")
+            out[f"stats:{f_}"] = stats_component(dom, f_)
+    if asbool(params.get("group", False)):
+        # grouping component: top group.limit docs per group.field value
+        # by relevance, groups ordered by their best doc (Solr default)
+        if docvalues is None:
+            raise ValueError("group requires a docvalues frame")
+        if "group.field" not in params:
+            raise ValueError("group=true requires group.field")
+        from .relational import group_top_k
+        from .search.executor import _scores
+
+        q_ast = rewrite(expand_multiterm(
+            index, rewrite(_parse(index, params["q"], df, op))))
+        scored = _scores(index, q_ast)
+        if index.tombstones is not None:
+            scored = scored.join(index.tombstones, "doc_id", "left_anti")
+        for qs in (plain_fqs if collapses else fqs):
+            scored = scored.join(_match_set(index, qs, df, op, docvalues),
+                                 "doc_id", "left_semi")
+        gf = params["group.field"]
+        joined = scored.join(docvalues.select("doc_id", gf),
+                             "doc_id", "left")
+        out["grouped"] = group_top_k(
+            joined, gf, [F.desc("score"), F.asc("doc_id")],
+            k=int(params.get("group.limit", 1)))
+    if asbool(params.get("spellcheck", False)):
+        # SpellCheckComponent: DirectSpellChecker suggestions for the
+        # given (or q's first) term
+        from .search.extras import spell_suggest
+
+        term = params.get("spellcheck.q")
+        if term is None:
+            raise ValueError("spellcheck=true requires spellcheck.q")
+        out["spellcheck"] = spell_suggest(
+            index, term.lower(), k=int(params.get("spellcheck.count", 5)))
     if params.get("facet.query"):
         counts = []
         for qs in aslist(params["facet.query"]):

@@ -462,3 +462,34 @@ def test_expand_component(spark, setup):
     assert exp == [("en", 1)]
     with pytest.raises(ValueError, match="collapse"):
         solr_request(idx, {"q": "spark", "expand": True}, docvalues=dv)
+
+
+def test_stats_group_spellcheck_components(spark, setup):
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    # stats over the q domain (spark matches n = 10, 20, 30)
+    out = solr_request(idx, {"q": "spark", "stats": "true",
+                             "stats.field": "n"}, docvalues=dv)
+    row = out["stats:n"].collect()[0]
+    assert (row["min"], row["max"], row["sum"], row["count"]) \
+        == (10, 30, 60, 3)
+    assert row["sumOfSquares"] == 100 + 400 + 900
+    # grouping: top doc per lang by relevance
+    out = solr_request(idx, {"q": "spark", "group": "true",
+                             "group.field": "lang"}, docvalues=dv)
+    got = {(r["lang"], int(r["doc_id"])) for r in out["grouped"].collect()}
+    assert got == {("en", 0), ("de", 2)}
+    # group.limit
+    out = solr_request(idx, {"q": "spark", "group": "true",
+                             "group.field": "lang", "group.limit": 2},
+                       docvalues=dv)
+    assert out["grouped"].count() == 3   # en: 2 docs, de: 1
+    # spellcheck
+    out = solr_request(idx, {"q": "spark", "spellcheck": "true",
+                             "spellcheck.q": "shufle"})
+    sugg = [r["term"] for r in out["spellcheck"].collect()]
+    assert "shuffle" in sugg
+    with pytest.raises(ValueError, match="stats.field"):
+        solr_request(idx, {"q": "spark", "stats": True}, docvalues=dv)
+    with pytest.raises(ValueError, match="spellcheck.q"):
+        solr_request(idx, {"q": "spark", "spellcheck": True})
