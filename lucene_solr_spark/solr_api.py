@@ -220,6 +220,17 @@ def solr_request(
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
     if "q" not in params:
         raise ValueError("q is required")
+    # dependent params without their master switch would be silently
+    # ignored — raise instead (same contract as unknown params)
+    _deps = {"group.field": "group", "group.limit": "group",
+             "stats.field": "stats", "spellcheck.q": "spellcheck",
+             "spellcheck.count": "spellcheck", "expand.rows": "expand",
+             "facet.range.start": "facet.range",
+             "facet.range.end": "facet.range",
+             "facet.range.gap": "facet.range", "hl.fl": "hl"}
+    for k, master in _deps.items():
+        if k in params and not params.get(master):
+            raise ValueError(f"{k} requires {master}")
 
     def aslist(v):
         return [v] if isinstance(v, str) else list(v)

@@ -109,6 +109,8 @@ def test_fl_and_facets(spark, setup):
 def test_guards(spark, setup):
     idx, docs = setup
     with pytest.raises(ValueError, match="unsupported"):
+        solr_request(idx, {"q": "spark", "mlt.fl": "lang"})
+    with pytest.raises(ValueError, match="requires group"):
         solr_request(idx, {"q": "spark", "group.field": "lang"})
     with pytest.raises(ValueError, match="q is required"):
         solr_request(idx, {"rows": 5})
