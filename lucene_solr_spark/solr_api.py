@@ -214,7 +214,8 @@ def solr_request(
              "expand", "expand.rows",
              "stats", "stats.field", "group", "group.field",
              "group.limit", "spellcheck", "spellcheck.q",
-             "spellcheck.count"}
+             "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
+             "mlt.maxqt", "debug"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -227,7 +228,9 @@ def solr_request(
              "spellcheck.count": "spellcheck", "expand.rows": "expand",
              "facet.range.start": "facet.range",
              "facet.range.end": "facet.range",
-             "facet.range.gap": "facet.range", "hl.fl": "hl"}
+             "facet.range.gap": "facet.range", "hl.fl": "hl",
+             "mlt.doc_id": "mlt", "mlt.count": "mlt",
+             "mlt.maxqt": "mlt"}
     for k, master in _deps.items():
         if k in params and not params.get(master):
             raise ValueError(f"{k} requires {master}")
@@ -515,6 +518,26 @@ def solr_request(
             raise ValueError("spellcheck=true requires spellcheck.q")
         out["spellcheck"] = spell_suggest(
             index, term.lower(), k=int(params.get("spellcheck.count", 5)))
+    if asbool(params.get("mlt", False)):
+        # MoreLikeThisComponent: top similar docs for a seed doc (the
+        # forward-index MLT path)
+        from .search.extras import more_like_this
+
+        if "mlt.doc_id" not in params:
+            raise ValueError("mlt=true requires mlt.doc_id")
+        out["moreLikeThis"] = more_like_this(
+            index, int(params["mlt.doc_id"]),
+            k=int(params.get("mlt.count", 10)),
+            max_terms=int(params.get("mlt.maxqt", 25)))
+    if asbool(params.get("debug", False)):
+        # debug=true: per-(doc, term) Explanation components for the
+        # page's scoring terms (IndexSearcher#explain analog)
+        from .search.extras import explain
+        from .search.query import query_terms
+
+        terms = query_terms(_parse(index, params["q"], df, op))
+        if terms:
+            out["debug"] = explain(index, terms, k=start + rows)
     if params.get("facet.query"):
         counts = []
         for qs in aslist(params["facet.query"]):

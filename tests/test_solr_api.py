@@ -495,3 +495,23 @@ def test_stats_group_spellcheck_components(spark, setup):
         solr_request(idx, {"q": "spark", "stats": True}, docvalues=dv)
     with pytest.raises(ValueError, match="spellcheck.q"):
         solr_request(idx, {"q": "spark", "spellcheck": True})
+
+
+def test_mlt_and_debug_components(spark, setup):
+    idx, docs = setup
+    out = solr_request(idx, {"q": "spark", "mlt": "true",
+                             "mlt.doc_id": 0, "mlt.count": 3,
+                             "mlt.maxqt": 10})
+    ml = [int(r["doc_id"]) for r in out["moreLikeThis"].collect()]
+    # the seed doc is excluded (MLT contract); both sharers rank
+    assert 0 not in ml and set(ml) == {1, 2}
+    out = solr_request(idx, {"q": "spark shuffle", "debug": "true",
+                             "rows": 3})
+    dbg = out["debug"].collect()
+    assert {r["term"] for r in dbg} == {"spark", "shuffle"}
+    cols = set(out["debug"].columns)
+    assert {"doc_id", "tf", "df", "idf", "partial", "score"} <= cols
+    with pytest.raises(ValueError, match="mlt.doc_id"):
+        solr_request(idx, {"q": "spark", "mlt": True})
+    with pytest.raises(ValueError, match="requires mlt"):
+        solr_request(idx, {"q": "spark", "mlt.doc_id": 0})
