@@ -4748,6 +4748,25 @@ def q_solr_stemmed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collapse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingQParser over the scored stream ({!collapse field=lang}
+    as the facade runs it): one head doc per lang — the argmax by
+    (score, docid tiebreak) over the FULL match set, then top-10.  The
+    oracle re-derives heads with a per-group max + min-docid argmax."""
+    from lucene_solr_spark.relational import collapse_field
+
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM]).select("doc_id", "score64")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    heads = collapse_field(sc.join(d, "doc_id"), "lang",
+                           [F.desc("score64"), F.asc("doc_id")])
+    return (
+        heads.select("doc_id",
+                     F.col("score64").cast("float").alias("score"), "lang")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_sharded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed StatsComponent: per-shard DECIMAL-exact partial
     moments merged to the same bits as the single-frame stats."""
@@ -7394,6 +7413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_demote": q_boosting_demote,
         "solr_select": q_solr_select,
         "solr_stemmed_select": q_solr_stemmed_select,
+        "collapse_select": q_collapse_select,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -9455,6 +9475,18 @@ scored AS (SELECT doc_id,
 SELECT doc_id, CAST(sum(score64) AS FLOAT) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "collapse_select": f"""
+{_bm25_oracle_base("term = '" + BM25_TERM + "'")},
+lab AS (SELECT s.doc_id, s.score64, d.lang
+        FROM scored s JOIN documents d USING (doc_id)),
+best AS (SELECT lang, max(score64) AS mx FROM lab GROUP BY lang),
+heads AS (
+  SELECT l.lang, min(l.doc_id) AS doc_id
+  FROM lab l JOIN best b ON l.lang = b.lang AND l.score64 = b.mx
+  GROUP BY l.lang)
+SELECT h.doc_id, CAST(l.score64 AS FLOAT) AS score, h.lang
+FROM heads h JOIN lab l ON h.doc_id = l.doc_id AND h.lang = l.lang
+ORDER BY score DESC, h.doc_id ASC LIMIT 10""",
         "boosting_demote": f"""
 {_bm25_oracle_base("term = '" + BM25_TERM + "'")}
 SELECT s.doc_id,
