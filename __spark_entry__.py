@@ -4748,6 +4748,28 @@ def q_solr_stemmed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frange_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!frange} as the facade runs it: the compiled function
+    ``n_chars / 2`` gates the match set ([40, 90] inclusive) before
+    relevance top-10.  The SAME canonical SQL text (expressions
+    module) evaluates on both engines, so the f64 gate is exact."""
+    from lucene_solr_spark.expressions import expression_sql
+
+    expr = expression_sql("n_chars / 2")
+    sc = _bm25_scores(spark, sf_dir, [BM25_TERM])
+    dom = (
+        _docs(spark, sf_dir)
+        .filter((F.expr(expr) >= 40.0) & (F.expr(expr) <= 90.0))
+        .select("doc_id")
+    )
+    return (
+        sc.join(dom, "doc_id", "left_semi")
+        .select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_collapse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollapsingQParser over the scored stream ({!collapse field=lang}
     as the facade runs it): one head doc per lang — the argmax by
@@ -7414,6 +7436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "solr_select": q_solr_select,
         "solr_stemmed_select": q_solr_stemmed_select,
         "collapse_select": q_collapse_select,
+        "frange_select": q_frange_select,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -9475,6 +9498,15 @@ scored AS (SELECT doc_id,
 SELECT doc_id, CAST(sum(score64) AS FLOAT) AS score
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "frange_select": f"""
+{_bm25_oracle_base("term = '" + BM25_TERM + "'")}
+SELECT s.doc_id, CAST(s.score64 AS FLOAT) AS score
+FROM scored s
+WHERE s.doc_id IN (
+  SELECT doc_id FROM documents
+  WHERE (CAST(n_chars AS DOUBLE) / 2.0e0) >= 40e0
+    AND (CAST(n_chars AS DOUBLE) / 2.0e0) <= 90e0)
+ORDER BY score DESC, s.doc_id ASC LIMIT 10""",
         "collapse_select": f"""
 {_bm25_oracle_base("term = '" + BM25_TERM + "'")},
 lab AS (SELECT s.doc_id, s.score64, d.lang
