@@ -4748,6 +4748,22 @@ def q_solr_stemmed_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_qop_and_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q.op=AND scored page ('hash merge batch' with the AND default
+    operator): docs containing EVERY term, scored as the sum of the
+    per-term BM25 contributions (ConjunctionScorer), top-10."""
+    sc = _bm25_scores(spark, sf_dir, list(AND_TERMS))
+    counts = sc.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("_nt"),
+        F.sum("score64").alias("score64"))
+    return (
+        counts.filter(F.col("_nt") == len(AND_TERMS))
+        .select("doc_id", F.col("score64").cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def q_frange_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{!frange} as the facade runs it: the compiled function
     ``n_chars / 2`` gates the match set ([40, 90] inclusive) before
@@ -7437,6 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "solr_stemmed_select": q_solr_stemmed_select,
         "collapse_select": q_collapse_select,
         "frange_select": q_frange_select,
+        "qop_and_select": q_qop_and_select,
         "dismax": q_dismax,
         "min_should_match": q_min_should_match,
         "stream_merge_unique": q_stream_merge_unique,
@@ -9497,6 +9514,12 @@ scored AS (SELECT doc_id,
            AS score64 FROM inputs)
 SELECT doc_id, CAST(sum(score64) AS FLOAT) AS score
 FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "qop_and_select": f"""
+{_bm25_oracle_base("term IN ('" + "', '".join(AND_TERMS) + "')")}
+SELECT doc_id, CAST(sum(score64) AS FLOAT) AS score
+FROM scored GROUP BY doc_id
+HAVING count(*) = {len(AND_TERMS)}
 ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "frange_select": f"""
 {_bm25_oracle_base("term = '" + BM25_TERM + "'")}
