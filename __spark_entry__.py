@@ -6941,6 +6941,40 @@ def q_portuguese_minimal_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TR_APOS_WORDS = ("türkiye'den", "istanbul’a", "ankara'nın",
+                 "izmir'de", "adana’dan", "bursa'ya")
+
+
+def q_apostrophe_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApostropheFilter (Turkish): the first apostrophe of either kind
+    truncates the token; oracle replays the rule via strpos/substr."""
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, apostrophe_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("plain sözcük "),
+            F.element_at(F.array(*[F.lit(w) for w in TR_APOS_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=ELISION_TOKEN_PATTERN,
+                  steps=(apostrophe_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: rotating vocab for the hunspell entry — each surface form resolves
 #: to exactly one stem (or passes through), so the oracle can mirror
 #: the affix-undo rules as a CASE cascade
@@ -7595,6 +7629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "italian_light_dict": q_italian_light_dict,
         "hunspell_dict": q_hunspell_dict,
         "portuguese_minimal_dict": q_portuguese_minimal_dict,
+        "apostrophe_dict": q_apostrophe_dict,
         "collation_sort": q_collation_sort,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
@@ -12263,6 +12298,28 @@ stem AS (
       THEN substr(t, 1, length(t) - 1)
     ELSE t END AS term
   FROM raw)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "apostrophe_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(
+           'plain sözcük ' ||
+           (['{"', '".join(w.replace(chr(39), chr(39) * 2) for w in TR_APOS_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, ' ')) AS t
+  FROM documents),
+cut AS (
+  SELECT doc_id, t,
+         strpos(t, chr(39)) AS p1, strpos(t, '’') AS p2
+  FROM raw),
+stem AS (
+  SELECT doc_id, CASE
+    WHEN p1 > 0 AND (p2 = 0 OR p1 < p2) THEN substr(t, 1, p1 - 1)
+    WHEN p2 > 0 THEN substr(t, 1, p2 - 1)
+    ELSE t END AS term
+  FROM cut)
 SELECT term,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(COUNT(*) AS BIGINT) AS cf

@@ -119,6 +119,8 @@ __all__ = [
     "hunspell_stem_filter",
     "portuguese_minimal_stem",
     "portuguese_minimal_stem_filter",
+    "apostrophe_strip",
+    "apostrophe_filter",
     "icu_fold",
     "icu_folding_filter",
     "dictionary_compound_filter",
@@ -1511,6 +1513,22 @@ def italian_light_stem_filter() -> Map:
     return Map(italian_light_stem, "italian_light_stem")
 
 
+def apostrophe_strip(t: str) -> str:
+    """ApostropheFilter (``[8x] lucene/analysis/common/src/java/org/
+    apache/lucene/analysis/tr/ApostropheFilter.java``): drop the first
+    apostrophe (ASCII ``'`` or U+2019) and EVERYTHING after it —
+    Turkish possessive/case suffixes attach with an apostrophe
+    (``Türkiye'den`` → ``türkiye`` after lowercasing).  The mirror of
+    ElisionFilter, which drops the prefix side for French."""
+    cuts = [i for i in (t.find("'"), t.find("’")) if i >= 0]
+    return t[: min(cuts)] if cuts else t
+
+
+def apostrophe_filter() -> Map:
+    """ApostropheFilter: :func:`apostrophe_strip` in the Map slot."""
+    return Map(apostrophe_strip, "apostrophe")
+
+
 #: RSLP plural-reduction table (suffix, min stem chars, replacement,
 #: full-word exceptions) — Orengo & Huyck, "A stemming algorithm for
 #: the Portuguese language", SPIRE 2001; the step behind ``[8x]
@@ -2036,7 +2054,8 @@ def chain_spec(chain: Chain) -> dict | None:
             "capitalization", "decimal_digit", "english_possessive",
             "english_minimal_stem", "french_minimal_stem",
             "german_light_stem", "spanish_light_stem",
-            "italian_light_stem", "portuguese_minimal_stem", "icu_fold",
+            "italian_light_stem", "portuguese_minimal_stem",
+            "apostrophe", "icu_fold",
         ):
             steps.append({"kind": step.name})
         elif isinstance(step, Map) and step.name == "porter_protected":
@@ -2236,6 +2255,8 @@ def chain_from_spec(spec: dict) -> Chain:
                 s["aff"], s["dic"], s.get("longest_only", False)))
         elif kind == "portuguese_minimal_stem":
             steps.append(portuguese_minimal_stem_filter())
+        elif kind == "apostrophe":
+            steps.append(apostrophe_filter())
         elif kind == "icu_fold":
             steps.append(icu_folding_filter())
         elif kind == "synonym":

@@ -1503,3 +1503,23 @@ def test_hunspell_chain_persists_through_manifest(spark, tmp_path):
     # dictionary: "rewalks" stemmed to "walk", findable via "walks"
     assert search(idx2, analyze_query(parse_query("walks"), rt),
                   k=25).count() == 1
+
+
+def test_apostrophe_filter_vectors_and_spec():
+    """ApostropheFilter: drop the FIRST apostrophe (either kind) and
+    everything after; spec round-trips by name."""
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, apostrophe_filter, apostrophe_strip,
+        chain_from_spec, chain_spec,
+    )
+
+    a = apostrophe_strip
+    assert a("türkiye'den") == "türkiye"
+    assert a("istanbul’a") == "istanbul"
+    assert a("x’y'z") == "x"            # earliest of either kind wins
+    assert a("plain") == "plain"
+    ch = Chain(pattern=ELISION_TOKEN_PATTERN, steps=(apostrophe_filter(),))
+    assert [t for t, _ in ch.tokens("türkiye'den plain")] == \
+        ["türkiye", "plain"]
+    rt = chain_from_spec(chain_spec(ch))
+    assert rt.tokens("ankara'nın") == ch.tokens("ankara'nın")
