@@ -6975,6 +6975,43 @@ def q_apostrophe_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TR_CASE_WORDS = ("İstanbul'da", "IŞIK", "İZMİR", "DENİZ", "Irmak",
+                 "Ankara’nın")
+
+
+def q_turkish_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turkish analysis chain: İ→i / I→ı char mapping BEFORE standard
+    lowering, then apostrophe truncation; oracle replays translate +
+    lower + the apostrophe cut in SQL."""
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, apostrophe_filter,
+        turkish_lowercase_char_filter,
+    )
+    from lucene_solr_spark.index.core import build_index_view
+
+    d = _docs(spark, sf_dir)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("plain TOKEN "),
+            F.element_at(F.array(*[F.lit(w) for w in TR_CASE_WORDS]),
+                         (F.col("doc_id") % 6 + 1).cast("int")),
+            F.lit(" "), F.col("lang"),
+        ).alias("t"),
+    )
+    chain = Chain(pattern=ELISION_TOKEN_PATTERN,
+                  char_steps=(turkish_lowercase_char_filter(),),
+                  steps=(apostrophe_filter(),))
+    idx = build_index_view(synth, id_col="doc_id", text_col="t",
+                           analyzer=chain, cache=False)
+    return (
+        idx.term_dict
+        .select("term", F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy("term")
+    )
+
+
 #: rotating vocab for the hunspell entry — each surface form resolves
 #: to exactly one stem (or passes through), so the oracle can mirror
 #: the affix-undo rules as a CASE cascade
@@ -7630,6 +7667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hunspell_dict": q_hunspell_dict,
         "portuguese_minimal_dict": q_portuguese_minimal_dict,
         "apostrophe_dict": q_apostrophe_dict,
+        "turkish_dict": q_turkish_dict,
         "collation_sort": q_collation_sort,
         "capitalization_dict": q_capitalization_dict,
         "group_query": q_group_query,
@@ -12309,6 +12347,28 @@ WITH raw AS (
            'plain sözcük ' ||
            (['{"', '".join(w.replace(chr(39), chr(39) * 2) for w in TR_APOS_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
            ' ' || lang, ' ')) AS t
+  FROM documents),
+cut AS (
+  SELECT doc_id, t,
+         strpos(t, chr(39)) AS p1, strpos(t, '’') AS p2
+  FROM raw),
+stem AS (
+  SELECT doc_id, CASE
+    WHEN p1 > 0 AND (p2 = 0 OR p1 < p2) THEN substr(t, 1, p1 - 1)
+    WHEN p2 > 0 THEN substr(t, 1, p2 - 1)
+    ELSE t END AS term
+  FROM cut)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS cf
+FROM stem GROUP BY term ORDER BY term""",
+        "turkish_dict": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(lower(translate(
+           'plain TOKEN ' ||
+           (['{"', '".join(w.replace(chr(39), chr(39) * 2) for w in TR_CASE_WORDS)}'])[CAST(doc_id % 6 AS INT) + 1] ||
+           ' ' || lang, 'İI', 'iı')), ' ')) AS t
   FROM documents),
 cut AS (
   SELECT doc_id, t,

@@ -121,6 +121,7 @@ __all__ = [
     "portuguese_minimal_stem_filter",
     "apostrophe_strip",
     "apostrophe_filter",
+    "turkish_lowercase_char_filter",
     "icu_fold",
     "icu_folding_filter",
     "dictionary_compound_filter",
@@ -633,6 +634,16 @@ def mapping_char_filter(mapping: dict[str, str]) -> CharReplace:
     keys = sorted(mapping, key=len, reverse=True)
     pattern = "|".join(re.escape(k) for k in keys)
     return CharReplace(((pattern, tuple(sorted(mapping.items())), "table"),), "mapping")
+
+
+def turkish_lowercase_char_filter() -> CharReplace:
+    """TurkishLowerCaseFilter semantics on the CharFilter slot (``[8x]
+    lucene/analysis/common/src/java/org/apache/lucene/analysis/tr/
+    TurkishLowerCaseFilter.java``): dotted capital İ lowers to ``i``
+    and dotless capital I to ``ı`` — mapped BEFORE the chain's standard
+    lowercasing, which would otherwise fold I to the wrong (dotted)
+    ``i`` for Turkish text."""
+    return mapping_char_filter({"İ": "i", "I": "ı"})
 
 
 def _apply_char_rules(text: str, char_steps: tuple) -> str:

@@ -1523,3 +1523,22 @@ def test_apostrophe_filter_vectors_and_spec():
         ["türkiye", "plain"]
     rt = chain_from_spec(chain_spec(ch))
     assert rt.tokens("ankara'nın") == ch.tokens("ankara'nın")
+
+
+def test_turkish_lowercase_char_filter():
+    """Dotted İ→i, dotless I→ı BEFORE standard lowering; composes with
+    the apostrophe filter; spec round-trips through CharReplace rules."""
+    from lucene_solr_spark.analysis import (
+        Chain, ELISION_TOKEN_PATTERN, apostrophe_filter,
+        chain_from_spec, chain_spec, turkish_lowercase_char_filter,
+    )
+
+    ch = Chain(pattern=ELISION_TOKEN_PATTERN,
+               char_steps=(turkish_lowercase_char_filter(),),
+               steps=(apostrophe_filter(),))
+    assert [t for t, _ in ch.tokens("İstanbul'da IŞIK DENİZ")] == \
+        ["istanbul", "ışık", "deniz"]
+    # plain str.lower() would have produced the WRONG dotted i for IŞIK
+    assert "IŞIK".lower() == "işik"
+    rt = chain_from_spec(chain_spec(ch))
+    assert rt.tokens("İZMİR'e Irmak") == ch.tokens("İZMİR'e Irmak")
