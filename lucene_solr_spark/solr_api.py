@@ -215,7 +215,7 @@ def solr_request(
              "stats", "stats.field", "group", "group.field",
              "group.limit", "spellcheck", "spellcheck.q",
              "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
-             "mlt.maxqt", "debug"}
+             "mlt.maxqt", "debug", "cursorMark"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -261,6 +261,29 @@ def solr_request(
     if df is not None and df not in index.field_stats:
         raise ValueError(f"df names unknown field {df!r}")
 
+    cursor_mark = params.get("cursorMark")
+    cursor = None
+    if cursor_mark is not None:
+        # Solr cursorMark deep paging: '*' opens the stream; later marks
+        # are the opaque base64 of the last row's (score, doc_id) sort
+        # key (our sort is the fixed score desc, doc_id asc — Solr
+        # requires the uniqueKey tiebreak for exactly this reason).
+        # start= must not be combined with a cursor, as in Solr.
+        if start:
+            raise ValueError("cursorMark cannot be combined with start")
+        if params.get("sort", "score desc").strip() != "score desc":
+            raise ValueError("cursorMark supports relevance sort only")
+        if cursor_mark != "*":
+            import base64 as _b64
+            import json as _json
+
+            try:
+                score_v, doc_v = _json.loads(
+                    _b64.urlsafe_b64decode(cursor_mark.encode()).decode())
+                cursor = (float(score_v), int(doc_v))
+            except Exception as exc:
+                raise ValueError(f"bad cursorMark {cursor_mark!r}") from exc
+
     # ---- main query ------------------------------------------------------
     def _is_collapse(qs):
         if not qs.startswith("{!"):
@@ -274,6 +297,8 @@ def solr_request(
     if collapses and sort != "score desc":
         raise ValueError("{!collapse} is supported with relevance sort only")
     if sort == "score desc" and collapses:
+        if params.get("cursorMark") is not None:
+            raise ValueError("cursorMark is not supported with {!collapse}")
         # CollapsingQParserPlugin: one surviving head doc per group,
         # chosen by score (default) or min=/max= field, BEFORE top-k —
         # collapse is a collector decorator in Solr, so it must see the
@@ -335,7 +360,7 @@ def solr_request(
             m = _match_set(index, qs, df, op, docvalues)
             dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
         hits = search(index, _parse(index, params["q"], df, op), k=start + rows,
-                      domain=dom)
+                      domain=dom, cursor=cursor)
         order_keys = [F.desc("score"), F.asc("doc_id")]
         carry = []
     else:
@@ -389,6 +414,20 @@ def solr_request(
     for c in carry:
         response = response.drop(f"_s_{c}")  # projection preserves the sort
     out = {"response": response}
+    if cursor_mark is not None:
+        # materialize the (bounded, <= rows) page to mint the next mark;
+        # an unchanged mark signals exhaustion, exactly Solr's contract
+        import base64 as _b64
+        import json as _json
+
+        page = response.select("doc_id", "score").collect()
+        if page:
+            last = page[-1]
+            out["nextCursorMark"] = _b64.urlsafe_b64encode(_json.dumps(
+                [float(last["score"]), int(last["doc_id"])]
+            ).encode()).decode()
+        else:
+            out["nextCursorMark"] = cursor_mark
     if asbool(params.get("expand", False)):
         # ExpandComponent: for each collapsed head, the next-best group
         # members excluded by the collapse

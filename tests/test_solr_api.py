@@ -515,3 +515,31 @@ def test_mlt_and_debug_components(spark, setup):
         solr_request(idx, {"q": "spark", "mlt": True})
     with pytest.raises(ValueError, match="requires mlt"):
         solr_request(idx, {"q": "spark", "mlt.doc_id": 0})
+
+
+def test_cursor_mark_paging(spark, setup):
+    """cursorMark deep paging: '*' opens, each page mints the next mark,
+    pages never overlap, an unchanged mark signals exhaustion."""
+    idx, docs = setup
+    seen, mark, pages = [], "*", 0
+    while True:
+        out = solr_request(idx, {"q": "spark", "rows": 1,
+                                 "cursorMark": mark})
+        page = [int(r["doc_id"]) for r in out["response"].collect()]
+        nxt = out["nextCursorMark"]
+        if not page or nxt == mark:
+            break
+        seen += page
+        mark = nxt
+        pages += 1
+        assert pages <= 10
+    assert seen == [int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "rows": 10})["response"].collect()]
+    assert len(seen) == 3 and len(set(seen)) == 3
+    with pytest.raises(ValueError, match="start"):
+        solr_request(idx, {"q": "spark", "cursorMark": "*", "start": 1})
+    with pytest.raises(ValueError, match="bad cursorMark"):
+        solr_request(idx, {"q": "spark", "cursorMark": "zzz"})
+    with pytest.raises(ValueError, match="relevance"):
+        solr_request(idx, {"q": "spark", "cursorMark": "*",
+                           "sort": "n desc"}, docvalues=docs)
