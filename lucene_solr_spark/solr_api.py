@@ -215,7 +215,7 @@ def solr_request(
              "stats", "stats.field", "group", "group.field",
              "group.limit", "spellcheck", "spellcheck.q",
              "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
-             "mlt.maxqt", "debug", "cursorMark"}
+             "mlt.maxqt", "debug", "cursorMark", "score"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -283,6 +283,50 @@ def solr_request(
                 cursor = (float(score_v), int(doc_v))
             except Exception as exc:
                 raise ValueError(f"bad cursorMark {cursor_mark!r}") from exc
+
+    # ---- block-join q ({!parent}/{!child}): a different EXECUTION, not
+    # a query AST — parents/children resolve through the explicit
+    # child->parent relation in docvalues (the Spark-native encoding of
+    # Lucene's contiguous doc blocks + parents BitSet); Solr's which=/of=
+    # parent-filter params are accepted and superseded by that relation
+    _bj = None
+    if params["q"].startswith("{!"):
+        _qlp, _qrest = _local_params(params["q"])
+        if _qlp is not None and _qlp[0] in ("parent", "child"):
+            _bj = (_qlp[0], _qlp[1], _qrest)
+    if _bj is not None:
+        kind, kv, rest = _bj
+        extra = set(kv) - {"which", "of", "score", "cache", "cost"}
+        if extra:
+            raise ValueError(
+                f"unsupported {{!{kind}}} local params: {sorted(extra)}")
+        if params.get("sort", "score desc").strip() != "score desc":
+            raise ValueError(f"{{!{kind}}} supports relevance sort only")
+        if docvalues is None or "parent_id" not in docvalues.columns:
+            raise ValueError(
+                f"{{!{kind}}} requires a docvalues frame with a"
+                " parent_id column (child doc -> parent doc)")
+        from .search.extras import block_join_children, block_join_parents
+
+        parent_of = (docvalues.select("doc_id", "parent_id")
+                     .filter(F.col("parent_id").isNotNull()))
+        inner = _parse(index, rest, df, op)
+        if kind == "parent":
+            hits = (
+                block_join_parents(
+                    index, inner, parent_of,
+                    score_mode=kv.get("score", "max"), k=start + rows)
+                .withColumnRenamed("parent_id", "doc_id")
+            )
+        else:
+            hits = block_join_children(
+                index, inner, parent_of, k=start + rows
+            ).select("doc_id", "score")
+        for qs in aslist(params.get("fq", [])):
+            hits = hits.join(_match_set(index, qs, df, op, docvalues),
+                             "doc_id", "left_semi")
+        out = {"response": hits.orderBy(F.desc("score"), F.asc("doc_id"))}
+        return out
 
     # ---- main query ------------------------------------------------------
     def _is_collapse(qs):

@@ -543,3 +543,40 @@ def test_cursor_mark_paging(spark, setup):
     with pytest.raises(ValueError, match="relevance"):
         solr_request(idx, {"q": "spark", "cursorMark": "*",
                            "sort": "n desc"}, docvalues=docs)
+
+
+def test_block_join_local_params(spark):
+    """{!parent}/{!child} q: block join through the explicit parent_id
+    relation in docvalues; fq composes on the result side."""
+    # parents 0,3 (docs about topics); children 1,2 of 0 and 4,5 of 3
+    docs = spark.createDataFrame(
+        [(0, "parent alpha topic", None), (1, "spark shuffle", 0),
+         (2, "spark window", 0), (3, "parent beta topic", None),
+         (4, "table scan", 3), (5, "spark merge", 3)],
+        "doc_id long, content string, parent_id long")
+    idx = build_index_view(docs.select("doc_id", "content"),
+                           id_col="doc_id", text_col="content")
+    dv = docs.select("doc_id", "parent_id")
+    out = solr_request(idx, {"q": "{!parent which=topic}spark",
+                             "rows": 10}, docvalues=dv)
+    parents = [int(r["doc_id"]) for r in out["response"].collect()]
+    assert set(parents) == {0, 3}           # both have spark children
+    # score=total ranks parent 0 (two spark children) above 3 (one)
+    out = solr_request(idx, {"q": "{!parent which=topic score=total}spark",
+                             "rows": 10}, docvalues=dv)
+    ranked = [int(r["doc_id"]) for r in out["response"].collect()]
+    assert ranked[0] == 0
+    # children of parents matching 'beta'
+    out = solr_request(idx, {"q": "{!child of=topic}beta", "rows": 10},
+                       docvalues=dv)
+    kids = sorted(int(r["doc_id"]) for r in out["response"].collect())
+    assert kids == [4, 5]
+    # fq composes on the joined side
+    out = solr_request(idx, {"q": "{!child of=topic}beta", "fq": "spark",
+                             "rows": 10}, docvalues=dv)
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [5]
+    with pytest.raises(ValueError, match="parent_id"):
+        solr_request(idx, {"q": "{!parent which=t}spark", "rows": 5})
+    with pytest.raises(ValueError, match="local params"):
+        solr_request(idx, {"q": "{!parent nested=x}spark", "rows": 5},
+                     docvalues=dv)
