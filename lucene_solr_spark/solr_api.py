@@ -215,7 +215,7 @@ def solr_request(
              "stats", "stats.field", "group", "group.field",
              "group.limit", "spellcheck", "spellcheck.q",
              "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
-             "mlt.maxqt", "debug", "cursorMark", "score"}
+             "mlt.maxqt", "debug", "cursorMark"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
