@@ -635,3 +635,24 @@ def test_epoch_shuffle_single_exchange_no_global_sort(spark):
     # positional arg of Sort's toString is global=false
     assert "Sort [shard" in plan, plan
     assert "], false, 0" in plan.split("Sort [shard")[1][:120], plan
+
+
+def test_cursor_page_stays_bounded_topk(spark):
+    """cursorMark deep page: the plan is a TakeOrderedAndProject over
+    the cursor-filtered stream — deep pages never materialize the full
+    result or use a global window."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "alpha gamma") for i in range(50)],
+        "doc_id long, content string")
+    from lucene_solr_spark.index import build_index_view
+
+    idx = build_index_view(docs, id_col="doc_id", text_col="content")
+    first = solr_request(idx, {"q": "alpha", "rows": 5, "cursorMark": "*"})
+    mark = first["nextCursorMark"]
+    page2 = solr_request(idx, {"q": "alpha", "rows": 5,
+                               "cursorMark": mark})["response"]
+    plan = _plan(page2)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
