@@ -1,0 +1,51 @@
+"""Hypothesis fuzz over the session's analysis kernels (Spark-free):
+no input may crash a stemmer, outputs are always str, and the
+documented structural bounds hold."""
+
+from __future__ import annotations
+
+from hypothesis import given, strategies as st
+
+from lucene_solr_spark.analysis import (
+    apostrophe_strip,
+    french_minimal_stem,
+    german_light_stem,
+    italian_light_stem,
+    portuguese_minimal_stem,
+    spanish_light_stem,
+)
+from lucene_solr_spark.hunspell import HunspellDictionary
+
+_word = st.text(min_size=0, max_size=24)
+
+
+@given(_word)
+def test_stemmers_total_and_bounded(w):
+    for fn in (french_minimal_stem, german_light_stem, spanish_light_stem,
+               italian_light_stem, portuguese_minimal_stem):
+        out = fn(w)
+        assert isinstance(out, str)
+        # every rule removes at least as much as it appends (longest
+        # replacement is 2 chars for a 3-char suffix)
+        assert len(out) <= len(w) + 1
+
+
+@given(_word)
+def test_apostrophe_strip_is_prefix(w):
+    out = apostrophe_strip(w)
+    assert w.startswith(out)
+    assert "'" not in out and "’" not in out
+
+
+_DICT = HunspellDictionary(
+    "PFX A Y 1\nPFX A 0 re .\nSFX S Y 1\nSFX S 0 s .\n",
+    "2\nwork/AS\nplay/S\n")
+
+
+@given(_word)
+def test_hunspell_stems_total(w):
+    out = _DICT.stems(w)
+    assert isinstance(out, tuple)
+    assert all(isinstance(x, str) and x for x in out)
+    # stems are dictionary entries only
+    assert set(out) <= set(_DICT.words)
