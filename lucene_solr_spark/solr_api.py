@@ -6,21 +6,45 @@ QueryComponent/FacetComponent param parsing) onto the engine's native
 calls, so a caller migrating from the reference can keep thinking in
 request params while running Spark plans:
 
-* ``q`` — classic query-parser string (parse_query);
+* ``q`` — classic query-parser string (parse_query) with ``q.op``
+  default-operator support, automatically run through the index's
+  schema analyzer (``IndexView.query_chain``; per-field chains in
+  multi-field mode; ``df`` overrides the default field), or a
+  local-params query: ``{!term}``/``{!field}`` (raw), ``{!prefix}``,
+  ``{!lucene df= q.op=}``, ``{!edismax qf= tie= mm= pf= ps=}``,
+  ``{!parent which= score=}`` / ``{!child of=}`` block joins (through
+  an explicit ``parent_id`` docvalues relation);
 * ``fq`` — list of filter queries, each applied as a scoreless
   match-set LEFT SEMI join (LRUQueryCache semantics live in
-  ``search.cache`` for callers who want reuse);
+  ``search.cache`` for callers who want reuse); fq-position local
+  params additionally support ``{!frange}`` (compiled function range
+  over docvalues) and ``{!collapse field= min= max= nullPolicy=}``
+  (group collapse over the FULL scored stream, before top-k, with
+  facets over the collapsed domain and the ``expand`` companion);
 * ``rows`` / ``start`` — page size + offset, applied AFTER the top-k
-  collector on a bounded (start + rows)-sized frame (deep paging
-  belongs to cursorMark / ``search_after``, exactly as Solr advises);
+  collector on a bounded (start + rows)-sized frame; ``cursorMark``
+  deep paging rides the searchAfter cursor pushdown (pages stay
+  bounded top-k at any depth) and mints ``nextCursorMark``;
 * ``fl`` — stored-field projection joined from a docvalues frame;
-* ``facet.field`` / ``facet.query`` — facets computed over the QUERY
-  DOMAIN (the match set), like FacetComponent.
+* ``facet.field`` (+ mincount/prefix/contains/missing/sort/limit) /
+  ``facet.query`` / ``facet.range`` (+ start/end/gap, numeric or
+  date-math) — facets computed over the QUERY DOMAIN (the match
+  set), like FacetComponent;
+* component switches: ``hl`` (+``hl.fl``), ``stats`` (+
+  ``stats.field``), ``group`` (+``group.field``/``group.limit``),
+  ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``), ``mlt``
+  (+``mlt.doc_id``/``mlt.count``/``mlt.maxqt``), ``debug``
+  (Explanation components), ``expand`` (+``expand.rows``).
 
-Returns a dict of DataFrames: ``response`` plus one
-``facet_field:<f>`` / ``facet_query`` entry per requested facet.
-Everything lowers onto existing, oracle-checked operators — this module
-adds routing, not new semantics.
+Returns a dict of DataFrames: ``response`` plus one entry per
+requested component (``facet_field:<f>``, ``facet_query``,
+``facet_range:<f>``, ``stats:<f>``, ``grouped``, ``spellcheck``,
+``moreLikeThis``, ``debug``, ``expanded``, ``highlighting``,
+``nextCursorMark``).  Unknown params raise, dependent params without
+their master switch raise, and unknown local-params keys raise —
+silent ignoring is how real migrations corrupt results.  Everything
+lowers onto existing, oracle-checked operators — this module adds
+routing, not new semantics.
 """
 
 from __future__ import annotations
