@@ -5530,8 +5530,10 @@ def q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KNearestNeighborClassifier over embeddings: majority label of
-    the exact top-5 cosine neighbors for the first 50 vectors."""
+    """KNearestNeighborClassifier over embeddings at the DEFAULT
+    cartesian-safe bucketed mode: majority label of the top-5 cosine
+    bucket-mate neighbors (shared 4-plane sign-LSH) for the first 50
+    vectors; the oracle replays the bucketing."""
     from lucene_solr_spark.pipeline import knn_classify
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -5540,8 +5542,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knnRegress ([8x] solr/solrj/.../io/eval/KnnRegressionEvaluator
-    .java): predict = mean of the exact top-5 cosine neighbors' integer
-    target — int64 neighbor sums, one f64 division, f32 out."""
+    .java) at the DEFAULT cartesian-safe bucketed mode: predict = mean
+    of the top-5 bucket-mate cosine neighbors' integer target — int64
+    neighbor sums, one f64 division, f32 out; the oracle replays the
+    shared 4-plane sign-LSH bucketing."""
     from lucene_solr_spark.pipeline.similarity import knn_regress
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -8778,12 +8782,16 @@ r AS (SELECT qid, cid, cosine,
 SELECT qid AS query_id, cid AS id, CAST(rank AS INTEGER) AS rank, cosine
 FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
         "knn_classify": f"""
-WITH pairs AS (
-  SELECT a.vec_id AS id, b.vec_id AS neighbor, b.label AS nlabel,
+WITH {_BUCKETS_CTE},
+lbl AS (SELECT vec_id, label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor, l.label AS nlabel,
     CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
       (sqrt({dot.format(a="a.embedding", b="a.embedding")})
        * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  JOIN lbl l ON l.vec_id = b.vec_id
   WHERE a.vec_id < 50),
 r AS (SELECT id, neighbor, nlabel, cosine,
              row_number() OVER (PARTITION BY id
@@ -8795,12 +8803,16 @@ t AS (SELECT *, row_number() OVER (PARTITION BY id
              ORDER BY votes DESC, nlabel ASC) AS rn FROM v)
 SELECT id, nlabel AS pred, votes FROM t WHERE rn = 1 ORDER BY id""",
         "knn_regress": f"""
-WITH pairs AS (
-  SELECT a.vec_id AS id, b.vec_id AS neighbor, b.label AS t,
+WITH {_BUCKETS_CTE},
+lbl AS (SELECT vec_id, label FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor, l.label AS t,
     CAST(({dot.format(a="a.embedding", b="b.embedding")}) /
       (sqrt({dot.format(a="a.embedding", b="a.embedding")})
        * sqrt({dot.format(a="b.embedding", b="b.embedding")})) AS FLOAT) AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  JOIN lbl l ON l.vec_id = b.vec_id
   WHERE a.vec_id < 50),
 r AS (SELECT id, neighbor, t, cosine,
              row_number() OVER (PARTITION BY id

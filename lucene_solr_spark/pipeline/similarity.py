@@ -522,21 +522,26 @@ def knn_join(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_planes: int | None = None,
     query_filter: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Batch k-NN self-join: for EVERY query vector, its top-``k``
     nearest neighbors by cosine — the all-pairs retrieval primitive of
     dedup/curation pipelines (each doc asks "who are my neighbors?").
 
-    ``n_planes = 0`` is the exact path: query × corpus join (quadratic —
-    small-side or filtered-query use); ``n_planes > 0`` buckets both
-    sides with the shared sign-LSH hyperplanes first, so candidates are
-    bucket-mates only — the scale path, same recall semantics as
-    :func:`hyperplane_lsh_topk` with one probe.  ``query_filter``
-    restricts WHICH vectors get neighbors (not who can be one).
+    DEFAULT is bucketed (cartesian-safe): both sides hash through the
+    shared sign-LSH hyperplanes (``DEFAULT_ANN_PLANES``), so candidates
+    are bucket-mates only — the scale path, same recall semantics as
+    :func:`hyperplane_lsh_topk` with one probe.  The exact all-pairs
+    path (query × corpus, quadratic — small-side or filtered-query use)
+    must be requested explicitly via ``exact=True`` (or the legacy
+    ``n_planes=0`` spelling) — a default crossJoin is a 10^12-pair
+    incident at corpus scale.  ``query_filter`` restricts WHICH vectors
+    get neighbors (not who can be one).
     Returns [id, neighbor, rank, cosine] ranked (cosine desc, neighbor
     asc) per id."""
+    n_planes = _resolve_planes(n_planes, exact)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_planes > 0:
         base = _sign_bucket_col(base, "v", n_planes)
@@ -643,8 +648,9 @@ def knn_regress(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_col: str = "target",
-    n_planes: int = 0,
+    n_planes: int | None = None,
     query_filter: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """K-nearest-neighbor regression — Solr's ``knnRegress`` stream
     evaluator (``[8x] solr/solrj/src/java/org/apache/solr/client/solrj/
@@ -654,9 +660,11 @@ def knn_regress(
     Returns ``[id, pred, n_neighbors]``.  The target must be integral:
     the neighbor sum stays an exact int64 (order-free) and the mean is
     ONE f64 division cast to f32 — hash-stable on any engine.  Rides
-    :func:`knn_join` (exact or sign-LSH-bucketed) like knn_classify."""
+    :func:`knn_join` (sign-LSH-bucketed by DEFAULT; all-pairs only via
+    explicit ``exact=True``) like knn_classify."""
     nb = knn_join(df, k=k, id_col=id_col, vec_col=vec_col,
-                  n_planes=n_planes, query_filter=query_filter)
+                  n_planes=n_planes, query_filter=query_filter,
+                  exact=exact)
     tgt = df.select(F.col(id_col).alias("neighbor"),
                     F.col(target_col).cast("long").alias("_t"))
     return (
@@ -679,8 +687,9 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    n_planes: int = 0,
+    n_planes: int | None = None,
     query_filter: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """K-nearest-neighbor classification — Lucene's
     KNearestNeighborClassifier (``[8x] lucene/classification/src/java/
@@ -689,10 +698,12 @@ def knn_classify(
     embedding column instead of MLT term queries.
 
     Returns ``[id, pred, votes]`` — majority label of the k neighbors,
-    ties by (votes desc, label asc).  Rides :func:`knn_join` (exact or
-    sign-LSH-bucketed), so the scale path is bucket-mates-only."""
+    ties by (votes desc, label asc).  Rides :func:`knn_join`
+    (sign-LSH-bucketed by DEFAULT; all-pairs only via explicit
+    ``exact=True``), so the default path is bucket-mates-only."""
     nb = knn_join(df, k=k, id_col=id_col, vec_col=vec_col,
-                  n_planes=n_planes, query_filter=query_filter)
+                  n_planes=n_planes, query_filter=query_filter,
+                  exact=exact)
     lbl = df.select(F.col(id_col).alias("neighbor"),
                     F.col(label_col).alias("nlabel"))
     votes = (

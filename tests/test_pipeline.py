@@ -861,7 +861,7 @@ def test_knn_join_exact_matches_per_query_topk(spark):
     from lucene_solr_spark.pipeline import knn_join
 
     df, m = _rand_embeddings(spark, n=60, d=8, seed=21)
-    got = knn_join(df, k=3, query_filter="id < 4").collect()
+    got = knn_join(df, k=3, query_filter="id < 4", exact=True).collect()
     by_id = {}
     for r in got:
         by_id.setdefault(r["id"], []).append((r["rank"], r["neighbor"], r["cosine"]))

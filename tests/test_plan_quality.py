@@ -590,6 +590,39 @@ def test_ann_batch_defaults_never_cartesian(spark):
         knn_search_batch(q, c, k=3, exact=True, n_planes=4)
 
 
+def test_ann_selfjoin_defaults_never_cartesian(spark):
+    """knn_join / knn_regress / knn_classify at DEFAULTS must bucket —
+    the self-join family shares the same cartesian-safe contract as the
+    batch APIs: join keyed on the sign-LSH bucket, never all-pairs.
+    Exact all-pairs requires the explicit exact=True opt-in."""
+    import pytest
+
+    from lucene_solr_spark.pipeline import (
+        knn_classify, knn_join, knn_regress,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)],
+          i % 3, i % 4)
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label long, target long",
+    )
+    for builder in (
+        lambda: knn_join(emb, k=3),
+        lambda: knn_regress(emb, k=3, target_col="target"),
+        lambda: knn_classify(emb, k=3),
+    ):
+        p = _plan(builder())
+        assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+        assert "bucket" in p, p  # the join key IS the sign-LSH bucket
+    # exact mode (constant-key join, Catalyst folds it to all-pairs)
+    # must be an explicit opt-in
+    pe = _plan(knn_join(emb, k=3, exact=True))
+    assert "bucket" not in pe, pe
+    with pytest.raises(ValueError, match="contradicts"):
+        knn_join(emb, k=3, exact=True, n_planes=4)
+
+
 def test_solr_fq_domain_plan_bounded(spark):
     """Facade relevance+fq: the fq match set joins the scored stream
     BEFORE the top-k, and the page is still a bounded

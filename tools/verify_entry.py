@@ -42,10 +42,17 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown entries: {sorted(unknown)}")
+            return 1
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             got = fn(spark, sf_dir).toPandas()
@@ -90,7 +97,10 @@ def main() -> int:
         else:
             print(f"PASS {name}: rows={len(g)} cols={len(g.columns)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    # denominator = entries actually RUN (a filtered sample must not
+    # report the full-registry count — VERDICT r4 nit #2)
+    print(f"\n{ran - len(failures)}/{ran} pass"
+          + ("" if ran == len(qs) else f" (of {len(qs)} registered)"))
     return 1 if failures else 0
 
 
