@@ -17,15 +17,19 @@ REPLACED by its stems (all at the same position, first stem first);
 a token with no stem passes through unchanged.  ``longest_only``
 mirrors the filter's ``longestOnly`` ctor flag.
 
-Supported: single prefix + single suffix (with cross-products) and
+Supported: single prefix + single suffix (with cross-products),
 hunspell's TWO-FOLD suffix stripping — a suffix rule whose ``append``
 carries continuation classes (``append/FLAGS``) admits a second-level
-suffix on top of its output, and stemming undoes both.  Deliberately
-out of scope (documented): the spell-checking-only directives (REP,
-MAP, TRY, COMPOUND*, ICONV), which do not affect stemming, and
-multi-char FLAG modes (hunspell's default single-char flags only).
-This is the portion of the format Lucene's own Stemmer exercises for
-analysis purposes.
+suffix on top of its output, and stemming undoes both — pure-strip
+rules (``append`` = ``0``, undone by re-adding ``strip``), repeated
+``.dic`` entries (flag sets UNION, as hunspell merges them), and the
+three FLAG modes (default single-char, ``FLAG long`` two-char,
+``FLAG num`` comma-separated numeric — the same readers as
+``[8x] .../hunspell/Dictionary.java`` flag parsing strategies).
+Deliberately out of scope (documented): the spell-checking-only
+directives (REP, MAP, TRY, COMPOUND*, ICONV), which do not affect
+stemming.  This is the portion of the format Lucene's own Stemmer
+exercises for analysis purposes.
 
 The expansion runs in the analysis chain's ``Expand`` slot: the rule
 table and word list are closure state applied per UNIQUE token per
@@ -72,9 +76,9 @@ class AffixRule:
 
     def undo(self, token: str) -> str | None:
         """Reconstruct the base this rule would have generated ``token``
-        from, or None when the rule cannot apply."""
-        if not self.append:
-            return None
+        from, or None when the rule cannot apply.  A pure-strip rule
+        (``append`` = ``0`` → empty) undoes by re-adding ``strip``:
+        base = token + strip for SFX, strip + token for PFX."""
         if self.kind == "SFX":
             if not token.endswith(self.append):
                 return None
@@ -96,14 +100,42 @@ class HunspellDictionary:
     def __init__(self, aff: str, dic: str):
         self.prefixes: list[AffixRule] = []
         self.suffixes: list[AffixRule] = []
+        #: "char" (default) | "long" | "num" — hunspell FLAG directive
+        self.flag_mode: str = "char"
         self._parse_aff(aff)
-        #: word → frozenset of flag chars
+        #: word → frozenset of flag strings (1-char in char mode,
+        #: 2-char in long mode, decimal strings in num mode)
         self.words: dict[str, frozenset] = {}
         self._parse_dic(dic)
 
     # -- parsing ----------------------------------------------------------
 
+    def _parse_flags(self, s: str) -> tuple:
+        """Split a flag-run per the declared FLAG mode (the three
+        strategies of ``[8x] .../hunspell/Dictionary.java``: simple
+        chars, two-char pairs, comma-separated numbers)."""
+        if not s:
+            return ()
+        if self.flag_mode == "long":
+            if len(s) % 2:
+                raise ValueError(f"odd-length FLAG long run: {s!r}")
+            return tuple(s[i:i + 2] for i in range(0, len(s), 2))
+        if self.flag_mode == "num":
+            return tuple(p.strip() for p in s.split(",") if p.strip())
+        return tuple(s)
+
     def _parse_aff(self, aff: str) -> None:
+        # FLAG directive first: it governs how every later flag run
+        # (rule flags, continuation classes, .dic entries) is read
+        for line in aff.splitlines():
+            parts = line.split("#", 1)[0].split()
+            if parts and parts[0] == "FLAG":
+                if len(parts) != 2 or parts[1] not in ("long", "num",
+                                                       "UTF-8"):
+                    raise ValueError(f"malformed FLAG line: {line!r}")
+                # FLAG UTF-8 is still one (unicode) char per flag
+                self.flag_mode = ("char" if parts[1] == "UTF-8"
+                                  else parts[1])
         cross_by_flag: dict[tuple, bool] = {}
         for line in aff.splitlines():
             parts = line.split("#", 1)[0].split()
@@ -129,7 +161,7 @@ class HunspellDictionary:
                 append="" if append == "0" else append,
                 condition=condition,
                 cross=cross_by_flag.get((kind, flag), False),
-                cont_flags=frozenset(cont),
+                cont_flags=frozenset(self._parse_flags(cont)),
             )
             (self.suffixes if kind == "SFX" else self.prefixes).append(rule)
 
@@ -143,7 +175,11 @@ class HunspellDictionary:
             if not entry:
                 continue
             word, _, flags = entry.partition("/")
-            self.words[word] = frozenset(flags)
+            fl = frozenset(self._parse_flags(flags))
+            prev = self.words.get(word)
+            # hunspell UNIONS flag sets of repeated entries; overwriting
+            # would silently drop the earlier line's affixes
+            self.words[word] = fl if prev is None else (prev | fl)
 
     # -- stemming ---------------------------------------------------------
 

@@ -319,6 +319,7 @@ def block_join_parents(
     parent_of: DataFrame,
     score_mode: str = "max",
     k: int = 10,
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Child→parent block join (``[8x] lucene/join/src/java/org/apache/
     lucene/search/join/ToParentBlockJoinQuery.java`` / Solr ``{!parent
@@ -332,11 +333,19 @@ def block_join_parents(
     blocks + a parents BitSet; the Spark-native encoding is an explicit
     child→parent relation ``parent_of [doc_id, parent_id]`` (doc-count
     sized, co-shuffled with the scored stream on doc_id).  The aggregation
-    is one map-side-combinable groupBy on parent_id."""
+    is one map-side-combinable groupBy on parent_id.
+
+    ``domain`` (optional, [doc_id] of PARENT docs — e.g. the facade's
+    fq match set) intersects the candidate parents BEFORE the top-k
+    limit: a parent matching query∩domain below the query-only cutoff
+    must still make the page (the collector-domain contract)."""
     if score_mode not in _BJ_MODES:
         raise ValueError(f"score_mode must be one of {_BJ_MODES}")
     cs = _scored_stream(index, child_query)
     j = cs.join(parent_of, "doc_id")
+    if domain is not None:
+        j = j.join(domain.select(F.col("doc_id").alias("parent_id")),
+                   "parent_id", "left_semi")
     if score_mode == "none":
         return (
             j.select("parent_id").distinct()
@@ -391,17 +400,24 @@ def block_join_children(
     parent_query,
     parent_of: DataFrame,
     k: int = 10,
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Parent→child block join (``[8x] .../join/ToChildBlockJoinQuery
     .java``): children of parents matching ``parent_query``; every child
     inherits its parent's score (ToChildBlockJoinScorer propagates the
     parent score unchanged).  ``parent_of`` maps child doc_id →
     parent_id; parents are index docs too, so their scores come off the
-    same scored stream keyed by parent_id."""
+    same scored stream keyed by parent_id.
+
+    ``domain`` (optional, [doc_id] of CHILD docs — e.g. the facade's fq
+    match set) intersects the candidate children BEFORE the top-k limit
+    (collector-domain contract, as in :func:`block_join_parents`)."""
     ps = _scored_stream(index, parent_query).withColumnRenamed("doc_id", "parent_id")
     out = parent_of.join(ps, "parent_id").select(
         "doc_id", "parent_id", F.col("score").cast("float").alias("score")
     )
+    if domain is not None:
+        out = out.join(domain.select("doc_id"), "doc_id", "left_semi")
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -418,13 +418,17 @@ def parse_query(s: str, default_op: str = "OR"):
     ``term~`` / ``term~1`` fuzzy (OSA, default 2 edits), ``atom^2.5``
     boosts, and ``[a TO b]`` / ``{a TO b}`` term ranges (square =
     inclusive, curly = exclusive).  Bare whitespace between terms means
-    ``default_op`` — "OR" (Lucene's default SHOULD semantics) or "AND"
-    (Solr's ``q.op=AND``, where adjacency binds at the conjunction
-    level: ``a b OR c`` ≡ ``(a AND b) OR c``); ``a AND NOT b`` /
-    ``NOT b`` use MUST_NOT.  Grammar: or := and (('OR'|ε?) and)* ;
-    and := unary (('AND'|ε?) unary)* ; unary := 'NOT' atom | atom —
-    the ε adjacency rule lives on whichever level ``default_op`` names.
-    """
+    ``default_op``.  With "OR" (Lucene's default) the grammar is the
+    precedence tree: or := and (('OR'|ε?) and)* ; and := unary ('AND'
+    unary)* ; unary := 'NOT' atom | atom.  With "AND" (Solr's
+    ``q.op=AND``) each parenthesis level is the CLASSIC parser's flat
+    BooleanQuery with occur demotion (``[8x] lucene/queryparser/.../
+    classic/QueryParserBase.java`` addClause): every clause enters as
+    MUST; an explicit ``OR`` demotes BOTH adjacent clauses to SHOULD
+    (the preceding clause retroactively, unless prohibited) and an
+    explicit ``AND`` re-promotes its preceding clause — so ``a b OR c``
+    is ``+a b c`` (one flat query matching docs with ``a``), NOT
+    ``(a AND b) OR c``.  ``a AND NOT b`` / ``NOT b`` use MUST_NOT."""
     import re as _re
 
     op = default_op.upper()
@@ -455,7 +459,7 @@ def parse_query(s: str, default_op: str = "OR"):
     def atom():
         t = take()
         if t == "(":
-            e = or_expr()
+            e = level_expr() if conj else or_expr()
             if peek() != ")":
                 raise ValueError(f"unbalanced parenthesis in query: {s!r}")
             take()
@@ -522,12 +526,8 @@ def parse_query(s: str, default_op: str = "OR"):
 
     def and_expr():
         parts = [unary()]
-        # with default_op=AND (Solr's q.op), bare adjacency binds here
-        while peek() == "AND" or (
-            conj and peek() not in (None, ")", "OR")
-        ):
-            if peek() == "AND":
-                take()
+        while peek() == "AND":
+            take()
             parts.append(unary())
         pos_parts = [p for p in parts if not (isinstance(p, tuple) and p[0] == "NOT")]
         neg_parts = [p[1] for p in parts if isinstance(p, tuple) and p[0] == "NOT"]
@@ -539,15 +539,64 @@ def parse_query(s: str, default_op: str = "OR"):
 
     def or_expr():
         left = [and_expr()]
-        while peek() == "OR" or (
-            not conj and peek() not in (None, ")")
-        ):
+        while peek() == "OR" or peek() not in (None, ")"):
             if peek() == "OR":
                 take()
             left.append(and_expr())
         return left[0] if len(left) == 1 else Or(*left)
 
-    q = or_expr()
+    def level_expr():
+        # q.op=AND: the classic parser's flat-BooleanQuery occur
+        # semantics per parenthesis level (QueryParserBase.addClause) —
+        # clauses default MUST; CONJ_OR makes the introduced clause
+        # SHOULD and retroactively demotes the preceding MUST clause;
+        # CONJ_AND re-promotes a preceding SHOULD clause; NOT is
+        # MUST_NOT and is never demoted/promoted
+        clauses: list = []  # (occur, node)
+        pending = None
+        while peek() not in (None, ")"):
+            t = peek()
+            if t in ("AND", "OR"):
+                if not clauses or pending is not None:
+                    raise ValueError(f"unexpected {t!r} in query: {s!r}")
+                take()
+                pending = t
+                continue
+            neg = False
+            if t == "NOT":
+                take()
+                neg = True
+            node = atom()
+            if pending == "OR" and clauses and clauses[-1][0] == "MUST":
+                clauses[-1] = ("SHOULD", clauses[-1][1])
+            elif pending == "AND" and clauses and clauses[-1][0] == "SHOULD":
+                clauses[-1] = ("MUST", clauses[-1][1])
+            if neg:
+                occ = "MUST_NOT"
+            elif pending == "OR":
+                occ = "SHOULD"
+            else:
+                occ = "MUST"
+            clauses.append((occ, node))
+            pending = None
+        if pending is not None:
+            raise ValueError(f"dangling {pending!r} in query: {s!r}")
+        if not clauses:
+            raise ValueError(f"unexpected end of query: {s!r}")
+        must = [n for o, n in clauses if o == "MUST"]
+        should = [n for o, n in clauses if o == "SHOULD"]
+        mnot = [n for o, n in clauses if o == "MUST_NOT"]
+        if mnot:
+            if not must and not should:
+                must = [MatchAll()]
+            return Bool(must=must, should=should, must_not=mnot)
+        if not should:
+            return must[0] if len(must) == 1 else And(*must)
+        if not must:
+            return should[0] if len(should) == 1 else Or(*should)
+        return Bool(must=must, should=should)
+
+    q = level_expr() if conj else or_expr()
     if pos != len(toks):
         raise ValueError(f"trailing tokens in query: {s!r}")
     return rewrite(q)

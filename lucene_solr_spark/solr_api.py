@@ -129,7 +129,22 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
                 raise ValueError(
                     f"unsupported {{!{qtype}}} local params: {sorted(extra)}")
 
+        def check_field(fname, pname):
+            # validate field targeting against the schema, exactly like
+            # the request-level df check — silently matching the default
+            # field on a wrong f= yields silently wrong results
+            if index.field_stats is not None:
+                if fname not in index.field_stats:
+                    raise ValueError(
+                        f"{pname} names unknown field {fname!r}")
+            elif fname != index.default_field:
+                raise ValueError(
+                    f"{pname} names unknown field {fname!r}"
+                    f" (single-field index: {index.default_field!r})")
+
         f = kv.get("f")
+        if f:
+            check_field(f, f"{{!{qtype}}} f")
         pre = (f + ":") if f and index.field_stats else ""
         if qtype in ("term", "field"):
             check_keys("f")
@@ -163,6 +178,15 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
             return q
         if qtype == "lucene":
             check_keys("df", "q.op")
+            if "df" in kv:
+                # local df takes the request-level df validation: on a
+                # single-field index bare terms would get qualified as
+                # 'title:foo' then looked up as LITERAL strings — empty
+                # results with no error
+                if index.field_stats is None:
+                    raise ValueError(
+                        "{!lucene} df requires a multi-field index")
+                check_field(kv["df"], "{!lucene} df")
             df = kv.get("df", df)
             op = kv.get("q.op", op)
         else:
@@ -245,20 +269,6 @@ def solr_request(
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
     if "q" not in params:
         raise ValueError("q is required")
-    # dependent params without their master switch would be silently
-    # ignored — raise instead (same contract as unknown params)
-    _deps = {"group.field": "group", "group.limit": "group",
-             "stats.field": "stats", "spellcheck.q": "spellcheck",
-             "spellcheck.count": "spellcheck", "expand.rows": "expand",
-             "facet.range.start": "facet.range",
-             "facet.range.end": "facet.range",
-             "facet.range.gap": "facet.range", "hl.fl": "hl",
-             "mlt.doc_id": "mlt", "mlt.count": "mlt",
-             "mlt.maxqt": "mlt"}
-    for k, master in _deps.items():
-        if k in params and not params.get(master):
-            raise ValueError(f"{k} requires {master}")
-
     def aslist(v):
         return [v] if isinstance(v, str) else list(v)
 
@@ -274,6 +284,29 @@ def solr_request(
                 return False
             raise ValueError(f"bad boolean param value {v!r}")
         return bool(v)
+
+    # dependent params without their master switch would be silently
+    # ignored — raise instead (same contract as unknown params).  The
+    # master is evaluated as a SOLR boolean: {'hl': 'false', 'hl.fl':
+    # 'body'} is a disabled master plus a dependent — exactly the silent
+    # drop this guard exists to prevent.  facet.range's master is a
+    # field name, not a boolean — presence is the switch.
+    _deps = {"group.field": "group", "group.limit": "group",
+             "stats.field": "stats", "spellcheck.q": "spellcheck",
+             "spellcheck.count": "spellcheck", "expand.rows": "expand",
+             "facet.range.start": "facet.range",
+             "facet.range.end": "facet.range",
+             "facet.range.gap": "facet.range", "hl.fl": "hl",
+             "mlt.doc_id": "mlt", "mlt.count": "mlt",
+             "mlt.maxqt": "mlt"}
+    _bool_masters = {"group", "stats", "spellcheck", "expand", "hl",
+                     "mlt"}
+    for k, master in _deps.items():
+        on = params.get(master)
+        if master in _bool_masters:
+            on = asbool(on) if on is not None else False
+        if k in params and not on:
+            raise ValueError(f"{k} requires {master}")
 
     rows = int(params.get("rows", 10))
     start = int(params.get("start", 0))
@@ -318,41 +351,6 @@ def solr_request(
         _qlp, _qrest = _local_params(params["q"])
         if _qlp is not None and _qlp[0] in ("parent", "child"):
             _bj = (_qlp[0], _qlp[1], _qrest)
-    if _bj is not None:
-        kind, kv, rest = _bj
-        extra = set(kv) - {"which", "of", "score", "cache", "cost"}
-        if extra:
-            raise ValueError(
-                f"unsupported {{!{kind}}} local params: {sorted(extra)}")
-        if params.get("sort", "score desc").strip() != "score desc":
-            raise ValueError(f"{{!{kind}}} supports relevance sort only")
-        if docvalues is None or "parent_id" not in docvalues.columns:
-            raise ValueError(
-                f"{{!{kind}}} requires a docvalues frame with a"
-                " parent_id column (child doc -> parent doc)")
-        from .search.extras import block_join_children, block_join_parents
-
-        parent_of = (docvalues.select("doc_id", "parent_id")
-                     .filter(F.col("parent_id").isNotNull()))
-        inner = _parse(index, rest, df, op)
-        if kind == "parent":
-            hits = (
-                block_join_parents(
-                    index, inner, parent_of,
-                    score_mode=kv.get("score", "max"), k=start + rows)
-                .withColumnRenamed("parent_id", "doc_id")
-            )
-        else:
-            hits = block_join_children(
-                index, inner, parent_of, k=start + rows
-            ).select("doc_id", "score")
-        for qs in aslist(params.get("fq", [])):
-            hits = hits.join(_match_set(index, qs, df, op, docvalues),
-                             "doc_id", "left_semi")
-        out = {"response": hits.orderBy(F.desc("score"), F.asc("doc_id"))}
-        return out
-
-    # ---- main query ------------------------------------------------------
     def _is_collapse(qs):
         if not qs.startswith("{!"):
             return False
@@ -364,7 +362,63 @@ def solr_request(
     sort = params.get("sort", "score desc").strip()
     if collapses and sort != "score desc":
         raise ValueError("{!collapse} is supported with relevance sort only")
-    if sort == "score desc" and collapses:
+
+    if _bj is not None:
+        # ---- block-join q ({!parent}/{!child}) execution: computes the
+        # bounded hits frame, then falls through to the SHARED start/fl/
+        # cursor page pipeline below.  fq intersects the candidate set
+        # BEFORE the top-(start+rows) limit (collector-domain contract,
+        # same as the relevance path); components this execution cannot
+        # honor RAISE — silent dropping is the module's cardinal sin.
+        kind, kv, rest = _bj
+        extra = set(kv) - {"which", "of", "score", "cache", "cost"}
+        if extra:
+            raise ValueError(
+                f"unsupported {{!{kind}}} local params: {sorted(extra)}")
+        if sort != "score desc":
+            raise ValueError(f"{{!{kind}}} supports relevance sort only")
+        if docvalues is None or "parent_id" not in docvalues.columns:
+            raise ValueError(
+                f"{{!{kind}}} requires a docvalues frame with a"
+            " parent_id column (child doc -> parent doc)")
+        if collapses:
+            raise ValueError(
+                f"{{!collapse}} fq is not supported with a {{!{kind}}} q")
+        for p in ("facet.field", "facet.query", "facet.range",
+                  "cursorMark"):
+            if params.get(p) is not None:
+                raise ValueError(
+                    f"{p} is not supported with a {{!{kind}}} q")
+        for p in ("stats", "group", "hl", "debug"):
+            if asbool(params.get(p, False)):
+                raise ValueError(
+                    f"{p} is not supported with a {{!{kind}}} q")
+        from .search.extras import block_join_children, block_join_parents
+
+        parent_of = (docvalues.select("doc_id", "parent_id")
+                     .filter(F.col("parent_id").isNotNull()))
+        # fq match set -> collector domain over the RESULT docs (parents
+        # for {!parent}, children for {!child})
+        dom = None
+        for qs in plain_fqs:
+            m = _match_set(index, qs, df, op, docvalues)
+            dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
+        inner = _parse(index, rest, df, op)
+        if kind == "parent":
+            hits = (
+                block_join_parents(
+                    index, inner, parent_of,
+                    score_mode=kv.get("score", "max"), k=start + rows,
+                    domain=dom)
+                .withColumnRenamed("parent_id", "doc_id")
+            )
+        else:
+            hits = block_join_children(
+                index, inner, parent_of, k=start + rows, domain=dom
+            ).select("doc_id", "score")
+        order_keys = [F.desc("score"), F.asc("doc_id")]
+        carry = []
+    elif sort == "score desc" and collapses:
         if params.get("cursorMark") is not None:
             raise ValueError("cursorMark is not supported with {!collapse}")
         # CollapsingQParserPlugin: one surviving head doc per group,

@@ -1542,3 +1542,50 @@ def test_turkish_lowercase_char_filter():
     assert "IŞIK".lower() == "işik"
     rt = chain_from_spec(chain_spec(ch))
     assert rt.tokens("İZMİR'e Irmak") == ch.tokens("İZMİR'e Irmak")
+
+
+def test_hunspell_flag_modes_strip_rules_and_dup_union():
+    """FLAG long / FLAG num modes (Dictionary.java's two- char and
+    numeric flag readers), pure-strip rules (append=0, undone by
+    re-adding strip), and flag-set UNION for repeated .dic entries."""
+    from lucene_solr_spark.hunspell import HunspellDictionary
+
+    aff = """
+FLAG long
+PFX Bb Y 1
+PFX Bb   0     re     .
+
+SFX Aa Y 1
+SFX Aa   0     ed     [^ey]
+
+SFX Cc Y 1
+SFX Cc   e     0      e
+"""
+    dic = "3\nwork/AaBb\ngabe/Cc\nwork/Cc\n"
+    d = HunspellDictionary(aff, dic)
+    assert d.flag_mode == "long"
+    assert d.stems("worked") == ("work",)
+    assert d.stems("reworked") == ("work",)
+    # pure-strip rule: surface 'gab' was generated by stripping the
+    # final e from 'gabe' and appending NOTHING — undo re-adds it
+    assert d.stems("gab") == ("gabe",)
+    # repeated entries union their flag runs (hunspell merges; an
+    # overwrite would silently drop Aa/Bb)
+    assert d.words["work"] == frozenset({"Aa", "Bb", "Cc"})
+
+    aff_num = "FLAG num\nSFX 101 Y 1\nSFX 101   0   s   .\n"
+    d2 = HunspellDictionary(aff_num, "1\ncar/101,202\n")
+    assert d2.flag_mode == "num"
+    assert d2.stems("cars") == ("car",)
+    assert d2.words["car"] == frozenset({"101", "202"})
+
+    # FLAG UTF-8 stays one char per flag; malformed FLAG raises
+    d3 = HunspellDictionary("FLAG UTF-8\nSFX A Y 1\nSFX A 0 s .\n",
+                            "1\ncar/A\n")
+    assert d3.flag_mode == "char" and d3.stems("cars") == ("car",)
+    import pytest
+
+    with pytest.raises(ValueError, match="FLAG"):
+        HunspellDictionary("FLAG wat\n", "0\n")
+    with pytest.raises(ValueError, match="odd-length"):
+        HunspellDictionary("FLAG long\n", "1\nword/AaB\n")

@@ -57,13 +57,26 @@ def test_default_op_term_sets_match(words):
 
 
 def test_default_op_structures():
+    from lucene_solr_spark.search.query import Bool, Term
+
     assert isinstance(parse_query("a b", "AND"), And)
     assert isinstance(parse_query("a b", "OR"), Or)
+    # classic-parser occur demotion (QueryParserBase.addClause): with
+    # the AND default, 'a b OR c d' is the FLAT query +a b c +d — OR
+    # demotes both adjacent clauses, it does NOT build (a AND b) OR
+    # (c AND d)
     q = parse_query("a b OR c d", "AND")
-    assert isinstance(q, Or)
-    assert all(isinstance(c, And) for c in q.clauses)
+    assert isinstance(q, Bool), q
+    assert set(q.must) == {Term("a"), Term("d")}, q
+    assert set(q.should) == {Term("b"), Term("c")}, q
     # explicit operators are unaffected by the default
     assert parse_query("a AND b", "OR") == parse_query("a AND b", "AND")
     assert parse_query("a OR b", "OR") == parse_query("a OR b", "AND")
+    # AND re-promotes its preceding clause: 'a OR b AND c' — OR demotes
+    # a and introduces b as SHOULD, then AND promotes b back -> a +b +c
+    q3 = parse_query("a OR b AND c", "AND")
+    assert isinstance(q3, Bool), q3
+    assert set(q3.must) == {Term("b"), Term("c")}, q3
+    assert set(q3.should) == {Term("a")}, q3
     with pytest.raises(ValueError, match="default_op"):
         parse_query("a", "NOR")

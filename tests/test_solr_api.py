@@ -256,11 +256,15 @@ def test_q_op_param(spark, setup):
         idx, {"q": "spark shuffle", "q.op": "AND", "rows": 10}
     )["response"].collect()}
     assert and_ids == {0, 2}
-    # adjacency binds tighter than explicit OR under q.op=AND
+    # classic-parser occur demotion under q.op=AND: 'table OR spark
+    # shuffle' is the FLAT query 'table spark +shuffle' (OR demotes
+    # both adjacent clauses; adjacency keeps shuffle MUST) — matches
+    # exactly the docs containing shuffle, NOT (table) OR (spark AND
+    # shuffle)
     mixed = {int(r["doc_id"]) for r in solr_request(
         idx, {"q": "table OR spark shuffle", "q.op": "AND", "rows": 10}
     )["response"].collect()}
-    assert mixed == {0, 2, 3}
+    assert mixed == {0, 2}
     with pytest.raises(ValueError, match="default_op"):
         solr_request(idx, {"q": "a b", "q.op": "XOR"})
 
@@ -268,10 +272,16 @@ def test_q_op_param(spark, setup):
 def test_parse_query_default_op():
     from lucene_solr_spark.search.query import And, Or, Term, parse_query
 
+    from lucene_solr_spark.search.query import Bool
+
     q = parse_query("a b", default_op="AND")
     assert isinstance(q, And)
+    # classic occur demotion: 'a b OR c' -> +a b c (flat), not
+    # (a AND b) OR c
     q2 = parse_query("a b OR c", default_op="AND")
-    assert isinstance(q2, Or) and isinstance(q2.clauses[0], And)
+    assert isinstance(q2, Bool)
+    assert [t.term for t in q2.must] == ["a"]
+    assert sorted(t.term for t in q2.should) == ["b", "c"]
     assert isinstance(parse_query("a b"), Or)   # unchanged default
 
 
@@ -580,3 +590,125 @@ def test_block_join_local_params(spark):
     with pytest.raises(ValueError, match="local params"):
         solr_request(idx, {"q": "{!parent nested=x}spark", "rows": 5},
                      docvalues=dv)
+
+
+def test_block_join_fq_domain_start_fl(spark):
+    """Block-join q rides the shared page pipeline: fq intersects the
+    candidate set BEFORE the top-(start+rows) cutoff (a parent matching
+    q∩fq below the q-only cutoff must still make the page), start=
+    offsets the page window, fl joins docvalues columns, and component
+    params the execution cannot honor RAISE instead of being silently
+    ignored."""
+    import pytest
+
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    # parents 0,10,20,30; each has children.  Children of 0/10/20 match
+    # 'spark' strongly (several children); parent 30's single child
+    # matches weakly — with rows=2 the q-only cutoff drops parent 30,
+    # but fq=omega keeps ONLY parent 30, which must still be returned.
+    rows = []
+    for p, tag in [(0, "alpha"), (10, "alpha"), (20, "alpha"),
+                   (30, "omega")]:
+        rows.append((p, f"topic {tag}", None))
+    for p in (0, 10, 20):
+        for c in range(3):
+            rows.append((p + c + 1, "spark spark shuffle", p))
+    rows.append((31, "spark misc filler longer text here", 30))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, parent_id long")
+    idx = build_index_view(docs.select("doc_id", "content"),
+                           id_col="doc_id", text_col="content")
+    dv = docs.select("doc_id", "parent_id", "content")
+
+    out = solr_request(idx, {"q": "{!parent which=topic}spark",
+                             "fq": "omega", "rows": 2}, docvalues=dv)
+    got = [int(r["doc_id"]) for r in out["response"].collect()]
+    assert got == [30], got  # below q-only cutoff, still on the page
+
+    # start= pages the block-join result (was: offset silently ignored)
+    base = solr_request(idx, {"q": "{!parent which=topic}spark",
+                              "rows": 4}, docvalues=dv)
+    all_ids = [int(r["doc_id"]) for r in base["response"].collect()]
+    page2 = solr_request(idx, {"q": "{!parent which=topic}spark",
+                               "rows": 2, "start": 2}, docvalues=dv)
+    got2 = [int(r["doc_id"]) for r in page2["response"].collect()]
+    assert got2 == all_ids[2:4], (got2, all_ids)
+
+    # fl joins docvalues columns onto the page
+    out = solr_request(idx, {"q": "{!child of=topic}alpha", "rows": 3,
+                             "fl": ["content"]}, docvalues=dv)
+    r0 = out["response"].collect()[0]
+    assert r0["content"] == "spark spark shuffle"
+
+    # components the execution cannot honor raise, never silently drop
+    for bad in ({"facet.field": "content"}, {"cursorMark": "*"},
+                {"stats": "true", "stats.field": "doc_id"},
+                {"hl": "true"}, {"debug": "true"},
+                {"group": "true", "group.field": "parent_id"}):
+        with pytest.raises(ValueError, match="not supported with"):
+            solr_request(idx, {"q": "{!parent which=topic}spark",
+                               "rows": 2, **bad}, docvalues=dv)
+    with pytest.raises(ValueError, match="collapse"):
+        solr_request(idx, {"q": "{!parent which=topic}spark",
+                           "fq": "{!collapse field=parent_id}",
+                           "rows": 2}, docvalues=dv)
+
+
+def test_local_params_field_validation(spark, setup):
+    """f= / local df= validate against the schema like the request-level
+    df check: a wrong f= must raise, never silently match the default
+    field (silently-empty or silently-wrong results corrupt
+    migrations)."""
+    import pytest
+
+    from lucene_solr_spark.index import build_multifield_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    idx, docs = setup
+    # single-field index: f= naming anything but the default field raises
+    with pytest.raises(ValueError, match="unknown field"):
+        solr_request(idx, {"q": "spark", "fq": "{!term f=lang}en",
+                           "rows": 5})
+    with pytest.raises(ValueError, match="unknown field"):
+        solr_request(idx, {"q": "{!prefix f=title}shuf", "rows": 5})
+    # f= the actual default field still works (existing contract)
+    ids = {int(r["doc_id"]) for r in solr_request(
+        idx, {"q": "spark", "fq": "{!term f=content}shuffle", "rows": 10}
+    )["response"].collect()}
+    assert ids == {0, 2}
+    # local df on a single-field index raises like request-level df
+    with pytest.raises(ValueError, match="multi-field"):
+        solr_request(idx, {"q": "{!lucene df=title}spark", "rows": 5})
+    # multi-field: unknown f=/df raise, known ones dispatch per-field
+    mdocs = spark.createDataFrame(
+        [(0, "spark merge", "intro"), (1, "table scan", "spark notes")],
+        "doc_id long, body string, title string")
+    midx = build_multifield_index_view(
+        mdocs, id_col="doc_id",
+        fields={"body": "body", "title": "title"})
+    with pytest.raises(ValueError, match="unknown field"):
+        solr_request(midx, {"q": "{!lucene df=nope}spark", "rows": 5})
+    with pytest.raises(ValueError, match="unknown field"):
+        solr_request(midx, {"q": "x", "fq": "{!term f=nope}y", "rows": 5})
+    got = {int(r["doc_id"]) for r in solr_request(
+        midx, {"q": "{!lucene df=title}spark", "rows": 5}
+    )["response"].collect()}
+    assert got == {1}
+
+
+def test_dependent_param_guard_solr_booleans(spark, setup):
+    """A DISABLED master switch ('hl': 'false') plus a dependent param
+    must raise — the guard evaluates the master as a Solr boolean, not
+    Python truthiness of the string 'false'."""
+    import pytest
+
+    idx, docs = setup
+    for master, dep in [("hl", {"hl.fl": "content"}),
+                        ("stats", {"stats.field": "n"}),
+                        ("group", {"group.field": "lang"}),
+                        ("mlt", {"mlt.doc_id": 0})]:
+        with pytest.raises(ValueError, match="requires"):
+            solr_request(idx, {"q": "spark", master: "false", **dep},
+                         docvalues=docs)
