@@ -3883,6 +3883,62 @@ def q_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", F.col("count").cast("long").alias("cnt"))
 
 
+def q_json_facet_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API through the /select facade ([8x] solr/core/.../
+    request/json/RequestUtil.java + search/facet/FacetRequest.java):
+    terms facet over lang with exact-int stat subfacets.  Domain =
+    q('spark') ∩ the KEPT tagged filter ({!tag=m}merge); the
+    {!tag=s}scan filter is excluded via domain:{excludeTags:['s']} —
+    the multi-select contract.  One semi-join + one partial-agg
+    shuffle; the oracle replays the domain algebra in SQL."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    idx = _index_for(spark, sf_dir)
+    dv = _docs(spark, sf_dir).select("doc_id", "lang", "source",
+                                     "n_chars")
+    out = solr_request(idx, {
+        "q": "spark",
+        "fq": ["{!tag=s}scan", "{!tag=m}merge"],
+        "rows": 1,
+        "json.facet": {
+            "langs": {"type": "terms", "field": "lang", "limit": 10,
+                      "domain": {"excludeTags": ["s"]},
+                      "facet": {"chars": "sum(n_chars)",
+                                "mx": "max(n_chars)",
+                                "srcs": "unique(source)"}},
+        }}, docvalues=dv)
+    return out["json_facet:langs"].select(
+        "lang", F.col("count").cast("long").alias("cnt"),
+        F.col("chars").cast("long").alias("chars"),
+        F.col("mx").cast("long").alias("mx"),
+        F.col("srcs").cast("long").alias("srcs"))
+
+
+def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON facet through the facade: top-5 lang buckets, each
+    with top-3 source sub-buckets carrying exact avg(n_chars) (int64
+    sum, ONE f64 division — order-free) — a single (lang, source)
+    shuffle with the outer totals re-derived from the tiny
+    aggregate."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    idx = _index_for(spark, sf_dir)
+    dv = _docs(spark, sf_dir).select("doc_id", "lang", "source",
+                                     "n_chars")
+    out = solr_request(idx, {
+        "q": "spark", "rows": 1,
+        "json.facet": {"ln": {
+            "type": "terms", "field": "lang", "limit": 5,
+            "facet": {"by_src": {"type": "terms", "field": "source",
+                                 "limit": 3,
+                                 "facet": {"ac": "avg(n_chars)"}}}}}},
+        docvalues=dv)
+    return out["json_facet:ln"].select(
+        "lang", F.col("count").cast("long").alias("cnt"),
+        "source", F.col("sub_count").cast("long").alias("sub_cnt"),
+        F.col("ac").cast("double").alias("ac"))
+
+
 def q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DrillSideways over orders: drill-down on (o_orderstatus='F',
     o_orderpriority='1-URGENT'); each dimension's facet counts exclude
@@ -7563,6 +7619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_sort": q_random_sort,
         "index_stats": q_index_stats,
         "facet_multiselect": q_facet_multiselect,
+        "json_facet_select": q_json_facet_select,
+        "json_facet_nested": q_json_facet_nested,
         "spell_jaro": q_spell_jaro,
         "drill_sideways": q_drill_sideways,
         "facet_relatedness": q_facet_relatedness,
@@ -11269,6 +11327,43 @@ SELECT CASE WHEN lang <> 'fr' THEN lang END AS lang_opt,
 FROM documents
 GROUP BY lang_opt
 ORDER BY cnt DESC, lang_opt ASC NULLS LAST LIMIT 10""",
+        "json_facet_select": f"""
+WITH {_TOK_CTE},
+dom AS (
+  SELECT doc_id FROM tok WHERE term = 'spark'
+  INTERSECT
+  SELECT doc_id FROM tok WHERE term = 'merge'
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars,
+       CAST(max(d.n_chars) AS BIGINT) AS mx,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS srcs
+FROM documents d JOIN dom USING (doc_id)
+GROUP BY d.lang
+ORDER BY cnt DESC, lang ASC LIMIT 10""",
+        "json_facet_nested": f"""
+WITH {_TOK_CTE},
+dom AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+g AS (SELECT d.lang, d.source,
+             CAST(count(*) AS BIGINT) AS sub_cnt,
+             CAST(sum(d.n_chars) AS BIGINT) AS s,
+             CAST(count(d.n_chars) AS BIGINT) AS n
+      FROM documents d JOIN dom USING (doc_id)
+      GROUP BY d.lang, d.source),
+tot AS (SELECT lang, CAST(sum(sub_cnt) AS BIGINT) AS cnt
+        FROM g GROUP BY lang),
+topo AS (SELECT lang, cnt,
+                row_number() OVER (ORDER BY cnt DESC, lang ASC) AS r
+         FROM tot),
+topi AS (SELECT lang, source, sub_cnt, s, n,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY sub_cnt DESC, source ASC) AS r2
+         FROM g)
+SELECT i.lang, o.cnt, i.source, i.sub_cnt,
+       CAST(i.s AS DOUBLE) / i.n AS ac
+FROM topi i JOIN topo o USING (lang)
+WHERE o.r <= 5 AND i.r2 <= 3
+ORDER BY o.cnt DESC, i.lang ASC, i.sub_cnt DESC, i.source ASC""",
         "random_sort": f"""
 SELECT doc_id, md5('{RANDOM_SORT_SEED}' || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
 FROM documents

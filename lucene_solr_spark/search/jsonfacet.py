@@ -1,0 +1,312 @@
+"""JSON Facet API → DataFrame compiler.
+
+Re-expresses, Spark-first, Solr's JSON Facet API request shape
+(``[8x] solr/core/src/java/org/apache/solr/search/facet/
+FacetRequest.java`` / ``FacetField.java`` / ``FacetRange.java`` /
+``FacetQuery.java``; request plumbing ``[8x] solr/core/src/java/org/
+apache/solr/request/json/RequestUtil.java``): a ``json.facet`` body is
+a map of facet name → spec, where a spec is either a STAT STRING
+(``"avg(price)"``, ``"sum(x)"``, ``"unique(f)"``, ``"count"``) or an
+object with a ``type`` of ``terms`` | ``range`` | ``query``, optional
+``facet`` sub-facets (stat strings, or ONE nested ``terms`` facet),
+and an optional ``domain: {excludeTags: [...]}`` that re-derives the
+facet's domain with the named tagged filters excluded (multi-select
+faceting — the same domain logic as ``relational.facet_excluding``).
+
+Execution shape (the 100 TB lens): every facet is one left-semi join
+of docvalues against the (bounded) domain id-set followed by ONE
+partial-aggregable groupBy shuffle; a nested terms facet rides a
+single shuffle on the (outer, inner) pair with the outer totals
+re-derived from that tiny aggregate (the ``json_facet_nested`` kernel
+pattern) — the corpus is scanned once per facet regardless of
+nesting.  Stats over integral columns keep exact int64 sums and do
+ONE f64 division for ``avg`` (order-free, hash-stable on any engine
+and at any parallelism).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["compile_json_facet"]
+
+_STAT_RE = re.compile(
+    r"^\s*(avg|sum|min|max|unique|sumsq|count)\s*"
+    r"(?:\(\s*([A-Za-z_][\w.]*)\s*\))?\s*$")
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _is_integral(df: DataFrame, field: str) -> bool:
+    try:
+        return df.schema[field].dataType.simpleString() in _INTEGRAL
+    except KeyError:
+        raise ValueError(f"JSON facet stat references unknown column "
+                         f"{field!r}") from None
+
+
+def _stat_aggs(df: DataFrame, stats: dict) -> tuple[list, list]:
+    """Compile stat strings to aggregate Columns.  Returns (agg_cols,
+    finalize) where finalize is a list of (alias, builder) applied
+    AFTER the groupBy — the exact-avg path aggregates int64 sum +
+    count and divides once."""
+    aggs: list[Column] = []
+    finals: list = []
+    for alias, expr in stats.items():
+        m = _STAT_RE.match(expr)
+        if not m:
+            raise ValueError(f"unsupported JSON facet stat {expr!r}")
+        kind, field = m.group(1), m.group(2)
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).cast("long").alias(alias))
+            continue
+        if field is None:
+            raise ValueError(f"JSON facet stat {expr!r} needs a field")
+        c = F.col(field)
+        if kind == "sum":
+            if _is_integral(df, field):
+                aggs.append(F.sum(c.cast("long")).alias(alias))
+            else:
+                aggs.append(F.sum(c.cast("double")).alias(alias))
+        elif kind == "avg":
+            if _is_integral(df, field):
+                aggs.append(F.sum(c.cast("long")).alias(f"_s_{alias}"))
+                aggs.append(F.count(c).cast("long").alias(f"_n_{alias}"))
+                finals.append(
+                    (alias,
+                     lambda a=alias: F.col(f"_s_{a}").cast("double")
+                     / F.col(f"_n_{a}")))
+            else:
+                aggs.append(F.avg(c.cast("double")).alias(alias))
+        elif kind == "min":
+            aggs.append(F.min(c).alias(alias))
+        elif kind == "max":
+            aggs.append(F.max(c).alias(alias))
+        elif kind == "unique":
+            aggs.append(F.countDistinct(c).cast("long").alias(alias))
+        elif kind == "sumsq":
+            aggs.append(
+                F.sum(c.cast("double") * c.cast("double")).alias(alias))
+    return aggs, finals
+
+
+def _finalize(df: DataFrame, finals: list) -> DataFrame:
+    for alias, builder in finals:
+        df = (df.withColumn(alias, builder())
+              .drop(f"_s_{alias}", f"_n_{alias}"))
+    return df
+
+
+def _split_subfacets(spec: dict) -> tuple[dict, dict]:
+    sub = spec.get("facet") or {}
+    stats = {k: v for k, v in sub.items() if isinstance(v, str)}
+    nested = {k: v for k, v in sub.items() if isinstance(v, dict)}
+    bad = set(sub) - set(stats) - set(nested)
+    if bad:
+        raise ValueError(f"bad JSON subfacet spec(s): {sorted(bad)}")
+    return stats, nested
+
+
+def compile_json_facet(
+    name: str,
+    spec,
+    domain_for,
+    docvalues: DataFrame | None,
+    match_set=None,
+) -> DataFrame:
+    """Compile ONE top-level json.facet entry to a DataFrame.
+
+    ``domain_for(exclude_tags)`` returns the [doc_id] domain with the
+    given tagged filters excluded; ``docvalues`` carries the facet
+    fields keyed by doc_id; ``match_set(qs)`` resolves a query-facet's
+    ``q`` string to its [doc_id] match set."""
+    if isinstance(spec, str):
+        # bare stat facet over the full (un-excluded) domain
+        if docvalues is None:
+            raise ValueError("json.facet stats require a docvalues frame")
+        base = docvalues.join(domain_for(frozenset()), "doc_id",
+                              "left_semi")
+        aggs, finals = _stat_aggs(base, {name: spec})
+        return _finalize(base.agg(*aggs), finals)
+    if not isinstance(spec, dict):
+        raise ValueError(f"json.facet {name!r}: spec must be a stat "
+                         f"string or object, got {type(spec).__name__}")
+    typ = spec.get("type")
+    dom_spec = spec.get("domain") or {}
+    unknown_dom = set(dom_spec) - {"excludeTags"}
+    if unknown_dom:
+        raise ValueError(
+            f"json.facet {name!r}: unsupported domain keys "
+            f"{sorted(unknown_dom)}")
+    exclude = dom_spec.get("excludeTags") or []
+    if isinstance(exclude, str):
+        exclude = [t for t in exclude.split(",") if t]
+    dom = domain_for(frozenset(exclude))
+
+    if typ == "terms":
+        return _terms_facet(name, spec, dom, docvalues)
+    if typ == "range":
+        return _range_facet(name, spec, dom, docvalues)
+    if typ == "query":
+        return _query_facet(name, spec, dom, docvalues, match_set)
+    raise ValueError(f"json.facet {name!r}: unsupported type {typ!r}")
+
+
+_TERMS_KEYS = {"type", "field", "limit", "mincount", "sort", "prefix",
+               "missing", "domain", "facet"}
+
+
+def _bucket_order(field: str, sort: str, count_col: str = "count"):
+    key = str(sort).split()[0]
+    if key == "count":
+        return [F.desc(count_col), F.asc_nulls_last(field)]
+    if key == "index":
+        return [F.asc_nulls_last(field)]
+    raise ValueError(f"json.facet sort must be count or index, "
+                     f"got {sort!r}")
+
+
+def _terms_facet(name, spec, dom, docvalues) -> DataFrame:
+    extra = set(spec) - _TERMS_KEYS
+    if extra:
+        raise ValueError(f"json.facet {name!r}: unsupported terms keys "
+                         f"{sorted(extra)}")
+    if docvalues is None:
+        raise ValueError("json.facet terms requires a docvalues frame")
+    field = spec["field"]
+    limit = int(spec.get("limit", 10))
+    mincount = int(spec.get("mincount", 1))
+    order = _bucket_order(field, spec.get("sort", "count"))
+    stats, nested = _split_subfacets(spec)
+    base = docvalues.join(dom, "doc_id", "left_semi")
+    if not bool(spec.get("missing", False)):
+        base = base.filter(F.col(field).isNotNull())
+    if spec.get("prefix") is not None:
+        base = base.filter(F.col(field).startswith(str(spec["prefix"])))
+
+    if not nested:
+        aggs, finals = _stat_aggs(base, stats)
+        g = base.groupBy(field).agg(
+            F.count(F.lit(1)).cast("long").alias("count"), *aggs)
+        g = _finalize(g, finals)
+        if mincount > 1:
+            g = g.filter(F.col("count") >= mincount)
+        return g.orderBy(*order).limit(limit)
+
+    if stats or len(nested) > 1:
+        raise ValueError(
+            f"json.facet {name!r}: a nested terms subfacet must be the "
+            "only subfacet at its level (stats go inside it)")
+    (subname, subspec), = nested.items()
+    if subspec.get("type") != "terms":
+        raise ValueError(f"json.facet {name!r}.{subname}: nested "
+                         "subfacets must be terms facets")
+    inner = subspec["field"]
+    sub_limit = int(subspec.get("limit", 10))
+    sub_order = _bucket_order(
+        inner, subspec.get("sort", "count"), count_col="sub_count")
+    sub_stats, sub_nested = _split_subfacets(subspec)
+    if sub_nested:
+        raise ValueError(
+            f"json.facet {name!r}.{subname}: nesting is one level deep")
+    # ONE shuffle on (outer, inner); outer totals re-derived from the
+    # tiny (outer, inner) aggregate — corpus scanned once
+    aggs, finals = _stat_aggs(base, sub_stats)
+    g = base.groupBy(field, inner).agg(
+        F.count(F.lit(1)).cast("long").alias("sub_count"), *aggs)
+    totals = g.groupBy(field).agg(
+        F.sum("sub_count").cast("long").alias("count"))
+    if mincount > 1:
+        totals = totals.filter(F.col("count") >= mincount)
+    w_out = Window.orderBy(*order)
+    top_out = (totals.withColumn("_r", F.row_number().over(w_out))
+               .filter(F.col("_r") <= limit).drop("_r"))
+    w_in = Window.partitionBy(field).orderBy(*sub_order)
+    top_in = (g.filter(F.col(inner).isNotNull())
+              .withColumn("_r", F.row_number().over(w_in))
+              .filter(F.col("_r") <= sub_limit).drop("_r"))
+    out = top_in.join(F.broadcast(top_out), field)
+    out = _finalize(out, finals)
+    cols = [field, "count", inner, "sub_count",
+            *[a for a in sub_stats]]
+    return out.select(*cols).orderBy(
+        F.desc("count"), F.asc_nulls_last(field),
+        F.desc("sub_count"), F.asc_nulls_last(inner))
+
+
+_RANGE_KEYS = {"type", "field", "start", "end", "gap", "domain", "facet"}
+
+
+def _range_facet(name, spec, dom, docvalues) -> DataFrame:
+    extra = set(spec) - _RANGE_KEYS
+    if extra:
+        raise ValueError(f"json.facet {name!r}: unsupported range keys "
+                         f"{sorted(extra)}")
+    if docvalues is None:
+        raise ValueError("json.facet range requires a docvalues frame")
+    for k in ("field", "start", "end", "gap"):
+        if k not in spec:
+            raise ValueError(f"json.facet {name!r}: range needs {k}")
+    field = spec["field"]
+    base = docvalues.join(dom, "doc_id", "left_semi")
+    gap = spec["gap"]
+    if isinstance(gap, str) and gap.startswith("+"):
+        from ..relational import facet_range_date
+
+        if spec.get("facet"):
+            raise ValueError(f"json.facet {name!r}: subfacets are not "
+                             "supported on date-math range facets")
+        return facet_range_date(base, field, str(spec["start"]),
+                                str(spec["end"]), gap)
+    start, end, gapf = (float(spec["start"]), float(spec["end"]),
+                        float(gap))
+    stats, nested = _split_subfacets(spec)
+    if nested:
+        raise ValueError(f"json.facet {name!r}: range facets take stat "
+                         "subfacets only")
+    aggs, finals = _stat_aggs(base, stats)
+    c = F.col(field)
+    bucket = F.floor((c - F.lit(start)) / F.lit(gapf)).cast("long")
+    g = (base.filter((c >= start) & (c < end))
+         .withColumn("bucket", bucket)
+         .withColumn("bucket_start",
+                     F.lit(start) + F.col("bucket") * F.lit(gapf))
+         .groupBy("bucket", "bucket_start")
+         .agg(F.count(F.lit(1)).cast("long").alias("count"), *aggs))
+    return _finalize(g, finals).orderBy("bucket")
+
+
+_QUERY_KEYS = {"type", "q", "query", "domain", "facet"}
+
+
+def _query_facet(name, spec, dom, docvalues, match_set) -> DataFrame:
+    extra = set(spec) - _QUERY_KEYS
+    if extra:
+        raise ValueError(f"json.facet {name!r}: unsupported query keys "
+                         f"{sorted(extra)}")
+    qs = spec.get("q", spec.get("query"))
+    if not isinstance(qs, str):
+        raise ValueError(f"json.facet {name!r}: query facets take a "
+                         "query STRING q")
+    if match_set is None:
+        raise ValueError("json.facet query facets need a query resolver")
+    dm = dom.join(match_set(qs), "doc_id", "left_semi")
+    stats, nested = _split_subfacets(spec)
+    if nested:
+        raise ValueError(f"json.facet {name!r}: query facets take stat "
+                         "subfacets only")
+    if stats:
+        if docvalues is None:
+            raise ValueError(
+                "json.facet query stats require a docvalues frame")
+        base = docvalues.join(dm, "doc_id", "left_semi")
+    else:
+        base = dm
+    aggs, finals = _stat_aggs(base, stats)
+    return _finalize(
+        base.agg(F.count(F.lit(1)).cast("long").alias("count"), *aggs),
+        finals)

@@ -34,13 +34,20 @@ request params while running Spark plans:
   ``stats.field``), ``group`` (+``group.field``/``group.limit``),
   ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``), ``mlt``
   (+``mlt.doc_id``/``mlt.count``/``mlt.maxqt``), ``debug``
-  (Explanation components), ``expand`` (+``expand.rows``).
+  (Explanation components), ``expand`` (+``expand.rows``);
+* ``json.facet`` — the JSON Facet API body (dict or JSON string):
+  stat facets (``"sum(f)"``/``avg``/``min``/``max``/``unique``/
+  ``sumsq``/``count``), ``terms`` facets (limit/mincount/sort/prefix/
+  missing) with stat subfacets or ONE nested terms subfacet, numeric
+  and date-math ``range`` facets, ``query`` facets, and
+  ``domain:{excludeTags:[...]}`` multi-select domains fed by
+  ``fq={!tag=...}...`` tagged filters (``search.jsonfacet``).
 
 Returns a dict of DataFrames: ``response`` plus one entry per
 requested component (``facet_field:<f>``, ``facet_query``,
-``facet_range:<f>``, ``stats:<f>``, ``grouped``, ``spellcheck``,
-``moreLikeThis``, ``debug``, ``expanded``, ``highlighting``,
-``nextCursorMark``).  Unknown params raise, dependent params without
+``facet_range:<f>``, ``json_facet:<name>``, ``stats:<f>``,
+``grouped``, ``spellcheck``, ``moreLikeThis``, ``debug``,
+``expanded``, ``highlighting``, ``nextCursorMark``).  Unknown params raise, dependent params without
 their master switch raise, and unknown local-params keys raise —
 silent ignoring is how real migrations corrupt results.  Everything
 lowers onto existing, oracle-checked operators — this module adds
@@ -48,6 +55,8 @@ routing, not new semantics.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -93,6 +102,31 @@ def _local_params(qs: str):
             qtype = part
     qtype = kv.pop("type", qtype)
     return (qtype, kv), rest
+
+
+def _quote_lp(v: str) -> str:
+    return f'"{v}"' if re.search(r"[\s}]", v) else v
+
+
+def _peel_tags(qs: str) -> tuple[frozenset, str]:
+    """Strip a ``tag=`` local param (Solr's tagged filters: ``fq={!tag=
+    colorTag}...``) off a filter query, returning (tags, query-without-
+    tag).  Tags are pure metadata consumed by json.facet
+    ``domain:{excludeTags}`` — the query itself parses as if untagged."""
+    if not qs.startswith("{!"):
+        return frozenset(), qs
+    lp, rest = _local_params(qs)
+    if lp is None:
+        return frozenset(), qs
+    qtype, kv = lp
+    raw = kv.pop("tag", "")
+    tags = frozenset(t for t in raw.split(",") if t)
+    if not tags:
+        return frozenset(), qs
+    if qtype == "lucene" and not kv:
+        return tags, rest
+    body = qtype + "".join(f" {k}={_quote_lp(v)}" for k, v in kv.items())
+    return tags, "{!" + body + "}" + rest
 
 
 def _parse(index: IndexView, qs: str, df: str | None = None,
@@ -263,7 +297,7 @@ def solr_request(
              "stats", "stats.field", "group", "group.field",
              "group.limit", "spellcheck", "spellcheck.q",
              "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
-             "mlt.maxqt", "debug", "cursorMark"}
+             "mlt.maxqt", "debug", "cursorMark", "json.facet"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -310,7 +344,11 @@ def solr_request(
 
     rows = int(params.get("rows", 10))
     start = int(params.get("start", 0))
-    fqs = aslist(params.get("fq", []))
+    # Solr tagged filters: fq={!tag=colorTag}... — peel the tag (it is
+    # json.facet excludeTags metadata, not query syntax) and keep the
+    # (tags, query) pairs for domain re-derivation
+    tagged_fqs = [_peel_tags(qs) for qs in aslist(params.get("fq", []))]
+    fqs = [qs for _, qs in tagged_fqs]
     df = params.get("df")
     op = str(params.get("q.op", "OR"))
     if df is not None and index.field_stats is None:
@@ -385,7 +423,7 @@ def solr_request(
             raise ValueError(
                 f"{{!collapse}} fq is not supported with a {{!{kind}}} q")
         for p in ("facet.field", "facet.query", "facet.range",
-                  "cursorMark"):
+                  "cursorMark", "json.facet"):
             if params.get(p) is not None:
                 raise ValueError(
                     f"{p} is not supported with a {{!{kind}}} q")
@@ -713,4 +751,35 @@ def solr_request(
         for c in counts[1:]:
             fq_out = fq_out.unionByName(c)
         out["facet_query"] = fq_out
+    if params.get("json.facet") is not None:
+        # JSON Facet API body (RequestUtil.java): nested facets with
+        # stat/terms subfacets and excludeTags multi-select domains —
+        # each entry compiles to one DataFrame keyed json_facet:<name>
+        if collapses:
+            raise ValueError(
+                "json.facet is not supported with {!collapse}")
+        from .search.jsonfacet import compile_json_facet
+
+        body = params["json.facet"]
+        if isinstance(body, str):
+            import json as _json
+
+            body = _json.loads(body)
+        if not isinstance(body, dict):
+            raise ValueError("json.facet must be an object")
+
+        def _jf_domain(exclude: frozenset) -> DataFrame:
+            dmn = _match_set(index, params["q"], df, op, docvalues)
+            for tags, qs in tagged_fqs:
+                if exclude & tags:
+                    continue
+                dmn = dmn.join(_match_set(index, qs, df, op, docvalues),
+                               "doc_id", "left_semi")
+            return dmn
+
+        for fname, spec in body.items():
+            out[f"json_facet:{fname}"] = compile_json_facet(
+                fname, spec, _jf_domain, docvalues,
+                match_set=lambda qs: _match_set(index, qs, df, op,
+                                                docvalues))
     return out

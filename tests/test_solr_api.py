@@ -712,3 +712,79 @@ def test_dependent_param_guard_solr_booleans(spark, setup):
         with pytest.raises(ValueError, match="requires"):
             solr_request(idx, {"q": "spark", master: "false", **dep},
                          docvalues=docs)
+
+
+def test_json_facet_terms_stats_excludetags(spark, setup):
+    """JSON Facet API on the facade: terms facet with stat subfacets,
+    and domain:{excludeTags} re-deriving the domain without the tagged
+    filter (multi-select), cross-checked against the facet_excluding
+    kernel's contract (every OTHER filter kept)."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    # q=spark matches 0,1,2; fq {!tag=sh}shuffle narrows to {0,2}
+    out = solr_request(idx, {
+        "q": "spark", "fq": "{!tag=sh}shuffle", "rows": 1,
+        "json.facet": {
+            "langs": {"type": "terms", "field": "lang",
+                      "facet": {"nsum": "sum(n)", "nmax": "max(n)",
+                                "navg": "avg(n)"}},
+            "langs_all": {"type": "terms", "field": "lang",
+                          "domain": {"excludeTags": ["sh"]}},
+            "total_n": "sum(n)",
+            "big": {"type": "query", "q": "shuffle",
+                    "facet": {"u": "unique(lang)"}},
+            "nr": {"type": "range", "field": "n",
+                   "start": 0, "end": 40, "gap": 20},
+        }}, docvalues=dv)
+    # domain {0, 2}: langs en(1: doc0 n=10), de(1: doc2 n=30)
+    langs = {r["lang"]: (r["count"], r["nsum"], r["nmax"], r["navg"])
+             for r in out["json_facet:langs"].collect()}
+    assert langs == {"en": (1, 10, 10, 10.0), "de": (1, 30, 30, 30.0)}
+    # excludeTags drops the shuffle filter: domain = spark = {0,1,2}
+    la = {r["lang"]: r["count"]
+          for r in out["json_facet:langs_all"].collect()}
+    assert la == {"en": 2, "de": 1}
+    assert out["json_facet:total_n"].collect()[0]["total_n"] == 40
+    qrow = out["json_facet:big"].collect()[0]
+    assert (qrow["count"], qrow["u"]) == (2, 2)
+    nr = {int(r["bucket"]): r["count"]
+          for r in out["json_facet:nr"].collect()}
+    assert nr == {0: 1, 1: 1}  # n=10 -> [0,20), n=30 -> [20,40)
+    # the response page is unaffected by faceting params
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [0]
+
+
+def test_json_facet_nested_and_guards(spark, setup):
+    """Nested terms subfacet (one (outer,inner) shuffle) and the
+    facade's raise-don't-drop contract for unsupported shapes."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    out = solr_request(idx, {
+        "q": "spark", "rows": 1,
+        "json.facet": {"ln": {
+            "type": "terms", "field": "lang", "limit": 2,
+            "facet": {"by_n": {"type": "terms", "field": "n",
+                               "limit": 2,
+                               "facet": {"mx": "max(n)"}}}}}},
+        docvalues=dv)
+    rows = [(r["lang"], r["count"], r["n"], r["sub_count"], r["mx"])
+            for r in out["json_facet:ln"].collect()]
+    # domain = {0,1,2}: en count 2 (n 10,20), de count 1 (n 30)
+    assert rows == [("en", 2, 10, 1, 10), ("en", 2, 20, 1, 20),
+                    ("de", 1, 30, 1, 30)]
+    for bad in (
+        {"x": {"type": "terms", "field": "lang", "flim": 1}},
+        {"x": {"type": "wat", "field": "lang"}},
+        {"x": {"type": "terms", "field": "lang",
+               "domain": {"blockChildren": "y"}}},
+        {"x": "median(n)"},
+        {"x": 7},
+    ):
+        with pytest.raises(ValueError):
+            solr_request(idx, {"q": "spark", "json.facet": bad},
+                         docvalues=dv)
+    # JSON-string body accepted (params arrive as strings over HTTP)
+    out2 = solr_request(idx, {
+        "q": "spark",
+        "json.facet": '{"c": "count"}'}, docvalues=dv)
+    assert out2["json_facet:c"].collect()[0]["c"] == 3
