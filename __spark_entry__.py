@@ -1941,6 +1941,54 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media).orderBy("doc_id")
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib + numpy, no codec library): each
+    doc synthesizes an actual 8-bit PNG whose raster is a closed-form
+    function of doc_id, with channels cycling gray / gray+alpha / RGB /
+    RGBA and the scanline filter cycling 0..4 by row — so matching the
+    oracle's closed-form pixel sum REQUIRES undoing Sub/Up/Average/
+    Paeth correctly and walking the chunk+zlib container for real."""
+    from lucene_solr_spark.pipeline.multimodal import (
+        decode_features, encode_png,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for did in pdf["doc_id"].to_numpy(dtype=np.int64):
+                did = int(did)
+                w, h, ch = 1 + did % 11, 1 + did % 6, 1 + did % 4
+                raster = ((did * 5 + np.arange(w * h * ch)) % 253
+                          ).astype(np.uint8)
+                payloads.append(encode_png(raster, w, h, ch))
+                out_ids.append(did)
+            yield pd.DataFrame({"doc_id": np.asarray(out_ids, np.int64),
+                                "media": payloads})
+
+    media = ids.mapInPandas(_gen, "doc_id long, media binary")
+    return decode_features(media).orderBy("doc_id")
+
+
+_PNG_DECODE_ORACLE = """
+SELECT doc_id, 'image/png' AS media_type,
+       CAST(1 + doc_id % 11 AS BIGINT) AS width,
+       CAST(1 + doc_id % 6 AS BIGINT) AS height,
+       CAST(1 + doc_id % 4 AS BIGINT) AS channels,
+       CAST(0 AS BIGINT) AS sample_rate,
+       CAST(0 AS BIGINT) AS n_samples,
+       CAST(0 AS BIGINT) AS duration_ms,
+       CAST(list_sum(list_transform(
+         generate_series(0, (1 + doc_id % 11) * (1 + doc_id % 6)
+                            * (1 + doc_id % 4) - 1),
+         x -> (doc_id * 5 + x) % 253)) AS BIGINT) AS px_sum
+FROM documents ORDER BY doc_id"""
+
+
 _MEDIA_DECODE_ORACLE = """
 WITH d AS (SELECT doc_id FROM documents)
 SELECT doc_id, media_type,
@@ -7512,6 +7560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_chunks": q_media_chunks,
         "cdc_chunks": q_cdc_chunks,
         "media_decode": q_media_decode,
+        "png_decode": q_png_decode,
         "media_resize": q_media_resize,
         "relevance_functions": q_relevance_functions,
         "contamination": q_contamination,
@@ -11442,6 +11491,7 @@ SELECT t.doc_id, t.tf, f.df,
 FROM tfs t JOIN dl d USING (doc_id), dfs f, n
 ORDER BY t.doc_id""",
         "media_decode": _MEDIA_DECODE_ORACLE,
+        "png_decode": _PNG_DECODE_ORACLE,
         "media_resize": _MEDIA_RESIZE_ORACLE,
         "cdc_chunks": f"""
 WITH base AS (

@@ -4,9 +4,12 @@ Models the image/audio/video path of a training-data pipeline: media lives
 in an opaque ``binary`` column with a typed metadata struct alongside; the
 decode / feature-extract step is a batch UDF over ``mapInPandas`` whose
 Spark-side contract (schema, batch shape, partitioning) is real and
-tested.  ``decode_media`` REALLY decodes three public byte formats with
-pure numpy — no codec library needed:
+tested.  ``decode_media`` REALLY decodes four public byte formats with
+stdlib zlib + pure numpy — no codec library needed:
 
+* PNG (ISO/IEC 15948: 8-bit gray/RGB/gray-alpha/RGBA, non-interlaced;
+  concatenated-IDAT zlib stream, ALL FIVE scanline filters —
+  None/Sub/Up/Average/Paeth — undone);
 * BMP (Windows ``BITMAPINFOHEADER``, uncompressed 8/24-bit, row padding
   and bottom-up/top-down orientation handled);
 * PNM (binary PGM ``P5`` / PPM ``P6``, comment-tolerant header);
@@ -14,8 +17,10 @@ pure numpy — no codec library needed:
 
 ``fake=True`` keeps the deterministic md5-derived stand-in for formats a
 PIL/ffmpeg-backed decoder would cover (JPEG/MP4 …).  Matching
-``encode_bmp`` / ``encode_pnm`` / ``encode_wav`` writers exist so
-fixtures and entries synthesize payloads deterministically.
+``encode_png`` / ``encode_bmp`` / ``encode_pnm`` / ``encode_wav``
+writers exist so fixtures and entries synthesize payloads
+deterministically (``encode_png`` cycles the filter types so fixtures
+exercise every unfilter path).
 
 At 100 TB: binaries ride in parquet alongside metadata; feature extraction
 is map-only (no shuffle), Arrow-batched, and column-pruned — the scan
@@ -35,6 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_media_binary", "decode_media", "media_features",
            "decode_features", "encode_bmp", "encode_pnm", "encode_wav",
+           "encode_png",
            "resize_nearest", "frame_sample", "media_resize",
            "media_chunks", "cdc_chunks", "CDC_W", "CDC_B", "CDC_M", "CDC_D"]
 
@@ -322,6 +328,174 @@ def _decode_wav(b: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, rb: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth).  Returns the (h, rb) uint8 raster.  None/Up/Sub rows are
+    fully vectorized (Sub is a per-lane cumsum — mod 256 distributes
+    over the running sum); Average/Paeth carry an in-row sequential
+    dependency and fall back to a per-byte loop."""
+    if len(raw) != h * (1 + rb):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, rb), np.uint8)
+    prior = np.zeros(rb, np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, rb, pos + 1).astype(np.int64)
+        pos += 1 + rb
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prior) & 255
+        elif ft == 1:  # Sub: cumsum per pixel lane
+            cur = (np.cumsum(line.reshape(-1, bpp), axis=0) & 255).ravel()
+        elif ft == 3:  # Average
+            cur = np.empty(rb, np.int64)
+            for i in range(rb):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            cur = np.empty(rb, np.int64)
+            for i in range(rb):
+                a = cur[i - bpp] if i >= bpp else 0
+                b_ = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = (a if pa <= pb and pa <= pc
+                        else (b_ if pb <= pc else c))
+                cur[i] = (line[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prior = cur
+    return out
+
+
+def _decode_png(b: bytes) -> dict:
+    """PNG (spec ISO/IEC 15948): 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.  IDAT chunks
+    concatenate into ONE zlib stream; scanlines carry a per-row filter
+    byte undone by :func:`_png_unfilter`."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    w = h = ch = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, i)[0]
+        ctype = b[i + 4:i + 8]
+        body = b[i + 8:i + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
+            w, h = struct.unpack_from(">II", body, 0)
+            depth, color, comp, filt, interlace = body[8:13]
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if comp != 0 or filt != 0:
+                raise ValueError("bad PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if w is None or ch is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, h, w * ch, ch)
+    return {
+        "media_type": "image/png",
+        "width": int(w),
+        "height": int(h),
+        "channels": ch,
+        "sample_rate": 0,
+        "n_samples": 0,
+        "duration_ms": 0,
+        "px_sum": int(px.astype(np.int64).sum()),
+        "_raster": px.ravel(),
+    }
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(raster: np.ndarray, width: int, height: int,
+               channels: int = 3,
+               filters: list[int] | None = None) -> bytes:
+    """Write an 8-bit non-interlaced PNG from an unpadded top-down
+    raster of ``height * width * channels`` bytes.  ``filters`` picks
+    the per-row filter type (default cycles 0..4 so fixtures exercise
+    EVERY unfilter path); filtering is applied with the spec's forward
+    transforms, so decode must undo Sub/Up/Average/Paeth correctly to
+    reconstruct the raster."""
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError("encode_png supports 1-4 channels")
+    raster = np.ascontiguousarray(raster, dtype=np.uint8)
+    rb = width * channels
+    if raster.size != rb * height:
+        raise ValueError("raster size does not match dimensions")
+    rows = raster.reshape(height, rb).astype(np.int64)
+    bpp = channels
+    lines = bytearray()
+    prior = np.zeros(rb, np.int64)
+    for y in range(height):
+        cur = rows[y]
+        ft = (filters[y % len(filters)] if filters else y % 5)
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left) & 255
+        elif ft == 2:
+            enc = (cur - prior) & 255
+        elif ft == 3:
+            enc = (cur - ((left + prior) >> 1)) & 255
+        elif ft == 4:
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, upleft))
+            enc = (cur - pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        lines.append(ft)
+        lines += enc.astype(np.uint8).tobytes()
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
 def encode_bmp(raster: np.ndarray, width: int, height: int,
                channels: int = 3) -> bytes:
     """Write an uncompressed BMP from an UNPADDED raster byte array of
@@ -399,7 +573,9 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
             "fake_frames": (h // (1920 * 1080)) % 300,
         }
     out = None
-    if b[:2] == b"BM":
+    if b[:8] == _PNG_SIG:
+        out = _decode_png(b)
+    elif b[:2] == b"BM":
         out = _decode_bmp(b)
     elif b[:2] in (b"P5", b"P6"):
         out = _decode_pnm(b)
@@ -543,8 +719,8 @@ _DECODE_SCHEMA = (
 
 
 def decode_features(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL batch decode over the binary column: BMP/PNM/WAV parsed with
-    pure numpy inside ``mapInPandas`` (Arrow batches in, one decoder
+    """REAL batch decode over the binary column: PNG/BMP/PNM/WAV parsed
+    with zlib + pure numpy inside ``mapInPandas`` (Arrow batches in, one decoder
     call per payload — the same boundary a C-library decoder has; the
     per-payload work is numpy array math, not per-byte Python).
 

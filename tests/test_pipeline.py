@@ -1741,3 +1741,63 @@ def test_epoch_shuffle_deterministic_sharded_sorted(spark):
         return iter([len(part)])
     counts = out.rdd.mapPartitions(check).collect()
     assert sum(counts) == 300
+
+
+def test_decode_png_roundtrip_all_filters():
+    """PNG write/parse round-trip: every scanline filter type
+    (None/Sub/Up/Average/Paeth), every supported color type (gray,
+    gray+alpha, RGB, RGBA), concatenated-IDAT handling, and the
+    malformed-input raises."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from lucene_solr_spark.pipeline import decode_media, encode_png
+    from lucene_solr_spark.pipeline.multimodal import _decode_png
+
+    rng = np.random.default_rng(11)
+    for w, h, ch in [(13, 9, 3), (5, 7, 1), (8, 6, 4), (4, 11, 2),
+                     (1, 1, 3)]:
+        raster = rng.integers(0, 256, w * h * ch, dtype=np.uint8)
+        for filters in (None, [0], [1], [2], [3], [4], [4, 3, 1]):
+            b = encode_png(raster, w, h, ch, filters=filters)
+            got = decode_media(b)
+            assert (got["media_type"], got["width"], got["height"],
+                    got["channels"]) == ("image/png", w, h, ch)
+            assert got["px_sum"] == int(raster.astype(np.int64).sum())
+            assert np.array_equal(_decode_png(b)["_raster"], raster)
+    # IDAT split across multiple chunks is ONE zlib stream
+    w, h, ch = 6, 4, 3
+    raster = rng.integers(0, 256, w * h * ch, dtype=np.uint8)
+    b = encode_png(raster, w, h, ch)
+    sig, rest = b[:8], b[8:]
+    ihdr_len = st.unpack_from(">I", rest, 0)[0]
+    ihdr = rest[:12 + ihdr_len]
+    rest2 = rest[12 + ihdr_len:]
+    idat_len = st.unpack_from(">I", rest2, 0)[0]
+    idat_body = rest2[8:8 + idat_len]
+    iend = rest2[12 + idat_len:]
+
+    def chunk(ctype, body):
+        return (st.pack(">I", len(body)) + ctype + body
+                + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    split = (sig + ihdr + chunk(b"IDAT", idat_body[:5])
+             + chunk(b"IDAT", idat_body[5:]) + iend)
+    got = decode_media(split)
+    assert got["px_sum"] == int(raster.astype(np.int64).sum())
+    # malformed inputs raise: cut into the IDAT body (the trailing 18
+    # bytes are IEND(12) + IDAT crc(4) + 2 body bytes)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_media(b[:-18])
+    mut = bytearray(b)
+    mut[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_png(bytes(mut))
+    mut = bytearray(b)
+    mut[8 + 8 + 8] = 16  # bit depth 16
+    with pytest.raises(ValueError, match="bit depth"):
+        _decode_png(bytes(mut))
+    with pytest.raises(ValueError, match="1-4 channels"):
+        encode_png(raster, w, h, 5)
