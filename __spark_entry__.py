@@ -271,6 +271,47 @@ def q_fts_bm25_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SolrCloud-style sharded /select over REAL per-shard postings
+    ([8x] solr/core/.../handler/component/QueryComponent.java
+    distributed path + search/stats/ExactStatsCache.java): 3 murmur3
+    hash-ring shards, the ExactStatsCache round-trip redistributes
+    global df / docCount / sumTotalTermFreq to every shard, each shard
+    returns a BOUNDED top-10 page, and one global TakeOrdered merges
+    3×10 rows — rank/score identical to the unsharded index by
+    construction, which is exactly what the oracle computes.  Scores
+    ride the f64-parity stream like every BM25 entry (the f32 sharded
+    facade — solr_request_sharded — is pinned rank/score-identical
+    in tests/test_distributed.py)."""
+    from lucene_solr_spark.search.distributed import (
+        build_sharded_views, exact_global_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    shards = build_sharded_views(d, 3, id_col="doc_id", text_col="text",
+                                 cache=False)
+    n_docs, sum_ttf, stats = exact_global_stats(shards, [BM25_TERM])
+    df_global = stats[BM25_TERM][0]
+    expr = _BM25_EXPR.format(N=n_docs, avgdl=_avgdl_expr(sum_ttf, n_docs))
+    lt = F.array(*[F.lit(v) for v in _LT])
+    parts = []
+    for s in shards:
+        pt = postings_table(s, [BM25_TERM])
+        pt = pt.withColumn(
+            "qdl", F.element_at(lt, (F.col("norm_byte") + 1).cast("int"))
+            .cast("long"))
+        scored = (pt.withColumn("df", F.lit(df_global).cast("long"))
+                  .withColumn("score64", F.expr(expr)))
+        parts.append(
+            scored.select("doc_id",
+                          F.col("score64").cast("float").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
 def q_sig_terms_jlh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significantTerms with the JLH heuristic (the refinement of the
     ratio score popularized by significant-terms aggregations):
@@ -7468,6 +7509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_term_counts": q_fts_term_counts,
         "fts_bool_and": q_fts_bool_and,
         "fts_bm25_topk": q_fts_bm25_topk,
+        "sharded_select": q_sharded_select,
         "fts_bm25_or_topk": q_fts_bm25_or_topk,
         "fts_significant_terms": q_fts_significant_terms,
         "sig_terms_jlh": q_sig_terms_jlh,
@@ -11201,6 +11243,10 @@ WITH r AS (
 SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS group_rank
 FROM r WHERE rn BETWEEN 2 AND 3 ORDER BY lang, group_rank""",
         "fts_bm25_topk": _bm25_oracle(f"term = '{BM25_TERM}'", or_mode=False),
+        # sharding with exact global stats is rank/score identical to
+        # the unsharded index — the oracle IS the unsharded computation
+        "sharded_select": _bm25_oracle(f"term = '{BM25_TERM}'",
+                                       or_mode=False),
         "fts_bm25_or_topk": _bm25_oracle(
             "term IN (" + ", ".join(f"'{t}'" for t in BM25_OR_TERMS) + ")", or_mode=True
         ),

@@ -41,7 +41,12 @@ request params while running Spark plans:
   missing) with stat subfacets or ONE nested terms subfacet, numeric
   and date-math ``range`` facets, ``query`` facets, and
   ``domain:{excludeTags:[...]}`` multi-select domains fed by
-  ``fq={!tag=...}...`` tagged filters (``search.jsonfacet``).
+  ``fq={!tag=...}...`` tagged filters (``search.jsonfacet``);
+* sharded collections — pass a LIST of shard IndexViews (or call
+  ``solr_request_sharded``): SolrCloud-style scatter-gather with
+  exact global stats, per-shard bounded pages, distributed
+  cursorMark (supported params ``q fq rows start fl sort df q.op
+  cursorMark``; component params raise).
 
 Returns a dict of DataFrames: ``response`` plus one entry per
 requested component (``facet_field:<f>``, ``facet_query``,
@@ -66,7 +71,7 @@ from .search import parse_query, search
 from .search.executor import _matches, expand_multiterm
 from .search.query import analyze_query, rewrite
 
-__all__ = ["solr_request"]
+__all__ = ["solr_request", "solr_request_sharded"]
 
 
 def _local_params(qs: str):
@@ -274,6 +279,120 @@ def _match_set(index: IndexView, qs: str, df: str | None = None,
     return m
 
 
+def solr_request_sharded(
+    shards: list[IndexView],
+    params: dict,
+    docvalues: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Distributed ``/select``: SolrCloud's two-stage scatter-gather
+    over shard views (``[8x] solr/core/.../handler/component/
+    QueryComponent.java`` distributed path + ExactStatsCache).  Every
+    shard scores with EXACT GLOBAL term statistics (one driver-side
+    stats round-trip), returns a bounded per-shard top-(start+rows)
+    page — the fq match set intersects each shard's collector domain
+    BEFORE its limit — and one global TakeOrdered merges k × n_shards
+    rows, never the corpora.  ``cursorMark`` pushes the cursor into
+    every shard's scored stream (``distributed_search_after``
+    semantics), so deep pages stay bounded per shard.
+
+    Supported params: ``q fq rows start fl sort=score desc df q.op
+    cursorMark``.  Component params (facets, hl, stats, group, …)
+    raise — the distributed component kernels
+    (``search.distributed.distributed_facet_terms`` et al.) are the
+    explicit path for those."""
+    from dataclasses import replace
+
+    from .search.distributed import exact_global_stats
+    from .search.query import query_terms
+
+    if not shards:
+        raise ValueError("sharded request needs at least one shard")
+    known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
+             "cursorMark"}
+    unknown = set(params) - known
+    if unknown:
+        raise ValueError(
+            f"unsupported sharded Solr params: {sorted(unknown)}")
+    if "q" not in params:
+        raise ValueError("q is required")
+    if params.get("sort", "score desc").strip() != "score desc":
+        raise ValueError("sharded requests support relevance sort only")
+
+    def aslist(v):
+        return [v] if isinstance(v, str) else list(v)
+
+    rows = int(params.get("rows", 10))
+    start = int(params.get("start", 0))
+    fqs = [qs for _, qs in
+           (_peel_tags(q_) for q_ in aslist(params.get("fq", [])))]
+    df = params.get("df")
+    op = str(params.get("q.op", "OR"))
+
+    cursor_mark = params.get("cursorMark")
+    cursor = None
+    if cursor_mark is not None:
+        if start:
+            raise ValueError("cursorMark cannot be combined with start")
+        if cursor_mark != "*":
+            import base64 as _b64
+            import json as _json
+
+            try:
+                score_v, doc_v = _json.loads(
+                    _b64.urlsafe_b64decode(cursor_mark.encode()).decode())
+                cursor = (float(score_v), int(doc_v))
+            except Exception as exc:
+                raise ValueError(
+                    f"bad cursorMark {cursor_mark!r}") from exc
+
+    q_ast = _parse(shards[0], params["q"], df, op)
+    terms = sorted(set(query_terms(q_ast)))
+    n_docs, sum_ttf, stats = exact_global_stats(shards, terms)
+    k = start + rows
+    parts = []
+    for s in shards:
+        gview = replace(
+            s, doc_count=n_docs, sum_ttf=sum_ttf, stats_memo=dict(stats))
+        dom = None
+        for qs in fqs:
+            m = _match_set(s, qs, df, op, docvalues)
+            dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
+        parts.append(search(gview, q_ast, k=k, domain=dom, cursor=cursor))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    hits = merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    order_keys = [F.desc("score"), F.asc("doc_id")]
+    if start:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*order_keys)
+        hits = (hits.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > start).drop("_rn"))
+    response = hits
+    if params.get("fl"):
+        if docvalues is None:
+            raise ValueError("fl requires a docvalues frame")
+        response = response.join(
+            docvalues.select("doc_id", *aslist(params["fl"])),
+            "doc_id", "left")
+    response = response.orderBy(*order_keys)
+    out = {"response": response}
+    if cursor_mark is not None:
+        import base64 as _b64
+        import json as _json
+
+        page = response.select("doc_id", "score").collect()
+        if page:
+            last = page[-1]
+            out["nextCursorMark"] = _b64.urlsafe_b64encode(_json.dumps(
+                [float(last["score"]), int(last["doc_id"])]
+            ).encode()).decode()
+        else:
+            out["nextCursorMark"] = cursor_mark
+    return out
+
+
 def solr_request(
     index: IndexView,
     params: dict,
@@ -286,7 +405,10 @@ def solr_request(
     docvalues columns; requires ``docvalues``), ``facet.field`` (str or
     list), ``facet.query`` (str or list), ``facet.limit``
     (default 10).  Unknown params raise — silent ignoring is how real
-    migrations corrupt results."""
+    migrations corrupt results.  A LIST of IndexViews dispatches to
+    :func:`solr_request_sharded` (SolrCloud scatter-gather)."""
+    if isinstance(index, (list, tuple)):
+        return solr_request_sharded(list(index), params, docvalues)
     known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
              "facet.field", "facet.query", "facet.limit",
              "facet.range", "facet.range.start", "facet.range.end",

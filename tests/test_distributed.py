@@ -246,3 +246,66 @@ def test_distributed_spell_matches_unsharded(spark, corpus, unsharded):
     want = [(r["term"], r["distance"], r["df"]) for r in
             spell_suggest(unsharded, "deff", max_edits=1, k=5).collect()]
     assert got == want and got
+
+
+def test_sharded_facade_identity_and_paging(unsharded, shards):
+    """solr_request over a LIST of shard views: pages rank/score
+    identical to the unsharded facade, fq intersects each shard's
+    collector domain before its limit, start offsets, cursorMark walks
+    without overlap, and component params raise."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    base = solr_request(unsharded, {"q": "def", "rows": 10})
+    got = solr_request(list(shards), {"q": "def", "rows": 10})
+    assert _rows(got["response"]) == _rows(base["response"])
+
+    # fq-below-cutoff doc still fills the page (per-shard domains)
+    b2 = solr_request(unsharded, {"q": "def", "fq": "lambda", "rows": 3})
+    g2 = solr_request(list(shards), {"q": "def", "fq": "lambda",
+                                     "rows": 3})
+    assert _rows(g2["response"]) == _rows(b2["response"])
+
+    # start offset
+    b3 = solr_request(unsharded, {"q": "def", "rows": 3, "start": 4})
+    g3 = solr_request(list(shards), {"q": "def", "rows": 3, "start": 4})
+    assert _rows(g3["response"]) == _rows(b3["response"])
+
+    # cursorMark pages: walk rows=3 to exhaustion == one rows=12 page
+    want = _rows(solr_request(unsharded, {"q": "def", "rows": 12}
+                              )["response"])
+    walked, mark = [], "*"
+    for _ in range(6):
+        o = solr_request(list(shards), {"q": "def", "rows": 3,
+                                        "cursorMark": mark})
+        page = _rows(o["response"])
+        if not page or o["nextCursorMark"] == mark:
+            walked.extend(page)
+            break
+        walked.extend(page)
+        mark = o["nextCursorMark"]
+    assert walked[:12] == want
+    assert len(walked) == len({d for d, _ in walked})  # no overlap
+
+    import pytest as _pytest
+
+    for bad in ({"facet.field": "lang"}, {"hl": "true"},
+                {"group": "true", "group.field": "x"},
+                {"json.facet": {"c": "count"}}):
+        with _pytest.raises(ValueError, match="unsupported sharded"):
+            solr_request(list(shards), {"q": "def", **bad})
+    with _pytest.raises(ValueError, match="relevance"):
+        solr_request(list(shards), {"q": "def", "sort": "doc_id asc"})
+
+
+def test_sharded_facade_plan_bounded(shards):
+    """Per-shard pages stay bounded TakeOrderedAndProject; at start=0
+    no Window appears anywhere in the merged plan."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    out = solr_request(list(shards), {"q": "def", "rows": 5})
+    p = out["response"]._jdf.queryExecution().executedPlan().toString()
+    # one bounded TakeOrdered per shard plus the global merge
+    assert p.count("TakeOrderedAndProject") >= len(shards) + 1, p
+    # the facade added no score-ordered window (the corpus fixture's
+    # doc-id window is upstream of the index and not ours)
+    assert "windowspecdefinition(score" not in p, p
