@@ -1,3 +1,5 @@
 from .incremental import stream_build_index
+from .topic import topic_delivered, topic_state, topic_stream
 
-__all__ = ["stream_build_index"]
+__all__ = ["stream_build_index", "topic_stream", "topic_delivered",
+           "topic_state"]

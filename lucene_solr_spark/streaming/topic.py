@@ -1,0 +1,116 @@
+"""Topic stream: checkpointed pub-sub over a versioned table.
+
+Re-expresses, Spark-first, Solr's ``topic()`` streaming expression
+(``[8x] solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+TopicStream.java``): a durable subscription over a query — each
+subscriber (identified by its checkpoint collection in Solr, by its
+``subscriber_path`` here) receives every matching document EXACTLY
+ONCE, resuming after restarts from its persisted position rather than
+re-delivering.  Solr tracks per-shard ``_version_`` checkpoints; the
+Spark-native position is Structured Streaming's file-source offset
+log, with the max seen ``version`` additionally recorded in a state
+file for observability and late-subscriber audits.
+
+Exactly-once shape: delivery runs in ``foreachBatch`` writing each
+micro-batch to a ``batch=<id>``-keyed directory with ``overwrite``
+mode — a retried batch overwrites its own output instead of appending
+a duplicate (the standard idempotent-sink pattern), and the
+checkpointed offset log guarantees a batch id is never assigned to
+different input twice.  Filters (the topic's query) are plain column
+predicates pushed into the micro-batch plan.
+
+At scale the source is a version-partitioned table the producers
+append to; consumers are independent streaming queries, each with its
+own checkpoint — no coordination, no shared state, fan-out is free.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["topic_stream", "topic_delivered", "topic_state"]
+
+
+def _state_path(sub: Path) -> Path:
+    return sub / "topic_state.json"
+
+
+def topic_state(subscriber_path) -> dict:
+    """The subscriber's recorded position: ``last_version`` (max
+    delivered version) and ``delivered_batches``.  Missing file = a
+    fresh subscriber (everything pending)."""
+    p = _state_path(Path(subscriber_path))
+    if not p.exists():
+        return {"last_version": -1, "delivered_batches": []}
+    return json.loads(p.read_text())
+
+
+def topic_delivered(spark: SparkSession, subscriber_path) -> DataFrame:
+    """All rows delivered to this subscriber so far (union of the
+    batch-keyed delivery directories)."""
+    sub = Path(subscriber_path)
+    parts = sorted((sub / "delivered").glob("batch=*"))
+    if not parts:
+        raise ValueError(f"no deliveries under {subscriber_path}")
+    out = spark.read.parquet(str(parts[0]))
+    for p in parts[1:]:
+        out = out.unionByName(spark.read.parquet(str(p)))
+    return out
+
+
+def topic_stream(
+    stream_df: DataFrame,
+    subscriber_path,
+    *,
+    version_col: str = "version",
+    filter_expr: str | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Attach a topic subscription to a streaming DataFrame and start
+    it.  ``subscriber_path`` holds this subscriber's checkpoint,
+    deliveries, and state — two subscribers with different paths each
+    receive the full topic independently (Solr: one checkpoint doc per
+    topic id).  ``filter_expr`` is the topic query (a SQL predicate).
+
+    With ``trigger_available_now`` the query drains what is pending
+    and stops (Solr's pull-style ``topic()`` poll); with
+    ``processing_time`` it runs as a live daemon subscription."""
+    sub = Path(subscriber_path)
+    (sub / "delivered").mkdir(parents=True, exist_ok=True)
+
+    def _deliver(bdf: DataFrame, batch_id: int) -> None:
+        out = bdf
+        if filter_expr:
+            out = out.filter(F.expr(filter_expr))
+        out = out.persist()
+        try:
+            n = out.count()
+            if n == 0:
+                return
+            # idempotent, batch-keyed delivery: a retry of this batch id
+            # overwrites its own directory, never duplicating rows
+            (out.write.mode("overwrite")
+             .parquet(str(sub / "delivered" / f"batch={int(batch_id)}")))
+            hi = out.agg(F.max(version_col).alias("v")).collect()[0]["v"]
+            st = topic_state(sub)
+            st["last_version"] = max(int(st["last_version"]), int(hi))
+            if int(batch_id) not in st["delivered_batches"]:
+                st["delivered_batches"].append(int(batch_id))
+            tmp = _state_path(sub).with_suffix(".tmp")
+            tmp.write_text(json.dumps(st))
+            tmp.replace(_state_path(sub))  # atomic publish
+        finally:
+            out.unpersist()
+
+    writer = (stream_df.writeStream.foreachBatch(_deliver)
+              .option("checkpointLocation", str(sub / "_checkpoint")))
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

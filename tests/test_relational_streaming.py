@@ -596,3 +596,63 @@ def test_significant_terms_scored_heuristics(spark):
     assert got["hot"] == pytest.approx(1.0 * math.log(1.0 / 0.3))
     with pytest.raises(ValueError):
         R.significant_terms_scored(pairs, fg, 3, 10, heuristic="g2")
+
+
+def test_topic_stream_exactly_once_resume(spark, tmp_path):
+    """TopicStream analog: checkpointed pub-sub on a version column.
+    A subscriber drains what is pending and stops; restarting on the
+    same subscriber path delivers ONLY the versions that arrived since
+    (no re-delivery); a second subscriber independently receives the
+    full topic; the topic query filters deliveries; per-row delivery
+    is exactly-once (unique versions)."""
+    from lucene_solr_spark.streaming import (
+        topic_delivered, topic_state, topic_stream,
+    )
+
+    src = tmp_path / "topic_src"
+    src.mkdir()
+    rows1 = spark.createDataFrame(
+        [(i, i, "en" if i % 2 else "de") for i in range(10)],
+        "id long, version long, lang string")
+    rows1.coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def consume(sub, **kw):
+        q = topic_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            tmp_path / sub, **kw)
+        q.awaitTermination(60)
+        return tmp_path / sub
+
+    a = consume("subA")
+    got = sorted(int(r["version"])
+                 for r in topic_delivered(spark, a).collect())
+    assert got == list(range(10))
+    assert topic_state(a)["last_version"] == 9
+
+    # restart with NO new input: nothing re-delivered
+    consume("subA")
+    got = [int(r["version"]) for r in topic_delivered(spark, a).collect()]
+    assert sorted(got) == list(range(10)) and len(got) == 10
+
+    # new versions arrive; the restarted subscriber gets ONLY those
+    rows2 = spark.createDataFrame(
+        [(i, 10 + i, "en") for i in range(5)],
+        "id long, version long, lang string")
+    rows2.coalesce(1).write.mode("append").parquet(str(src))
+    consume("subA")
+    got = [int(r["version"]) for r in topic_delivered(spark, a).collect()]
+    assert sorted(got) == list(range(15)) and len(got) == 15
+    assert topic_state(a)["last_version"] == 14
+
+    # an independent subscriber starts fresh and receives the full topic
+    b = consume("subB")
+    gotb = [int(r["version"])
+            for r in topic_delivered(spark, b).collect()]
+    assert sorted(gotb) == list(range(15)) and len(gotb) == 15
+
+    # the topic QUERY filters deliveries (Solr: topic(q=...))
+    c = consume("subC", filter_expr="lang = 'de'")
+    gotc = sorted(int(r["version"])
+                  for r in topic_delivered(spark, c).collect())
+    assert gotc == [0, 2, 4, 6, 8]
