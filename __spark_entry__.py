@@ -7236,10 +7236,12 @@ def q_hunspell_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 COLLATE_WORDS = ("cote", "coté", "côte", "côté", "resume", "Resume",
                  "résumé", "apfel", "Äpfel", "zebra", "Zebra", "abc",
                  "ＡＢＣ", "abd")
-#: hand-derived expected order under (primary=base, secondary=accents,
-#: tertiary=case) with marks by codepoint — see collation.py docstring
+#: hand-derived expected order under whole-level UCA (primary=base,
+#: secondary=DUCET-ranked accents, tertiary=case): resume/Resume tie at
+#: the accent level and split on case BEFORE résumé's secondary
+#: difference — the real ICU root ordering; see collation.py docstring
 COLLATE_EXPECTED = ("abc", "ＡＢＣ", "abd", "apfel", "Äpfel", "cote",
-                    "coté", "côte", "côté", "resume", "résumé", "Resume",
+                    "coté", "côte", "côté", "resume", "Resume", "résumé",
                     "zebra", "Zebra")
 
 

@@ -18,19 +18,27 @@ Key derivation:
 
   - **primary** — NFKC + casefold + diacritic strip (the base letters;
     width-folded by NFKC, so fullwidth ＡＢＣ equals ABC);
-  - **secondary** — the sequence of combining-mark codepoints in string
-    order (so ``cote < coté < côte < côté``, the canonical accent
-    example).  ``locale='fr'`` compares accents from the END of the
-    string (traditional French-Canadian backward-secondary:
-    ``cote < coté < côté < côte``);
+  - **secondary** — the sequence of combining marks in string order,
+    each mapped through a VENDORED subset of the DUCET secondary
+    weights (the public Unicode ``allkeys.txt``; see
+    ``_DUCET_SECONDARY_ORDER``) so the accent hierarchy matches the
+    root collation — acute < grave < breve < circumflex < caron <
+    ring < diaeresis < double-acute < tilde < dot-above < macron <
+    hook-above < horn < cedilla < dot-below < macron-below
+    (``cote < coté < côte < côté``, the canonical example, plus the
+    cross-accent orderings the CLDR root charts show: ``é < è < ê <
+    ë``, ``ċ < ç``, ``ḑ < ḍ``).  ``locale='fr'`` compares accents
+    from the END of the string (traditional French-Canadian
+    backward-secondary: ``cote < coté < côté < côte``);
   - **tertiary** — a case byte per character (lowercase sorts before
     uppercase).
 
-  Divergence from real UCA, documented: marks order by CODEPOINT
-  (grave < acute < circumflex) rather than DUCET weight (acute first),
-  and no locale tailorings beyond the French backward-secondary flag.
-  Levels join with ``\\x00`` (never present in UTF-8 of NUL-free text),
-  giving correct level precedence under byte comparison.
+  Residual divergence from real UCA, documented: combining marks
+  OUTSIDE the vendored table order by codepoint after every listed
+  mark, and no locale tailorings exist beyond the French
+  backward-secondary flag.  Levels join with ``\\x00`` (never present
+  in UTF-8 of NUL-free text), giving correct level precedence under
+  byte comparison.
 
 At 100 TB: the key is computed once per row in an Arrow-batched pandas
 UDF (per-string ``unicodedata`` work is the same per-item boundary a
@@ -63,6 +71,43 @@ def icu_available() -> bool:
 #: locales whose traditional collation compares accents backward
 _BACKWARD_SECONDARY = {"fr", "fr_CA", "fr-CA"}
 
+#: DUCET secondary-weight ORDER for common combining marks — a vendored
+#: subset of the public Unicode DUCET (allkeys.txt secondary weights
+#: 0x0024..; the same hierarchy the CLDR root collation charts render
+#: for a/e/o/c/d/n + diacritics).  Index = rank; marks NOT listed rank
+#: after every listed mark, by codepoint (documented residual
+#: divergence).
+_DUCET_SECONDARY_ORDER = (
+    0x0301,  # acute
+    0x0300,  # grave
+    0x0306,  # breve
+    0x0302,  # circumflex
+    0x030C,  # caron
+    0x030A,  # ring above
+    0x0308,  # diaeresis
+    0x030B,  # double acute
+    0x0303,  # tilde
+    0x0307,  # dot above
+    0x0304,  # macron
+    0x0309,  # hook above
+    0x031B,  # horn
+    0x0327,  # cedilla
+    0x0323,  # dot below
+    0x0331,  # macron below
+)
+_DUCET_SECONDARY = {cp: i + 1
+                    for i, cp in enumerate(_DUCET_SECONDARY_ORDER)}
+_DUCET_TAIL = len(_DUCET_SECONDARY_ORDER) + 1
+
+
+def _mark_weight(cp: int) -> int:
+    w = _DUCET_SECONDARY.get(cp)
+    if w is not None:
+        return w
+    # unlisted marks: after every listed one, by codepoint
+    off = cp - 0x300 if cp >= 0x300 else cp
+    return min(_DUCET_TAIL + off, 0xFFFE)
+
 
 def _fallback_key(text: str, locale: str = "") -> bytes:
     d = unicodedata.normalize("NFKD",
@@ -79,8 +124,11 @@ def _fallback_key(text: str, locale: str = "") -> bytes:
         tertiary.append(2 if folded != ch else 1)
     if locale in _BACKWARD_SECONDARY:
         secondary.reverse()
-    sec = b"".join((m - 0x2FF).to_bytes(2, "big") if m >= 0x300 else
-                   (m + 1).to_bytes(2, "big") for m in secondary)
+    # zero-free two-byte weight encoding (base-255 digits + 1): a
+    # weight byte must never be 0x00 or it collides with the level
+    # separator and a SHORTER secondary no longer sorts first
+    sec = b"".join(bytes((1 + _mark_weight(m) // 255,
+                          1 + _mark_weight(m) % 255)) for m in secondary)
     return ("".join(primary).encode("utf-8") + b"\x00" + sec
             + b"\x00" + bytes(tertiary))
 

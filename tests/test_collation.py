@@ -20,8 +20,11 @@ def test_level_precedence_root():
     order = sorted(WORDS, key=lambda w: (collation_key(w), w))
     pos = {w: i for i, w in enumerate(order)}
     assert pos["cote"] < pos["coté"] < pos["côte"] < pos["côté"]
-    # accent difference (secondary) outranks case (tertiary)
-    assert pos["resume"] < pos["résumé"] < pos["Resume"]
+    # UCA compares WHOLE levels: resume/Resume are equal at the accent
+    # level (both unaccented) and split at the case level; résumé's
+    # secondary difference puts it after BOTH — the real ICU root
+    # ordering (not per-character accent-beats-case)
+    assert pos["resume"] < pos["Resume"] < pos["résumé"]
     assert pos["apfel"] < pos["Äpfel"]
     assert pos["zebra"] < pos["Zebra"]
     # primary differences dominate everything
@@ -64,3 +67,50 @@ def test_collation_sort_dataframe(spark):
     n = df.select(collation_key_col("word").alias("k")) \
           .filter(F.length("k") > 0).count()
     assert n == len(WORDS)
+
+
+def test_ducet_secondary_mark_hierarchy():
+    """Vendored DUCET secondary order: the accent hierarchy matches the
+    root collation (CLDR root chart renderings of the DUCET), not
+    codepoint order — é < è (acute before grave, the reverse of the
+    codepoints), and the o-series o < ó < ò < ŏ < ô < ǒ < ö < ő < õ <
+    ȯ < ō < ỏ < ơ < ọ.  A table-pinned stand-in for the PyICU property
+    test (skipped when PyICU is absent from the environment)."""
+    # acute (U+0301) before grave (U+0300): codepoint order would flip
+    assert collation_key("é") < collation_key("è")
+    o_series = ["o", "ó", "ò", "ŏ", "ô", "ǒ", "ö", "ő", "õ", "ȯ", "ō",
+                "ỏ", "ơ", "ọ"]
+    keys = [collation_key(w) for w in o_series]
+    assert keys == sorted(keys), o_series
+    # e-series incl. tilde/dot-above/macron/hook-above
+    e_series = ["e", "é", "è", "ĕ", "ê", "ě", "ë", "ẽ", "ė", "ē", "ẻ",
+                "ẹ"]
+    keys = [collation_key(w) for w in e_series]
+    assert keys == sorted(keys), e_series
+    # cedilla: after dot-above (ċ < ç), before dot-below (ḑ < ḍ)
+    assert collation_key("ċ") < collation_key("ç")
+    assert collation_key("ḑ") < collation_key("ḍ")
+    # dot-below before macron-below (ḍ < ḏ)
+    assert collation_key("ḍ") < collation_key("ḏ")
+    # unlisted marks still produce total, byte-comparable keys
+    weird = ["a͠b", "aͅb", "ab"]
+    ks = [collation_key(w) for w in weird]
+    assert len(set(ks)) == 3 and all(isinstance(k, bytes) for k in ks)
+
+
+def test_ducet_matches_pyicu_when_available():
+    """Property check against the REAL collator — full UCA — on a
+    multilingual sample for 3 locales.  Skips when PyICU is absent
+    (this sandbox); the table-pinned cases above stand in."""
+    icu = pytest.importorskip("icu")
+
+    words = ["cote", "coté", "côte", "côté", "é", "è", "ê", "ë",
+             "resume", "Resume", "résumé", "Äpfel", "apfel", "ö", "ő",
+             "õ", "ȯ", "ō", "ỏ", "ơ", "ọ", "ç", "ċ", "ḑ", "ḍ", "ḏ"]
+    for loc in ("", "de", "en"):
+        coll = icu.Collator.createInstance(icu.Locale(loc or "root"))
+        want = sorted(words, key=lambda w: bytes(coll.getSortKey(w)))
+        from lucene_solr_spark.collation import _fallback_key
+
+        got = sorted(words, key=lambda w: _fallback_key(w, loc))
+        assert got == want, loc
