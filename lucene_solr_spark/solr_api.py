@@ -26,10 +26,12 @@ request params while running Spark plans:
   deep paging rides the searchAfter cursor pushdown (pages stay
   bounded top-k at any depth) and mints ``nextCursorMark``;
 * ``fl`` — stored-field projection joined from a docvalues frame;
-* ``facet.field`` (+ mincount/prefix/contains/missing/sort/limit) /
-  ``facet.query`` / ``facet.range`` (+ start/end/gap, numeric or
-  date-math) — facets computed over the QUERY DOMAIN (the match
-  set), like FacetComponent;
+* ``facet.field`` (+ mincount/prefix/contains/missing/sort/limit;
+  classic multi-select via ``facet.field={!ex=tag key=alias}field``
+  against ``fq={!tag=...}`` tagged filters) / ``facet.query`` /
+  ``facet.range`` (+ start/end/gap, numeric or date-math) — facets
+  computed over the QUERY DOMAIN (the match set), like
+  FacetComponent;
 * component switches: ``hl`` (+``hl.fl``), ``stats`` (+
   ``stats.field``), ``group`` (+``group.field``/``group.limit``),
   ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``), ``mlt``
@@ -749,9 +751,41 @@ def solr_request(
         fsort = params.get("facet.sort", "count")
         if fsort not in ("count", "index"):
             raise ValueError(f"facet.sort must be count or index, got {fsort!r}")
-        for f_ in aslist(params["facet.field"]):
-            dom = docvalues.join(domain, "doc_id", "left_semi")
-            out[f"facet_field:{f_}"] = facet_terms(
+
+        def _facet_local(spec: str):
+            # classic multi-select syntax: facet.field={!ex=tag,..
+            # key=alias}field — ex re-derives the domain WITHOUT the
+            # named tagged fq's, key renames the output entry
+            if not spec.startswith("{!"):
+                return frozenset(), None, spec
+            lp, rest = _local_params(spec)
+            qtype, kv = lp
+            extra = set(kv) - {"ex", "key"}
+            if qtype != "lucene" or extra:
+                raise ValueError(
+                    f"unsupported facet.field local params in {spec!r}")
+            ex = frozenset(t for t in kv.get("ex", "").split(",") if t)
+            return ex, kv.get("key"), rest
+
+        for f_spec in aslist(params["facet.field"]):
+            ex, key, f_ = _facet_local(f_spec)
+            if ex:
+                if collapses:
+                    raise ValueError(
+                        "facet.field {!ex=} is not supported with"
+                        " {!collapse}")
+                dom_ids = _match_set(index, params["q"], df, op,
+                                     docvalues)
+                for tags, qs in tagged_fqs:
+                    if ex & tags:
+                        continue
+                    dom_ids = dom_ids.join(
+                        _match_set(index, qs, df, op, docvalues),
+                        "doc_id", "left_semi")
+            else:
+                dom_ids = domain
+            dom = docvalues.join(dom_ids, "doc_id", "left_semi")
+            out[f"facet_field:{key or f_}"] = facet_terms(
                 dom, f_, limit=limit,
                 min_count=int(params.get("facet.mincount", 1)),
                 sort_by_count=fsort == "count",

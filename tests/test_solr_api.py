@@ -788,3 +788,33 @@ def test_json_facet_nested_and_guards(spark, setup):
         "q": "spark",
         "json.facet": '{"c": "count"}'}, docvalues=dv)
     assert out2["json_facet:c"].collect()[0]["c"] == 3
+
+
+def test_classic_multiselect_ex_tags(spark, setup):
+    """Classic multi-select faceting: facet.field={!ex=tag key=alias}f
+    re-derives the facet domain WITHOUT the tagged fq (the pre-JSON-API
+    Solr idiom), matching the json.facet excludeTags result."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang")
+    out = solr_request(idx, {
+        "q": "spark", "fq": "{!tag=sh}shuffle", "rows": 1,
+        "facet.field": ["{!ex=sh key=lang_all}lang", "lang"],
+    }, docvalues=dv)
+    # excluded: domain = spark = {0,1,2}
+    la = {r["lang"]: r["count"]
+          for r in out["facet_field:lang_all"].collect()}
+    assert la == {"en": 2, "de": 1}
+    # plain facet keeps the fq: domain = {0,2}
+    lf = {r["lang"]: r["count"] for r in out["facet_field:lang"].collect()}
+    assert lf == {"en": 1, "de": 1}
+    # agrees with the json.facet excludeTags path
+    jf = solr_request(idx, {
+        "q": "spark", "fq": "{!tag=sh}shuffle", "rows": 1,
+        "json.facet": {"la": {"type": "terms", "field": "lang",
+                              "domain": {"excludeTags": ["sh"]}}},
+    }, docvalues=dv)
+    jla = {r["lang"]: r["count"] for r in jf["json_facet:la"].collect()}
+    assert jla == la
+    with pytest.raises(ValueError, match="facet.field local"):
+        solr_request(idx, {"q": "spark",
+                           "facet.field": "{!wat=1}lang"}, docvalues=dv)
