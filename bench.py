@@ -141,6 +141,20 @@ def main() -> None:
               k=10).collect(),
           repeat=2)
 
+    # json.facet through the facade (NEW r5 surface): terms facet with
+    # an exact-int stat subfacet over the q-domain — one semi-join +
+    # one partial-agg shuffle
+    from lucene_solr_spark.solr_api import solr_request
+    _dv = docs.select("doc_id", "lang", "n_chars")
+    timed("q_json_facet",
+          lambda: solr_request(index, {
+              "q": "spark", "rows": 10,
+              "json.facet": {"langs": {
+                  "type": "terms", "field": "lang",
+                  "facet": {"chars": "sum(n_chars)"}}}},
+              docvalues=_dv)["json_facet:langs"].collect(),
+          repeat=2)
+
     from lucene_solr_spark.pipeline import (
         cosine_topk,
         exact_dedup,

@@ -17,7 +17,9 @@ request params while running Spark plans:
 * ``fq`` — list of filter queries, each applied as a scoreless
   match-set LEFT SEMI join (LRUQueryCache semantics live in
   ``search.cache`` for callers who want reuse); fq-position local
-  params additionally support ``{!frange}`` (compiled function range
+  params additionally support ``{!parent which=}``/``{!child of=}``
+  (block-join filters through the parent_id relation),
+  ``{!frange}`` (compiled function range
   over docvalues) and ``{!collapse field= min= max= nullPolicy=}``
   (group collapse over the FULL scored stream, before top-k, with
   facets over the collapsed domain and the ``expand`` companion);
@@ -246,6 +248,36 @@ def _match_set(index: IndexView, qs: str, df: str | None = None,
                docvalues: DataFrame | None = None) -> DataFrame:
     if qs.startswith("{!"):
         lp, rest = _local_params(qs)
+        if lp is not None and lp[0] in ("parent", "child"):
+            # block-join FILTER queries (Solr: fq={!parent which=..}q /
+            # fq={!child of=..}q): the match set maps through the
+            # child->parent docvalues relation — scoreless, so no
+            # score-mode plumbing, just the domain algebra
+            kind, kv = lp
+            extra = set(kv) - {"which", "of", "cache", "cost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported {{!{kind}}} fq local params: "
+                    f"{sorted(extra)}")
+            if docvalues is None or "parent_id" not in docvalues.columns:
+                raise ValueError(
+                    f"fq {{!{kind}}} requires a docvalues frame with a"
+                    " parent_id column (child doc -> parent doc)")
+            parent_of = (docvalues.select("doc_id", "parent_id")
+                         .filter(F.col("parent_id").isNotNull()))
+            inner = _match_set(index, rest, df, op, docvalues)
+            if kind == "parent":
+                m = (parent_of.join(inner, "doc_id", "left_semi")
+                     .select(F.col("parent_id").alias("doc_id"))
+                     .distinct())
+            else:
+                m = (parent_of.join(
+                        inner.select(F.col("doc_id").alias("parent_id")),
+                        "parent_id", "left_semi")
+                     .select("doc_id"))
+            if index.tombstones is not None:
+                m = m.join(index.tombstones, "doc_id", "left_anti")
+            return m
         if lp is not None and lp[0] == "frange":
             # FunctionRangeQParserPlugin: keep docs whose compiled
             # function value lies in [l, u] (incl/incu bounds) — a pure

@@ -818,3 +818,34 @@ def test_classic_multiselect_ex_tags(spark, setup):
     with pytest.raises(ValueError, match="facet.field local"):
         solr_request(idx, {"q": "spark",
                            "facet.field": "{!wat=1}lang"}, docvalues=dv)
+
+
+def test_block_join_filter_queries(spark):
+    """fq={!parent which=..}q / fq={!child of=..}q: block-join FILTER
+    queries (scoreless domain mapping through parent_id), composing
+    with a scored main q."""
+    docs = spark.createDataFrame(
+        [(0, "parent alpha topic", None), (1, "spark shuffle", 0),
+         (2, "spark window", 0), (3, "parent beta topic", None),
+         (4, "table scan", 3), (5, "spark merge", 3)],
+        "doc_id long, content string, parent_id long")
+    idx = build_index_view(docs.select("doc_id", "content"),
+                           id_col="doc_id", text_col="content")
+    dv = docs.select("doc_id", "parent_id")
+    # parents (topic docs) restricted to those with a 'window' child
+    out = solr_request(idx, {"q": "topic",
+                             "fq": "{!parent which=topic}window",
+                             "rows": 10}, docvalues=dv)
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [0]
+    # children restricted to those whose parent matches 'beta'
+    out = solr_request(idx, {"q": "spark",
+                             "fq": "{!child of=topic}beta",
+                             "rows": 10}, docvalues=dv)
+    assert [int(r["doc_id"]) for r in out["response"].collect()] == [5]
+    with pytest.raises(ValueError, match="parent_id"):
+        solr_request(idx, {"q": "topic",
+                           "fq": "{!parent which=t}window", "rows": 5})
+    with pytest.raises(ValueError, match="fq local params"):
+        solr_request(idx, {"q": "topic",
+                           "fq": "{!parent nested=1}window", "rows": 5},
+                     docvalues=dv)
