@@ -222,9 +222,9 @@ def _terms_facet(name, spec, dom, docvalues) -> DataFrame:
         F.sum("sub_count").cast("long").alias("count"))
     if mincount > 1:
         totals = totals.filter(F.col("count") >= mincount)
-    w_out = Window.orderBy(*order)
-    top_out = (totals.withColumn("_r", F.row_number().over(w_out))
-               .filter(F.col("_r") <= limit).drop("_r"))
+    # bounded TakeOrdered over the tiny totals frame — no unpartitioned
+    # window anywhere in the plan
+    top_out = totals.orderBy(*order).limit(limit)
     w_in = Window.partitionBy(field).orderBy(*sub_order)
     top_in = (g.filter(F.col(inner).isNotNull())
               .withColumn("_r", F.row_number().over(w_in))

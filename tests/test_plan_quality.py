@@ -689,3 +689,42 @@ def test_cursor_page_stays_bounded_topk(spark):
     plan = _plan(page2)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_json_facet_plan_shapes(spark):
+    """json.facet terms facet: bounded TakeOrdered page, ONE partial-agg
+    shuffle after the domain semi-join; the nested variant has no
+    unpartitioned window (outer buckets via TakeOrdered over the tiny
+    totals aggregate, inner ranks via a PARTITIONED window only)."""
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.solr_api import solr_request
+
+    docs = spark.createDataFrame(
+        [(i, "spark shuffle" if i % 2 else "table scan",
+          "en" if i % 3 else "de", i) for i in range(64)],
+        "doc_id long, content string, lang string, n long")
+    idx = build_index_view(docs, id_col="doc_id", text_col="content",
+                           cache=False)
+    dv = docs.select("doc_id", "lang", "n")
+    out = solr_request(idx, {"q": "spark", "rows": 1, "json.facet": {
+        "l": {"type": "terms", "field": "lang",
+              "facet": {"s": "sum(n)", "a": "avg(n)"}}}}, docvalues=dv)
+    p = _plan(out["json_facet:l"])
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+    out2 = solr_request(idx, {"q": "spark", "rows": 1, "json.facet": {
+        "ln": {"type": "terms", "field": "lang", "limit": 2,
+               "facet": {"by": {"type": "terms", "field": "n",
+                                "limit": 2}}}}}, docvalues=dv)
+    p2 = _plan(out2["json_facet:ln"])
+    # the only windows are PARTITIONED (per-outer-bucket inner ranks)
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", p2):
+        assert "ASC" in m.group(1) or "DESC" in m.group(1)
+    assert "No Partition Defined" not in p2
+    # every window partitions by the outer bucket column
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p2):
+        pass
+    assert p2.count("windowspecdefinition(lang") \
+        == p2.count("windowspecdefinition("), p2
