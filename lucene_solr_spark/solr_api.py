@@ -333,7 +333,11 @@ def solr_request_sharded(
     cursorMark``.  Component params (facets, hl, stats, group, …)
     raise — the distributed component kernels
     (``search.distributed.distributed_facet_terms`` et al.) are the
-    explicit path for those."""
+    explicit path for those.  Multi-term rewrites (fuzzy/prefix in
+    scoring position) expand against each shard's local dictionary —
+    the same stats-cache caveat Solr documents; term/boolean/phrase
+    queries are rank- and score-identical to the unsharded index
+    (tested)."""
     from dataclasses import replace
 
     from .search.distributed import exact_global_stats
