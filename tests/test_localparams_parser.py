@@ -80,3 +80,28 @@ def test_default_op_structures():
     assert set(q3.should) == {Term("a")}, q3
     with pytest.raises(ValueError, match="default_op"):
         parse_query("a", "NOR")
+
+
+def test_qop_and_mixed_rank_identity(spark):
+    """The classic-parser flat queries q.op=AND now produces
+    (must+should Bool) must be rank/score identical to MiniLucene's
+    ReqOptSumScorer path — engine f32 == oracle f32."""
+    import numpy as np
+
+    from lucene_solr_spark.index import build_index_view
+    from lucene_solr_spark.oracle import MiniLucene
+    from lucene_solr_spark.search import search
+
+    texts = ["alpha beta gamma", "alpha beta", "beta gamma", "alpha",
+             "gamma delta", "alpha gamma delta", "beta", "delta"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, content string")
+    idx = build_index_view(docs, id_col="doc_id", text_col="content",
+                           cache=False)
+    oracle = MiniLucene(list(enumerate(texts)))
+    for qs in ["alpha beta OR gamma", "alpha OR beta AND gamma",
+               "alpha b* OR gamma", "NOT alpha beta", "alpha OR NOT beta"]:
+        q = parse_query(qs, "AND")
+        got = [(int(r["doc_id"]), np.float32(r["score"]))
+               for r in search(idx, q, k=8).collect()]
+        assert got == oracle.search(q, k=8), qs

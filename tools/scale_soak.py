@@ -98,9 +98,19 @@ def main() -> None:
     n_dead = delete_docs(spark, idx_path, dead)
     out["delete_sec"] = round(time.time() - t0, 1)
     out["n_dead"] = int(n_dead)
-    if full_scale:
-        # > the 2M broadcast cap: merge takes the DISTRIBUTED purge path
-        assert n_dead > 2_000_000, "delete set must exceed the broadcast cap"
+    from lucene_solr_spark.index import merge as _merge_mod
+
+    if n_dead > _merge_mod._TOMBSTONE_BROADCAST_MAX:
+        # > the 2M broadcast cap: the distributed purge path engages
+        # UNFORCED (the 5M run's configuration)
+        out["purge_path"] = "distributed (unforced)"
+    else:
+        # below the cap the broadcast mask is the CORRECT choice; for
+        # soak coverage at 1M we still exercise the distributed
+        # decode→anti-join→re-encode path by lowering the cap for this
+        # run — recorded as forced so the trend table stays honest
+        _merge_mod._TOMBSTONE_BROADCAST_MAX = max(1, n_dead - 1)
+        out["purge_path"] = "distributed (forced: cap lowered for soak)"
     t0 = time.time()
     merge_segments(spark, idx_path, num_partitions=64)
     out["purge_merge_sec"] = round(time.time() - t0, 1)
