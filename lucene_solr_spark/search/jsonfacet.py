@@ -157,7 +157,7 @@ def compile_json_facet(
 
 
 _TERMS_KEYS = {"type", "field", "limit", "mincount", "sort", "prefix",
-               "missing", "domain", "facet"}
+               "missing", "domain", "facet", "numBuckets", "allBuckets"}
 
 
 def _bucket_order(field: str, sort: str, count_col: str = "count"):
@@ -182,6 +182,26 @@ def _terms_facet(name, spec, dom, docvalues) -> DataFrame:
     mincount = int(spec.get("mincount", 1))
     order = _bucket_order(field, spec.get("sort", "count"))
     stats, nested = _split_subfacets(spec)
+    if bool(spec.get("numBuckets")) or bool(spec.get("allBuckets")):
+        # FacetField numBuckets/allBuckets metadata: (kind, bucket,
+        # count) rows — one extra partial agg over the same filtered
+        # scan, no extra shuffle of the bucket rows
+        if stats or nested or spec.get("prefix") is not None \
+                or spec.get("missing"):
+            raise ValueError(
+                f"json.facet {name!r}: numBuckets/allBuckets take no "
+                "subfacets/prefix/missing here — raise, never silently "
+                "drop")
+        from ..relational import facet_terms_meta
+
+        base = docvalues.join(dom, "doc_id", "left_semi")
+        meta = facet_terms_meta(base, field, limit=limit)
+        keep = ["bucket"]
+        if spec.get("numBuckets"):
+            keep.append("numBuckets")
+        if spec.get("allBuckets"):
+            keep.append("allBuckets")
+        return meta.filter(F.col("kind").isin(keep))
     base = docvalues.join(dom, "doc_id", "left_semi")
     if not bool(spec.get("missing", False)):
         base = base.filter(F.col(field).isNotNull())

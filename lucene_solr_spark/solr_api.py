@@ -31,11 +31,13 @@ request params while running Spark plans:
 * ``facet.field`` (+ mincount/prefix/contains/missing/sort/limit;
   classic multi-select via ``facet.field={!ex=tag key=alias}field``
   against ``fq={!tag=...}`` tagged filters) / ``facet.query`` /
-  ``facet.range`` (+ start/end/gap, numeric or date-math) — facets
+  ``facet.range`` (+ start/end/gap, numeric or date-math) /
+  ``facet.pivot`` (hierarchical ``f1,f2,...`` counts) — facets
   computed over the QUERY DOMAIN (the match set), like
   FacetComponent;
 * component switches: ``hl`` (+``hl.fl``), ``stats`` (+
-  ``stats.field``), ``group`` (+``group.field``/``group.limit``),
+  ``stats.field``), ``group`` (+``group.field``/``group.limit``/
+  ``group.main``/``group.format=simple`` flat list),
   ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``), ``mlt``
   (+``mlt.doc_id``/``mlt.count``/``mlt.maxqt``), ``debug``
   (Explanation components), ``expand`` (+``expand.rows``);
@@ -452,10 +454,11 @@ def solr_request(
              "facet.range", "facet.range.start", "facet.range.end",
              "facet.range.gap", "facet.mincount", "facet.prefix",
              "facet.contains", "facet.contains.ignoreCase",
-             "facet.missing", "facet.sort", "hl", "hl.fl",
-             "expand", "expand.rows",
+             "facet.missing", "facet.sort", "facet.pivot",
+             "hl", "hl.fl", "expand", "expand.rows",
              "stats", "stats.field", "group", "group.field",
-             "group.limit", "spellcheck", "spellcheck.q",
+             "group.limit", "group.main", "group.format",
+             "spellcheck", "spellcheck.q",
              "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
              "mlt.maxqt", "debug", "cursorMark", "json.facet"}
     unknown = set(params) - known
@@ -486,6 +489,7 @@ def solr_request(
     # drop this guard exists to prevent.  facet.range's master is a
     # field name, not a boolean — presence is the switch.
     _deps = {"group.field": "group", "group.limit": "group",
+             "group.main": "group", "group.format": "group",
              "stats.field": "stats", "spellcheck.q": "spellcheck",
              "spellcheck.count": "spellcheck", "expand.rows": "expand",
              "facet.range.start": "facet.range",
@@ -766,6 +770,7 @@ def solr_request(
     # ---- facets over the query domain (match set, fq-filtered) ----------
     needs_domain = (params.get("facet.field") or params.get("facet.query")
                     or params.get("facet.range")
+                    or params.get("facet.pivot")
                     or asbool(params.get("stats", False)))
     if needs_domain:
         if collapses:
@@ -830,6 +835,20 @@ def solr_request(
                 contains=params.get("facet.contains"),
                 contains_ignore_case=asbool(
                     params.get("facet.contains.ignoreCase", False)))
+    if params.get("facet.pivot"):
+        # PivotFacetProcessor: hierarchical field1,field2,... counts
+        # over the query domain (one groupBy on all levels)
+        if docvalues is None:
+            raise ValueError("facet.pivot requires a docvalues frame")
+        from .relational import facet_pivot
+
+        for spec in aslist(params["facet.pivot"]):
+            pfields = [f.strip() for f in str(spec).split(",") if f.strip()]
+            if not pfields:
+                raise ValueError(f"bad facet.pivot spec {spec!r}")
+            dom = docvalues.join(domain, "doc_id", "left_semi")
+            out[f"facet_pivot:{','.join(pfields)}"] = facet_pivot(
+                dom, *pfields)
     if params.get("facet.range"):
         # RangeFacetProcessor: fixed-gap histogram over the query domain;
         # a date-math gap string routes to the calendar-aware variant
@@ -896,9 +915,25 @@ def solr_request(
         gf = params["group.field"]
         joined = scored.join(docvalues.select("doc_id", gf),
                              "doc_id", "left")
-        out["grouped"] = group_top_k(
-            joined, gf, [F.desc("score"), F.asc("doc_id")],
-            k=int(params.get("group.limit", 1)))
+        fmt = params.get("group.format", "grouped")
+        if fmt not in ("grouped", "simple"):
+            raise ValueError(
+                f"group.format must be grouped or simple, got {fmt!r}")
+        if asbool(params.get("group.main", False)) or fmt == "simple":
+            # group.main=true / group.format=simple (Grouping.java):
+            # the grouped result flattened into ONE main doc list —
+            # groups ordered by their head doc, each contributing its
+            # top group.limit docs, truncated to rows total
+            from .relational import group_main
+
+            out["grouped"] = group_main(
+                joined, gf, [F.desc("score"), F.asc("doc_id")],
+                group_limit=int(params.get("group.limit", 1)),
+                limit=rows)
+        else:
+            out["grouped"] = group_top_k(
+                joined, gf, [F.desc("score"), F.asc("doc_id")],
+                k=int(params.get("group.limit", 1)))
     if asbool(params.get("spellcheck", False)):
         # SpellCheckComponent: DirectSpellChecker suggestions for the
         # given (or q's first) term

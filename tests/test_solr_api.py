@@ -849,3 +849,50 @@ def test_block_join_filter_queries(spark):
         solr_request(idx, {"q": "topic",
                            "fq": "{!parent nested=1}window", "rows": 5},
                      docvalues=dv)
+
+
+def test_facet_pivot_group_main_terms_meta(spark, setup):
+    """facet.pivot hierarchical counts, group.main/group.format=simple
+    flat doc list, and json.facet numBuckets/allBuckets metadata."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    out = solr_request(idx, {"q": "spark", "rows": 10,
+                             "facet.pivot": "lang,n"}, docvalues=dv)
+    piv = {(r["lang"], r["n"]): r["count"]
+           for r in out["facet_pivot:lang,n"].collect()}
+    assert piv == {("en", 10): 1, ("en", 20): 1, ("de", 30): 1}
+
+    # group.main: flat list, groups ordered by head doc, top-1 per group
+    out = solr_request(idx, {"q": "spark", "rows": 10, "group": "true",
+                             "group.field": "lang",
+                             "group.main": "true"}, docvalues=dv)
+    flat = [(int(r["doc_id"]), r["lang"]) for r in out["grouped"].collect()]
+    assert flat == [(0, "en"), (2, "de")]
+    g2 = solr_request(idx, {"q": "spark", "rows": 10, "group": "true",
+                            "group.field": "lang",
+                            "group.format": "simple",
+                            "group.limit": 2}, docvalues=dv)
+    flat2 = [int(r["doc_id"]) for r in g2["grouped"].collect()]
+    assert flat2 == [0, 1, 2]
+    with pytest.raises(ValueError, match="group.format"):
+        solr_request(idx, {"q": "spark", "group": "true",
+                           "group.field": "lang",
+                           "group.format": "weird"}, docvalues=dv)
+    with pytest.raises(ValueError, match="requires group"):
+        solr_request(idx, {"q": "spark", "group.main": "true"},
+                     docvalues=dv)
+
+    # json.facet numBuckets/allBuckets metadata rows
+    out = solr_request(idx, {"q": "spark", "rows": 1, "json.facet": {
+        "l": {"type": "terms", "field": "lang", "limit": 1,
+              "numBuckets": True, "allBuckets": True}}}, docvalues=dv)
+    rows = {(r["kind"], r["bucket"]): r["count"]
+            for r in out["json_facet:l"].collect()}
+    assert rows[("bucket", "en")] == 2       # top-1 bucket only
+    assert rows[("numBuckets", None)] == 2   # en + de exist
+    assert rows[("allBuckets", None)] == 3   # every doc with a value
+    assert len(rows) == 3
+    with pytest.raises(ValueError, match="numBuckets"):
+        solr_request(idx, {"q": "spark", "json.facet": {
+            "l": {"type": "terms", "field": "lang", "numBuckets": True,
+                  "facet": {"s": "sum(n)"}}}}, docvalues=dv)
