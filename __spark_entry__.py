@@ -4028,6 +4028,22 @@ def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ac").cast("double").alias("ac"))
 
 
+def q_json_facet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet terms facet with numBuckets+allBuckets metadata
+    through the facade (FacetField.java's bucket-count / all-docs
+    aggregates): top-3 lang buckets PLUS the two meta rows, one extra
+    partial agg over the same filtered scan."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    idx = _index_for(spark, sf_dir)
+    dv = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = solr_request(idx, {"q": "spark", "rows": 1, "json.facet": {
+        "l": {"type": "terms", "field": "lang", "limit": 3,
+              "numBuckets": True, "allBuckets": True}}}, docvalues=dv)
+    return out["json_facet:l"].select(
+        "kind", "bucket", F.col("count").cast("long").alias("cnt"))
+
+
 def q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DrillSideways over orders: drill-down on (o_orderstatus='F',
     o_orderpriority='1-URGENT'); each dimension's facet counts exclude
@@ -7714,6 +7730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_multiselect": q_facet_multiselect,
         "json_facet_select": q_json_facet_select,
         "json_facet_nested": q_json_facet_nested,
+        "json_facet_meta": q_json_facet_meta,
         "spell_jaro": q_spell_jaro,
         "drill_sideways": q_drill_sideways,
         "facet_relatedness": q_facet_relatedness,
@@ -11461,6 +11478,20 @@ SELECT i.lang, o.cnt, i.source, i.sub_cnt,
 FROM topi i JOIN topo o USING (lang)
 WHERE o.r <= 5 AND i.r2 <= 3
 ORDER BY o.cnt DESC, i.lang ASC, i.sub_cnt DESC, i.source ASC""",
+        "json_facet_meta": f"""
+WITH {_TOK_CTE},
+dom AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+base AS (SELECT d.lang FROM documents d JOIN dom USING (doc_id)
+         WHERE d.lang IS NOT NULL),
+b AS (SELECT 'bucket' AS kind, lang AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 3),
+m AS (SELECT 'numBuckets' AS kind, CAST(NULL AS VARCHAR) AS bucket,
+             CAST(count(DISTINCT lang) AS BIGINT) AS cnt FROM base
+      UNION ALL
+      SELECT 'allBuckets', CAST(NULL AS VARCHAR),
+             CAST(count(*) AS BIGINT) FROM base)
+SELECT * FROM b UNION ALL SELECT * FROM m""",
         "random_sort": f"""
 SELECT doc_id, md5('{RANDOM_SORT_SEED}' || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
 FROM documents
