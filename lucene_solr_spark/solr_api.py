@@ -200,7 +200,8 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
         if qtype == "edismax":
             from .search import edismax_query
 
-            check_keys("qf", "tie", "mm", "pf", "ps")
+            check_keys("qf", "tie", "mm", "pf", "ps", "pf2", "ps2",
+                       "pf3", "ps3")
             if "qf" not in kv:
                 raise ValueError("{!edismax} requires qf=")
 
@@ -216,7 +217,11 @@ def _parse(index: IndexView, qs: str, df: str | None = None,
                 tie_breaker=float(kv.get("tie", 0.0)),
                 mm=int(kv.get("mm", 0)),
                 pf=boost_map(kv["pf"]) if "pf" in kv else None,
-                ps=int(kv.get("ps", 0)))
+                ps=int(kv.get("ps", 0)),
+                pf2=boost_map(kv["pf2"]) if "pf2" in kv else None,
+                pf3=boost_map(kv["pf3"]) if "pf3" in kv else None,
+                ps2=int(kv["ps2"]) if "ps2" in kv else None,
+                ps3=int(kv["ps3"]) if "ps3" in kv else None)
             chain = index.query_chain
             if chain is not None:
                 q = analyze_query(q, chain, index.default_field)

@@ -105,3 +105,22 @@ def test_qop_and_mixed_rank_identity(spark):
         got = [(int(r["doc_id"]), np.float32(r["score"]))
                for r in search(idx, q, k=8).collect()]
         assert got == oracle.search(q, k=8), qs
+
+
+@given(st.lists(st.sampled_from(["aa", "bb", "cc", "AND", "OR", "NOT",
+                                 "(", ")"]),
+                min_size=1, max_size=8))
+def test_qop_and_parser_totality(toks):
+    """The classic-AND grammar is TOTAL: any operator/paren sequence
+    either parses to a query whose term set is exactly the non-operator
+    tokens, or raises a clean ValueError — never crashes, never drops a
+    term silently."""
+    from lucene_solr_spark.search.query import query_terms
+
+    qs = " ".join(toks)
+    try:
+        q = parse_query(qs, "AND")
+    except ValueError:
+        return
+    words = {t for t in toks if t not in ("AND", "OR", "NOT", "(", ")")}
+    assert set(query_terms(q)) == words, qs

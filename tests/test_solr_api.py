@@ -896,3 +896,25 @@ def test_facet_pivot_group_main_terms_meta(spark, setup):
         solr_request(idx, {"q": "spark", "json.facet": {
             "l": {"type": "terms", "field": "lang", "numBuckets": True,
                   "facet": {"s": "sum(n)"}}}}, docvalues=dv)
+
+
+def test_edismax_local_params_pf23(spark):
+    """{!edismax pf2= ps2= pf3= ps3=}: the bigram/trigram phrase-boost
+    params route through to edismax_query (previously only qf/tie/mm/
+    pf/ps were accepted)."""
+    docs = spark.createDataFrame(
+        [(0, "big data table scan"), (1, "data big scan table"),
+         (2, "big other data")],
+        "doc_id long, body string")
+    from lucene_solr_spark.index import build_multifield_index_view
+
+    idx = build_multifield_index_view(docs, id_col="doc_id",
+                                      fields={"body": "body"})
+    out = solr_request(
+        idx, {"q": '{!edismax qf=body pf2="body^2" ps2=0}big data table',
+              "rows": 5})
+    got = [int(r["doc_id"]) for r in out["response"].collect()]
+    # doc 0 has the exact bigrams "big data" and "data table" -> boosted
+    assert got[0] == 0
+    with pytest.raises(ValueError, match="local params"):
+        solr_request(idx, {"q": "{!edismax qf=body pf9=x}big", "rows": 2})
