@@ -1009,9 +1009,32 @@ def solr_request(
                                "doc_id", "left_semi")
             return dmn
 
+        _resolver = lambda qs: _match_set(index, qs, df, op,  # noqa: E731
+                                          docvalues)
         for fname, spec in body.items():
+            # nested facets under a QUERY facet flatten to their own
+            # entries keyed json_facet:<name>.<sub>, computed over the
+            # query facet's domain (domain ∩ its q) — the JSON Facet
+            # API's recursion, one level, DataFrame-flattened
+            nested_q = {}
+            if isinstance(spec, dict) and spec.get("type") == "query":
+                sub = spec.get("facet") or {}
+                nested_q = {k: v for k, v in sub.items()
+                            if isinstance(v, dict)}
+                if nested_q:
+                    spec = {**spec, "facet": {
+                        k: v for k, v in sub.items()
+                        if not isinstance(v, dict)}}
             out[f"json_facet:{fname}"] = compile_json_facet(
-                fname, spec, _jf_domain, docvalues,
-                match_set=lambda qs: _match_set(index, qs, df, op,
-                                                docvalues))
+                fname, spec, _jf_domain, docvalues, match_set=_resolver)
+            for sname, sspec in nested_q.items():
+                qv = spec.get("q", spec.get("query"))
+
+                def _sub_domain(exclude, _qv=qv):
+                    return _jf_domain(exclude).join(
+                        _resolver(_qv), "doc_id", "left_semi")
+
+                out[f"json_facet:{fname}.{sname}"] = compile_json_facet(
+                    sname, sspec, _sub_domain, docvalues,
+                    match_set=_resolver)
     return out

@@ -918,3 +918,21 @@ def test_edismax_local_params_pf23(spark):
     assert got[0] == 0
     with pytest.raises(ValueError, match="local params"):
         solr_request(idx, {"q": "{!edismax qf=body pf9=x}big", "rows": 2})
+
+
+def test_json_facet_nested_under_query(spark, setup):
+    """A terms facet nested under a QUERY facet flattens to its own
+    json_facet:<name>.<sub> entry, computed over domain ∩ the query
+    facet's q."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n")
+    out = solr_request(idx, {"q": "spark", "rows": 1, "json.facet": {
+        "sh": {"type": "query", "q": "shuffle",
+               "facet": {"nsum": "sum(n)",
+                         "langs": {"type": "terms", "field": "lang"}}},
+    }}, docvalues=dv)
+    row = out["json_facet:sh"].collect()[0]
+    assert (row["count"], row["nsum"]) == (2, 40)    # docs 0, 2
+    langs = {r["lang"]: r["count"]
+             for r in out["json_facet:sh.langs"].collect()}
+    assert langs == {"en": 1, "de": 1}
