@@ -258,7 +258,8 @@ def _terms_facet(name, spec, dom, docvalues) -> DataFrame:
         F.desc("sub_count"), F.asc_nulls_last(inner))
 
 
-_RANGE_KEYS = {"type", "field", "start", "end", "gap", "domain", "facet"}
+_RANGE_KEYS = {"type", "field", "start", "end", "gap", "domain", "facet",
+               "other"}
 
 
 def _range_facet(name, spec, dom, docvalues) -> DataFrame:
@@ -288,6 +289,18 @@ def _range_facet(name, spec, dom, docvalues) -> DataFrame:
     if nested:
         raise ValueError(f"json.facet {name!r}: range facets take stat "
                          "subfacets only")
+    if spec.get("other") is not None:
+        # RangeFacetProcessor other=all: histogram plus the
+        # before/after/between buckets, one aggregation pass
+        if str(spec["other"]) != "all":
+            raise ValueError(
+                f"json.facet {name!r}: other supports 'all' only")
+        if stats:
+            raise ValueError(
+                f"json.facet {name!r}: other=all takes no subfacets")
+        from ..relational import facet_range_other
+
+        return facet_range_other(base, field, start, end, gapf)
     aggs, finals = _stat_aggs(base, stats)
     c = F.col(field)
     bucket = F.floor((c - F.lit(start)) / F.lit(gapf)).cast("long")

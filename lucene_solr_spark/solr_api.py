@@ -463,6 +463,8 @@ def solr_request(
              "hl", "hl.fl", "expand", "expand.rows",
              "stats", "stats.field", "group", "group.field",
              "group.limit", "group.main", "group.format",
+             "suggest", "suggest.q", "suggest.count",
+             "suggest.dictionary",
              "spellcheck", "spellcheck.q",
              "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
              "mlt.maxqt", "debug", "cursorMark", "json.facet"}
@@ -495,6 +497,8 @@ def solr_request(
     # field name, not a boolean — presence is the switch.
     _deps = {"group.field": "group", "group.limit": "group",
              "group.main": "group", "group.format": "group",
+             "suggest.q": "suggest", "suggest.count": "suggest",
+             "suggest.dictionary": "suggest",
              "stats.field": "stats", "spellcheck.q": "spellcheck",
              "spellcheck.count": "spellcheck", "expand.rows": "expand",
              "facet.range.start": "facet.range",
@@ -503,7 +507,7 @@ def solr_request(
              "mlt.doc_id": "mlt", "mlt.count": "mlt",
              "mlt.maxqt": "mlt"}
     _bool_masters = {"group", "stats", "spellcheck", "expand", "hl",
-                     "mlt"}
+                     "mlt", "suggest"}
     for k, master in _deps.items():
         on = params.get(master)
         if master in _bool_masters:
@@ -939,6 +943,28 @@ def solr_request(
             out["grouped"] = group_top_k(
                 joined, gf, [F.desc("score"), F.asc("doc_id")],
                 k=int(params.get("group.limit", 1)))
+    if asbool(params.get("suggest", False)):
+        # SuggestComponent: term suggestions from the index dictionary —
+        # dictionary picks the lookup family (AnalyzingSuggester prefix,
+        # FuzzySuggester, AnalyzingInfixSuggester)
+        from .search.extras import suggest as _suggest
+        from .search.extras import suggest_fuzzy, suggest_infix
+
+        term = params.get("suggest.q")
+        if term is None:
+            raise ValueError("suggest=true requires suggest.q")
+        k = int(params.get("suggest.count", 10))
+        dic = params.get("suggest.dictionary", "prefix")
+        if dic == "prefix":
+            out["suggest"] = _suggest(index, str(term), k=k)
+        elif dic == "fuzzy":
+            out["suggest"] = suggest_fuzzy(index, str(term), k=k)
+        elif dic == "infix":
+            out["suggest"] = suggest_infix(index, str(term), k=k)
+        else:
+            raise ValueError(
+                "suggest.dictionary must be prefix, fuzzy, or infix,"
+                f" got {dic!r}")
     if asbool(params.get("spellcheck", False)):
         # SpellCheckComponent: DirectSpellChecker suggestions for the
         # given (or q's first) term

@@ -936,3 +936,48 @@ def test_json_facet_nested_under_query(spark, setup):
     langs = {r["lang"]: r["count"]
              for r in out["json_facet:sh.langs"].collect()}
     assert langs == {"en": 1, "de": 1}
+
+
+def test_suggest_component(spark, setup):
+    """suggest=true routes to the index-dictionary suggesters:
+    prefix (default), fuzzy, infix; dependent params guard applies."""
+    idx, docs = setup
+    out = solr_request(idx, {"q": "spark", "suggest": "true",
+                             "suggest.q": "s"})
+    terms = [r["term"] for r in out["suggest"].collect()]
+    assert terms and all(t.startswith("s") for t in terms)
+    assert "spark" in terms
+    out = solr_request(idx, {"q": "spark", "suggest": "true",
+                             "suggest.q": "shufle",
+                             "suggest.dictionary": "fuzzy"})
+    assert "shuffle" in [r["term"] for r in out["suggest"].collect()]
+    out = solr_request(idx, {"q": "spark", "suggest": "true",
+                             "suggest.q": "huff",
+                             "suggest.dictionary": "infix"})
+    assert "shuffle" in [r["term"] for r in out["suggest"].collect()]
+    with pytest.raises(ValueError, match="suggest.q"):
+        solr_request(idx, {"q": "spark", "suggest": "true"})
+    with pytest.raises(ValueError, match="requires suggest"):
+        solr_request(idx, {"q": "spark", "suggest.q": "s"})
+    with pytest.raises(ValueError, match="dictionary"):
+        solr_request(idx, {"q": "spark", "suggest": "true",
+                           "suggest.q": "s",
+                           "suggest.dictionary": "wat"})
+
+
+def test_json_facet_range_other_all(spark, setup):
+    """json.facet range facet with other:all — the histogram plus the
+    before/after/between buckets (RangeFacetProcessor)."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "n")
+    out = solr_request(idx, {"q": "spark", "rows": 1, "json.facet": {
+        "nr": {"type": "range", "field": "n", "start": 15, "end": 25,
+               "gap": 5, "other": "all"}}}, docvalues=dv)
+    rows = {r["bucket"]: r["count"]
+            for r in out["json_facet:nr"].collect()}
+    # domain {0,1,2}: n = 10 (before), 20 (range_1), 30 (after)
+    assert rows == {"before": 1, "after": 1, "range_1": 1, "between": 1}
+    with pytest.raises(ValueError, match="other"):
+        solr_request(idx, {"q": "spark", "json.facet": {
+            "nr": {"type": "range", "field": "n", "start": 0, "end": 9,
+                   "gap": 3, "other": "before"}}}, docvalues=dv)
