@@ -38,14 +38,18 @@ request params while running Spark plans:
 * component switches: ``hl`` (+``hl.fl``), ``stats`` (+
   ``stats.field``), ``group`` (+``group.field``/``group.limit``/
   ``group.main``/``group.format=simple`` flat list),
+  ``suggest`` (+``suggest.q``/``suggest.count``/
+  ``suggest.dictionary=prefix|fuzzy|infix``),
   ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``), ``mlt``
   (+``mlt.doc_id``/``mlt.count``/``mlt.maxqt``), ``debug``
   (Explanation components), ``expand`` (+``expand.rows``);
 * ``json.facet`` — the JSON Facet API body (dict or JSON string):
   stat facets (``"sum(f)"``/``avg``/``min``/``max``/``unique``/
   ``sumsq``/``count``), ``terms`` facets (limit/mincount/sort/prefix/
-  missing) with stat subfacets or ONE nested terms subfacet, numeric
-  and date-math ``range`` facets, ``query`` facets, and
+  missing/``numBuckets``/``allBuckets``) with stat subfacets or ONE
+  nested terms subfacet, numeric and date-math ``range`` facets (+
+  ``other:all``), ``query`` facets (stat subfacets inline; nested
+  facets flatten to ``json_facet:<name>.<sub>`` entries), and
   ``domain:{excludeTags:[...]}`` multi-select domains fed by
   ``fq={!tag=...}...`` tagged filters (``search.jsonfacet``);
 * sharded collections — pass a LIST of shard IndexViews (or call
