@@ -55,8 +55,10 @@ request params while running Spark plans:
 * sharded collections — pass a LIST of shard IndexViews (or call
   ``solr_request_sharded``): SolrCloud-style scatter-gather with
   exact global stats, per-shard bounded pages, distributed
-  cursorMark (supported params ``q fq rows start fl sort df q.op
-  cursorMark``; component params raise).
+  cursorMark, two-phase-refined ``facet.field`` and exact-moment
+  ``stats`` (supported params ``q fq rows start fl sort df q.op
+  cursorMark facet.field facet.limit stats stats.field``; other
+  component params raise).
 
 Returns a dict of DataFrames: ``response`` plus one entry per
 requested component (``facet_field:<f>``, ``facet_query``,
@@ -357,7 +359,8 @@ def solr_request_sharded(
     if not shards:
         raise ValueError("sharded request needs at least one shard")
     known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
-             "cursorMark"}
+             "cursorMark", "facet.field", "facet.limit",
+             "stats", "stats.field"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(
@@ -396,16 +399,18 @@ def solr_request_sharded(
 
     q_ast = _parse(shards[0], params["q"], df, op)
     terms = sorted(set(query_terms(q_ast)))
-    n_docs, sum_ttf, stats = exact_global_stats(shards, terms)
+    n_docs, sum_ttf, gstats = exact_global_stats(shards, terms)
     k = start + rows
     parts = []
+    shard_domains = []  # per-shard q∩fq match sets (component domains)
     for s in shards:
         gview = replace(
-            s, doc_count=n_docs, sum_ttf=sum_ttf, stats_memo=dict(stats))
+            s, doc_count=n_docs, sum_ttf=sum_ttf, stats_memo=dict(gstats))
         dom = None
         for qs in fqs:
             m = _match_set(s, qs, df, op, docvalues)
             dom = m if dom is None else dom.join(m, "doc_id", "left_semi")
+        shard_domains.append((s, dom))
         parts.append(search(gview, q_ast, k=k, domain=dom, cursor=cursor))
     merged = parts[0]
     for p in parts[1:]:
@@ -439,6 +444,46 @@ def solr_request_sharded(
             ).encode()).decode()
         else:
             out["nextCursorMark"] = cursor_mark
+
+    def asbool(v):
+        if isinstance(v, str):
+            s_ = v.strip().lower()
+            if s_ in ("true", "on", "yes", "1"):
+                return True
+            if s_ in ("false", "off", "no", "0", ""):
+                return False
+            raise ValueError(f"bad boolean param value {v!r}")
+        return bool(v)
+
+    want_stats = asbool(params.get("stats", False))
+    if "stats.field" in params and not want_stats:
+        raise ValueError("stats.field requires stats")
+    if params.get("facet.field") or want_stats:
+        # distributed components over the q∩fq domain: faceting runs
+        # Solr's two-phase refinement (exact counts), stats merge exact
+        # partial moments — k×n_shards rows at the coordinator, never
+        # the corpora
+        if docvalues is None:
+            raise ValueError(
+                "sharded facets/stats require a docvalues frame")
+        from .search.distributed import (
+            distributed_facet_terms, distributed_stats,
+        )
+
+        dv_parts = []
+        for s, dom in shard_domains:
+            d = _match_set(s, params["q"], df, op, docvalues)
+            if dom is not None:
+                d = d.join(dom, "doc_id", "left_semi")
+            dv_parts.append(docvalues.join(d, "doc_id", "left_semi"))
+        for f_ in aslist(params.get("facet.field", [])):
+            out[f"facet_field:{f_}"] = distributed_facet_terms(
+                dv_parts, f_, limit=int(params.get("facet.limit", 10)))
+        if want_stats:
+            if "stats.field" not in params:
+                raise ValueError("stats=true requires stats.field")
+            for f_ in aslist(params["stats.field"]):
+                out[f"stats:{f_}"] = distributed_stats(dv_parts, f_)
     return out
 
 

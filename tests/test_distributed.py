@@ -309,3 +309,39 @@ def test_sharded_facade_plan_bounded(shards):
     # the facade added no score-ordered window (the corpus fixture's
     # doc-id window is upstream of the index and not ours)
     assert "windowspecdefinition(score" not in p, p
+
+
+def test_sharded_facade_facets_and_stats(unsharded, shards, corpus):
+    """Sharded facet.field runs two-phase refinement (exact counts ==
+    the unsharded facet over the same domain); sharded stats merge
+    exact partial moments."""
+    from lucene_solr_spark.solr_api import solr_request
+
+    dv = corpus.select("doc_id", "repo", F.length("content").alias("n"))
+    base = solr_request(unsharded, {"q": "def", "rows": 1,
+                                    "facet.field": "repo",
+                                    "facet.limit": 5,
+                                    "stats": "true", "stats.field": "n"},
+                        docvalues=dv)
+    got = solr_request(list(shards), {"q": "def", "rows": 1,
+                                      "facet.field": "repo",
+                                      "facet.limit": 5,
+                                      "stats": "true",
+                                      "stats.field": "n"},
+                       docvalues=dv)
+    want_f = [(r["repo"], int(r[1])) for r in
+              base["facet_field:repo"].collect()]
+    got_f = [(r["repo"], int(r[1])) for r in
+             got["facet_field:repo"].collect()]
+    assert got_f == want_f
+    ws = base["stats:n"].collect()[0]
+    gs = got["stats:n"].collect()[0]
+    assert (gs["cnt"], gs["min"], gs["max"]) == \
+        (ws["count"] if "count" in ws.asDict() else ws["cnt"],
+         ws["min"], ws["max"])
+    assert abs(gs["mean"] - ws["mean"]) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stats.field requires"):
+        solr_request(list(shards), {"q": "def", "stats.field": "n"},
+                     docvalues=dv)
