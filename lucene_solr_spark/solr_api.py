@@ -509,6 +509,7 @@ def solr_request(
              "facet.range.gap", "facet.mincount", "facet.prefix",
              "facet.contains", "facet.contains.ignoreCase",
              "facet.missing", "facet.sort", "facet.pivot",
+             "facet.interval", "facet.interval.set",
              "hl", "hl.fl", "expand", "expand.rows",
              "stats", "stats.field", "group", "group.field",
              "group.limit", "group.main", "group.format",
@@ -552,7 +553,8 @@ def solr_request(
              "spellcheck.count": "spellcheck", "expand.rows": "expand",
              "facet.range.start": "facet.range",
              "facet.range.end": "facet.range",
-             "facet.range.gap": "facet.range", "hl.fl": "hl",
+             "facet.range.gap": "facet.range",
+             "facet.interval.set": "facet.interval", "hl.fl": "hl",
              "mlt.doc_id": "mlt", "mlt.count": "mlt",
              "mlt.maxqt": "mlt"}
     _bool_masters = {"group", "stats", "spellcheck", "expand", "hl",
@@ -829,6 +831,7 @@ def solr_request(
     needs_domain = (params.get("facet.field") or params.get("facet.query")
                     or params.get("facet.range")
                     or params.get("facet.pivot")
+                    or params.get("facet.interval")
                     or asbool(params.get("stats", False)))
     if needs_domain:
         if collapses:
@@ -907,6 +910,19 @@ def solr_request(
             dom = docvalues.join(domain, "doc_id", "left_semi")
             out[f"facet_pivot:{','.join(pfields)}"] = facet_pivot(
                 dom, *pfields)
+    if params.get("facet.interval"):
+        # IntervalFacets: user-defined (possibly overlapping) intervals
+        # with open/closed bounds — one conditional-sum pass
+        if docvalues is None:
+            raise ValueError("facet.interval requires a docvalues frame")
+        if "facet.interval.set" not in params:
+            raise ValueError("facet.interval requires facet.interval.set")
+        from .relational import facet_interval
+
+        f_ = params["facet.interval"]
+        dom = docvalues.join(domain, "doc_id", "left_semi")
+        out[f"facet_interval:{f_}"] = facet_interval(
+            dom, f_, [str(s) for s in aslist(params["facet.interval.set"])])
     if params.get("facet.range"):
         # RangeFacetProcessor: fixed-gap histogram over the query domain;
         # a date-math gap string routes to the calendar-aware variant

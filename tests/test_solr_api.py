@@ -981,3 +981,24 @@ def test_json_facet_range_other_all(spark, setup):
         solr_request(idx, {"q": "spark", "json.facet": {
             "nr": {"type": "range", "field": "n", "start": 0, "end": 9,
                    "gap": 3, "other": "before"}}}, docvalues=dv)
+
+
+def test_facet_interval_param(spark, setup):
+    """facet.interval + facet.interval.set: overlapping user intervals
+    over the query domain (IntervalFacets)."""
+    idx, docs = setup
+    dv = docs.select("doc_id", "n")
+    out = solr_request(idx, {"q": "spark", "rows": 1,
+                             "facet.interval": "n",
+                             "facet.interval.set": ["[10,20]", "(15,*]"]},
+                       docvalues=dv)
+    iv = {r["interval"]: r["count"]
+          for r in out["facet_interval:n"].collect()}
+    # domain {0,1,2}: n=10,20,30 -> [10,20]: 2; (15,*]: 2 (overlap ok)
+    assert iv == {"[10,20]": 2, "(15,*]": 2}
+    with pytest.raises(ValueError, match="facet.interval.set"):
+        solr_request(idx, {"q": "spark", "facet.interval": "n"},
+                     docvalues=dv)
+    with pytest.raises(ValueError, match="requires facet.interval"):
+        solr_request(idx, {"q": "spark",
+                           "facet.interval.set": "[1,2]"}, docvalues=dv)
