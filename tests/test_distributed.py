@@ -288,11 +288,14 @@ def test_sharded_facade_identity_and_paging(unsharded, shards):
 
     import pytest as _pytest
 
-    for bad in ({"facet.field": "lang"}, {"hl": "true"},
+    for bad in ({"hl": "true"},
                 {"group": "true", "group.field": "x"},
                 {"json.facet": {"c": "count"}}):
         with _pytest.raises(ValueError, match="unsupported sharded"):
             solr_request(list(shards), {"q": "def", **bad})
+    # facet.field IS supported sharded now — but still needs docvalues
+    with _pytest.raises(ValueError, match="docvalues"):
+        solr_request(list(shards), {"q": "def", "facet.field": "lang"})
     with _pytest.raises(ValueError, match="relevance"):
         solr_request(list(shards), {"q": "def", "sort": "doc_id asc"})
 
