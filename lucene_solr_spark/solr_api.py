@@ -18,7 +18,8 @@ request params while running Spark plans:
   match-set LEFT SEMI join (LRUQueryCache semantics live in
   ``search.cache`` for callers who want reuse); fq-position local
   params additionally support ``{!parent which=}``/``{!child of=}``
-  (block-join filters through the parent_id relation),
+  (block-join filters through the parent_id relation), ``{!join
+  from= to=}`` (JoinQParserPlugin field-relation filter),
   ``{!frange}`` (compiled function range
   over docvalues) and ``{!collapse field= min= max= nullPolicy=}``
   (group collapse over the FULL scored stream, before top-k, with
@@ -291,6 +292,38 @@ def _match_set(index: IndexView, qs: str, df: str | None = None,
             if index.tombstones is not None:
                 m = m.join(index.tombstones, "doc_id", "left_anti")
             return m
+        if lp is not None and lp[0] == "join":
+            # JoinQParserPlugin (fq={!join from=f1 to=f2}inner): keep
+            # docs whose `to` value appears among the `from` values of
+            # the inner query's matches — Solr's cross-collection /
+            # field-relation filter, here one distinct + one semi-join
+            # on the value key
+            kv = lp[1]
+            extra = set(kv) - {"from", "to", "cache", "cost"}
+            if extra:
+                raise ValueError(
+                    f"unsupported {{!join}} local params: {sorted(extra)}")
+            for k in ("from", "to"):
+                if k not in kv:
+                    raise ValueError(f"{{!join}} requires {k}=")
+            if docvalues is None:
+                raise ValueError("{!join} requires a docvalues frame")
+            for k in ("from", "to"):
+                if kv[k] not in docvalues.columns:
+                    raise ValueError(
+                        f"{{!join}} {k}= names unknown docvalues column"
+                        f" {kv[k]!r}")
+            inner = _match_set(index, rest, df, op, docvalues)
+            from_vals = (docvalues.join(inner, "doc_id", "left_semi")
+                         .select(F.col(kv["from"]).alias("_jv"))
+                         .filter(F.col("_jv").isNotNull()).distinct())
+            m = (docvalues.join(from_vals,
+                                docvalues[kv["to"]] == F.col("_jv"),
+                                "left_semi")
+                 .select("doc_id"))
+            if index.tombstones is not None:
+                m = m.join(index.tombstones, "doc_id", "left_anti")
+            return m
         if lp is not None and lp[0] == "frange":
             # FunctionRangeQParserPlugin: keep docs whose compiled
             # function value lies in [l, u] (incl/incu bounds) — a pure
@@ -506,7 +539,8 @@ def solr_request(
     known = {"q", "fq", "rows", "start", "fl", "sort", "df", "q.op",
              "facet.field", "facet.query", "facet.limit",
              "facet.range", "facet.range.start", "facet.range.end",
-             "facet.range.gap", "facet.mincount", "facet.prefix",
+             "facet.range.gap", "facet.range.other",
+             "facet.mincount", "facet.prefix",
              "facet.contains", "facet.contains.ignoreCase",
              "facet.missing", "facet.sort", "facet.pivot",
              "facet.interval", "facet.interval.set",
@@ -516,7 +550,9 @@ def solr_request(
              "suggest", "suggest.q", "suggest.count",
              "suggest.dictionary",
              "spellcheck", "spellcheck.q",
-             "spellcheck.count", "mlt", "mlt.doc_id", "mlt.count",
+             "spellcheck.count", "spellcheck.collate",
+             "spellcheck.maxCollations",
+             "mlt", "mlt.doc_id", "mlt.count",
              "mlt.maxqt", "debug", "cursorMark", "json.facet"}
     unknown = set(params) - known
     if unknown:
@@ -550,10 +586,14 @@ def solr_request(
              "suggest.q": "suggest", "suggest.count": "suggest",
              "suggest.dictionary": "suggest",
              "stats.field": "stats", "spellcheck.q": "spellcheck",
-             "spellcheck.count": "spellcheck", "expand.rows": "expand",
+             "spellcheck.count": "spellcheck",
+             "spellcheck.collate": "spellcheck",
+             "spellcheck.maxCollations": "spellcheck",
+             "expand.rows": "expand",
              "facet.range.start": "facet.range",
              "facet.range.end": "facet.range",
              "facet.range.gap": "facet.range",
+             "facet.range.other": "facet.range",
              "facet.interval.set": "facet.interval", "hl.fl": "hl",
              "mlt.doc_id": "mlt", "mlt.count": "mlt",
              "mlt.maxqt": "mlt"}
@@ -936,10 +976,23 @@ def solr_request(
         f_ = params["facet.range"]
         dom = docvalues.join(domain, "doc_id", "left_semi")
         gap = params["facet.range.gap"]
+        other = params.get("facet.range.other")
+        if other is not None and str(other) != "all":
+            raise ValueError("facet.range.other supports 'all' only")
         if isinstance(gap, str) and gap.startswith("+"):
+            if other is not None:
+                raise ValueError(
+                    "facet.range.other is not supported with date-math"
+                    " gaps")
             out[f"facet_range:{f_}"] = facet_range_date(
                 dom, f_, params["facet.range.start"],
                 params["facet.range.end"], gap)
+        elif other is not None:
+            from .relational import facet_range_other
+
+            out[f"facet_range:{f_}"] = facet_range_other(
+                dom, f_, float(params["facet.range.start"]),
+                float(params["facet.range.end"]), float(gap))
         else:
             out[f"facet_range:{f_}"] = facet_range(
                 dom, f_, float(params["facet.range.start"]),
@@ -1040,6 +1093,15 @@ def solr_request(
             raise ValueError("spellcheck=true requires spellcheck.q")
         out["spellcheck"] = spell_suggest(
             index, term.lower(), k=int(params.get("spellcheck.count", 5)))
+        if asbool(params.get("spellcheck.collate", False)):
+            # SpellCheckCollator: rewrite the FULL spellcheck.q with
+            # corrections and keep only rewrites that really hit
+            from .search.extras import spellcheck_collate
+
+            out["spellcheck_collations"] = spellcheck_collate(
+                index, [t for t in term.lower().split() if t],
+                max_collations=int(
+                    params.get("spellcheck.maxCollations", 5)))
     if asbool(params.get("mlt", False)):
         # MoreLikeThisComponent: top similar docs for a seed doc (the
         # forward-index MLT path)

@@ -1002,3 +1002,52 @@ def test_facet_interval_param(spark, setup):
     with pytest.raises(ValueError, match="requires facet.interval"):
         solr_request(idx, {"q": "spark",
                            "facet.interval.set": "[1,2]"}, docvalues=dv)
+
+
+def test_join_qparser_range_other_spell_collate(spark, setup):
+    """{!join from= to=} field-relation filter, facet.range.other=all,
+    and spellcheck.collate through the facade."""
+    from pyspark.sql import functions as F
+
+    idx, docs = setup
+    dv = docs.select("doc_id", "lang", "n",
+                     F.col("lang").alias("lang2"))
+    # {!join from=lang to=lang2}window: inner match = doc 1 (lang en)
+    # -> from values {en} -> to matches docs with lang2=en = {0, 1}
+    out = solr_request(idx, {"q": "spark",
+                             "fq": "{!join from=lang to=lang2}window",
+                             "rows": 10}, docvalues=dv)
+    got = sorted(int(r["doc_id"]) for r in out["response"].collect())
+    assert got == [0, 1]
+    with pytest.raises(ValueError, match="requires to"):
+        solr_request(idx, {"q": "spark", "fq": "{!join from=lang}x",
+                           "rows": 2}, docvalues=dv)
+    with pytest.raises(ValueError, match="unknown docvalues column"):
+        solr_request(idx, {"q": "spark",
+                           "fq": "{!join from=lang to=nope}x",
+                           "rows": 2}, docvalues=dv)
+
+    # facet.range.other=all: histogram + before/after/between
+    out = solr_request(idx, {"q": "spark", "rows": 1,
+                             "facet.range": "n",
+                             "facet.range.start": 15,
+                             "facet.range.end": 25,
+                             "facet.range.gap": 5,
+                             "facet.range.other": "all"}, docvalues=dv)
+    rows = {r["bucket"]: r["count"] for r in out["facet_range:n"].collect()}
+    assert rows == {"before": 1, "after": 1, "range_1": 1, "between": 1}
+    with pytest.raises(ValueError, match="facet.range.other"):
+        solr_request(idx, {"q": "spark", "facet.range": "n",
+                           "facet.range.start": 0, "facet.range.end": 9,
+                           "facet.range.gap": 3,
+                           "facet.range.other": "before"}, docvalues=dv)
+
+    # spellcheck.collate: misspelled 'spak' corrects to a collation
+    # that actually hits
+    out = solr_request(idx, {"q": "spark", "spellcheck": "true",
+                             "spellcheck.q": "spak shuffle",
+                             "spellcheck.collate": "true"})
+    colls = [r["collation"] for r in out["spellcheck_collations"].collect()]
+    assert "spark shuffle" in colls
+    with pytest.raises(ValueError, match="requires spellcheck"):
+        solr_request(idx, {"q": "spark", "spellcheck.collate": "true"})
