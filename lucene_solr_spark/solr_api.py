@@ -553,7 +553,10 @@ def solr_request(
              "spellcheck.count", "spellcheck.collate",
              "spellcheck.maxCollations",
              "mlt", "mlt.doc_id", "mlt.count",
-             "mlt.maxqt", "debug", "cursorMark", "json.facet"}
+             "mlt.maxqt", "debug", "cursorMark", "json.facet",
+             "terms", "terms.prefix", "terms.regex", "terms.lower",
+             "terms.upper", "terms.mincount", "terms.maxcount",
+             "terms.limit", "terms.sort"}
     unknown = set(params) - known
     if unknown:
         raise ValueError(f"unsupported Solr params: {sorted(unknown)}")
@@ -596,9 +599,13 @@ def solr_request(
              "facet.range.other": "facet.range",
              "facet.interval.set": "facet.interval", "hl.fl": "hl",
              "mlt.doc_id": "mlt", "mlt.count": "mlt",
-             "mlt.maxqt": "mlt"}
+             "mlt.maxqt": "mlt",
+             "terms.prefix": "terms", "terms.regex": "terms",
+             "terms.lower": "terms", "terms.upper": "terms",
+             "terms.mincount": "terms", "terms.maxcount": "terms",
+             "terms.limit": "terms", "terms.sort": "terms"}
     _bool_masters = {"group", "stats", "spellcheck", "expand", "hl",
-                     "mlt", "suggest"}
+                     "mlt", "suggest", "terms"}
     for k, master in _deps.items():
         on = params.get(master)
         if master in _bool_masters:
@@ -1061,6 +1068,22 @@ def solr_request(
             out["grouped"] = group_top_k(
                 joined, gf, [F.desc("score"), F.asc("doc_id")],
                 k=int(params.get("group.limit", 1)))
+    if asbool(params.get("terms", False)):
+        # TermsComponent (/terms handler): enumerate the dictionary with
+        # docFreq, filtered/bounded/sorted per the terms.* params
+        from .relational import terms_component
+
+        out["terms"] = terms_component(
+            index.term_dict,
+            prefix=params.get("terms.prefix"),
+            regex=params.get("terms.regex"),
+            lower=params.get("terms.lower"),
+            upper=params.get("terms.upper"),
+            mincount=int(params.get("terms.mincount", 1)),
+            maxcount=(int(params["terms.maxcount"])
+                      if "terms.maxcount" in params else None),
+            limit=int(params.get("terms.limit", 10)),
+            sort=str(params.get("terms.sort", "count")))
     if asbool(params.get("suggest", False)):
         # SuggestComponent: term suggestions from the index dictionary —
         # dictionary picks the lookup family (AnalyzingSuggester prefix,

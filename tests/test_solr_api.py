@@ -309,8 +309,11 @@ def test_local_params(spark, setup):
         idx, {"q": "spark", "fq": "{!lucene q.op=AND}shuffle merge",
               "rows": 10})["response"].collect()}
     assert ids == {0}
-    with pytest.raises(ValueError, match="local-params type"):
+    # {!join} is a SUPPORTED fq parser now — docvalues-gated
+    with pytest.raises(ValueError, match="docvalues"):
         solr_request(idx, {"q": "spark", "fq": "{!join from=x to=y}z"})
+    with pytest.raises(ValueError, match="local-params type"):
+        solr_request(idx, {"q": "spark", "fq": "{!surprise}z"})
     with pytest.raises(ValueError, match="unterminated"):
         solr_request(idx, {"q": "spark", "fq": "{!term f=content"})
 
@@ -1051,3 +1054,22 @@ def test_join_qparser_range_other_spell_collate(spark, setup):
     assert "spark shuffle" in colls
     with pytest.raises(ValueError, match="requires spellcheck"):
         solr_request(idx, {"q": "spark", "spellcheck.collate": "true"})
+
+
+def test_terms_component_params(spark, setup):
+    """terms=true (+terms.prefix/limit/sort/mincount): the /terms
+    handler surface through the facade."""
+    idx, docs = setup
+    out = solr_request(idx, {"q": "spark", "terms": "true",
+                             "terms.prefix": "s",
+                             "terms.sort": "index",
+                             "terms.limit": 10})
+    ts = [r["term"] for r in out["terms"].collect()]
+    assert ts == sorted(ts) and all(t.startswith("s") for t in ts)
+    assert "spark" in ts and "shuffle" in ts
+    out = solr_request(idx, {"q": "spark", "terms": "true",
+                             "terms.mincount": 3, "terms.limit": 5})
+    counts = {r["term"]: r[1] for r in out["terms"].collect()}
+    assert set(counts) == {"spark"}          # only df>=3 term
+    with pytest.raises(ValueError, match="requires terms"):
+        solr_request(idx, {"q": "spark", "terms.prefix": "s"})
