@@ -40,8 +40,11 @@ request params while running Spark plans:
   ``stats.field``), ``group`` (+``group.field``/``group.limit``/
   ``group.main``/``group.format=simple`` flat list),
   ``suggest`` (+``suggest.q``/``suggest.count``/
-  ``suggest.dictionary=prefix|fuzzy|infix``),
-  ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``), ``mlt``
+  ``suggest.dictionary=prefix|fuzzy|infix``), ``terms`` (the /terms
+  handler: +``terms.prefix``/``regex``/``lower``/``upper``/
+  ``mincount``/``maxcount``/``limit``/``sort``),
+  ``spellcheck`` (+``spellcheck.q``/``spellcheck.count``/
+  ``spellcheck.collate``/``spellcheck.maxCollations``), ``mlt``
   (+``mlt.doc_id``/``mlt.count``/``mlt.maxqt``), ``debug``
   (Explanation components), ``expand`` (+``expand.rows``);
 * ``json.facet`` — the JSON Facet API body (dict or JSON string):
